@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** User-agent family extraction and bot classification as pure `Column`
+  * expressions (no UDF — everything stays inside whole-stage codegen and
+  * never becomes a pushdown/optimization barrier).
+  *
+  * The reference delegates to the `user-agents` Python library and keeps
+  * only `browser.family` / `os.family` (reference:
+  * advanced_elb_logs_etl.py:123-131). That library is a large
+  * community-maintained regex ruleset; here we re-express the
+  * major-family subset as ordered `when` chains over case-insensitive
+  * regexes, with the same `"Unknown"` fallbacks for missing/`"-"` UA
+  * strings. Rule ordering matters (e.g. Edge/Opera UAs also contain
+  * "Chrome"; Chrome UAs also contain "Safari") and follows the
+  * detection order documented across public UA-parsing rulesets.
+  */
+object UaFunctions {
+
+  private def has(ua: Column, pat: String): Column = ua.rlike("(?i)" + pat)
+
+  /** Browser family from a raw User-Agent string; null/empty/"-" → Unknown. */
+  def uaBrowserFamily(ua: Column): Column = {
+    val known =
+      // bots first — they often embed browser tokens
+      when(has(ua, "googlebot"), "Googlebot")
+        .when(has(ua, "bingbot"), "bingbot")
+        .when(has(ua, "duckduckbot"), "DuckDuckBot")
+        .when(has(ua, "yandex(bot)?"), "YandexBot")
+        .when(has(ua, "baiduspider"), "Baiduspider")
+        .when(has(ua, "slurp"), "Yahoo! Slurp")
+        .when(has(ua, "facebookexternalhit"), "FacebookBot")
+        .when(has(ua, "python-urllib"), "Python-urllib")
+        .when(has(ua, "python-requests"), "Python Requests")
+        .when(has(ua, "\\bcurl/"), "curl")
+        .when(has(ua, "\\bwget/"), "Wget")
+        .when(has(ua, "headlesschrome"), "HeadlessChrome")
+        // real browsers, most-specific first
+        .when(has(ua, "\\bedga?/"), "Edge Mobile")
+        .when(has(ua, "\\bedge?/"), "Edge")
+        .when(has(ua, "\\bopr/|\\bopera"), "Opera")
+        .when(has(ua, "\\bsamsungbrowser/"), "Samsung Internet")
+        .when(has(ua, "\\bucbrowser/"), "UC Browser")
+        .when(has(ua, "\\byabrowser/"), "Yandex Browser")
+        .when(has(ua, "\\bvivaldi/"), "Vivaldi")
+        .when(has(ua, "\\bbrave/"), "Brave")
+        .when(has(ua, "\\bfirefox/") && has(ua, "mobile"), "Firefox Mobile")
+        .when(has(ua, "\\bfirefox/|\\bfxios/"), "Firefox")
+        .when(has(ua, "\\bcrios/"), "Chrome Mobile iOS")
+        .when(has(ua, "\\bchrome/") && has(ua, "\\bmobile\\b"), "Chrome Mobile")
+        .when(has(ua, "\\bchrome/|\\bchromium/"), "Chrome")
+        .when(has(ua, "\\bversion/.*\\bmobile/.*safari/"), "Mobile Safari")
+        .when(has(ua, "\\bsafari/"), "Safari")
+        .when(has(ua, "msie |trident/"), "IE")
+        .otherwise("Other")
+    when(ua.isNull || ua === "" || ua === "-", "Unknown").otherwise(known)
+  }
+
+  /** OS family from a raw User-Agent string; null/empty/"-" → Unknown. */
+  def uaOsFamily(ua: Column): Column = {
+    val known =
+      when(has(ua, "windows phone"), "Windows Phone")
+        .when(has(ua, "windows nt|win64|wow64"), "Windows")
+        .when(has(ua, "android"), "Android")
+        .when(has(ua, "iphone|ipad|ipod|ios"), "iOS")
+        .when(has(ua, "mac os x|macintosh"), "Mac OS X")
+        .when(has(ua, "cros "), "Chrome OS")
+        .when(has(ua, "ubuntu"), "Ubuntu")
+        .when(has(ua, "fedora"), "Fedora")
+        .when(has(ua, "linux"), "Linux")
+        .when(has(ua, "freebsd"), "FreeBSD")
+        .otherwise("Other")
+    when(ua.isNull || ua === "" || ua === "-", "Unknown").otherwise(known)
+  }
+
+  /** Bot heuristic: case-insensitive substring match over the reference's
+    * token list (reference: advanced_elb_logs_etl.py:128). "googlebot" is
+    * subsumed by "bot". Null/empty/"-" UA → false (reference's else-branch).
+    */
+  def isBot(ua: Column): Column =
+    when(ua.isNull || ua === "" || ua === "-", lit(false))
+      .otherwise(ua.rlike("(?i)bot|spider|crawler|python-urllib"))
+}
