@@ -1,0 +1,87 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.elb.ElbSchema
+
+/** Parquet-backed memo cache for geolocation lookups + the enrichment join.
+  *
+  * Reference dataflow (advanced_elb_logs_etl.py:231-265): load cache →
+  * distinct IPs → misses = IPs ∉ cache → serial fetch → keep-last upsert →
+  * rewrite cache → left-join logs → rename `country`→`countryName`.
+  *
+  * Spark-first mapping: the miss set is a `left_anti` join; the keep-last
+  * upsert is a `row_number` window over an explicit source-priority column
+  * (`dropDuplicates` keeps an arbitrary row — not equivalent); the final
+  * enrichment is a *broadcast* left join (the cache is bounded by distinct
+  * IP cardinality, orders of magnitude smaller than the 100 TB log side, so
+  * it never deserves a shuffle of the big table).
+  */
+object GeoCache {
+
+  /** Schema-defensive cache load: missing path / empty dir → empty frame
+    * with the canonical 12-column schema (reference: advanced_elb_logs_etl.py:201-229).
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val dir = new java.io.File(path)
+    val hasData = dir.exists() && (dir.isFile ||
+      Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+    if (hasData) spark.read.schema(ElbSchema.geo).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ElbSchema.geo)
+  }
+
+  /** Distinct non-null client IPs in `logs` that are absent from `cache`. */
+  def misses(logs: DataFrame, cache: DataFrame): DataFrame =
+    logs.select(col("client_ip")).where(col("client_ip").isNotNull).distinct()
+      .join(cache.select(col("query")), col("client_ip") === col("query"), "left_anti")
+
+  /** Keep-last upsert: rows in `fresh` replace same-key rows in `cache`
+    * (reference: advanced_elb_logs_etl.py:244-246 — concat + drop-dup keep
+    * 'last', i.e. new wins).
+    */
+  def upsert(cache: DataFrame, fresh: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query").orderBy(col("_src").desc)
+    cache.withColumn("_src", lit(0))
+      .unionByName(fresh.withColumn("_src", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+
+  /** Atomically replace the cache parquet at `path` with `updated`.
+    * Writes to a sibling temp dir first — Spark cannot overwrite a path it
+    * is lazily reading from.
+    */
+  def rewrite(updated: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      updated.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Full enrichment stage: resolve cache misses via `resolver`, upsert +
+    * persist the cache, then broadcast-left-join onto `logs` and apply the
+    * reference's column standardization (`country` → `countryName`).
+    */
+  def enrich(spark: SparkSession, logs: DataFrame, cachePath: String,
+      resolver: GeoResolver): DataFrame = {
+    import spark.implicits._
+    val cache = load(spark, cachePath)
+    // driver-side collect is deliberate: the resolver is serial + rate-limited
+    val missIps = misses(logs, cache).as[String].collect().toSeq
+    val updated = if (missIps.nonEmpty) {
+      val fresh = resolver.resolve(missIps).toDF()
+        .select(ElbSchema.geo.fieldNames.map(col).toSeq: _*)
+      val u = upsert(cache, fresh)
+      rewrite(u, cachePath)
+      load(spark, cachePath)
+    } else cache
+    logs.join(broadcast(updated), logs("client_ip") === updated("query"), "left")
+      .withColumnRenamed("country", "countryName")
+  }
+}

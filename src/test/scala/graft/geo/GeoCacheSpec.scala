@@ -1,0 +1,56 @@
+package graft.geo
+
+import graft.SparkSpec
+import graft.elb.{ElbFixtures, ElbParser, ElbSchema}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class GeoCacheSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("load returns empty frame with canonical schema when cache absent") {
+    val df = GeoCache.load(spark, "/tmp/does-not-exist-geo.parquet")
+    assert(df.schema == ElbSchema.geo)
+    assert(df.count() == 0)
+  }
+
+  test("offline resolver is deterministic and failure-shaped") {
+    val r = new OfflineGeoResolver()
+    val a = r.resolve(Seq("1.2.3.4", "5.6.7.8"))
+    val b = r.resolve(Seq("1.2.3.4", "5.6.7.8"))
+    assert(a == b)
+    assert(a.forall(g => g.status == "success" || g.status == "fail"))
+    assert(a.forall(_.query.nonEmpty))
+  }
+
+  test("upsert keeps the fresh row on key collision") {
+    import spark.implicits._
+    val t = Timestamp.valueOf("2025-01-01 00:00:00")
+    val old = Seq(GeoRecord("success", None, Some("OldLand"), Some("OL"), None,
+      None, None, None, None, None, "9.9.9.9", t)).toDF()
+    val fresh = Seq(GeoRecord("success", None, Some("NewLand"), Some("NL"), None,
+      None, None, None, None, None, "9.9.9.9", t)).toDF()
+    val merged = GeoCache.upsert(old, fresh).collect()
+    assert(merged.length == 1)
+    assert(merged.head.getAs[String]("country") == "NewLand")
+  }
+
+  test("end-to-end enrich: misses resolved, cache persisted, join + rename applied") {
+    val cachePath = Files.createTempDirectory("geo").resolve("cache.parquet").toString
+    val logs = ElbParser.parse(spark, Seq(ElbFixtures.standardFixture()))
+    val enriched = GeoCache.enrich(spark, logs, cachePath, new OfflineGeoResolver())
+    assert(enriched.columns.contains("countryName"))
+    assert(enriched.columns.contains("query"))
+    // every row got a cache hit (resolver answered every distinct IP)
+    assert(enriched.filter(col("query").isNull).count() == 0)
+    // cache file persisted with one row per distinct IP
+    val cache = GeoCache.load(spark, cachePath)
+    assert(cache.count() == logs.select("client_ip").distinct().count())
+    // second run: no misses → same result, cache unchanged
+    val again = GeoCache.enrich(spark, logs, cachePath, new GeoResolver {
+      def resolve(ips: Seq[String]) =
+        throw new IllegalStateException("resolver must not be called on full cache hit")
+    })
+    assert(again.count() == enriched.count())
+  }
+}
