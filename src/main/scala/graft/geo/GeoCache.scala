@@ -1,7 +1,6 @@
 package graft.geo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.elb.ElbSchema
 
@@ -41,14 +40,8 @@ object GeoCache {
     * (reference: advanced_elb_logs_etl.py:244-246 — concat + drop-dup keep
     * 'last', i.e. new wins).
     */
-  def upsert(cache: DataFrame, fresh: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query").orderBy(col("_src").desc)
-    cache.withColumn("_src", lit(0))
-      .unionByName(fresh.withColumn("_src", lit(1)))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_src", "_rn")
-  }
+  def upsert(cache: DataFrame, fresh: DataFrame): DataFrame =
+    graft.ops.Relational.keepLastUpsert(cache, fresh, Seq("query"))
 
   /** Atomically replace the cache parquet at `path` with `updated`.
     * Writes to a sibling temp dir first — Spark cannot overwrite a path it

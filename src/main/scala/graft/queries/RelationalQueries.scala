@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.elb.Features
+import graft.ops.Relational
+
+/** SURVEY.md §2 relational operator inventory, re-expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB-equivalent oracle.
+  *
+  * Conventions for oracle parity (driver sorts columns by name, then
+  * hashes values):
+  *  - every computed column aliased identically on both sides;
+  *  - integer outputs cast to BIGINT on both sides (DuckDB date-part
+  *    functions return BIGINT; Spark's return INT);
+  *  - floating aggregates rounded (4 d.p. for avgs, 2 d.p. for sums) to
+  *    absorb summation-order ulps;
+  *  - event-time arithmetic done on epoch milliseconds (both engines floor
+  *    the file's ns values identically);
+  *  - window orderings carry a unique tiebreak column.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+
+  // ———————————————————————————————————————————— A1-style multi-aggregate
+  // (count / countDistinct / avg / exact median / sum / conditional counts
+  //  — the reference's hourly rollup shape, advanced_elb_logs_etl.py:347-359)
+  val q01HourlyAgg: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ev.groupBy(
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        // avg derived as round(sum,2)/count: the rounded sum is an exact
+        // 2-d.p. decimal on both engines (inputs are 2-d.p.), and a single
+        // division of identical doubles is bit-identical — whereas
+        // round(avg, k) can land on a half-at-k boundary where Spark
+        // (BigDecimal HALF_UP) and DuckDB (C-library) disagree.
+        (round(sum(col("value")), 2) / count(col("value"))).as("avg_value"),
+        round(median(col("value")), 4).as("med_value"),
+        round(sum(col("value")), 2).as("sum_value"),
+        count_if(col("event_type") === "purchase").as("n_purchase"),
+        count_if(col("event_type") === "error").as("n_error"),
+        count_if(col("event_type") === "click").as("n_click"))
+  }
+  val q01Sql: String = """
+    SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+      count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      round(sum(value), 2) / count(value) AS avg_value,
+      round(median(value), 4) AS med_value,
+      round(sum(value), 2) AS sum_value,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click
+    FROM events GROUP BY 1, 2, 3, 4"""
+
+  // ———————————————————————————————————————————— scan + filter + big agg
+  val q02PricingSummary: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        (round(sum(col("l_quantity")), 2) / count(col("l_quantity"))).as("avg_qty"),
+        (round(sum(col("l_extendedprice")), 2) / count(col("l_extendedprice"))).as("avg_price"),
+        (round(sum(col("l_discount")), 2) / count(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  val q02Sql: String = """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_quantity), 2) / count(l_quantity) AS avg_qty,
+      round(sum(l_extendedprice), 2) / count(l_extendedprice) AS avg_price,
+      round(sum(l_discount), 2) / count(l_discount) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2"""
+
+  // ———————————————————————————————————————————— multi-join + agg
+  // (small dims broadcast — J1's shape at warehouse scale)
+  val q03RevenueByNation: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+  val q03Sql: String = """
+    SELECT n_name, r_name, round(sum(o_totalprice), 2) AS revenue,
+      count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2"""
+
+  // ———————————————————————————————————————————— anti join (J2's shape)
+  val q04CustomersNoOrders: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    // anti-join against a filtered build side so the result is non-empty
+    // at every SF (plain customers-without-orders is empty in this data)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+  val q04Sql: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)"""
+
+  // ———————————————————————————————————————————— semi join
+  val q05BigSpenderSemi: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+  val q05Sql: String = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)"""
+
+  // ———————————————————————————————————————————— keep-last upsert (J3)
+  val q06UpsertKeepLast: Q = (s, dir) => {
+    val p = Tables.part(s, dir)
+    val base = p.select(col("p_partkey"),
+      round(col("p_retailprice"), 2).as("price"), lit(0L).as("src"))
+    val fresh = p.filter(col("p_partkey") % 7 === 0).select(col("p_partkey"),
+      round(col("p_retailprice") * 1.1, 2).as("price"), lit(1L).as("src"))
+    Relational.keepLastUpsert(base, fresh, Seq("p_partkey"))
+  }
+  val q06Sql: String = """
+    SELECT p_partkey, price, src FROM (
+      SELECT p_partkey, price, src,
+        row_number() OVER (PARTITION BY p_partkey ORDER BY src DESC) AS rn
+      FROM (
+        SELECT p_partkey, round(p_retailprice, 2) AS price, CAST(0 AS BIGINT) AS src FROM part
+        UNION ALL
+        SELECT p_partkey, round(p_retailprice * 1.1, 2) AS price, CAST(1 AS BIGINT) AS src
+        FROM part WHERE p_partkey % 7 = 0))
+    WHERE rn = 1"""
+
+  // ———————————————————————————————————————————— W1: lag + gap
+  val q07LagGap: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    ev.withColumn("ms", ms(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      // no rounding: one division of identical integer operands is
+      // bit-identical across engines
+      .select(col("event_id"), col("user_id"),
+        ((col("ms") - col("prev_ms")) / 60000.0).as("gap_min"))
+  }
+  val q07Sql: String = """
+    SELECT event_id, user_id,
+      (epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+        (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)) / 60000.0 AS gap_min
+    FROM events"""
+
+  // ———————————————————————————————————————————— W2: gap sessionization
+  val q08Sessionize: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("ms", ms(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("gap_min", (col("ms") - col("prev_ms")) / 60000.0)
+      .withColumn("new_session", col("gap_min") > 30 || col("gap_min").isNull)
+      .withColumn("session_no",
+        sum(when(col("new_session"), 1).otherwise(0)).over(run))
+      .select(col("event_id"), col("user_id"),
+        concat(col("session_no").cast("string"), lit("-"),
+          col("user_id").cast("string")).as("session_id"))
+  }
+  val q08Sql: String = """
+    WITH g AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        (epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+          (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)) / 60000.0 AS gap_min
+      FROM events)
+    SELECT event_id, user_id,
+      CAST(sum(CASE WHEN gap_min > 30 OR gap_min IS NULL THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+      || '-' || CAST(user_id AS VARCHAR) AS session_id
+    FROM g"""
+
+  // ———————————————————————————————————————————— W3: rolling 5-min count
+  // (half-open (t-5min, t] frame — pandas rolling semantics, SURVEY §7.4.2)
+  val q09Rolling5mCount: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-(5L * 60 * 1000 - 1), Window.currentRow)
+    ev.withColumn("ms", ms(col("ts")))
+      .select(col("event_id"), count(lit(1)).over(w).as("n_5min"))
+  }
+  val q09Sql: String = """
+    SELECT event_id, count(*) OVER
+      (PARTITION BY user_id ORDER BY epoch_ms(ts)
+       RANGE BETWEEN 299999 PRECEDING AND CURRENT ROW) AS n_5min
+    FROM events"""
+
+  // ———————————————————————————————————————————— W4: rolling 1-h mean
+  val q10Rolling1hAvg: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-(60L * 60 * 1000 - 1), Window.currentRow)
+    ev.withColumn("ms", ms(col("ts")))
+      .select(col("event_id"),
+        (round(sum(col("value")).over(w), 2) / count(col("value")).over(w)).as("avg_1h"))
+  }
+  val q10Sql: String = """
+    SELECT event_id, round(sum(value) OVER w, 2) / count(value) OVER w AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)"""
+
+  // ———————————————————————————————————————————— A3: distinct
+  val q11DistinctUsers: Q = (s, dir) =>
+    Tables.events(s, dir).select(col("user_id")).distinct()
+  val q11Sql: String = "SELECT DISTINCT user_id FROM events"
+
+  // ———————————————————————————————————————————— U1: name-aligned union
+  val q12UnionMixed: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"))
+    clicks.unionByName(errors, allowMissingColumns = true)
+  }
+  val q12Sql: String = """
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_type = 'error'"""
+
+  // ———————————————————————————————————————————— O1/O2: sort + limit
+  val q13TopLineitems: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+      .limit(100)
+  val q13Sql: String = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""
+
+  // ———————————————————————————————————————————— P11: CASE bucketing
+  // (reuses the engine's statusCodeType expression)
+  val q14ValueBucket: Q = (s, dir) => {
+    val code = floor(col("value") * 4).cast("long")
+    Tables.events(s, dir)
+      .select(col("event_id"), code.as("code"),
+        Features.statusCodeType(code).as("bucket"))
+  }
+  val q14Sql: String = """
+    SELECT event_id, CAST(floor(value * 4) AS BIGINT) AS code,
+      CASE
+        WHEN floor(value * 4) BETWEEN 100 AND 199 THEN '1xx_Informational'
+        WHEN floor(value * 4) BETWEEN 200 AND 299 THEN '2xx_Success'
+        WHEN floor(value * 4) BETWEEN 300 AND 399 THEN '3xx_Redirection'
+        WHEN floor(value * 4) BETWEEN 400 AND 499 THEN '4xx_ClientError'
+        WHEN floor(value * 4) BETWEEN 500 AND 599 THEN '5xx_ServerError'
+        ELSE 'Unknown' END AS bucket
+    FROM events"""
+
+  // ———————————————————————————————————————————— P12: time parts
+  val q15TimeParts: Q = (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      date_format(col("o_orderdate"), "EEEE").as("dn"),
+      weekofyear(col("o_orderdate")).cast("long").as("wk"))
+  val q15Sql: String = """
+    SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+      day(o_orderdate) AS d, dayname(o_orderdate) AS dn,
+      week(o_orderdate) AS wk
+    FROM orders"""
+
+  // ———————————————————————————————————————————— P2/P3: sentinel casts
+  // (reuses the engine's nullSentinelLong)
+  val q16SentinelCast: Q = (s, dir) => {
+    val raw = regexp_extract(col("props"), "[0-9]+", 0)
+    val kStr = when(col("event_id") % 10 === 0, lit("-")).otherwise(raw)
+    Tables.events(s, dir)
+      .select(col("event_id"), graft.elb.ElbParser.nullSentinelLong(kStr).as("k"))
+  }
+  val q16Sql: String = """
+    SELECT event_id,
+      TRY_CAST(NULLIF(CASE WHEN event_id % 10 = 0 THEN '-'
+                           ELSE regexp_extract(props, '[0-9]+') END, '-') AS BIGINT) AS k
+    FROM events"""
+
+  // ———————————————————————————————————————————— P8: URL decomposition
+  // (Spark side uses parse_url; oracle re-derives with regexes)
+  val q17UrlParse: Q = (s, dir) => {
+    val url = concat(lit("https://"), col("source"), lit(".example.com:"),
+      (lit(8000) + col("doc_id") % 3).cast("string"),
+      lit("/"), col("lang"), lit("/doc?id="), col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .withColumn("url", url)
+      .select(col("doc_id"),
+        lower(parse_url(col("url"), lit("HOST"))).as("host"),
+        regexp_extract(col("url"), "^[^:/?#]+://[^/?#]*?:(\\d+)(?:[/?#]|$)", 1)
+          .cast("long").as("port"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"))
+  }
+  val q17Sql: String = """
+    WITH u AS (
+      SELECT doc_id, 'https://' || source || '.example.com:'
+        || CAST(8000 + doc_id % 3 AS VARCHAR) || '/' || lang || '/doc?id='
+        || CAST(doc_id AS VARCHAR) AS url
+      FROM documents)
+    SELECT doc_id,
+      lower(regexp_extract(url, '^[a-z]+://([^/:]+)', 1)) AS host,
+      CAST(regexp_extract(url, '^[a-z]+://[^/]*?:([0-9]+)[/?#]', 1) AS BIGINT) AS port,
+      regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+      regexp_extract(url, '\?([^#]*)$', 1) AS query
+    FROM u"""
+
+  val all: Map[String, Q] = Map(
+    "q01_hourly_agg" -> q01HourlyAgg,
+    "q02_pricing_summary" -> q02PricingSummary,
+    "q03_revenue_by_nation" -> q03RevenueByNation,
+    "q04_customers_no_orders" -> q04CustomersNoOrders,
+    "q05_big_spender_semi" -> q05BigSpenderSemi,
+    "q06_upsert_keep_last" -> q06UpsertKeepLast,
+    "q07_lag_gap" -> q07LagGap,
+    "q08_sessionize" -> q08Sessionize,
+    "q09_rolling_5min_count" -> q09Rolling5mCount,
+    "q10_rolling_1h_avg" -> q10Rolling1hAvg,
+    "q11_distinct_users" -> q11DistinctUsers,
+    "q12_union_mixed" -> q12UnionMixed,
+    "q13_top_lineitems" -> q13TopLineitems,
+    "q14_value_bucket" -> q14ValueBucket,
+    "q15_time_parts" -> q15TimeParts,
+    "q16_sentinel_cast" -> q16SentinelCast,
+    "q17_url_parse" -> q17UrlParse)
+
+  val oracles: Map[String, String] = Map(
+    "q01_hourly_agg" -> q01Sql,
+    "q02_pricing_summary" -> q02Sql,
+    "q03_revenue_by_nation" -> q03Sql,
+    "q04_customers_no_orders" -> q04Sql,
+    "q05_big_spender_semi" -> q05Sql,
+    "q06_upsert_keep_last" -> q06Sql,
+    "q07_lag_gap" -> q07Sql,
+    "q08_sessionize" -> q08Sql,
+    "q09_rolling_5min_count" -> q09Sql,
+    "q10_rolling_1h_avg" -> q10Sql,
+    "q11_distinct_users" -> q11Sql,
+    "q12_union_mixed" -> q12Sql,
+    "q13_top_lineitems" -> q13Sql,
+    "q14_value_bucket" -> q14Sql,
+    "q15_time_parts" -> q15Sql,
+    "q16_sentinel_cast" -> q16Sql,
+    "q17_url_parse" -> q17Sql)
+}
