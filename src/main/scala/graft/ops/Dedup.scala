@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (the point of each variant at 100 TB):
+  *  - exact: one hash-shuffle on a 128-bit digest of the content — never on
+  *    the raw text (keys stay 16 bytes regardless of document size);
+  *  - minhash+LSH: candidate generation is a self-join on (band, band
+  *    signature) — cost ∝ Σ bucket², not n²; bands/rows trade recall vs cost;
+  *  - simhash: a 16-bit locality-sensitive digest computed in a single
+  *    narrow projection (higher-order functions, no explode) — near-dups
+  *    then pair up by digest equality or small Hamming distance;
+  *  - n-gram Jaccard: the exact verifier run *after* LSH candidate
+  *    generation at scale (here also exposed standalone for the oracle).
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct fingerprint with the kept
+    * (minimum) id and group size. `deduped` below keeps only group keepers.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+
+  def deduped(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(exactGroups(df, textCol, idCol).select(col("keeper")),
+      col(idCol) === col("keeper"), "left_semi")
+
+  /** Distinct (id, shingle) rows — shared prefix of the similarity ops. */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard over all id pairs sharing ≥1 shingle.
+    * Returns pairs (a < b) with `jaccard` ≥ `threshold`. Arithmetic is a
+    * single division of exact integers — engine-deterministic.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRows(df, textCol, idCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` independent permutations simulated as
+    * md5(i || '|' || shingle), taking the lexicographic *string* minimum —
+    * any total order over a uniform hash domain is a valid minhash, and the
+    * hex-string order is reproducible in every engine (no 64-bit parsing).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
+        col("shingle"))
+      .select(col("id"), col("i"),
+        md5(concat(col("i").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("id"), col("i"))
+      .agg(min(col("h")).as("sig"))
+
+  /** LSH banding: `numBands` bands of `rowsPerBand` signature rows; band
+    * signature = md5 of the concatenated member signatures (conditional-agg
+    * pivot keeps the concatenation order deterministic).
+    */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val pivoted = (0 until rowsPerBand).map(k =>
+      max(when(col("i") % rowsPerBand === k, col("sig"))).as(s"s$k"))
+    sigs.groupBy(col("id"), (col("i") / rowsPerBand).cast("int").as("band"))
+      .agg(pivoted.head, pivoted.tail: _*)
+      .select(col("id"), col("band"),
+        md5(concat((0 until rowsPerBand).map(k => col(s"s$k")): _*)).as("band_sig"))
+  }
+
+  /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket. */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val bands = lshBands(
+      minhashSignatures(shingleRows(df, textCol, idCol, shingleN), numHashes),
+      rowsPerBand)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash in one narrow projection: fold the token array into 16
+    * signed bit-counters (md5-derived bits), then re-assemble the digest.
+    * `bits` hex-digit parse: value of md5 hex char at position b/4, bit
+    * (3 - b%4). Deterministic integer arithmetic only.
+    */
+  def simhash16(text: Column): Column = {
+    val counters = aggregate(
+      TextOps.words(text),
+      array_repeat(lit(0L), 16),
+      (acc, tok) => {
+        val h = md5(tok)
+        zip_with(acc, sequence(lit(0), lit(15)), (a, b) => {
+          val hexChar = substring(h, (b / 4).cast("int") + 1, lit(1))
+          val v = conv(hexChar, 16, 10).cast("long")
+          val bit = (v / pow(lit(2), lit(3) - b % 4).cast("long")).cast("long") % 2
+          a + (bit * 2 - 1)
+        })
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(15)),
+        (c, b) => when(c > 0, pow(lit(2), lit(15) - b).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+}

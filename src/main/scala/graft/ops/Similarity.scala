@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `array<float>` embedding columns.
+  *
+  * Scale design: brute-force top-k is the exact baseline — a broadcast of
+  * the (tiny) query side against a scan of the vector table, no shuffle,
+  * one pass. The IVF variant is the 100 TB path: vectors are pre-assigned
+  * to a small centroid table (one broadcast join at ingest), searches probe
+  * only the closest `nProbe` centroid buckets — a partition-pruned scan
+  * when the table is written partitioned by `centroid_id`.
+  */
+object Similarity {
+
+  /** Elementwise-double view of a float-array embedding (exact widening —
+    * keeps later arithmetic bit-comparable across engines).
+    */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product via higher-order functions (codegen'd,
+    * no UDF; left-to-right order is deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * `queryDf` must be a single row `(qvec array<double>)`. Ordering uses
+    * the 4-d.p.-rounded score with id tiebreak so ranking is reproducible.
+    */
+  def bruteForceTopK(vectors: DataFrame, queryDf: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .crossJoin(broadcast(queryDf))
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Assign each vector to its nearest centroid (max cosine, centroid-id
+    * tiebreak). `centroids`: (cid, cvec array<double>), small + broadcast.
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("c").desc, col("cid"))
+    vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("cid"),
+        cosine(asDouble(col(vecCol)), col("cvec")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
+  }
+
+  /** IVF top-k: probe the `nProbe` centroids closest to the query and
+    * brute-force only vectors assigned to those buckets.
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryDf: DataFrame,
+      k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+    val probed = centroids.crossJoin(broadcast(queryDf))
+      .select(col("cid"), cosine(col("cvec"), col("qvec")).as("c"))
+      .orderBy(col("c").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid").as("probe_cid"))
+    assigned
+      .join(broadcast(probed), col("centroid_id") === col("probe_cid"), "left_semi")
+      .crossJoin(broadcast(queryDf))
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All near-duplicate pairs (a < b) with cosine ≥ threshold, exact
+    * all-pairs — the verifier stage; LSH/IVF prune candidates at scale.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      norm(asDouble(col(vecCol))).as("n"))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("cos_raw"))
+      .where(col("cos_raw") >= threshold)
+      .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * shingling, language ID, quality scoring, token counting, content
+  * fingerprinting. All pure `Column` expressions / narrow projections —
+  * no UDFs, no shuffles; they scale linearly with the scan.
+  */
+object TextOps {
+
+  /** Lowercased single-space word tokens. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles of `text` as an array column.
+    * Built with higher-order functions (transform over an index sequence)
+    * — stays inside codegen, no explode until the caller asks for rows.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+        .otherwise(array()))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "en"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ein", "ist", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "que"))
+
+  private def profileRegex(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
+
+  /** Per-language stopword-hit score columns, name → expression. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"score_$lang" -> regexp_count(lower(text), lit(profileRegex(ws))).cast("long")
+    }
+
+  /** Predicted language: argmax score with lexicographic tiebreak; all-zero
+    * scores → "und" (undetermined). Deterministic by construction.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1.stripPrefix("score_")))) {
+      case ((bestScore, bestLang), (name, score)) =>
+        val lang = name.stripPrefix("score_")
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    when(best._1 > 0, best._2).otherwise(lit("und"))
+  }
+
+  /** Quality metrics: exact integer counts + single-division ratios, so
+    * results are bit-deterministic across engines.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val t = lower(text)
+    val nChars = length(t).cast("long")
+    val nWords = size(words(text)).cast("long")
+    val nAlpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+    val nPunct = length(regexp_replace(t, "[a-z0-9 ]", "")).cast("long")
+    val nStop = regexp_count(t, lit(profileRegex(langProfiles("en")))).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "alpha_ratio" -> nAlpha / nChars.cast("double"),
+      "punct_ratio" -> nPunct / nChars.cast("double"),
+      "stopword_ratio" -> nStop / nWords.cast("double"),
+      "avg_word_len" -> (nChars - (nWords - 1)) / nWords.cast("double"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long")
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    * The grouping key for exact near-layout dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

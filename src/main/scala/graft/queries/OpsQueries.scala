@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps, Multimodal}
+
+/** Training-data-pipeline operators (dedup family, similarity search, text
+  * analysis, multimodal plumbing) as oracle-checked queries over the
+  * `documents`/`embeddings` tables.
+  *
+  * Pair queries cap the document/vector id (`< 1000` / `< 500`) so the
+  * quadratic *verification* stays bounded at every SF — the library
+  * operators themselves are the scale path (LSH/IVF candidate pruning);
+  * the caps bound only what the oracle recomputes exactly.
+  */
+object OpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ———————————————————————————————————————————— exact dedup (hash groups)
+  val q19DedupExact: Q = (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+  val q19Sql: String = """
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      min(doc_id) AS keeper, count(*) AS group_size
+    FROM documents GROUP BY 1"""
+
+  // ———————————————————————————————————————————— n-gram Jaccard pairs
+  val q20NgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", n = 3, threshold = 0.5)
+  val q20Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b, jaccard FROM (
+      SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+    WHERE jaccard >= 0.5"""
+
+  // ———————————————————————————————————————————— minhash + LSH candidates
+  val q21MinhashLsh: Q = (s, dir) =>
+    Dedup.minhashCandidatePairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3)
+  val q21Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id"""
+
+  // ———————————————————————————————————————————— 16-bit simhash digests
+  val q22Simhash: Q = (s, dir) =>
+    Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+  val q22Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 500),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    bits AS (SELECT doc_id, md5(t) AS h, unnest(range(0, 16)) AS b FROM tok),
+    contrib AS (SELECT doc_id, b,
+        ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+          // CAST(pow(2, 3 - b % 4) AS BIGINT)) % 2 AS bit
+      FROM bits),
+    sums AS (SELECT doc_id, b, sum(bit * 2 - 1) AS s FROM contrib GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 15 - b) AS BIGINT) ELSE 0 END)
+        AS BIGINT) AS simhash
+    FROM sums GROUP BY 1"""
+
+  // ———————————————————————————————————————————— embedding near-dup pairs
+  val q23EmbedNearDup: Q = (s, dir) =>
+    Similarity.nearDupPairs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 500), threshold = 0.45)
+  val q23Sql: String = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 500)
+    SELECT a, b, round(cos_raw, 4) AS cos_sim FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        list_dot_product(x.e, y.e)
+          / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos_raw
+      FROM v x JOIN v y ON x.vec_id < y.vec_id)
+    WHERE cos_raw >= 0.45"""
+
+  // ———————————————————————————————————————————— ANN: exact brute-force top-k
+  val q24AnnBrute: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") > 0), queryDf, k = 10)
+  }
+  val q24Sql: String = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(
+        list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+    FROM embeddings, q WHERE vec_id > 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  // ———————————————————————————————————————————— ANN: IVF (bucketed) top-k
+  val q25AnnIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cvec"))
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.ivfTopK(emb.filter(col("vec_id") >= 16), centroids, queryDf,
+      k = 10, nProbe = 2)
+  }
+  val q25Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    probes AS (SELECT cid FROM (
+        SELECT c.cid, list_dot_product(c.cv, q.qe)
+            / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+        FROM c, q)
+      ORDER BY cos DESC, cid LIMIT 2)
+    SELECT vec_id, round(
+        list_dot_product(e, qe)
+        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+    FROM a1 JOIN probes USING (cid), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  // ———————————————————————————————————————————— language-ID heuristic
+  val q26LangId: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val scores = TextOps.langScores(col("text")).map { case (n, c) => c.as(n) }
+    d.select(col("doc_id") +: TextOps.langId(col("text")).as("lang_pred") +: scores: _*)
+  }
+  val q26Sql: String = {
+    val scoreExprs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    s"""
+    WITH sc AS (SELECT doc_id, $scoreExprs FROM documents)
+    SELECT doc_id,
+      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+           WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+           WHEN score_es >= score_fr THEN 'es'
+           ELSE 'fr' END AS lang_pred,
+      score_de, score_en, score_es, score_fr
+    FROM sc"""
+  }
+
+  // ———————————————————————————————————————————— quality metrics
+  val q27Quality: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val metrics = TextOps.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+    d.select(col("doc_id") +: metrics: _*)
+  }
+  val q27Sql: String = """
+    SELECT doc_id,
+      CAST(length(lower(text)) AS BIGINT) AS n_chars,
+      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+      length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        / CAST(length(lower(text)) AS DOUBLE) AS alpha_ratio,
+      length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        / CAST(length(lower(text)) AS DOUBLE) AS punct_ratio,
+      len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b'))
+        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+      (length(lower(text)) - (len(string_split(lower(text), ' ')) - 1))
+        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len
+    FROM documents"""
+
+  // ———————————————————————————————————————————— token counting
+  val q28TokenCount: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextOps.wsTokenCount(col("text")).as("n_ws"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+  val q28Sql: String = """
+    SELECT doc_id,
+      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
+    FROM documents"""
+
+  // ———————————————————————————————————————————— row-level fingerprints
+  val q29Fingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+  val q29Sql: String = """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents"""
+
+  // ———————————————————————————————————————————— multimodal decode plumbing
+  // (mapPartitions stub codec — the oracle recomputes its deterministic
+  //  formulas, validating the batched-decode dataflow end to end)
+  val q30Multimodal: Q = (s, dir) => {
+    val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.decodeBatched(s, media).toDF()
+  }
+  val q30Sql: String = """
+    SELECT doc_id AS media_id,
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CAST(1 + (octet_length(encode(text)) * 7) % 1024 AS INT) AS width,
+      CAST(1 + (octet_length(encode(text)) * 13) % 768 AS INT) AS height,
+      CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30
+                ELSE 1 END AS INT) AS n_frames,
+      octet_length(encode(text)) > 0 AS ok
+    FROM documents"""
+
+  val all: Map[String, Q] = Map(
+    "q19_dedup_exact" -> q19DedupExact,
+    "q20_ngram_jaccard" -> q20NgramJaccard,
+    "q21_minhash_lsh" -> q21MinhashLsh,
+    "q22_simhash" -> q22Simhash,
+    "q23_embed_neardup" -> q23EmbedNearDup,
+    "q24_ann_brute" -> q24AnnBrute,
+    "q25_ann_ivf" -> q25AnnIvf,
+    "q26_lang_id" -> q26LangId,
+    "q27_quality" -> q27Quality,
+    "q28_token_count" -> q28TokenCount,
+    "q29_fingerprint" -> q29Fingerprint,
+    "q30_multimodal" -> q30Multimodal)
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" -> q19Sql,
+    "q20_ngram_jaccard" -> q20Sql,
+    "q21_minhash_lsh" -> q21Sql,
+    "q22_simhash" -> q22Sql,
+    "q23_embed_neardup" -> q23Sql,
+    "q24_ann_brute" -> q24Sql,
+    "q25_ann_ivf" -> q25Sql,
+    "q26_lang_id" -> q26Sql,
+    "q27_quality" -> q27Sql,
+    "q28_token_count" -> q28Sql,
+    "q29_fingerprint" -> q29Sql,
+    "q30_multimodal" -> q30Sql)
+}

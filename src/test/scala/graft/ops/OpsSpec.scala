@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf()).cache()
+  lazy val emb = Tables.embeddings(spark, sf()).cache()
+
+  test("exact dedup keeps one representative per fingerprint group") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").cache()
+    val kept = Dedup.deduped(docs, "text", "doc_id")
+    assert(kept.count() == groups.count())
+    // keepers are minimal ids of their group
+    assert(groups.filter(col("keeper") < 0).count() == 0)
+  }
+
+  test("minhash-LSH candidates have full recall over true jaccard pairs") {
+    val d = docs.filter(col("doc_id") < 300)
+    val truePairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = Dedup.minhashCandidatePairs(d, "text", "doc_id", 3, 12, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "fixture should contain planted near-dups")
+    // LSH with b=4,r=3 has >99.9% recall at j>=0.8; planted dups are ~0.95+
+    assert(truePairs.subsetOf(candidates),
+      s"missed: ${truePairs.diff(candidates)}")
+  }
+
+  test("simhash: near-identical docs get near-identical digests") {
+    import spark.implicits._
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words about spark catalyst execution engines")
+    ).toDF("doc_id", "text")
+    val hs = pair.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)))
+  }
+
+  test("brute-force ANN: top-1 of a vector against itself is itself") {
+    val queryDf = emb.filter(col("vec_id") === 42)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    val top = Similarity.bruteForceTopK(emb, queryDf, 1).collect().head
+    assert(top.getLong(0) == 42L)
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("IVF probes restrict candidates but keep bucket-local exactness") {
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cvec"))
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") >= 16), centroids,
+      queryDf, 10, 2).collect()
+    assert(ivf.length == 10)
+    // with 16 probes (= all centroids) IVF equals brute force
+    val ivfAll = Similarity.ivfTopK(emb.filter(col("vec_id") >= 16), centroids,
+      queryDf, 10, 16).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 16),
+      queryDf, 10).collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute)
+  }
+
+  test("langId picks the profile language on real sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and looked to the window in the morning"),
+      (2L, "el perro corre en la calle y los gatos miran el sol que brilla"),
+      (3L, "der hund läuft und die katze ist nicht da das ist ein test"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val preds = samples.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "es")
+    assert(preds(3L) == "de")
+    assert(preds(4L) == "und")
+  }
+
+  test("multimodal decode: schema, determinism, empty-payload policy") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeBatched(spark, media).cache()
+    assert(decoded.columns.toSeq == Seq("media_id", "media_type", "byte_len",
+      "width", "height", "n_frames", "ok"))
+    assert(decoded.filter(!col("ok")).count() == 0)
+    val empty = Seq(Multimodal.MediaRow(1L, Array.empty[Byte], "image")).toDS().toDF()
+    val dEmpty = Multimodal.decodeBatched(spark, empty).collect().head
+    assert(!dEmpty.ok && dEmpty.width == 0)
+    // videos have frame counts, images/audio exactly 1
+    assert(decoded.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
+  }
+}
