@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.StreamingSessions
+
+/** Streaming operators surfaced through the oracle harness: the streaming
+  * result is drained synchronously (AvailableNow → memory sink) and its
+  * final table compared against a batch SQL re-derivation.
+  *
+  * Gap arithmetic is done in *microseconds* on both sides: Spark merges
+  * session windows on µs timestamps, so an oracle computing gaps in ms
+  * would disagree whenever a gap falls within 1 ms of exactly 30 min.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val q31StreamSession: Q = (s, dir) =>
+    StreamingSessions.runAvailableNow(s, dir, s"stream_sessions_${counter.incrementAndGet()}")
+
+  // session_window: a new window starts when the µs gap is >= the gap
+  // duration (adjacent windows do not merge); end = last event + gap
+  val q31Sql: String = """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (
+      SELECT user_id, us,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g)
+    SELECT user_id, min(us) // 1000 AS session_start_ms,
+      (max(us) + 1800000000) // 1000 AS session_end_ms,
+      count(*) AS n_events
+    FROM s GROUP BY user_id, sess"""
+
+  val all: Map[String, Q] = Map("q31_stream_session" -> q31StreamSession)
+  val oracles: Map[String, String] = Map("q31_stream_session" -> q31Sql)
+}

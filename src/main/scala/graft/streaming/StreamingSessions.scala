@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine (SURVEY.md §2.10): the
+  * reference's rerun-over-files batch model maps onto a file-source stream
+  * with `Trigger.AvailableNow`, and its gap sessionization onto
+  * `session_window` (declarative) or `flatMapGroupsWithState` (custom
+  * state), both over event-time.
+  *
+  * Scale notes: session_window aggregation shuffles once on the grouping
+  * key and merges windows inside the state store; watermarking (`withWatermark`)
+  * bounds state for continuous runs — `AvailableNow` batch-drains don't
+  * need it and the reference has no late-data policy to reproduce.
+  */
+object StreamingSessions {
+
+  /** events parquet schema as stored (ns timestamps surface as longs under
+    * `nanosAsLong` — the streaming reader needs the schema up front).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events table; ns → µs timestamp.
+    * (The file streaming source requires a directory or glob — a glob
+    * matching the single parquet file keeps the testdata layout intact.)
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Declarative gap sessionization: one session row per
+    * (user, 30-min-gap session) with epoch-ms bounds and event count.
+    * `session_window` end = last event + gap, matching the SQL oracle's
+    * `max(ts)+30min`.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"))
+
+  /** Drain the whole file source in one `AvailableNow` run into a memory
+    * sink and return the result table.
+    */
+  def runAvailableNow(spark: SparkSession, dir: String,
+      tableName: String = "stream_sessions"): DataFrame = {
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory(s"ckpt-$tableName").toString
+    val q = sessionWindowAgg(readEventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
+  // ——— custom-state variant: the shape a pipeline uses when session logic
+  //     outgrows session_window (per-session features, custom expiry)
+
+  case class Ev(user_id: Long, ts_us: Long)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+  case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** flatMapGroupsWithState sessionizer: emits closed sessions as event
+    * time advances past the gap; flushes open sessions on batch end via
+    * state timeout (here: used with AvailableNow batch drains in tests).
+    */
+  def statefulSessionize(events: Dataset[Ev], gapUs: Long)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[List[SessState]]) =>
+          // batch-drain usage: all events for the key arrive in one group;
+          // sort by event time and split on gap
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          val sessions = sorted.foldLeft(List.empty[SessState]) {
+            case (Nil, e) => List(SessState(e.ts_us, e.ts_us, 1))
+            case (h :: t, e) =>
+              if (e.ts_us - h.lastUs >= gapUs) SessState(e.ts_us, e.ts_us, 1) :: h :: t
+              else h.copy(lastUs = e.ts_us, n = h.n + 1) :: t
+          }
+          state.update(Nil)
+          sessions.reverseIterator.map(s =>
+            SessionOut(uid, s.startUs / 1000, (s.lastUs + gapUs) / 1000, s.n))
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamingSpec extends SparkSpec {
+
+  test("session_window stream drains and matches batch gap-sessionization") {
+    val streamed = StreamingSessions.runAvailableNow(spark, sf(), "spec_sessions")
+      .cache()
+    assert(streamed.count() > 0)
+    // batch re-derivation with the same µs gap logic
+    val ev = Tables.events(spark, sf())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val batch = ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") >= 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg((min(col("us")) / 1000).cast("long").as("session_start_ms"),
+        ((max(col("us")) + 1800000000L) / 1000).cast("long").as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .drop("sess")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with session_window on a drain") {
+    import spark.implicits._
+    implicit val s = spark
+    val evs = Tables.events(spark, sf())
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[StreamingSessions.Ev]
+    val stateful = StreamingSessions.statefulSessionize(evs, 1800000000L).toDF()
+    val declarative = StreamingSessions.sessionWindowAgg(
+      Tables.events(spark, sf()))
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+    assert(stateful.count() == declarative.count())
+    assert(stateful.except(declarative).count() == 0)
+  }
+}
