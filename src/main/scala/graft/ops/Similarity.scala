@@ -19,11 +19,22 @@ object Similarity {
     */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product via higher-order functions (codegen'd,
-    * no UDF; left-to-right order is deterministic).
+  /** Sequential-fold dot product via higher-order functions — portable
+    * (works on any session, no registration). The DataFrame-level
+    * operators below use the codegen'd [[graft.functions.DotProduct]]
+    * instead; both fold left-to-right, so results are identical.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product (requires VectorExpressions.register on the
+    * session — the DataFrame-level entry points below do it).
+    */
+  def fastDot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
+
+  private def fastCosine(a: Column, b: Column): Column =
+    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,23 +45,26 @@ object Similarity {
     * the 4-d.p.-rounded score with id tiebreak so ranking is reproducible.
     */
   def bruteForceTopK(vectors: DataFrame, queryDf: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
     vectors
       .crossJoin(broadcast(queryDf))
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .select(col(idCol), round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
 
   /** Assign each vector to its nearest centroid (max cosine, centroid-id
     * tiebreak). `centroids`: (cid, cvec array<double>), small + broadcast.
     */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("c").desc, col("cid"))
     vectors.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol), col("cid"),
-        cosine(asDouble(col(vecCol)), col("cvec")).as("c"))
+        fastCosine(asDouble(col(vecCol)), col("cvec")).as("c"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
@@ -63,15 +77,16 @@ object Similarity {
       k: Int, nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
     val probed = centroids.crossJoin(broadcast(queryDf))
-      .select(col("cid"), cosine(col("cvec"), col("qvec")).as("c"))
+      .select(col("cid"), fastCosine(col("cvec"), col("qvec")).as("c"))
       .orderBy(col("c").desc, col("cid"))
       .limit(nProbe)
       .select(col("cid").as("probe_cid"))
     assigned
       .join(broadcast(probed), col("centroid_id") === col("probe_cid"), "left_semi")
       .crossJoin(broadcast(queryDf))
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .select(col(idCol), round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -81,11 +96,12 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      norm(asDouble(col(vecCol))).as("n"))
+      sqrt(fastDot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("n"))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("cos_raw"))
+        (fastDot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("cos_raw"))
       .where(col("cos_raw") >= threshold)
       .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos_sim"))
   }

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.elb.{ElbParser, Features, SyntheticElb, Sinks}
+import graft.geo.{GeoCache, OfflineGeoResolver}
+
+/** The ELB-domain pipeline surfaced as rows-only queries (the raw `.gz`
+  * log format isn't a DuckDB-readable table, so these get the driver's
+  * rows>0 check; their semantics are covered by the ScalaTest specs and
+  * the relational oracles that exercise the same operators on harness
+  * tables).
+  *
+  * The synthetic dataset size scales with the harness SF so the bench
+  * measures parse throughput meaningfully.
+  */
+object ElbQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def rowsFor(dir: String): Int =
+    if (dir.endsWith("sf0.1")) 200000
+    else if (dir.endsWith("sf0.01")) 20000
+    else 2000
+
+  /** Full reference pipeline minus sinks: parse → geo enrich (offline
+    * resolver, temp cache) → feature windows.
+    */
+  val q18ElbPipeline: Q = (s, dir) => {
+    val glob = SyntheticElb.dataset(rowsFor(dir))
+    val parsed = ElbParser.parse(s, Seq(glob))
+    val cachePath = java.nio.file.Files
+      .createTempDirectory("q18-geo").resolve("cache.parquet").toString
+    val enriched = GeoCache.enrich(s, parsed, cachePath, new OfflineGeoResolver())
+    Features(enriched)
+      .select("time", "client_ip", "http_method", "hostname", "path",
+        "status_code_type", "countryName", "city", "is_bot",
+        "session_id", "rolling_5min_req_count", "rolling_1h_avg_proc_time")
+  }
+
+  /** The hourly rollup (A1) over the synthetic pipeline output. */
+  val q32ElbHourlyRollup: Q = (s, dir) => {
+    val glob = SyntheticElb.dataset(rowsFor(dir))
+    val parsed = ElbParser.parse(s, Seq(glob))
+    val cachePath = java.nio.file.Files
+      .createTempDirectory("q32-geo").resolve("cache.parquet").toString
+    val enriched = GeoCache.enrich(s, parsed, cachePath, new OfflineGeoResolver())
+    Sinks.hourlyAggregation(Features(enriched))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q18_elb_pipeline" -> q18ElbPipeline,
+    "q32_elb_hourly_rollup" -> q32ElbHourlyRollup)
+
+  /** No DuckDB oracles — raw-log domain; rows-only checks. */
+  val oracles: Map[String, String] = Map.empty
+}

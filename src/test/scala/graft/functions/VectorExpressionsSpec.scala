@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct matches the HOF fold bit-for-bit") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.dotProduct(col("a"), col("b")).as("fast"),
+      Similarity.dot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("DotProduct null semantics: null array -> null, length mismatch -> shorter") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
+      (Some(Seq(1.0, 2.0, 100.0)), Some(Seq(3.0, 4.0)))
+    ).toDF("a", "b")
+    val rows = df.select(VectorExpressions.dotProduct(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 11.0)
+  }
+
+  test("registration via GraftExtensions exposes dot_product to SQL") {
+    // same-JVM second session with the extensions class
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val r = s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+}
