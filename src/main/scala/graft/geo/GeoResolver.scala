@@ -106,8 +106,10 @@ class HttpGeoResolver(
     }
   }
 
-  /** Minimal flat-JSON field extraction (the API returns a flat object). */
-  private def parseJson(body: String, ip: String, now: Timestamp): GeoRecord = {
+  /** Minimal flat-JSON field extraction (the API returns a flat object).
+    * Package-visible for tests (the HTTP path itself needs egress).
+    */
+  private[geo] def parseJson(body: String, ip: String, now: Timestamp): GeoRecord = {
     def str(k: String): Option[String] =
       ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
         .findFirstMatchIn(body).map(_.group(1))

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted equi-join equals the plain join on skewed data") {
+    // one hot key carrying 90% of rows
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty"), (999L, "none"))
+      .toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "payload", "name")
+    val salted = Scale.saltedEquiJoin(big, small, "k", 8, col("payload"))
+      .select("k", "payload", "name")
+    assert(plain.count() == salted.count())
+    assert(plain.except(salted).count() == 0)
+    assert(salted.except(plain).count() == 0)
+  }
+
+  test("salted two-phase aggregation equals direct groupBy") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) i.toLong else 1L, i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count("v").as("count_v"))
+    val salted = Scale.saltedSumCount(df, "k", "v", 16, col("v"))
+    assert(direct.count() == salted.count())
+    assert(direct.except(salted).count() == 0)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Scale.writeBucketed(Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
