@@ -45,21 +45,37 @@ object Sinks {
       .write.partitionBy("year", "month", "day", "countryCode")
       .mode("overwrite").parquet(s"$outDir/cleaned_logs")
 
-  /** A1 + K2: hourly traffic rollup by geo. */
-  def hourlyAggregation(df: DataFrame): DataFrame =
+  /** A1 + K2: hourly traffic rollup by geo.
+    *
+    * `exact = true` reproduces the reference bit-for-bit (exact distinct
+    * count + exact median). At 100 TB both are the rollup's only
+    * full-shuffle-width measures; `exact = false` swaps in
+    * `approx_count_distinct` (HLL++, mergeable sketch) and
+    * `approx_percentile` — constant-size partial state, same shuffle
+    * shape as the sums.
+    */
+  def hourlyAggregation(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val uniqueIps =
+      if (exact) countDistinct(col("client_ip"))
+      else approx_count_distinct(col("client_ip"))
+    val medianProc =
+      if (exact) median(col("total_processing_time_ms"))
+      else approx_percentile(col("total_processing_time_ms"), lit(0.5), lit(10000))
+        .cast("double")
     df.filter(col("countryName").isNotNull && col("city").isNotNull)
       .groupBy(col("request_year"), col("request_month"), col("request_day"),
         col("request_hour"), col("countryName"), col("city"))
       .agg(
         count(col("client_ip")).as("request_count"),
-        countDistinct(col("client_ip")).as("unique_client_ips_count"),
+        uniqueIps.as("unique_client_ips_count"),
         avg(col("total_processing_time_ms")).as("average_total_processing_time"),
-        median(col("total_processing_time_ms")).as("median_total_processing_time"),
+        medianProc.as("median_total_processing_time"),
         sum(col("sent_bytes")).as("sum_sent_bytes"),
         sum(col("received_bytes")).as("sum_received_bytes"),
         count_if(col("status_code_type") === "2xx_Success").as("count_2xx"),
         count_if(col("status_code_type") === "4xx_ClientError").as("count_4xx"),
         count_if(col("status_code_type") === "5xx_ServerError").as("count_5xx"))
+  }
 
   def writeHourlyAggregation(df: DataFrame, outDir: String): Unit =
     hourlyAggregation(df).coalesce(1).write.mode("overwrite")
