@@ -34,8 +34,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: JVM + codegen + parquet footer caches (not reported)
+    // warm-up: JVM + codegen + parquet footer caches for both the TPC-H-ish
+    // and the events read paths (not reported)
     exec("q03_revenue_by_nation")
+    exec("q01_hourly_agg")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

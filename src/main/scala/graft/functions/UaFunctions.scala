@@ -38,8 +38,8 @@ object UaFunctions {
         .when(has(ua, "\\bwget/"), "Wget")
         .when(has(ua, "headlesschrome"), "HeadlessChrome")
         // real browsers, most-specific first
-        .when(has(ua, "\\bedga?/"), "Edge Mobile")
-        .when(has(ua, "\\bedge?/"), "Edge")
+        .when(has(ua, "\\bedga/"), "Edge Mobile") // EdgA = Edge on Android
+        .when(has(ua, "\\bedge?/|\\bedgios/"), "Edge")
         .when(has(ua, "\\bopr/|\\bopera"), "Opera")
         .when(has(ua, "\\bsamsungbrowser/"), "Samsung Internet")
         .when(has(ua, "\\bucbrowser/"), "UC Browser")

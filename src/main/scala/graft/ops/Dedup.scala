@@ -46,9 +46,11 @@ object Dedup {
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
+    // per-doc size table is one row per document — broadcast both lookups
+    // instead of shuffling the pair table twice
     inter
-      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
-      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
+      .join(broadcast(sizes.withColumnRenamed("n_sh", "na")), col("a") === col("id")).drop("id")
+      .join(broadcast(sizes.withColumnRenamed("n_sh", "nb")), col("b") === col("id")).drop("id")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))

@@ -337,6 +337,45 @@ object RelationalQueries {
       regexp_extract(url, '\?([^#]*)$', 1) AS query
     FROM u"""
 
+  // ———————————————————————————————————————————— ranking: top-k per group
+  val q33TopOrdersPerCust: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast("long").as("rk"))
+  }
+  val q33Sql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3"""
+
+  // ———————————————————————————————————————————— rollup (grouping sets)
+  val q34RevenueRollup: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+  val q34Sql: String = """
+    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+      count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -354,7 +393,9 @@ object RelationalQueries {
     "q14_value_bucket" -> q14ValueBucket,
     "q15_time_parts" -> q15TimeParts,
     "q16_sentinel_cast" -> q16SentinelCast,
-    "q17_url_parse" -> q17UrlParse)
+    "q17_url_parse" -> q17UrlParse,
+    "q33_top_orders_per_cust" -> q33TopOrdersPerCust,
+    "q34_revenue_rollup" -> q34RevenueRollup)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -373,5 +414,7 @@ object RelationalQueries {
     "q14_value_bucket" -> q14Sql,
     "q15_time_parts" -> q15Sql,
     "q16_sentinel_cast" -> q16Sql,
-    "q17_url_parse" -> q17Sql)
+    "q17_url_parse" -> q17Sql,
+    "q33_top_orders_per_cust" -> q33Sql,
+    "q34_revenue_rollup" -> q34Sql)
 }
