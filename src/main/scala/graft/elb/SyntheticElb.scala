@@ -28,8 +28,11 @@ object SyntheticElb {
   def line(i: Int): String = {
     def pick[A](v: Vector[A], salt: Int): A = v(math.abs((i * 2654435761L + salt).toInt) % v.size)
     val ip = s"10.${i % 7}.${(i / 7) % 5}.${i % 50}"
-    // bursts with occasional >30-min jumps for sessionization coverage
-    val baseMs = 1748304000000L + (i / 10) * 35L * 60 * 1000 + (i % 10) * 45000L
+    // bursts with occasional >30-min jumps for sessionization coverage;
+    // burst index wraps at ~39 days so the year/month/day partition tree
+    // stays bounded at any corpus size (an unwrapped timeline at 5M lines
+    // spans decades and explodes the partitioned sink into ~100k dirs)
+    val baseMs = 1748304000000L + ((i / 10) % 1600) * 35L * 60 * 1000 + (i % 10) * 45000L
     val ts = java.time.Instant.ofEpochMilli(baseMs).toString.replace("Z", ".000000Z")
     val status = pick(statuses, 1)
     val times = if (status == "-") ("-", "-", "-")

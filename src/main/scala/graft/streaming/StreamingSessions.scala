@@ -76,29 +76,43 @@ object StreamingSessions {
       session_end_ms: Long, n_events: Long)
   case class SessState(startUs: Long, lastUs: Long, n: Long)
 
-  /** flatMapGroupsWithState sessionizer: emits closed sessions as event
-    * time advances past the gap; flushes open sessions on batch end via
-    * state timeout (here: used with AvailableNow batch drains in tests).
+  /** flatMapGroupsWithState sessionizer, *incremental*: the open session
+    * (if any) is carried in state across micro-batches; a batch's events
+    * extend it or close it. Closed sessions are emitted as soon as a later
+    * event proves the gap; the final open session is emitted when the
+    * group state times out (event-time timeout against the watermark) —
+    * or, for AvailableNow batch drains with no further data, remains held
+    * in state (callers flushing a bounded drain use `flushOpen = true`,
+    * which emits the open session at the end of every batch; correct when
+    * each drain sees all data for a key, e.g. single-batch file drains).
     */
-  def statefulSessionize(events: Dataset[Ev], gapUs: Long)(
+  def statefulSessionize(events: Dataset[Ev], gapUs: Long,
+      flushOpen: Boolean = true)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessState], SessionOut](
+      .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, evs, state: GroupState[List[SessState]]) =>
-          // batch-drain usage: all events for the key arrive in one group;
-          // sort by event time and split on gap
+        case (uid, evs, state: GroupState[SessState]) =>
           val sorted = evs.toSeq.sortBy(_.ts_us)
-          val sessions = sorted.foldLeft(List.empty[SessState]) {
-            case (Nil, e) => List(SessState(e.ts_us, e.ts_us, 1))
-            case (h :: t, e) =>
-              if (e.ts_us - h.lastUs >= gapUs) SessState(e.ts_us, e.ts_us, 1) :: h :: t
-              else h.copy(lastUs = e.ts_us, n = h.n + 1) :: t
+          val carried = state.getOption
+          var open = carried.orNull
+          val closed = scala.collection.mutable.ListBuffer.empty[SessState]
+          sorted.foreach { e =>
+            if (open == null) open = SessState(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - open.lastUs >= gapUs) {
+              closed += open
+              open = SessState(e.ts_us, e.ts_us, 1)
+            } else open = open.copy(lastUs = e.ts_us, n = open.n + 1)
           }
-          state.update(Nil)
-          sessions.reverseIterator.map(s =>
-            SessionOut(uid, s.startUs / 1000, (s.lastUs + gapUs) / 1000, s.n))
+          val out = if (flushOpen && open != null) {
+            state.remove()
+            (closed.toList :+ open).iterator
+          } else {
+            if (open != null) state.update(open) else state.remove()
+            closed.iterator
+          }
+          out.map(s => SessionOut(uid, s.startUs / 1000, (s.lastUs + gapUs) / 1000, s.n))
       }
   }
 }

@@ -31,6 +31,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("incremental stateful sessionization carries open sessions across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamingSessions.Ev]
+    val minUs = 60L * 1000000
+    val q = StreamingSessions.statefulSessionize(mem.toDS(), gapUs = 30 * minUs,
+        flushOpen = false)
+      .writeStream.format("memory").queryName("inc_sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("inc-ckpt").toString)
+      .start()
+    try {
+      // batch 1: two events 1 min apart — session stays open, nothing emitted
+      mem.addData(StreamingSessions.Ev(1L, 0), StreamingSessions.Ev(1L, minUs))
+      q.processAllAvailable()
+      assert(spark.table("inc_sessions").count() == 0)
+      // batch 2: +2 min continues the session; +50 min closes it and opens anew
+      mem.addData(StreamingSessions.Ev(1L, 2 * minUs), StreamingSessions.Ev(1L, 52 * minUs))
+      q.processAllAvailable()
+      val emitted = spark.table("inc_sessions").collect()
+      assert(emitted.length == 1)
+      val sess = emitted.head
+      assert(sess.getAs[Long]("session_start_ms") == 0L)
+      // closed session: last event at +2 min, end = +2min + 30min gap
+      assert(sess.getAs[Long]("session_end_ms") == (2 + 30) * 60000L)
+      assert(sess.getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with session_window on a drain") {
     import spark.implicits._
     implicit val s = spark
