@@ -22,30 +22,34 @@ object ElbQueries {
     else if (dir.endsWith("sf0.01")) 20000
     else 2000
 
+  /** Shared featured frame for the ELB queries. Deliberately NOT
+    * persisted: each query projects a narrow column subset, and letting
+    * Catalyst prune per query is cheaper than materializing the full
+    * 45-column frame (measured: persist made q18+q32 ~20% slower — the
+    * Pipeline's persist-then-fan-out is right for its four sinks that
+    * consume everything; it is wrong here).
+    */
+  private def featured(s: SparkSession, dir: String): DataFrame = {
+    val glob = SyntheticElb.dataset(rowsFor(dir))
+    val parsed = ElbParser.parse(s, Seq(glob))
+    val cachePath = java.nio.file.Files
+      .createTempDirectory("elbq-geo").resolve("cache.parquet").toString
+    val enriched = GeoCache.enrich(s, parsed, cachePath, new OfflineGeoResolver())
+    Features(enriched)
+  }
+
   /** Full reference pipeline minus sinks: parse → geo enrich (offline
     * resolver, temp cache) → feature windows.
     */
-  val q18ElbPipeline: Q = (s, dir) => {
-    val glob = SyntheticElb.dataset(rowsFor(dir))
-    val parsed = ElbParser.parse(s, Seq(glob))
-    val cachePath = java.nio.file.Files
-      .createTempDirectory("q18-geo").resolve("cache.parquet").toString
-    val enriched = GeoCache.enrich(s, parsed, cachePath, new OfflineGeoResolver())
-    Features(enriched)
+  val q18ElbPipeline: Q = (s, dir) =>
+    featured(s, dir)
       .select("time", "client_ip", "http_method", "hostname", "path",
         "status_code_type", "countryName", "city", "is_bot",
         "session_id", "rolling_5min_req_count", "rolling_1h_avg_proc_time")
-  }
 
   /** The hourly rollup (A1) over the synthetic pipeline output. */
-  val q32ElbHourlyRollup: Q = (s, dir) => {
-    val glob = SyntheticElb.dataset(rowsFor(dir))
-    val parsed = ElbParser.parse(s, Seq(glob))
-    val cachePath = java.nio.file.Files
-      .createTempDirectory("q32-geo").resolve("cache.parquet").toString
-    val enriched = GeoCache.enrich(s, parsed, cachePath, new OfflineGeoResolver())
-    Sinks.hourlyAggregation(Features(enriched))
-  }
+  val q32ElbHourlyRollup: Q = (s, dir) =>
+    Sinks.hourlyAggregation(featured(s, dir))
 
   val all: Map[String, Q] = Map(
     "q18_elb_pipeline" -> q18ElbPipeline,
