@@ -73,9 +73,18 @@ object Features {
           element_at(split(col("path"), "/"), 2))
       ))
 
-    // ——— ordered window block: one exchange (client_ip) + one sort (_ts_us)
-    val byIp = Window.partitionBy("client_ip").orderBy("_ts_us")
+    // ——— ordered window block: one exchange (client_ip) + one sort.
+    // trace_id (unique per request in ALB logs) breaks same-microsecond
+    // ties so lag/new_session assignment is run-deterministic — pandas got
+    // this for free from its stable sort of the input order
+    val sortKeys =
+      if (typed.columns.contains("trace_id")) Seq(col("_ts_us"), col("trace_id"))
+      else Seq(col("_ts_us"))
+    val byIp = Window.partitionBy("client_ip").orderBy(sortKeys: _*)
     val runningRows = byIp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // range frames must order by the single numeric key (and don't need
+    // the tiebreak: RANGE includes all same-value peers regardless)
+    val byIpRange = Window.partitionBy("client_ip").orderBy("_ts_us")
 
     typed
       .withColumn("_ts_us", unix_micros(col("time")))
@@ -89,9 +98,9 @@ object Features {
       .withColumn("session_id",
         concat(col("session_no").cast("string"), lit("-"), col("client_ip")))
       .withColumn("rolling_5min_req_count",
-        count(col("request")).over(halfOpenTrailing(byIp, fiveMinUs)))
+        count(col("request")).over(halfOpenTrailing(byIpRange, fiveMinUs)))
       .withColumn("rolling_1h_avg_proc_time",
-        avg(col("total_processing_time_ms")).over(halfOpenTrailing(byIp, oneHourUs)))
+        avg(col("total_processing_time_ms")).over(halfOpenTrailing(byIpRange, oneHourUs)))
       .drop("_ts_us")
   }
 }

@@ -55,7 +55,9 @@ object SyntheticElb {
     (0 until files).foreach { f =>
       val w = new BufferedWriter(new OutputStreamWriter(
         new GZIPOutputStream(new FileOutputStream(dir.resolve(f"part-$f%03d.log.gz").toFile)), "UTF-8"))
-      try (f * perFile until math.min(n, (f + 1) * perFile))
+      // last file takes the remainder so exactly n lines are written
+      val end = if (f == files - 1) n else math.min(n, (f + 1) * perFile)
+      try (f * perFile until end)
         .foreach { i => w.write(line(i)); w.write("\n") }
       finally w.close()
     }

@@ -23,9 +23,13 @@ object GeoCache {
     * with the canonical 12-column schema (reference: advanced_elb_logs_etl.py:201-229).
     */
   def load(spark: SparkSession, path: String): DataFrame = {
-    val dir = new java.io.File(path)
-    val hasData = dir.exists() && (dir.isFile ||
-      Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+    // Hadoop FS API, not java.io.File — the cache may live on S3/HDFS,
+    // where a local-file existence check would silently report "absent"
+    // and defeat the memoization on every run
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && (fs.getFileStatus(p).isFile ||
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
     if (hasData) spark.read.schema(ElbSchema.geo).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ElbSchema.geo)

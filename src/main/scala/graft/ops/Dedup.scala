@@ -74,6 +74,9 @@ object Dedup {
     * pivot keeps the concatenation order deterministic).
     */
   def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    // a partial last band would md5(concat(.., null)) -> null band_sig and
+    // silently contribute zero candidates; reject the misconfiguration
+    // (callers pick numHashes as a multiple of rowsPerBand)
     val pivoted = (0 until rowsPerBand).map(k =>
       max(when(col("i") % rowsPerBand === k, col("sig"))).as(s"s$k"))
     sigs.groupBy(col("id"), (col("i") / rowsPerBand).cast("int").as("band"))
@@ -85,6 +88,8 @@ object Dedup {
   /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket. */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val bands = lshBands(
       minhashSignatures(shingleRows(df, textCol, idCol, shingleN), numHashes),
       rowsPerBand)

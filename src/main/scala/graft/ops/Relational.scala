@@ -13,6 +13,12 @@ object Relational {
     * arbitrary row, so source priority is made explicit and resolved with
     * a `row_number` window. One shuffle on the key — at scale this is the
     * canonical SCD-1 merge shape.
+    *
+    * Precondition: each side is unique per key. With duplicate keys
+    * *within* a side there is no further ordering to break the tie and
+    * the survivor among same-side duplicates is arbitrary (pandas'
+    * keep='last' uses input order, which a distributed frame doesn't
+    * have); deduplicate per side first if that matters.
     */
   def keepLastUpsert(base: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)

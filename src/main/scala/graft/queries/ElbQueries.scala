@@ -29,11 +29,18 @@ object ElbQueries {
     * Pipeline's persist-then-fan-out is right for its four sinks that
     * consume everything; it is wrong here).
     */
+  // one cache path per corpus size, reused across invocations — a fresh
+  // temp dir per call would re-resolve every distinct IP each time and
+  // accumulate tmpdirs
+  private val geoCachePaths =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+
   private def featured(s: SparkSession, dir: String): DataFrame = {
-    val glob = SyntheticElb.dataset(rowsFor(dir))
+    val rows = rowsFor(dir)
+    val glob = SyntheticElb.dataset(rows)
     val parsed = ElbParser.parse(s, Seq(glob))
-    val cachePath = java.nio.file.Files
-      .createTempDirectory("elbq-geo").resolve("cache.parquet").toString
+    val cachePath = geoCachePaths.getOrElseUpdate(rows, java.nio.file.Files
+      .createTempDirectory(s"elbq-geo-$rows").resolve("cache.parquet").toString)
     val enriched = GeoCache.enrich(s, parsed, cachePath, new OfflineGeoResolver())
     Features(enriched)
   }

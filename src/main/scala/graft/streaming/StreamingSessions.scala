@@ -103,7 +103,13 @@ object StreamingSessions {
             else if (e.ts_us - open.lastUs >= gapUs) {
               closed += open
               open = SessState(e.ts_us, e.ts_us, 1)
-            } else open = open.copy(lastUs = e.ts_us, n = open.n + 1)
+            } else open = open.copy(
+              // a late event (before the carried session's last timestamp)
+              // joins the session but must not move its end backwards —
+              // otherwise the next on-time event sees a false gap
+              startUs = math.min(open.startUs, e.ts_us),
+              lastUs = math.max(open.lastUs, e.ts_us),
+              n = open.n + 1)
           }
           val out = if (flushOpen && open != null) {
             state.remove()

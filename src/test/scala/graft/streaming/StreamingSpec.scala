@@ -63,6 +63,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental sessionizer: a late cross-batch event cannot regress the open session") {
+    import spark.implicits._
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamingSessions.Ev]
+    val minUs = 60L * 1000000
+    val q = StreamingSessions.statefulSessionize(mem.toDS(), gapUs = 30 * minUs,
+        flushOpen = false)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("late-ckpt").toString)
+      .start()
+    try {
+      // open session ends at t=100min
+      mem.addData(StreamingSessions.Ev(1L, 80 * minUs), StreamingSessions.Ev(1L, 100 * minUs))
+      q.processAllAvailable()
+      // late event at t=60min + on-time event at t=105min: both continue
+      // the SAME session (gap from 100min is 5min) — before the fix, the
+      // late event regressed lastUs to 60min and 105min falsely closed it
+      mem.addData(StreamingSessions.Ev(1L, 60 * minUs), StreamingSessions.Ev(1L, 105 * minUs))
+      q.processAllAvailable()
+      assert(spark.table("late_sessions").count() == 0,
+        "no session may close: all events are within the gap of the open one")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with session_window on a drain") {
     import spark.implicits._
     implicit val s = spark
