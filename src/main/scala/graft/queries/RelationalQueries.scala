@@ -376,6 +376,39 @@ object RelationalQueries {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)"""
 
+  // ———————————————————————————————————————————— as-of (temporal) join
+  // each event picks up the user's most recent order at event time;
+  // DuckDB's native ASOF JOIN is the oracle
+  val q35AsOfJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), ms(col("ts")).as("ev_ms"))
+    // one row per (custkey, orderdate): keep the max orderkey (ties would
+    // make any as-of implementation arbitrary); every 3rd customer is
+    // excluded so the null-extension (no match) path is oracle-covered
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 3 =!= 0)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_order_key"))
+      // o_orderdate reads as TIMESTAMP_NTZ; cast is identity under the
+      // UTC session zone and unix_millis requires the instant type
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+        col("last_order_key"))
+    graft.ops.Relational.asOfJoinBackward(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ev_ms", rightTs = "ord_ms",
+        payloadCols = Seq("last_order_key"))
+      .select(col("event_id"), col("user_id"), col("last_order_key"))
+  }
+  val q35Sql: String = """
+    WITH ord AS (
+      SELECT o_custkey, epoch_ms(o_orderdate) AS ord_ms,
+        max(o_orderkey) AS last_order_key
+      FROM orders WHERE o_custkey % 3 != 0 GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, o.last_order_key
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND epoch_ms(e.ts) >= o.ord_ms"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -395,7 +428,8 @@ object RelationalQueries {
     "q16_sentinel_cast" -> q16SentinelCast,
     "q17_url_parse" -> q17UrlParse,
     "q33_top_orders_per_cust" -> q33TopOrdersPerCust,
-    "q34_revenue_rollup" -> q34RevenueRollup)
+    "q34_revenue_rollup" -> q34RevenueRollup,
+    "q35_asof_join" -> q35AsOfJoin)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -416,5 +450,6 @@ object RelationalQueries {
     "q16_sentinel_cast" -> q16Sql,
     "q17_url_parse" -> q17Sql,
     "q33_top_orders_per_cust" -> q33Sql,
-    "q34_revenue_rollup" -> q34Sql)
+    "q34_revenue_rollup" -> q34Sql,
+    "q35_asof_join" -> q35Sql)
 }
