@@ -409,6 +409,55 @@ object RelationalQueries {
     FROM events e ASOF LEFT JOIN ord o
       ON e.user_id = o.o_custkey AND epoch_ms(e.ts) >= o.ord_ms"""
 
+  // ———————————————————————————————————————————— JSON extraction
+  val q36JsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+  // json_valid guard: Spark's get_json_object nulls malformed JSON while
+  // DuckDB's json_extract_string THROWS — the guard makes the oracle
+  // total like the Spark side
+  val q36Sql: String = """
+    SELECT event_id,
+      CASE WHEN json_valid(props) THEN props->>'k' END AS k_str,
+      CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+    FROM events"""
+
+  // ———————————————————————————————————————————— pivot
+  val q37Pivot: Q = (s, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(pivoted)((d, t) =>
+      d.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+  }
+  val q37Sql: String = """
+    SELECT user_id,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id"""
+
+  // ———————————————————————————————————————————— array explode (generator)
+  val q38Explode: Q = (s, dir) =>
+    Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "val")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"), col("val"))
+  val q38Sql: String = """
+    SELECT vec_id,
+      CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS idx,
+      CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 5"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -429,7 +478,10 @@ object RelationalQueries {
     "q17_url_parse" -> q17UrlParse,
     "q33_top_orders_per_cust" -> q33TopOrdersPerCust,
     "q34_revenue_rollup" -> q34RevenueRollup,
-    "q35_asof_join" -> q35AsOfJoin)
+    "q35_asof_join" -> q35AsOfJoin,
+    "q36_json_extract" -> q36JsonExtract,
+    "q37_pivot" -> q37Pivot,
+    "q38_explode" -> q38Explode)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -451,5 +503,8 @@ object RelationalQueries {
     "q17_url_parse" -> q17Sql,
     "q33_top_orders_per_cust" -> q33Sql,
     "q34_revenue_rollup" -> q34Sql,
-    "q35_asof_join" -> q35Sql)
+    "q35_asof_join" -> q35Sql,
+    "q36_json_extract" -> q36Sql,
+    "q37_pivot" -> q37Sql,
+    "q38_explode" -> q38Sql)
 }
