@@ -44,8 +44,11 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    // a failed query must not shrink the aggregate into a fake speedup:
+    // the total only counts successes, and "failed" flags the run
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,8 +38,10 @@ object UaFunctions {
         .when(has(ua, "\\bwget/"), "Wget")
         .when(has(ua, "headlesschrome"), "HeadlessChrome")
         // real browsers, most-specific first
-        .when(has(ua, "\\bedga/"), "Edge Mobile") // EdgA = Edge on Android
-        .when(has(ua, "\\bedge?/|\\bedgios/"), "Edge")
+        // uap-core groups the mobile variants (EdgA = Android, EdgiOS =
+        // iOS) under 'Edge Mobile'; desktop Edg/ and legacy Edge/ are 'Edge'
+        .when(has(ua, "\\bedga/|\\bedgios/"), "Edge Mobile")
+        .when(has(ua, "\\bedge?/"), "Edge")
         .when(has(ua, "\\bopr/|\\bopera"), "Opera")
         .when(has(ua, "\\bsamsungbrowser/"), "Samsung Internet")
         .when(has(ua, "\\bucbrowser/"), "UC Browser")

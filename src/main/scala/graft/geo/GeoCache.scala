@@ -54,9 +54,11 @@ object GeoCache {
   def rewrite(updated: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp"
     updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      updated.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // resolve the filesystem FROM the path (like load) — FileSystem.get
+    // would return the default FS and throw 'Wrong FS' for an s3a:// cache
+    val fs = dst.getFileSystem(
+      updated.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }

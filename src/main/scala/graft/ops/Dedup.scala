@@ -46,11 +46,13 @@ object Dedup {
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    // per-doc size table is one row per document — broadcast both lookups
-    // instead of shuffling the pair table twice
+    // per-doc size lookups: one row per document, so the optimizer/AQE
+    // picks broadcast when the doc count is small and falls back to a
+    // shuffle join when it isn't — a forced broadcast() would OOM on a
+    // 100 TB corpus (one row per document is unbounded)
     inter
-      .join(broadcast(sizes.withColumnRenamed("n_sh", "na")), col("a") === col("id")).drop("id")
-      .join(broadcast(sizes.withColumnRenamed("n_sh", "nb")), col("b") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
@@ -73,10 +75,12 @@ object Dedup {
     * signature = md5 of the concatenated member signatures (conditional-agg
     * pivot keeps the concatenation order deterministic).
     */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+  def lshBands(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     // a partial last band would md5(concat(.., null)) -> null band_sig and
     // silently contribute zero candidates; reject the misconfiguration
-    // (callers pick numHashes as a multiple of rowsPerBand)
+    // here, where every caller passes through
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val pivoted = (0 until rowsPerBand).map(k =>
       max(when(col("i") % rowsPerBand === k, col("sig"))).as(s"s$k"))
     sigs.groupBy(col("id"), (col("i") / rowsPerBand).cast("int").as("band"))
@@ -88,11 +92,9 @@ object Dedup {
   /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket. */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val bands = lshBands(
       minhashSignatures(shingleRows(df, textCol, idCol, shingleN), numHashes),
-      rowsPerBand)
+      numHashes, rowsPerBand)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
       .where(col("x.id") < col("y.id"))

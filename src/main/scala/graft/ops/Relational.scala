@@ -7,6 +7,58 @@ import org.apache.spark.sql.functions._
 /** Reusable relational combinators that Spark lacks as single built-ins. */
 object Relational {
 
+  /** Backward as-of join: for each left row, attach the single right row
+    * with the same key and the greatest `tsRight <= tsLeft` (null-extended
+    * when none exists). Join semantics for nulls: left rows with a null
+    * key or timestamp never match (null-extended); right rows with a null
+    * key or timestamp never participate — matching SQL equi-join rules
+    * and DuckDB's native ASOF JOIN.
+    *
+    * Spark has no native as-of join; rather than a custom
+    * `LogicalPlan`/`SparkPlan`, this composes built-ins with the classic
+    * union-and-carry shape: tag both sides, union on (key, time), and
+    * carry the most recent right payload forward into left rows with
+    * `last(_, ignoreNulls)` over an ordered window. The payload is
+    * carried as ONE struct, so all payload columns come from the same
+    * right row even when individual payload values are null. One shuffle
+    * on the key, one sort — the same cost profile a dedicated sort-merge
+    * as-of operator would have, while staying visible to Catalyst.
+    *
+    * Right rows must be unique per (key, tsRight) — pre-aggregate
+    * otherwise (ties would make the carried payload arbitrary; native
+    * ASOF implementations share this caveat). `payloadCols` must not
+    * collide with left column names.
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      right.select(payloadCols.map(col): _*).schema.fields)
+    val l = left.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(payloadStructType))
+    val r = right
+      .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(col(rightKey).as("_k"), col(rightTs).as("_t"),
+        lit(0).as("_side"), struct(payloadCols.map(col): _*).as("_p"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal time (_side 0 < 1), so an
+    // exactly-simultaneous right row is visible to the left row (ts >= ts)
+    val w = Window.partitionBy("_k").orderBy("_t", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    val extracted = payloadCols.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col("_p").getField(c)))
+    extracted
+      .where(col("_side") === 1)
+      // null-key/ts left rows never entered a valid partition's carry —
+      // explicitly null their payload to match as-of null semantics
+      .withColumns(payloadCols.map(c => c -> when(
+        col(leftKey).isNotNull && col(leftTs).isNotNull, col(c))).toMap)
+      .drop("_k", "_t", "_side", "_p")
+  }
+
   /** Keep-last upsert: rows of `fresh` replace same-key rows of `base`
     * (pandas `concat` + drop-dup keep='last' semantics — reference:
     * advanced_elb_logs_etl.py:244-246). `dropDuplicates` alone keeps an
@@ -20,41 +72,6 @@ object Relational {
     * keep='last' uses input order, which a distributed frame doesn't
     * have); deduplicate per side first if that matters.
     */
-  /** Backward as-of join: for each left row, attach the single right row
-    * with the same key and the greatest `tsRight <= tsLeft` (null-extended
-    * when none exists).
-    *
-    * Spark has no native as-of join; rather than a custom
-    * `LogicalPlan`/`SparkPlan`, this composes built-ins with the classic
-    * union-and-carry shape: tag both sides, union on (key, time), and let
-    * `last(_, ignoreNulls)` over an ordered window carry the most recent
-    * right payload forward into left rows. One shuffle on the key, one
-    * sort — the same cost profile a dedicated sort-merge as-of operator
-    * would have, while staying visible to Catalyst.
-    *
-    * Right rows must be unique per (key, tsRight) — pre-aggregate
-    * otherwise (ties would make the carried payload arbitrary; native
-    * ASOF implementations share this caveat).
-    */
-  def asOfJoinBackward(left: DataFrame, right: DataFrame,
-      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      payloadCols: Seq[String]): DataFrame = {
-    val l = left.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTs))
-      .withColumn("_side", lit(1))
-    val payloadNulls = payloadCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null)))
-    val r = right.select(
-      (col(rightKey).as("_k") +: col(rightTs).as("_t") +: lit(0).as("_side") +:
-        payloadCols.map(col)): _*)
-    val unioned = payloadNulls.unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at equal time (_side 0 < 1), so an
-    // exactly-simultaneous right row is visible to the left row (ts >= ts)
-    val w = Window.partitionBy("_k").orderBy("_t", "_side")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.where(col("_side") === 1).drop("_k", "_t", "_side")
-  }
-
   def keepLastUpsert(base: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
     base.withColumn("_src", lit(0))

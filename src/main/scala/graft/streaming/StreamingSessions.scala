@@ -79,12 +79,22 @@ object StreamingSessions {
   /** flatMapGroupsWithState sessionizer, *incremental*: the open session
     * (if any) is carried in state across micro-batches; a batch's events
     * extend it or close it. Closed sessions are emitted as soon as a later
-    * event proves the gap; the final open session is emitted when the
-    * group state times out (event-time timeout against the watermark) —
-    * or, for AvailableNow batch drains with no further data, remains held
-    * in state (callers flushing a bounded drain use `flushOpen = true`,
-    * which emits the open session at the end of every batch; correct when
-    * each drain sees all data for a key, e.g. single-batch file drains).
+    * event proves the gap.
+    *
+    * Late-data policy (no watermark buffering here): an event within the
+    * gap of the open session's span joins it (extending start/end without
+    * regressing them); an event older than `start - gap` cannot belong to
+    * any known session and is emitted immediately as its own orphan
+    * session. A watermark-buffered variant would reorder instead —
+    * deliberate simplicity, documented trade-off.
+    *
+    * Open-session flushing: with `flushOpen = true` (bounded drains that
+    * see all data per batch) the open session is emitted and state
+    * cleared at batch end. With `flushOpen = false` the open session is
+    * held in state indefinitely — suitable for tests and bounded
+    * multi-batch replays; a continuous production query would add an
+    * event-time timeout (`GroupStateTimeout.EventTimeTimeout` + watermark)
+    * to flush and clean state, which this minimal variant does not do.
     */
   def statefulSessionize(events: Dataset[Ev], gapUs: Long,
       flushOpen: Boolean = true)(
@@ -103,10 +113,16 @@ object StreamingSessions {
             else if (e.ts_us - open.lastUs >= gapUs) {
               closed += open
               open = SessState(e.ts_us, e.ts_us, 1)
+            } else if (open.startUs - e.ts_us >= gapUs) {
+              // orphaned late event: outside the open session's reach on
+              // the early side — it belongs to some earlier session we no
+              // longer hold; emit it as its own session rather than
+              // bridging a silence larger than the gap
+              closed += SessState(e.ts_us, e.ts_us, 1)
             } else open = open.copy(
-              // a late event (before the carried session's last timestamp)
-              // joins the session but must not move its end backwards —
-              // otherwise the next on-time event sees a false gap
+              // a late event inside the session's reach joins it but must
+              // not move the end backwards — otherwise the next on-time
+              // event sees a false gap
               startUs = math.min(open.startUs, e.ts_us),
               lastUs = math.max(open.lastUs, e.ts_us),
               n = open.n + 1)

@@ -20,4 +20,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e2").contains("r@15")) // latest at-or-before 20
     assert(out("x").isEmpty)           // key with no right rows
   }
+
+  test("payload columns come from ONE right row even when values are null") {
+    val left = Seq((1L, 3L, "e")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 1L, Some(5L), "x"),
+      (1L, 2L, None: Option[Long], "y") // matched row has null a
+    ).toDF("k", "rt", "a", "b")
+    val r = Relational.asOfJoinBackward(left, right, "k", "k", "t", "rt",
+      Seq("a", "b")).collect().head
+    // the t=2 row matches: a must be null (NOT the older row's 5), b = "y"
+    assert(r.isNullAt(r.fieldIndex("a")), "null payload must not fall back to an older row")
+    assert(r.getAs[String]("b") == "y")
+  }
+
+  test("null keys/timestamps never match on either side") {
+    val left = Seq(
+      (Some(1L), Some(10L), "ok"),
+      (None: Option[Long], Some(10L), "nullkey"),
+      (Some(1L), None: Option[Long], "nullts")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (Some(1L), Some(5L), "p1"),
+      (None: Option[Long], Some(1L), "pnullk"),
+      (Some(1L), None: Option[Long], "pnullt")
+    ).toDF("k", "rt", "payload")
+    val out = Relational.asOfJoinBackward(left, right, "k", "k", "t", "rt",
+        Seq("payload")).collect()
+      .map(r => r.getAs[String]("name") -> Option(r.getAs[String]("payload"))).toMap
+    assert(out("ok").contains("p1"))
+    assert(out("nullkey").isEmpty)
+    assert(out("nullts").isEmpty)
+  }
 }
