@@ -39,6 +39,24 @@ object StreamingQueries {
       count(*) AS n_events
     FROM s GROUP BY user_id, sess"""
 
-  val all: Map[String, Q] = Map("q31_stream_session" -> q31StreamSession)
-  val oracles: Map[String, String] = Map("q31_stream_session" -> q31Sql)
+  val q39StreamSliding: Q = (s, dir) =>
+    StreamingSessions.runSlidingAvailableNow(s, dir,
+      s"stream_sliding_${counter.incrementAndGet()}")
+
+  // every event belongs to exactly windowDur/slide = 4 epoch-aligned
+  // sliding windows: starts floor(ms/slide)*slide - k*slide, k in 0..3
+  val q39Sql: String = """
+    WITH w AS (SELECT event_type, epoch_ms(ts) AS ms, unnest(range(0, 4)) AS k
+               FROM events),
+    b AS (SELECT event_type, (ms // 900000) * 900000 - k * 900000 AS wstart FROM w)
+    SELECT event_type, wstart AS window_start_ms,
+      wstart + 3600000 AS window_end_ms, count(*) AS n
+    FROM b GROUP BY 1, 2, 3"""
+
+  val all: Map[String, Q] = Map(
+    "q31_stream_session" -> q31StreamSession,
+    "q39_stream_sliding" -> q39StreamSliding)
+  val oracles: Map[String, String] = Map(
+    "q31_stream_session" -> q31Sql,
+    "q39_stream_sliding" -> q39Sql)
 }

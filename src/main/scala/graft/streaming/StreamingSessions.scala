@@ -68,6 +68,37 @@ object StreamingSessions {
     spark.table(tableName)
   }
 
+  /** Sliding-window traffic aggregation (the reference's rolling-window
+    * analogue in streaming form): 1-hour windows sliding every 15 min,
+    * count per (window, event_type). Epoch-aligned like batch `window()`.
+    */
+  def slidingWindowAgg(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_millis(col("w.start")).as("window_start_ms"),
+        unix_millis(col("w.end")).as("window_end_ms"),
+        col("n"))
+
+  /** Drain the sliding-window aggregation with AvailableNow → memory. */
+  def runSlidingAvailableNow(spark: SparkSession, dir: String,
+      tableName: String): DataFrame = {
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory(s"ckpt-$tableName").toString
+    val q = slidingWindowAgg(readEventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
   // ——— custom-state variant: the shape a pipeline uses when session logic
   //     outgrows session_window (per-session features, custom expiry)
 
