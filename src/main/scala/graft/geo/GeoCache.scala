@@ -60,7 +60,13 @@ object GeoCache {
     val fs = dst.getFileSystem(
       updated.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // Hadoop signals many rename failures by returning false, not
+    // throwing — swallowing it here would silently lose the cache (old
+    // deleted, new stranded at .tmp)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(
+        s"geo cache rewrite failed: rename $tmp -> $path returned false " +
+        "(previous cache deleted; fresh data stranded at the .tmp path)")
   }
 
   /** Full enrichment stage: resolve cache misses via `resolver`, upsert +

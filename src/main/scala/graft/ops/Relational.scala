@@ -32,9 +32,20 @@ object Relational {
   def asOfJoinBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_k", "_t", "_side", "_p")
+    require(payloadCols.forall(!left.columns.contains(_)),
+      s"payloadCols ${payloadCols.filter(left.columns.contains)} collide with left columns")
+    require(reserved.forall(!left.columns.contains(_)),
+      s"left must not contain the reserved columns $reserved")
     val payloadStructType = org.apache.spark.sql.types.StructType(
       right.select(payloadCols.map(col): _*).schema.fields)
-    val l = left.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTs))
+    // left rows with a null key or timestamp can never match: route them
+    // around the shuffle entirely (a large null-key population would
+    // otherwise pile into one window partition just to be nulled after)
+    val lValid = left.where(col(leftKey).isNotNull && col(leftTs).isNotNull)
+    val lNull = left.where(col(leftKey).isNull || col(leftTs).isNull)
+      .withColumns(payloadCols.map(c => c -> lit(null)).toMap)
+    val l = lValid.withColumn("_k", col(leftKey)).withColumn("_t", col(leftTs))
       .withColumn("_side", lit(1))
       .withColumn("_p", lit(null).cast(payloadStructType))
     val r = right
@@ -52,11 +63,8 @@ object Relational {
       d.withColumn(c, col("_p").getField(c)))
     extracted
       .where(col("_side") === 1)
-      // null-key/ts left rows never entered a valid partition's carry —
-      // explicitly null their payload to match as-of null semantics
-      .withColumns(payloadCols.map(c => c -> when(
-        col(leftKey).isNotNull && col(leftTs).isNotNull, col(c))).toMap)
       .drop("_k", "_t", "_side", "_p")
+      .unionByName(lNull)
   }
 
   /** Keep-last upsert: rows of `fresh` replace same-key rows of `base`

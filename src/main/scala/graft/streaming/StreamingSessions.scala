@@ -49,15 +49,14 @@ object StreamingSessions {
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"))
 
-  /** Drain the whole file source in one `AvailableNow` run into a memory
-    * sink and return the result table.
+  /** Shared bounded-drain recipe: run a streaming aggregate to completion
+    * (`AvailableNow`) into a memory sink and return the result table.
     */
-  def runAvailableNow(spark: SparkSession, dir: String,
-      tableName: String = "stream_sessions"): DataFrame = {
+  def drainAvailableNow(spark: SparkSession, aggregated: DataFrame,
+      tableName: String): DataFrame = {
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"ckpt-$tableName").toString
-    val q = sessionWindowAgg(readEventsStream(spark, dir))
-      .writeStream
+    val q = aggregated.writeStream
       .format("memory")
       .queryName(tableName)
       .outputMode(OutputMode.Complete())
@@ -67,6 +66,11 @@ object StreamingSessions {
     q.awaitTermination()
     spark.table(tableName)
   }
+
+  /** Drain the session-window aggregation over the whole file source. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+      tableName: String = "stream_sessions"): DataFrame =
+    drainAvailableNow(spark, sessionWindowAgg(readEventsStream(spark, dir)), tableName)
 
   /** Sliding-window traffic aggregation (the reference's rolling-window
     * analogue in streaming form): 1-hour windows sliding every 15 min,
@@ -84,20 +88,8 @@ object StreamingSessions {
 
   /** Drain the sliding-window aggregation with AvailableNow → memory. */
   def runSlidingAvailableNow(spark: SparkSession, dir: String,
-      tableName: String): DataFrame = {
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory(s"ckpt-$tableName").toString
-    val q = slidingWindowAgg(readEventsStream(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName)
-  }
+      tableName: String): DataFrame =
+    drainAvailableNow(spark, slidingWindowAgg(readEventsStream(spark, dir)), tableName)
 
   // ——— custom-state variant: the shape a pipeline uses when session logic
   //     outgrows session_window (per-session features, custom expiry)
@@ -137,19 +129,31 @@ object StreamingSessions {
         case (uid, evs, state: GroupState[SessState]) =>
           val sorted = evs.toSeq.sortBy(_.ts_us)
           val carried = state.getOption
-          var open = carried.orNull
           val closed = scala.collection.mutable.ListBuffer.empty[SessState]
-          sorted.foreach { e =>
+          // Orphaned late events: older than the carried session's reach
+          // (start - gap) — they belong to earlier sessions we no longer
+          // hold. Sorted ascending they form the batch prefix (fixed
+          // cutoff), and are gap-sessionized among THEMSELVES so adjacent
+          // orphans merge instead of emitting overlapping singletons.
+          val cutoff = carried.map(_.startUs - gapUs).getOrElse(Long.MinValue)
+          val (lateEvs, mainEvs) = sorted.partition(_.ts_us <= cutoff)
+          var orphan: SessState = null
+          lateEvs.foreach { e =>
+            if (orphan == null) orphan = SessState(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - orphan.lastUs >= gapUs) {
+              closed += orphan
+              orphan = SessState(e.ts_us, e.ts_us, 1)
+            } else orphan = orphan.copy(lastUs = e.ts_us, n = orphan.n + 1)
+          }
+          // the last orphan session is still > gap away from the carried
+          // open session (lastUs <= cutoff = start - gap), so it closes too
+          if (orphan != null) closed += orphan
+          var open = carried.orNull
+          mainEvs.foreach { e =>
             if (open == null) open = SessState(e.ts_us, e.ts_us, 1)
             else if (e.ts_us - open.lastUs >= gapUs) {
               closed += open
               open = SessState(e.ts_us, e.ts_us, 1)
-            } else if (open.startUs - e.ts_us >= gapUs) {
-              // orphaned late event: outside the open session's reach on
-              // the early side — it belongs to some earlier session we no
-              // longer hold; emit it as its own session rather than
-              // bridging a silence larger than the gap
-              closed += SessState(e.ts_us, e.ts_us, 1)
             } else open = open.copy(
               // a late event inside the session's reach joins it but must
               // not move the end backwards — otherwise the next on-time

@@ -88,14 +88,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("late_sessions").count() == 0,
         "no session may close: all events are within the gap of the open one")
-      // an event far older than the open session's reach is emitted as an
-      // orphan session, not merged across a >gap silence
-      mem.addData(StreamingSessions.Ev(1L, 10 * minUs))
+      // events far older than the open session's reach are emitted as
+      // orphan sessions, not merged across a >gap silence — and adjacent
+      // orphans within the gap of each other merge into ONE session
+      mem.addData(StreamingSessions.Ev(1L, 10 * minUs),
+        StreamingSessions.Ev(1L, 12 * minUs))
       q.processAllAvailable()
       val orphans = spark.table("late_sessions").collect()
       assert(orphans.length == 1)
       assert(orphans.head.getAs[Long]("session_start_ms") == 10 * 60000L)
-      assert(orphans.head.getAs[Long]("n_events") == 1L)
+      assert(orphans.head.getAs[Long]("session_end_ms") == (12 + 30) * 60000L)
+      assert(orphans.head.getAs[Long]("n_events") == 2L)
     } finally q.stop()
   }
 
