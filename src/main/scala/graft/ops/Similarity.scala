@@ -91,6 +91,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic pseudo-random hyperplane component for (bit j, dim d):
+    * uniform in [-1, 1), derived from 8 hex chars of md5 — reproducible
+    * in any engine (the SQL oracle rebuilds the same hyperplanes).
+    */
+  private def hyperplaneComponent(j: Column, d: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit("|"), d.cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(2147483648.0) - 1.0
+
+  /** Sign-random-projection LSH signatures: `numBits` sign bits of
+    * hyperplane dot products, grouped into bands of `bitsPerBand`. Two
+    * vectors share a band bucket with probability (1 - θ/π)^bitsPerBand
+    * per band — the candidate generator for near-dup search at scale
+    * (cost ∝ Σ bucket², not n²).
+    */
+  def lshBandBuckets(vectors: DataFrame, numBits: Int, bitsPerBand: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numBits % bitsPerBand == 0,
+      s"numBits ($numBits) must be a multiple of bitsPerBand ($bitsPerBand)")
+    val dims = vectors.select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+    val bits = dims
+      .select(col("id"), col("d"), col("x"),
+        explode(sequence(lit(0), lit(numBits - 1))).as("j"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("x") * hyperplaneComponent(col("j"), col("d"))).as("proj"))
+      .select(col("id"), col("j"), when(col("proj") > 0, lit(1)).otherwise(lit(0)).as("bit"))
+    bits
+      .groupBy(col("id"), (col("j") / bitsPerBand).cast("int").as("band"))
+      .agg(sum(col("bit") * pow(lit(2), col("j") % bitsPerBand).cast("long")).as("bucket"))
+  }
+
+  /** LSH-bucketed near-dup pairs: candidates share ≥1 band bucket, then
+    * the exact cosine filter runs on candidates only. Recall depends on
+    * the (numBits, bitsPerBand) tradeoff and the similarity level —
+    * the exact [[nearDupPairs]] is the ground-truth verifier.
+    */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
+      numBits: Int = 16, bitsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val buckets = lshBandBuckets(vectors, numBits, bitsPerBand, idCol, vecCol)
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      sqrt(fastDot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("n"))
+    candidates
+      .join(v.select(col("id").as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+      .join(v.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (fastDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
+      .where(col("cos_raw") >= threshold)
+      .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold, exact
     * all-pairs — the verifier stage; LSH/IVF prune candidates at scale.
     */

@@ -154,6 +154,34 @@ object OpsQueries {
     FROM a1 JOIN probes USING (cid), q
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  // ———————————————————————————————————————————— LSH-bucketed near-dup
+  // (sign-random-projection candidates + exact cosine verify; the md5-
+  //  derived hyperplanes are rebuilt identically by the SQL oracle)
+  val q40LshNearDup: Q = (s, dir) =>
+    Similarity.lshNearDupPairs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 500),
+      threshold = 0.4, numBits = 16, bitsPerBand = 4)
+  val q40Sql: String = """
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 500),
+    dims AS (SELECT id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM v),
+    bits0 AS (SELECT id, d, x, unnest(range(0, 16)) AS j FROM dims),
+    proj AS (SELECT id, j,
+               sum(x * (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
+                   CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0)) AS p
+             FROM bits0 GROUP BY 1, 2),
+    bits AS (SELECT id, j, CASE WHEN p > 0 THEN 1 ELSE 0 END AS bit FROM proj),
+    buckets AS (SELECT id, CAST(j // 4 AS INT) AS band,
+                  sum(bit * CAST(pow(2, j % 4) AS BIGINT)) AS bucket
+                FROM bits GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM buckets x JOIN buckets y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+    SELECT a, b, round(cr, 4) AS cos_sim FROM (
+      SELECT a, b, list_dot_product(va.e, vb.e)
+          / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS cr
+      FROM cand JOIN v va ON va.id = a JOIN v vb ON vb.id = b)
+    WHERE cr >= 0.4"""
+
   // ———————————————————————————————————————————— language-ID heuristic
   val q26LangId: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -246,7 +274,8 @@ object OpsQueries {
     "q27_quality" -> q27Quality,
     "q28_token_count" -> q28TokenCount,
     "q29_fingerprint" -> q29Fingerprint,
-    "q30_multimodal" -> q30Multimodal)
+    "q30_multimodal" -> q30Multimodal,
+    "q40_lsh_neardup" -> q40LshNearDup)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -260,5 +289,6 @@ object OpsQueries {
     "q27_quality" -> q27Sql,
     "q28_token_count" -> q28Sql,
     "q29_fingerprint" -> q29Sql,
-    "q30_multimodal" -> q30Sql)
+    "q30_multimodal" -> q30Sql,
+    "q40_lsh_neardup" -> q40Sql)
 }

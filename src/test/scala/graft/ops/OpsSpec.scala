@@ -66,6 +66,18 @@ class OpsSpec extends SparkSpec {
     assert(ivfAll == brute)
   }
 
+  test("LSH near-dup candidates are a subset of exact pairs at the same threshold") {
+    val vecs = emb.filter(col("vec_id") < 500)
+    val exact = Similarity.nearDupPairs(vecs, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, 0.4, numBits = 16, bitsPerBand = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs (exact verify runs on candidates)")
+    assert(lsh.nonEmpty, "bucketing should recover some true pairs at this threshold")
+    // this data's max cosine is ~0.51 — partial recall is expected and
+    // honest at 16 bits / 4-bit bands (sign-LSH targets higher similarity)
+  }
+
   test("langId picks the profile language on real sentences") {
     import spark.implicits._
     val samples = Seq(
