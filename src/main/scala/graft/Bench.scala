@@ -36,10 +36,12 @@ object Bench {
       }
     }
 
-    // warm-up: JVM + codegen + parquet footer caches for both the TPC-H-ish
-    // and the events read paths (not reported)
+    // warm-up: JVM + codegen + parquet footer caches for the TPC-H-ish and
+    // events read paths, plus the one-time synthetic ELB corpus generation
+    // (driver-side, would otherwise be billed to q18's first run)
     exec("q03_revenue_by_nation")
     exec("q01_hourly_agg")
+    exec("q18_elb_pipeline")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -64,10 +64,13 @@ object SyntheticElb {
     dir.resolve("*.log.gz").toString
   }
 
-  /** Cached per-JVM dataset keyed by row count (queries re-run cheaply). */
+  /** Cached per-JVM dataset keyed by row count (queries re-run cheaply).
+    * 16 files: gzip is non-splittable, so file count IS the parse
+    * parallelism — 4 files left 28 of 32 local cores idle.
+    */
   private val cache = scala.collection.concurrent.TrieMap.empty[Int, String]
   def dataset(n: Int): String = cache.getOrElseUpdate(n, {
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-elb-$n")
-    writeDataset(dir, n)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-elb-$n-v2")
+    writeDataset(dir, n, files = 16)
   })
 }
