@@ -49,7 +49,7 @@ object SyntheticElb {
   }
 
   /** Write `n` lines across `files` gzip files under `dir`; returns the glob. */
-  def writeDataset(dir: Path, n: Int, files: Int = 4): String = {
+  def writeDataset(dir: Path, n: Int, files: Int = 16): String = {
     Files.createDirectories(dir)
     val perFile = math.max(1, n / files)
     (0 until files).foreach { f =>
@@ -66,11 +66,14 @@ object SyntheticElb {
 
   /** Cached per-JVM dataset keyed by row count (queries re-run cheaply).
     * 16 files: gzip is non-splittable, so file count IS the parse
-    * parallelism — 4 files left 28 of 32 local cores idle.
+    * parallelism. The dir name encodes the generator parameters, so
+    * changing them can never pick up a stale corpus from a previous
+    * layout (the glob matches all part files in the dir).
     */
+  private val files = 16
   private val cache = scala.collection.concurrent.TrieMap.empty[Int, String]
   def dataset(n: Int): String = cache.getOrElseUpdate(n, {
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-elb-$n-v2")
-    writeDataset(dir, n, files = 16)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-elb-$n-f$files")
+    writeDataset(dir, n, files)
   })
 }

@@ -91,13 +91,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit j, dim d):
+  /** Deterministic pseudo-random hyperplane vectors: component (j, d) is
     * uniform in [-1, 1), derived from 8 hex chars of md5 — reproducible
-    * in any engine (the SQL oracle rebuilds the same hyperplanes).
+    * in any engine (the SQL oracle rebuilds identical hyperplanes). Built
+    * ONCE per bit (numBits rows of `dims`-element arrays, broadcast), not
+    * per vector — and projected with the sequential-fold dot product so
+    * the sign bit is bit-stable across engines (an unordered float sum
+    * could flip a near-zero projection's sign between Spark and the
+    * oracle's parallel aggregation).
     */
-  private def hyperplaneComponent(j: Column, d: Column): Column =
-    conv(substring(md5(concat(j.cast("string"), lit("|"), d.cast("string"))), 1, 8),
-      16, 10).cast("double") / lit(2147483648.0) - 1.0
+  def hyperplanes(spark: org.apache.spark.sql.SparkSession, numBits: Int,
+      dims: Int): DataFrame =
+    spark.range(numBits).select(col("id").cast("int").as("j"))
+      .select(col("j"), transform(sequence(lit(0), lit(dims - 1)),
+        d => conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+          d.cast("string"))), 1, 8), 16, 10).cast("double") /
+          lit(2147483648.0) - 1.0).as("hv"))
 
   /** Sign-random-projection LSH signatures: `numBits` sign bits of
     * hyperplane dot products, grouped into bands of `bitsPerBand`. Two
@@ -106,37 +115,24 @@ object Similarity {
     * (cost ∝ Σ bucket², not n²).
     */
   def lshBandBuckets(vectors: DataFrame, numBits: Int, bitsPerBand: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dims: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(numBits % bitsPerBand == 0,
       s"numBits ($numBits) must be a multiple of bitsPerBand ($bitsPerBand)")
-    val dims = vectors.select(col(idCol).as("id"),
-        posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
-    val bits = dims
-      .select(col("id"), col("d"), col("x"),
-        explode(sequence(lit(0), lit(numBits - 1))).as("j"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("x") * hyperplaneComponent(col("j"), col("d"))).as("proj"))
-      .select(col("id"), col("j"), when(col("proj") > 0, lit(1)).otherwise(lit(0)).as("bit"))
-    bits
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val hp = hyperplanes(vectors.sparkSession, numBits, dims)
+    vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(hp))
+      .select(col("id"), col("j"),
+        when(fastDot(col("v"), col("hv")) > 0, lit(1)).otherwise(lit(0)).as("bit"))
       .groupBy(col("id"), (col("j") / bitsPerBand).cast("int").as("band"))
       .agg(sum(col("bit") * pow(lit(2), col("j") % bitsPerBand).cast("long")).as("bucket"))
   }
 
-  /** LSH-bucketed near-dup pairs: candidates share ≥1 band bucket, then
-    * the exact cosine filter runs on candidates only. Recall depends on
-    * the (numBits, bitsPerBand) tradeoff and the similarity level —
-    * the exact [[nearDupPairs]] is the ground-truth verifier.
+  /** Exact-cosine verification of candidate (a, b) pairs — the shared
+    * tail of both the all-pairs and the LSH-candidate near-dup paths.
     */
-  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
-      numBits: Int = 16, bitsPerBand: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    graft.functions.VectorExpressions.register(vectors.sparkSession)
-    val buckets = lshBandBuckets(vectors, numBits, bitsPerBand, idCol, vecCol)
-    val candidates = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+  private def verifyPairs(candidates: DataFrame, vectors: DataFrame,
+      threshold: Double, idCol: String, vecCol: String): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       sqrt(fastDot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("n"))
     candidates
@@ -148,18 +144,33 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** LSH-bucketed near-dup pairs: candidates share ≥1 band bucket, then
+    * the exact cosine filter runs on candidates only. Recall depends on
+    * the (numBits, bitsPerBand) tradeoff and the similarity level —
+    * the exact [[nearDupPairs]] is the ground-truth verifier.
+    */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
+      numBits: Int = 16, bitsPerBand: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val buckets = lshBandBuckets(vectors, numBits, bitsPerBand, dims, idCol, vecCol)
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    verifyPairs(candidates, vectors, threshold, idCol, vecCol)
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold, exact
     * all-pairs — the verifier stage; LSH/IVF prune candidates at scale.
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(vectors.sparkSession)
-    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      sqrt(fastDot(asDouble(col(vecCol)), asDouble(col(vecCol)))).as("n"))
-    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        (fastDot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("cos_raw"))
-      .where(col("cos_raw") >= threshold)
-      .select(col("a"), col("b"), round(col("cos_raw"), 4).as("cos_sim"))
+    val ids = vectors.select(col(idCol).as("id"))
+    val candidates = ids.as("x").join(ids.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    verifyPairs(candidates, vectors, threshold, idCol, vecCol)
   }
 }

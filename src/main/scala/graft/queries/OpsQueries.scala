@@ -161,16 +161,19 @@ object OpsQueries {
     Similarity.lshNearDupPairs(
       Tables.embeddings(s, dir).filter(col("vec_id") < 500),
       threshold = 0.4, numBits = 16, bitsPerBand = 4)
+  // hyperplanes materialized once as arrays and projected with the
+  // sequential list_dot_product — an unordered SUM() of the products
+  // could flip a near-zero projection's sign between engines
   val q40Sql: String = """
     WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings WHERE vec_id < 500),
-    dims AS (SELECT id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM v),
-    bits0 AS (SELECT id, d, x, unnest(range(0, 16)) AS j FROM dims),
-    proj AS (SELECT id, j,
-               sum(x * (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
-                   CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0)) AS p
-             FROM bits0 GROUP BY 1, 2),
-    bits AS (SELECT id, j, CASE WHEN p > 0 THEN 1 ELSE 0 END AS bit FROM proj),
+    hp AS (SELECT j, list_transform(range(0, 64),
+             d -> CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
+                 CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0) AS hv
+           FROM (SELECT unnest(range(0, 16)) AS j)),
+    bits AS (SELECT id, j,
+               CASE WHEN list_dot_product(e, hv) > 0 THEN 1 ELSE 0 END AS bit
+             FROM v, hp),
     buckets AS (SELECT id, CAST(j // 4 AS INT) AS band,
                   sum(bit * CAST(pow(2, j % 4) AS BIGINT)) AS bucket
                 FROM bits GROUP BY 1, 2),
