@@ -86,4 +86,39 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every character
+    * k-gram of the normalized text, slide a window of `w` consecutive
+    * hashes, keep each window's minimum — a document is represented by
+    * the distinct selected hashes, robust to local edits (partial-overlap
+    * detection where whole-document hashing is all-or-nothing).
+    *
+    * Shape: explode k-gram positions, hash once per position, take the
+    * window minimum with a bounded-following frame, distinct. (A pure
+    * higher-order-function formulation re-evaluates the shared hash
+    * array inside every window lambda — Catalyst does not CSE across
+    * lambdas — turning O(len·w) into O(len²·k); the explode+window shape
+    * hashes each k-gram exactly once.) Hashes are md5-derived (first 8
+    * hex chars → long) so any engine reproduces them.
+    *
+    * Returns one row per (id, fp). Docs shorter than k+w-1 chars yield
+    * no fingerprints (standard winnowing guarantees need ≥ one window).
+    */
+  def winnowingFingerprintRows(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    df.select(col(idCol).as("id"), norm.as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), greatest(length(col("t")) - k, lit(-1)))).as("i"))
+      .select(col("id"), col("i"),
+        (length(col("t")) - (k - 1)).as("n"),
+        conv(substring(md5(substring(col("t"), col("i") + 1, lit(k))), 1, 8),
+          16, 10).cast("long").as("hv"))
+      .withColumn("fp", min(col("hv")).over(win))
+      .where(col("i") <= col("n") - w)
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
 }

@@ -246,6 +246,36 @@ object OpsQueries {
     SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
     FROM documents"""
 
+  // ———————————————————————————————————————————— winnowing fingerprints
+  // (rolling k-gram hashes + sliding-window minima, MOSS-style; pairs
+  //  sharing >= 10 selected fingerprints are near-dup candidates)
+  val q41Winnowing: Q = (s, dir) => {
+    val fps = graft.ops.TextOps.winnowingFingerprintRows(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", k = 8, w = 4)
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 40)
+  }
+  val q41Sql: String = """
+    WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+               FROM documents WHERE doc_id < 1000),
+    g AS (SELECT doc_id, t, unnest(range(0, greatest(length(t) - 7, 0))) AS i FROM d),
+    h AS (SELECT doc_id, i,
+            CAST(('0x' || substr(md5(substr(t, CAST(i + 1 AS INT), 8)), 1, 8)) AS BIGINT) AS hv,
+            count(*) OVER (PARTITION BY doc_id) AS n
+          FROM g),
+    w AS (SELECT doc_id, i, n, min(hv) OVER
+            (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM h),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 4)
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+    FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 40"""
+
   // ———————————————————————————————————————————— multimodal decode plumbing
   // (mapPartitions stub codec — the oracle recomputes its deterministic
   //  formulas, validating the batched-decode dataflow end to end)
@@ -278,7 +308,8 @@ object OpsQueries {
     "q28_token_count" -> q28TokenCount,
     "q29_fingerprint" -> q29Fingerprint,
     "q30_multimodal" -> q30Multimodal,
-    "q40_lsh_neardup" -> q40LshNearDup)
+    "q40_lsh_neardup" -> q40LshNearDup,
+    "q41_winnowing" -> q41Winnowing)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -293,5 +324,6 @@ object OpsQueries {
     "q28_token_count" -> q28Sql,
     "q29_fingerprint" -> q29Sql,
     "q30_multimodal" -> q30Sql,
-    "q40_lsh_neardup" -> q40Sql)
+    "q40_lsh_neardup" -> q40Sql,
+    "q41_winnowing" -> q41Sql)
 }
