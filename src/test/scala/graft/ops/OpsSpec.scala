@@ -78,6 +78,27 @@ class OpsSpec extends SparkSpec {
     // honest at 16 bits / 4-bit bands (sign-LSH targets higher similarity)
   }
 
+  test("winnowing fingerprints are robust to local edits") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill in the late afternoon sun"
+    val edited = base.replace("lazy", "sleepy") // one-word local edit
+    val docs2 = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprintRows(docs2, "text", "doc_id")
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val shared = fps(1L).intersect(fps(2L)).size
+    val total = math.max(fps(1L).size, fps(2L).size)
+    // a local edit perturbs only fingerprints overlapping the edit site
+    assert(shared.toDouble / total > 0.5,
+      s"local edit should preserve most fingerprints ($shared/$total shared)")
+    // while an unrelated doc shares ~none
+    val other = Seq((3L, "completely different content about spark catalyst " +
+      "query planning and distributed shuffle execution strategies")).toDF("doc_id", "text")
+    val fps3 = TextOps.winnowingFingerprintRows(other, "text", "doc_id")
+      .collect().map(_.getLong(1)).toSet
+    assert(fps(1L).intersect(fps3).isEmpty)
+  }
+
   test("langId picks the profile language on real sentences") {
     import spark.implicits._
     val samples = Seq(
