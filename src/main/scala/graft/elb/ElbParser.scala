@@ -43,7 +43,12 @@ object ElbParser {
     * columns null and are rejected downstream (F1).
     */
   def tokenize(raw: DataFrame): DataFrame = {
-    val opts = Map("sep" -> " ", "quote" -> "\"", "escape" -> "\\", "mode" -> "PERMISSIVE")
+    // nullValue is an impossible token: the CSV reader's default ("") would
+    // null a legitimately empty quoted 29th field and reject a row the
+    // reference's shlex parser keeps — with the sentinel, a null
+    // classification_reason means exactly "fewer than 29 tokens" (F1)
+    val opts = Map("sep" -> " ", "quote" -> "\"", "escape" -> "\\",
+      "mode" -> "PERMISSIVE", "nullValue" -> "\u0000")
     raw
       .withColumn("_r", from_csv(col("value"), ElbSchema.raw, opts))
       .select(col("_r.*"), col("log_source_file"))

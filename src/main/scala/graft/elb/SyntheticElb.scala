@@ -72,8 +72,13 @@ object SyntheticElb {
     */
   private val files = 16
   private val cache = scala.collection.concurrent.TrieMap.empty[Int, String]
-  def dataset(n: Int): String = cache.getOrElseUpdate(n, {
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-elb-$n-f$files")
-    writeDataset(dir, n, files)
-  })
+
+  /** Deterministic corpus directory for `n` lines — shared with the DuckDB
+    * oracle, which reads staging tables written under `<dir>/_staged/`.
+    */
+  def dirFor(n: Int): Path =
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-elb-$n-f$files")
+
+  def dataset(n: Int): String =
+    cache.getOrElseUpdate(n, writeDataset(dirFor(n), n, files))
 }
