@@ -49,24 +49,31 @@ object GeoCache {
 
   /** Atomically replace the cache parquet at `path` with `updated`.
     * Writes to a sibling temp dir first — Spark cannot overwrite a path it
-    * is lazily reading from.
+    * is lazily reading from. The temp/old names carry a unique token so
+    * concurrent runs against the same cache path can't collide, and the
+    * live cache is moved aside (not deleted) before promotion, so a crash
+    * mid-rewrite can lose at most the fresh rows — never the whole cache.
     */
   def rewrite(updated: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp"
-    updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$token")
+    updated.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(path)
     // resolve the filesystem FROM the path (like load) — FileSystem.get
     // would return the default FS and throw 'Wrong FS' for an s3a:// cache
     val fs = dst.getFileSystem(
       updated.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(s"$path.old-$token")
+    val displaced = fs.exists(dst) && fs.rename(dst, old)
     // Hadoop signals many rename failures by returning false, not
-    // throwing — swallowing it here would silently lose the cache (old
-    // deleted, new stranded at .tmp)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+    // throwing — swallowing it here would silently lose the cache
+    if (!fs.rename(tmp, dst)) {
+      if (displaced) fs.rename(old, dst) // put the live cache back
       throw new java.io.IOException(
         s"geo cache rewrite failed: rename $tmp -> $path returned false " +
-        "(previous cache deleted; fresh data stranded at the .tmp path)")
+        "(previous cache restored; fresh data stranded at the .tmp path)")
+    }
+    if (displaced) fs.delete(old, true)
   }
 
   /** Full enrichment stage: resolve cache misses via `resolver`, upsert +

@@ -53,15 +53,18 @@ class OfflineGeoResolver(fetchTime: Timestamp = Timestamp.valueOf("2025-01-01 00
     ("France", "FR", "Ile-de-France", "Paris", "Orange"))
 
   override def resolve(ips: Seq[String]): Seq[GeoRecord] = ips.map { ip =>
-    val h = math.abs(scala.util.hashing.MurmurHash3.stringHash(ip))
-    if (h % 17 == 0) {
+    val h = scala.util.hashing.MurmurHash3.stringHash(ip)
+    // floorMod, not math.abs(h) % n: abs(Int.MinValue) is still negative,
+    // which would make the index lookup throw on 1-in-2^32 IPs
+    def idx(n: Int): Int = Math.floorMod(h, n)
+    if (idx(17) == 0) {
       GeoRecord("fail", Some("private range"), None, None, None, None, None,
         None, None, None, ip, fetchTime)
     } else {
-      val (country, cc, regionName, city, isp) = countries(h % countries.size)
+      val (country, cc, regionName, city, isp) = countries(idx(countries.size))
       GeoRecord("success", None, Some(country), Some(cc), Some(cc + "-R"),
-        Some(regionName), Some(city), Some((h % 180) - 90 + 0.5),
-        Some((h % 360) - 180 + 0.5), Some(isp), ip, fetchTime)
+        Some(regionName), Some(city), Some(idx(180) - 90 + 0.5),
+        Some(idx(360) - 180 + 0.5), Some(isp), ip, fetchTime)
     }
   }
 }

@@ -248,7 +248,9 @@ object OpsQueries {
 
   // ———————————————————————————————————————————— winnowing fingerprints
   // (rolling k-gram hashes + sliding-window minima, MOSS-style; pairs
-  //  sharing >= 10 selected fingerprints are near-dup candidates)
+  //  sharing >= `winnowingMinShared` selected fingerprints are near-dup
+  //  candidates — the q41 SQL oracle's HAVING clause uses the same value)
+  private val winnowingMinShared = 40
   val q41Winnowing: Q = (s, dir) => {
     val fps = graft.ops.TextOps.winnowingFingerprintRows(
       Tables.documents(s, dir).filter(col("doc_id") < 1000),
@@ -257,7 +259,7 @@ object OpsQueries {
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= 40)
+      .where(col("n_shared") >= winnowingMinShared)
   }
   val q41Sql: String = """
     WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -55,16 +55,27 @@ object StreamingSessions {
   def drainAvailableNow(spark: SparkSession, aggregated: DataFrame,
       tableName: String): DataFrame = {
     val checkpoint = java.nio.file.Files
-      .createTempDirectory(s"ckpt-$tableName").toString
+      .createTempDirectory(s"ckpt-$tableName")
     val q = aggregated.writeStream
       .format("memory")
       .queryName(tableName)
       .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", checkpoint)
+      .option("checkpointLocation", checkpoint.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally deleteRecursively(checkpoint) // bounded drain: state is one-shot,
+    // so the checkpoint has no replay value — leaving it would accumulate
+    // one orphan ckpt-* dir per bench/test invocation
     spark.table(tableName)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Drain the session-window aggregation over the whole file source. */
