@@ -34,13 +34,39 @@ object Dedup {
     df.select(col(idCol).as("id"),
         explode(TextOps.shingles(col(textCol), n)).as("shingle"))
 
+  /** Document-frequency pruning for pair-generating self-joins: drop keys
+    * held by more than `maxDocFreq` documents before joining. A self-join
+    * on a key is quadratic *per key bucket* — at corpus scale a stopword
+    * shingle ("one of the") or boilerplate fingerprint shared by 10⁵ docs
+    * explodes one bucket even when the total is fine. Ultra-common keys
+    * carry no discriminative signal (standard df pruning), so capping
+    * bounds every bucket at `maxDocFreq²` candidate pairs without losing
+    * near-dup recall. `rows` must be distinct per (doc, key) — which
+    * [[shingleRows]] and [[TextOps.winnowingFingerprintRows]] guarantee —
+    * so a plain count is the document frequency.
+    */
+  def pruneHotKeys(rows: DataFrame, keyCol: String, maxDocFreq: Int): DataFrame =
+    if (maxDocFreq == Int.MaxValue) rows
+    else {
+      val hot = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+        .where(col("_df") > maxDocFreq).select(col(keyCol))
+      rows.join(hot, Seq(keyCol), "left_anti")
+    }
+
   /** Exact pairwise n-gram Jaccard over all id pairs sharing ≥1 shingle.
     * Returns pairs (a < b) with `jaccard` ≥ `threshold`. Arithmetic is a
     * single division of exact integers — engine-deterministic.
+    *
+    * `maxDocFreq` < MaxValue switches to *df-pruned* Jaccard: shingles in
+    * more than that many docs are removed before BOTH the intersection and
+    * the per-doc sizes, so the score stays a true Jaccard over the pruned
+    * shingle universe (near-dup pairs lose the same shingles from both
+    * sides). This is the 100 TB-safe configuration.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleRows(df, textCol, idCol, n)
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = pruneHotKeys(shingleRows(df, textCol, idCol, n), "shingle", maxDocFreq)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .where(col("x.id") < col("y.id"))

@@ -121,4 +121,20 @@ object TextOps {
       .select(col("id"), col("fp"))
       .distinct()
   }
+
+  /** Near-dup candidate pairs (a < b) sharing at least `minShared` selected
+    * winnowing fingerprints. `maxDocFreq` < MaxValue drops boilerplate
+    * fingerprints held by more than that many documents before the
+    * self-join ([[Dedup.pruneHotKeys]]) — the same hot-bucket bound as
+    * df-pruned Jaccard, and the scale-safe configuration.
+    */
+  def winnowingSharedPairs(fps: DataFrame, minShared: Long,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val pruned = Dedup.pruneHotKeys(fps, "fp", maxDocFreq)
+    pruned.as("x").join(pruned.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

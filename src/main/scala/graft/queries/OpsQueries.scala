@@ -44,6 +44,32 @@ object OpsQueries {
       FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
     WHERE jaccard >= 0.5"""
 
+  // ———————————————————————————————————— df-pruned n-gram Jaccard pairs
+  // (the 100 TB-safe configuration: shingles in more than `maxDocFreq`
+  //  docs are dropped before BOTH the self-join and the size counts, so
+  //  no join bucket exceeds maxDocFreq² and the score stays a true
+  //  Jaccard over the pruned shingle universe)
+  val q42JaccardDfPruned: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", n = 3, threshold = 0.5, maxDocFreq = 50)
+  val q42Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM idx),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b, jaccard FROM (
+      SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+    WHERE jaccard >= 0.5"""
+
   // ———————————————————————————————————————————— minhash + LSH candidates
   val q21MinhashLsh: Q = (s, dir) =>
     Dedup.minhashCandidatePairs(
@@ -251,16 +277,12 @@ object OpsQueries {
   //  sharing >= `winnowingMinShared` selected fingerprints are near-dup
   //  candidates — the q41 SQL oracle's HAVING clause uses the same value)
   private val winnowingMinShared = 40
-  val q41Winnowing: Q = (s, dir) => {
-    val fps = graft.ops.TextOps.winnowingFingerprintRows(
-      Tables.documents(s, dir).filter(col("doc_id") < 1000),
-      "text", "doc_id", k = 8, w = 4)
-    fps.as("x").join(fps.as("y"),
-        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= winnowingMinShared)
-  }
+  val q41Winnowing: Q = (s, dir) =>
+    TextOps.winnowingSharedPairs(
+      TextOps.winnowingFingerprintRows(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "text", "doc_id", k = 8, w = 4),
+      minShared = winnowingMinShared)
   val q41Sql: String = """
     WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                FROM documents WHERE doc_id < 1000),
@@ -311,7 +333,8 @@ object OpsQueries {
     "q29_fingerprint" -> q29Fingerprint,
     "q30_multimodal" -> q30Multimodal,
     "q40_lsh_neardup" -> q40LshNearDup,
-    "q41_winnowing" -> q41Winnowing)
+    "q41_winnowing" -> q41Winnowing,
+    "q42_jaccard_df_pruned" -> q42JaccardDfPruned)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -327,5 +350,6 @@ object OpsQueries {
     "q29_fingerprint" -> q29Sql,
     "q30_multimodal" -> q30Sql,
     "q40_lsh_neardup" -> q40Sql,
-    "q41_winnowing" -> q41Sql)
+    "q41_winnowing" -> q41Sql,
+    "q42_jaccard_df_pruned" -> q42Sql)
 }

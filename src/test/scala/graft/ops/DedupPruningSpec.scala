@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+/** Document-frequency pruning for pair-generating self-joins: a stopword/
+  * boilerplate key shared by every document must not create one quadratic
+  * join bucket (the 100 TB hot-key scenario), and the default (cap off)
+  * must be byte-identical to the unpruned operator.
+  */
+class DedupPruningSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 60 docs sharing a 9-word boilerplate prefix + a unique 3-word tail —
+    * every boilerplate shingle has document frequency 60.
+    */
+  private lazy val stopwordHeavy = (0 until 60).map { i =>
+    (i.toLong, s"the quick brown fox jumps over the lazy dog unique$i token$i end$i")
+  }.toDF("doc_id", "text")
+
+  test("df pruning bounds every shingle bucket at the cap") {
+    val rows = Dedup.shingleRows(stopwordHeavy, "text", "doc_id")
+    val maxDfBefore = rows.groupBy("shingle").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxDfBefore == 60, "boilerplate shingles should span all docs")
+    val pruned = Dedup.pruneHotKeys(rows, "shingle", maxDocFreq = 10)
+    val maxDfAfter = pruned.groupBy("shingle").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxDfAfter <= 10,
+      s"a shingle bucket survived above the cap: $maxDfAfter")
+  }
+
+  test("boilerplate-only similarity disappears under the cap; unique tails keep no pairs") {
+    // cap off: the shared 9-word prefix alone makes every pair similar
+    val unpruned = Dedup.ngramJaccardPairs(stopwordHeavy, "text", "doc_id",
+      n = 3, threshold = 0.1)
+    assert(unpruned.count() == 60L * 59 / 2,
+      "without pruning, boilerplate links all pairs")
+    // cap: prefix shingles (df=60) pruned; the remaining shingles all
+    // contain a unique token, so no pair shares anything
+    val pruned = Dedup.ngramJaccardPairs(stopwordHeavy, "text", "doc_id",
+      n = 3, threshold = 0.1, maxDocFreq = 10)
+    assert(pruned.count() == 0)
+  }
+
+  test("a cap above every doc frequency is identical to the unpruned operator") {
+    val d = Tables.documents(spark, sf()).filter(col("doc_id") < 300)
+    val base = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val highCap = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.8,
+      maxDocFreq = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(base.nonEmpty && base == highCap)
+  }
+
+  test("winnowing pair join prunes boilerplate fingerprints the same way") {
+    // identical 60-char boilerplate + unique tails: the boilerplate's
+    // winnowing fingerprints appear in all docs
+    val docs = (0 until 30).map { i =>
+      (i.toLong, ("shared boilerplate header that is long enough to dominate " +
+        "the fingerprint set completely ") + s"tail$i")
+    }.toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprintRows(docs, "text", "doc_id", k = 8, w = 4)
+    val unpruned = TextOps.winnowingSharedPairs(fps, minShared = 5)
+    assert(unpruned.count() == 30L * 29 / 2,
+      "shared boilerplate should link every pair without pruning")
+    val pruned = TextOps.winnowingSharedPairs(fps, minShared = 5, maxDocFreq = 5)
+    assert(pruned.count() == 0)
+  }
+}
