@@ -70,8 +70,50 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
   }
 
+  /** Build the materialized IVF index: assign every vector to its nearest
+    * centroid once and write the table partitioned by `centroid_id`. This
+    * is the one-time ingest cost that turns every later search into a
+    * partition-pruned scan — without it, each query re-assigns the whole
+    * corpus (an index that is really a full scan). At 100 TB the write is
+    * a single broadcast join + narrow projection; partition count equals
+    * centroid count, chosen so each bucket is a few hundred MB.
+    */
+  def buildIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assignToCentroids(vectors, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** IVF top-k over a [[buildIvfIndex]] table: rank centroids against the
+    * query, then scan ONLY the `nProbe` probed partitions. The probed ids
+    * are collected driver-side deliberately — the centroid table is small
+    * by construction (its size is an index design parameter, not data
+    * size), and literal `isin` values are what reach the parquet source
+    * as `PartitionFilters` for static pruning.
+    */
+  def ivfTopKIndexed(indexPath: String, centroids: DataFrame,
+      queryDf: DataFrame, k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = centroids.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val probed = centroids.crossJoin(broadcast(queryDf))
+      .select(col("cid"), fastCosine(col("cvec"), col("qvec")).as("c"))
+      .orderBy(col("c").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(indexPath)
+      .where(col("centroid_id").isin(probed: _*))
+      .crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: probe the `nProbe` centroids closest to the query and
-    * brute-force only vectors assigned to those buckets.
+    * brute-force only vectors assigned to those buckets. Assignment is
+    * recomputed inline — the right shape for one-off searches over frames
+    * already in memory; repeated searches should go through
+    * [[buildIvfIndex]] + [[ivfTopKIndexed]] instead.
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryDf: DataFrame,
       k: Int, nProbe: Int, idCol: String = "vec_id",

@@ -180,6 +180,26 @@ object OpsQueries {
     FROM a1 JOIN probes USING (cid), q
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  // ————————————————————————————— ANN: IVF over a materialized index
+  // (the 100 TB shape q25's scaladoc promises: assignment written once,
+  //  partitioned by centroid_id; the search scans only probed partitions.
+  //  Same parameters as q25 ⇒ same oracle SQL.)
+  private val ivfIndexBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q43AnnIvfIndexed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cvec"))
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    val path = ivfIndexBuilt.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivf-index-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 16), centroids, p)
+      p
+    })
+    Similarity.ivfTopKIndexed(path, centroids, queryDf, k = 10, nProbe = 2)
+  }
+
   // ———————————————————————————————————————————— LSH-bucketed near-dup
   // (sign-random-projection candidates + exact cosine verify; the md5-
   //  derived hyperplanes are rebuilt identically by the SQL oracle)
@@ -334,7 +354,8 @@ object OpsQueries {
     "q30_multimodal" -> q30Multimodal,
     "q40_lsh_neardup" -> q40LshNearDup,
     "q41_winnowing" -> q41Winnowing,
-    "q42_jaccard_df_pruned" -> q42JaccardDfPruned)
+    "q42_jaccard_df_pruned" -> q42JaccardDfPruned,
+    "q43_ann_ivf_indexed" -> q43AnnIvfIndexed)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -351,5 +372,6 @@ object OpsQueries {
     "q30_multimodal" -> q30Sql,
     "q40_lsh_neardup" -> q40Sql,
     "q41_winnowing" -> q41Sql,
-    "q42_jaccard_df_pruned" -> q42Sql)
+    "q42_jaccard_df_pruned" -> q42Sql,
+    "q43_ann_ivf_indexed" -> q25Sql)
 }
