@@ -14,17 +14,23 @@ import org.apache.spark.sql.functions._
   * major-family subset as ordered `when` chains over case-insensitive
   * regexes, with the same `"Unknown"` fallbacks for missing/`"-"` UA
   * strings. Rule ordering matters (e.g. Edge/Opera UAs also contain
-  * "Chrome"; Chrome UAs also contain "Safari") and follows the
-  * detection order documented across public UA-parsing rulesets.
+  * "Chrome"; Chrome UAs also contain "Safari"; KaiOS contains "iOS")
+  * and follows the detection order documented across public UA-parsing
+  * rulesets. Long-tail crawlers are covered by a generic bot/spider
+  * token capture (the convention the public rulesets use for families
+  * like AhrefsBot/PetalBot: the family IS the matched token).
   */
 object UaFunctions {
 
   private def has(ua: Column, pat: String): Column = ua.rlike("(?i)" + pat)
 
+  /** Case-preserving bot/spider token, e.g. "AhrefsBot", "Bytespider". */
+  private val botTokenPat = "\\b([A-Za-z0-9_.-]*(?:[Bb]ot|[Ss]pider))\\b"
+
   /** Browser family from a raw User-Agent string; null/empty/"-" → Unknown. */
   def uaBrowserFamily(ua: Column): Column = {
     val known =
-      // bots first — they often embed browser tokens
+      // named bots first — they often embed browser tokens
       when(has(ua, "googlebot"), "Googlebot")
         .when(has(ua, "bingbot"), "bingbot")
         .when(has(ua, "duckduckbot"), "DuckDuckBot")
@@ -32,27 +38,50 @@ object UaFunctions {
         .when(has(ua, "baiduspider"), "Baiduspider")
         .when(has(ua, "slurp"), "Yahoo! Slurp")
         .when(has(ua, "facebookexternalhit"), "FacebookBot")
+        // generic crawler capture: the family is the bot/spider token
+        // itself (AhrefsBot, SemrushBot, Applebot, Bytespider, …), the
+        // convention public rulesets follow for the crawler long tail
+        .when(ua.rlike(botTokenPat), regexp_extract(ua, botTokenPat, 1))
+        // HTTP tools and in-app/mail clients
         .when(has(ua, "python-urllib"), "Python-urllib")
         .when(has(ua, "python-requests"), "Python Requests")
         .when(has(ua, "\\bcurl/"), "curl")
         .when(has(ua, "\\bwget/"), "Wget")
+        .when(has(ua, "apache-httpclient"), "Apache-HttpClient")
+        .when(has(ua, "\\bokhttp"), "okhttp")
+        .when(has(ua, "^java/"), "Java")
+        .when(has(ua, "go-http-client"), "Go-http-client")
         .when(has(ua, "headlesschrome"), "HeadlessChrome")
+        .when(has(ua, "whatsapp"), "WhatsApp")
+        .when(has(ua, "\\bfbav/|\\bfban/"), "Facebook")
+        .when(has(ua, "\\binstagram[ /]"), "Instagram")
+        .when(has(ua, "\\bgsa/"), "Google")
+        .when(has(ua, "thunderbird/"), "Thunderbird")
+        .when(has(ua, "microsoft outlook"), "Outlook")
         // real browsers, most-specific first
         // uap-core groups the mobile variants (EdgA = Android, EdgiOS =
         // iOS) under 'Edge Mobile'; desktop Edg/ and legacy Edge/ are 'Edge'
         .when(has(ua, "\\bedga/|\\bedgios/"), "Edge Mobile")
         .when(has(ua, "\\bedge?/"), "Edge")
+        .when(has(ua, "opera mini"), "Opera Mini")
+        .when(has(ua, "\\bopr/") && has(ua, "\\bmobile\\b"), "Opera Mobile")
         .when(has(ua, "\\bopr/|\\bopera"), "Opera")
+        .when(has(ua, "\\bmiuibrowser/"), "MiuiBrowser")
         .when(has(ua, "\\bsamsungbrowser/"), "Samsung Internet")
         .when(has(ua, "\\bucbrowser/"), "UC Browser")
         .when(has(ua, "\\byabrowser/"), "Yandex Browser")
         .when(has(ua, "\\bvivaldi/"), "Vivaldi")
         .when(has(ua, "\\bbrave/"), "Brave")
+        .when(has(ua, "\\bsilk/"), "Amazon Silk")
+        // Android system WebView: "; wv)" marker + Chrome token
+        .when(has(ua, ";\\s?wv\\)") && has(ua, "\\bchrome/"), "Chrome Mobile WebView")
+        .when(has(ua, "\\bfxios/"), "Firefox iOS")
         .when(has(ua, "\\bfirefox/") && has(ua, "mobile"), "Firefox Mobile")
-        .when(has(ua, "\\bfirefox/|\\bfxios/"), "Firefox")
+        .when(has(ua, "\\bfirefox/"), "Firefox")
         .when(has(ua, "\\bcrios/"), "Chrome Mobile iOS")
+        .when(has(ua, "\\bchromium/"), "Chromium")
         .when(has(ua, "\\bchrome/") && has(ua, "\\bmobile\\b"), "Chrome Mobile")
-        .when(has(ua, "\\bchrome/|\\bchromium/"), "Chrome")
+        .when(has(ua, "\\bchrome/"), "Chrome")
         .when(has(ua, "\\bversion/.*\\bmobile/.*safari/"), "Mobile Safari")
         .when(has(ua, "\\bsafari/"), "Safari")
         .when(has(ua, "msie |trident/"), "IE")
@@ -64,6 +93,9 @@ object UaFunctions {
   def uaOsFamily(ua: Column): Column = {
     val known =
       when(has(ua, "windows phone"), "Windows Phone")
+        // KaiOS before the iOS rule: "KAIOS" contains the substring "ios"
+        .when(has(ua, "kaios"), "KaiOS")
+        .when(has(ua, "tizen"), "Tizen")
         .when(has(ua, "windows nt|win64|wow64"), "Windows")
         .when(has(ua, "android"), "Android")
         .when(has(ua, "iphone|ipad|ipod|ios"), "iOS")
