@@ -126,10 +126,52 @@ object StreamingSessions {
     * see all data per batch) the open session is emitted and state
     * cleared at batch end. With `flushOpen = false` the open session is
     * held in state indefinitely — suitable for tests and bounded
-    * multi-batch replays; a continuous production query would add an
-    * event-time timeout (`GroupStateTimeout.EventTimeTimeout` + watermark)
-    * to flush and clean state, which this minimal variant does not do.
+    * multi-batch replays; a continuous production query uses
+    * [[statefulSessionizeWithTimeout]], which adds the watermark +
+    * `EventTimeTimeout` flush that keeps state bounded.
     */
+  /** Merge one sorted batch of event times (µs) into the carried open
+    * session. Returns (closed sessions, open session or null) — shared by
+    * both sessionizer variants.
+    *
+    * Orphaned late events: older than the carried session's reach
+    * (start - gap) — they belong to earlier sessions we no longer hold.
+    * Sorted ascending they form the batch prefix (fixed cutoff), and are
+    * gap-sessionized among THEMSELVES so adjacent orphans merge instead
+    * of emitting overlapping singletons. Late events inside the session's
+    * reach join it but must not move the end backwards — otherwise the
+    * next on-time event sees a false gap.
+    */
+  private def mergeBatch(carried: Option[SessState], sortedUs: Seq[Long],
+      gapUs: Long): (List[SessState], SessState) = {
+    val closed = scala.collection.mutable.ListBuffer.empty[SessState]
+    val cutoff = carried.map(_.startUs - gapUs).getOrElse(Long.MinValue)
+    val (lateEvs, mainEvs) = sortedUs.partition(_ <= cutoff)
+    var orphan: SessState = null
+    lateEvs.foreach { us =>
+      if (orphan == null) orphan = SessState(us, us, 1)
+      else if (us - orphan.lastUs >= gapUs) {
+        closed += orphan
+        orphan = SessState(us, us, 1)
+      } else orphan = orphan.copy(lastUs = us, n = orphan.n + 1)
+    }
+    // the last orphan session is still > gap away from the carried open
+    // session (lastUs <= cutoff = start - gap), so it closes too
+    if (orphan != null) closed += orphan
+    var open = carried.orNull
+    mainEvs.foreach { us =>
+      if (open == null) open = SessState(us, us, 1)
+      else if (us - open.lastUs >= gapUs) {
+        closed += open
+        open = SessState(us, us, 1)
+      } else open = open.copy(
+        startUs = math.min(open.startUs, us),
+        lastUs = math.max(open.lastUs, us),
+        n = open.n + 1)
+    }
+    (closed.toList, open)
+  }
+
   def statefulSessionize(events: Dataset[Ev], gapUs: Long,
       flushOpen: Boolean = true)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
@@ -138,49 +180,61 @@ object StreamingSessions {
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, evs, state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts_us)
-          val carried = state.getOption
-          val closed = scala.collection.mutable.ListBuffer.empty[SessState]
-          // Orphaned late events: older than the carried session's reach
-          // (start - gap) — they belong to earlier sessions we no longer
-          // hold. Sorted ascending they form the batch prefix (fixed
-          // cutoff), and are gap-sessionized among THEMSELVES so adjacent
-          // orphans merge instead of emitting overlapping singletons.
-          val cutoff = carried.map(_.startUs - gapUs).getOrElse(Long.MinValue)
-          val (lateEvs, mainEvs) = sorted.partition(_.ts_us <= cutoff)
-          var orphan: SessState = null
-          lateEvs.foreach { e =>
-            if (orphan == null) orphan = SessState(e.ts_us, e.ts_us, 1)
-            else if (e.ts_us - orphan.lastUs >= gapUs) {
-              closed += orphan
-              orphan = SessState(e.ts_us, e.ts_us, 1)
-            } else orphan = orphan.copy(lastUs = e.ts_us, n = orphan.n + 1)
-          }
-          // the last orphan session is still > gap away from the carried
-          // open session (lastUs <= cutoff = start - gap), so it closes too
-          if (orphan != null) closed += orphan
-          var open = carried.orNull
-          mainEvs.foreach { e =>
-            if (open == null) open = SessState(e.ts_us, e.ts_us, 1)
-            else if (e.ts_us - open.lastUs >= gapUs) {
-              closed += open
-              open = SessState(e.ts_us, e.ts_us, 1)
-            } else open = open.copy(
-              // a late event inside the session's reach joins it but must
-              // not move the end backwards — otherwise the next on-time
-              // event sees a false gap
-              startUs = math.min(open.startUs, e.ts_us),
-              lastUs = math.max(open.lastUs, e.ts_us),
-              n = open.n + 1)
-          }
+          val (closed, open) =
+            mergeBatch(state.getOption, evs.map(_.ts_us).toSeq.sorted, gapUs)
           val out = if (flushOpen && open != null) {
             state.remove()
-            (closed.toList :+ open).iterator
+            (closed :+ open).iterator
           } else {
             if (open != null) state.update(open) else state.remove()
             closed.iterator
           }
           out.map(s => SessionOut(uid, s.startUs / 1000, (s.lastUs + gapUs) / 1000, s.n))
+      }
+  }
+
+  /** Event with an event-time column the engine can watermark (ms
+    * precision — the watermark clock is milliseconds).
+    */
+  case class EvT(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Continuous-mode sessionizer: the `EventTimeTimeout` + watermark
+    * variant of [[statefulSessionize]]. An open session is flushed when
+    * the watermark passes its deadline (last event + gap), so state is
+    * bounded by the number of *concurrently open* sessions — not by run
+    * length — and quiet users still get their final session emitted
+    * without waiting for their next event. `watermarkDelay` is the
+    * lateness budget: events later than it may be treated as orphans.
+    */
+  def statefulSessionizeWithTimeout(events: Dataset[EvT], gapUs: Long,
+      watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's deadline: flush + clear
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.startUs / 1000, (s.lastUs + gapUs) / 1000, s.n))
+          } else {
+            val sorted = evs.map(_.ts.getTime * 1000L).toSeq.sorted
+            val (closed, open) = mergeBatch(state.getOption, sorted, gapUs)
+            if (open != null) {
+              state.update(open)
+              // flush when the watermark proves the gap; the timestamp
+              // must stay above the current watermark or Spark rejects it
+              val deadlineMs = (open.lastUs + gapUs) / 1000
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            closed.iterator
+              .map(s => SessionOut(uid, s.startUs / 1000, (s.lastUs + gapUs) / 1000, s.n))
+          }
       }
   }
 }

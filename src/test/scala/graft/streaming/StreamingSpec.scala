@@ -102,6 +102,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes open sessions once the watermark proves the gap") {
+    import spark.implicits._
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamingSessions.EvT]
+    // base offset keeps every event strictly above the initial watermark
+    // (0): FlatMapGroupsWithStateExec drops input rows at-or-below the
+    // watermark, so a t=0 event would silently vanish in batch 1
+    val base = 100L
+    def ts(min: Long) = new java.sql.Timestamp((base + min) * 60000L)
+    def ms(min: Long) = (base + min) * 60000L
+    val q = StreamingSessions.statefulSessionizeWithTimeout(mem.toDS(),
+        gapUs = 30L * 60 * 1000000, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("to-ckpt").toString)
+      .start()
+    try {
+      // batch 1: user 1 has two events; session deadline = 1 + 30 = 31 min.
+      // nothing can be emitted yet and state holds the open session.
+      mem.addData(StreamingSessions.EvT(1L, ts(0)), StreamingSessions.EvT(1L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() == 0)
+      // batch 2: an unrelated user's event at t=120min pushes the
+      // watermark to 110min — past user 1's deadline. The timeout fires
+      // WITHOUT user 1 ever sending another event (the quiet-user flush
+      // the NoTimeout variant cannot do).
+      mem.addData(StreamingSessions.EvT(2L, ts(120)))
+      q.processAllAvailable()
+      val emitted = spark.table("timeout_sessions")
+        .filter($"user_id" === 1L).collect()
+      assert(emitted.length == 1, "user 1's open session must flush on timeout")
+      assert(emitted.head.getAs[Long]("session_start_ms") == ms(0))
+      assert(emitted.head.getAs[Long]("session_end_ms") == ms(31))
+      assert(emitted.head.getAs[Long]("n_events") == 2L)
+      // state hygiene: user 1's state is gone — a new event opens a fresh
+      // session rather than resurrecting the flushed one, and no
+      // duplicate of the flushed session is ever re-emitted
+      mem.addData(StreamingSessions.EvT(1L, ts(125)))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").filter($"user_id" === 1L).count() == 1)
+      // batch 4: watermark far ahead (t=300min → wm=290min) times out the
+      // remaining open sessions of BOTH users — state drains to empty
+      mem.addData(StreamingSessions.EvT(3L, ts(300)))
+      q.processAllAvailable()
+      val afterDrain = spark.table("timeout_sessions").collect()
+      assert(afterDrain.count(_.getAs[Long]("user_id") == 1L) == 2)
+      assert(afterDrain.count(_.getAs[Long]("user_id") == 2L) == 1)
+      val u1Fresh = afterDrain.filter(r =>
+        r.getAs[Long]("user_id") == 1L && r.getAs[Long]("session_start_ms") == ms(125))
+      assert(u1Fresh.length == 1 &&
+        u1Fresh.head.getAs[Long]("session_end_ms") == ms(155))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with session_window on a drain") {
     import spark.implicits._
     implicit val s = spark
