@@ -128,6 +128,42 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup pairs via multi-index Hamming search: the 16-bit
+    * digest is split into `bands` equal slices; two digests within
+    * Hamming distance < `bands` must share at least one identical slice
+    * (pigeonhole), so a bucket join on (band, slice) generates candidates
+    * with FULL recall for `maxDist < bands`, and an exact
+    * `bit_count(xor)` filter verifies. Returns (a < b, hamming).
+    *
+    * Scale note: slice width = digestBits / bands caps the bucket space —
+    * at corpus scale use a wider digest (the same banding shape over
+    * 64-bit simhash, 16-bit slices → 65k buckets per band); the 16-bit
+    * primitive here is the oracle-checked kernel.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 2, bands: Int = 4): DataFrame = {
+    require(0 <= maxDist && maxDist < bands,
+      s"recall guarantee needs maxDist ($maxDist) < bands ($bands)")
+    require(16 % bands == 0, s"bands ($bands) must divide 16")
+    val bits = 16 / bands
+    val mask = (1 << bits) - 1
+    val sl = df
+      .select(col(idCol).as("id"), simhash16(col(textCol)).as("h"))
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("slice",
+        expr(s"shiftright(h, cast(band * $bits as int)) & $mask"))
+    sl.as("x").join(sl.as("y"),
+        col("x.band") === col("y.band") && col("x.slice") === col("y.slice") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** 16-bit SimHash in one narrow projection: fold the token array into 16
     * signed bit-counters (md5-derived bits), then re-assemble the digest.
     * `bits` hex-digit parse: value of md5 hex char at position b/4, bit

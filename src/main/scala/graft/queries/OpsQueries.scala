@@ -113,6 +113,37 @@ object OpsQueries {
         AS BIGINT) AS simhash
     FROM sums GROUP BY 1"""
 
+  // ————————————————————————————— simhash Hamming near-dup pairs
+  // (multi-index banding: 4 slices of the 16-bit digest; any pair within
+  //  Hamming distance 2 < 4 bands shares a slice — full recall; exact
+  //  bit_count(xor) verify on bucket candidates)
+  val q44SimhashNearDup: Q = (s, dir) =>
+    Dedup.simhashNearDupPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 500),
+      "text", "doc_id", maxDist = 2, bands = 4)
+  val q44Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 500),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    bits AS (SELECT doc_id, md5(t) AS h, unnest(range(0, 16)) AS b FROM tok),
+    contrib AS (SELECT doc_id, b,
+        ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+          // CAST(pow(2, 3 - b % 4) AS BIGINT)) % 2 AS bit
+      FROM bits),
+    sums AS (SELECT doc_id, b, sum(bit * 2 - 1) AS s FROM contrib GROUP BY 1, 2),
+    dig AS (SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 15 - b) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS simhash
+      FROM sums GROUP BY 1),
+    sl AS (SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS slice
+           FROM dig, (SELECT unnest(range(0, 4)) AS band)),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               x.simhash AS ha, y.simhash AS hb
+             FROM sl x JOIN sl y
+               ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id)
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 2"""
+
   // ———————————————————————————————————————————— embedding near-dup pairs
   val q23EmbedNearDup: Q = (s, dir) =>
     Similarity.nearDupPairs(
@@ -355,7 +386,8 @@ object OpsQueries {
     "q40_lsh_neardup" -> q40LshNearDup,
     "q41_winnowing" -> q41Winnowing,
     "q42_jaccard_df_pruned" -> q42JaccardDfPruned,
-    "q43_ann_ivf_indexed" -> q43AnnIvfIndexed)
+    "q43_ann_ivf_indexed" -> q43AnnIvfIndexed,
+    "q44_simhash_neardup" -> q44SimhashNearDup)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -373,5 +405,6 @@ object OpsQueries {
     "q40_lsh_neardup" -> q40Sql,
     "q41_winnowing" -> q41Sql,
     "q42_jaccard_df_pruned" -> q42Sql,
-    "q43_ann_ivf_indexed" -> q25Sql)
+    "q43_ann_ivf_indexed" -> q25Sql,
+    "q44_simhash_neardup" -> q44Sql)
 }

@@ -42,6 +42,22 @@ class OpsSpec extends SparkSpec {
     assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)))
   }
 
+  test("simhash banded Hamming search equals brute-force pairs (full recall)") {
+    val d = docs.filter(col("doc_id") < 200)
+    val dig = d.select(col("doc_id").as("id"), Dedup.simhash16(col("text")).as("h"))
+    val brute = dig.as("x").join(dig.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hd"))
+      .where(col("hd") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDupPairs(d, "text", "doc_id",
+      maxDist = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-identical digests")
+    // pigeonhole recall is exact and the verify filter is exact → equality
+    assert(brute == banded)
+  }
+
   test("brute-force ANN: top-1 of a vector against itself is itself") {
     val queryDf = emb.filter(col("vec_id") === 42)
       .select(Similarity.asDouble(col("embedding")).as("qvec"))
