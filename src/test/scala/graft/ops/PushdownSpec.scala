@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Scan hygiene for the 100 TB contract: filters must reach the parquet
+  * source as PushedFilters and projections must shrink ReadSchema — a
+  * scan that reads every column for a two-column query, or filters in
+  * the executor instead of the reader, multiplies the dominant cost at
+  * scale (the scan) by the full table width.
+  */
+class PushdownSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("filter + narrow projection reach the documents scan") {
+    val df = Tables.documents(spark, sf())
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val s = scans(df).head
+    val pushed = s.metadata("PushedFilters")
+    assert(pushed.contains("LessThan(doc_id,500)"), s"filters not pushed: $pushed")
+    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads more than the projection: ${s.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("join + aggregate prunes every scan to the referenced columns") {
+    val df = graft.queries.RelationalQueries.q03RevenueByNation(spark, sf())
+    val byTable = scans(df).map(s =>
+      s.relation.location.rootPaths.head.getName -> s.requiredSchema.fieldNames.toSet).toMap
+    assert(byTable("orders.parquet") == Set("o_custkey", "o_totalprice"),
+      s"orders over-read: ${byTable("orders.parquet")}")
+    assert(byTable("customer.parquet") == Set("c_custkey", "c_nationkey"),
+      s"customer over-read: ${byTable("customer.parquet")}")
+    assert(byTable("nation.parquet") == Set("n_nationkey", "n_regionkey", "n_name"))
+    assert(byTable("region.parquet") == Set("r_regionkey", "r_name"))
+  }
+
+  test("numeric range filter is pushed for the orders scan") {
+    val df = Tables.orders(spark, sf())
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"))
+    val s = scans(df).head
+    assert(s.metadata("PushedFilters").contains("GreaterThan(o_totalprice,300000.0)"),
+      s"got: ${s.metadata("PushedFilters")}")
+    assert(s.requiredSchema.fieldNames.toSet == Set("o_orderkey", "o_totalprice"))
+  }
+}
