@@ -110,7 +110,10 @@ object ElbQueries {
   // and averages are exact in both engines regardless of summation order;
   // `trace_id` (unique per line) breaks same-microsecond ordering ties the
   // same way [[Features]] does.
-  private def derivationSql(lines: String, geo: String): String = s"""
+  /** CTE chain through `enr` (tokenize → reject → scalar enrich) — shared
+    * by the batch (q18/q32) and streaming (q45) oracles.
+    */
+  private def parseSql(lines: String): String = s"""
     WITH raw AS (
       SELECT value AS line FROM read_parquet('$lines/*.parquet')),
     tok AS (
@@ -169,7 +172,11 @@ object ElbQueries {
         CASE WHEN ua IS NULL OR ua = '' OR ua = '-' THEN false
              ELSE regexp_matches(ua, '(?i)bot|spider|crawler|python-urllib')
              END AS is_bot
-      FROM prs WHERE client_ip IS NOT NULL),
+      FROM prs WHERE client_ip IS NOT NULL)"""
+
+  /** Geo join + window block CTEs appended to [[parseSql]] for q18/q32. */
+  private def derivationSql(lines: String, geo: String): String =
+    parseSql(lines) + s""",
     geo AS (
       SELECT query, country, city FROM read_parquet('$geo/*.parquet')),
     jnd AS (
@@ -234,11 +241,43 @@ object ElbQueries {
         AS BIGINT) AS count_5xx
     FROM loc GROUP BY 1, 2, 3, 4, 5, 6"""
 
+  // —————————————————————————————————————————————— streaming ELB ingest
+  // The SAME tokenize+enrich projection runs unchanged as a Structured
+  // Stream over the gz corpus (all narrow ops — streaming-safe), proving
+  // the parse path is batch/stream agnostic. Drained AvailableNow into a
+  // grouped aggregate; the oracle re-derives it from the staged lines.
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val q45ElbStream: Q = (s, dir) => {
+    val rows = rowsFor(dir)
+    val glob = SyntheticElb.dataset(rows)
+    stageRawLines(s, rows)
+    val raw = s.readStream.text(glob)
+      .withColumn("log_source_file", input_file_name())
+    val enriched = ElbParser.enrich(ElbParser.tokenize(raw))
+      .withColumn("status_code_type", Features.statusCodeType(
+        ElbParser.nullSentinelLong(col("elb_status_code")).cast("int")))
+    val agg = enriched
+      .groupBy(col("status_code_type"), col("http_method"), col("is_bot"))
+      .agg(count(lit(1)).as("n"),
+        sum(ElbParser.nullSentinelLong(col("sent_bytes"))).as("sum_sent_bytes"))
+    graft.streaming.StreamingSessions.drainAvailableNow(s, agg,
+      s"elb_stream_${streamCounter.incrementAndGet()}")
+  }
+
+  private def q45Sql: String = parseSql(rawLinesPath(verifyRows)) + s"""
+    SELECT status_code_type, http_method, is_bot,
+      count(*) AS n,
+      CAST(sum(sent_bytes) AS BIGINT) AS sum_sent_bytes
+    FROM enr GROUP BY 1, 2, 3"""
+
   val all: Map[String, Q] = Map(
     "q18_elb_pipeline" -> q18ElbPipeline,
-    "q32_elb_hourly_rollup" -> q32ElbHourlyRollup)
+    "q32_elb_hourly_rollup" -> q32ElbHourlyRollup,
+    "q45_elb_stream" -> q45ElbStream)
 
   val oracles: Map[String, String] = Map(
     "q18_elb_pipeline" -> q18Sql,
-    "q32_elb_hourly_rollup" -> q32Sql)
+    "q32_elb_hourly_rollup" -> q32Sql,
+    "q45_elb_stream" -> q45Sql)
 }

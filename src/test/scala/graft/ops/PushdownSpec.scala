@@ -24,7 +24,10 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("filter + narrow projection reach the documents scan") {
-    val df = Tables.documents(spark, sf())
+    // sf0.01, not the default sf0.001: OpsSpec caches the sf0.001
+    // documents table in the shared session, and a cache hit would swap
+    // the parquet scan under assertion for an InMemoryTableScan
+    val df = Tables.documents(spark, sf("sf0.01"))
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("text"))
     val s = scans(df).head
