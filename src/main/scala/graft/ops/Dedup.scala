@@ -48,9 +48,13 @@ object Dedup {
   def pruneHotKeys(rows: DataFrame, keyCol: String, maxDocFreq: Int): DataFrame =
     if (maxDocFreq == Int.MaxValue) rows
     else {
-      val hot = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
-        .where(col("_df") > maxDocFreq).select(col(keyCol))
-      rows.join(hot, Seq(keyCol), "left_anti")
+      // window-count, not groupBy+anti-join: one hash-partition on the key
+      // (which the downstream pair self-join needs anyway, so its exchange
+      // is reusable) instead of a separate aggregate plus a second shuffle
+      // of the full rows for the anti-join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      rows.withColumn("_df", count(lit(1)).over(w))
+        .where(col("_df") <= maxDocFreq).drop("_df")
     }
 
   /** Exact pairwise n-gram Jaccard over all id pairs sharing ≥1 shingle.
