@@ -458,6 +458,58 @@ object RelationalQueries {
       CAST(unnest(embedding) AS DOUBLE) AS val
     FROM embeddings WHERE vec_id < 5"""
 
+  // ———————————————————————————————————————————— exact percentiles
+  // (interpolated — both engines compute rank = p*(n-1) and lerp; inputs
+  //  are integral so the 4-d.p. round lands away from any half boundary)
+  val q46Percentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+  val q46Sql: String = """
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+      count(*) AS n
+    FROM lineitem GROUP BY 1"""
+
+  // ———————————————————————————————————————————— CUBE grouping sets
+  val q47Cube: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  val q47Sql: String = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+  // ———————————————————————————————————————————— ranking-function family
+  // (ntile / percent_rank / cume_dist / dense_rank share one window —
+  //  unique tiebreak keeps every rank engine-deterministic)
+  val q48RankFamily: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      dense_rank().over(w).cast("long").as("dr"))
+  }
+  val q48Sql: String = """
+    SELECT o_custkey, o_orderkey,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      CAST(dense_rank() OVER w AS BIGINT) AS dr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -481,7 +533,10 @@ object RelationalQueries {
     "q35_asof_join" -> q35AsOfJoin,
     "q36_json_extract" -> q36JsonExtract,
     "q37_pivot" -> q37Pivot,
-    "q38_explode" -> q38Explode)
+    "q38_explode" -> q38Explode,
+    "q46_percentiles" -> q46Percentiles,
+    "q47_cube" -> q47Cube,
+    "q48_rank_family" -> q48RankFamily)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -506,5 +561,8 @@ object RelationalQueries {
     "q35_asof_join" -> q35Sql,
     "q36_json_extract" -> q36Sql,
     "q37_pivot" -> q37Sql,
-    "q38_explode" -> q38Sql)
+    "q38_explode" -> q38Sql,
+    "q46_percentiles" -> q46Sql,
+    "q47_cube" -> q47Sql,
+    "q48_rank_family" -> q48Sql)
 }
