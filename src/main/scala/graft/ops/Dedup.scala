@@ -132,6 +132,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list: every document gets
+    * the minimum id of its duplicate cluster as `cluster` — the "keep one
+    * per duplicate CLUSTER" step that follows pair generation in a dedup
+    * pipeline (pairs alone under-delete: A≈B and B≈C must collapse to one
+    * keeper even when A≉C directly).
+    *
+    * Distributed min-label propagation: each iteration joins labels across
+    * edges and keeps the minimum; converged when no label changes. The
+    * per-iteration driver work is ONE scalar (changed-count) — the loop is
+    * control flow, not data flow — and `localCheckpoint` cuts the lineage
+    * each round so the plan doesn't grow exponentially (the standard
+    * iterative-algorithm discipline on Spark). Rounds needed = graph
+    * diameter ≤ O(log n) for the short chains dup clusters form; `maxIter`
+    * bounds the worst case. Only ids appearing in `pairs` are returned —
+    * singletons are their own keeper by definition.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val updated = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = updated.join(
+          labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** SimHash near-dup pairs via multi-index Hamming search: the 16-bit
     * digest is split into `bands` equal slices; two digests within
     * Hamming distance < `bands` must share at least one identical slice

@@ -113,6 +113,38 @@ object OpsQueries {
         AS BIGINT) AS simhash
     FROM sums GROUP BY 1"""
 
+  // ————————————————————————————— duplicate-cluster assignment
+  // (connected components over the jaccard pair graph: min-label
+  //  propagation in Spark; the oracle walks the symmetric edge relation
+  //  with a recursive CTE — every (node, reachable-node) pair, then
+  //  min per node = the component's minimum id)
+  val q49DedupClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "text", "doc_id", n = 3, threshold = 0.5))
+  val q49Sql: String = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node)
+    SELECT node AS id, min(label) AS cluster FROM walk GROUP BY node"""
+
   // ————————————————————————————— simhash Hamming near-dup pairs
   // (multi-index banding: 4 slices of the 16-bit digest; any pair within
   //  Hamming distance 2 < 4 bands shares a slice — full recall; exact
@@ -387,7 +419,8 @@ object OpsQueries {
     "q41_winnowing" -> q41Winnowing,
     "q42_jaccard_df_pruned" -> q42JaccardDfPruned,
     "q43_ann_ivf_indexed" -> q43AnnIvfIndexed,
-    "q44_simhash_neardup" -> q44SimhashNearDup)
+    "q44_simhash_neardup" -> q44SimhashNearDup,
+    "q49_dedup_clusters" -> q49DedupClusters)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -406,5 +439,6 @@ object OpsQueries {
     "q41_winnowing" -> q41Sql,
     "q42_jaccard_df_pruned" -> q42Sql,
     "q43_ann_ivf_indexed" -> q25Sql,
-    "q44_simhash_neardup" -> q44Sql)
+    "q44_simhash_neardup" -> q44Sql,
+    "q49_dedup_clusters" -> q49Sql)
 }

@@ -58,6 +58,17 @@ class OpsSpec extends SparkSpec {
     assert(brute == banded)
   }
 
+  test("connected components collapse transitive duplicate chains") {
+    import spark.implicits._
+    // chain 1-2-3 (A≈B≈C without A≈C edge), pair 10-11, crossing pair 3-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 20L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("brute-force ANN: top-1 of a vector against itself is itself") {
     val queryDf = emb.filter(col("vec_id") === 42)
       .select(Similarity.asDouble(col("embedding")).as("qvec"))
