@@ -54,6 +54,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch top-k: one ranked scan answers a whole batch of query vectors
+    * (`queries`: (q_id, qvec array<double>), small + broadcast) — Q
+    * queries cost ONE pass over the vector table plus a per-query-group
+    * window, not Q scans. Ordering uses the 4-d.p.-rounded score with id
+    * tiebreak, as [[bruteForceTopK]].
+    */
+  def bruteForceTopKBatch(vectors: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol))
+    vectors.crossJoin(broadcast(queries))
+      .select(col("q_id"), col(idCol),
+        round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Assign each vector to its nearest centroid (max cosine, centroid-id
     * tiebreak). `centroids`: (cid, cvec array<double>), small + broadcast.
     */

@@ -207,6 +207,32 @@ object OpsQueries {
     FROM embeddings, q WHERE vec_id > 0
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  // ————————————————————————————— ANN: batched multi-query top-k
+  // (one ranked scan answers all 5 queries — the shape a serving batch
+  //  uses; Q separate scans would multiply the dominant cost by Q)
+  val q50AnnBatch: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.bruteForceTopKBatch(emb.filter(col("vec_id") >= 5), queries, k = 5)
+  }
+  val q50Sql: String = """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (SELECT q_id, vec_id,
+        round(list_dot_product(e, qe)
+          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4)
+          AS cos_sim
+      FROM v, q),
+    ranked AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5"""
+
   // ———————————————————————————————————————————— ANN: IVF (bucketed) top-k
   val q25AnnIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -420,7 +446,8 @@ object OpsQueries {
     "q42_jaccard_df_pruned" -> q42JaccardDfPruned,
     "q43_ann_ivf_indexed" -> q43AnnIvfIndexed,
     "q44_simhash_neardup" -> q44SimhashNearDup,
-    "q49_dedup_clusters" -> q49DedupClusters)
+    "q49_dedup_clusters" -> q49DedupClusters,
+    "q50_ann_batch" -> q50AnnBatch)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -440,5 +467,6 @@ object OpsQueries {
     "q42_jaccard_df_pruned" -> q42Sql,
     "q43_ann_ivf_indexed" -> q25Sql,
     "q44_simhash_neardup" -> q44Sql,
-    "q49_dedup_clusters" -> q49Sql)
+    "q49_dedup_clusters" -> q49Sql,
+    "q50_ann_batch" -> q50Sql)
 }
