@@ -510,6 +510,22 @@ object RelationalQueries {
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"""
 
+  // ———————————————————————————————————————————— set collection per group
+  // (collect_set is unordered — sort_array + array_join canonicalize so
+  //  both engines emit the identical string; the array itself would also
+  //  defeat the driver's value hashing on rendering differences)
+  val q51CollectTypes: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+  val q51Sql: String = """
+    SELECT user_id,
+      array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -536,7 +552,8 @@ object RelationalQueries {
     "q38_explode" -> q38Explode,
     "q46_percentiles" -> q46Percentiles,
     "q47_cube" -> q47Cube,
-    "q48_rank_family" -> q48RankFamily)
+    "q48_rank_family" -> q48RankFamily,
+    "q51_collect_types" -> q51CollectTypes)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -564,5 +581,6 @@ object RelationalQueries {
     "q38_explode" -> q38Sql,
     "q46_percentiles" -> q46Sql,
     "q47_cube" -> q47Sql,
-    "q48_rank_family" -> q48Sql)
+    "q48_rank_family" -> q48Sql,
+    "q51_collect_types" -> q51Sql)
 }

@@ -31,6 +31,24 @@ class ScaleSpec extends SparkSpec {
     assert(direct.except(salted).count() == 0)
   }
 
+  test("approximate aggregates stay inside their error envelopes") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx"),
+      expr("percentile(value, 0.5)").as("exact_med"),
+      expr("approx_percentile(value, 0.5, 10000)").as("approx_med")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    // HLL++ default rsd = 5%; allow 3x slack for one draw
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx_count_distinct too far off: $approx vs $exact")
+    val (em, am) = (row.getDouble(2), row.getDouble(3))
+    // with accuracy 10000 over 100k rows the rank error is <= 1e-4*n,
+    // so the approximate median must land within the central value band
+    assert(math.abs(am - em) <= 0.05 * math.max(math.abs(em), 1.0),
+      s"approx_percentile drifted: $am vs $em")
+  }
+
   test("bucketed tables join with zero exchanges") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     Scale.writeBucketed(Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice"),
