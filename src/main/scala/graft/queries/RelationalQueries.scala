@@ -526,6 +526,35 @@ object RelationalQueries {
       count(DISTINCT event_type) AS n_types
     FROM events GROUP BY 1"""
 
+  // ———————————————————————————————————————————— temporal arithmetic
+  // (month floor, day diff, clamped month add, month end, year parts —
+  //  everything surfaced as BIGINT epoch-ms/counts so types align; both
+  //  engines clamp month addition to the shorter month's end)
+  val q52DateMath: Q = (s, dir) => {
+    val d = col("o_orderdate").cast("timestamp")
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      unix_millis(date_trunc("month", d)).as("month_start_ms"),
+      datediff(d.cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("epoch_days"),
+      unix_millis(add_months(d.cast("date"), 3).cast("timestamp")).as("plus3mo_ms"),
+      unix_millis(last_day(d.cast("date")).cast("timestamp")).as("month_end_ms"),
+      quarter(d).cast("long").as("qtr"),
+      dayofyear(d).cast("long").as("doy"))
+  }
+  val q52Sql: String = """
+    SELECT o_orderkey,
+      epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+      CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        AS epoch_days,
+      epoch_ms(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP))
+        AS plus3mo_ms,
+      epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))
+        AS month_end_ms,
+      CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+    FROM orders"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -553,7 +582,8 @@ object RelationalQueries {
     "q46_percentiles" -> q46Percentiles,
     "q47_cube" -> q47Cube,
     "q48_rank_family" -> q48RankFamily,
-    "q51_collect_types" -> q51CollectTypes)
+    "q51_collect_types" -> q51CollectTypes,
+    "q52_date_math" -> q52DateMath)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -582,5 +612,6 @@ object RelationalQueries {
     "q46_percentiles" -> q46Sql,
     "q47_cube" -> q47Sql,
     "q48_rank_family" -> q48Sql,
-    "q51_collect_types" -> q51Sql)
+    "q51_collect_types" -> q51Sql,
+    "q52_date_math" -> q52Sql)
 }
