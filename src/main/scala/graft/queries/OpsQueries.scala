@@ -113,6 +113,22 @@ object OpsQueries {
         AS BIGINT) AS simhash
     FROM sums GROUP BY 1"""
 
+  // ————————————————————————————— deterministic train/val/test split
+  // (md5-bucket assignment — stable under any partitioning/engine, which
+  //  df.sample()/TABLESAMPLE are not; the property eval splits need)
+  val q53SplitAssign: Q = (s, dir) =>
+    graft.ops.Sampling.hashSplit(
+      Tables.documents(s, dir).select(col("doc_id")),
+      "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+  val q53Sql: String = """
+    SELECT doc_id,
+      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+        AS split
+    FROM (SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+              % 100 AS b
+          FROM documents)"""
+
   // ————————————————————————————— duplicate-cluster assignment
   // (connected components over the jaccard pair graph: min-label
   //  propagation in Spark; the oracle walks the symmetric edge relation
@@ -447,7 +463,8 @@ object OpsQueries {
     "q43_ann_ivf_indexed" -> q43AnnIvfIndexed,
     "q44_simhash_neardup" -> q44SimhashNearDup,
     "q49_dedup_clusters" -> q49DedupClusters,
-    "q50_ann_batch" -> q50AnnBatch)
+    "q50_ann_batch" -> q50AnnBatch,
+    "q53_split_assign" -> q53SplitAssign)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -468,5 +485,6 @@ object OpsQueries {
     "q43_ann_ivf_indexed" -> q25Sql,
     "q44_simhash_neardup" -> q44Sql,
     "q49_dedup_clusters" -> q49Sql,
-    "q50_ann_batch" -> q50Sql)
+    "q50_ann_batch" -> q50Sql,
+    "q53_split_assign" -> q53Sql)
 }

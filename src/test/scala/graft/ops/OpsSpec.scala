@@ -58,6 +58,24 @@ class OpsSpec extends SparkSpec {
     assert(brute == banded)
   }
 
+  test("hash split: stable assignment, sane proportions, sample ≡ first bucket") {
+    val split = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).cache()
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    // md5 buckets are uniform; allow wide slack at this corpus size
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // re-running yields the identical assignment (stability is the point)
+    val again = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.except(again).count() == 0)
+    // hashSample(pct=80) selects exactly the train bucket
+    val sampled = Sampling.hashSample(docs.select(col("doc_id")), "doc_id", 80)
+    assert(sampled.count() == counts("train"))
+  }
+
   test("connected components collapse transitive duplicate chains") {
     import spark.implicits._
     // chain 1-2-3 (A≈B≈C without A≈C edge), pair 10-11, crossing pair 3-20
