@@ -57,4 +57,23 @@ object Multimodal {
       }
     }
   }
+
+  /** Frame sampling over decoded video rows: every `stride`-th frame index
+    * becomes its own row with a deterministic STUB frame fingerprint
+    * (md5-derived). A real pipeline swaps the fingerprint expression for a
+    * decoded frame tensor/embedding; the explode shape, keys, and
+    * per-frame row contract stay identical — and the explode is a narrow
+    * generator, so frame fan-out never shuffles.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int = 5): DataFrame = {
+    require(stride > 0)
+    decoded.filter(col("media_type") === "video" && col("ok"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .withColumn("frame_fp",
+        conv(substring(md5(concat_ws(":", col("media_id"), col("frame_idx"))),
+          1, 8), 16, 10).cast("long"))
+  }
 }

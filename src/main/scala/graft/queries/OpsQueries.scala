@@ -444,6 +444,24 @@ object OpsQueries {
       octet_length(encode(text)) > 0 AS ok
     FROM documents"""
 
+  // ————————————————————————————— multimodal frame sampling
+  // (video rows fan out to every 5th frame index with a deterministic
+  //  stub frame fingerprint — narrow generator, no shuffle; a real
+  //  pipeline swaps the fingerprint for the decoded frame payload)
+  val q54FrameSample: Q = (s, dir) => {
+    val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.sampleFrames(Multimodal.decodeBatched(s, media).toDF(), stride = 5)
+  }
+  val q54Sql: String = """
+    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS bl
+               FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT media_id, 1 + bl % 30 AS n_frames FROM m WHERE bl > 0),
+    fr AS (SELECT media_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM f)
+    SELECT media_id, frame_idx,
+      CAST(('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
+        || CAST(frame_idx AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_fp
+    FROM fr"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -464,7 +482,8 @@ object OpsQueries {
     "q44_simhash_neardup" -> q44SimhashNearDup,
     "q49_dedup_clusters" -> q49DedupClusters,
     "q50_ann_batch" -> q50AnnBatch,
-    "q53_split_assign" -> q53SplitAssign)
+    "q53_split_assign" -> q53SplitAssign,
+    "q54_frame_sample" -> q54FrameSample)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -486,5 +505,6 @@ object OpsQueries {
     "q44_simhash_neardup" -> q44Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q50_ann_batch" -> q50Sql,
-    "q53_split_assign" -> q53Sql)
+    "q53_split_assign" -> q53Sql,
+    "q54_frame_sample" -> q54Sql)
 }
