@@ -35,13 +35,24 @@ object Sinks {
       format_string("%+03d%02d", (offMin / 60).cast("int"), abs(offMin % 60).cast("int")))
   }
 
-  /** K1: cleaned logs partitioned by year/month/day/countryCode. */
+  /** K1: cleaned logs partitioned by year/month/day/countryCode.
+    *
+    * The repartition on the partition keys routes each output directory's
+    * rows to ONE task, so every dir holds one parquet file instead of
+    * one-per-shuffle-partition (measured: 960 → ~#dirs files on the 200k
+    * corpus). Without it, a 100 TB run with thousands of reducers sprays
+    * every dir with thousands of small files — the small-file problem at
+    * the sink. A pathologically hot partition dir would serialize into
+    * one task; if that ever dominates, add a bounded salt column to the
+    * repartition (k files per dir) without changing the layout.
+    */
   def writeCleanedLogs(df: DataFrame, outDir: String): Unit =
     df.filter(col("countryCode").isNotNull)
       .withColumn("time", timeString(col("time")))
       .withColumn("year", col("request_year").cast("string"))
       .withColumn("month", format_string("%02d", col("request_month")))
       .withColumn("day", format_string("%02d", col("request_day")))
+      .repartition(col("year"), col("month"), col("day"), col("countryCode"))
       .write.partitionBy("year", "month", "day", "countryCode")
       .mode("overwrite").parquet(s"$outDir/cleaned_logs")
 
