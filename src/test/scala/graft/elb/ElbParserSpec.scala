@@ -38,6 +38,23 @@ class ElbParserSpec extends SparkSpec {
     assert(parsed.count() == ElbFixtures.allLines.size - 2)
   }
 
+  test("a legitimately empty quoted 29th field does not reject the row") {
+    import org.apache.spark.sql.functions._
+    // 29 tokens present, last field "" — the CSV reader's default
+    // nullValue ("") used to null it and trip the F1 short-row filter;
+    // the shlex-parity behavior is to KEEP the row with an empty string
+    val line = ElbFixtures.golden.stripSuffix("\"-\"") + "\"\""
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(line), Row(ElbFixtures.shortLine)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .withColumn("log_source_file", lit("mem"))
+    val out = ElbParser.enrich(ElbParser.tokenize(df))
+    assert(out.count() == 1, "empty quoted tail field must be kept")
+    assert(out.head.getAs[String]("classification_reason") == "")
+  }
+
   test("'-' sentinels null the numerics and the latency") {
     val r = rowFor("10.0.0.1")
     assert(r.isNullAt(r.fieldIndex("total_processing_time_ms")))

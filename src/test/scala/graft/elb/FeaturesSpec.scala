@@ -93,4 +93,26 @@ class FeaturesSpec extends SparkSpec {
     // all rows have total 60.0 ms ⇒ avg stays 60
     assert(rows.forall(r => math.abs(r.getAs[Double]("rolling_1h_avg_proc_time") - 60.0) < 1e-6))
   }
+
+  test("the whole window block plans ONE exchange and ONE sort") {
+    val path = ElbFixtures.standardFixture()
+    val featured = Features(ElbParser.parse(spark, Seq(path)))
+    val plan = featured.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    // lag + sessionization + both rolling frames share the client_ip
+    // partitioning and the _ts_us sort — the headline plan property the
+    // feature stage relies on at 100 TB
+    assert(exchanges.length == 1,
+      s"expected exactly one shuffle, got ${exchanges.length}:\n$plan")
+    assert(exchanges.head.toString.contains("client_ip"))
+    assert(sorts.length == 1,
+      s"expected exactly one sort, got ${sorts.length}:\n$plan")
+  }
 }
