@@ -40,8 +40,15 @@ object UaFunctions {
         .when(has(ua, "facebookexternalhit"), "FacebookBot")
         // generic crawler capture: the family is the bot/spider token
         // itself (AhrefsBot, SemrushBot, Applebot, Bytespider, …), the
-        // convention public rulesets follow for the crawler long tail
-        .when(ua.rlike(botTokenPat), regexp_extract(ua, botTokenPat, 1))
+        // convention public rulesets follow for the crawler long tail.
+        // The context guard keeps device models ending in "bot" (Cubot
+        // phones) from hijacking real browser UAs: crawlers either
+        // declare "(compatible; …)" / a +http contact URL, or carry no
+        // browser engine tokens at all
+        .when(ua.rlike(botTokenPat) &&
+            (has(ua, "compatible[;)]|\\+http") ||
+             !has(ua, "\\bchrome/|\\bsafari/|\\bfirefox/|\\bedge?/")),
+          regexp_extract(ua, botTokenPat, 1))
         // HTTP tools and in-app/mail clients
         .when(has(ua, "python-urllib"), "Python-urllib")
         .when(has(ua, "python-requests"), "Python Requests")

@@ -64,7 +64,15 @@ object GeoCache {
     val fs = dst.getFileSystem(
       updated.sparkSession.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$path.old-$token")
-    val displaced = fs.exists(dst) && fs.rename(dst, old)
+    val hadLive = fs.exists(dst)
+    val displaced = hadLive && fs.rename(dst, old)
+    // If the live cache exists but cannot be moved aside, ABORT: Hadoop's
+    // rename(tmp, dst) onto an existing directory nests tmp INSIDE dst
+    // and returns true — the promote would "succeed" while corrupting
+    // the cache layout and silently dropping the fresh rows.
+    if (hadLive && !displaced) throw new java.io.IOException(
+      s"geo cache rewrite aborted: cannot move live cache $path aside; " +
+      s"fresh data left at $tmp, live cache untouched")
     // Hadoop signals many rename failures by returning false, not
     // throwing — swallowing it here would silently lose the cache
     if (!fs.rename(tmp, dst)) {

@@ -148,7 +148,7 @@ object Dedup {
     * bounds the worst case. Only ids appearing in `pairs` are returned —
     * singletons are their own keeper by definition.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
@@ -170,6 +170,12 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // an unconverged fixpoint means WRONG labels (the min is still
+    // travelling) — fail loudly rather than return a plausible answer
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+      s"($changed labels still changing) — the pair graph has a component " +
+      "with diameter above maxIter; raise it")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -67,7 +67,10 @@ object Multimodal {
     */
   def sampleFrames(decoded: DataFrame, stride: Int = 5): DataFrame = {
     require(stride > 0)
-    decoded.filter(col("media_type") === "video" && col("ok"))
+    // n_frames > 0 keeps the generator total: a real codec can report
+    // ok=true with zero frames, and sequence(0, -1, stride) throws
+    decoded.filter(col("media_type") === "video" && col("ok") &&
+        col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))

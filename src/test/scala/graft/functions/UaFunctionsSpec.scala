@@ -72,6 +72,10 @@ class UaFunctionsSpec extends SparkSpec {
       "UC Browser", "Android", false),
     ("Mozilla/5.0 (Linux; U; Android 13; en-us; 22101316G Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/112.0.5615.136 Mobile Safari/537.36 XiaoMi/MiuiBrowser/14.20.0-gn",
       "MiuiBrowser", "Android", false),
+    // device model ends in "bot" — must NOT hijack the browser family
+    // (the reference's token heuristic still flags it a bot: known FP)
+    ("Mozilla/5.0 (Linux; Android 11; Cubot Note 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.101 Mobile Safari/537.36",
+      "Chrome Mobile", "Android", true),
     // ——— WebViews, in-app browsers, devices
     ("Mozilla/5.0 (Linux; Android 10; K; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/120.0.6099.210 Mobile Safari/537.36",
       "Chrome Mobile WebView", "Android", false),

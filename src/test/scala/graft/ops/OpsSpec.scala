@@ -87,6 +87,21 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: long chains converge, and an unconverged run throws") {
+    import spark.implicits._
+    // a 30-hop path needs 30 propagation rounds — above the old silent
+    // default; must converge under the current one and label everything 0
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 31 && cc.values.forall(_ == 0L))
+    // with maxIter below the diameter the result would be WRONG — it
+    // must fail loudly, never return plausible labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5).collect()
+    }
+  }
+
   test("brute-force ANN: top-1 of a vector against itself is itself") {
     val queryDf = emb.filter(col("vec_id") === 42)
       .select(Similarity.asDouble(col("embedding")).as("qvec"))
