@@ -85,13 +85,36 @@ object ElbQueries {
     * epoch microseconds — both engines floor the same instant identically,
     * sidestepping parquet-timestamp representation mismatches.
     */
-  val q18ElbPipeline: Q = (s, dir) =>
-    featured(s, dir).select(
+  private def pipelineSelect(featured: DataFrame): DataFrame =
+    featured.select(
       unix_micros(col("time")).as("time_us"),
       col("client_ip"), col("http_method"), col("hostname"), col("path"),
       col("status_code_type"), col("countryName"), col("city"), col("is_bot"),
       col("session_id"),
       col("rolling_5min_req_count"), col("rolling_1h_avg_proc_time"))
+
+  val q18ElbPipeline: Q = (s, dir) => pipelineSelect(featured(s, dir))
+
+  // —————————————————————————————————————— staged landing-zone variant
+  // (the 100 TB ingest shape: one-pass recompression of the non-splittable
+  //  gz corpus into splittable zstd parquet, then the identical pipeline —
+  //  same oracle as q18, proving the staged path bit-identical)
+  private val stagedZstd = scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  val q55ElbStaged: Q = (s, dir) => {
+    val rows = rowsFor(dir)
+    val glob = SyntheticElb.dataset(rows)
+    stageRawLines(s, rows)
+    val zdir = stagedZstd.getOrElseUpdate(rows, {
+      val p = s"${stagedDir(rows)}/landing_zstd.parquet"
+      graft.elb.Ingest.recompress(s, Seq(glob), p, targetPartitions = 8)
+      p
+    })
+    val parsed = graft.elb.Ingest.parseStaged(s, zdir)
+    val enriched =
+      GeoCache.enrich(s, parsed, geoCachePath(rows), new OfflineGeoResolver())
+    pipelineSelect(Features(enriched))
+  }
 
   /** The hourly rollup (A1) over the synthetic pipeline output. Group keys
     * widened to long for the oracle compare (DuckDB date parts are BIGINT);
@@ -276,10 +299,12 @@ object ElbQueries {
   val all: Map[String, Q] = Map(
     "q18_elb_pipeline" -> q18ElbPipeline,
     "q32_elb_hourly_rollup" -> q32ElbHourlyRollup,
-    "q45_elb_stream" -> q45ElbStream)
+    "q45_elb_stream" -> q45ElbStream,
+    "q55_elb_staged" -> q55ElbStaged)
 
   val oracles: Map[String, String] = Map(
     "q18_elb_pipeline" -> q18Sql,
     "q32_elb_hourly_rollup" -> q32Sql,
-    "q45_elb_stream" -> q45Sql)
+    "q45_elb_stream" -> q45Sql,
+    "q55_elb_staged" -> q18Sql)
 }
