@@ -62,6 +62,9 @@ object Bench {
     once("q03_revenue_by_nation")
     once("q01_hourly_agg")
     once("q18_elb_pipeline")
+    // q55's warm-up covers the one-time zstd landing-zone staging write,
+    // which would otherwise be billed to its first timed iteration
+    once("q55_elb_staged")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     def obj(f: ((Double, Double)) => Double) = results

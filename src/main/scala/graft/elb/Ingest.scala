@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * a splittable staging table: raw lines as zstd parquet, carrying the
   * originating file. Every downstream stage then parallelizes by HDFS/S3
   * split instead of by source file, and the parse projection runs over
-  * balanced partitions. The pass itself is narrow (no shuffle) and scales
-  * with file count.
+  * balanced partitions. The default pass is narrow (no shuffle, one task
+  * per source file); the optional `targetPartitions` rebalance IS a
+  * shuffle of the raw lines, for few/skewed source files.
   */
 object Ingest {
 
   /** Stage raw `.gz` log lines into splittable zstd parquet
-    * (`value`, `log_source_file`).
+    * (`value`, `log_source_file`). With the default `targetPartitions = 0`
+    * the pass is narrow (one task per gz file); a positive value inserts a
+    * `repartition` — a full SHUFFLE of the raw lines — worth paying only
+    * when the source files are few or badly skewed.
     */
   def recompress(spark: SparkSession, inputGlobs: Seq[String], outDir: String,
       targetPartitions: Int = 0): Unit = {

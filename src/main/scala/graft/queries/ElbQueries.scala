@@ -70,14 +70,19 @@ object ElbQueries {
     * Pipeline's persist-then-fan-out is right for its four sinks that
     * consume everything; it is wrong here).
     */
+  /** Enrich + feature chain over an already-parsed frame — shared by the
+    * gz (q18/q32) and staged (q55) paths so the two pipelines the shared
+    * oracle proves identical cannot drift apart.
+    */
+  private def featuredFrom(s: SparkSession, rows: Int, parsed: DataFrame): DataFrame =
+    Features(
+      GeoCache.enrich(s, parsed, geoCachePath(rows), new OfflineGeoResolver()))
+
   private def featured(s: SparkSession, dir: String): DataFrame = {
     val rows = rowsFor(dir)
     val glob = SyntheticElb.dataset(rows)
     stageRawLines(s, rows)
-    val parsed = ElbParser.parse(s, Seq(glob))
-    val enriched =
-      GeoCache.enrich(s, parsed, geoCachePath(rows), new OfflineGeoResolver())
-    Features(enriched)
+    featuredFrom(s, rows, ElbParser.parse(s, Seq(glob)))
   }
 
   /** Full reference pipeline minus sinks: parse → geo enrich (offline
@@ -96,24 +101,25 @@ object ElbQueries {
   val q18ElbPipeline: Q = (s, dir) => pipelineSelect(featured(s, dir))
 
   // —————————————————————————————————————— staged landing-zone variant
-  // (the 100 TB ingest shape: one-pass recompression of the non-splittable
-  //  gz corpus into splittable zstd parquet, then the identical pipeline —
-  //  same oracle as q18, proving the staged path bit-identical)
-  private val stagedZstd = scala.collection.concurrent.TrieMap.empty[Int, String]
+  // (the 100 TB ingest shape: narrow one-pass recompression of the
+  //  non-splittable gz corpus into splittable zstd parquet — no
+  //  targetPartitions rebalance, which would be a shuffle — then the
+  //  identical pipeline; same oracle as q18, proving the staged path
+  //  bit-identical)
+  private def zstdPath(rows: Int): String =
+    s"${stagedDir(rows)}/landing_zstd.parquet"
+  private val zstdStaged = scala.collection.concurrent.TrieMap.empty[Int, Boolean]
 
   val q55ElbStaged: Q = (s, dir) => {
     val rows = rowsFor(dir)
     val glob = SyntheticElb.dataset(rows)
     stageRawLines(s, rows)
-    val zdir = stagedZstd.getOrElseUpdate(rows, {
-      val p = s"${stagedDir(rows)}/landing_zstd.parquet"
-      graft.elb.Ingest.recompress(s, Seq(glob), p, targetPartitions = 8)
-      p
+    zstdStaged.getOrElseUpdate(rows, {
+      graft.elb.Ingest.recompress(s, Seq(glob), zstdPath(rows))
+      true
     })
-    val parsed = graft.elb.Ingest.parseStaged(s, zdir)
-    val enriched =
-      GeoCache.enrich(s, parsed, geoCachePath(rows), new OfflineGeoResolver())
-    pipelineSelect(Features(enriched))
+    pipelineSelect(
+      featuredFrom(s, rows, graft.elb.Ingest.parseStaged(s, zstdPath(rows))))
   }
 
   /** The hourly rollup (A1) over the synthetic pipeline output. Group keys
