@@ -179,6 +179,18 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Keep one document per duplicate cluster: drops every id that belongs
+    * to a cluster but is not its minimum ([[connectedComponents]] labels).
+    * Ids absent from `pairs` are singletons and always kept — the final
+    * step of the pair → cluster → keeper dedup chain.
+    */
+  def dedupedByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val dupes = connectedComponents(pairs, maxIter)
+      .where(col("id") =!= col("cluster"))
+    df.join(dupes, df(idCol) === dupes("id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs via multi-index Hamming search: the 16-bit
     * digest is split into `bands` equal slices; two digests within
     * Hamming distance < `bands` must share at least one identical slice

@@ -87,6 +87,16 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupedByClusters keeps cluster minima and all singletons") {
+    import spark.implicits._
+    val universe = (0L to 25L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 20L)).toDF("a", "b")
+    val kept = Dedup.dedupedByClusters(universe, "doc_id", pairs)
+      .as[Long].collect().toSet
+    // dropped: 2,3,20 (cluster 1) and 11 (cluster 10); everything else kept
+    assert(kept == (0L to 25L).toSet -- Set(2L, 3L, 20L, 11L))
+  }
+
   test("connected components: long chains converge, and an unconverged run throws") {
     import spark.implicits._
     // a 30-hop path needs 30 propagation rounds — above the old silent
