@@ -62,18 +62,93 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: ONE traversal of the pair accumulating
+  * dot(a,b), dot(a,a), dot(b,b) — the composed form costs three passes
+  * over the arrays per row. Accumulation order per accumulator is the
+  * same left-to-right order as three separate [[DotProduct]] loops, and
+  * the final `dab / (sqrt(daa) * sqrt(dbb))` is the identical arithmetic,
+  * so fusing CANNOT change a single bit of any result (zero-norm inputs
+  * yield the same NaN). Null semantics mirror the composition: null if
+  * either array is null; a null *element* drops out of the accumulators
+  * it would have fed.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    val n = math.max(na, nb)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val hasA = i < na && !x.isNullAt(i)
+      val hasB = i < nb && !y.isNullAt(i)
+      if (hasA) { val v = x.getDouble(i); daa += v * v }
+      if (hasB) { val w = y.getDouble(i); dbb += w * w }
+      if (hasA && hasB) dab += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dab / (java.lang.Math.sqrt(daa) * java.lang.Math.sqrt(dbb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dab = ctx.freshName("dab")
+      val daa = ctx.freshName("daa")
+      val dbb = ctx.freshName("dbb")
+      val hasA = ctx.freshName("hasA")
+      val hasB = ctx.freshName("hasB")
+      val v = ctx.freshName("v")
+      val w = ctx.freshName("w")
+      s"""
+         |int $na = $x.numElements();
+         |int $nb = $y.numElements();
+         |int $n = java.lang.Math.max($na, $nb);
+         |double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  boolean $hasA = $i < $na && !$x.isNullAt($i);
+         |  boolean $hasB = $i < $nb && !$y.isNullAt($i);
+         |  if ($hasA) { double $v = $x.getDouble($i); $daa += $v * $v; }
+         |  if ($hasB) { double $w = $y.getDouble($i); $dbb += $w * $w; }
+         |  if ($hasA && $hasB) { $dab += $x.getDouble($i) * $y.getDouble($i); }
+         |}
+         |${ev.value} = $dab / (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   val functionName = "dot_product"
+  val cosineName = "cosine_sim"
 
-  /** Idempotent per-session registration (temp function). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration (temp functions). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       functionName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      cosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** Column-level dot product; requires [[register]] (or the extensions
     * class below) on the session.
     */
   def dotProduct(a: Column, b: Column): Column = call_function(functionName, a, b)
+
+  /** Column-level fused cosine similarity; requires [[register]]. */
+  def cosineSim(a: Column, b: Column): Column = call_function(cosineName, a, b)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the
@@ -81,9 +156,14 @@ object VectorExpressions {
   * and entry points may also call `VectorExpressions.register`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier(VectorExpressions.functionName),
       new ExpressionInfo(classOf[DotProduct].getName, VectorExpressions.functionName),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExpressions.cosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, VectorExpressions.cosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
 }

@@ -33,8 +33,12 @@ object Similarity {
   def fastDot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
+  /** Fused single-pass cosine ([[graft.functions.CosineSimilarity]]) —
+    * bit-identical to `dot(a,b)/(√dot(a,a)·√dot(b,b))` but one array
+    * traversal instead of three on the ANN hot path.
+    */
   private def fastCosine(a: Column, b: Column): Column =
-    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

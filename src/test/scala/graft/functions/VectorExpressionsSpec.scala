@@ -33,6 +33,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 11.0)
   }
 
+  test("fused CosineSimilarity is bit-identical to the composed three-pass formula") {
+    VectorExpressions.register(spark)
+    val emb = graft.queries.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val pairs = emb.as("x").crossJoin(emb.as("y"))
+      .where(col("x.vec_id") < col("y.vec_id") && col("x.vec_id") < 30)
+    val rows = pairs.select(
+      VectorExpressions.cosineSim(col("x.e"), col("y.e")).as("fused"),
+      (VectorExpressions.dotProduct(col("x.e"), col("y.e")) /
+        (sqrt(VectorExpressions.dotProduct(col("x.e"), col("x.e"))) *
+         sqrt(VectorExpressions.dotProduct(col("y.e"), col("y.e")))))
+        .as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fused ${r.getDouble(0)} != composed ${r.getDouble(1)}"))
+  }
+
   test("registration via GraftExtensions exposes dot_product to SQL") {
     // same-JVM second session with the extensions class
     val s2 = org.apache.spark.sql.SparkSession.builder()
