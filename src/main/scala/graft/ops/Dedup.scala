@@ -132,6 +132,35 @@ object Dedup {
       .distinct()
   }
 
+  /** The production near-dup composition at scale: MinHash+LSH candidate
+    * generation (cost ∝ Σ bucket²) followed by EXACT n-gram Jaccard
+    * verification computed only for the candidate pairs — never all
+    * pairs. Intersections come from joining each candidate against the
+    * two documents' shingle rows on shingle equality; sizes are per-doc
+    * counts (broadcast-or-shuffle left to the optimizer). Precision is
+    * exact; recall is the LSH banding's.
+    */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN,
+      numHashes, rowsPerBand)
+    val sh = shingleRows(df, textCol, idCol, shingleN)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("x"), col("a") === col("x.id"))
+      .join(sh.as("y"),
+        col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Connected components over a near-dup pair list: every document gets
     * the minimum id of its duplicate cluster as `cluster` — the "keep one
     * per duplicate CLUSTER" step that follows pair generation in a dedup

@@ -94,6 +94,44 @@ object OpsQueries {
     FROM bands x JOIN bands y
       ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id"""
 
+  // ——————————————————————— LSH candidates + exact-Jaccard verification
+  // (the production dedup composition: generate via banding, verify
+  //  exactly ONLY on candidates — oracle recomputes both stages in SQL)
+  val q56MinhashVerified: Q = (s, dir) =>
+    Dedup.minhashNearDupPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3,
+      threshold = 0.5)
+  val q56Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+                  AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.a, c.b, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY 1, 2)
+    SELECT a, b, jaccard FROM (
+      SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+    WHERE jaccard >= 0.5"""
+
   // ———————————————————————————————————————————— 16-bit simhash digests
   val q22Simhash: Q = (s, dir) =>
     Tables.documents(s, dir).filter(col("doc_id") < 500)
@@ -483,7 +521,8 @@ object OpsQueries {
     "q49_dedup_clusters" -> q49DedupClusters,
     "q50_ann_batch" -> q50AnnBatch,
     "q53_split_assign" -> q53SplitAssign,
-    "q54_frame_sample" -> q54FrameSample)
+    "q54_frame_sample" -> q54FrameSample,
+    "q56_minhash_verified" -> q56MinhashVerified)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -506,5 +545,6 @@ object OpsQueries {
     "q49_dedup_clusters" -> q49Sql,
     "q50_ann_batch" -> q50Sql,
     "q53_split_assign" -> q53Sql,
-    "q54_frame_sample" -> q54Sql)
+    "q54_frame_sample" -> q54Sql,
+    "q56_minhash_verified" -> q56Sql)
 }
