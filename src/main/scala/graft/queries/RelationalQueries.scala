@@ -555,6 +555,32 @@ object RelationalQueries {
       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
     FROM orders"""
 
+  // ———————————————————————————————————————————— math-function batch
+  // (sqrt is IEEE-correctly-rounded — bit-identical unrounded; the
+  //  transcendentals get a 6-d.p. round to absorb any libm ulp)
+  val q57MathFuncs: Q = (s, dir) =>
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      sqrt(col("l_quantity")).as("sqrt_qty"),
+      round(log(col("l_extendedprice")), 6).as("ln_price"),
+      round(log10(col("l_extendedprice")), 6).as("log10_price"),
+      (col("l_discount") * col("l_discount")).as("sq_disc"),
+      signum(col("l_discount") - 0.05).cast("long").as("sign_disc"),
+      ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+      floor(col("l_extendedprice")).cast("long").as("floor_price"),
+      abs(col("l_quantity") - 25).as("abs_qty_dev"))
+  val q57Sql: String = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      sqrt(l_quantity) AS sqrt_qty,
+      round(ln(l_extendedprice), 6) AS ln_price,
+      round(log10(l_extendedprice), 6) AS log10_price,
+      l_discount * l_discount AS sq_disc,
+      CAST(sign(l_discount - 0.05) AS BIGINT) AS sign_disc,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      abs(l_quantity - 25) AS abs_qty_dev
+    FROM lineitem"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -583,7 +609,8 @@ object RelationalQueries {
     "q47_cube" -> q47Cube,
     "q48_rank_family" -> q48RankFamily,
     "q51_collect_types" -> q51CollectTypes,
-    "q52_date_math" -> q52DateMath)
+    "q52_date_math" -> q52DateMath,
+    "q57_math_funcs" -> q57MathFuncs)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -613,5 +640,6 @@ object RelationalQueries {
     "q47_cube" -> q47Sql,
     "q48_rank_family" -> q48Sql,
     "q51_collect_types" -> q51Sql,
-    "q52_date_math" -> q52Sql)
+    "q52_date_math" -> q52Sql,
+    "q57_math_funcs" -> q57Sql)
 }
