@@ -67,6 +67,21 @@ object Dedup {
     * shingle universe (near-dup pairs lose the same shingles from both
     * sides). This is the 100 TB-safe configuration.
     */
+  /** Shared scoring tail: per-pair intersection counts + per-doc sizes →
+    * jaccard ≥ threshold. The size lookups are one row per document, so
+    * the optimizer/AQE picks broadcast when the doc count is small and
+    * falls back to a shuffle join when it isn't — a forced broadcast()
+    * would OOM on a 100 TB corpus (one row per document is unbounded).
+    */
+  private def jaccardScored(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
+      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
@@ -76,16 +91,7 @@ object Dedup {
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    // per-doc size lookups: one row per document, so the optimizer/AQE
-    // picks broadcast when the doc count is small and falls back to a
-    // shuffle join when it isn't — a forced broadcast() would OOM on a
-    // 100 TB corpus (one row per document is unbounded)
-    inter
-      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
-      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    jaccardScored(inter, sizes, threshold)
   }
 
   /** MinHash signatures: `numHashes` independent permutations simulated as
@@ -152,13 +158,7 @@ object Dedup {
       .join(sh.as("y"),
         col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
-      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
-      .withColumn("jaccard",
-        col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    jaccardScored(inter, sizes, threshold)
   }
 
   /** Connected components over a near-dup pair list: every document gets
