@@ -62,4 +62,23 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("float arrays are implicitly widened, not read as garbage strides") {
+    VectorExpressions.register(spark)
+    // a raw array<float> embedding column — the natural SQL call; the
+    // declared input types must widen it element-wise to array<double>
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
+        |  dot_product(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |              array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d
+        |""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+    // non-array input is an analysis error, not runtime garbage
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim('not an array', array(1.0d))").collect()
+    }
+  }
 }
