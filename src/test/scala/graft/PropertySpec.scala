@@ -94,4 +94,23 @@ class PropertySpec extends SparkSpec {
       assert(sessions == nUsers.toLong * (bigGaps + 1))
     }
   }
+
+  test("hash split is a partition: every id gets exactly one in-range bucket") {
+    val ids = ((1 to 200).map(_ => rnd.nextLong()) ++
+      Seq(Long.MinValue, Long.MaxValue, 0L, -1L)).distinct
+    val df = ids.toDF("id")
+    val buckets = df.select(graft.ops.Sampling.hashBucket(col("id")).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    // split assignment is exhaustive and single-valued: same row count,
+    // no null split, weights partition [0,100)
+    val split = graft.ops.Sampling.hashSplit(df, "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.count() == ids.size)
+    assert(split.filter(col("split").isNull).count() == 0)
+    // sample(p) + sample-complement partitions the table
+    val p80 = graft.ops.Sampling.hashSample(df, "id", 80).count()
+    val p100 = graft.ops.Sampling.hashSample(df, "id", 100).count()
+    assert(p100 == ids.size && p80 <= ids.size)
+  }
 }
