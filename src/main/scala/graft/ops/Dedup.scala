@@ -46,13 +46,17 @@ object Dedup {
     * so a plain count is the document frequency.
     */
   def pruneHotKeys(rows: DataFrame, keyCol: String, maxDocFreq: Int): DataFrame =
+    pruneHotKeys(rows, Seq(keyCol), maxDocFreq)
+
+  /** Composite-key variant — the LSH band joins key on (band, bucket). */
+  def pruneHotKeys(rows: DataFrame, keyCols: Seq[String], maxDocFreq: Int): DataFrame =
     if (maxDocFreq == Int.MaxValue) rows
     else {
       // window-count, not groupBy+anti-join: one hash-partition on the key
       // (which the downstream pair self-join needs anyway, so its exchange
       // is reusable) instead of a separate aggregate plus a second shuffle
       // of the full rows for the anti-join
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
       rows.withColumn("_df", count(lit(1)).over(w))
         .where(col("_df") <= maxDocFreq).drop("_df")
     }
@@ -125,12 +129,27 @@ object Dedup {
         md5(concat((0 until rowsPerBand).map(k => col(s"s$k")): _*)).as("band_sig"))
   }
 
-  /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket. */
+  /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket.
+    *
+    * `maxBucket` < MaxValue caps every band bucket's document frequency
+    * before the self-join ([[pruneHotKeys]] on (band, band_sig)) — a corpus
+    * with 10⁵ byte-identical documents otherwise lands them all in ONE
+    * bucket per band, a quadratic task no banding parameter can shrink. A
+    * bucket hot in one band (a boilerplate collision) loses only that
+    * band's vote — the other bands preserve recall. A doc set hot in EVERY
+    * band is exact-duplicate-level identical, which [[deduped]]
+    * (exact-dedup-first, the documented precondition at scale) collapses
+    * before LSH ever runs; the cap is the backstop that keeps the join
+    * bounded when that precondition is violated.
+    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    val bands = lshBands(
-      minhashSignatures(shingleRows(df, textCol, idCol, shingleN), numHashes),
-      numHashes, rowsPerBand)
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bands = pruneHotKeys(
+      lshBands(
+        minhashSignatures(shingleRows(df, textCol, idCol, shingleN), numHashes),
+        numHashes, rowsPerBand),
+      Seq("band", "band_sig"), maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
       .where(col("x.id") < col("y.id"))
@@ -148,9 +167,9 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = Int.MaxValue): DataFrame = {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleN,
-      numHashes, rowsPerBand)
+      numHashes, rowsPerBand, maxBucket)
     val sh = shingleRows(df, textCol, idCol, shingleN)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand

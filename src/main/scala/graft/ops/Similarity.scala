@@ -212,12 +212,23 @@ object Similarity {
     * the exact cosine filter runs on candidates only. Recall depends on
     * the (numBits, bitsPerBand) tradeoff and the similarity level —
     * the exact [[nearDupPairs]] is the ground-truth verifier.
+    *
+    * `maxBucket` caps every (band, bucket) document frequency before the
+    * self-join ([[Dedup.pruneHotKeys]]) — 10⁵ identical embeddings
+    * otherwise form one quadratic bucket per band. Identical vectors are
+    * hot in every band, so at scale run exact dedup first (the documented
+    * precondition); the cap is the backstop that bounds the join when the
+    * precondition is violated, while buckets hot in only some bands (the
+    * boilerplate case) keep their recall through the other bands.
     */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
       numBits: Int = 16, bitsPerBand: Int = 4, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorExpressions.register(vectors.sparkSession)
-    val buckets = lshBandBuckets(vectors, numBits, bitsPerBand, dims, idCol, vecCol)
+    val buckets = graft.ops.Dedup.pruneHotKeys(
+      lshBandBuckets(vectors, numBits, bitsPerBand, dims, idCol, vecCol),
+      Seq("band", "bucket"), maxBucket)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

@@ -71,10 +71,14 @@ object OpsQueries {
     WHERE jaccard >= 0.5"""
 
   // ———————————————————————————————————————————— minhash + LSH candidates
+  // (maxBucket = the filtered set's size: provably a no-op for the oracle
+  //  at any SF, while the benched plan carries the bounded-bucket shape —
+  //  production corpora set a real cap after exact-dedup-first)
   val q21MinhashLsh: Q = (s, dir) =>
     Dedup.minhashCandidatePairs(
       Tables.documents(s, dir).filter(col("doc_id") < 1000),
-      "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3)
+      "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3,
+      maxBucket = 1000)
   val q21Sql: String = """
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                FROM documents WHERE doc_id < 1000),
@@ -101,7 +105,7 @@ object OpsQueries {
     Dedup.minhashNearDupPairs(
       Tables.documents(s, dir).filter(col("doc_id") < 1000),
       "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3,
-      threshold = 0.5)
+      threshold = 0.5, maxBucket = 1000)
   val q56Sql: String = """
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                FROM documents WHERE doc_id < 1000),
@@ -349,7 +353,7 @@ object OpsQueries {
   val q40LshNearDup: Q = (s, dir) =>
     Similarity.lshNearDupPairs(
       Tables.embeddings(s, dir).filter(col("vec_id") < 500),
-      threshold = 0.4, numBits = 16, bitsPerBand = 4)
+      threshold = 0.4, numBits = 16, bitsPerBand = 4, maxBucket = 500)
   // hyperplanes materialized once as arrays and projected with the
   // sequential list_dot_product — an unordered SUM() of the products
   // could flip a near-zero projection's sign between engines
