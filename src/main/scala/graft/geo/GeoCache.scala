@@ -50,9 +50,13 @@ object GeoCache {
   /** Atomically replace the cache parquet at `path` with `updated`.
     * Writes to a sibling temp dir first — Spark cannot overwrite a path it
     * is lazily reading from. The temp/old names carry a unique token so
-    * concurrent runs against the same cache path can't collide, and the
-    * live cache is moved aside (not deleted) before promotion, so a crash
+    * concurrent runs can't collide on the STAGING paths, and the live
+    * cache is moved aside (not deleted) before promotion, so a crash
     * mid-rewrite can lose at most the fresh rows — never the whole cache.
+    * The promote re-checks the destination and aborts if a concurrent
+    * rewrite has promoted in between; a small window remains between the
+    * check and the rename — truly concurrent writers need an external
+    * lock (e.g. an atomic lock-file create next to the cache).
     */
   def rewrite(updated: DataFrame, path: String): Unit = {
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -73,6 +77,14 @@ object GeoCache {
     if (hadLive && !displaced) throw new java.io.IOException(
       s"geo cache rewrite aborted: cannot move live cache $path aside; " +
       s"fresh data left at $tmp, live cache untouched")
+    // Re-check immediately before the promote: a concurrent rewrite can
+    // promote its own tmp here after our displace step, and Hadoop's
+    // rename(tmp, dst) onto an existing directory nests tmp INSIDE dst
+    // and returns true — a "successful" promote that corrupts the layout.
+    if (fs.exists(dst)) throw new java.io.IOException(
+      s"geo cache rewrite aborted: $path reappeared before promote " +
+      s"(concurrent rewrite?); fresh data left at $tmp" +
+      (if (displaced) s", displaced cache left at $old" else ""))
     // Hadoop signals many rename failures by returning false, not
     // throwing — swallowing it here would silently lose the cache
     if (!fs.rename(tmp, dst)) {
@@ -87,13 +99,27 @@ object GeoCache {
   /** Full enrichment stage: resolve cache misses via `resolver`, upsert +
     * persist the cache, then broadcast-left-join onto `logs` and apply the
     * reference's column standardization (`country` → `countryName`).
+    *
+    * `maxMissesPerRun` bounds the driver-side collect: at 100 TB the
+    * distinct-miss set alone can be tens of millions of rows — an
+    * unbounded collect OOMs the driver before the rate limiter even
+    * matters. Rows beyond the cap stay unenriched this run (null geo
+    * columns after the left join, same as a failed lookup) and the memo
+    * cache converges over successive runs. The reference resolves serially
+    * per-IP anyway (advanced_elb_logs_etl.py:239-242), so bounding changes
+    * no semantics, only how much of the backlog one run retires.
     */
   def enrich(spark: SparkSession, logs: DataFrame, cachePath: String,
-      resolver: GeoResolver): DataFrame = {
+      resolver: GeoResolver, maxMissesPerRun: Int = 100000): DataFrame = {
     import spark.implicits._
     val cache = load(spark, cachePath)
     // driver-side collect is deliberate: the resolver is serial + rate-limited
-    val missIps = misses(logs, cache).as[String].collect().toSeq
+    val missIps =
+      misses(logs, cache).limit(maxMissesPerRun).as[String].collect().toSeq
+    if (missIps.size == maxMissesPerRun)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"geo cache: resolved the per-run cap of $maxMissesPerRun misses; " +
+        "deferring the remainder to the next run (memo cache converges)")
     val updated = if (missIps.nonEmpty) {
       val fresh = resolver.resolve(missIps).toDF()
         .select(ElbSchema.geo.fieldNames.map(col).toSeq: _*)

@@ -35,6 +35,30 @@ class GeoCacheSpec extends SparkSpec {
     assert(merged.head.getAs[String]("country") == "NewLand")
   }
 
+  test("miss resolution is bounded per run and converges across runs") {
+    import spark.implicits._
+    val cachePath = Files.createTempDirectory("geo").resolve("cache.parquet").toString
+    val logs = (1 to 10).map(i => s"10.0.0.$i").toDF("client_ip")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val counting = new GeoResolver {
+      private val inner = new OfflineGeoResolver()
+      def resolve(ips: Seq[String]) = { calls += ips.size; inner.resolve(ips) }
+    }
+    GeoCache.enrich(spark, logs, cachePath, counting, maxMissesPerRun = 4)
+    assert(calls.toSeq == Seq(4), "first run must resolve exactly the cap")
+    assert(GeoCache.load(spark, cachePath).count() == 4)
+    GeoCache.enrich(spark, logs, cachePath, counting, maxMissesPerRun = 4)
+    GeoCache.enrich(spark, logs, cachePath, counting, maxMissesPerRun = 4)
+    assert(calls.toSeq == Seq(4, 4, 2),
+      "successive runs must retire the deferred backlog")
+    assert(GeoCache.load(spark, cachePath).count() == 10)
+    // the cache is complete: a further run must not touch the resolver
+    GeoCache.enrich(spark, logs, cachePath, new GeoResolver {
+      def resolve(ips: Seq[String]) =
+        throw new IllegalStateException("resolver must not be called on full cache")
+    }, maxMissesPerRun = 4)
+  }
+
   test("end-to-end enrich: misses resolved, cache persisted, join + rename applied") {
     val cachePath = Files.createTempDirectory("geo").resolve("cache.parquet").toString
     val logs = ElbParser.parse(spark, Seq(ElbFixtures.standardFixture()))
