@@ -239,27 +239,28 @@ object Dedup {
     df.join(dupes, df(idCol) === dupes("id"), "left_anti")
   }
 
-  /** SimHash near-dup pairs via multi-index Hamming search: the 16-bit
-    * digest is split into `bands` equal slices; two digests within
-    * Hamming distance < `bands` must share at least one identical slice
-    * (pigeonhole), so a bucket join on (band, slice) generates candidates
-    * with FULL recall for `maxDist < bands`, and an exact
-    * `bit_count(xor)` filter verifies. Returns (a < b, hamming).
-    *
-    * Scale note: slice width = digestBits / bands caps the bucket space —
-    * at corpus scale use a wider digest (the same banding shape over
-    * 64-bit simhash, 16-bit slices → 65k buckets per band); the 16-bit
-    * primitive here is the oracle-checked kernel.
+  /** SimHash near-dup pairs via multi-index Hamming search: the digest is
+    * split into `bands` equal slices; two digests within Hamming distance
+    * < `bands` must share at least one identical slice (pigeonhole), so a
+    * bucket join on (band, slice) generates candidates with FULL recall
+    * for `maxDist < bands`, and an exact `bit_count(xor)` filter
+    * verifies. Returns (a < b, hamming). Shared banded-search tail of the
+    * 16-bit and 64-bit public variants.
     */
-  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 2, bands: Int = 4): DataFrame = {
+  private def simhashBandedPairs(df: DataFrame, textCol: String,
+      idCol: String, digest: Column => Column, digestBits: Int,
+      maxDist: Int, bands: Int): DataFrame = {
     require(0 <= maxDist && maxDist < bands,
       s"recall guarantee needs maxDist ($maxDist) < bands ($bands)")
-    require(16 % bands == 0, s"bands ($bands) must divide 16")
-    val bits = 16 / bands
-    val mask = (1 << bits) - 1
+    require(digestBits % bands == 0,
+      s"bands ($bands) must divide $digestBits")
+    val bits = digestBits / bands
+    val mask = (1L << bits) - 1
+    // arithmetic vs logical shift is immaterial under the mask: the low
+    // `bits` bits of both agree for every shift ≤ digestBits - bits, so a
+    // negative 64-bit digest (MSB set) slices identically in any engine
     val sl = df
-      .select(col(idCol).as("id"), simhash16(col(textCol)).as("h"))
+      .select(col(idCol).as("id"), digest(col(textCol)).as("h"))
       .select(col("id"), col("h"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("slice",
@@ -275,27 +276,56 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
-  /** 16-bit SimHash in one narrow projection: fold the token array into 16
-    * signed bit-counters (md5-derived bits), then re-assemble the digest.
-    * `bits` hex-digit parse: value of md5 hex char at position b/4, bit
-    * (3 - b%4). Deterministic integer arithmetic only.
+  /** 16-bit banded Hamming search — the oracle-checked small kernel. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 2, bands: Int = 4): DataFrame =
+    simhashBandedPairs(df, textCol, idCol, simhash16, 16, maxDist, bands)
+
+  /** 64-bit banded Hamming search — the production configuration: 16-bit
+    * slices give 65k buckets per band, so bucket sizes stay bounded at
+    * corpus scale where the 16-bit digest's 4-bit slices (16 buckets)
+    * degenerate into giant candidate buckets. Same pigeonhole recall law
+    * (full recall for maxDist < bands).
     */
-  def simhash16(text: Column): Column = {
+  def simhashNearDupPairs64(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame =
+    simhashBandedPairs(df, textCol, idCol, simhash64, 64, maxDist, bands)
+
+  /** SimHash in one narrow projection: fold the token array into `bits`
+    * signed bit-counters (md5-derived bits), then re-assemble the digest.
+    * Bit b of a token's hash: value of md5 hex char at position b/4, bit
+    * (3 - b%4) — extracted with integer shifts only (no floating point
+    * anywhere, so the digest is exact at any width).
+    */
+  private def simhashBits(text: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 64 && bits % 4 == 0, s"bad digest width $bits")
     val counters = aggregate(
       TextOps.words(text),
-      array_repeat(lit(0L), 16),
+      array_repeat(lit(0L), bits),
       (acc, tok) => {
         val h = md5(tok)
-        zip_with(acc, sequence(lit(0), lit(15)), (a, b) => {
+        zip_with(acc, sequence(lit(0), lit(bits - 1)), (a, b) => {
           val hexChar = substring(h, (b / 4).cast("int") + 1, lit(1))
           val v = conv(hexChar, 16, 10).cast("long")
-          val bit = (v / pow(lit(2), lit(3) - b % 4).cast("long")).cast("long") % 2
+          val bit = call_function("shiftright", v, (lit(3) - b % 4).cast("int")) % 2
           a + (bit * 2 - 1)
         })
       })
+    // bit b contributes 2^(bits-1-b); for bits = 64 the MSB term is
+    // 1L << 63 = Long.MinValue — the two's-complement value of "bit 63
+    // set", exact here and spelled the same way in the SQL oracle (whose
+    // integer engine rejects 1 << 63)
     aggregate(
-      zip_with(counters, sequence(lit(0), lit(15)),
-        (c, b) => when(c > 0, pow(lit(2), lit(15) - b).cast("long")).otherwise(lit(0L))),
+      zip_with(counters, sequence(lit(0), lit(bits - 1)),
+        (c, b) => when(c > 0,
+          call_function("shiftleft", lit(1L), (lit(bits - 1) - b).cast("int")))
+          .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
+
+  /** 16-bit SimHash digest. */
+  def simhash16(text: Column): Column = simhashBits(text, 16)
+
+  /** 64-bit SimHash digest — the production width ([[simhashNearDupPairs64]]). */
+  def simhash64(text: Column): Column = simhashBits(text, 64)
 }

@@ -234,6 +234,50 @@ object OpsQueries {
     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= 2"""
 
+  // ————————————————————————————— 64-bit simhash digests (production width)
+  // (integer-shift bit assembly; the MSB term is spelled as the signed
+  //  two's-complement minimum in BOTH engines because the oracle's integer
+  //  engine rejects 1 << 63)
+  val q58Simhash64: Q = (s, dir) =>
+    Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash64"))
+  private val simhash64DigestSql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 500),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    bits AS (SELECT doc_id, md5(t) AS h, unnest(range(0, 64)) AS b FROM tok),
+    contrib AS (SELECT doc_id, b,
+        ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+          >> CAST(3 - b % 4 AS INT)) & 1 AS bit
+      FROM bits),
+    sums AS (SELECT doc_id, b, sum(bit * 2 - 1) AS s FROM contrib GROUP BY 1, 2),
+    dig AS (SELECT doc_id,
+        CAST(sum(CASE WHEN s <= 0 THEN 0
+                      WHEN b = 0 THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << CAST(63 - b AS INT)) END) AS BIGINT)
+          AS simhash64
+      FROM sums GROUP BY 1)"""
+  val q58Sql: String = simhash64DigestSql + """
+    SELECT doc_id, simhash64 FROM dig"""
+
+  // ————————————————————————————— 64-bit simhash Hamming near-dup pairs
+  // (the configuration the 16-bit kernel's scaladoc promises: 16-bit
+  //  slices → 65k buckets per band, pigeonhole recall for dist ≤ 3 < 4)
+  val q59Simhash64NearDup: Q = (s, dir) =>
+    Dedup.simhashNearDupPairs64(
+      Tables.documents(s, dir).filter(col("doc_id") < 500),
+      "text", "doc_id", maxDist = 3, bands = 4)
+  val q59Sql: String = simhash64DigestSql + """,
+    sl AS (SELECT doc_id, simhash64, band,
+             (simhash64 >> CAST(band * 16 AS INT)) & 65535 AS slice
+           FROM dig, (SELECT unnest(range(0, 4)) AS band)),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               x.simhash64 AS ha, y.simhash64 AS hb
+             FROM sl x JOIN sl y
+               ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id)
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""
+
   // ———————————————————————————————————————————— embedding near-dup pairs
   val q23EmbedNearDup: Q = (s, dir) =>
     Similarity.nearDupPairs(
@@ -526,7 +570,9 @@ object OpsQueries {
     "q50_ann_batch" -> q50AnnBatch,
     "q53_split_assign" -> q53SplitAssign,
     "q54_frame_sample" -> q54FrameSample,
-    "q56_minhash_verified" -> q56MinhashVerified)
+    "q56_minhash_verified" -> q56MinhashVerified,
+    "q58_simhash64" -> q58Simhash64,
+    "q59_simhash64_neardup" -> q59Simhash64NearDup)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -550,5 +596,7 @@ object OpsQueries {
     "q50_ann_batch" -> q50Sql,
     "q53_split_assign" -> q53Sql,
     "q54_frame_sample" -> q54Sql,
-    "q56_minhash_verified" -> q56Sql)
+    "q56_minhash_verified" -> q56Sql,
+    "q58_simhash64" -> q58Sql,
+    "q59_simhash64_neardup" -> q59Sql)
 }

@@ -58,6 +58,34 @@ class OpsSpec extends SparkSpec {
     assert(brute == banded)
   }
 
+  test("simhash64 banded Hamming search equals brute-force pairs (full recall)") {
+    val d = docs.filter(col("doc_id") < 200)
+    val dig = d.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("h"))
+    val brute = dig.as("x").join(dig.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hd"))
+      .where(col("hd") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDupPairs64(d, "text", "doc_id",
+      maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-identical digests")
+    assert(brute == banded)
+  }
+
+  test("simhash64 low 16 bits of digest agree with a widened simhash16 law") {
+    // the two widths share the per-token bit derivation: bit b of both
+    // reads md5 hex char b/4, bit 3-b%4 — so digests of EQUAL texts are
+    // deterministic and the 16-bit digest equals the TOP 16 bits of the
+    // 64-bit one (same counters for b < 16, same sign rule)
+    val d = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("h16"),
+        Dedup.simhash64(col("text")).as("h64"))
+    val mismatch = d.where(
+      expr("shiftrightunsigned(h64, 48)") =!= col("h16")).count()
+    assert(mismatch == 0, "simhash16 must equal the top 16 bits of simhash64")
+  }
+
   test("hash split: stable assignment, sane proportions, sample ≡ first bucket") {
     val split = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
       Seq("train" -> 80, "val" -> 10, "test" -> 10)).cache()
