@@ -105,6 +105,51 @@ object Similarity {
     assignToCentroids(vectors, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Incrementally maintain a [[buildIvfIndex]] table: assign `newVectors`
+    * to the SAME centroids (an index's centroids are fixed between
+    * rebuilds — reassigning old vectors would invalidate every bucket)
+    * and rewrite ONLY the touched centroid partitions via dynamic
+    * partition overwrite, merging with the rows already there. Same-id
+    * rows are replaced (upsert), so re-ingesting a batch is idempotent.
+    *
+    * Why not a full rebuild: a 100 TB index cannot be rewritten per
+    * ingest batch. Cost here is one broadcast join over the batch plus a
+    * read+rewrite of the touched buckets only; untouched partitions'
+    * files are never listed, read, or replaced. The touched bucket ids
+    * are collected driver-side deliberately — bounded by centroid count
+    * (index design, not data size), and the literal `isin` is what
+    * reaches the parquet source as `PartitionFilters` for the
+    * existing-rows read. `localCheckpoint` materializes those rows first
+    * because Spark refuses to overwrite a path its plan still reads; at
+    * extreme bucket sizes a staging-table write serves the same purpose.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
+      path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cols = Seq(idCol, vecCol, "centroid_id")
+    val assigned = assignToCentroids(newVectors, centroids, idCol, vecCol)
+      .select(cols.map(col): _*).localCheckpoint(true)
+    val touched = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.nonEmpty) {
+      val existing = spark.read.parquet(path)
+        .where(col("centroid_id").isin(touched: _*))
+        .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(cols.map(col): _*)
+        .localCheckpoint(true)
+      val conf = spark.conf
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = conf.getOption(key)
+      conf.set(key, "dynamic")
+      try existing.union(assigned)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      finally prev match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    }
+  }
+
   /** IVF top-k over a [[buildIvfIndex]] table: rank centroids against the
     * query, then scan ONLY the `nProbe` probed partitions. The probed ids
     * are collected driver-side deliberately — the centroid table is small
@@ -129,6 +174,47 @@ object Similarity {
         round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch IVF top-k over a [[buildIvfIndex]] table: the union of every
+    * query's probe set prunes ONE scan, then each scanned vector is
+    * scored only against the queries that probed its bucket and ranked
+    * per query — Q queries cost one partition-pruned pass plus a window,
+    * not Q scans re-reading the probed partitions per query (the shape
+    * [[bruteForceTopKBatch]] proves for the unindexed path). Per-query
+    * results are identical to [[ivfTopKIndexed]]: the (q_id, probe)
+    * pairs are ranked with the same (cosine desc, cid) order, and
+    * scoring joins restrict each query to its own probed buckets.
+    */
+  def ivfTopKIndexedBatch(indexPath: String, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // Q × nProbe pairs, driver-collected like the single-query path —
+    // bounded by index design, and the probed-id union must be literals
+    // to reach the parquet source as PartitionFilters
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c").desc, col("cid"))
+    val probePairs = centroids.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("cid"), fastCosine(col("cvec"), col("qvec")).as("c"))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val allProbed = probePairs.map(_._2).distinct
+    val probeDf = probePairs.toDF("q_id", "probe_cid")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol))
+    spark.read.parquet(indexPath)
+      .where(col("centroid_id").isin(allProbed: _*))
+      .join(broadcast(probeDf), col("centroid_id") === col("probe_cid"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .where(col("rk") <= k)
   }
 
   /** IVF top-k: probe the `nProbe` centroids closest to the query and

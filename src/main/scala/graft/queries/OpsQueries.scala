@@ -391,6 +391,59 @@ object OpsQueries {
     Similarity.ivfTopKIndexed(path, centroids, queryDf, k = 10, nProbe = 2)
   }
 
+  // ————————————————————————————— ANN: batched IVF over the same index
+  // (the serving-batch shape for the MATERIALIZED index: the union of all
+  //  probe sets prunes one scan; each query is scored only against its
+  //  own probed buckets and ranked per query — q50's batching, q43's
+  //  partition pruning)
+  val q60AnnIvfBatch: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cvec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val path = ivfIndexBuilt.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivf-index-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 16), centroids, p)
+      p
+    })
+    Similarity.ivfTopKIndexedBatch(path, centroids, queries, k = 5, nProbe = 2)
+  }
+  val q60Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    probes AS (SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+            list_dot_product(c.cv, q.qe)
+              / (sqrt(list_dot_product(c.cv, c.cv))
+                 * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid) AS rn
+        FROM c, q)
+      WHERE rn <= 2),
+    scored AS (SELECT p.q_id, a.vec_id,
+        round(list_dot_product(a.e, q.qe)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM a1 a JOIN probes p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id),
+    ranked AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5"""
+
   // ———————————————————————————————————————————— LSH-bucketed near-dup
   // (sign-random-projection candidates + exact cosine verify; the md5-
   //  derived hyperplanes are rebuilt identically by the SQL oracle)
@@ -572,7 +625,8 @@ object OpsQueries {
     "q54_frame_sample" -> q54FrameSample,
     "q56_minhash_verified" -> q56MinhashVerified,
     "q58_simhash64" -> q58Simhash64,
-    "q59_simhash64_neardup" -> q59Simhash64NearDup)
+    "q59_simhash64_neardup" -> q59Simhash64NearDup,
+    "q60_ann_ivf_batch" -> q60AnnIvfBatch)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -598,5 +652,6 @@ object OpsQueries {
     "q54_frame_sample" -> q54Sql,
     "q56_minhash_verified" -> q56Sql,
     "q58_simhash64" -> q58Sql,
-    "q59_simhash64_neardup" -> q59Sql)
+    "q59_simhash64_neardup" -> q59Sql,
+    "q60_ann_ivf_batch" -> q60Sql)
 }

@@ -31,6 +31,86 @@ class IvfIndexSpec extends SparkSpec {
     assert(inline.nonEmpty && inline == indexed)
   }
 
+  test("append rewrites only touched partitions and equals a fresh build") {
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val path = java.nio.file.Files.createTempDirectory("ivf-append")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(base, centroids, path)
+    def partFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.startsWith("centroid_id="))
+        .map(d => d.getName -> d.listFiles().map(f =>
+          s"${f.getName}:${f.lastModified}:${f.length}").toSet).toMap
+    }
+    val before = partFiles()
+    Similarity.appendToIvfIndex(batch, centroids, path)
+    val after = partFiles()
+    val touched = Similarity.assignToCentroids(batch, centroids)
+      .select("centroid_id").distinct()
+      .collect().map(r => s"centroid_id=${r.getLong(0)}").toSet
+    assert(touched.nonEmpty && touched.size < before.size,
+      "fixture must touch some but not all partitions")
+    before.keys.filterNot(touched).foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    }
+    touched.foreach { p =>
+      assert(after.get(p).exists(_ != before.getOrElse(p, Set.empty[String])),
+        s"touched partition $p was not rewritten")
+    }
+    // appended index content == fresh build over the union
+    val freshPath = java.nio.file.Files.createTempDirectory("ivf-fresh")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 16), centroids, freshPath)
+    // partition dirs read back with inferred int type — normalize to long
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(path) == rows(freshPath))
+    // search over the appended index equals search over the fresh build
+    def top(p: String) = Similarity.ivfTopKIndexed(p, centroids, queryDf,
+      k = 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(path) == top(freshPath))
+    // idempotence: re-appending the same batch changes nothing
+    Similarity.appendToIvfIndex(batch, centroids, path)
+    assert(rows(path) == rows(freshPath))
+  }
+
+  test("batched indexed search equals per-query indexed search, in one scan") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val batch = Similarity.ivfTopKIndexedBatch(indexPath, centroids, queries,
+      k = 5, nProbe = 2)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = (0L until 5L).flatMap { qid =>
+      val q1 = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding")).as("qvec"))
+      Similarity.ivfTopKIndexed(indexPath, centroids, q1, k = 5, nProbe = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(got == expected)
+    // one scan serves the whole batch (recurse through AQE query stages —
+    // after execution the final plan's stages are leaves holding subplans)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val plan = batch.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val indexScans = allScans(plan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivf-index")))
+    assert(indexScans.size == 1,
+      s"expected exactly one index scan for the batch, got ${indexScans.size}")
+  }
+
   test("probed search is partition-pruned at the parquet source") {
     val indexed = Similarity.ivfTopKIndexed(indexPath, centroids,
       queryDf, k = 10, nProbe = 2)
