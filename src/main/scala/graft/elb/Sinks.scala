@@ -42,19 +42,35 @@ object Sinks {
     * one-per-shuffle-partition (measured: 960 → ~#dirs files on the 200k
     * corpus). Without it, a 100 TB run with thousands of reducers sprays
     * every dir with thousands of small files — the small-file problem at
-    * the sink. A pathologically hot partition dir would serialize into
-    * one task; if that ever dominates, add a bounded salt column to the
-    * repartition (k files per dir) without changing the layout.
+    * the sink.
+    *
+    * `filesPerDir` > 1 is the hot-partition escape hatch: one
+    * country/day dominating the corpus otherwise serializes its whole
+    * write into a single task. A bounded salt (hash of ip+time, so the
+    * spread is deterministic and independent of the dir keys' skew) is
+    * added to the REPARTITION ONLY — the written rows and the directory
+    * layout are unchanged; each dir just holds at most `filesPerDir`
+    * parquet files, written by up to that many parallel tasks. AQE's
+    * partition coalescing composes correctly with the salt: salt groups
+    * of a genuinely hot dir exceed the advisory partition size and stay
+    * parallel, while small dirs' groups are merged back — so the knob
+    * can be left on without spraying small dirs.
     */
-  def writeCleanedLogs(df: DataFrame, outDir: String): Unit =
-    df.filter(col("countryCode").isNotNull)
+  def writeCleanedLogs(df: DataFrame, outDir: String, filesPerDir: Int = 1): Unit = {
+    require(filesPerDir >= 1, s"filesPerDir must be >= 1, got $filesPerDir")
+    val staged = df.filter(col("countryCode").isNotNull)
       .withColumn("time", timeString(col("time")))
       .withColumn("year", col("request_year").cast("string"))
       .withColumn("month", format_string("%02d", col("request_month")))
       .withColumn("day", format_string("%02d", col("request_day")))
-      .repartition(col("year"), col("month"), col("day"), col("countryCode"))
-      .write.partitionBy("year", "month", "day", "countryCode")
+    val dirKeys = Seq(col("year"), col("month"), col("day"), col("countryCode"))
+    val routed =
+      if (filesPerDir == 1) staged.repartition(dirKeys: _*)
+      else staged.repartition(
+        dirKeys :+ pmod(hash(col("client_ip"), col("time")), lit(filesPerDir)): _*)
+    routed.write.partitionBy("year", "month", "day", "countryCode")
       .mode("overwrite").parquet(s"$outDir/cleaned_logs")
+  }
 
   /** A1 + K2: hourly traffic rollup by geo.
     *
