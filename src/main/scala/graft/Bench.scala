@@ -73,7 +73,13 @@ object Bench {
     // a failed query must not shrink the aggregate into a fake speedup:
     // the total only counts successes, and "failed" flags the run
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"iters":$iters,"queries":${obj(_._1)},"queries_median":${obj(_._2)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"iters":$iters,"queries":${obj(_._1)},"queries_median":${obj(_._2)},"sf":"$sfDir"}"""
+    println(line)
+    // the artifact is also written as a FILE: scraping the sbt tail for
+    // the stdout line truncates under log interleaving (observed round 2
+    // — only medians were recoverable from the clipped tail)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()
   }
 }

@@ -34,13 +34,17 @@ object ElbQueries {
   // every other dir uses the verify-sized corpus so the static oracle
   // paths below are correct for ANY SF the driver might verify at
   // (a 2000-row sf0.001 corpus would make q18/q32/q45 false-fail there)
-  private def rowsFor(dir: String): Int =
+  private[graft] def rowsFor(dir: String): Int =
     if (dir.endsWith("sf0.1")) 200000 else 20000
 
   /** The driver verifies at sf0.01 — the static oracle SQL embeds the
-    * staging paths for that corpus size.
+    * staging paths for that corpus size. CouplingSpec pins the law that
+    * every SF the driver might verify at maps to exactly this corpus
+    * size (only the non-verified bench SF may diverge) — a drifted
+    * rowsFor would otherwise false-fail q18/q32/q45/q55 with the engine
+    * computing over one corpus and the oracle reading another.
     */
-  private val verifyRows = 20000
+  private[graft] val verifyRows = 20000
 
   private def stagedDir(rows: Int): String =
     SyntheticElb.dirFor(rows).resolve("_staged").toString
@@ -277,7 +281,9 @@ object ElbQueries {
   // Stream over the gz corpus (all narrow ops — streaming-safe), proving
   // the parse path is batch/stream agnostic. Drained AvailableNow into a
   // grouped aggregate; the oracle re-derives it from the staged lines.
-  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  // The sink table name can be FIXED: drainAvailableNow snapshots and
+  // drops the memory table per invocation, so repeated runs in one JVM
+  // no longer accumulate registered tables.
 
   val q45ElbStream: Q = (s, dir) => {
     val rows = rowsFor(dir)
@@ -292,8 +298,7 @@ object ElbQueries {
       .groupBy(col("status_code_type"), col("http_method"), col("is_bot"))
       .agg(count(lit(1)).as("n"),
         sum(ElbParser.nullSentinelLong(col("sent_bytes"))).as("sum_sent_bytes"))
-    graft.streaming.StreamingSessions.drainAvailableNow(s, agg,
-      s"elb_stream_${streamCounter.incrementAndGet()}")
+    graft.streaming.StreamingSessions.drainAvailableNow(s, agg, "elb_stream")
   }
 
   private def q45Sql: String = parseSql(rawLinesPath(verifyRows)) + s"""

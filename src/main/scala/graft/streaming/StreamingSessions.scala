@@ -50,7 +50,12 @@ object StreamingSessions {
         col("n_events"))
 
   /** Shared bounded-drain recipe: run a streaming aggregate to completion
-    * (`AvailableNow`) into a memory sink and return the result table.
+    * (`AvailableNow`) into a memory sink and return the result as a
+    * LOCAL frame. The memory sink already holds the full result in
+    * driver memory, so snapshotting adds nothing — and it lets the sink
+    * table be dropped immediately: keeping one registered memory table
+    * per invocation (bench warm-up + iterations + verify share a JVM) is
+    * an unbounded-growth pattern even when each table is small.
     */
   def drainAvailableNow(spark: SparkSession, aggregated: DataFrame,
       tableName: String): DataFrame = {
@@ -67,14 +72,22 @@ object StreamingSessions {
     finally deleteRecursively(checkpoint) // bounded drain: state is one-shot,
     // so the checkpoint has no replay value — leaving it would accumulate
     // one orphan ckpt-* dir per bench/test invocation
-    spark.table(tableName)
+    val sink = spark.table(tableName)
+    val rows = sink.collect()
+    spark.catalog.dropTempView(tableName)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      // Files.walk must be closed — each leaked stream holds a directory
+      // handle until GC, and on some filesystems blocks the deletes
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 
