@@ -136,6 +136,62 @@ object OpsQueries {
       FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
     WHERE jaccard >= 0.5"""
 
+  // ————————————————————————— the COMPLETE near-dup dedup pipeline
+  // (every stage composed end to end, the way a training-data run ships:
+  //  LSH banding generates candidates (bounded buckets), exact Jaccard
+  //  verifies candidates only, connected components collapse transitive
+  //  chains, and one keeper per cluster survives. The oracle re-derives
+  //  all four stages in SQL — banding, verification, a recursive-CTE
+  //  component walk, and the anti-join.)
+  val q61DedupPipeline: Q = (s, dir) =>
+    Dedup.dedupedByClusters(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id",
+      Dedup.minhashNearDupPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3,
+        threshold = 0.5, maxBucket = 1000))
+      .select(col("doc_id"))
+  val q61Sql: String = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+                  AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.a, c.b, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+    clusters AS (SELECT node AS id, min(label) AS cluster FROM walk GROUP BY node),
+    dupes AS (SELECT id FROM clusters WHERE id != cluster)
+    SELECT doc_id FROM documents
+    WHERE doc_id < 1000 AND doc_id NOT IN (SELECT id FROM dupes)"""
+
   // ———————————————————————————————————————————— 16-bit simhash digests
   val q22Simhash: Q = (s, dir) =>
     Tables.documents(s, dir).filter(col("doc_id") < 500)
@@ -626,7 +682,8 @@ object OpsQueries {
     "q56_minhash_verified" -> q56MinhashVerified,
     "q58_simhash64" -> q58Simhash64,
     "q59_simhash64_neardup" -> q59Simhash64NearDup,
-    "q60_ann_ivf_batch" -> q60AnnIvfBatch)
+    "q60_ann_ivf_batch" -> q60AnnIvfBatch,
+    "q61_dedup_pipeline" -> q61DedupPipeline)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -653,5 +710,6 @@ object OpsQueries {
     "q56_minhash_verified" -> q56Sql,
     "q58_simhash64" -> q58Sql,
     "q59_simhash64_neardup" -> q59Sql,
-    "q60_ann_ivf_batch" -> q60Sql)
+    "q60_ann_ivf_batch" -> q60Sql,
+    "q61_dedup_pipeline" -> q61Sql)
 }
