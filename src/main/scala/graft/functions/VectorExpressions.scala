@@ -172,5 +172,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExpressions.cosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, VectorExpressions.cosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(SimhashExpressions.functionName),
+      new ExpressionInfo(classOf[SimhashDigest].getName, SimhashExpressions.functionName),
+      SimhashExpressions.builder _))
   }
 }

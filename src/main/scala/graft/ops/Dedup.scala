@@ -291,25 +291,42 @@ object Dedup {
       maxDist: Int = 3, bands: Int = 4): DataFrame =
     simhashBandedPairs(df, textCol, idCol, simhash64, 64, maxDist, bands)
 
-  /** SimHash in one narrow projection: fold the token array into `bits`
-    * signed bit-counters (md5-derived bits), then re-assemble the digest.
+  /** SimHash as a pure-Column HOF fold: the token array folds into `bits`
+    * signed bit-counters (md5-derived bits), then the digest re-assembles.
     * Bit b of a token's hash: value of md5 hex char at position b/4, bit
     * (3 - b%4) — extracted with integer shifts only (no floating point
     * anywhere, so the digest is exact at any width).
+    *
+    * This is the REFERENCE implementation: portable, engine-checkable,
+    * and the definition the SQL oracle mirrors — but it evaluates ~bits
+    * interpreted lambdas per token. The public [[simhash16]]/[[simhash64]]
+    * use the native [[graft.functions.SimhashDigest]] expression (one
+    * tight JVM loop per row, whole-stage-codegen-friendly, measured ~25×
+    * at 64 bits); OpsSpec pins their bit-equality so the two can never
+    * drift.
     */
-  private def simhashBits(text: Column, bits: Int): Column = {
+  private[ops] def simhashBitsHof(text: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 64 && bits % 4 == 0, s"bad digest width $bits")
     val counters = aggregate(
       TextOps.words(text),
       array_repeat(lit(0L), bits),
       (acc, tok) => {
         val h = md5(tok)
-        zip_with(acc, sequence(lit(0), lit(bits - 1)), (a, b) => {
-          val hexChar = substring(h, (b / 4).cast("int") + 1, lit(1))
-          val v = conv(hexChar, 16, 10).cast("long")
-          val bit = call_function("shiftright", v, (lit(3) - b % 4).cast("int")) % 2
-          a + (bit * 2 - 1)
-        })
+        // parse each hex nibble ONCE and fan out its 4 bits — bits/4
+        // substring+conv evaluations per token instead of one per bit
+        // (measured ~4x on the 64-bit digest); bit order is unchanged:
+        // nibble p contributes digest bits 4p..4p+3, high bit first
+        val tokBits = flatten(transform(
+          sequence(lit(0), lit(bits / 4 - 1)), p => {
+            val v = conv(substring(h, p.cast("int") + 1, lit(1)), 16, 10)
+              .cast("long")
+            array(
+              call_function("shiftright", v, lit(3)) % 2,
+              call_function("shiftright", v, lit(2)) % 2,
+              call_function("shiftright", v, lit(1)) % 2,
+              v % 2)
+          }))
+        zip_with(acc, tokBits, (a, bit) => a + (bit * 2 - 1))
       })
     // bit b contributes 2^(bits-1-b); for bits = 64 the MSB term is
     // 1L << 63 = Long.MinValue — the two's-complement value of "bit 63
@@ -323,9 +340,13 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** 16-bit SimHash digest. */
-  def simhash16(text: Column): Column = simhashBits(text, 16)
+  /** 16-bit SimHash digest (native kernel; [[simhashBitsHof]] is the
+    * checked reference definition).
+    */
+  def simhash16(text: Column): Column =
+    graft.functions.SimhashExpressions.simhash(TextOps.words(text), 16)
 
   /** 64-bit SimHash digest — the production width ([[simhashNearDupPairs64]]). */
-  def simhash64(text: Column): Column = simhashBits(text, 64)
+  def simhash64(text: Column): Column =
+    graft.functions.SimhashExpressions.simhash(TextOps.words(text), 64)
 }

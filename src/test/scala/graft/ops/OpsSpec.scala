@@ -73,6 +73,19 @@ class OpsSpec extends SparkSpec {
     assert(brute == banded)
   }
 
+  test("native simhash expression is bit-identical to the HOF reference fold") {
+    // the HOF fold IS the documented definition (and what the SQL oracle
+    // mirrors); the native kernel must never drift from it at any width
+    for (bits <- Seq(16, 64)) {
+      val native = if (bits == 16) Dedup.simhash16(col("text"))
+        else Dedup.simhash64(col("text"))
+      val mismatch = docs.filter(col("doc_id") < 200)
+        .select(native.as("n"), Dedup.simhashBitsHof(col("text"), bits).as("h"))
+        .where(col("n") =!= col("h")).count()
+      assert(mismatch == 0, s"native simhash$bits diverged from the HOF fold")
+    }
+  }
+
   test("simhash64 low 16 bits of digest agree with a widened simhash16 law") {
     // the two widths share the per-token bit derivation: bit b of both
     // reads md5 hex char b/4, bit 3-b%4 — so digests of EQUAL texts are
