@@ -176,5 +176,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimhashExpressions.functionName),
       new ExpressionInfo(classOf[SimhashDigest].getName, SimhashExpressions.functionName),
       SimhashExpressions.builder _))
+    e.injectFunction((
+      FunctionIdentifier(MinhashExpressions.functionName),
+      new ExpressionInfo(classOf[MinhashBandSigs].getName, MinhashExpressions.functionName),
+      MinhashExpressions.builder _))
   }
 }

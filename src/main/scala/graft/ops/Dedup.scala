@@ -145,10 +145,16 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // band signatures come from the native MinhashBandSigs expression:
+    // ONE narrow projection per document instead of the relational
+    // chain's numHashes-fold explode plus two hash aggregations (that
+    // chain — minhashSignatures + lshBands — remains the checked
+    // reference definition; OpsSpec pins equality)
     val bands = pruneHotKeys(
-      lshBands(
-        minhashSignatures(shingleRows(df, textCol, idCol, shingleN), numHashes),
-        numHashes, rowsPerBand),
+      df.select(col(idCol).as("id"),
+        posexplode(graft.functions.MinhashExpressions.bandSigs(
+          TextOps.shingles(col(textCol), shingleN), numHashes, rowsPerBand)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig"),
       Seq("band", "band_sig"), maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))

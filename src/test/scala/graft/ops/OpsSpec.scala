@@ -73,6 +73,20 @@ class OpsSpec extends SparkSpec {
     assert(brute == banded)
   }
 
+  test("native minhash band sigs equal the relational reference chain") {
+    import org.apache.spark.sql.functions.posexplode
+    val d = docs.filter(col("doc_id") < 300)
+    val relational = Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.shingleRows(d, "text", "doc_id"), 12),
+      numHashes = 12, rowsPerBand = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val native = d.select(col("doc_id").as("id"),
+        posexplode(graft.functions.MinhashExpressions.bandSigs(
+          TextOps.shingles(col("text")), 12, 3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(relational.nonEmpty && relational == native)
+  }
+
   test("native simhash expression is bit-identical to the HOF reference fold") {
     // the HOF fold IS the documented definition (and what the SQL oracle
     // mirrors); the native kernel must never drift from it at any width
