@@ -74,6 +74,67 @@ object TextOps {
       "avg_word_len" -> (nChars - (nWords - 1)) / nWords.cast("double"))
   }
 
+  /** C4-style corpus cleaning: keep documents passing the whole rule
+    * set — word-count band, stopword floor (prose has stopwords;
+    * keyword-stuffed spam does not), alphabetic floor (drops
+    * markup/table debris), and optionally a predicted language. A narrow
+    * filter over the scan: at corpus scale this is the FIRST stage of a
+    * training-data pipeline, upstream of dedup, so nothing here
+    * shuffles.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minWords: Long = 30, maxWords: Long = 120,
+      minStopwordRatio: Double = 0.08, minAlphaRatio: Double = 0.5,
+      lang: Option[String] = None): DataFrame = {
+    val m = qualityMetrics(col(textCol)).toMap
+    val base = df.where(
+      m("n_words").between(minWords, maxWords) &&
+        m("stopword_ratio") >= minStopwordRatio &&
+        m("alpha_ratio") >= minAlphaRatio)
+    lang.fold(base)(l => base.where(langId(col(textCol)) === l))
+  }
+
+  /** Vocabulary build: tokens with total count ≥ `minCount`, ranked by
+    * (count desc, token) into contiguous ids, truncated to `topK`. The
+    * global ranking window runs over the AGGREGATED vocabulary (≤
+    * distinct-token cardinality, already reduced by the map-side
+    * partial count) — never over the corpus, so the single-partition
+    * sort it implies is bounded by vocabulary size, not data size.
+    */
+  def vocabulary(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 1000): DataFrame =
+    df.select(explode(words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("long") - 1)
+      .where(col("token_id") < topK)
+
+  /** Top-`topK` TF-IDF terms per document: tf = in-document count,
+    * idf = ln(N / df) over raw document frequency, score rounded to 4
+    * d.p. for cross-engine rank stability. Two aggregations (per-doc
+    * term counts; per-term document frequency — derived from the first,
+    * so the corpus is tokenized once) plus a per-document rank window;
+    * the document count joins in as a broadcast scalar, not an action.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 5): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("id"), col("token"), col("tf"), col("tfidf"), col("rk"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
 

@@ -657,6 +657,76 @@ object OpsQueries {
         || CAST(frame_idx AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_fp
     FROM fr"""
 
+  // ————————————————————————————— C4-style quality-filter composition
+  // (the first stage of a corpus-cleaning pipeline: word-count band +
+  //  stopword floor + alphabetic floor + predicted language, all narrow;
+  //  the oracle re-derives every metric and the lang argmax in SQL)
+  val q62QualityFilter: Q = (s, dir) =>
+    TextOps.qualityFilter(Tables.documents(s, dir), "text",
+      minWords = 30, maxWords = 120, minStopwordRatio = 0.08,
+      minAlphaRatio = 0.5, lang = Some("en"))
+      .select(col("doc_id"))
+  val q62Sql: String = {
+    val scoreExprs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    s"""
+    WITH sc AS (SELECT doc_id, text, $scoreExprs FROM documents),
+    m AS (SELECT doc_id,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+          / CAST(length(lower(text)) AS DOUBLE) AS alpha_ratio,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|that)\\b'))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio
+      FROM sc)
+    SELECT doc_id FROM m
+    WHERE n_words BETWEEN 30 AND 120 AND stopword_ratio >= 0.08
+      AND alpha_ratio >= 0.5 AND lang_pred = 'en'"""
+  }
+
+  // ————————————————————————————— vocabulary build (top-k by count)
+  // (global ranking runs over the aggregated vocabulary, never the
+  //  corpus — the single-partition sort is bounded by vocab size)
+  val q63Vocabulary: Q = (s, dir) =>
+    TextOps.vocabulary(Tables.documents(s, dir), "text",
+      minCount = 5, topK = 1000)
+  val q63Sql: String = """
+    WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+               FROM documents),
+    c AS (SELECT token, count(*) AS n FROM t GROUP BY 1 HAVING count(*) >= 5),
+    r AS (SELECT token, n,
+            row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+          FROM c)
+    SELECT token, n, CAST(token_id AS BIGINT) AS token_id
+    FROM r WHERE token_id < 1000"""
+
+  // ————————————————————————————— per-document TF-IDF top terms
+  // (tokenize once: document frequency derives from the per-doc term
+  //  counts; ln on the same double division in both engines, rank on
+  //  the 4-d.p.-rounded score with token tiebreak)
+  val q64TfIdf: Q = (s, dir) =>
+    TextOps.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", topK = 5)
+      .withColumnRenamed("id", "doc_id")
+  val q64Sql: String = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT f.doc_id, f.token, f.tf,
+        round(f.tf * ln(CAST(nd.n_docs AS DOUBLE) / d.doc_freq), 4) AS tfidf
+      FROM tf f JOIN dfreq d ON f.token = d.token, nd),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+          FROM scored)
+    SELECT doc_id, token, tf, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -683,7 +753,10 @@ object OpsQueries {
     "q58_simhash64" -> q58Simhash64,
     "q59_simhash64_neardup" -> q59Simhash64NearDup,
     "q60_ann_ivf_batch" -> q60AnnIvfBatch,
-    "q61_dedup_pipeline" -> q61DedupPipeline)
+    "q61_dedup_pipeline" -> q61DedupPipeline,
+    "q62_quality_filter" -> q62QualityFilter,
+    "q63_vocabulary" -> q63Vocabulary,
+    "q64_tfidf" -> q64TfIdf)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -711,5 +784,8 @@ object OpsQueries {
     "q58_simhash64" -> q58Sql,
     "q59_simhash64_neardup" -> q59Sql,
     "q60_ann_ivf_batch" -> q60Sql,
-    "q61_dedup_pipeline" -> q61Sql)
+    "q61_dedup_pipeline" -> q61Sql,
+    "q62_quality_filter" -> q62Sql,
+    "q63_vocabulary" -> q63Sql,
+    "q64_tfidf" -> q64Sql)
 }

@@ -224,6 +224,48 @@ class OpsSpec extends SparkSpec {
     assert(fps(1L).intersect(fps3).isEmpty)
   }
 
+  test("quality filter keeps a nonempty strict subset, every rule binding") {
+    val kept = TextOps.qualityFilter(docs, "text",
+      minWords = 30, maxWords = 120, minStopwordRatio = 0.08,
+      minAlphaRatio = 0.5, lang = Some("en"))
+    val n = docs.count()
+    val k = kept.count()
+    assert(k > 0 && k < n, s"filter should bind on this corpus: kept $k of $n")
+    // loosening only the stopword floor must re-admit documents —
+    // proving that rule (not just the word band) is doing work
+    val loose = TextOps.qualityFilter(docs, "text",
+      minWords = 30, maxWords = 120, minStopwordRatio = 0.0,
+      minAlphaRatio = 0.5, lang = Some("en")).count()
+    assert(loose > k)
+  }
+
+  test("vocabulary: contiguous ids in (count desc, token) order, floor applied") {
+    val v = TextOps.vocabulary(docs, "text", minCount = 5, topK = 100)
+      .orderBy("token_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.nonEmpty && v.map(_._3).toSeq == v.indices.map(_.toLong))
+    assert(v.forall(_._2 >= 5))
+    // ranked: counts non-increasing, token ascending within equal counts
+    v.sliding(2).foreach { case Array((t1, n1, _), (t2, n2, _)) =>
+      assert(n1 > n2 || (n1 == n2 && t1 < t2))
+    case _ => }
+  }
+
+  test("tfidf: a corpus-wide token scores below a doc-specific one") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common rare"),
+      (2L, "common common other"),
+      (3L, "common filler words")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(d, "text", "doc_id", topK = 3)
+      .where(col("id") === 1).orderBy(col("rk"))
+      .collect().map(r => (r.getString(1), r.getDouble(3)))
+    // 'common' appears in every doc → idf ln(1) = 0 despite tf=2;
+    // 'rare' appears only here → positive score, ranks first
+    assert(top.head._1 == "rare" && top.head._2 > 0)
+    assert(top.find(_._1 == "common").exists(_._2 == 0.0))
+  }
+
   test("langId picks the profile language on real sentences") {
     import spark.implicits._
     val samples = Seq(
