@@ -79,9 +79,17 @@ object Dedup {
     */
   private def jaccardScored(inter: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame =
+    jaccardScored(inter, sizes, sizes, threshold)
+
+  /** Two-sided variant: the `a` and `b` ids come from different corpora
+    * (the cross-corpus dedup path), so the per-document shingle sizes
+    * join from each side's own frame.
+    */
+  private def jaccardScored(inter: DataFrame, sizesA: DataFrame,
+      sizesB: DataFrame, threshold: Double): DataFrame =
     inter
-      .join(sizes.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
-      .join(sizes.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
+      .join(sizesA.withColumnRenamed("n_sh", "na"), col("a") === col("id")).drop("id")
+      .join(sizesB.withColumnRenamed("n_sh", "nb"), col("b") === col("id")).drop("id")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
@@ -142,19 +150,24 @@ object Dedup {
     * before LSH ever runs; the cap is the backstop that keeps the join
     * bounded when that precondition is violated.
     */
+  /** One (id, band, band_sig) row per document band — the native
+    * MinhashBandSigs expression in ONE narrow projection per document
+    * instead of the relational chain's numHashes-fold explode plus two
+    * hash aggregations (that chain — minhashSignatures + lshBands —
+    * remains the checked reference definition; OpsSpec pins equality).
+    */
+  def bandSigRows(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.MinhashExpressions.bandSigs(
+          TextOps.shingles(col(textCol), shingleN), numHashes, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // band signatures come from the native MinhashBandSigs expression:
-    // ONE narrow projection per document instead of the relational
-    // chain's numHashes-fold explode plus two hash aggregations (that
-    // chain — minhashSignatures + lshBands — remains the checked
-    // reference definition; OpsSpec pins equality)
     val bands = pruneHotKeys(
-      df.select(col(idCol).as("id"),
-        posexplode(graft.functions.MinhashExpressions.bandSigs(
-          TextOps.shingles(col(textCol), shingleN), numHashes, rowsPerBand)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig"),
+      bandSigRows(df, textCol, idCol, shingleN, numHashes, rowsPerBand),
       Seq("band", "band_sig"), maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
@@ -184,6 +197,100 @@ object Dedup {
         col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     jaccardScored(inter, sizes, threshold)
+  }
+
+  /** Shared verification tail of the cross-corpus paths: exact Jaccard
+    * between each candidate's batch-side and corpus-side shingle sets.
+    */
+  private def crossVerified(cand: DataFrame, batch: DataFrame,
+      corpus: DataFrame, textCol: String, idCol: String, shingleN: Int,
+      threshold: Double): DataFrame = {
+    val shA = shingleRows(batch, textCol, idCol, shingleN)
+    val shB = shingleRows(corpus, textCol, idCol, shingleN)
+    val inter = cand
+      .join(shA.as("x"), col("a") === col("x.id"))
+      .join(shB.as("y"),
+        col("b") === col("y.id") && col("x.shingle") === col("y.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    jaccardScored(inter,
+      shA.groupBy(col("id")).agg(count(lit(1)).as("n_sh")),
+      shB.groupBy(col("id")).agg(count(lit(1)).as("n_sh")), threshold)
+  }
+
+  /** Cross-corpus near-dup pairs (a = batch id, b = corpus id): LSH band
+    * candidates between the two corpora, exact Jaccard verification on
+    * candidates only — the INGEST question ("is this new document a
+    * near-dup of anything we already accepted?") rather than the
+    * within-corpus self-join. At scale the batch side is orders of
+    * magnitude smaller than the corpus, so the candidate join broadcasts
+    * the batch bands over one scan of the corpus bands; verification
+    * shingles only the matched documents of each side.
+    */
+  def crossCorpusNearDupPairs(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame =
+    crossVerified(
+      crossCandidates(
+        bandSigRows(batch, textCol, idCol, shingleN, numHashes, rowsPerBand),
+        bandSigRows(corpus, textCol, idCol, shingleN, numHashes, rowsPerBand)),
+      batch, corpus, textCol, idCol, shingleN, threshold)
+
+  private def crossCandidates(batchBands: DataFrame, corpusBands: DataFrame): DataFrame =
+    batchBands.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+  /** Materialize the accepted corpus's band signatures as the near-dup
+    * INDEX: one (id, band, band_sig) parquet, computed once at corpus
+    * build instead of re-deriving every corpus document's signatures on
+    * every ingest batch (at 100 TB the re-derivation — tokenize +
+    * shingle + hash the whole corpus — dwarfs the ingest itself).
+    */
+  def buildNearDupIndex(corpus: DataFrame, textCol: String, idCol: String,
+      path: String, shingleN: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3): Unit =
+    bandSigRows(corpus, textCol, idCol, shingleN, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  /** Extend the index with newly ACCEPTED documents (append-only: band
+    * rows are per-document facts, so no merge is needed — the ingest
+    * loop appends each batch's keepers after [[dedupBatchAgainstIndex]]
+    * admits them, and the next batch is checked against them too).
+    */
+  def appendToNearDupIndex(accepted: DataFrame, textCol: String, idCol: String,
+      path: String, shingleN: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3): Unit =
+    bandSigRows(accepted, textCol, idCol, shingleN, numHashes, rowsPerBand)
+      .write.mode("append").parquet(path)
+
+  /** Cross-corpus pairs against a [[buildNearDupIndex]] table: candidate
+    * generation reads the stored band rows (no corpus re-derivation);
+    * verification joins back to `corpusDocs` for the MATCHED ids only.
+    */
+  def crossCorpusNearDupPairsIndexed(batch: DataFrame, corpusDocs: DataFrame,
+      indexPath: String, textCol: String, idCol: String, shingleN: Int = 3,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    crossVerified(
+      crossCandidates(
+        bandSigRows(batch, textCol, idCol, shingleN, numHashes, rowsPerBand),
+        batch.sparkSession.read.parquet(indexPath)),
+      batch, corpusDocs, textCol, idCol, shingleN, threshold)
+
+  /** The incremental-ingest admission step: batch documents with NO
+    * near-dup in the indexed corpus. (Within-batch duplicates are the
+    * existing [[dedupedByClusters]] composition — run it first, then
+    * admit survivors here and [[appendToNearDupIndex]] them.)
+    */
+  def dedupBatchAgainstIndex(batch: DataFrame, corpusDocs: DataFrame,
+      indexPath: String, textCol: String, idCol: String, shingleN: Int = 3,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val dupes = crossCorpusNearDupPairsIndexed(batch, corpusDocs, indexPath,
+      textCol, idCol, shingleN, numHashes, rowsPerBand, threshold)
+      .select(col("a")).distinct()
+    batch.join(dupes, batch(idCol) === dupes("a"), "left_anti")
   }
 
   /** Connected components over a near-dup pair list: every document gets

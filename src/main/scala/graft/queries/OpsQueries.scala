@@ -657,6 +657,74 @@ object OpsQueries {
         || CAST(frame_idx AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_fp
     FROM fr"""
 
+  // ————————————————————————————— cross-corpus near-dup pairs
+  // (the ingest question: which BATCH documents (odd ids) near-duplicate
+  //  an already-accepted CORPUS document (even ids)? Band candidates
+  //  between the corpora + exact Jaccard on candidates; the oracle
+  //  re-derives banding for both sides and the two-sided verification)
+  private val crossBandsSql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+             WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.a, c.b, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b, jaccard FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5)"""
+
+  val q65CrossCorpus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    Dedup.crossCorpusNearDupPairs(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", shingleN = 3, numHashes = 12, rowsPerBand = 3,
+      threshold = 0.5)
+  }
+  val q65Sql: String = crossBandsSql + """
+    SELECT a, b, jaccard FROM pairs"""
+
+  // ————————————————————————————— batch admission against the band index
+  // (same semantics through the MATERIALIZED index: candidates read the
+  //  stored corpus band rows, verification shingles only matched docs;
+  //  result = batch documents with no accepted near-dup)
+  private val nearDupIndexBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q66DedupIngest: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val path = nearDupIndexBuilt.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-neardup-index-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Dedup.buildNearDupIndex(corpus, "text", "doc_id", p)
+      p
+    })
+    Dedup.dedupBatchAgainstIndex(docs.filter(col("doc_id") % 2 === 1), corpus,
+      path, "text", "doc_id", threshold = 0.5)
+      .select(col("doc_id"))
+  }
+  val q66Sql: String = crossBandsSql + """
+    SELECT doc_id FROM documents
+    WHERE doc_id < 1000 AND doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT a FROM pairs)"""
+
   // ————————————————————————————— C4-style quality-filter composition
   // (the first stage of a corpus-cleaning pipeline: word-count band +
   //  stopword floor + alphabetic floor + predicted language, all narrow;
@@ -756,7 +824,9 @@ object OpsQueries {
     "q61_dedup_pipeline" -> q61DedupPipeline,
     "q62_quality_filter" -> q62QualityFilter,
     "q63_vocabulary" -> q63Vocabulary,
-    "q64_tfidf" -> q64TfIdf)
+    "q64_tfidf" -> q64TfIdf,
+    "q65_cross_corpus" -> q65CrossCorpus,
+    "q66_dedup_ingest" -> q66DedupIngest)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -787,5 +857,7 @@ object OpsQueries {
     "q61_dedup_pipeline" -> q61Sql,
     "q62_quality_filter" -> q62Sql,
     "q63_vocabulary" -> q63Sql,
-    "q64_tfidf" -> q64Sql)
+    "q64_tfidf" -> q64Sql,
+    "q65_cross_corpus" -> q65Sql,
+    "q66_dedup_ingest" -> q66Sql)
 }
