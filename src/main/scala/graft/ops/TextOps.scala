@@ -165,7 +165,7 @@ object TextOps {
     * Returns one row per (id, fp). Docs shorter than k+w-1 chars yield
     * no fingerprints (standard winnowing guarantees need ≥ one window).
     */
-  def winnowingFingerprintRows(df: org.apache.spark.sql.DataFrame,
+  def winnowingFingerprintRowsRelational(df: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     val win = org.apache.spark.sql.expressions.Window
@@ -181,6 +181,21 @@ object TextOps {
       .where(col("i") <= col("n") - w)
       .select(col("id"), col("fp"))
       .distinct()
+  }
+
+  /** Native winnowing: the [[graft.functions.WinnowingFingerprints]]
+    * expression selects each document's fingerprint set in one pass per
+    * row (monotonic-deque sliding minima), so the per-document sort
+    * window and the one-row-per-character explode disappear — only the
+    * selected fingerprints (a w-fold reduction) become rows. The
+    * relational shape above is the checked reference definition (and
+    * what the SQL oracle mirrors); OpsSpec pins set-equality.
+    */
+  def winnowingFingerprintRows(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowingExpressions.fingerprints(norm, k, w)).as("fp"))
   }
 
   /** Near-dup candidate pairs (a < b) sharing at least `minShared` selected

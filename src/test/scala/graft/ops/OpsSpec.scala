@@ -224,6 +224,15 @@ class OpsSpec extends SparkSpec {
     assert(fps(1L).intersect(fps3).isEmpty)
   }
 
+  test("native winnowing fingerprints equal the relational reference chain") {
+    val d = docs.filter(col("doc_id") < 300)
+    val relational = TextOps.winnowingFingerprintRowsRelational(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = TextOps.winnowingFingerprintRows(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(relational.nonEmpty && relational == native)
+  }
+
   test("quality filter keeps a nonempty strict subset, every rule binding") {
     val kept = TextOps.qualityFilter(docs, "text",
       minWords = 30, maxWords = 120, minStopwordRatio = 0.08,
