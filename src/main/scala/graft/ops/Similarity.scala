@@ -92,6 +92,39 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
   }
 
+  /** Lloyd refinement of IVF centroids: `iters` rounds of assign →
+    * per-centroid elementwise mean. Each round is two shuffles (the
+    * dimension-explode aggregate, then the per-centroid array rebuild),
+    * `localCheckpoint` cuts the growing lineage per round (the standard
+    * iterative-algorithm discipline), and a centroid that loses every
+    * member keeps its previous position instead of vanishing — the
+    * index's bucket count is a design constant. Assignment is by cosine,
+    * so the mean's DIRECTION is what matters; no re-normalization needed.
+    *
+    * Deliberately NOT oracle-checked: floating-point summation order in
+    * `avg` differs between engines and across partitionings, so the
+    * refined centroids are only reproducible to rounding — CentroidSpec
+    * verifies the semantics that matter instead (planted clusters
+    * recovered, mean member-to-centroid similarity non-decreasing).
+    */
+  def refineCentroids(vectors: DataFrame, initial: DataFrame, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = initial.select(col("cid"), col("cvec"))
+    for (_ <- 1 to iters) {
+      val means = assignToCentroids(vectors, cents, idCol, vecCol)
+        .select(col("centroid_id").as("cid"),
+          posexplode(asDouble(col(vecCol))))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_cvec"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Build the materialized IVF index: assign every vector to its nearest
     * centroid once and write the table partitioned by `centroid_id`. This
     * is the one-time ingest cost that turns every later search into a

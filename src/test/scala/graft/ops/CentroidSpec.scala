@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lloyd refinement semantics: planted clusters are recovered from
+  * deliberately bad initial centroids, refinement never loses a
+  * centroid, and the mean member-to-centroid similarity does not
+  * decrease — the properties an IVF index build needs from its
+  * centroid step (bit-level output is engine-dependent FP, so no SQL
+  * oracle; see refineCentroids scaladoc).
+  */
+class CentroidSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 3 planted clusters on near-orthogonal directions + deterministic
+    * per-vector jitter.
+    */
+  private lazy val planted = {
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.1, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.1),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.2, 0.1, 0.0))
+    (0 until 120).map { i =>
+      val c = i % 3
+      val jitter = (d: Int) =>
+        ((i * 31 + d * 7) % 11 - 5) / 100.0 // deterministic, small
+      (i.toLong, c.toLong, dirs(c).zipWithIndex.map { case (v, d) => v + jitter(d) }.toSeq)
+    }.toDF("vec_id", "planted", "embedding")
+  }
+
+  private def meanSim(cents: org.apache.spark.sql.DataFrame): Double = {
+    val a = Similarity.assignToCentroids(planted, cents)
+    a.join(cents, a("centroid_id") === cents("cid"))
+      .select(avg(Similarity.cosine(
+        Similarity.asDouble(col("embedding")), col("cvec"))))
+      .as[Double].head()
+  }
+
+  test("refinement recovers planted clusters from bad initial centroids") {
+    // initial centroids: three members of cluster 0's neighborhood —
+    // maximally unhelpful (all in one planted cluster's direction) plus
+    // two slightly rotated copies so assignment can still split
+    val init = Seq(
+      (0L, Seq(1.0, 0.1, 0.0, 0.2, 0.0, 0.0, 0.1, 0.0)),
+      (1L, Seq(0.7, 0.7, 0.0, 0.1, 0.1, 0.0, 0.1, 0.0)),
+      (2L, Seq(0.7, 0.0, 0.7, 0.1, 0.0, 0.1, 0.1, 0.0)))
+      .toDF("cid", "cvec")
+    val before = meanSim(init)
+    val refined = Similarity.refineCentroids(planted, init, iters = 8)
+    assert(refined.count() == 3, "refinement must never lose a centroid")
+    val after = meanSim(refined)
+    assert(after >= before - 1e-9,
+      s"mean member-centroid similarity decreased: $before -> $after")
+    // every planted cluster maps to ONE refined centroid and vice versa
+    val purity = Similarity.assignToCentroids(planted, refined)
+      .join(planted.select(col("vec_id"), col("planted")), "vec_id")
+      .groupBy(col("planted"))
+      .agg(countDistinct(col("centroid_id")).as("n_cents"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(purity.forall(_.getLong(1) == 1L),
+      s"each planted cluster should collapse onto one centroid: ${purity.mkString(", ")}")
+    assert(after > 0.9, s"refined centroids should sit inside their clusters ($after)")
+  }
+
+  test("a centroid with no members keeps its previous position") {
+    val far = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      // opposite to everything: cosine < 0 vs all planted vectors
+      (1L, Seq(-1.0, -1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    val refined = Similarity.refineCentroids(planted, far, iters = 2)
+    assert(refined.count() == 2)
+    val kept = refined.where(col("cid") === 1L)
+      .select(col("cvec")).as[Seq[Double]].head()
+    assert(kept == Seq(-1.0, -1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      "the empty centroid must survive unchanged")
+  }
+}
