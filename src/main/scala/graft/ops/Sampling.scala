@@ -45,4 +45,53 @@ object Sampling {
       .getOrElse(lit(weights.last._1))
     df.withColumn("split", split)
   }
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. keep 10%
+    * of 'en' but 100% of a rare language — the rebalancing move every
+    * corpus mix needs). Same md5-bucket mechanics as [[hashSample]], so
+    * the kept set is stable under any partitioning and reproducible by
+    * any engine; strata absent from `rates` fall back to `defaultPct`.
+    * Still a pure narrow filter — no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int = 0): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(p => 0 <= p && p <= 100))
+    val pct = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (stratum, p)) =>
+        Some(acc.map(_.when(col(strataCol) === stratum, p))
+          .getOrElse(when(col(strataCol) === stratum, p)))
+    }.map(_.otherwise(lit(defaultPct))).getOrElse(lit(defaultPct))
+    df.where(hashBucket(col(idCol)) < pct)
+  }
+
+  /** Sequence packing for training batches, stream-chunking semantics:
+    * within a shard, documents are laid head-to-tail in id order and a
+    * document belongs to the budget window its FIRST token lands in —
+    * bin = floor((cumsum - tokens) / budget) over the shard's
+    * id-ordered prefix sums. (This is how fixed-length LLM training
+    * windows consume a concatenated corpus; a straddling document stays
+    * with the window it starts in. True close-on-overflow bin packing
+    * is inherently sequential and not expressible as one window — and
+    * not what a packed loader does anyway.) Sharding is what makes this
+    * scale: a single global packing order serializes the cumsum into
+    * one task, while `numShards` md5 shards pack in parallel and stay
+    * deterministic (shard from the id, order within shard by id —
+    * partitioning-independent). Returns (id, shard, bin) — the physical
+    * grouping key for a downstream `repartition(shard, bin)` batch
+    * write.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, numShards: Int = 8): DataFrame = {
+    require(budget > 0 && numShards > 0)
+    val shard = conv(substring(md5(col(idCol).cast("string")), 5, 4), 16, 10)
+      .cast("long") % numShards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol).as("id"), col(tokensCol).as("tokens"),
+        shard.as("shard"))
+      .withColumn("bin",
+        floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
+      .select(col("id"), col("shard"), col("bin"))
+  }
 }

@@ -795,6 +795,58 @@ object OpsQueries {
     SELECT doc_id, token, tf, tfidf, CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= 5"""
 
+  // ————————————————————————————— stratified deterministic sampling
+  // (corpus rebalancing: per-language keep rates over the q26 language
+  //  prediction, md5-bucket stable like q53 — the oracle re-derives the
+  //  language argmax, the bucket, and the per-stratum threshold)
+  val q67StratifiedSample: Q = (s, dir) =>
+    graft.ops.Sampling.stratifiedSample(
+      Tables.documents(s, dir)
+        .withColumn("lang_pred", TextOps.langId(col("text"))),
+      "doc_id", "lang_pred", Seq("en" -> 20, "und" -> 100), defaultPct = 50)
+      .select(col("doc_id"), col("lang_pred"))
+  val q67Sql: String = {
+    val scoreExprs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    s"""
+    WITH sc AS (SELECT doc_id, text, $scoreExprs FROM documents),
+    m AS (SELECT doc_id,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS b
+      FROM sc)
+    SELECT doc_id, lang_pred FROM m
+    WHERE b < CASE lang_pred WHEN 'en' THEN 20 WHEN 'und' THEN 100 ELSE 50 END"""
+  }
+
+  // ————————————————————————————— sequence packing (token-budget bins)
+  // (stream-chunking semantics: per md5 shard, documents lie head-to-
+  //  tail in id order and belong to the budget window their first token
+  //  lands in — the parallel, deterministic shape of a packed-batch
+  //  writer; the oracle re-derives shard, prefix sums, and windows)
+  val q68PackSequences: Q = (s, dir) =>
+    graft.ops.Sampling.packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", budget = 500, numShards = 4)
+  val q68Sql: String = """
+    WITH t AS (SELECT doc_id AS id,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tokens,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT)
+          % 4 AS shard
+      FROM documents),
+    c AS (SELECT id, shard, tokens,
+        sum(tokens) OVER (PARTITION BY shard ORDER BY id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT id, shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin
+    FROM c"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -826,7 +878,9 @@ object OpsQueries {
     "q63_vocabulary" -> q63Vocabulary,
     "q64_tfidf" -> q64TfIdf,
     "q65_cross_corpus" -> q65CrossCorpus,
-    "q66_dedup_ingest" -> q66DedupIngest)
+    "q66_dedup_ingest" -> q66DedupIngest,
+    "q67_stratified_sample" -> q67StratifiedSample,
+    "q68_pack_sequences" -> q68PackSequences)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -859,5 +913,7 @@ object OpsQueries {
     "q63_vocabulary" -> q63Sql,
     "q64_tfidf" -> q64Sql,
     "q65_cross_corpus" -> q65Sql,
-    "q66_dedup_ingest" -> q66Sql)
+    "q66_dedup_ingest" -> q66Sql,
+    "q67_stratified_sample" -> q67Sql,
+    "q68_pack_sequences" -> q68Sql)
 }

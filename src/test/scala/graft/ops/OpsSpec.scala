@@ -275,6 +275,46 @@ class OpsSpec extends SparkSpec {
     assert(top.find(_._1 == "common").exists(_._2 == 0.0))
   }
 
+  test("stratified sample: per-stratum rates bind, default applies, stable") {
+    import spark.implicits._
+    val d = docs.select(col("doc_id"),
+      (col("doc_id") % 2 === 0).cast("string").as("stratum"))
+    val kept = Sampling.stratifiedSample(d, "doc_id", "stratum",
+      Seq("true" -> 100, "false" -> 0)).cache()
+    // rate 100 keeps the whole stratum, rate 0 drops the other entirely
+    assert(kept.where(col("stratum") === "false").count() == 0)
+    assert(kept.where(col("stratum") === "true").count() ==
+      d.where(col("stratum") === "true").count())
+    // a mid rate keeps a strict, deterministic subset
+    val p40a = Sampling.stratifiedSample(d, "doc_id", "stratum",
+      Seq("true" -> 40), defaultPct = 40).select("doc_id").as[Long].collect().toSet
+    val p40b = Sampling.stratifiedSample(d, "doc_id", "stratum",
+      Seq("true" -> 40), defaultPct = 40).select("doc_id").as[Long].collect().toSet
+    assert(p40a == p40b && p40a.nonEmpty && p40a.size < d.count())
+  }
+
+  test("sequence packing: stream-chunk windows per shard, deterministic") {
+    import spark.implicits._
+    val withTok = docs.select(col("doc_id"),
+      TextOps.wsTokenCount(col("text")).as("n_tok"))
+    val packed = Sampling.packSequences(withTok, "doc_id", "n_tok",
+      budget = 500, numShards = 4)
+      .join(withTok.withColumnRenamed("doc_id", "id"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty && packed.map(_._2).distinct.length == 4)
+    // re-derive per shard: prefix sums in id order; a doc's bin is the
+    // budget window of its first token
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, bin, tok) =>
+        assert(bin == cum / 500, s"bin $bin != window of offset $cum")
+        cum += tok
+      }
+    }
+    // multiple bins actually form (the window is doing work)
+    assert(packed.map(r => (r._2, r._3)).distinct.length > 4)
+  }
+
   test("langId picks the profile language on real sentences") {
     import spark.implicits._
     val samples = Seq(
