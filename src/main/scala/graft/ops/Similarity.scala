@@ -274,6 +274,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension (pos, mn, mx) calibration table for scalar
+    * quantization — one aggregate over the corpus, dims rows out.
+    */
+  def quantizationParams(vectors: DataFrame, vecCol: String = "embedding"): DataFrame =
+    vectors.select(posexplode(asDouble(col(vecCol))))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+
+  /** The int8-dequantized view of an embedding: each dimension linearly
+    * coded into 0..255 against the calibration range and decoded again —
+    * exactly the value a uint8-stored index would search with, so
+    * ranking on this column measures the real quantized-recall. Params
+    * are LITERALS (dims is an index design constant), keeping the
+    * projection narrow and codegen-resident; a degenerate dimension
+    * (mx == mn) decodes to the constant. Deterministic: same IEEE ops in
+    * the same order in any engine.
+    */
+  def dequantizedCol(vecCol: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(mins.size == maxs.size && mins.nonEmpty)
+    val mnA = typedLit(mins)
+    val mxA = typedLit(maxs)
+    transform(sequence(lit(0), lit(mins.size - 1)), d => {
+      val v = element_at(asDouble(vecCol), d + 1)
+      val mn = element_at(mnA, d + 1)
+      val mx = element_at(mxA, d + 1)
+      when(mx > mn,
+        mn + round(lit(255) * (v - mn) / (mx - mn), 0) * (mx - mn) / lit(255))
+        .otherwise(mn)
+    })
+  }
+
+  /** Quantized ANN with full-precision re-rank: rank the corpus on the
+    * dequantized representation (what an int8 index stores — 4× less
+    * memory/scan than float32, 8× less than float64), keep the top
+    * k·rerankFactor candidates, then re-rank those exactly. The standard
+    * memory/recall lever for an index that no longer fits: only the
+    * candidate set ever touches full precision. Ordering uses the
+    * 4-d.p.-rounded scores with id tiebreaks at both stages, so the
+    * result is reproducible across engines like the other ANN paths.
+    */
+  def quantizedTopK(vectors: DataFrame, queryDf: DataFrame, k: Int,
+      rerankFactor: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    // dims-sized collect — bounded by index design, like centroid probes
+    val params = quantizationParams(vectors, vecCol).orderBy("pos").collect()
+    val mins = params.map(_.getDouble(1)).toSeq
+    val maxs = params.map(_.getDouble(2)).toSeq
+    val cand = vectors
+      .select(col(idCol), col(vecCol),
+        dequantizedCol(col(vecCol), mins, maxs).as("dq"))
+      .crossJoin(broadcast(queryDf))
+      .select(col(idCol), col(vecCol),
+        round(fastCosine(col("dq"), col("qvec")), 4).as("dq_cos"))
+      .orderBy(col("dq_cos").desc, col(idCol))
+      .limit(k * rerankFactor)
+    cand.crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplane vectors: component (j, d) is
     * uniform in [-1, 1), derived from 8 hex chars of md5 — reproducible
     * in any engine (the SQL oracle rebuilds identical hyperplanes). Built

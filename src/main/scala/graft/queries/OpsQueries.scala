@@ -795,6 +795,47 @@ object OpsQueries {
     SELECT doc_id, token, tf, tfidf, CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= 5"""
 
+  // ————————————————————————————— quantized ANN with exact re-rank
+  // (int8 scalar quantization — the memory lever for an index that no
+  //  longer fits: rank on the dequantized representation, re-rank the
+  //  top k·3 candidates at full precision. The oracle re-derives the
+  //  per-dim calibration, the code/decode arithmetic, and both ranks.)
+  val q69QuantizedAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.quantizedTopK(emb.filter(col("vec_id") > 0), queryDf,
+      k = 10, rerankFactor = 3)
+  }
+  val q69Sql: String = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id > 0),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+             FROM v, (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+    dq AS (SELECT vec_id, d,
+             CASE WHEN mx > mn
+                  THEN mn + round(255 * (e[d] - mn) / (mx - mn), 0)
+                       * (mx - mn) / 255
+                  ELSE mn END AS x
+           FROM v CROSS JOIN dims),
+    dqv AS (SELECT vec_id, list(x ORDER BY d) AS dqe FROM dq GROUP BY vec_id),
+    cand AS (SELECT vec_id FROM (
+        SELECT dqv.vec_id,
+          row_number() OVER (ORDER BY round(
+            list_dot_product(dqe, qe)
+              / (sqrt(list_dot_product(dqe, dqe))
+                 * sqrt(list_dot_product(qe, qe))), 4) DESC, dqv.vec_id) AS rn
+        FROM dqv, q)
+      WHERE rn <= 30)
+    SELECT v.vec_id, round(
+        list_dot_product(e, qe)
+        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4)
+      AS cos_sim
+    FROM v JOIN cand ON v.vec_id = cand.vec_id, q
+    ORDER BY cos_sim DESC, v.vec_id LIMIT 10"""
+
   // ————————————————————————————— stratified deterministic sampling
   // (corpus rebalancing: per-language keep rates over the q26 language
   //  prediction, md5-bucket stable like q53 — the oracle re-derives the
@@ -880,7 +921,8 @@ object OpsQueries {
     "q65_cross_corpus" -> q65CrossCorpus,
     "q66_dedup_ingest" -> q66DedupIngest,
     "q67_stratified_sample" -> q67StratifiedSample,
-    "q68_pack_sequences" -> q68PackSequences)
+    "q68_pack_sequences" -> q68PackSequences,
+    "q69_quantized_ann" -> q69QuantizedAnn)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -915,5 +957,6 @@ object OpsQueries {
     "q65_cross_corpus" -> q65Sql,
     "q66_dedup_ingest" -> q66Sql,
     "q67_stratified_sample" -> q67Sql,
-    "q68_pack_sequences" -> q68Sql)
+    "q68_pack_sequences" -> q68Sql,
+    "q69_quantized_ann" -> q69Sql)
 }

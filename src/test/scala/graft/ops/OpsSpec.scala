@@ -167,6 +167,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantized ANN: bounded reconstruction error, high recall vs exact") {
+    val corpus = emb.filter(col("vec_id") > 0)
+    val params = Similarity.quantizationParams(corpus).orderBy("pos").collect()
+    val mins = params.map(_.getDouble(1)).toSeq
+    val maxs = params.map(_.getDouble(2)).toSeq
+    // per-dim reconstruction error is at most half a quantization step
+    val maxErr = corpus.select(
+        aggregate(
+          zip_with(Similarity.asDouble(col("embedding")),
+            Similarity.dequantizedCol(col("embedding"), mins, maxs),
+            (v, d) => abs(v - d)),
+          lit(0.0), (a, x) => greatest(a, x)).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    val maxStep = mins.zip(maxs).map { case (mn, mx) => (mx - mn) / 255 / 2 }.max
+    assert(maxErr <= maxStep + 1e-12,
+      s"reconstruction error $maxErr above half-step bound $maxStep")
+    // recall@10 against the exact search
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queryDf, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(corpus, queryDf, k = 10, rerankFactor = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"quantized recall@10 too low: ${exact.intersect(quant).size}/10")
+  }
+
   test("brute-force ANN: top-1 of a vector against itself is itself") {
     val queryDf = emb.filter(col("vec_id") === 42)
       .select(Similarity.asDouble(col("embedding")).as("qvec"))
