@@ -199,6 +199,31 @@ object Dedup {
     jaccardScored(inter, sizes, threshold)
   }
 
+  /** Train/eval decontamination, long-n-gram overlap style: for every
+    * document in `evalSplit`, count the DISTINCT `n`-grams it shares
+    * with ANY `trainSplit` document — a nonzero count means eval
+    * content leaked into training data (or vice versa) and the eval
+    * score is compromised. Long n-grams (default 13) make accidental
+    * collisions essentially impossible, so any hit is real overlap;
+    * `maxDocFreq` prunes boilerplate n-grams held by more than that
+    * many documents before the cross join, the same hot-key bound as
+    * the dedup family. Returns (id, n_shared) for contaminated eval
+    * docs only.
+    */
+  def contamination(df: DataFrame, textCol: String, idCol: String,
+      splitCol: String, trainSplit: String, evalSplit: String, n: Int = 13,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val base = pruneHotKeys(
+      df.select(col(idCol).as("id"), col(splitCol).as("split"),
+        explode(TextOps.shingles(col(textCol), n)).as("shingle")),
+      "shingle", maxDocFreq)
+    base.as("e").where(col("e.split") === evalSplit)
+      .join(base.as("t").where(col("t.split") === trainSplit),
+        col("e.shingle") === col("t.shingle"))
+      .groupBy(col("e.id").as("id"))
+      .agg(countDistinct(col("e.shingle")).as("n_shared"))
+  }
+
   /** Shared verification tail of the cross-corpus paths: exact Jaccard
     * between each candidate's batch-side and corpus-side shingle sets.
     */

@@ -135,6 +135,23 @@ object TextOps {
       .select(col("id"), col("token"), col("tf"), col("tfidf"), col("rk"))
   }
 
+  /** Encode documents against a [[vocabulary]] table: one row per
+    * document with its ordered `token_ids` array, out-of-vocabulary
+    * tokens as -1. The join is on the token string and the optimizer
+    * broadcasts the vocabulary when it is small (topK-bounded — the
+    * usual case); order is restored by position after the join, so the
+    * result is independent of partitioning.
+    */
+  def tokenizeToIds(df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(words(col(textCol))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "token")
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(-1L)))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
 

@@ -888,6 +888,62 @@ object OpsQueries {
     SELECT id, shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin
     FROM c"""
 
+  // ————————————————————————————— tokenization against the vocabulary
+  // (encode documents to ordered token-id arrays with OOV = -1 — the
+  //  step between corpus cleaning and batch writing; the oracle rebuilds
+  //  the q63 vocabulary and the order-restored encode)
+  val q70TokenizeIds: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    TextOps.tokenizeToIds(d, "text", "doc_id",
+      TextOps.vocabulary(d, "text", minCount = 5, topK = 1000))
+      .withColumnRenamed("id", "doc_id")
+  }
+  val q70Sql: String = """
+    WITH t0 AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+    c AS (SELECT token, count(*) AS n FROM t0 GROUP BY 1 HAVING count(*) >= 5),
+    vocab AS (SELECT token, token_id FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        FROM c)
+      WHERE token_id < 1000),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d),
+    tok AS (SELECT doc_id, i, w[i] AS token FROM idx),
+    ids AS (SELECT doc_id, i, COALESCE(v.token_id, -1) AS tid
+            FROM tok LEFT JOIN vocab v USING (token))
+    SELECT doc_id, list(tid ORDER BY i) AS token_ids
+    FROM ids GROUP BY doc_id"""
+
+  // ————————————————————————————— train/eval decontamination
+  // (the leak detector: test documents sharing any 13-gram with any
+  //  train document over the q53 deterministic split — long n-grams
+  //  make accidental collisions impossible, so every hit is overlap)
+  val q71Contamination: Q = (s, dir) =>
+    Dedup.contamination(
+      graft.ops.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+      "text", "doc_id", "split", trainSplit = "train", evalSplit = "test",
+      n = 13)
+  val q71Sql: String = {
+    val cc = (0 until 13).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""
+    WITH s AS (SELECT doc_id, text,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS b
+      FROM documents),
+    sp AS (SELECT doc_id, text,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+          AS split
+      FROM s),
+    d AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM sp),
+    idx AS (SELECT doc_id, split, w, unnest(range(1, len(w) - 11)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, split, $cc AS shingle FROM idx)
+    SELECT e.doc_id AS id, count(DISTINCT e.shingle) AS n_shared
+    FROM sh e JOIN sh t ON e.shingle = t.shingle
+      AND e.split = 'test' AND t.split = 'train'
+    GROUP BY 1"""
+  }
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -922,7 +978,9 @@ object OpsQueries {
     "q66_dedup_ingest" -> q66DedupIngest,
     "q67_stratified_sample" -> q67StratifiedSample,
     "q68_pack_sequences" -> q68PackSequences,
-    "q69_quantized_ann" -> q69QuantizedAnn)
+    "q69_quantized_ann" -> q69QuantizedAnn,
+    "q70_tokenize_ids" -> q70TokenizeIds,
+    "q71_contamination" -> q71Contamination)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -958,5 +1016,7 @@ object OpsQueries {
     "q66_dedup_ingest" -> q66Sql,
     "q67_stratified_sample" -> q67Sql,
     "q68_pack_sequences" -> q68Sql,
-    "q69_quantized_ann" -> q69Sql)
+    "q69_quantized_ann" -> q69Sql,
+    "q70_tokenize_ids" -> q70Sql,
+    "q71_contamination" -> q71Sql)
 }

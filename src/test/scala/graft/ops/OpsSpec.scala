@@ -342,6 +342,31 @@ class OpsSpec extends SparkSpec {
     assert(packed.map(r => (r._2, r._3)).distinct.length > 4)
   }
 
+  test("tokenizeToIds: order preserved, OOV is -1, ids from the vocabulary") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta alpha zzzunknown beta")).toDF("doc_id", "text")
+    val vocab = Seq(("alpha", 0L), ("beta", 1L)).toDF("token", "token_id")
+    val out = TextOps.tokenizeToIds(d, "text", "doc_id", vocab)
+      .select(col("token_ids")).as[Seq[Long]].head()
+    assert(out == Seq(0L, 1L, 0L, -1L, 1L))
+  }
+
+  test("contamination flags exactly the eval docs sharing a long n-gram with train") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val d = Seq(
+      (1L, "train", s"prefix words $run suffix words here"),
+      (2L, "train", "completely unrelated training content with no shared runs at all today"),
+      (10L, "test", s"different framing but $run appears verbatim"),
+      (11L, "test", "clean test document sharing nothing with the training half whatsoever"))
+      .toDF("doc_id", "split", "text")
+    val hits = Dedup.contamination(d, "text", "doc_id", "split",
+      "train", "test", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(10L), s"expected only doc 10 flagged, got $hits")
+    assert(hits(10L) >= 1)
+  }
+
   test("langId picks the profile language on real sentences") {
     import spark.implicits._
     val samples = Seq(
