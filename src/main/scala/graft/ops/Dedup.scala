@@ -142,19 +142,6 @@ object Dedup {
         md5(concat((0 until rowsPerBand).map(k => col(s"s$k")): _*)).as("band_sig"))
   }
 
-  /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket.
-    *
-    * `maxBucket` < MaxValue caps every band bucket's document frequency
-    * before the self-join ([[pruneHotKeys]] on (band, band_sig)) — a corpus
-    * with 10⁵ byte-identical documents otherwise lands them all in ONE
-    * bucket per band, a quadratic task no banding parameter can shrink. A
-    * bucket hot in one band (a boilerplate collision) loses only that
-    * band's vote — the other bands preserve recall. A doc set hot in EVERY
-    * band is exact-duplicate-level identical, which [[deduped]]
-    * (exact-dedup-first, the documented precondition at scale) collapses
-    * before LSH ever runs; the cap is the backstop that keeps the join
-    * bounded when that precondition is violated.
-    */
   /** One (id, band, band_sig) row per document band — the native
     * MinhashBandSigs expression in ONE narrow projection per document
     * instead of the relational chain's numHashes-fold explode plus two
@@ -169,6 +156,19 @@ object Dedup {
           TextOps.shinglesFromWords(col("_w"), shingleN), numHashes, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
 
+  /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket.
+    *
+    * `maxBucket` < MaxValue caps every band bucket's document frequency
+    * before the self-join ([[pruneHotKeys]] on (band, band_sig)) — a corpus
+    * with 10⁵ byte-identical documents otherwise lands them all in ONE
+    * bucket per band, a quadratic task no banding parameter can shrink. A
+    * bucket hot in one band (a boilerplate collision) loses only that
+    * band's vote — the other bands preserve recall. A doc set hot in EVERY
+    * band is exact-duplicate-level identical, which [[deduped]]
+    * (exact-dedup-first, the documented precondition at scale) collapses
+    * before LSH ever runs; the cap is the backstop that keeps the join
+    * bounded when that precondition is violated.
+    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {

@@ -891,12 +891,18 @@ object OpsQueries {
   // ————————————————————————————— tokenization against the vocabulary
   // (encode documents to ordered token-id arrays with OOV = -1 — the
   //  step between corpus cleaning and batch writing; the oracle rebuilds
-  //  the q63 vocabulary and the order-restored encode)
+  //  the q63 vocabulary and the order-restored encode. The id array is
+  //  projected as a comma-joined string: the cross-engine compare sorts
+  //  and hashes column values, which an array-typed column breaks — the
+  //  csv encoding is order-preserving and lossless for BIGINT ids, so
+  //  the check is exactly as strong)
   val q70TokenizeIds: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
     TextOps.tokenizeToIds(d, "text", "doc_id",
       TextOps.vocabulary(d, "text", minCount = 5, topK = 1000))
       .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"),
+        concat_ws(",", col("token_ids").cast("array<string>")).as("token_ids_csv"))
   }
   val q70Sql: String = """
     WITH t0 AS (SELECT unnest(string_split(lower(text), ' ')) AS token
@@ -911,7 +917,8 @@ object OpsQueries {
     tok AS (SELECT doc_id, i, w[i] AS token FROM idx),
     ids AS (SELECT doc_id, i, COALESCE(v.token_id, -1) AS tid
             FROM tok LEFT JOIN vocab v USING (token))
-    SELECT doc_id, list(tid ORDER BY i) AS token_ids
+    SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i)
+      AS token_ids_csv
     FROM ids GROUP BY doc_id"""
 
   // ————————————————————————————— train/eval decontamination
