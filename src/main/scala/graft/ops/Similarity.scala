@@ -141,20 +141,30 @@ object Similarity {
   /** Incrementally maintain a [[buildIvfIndex]] table: assign `newVectors`
     * to the SAME centroids (an index's centroids are fixed between
     * rebuilds — reassigning old vectors would invalidate every bucket)
-    * and rewrite ONLY the touched centroid partitions via dynamic
+    * and rewrite ONLY the affected centroid partitions via dynamic
     * partition overwrite, merging with the rows already there. Same-id
-    * rows are replaced (upsert), so re-ingesting a batch is idempotent.
+    * rows are replaced (upsert), so re-ingesting a batch is idempotent —
+    * INCLUDING a batch whose embeddings changed: an id that drifted to a
+    * different centroid has its stale row removed from its old bucket,
+    * not just a fresh row added to the new one.
     *
     * Why not a full rebuild: a 100 TB index cannot be rewritten per
-    * ingest batch. Cost here is one broadcast join over the batch plus a
-    * read+rewrite of the touched buckets only; untouched partitions'
-    * files are never listed, read, or replaced. The touched bucket ids
-    * are collected driver-side deliberately — bounded by centroid count
-    * (index design, not data size), and the literal `isin` is what
-    * reaches the parquet source as `PartitionFilters` for the
-    * existing-rows read. `localCheckpoint` materializes those rows first
-    * because Spark refuses to overwrite a path its plan still reads; at
-    * extreme bucket sizes a staging-table write serves the same purpose.
+    * ingest batch. Cost here is (1) one broadcast join over the batch,
+    * (2) an id→centroid lookup over the old index to find the batch
+    * ids' previous homes — a column-pruned scan of the id column only
+    * (`centroid_id` is the partition value, read from directory names,
+    * not file data), and (3) a read+rewrite of the affected buckets
+    * only; unaffected partitions' data files are never read or
+    * replaced. The affected bucket ids are collected driver-side
+    * deliberately — bounded by centroid count (index design, not data
+    * size), and the literal `isin` is what reaches the parquet source
+    * as `PartitionFilters` for the existing-rows read.
+    * `localCheckpoint` materializes those rows first because Spark
+    * refuses to overwrite a path its plan still reads; at extreme
+    * bucket sizes a staging-table write serves the same purpose. A
+    * bucket emptied by the move (its only rows were the migrated ids)
+    * never appears in the written frame, so dynamic overwrite would
+    * leave its stale files — those directories are deleted explicitly.
     */
   def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
       path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -163,13 +173,25 @@ object Similarity {
     val assigned = assignToCentroids(newVectors, centroids, idCol, vecCol)
       .select(cols.map(col): _*).localCheckpoint(true)
     val touched = assigned.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSet
     if (touched.nonEmpty) {
+      val batchIds = assigned.select(col(idCol))
+      // Previous homes of the batch ids: partitions holding a row that
+      // this upsert replaces. Read-back partition values infer as int —
+      // normalize to long before collecting.
+      val oldHomes = spark.read.parquet(path)
+        .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
+        .join(batchIds, Seq(idCol), "left_semi")
+        .select(col("centroid_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val affected = (touched ++ oldHomes).toSeq
       val existing = spark.read.parquet(path)
-        .where(col("centroid_id").isin(touched: _*))
-        .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+        .where(col("centroid_id").isin(affected: _*))
+        .join(batchIds, Seq(idCol), "left_anti")
         .select(cols.map(col): _*)
         .localCheckpoint(true)
+      val survivors = existing.select(col("centroid_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
       val conf = spark.conf
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = conf.getOption(key)
@@ -179,6 +201,16 @@ object Similarity {
       finally prev match {
         case Some(v) => conf.set(key, v)
         case None => conf.unset(key)
+      }
+      // Buckets whose every row migrated away: absent from the written
+      // frame, so the dynamic overwrite left their old files in place.
+      val emptied = oldHomes -- touched -- survivors
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { cid =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"), true)
+        }
       }
     }
   }

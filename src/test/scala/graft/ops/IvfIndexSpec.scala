@@ -76,6 +76,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(path) == rows(freshPath))
   }
 
+  test("re-ingesting an id whose embedding moved centroids leaves one row") {
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    val path = java.nio.file.Files.createTempDirectory("ivf-drift")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(base, centroids, path)
+    def rows() = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pick an id and force it to a different centroid by re-ingesting it
+    // with another existing vector's embedding
+    val moveId = 20L
+    val oldCid = rows().collectFirst { case (id, cid) if id == moveId => cid }.get
+    val donor = rows().collectFirst { case (id, cid) if cid != oldCid => id }.get
+    val newEmb = emb.filter(col("vec_id") === donor)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    import spark.implicits._
+    val drifted = Seq((moveId, newEmb)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(drifted, centroids, path)
+    val after = rows()
+    val mine = after.filter(_._1 == moveId)
+    assert(mine.length == 1, s"expected exactly one row for id $moveId, got ${mine.toSeq}")
+    assert(mine.head._2 != oldCid, "fixture must actually move the id across centroids")
+    // everyone else untouched
+    assert(after.filterNot(_._1 == moveId).toSet ==
+      rowsOf(base).filterNot(_._1 == moveId).toSet)
+    // a bucket emptied by the migration must not survive as stale files:
+    // move EVERY row out of oldCid and assert its directory is gone
+    val oldResidents = after.filter(_._2 == oldCid).map(_._1)
+    if (oldResidents.nonEmpty) {
+      val evacuees = oldResidents.map(id => (id, newEmb)).toSeq
+        .toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(evacuees, centroids, path)
+      val dir = new java.io.File(new java.io.File(path), s"centroid_id=$oldCid")
+      assert(!dir.exists(), s"emptied partition $dir left stale files")
+      val finalRows = rows()
+      assert(!finalRows.exists(_._2 == oldCid))
+      assert(finalRows.map(_._1).distinct.length == finalRows.length,
+        "migration produced duplicate vec_id rows")
+    }
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    Similarity.assignToCentroids(df, centroids)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
   test("batched indexed search equals per-query indexed search, in one scan") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"),
