@@ -352,8 +352,14 @@ object Dedup {
     * singletons are their own keeper by definition.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // materialize the pair set FIRST: the symmetric edge union references
+    // `pairs` twice, so an unmaterialized upstream (the whole LSH
+    // candidate+verify chain in the dedup pipeline composition) would run
+    // twice inside the edge job — checkpoint once, then the union is two
+    // reads of cached partitions
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps, Multimodal}
+import graft.ops.{CorpusBuild, Dedup, Similarity, TextOps, Multimodal}
 
 /** Training-data-pipeline operators (dedup family, similarity search, text
   * analysis, multimodal plumbing) as oracle-checked queries over the
@@ -952,6 +952,110 @@ object OpsQueries {
     GROUP BY 1"""
   }
 
+  // ————————————————————————————— END-TO-END corpus build (q72)
+  // (every pipeline stage composed the way a training-data run ships:
+  //  quality filter → exact dedup → LSH near-dup clusters → split →
+  //  13-gram decontamination → sequence packing. The oracle re-derives
+  //  all six stages in one SQL chain — the same per-stage definitions
+  //  that pass standalone as q62/q19/q61/q53/q71/q68.)
+  val q72CorpusBuild: Q = (s, dir) =>
+    CorpusBuild.corpus(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000), "text", "doc_id",
+      CorpusBuild.Config(lang = Some("en"), jaccardThreshold = 0.5,
+        maxBucket = 1000, packBudget = 500, packShards = 4))
+  val q72Sql: String = {
+    val scoreExprs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    val cc13 = (0 until 13).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""
+    WITH RECURSIVE sc AS (SELECT doc_id, text, $scoreExprs
+        FROM documents WHERE doc_id < 1000),
+    m AS (SELECT doc_id, text,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+          / CAST(length(lower(text)) AS DOUBLE) AS alpha_ratio,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|that)\\b'))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio
+      FROM sc),
+    clean AS (SELECT doc_id, text FROM m
+      WHERE n_words BETWEEN 30 AND 120 AND stopword_ratio >= 0.08
+        AND alpha_ratio >= 0.5 AND lang_pred = 'en'),
+    fps AS (SELECT doc_id, text,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM clean),
+    exact AS (SELECT doc_id, text FROM fps
+      WHERE doc_id IN (SELECT min(doc_id) FROM fps GROUP BY fp)),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exact),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+                  AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.a, c.b, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+    clusters AS (SELECT node AS id, min(label) AS cluster FROM walk GROUP BY node),
+    kept AS (SELECT doc_id, text FROM exact
+      WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster)),
+    sp AS (SELECT doc_id, text,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+          AS split
+      FROM (SELECT doc_id, text,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            % 100 AS b
+        FROM kept)),
+    dd AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM sp),
+    cidx AS (SELECT doc_id, split, w, unnest(range(1, len(w) - 11)) AS i FROM dd),
+    csh AS (SELECT DISTINCT doc_id, split, substr(md5($cc13), 1, 16) AS shingle
+            FROM cidx),
+    contam AS (SELECT DISTINCT e.doc_id FROM csh e
+      JOIN csh t ON e.shingle = t.shingle
+        AND e.split = 'test' AND t.split = 'train'),
+    surv AS (SELECT doc_id, split, text FROM sp
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    t AS (SELECT doc_id, split,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tokens,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT)
+          % 4 AS shard
+      FROM surv),
+    c AS (SELECT doc_id, split, shard, tokens,
+        sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, split, shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin
+    FROM c"""
+  }
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -988,7 +1092,8 @@ object OpsQueries {
     "q68_pack_sequences" -> q68PackSequences,
     "q69_quantized_ann" -> q69QuantizedAnn,
     "q70_tokenize_ids" -> q70TokenizeIds,
-    "q71_contamination" -> q71Contamination)
+    "q71_contamination" -> q71Contamination,
+    "q72_corpus_build" -> q72CorpusBuild)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1026,5 +1131,6 @@ object OpsQueries {
     "q68_pack_sequences" -> q68Sql,
     "q69_quantized_ann" -> q69Sql,
     "q70_tokenize_ids" -> q70Sql,
-    "q71_contamination" -> q71Sql)
+    "q71_contamination" -> q71Sql,
+    "q72_corpus_build" -> q72Sql)
 }
