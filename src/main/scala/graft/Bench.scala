@@ -9,18 +9,21 @@ import org.apache.spark.sql.SparkSession
   * `count()` lets Catalyst prune every projection, so narrow transform
   * queries would measure ~nothing. A warm-up query runs first so JVM/
   * codegen startup isn't billed to the first timed query. Each query runs
-  * `SPARK_GRAFT_BENCH_ITERS` (default 2) times and reports the per-query
+  * `SPARK_GRAFT_BENCH_ITERS` (default 5) times and reports the per-query
   * MIN (plus median) — a single contended run on a noisy driver machine
-  * can otherwise distort the record by 10-40× (observed round 1); the
-  * minimum is the reproducible quiet-machine number. The total is the sum
-  * of minima, and any failed iteration marks the query failed rather than
-  * letting it shrink the total into a fake speedup.
+  * can otherwise distort the record by 10-40× (observed round 1; rounds
+  * 3-5 swung the headline ~40% with near-zero code change at 2 iters,
+  * hence the raise to 5). The total is the sum of minima, and any failed
+  * iteration marks the query failed rather than letting it shrink the
+  * total into a fake speedup. The file artifact additionally records the
+  * full per-iteration vectors (`queries_iters`) so a contended-run
+  * outlier is attributable after the fact, not a mystery.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,17 +46,16 @@ object Bench {
       }
     }
 
-    /** (min, median) over `iters` runs; any failed run poisons the query. */
-    def exec(name: String): (Double, Double) = {
+    /** All `iters` timings; any failed run poisons the whole query. */
+    def exec(name: String): Seq[Double] = {
       val ts = (1 to iters).map(_ => once(name))
-      if (ts.exists(_ < 0)) (-1.0, -1.0)
-      else {
-        val sorted = ts.sorted
-        val mid =
-          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-        (sorted.head, mid)
-      }
+      if (ts.exists(_ < 0)) Seq.fill(iters)(-1.0) else ts
+    }
+    def minOf(ts: Seq[Double]): Double = ts.min
+    def medianOf(ts: Seq[Double]): Double = {
+      val sorted = ts.sorted
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     }
 
     // warm-up: JVM + codegen + parquet footer caches for the TPC-H-ish and
@@ -67,19 +69,30 @@ object Bench {
     once("q55_elb_staged")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    def obj(f: ((Double, Double)) => Double) = results
+    def obj(f: Seq[Double] => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val failed = results.count(_._2._1 < 0)
+    val failed = results.count(_._2.head < 0)
     // a failed query must not shrink the aggregate into a fake speedup:
     // the total only counts successes, and "failed" flags the run
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"iters":$iters,"queries":${obj(_._1)},"queries_median":${obj(_._2)},"sf":"$sfDir"}"""
-    println(line)
-    // the artifact is also written as a FILE: scraping the sbt tail for
-    // the stdout line truncates under log interleaving (observed round 2
-    // — only medians were recoverable from the clipped tail)
+    val ok = results.map(_._2).filter(_.head >= 0)
+    val total = ok.map(minOf).sum
+    val totalMedian = ok.map(medianOf).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"failed":$failed,"iters":$iters,"queries":${obj(minOf)},"queries_median":${obj(medianOf)},"sf":"$sfDir"}"""
+    // the artifact is also written as a FILE, with the full per-iteration
+    // vectors: scraping the sbt tail for the stdout line truncates under
+    // log interleaving (observed round 2 — only medians were recoverable
+    // from the clipped tail; round 5's BENCH json had "parsed": null)
+    val itersObj = results
+      .map { case (k, v) => "\"" + k + "\":[" + v.mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val fileLine = line.stripSuffix("}") + s""","queries_iters":$itersObj}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
+    // stop Spark BEFORE printing: its shutdown INFO/WARN burst interleaves
+    // with stdout in the driver's combined capture and has twice clipped
+    // the one line the harness parses
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
