@@ -96,6 +96,26 @@ object GeoCache {
     if (displaced) fs.delete(old, true)
   }
 
+  /** One run's capped miss selection: the lexicographically-FIRST `max`
+    * misses (deterministic — a bare `limit` takes a partitioning-dependent
+    * subset, so two runs over the same backlog would retire different
+    * slices) plus the counted deferred remainder. The sort executes as
+    * TakeOrderedAndProject (per-partition top-K + merge), never a global
+    * sort materialization; the remainder count re-runs the anti-join but
+    * only on a capped run, where one more column-pruned pass is noise
+    * next to the serial lookup burst it precedes.
+    */
+  private[geo] def selectMisses(spark: SparkSession, logs: DataFrame,
+      cache: DataFrame, max: Int): (Seq[String], Long) = {
+    import spark.implicits._
+    val missSet = misses(logs, cache)
+    val ips = missSet.orderBy(col("client_ip")).limit(max)
+      .as[String].collect().toSeq
+    // backlog == cap exactly is a complete run, not a deferral
+    val deferred = if (ips.size == max) missSet.count() - max else 0L
+    (ips, deferred)
+  }
+
   /** Full enrichment stage: resolve cache misses via `resolver`, upsert +
     * persist the cache, then broadcast-left-join onto `logs` and apply the
     * reference's column standardization (`country` → `countryName`).
@@ -113,13 +133,11 @@ object GeoCache {
       resolver: GeoResolver, maxMissesPerRun: Int = 100000): DataFrame = {
     import spark.implicits._
     val cache = load(spark, cachePath)
-    // driver-side collect is deliberate: the resolver is serial + rate-limited
-    val missIps =
-      misses(logs, cache).limit(maxMissesPerRun).as[String].collect().toSeq
-    if (missIps.size == maxMissesPerRun)
+    val (missIps, deferred) = selectMisses(spark, logs, cache, maxMissesPerRun)
+    if (deferred > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"geo cache: resolved the per-run cap of $maxMissesPerRun misses; " +
-        "deferring the remainder to the next run (memo cache converges)")
+        s"deferring $deferred to the next run (memo cache converges)")
     val updated = if (missIps.nonEmpty) {
       val fresh = resolver.resolve(missIps).toDF()
         .select(ElbSchema.geo.fieldNames.map(col).toSeq: _*)

@@ -59,6 +59,23 @@ class GeoCacheSpec extends SparkSpec {
     }, maxMissesPerRun = 4)
   }
 
+  test("capped miss selection is deterministic and counts the true remainder") {
+    import spark.implicits._
+    val logs = (1 to 10).map(i => s"10.0.0.$i").toDF("client_ip")
+    val empty = GeoCache.load(spark, "/tmp/does-not-exist-geo.parquet")
+    // lexicographic order of 10.0.0.1..10 puts 10.0.0.10 second
+    val (ips, deferred) = GeoCache.selectMisses(spark, logs, empty, 4)
+    assert(ips == Seq("10.0.0.1", "10.0.0.10", "10.0.0.2", "10.0.0.3"),
+      "selection must be the lexicographically-first cap-many misses")
+    assert(deferred == 6L)
+    // repartitioned input: same slice regardless of layout
+    val (ips2, _) = GeoCache.selectMisses(spark, logs.repartition(7), empty, 4)
+    assert(ips2 == ips)
+    // backlog == cap exactly: complete run, nothing deferred
+    val (all, none) = GeoCache.selectMisses(spark, logs, empty, 10)
+    assert(all.size == 10 && none == 0L)
+  }
+
   test("end-to-end enrich: misses resolved, cache persisted, join + rename applied") {
     val cachePath = Files.createTempDirectory("geo").resolve("cache.parquet").toString
     val logs = ElbParser.parse(spark, Seq(ElbFixtures.standardFixture()))
