@@ -134,9 +134,55 @@ object Similarity {
     * centroid count, chosen so each bucket is a few hundred MB.
     */
   def buildIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    assignToCentroids(vectors, centroids, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    // sidecar derives from the WRITTEN index (a column-pruned id scan —
+    // one-time at build, which is O(data) anyway) rather than a second
+    // evaluation of the assignment join over the input
+    val spark = vectors.sparkSession
+    writeSidecar(
+      spark.read.schema(assigned.schema).parquet(path)
+        .select(col(idCol), col("centroid_id")),
+      path, idCol, dynamic = false)
+  }
+
+  /** id→centroid sidecar: one (id, centroid_id) row per indexed vector,
+    * parquet-partitioned by a hash bucket of the id. [[appendToIvfIndex]]
+    * consults it to find a batch's previous homes — pruned to the batch
+    * ids' buckets, so the lookup reads O(batch-fraction of ids), not the
+    * whole index's id column (which is O(index) per ingest batch no
+    * matter how column-pruned).
+    */
+  private def sidecarPath(path: String): String = s"$path.ids"
+  private val sidecarBuckets = 64
+  private def sidecarBucket(id: Column): Column =
+    pmod(hash(id), lit(sidecarBuckets))
+
+  private def writeSidecar(rows: DataFrame, path: String, idCol: String,
+      dynamic: Boolean): Unit = {
+    val out = rows.select(col(idCol), col("centroid_id"),
+      sidecarBucket(col(idCol)).as("id_bucket"))
+    if (dynamic) withDynamicOverwrite(rows.sparkSession) {
+      out.write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(sidecarPath(path))
+    } else
+      out.write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(sidecarPath(path))
+  }
+
+  private def withDynamicOverwrite[A](spark: org.apache.spark.sql.SparkSession)
+      (body: => A): A = {
+    val conf = spark.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
 
   /** Incrementally maintain a [[buildIvfIndex]] table: assign `newVectors`
     * to the SAME centroids (an index's centroids are fixed between
@@ -150,12 +196,15 @@ object Similarity {
     *
     * Why not a full rebuild: a 100 TB index cannot be rewritten per
     * ingest batch. Cost here is (1) one broadcast join over the batch,
-    * (2) an id→centroid lookup over the old index to find the batch
-    * ids' previous homes — a column-pruned scan of the id column only
-    * (`centroid_id` is the partition value, read from directory names,
-    * not file data), and (3) a read+rewrite of the affected buckets
-    * only; unaffected partitions' data files are never read or
-    * replaced. The affected bucket ids are collected driver-side
+    * (2) an id→centroid lookup against the SIDECAR table to find the
+    * batch ids' previous homes — pruned to the batch ids' hash buckets,
+    * so it reads O(batch-fraction of ids), never the whole index (an
+    * index without the sidecar falls back to one full column-pruned id
+    * scan and writes the sidecar, so the cost is paid once, not per
+    * batch), and (3) a read+rewrite of the affected buckets only;
+    * unaffected partitions' data files are never read or replaced (every
+    * read passes an explicit schema, so not even a footer is opened for
+    * inference). The affected bucket ids are collected driver-side
     * deliberately — bounded by centroid count (index design, not data
     * size), and the literal `isin` is what reaches the parquet source
     * as `PartitionFilters` for the existing-rows read.
@@ -164,7 +213,18 @@ object Similarity {
     * bucket sizes a staging-table write serves the same purpose. A
     * bucket emptied by the move (its only rows were the migrated ids)
     * never appears in the written frame, so dynamic overwrite would
-    * leave its stale files — those directories are deleted explicitly.
+    * leave its stale files — those directories are deleted explicitly,
+    * and a delete that reports failure throws (a silently-surviving
+    * stale directory means duplicate rows with no error).
+    *
+    * Crash contract: the index partitions, the sidecar buckets, and the
+    * emptied-directory deletes commit in that order, not atomically. A
+    * crash in between leaves the sidecar (or the emptied dirs) one batch
+    * stale — RE-RUNNING THE INTERRUPTED BATCH repairs both, because the
+    * stale sidecar still names those ids' pre-batch homes and the re-run
+    * unions them into `affected`. The standard at-least-once ingest
+    * discipline (retry the failed batch before admitting the next one)
+    * is therefore exactly what this maintenance step needs.
     */
   def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
       path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -176,32 +236,43 @@ object Similarity {
       .collect().map(_.getLong(0)).toSet
     if (touched.nonEmpty) {
       val batchIds = assigned.select(col(idCol))
+      val batchBuckets = assigned
+        .select(sidecarBucket(col(idCol)).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
       // Previous homes of the batch ids: partitions holding a row that
-      // this upsert replaces. Read-back partition values infer as int —
-      // normalize to long before collecting.
-      val oldHomes = spark.read.parquet(path)
-        .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
-        .join(batchIds, Seq(idCol), "left_semi")
+      // this upsert replaces. The sidecar read prunes to the batch ids'
+      // hash buckets; the batch side is checkpointed and small by
+      // construction, so broadcast it explicitly rather than betting on
+      // AQE (a miss here would shuffle the bucket scan per append).
+      val sidecar = loadSidecar(spark, path, assigned.schema, idCol)
+      val oldHomes = sidecar
+        .where(col("id_bucket").isin(batchBuckets: _*))
+        .join(broadcast(batchIds), Seq(idCol), "left_semi")
         .select(col("centroid_id")).distinct()
         .collect().map(_.getLong(0)).toSet
       val affected = (touched ++ oldHomes).toSeq
-      val existing = spark.read.parquet(path)
+      val existing = spark.read.schema(assigned.schema).parquet(path)
         .where(col("centroid_id").isin(affected: _*))
-        .join(batchIds, Seq(idCol), "left_anti")
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
         .select(cols.map(col): _*)
         .localCheckpoint(true)
-      val survivors = existing.select(col("centroid_id").cast("long")).distinct()
+      val survivors = existing.select(col("centroid_id")).distinct()
         .collect().map(_.getLong(0)).toSet
-      val conf = spark.conf
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = conf.getOption(key)
-      conf.set(key, "dynamic")
-      try existing.union(assigned)
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-      finally prev match {
-        case Some(v) => conf.set(key, v)
-        case None => conf.unset(key)
+      withDynamicOverwrite(spark) {
+        existing.union(assigned)
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
       }
+      // Sidecar upsert: rewrite ONLY the batch ids' hash buckets, keeping
+      // those buckets' unrelated residents. Buckets never empty here —
+      // a batch id's new row lands in the same hash bucket as its old.
+      val sidecarKeep = sidecar
+        .where(col("id_bucket").isin(batchBuckets: _*))
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
+        .select(col(idCol), col("centroid_id"))
+        .localCheckpoint(true)
+      writeSidecar(
+        sidecarKeep.union(assigned.select(col(idCol), col("centroid_id"))),
+        path, idCol, dynamic = true)
       // Buckets whose every row migrated away: absent from the written
       // frame, so the dynamic overwrite left their old files in place.
       val emptied = oldHomes -- touched -- survivors
@@ -209,10 +280,36 @@ object Similarity {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         emptied.foreach { cid =>
-          fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"), true)
+          val dir = new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid")
+          if (fs.exists(dir) && !fs.delete(dir, true))
+            throw new java.io.IOException(
+              s"appendToIvfIndex: failed to delete emptied partition $dir — " +
+              "its stale rows would duplicate the migrated ids")
         }
       }
     }
+  }
+
+  /** Load the id→centroid sidecar, creating it from the index (one full
+    * column-pruned id scan — the pre-sidecar per-batch cost, now paid
+    * once as a migration) when an older build lacks it.
+    */
+  private def loadSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, indexSchema: org.apache.spark.sql.types.StructType,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sp = new org.apache.hadoop.fs.Path(sidecarPath(path))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp))
+      writeSidecar(
+        spark.read.schema(indexSchema).parquet(path)
+          .select(col(idCol), col("centroid_id")),
+        path, idCol, dynamic = false)
+    val schema = StructType(Seq(
+      indexSchema(idCol),
+      StructField("centroid_id", LongType),
+      StructField("id_bucket", IntegerType)))
+    spark.read.schema(schema).parquet(sidecarPath(path))
   }
 
   /** IVF top-k over a [[buildIvfIndex]] table: rank centroids against the

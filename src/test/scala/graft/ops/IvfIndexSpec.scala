@@ -104,17 +104,51 @@ class IvfIndexSpec extends SparkSpec {
     // a bucket emptied by the migration must not survive as stale files:
     // move EVERY row out of oldCid and assert its directory is gone
     val oldResidents = after.filter(_._2 == oldCid).map(_._1)
-    if (oldResidents.nonEmpty) {
-      val evacuees = oldResidents.map(id => (id, newEmb)).toSeq
-        .toDF("vec_id", "embedding")
-      Similarity.appendToIvfIndex(evacuees, centroids, path)
-      val dir = new java.io.File(new java.io.File(path), s"centroid_id=$oldCid")
-      assert(!dir.exists(), s"emptied partition $dir left stale files")
-      val finalRows = rows()
-      assert(!finalRows.exists(_._2 == oldCid))
-      assert(finalRows.map(_._1).distinct.length == finalRows.length,
-        "migration produced duplicate vec_id rows")
-    }
+    assert(oldResidents.nonEmpty,
+      "fixture must leave other residents in the vacated centroid — " +
+      "otherwise the emptied-directory path below tests nothing")
+    val evacuees = oldResidents.map(id => (id, newEmb)).toSeq
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(evacuees, centroids, path)
+    val dir = new java.io.File(new java.io.File(path), s"centroid_id=$oldCid")
+    assert(!dir.exists(), s"emptied partition $dir left stale files")
+    val finalRows = rows()
+    assert(!finalRows.exists(_._2 == oldCid))
+    assert(finalRows.map(_._1).distinct.length == finalRows.length,
+      "migration produced duplicate vec_id rows")
+  }
+
+  test("append's index reads are bounded by affected partitions") {
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    assert(batch.count() > 0)
+    val path = java.nio.file.Files.createTempDirectory("ivf-bounded")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(base, centroids, path)
+    val touched = Similarity.assignToCentroids(batch, centroids)
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    // replace an untouched partition's data files with garbage bytes: any
+    // read outside the affected partitions — the pre-sidecar full-index
+    // previous-homes scan, or schema inference opening an arbitrary
+    // footer — would now throw
+    val root = new java.io.File(path)
+    val untouchedDir = root.listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .find(d => !touched.contains(d.getName.stripPrefix("centroid_id=").toLong))
+      .getOrElse(fail("fixture must leave an untouched partition"))
+    val corrupted = untouchedDir.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(corrupted.nonEmpty)
+    corrupted.foreach(f =>
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](64)(0x5A)))
+    Similarity.appendToIvfIndex(batch, centroids, path)
+    // appended rows landed (explicit-schema, partition-pruned read)
+    val got = spark.read
+      .schema(Similarity.assignToCentroids(batch, centroids).schema)
+      .parquet(path)
+      .where(col("centroid_id").isin(touched.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((400L until 420L).toSet.subsetOf(got))
   }
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame) =
