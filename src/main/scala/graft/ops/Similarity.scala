@@ -217,14 +217,16 @@ object Similarity {
     * and a delete that reports failure throws (a silently-surviving
     * stale directory means duplicate rows with no error).
     *
-    * Crash contract: the index partitions, the sidecar buckets, and the
-    * emptied-directory deletes commit in that order, not atomically. A
-    * crash in between leaves the sidecar (or the emptied dirs) one batch
-    * stale — RE-RUNNING THE INTERRUPTED BATCH repairs both, because the
-    * stale sidecar still names those ids' pre-batch homes and the re-run
-    * unions them into `affected`. The standard at-least-once ingest
-    * discipline (retry the failed batch before admitting the next one)
-    * is therefore exactly what this maintenance step needs.
+    * Crash contract: the index partitions, the emptied-directory
+    * deletes, and the sidecar buckets commit in that order, not
+    * atomically. A crash in between leaves the emptied dirs or the
+    * sidecar one batch stale — RE-RUNNING THE INTERRUPTED BATCH repairs
+    * both, because until the sidecar write lands it still names those
+    * ids' pre-batch homes, so the re-run unions them back into
+    * `affected`, re-removes replaced rows, and re-derives the emptied
+    * set. The standard at-least-once ingest discipline (retry the
+    * failed batch before admitting the next one) is therefore exactly
+    * what this maintenance step needs.
     */
   def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
       path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -262,19 +264,13 @@ object Similarity {
         existing.union(assigned)
           .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
       }
-      // Sidecar upsert: rewrite ONLY the batch ids' hash buckets, keeping
-      // those buckets' unrelated residents. Buckets never empty here —
-      // a batch id's new row lands in the same hash bucket as its old.
-      val sidecarKeep = sidecar
-        .where(col("id_bucket").isin(batchBuckets: _*))
-        .join(broadcast(batchIds), Seq(idCol), "left_anti")
-        .select(col(idCol), col("centroid_id"))
-        .localCheckpoint(true)
-      writeSidecar(
-        sidecarKeep.union(assigned.select(col(idCol), col("centroid_id"))),
-        path, idCol, dynamic = true)
       // Buckets whose every row migrated away: absent from the written
       // frame, so the dynamic overwrite left their old files in place.
+      // Deleted BEFORE the sidecar write: as long as the sidecar still
+      // names the pre-batch homes, a re-run re-derives and re-deletes
+      // these dirs — deleting after would open a window where the
+      // sidecar already points at the new homes and a re-run can no
+      // longer find the stale directory.
       val emptied = oldHomes -- touched -- survivors
       if (emptied.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(path)
@@ -287,6 +283,18 @@ object Similarity {
               "its stale rows would duplicate the migrated ids")
         }
       }
+      // Sidecar upsert LAST: rewrite ONLY the batch ids' hash buckets,
+      // keeping those buckets' unrelated residents. Buckets never empty
+      // here — a batch id's new row lands in the same hash bucket as its
+      // old one.
+      val sidecarKeep = sidecar
+        .where(col("id_bucket").isin(batchBuckets: _*))
+        .join(broadcast(batchIds), Seq(idCol), "left_anti")
+        .select(col(idCol), col("centroid_id"))
+        .localCheckpoint(true)
+      writeSidecar(
+        sidecarKeep.union(assigned.select(col(idCol), col("centroid_id"))),
+        path, idCol, dynamic = true)
     }
   }
 
