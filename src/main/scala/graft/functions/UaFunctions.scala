@@ -59,6 +59,8 @@ object UaFunctions {
         .when(has(ua, "^java/"), "Java")
         .when(has(ua, "go-http-client"), "Go-http-client")
         .when(has(ua, "headlesschrome"), "HeadlessChrome")
+        .when(has(ua, "phantomjs"), "PhantomJS")
+        .when(has(ua, "\\belectron/"), "Electron")
         .when(has(ua, "whatsapp"), "WhatsApp")
         .when(has(ua, "\\bfbav/|\\bfban/"), "Facebook")
         .when(has(ua, "\\binstagram[ /]"), "Instagram")
@@ -69,6 +71,8 @@ object UaFunctions {
         // uap-core groups the mobile variants (EdgA = Android, EdgiOS =
         // iOS) under 'Edge Mobile'; desktop Edg/ and legacy Edge/ are 'Edge'
         .when(has(ua, "\\bedga/|\\bedgios/"), "Edge Mobile")
+        // Windows Phone Edge carries Edge/NN plus a Mobile token
+        .when(has(ua, "\\bedge?/") && has(ua, "\\bmobile\\b"), "Edge Mobile")
         .when(has(ua, "\\bedge?/"), "Edge")
         .when(has(ua, "opera mini"), "Opera Mini")
         .when(has(ua, "\\bopr/") && has(ua, "\\bmobile\\b"), "Opera Mobile")
@@ -91,6 +95,7 @@ object UaFunctions {
         .when(has(ua, "\\bchrome/"), "Chrome")
         .when(has(ua, "\\bversion/.*\\bmobile/.*safari/"), "Mobile Safari")
         .when(has(ua, "\\bsafari/"), "Safari")
+        .when(has(ua, "iemobile"), "IE Mobile")
         .when(has(ua, "msie |trident/"), "IE")
         .otherwise("Other")
     when(ua.isNull || ua === "" || ua === "-", "Unknown").otherwise(known)
@@ -105,7 +110,8 @@ object UaFunctions {
         .when(has(ua, "tizen"), "Tizen")
         .when(has(ua, "windows nt|win64|wow64"), "Windows")
         .when(has(ua, "android"), "Android")
-        .when(has(ua, "iphone|ipad|ipod|ios"), "iOS")
+        // \b on the bare token: "axios", "BIOS" etc. contain "ios"
+        .when(has(ua, "iphone|ipad|ipod|\\bios\\b"), "iOS")
         .when(has(ua, "mac os x|macintosh"), "Mac OS X")
         .when(has(ua, "cros "), "Chrome OS")
         .when(has(ua, "ubuntu"), "Ubuntu")

@@ -30,12 +30,15 @@ import graft.geo.{GeoCache, OfflineGeoResolver}
 object ElbQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  // sf0.1 gets the big corpus so the bench measures parse throughput;
-  // every other dir uses the verify-sized corpus so the static oracle
-  // paths below are correct for ANY SF the driver might verify at
-  // (a 2000-row sf0.001 corpus would make q18/q32/q45 false-fail there)
+  // sf0.1 gets the big corpus so the bench measures parse throughput
+  // (and the local synthetic sf1 scaling decade gets 10× that); every
+  // other dir uses the verify-sized corpus so the static oracle paths
+  // below are correct for ANY SF the driver might verify at (a 2000-row
+  // sf0.001 corpus would make q18/q32/q45 false-fail there)
   private[graft] def rowsFor(dir: String): Int =
-    if (dir.endsWith("sf0.1")) 200000 else 20000
+    if (dir.endsWith("sf0.1")) 200000
+    else if (dir.endsWith("sf1")) 2000000
+    else 20000
 
   /** The driver verifies at sf0.01 — the static oracle SQL embeds the
     * staging paths for that corpus size. CouplingSpec pins the law that

@@ -19,8 +19,10 @@ class CouplingSpec extends AnyFunSuite {
     }
   }
 
-  test("only the bench SF uses the big corpus") {
+  test("only the bench and local-scaling SFs use big corpora") {
     assert(ElbQueries.rowsFor("/root/testdata/sf0.1") == 200000)
+    // the local synthetic sf1 decade (never driver-verified) gets 10×
+    assert(ElbQueries.rowsFor("/tmp/sf1") == 2000000)
     // an unknown dir falls back to the verify-safe size, never the big one
     assert(ElbQueries.rowsFor("/some/new/sfdir") == ElbQueries.verifyRows)
   }
