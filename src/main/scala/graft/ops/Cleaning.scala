@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-cleaning operators a training-data pipeline runs before (or
+  * instead of) whole-document dedup: sub-document span dedup, intra-doc
+  * repetition metrics, and PII redaction. All three are the standard
+  * public recipes (C4/CCNet paragraph dedup, the Gopher repetition
+  * filters, regex PII scrubbing) re-expressed as Spark plans.
+  *
+  * Scale shapes: [[spanDedup]] is the only shuffling member (one
+  * exchange on a 16-byte span digest — never raw span text — plus the
+  * per-doc reassembly aggregation); [[repetitionMetrics]] and
+  * [[redactPii]] are pure narrow Column projections that stay inside
+  * whole-stage codegen, so at 100 TB they cost one scan and nothing
+  * else. No UDFs anywhere — higher-order array functions cover the
+  * per-document loops.
+  */
+object Cleaning {
+
+  // ————————————————————————————————————————————— span-level exact dedup
+
+  /** Fixed-width word spans with position: one row per (id, pos, span).
+    * Fixed-width segmentation (rather than sentence splitting) keeps the
+    * operator deterministic on any text and engine-portable — the oracle
+    * reproduces it with list slicing.
+    */
+  def spanRows(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords > 0)
+    val w = TextOps.words(col(textCol))
+    // n_spans = ceil(len/w); sequence is inclusive so guard empty docs
+    val spans = transform(
+      sequence(lit(0), greatest(ceil(size(w) / lit(spanWords.toDouble)).cast("int"), lit(1)) - 1),
+      i => array_join(slice(w, i * spanWords + 1, lit(spanWords)), " "))
+    df.select(col(idCol).as("id"), posexplode(spans).as(Seq("pos", "span")))
+  }
+
+  /** Sub-document exact dedup, CCNet/C4-paragraph style with fixed-width
+    * spans: every occurrence of a span that already appeared at a
+    * "smaller" position — ordering occurrences by (id, pos) — is
+    * dropped, and each document is reassembled from its surviving spans
+    * in order. Returns one row per input document:
+    * (id, clean_text, n_spans, n_dropped); a document whose every span
+    * was seen before collapses to an empty clean_text rather than
+    * disappearing (the caller decides whether to filter empties —
+    * losing the row would silently change corpus row counts).
+    *
+    * Plan: spans are digested to 16 bytes before the keep-first
+    * decision, so the single exchange shuffles (digest, id, pos) — not
+    * span text; the winner per digest is a min(struct(id, pos)) partial
+    * aggregate (map-side combine), and reassembly sorts each doc's kept
+    * spans with `sort_array(collect_list(struct))` — one more exchange
+    * on the doc id. Raw span text rides only the reassembly shuffle,
+    * where it is irreducible (it IS the output).
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 16): DataFrame = {
+    val spans = spanRows(df, textCol, idCol, spanWords)
+      .withColumn("fp", md5(col("span")))
+    val winners = spans.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val kept = spans.join(winners, "fp")
+      .where(col("id") === col("w.id") && col("pos") === col("w.pos"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"), col(textCol),
+        size(TextOps.words(col(textCol))).as("_nw"))
+      .withColumn("n_spans",
+        greatest(ceil(col("_nw") / lit(spanWords.toDouble)).cast("long"), lit(1L)))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  // ————————————————————————————————————————— intra-document repetition
+
+  /** Gopher-style repetition signals, computed WITHOUT exploding: the
+    * obvious plan (explode words → groupBy doc → agg) buys a full
+    * shuffle of every word occurrence; these are higher-order array
+    * expressions over the in-row word array instead — narrow, codegen
+    * adjacent, zero exchanges. Per document:
+    *   - n_words
+    *   - top_word_frac: occurrences of the most frequent word / n_words
+    *     (max run length over the SORTED word array — an O(n log n)
+    *     per-row sort replaces a corpus-wide shuffle)
+    *   - dup_bigram_frac: 1 − distinct(bigrams)/count(bigrams), over
+    *     RAW bigram occurrences (not [[TextOps.shinglesFromWords]],
+    *     which is distinct by contract)
+    * Empty docs yield fractions 0.0, not null. `w` must be a projected
+    * attribute, not an inline `words(text)` — Catalyst does not CSE
+    * inside lambda bodies (see the [[TextOps.shinglesFromWords]] note).
+    */
+  def repetitionMetrics(w: Column): Seq[(String, Column)] = {
+    val n = size(w)
+    // longest run in the sorted array == count of the most frequent word
+    val topCount = aggregate(
+      sort_array(w),
+      struct(lit(0).as("best"), lit(0).as("cur"), lit(null).cast("string").as("prev")),
+      (st, x) => {
+        val cur = when(x === st.getField("prev"), st.getField("cur") + 1).otherwise(1)
+        struct(greatest(st.getField("best"), cur).as("best"), cur.as("cur"), x.as("prev"))
+      },
+      st => st.getField("best"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(0), n - 2), i => concat_ws(" ", slice(w, i + 1, lit(2)))))
+      .otherwise(array())
+    val nBi = size(bigrams)
+    Seq(
+      "n_words" -> n.cast("long"),
+      "top_word_frac" -> when(n > 0, topCount.cast("double") / n).otherwise(lit(0.0)),
+      "dup_bigram_frac" -> when(nBi > 0,
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") / nBi)
+        .otherwise(lit(0.0)))
+  }
+
+  /** Documents whose repetition signals pass the (Gopher-style)
+    * thresholds; adds the metric columns for downstream inspection.
+    */
+  def repetitionFilter(df: DataFrame, textCol: String, idCol: String,
+      maxTopWordFrac: Double = 0.2, maxDupBigramFrac: Double = 0.7): DataFrame = {
+    val metrics = repetitionMetrics(col("_w"))
+    val withM = df
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .select(col("id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+    withM.where(col("top_word_frac") <= maxTopWordFrac &&
+      col("dup_bigram_frac") <= maxDupBigramFrac)
+  }
+
+  // ———————————————————————————————————————————————————— PII redaction
+
+  /** Conservative character classes shared verbatim by Java regex
+    * (Spark) and RE2 (DuckDB oracle) — no lookarounds, no \\d shorthand
+    * differences in play.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails, TPC-H-shaped phone numbers, and IPv4 literals to
+    * typed placeholders; returns (redacted, n_pii). Order matters:
+    * emails first (an email's domain can contain digit runs an IP
+    * pattern would nibble), then phones, then IPs. Pure narrow
+    * projection — regexp_replace/regexp_count are codegen'd; at 100 TB
+    * this is scan-speed.
+    */
+  def redactPii(text: Column): (Column, Column) = {
+    val n = regexp_count(text, lit(emailRe)) +
+      regexp_count(text, lit(phoneRe)) +
+      regexp_count(text, lit(ipv4Re))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipv4Re, "<IP>")
+    (redacted, n.cast("long"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{CorpusBuild, Dedup, Similarity, TextOps, Multimodal}
+import graft.ops.{Cleaning, CorpusBuild, Dedup, Similarity, TextOps, Multimodal}
 
 /** Training-data-pipeline operators (dedup family, similarity search, text
   * analysis, multimodal plumbing) as oracle-checked queries over the
@@ -952,6 +952,112 @@ object OpsQueries {
     GROUP BY 1"""
   }
 
+  // ————————————————————————————— span-level exact dedup (q73)
+  // (CCNet/C4-paragraph-style sub-document dedup with fixed 8-word
+  //  spans: keep each span's first (doc_id, pos) occurrence, reassemble
+  //  surviving spans per document. One digest shuffle + one reassembly
+  //  shuffle — raw span text never rides the dedup exchange.)
+  val q73SpanDedup: Q = (s, dir) =>
+    Cleaning.spanDedup(Tables.documents(s, dir), "text", "doc_id", spanWords = 8)
+  val q73Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w,
+              unnest(range(0, greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1))) AS i
+            FROM d),
+    sp AS (SELECT doc_id, i AS pos,
+             array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS span
+           FROM idx),
+    win AS (SELECT doc_id, pos, span,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+            FROM sp),
+    reb AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+              count(*) AS n_kept
+            FROM win WHERE rn = 1 GROUP BY 1),
+    tot AS (SELECT doc_id,
+              greatest(CAST(ceil(len(string_split(lower(text), ' ')) / 8.0) AS BIGINT), 1)
+                AS n_spans
+            FROM documents)
+    SELECT t.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+      t.n_spans, t.n_spans - coalesce(r.n_kept, 0) AS n_dropped
+    FROM tot t LEFT JOIN reb r USING (doc_id)"""
+
+  // ————————————————————————————— repetition filter (q74)
+  // (Gopher-style intra-document repetition signals — most-frequent-word
+  //  fraction and duplicate-bigram fraction — computed as higher-order
+  //  array expressions with ZERO exchanges; the oracle re-derives both
+  //  via explode+groupBy, proving the narrow plan equals the shuffling
+  //  one.)
+  val q74Repetition: Q = (s, dir) =>
+    Cleaning.repetitionFilter(Tables.documents(s, dir), "text", "doc_id",
+      maxTopWordFrac = 0.12, maxDupBigramFrac = 0.05)
+  val q74Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    wc AS (SELECT doc_id, unnest(w) AS word FROM d),
+    topw AS (SELECT doc_id, max(c) AS topc
+             FROM (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2)
+             GROUP BY 1),
+    bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
+    bis AS (SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db
+            FROM bi GROUP BY 1),
+    m AS (SELECT d.doc_id AS id, CAST(len(w) AS BIGINT) AS n_words,
+            CASE WHEN len(w) > 0 THEN topc / CAST(len(w) AS DOUBLE)
+                 ELSE 0.0 END AS top_word_frac,
+            CASE WHEN coalesce(nb, 0) > 0 THEN 1.0 - db / CAST(nb AS DOUBLE)
+                 ELSE 0.0 END AS dup_bigram_frac
+          FROM d JOIN topw USING (doc_id) LEFT JOIN bis USING (doc_id))
+    SELECT * FROM m
+    WHERE top_word_frac <= 0.12 AND dup_bigram_frac <= 0.05"""
+
+  // ————————————————————————————— PII redaction (q75)
+  // (regex scrubbing of emails / phones / IPv4 literals to typed
+  //  placeholders. The corpus tables carry no PII by construction, so
+  //  the query plants deterministic synthetic PII derived from customer
+  //  keys — BOTH sides build the identical blob, then redact; the
+  //  operator under test is the redaction, the planting just makes it
+  //  fire on every row shape. Pure narrow projection, scan-speed at any
+  //  scale.)
+  val q75PiiRedact: Q = (s, dir) => {
+    val c = col("c_custkey")
+    val blob = concat(
+      col("c_name"), lit(" <u"), c.cast("string"), lit("@mail.example.com> tel "),
+      format_string("%02d-%03d-%03d-%04d",
+        c % 90 + 10, c % 900 + 100, (c * 7) % 900 + 100, (c * 13) % 9000 + 1000),
+      when(c % 5 === 0,
+        concat(lit(" from 10."), (c % 256).cast("string"), lit("."),
+          ((c * 3) % 256).cast("string"), lit("."), ((c * 11) % 256).cast("string")))
+        .otherwise(lit("")),
+      lit(" segment "), col("c_mktsegment"))
+    val (redacted, nPii) = Cleaning.redactPii(blob)
+    Tables.customer(s, dir)
+      .select(c.as("id"), redacted.as("redacted"), nPii.as("n_pii"))
+  }
+  val q75Sql: String = """
+    WITH b AS (SELECT c_custkey AS id,
+        c_name || ' <u' || CAST(c_custkey AS VARCHAR) || '@mail.example.com> tel '
+        || printf('%02d-%03d-%03d-%04d',
+             c_custkey % 90 + 10, c_custkey % 900 + 100,
+             (c_custkey * 7) % 900 + 100, (c_custkey * 13) % 9000 + 1000)
+        || CASE WHEN c_custkey % 5 = 0
+                THEN ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                  || CAST((c_custkey * 3) % 256 AS VARCHAR) || '.'
+                  || CAST((c_custkey * 11) % 256 AS VARCHAR)
+                ELSE '' END
+        || ' segment ' || c_mktsegment AS blob
+      FROM customer)
+    SELECT id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(blob,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        + len(regexp_extract_all(blob, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT)
+        AS n_pii
+    FROM b"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1093,7 +1199,10 @@ object OpsQueries {
     "q69_quantized_ann" -> q69QuantizedAnn,
     "q70_tokenize_ids" -> q70TokenizeIds,
     "q71_contamination" -> q71Contamination,
-    "q72_corpus_build" -> q72CorpusBuild)
+    "q72_corpus_build" -> q72CorpusBuild,
+    "q73_span_dedup" -> q73SpanDedup,
+    "q74_repetition" -> q74Repetition,
+    "q75_pii_redact" -> q75PiiRedact)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1132,5 +1241,8 @@ object OpsQueries {
     "q69_quantized_ann" -> q69Sql,
     "q70_tokenize_ids" -> q70Sql,
     "q71_contamination" -> q71Sql,
-    "q72_corpus_build" -> q72Sql)
+    "q72_corpus_build" -> q72Sql,
+    "q73_span_dedup" -> q73Sql,
+    "q74_repetition" -> q74Sql,
+    "q75_pii_redact" -> q75Sql)
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-built corpus: doc 2 repeats doc 1's first span verbatim, doc 3
+  // is pure repetition, doc 4 carries plantable PII
+  private lazy val docs = Seq(
+    (1L, "a b c d e f g h i j"),            // spans(4): "a b c d","e f g h","i j"
+    (2L, "a b c d x y z w q r"),            // first span duplicates doc 1's
+    (3L, "spam spam spam spam spam spam"),
+    (4L, "x x y y z z a b c d")
+  ).toDF("doc_id", "text")
+
+  test("spanDedup drops later duplicate spans and reassembles in order") {
+    val out = Cleaning.spanDedup(docs, "text", "doc_id", spanWords = 4)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 keeps everything (first occurrence of all its spans)
+    assert(byId(1L) == (("a b c d e f g h i j", 3L, 0L)))
+    // doc 2 loses its first span (seen in doc 1 at smaller (id, pos))
+    assert(byId(2L) == (("x y z w q r", 3L, 1L)))
+    // doc 3: "spam spam spam spam" + "spam spam" — distinct spans, kept
+    assert(byId(3L)._3 == 0L)
+    // row count preserved: every input doc appears exactly once
+    assert(out.length == 4)
+  }
+
+  test("spanDedup collapses a full duplicate doc to empty clean_text") {
+    val dup = docs.union(Seq((9L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+    val out = Cleaning.spanDedup(dup, "text", "doc_id", spanWords = 4)
+      .where(col("id") === 9L).collect().head
+    assert(out.getString(1) == "")
+    assert(out.getLong(3) == 3L) // all 3 spans dropped, row survives
+  }
+
+  test("repetition metrics match hand computation") {
+    val m = Cleaning
+      .repetitionFilter(docs, "text", "doc_id",
+        maxTopWordFrac = 1.0, maxDupBigramFrac = 1.0)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(m(1L) == ((10L, 0.1, 0.0)))            // all unique
+    // doc 3: 6x "spam"; bigrams: 5 occurrences, 1 distinct
+    assert(m(3L)._2 == 1.0)
+    assert(math.abs(m(3L)._3 - 0.8) < 1e-9)
+    // doc 4: top word freq 2/10; bigrams 9, distinct 9 ("x x","x y",
+    // "y y","y z","z z","z a","a b","b c","c d") — no dup bigram
+    assert(m(4L) == ((10L, 0.2, 0.0)))
+  }
+
+  test("repetitionFilter drops the repetitive doc") {
+    val kept = Cleaning.repetitionFilter(docs, "text", "doc_id",
+      maxTopWordFrac = 0.3, maxDupBigramFrac = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("redactPii replaces and counts emails, phones, IPs") {
+    val in = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 12-345-678-9012 or visit 192.168.0.1"),
+      (3L, "nothing sensitive here"),
+      (4L, "a@b.io and c@d.net")
+    ).toDF("id", "t")
+    val (red, n) = Cleaning.redactPii(col("t"))
+    val out = in.select(col("id"), red.as("r"), n.as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("mail <EMAIL> now", 1L)))
+    assert(out(2L) == (("call <PHONE> or visit <IP>", 2L)))
+    assert(out(3L) == (("nothing sensitive here", 0L)))
+    assert(out(4L) == (("<EMAIL> and <EMAIL>", 2L)))
+  }
+
+  test("repetition metrics plan is narrow — no exchange") {
+    val plan = Cleaning.repetitionFilter(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+}
