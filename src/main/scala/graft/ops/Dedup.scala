@@ -510,4 +510,58 @@ object Dedup {
   /** 64-bit SimHash digest — the production width ([[simhashNearDupPairs64]]). */
   def simhash64(text: Column): Column =
     graft.functions.SimhashExpressions.simhash(TextOps.words(text), 64)
+
+  private val bloomViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Bloom-prefiltered novelty admission: the rows of `batch` whose
+    * `keyCol` never occurs in `corpus` — the result is EXACT (identical
+    * to a plain anti-join); the Bloom filter is a pure pruning layer.
+    *
+    * Why this shape at 100 TB: admitting a small batch against a huge
+    * seen-corpus with a bare anti-join shuffles (or at best probes) every
+    * batch row against the corpus key set. Here the corpus keys fold into
+    * a Bloom filter via Spark's own `BloomFilterAggregate` — a partial
+    * aggregate, map-side combined, one scan, bitmap-sized result — and
+    * rows the filter rejects are admitted immediately: a Bloom filter has
+    * NO false negatives, so "might-contain = false" proves novelty. Only
+    * the might-contain rows (true duplicates + the fpp-bounded false
+    * positives) proceed to the exact anti-join, so the join's probe side
+    * shrinks from |batch| to |dups| + fpp·|batch| — which AQE then
+    * typically broadcasts. The bloom reaches the probe as a SCALAR
+    * SUBQUERY (computed once, reused across both branches by subquery
+    * reuse) because `BloomFilterMightContain` accepts only literal or
+    * subquery bloom inputs — a cross-joined bloom column is rejected by
+    * its type check, and a driver-collected literal would put megabytes
+    * of bitmap into the plan.
+    *
+    * `expectedItems` sizes the filter (bits from Spark's own optimal-bits
+    * formula at `fpp`); an undersized filter degrades fpp — more rows
+    * take the exact-join path — but never correctness.
+    */
+  def bloomAdmission(batch: DataFrame, corpus: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    val n = bloomViewCounter.incrementAndGet()
+    val batchView = s"graft_bloom_batch_$n"
+    val corpusView = s"graft_bloom_corpus_$n"
+    batch.createOrReplaceTempView(batchView)
+    corpus.select(col(keyCol)).createOrReplaceTempView(corpusView)
+    val bits = graft.functions.BloomFunctions.optimalNumBits(expectedItems, fpp)
+    // spark.sql analyzes eagerly, so the views are resolved into the plan
+    // here and safe to drop right after
+    val flagged = spark.sql(s"""
+      SELECT b.*, ${graft.functions.BloomFunctions.mightContainName}(
+        (SELECT ${graft.functions.BloomFunctions.aggName}(
+           xxhash64(`$keyCol`), ${expectedItems}L, ${bits}L)
+         FROM $corpusView),
+        xxhash64(b.`$keyCol`)) AS _maybe
+      FROM $batchView b""")
+    spark.catalog.dropTempView(batchView)
+    spark.catalog.dropTempView(corpusView)
+    val definiteNew = flagged.where(!col("_maybe")).drop("_maybe")
+    val rescuedFalsePositives = flagged.where(col("_maybe")).drop("_maybe")
+      .join(corpus.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(rescuedFalsePositives)
+  }
 }

@@ -1058,6 +1058,31 @@ object OpsQueries {
         AS n_pii
     FROM b"""
 
+  // ————————————————————————————— bloom-prefiltered admission (q76)
+  // (novelty admission of a batch against a seen-corpus: Spark's own
+  //  BloomFilterAggregate folds the corpus keys into a bitmap — one
+  //  scan, partial-aggregated — and bloom-rejected rows are admitted
+  //  without touching the exact anti-join, whose probe side shrinks to
+  //  dups + fpp·batch. Result is provably exact (no false negatives);
+  //  the oracle IS the plain anti-join.)
+  val q76BloomAdmission: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      concat(col("user_id").cast("string"), lit("|"),
+        get_json_object(col("props"), "$.k")).as("k"))
+    Dedup.bloomAdmission(
+      batch = ev.where(pmod(col("event_id"), lit(10)) >= 8),
+      corpus = ev.where(pmod(col("event_id"), lit(10)) < 8),
+      keyCol = "k", expectedItems = 100000L)
+  }
+  val q76Sql: String = """
+    WITH ev AS (SELECT event_id,
+        CAST(user_id AS VARCHAR) || '|' || json_extract_string(props, '$.k') AS k
+      FROM events)
+    SELECT b.event_id, b.k FROM ev b
+    WHERE b.event_id % 10 >= 8
+      AND NOT EXISTS (SELECT 1 FROM ev c
+                      WHERE c.event_id % 10 < 8 AND c.k = b.k)"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1202,7 +1227,8 @@ object OpsQueries {
     "q72_corpus_build" -> q72CorpusBuild,
     "q73_span_dedup" -> q73SpanDedup,
     "q74_repetition" -> q74Repetition,
-    "q75_pii_redact" -> q75PiiRedact)
+    "q75_pii_redact" -> q75PiiRedact,
+    "q76_bloom_admission" -> q76BloomAdmission)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1244,5 +1270,6 @@ object OpsQueries {
     "q72_corpus_build" -> q72Sql,
     "q73_span_dedup" -> q73Sql,
     "q74_repetition" -> q74Sql,
-    "q75_pii_redact" -> q75Sql)
+    "q75_pii_redact" -> q75Sql,
+    "q76_bloom_admission" -> q76Sql)
 }
