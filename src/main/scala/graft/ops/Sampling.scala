@@ -68,6 +68,43 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < pct)
   }
 
+  /** Uniform [0, 65536) bucket from the md5 of the id — the fine-grained
+    * lattice for fractional rates that the percent-granular
+    * [[hashBucket]] cannot express.
+    */
+  def hashBucket64k(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Token-budget mixture sampling — the "data mixing" step of a
+    * training-corpus build: each group (source, language, domain …) is
+    * down-sampled toward a per-group token budget, so over-represented
+    * sources stop dominating the mixture. Keep rate per group is
+    * min(1, budget / group_total_tokens); row selection is the same
+    * md5-bucket lattice as [[hashSample]], so the kept set is
+    * deterministic under any partitioning and reproducible by any
+    * engine, and re-running with a bigger budget only ADDS documents
+    * (buckets are nested) — the property that makes mixtures tunable
+    * without churning the corpus.
+    *
+    * Plan shape: one partial-aggregated groupBy over group keys (output
+    * rows = number of groups, tiny), broadcast back, then a narrow
+    * filter — the 100 TB cost is one scan plus a broadcast join, no
+    * data-sized shuffle. Rates are computed in double precision on both
+    * engines (IEEE-identical), so the bucket threshold compare is
+    * portable.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup > 0)
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("_total"))
+    df.join(broadcast(totals), Seq(groupCol))
+      .withColumn("_rate",
+        least(lit(1.0), lit(budgetPerGroup.toDouble) / col("_total")))
+      .where(hashBucket64k(col(idCol)) < col("_rate") * 65536)
+      .drop("_total", "_rate")
+  }
+
   /** Sequence packing for training batches, stream-chunking semantics:
     * within a shard, documents are laid head-to-tail in id order and a
     * document belongs to the budget window its FIRST token lands in —

@@ -1083,6 +1083,29 @@ object OpsQueries {
       AND NOT EXISTS (SELECT 1 FROM ev c
                       WHERE c.event_id % 10 < 8 AND c.k = b.k)"""
 
+  // ————————————————————————————— token-budget mixture sampling (q77)
+  // (data mixing: every source down-sampled toward a per-source token
+  //  budget — keep rate min(1, budget/total), md5-bucket row selection,
+  //  so the mixture is deterministic, engine-portable, and nested under
+  //  budget growth. One tiny groupBy broadcast back + a narrow filter.)
+  val q77MixtureSample: Q = (s, dir) =>
+    graft.ops.Sampling.tokenBudgetSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens")),
+      "doc_id", "source", "n_tokens", budgetPerGroup = 800L)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  val q77Sql: String = """
+    WITH t AS (SELECT doc_id, source,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    tot AS (SELECT source, sum(n_tokens) AS total FROM t GROUP BY 1),
+    r AS (SELECT t.doc_id, t.source, t.n_tokens,
+            least(1.0, 800.0 / total) AS rate
+          FROM t JOIN tot USING (source))
+    SELECT doc_id, source, n_tokens FROM r
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          < rate * 65536"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1228,7 +1251,8 @@ object OpsQueries {
     "q73_span_dedup" -> q73SpanDedup,
     "q74_repetition" -> q74Repetition,
     "q75_pii_redact" -> q75PiiRedact,
-    "q76_bloom_admission" -> q76BloomAdmission)
+    "q76_bloom_admission" -> q76BloomAdmission,
+    "q77_mixture_sample" -> q77MixtureSample)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1271,5 +1295,6 @@ object OpsQueries {
     "q73_span_dedup" -> q73Sql,
     "q74_repetition" -> q74Sql,
     "q75_pii_redact" -> q75Sql,
-    "q76_bloom_admission" -> q76Sql)
+    "q76_bloom_admission" -> q76Sql,
+    "q77_mixture_sample" -> q77Sql)
 }
