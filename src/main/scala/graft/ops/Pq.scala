@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product-quantization ANN: embeddings are coded as `m` small integers
+  * (one code per dimension-subspace, each naming a codeword from a
+  * per-subspace codebook), and search ranks on codes via lookup tables —
+  * the classic memory/throughput lever beyond scalar int8
+  * ([[Similarity.quantizedTopK]]): 64 float64 dims (512 B) become 8
+  * bytes, a 64× compression, and scoring a row costs `m` table lookups
+  * instead of a dims-length dot product.
+  *
+  * Asymmetric distance computation (ADC): for a query q and a row coded
+  * (j₁…j_m), dot(q, v̂) = Σ_s lutQ[s][j_s] where lutQ[s][j] = dot(q_s,
+  * codeword_{s,j}) is computed ONCE per query (m·ksub doubles, a
+  * literal), and ‖v̂‖² = Σ_s lutN[s][j_s] is query-independent. The
+  * approximate cosine needs only the codes column — at 100 TB the scan
+  * reads m bytes per row, not the embedding, and the full-precision
+  * column is touched only for the k·rerankFactor candidates, exactly
+  * like the int8 path.
+  *
+  * Codebooks are DETERMINISTIC: subspace s's ksub codewords are the
+  * corpus vectors with the smallest md5("s|id"), sliced to the
+  * subspace — data-dependent (real corpus geometry, the k-means++-style
+  * "pick spread seeds" step) but bit-reproducible on any engine and
+  * partitioning, with no Lloyd averaging noise. That is what lets the
+  * DuckDB oracle re-derive codebooks, codes, ADC ranking, AND the
+  * re-rank — the whole chain, not just the final answer. (A production
+  * build could Lloyd-refine each codebook for better recall;
+  * [[Similarity.refineCentroids]] is the machinery, and the trade —
+  * refinement noise vs oracle reproducibility — is the same one
+  * documented there.)
+  */
+object Pq {
+
+  /** words(s)(j) = codeword j of subspace s, dsub doubles. */
+  final case class Codebook(m: Int, dsub: Int, ksub: Int,
+      words: Seq[Seq[Seq[Double]]])
+
+  /** One pass over the corpus: explode the m subspace ids, rank rows per
+    * subspace by md5("s|id"), keep ksub, slice to the subspace. The
+    * collect is m·ksub·dsub doubles — bounded by index design constants
+    * (like centroid probes), and the codebook must be driver-side anyway
+    * to become the literal LUTs.
+    */
+  def trainCodebooks(vectors: DataFrame, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
+    val dims = vectors.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val w = Window.partitionBy("s").orderBy("h")
+    val rows = vectors
+      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("e"))
+      .select(col("id"), col("e"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("h",
+        md5(concat(col("s").cast("string"), lit("|"), col("id").cast("string"))))
+      .withColumn("j", row_number().over(w))
+      .where(col("j") <= ksub)
+      .select(col("s"), col("j"),
+        slice(col("e"), col("s") * dsub + 1, lit(dsub)).as("cw"))
+      .collect()
+    val words = (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    require(words.forall(_.size == ksub), "corpus smaller than ksub")
+    Codebook(m, dsub, ksub, words)
+  }
+
+  /** codes column: array of m codeword indices (0-based), each the
+    * argmin-L2 codeword of the row's subspace slice; ties take the
+    * smaller index. Pure narrow expression over codebook literals —
+    * m·ksub·dsub multiply-adds per row, inside codegen'd HOF evaluation,
+    * no shuffle and no UDF.
+    */
+  def encodeCol(vec: Column, cb: Codebook): Column = {
+    val cbLit = typedLit(cb.words)
+    transform(sequence(lit(0), lit(cb.m - 1)), s => {
+      val sub = slice(vec, s * cb.dsub + 1, lit(cb.dsub))
+      aggregate(
+        sequence(lit(0), lit(cb.ksub - 1)),
+        struct(lit(Double.MaxValue).as("best"), lit(0).as("bj")),
+        (st, j) => {
+          val cw = element_at(element_at(cbLit, s + 1), j + 1)
+          val d2 = aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)
+          when(d2 < st.getField("best"),
+            struct(d2.as("best"), j.as("bj"))).otherwise(st)
+        },
+        st => st.getField("bj"))
+    })
+  }
+
+  /** ADC approximate cosine from the codes column and a driver-side
+    * query vector: two m·ksub lookup tables as literals, m element_at's
+    * per row. Sum order is fixed (s = 0..m-1, left to right) so any
+    * engine reproduces the same doubles.
+    */
+  def adcCosineCol(codes: Column, cb: Codebook, q: Seq[Double]): Column = {
+    require(q.size == cb.m * cb.dsub)
+    val qSubs = q.grouped(cb.dsub).toSeq
+    val lutQ = typedLit(cb.words.zip(qSubs).map { case (ws, qs) =>
+      ws.map(cw => cw.zip(qs).map { case (c, x) => c * x }.sum)
+    })
+    val lutN = typedLit(cb.words.map(_.map(cw => cw.map(c => c * c).sum)))
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val terms = (acc: Column, lut: Column) => aggregate(
+      sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+      (a, s) => a + element_at(element_at(lut, s + 1),
+        element_at(codes, s + 1) + 1))
+    val dotQ = terms(lit(0.0), lutQ)
+    val n2 = terms(lit(0.0), lutN)
+    dotQ / (lit(qNorm) * sqrt(n2))
+  }
+
+  /** PQ ANN with exact re-rank: rank the corpus on the ADC cosine
+    * (codes-only scan), keep the top k·rerankFactor, re-rank those at
+    * full precision. Ordering uses 4-d.p.-rounded scores with id
+    * tiebreaks at both stages, the discipline every ANN path here
+    * follows. The query vector is collected driver-side because the
+    * LUTs must be literals — one row, dims doubles, bounded by design.
+    */
+  def pqTopK(vectors: DataFrame, queryDf: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 32, rerankFactor: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val cb = trainCodebooks(vectors, m, ksub, idCol, vecCol)
+    val q = queryDf.select(col("qvec")).head.getSeq[Double](0).toSeq
+    val cand = vectors
+      .select(col(idCol), col(vecCol),
+        encodeCol(Similarity.asDouble(col(vecCol)), cb).as("_codes"))
+      .select(col(idCol), col(vecCol),
+        round(adcCosineCol(col("_codes"), cb, q), 4).as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(k * rerankFactor)
+    cand.crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(graft.functions.VectorExpressions.cosineSim(
+          Similarity.asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Cleaning, CorpusBuild, Dedup, Similarity, TextOps, Multimodal}
+import graft.ops.{Cleaning, CorpusBuild, Dedup, Pq, Similarity, TextOps, Multimodal}
 
 /** Training-data-pipeline operators (dedup family, similarity search, text
   * analysis, multimodal plumbing) as oracle-checked queries over the
@@ -1106,6 +1106,61 @@ object OpsQueries {
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
           < rate * 65536"""
 
+  // ————————————————————————————— product-quantization ANN (q78)
+  // (PQ with asymmetric distance computation: 8 subspaces × 32 codes, so
+  //  a 64-dim float64 row scores from 8 bytes of codes via LUT lookups;
+  //  exact re-rank of the top k·8. Codebooks are md5-deterministic, so
+  //  the oracle re-derives the ENTIRE chain — codebook selection,
+  //  argmin encoding, ADC ranking, re-rank — not just the final top-k.)
+  val q78PqAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    Pq.pqTopK(emb.filter(col("vec_id") > 0), queryDf, k = 10,
+      m = 8, ksub = 32, rerankFactor = 8)
+  }
+  val q78Sql: String = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id > 0),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qn
+          FROM embeddings WHERE vec_id = 0),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cbsel AS (SELECT s, vec_id, e, row_number() OVER (PARTITION BY s
+                ORDER BY md5(CAST(s AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))) AS j
+              FROM v CROSS JOIN subs),
+    cb AS (SELECT s, j, list_slice(e, s * 8 + 1, s * 8 + 8) AS cw
+           FROM cbsel WHERE j <= 32),
+    d2s AS (SELECT v.vec_id, cb.s, cb.j,
+              list_sum(list_transform(range(1, 9),
+                i -> (v.e[CAST(cb.s * 8 + i AS INT)] - cb.cw[CAST(i AS INT)])
+                   * (v.e[CAST(cb.s * 8 + i AS INT)] - cb.cw[CAST(i AS INT)]))) AS d2
+            FROM v CROSS JOIN cb),
+    enc AS (SELECT vec_id, s, j FROM (
+              SELECT vec_id, s, j,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+              FROM d2s) WHERE rk = 1),
+    lut AS (SELECT s, j,
+              list_sum(list_transform(range(1, 9),
+                i -> q.qe[CAST(s * 8 + i AS INT)] * cw[CAST(i AS INT)])) AS lq,
+              list_sum(list_transform(range(1, 9),
+                i -> cw[CAST(i AS INT)] * cw[CAST(i AS INT)])) AS ln
+            FROM cb, q),
+    terms AS (SELECT e.vec_id, e.s, l.lq, l.ln
+              FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.j),
+    adc AS (SELECT vec_id,
+              round(list_sum(list(lq ORDER BY s))
+                / ((SELECT qn FROM q) * sqrt(list_sum(list(ln ORDER BY s)))), 4)
+                AS adc
+            FROM terms GROUP BY vec_id),
+    cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 80)
+    SELECT v.vec_id, round(
+        list_dot_product(v.e, q.qe)
+        / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4)
+        AS cos_sim
+    FROM v JOIN cand USING (vec_id), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1252,7 +1307,8 @@ object OpsQueries {
     "q74_repetition" -> q74Repetition,
     "q75_pii_redact" -> q75PiiRedact,
     "q76_bloom_admission" -> q76BloomAdmission,
-    "q77_mixture_sample" -> q77MixtureSample)
+    "q77_mixture_sample" -> q77MixtureSample,
+    "q78_pq_ann" -> q78PqAnn)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1296,5 +1352,6 @@ object OpsQueries {
     "q74_repetition" -> q74Sql,
     "q75_pii_redact" -> q75Sql,
     "q76_bloom_admission" -> q76Sql,
-    "q77_mixture_sample" -> q77Sql)
+    "q77_mixture_sample" -> q77Sql,
+    "q78_pq_ann" -> q78Sql)
 }
