@@ -53,10 +53,24 @@ object StreamingQueries {
       wstart + 3600000 AS window_end_ms, count(*) AS n
     FROM b GROUP BY 1, 2, 3"""
 
+  // ————————————————————————————— streaming exact dedup (q79)
+  // (ingest-time first-seen admission: dropDuplicates over the canonical
+  //  text fingerprint, seen-set in the state store. Which row wins is
+  //  arrival-order-dependent, so the query emits the fingerprint SET —
+  //  order-free and equal to batch SELECT DISTINCT under any schedule.)
+  val q79StreamDedup: Q = (s, dir) =>
+    graft.streaming.StreamingDedup.runAvailableNow(s, dir,
+      s"stream_dedup_${counter.incrementAndGet()}")
+  val q79Sql: String = """
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents"""
+
   val all: Map[String, Q] = Map(
     "q31_stream_session" -> q31StreamSession,
-    "q39_stream_sliding" -> q39StreamSliding)
+    "q39_stream_sliding" -> q39StreamSliding,
+    "q79_stream_dedup" -> q79StreamDedup)
   val oracles: Map[String, String] = Map(
     "q31_stream_session" -> q31Sql,
-    "q39_stream_sliding" -> q39Sql)
+    "q39_stream_sliding" -> q39Sql,
+    "q79_stream_dedup" -> q79Sql)
 }

@@ -58,13 +58,14 @@ object StreamingSessions {
     * an unbounded-growth pattern even when each table is small.
     */
   def drainAvailableNow(spark: SparkSession, aggregated: DataFrame,
-      tableName: String): DataFrame = {
+      tableName: String,
+      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"ckpt-$tableName")
     val q = aggregated.writeStream
       .format("memory")
       .queryName(tableName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint.toString)
       .trigger(Trigger.AvailableNow())
       .start()
