@@ -116,6 +116,95 @@ object Pq {
     dotQ / (lit(qNorm) * sqrt(n2))
   }
 
+  /** Persist a codebook as a tiny parquet table (s, j, cw) beside the
+    * index that was encoded with it — codes are meaningless without
+    * their codebook, so the two must travel together.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession, cb: Codebook,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m; j <- 0 until cb.ksub
+    } yield (s, j, cb.words(s)(j))
+    rows.toDF("s", "j", "cw").repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Codebook = {
+    val rows = spark.read.parquet(path).orderBy("s", "j").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val words = (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    require(words.map(_.size).distinct.size == 1, s"ragged codebook at $path")
+    Codebook(m, words.head.head.size, words.head.size, words)
+  }
+
+  private def codebookPath(indexPath: String): String = s"$indexPath.pq"
+
+  /** Build an IVF+PQ index — the production ANN layout (FAISS's IVFPQ):
+    * every vector is assigned to its nearest coarse centroid
+    * ([[Similarity.assignToCentroids]]) and stored as its m PQ codes,
+    * partitioned by centroid. The index holds (id, codes, centroid_id)
+    * ONLY — m bytes of payload per row, not the embedding; full
+    * precision stays in the source table and is touched just for
+    * re-rank candidates (by id). At 100 TB that means the searchable
+    * artifact is ~m/(8·dims) of the corpus (64-dim float64, m=8 → 64×
+    * smaller), probes read nProbe partitions of it, and the big table
+    * is read k·rerankFactor rows per query. The codebook rides a
+    * parquet sidecar at `<path>.pq`.
+    */
+  def buildIvfPqIndex(vectors: DataFrame, centroids: DataFrame, path: String,
+      m: Int = 8, ksub: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Codebook = {
+    val cb = trainCodebooks(vectors, m, ksub, idCol, vecCol)
+    Similarity.assignToCentroids(vectors, centroids, idCol, vecCol)
+      .select(col(idCol),
+        encodeCol(Similarity.asDouble(col(vecCol)), cb).as("codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    saveCodebooks(vectors.sparkSession, cb, codebookPath(path))
+    cb
+  }
+
+  /** IVF+PQ search: rank coarse centroids against the query, scan only
+    * the `nProbe` probed partitions of the codes index (driver-literal
+    * `isin` so pruning reaches the source as `PartitionFilters`, as the
+    * plain-IVF path), ADC-rank the codes, then join the top
+    * k·rerankFactor ids back to the full-precision `vectors` table for
+    * the exact re-rank. Ordering: 4-d.p.-rounded scores, id tiebreaks,
+    * both stages.
+    */
+  def ivfPqTopKIndexed(indexPath: String, centroids: DataFrame,
+      vectors: DataFrame, queryDf: DataFrame, k: Int, nProbe: Int,
+      rerankFactor: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = centroids.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val cb = loadCodebooks(spark, codebookPath(indexPath))
+    val q = queryDf.select(col("qvec")).head.getSeq[Double](0).toSeq
+    val probed = centroids.crossJoin(broadcast(queryDf))
+      .select(col("cid"),
+        graft.functions.VectorExpressions.cosineSim(col("cvec"), col("qvec")).as("c"))
+      .orderBy(col("c").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    val cand = spark.read.parquet(indexPath)
+      .where(col("centroid_id").isin(probed: _*))
+      .select(col(idCol), round(adcCosineCol(col("codes"), cb, q), 4).as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(k * rerankFactor)
+      .select(col(idCol))
+    vectors.join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(graft.functions.VectorExpressions.cosineSim(
+          Similarity.asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** PQ ANN with exact re-rank: rank the corpus on the ADC cosine
     * (codes-only scan), keep the top k·rerankFactor, re-rank those at
     * full precision. Ordering uses 4-d.p.-rounded scores with id

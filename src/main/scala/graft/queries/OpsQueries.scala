@@ -1161,6 +1161,90 @@ object OpsQueries {
     FROM v JOIN cand USING (vec_id), q
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  // ————————————————————————————— IVF+PQ ANN over a materialized index (q80)
+  // (the production ANN layout: coarse IVF partitions × PQ codes. The
+  //  searchable artifact stores (id, codes, centroid_id) only — no
+  //  embeddings; a probe prunes to nProbe partitions, ADC-ranks the
+  //  codes, and re-ranks the top k·3 ids against the SOURCE table at
+  //  full precision. Oracle = q25's coarse assignment/probe CTEs
+  //  composed with q78's deterministic PQ chain, restricted to probed
+  //  buckets.)
+  private val ivfPqIndexBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q80IvfPqAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cvec"))
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    val path = ivfPqIndexBuilt.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivfpq-index-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Pq.buildIvfPqIndex(corpus, centroids, p, m = 8, ksub = 32)
+      p
+    })
+    Pq.ivfPqTopKIndexed(path, centroids, corpus, queryDf, k = 10,
+      nProbe = 2, rerankFactor = 3)
+  }
+  val q80Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qn
+          FROM embeddings WHERE vec_id = 0),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    probes AS (SELECT cid FROM (
+        SELECT c.cid, list_dot_product(c.cv, q.qe)
+            / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+        FROM c, q)
+      ORDER BY cos DESC, cid LIMIT 2),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cbsel AS (SELECT s, vec_id, e, row_number() OVER (PARTITION BY s
+                ORDER BY md5(CAST(s AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))) AS j
+              FROM v CROSS JOIN subs),
+    cb AS (SELECT s, j, list_slice(e, s * 8 + 1, s * 8 + 8) AS cw
+           FROM cbsel WHERE j <= 32),
+    pv AS (SELECT v.vec_id, v.e FROM v JOIN a1 USING (vec_id)
+           WHERE a1.cid IN (SELECT cid FROM probes)),
+    d2s AS (SELECT pv.vec_id, cb.s, cb.j,
+              list_sum(list_transform(range(1, 9),
+                i -> (pv.e[CAST(cb.s * 8 + i AS INT)] - cb.cw[CAST(i AS INT)])
+                   * (pv.e[CAST(cb.s * 8 + i AS INT)] - cb.cw[CAST(i AS INT)]))) AS d2
+            FROM pv CROSS JOIN cb),
+    enc AS (SELECT vec_id, s, j FROM (
+              SELECT vec_id, s, j,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+              FROM d2s) WHERE rk = 1),
+    lut AS (SELECT s, j,
+              list_sum(list_transform(range(1, 9),
+                i -> q.qe[CAST(s * 8 + i AS INT)] * cw[CAST(i AS INT)])) AS lq,
+              list_sum(list_transform(range(1, 9),
+                i -> cw[CAST(i AS INT)] * cw[CAST(i AS INT)])) AS ln
+            FROM cb, q),
+    terms AS (SELECT e.vec_id, e.s, l.lq, l.ln
+              FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.j),
+    adc AS (SELECT vec_id,
+              round(list_sum(list(lq ORDER BY s))
+                / ((SELECT qn FROM q) * sqrt(list_sum(list(ln ORDER BY s)))), 4)
+                AS adc
+            FROM terms GROUP BY vec_id),
+    cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 30)
+    SELECT v.vec_id, round(
+        list_dot_product(v.e, q.qe)
+        / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 4)
+        AS cos_sim
+    FROM v JOIN cand USING (vec_id), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1308,7 +1392,8 @@ object OpsQueries {
     "q75_pii_redact" -> q75PiiRedact,
     "q76_bloom_admission" -> q76BloomAdmission,
     "q77_mixture_sample" -> q77MixtureSample,
-    "q78_pq_ann" -> q78PqAnn)
+    "q78_pq_ann" -> q78PqAnn,
+    "q80_ivfpq_ann" -> q80IvfPqAnn)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1353,5 +1438,6 @@ object OpsQueries {
     "q75_pii_redact" -> q75Sql,
     "q76_bloom_admission" -> q76Sql,
     "q77_mixture_sample" -> q77Sql,
-    "q78_pq_ann" -> q78Sql)
+    "q78_pq_ann" -> q78Sql,
+    "q80_ivfpq_ann" -> q80Sql)
 }

@@ -77,6 +77,22 @@ class CleaningSpec extends SparkSpec {
     assert(out(4L) == (("<EMAIL> and <EMAIL>", 2L)))
   }
 
+  test("native repetition stats ≡ HOF reference on real corpus") {
+    val d = graft.queries.Tables.documents(spark, sf())
+      .select(col("doc_id").as("id"), TextOps.words(col("text")).as("_w"))
+    graft.functions.RepetitionExpressions.register(spark)
+    val hof = d.select(col("id") +: Cleaning.repetitionMetricsHof(col("_w"))
+      .map { case (n, c) => c.as(n) }: _*)
+    val native = d
+      .select(col("id"), col("_w"),
+        graft.functions.RepetitionExpressions.repetitionStats(col("_w")).as("_st"))
+      .select(col("id") +: Cleaning.repetitionMetrics(col("_st"), size(col("_w")))
+        .map { case (n, c) => c.as(n) }: _*)
+    val h = hof.orderBy("id").collect().map(_.toString)
+    val n = native.orderBy("id").collect().map(_.toString)
+    assert(h.sameElements(n))
+  }
+
   test("repetition metrics plan is narrow — no exchange") {
     val plan = Cleaning.repetitionFilter(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
