@@ -566,4 +566,45 @@ object Similarity {
       .select(col("x.id").as("a"), col("y.id").as("b"))
     verifyPairs(candidates, vectors, threshold, idCol, vecCol)
   }
+
+  /** SemDeDup-style semantic deduplication: assign every embedding to a
+    * coarse cluster, compare pairs ONLY within a cluster, and drop a row
+    * when a smaller-id cluster-mate sits above the cosine threshold.
+    * Returns the survivors as (id, centroid_id).
+    *
+    * This is the published recipe for embedding-level dedup at corpus
+    * scale (cluster first, pairwise only inside clusters): the pair
+    * space shrinks from |corpus|² to Σ cluster², bounded by cluster
+    * sizing exactly like the LSH band buckets (`maxBucket`) and the df
+    * pruning of the text family — clusters ARE the blocking structure.
+    * Recall is the clustering's: a near-dup pair split across clusters
+    * is not compared (the documented trade; more/narrower clusters raise
+    * precision of blocking and lower recall). The keep rule (drop the
+    * larger id of an over-threshold pair) is deterministic and local —
+    * no connected components needed: every surviving row had NO
+    * smaller-id duplicate, so iterating the rule is a fixpoint after one
+    * pass.
+    *
+    * Plan shape: one broadcast assignment pass, `localCheckpoint` to
+    * materialize it (it feeds both sides of the self-join — the
+    * standard multi-reference discipline, same as the corpus-build
+    * stages), one exchange on centroid_id for the self-join, a
+    * broadcast-able distinct dropped-id set, and a left anti join.
+    */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val a = assignToCentroids(vectors, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("e"),
+        col("centroid_id"))
+      .localCheckpoint(true)
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.centroid_id") === col("y.centroid_id")
+          && col("x.id") < col("y.id"))
+      .where(fastCosine(col("x.e"), col("y.e")) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    a.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("centroid_id"))
+  }
 }

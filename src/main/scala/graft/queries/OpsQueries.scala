@@ -1245,6 +1245,41 @@ object OpsQueries {
     FROM v JOIN cand USING (vec_id), q
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
+  // ————————————————————————————— semantic dedup (q81)
+  // (SemDeDup: cluster-blocked embedding dedup — pairwise cosine only
+  //  within a coarse cluster, drop the larger id of an over-threshold
+  //  pair. Pair space Σ cluster² not corpus²; recall is the
+  //  clustering's, precision exact. Oracle reuses q25's assignment CTEs
+  //  plus the pair rule.)
+  val q81SemanticDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), Similarity.asDouble(col("embedding")).as("cvec"))
+    Similarity.semanticDedup(emb.filter(col("vec_id") >= 16), centroids,
+      threshold = 0.4)
+  }
+  val q81Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    dropped AS (SELECT DISTINCT y.vec_id
+                FROM a1 x JOIN a1 y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                WHERE list_dot_product(x.e, y.e)
+                    / (sqrt(list_dot_product(x.e, x.e))
+                       * sqrt(list_dot_product(y.e, y.e))) >= 0.4)
+    SELECT vec_id, cid AS centroid_id FROM a1
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1393,7 +1428,8 @@ object OpsQueries {
     "q76_bloom_admission" -> q76BloomAdmission,
     "q77_mixture_sample" -> q77MixtureSample,
     "q78_pq_ann" -> q78PqAnn,
-    "q80_ivfpq_ann" -> q80IvfPqAnn)
+    "q80_ivfpq_ann" -> q80IvfPqAnn,
+    "q81_semantic_dedup" -> q81SemanticDedup)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1439,5 +1475,6 @@ object OpsQueries {
     "q76_bloom_admission" -> q76Sql,
     "q77_mixture_sample" -> q77Sql,
     "q78_pq_ann" -> q78Sql,
-    "q80_ivfpq_ann" -> q80Sql)
+    "q80_ivfpq_ann" -> q80Sql,
+    "q81_semantic_dedup" -> q81Sql)
 }
