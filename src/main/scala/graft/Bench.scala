@@ -68,7 +68,12 @@ object Bench {
     // which would otherwise be billed to its first timed iteration
     once("q55_elb_staged")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    // local-iteration filter (substring match); the driver sets nothing,
+    // so its runs always cover every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(n.contains))
+      .map(n => n -> exec(n))
     def obj(f: Seq[Double] => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failed = results.count(_._2.head < 0)

@@ -195,6 +195,15 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = Int.MaxValue): DataFrame = {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleN,
       numHashes, rowsPerBand, maxBucket)
+    // the shingle subtree feeds three consumers (the size aggregate and
+    // both sides of the intersection join) and is deliberately NOT
+    // materialized: a localCheckpoint here was measured 27% SLOWER on
+    // the q61 pipeline (min 1.80 s → 2.29 s at sf0.1) — the subtree is
+    // a narrow scan+split+explode that recomputes cheaper than its
+    // materialization writes, and checkpointing breaks pipelining into
+    // the joins. (connectedComponents still checkpoints the VERIFIED
+    // pair set, which its iterations would otherwise re-derive per
+    // round through this whole chain.)
     val sh = shingleRows(df, textCol, idCol, shingleN)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
