@@ -48,22 +48,21 @@ object Cleaning {
     * disappearing (the caller decides whether to filter empties —
     * losing the row would silently change corpus row counts).
     *
-    * Plan: spans are digested to 16 bytes before the keep-first
-    * decision, so the single exchange shuffles (digest, id, pos) — not
-    * span text; the winner per digest is a min(struct(id, pos)) partial
-    * aggregate (map-side combine), and reassembly sorts each doc's kept
+    * Plan: the keep-first decision is a row_number window over the span
+    * DIGEST (16 bytes, not span text) ordered by (id, pos) — ONE
+    * exchange carrying each span once; reassembly sorts each doc's kept
     * spans with `sort_array(collect_list(struct))` — one more exchange
-    * on the doc id. Raw span text rides only the reassembly shuffle,
-    * where it is irreducible (it IS the output).
+    * on the doc id. (A min(struct)-winners aggregate + join formulation
+    * computes the same thing but shuffles the span rows a second time
+    * for the keep join at scale; the window needs them only once.)
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 16): DataFrame = {
-    val spans = spanRows(df, textCol, idCol, spanWords)
+    val w = Window.partitionBy(col("fp")).orderBy(col("id"), col("pos"))
+    val kept = spanRows(df, textCol, idCol, spanWords)
       .withColumn("fp", md5(col("span")))
-    val winners = spans.groupBy(col("fp"))
-      .agg(min(struct(col("id"), col("pos"))).as("w"))
-    val kept = spans.join(winners, "fp")
-      .where(col("id") === col("w.id") && col("pos") === col("w.pos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
     val rebuilt = kept.groupBy(col("id"))
       .agg(
         array_join(transform(sort_array(collect_list(struct(col("pos"), col("span")))),
