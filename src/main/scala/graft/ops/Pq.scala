@@ -168,6 +168,30 @@ object Pq {
     cb
   }
 
+  /** Incrementally maintain a [[buildIvfPqIndex]] table: assign the
+    * batch to the SAME coarse centroids, encode with the SAVED codebook
+    * (an index's codebook is fixed between rebuilds — re-training would
+    * invalidate every stored code, the same invariant as the frozen
+    * centroids), and hand the (id, codes, centroid_id) rows to the
+    * shared drift-safe upsert
+    * ([[Similarity.upsertCentroidPartitionedIndex]]): touched partitions
+    * only, same-id upsert including cross-centroid drift, emptied-dir
+    * deletion, sidecar maintenance, crash repair by re-running the
+    * batch. Cost per batch is the IVF append's — O(batch + affected
+    * buckets), never O(index).
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, centroids: DataFrame,
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cb = loadCodebooks(newVectors.sparkSession, codebookPath(path))
+    val assigned = Similarity
+      .assignToCentroids(newVectors, centroids, idCol, vecCol)
+      .select(col(idCol),
+        encodeCol(Similarity.asDouble(col(vecCol)), cb).as("codes"),
+        col("centroid_id"))
+    Similarity.upsertCentroidPartitionedIndex(assigned, path, idCol)
+  }
+
   /** IVF+PQ search: rank coarse centroids against the query, scan only
     * the `nProbe` probed partitions of the codes index (driver-literal
     * `isin` so pruning reaches the source as `PartitionFilters`, as the

@@ -230,10 +230,27 @@ object Similarity {
     */
   def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
       path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val spark = newVectors.sparkSession
-    val cols = Seq(idCol, vecCol, "centroid_id")
     val assigned = assignToCentroids(newVectors, centroids, idCol, vecCol)
-      .select(cols.map(col): _*).localCheckpoint(true)
+      .select(Seq(idCol, vecCol, "centroid_id").map(col): _*)
+    upsertCentroidPartitionedIndex(assigned, path, idCol)
+  }
+
+  /** Payload-agnostic core of the drift-safe incremental index upsert:
+    * `assigned` is the new batch as (idCol, …payload…, centroid_id) —
+    * the embedding column for the plain IVF index, the PQ codes column
+    * for the IVF+PQ index ([[Pq.appendToIvfPqIndex]]); everything the
+    * contract above promises (touched-partitions-only rewrite, same-id
+    * upsert INCLUDING cross-centroid drift, emptied-directory deletion,
+    * sidecar maintenance, crash repair by re-run) is payload-independent
+    * and lives here.
+    */
+  private[ops] def upsertCentroidPartitionedIndex(assignedIn: DataFrame,
+      path: String, idCol: String): Unit = {
+    val spark = assignedIn.sparkSession
+    val cols = assignedIn.columns.toSeq
+    require(cols.last == "centroid_id" && cols.head == idCol,
+      s"assigned frame must be ($idCol, ...payload..., centroid_id), got $cols")
+    val assigned = assignedIn.localCheckpoint(true)
     val touched = assigned.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     if (touched.nonEmpty) {

@@ -41,6 +41,31 @@ class IvfPqSpec extends SparkSpec {
     assert(res.count() == 10)
   }
 
+  test("append upserts codes with the frozen codebook") {
+    val p = java.nio.file.Files.createTempDirectory("ivfpq-app")
+      .resolve("idx").toString
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    val cb = Pq.buildIvfPqIndex(base, centroids, p, m = 8, ksub = 32)
+    val before = spark.read.parquet(p).count()
+    // new ids + one re-ingested id (same embedding → same codes/centroid)
+    val batch = emb.filter(col("vec_id") >= 400 || col("vec_id") === 20)
+      .filter(col("vec_id") >= 16)
+    Pq.appendToIvfPqIndex(batch, centroids, p)
+    val after = spark.read.parquet(p)
+    // exactly one row per id (the re-ingest replaced, not duplicated)
+    assert(after.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(after.count() == before + batch.count() - 1)
+    // appended codes match a fresh encode under the SAVED codebook
+    val expected = batch
+      .select(col("vec_id"),
+        Pq.encodeCol(Similarity.asDouble(col("embedding")), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = after.join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == expected)
+  }
+
   test("recall floor vs the IVF-exact search at the same probes") {
     val exact = Similarity.ivfTopK(corpus, centroids, queryDf, k = 10, nProbe = 2)
       .select("vec_id").as[Long].collect().toSet
