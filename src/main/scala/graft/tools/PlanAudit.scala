@@ -19,7 +19,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q02_pricing_summary", "q03_revenue_by_nation", "q09_rolling_5min_count")
+      else Seq("q02_pricing_summary", "q03_revenue_by_nation",
+        "q09_rolling_5min_count", "q73_span_dedup", "q76_bloom_admission",
+        "q80_ivfpq_ann")
     names.foreach { n =>
       println(s"########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
