@@ -169,6 +169,35 @@ object TextOps {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("tid")))),
         s => s.getField("tid")).as("token_ids"))
 
+  /** Unigram log-probability scoring — the language-model quality proxy
+    * of the CCNet recipe (they use a 5-gram KenLM; the unigram model is
+    * the engine-portable member of the family): score every document by
+    * the mean log-probability of its tokens under the corpus's own
+    * unigram distribution. Gibberish and boilerplate-free word salads
+    * sit far from the head of the distribution and score low; fluent
+    * text scores high. Returns (id, logprob, n_words), logprob rounded
+    * to 6 d.p. — the per-document mean sums doubles in
+    * partitioning-dependent order, and 6 d.p. is far above the ~1e-14
+    * reassociation noise while far below any meaningful signal.
+    *
+    * Plan: one explode → vocab-count aggregate (partial, vocab-sized
+    * result), one token→count join (vocab ≪ corpus; the optimizer
+    * broadcasts when it fits), a broadcast 1-row total, one per-doc
+    * aggregate — two data-sized shuffles total, the floor for any
+    * corpus-conditioned per-document score.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = df.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("word"))
+    val counts = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    w.join(counts, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(round(avg(log(col("c") / col("n"))), 6).as("logprob"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
 

@@ -1280,6 +1280,22 @@ object OpsQueries {
     SELECT vec_id, cid AS centroid_id FROM a1
     WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
 
+  // ————————————————————————————— unigram log-prob scoring (q82)
+  // (the CCNet LM-quality proxy, unigram member: mean token
+  //  log-probability under the corpus's own unigram distribution.
+  //  Rounded to 6 d.p. at the aggregate — double reassociation noise is
+  //  ~1e-14, far below the rounding, so any engine reproduces it.)
+  val q82UnigramLogprob: Q = (s, dir) =>
+    TextOps.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")
+  val q82Sql: String = """
+    WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+               FROM documents),
+    c AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM c)
+    SELECT doc_id AS id, round(avg(ln(c / CAST(n AS DOUBLE))), 6) AS logprob,
+      count(*) AS n_words
+    FROM w JOIN c USING (word), n GROUP BY doc_id"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1429,7 +1445,8 @@ object OpsQueries {
     "q77_mixture_sample" -> q77MixtureSample,
     "q78_pq_ann" -> q78PqAnn,
     "q80_ivfpq_ann" -> q80IvfPqAnn,
-    "q81_semantic_dedup" -> q81SemanticDedup)
+    "q81_semantic_dedup" -> q81SemanticDedup,
+    "q82_unigram_logprob" -> q82UnigramLogprob)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1476,5 +1493,6 @@ object OpsQueries {
     "q77_mixture_sample" -> q77Sql,
     "q78_pq_ann" -> q78Sql,
     "q80_ivfpq_ann" -> q80Sql,
-    "q81_semantic_dedup" -> q81Sql)
+    "q81_semantic_dedup" -> q81Sql,
+    "q82_unigram_logprob" -> q82Sql)
 }

@@ -396,4 +396,21 @@ class OpsSpec extends SparkSpec {
     // videos have frame counts, images/audio exactly 1
     assert(decoded.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
   }
+
+  test("unigram logprob matches hand computation and ranks fluency") {
+    import spark.implicits._
+    // corpus of 8 tokens: "the"x4, "cat"x2, "sat"x1, "zzz"x1
+    val d = Seq(
+      (1L, "the cat sat"),      // mean ln of 4/8, 2/8, 1/8
+      (2L, "the the the"),      // all head tokens — highest score
+      (3L, "zzz cat")           // tail-heavy — lowest
+    ).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def m(xs: Double*) = xs.map(x => math.log(x / 8.0)).sum / xs.size
+    assert(math.abs(out(1L)._1 - m(4, 2, 1)) < 1e-6)
+    assert(math.abs(out(2L)._1 - m(4, 4, 4)) < 1e-6)
+    assert(out(1L)._2 == 3L && out(3L)._2 == 2L)
+    assert(out(2L)._1 > out(1L)._1 && out(1L)._1 > out(3L)._1)
+  }
 }
