@@ -121,6 +121,35 @@ object Sampling {
     * grouping key for a downstream `repartition(shard, bin)` batch
     * write.
     */
+  /** Materialize the packed windows [[packSequences]] assigns: one row
+    * per (shard, bin) with the concatenated token-id stream of its
+    * documents laid head-to-tail in id order — the physical artifact a
+    * fixed-context training loader consumes, with document boundaries
+    * dissolved into one flat stream per window. `df` carries
+    * (idCol, idsCol: array<long>); token counts are the array sizes, so
+    * the bin math is identical to [[packSequences]] on the same corpus.
+    *
+    * Plan: the assignment's per-shard cumsum window, a same-key join
+    * back, and ONE exchange on (shard, bin) for the reassembly — the
+    * collect_list sorts by the unique doc id, so the stream order is
+    * partitioning-independent.
+    */
+  def packWindows(df: DataFrame, idCol: String, idsCol: String,
+      budget: Long, numShards: Int = 8): DataFrame = {
+    val assigned = packSequences(
+      df.select(col(idCol), size(col(idsCol)).cast("long").as("_n")),
+      idCol, "_n", budget, numShards)
+    df.select(col(idCol).as("id"), col(idsCol).as("_ids"))
+      .join(assigned, Seq("id"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("_ids"))).cast("long").as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("id"), col("_ids")))),
+          s => s.getField("_ids"))).as("window_ids"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, numShards: Int = 8): DataFrame = {
     require(budget > 0 && numShards > 0)

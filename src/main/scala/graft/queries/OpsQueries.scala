@@ -1296,6 +1296,50 @@ object OpsQueries {
       count(*) AS n_words
     FROM w JOIN c USING (word), n GROUP BY doc_id"""
 
+  // ————————————————————————————— materialized packed windows (q83)
+  // (the artifact a fixed-context training loader reads: per (shard,
+  //  bin), the documents' token-id streams concatenated in id order.
+  //  Composes q70's vocabulary encoding with q68's deterministic window
+  //  assignment; csv-encoded ids like q70 — the driver compare hashes
+  //  scalar columns.)
+  val q83PackedWindows: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    graft.ops.Sampling.packWindows(
+      TextOps.tokenizeToIds(d, "text", "doc_id",
+        TextOps.vocabulary(d, "text", minCount = 5, topK = 1000)),
+      "id", "token_ids", budget = 500, numShards = 4)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        concat_ws(",", col("window_ids").cast("array<string>")).as("ids_csv"))
+  }
+  val q83Sql: String = """
+    WITH t0 AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+    c AS (SELECT token, count(*) AS n FROM t0 GROUP BY 1 HAVING count(*) >= 5),
+    vocab AS (SELECT token, token_id FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        FROM c)
+      WHERE token_id < 1000),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d),
+    tok AS (SELECT doc_id, i, w[i] AS token FROM idx),
+    ids AS (SELECT doc_id, i, COALESCE(v.token_id, -1) AS tid
+            FROM tok LEFT JOIN vocab v USING (token)),
+    csv AS (SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i)
+              AS doc_csv, count(*) AS tokens
+            FROM ids GROUP BY doc_id),
+    t AS (SELECT doc_id AS id, doc_csv, tokens,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT)
+          % 4 AS shard
+      FROM csv),
+    cum AS (SELECT id, doc_csv, tokens, shard,
+        sum(tokens) OVER (PARTITION BY shard ORDER BY id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
+      count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens,
+      string_agg(doc_csv, ',' ORDER BY id) AS ids_csv
+    FROM cum GROUP BY 1, 2"""
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1446,7 +1490,8 @@ object OpsQueries {
     "q78_pq_ann" -> q78PqAnn,
     "q80_ivfpq_ann" -> q80IvfPqAnn,
     "q81_semantic_dedup" -> q81SemanticDedup,
-    "q82_unigram_logprob" -> q82UnigramLogprob)
+    "q82_unigram_logprob" -> q82UnigramLogprob,
+    "q83_packed_windows" -> q83PackedWindows)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1494,5 +1539,6 @@ object OpsQueries {
     "q78_pq_ann" -> q78Sql,
     "q80_ivfpq_ann" -> q80Sql,
     "q81_semantic_dedup" -> q81Sql,
-    "q82_unigram_logprob" -> q82Sql)
+    "q82_unigram_logprob" -> q82Sql,
+    "q83_packed_windows" -> q83Sql)
 }

@@ -397,6 +397,25 @@ class OpsSpec extends SparkSpec {
     assert(decoded.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
   }
 
+  test("packWindows concatenates doc streams in id order within a window") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L)), (3L, Seq(6L))
+    ).toDF("id", "token_ids")
+    // one shard, budget large enough for one window
+    val out = Sampling.packWindows(d, "id", "token_ids",
+      budget = 100, numShards = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getSeq[Long](r.fieldIndex("window_ids")) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // stable under repartitioning
+    val again = Sampling.packWindows(d.repartition(5), "id", "token_ids",
+      budget = 100, numShards = 1).collect().head
+    assert(again.getSeq[Long](again.fieldIndex("window_ids")) ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("unigram logprob matches hand computation and ranks fluency") {
     import spark.implicits._
     // corpus of 8 tokens: "the"x4, "cat"x2, "sat"x1, "zzz"x1
