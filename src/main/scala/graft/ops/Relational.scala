@@ -67,6 +67,37 @@ object Relational {
       .unionByName(lNull)
   }
 
+  /** Bucketed range join: all (left, right) pairs with
+    * |leftTsMs − rightTsMs| ≤ toleranceMs — WITHOUT an equality key.
+    * Spark plans a bare inequality join as BroadcastNestedLoopJoin (a
+    * cross product at scale); the standard fix re-expresses the theta
+    * join as an EQUI join on a time bucket of width `toleranceMs`: a
+    * pair within tolerance differs by at most one bucket, so the left
+    * side explodes to its bucket ± 1 (3 rows), joins on bucket equality
+    * (hash shuffle, AQE-eligible), and the exact predicate filters the
+    * false positives inside the bucket. Cost: 3×|left| + |right|
+    * shuffled, each bucket bounded by rows-per-tolerance-window — the
+    * quadratic blow-up is confined to pairs that genuinely collide in
+    * time, exactly the df-pruning story of the dedup family applied to
+    * the time axis.
+    *
+    * Column names must not collide across sides (select/rename first);
+    * `_rb` is reserved.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftTsMs: String, rightTsMs: String, toleranceMs: Long): DataFrame = {
+    require(toleranceMs > 0)
+    require(left.columns.intersect(right.columns).isEmpty,
+      "rangeJoin sides must have disjoint column names")
+    val lBucket = floor(col(leftTsMs) / toleranceMs)
+    val l = left.withColumn("_rb",
+      explode(array(lBucket - 1, lBucket, lBucket + 1)))
+    val r = right.withColumn("_rb", floor(col(rightTsMs) / toleranceMs))
+    l.join(r, "_rb")
+      .where(abs(col(leftTsMs) - col(rightTsMs)) <= toleranceMs)
+      .drop("_rb")
+  }
+
   /** Keep-last upsert: rows of `fresh` replace same-key rows of `base`
     * (pandas `concat` + drop-dup keep='last' semantics — reference:
     * advanced_elb_logs_etl.py:244-246). `dropDuplicates` alone keeps an

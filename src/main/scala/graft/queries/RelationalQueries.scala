@@ -409,6 +409,28 @@ object RelationalQueries {
     FROM events e ASOF LEFT JOIN ord o
       ON e.user_id = o.o_custkey AND epoch_ms(e.ts) >= o.ord_ms"""
 
+  // ———————————————————————————————————————————— bucketed range join
+  // (every error event paired with the click events within ±60 s, no
+  //  equality key: the theta join becomes an equi join on a tolerance-
+  //  width time bucket (left exploded to bucket ± 1) + exact filter —
+  //  Spark would otherwise plan a nested-loop cross product. The oracle
+  //  is the naive inequality join.)
+  val q84RangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("a_id"), ms(col("ts")).as("a_ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("b_id"), ms(col("ts")).as("b_ms"))
+    graft.ops.Relational.rangeJoin(errors, clicks, "a_ms", "b_ms", 60000L)
+      .select(col("a_id"), col("b_id"), (col("a_ms") - col("b_ms")).as("dt_ms"))
+  }
+  val q84Sql: String = """
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+      epoch_ms(a.ts) - epoch_ms(b.ts) AS dt_ms
+    FROM events a JOIN events b
+      ON a.event_type = 'error' AND b.event_type = 'click'
+      AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000"""
+
   // ———————————————————————————————————————————— JSON extraction
   val q36JsonExtract: Q = (s, dir) =>
     Tables.events(s, dir).select(
@@ -602,6 +624,7 @@ object RelationalQueries {
     "q33_top_orders_per_cust" -> q33TopOrdersPerCust,
     "q34_revenue_rollup" -> q34RevenueRollup,
     "q35_asof_join" -> q35AsOfJoin,
+    "q84_range_join" -> q84RangeJoin,
     "q36_json_extract" -> q36JsonExtract,
     "q37_pivot" -> q37Pivot,
     "q38_explode" -> q38Explode,
@@ -633,6 +656,7 @@ object RelationalQueries {
     "q33_top_orders_per_cust" -> q33Sql,
     "q34_revenue_rollup" -> q34Sql,
     "q35_asof_join" -> q35Sql,
+    "q84_range_join" -> q84Sql,
     "q36_json_extract" -> q36Sql,
     "q37_pivot" -> q37Sql,
     "q38_explode" -> q38Sql,
