@@ -510,6 +510,28 @@ object RelationalQueries {
       round(sum(o_totalprice), 2) AS revenue
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
+  // ———————————————————————————————————————————— explicit GROUPING SETS
+  // (the general member of the rollup/cube family: an arbitrary set list
+  //  — here (status, priority), (status), () but NOT (priority) —
+  //  plus grouping_id to distinguish "grouped-out" from a genuinely
+  //  null key, the standard disambiguator)
+  val q85GroupingSets: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  val q85Sql: String = """
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())"""
+
   // ———————————————————————————————————————————— ranking-function family
   // (ntile / percent_rank / cume_dist / dense_rank share one window —
   //  unique tiebreak keeps every rank engine-deterministic)
@@ -625,6 +647,7 @@ object RelationalQueries {
     "q34_revenue_rollup" -> q34RevenueRollup,
     "q35_asof_join" -> q35AsOfJoin,
     "q84_range_join" -> q84RangeJoin,
+    "q85_grouping_sets" -> q85GroupingSets,
     "q36_json_extract" -> q36JsonExtract,
     "q37_pivot" -> q37Pivot,
     "q38_explode" -> q38Explode,
@@ -657,6 +680,7 @@ object RelationalQueries {
     "q34_revenue_rollup" -> q34Sql,
     "q35_asof_join" -> q35Sql,
     "q84_range_join" -> q84Sql,
+    "q85_grouping_sets" -> q85Sql,
     "q36_json_extract" -> q36Sql,
     "q37_pivot" -> q37Sql,
     "q38_explode" -> q38Sql,
