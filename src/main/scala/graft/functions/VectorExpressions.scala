@@ -160,25 +160,52 @@ object VectorExpressions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the
   * engine's native functions at session build (production route; tests
-  * and entry points may also call `VectorExpressions.register`).
+  * and entry points may also call the per-object `register`s). The
+  * injection list is public so a test can install the SAME tuples into
+  * an existing session's registry — `getOrCreate` in a shared-session
+  * JVM silently ignores the extensions config, so an in-suite test
+  * through the builder would only ever see functions other tests
+  * happened to register.
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier(VectorExpressions.functionName),
+object GraftExtensions {
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(VectorExpressions.functionName),
       new ExpressionInfo(classOf[DotProduct].getName, VectorExpressions.functionName),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier(VectorExpressions.cosineName),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier(VectorExpressions.cosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, VectorExpressions.cosineName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier(SimhashExpressions.functionName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    (FunctionIdentifier(SimhashExpressions.functionName),
       new ExpressionInfo(classOf[SimhashDigest].getName, SimhashExpressions.functionName),
-      SimhashExpressions.builder _))
-    e.injectFunction((
-      FunctionIdentifier(MinhashExpressions.functionName),
+      SimhashExpressions.builder _),
+    (FunctionIdentifier(MinhashExpressions.functionName),
       new ExpressionInfo(classOf[MinhashBandSigs].getName, MinhashExpressions.functionName),
-      MinhashExpressions.builder _))
-  }
+      MinhashExpressions.builder _),
+    (FunctionIdentifier(WinnowingExpressions.functionName),
+      new ExpressionInfo(classOf[WinnowingFingerprints].getName,
+        WinnowingExpressions.functionName),
+      WinnowingExpressions.builder _),
+    (FunctionIdentifier(RepetitionExpressions.functionName),
+      new ExpressionInfo(classOf[RepetitionStats].getName,
+        RepetitionExpressions.functionName),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs(0))),
+    (FunctionIdentifier(BloomFunctions.aggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        BloomFunctions.aggName),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier(BloomFunctions.mightContainName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        BloomFunctions.mightContainName),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(e.injectFunction)
 }

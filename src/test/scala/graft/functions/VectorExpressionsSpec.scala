@@ -61,6 +61,21 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = s2.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
     assert(r == 11.0)
+    // every native kernel the engine ships resolves through the same
+    // injection tuples (installed directly — in a shared-session JVM
+    // getOrCreate ignores the extensions config, so the SQL above only
+    // proves the builder route when this suite runs first)
+    GraftExtensions.injections.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val fns = spark.sql(
+      """SELECT simhash_digest(array('a','b'), 16), minhash_band_sigs(array('a'), 12, 3),
+        |  winnowing_fps('abcdef', 3, 4),
+        |  graft_repetition_stats(array('a','a','b')).top_count,
+        |  graft_might_contain(CAST(null AS BINARY), xxhash64('x'))
+        |""".stripMargin).collect().head
+    assert(fns.getLong(3) == 2L)
+    assert(fns.isNullAt(4)) // null bloom -> null, the expression's contract
   }
 
   test("float arrays are implicitly widened, not read as garbage strides") {
