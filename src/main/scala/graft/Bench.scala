@@ -58,19 +58,24 @@ object Bench {
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     }
 
-    // warm-up: JVM + codegen + parquet footer caches for the TPC-H-ish and
-    // events read paths, plus the one-time synthetic ELB corpus generation
-    // (driver-side, would otherwise be billed to q18's first run)
-    once("q03_revenue_by_nation")
-    once("q01_hourly_agg")
-    once("q18_elb_pipeline")
-    // q55's warm-up covers the one-time zstd landing-zone staging write,
-    // which would otherwise be billed to its first timed iteration
-    once("q55_elb_staged")
-
     // local-iteration filter (substring match); the driver sets nothing,
     // so its runs always cover every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+
+    // warm-up: JVM + codegen + parquet footer caches for the TPC-H-ish and
+    // events read paths, plus the one-time synthetic ELB corpus generation
+    // (driver-side, would otherwise be billed to q18's first run).
+    // q55's warm-up covers the one-time zstd landing-zone staging write.
+    // A filtered local run skips warm-ups outside the filter (the ELB
+    // corpus generation alone is minutes at sf1) and warms the first
+    // filtered query instead.
+    val warmups = Seq("q03_revenue_by_nation", "q01_hourly_agg",
+      "q18_elb_pipeline", "q55_elb_staged")
+    warmups.filter(n => only.forall(n.contains)).foreach(once)
+    if (only.exists(f => !warmups.exists(_.contains(f))))
+      SparkEntry.queries.keys.toSeq.sorted.find(n => only.forall(n.contains))
+        .foreach(once)
+
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(n.contains))
       .map(n => n -> exec(n))
