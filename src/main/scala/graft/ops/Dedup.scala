@@ -559,12 +559,17 @@ object Dedup {
     val bits = graft.functions.BloomFunctions.optimalNumBits(expectedItems, fpp)
     // spark.sql analyzes eagerly, so the views are resolved into the plan
     // here and safe to drop right after
+    // coalesce: an EMPTY corpus aggregates to a null bloom and
+    // might_contain(null, x) is null — without the default both the
+    // NOT-maybe and the maybe branch would drop every row (admitted = ∅
+    // where the exact answer is "everything"); null means "nothing was
+    // folded in", i.e. definitely new
     val flagged = spark.sql(s"""
-      SELECT b.*, ${graft.functions.BloomFunctions.mightContainName}(
+      SELECT b.*, coalesce(${graft.functions.BloomFunctions.mightContainName}(
         (SELECT ${graft.functions.BloomFunctions.aggName}(
            xxhash64(`$keyCol`), ${expectedItems}L, ${bits}L)
          FROM $corpusView),
-        xxhash64(b.`$keyCol`)) AS _maybe
+        xxhash64(b.`$keyCol`)), false) AS _maybe
       FROM $batchView b""")
     spark.catalog.dropTempView(batchView)
     spark.catalog.dropTempView(corpusView)

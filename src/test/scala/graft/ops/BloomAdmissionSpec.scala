@@ -30,6 +30,16 @@ class BloomAdmissionSpec extends SparkSpec {
       s"expected the bloom to arrive via scalar subquery:\n$plan")
   }
 
+  test("an empty corpus admits the whole batch") {
+    // zero corpus rows aggregate to a NULL bloom; might_contain(null, x)
+    // is null, which without a default would drop rows from BOTH the
+    // not-maybe and the maybe branch — the regression this pins
+    val empty = corpus.where(lit(false))
+    val admitted = Dedup.bloomAdmission(batch, empty, "k", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == batch.select("id").as[Long].collect().toSet)
+  }
+
   test("an undersized filter still yields exact results") {
     // expectedItems far below the corpus cardinality → fpp degrades,
     // more rows take the verify join — the result must not change
