@@ -89,6 +89,8 @@ object Relational {
     require(toleranceMs > 0)
     require(left.columns.intersect(right.columns).isEmpty,
       "rangeJoin sides must have disjoint column names")
+    require(!left.columns.contains("_rb") && !right.columns.contains("_rb"),
+      "_rb is reserved by rangeJoin")
     val lBucket = floor(col(leftTsMs) / toleranceMs)
     val l = left.withColumn("_rb",
       explode(array(lBucket - 1, lBucket, lBucket + 1)))
