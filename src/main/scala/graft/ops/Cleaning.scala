@@ -157,6 +157,37 @@ object Cleaning {
       col("dup_bigram_frac") <= maxDupBigramFrac)
   }
 
+  // ———————————————————————————————————— the cleaning pipeline, composed
+
+  /** The pre-dedup cleaning pass a corpus build runs as ONE plan:
+    * C4-style quality filter ([[TextOps.qualityFilter]]) → Gopher
+    * repetition filter (inline native-kernel predicate — no join-back,
+    * the metrics compute in the same projection) → span-level exact
+    * dedup ([[spanDedup]]). Everything before the span stage is a
+    * narrow filter over the scan; the span stage contributes the
+    * composition's only exchanges. Returns [[spanDedup]]'s
+    * (id, clean_text, n_spans, n_dropped) for the surviving documents.
+    */
+  def cleanCorpus(df: DataFrame, textCol: String, idCol: String,
+      minWords: Long = 30, maxWords: Long = 120,
+      minStopwordRatio: Double = 0.08, minAlphaRatio: Double = 0.5,
+      lang: Option[String] = None,
+      maxTopWordFrac: Double = 0.2, maxDupBigramFrac: Double = 0.7,
+      spanWords: Int = 8): DataFrame = {
+    graft.functions.RepetitionExpressions.register(df.sparkSession)
+    val q = TextOps.qualityFilter(df, textCol, minWords, maxWords,
+      minStopwordRatio, minAlphaRatio, lang)
+    val metrics = repetitionMetrics(col("_st"), size(col("_w"))).toMap
+    val r = q
+      .withColumn("_w", TextOps.words(col(textCol)))
+      .withColumn("_st",
+        graft.functions.RepetitionExpressions.repetitionStats(col("_w")))
+      .where(metrics("top_word_frac") <= maxTopWordFrac &&
+        metrics("dup_bigram_frac") <= maxDupBigramFrac)
+      .drop("_w", "_st")
+    spanDedup(r, textCol, idCol, spanWords)
+  }
+
   // ———————————————————————————————————————————————————— PII redaction
 
   /** Conservative character classes shared verbatim by Java regex

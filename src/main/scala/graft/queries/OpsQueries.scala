@@ -1340,6 +1340,74 @@ object OpsQueries {
       string_agg(doc_csv, ',' ORDER BY id) AS ids_csv
     FROM cum GROUP BY 1, 2"""
 
+  // ————————————————————————————— cleaning pipeline composition (q86)
+  // (quality filter → repetition filter → span dedup as ONE plan — the
+  //  pre-dedup cleaning pass of a corpus build; the oracle chains the
+  //  q62, q74, and q73 derivations over the shrinking survivor set)
+  val q86CleanCorpus: Q = (s, dir) =>
+    Cleaning.cleanCorpus(Tables.documents(s, dir), "text", "doc_id",
+      lang = Some("en"), maxTopWordFrac = 0.12, maxDupBigramFrac = 0.05,
+      spanWords = 8)
+  val q86Sql: String = {
+    val scoreExprs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    s"""
+    WITH sc AS (SELECT doc_id, text, $scoreExprs FROM documents),
+    m AS (SELECT doc_id,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+          / CAST(length(lower(text)) AS DOUBLE) AS alpha_ratio,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|that)\\b'))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio
+      FROM sc),
+    clean AS (SELECT doc_id FROM m
+      WHERE n_words BETWEEN 30 AND 120 AND stopword_ratio >= 0.08
+        AND alpha_ratio >= 0.5 AND lang_pred = 'en'),
+    d0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+           WHERE doc_id IN (SELECT doc_id FROM clean)),
+    wc AS (SELECT doc_id, unnest(w) AS word FROM d0),
+    topw AS (SELECT doc_id, max(c) AS topc
+             FROM (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2)
+             GROUP BY 1),
+    bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d0)),
+    bis AS (SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db
+            FROM bi GROUP BY 1),
+    rep AS (SELECT d0.doc_id FROM d0
+            JOIN topw USING (doc_id) LEFT JOIN bis USING (doc_id)
+            WHERE (CASE WHEN len(w) > 0 THEN topc / CAST(len(w) AS DOUBLE)
+                        ELSE 0.0 END) <= 0.12
+              AND (CASE WHEN coalesce(nb, 0) > 0
+                        THEN 1.0 - db / CAST(nb AS DOUBLE)
+                        ELSE 0.0 END) <= 0.05),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM rep)),
+    idx AS (SELECT doc_id, w,
+              unnest(range(0, greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1))) AS i
+            FROM d),
+    sp AS (SELECT doc_id, i AS pos,
+             array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS span
+           FROM idx),
+    win AS (SELECT doc_id, pos, span,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+            FROM sp),
+    reb AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+              count(*) AS n_kept
+            FROM win WHERE rn = 1 GROUP BY 1),
+    tot AS (SELECT doc_id,
+              greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1) AS n_spans
+            FROM d)
+    SELECT t.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+      t.n_spans, t.n_spans - coalesce(r.n_kept, 0) AS n_dropped
+    FROM tot t LEFT JOIN reb r USING (doc_id)"""
+  }
+
   // ————————————————————————————— END-TO-END corpus build (q72)
   // (every pipeline stage composed the way a training-data run ships:
   //  quality filter → exact dedup → LSH near-dup clusters → split →
@@ -1491,7 +1559,8 @@ object OpsQueries {
     "q80_ivfpq_ann" -> q80IvfPqAnn,
     "q81_semantic_dedup" -> q81SemanticDedup,
     "q82_unigram_logprob" -> q82UnigramLogprob,
-    "q83_packed_windows" -> q83PackedWindows)
+    "q83_packed_windows" -> q83PackedWindows,
+    "q86_clean_corpus" -> q86CleanCorpus)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1540,5 +1609,6 @@ object OpsQueries {
     "q80_ivfpq_ann" -> q80Sql,
     "q81_semantic_dedup" -> q81Sql,
     "q82_unigram_logprob" -> q82Sql,
-    "q83_packed_windows" -> q83Sql)
+    "q83_packed_windows" -> q83Sql,
+    "q86_clean_corpus" -> q86Sql)
 }

@@ -93,6 +93,21 @@ class CleaningSpec extends SparkSpec {
     assert(h.sameElements(n))
   }
 
+  test("cleanCorpus equals the stages applied one by one") {
+    val d = graft.queries.Tables.documents(spark, sf())
+    val composed = Cleaning.cleanCorpus(d, "text", "doc_id",
+      maxTopWordFrac = 0.15, maxDupBigramFrac = 0.08, spanWords = 8)
+      .collect().map(_.toString).sorted
+    val q = TextOps.qualityFilter(d, "text")
+    val ids = Cleaning.repetitionFilter(q, "text", "doc_id",
+      maxTopWordFrac = 0.15, maxDupBigramFrac = 0.08).select("id")
+    val staged = Cleaning.spanDedup(
+      q.join(ids, q("doc_id") === ids("id"), "left_semi"),
+      "text", "doc_id", spanWords = 8)
+      .collect().map(_.toString).sorted
+    assert(composed.nonEmpty && composed.sameElements(staged))
+  }
+
   test("repetition metrics plan is narrow — no exchange") {
     val plan = Cleaning.repetitionFilter(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
