@@ -1,82 +1,275 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Path, Paths}
+
+import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque `binary` columns + typed
-  * metadata, with decode/feature steps batched per partition.
+import scala.util.control.NonFatal
+
+/** Multimodal-column support: media as opaque `binary` columns + typed
+  * metadata, decoded with REAL JDK codecs batched per partition.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[StubCodec]]) — the Spark-side
-  * contract (schema, partitioning, batch shape, null policy) is real and
-  * tested, and swapping in a real codec changes only the kernel body.
-  * This mirrors how a Python pipeline would structure `mapInPandas`
-  * batches; in Scala the idiomatic equivalent is a typed `mapPartitions`
-  * over an iterator of rows, which keeps the per-partition batching (codec
-  * contexts initialized once per partition, not per row).
+  * Decode is `javax.imageio` (PNG/JPEG/GIF/BMP — [[JdkCodec.decode]] reads
+  * actual image headers and rasters) and `javax.sound.sampled` (WAV/AIFF
+  * audio headers). No external codec libraries are required; both APIs ship
+  * with the JDK. "video" is modeled as an animated GIF container — the one
+  * multi-frame format the JDK decodes natively — which exercises the real
+  * at-scale shape: a container whose frame count is unknown until decode,
+  * with per-frame raster access ([[sampleFrames]] decodes the actual pixels
+  * of every sampled frame, not a synthesized fingerprint).
+  *
+  * Dataflow contract (the part that matters at 100 TB): media bytes stay in
+  * a `binary` column of a parquet table; decode is a typed `mapPartitions`
+  * with codec state initialized once per partition (here:
+  * `ImageIO.setUseCache(false)` so the JDK never spools to disk per image);
+  * frame fan-out happens inside the same partition pass, so neither decode
+  * nor frame sampling shuffles. This mirrors a Python `mapInPandas` batch
+  * layout; the Scala-idiomatic equivalent is the iterator-of-case-class
+  * `mapPartitions` used here.
+  *
+  * [[Fixtures]] generates deterministic corpora whose decoded properties
+  * (dims, frame counts, per-frame solid color, audio rate/channels/frames)
+  * are closed-form in `media_id` — so a SQL oracle can assert what the
+  * codec must read back from the real bytes.
   */
 object Multimodal {
 
-  case class MediaRow(media_id: Long, content: Array[Byte], media_type: String)
+  case class MediaRow(media_id: Long, media_type: String, content: Array[Byte])
   case class DecodedRow(media_id: Long, media_type: String, byte_len: Long,
-      width: Int, height: Int, n_frames: Int, ok: Boolean)
+      width: Int, height: Int, n_frames: Int, sample_rate: Int, channels: Int,
+      ok: Boolean)
+  case class FrameRow(media_id: Long, frame_idx: Long, width: Int, height: Int,
+      px_rgb: Long)
 
-  /** STUB decode kernel: deterministic pseudo-metadata from the byte
-    * payload. A real deployment replaces this body with an actual codec
-    * (??? markers intentionally absent — the stub must run in tests).
+  /** Real JDK decode kernel. Null policy: null/empty/undecodable bytes (no
+    * registered reader claims them, or the claimed decode throws) yield
+    * `ok=false` with zeroed metadata — corrupt media must never kill a
+    * 100 TB job, it must land in a quarantine-able partition of the output.
     */
-  object StubCodec {
-    def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Int, Boolean) = {
-      if (bytes == null || bytes.isEmpty) return (0, 0, 0, false)
-      val n = bytes.length
-      val width = 1 + (n * 7) % 1024
-      val height = 1 + (n * 13) % 768
-      val frames = if (mediaType == "video") 1 + n % 30 else 1
-      (width, height, frames, true)
-    }
+  object JdkCodec {
+    case class Meta(width: Int, height: Int, nFrames: Int, sampleRate: Int,
+        channels: Int, ok: Boolean)
+    val failed: Meta = Meta(0, 0, 0, 0, 0, ok = false)
+
+    def decode(bytes: Array[Byte], mediaType: String): Meta =
+      if (bytes == null || bytes.isEmpty) failed
+      else try {
+        mediaType match {
+          case "audio" =>
+            // header-only parse: WAV frame count = data size / frame size
+            val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+            val fmt = aff.getFormat
+            Meta(0, 0, aff.getFrameLength, fmt.getSampleRate.toInt,
+              fmt.getChannels, ok = aff.getFrameLength > 0)
+          case _ => // image / video(gif): real raster container
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+            try {
+              val readers = ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) failed
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  val n = r.getNumImages(true) // full scan: trailer-truncated files fail here
+                  Meta(r.getWidth(0), r.getHeight(0), n, 0, 0, ok = n > 0)
+                } finally r.dispose()
+              }
+            } finally iis.close()
+        }
+      } catch { case NonFatal(_) => failed }
+
+    /** Decode frames `0, stride, 2·stride, …` of a multi-frame container,
+      * returning each frame's real dimensions and its top-left pixel
+      * (0xRRGGBB). Frames are materialized before the reader is disposed.
+      */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Vector[(Int, Int, Int, Int)] =
+      if (bytes == null || bytes.isEmpty) Vector.empty
+      else try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Vector.empty
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              (0 until n by stride).map { f =>
+                val img = r.read(f)
+                (f, img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xFFFFFF)
+              }.toVector
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case NonFatal(_) => Vector.empty }
   }
 
-  /** Wrap a text table as a binary media table (UTF-8 payloads) — the
-    * ingest shape a real pipeline would produce from raw media files.
+  /** Batched decode: one `mapPartitions` pass, codec state per partition
+    * (in-memory ImageIO streams — the JDK default spools every image
+    * through a temp FILE, a per-row disk round-trip that would dominate at
+    * scale). Narrow: no shuffle.
     */
-  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("media_id"),
-      encode(col(textCol), "UTF-8").as("content"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast("int")).as("media_type"))
-
-  /** Batched decode: one `mapPartitions` pass, codec state per partition. */
   def decodeBatched(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      // per-partition codec init would go here (expensive in real codecs)
-      rows.map { r =>
-        val (w, h, f, ok) = StubCodec.decode(r.content, r.media_type)
-        DecodedRow(r.media_id, r.media_type,
-          Option(r.content).map(_.length.toLong).getOrElse(0L), w, h, f, ok)
+    media.select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { r =>
+          val m = JdkCodec.decode(r.content, r.media_type)
+          DecodedRow(r.media_id, r.media_type,
+            Option(r.content).map(_.length.toLong).getOrElse(0L),
+            m.width, m.height, m.nFrames, m.sampleRate, m.channels, m.ok)
+        }
       }
-    }
   }
 
-  /** Frame sampling over decoded video rows: every `stride`-th frame index
-    * becomes its own row with a deterministic STUB frame fingerprint
-    * (md5-derived). A real pipeline swaps the fingerprint expression for a
-    * decoded frame tensor/embedding; the explode shape, keys, and
-    * per-frame row contract stay identical — and the explode is a narrow
-    * generator, so frame fan-out never shuffles.
+  /** Frame sampling over raw video containers: every `stride`-th frame is
+    * REALLY decoded (raster read, not header math) and emitted as its own
+    * row with the frame's dimensions and top-left pixel. The fan-out
+    * happens inside the partition pass — a narrow generator, no shuffle;
+    * undecodable containers contribute zero rows (same quarantine-friendly
+    * policy as [[JdkCodec.decode]]).
     */
-  def sampleFrames(decoded: DataFrame, stride: Int = 5): DataFrame = {
-    require(stride > 0)
-    // n_frames > 0 keeps the generator total: a real codec can report
-    // ok=true with zero frames, and sequence(0, -1, stride) throws
-    decoded.filter(col("media_type") === "video" && col("ok") &&
-        col("n_frames") > 0)
-      .select(col("media_id"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
-          .as("frame_idx"))
-      .withColumn("frame_idx", col("frame_idx").cast("long"))
-      .withColumn("frame_fp",
-        conv(substring(md5(concat_ws(":", col("media_id"), col("frame_idx"))),
-          1, 8), 16, 10).cast("long"))
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 5): Dataset[FrameRow] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          JdkCodec.sampleFrames(r.content, stride).map { case (f, w, h, rgb) =>
+            FrameRow(r.media_id, f.toLong, w, h, rgb.toLong)
+          }
+        }
+      }
+  }
+
+  /** Deterministic real-media corpus whose decoded metadata is closed-form
+    * in `media_id` (so a SQL oracle over the staged bytes can assert what
+    * the codec must read):
+    *   - `media_id % 3`: 0 → PNG image, 1 → WAV audio, 2 → animated GIF
+    *   - image dims: `(1 + id % 64) × (1 + 7·id % 48)`
+    *   - gif dims `(1 + id % 32) × (1 + 7·id % 24)`, frames `1 + id % 30`,
+    *     frame `f` filled solid with rgb
+    *     `((31·id+17·f) % 256, (7·id+3·f) % 256, (13·id+5·f) % 256)` — a
+    *     single-color frame palettizes exactly, so GIF encode→decode is
+    *     lossless on it and the oracle can assert the pixel
+    *   - audio: 16-bit PCM WAV, rate 8000, channels `1 + id % 2`,
+    *     `100 + id % 400` sample frames
+    *   - corruption: `id % 23 == 7` replaces the payload with 8 junk bytes
+    *     no registered codec claims (the malformed-decode policy row)
+    */
+  object Fixtures {
+    val corruptMod = 23
+    val corruptRem = 7
+    private val junk = Array[Byte](0x00, 0x7F, 0x3A, -0x22, -0x53, 0x11, 0x42, -0x11)
+
+    def frameRgb(id: Long, f: Long): Int = {
+      val r = ((31 * id + 17 * f) % 256).toInt
+      val g = ((7 * id + 3 * f) % 256).toInt
+      val b = ((13 * id + 5 * f) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+    private def solidImage(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      try { gfx.setColor(new java.awt.Color(rgb)); gfx.fillRect(0, 0, w, h) }
+      finally gfx.dispose()
+      img
+    }
+
+    def pngBytes(id: Long): Array[Byte] = {
+      val w = (1 + id % 64).toInt; val h = (1 + (id * 7) % 48).toInt
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try ImageIO.write(solidImage(w, h, frameRgb(id, 0)), "png", ios)
+      finally ios.close()
+      bos.toByteArray
+    }
+
+    def gifBytes(id: Long): Array[Byte] = {
+      val w = (1 + id % 32).toInt; val h = (1 + (id * 7) % 24).toInt
+      val frames = (1 + id % 30).toInt
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until frames).foreach { f =>
+          writer.writeToSequence(
+            new IIOImage(solidImage(w, h, frameRgb(id, f)), null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    def wavBytes(id: Long): Array[Byte] = {
+      val channels = (1 + id % 2).toInt
+      val nFrames = (100 + id % 400).toInt
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val data = new Array[Byte](nFrames * fmt.getFrameSize)
+      var i = 0
+      while (i < data.length) { data(i) = ((id + i) % 251).toByte; i += 1 }
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+      bos.toByteArray
+    }
+
+    def mediaFor(id: Long): MediaRow = {
+      val tpe = (id % 3).toInt match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val bytes =
+        if (id % corruptMod == corruptRem) junk
+        else tpe match {
+          case "image" => pngBytes(id)
+          case "audio" => wavBytes(id)
+          case _       => gifBytes(id)
+        }
+      MediaRow(id, tpe, bytes)
+    }
+
+    /** Fixture corpus size: 600 media (≈200/type, ≈26 corrupt) — big enough
+      * that every (type, corrupt) cell and every dim/frame-count residue is
+      * populated, small enough to stage in well under a second.
+      */
+    val rows = 600
+
+    /** Deterministic staging dir, shared with the DuckDB oracle. The name
+      * encodes the generator version — bump `v1` if any formula changes so
+      * a stale corpus from an older layout can never be picked up.
+      */
+    def dirFor: Path =
+      Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-media-$rows-v1")
+    def parquetPath: String = dirFor.resolve("media.parquet").toString
+
+    private val staged = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Stage the corpus as parquet (binary `content` column) once per JVM;
+      * generation is distributed (`spark.range` → codec encode per row).
+      */
+    def dataset(spark: SparkSession): String = {
+      if (staged.compareAndSet(false, true)) {
+        import spark.implicits._
+        spark.range(rows).repartition(8)
+          .mapPartitions { it =>
+            ImageIO.setUseCache(false); it.map(i => mediaFor(i.toLong))
+          }
+          .write.mode("overwrite").parquet(parquetPath)
+      }
+      parquetPath
+    }
   }
 }

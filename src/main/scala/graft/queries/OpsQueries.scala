@@ -620,42 +620,60 @@ object OpsQueries {
     FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 40"""
 
-  // ———————————————————————————————————————————— multimodal decode plumbing
-  // (mapPartitions stub codec — the oracle recomputes its deterministic
-  //  formulas, validating the batched-decode dataflow end to end)
-  val q30Multimodal: Q = (s, dir) => {
-    val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
-    Multimodal.decodeBatched(s, media).toDF()
-  }
-  val q30Sql: String = """
-    SELECT doc_id AS media_id,
-      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-           ELSE 'video' END AS media_type,
-      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      CAST(1 + (octet_length(encode(text)) * 7) % 1024 AS INT) AS width,
-      CAST(1 + (octet_length(encode(text)) * 13) % 768 AS INT) AS height,
-      CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30
-                ELSE 1 END AS INT) AS n_frames,
-      octet_length(encode(text)) > 0 AS ok
-    FROM documents"""
+  // ———————————————————————————————————————————— multimodal decode (REAL codecs)
+  // The staged corpus is real media bytes (PNG / animated GIF / WAV,
+  // generated by JDK encoders) whose decoded properties are closed-form in
+  // media_id; the engine decodes the actual bytes with javax.imageio /
+  // javax.sound, and the oracle asserts the known dims/frames/rate over the
+  // SAME staged parquet — a wrong decode (e.g. pseudo-metadata from byte
+  // length) hash-mismatches. Rows with id%23=7 carry undecodable junk and
+  // must surface as ok=false with zeroed metadata (the null policy).
+  private def mediaParquet(s: SparkSession): String = Multimodal.Fixtures.dataset(s)
 
-  // ————————————————————————————— multimodal frame sampling
-  // (video rows fan out to every 5th frame index with a deterministic
-  //  stub frame fingerprint — narrow generator, no shuffle; a real
-  //  pipeline swaps the fingerprint for the decoded frame payload)
-  val q54FrameSample: Q = (s, dir) => {
-    val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
-    Multimodal.sampleFrames(Multimodal.decodeBatched(s, media).toDF(), stride = 5)
-  }
-  val q54Sql: String = """
-    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS bl
-               FROM documents WHERE doc_id % 3 = 2),
-    f AS (SELECT media_id, 1 + bl % 30 AS n_frames FROM m WHERE bl > 0),
-    fr AS (SELECT media_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM f)
+  val q30Multimodal: Q = (s, dir) =>
+    Multimodal.decodeBatched(s, s.read.parquet(mediaParquet(s))).toDF()
+  private def q30Sql: String = s"""
+    SELECT media_id, media_type,
+      CAST(octet_length(content) AS BIGINT) AS byte_len,
+      CAST(CASE WHEN media_id % 23 = 7 THEN 0
+                WHEN media_type = 'image' THEN 1 + media_id % 64
+                WHEN media_type = 'video' THEN 1 + media_id % 32
+                ELSE 0 END AS INT) AS width,
+      CAST(CASE WHEN media_id % 23 = 7 THEN 0
+                WHEN media_type = 'image' THEN 1 + (media_id * 7) % 48
+                WHEN media_type = 'video' THEN 1 + (media_id * 7) % 24
+                ELSE 0 END AS INT) AS height,
+      CAST(CASE WHEN media_id % 23 = 7 THEN 0
+                WHEN media_type = 'image' THEN 1
+                WHEN media_type = 'video' THEN 1 + media_id % 30
+                ELSE 100 + media_id % 400 END AS INT) AS n_frames,
+      CAST(CASE WHEN media_id % 23 = 7 OR media_type <> 'audio' THEN 0
+                ELSE 8000 END AS INT) AS sample_rate,
+      CAST(CASE WHEN media_id % 23 = 7 OR media_type <> 'audio' THEN 0
+                ELSE 1 + media_id % 2 END AS INT) AS channels,
+      media_id % 23 <> 7 AS ok
+    FROM read_parquet('${Multimodal.Fixtures.parquetPath}/*.parquet')"""
+
+  // ————————————————————————————— multimodal frame sampling (REAL rasters)
+  // Every 5th frame of each animated-GIF container is actually decoded —
+  // the emitted row carries the frame raster's dimensions and its top-left
+  // pixel, and the oracle asserts the exact solid-fill color each frame was
+  // encoded with (single-color frames palettize losslessly in GIF).
+  val q54FrameSample: Q = (s, dir) =>
+    Multimodal.sampleFrames(s, s.read.parquet(mediaParquet(s)), stride = 5).toDF()
+  private def q54Sql: String = s"""
+    WITH v AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.parquetPath}/*.parquet')
+               WHERE media_type = 'video' AND media_id % 23 <> 7),
+    f AS (SELECT media_id, unnest(range(0, 1 + media_id % 30, 5)) AS frame_idx
+          FROM v)
     SELECT media_id, frame_idx,
-      CAST(('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
-        || CAST(frame_idx AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_fp
-    FROM fr"""
+      CAST(1 + media_id % 32 AS INT) AS width,
+      CAST(1 + (media_id * 7) % 24 AS INT) AS height,
+      CAST(((media_id * 31 + frame_idx * 17) % 256) * 65536
+         + ((media_id * 7 + frame_idx * 3) % 256) * 256
+         + (media_id * 13 + frame_idx * 5) % 256 AS BIGINT) AS px_rgb
+    FROM f"""
 
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate

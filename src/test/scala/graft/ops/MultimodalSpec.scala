@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-codec multimodal contract:
+  *   - the kernel decodes ACTUAL bytes (a hand-built PNG whose dims follow
+  *     no fixture formula comes back with its true dims);
+  *   - animated-GIF frame sampling reads real rasters (per-frame solid
+  *     colors survive palettization exactly);
+  *   - WAV audio headers parse to rate/channels/frames;
+  *   - malformed/truncated/empty/null payloads follow the ok=false
+  *     zeroed-metadata null policy instead of failing the job.
+  */
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("decode reads the actual PNG header, not an id/length formula") {
+    val img = new java.awt.image.BufferedImage(123, 45,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = JdkCodec.decode(bos.toByteArray, "image")
+    assert(m.ok && m.width == 123 && m.height == 45 && m.nFrames == 1)
+  }
+
+  test("fixture PNG / GIF / WAV decode to their closed-form metadata") {
+    for (id <- Seq(3L, 6L, 66L, 300L)) { // images
+      val m = JdkCodec.decode(Fixtures.mediaFor(id).content, "image")
+      assert(m.ok && m.width == 1 + id % 64 && m.height == 1 + (id * 7) % 48)
+    }
+    for (id <- Seq(2L, 5L, 65L, 299L)) { // gif videos
+      val m = JdkCodec.decode(Fixtures.mediaFor(id).content, "video")
+      assert(m.ok && m.width == 1 + id % 32 && m.height == 1 + (id * 7) % 24)
+      assert(m.nFrames == 1 + id % 30)
+    }
+    for (id <- Seq(1L, 4L, 64L, 298L)) { // wav audio
+      val m = JdkCodec.decode(Fixtures.mediaFor(id).content, "audio")
+      assert(m.ok && m.sampleRate == 8000 && m.channels == 1 + id % 2)
+      assert(m.nFrames == 100 + id % 400 && m.width == 0 && m.height == 0)
+    }
+  }
+
+  test("GIF frame sampling decodes real per-frame pixels") {
+    val id = 29L // video: 30 frames, sampled at stride 5 -> 6 frames
+    val frames = JdkCodec.sampleFrames(Fixtures.mediaFor(id).content, stride = 5)
+    assert(frames.map(_._1) == Vector(0, 5, 10, 15, 20, 25))
+    frames.foreach { case (f, w, h, rgb) =>
+      assert(w == (1 + id % 32) && h == (1 + (id * 7) % 24))
+      assert(rgb == Fixtures.frameRgb(id, f.toLong))
+    }
+  }
+
+  test("malformed bytes follow the ok=false zeroed null policy") {
+    val junk = Fixtures.mediaFor(7L).content // id%23==7 -> corrupt row
+    assert(junk.length == 8)
+    for (tpe <- Seq("image", "audio", "video")) {
+      assert(JdkCodec.decode(junk, tpe) == JdkCodec.failed)
+      assert(JdkCodec.decode(Array.empty[Byte], tpe) == JdkCodec.failed)
+      assert(JdkCodec.decode(null, tpe) == JdkCodec.failed)
+    }
+    // a TRUNCATED real container (valid magic, cut raster) must also land
+    // ok=false, not throw: the reader claims it, then fails mid-decode
+    val png = Fixtures.pngBytes(12L)
+    assert(JdkCodec.decode(png.take(16), "image") == JdkCodec.failed)
+    // a truncated GIF is a CONTAINER cut mid-stream: the JDK reader counts
+    // the complete frames present and stops — best-effort partial decode
+    // (never a throw), with strictly fewer frames than the full container
+    val gif = Fixtures.gifBytes(14L)
+    val part = JdkCodec.decode(gif.take(gif.length / 2), "video")
+    val full = JdkCodec.decode(gif, "video")
+    assert(part.nFrames < full.nFrames)
+    val wav = Fixtures.wavBytes(13L)
+    assert(JdkCodec.decode(wav.take(8), "audio") == JdkCodec.failed)
+    // frame sampling over garbage yields zero rows, not an exception
+    assert(JdkCodec.sampleFrames(junk, 5).isEmpty)
+  }
+
+  test("decodeBatched + sampleFrames over the staged corpus (end to end)") {
+    import spark.implicits._
+    val media = spark.read.parquet(Fixtures.dataset(spark))
+    assert(media.count() == Fixtures.rows)
+    val decoded = decodeBatched(spark, media).cache()
+    // corrupt rows: exactly the id%23==7 set, all zeroed
+    val bad = decoded.filter(!col("ok"))
+    assert(bad.count() == (0 until Fixtures.rows).count(_ % 23 == 7))
+    assert(bad.filter(col("width") =!= 0 || col("n_frames") =!= 0).count() == 0)
+    // every healthy image/audio/video row carries its formula metadata
+    val wrong = decoded.filter(col("ok")).filter(
+      (col("media_type") === "image" &&
+        (col("width") =!= (col("media_id") % 64 + 1).cast("int") ||
+         col("height") =!= (col("media_id") * 7 % 48 + 1).cast("int"))) ||
+      (col("media_type") === "video" &&
+        col("n_frames") =!= (col("media_id") % 30 + 1).cast("int")) ||
+      (col("media_type") === "audio" &&
+        (col("sample_rate") =!= 8000 ||
+         col("n_frames") =!= (col("media_id") % 400 + 100).cast("int"))))
+    assert(wrong.count() == 0)
+    // frame fan-out: per-video sampled-frame count and pixel equality
+    val frames = sampleFrames(spark, media, stride = 5)
+    val perVideo = frames.groupBy("media_id").count()
+      .join(decoded.filter(col("media_type") === "video" && col("ok")),
+        Seq("media_id"), "full")
+    assert(perVideo.filter(col("count").isNull ||
+      col("count") =!= ceil(col("n_frames") / 5.0)).count() == 0)
+    val pxWrong = frames.filter(col("px_rgb") =!=
+      ((col("media_id") * 31 + col("frame_idx") * 17) % 256) * 65536
+        + ((col("media_id") * 7 + col("frame_idx") * 3) % 256) * 256
+        + (col("media_id") * 13 + col("frame_idx") * 5) % 256)
+    assert(pxWrong.count() == 0)
+    decoded.unpersist()
+  }
+}

@@ -383,18 +383,18 @@ class OpsSpec extends SparkSpec {
     assert(preds(4L) == "und")
   }
 
-  test("multimodal decode: schema, determinism, empty-payload policy") {
+  test("multimodal decode: real codecs read real bytes (see MultimodalSpec)") {
     import spark.implicits._
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
-    val decoded = Multimodal.decodeBatched(spark, media).cache()
-    assert(decoded.columns.toSeq == Seq("media_id", "media_type", "byte_len",
-      "width", "height", "n_frames", "ok"))
-    assert(decoded.filter(!col("ok")).count() == 0)
-    val empty = Seq(Multimodal.MediaRow(1L, Array.empty[Byte], "image")).toDS().toDF()
-    val dEmpty = Multimodal.decodeBatched(spark, empty).collect().head
-    assert(!dEmpty.ok && dEmpty.width == 0)
-    // videos have frame counts, images/audio exactly 1
-    assert(decoded.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() == 0)
+    val media = Seq(
+      Multimodal.Fixtures.mediaFor(0L), // image
+      Multimodal.Fixtures.mediaFor(1L), // audio
+      Multimodal.Fixtures.mediaFor(2L)  // video
+    ).toDS().toDF()
+    val decoded = Multimodal.decodeBatched(spark, media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(decoded(0L).width == 1 && decoded(0L).height == 1 && decoded(0L).ok)
+    assert(decoded(1L).sample_rate == 8000 && decoded(1L).n_frames == 101)
+    assert(decoded(2L).n_frames == 3 && decoded(2L).width == 3)
   }
 
   test("packWindows concatenates doc streams in id order within a window") {
