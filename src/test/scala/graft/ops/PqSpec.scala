@@ -43,4 +43,50 @@ class PqSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  /** The refinement trade, measured (documented in ARCHITECTURE.md):
+    * Lloyd iterations are a descent on the per-subspace quantization
+    * objective, so reconstruction MSE MUST drop — that's the guaranteed
+    * half. Recall follows in aggregate (a single query can tie-flip when
+    * near-equal candidates straddle a moved cell boundary), so recall is
+    * asserted as a sum over an 8-query panel, at both rerankFactor=1
+    * (raw ADC head — pure codebook quality, no exact re-rank to paper
+    * over it) and the production rerankFactor. Measured on this corpus:
+    * MSE 0.599 → 0.443, panel recall 23 → 30 (rf=1), 49 → 58 (rf=4).
+    */
+  test("Lloyd-refined codebooks: MSE drops, panel recall@10 >= deterministic") {
+    // corpus excludes the 8 panel queries so every recall is out-of-sample
+    val cached = emb.filter(col("vec_id") >= 16).cache()
+    val det = Pq.trainCodebooks(cached, m = 8, ksub = 32)
+    val refined = Pq.refineCodebooks(cached, det, iters = 3)
+    def mse(cb: Pq.Codebook): Double = {
+      val cbLit = typedLit(cb.words)
+      cached.select(Similarity.asDouble(col("embedding")).as("e"))
+        .select(col("e"), Pq.encodeCol(col("e"), cb).as("c"))
+        .select(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0), (acc, s) => {
+          val sub = slice(col("e"), s * cb.dsub + 1, lit(cb.dsub))
+          val cw = element_at(element_at(cbLit, s + 1),
+            element_at(col("c"), s + 1) + 1)
+          acc + aggregate(zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (x, y) => x + y)
+        }).as("err"))
+        .agg(avg("err")).head.getDouble(0)
+    }
+    val (mDet, mRef) = (mse(det), mse(refined))
+    info(s"reconstruction MSE deterministic=$mDet refined=$mRef")
+    assert(mRef < mDet, s"Lloyd refinement did not reduce MSE: $mRef >= $mDet")
+    def panelRecall(cb: Pq.Codebook, rf: Int): Int = (0 until 8).map { qid =>
+      val queryDf = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding")).as("qvec"))
+      val exact = Similarity.bruteForceTopK(cached, queryDf, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      Pq.pqTopKWithCodebook(cached, cb, queryDf, k = 10, rerankFactor = rf)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    }.sum
+    for (rf <- Seq(1, 4)) {
+      val (rDet, rRef) = (panelRecall(det, rf), panelRecall(refined, rf))
+      info(s"panel recall@10 rf=$rf deterministic=$rDet refined=$rRef")
+      assert(rRef >= rDet, s"refinement regressed panel recall at rf=$rf: $rRef < $rDet")
+    }
+  }
 }
