@@ -48,21 +48,28 @@ object Cleaning {
     * disappearing (the caller decides whether to filter empties —
     * losing the row would silently change corpus row counts).
     *
-    * Plan: the keep-first decision is a row_number window over the span
-    * DIGEST (16 bytes, not span text) ordered by (id, pos) — ONE
-    * exchange carrying each span once; reassembly sorts each doc's kept
-    * spans with `sort_array(collect_list(struct))` — one more exchange
-    * on the doc id. (A min(struct)-winners aggregate + join formulation
-    * computes the same thing but shuffles the span rows a second time
-    * for the keep join at scale; the window needs them only once.)
+    * Plan: keep-first-global needs only the (id, pos)-minimum occurrence
+    * of each span digest, so the decision is a `min(struct(id, pos,
+    * span))` AGGREGATE keyed on the 16-byte digest — partial aggregation
+    * collapses a hot digest's occurrences map-side, so a boilerplate
+    * span shared by millions of documents (or the empty-span digest
+    * every short doc shares) costs each mapper one partial instead of
+    * landing every occurrence in one task. (The previous formulation, a
+    * row_number window over the digest, had exactly that single-task
+    * hot-key skew — a window cannot partially aggregate. No keep-join is
+    * needed either: the winners ARE the kept set, because every
+    * non-first occurrence is dropped outright.) Reassembly then sorts
+    * each doc's kept spans with `sort_array(collect_list(struct))` — one
+    * more exchange on the doc id.
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 16): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col("id"), col("pos"))
     val kept = spanRows(df, textCol, idCol, spanWords)
       .withColumn("fp", md5(col("span")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"), col("span"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"),
+        col("w.span").as("span"))
     val rebuilt = kept.groupBy(col("id"))
       .agg(
         array_join(transform(sort_array(collect_list(struct(col("pos"), col("span")))),
@@ -201,20 +208,22 @@ object Cleaning {
   /** Redact emails, TPC-H-shaped phone numbers, and IPv4 literals to
     * typed placeholders; returns (redacted, n_pii). Order matters:
     * emails first (an email's domain can contain digit runs an IP
-    * pattern would nibble), then phones, then IPs. Pure narrow
+    * pattern would nibble), then phones, then IPs. n_pii counts each
+    * pattern on the PROGRESSIVELY-redacted text (emails on the raw text,
+    * phones after email replacement, IPs after phone replacement), so it
+    * equals the number of replacements actually made — a digit run
+    * inside an email is redacted as part of the `<EMAIL>` placeholder
+    * and is not double-counted as a phone/IP hit. Pure narrow
     * projection — regexp_replace/regexp_count are codegen'd; at 100 TB
     * this is scan-speed.
     */
   def redactPii(text: Column): (Column, Column) = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    val redacted = regexp_replace(afterPhone, ipv4Re, "<IP>")
     val n = regexp_count(text, lit(emailRe)) +
-      regexp_count(text, lit(phoneRe)) +
-      regexp_count(text, lit(ipv4Re))
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>"),
-        ipv4Re, "<IP>")
+      regexp_count(afterEmail, lit(phoneRe)) +
+      regexp_count(afterPhone, lit(ipv4Re))
     (redacted, n.cast("long"))
   }
 }

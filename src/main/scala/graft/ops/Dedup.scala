@@ -549,6 +549,14 @@ object Dedup {
     */
   def bloomAdmission(batch: DataFrame, corpus: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // _maybe is reserved (same guard class as rangeJoin's _rb): a batch
+    // already carrying it would make the flag projection ambiguous and
+    // surface as a confusing AnalysisException several operators later
+    require(!batch.columns.contains("_maybe"),
+      "_maybe is a reserved column name in bloomAdmission inputs")
+    // keyCol is interpolated into SQL inside backticks — a backtick in
+    // the name would escape the quoting
+    require(!keyCol.contains("`"), s"keyCol must not contain backticks: $keyCol")
     val spark = batch.sparkSession
     graft.functions.BloomFunctions.register(spark)
     val n = bloomViewCounter.incrementAndGet()

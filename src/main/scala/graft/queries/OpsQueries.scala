@@ -1063,18 +1063,25 @@ object OpsQueries {
                 ELSE '' END
         || ' segment ' || c_mktsegment AS blob
       FROM customer)
+    , st AS (SELECT id, blob,
+        regexp_replace(blob,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+          AS after_email
+      FROM b),
+    st2 AS (SELECT id, blob, after_email,
+        regexp_replace(after_email,
+          '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS after_phone
+      FROM st)
+    -- n_pii = replacements actually made: each pattern is counted on the
+    -- progressively-redacted text, mirroring Cleaning.redactPii
     SELECT id,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(blob,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+      regexp_replace(after_phone, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')
+        AS redacted,
       CAST(len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        + len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
-        + len(regexp_extract_all(blob, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT)
+        + len(regexp_extract_all(after_email, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        + len(regexp_extract_all(after_phone, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT)
         AS n_pii
-    FROM b"""
+    FROM st2"""
 
   // ————————————————————————————— bloom-prefiltered admission (q76)
   // (novelty admission of a batch against a seen-corpus: Spark's own

@@ -40,6 +40,17 @@ class BloomAdmissionSpec extends SparkSpec {
     assert(admitted == batch.select("id").as[Long].collect().toSet)
   }
 
+  test("a batch already carrying _maybe is rejected at entry") {
+    val poisoned = batch.withColumn("_maybe", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomAdmission(poisoned, corpus, "k", 100L)
+    }
+    assert(e.getMessage.contains("_maybe"))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomAdmission(batch, corpus, "k`; drop table x", 100L)
+    }
+  }
+
   test("an undersized filter still yields exact results") {
     // expectedItems far below the corpus cardinality → fpp degrades,
     // more rows take the verify join — the result must not change

@@ -77,6 +77,21 @@ class CleaningSpec extends SparkSpec {
     assert(out(4L) == (("<EMAIL> and <EMAIL>", 2L)))
   }
 
+  test("redactPii counts replacements, not overlapping raw-text matches") {
+    // the local part carries a phone-shaped digit run: it is swallowed by
+    // the <EMAIL> replacement and must NOT also count as a phone; an IP
+    // inside a domain likewise vanishes with the email
+    val in = Seq(
+      (1L, "u12-345-678-9012@x.io"),
+      (2L, "u@10.0.0.1mail.org then 10.0.0.2")
+    ).toDF("id", "t")
+    val (red, n) = Cleaning.redactPii(col("t"))
+    val out = in.select(col("id"), red.as("r"), n.as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("<EMAIL>", 1L)))
+    assert(out(2L) == (("<EMAIL> then <IP>", 2L)))
+  }
+
   test("native repetition stats ≡ HOF reference on real corpus") {
     val d = graft.queries.Tables.documents(spark, sf())
       .select(col("doc_id").as("id"), TextOps.words(col("text")).as("_w"))
