@@ -42,23 +42,31 @@ object ElbParser {
     * used by the reference. Rows with fewer than 29 tokens leave the tail
     * columns null and are rejected downstream (F1).
     */
-  def tokenize(raw: DataFrame): DataFrame = {
+  def tokenize(raw: DataFrame, barrier: Boolean = false): DataFrame = {
     // nullValue is an impossible token: the CSV reader's default ("") would
     // null a legitimately empty quoted 29th field and reject a row the
     // reference's shlex parser keeps — with the sentinel, a null
     // classification_reason means exactly "fewer than 29 tokens" (F1)
     val opts = Map("sep" -> " ", "quote" -> "\"", "escape" -> "\\",
       "mode" -> "PERMISSIVE", "nullValue" -> "\u0000")
-    raw
-      .withColumn("_r", from_csv(col("value"), ElbSchema.raw, opts))
-      .select(col("_r.*"), col("log_source_file"))
+    val parsed = raw.withColumn("_r", from_csv(col("value"), ElbSchema.raw, opts))
+    if (barrier)
+      // pushdown barrier (batch only — monotonically_increasing_id is
+      // disallowed in streaming): the marker is non-deterministic and the
+      // rejection filter in `enrich` references it, so Catalyst can
+      // neither push the filter below this projection (which would
+      // re-inline from_csv into the pushed condition) nor prune the
+      // marker away
+      parsed.withColumn("_once", monotonically_increasing_id())
+        .select(col("_r.*"), col("log_source_file"), col("_once"))
+    else parsed.select(col("_r.*"), col("log_source_file"))
   }
 
   /** Full parse: scan → tokenize → reject → enrich. Output: the 29 raw
     * columns (with `time` refined to a UTC timestamp) + 14 derived columns.
     */
   def parse(spark: SparkSession, paths: Seq[String]): DataFrame =
-    enrich(tokenize(readRaw(spark, paths)))
+    enrich(tokenize(readRaw(spark, paths), barrier = true))
 
   /** The single enrichment projection (P2-P18) + rejection filters (F1, F2). */
   def enrich(tok: DataFrame): DataFrame = {
@@ -81,9 +89,20 @@ object ElbParser {
     // UA string: CSV already unquotes; strip any stray surrounding quotes
     val ua = regexp_replace(col("user_agent"), "^\"+|\"+$", "")
 
+    // with a barrier marker present, the rejection filter references it so
+    // the non-deterministic projection below pins the filter in place —
+    // from_csv then evaluates exactly once, in that projection. The
+    // conjunct must be one the optimizer cannot fold away: isNotNull on
+    // the non-nullable marker folds to TRUE (dropping the reference and
+    // dissolving the barrier), while `>= 0` — always true for
+    // monotonically_increasing_id — survives as a live reference.
+    val reject = col("classification_reason").isNotNull && ts.isNotNull
+    val keep = if (tok.columns.contains("_once"))
+      reject && col("_once") >= 0 else reject
     tok
       // F1: short rows leave the 29th column null; F2: unparseable timestamp
-      .filter(col("classification_reason").isNotNull && ts.isNotNull)
+      .filter(keep)
+      .drop("_once")
       .withColumn("time", ts)
       .withColumns(Map(
         "client_ip" -> substring_index(col("client_ip_port"), ":", 1),

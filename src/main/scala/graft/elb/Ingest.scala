@@ -33,5 +33,6 @@ object Ingest {
 
   /** Parse from a staged landing zone instead of raw `.gz`. */
   def parseStaged(spark: SparkSession, stagedDir: String): DataFrame =
-    ElbParser.enrich(ElbParser.tokenize(spark.read.parquet(stagedDir)))
+    ElbParser.enrich(ElbParser.tokenize(spark.read.parquet(stagedDir),
+      barrier = true))
 }
