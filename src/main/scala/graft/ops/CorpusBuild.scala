@@ -47,6 +47,12 @@ object CorpusBuild {
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
       trainSplit: String = "train", evalSplit: String = "test",
       contamN: Int = 13, contamMaxDocFreq: Int = Int.MaxValue,
+      // decontamination policy: None = any shared n-gram contaminates
+      // (the q71/q72 legacy rule); Some(len) = drop an eval doc only when
+      // its longest contiguous shared stretch reaches `len` WORDS
+      // ([[Dedup.contaminationSpans]].max_shared_len >= len — a
+      // length-thresholded policy, the shape real pipelines use)
+      contamMinSharedLen: Option[Int] = None,
       packBudget: Long = 500, packShards: Int = 8)
 
   def corpus(df: DataFrame, textCol: String, idCol: String,
@@ -60,9 +66,14 @@ object CorpusBuild {
       cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold, cfg.maxBucket)
     val kept = Dedup.dedupedByClusters(exact, idCol, pairs)
     val split = Sampling.hashSplit(kept, idCol, cfg.splits)
-    val contaminated = Dedup.contamination(split, textCol, idCol, "split",
-      cfg.trainSplit, cfg.evalSplit, cfg.contamN, cfg.contamMaxDocFreq)
-      .select(col("id"))
+    val contaminated = (cfg.contamMinSharedLen match {
+      case None => Dedup.contamination(split, textCol, idCol, "split",
+        cfg.trainSplit, cfg.evalSplit, cfg.contamN, cfg.contamMaxDocFreq)
+      case Some(len) => Dedup.contaminationSpans(split, textCol, idCol,
+        "split", cfg.trainSplit, cfg.evalSplit, cfg.contamN,
+        cfg.contamMaxDocFreq)
+        .where(col("max_shared_len") >= len)
+    }).select(col("id"))
     val decont = split
       .join(contaminated, split(idCol) === contaminated("id"), "left_anti")
       .localCheckpoint(true)

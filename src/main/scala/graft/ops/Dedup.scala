@@ -250,6 +250,70 @@ object Dedup {
       .agg(countDistinct(col("e.shingle")).as("n_shared"))
   }
 
+  /** [[contamination]] upgraded from boolean overlap to overlap EXTENT —
+    * the signals real decontamination policies threshold on. Per
+    * contaminated eval doc:
+    *   - `n_hits`: eval n-gram positions whose gram appears anywhere in
+    *     the train split (positional, so a gram repeating inside the
+    *     eval doc counts each occurrence);
+    *   - `max_shared_len`: longest contiguous shared stretch in WORDS —
+    *     a run of `r` consecutive shared positions means every n-window
+    *     of an (n + r − 1)-word span appears in train, the strongest
+    *     contiguity guarantee n-gram evidence supports;
+    *   - `covered_frac`: fraction of the doc's words covered by the
+    *     union of shared n-gram intervals (the GPT-3-style "dirty token"
+    *     fraction) — intervals overlap, so coverage is a sweep
+    *     (`min(n, pos − prev)` per sorted hit), not `Σ run + n − 1`.
+    *
+    * Plan: train grams collapse to a distinct 64-bit digest set; eval
+    * positions semi-join it (never carrying gram text); the per-doc fold
+    * runs over each doc's SORTED hit positions — one exchange of hit
+    * positions only, then a narrow `aggregate` HOF computing run length,
+    * best run, and interval-union coverage in a single pass.
+    * `maxDocFreq` here bounds positional occurrences (a boilerplate gram
+    * repeated inside one giant doc is as hot as one shared across docs).
+    */
+  def contaminationSpans(df: DataFrame, textCol: String, idCol: String,
+      splitCol: String, trainSplit: String, evalSplit: String, n: Int = 13,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams = pruneHotKeys(
+      df.select(col(idCol).as("id"), col(splitCol).as("split"),
+          TextOps.words(col(textCol)).as("_w"))
+        .select(col("id"), col("split"), size(col("_w")).as("n_words"), col("_w"))
+        .where(size(col("_w")) >= n)
+        .select(col("id"), col("split"), col("n_words"),
+          posexplode(transform(sequence(lit(0), size(col("_w")) - n),
+            i => concat_ws(" ", slice(col("_w"), i + 1, lit(n))))))
+        .withColumnRenamed("col", "gram"),
+      "gram", maxDocFreq)
+      .select(col("id"), col("split"), col("n_words"), col("pos"),
+        substring(md5(col("gram")), 1, 16).as("h"))
+    val trainGrams = grams.where(col("split") === trainSplit)
+      .select(col("h")).distinct()
+    val hits = grams.where(col("split") === evalSplit)
+      .join(trainGrams, Seq("h"), "left_semi")
+      .select(col("id"), col("n_words"), col("pos"))
+    val nL = lit(n.toLong)
+    val st0 = struct(lit(0).as("run"), lit(0).as("best"),
+      lit(0L).as("cov"), lit(-1).as("prev"))
+    hits.groupBy(col("id"), col("n_words"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("_a", aggregate(col("ps"), st0, (st, p) => {
+        val prev = st.getField("prev")
+        val run = when(p - prev === 1, st.getField("run") + 1).otherwise(lit(1))
+        val add = when(prev < 0, nL)
+          .otherwise(least(nL, (p - prev).cast("long")))
+        struct(run.as("run"),
+          greatest(st.getField("best"), run).as("best"),
+          (st.getField("cov") + add).as("cov"),
+          p.as("prev"))
+      }))
+      .select(col("id"),
+        size(col("ps")).cast("long").as("n_hits"),
+        (col("_a.best") + lit(n - 1)).cast("long").as("max_shared_len"),
+        (col("_a.cov").cast("double") / col("n_words")).as("covered_frac"))
+  }
+
   /** Shared verification tail of the cross-corpus paths: exact Jaccard
     * between each candidate's batch-side and corpus-side shingle sets.
     */

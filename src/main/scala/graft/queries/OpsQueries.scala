@@ -970,6 +970,55 @@ object OpsQueries {
     GROUP BY 1"""
   }
 
+  // ————————————————————————————— decontamination overlap extent (q87)
+  // (q71 upgraded from boolean to the policy signals real pipelines
+  //  threshold on: positional hit count, longest contiguous shared
+  //  stretch in words (run of consecutive shared 13-gram positions →
+  //  n + run − 1), and the GPT-3-style dirty-token fraction (union of
+  //  shared n-gram intervals / doc words). The oracle re-derives the
+  //  runs via gaps-and-islands and coverage via a lag sweep — exactly
+  //  the engine's sorted-positions fold.)
+  val q87ContaminationSpans: Q = (s, dir) =>
+    Dedup.contaminationSpans(
+      graft.ops.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+      "text", "doc_id", "split", trainSplit = "train", evalSplit = "test",
+      n = 13)
+  val q87Sql: String = {
+    val cc = (0 until 13).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""
+    WITH s AS (SELECT doc_id, text,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS b
+      FROM documents),
+    sp AS (SELECT doc_id, text,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+          AS split
+      FROM s),
+    d AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM sp),
+    idx AS (SELECT doc_id, split, len(w) AS n_words, w,
+              unnest(range(1, len(w) - 11)) AS i FROM d),
+    g AS (SELECT doc_id, split, n_words, i,
+            substr(md5($cc), 1, 16) AS h FROM idx),
+    tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+    ev AS (SELECT doc_id, n_words, i AS pos FROM g
+           WHERE split = 'test' AND h IN (SELECT h FROM tr)),
+    lg AS (SELECT doc_id, n_words, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM ev),
+    runs AS (SELECT doc_id, grp, count(*) AS r FROM lg GROUP BY 1, 2),
+    cov AS (SELECT doc_id, any_value(n_words) AS nw, count(*) AS n_hits,
+              sum(CASE WHEN pp IS NULL THEN 13
+                       ELSE least(13, pos - pp) END) AS covered
+            FROM lg GROUP BY 1),
+    mx AS (SELECT doc_id, max(r) AS best FROM runs GROUP BY 1)
+    SELECT c.doc_id AS id, CAST(c.n_hits AS BIGINT) AS n_hits,
+      CAST(m.best + 12 AS BIGINT) AS max_shared_len,
+      c.covered / CAST(c.nw AS DOUBLE) AS covered_frac
+    FROM cov c JOIN mx m ON m.doc_id = c.doc_id"""
+  }
+
   // ————————————————————————————— span-level exact dedup (q73)
   // (CCNet/C4-paragraph-style sub-document dedup with fixed 8-word
   //  spans: keep each span's first (doc_id, pos) occurrence, reassemble
@@ -1591,7 +1640,8 @@ object OpsQueries {
     "q81_semantic_dedup" -> q81SemanticDedup,
     "q82_unigram_logprob" -> q82UnigramLogprob,
     "q83_packed_windows" -> q83PackedWindows,
-    "q86_clean_corpus" -> q86CleanCorpus)
+    "q86_clean_corpus" -> q86CleanCorpus,
+    "q87_contamination_spans" -> q87ContaminationSpans)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1641,5 +1691,6 @@ object OpsQueries {
     "q81_semantic_dedup" -> q81Sql,
     "q82_unigram_logprob" -> q82Sql,
     "q83_packed_windows" -> q83Sql,
-    "q86_clean_corpus" -> q86Sql)
+    "q86_clean_corpus" -> q86Sql,
+    "q87_contamination_spans" -> q87Sql)
 }

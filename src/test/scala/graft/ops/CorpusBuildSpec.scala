@@ -43,6 +43,31 @@ class CorpusBuildSpec extends SparkSpec {
     assert(kept.count() < exact.count(), "near-dup stage dropped nothing")
   }
 
+  test("length-thresholded decontamination policy follows contaminationSpans") {
+    val lenCfg = cfg.copy(contamMinSharedLen = Some(20))
+    val got = CorpusBuild.corpus(docs, "text", "doc_id", lenCfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expected: identical chain, but only eval docs whose longest shared
+    // stretch reaches 20 words are dropped
+    val clean = TextOps.qualityFilter(docs, "text", cfg.minWords,
+      cfg.maxWords, cfg.minStopwordRatio, cfg.minAlphaRatio, cfg.lang)
+    val exact = Dedup.deduped(clean, "text", "doc_id")
+    val kept = Dedup.dedupedByClusters(exact, "doc_id",
+      Dedup.minhashNearDupPairs(exact, "text", "doc_id", cfg.shingleN,
+        cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold, cfg.maxBucket))
+    val split = Sampling.hashSplit(kept, "doc_id", cfg.splits)
+    val contam = Dedup.contaminationSpans(split, "text", "doc_id", "split",
+      cfg.trainSplit, cfg.evalSplit, cfg.contamN)
+      .where(col("max_shared_len") >= 20)
+    val expected = split.join(contam.select(col("id")),
+      split("doc_id") === col("id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the policy knob must be LESS aggressive than (or equal to) the
+    // any-overlap default: everything the default keeps, it keeps
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet.subsetOf(got))
+  }
+
   test("output is one row per survivor with a valid split") {
     assert(out.count() == out.select("doc_id").distinct().count())
     val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet

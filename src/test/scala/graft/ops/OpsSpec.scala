@@ -367,6 +367,30 @@ class OpsSpec extends SparkSpec {
     assert(hits(10L) >= 1)
   }
 
+  test("contaminationSpans: run length, coverage sweep, hand-computed") {
+    import spark.implicits._
+    // 20 shared words: runs of 8 consecutive shared 13-gram positions
+    val shared = (1 to 20).map(k => s"w$k").mkString(" ")
+    val d = Seq(
+      (1L, "train", s"$shared trailing filler tail"),
+      // eval doc A: the 20-word block verbatim at the start — positions
+      // 0..7 shared (8-run) -> max_shared_len = 8 + 12 = 20; coverage =
+      // union of [0..12]..[7..19] = 20 words of 24 -> 20/24
+      (10L, "test", s"$shared alpha beta gamma delta"),
+      // eval doc B: TWO disjoint copies separated by >13 unshared words
+      // -> two 8-runs, coverage 40 of 60 words
+      (11L, "test", s"$shared ${(1 to 20).map(k => s"z$k").mkString(" ")} $shared"),
+      (12L, "test", "no overlap at all in this clean document of plain words"))
+      .toDF("doc_id", "split", "text")
+    val out = Dedup.contaminationSpans(d, "text", "doc_id", "split",
+      "train", "test", n = 13)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L) == ((8L, 20L, 20.0 / 24)))
+    assert(out(11L) == ((16L, 20L, 40.0 / 60)))
+  }
+
   test("langId picks the profile language on real sentences") {
     import spark.implicits._
     val samples = Seq(
