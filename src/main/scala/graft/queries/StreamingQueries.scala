@@ -65,12 +65,95 @@ object StreamingQueries {
     SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
     FROM documents"""
 
+  // ————————————————————————————— streaming NEAR-dup admission (q88)
+  // (q79's ingest guard upgraded to minhash/LSH similarity: four
+  //  deterministic id-range micro-batches of odd docs flow through
+  //  foreachBatch admission against the band index seeded with the even
+  //  docs (q66's index); each batch's admitted docs extend the index
+  //  before the next batch is checked. The oracle replays the SAME
+  //  prefix order in SQL: the q56 verified-pair relation over all docs,
+  //  then four chained admission CTEs against the growing corpus —
+  //  admission is order-dependent by nature, so prefix-equivalence to
+  //  the batch operator IS the contract. The stream fixture is
+  //  driver-collected (bounded by the <1000 oracle cap); a production
+  //  source replaces the memory harness, not the foreachBatch body.)
+  val q88StreamNearDup: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-stream-neardup").toString
+    val accepted = s"$base/accepted.parquet"
+    val index = s"$base/index.parquet"
+    evens.write.mode("overwrite").parquet(accepted)
+    graft.ops.Dedup.buildNearDupIndex(evens, "text", "doc_id", index)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = (0 until 4).map(k => odd.filter(_._1 / 250 == k).toSeq)
+    graft.streaming.StreamingNearDup
+      .admitInBatches(s, batches, accepted, index, threshold = 0.5)
+      .filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+  }
+  val q88Sql: String = {
+    val adm = (0 until 4).map { k =>
+      s"""adm$k AS (SELECT o.doc_id FROM b$k o WHERE NOT EXISTS (
+         SELECT 1 FROM pairs p JOIN corp$k c
+           ON (p.a = o.doc_id AND p.b = c.doc_id)
+           OR (p.b = o.doc_id AND p.a = c.doc_id))),
+    corp${k + 1} AS (SELECT doc_id FROM corp$k
+                     UNION ALL SELECT doc_id FROM adm$k)"""
+    }.mkString(",\n    ")
+    val batches = (0 until 4).map(k =>
+      s"b$k AS (SELECT doc_id FROM d WHERE doc_id % 2 = 1 AND doc_id // 250 = $k)")
+      .mkString(",\n    ")
+    s"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+                  AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.a, c.b, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS j
+        FROM inter JOIN sizes sa ON sa.doc_id = a
+                   JOIN sizes sb ON sb.doc_id = b)
+      WHERE j >= 0.5),
+    corp0 AS (SELECT doc_id FROM d WHERE doc_id % 2 = 0),
+    $batches,
+    $adm
+    SELECT doc_id FROM (
+      SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+      UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3)"""
+  }
+
   val all: Map[String, Q] = Map(
     "q31_stream_session" -> q31StreamSession,
     "q39_stream_sliding" -> q39StreamSliding,
-    "q79_stream_dedup" -> q79StreamDedup)
+    "q79_stream_dedup" -> q79StreamDedup,
+    "q88_stream_neardup" -> q88StreamNearDup)
   val oracles: Map[String, String] = Map(
     "q31_stream_session" -> q31Sql,
     "q39_stream_sliding" -> q39Sql,
-    "q79_stream_dedup" -> q79Sql)
+    "q79_stream_dedup" -> q79Sql,
+    "q88_stream_neardup" -> q88Sql)
 }

@@ -74,4 +74,41 @@ class StreamingDedupSpec extends SparkSpec {
     // hence the spacer batch between the aging event and the re-ingest.)
     assert(rows.length == 4, s"got ${rows.mkString(";")}")
   }
+
+  test("near-dup admission: admitted docs reject later batches, rejected don't") {
+    val base = java.nio.file.Files.createTempDirectory("sneardup").toString
+    val accepted = s"$base/accepted.parquet"
+    val index = s"$base/index.parquet"
+    // seed corpus: one doc whose near-dups must never admit
+    val seedText = "the quick brown fox jumps over the lazy dog again and again today"
+    val seed = Seq((1000L, seedText)).toDF("doc_id", "text")
+    seed.write.parquet(accepted)
+    graft.ops.Dedup.buildNearDupIndex(seed, "text", "doc_id", index)
+    val freshA = "completely original content about distributed query engines and shuffles"
+    val freshB = "entirely different musings on catalyst optimizer rules and codegen stages"
+    val batches = Seq(
+      Seq( // batch 1
+        1L -> (seedText + " extra"), // near-dup of the SEED -> rejected
+        2L -> freshA,                // novel -> admitted, extends index
+        3L -> (seedText + " more")), // also rejected (seed again)
+      Seq( // batch 2 — the cross-batch assertions
+        10L -> (freshA + " extra"),    // near-dup of batch-1 ADMITTED -> rejected
+        11L -> (seedText + " third"),  // still rejected by the seed
+        12L -> freshB))                // novel -> admitted
+    val admitted = StreamingNearDup.admitInBatches(spark,
+        batches.map(_.map { case (i, t) => (i, t) }), accepted, index,
+        threshold = 0.5)
+      .filter(col("doc_id") =!= 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 12L), s"admitted=$admitted")
+    // the index grew with exactly the admitted docs: a third batch doc
+    // near-dupping a REJECTED doc's novel tail admits (rejected docs do
+    // not extend the index), one near-dupping an ADMITTED doc does not
+    val third = Seq(Seq(20L -> (freshB + " coda"), 21L -> "fresh unrelated words entirely new content stream"))
+    val after = StreamingNearDup.admitInBatches(spark, third, accepted, index,
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!after.contains(20L), "near-dup of an admitted doc must reject")
+    assert(after.contains(21L))
+  }
 }
