@@ -58,6 +58,10 @@ object UaFunctions {
         .when(has(ua, "\\bokhttp"), "okhttp")
         .when(has(ua, "^java/"), "Java")
         .when(has(ua, "go-http-client"), "Go-http-client")
+        // text-mode browsers
+        .when(has(ua, "\\blynx/"), "Lynx")
+        .when(has(ua, "\\bw3m/"), "w3m")
+        .when(has(ua, "^links\\b"), "Links")
         .when(has(ua, "headlesschrome"), "HeadlessChrome")
         .when(has(ua, "phantomjs"), "PhantomJS")
         .when(has(ua, "\\belectron/"), "Electron")
@@ -65,8 +69,15 @@ object UaFunctions {
         .when(has(ua, "\\bfbav/|\\bfban/"), "Facebook")
         .when(has(ua, "\\binstagram[ /]"), "Instagram")
         .when(has(ua, "\\bgsa/"), "Google")
+        .when(has(ua, "\\bsnapchat/"), "Snapchat")
+        .when(has(ua, "twitter for "), "Twitter")
+        .when(has(ua, "\\bline/\\d"), "Line")
         .when(has(ua, "thunderbird/"), "Thunderbird")
         .when(has(ua, "microsoft outlook"), "Outlook")
+        // IE Mobile before every engine rule: WP8.1 "like iPhone" UAs
+        // masquerade with AppleWebKit/Safari tokens that would otherwise
+        // capture them as Safari
+        .when(has(ua, "iemobile"), "IE Mobile")
         // real browsers, most-specific first
         // uap-core groups the mobile variants (EdgA = Android, EdgiOS =
         // iOS) under 'Edge Mobile'; desktop Edg/ and legacy Edge/ are 'Edge'
@@ -75,6 +86,7 @@ object UaFunctions {
         .when(has(ua, "\\bedge?/") && has(ua, "\\bmobile\\b"), "Edge Mobile")
         .when(has(ua, "\\bedge?/"), "Edge")
         .when(has(ua, "opera mini"), "Opera Mini")
+        .when(has(ua, "\\bopt/\\d"), "Opera Touch")
         .when(has(ua, "\\bopr/") && has(ua, "\\bmobile\\b"), "Opera Mobile")
         .when(has(ua, "\\bopr/|\\bopera"), "Opera")
         .when(has(ua, "\\bmiuibrowser/"), "MiuiBrowser")
@@ -84,8 +96,22 @@ object UaFunctions {
         .when(has(ua, "\\bvivaldi/"), "Vivaldi")
         .when(has(ua, "\\bbrave/"), "Brave")
         .when(has(ua, "\\bsilk/"), "Amazon Silk")
+        .when(has(ua, "\\bqqbrowser/|\\bmqqbrowser/"), "QQ Browser")
+        .when(has(ua, "\\bhuaweibrowser/"), "Huawei Browser")
+        .when(has(ua, "\\bwhale/"), "Whale")
+        .when(has(ua, "\\bpuffin/"), "Puffin")
+        .when(has(ua, "\\bmaxthon"), "Maxthon")
+        .when(has(ua, "duckduckgo/"), "DuckDuckGo Mobile")
+        .when(has(ua, "coc_coc_browser/"), "Coc Coc")
+        .when(has(ua, "sailfishbrowser/"), "Sailfish Browser")
+        .when(has(ua, "konqueror"), "Konqueror")
+        .when(has(ua, "epiphany/"), "Epiphany")
         // Android system WebView: "; wv)" marker + Chrome token
         .when(has(ua, ";\\s?wv\\)") && has(ua, "\\bchrome/"), "Chrome Mobile WebView")
+        .when(has(ua, "\\bseamonkey/"), "SeaMonkey")
+        .when(has(ua, "\\bpalemoon/"), "Pale Moon")
+        .when(has(ua, "\\bwaterfox/"), "Waterfox")
+        .when(has(ua, "\\bfocus/\\d"), "Firefox Focus")
         .when(has(ua, "\\bfxios/"), "Firefox iOS")
         .when(has(ua, "\\bfirefox/") && has(ua, "mobile"), "Firefox Mobile")
         .when(has(ua, "\\bfirefox/"), "Firefox")
@@ -93,9 +119,11 @@ object UaFunctions {
         .when(has(ua, "\\bchromium/"), "Chromium")
         .when(has(ua, "\\bchrome/") && has(ua, "\\bmobile\\b"), "Chrome Mobile")
         .when(has(ua, "\\bchrome/"), "Chrome")
+        // BlackBerry before the Safari rules: BB OS/BB10 UAs carry
+        // WebKit + Safari tokens
+        .when(has(ua, "blackberry|\\bbb10\\b"), "BlackBerry WebKit")
         .when(has(ua, "\\bversion/.*\\bmobile/.*safari/"), "Mobile Safari")
         .when(has(ua, "\\bsafari/"), "Safari")
-        .when(has(ua, "iemobile"), "IE Mobile")
         .when(has(ua, "msie |trident/"), "IE")
         .otherwise("Other")
     when(ua.isNull || ua === "" || ua === "-", "Unknown").otherwise(known)
@@ -108,6 +136,9 @@ object UaFunctions {
         // KaiOS before the iOS rule: "KAIOS" contains the substring "ios"
         .when(has(ua, "kaios"), "KaiOS")
         .when(has(ua, "tizen"), "Tizen")
+        // SymbianOS/SymbOS/Series60 spellings all occur in the wild
+        .when(has(ua, "symbianos|symbos|series60"), "Symbian OS")
+        .when(has(ua, "blackberry|\\bbb10\\b"), "BlackBerry OS")
         .when(has(ua, "windows nt|win64|wow64"), "Windows")
         .when(has(ua, "android"), "Android")
         // \b on the bare token: "axios", "BIOS" etc. contain "ios"
@@ -116,6 +147,11 @@ object UaFunctions {
         .when(has(ua, "cros "), "Chrome OS")
         .when(has(ua, "ubuntu"), "Ubuntu")
         .when(has(ua, "fedora"), "Fedora")
+        // LG smart TVs spell it Web0S (zero); both before the Linux rule
+        .when(has(ua, "web0s|\\bwebos\\b"), "webOS")
+        .when(has(ua, "openbsd"), "OpenBSD")
+        .when(has(ua, "netbsd"), "NetBSD")
+        .when(has(ua, "sunos"), "Solaris")
         .when(has(ua, "linux"), "Linux")
         .when(has(ua, "freebsd"), "FreeBSD")
         .otherwise("Other")
