@@ -152,6 +152,49 @@ object Multimodal {
       }
   }
 
+  case class AudioStatsRow(media_id: Long, n_samples: Long, peak: Int,
+      mean: Double, rms: Double)
+
+  /** Real audio DSP over the raw containers: every audio payload is
+    * decoded to its 16-bit PCM samples (`AudioSystem.getAudioInputStream`
+    * consumes the WAV header, so the kernel never hand-parses offsets)
+    * and reduced to per-media signal statistics — sample count, peak
+    * amplitude, mean, RMS. Little-endian signed 16-bit assembly is
+    * explicit (`(hi << 8) | (lo & 0xFF)` with `hi` sign-extended).
+    * Narrow `mapPartitions`, no shuffle; undecodable/empty audio
+    * contributes no row (same quarantine policy as decode). Sums
+    * accumulate in integer space (exact, order-free) and divide once at
+    * the end, so any engine reproduces the same doubles.
+    */
+  def audioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStatsRow] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.content == null || r.content.isEmpty) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.content))
+            try {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var i = 0; var sum = 0L; var sq = 0L; var peak = 0
+              while (i < n) {
+                val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)
+                sum += s; sq += s.toLong * s
+                val a = math.abs(s); if (a > peak) peak = a
+                i += 1
+              }
+              if (n == 0) None
+              else Some(AudioStatsRow(r.media_id, n.toLong, peak,
+                sum.toDouble / n, math.sqrt(sq.toDouble / n)))
+            } finally ais.close()
+          } catch { case NonFatal(_) => None }
+        }
+      }
+  }
+
   /** Deterministic real-media corpus whose decoded metadata is closed-form
     * in `media_id` (so a SQL oracle over the staged bytes can assert what
     * the codec must read):

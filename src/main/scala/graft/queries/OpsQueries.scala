@@ -675,6 +675,32 @@ object OpsQueries {
          + (media_id * 13 + frame_idx * 5) % 256 AS BIGINT) AS px_rgb
     FROM f"""
 
+  // ————————————————————————————— multimodal audio DSP (q89)
+  // (REAL sample decode, not header math: each WAV payload's 16-bit PCM
+  //  samples are read through javax.sound and reduced to count/peak/
+  //  mean/RMS. The fixture's data bytes are closed-form in (media_id,
+  //  byte position), so the oracle re-derives every sample — wrong
+  //  endianness, sign extension, or header offset hash-mismatches.)
+  val q89AudioStats: Q = (s, dir) =>
+    Multimodal.audioStats(s, s.read.parquet(mediaParquet(s))).toDF()
+  private def q89Sql: String = s"""
+    WITH a AS (SELECT media_id, 1 + media_id % 2 AS ch, 100 + media_id % 400 AS n
+               FROM read_parquet('${Multimodal.Fixtures.parquetPath}/*.parquet')
+               WHERE media_type = 'audio' AND media_id % 23 <> 7),
+    k AS (SELECT media_id, unnest(range(0, n * ch)) AS k FROM a),
+    sm AS (SELECT media_id,
+             (media_id + 2 * k) % 251 AS lo,
+             (media_id + 2 * k + 1) % 251 AS hi
+           FROM k),
+    v AS (SELECT media_id,
+            (CASE WHEN hi > 127 THEN hi - 256 ELSE hi END) * 256 + lo AS s
+          FROM sm)
+    SELECT media_id, count(*) AS n_samples,
+      CAST(max(abs(s)) AS INT) AS peak,
+      CAST(sum(s) AS DOUBLE) / count(*) AS mean,
+      sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+    FROM v GROUP BY 1"""
+
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
   //  an already-accepted CORPUS document (even ids)? Band candidates
@@ -1641,7 +1667,8 @@ object OpsQueries {
     "q82_unigram_logprob" -> q82UnigramLogprob,
     "q83_packed_windows" -> q83PackedWindows,
     "q86_clean_corpus" -> q86CleanCorpus,
-    "q87_contamination_spans" -> q87ContaminationSpans)
+    "q87_contamination_spans" -> q87ContaminationSpans,
+    "q89_audio_stats" -> q89AudioStats)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1692,5 +1719,6 @@ object OpsQueries {
     "q82_unigram_logprob" -> q82Sql,
     "q83_packed_windows" -> q83Sql,
     "q86_clean_corpus" -> q86Sql,
-    "q87_contamination_spans" -> q87Sql)
+    "q87_contamination_spans" -> q87Sql,
+    "q89_audio_stats" -> q89Sql)
 }

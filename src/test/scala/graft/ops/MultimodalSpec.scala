@@ -76,6 +76,30 @@ class MultimodalSpec extends SparkSpec {
     assert(JdkCodec.sampleFrames(junk, 5).isEmpty)
   }
 
+  test("audioStats decodes real PCM samples (hand-built WAV, known values)") {
+    import spark.implicits._
+    // 3 mono samples: +1000, -2000, +300 -> peak 2000, mean -233.33...,
+    // rms = sqrt((1000^2 + 2000^2 + 300^2)/3)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = java.nio.ByteBuffer.allocate(6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1000.toShort).putShort((-2000).toShort).putShort(300.toShort)
+      .array()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 3L)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.MediaRow(42L, "audio", bos.toByteArray)).toDS().toDF()
+    val st = Multimodal.audioStats(spark, media).collect().head
+    assert(st.n_samples == 3L && st.peak == 2000)
+    assert(math.abs(st.mean - (1000 - 2000 + 300) / 3.0) < 1e-9)
+    assert(math.abs(st.rms - math.sqrt((1000.0 * 1000 + 2000.0 * 2000 + 300.0 * 300) / 3)) < 1e-9)
+    // corrupt/empty audio contributes no row, never an exception
+    val bad = Seq(Multimodal.MediaRow(7L, "audio", Array[Byte](1, 2, 3))).toDS().toDF()
+    assert(Multimodal.audioStats(spark, bad).count() == 0)
+  }
+
   test("decodeBatched + sampleFrames over the staged corpus (end to end)") {
     import spark.implicits._
     val media = spark.read.parquet(Fixtures.dataset(spark))
