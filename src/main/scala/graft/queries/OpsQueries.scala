@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Cleaning, CorpusBuild, Dedup, Pq, Similarity, TextOps, Multimodal}
+import graft.ops.{Cleaning, CorpusBuild, Dedup, Pq, Similarity, TextOps, Multimodal, Web}
 
 /** Training-data-pipeline operators (dedup family, similarity search, text
   * analysis, multimodal plumbing) as oracle-checked queries over the
@@ -700,6 +700,89 @@ object OpsQueries {
       CAST(sum(s) AS DOUBLE) / count(*) AS mean,
       sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
     FROM v GROUP BY 1"""
+
+  // ————————————————————————————— URL/domain curation (q90)
+  // (the provenance-side controls of a crawl corpus: URL decomposition,
+  //  registrable-domain (eTLD+1) extraction over an embedded multi-part
+  //  suffix set, domain blocklist, and a two-phase salted per-domain
+  //  cap. Both sides synthesize the SAME url string from (doc_id,
+  //  source, lang) — subdomain, public suffix, port, and query shapes
+  //  all vary by doc — then parse it with INDEPENDENT machinery: the
+  //  engine with java.net.URI via `parse_url`, the oracle with DuckDB
+  //  regexes; the cap's exact global rank is one window in the oracle
+  //  vs the engine's two-phase salted form, so phase-exactness is under
+  //  hash check too.)
+  private val q90Blocked = Seq("src5.com", "src1.co.uk", "src7.io")
+
+  private[graft] def webDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id")
+    val sub = element_at(array(lit(""), lit("www."), lit("cdn."), lit("a.b.")),
+      (id % 4).cast("int") + 1)
+    val suffix = element_at(
+      array(lit(".com"), lit(".co.uk"), lit(".io"), lit(".org"), lit(".com.au")),
+      (id % 5).cast("int") + 1)
+    val proto = when(id % 7 === 0, "http").otherwise("https")
+    val port = when(id % 11 === 0, ":8443").otherwise("")
+    val qs = when(id % 3 === 0, concat(lit("?ref="), (id % 9).cast("string")))
+      .otherwise("")
+    d.select(id,
+      concat(proto, lit("://"), sub, col("source"), suffix, port,
+        lit("/"), col("lang"), lit("/"), id.cast("string"), qs).as("url"),
+      col("n_chars"))
+  }
+
+  val q90DomainCap: Q = (s, dir) => {
+    val parts = Web.urlParts(col("url")).map {
+      case ("path", c)  => c.as("url_path")
+      case ("query", c) => c.as("url_query")
+      case (n, c)       => c.as(n)
+    }
+    val df = webDocs(s, dir)
+      .select(col("doc_id") +: col("n_chars") +: parts: _*)
+      .withColumn("domain", Web.registrableDomain(col("host")))
+    Web.domainDocCap(Web.blocklistFilter(df, "domain", q90Blocked), "domain",
+      Seq(col("n_chars").desc, col("doc_id").asc), cap = 3,
+      saltKey = Some(col("doc_id")))
+      .select(col("doc_id"), col("proto"), col("host"), col("port"),
+        col("url_path"), col("url_query"), col("domain"), col("dom_rank"))
+  }
+  val q90Sql: String = s"""
+    WITH w AS (SELECT doc_id,
+        (CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END) || '://'
+        || (['', 'www.', 'cdn.', 'a.b.'])[CAST(doc_id % 4 AS INT) + 1]
+        || source
+        || (['.com', '.co.uk', '.io', '.org', '.com.au'])[CAST(doc_id % 5 AS INT) + 1]
+        || (CASE WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END)
+        || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '?ref=' || CAST(doc_id % 9 AS VARCHAR)
+            ELSE '' END) AS url,
+        n_chars
+      FROM documents),
+    p AS (SELECT doc_id, n_chars,
+        regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        CAST(NULLIF(regexp_extract(url, '^[a-z]+://[^/:?#]*:([0-9]+)', 1), '')
+          AS INT) AS port,
+        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS url_path,
+        NULLIF(regexp_extract(url, '[?](.*)$$', 1), '') AS url_query
+      FROM w),
+    d AS (SELECT *, string_split(host, '.') AS l,
+        l[-2] || '.' || l[-1] AS tail2,
+        CASE WHEN len(l) >= 3
+               AND l[-2] || '.' || l[-1] IN ('co.uk', 'org.uk', 'ac.uk',
+                 'gov.uk', 'com.au', 'net.au', 'co.jp', 'co.in', 'com.br',
+                 'com.cn')
+             THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+             WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+             ELSE host END AS domain
+      FROM p),
+    r AS (SELECT doc_id, proto, host, port, url_path, url_query, domain,
+        CAST(row_number() OVER (PARTITION BY domain
+          ORDER BY n_chars DESC, doc_id) AS INT) AS dom_rank
+      FROM d
+      WHERE domain NOT IN ('src5.com', 'src1.co.uk', 'src7.io'))
+    SELECT * FROM r WHERE dom_rank <= 3"""
 
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
@@ -1668,7 +1751,8 @@ object OpsQueries {
     "q83_packed_windows" -> q83PackedWindows,
     "q86_clean_corpus" -> q86CleanCorpus,
     "q87_contamination_spans" -> q87ContaminationSpans,
-    "q89_audio_stats" -> q89AudioStats)
+    "q89_audio_stats" -> q89AudioStats,
+    "q90_domain_cap" -> q90DomainCap)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1720,5 +1804,6 @@ object OpsQueries {
     "q83_packed_windows" -> q83Sql,
     "q86_clean_corpus" -> q86Sql,
     "q87_contamination_spans" -> q87Sql,
-    "q89_audio_stats" -> q89Sql)
+    "q89_audio_stats" -> q89Sql,
+    "q90_domain_cap" -> q90Sql)
 }
