@@ -189,6 +189,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RepetitionStats].getName,
         RepetitionExpressions.functionName),
       (exprs: Seq[Expression]) => RepetitionStats(exprs(0))),
+    (FunctionIdentifier(NormalizeExpressions.functionName),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        NormalizeExpressions.functionName),
+      NormalizeExpressions.builder _),
     (FunctionIdentifier(BloomFunctions.aggName),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -29,6 +29,22 @@ object Dedup {
     df.join(exactGroups(df, textCol, idCol).select(col("keeper")),
       col(idCol) === col("keeper"), "left_semi")
 
+  /** Exact dedup groups over the UNICODE-canonical fingerprint: NFC
+    * first (native [[graft.functions.UnicodeNormalize]] kernel — the
+    * `isNormalized` fast path makes already-composed text free), then
+    * the same lower/whitespace-collapse/md5 canonicalization as
+    * [[exactGroups]]. On web text this is the difference between a
+    * dedup that works and one that misses every precomposed-vs-
+    * combining accent variant; same plan shape as [[exactGroups]] —
+    * one map-side-combined exchange on a 16-byte digest.
+    */
+  def exactGroupsNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.NormalizeExpressions.register(df.sparkSession)
+    df.groupBy(TextOps.fingerprint(
+        graft.functions.NormalizeExpressions.nfc(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+  }
+
   /** Distinct (id, shingle) rows — shared prefix of the similarity ops.
     * The words array is projected as an attribute BEFORE shingling (see
     * [[TextOps.shinglesFromWords]]: an inline split is re-evaluated per

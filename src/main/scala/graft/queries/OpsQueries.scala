@@ -784,6 +784,34 @@ object OpsQueries {
       WHERE domain NOT IN ('src5.com', 'src1.co.uk', 'src7.io'))
     SELECT * FROM r WHERE dom_rank <= 3"""
 
+  // ————————————————————————————— Unicode-normalized exact dedup (q91)
+  // (exact dedup that is actually exact on web text: NFC via the native
+  //  UnicodeNormalize kernel before the canonical fingerprint, so
+  //  combining-accent vs precomposed variants — and singletons like
+  //  U+2126 OHM vs U+03A9 OMEGA — hash to one group. Both sides decorate
+  //  the corpus with per-doc NFC-sensitive prefixes (combining sequence /
+  //  precomposed / singleton); the oracle normalizes with DuckDB's
+  //  independent utf8proc nfc_normalize — a kernel that skipped or
+  //  mis-ordered normalization (e.g. lower before NFC) hash-mismatches
+  //  every decorated fingerprint.)
+  val q91NormalizedDedup: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val prefix = when(col("doc_id") % 3 === 0, lit("Cafe\u0301 "))
+      .when(col("doc_id") % 3 === 1, lit("Caf\u00e9 "))
+      .otherwise(lit("\u2126 "))
+    Dedup.exactGroupsNormalized(
+      d.withColumn("text", concat(prefix, col("text"))), "text", "doc_id")
+  }
+  val q91Sql: String = """
+    WITH t AS (SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769) || ' '
+              WHEN doc_id % 3 = 1 THEN 'Caf' || chr(233) || ' '
+              ELSE chr(8486) || ' ' END) || text AS text
+      FROM documents)
+    SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp,
+      min(doc_id) AS keeper, count(*) AS group_size
+    FROM t GROUP BY 1"""
+
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
   //  an already-accepted CORPUS document (even ids)? Band candidates
@@ -1752,7 +1780,8 @@ object OpsQueries {
     "q86_clean_corpus" -> q86CleanCorpus,
     "q87_contamination_spans" -> q87ContaminationSpans,
     "q89_audio_stats" -> q89AudioStats,
-    "q90_domain_cap" -> q90DomainCap)
+    "q90_domain_cap" -> q90DomainCap,
+    "q91_normalized_dedup" -> q91NormalizedDedup)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1805,5 +1834,6 @@ object OpsQueries {
     "q86_clean_corpus" -> q86Sql,
     "q87_contamination_spans" -> q87Sql,
     "q89_audio_stats" -> q89Sql,
-    "q90_domain_cap" -> q90Sql)
+    "q90_domain_cap" -> q90Sql,
+    "q91_normalized_dedup" -> q91Sql)
 }
