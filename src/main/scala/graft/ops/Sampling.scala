@@ -150,6 +150,32 @@ object Sampling {
           s => s.getField("_ids"))).as("window_ids"))
   }
 
+  /** RAG-style overlapping chunking: fixed `chunk`-token windows every
+    * `stride` tokens (stride < chunk ⇒ overlap), per document. Emits
+    * (id, chunk_id, start_token, chunk_text, n_tokens); the final
+    * chunk of a document may be short (standard retrieval-chunker
+    * semantics — a sub-stride tail is still retrievable context).
+    * Pure narrow generator over the scan: the words array is projected
+    * once (the no-CSE-inside-lambdas rule), `explode(sequence(...))`
+    * fans out starts, `slice` re-reads the in-row array — no shuffle,
+    * no state; at 100 TB this runs at scan speed and the output
+    * inherits the input's partitioning.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk >= 1 && stride >= 1, "chunk and stride must be >= 1")
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .select(col("id"), col("_w"),
+        explode(sequence(lit(0), size(col("_w")) - 1, lit(stride))).as("_start"))
+      .select(col("id"),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        col("_start").cast("long").as("start_token"),
+        concat_ws(" ", slice(col("_w"), col("_start") + 1, lit(chunk)))
+          .as("chunk_text"),
+        least(size(col("_w")) - col("_start"), lit(chunk)).cast("long")
+          .as("n_tokens"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, numShards: Int = 8): DataFrame = {
     require(budget > 0 && numShards > 0)

@@ -812,6 +812,23 @@ object OpsQueries {
       min(doc_id) AS keeper, count(*) AS group_size
     FROM t GROUP BY 1"""
 
+  // ————————————————————————————— RAG-style overlapping chunking (q92)
+  // (fixed 32-token windows every 24 tokens — 25% overlap — per doc;
+  //  narrow generator, no shuffle. The oracle re-derives start fan-out,
+  //  slicing, and the short-tail rule with DuckDB list machinery.)
+  val q92ChunkDocs: Q = (s, dir) =>
+    graft.ops.Sampling.chunkDocuments(
+      Tables.documents(s, dir), "text", "doc_id", chunk = 32, stride = 24)
+  val q92Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    st AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM d)
+    SELECT doc_id AS id,
+      CAST(start // 24 AS BIGINT) AS chunk_id,
+      CAST(start AS BIGINT) AS start_token,
+      array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk_text,
+      CAST(least(len(w) - start, 32) AS BIGINT) AS n_tokens
+    FROM st"""
+
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
   //  an already-accepted CORPUS document (even ids)? Band candidates
@@ -1781,7 +1798,8 @@ object OpsQueries {
     "q87_contamination_spans" -> q87ContaminationSpans,
     "q89_audio_stats" -> q89AudioStats,
     "q90_domain_cap" -> q90DomainCap,
-    "q91_normalized_dedup" -> q91NormalizedDedup)
+    "q91_normalized_dedup" -> q91NormalizedDedup,
+    "q92_chunk_docs" -> q92ChunkDocs)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1835,5 +1853,6 @@ object OpsQueries {
     "q87_contamination_spans" -> q87Sql,
     "q89_audio_stats" -> q89Sql,
     "q90_domain_cap" -> q90Sql,
-    "q91_normalized_dedup" -> q91Sql)
+    "q91_normalized_dedup" -> q91Sql,
+    "q92_chunk_docs" -> q92Sql)
 }

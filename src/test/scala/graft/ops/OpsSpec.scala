@@ -456,4 +456,24 @@ class OpsSpec extends SparkSpec {
     assert(out(1L)._2 == 3L && out(3L)._2 == 2L)
     assert(out(2L)._1 > out(1L)._1 && out(1L)._1 > out(3L)._1)
   }
+
+  test("chunkDocuments: stride starts, overlap, short tail, full coverage") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "solo")).toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(df, "text", "doc_id", chunk = 4, stride = 3)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val c1 = out(1L)
+    // starts 0,3,6,9 -> chunk_ids 0..3; last chunk is the 1-token tail
+    assert(c1.map(_._3).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(c1.map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(c1.map(_._5).toSeq == Seq(4L, 4L, 4L, 1L))
+    // every token index is covered by at least one chunk
+    val covered = c1.flatMap(c => c._3 until (c._3 + c._5)).toSet
+    assert(covered == (0L until 10L).toSet)
+    // a doc shorter than one chunk yields exactly its own single chunk
+    assert(out(2L).toSeq == Seq((2L, 0L, 0L, "solo", 1L)))
+  }
 }
