@@ -111,6 +111,54 @@ object TextOps {
     lang.fold(base)(l => base.where(langId(col(textCol)) === l))
   }
 
+  /** Deterministic hashed-token weight table for [[linearQualityModel]]:
+    * 64 weights in [-1, 1], a closed-form lattice so engine and oracle
+    * share it as literals (a trained model would broadcast its real
+    * table; identical plan, different constants).
+    */
+  val defaultTokenWeights: Seq[Double] =
+    (0 until 64).map(i => (((i * 37) % 21) - 10) / 10.0)
+
+  /** Mean hashed-token weight of a words ARRAY attribute (project it
+    * first — the no-CSE-inside-lambdas rule): fastText's averaged
+    * token-embedding layer with a 1-d embedding. md5-bucket hashing is
+    * the same lattice as [[Sampling.hashBucket64k]], so the bucket of a
+    * token is partitioning- and engine-independent.
+    */
+  def hashedTokenScore(w: Column,
+      weights: Seq[Double] = defaultTokenWeights): Column = {
+    val arr = array(weights.map(lit): _*)
+    val n = weights.size
+    aggregate(w, lit(0.0), (acc, t) =>
+      acc + element_at(arr,
+        (conv(substring(md5(t), 1, 4), 16, 10).cast("int") % n) + 1)) / size(w)
+  }
+
+  /** fastText-style linear quality classifier, scored in-plan: z =
+    * bias + w·(alpha_ratio, stopword_ratio, punct_ratio, n_words/100)
+    * + mean hashed-token weight; emits sigmoid(z) rounded to 6 d.p.
+    * (cross-engine float hygiene) and the exact decision z > 0. One
+    * narrow projection — model scoring at corpus scale is a scan, not
+    * a shuffle; the addition ORDER below is the cross-engine contract
+    * (IEEE doubles make same-order sums bit-identical).
+    */
+  def linearQualityModel(df: DataFrame, textCol: String, idCol: String,
+      bias: Double = -1.0, wAlpha: Double = 2.0, wStop: Double = 3.0,
+      wPunct: Double = -4.0, wLen: Double = 0.5): DataFrame = {
+    val m = qualityMetrics(col(textCol)).toMap
+    val z = col("_tok") +
+      (lit(bias) + lit(wAlpha) * col("_alpha") + lit(wStop) * col("_stop") +
+        lit(wPunct) * col("_punct") + lit(wLen) * (col("_nw") / 100.0))
+    df.select(col(idCol), words(col(textCol)).as("_w"),
+        m("alpha_ratio").as("_alpha"), m("stopword_ratio").as("_stop"),
+        m("punct_ratio").as("_punct"), m("n_words").as("_nw"))
+      .select(col(idCol), hashedTokenScore(col("_w")).as("_tok"),
+        col("_alpha"), col("_stop"), col("_punct"), col("_nw"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (z > 0).as("keep"))
+  }
+
   /** Vocabulary build: tokens with total count ≥ `minCount`, ranked by
     * (count desc, token) into contiguous ids, truncated to `topK`. The
     * global ranking window runs over the AGGREGATED vocabulary (≤

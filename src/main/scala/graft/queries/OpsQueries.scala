@@ -829,6 +829,42 @@ object OpsQueries {
       CAST(least(len(w) - start, 32) AS BIGINT) AS n_tokens
     FROM st"""
 
+  // ————————————————————————————— linear quality model scoring (q93)
+  // (fastText-shaped classifier scored in-plan: quality-feature linear
+  //  term + mean hashed-token weight over the md5 lattice, sigmoid
+  //  rounded 6 d.p., exact z>0 decision. The oracle re-derives every
+  //  feature, the 64-entry weight lookup per token, and the SAME
+  //  addition order — IEEE doubles make same-order sums bit-identical,
+  //  so only the sigmoid needs the rounding guard.)
+  val q93QualityModel: Q = (s, dir) =>
+    TextOps.linearQualityModel(Tables.documents(s, dir), "text", "doc_id")
+  val q93Sql: String = {
+    val weights = TextOps.defaultTokenWeights.mkString("[", ", ", "]")
+    s"""
+    WITH d AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w
+               FROM documents),
+    m AS (SELECT doc_id, w,
+        length(regexp_replace(t, '[^a-z]', '', 'g'))
+          / CAST(length(t) AS DOUBLE) AS alpha_ratio,
+        length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+          / CAST(length(t) AS DOUBLE) AS punct_ratio,
+        len(regexp_extract_all(t, '\\b(the|and|of|to|a|in|is|that)\\b'))
+          / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+        CAST(len(w) AS BIGINT) AS n_words
+      FROM d),
+    tk AS (SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, n_words,
+        list_sum(list_transform(w, x ->
+          ($weights)[CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) % 64 + 1]))
+          / len(w) AS tok
+      FROM m),
+    z AS (SELECT doc_id,
+        tok + (-1.0 + 2.0 * alpha_ratio + 3.0 * stopword_ratio
+               + -4.0 * punct_ratio + 0.5 * (n_words / 100.0)) AS zv
+      FROM tk)
+    SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS score, zv > 0 AS keep
+    FROM z"""
+  }
+
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
   //  an already-accepted CORPUS document (even ids)? Band candidates
@@ -1799,7 +1835,8 @@ object OpsQueries {
     "q89_audio_stats" -> q89AudioStats,
     "q90_domain_cap" -> q90DomainCap,
     "q91_normalized_dedup" -> q91NormalizedDedup,
-    "q92_chunk_docs" -> q92ChunkDocs)
+    "q92_chunk_docs" -> q92ChunkDocs,
+    "q93_quality_model" -> q93QualityModel)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1854,5 +1891,6 @@ object OpsQueries {
     "q89_audio_stats" -> q89Sql,
     "q90_domain_cap" -> q90Sql,
     "q91_normalized_dedup" -> q91Sql,
-    "q92_chunk_docs" -> q92Sql)
+    "q92_chunk_docs" -> q92Sql,
+    "q93_quality_model" -> q93Sql)
 }

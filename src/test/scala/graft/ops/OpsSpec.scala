@@ -476,4 +476,33 @@ class OpsSpec extends SparkSpec {
     // a doc shorter than one chunk yields exactly its own single chunk
     assert(out(2L).toSeq == Seq((2L, 0L, 0L, "solo", 1L)))
   }
+
+  test("linearQualityModel: hand-computed score, decision, prose > junk") {
+    import spark.implicits._
+    val prose = "the cat and the dog of the house is that one in a tree"
+    val junk = "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"
+    val df = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
+    val out = TextOps.linearQualityModel(df, "text", "doc_id")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // hand-compute doc 1 with the same closed forms
+    def bucket(tok: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.substring(0, 4), 16) % 64).toInt
+    }
+    val w = prose.split(" ")
+    val tok = w.map(t => TextOps.defaultTokenWeights(bucket(t))).foldLeft(0.0)(_ + _) / w.length
+    val t = prose.toLowerCase
+    val alpha = t.count(c => c >= 'a' && c <= 'z').toDouble / t.length
+    val punct = t.count(c => !(c >= 'a' && c <= 'z') && !(c >= '0' && c <= '9') && c != ' ').toDouble / t.length
+    val stops = Set("the", "and", "of", "to", "a", "in", "is", "that")
+    val stop = w.count(stops).toDouble / w.length
+    val z = tok + (-1.0 + 2.0 * alpha + 3.0 * stop + -4.0 * punct + 0.5 * (w.length / 100.0))
+    val want = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._1 - want) < 1e-9 && out(1L)._2 == (z > 0))
+    // stopword-rich prose clears the bar; pure punctuation does not
+    assert(out(1L)._2 && !out(2L)._2 && out(1L)._1 > out(2L)._1)
+  }
 }
