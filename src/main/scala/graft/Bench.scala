@@ -58,26 +58,28 @@ object Bench {
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     }
 
-    // local-iteration filter (substring match); the driver sets nothing,
-    // so its runs always cover every query
+    // local-iteration filter (comma-separated substrings, any-match);
+    // the driver sets nothing, so its runs always cover every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def selected(n: String): Boolean = only.forall(_.exists(n.contains))
 
     // warm-up: JVM + codegen + parquet footer caches for the TPC-H-ish and
     // events read paths, plus the one-time synthetic ELB corpus generation
     // (driver-side, would otherwise be billed to q18's first run).
     // q55's warm-up covers the one-time zstd landing-zone staging write.
     // A filtered local run skips warm-ups outside the filter (the ELB
-    // corpus generation alone is minutes at sf1) and warms the first
-    // filtered query instead.
+    // corpus generation alone is minutes at sf1) and instead warms the
+    // first match of each filter term that no warm-up covers.
     val warmups = Seq("q03_revenue_by_nation", "q01_hourly_agg",
       "q18_elb_pipeline", "q55_elb_staged")
-    warmups.filter(n => only.forall(n.contains)).foreach(once)
-    if (only.exists(f => !warmups.exists(_.contains(f))))
-      SparkEntry.queries.keys.toSeq.sorted.find(n => only.forall(n.contains))
-        .foreach(once)
+    warmups.filter(selected).foreach(once)
+    only.foreach(_.filterNot(f => warmups.exists(_.contains(f))).foreach { f =>
+      SparkEntry.queries.keys.toSeq.sorted.find(_.contains(f)).foreach(once)
+    })
 
     val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(n.contains))
+      .filter(selected)
       .map(n => n -> exec(n))
     def obj(f: Seq[Double] => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
