@@ -150,6 +150,39 @@ object Sampling {
           s => s.getField("_ids"))).as("window_ids"))
   }
 
+  /** Temperature-based mixture sampling (the √-count data-mixing rule):
+    * group g with c_g documents gets sampling weight c_g^α, and a keep
+    * rate of min(1, target·w_g / Σw / c_g) — α < 1 flattens the
+    * mixture toward rare groups, the standard multi-source/multi-
+    * lingual rebalance. Keep decisions ride the md5 lattice
+    * ([[hashBucket64k]]) — deterministic under any partitioning.
+    *
+    * α is fixed at 0.5 so the weight is `sqrt` — an IEEE
+    * correctly-rounded op, bit-identical on every engine, unlike
+    * `pow`'s libm freedom; Σw is folded DRIVER-side over the
+    * group-name-sorted weights (group cardinality = mixture-source
+    * cardinality, inherently tiny) so the summation ORDER is part of
+    * the contract — an engine-order float sum at a keep-rate boundary
+    * could flip a row. Rates broadcast back as literals on a tiny
+    * join; the corpus itself sees one narrow filter.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_c"))
+      .orderBy(col(groupCol))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    val sumW = counts.map { case (_, c) => math.sqrt(c.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val rates = counts.map { case (g, c) =>
+      (g, c, math.min(1.0, targetTotal * math.sqrt(c.toDouble) / sumW / c))
+    }.toSeq
+    val rateDf = broadcast(
+      df.sparkSession.createDataFrame(rates).toDF(groupCol, "_c", "_rate"))
+    df.join(rateDf.select(col(groupCol), col("_rate")), groupCol)
+      .where(hashBucket64k(col(idCol)) < col("_rate") * 65536)
+      .select(col(idCol), col(groupCol), round(col("_rate"), 6).as("rate"))
+  }
+
   /** RAG-style overlapping chunking: fixed `chunk`-token windows every
     * `stride` tokens (stride < chunk ⇒ overlap), per document. Emits
     * (id, chunk_id, start_token, chunk_text, n_tokens); the final

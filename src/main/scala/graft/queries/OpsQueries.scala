@@ -865,6 +865,74 @@ object OpsQueries {
     FROM z"""
   }
 
+  // ————————————————————————————— corpus report card (q94)
+  // (the one-table health summary a curation run publishes per source:
+  //  volume, token mass, exact-dup load, model pass rate, mean score.
+  //  The oracle re-derives the whole composition — fingerprints, dup
+  //  attribution, the q93 model chain, and the grouped rollup.)
+  val q94CorpusReport: Q = (s, dir) =>
+    graft.ops.Reporting.corpusReport(Tables.documents(s, dir), "text", "doc_id", "source")
+  val q94Sql: String = {
+    val weights = TextOps.defaultTokenWeights.mkString("[", ", ", "]")
+    s"""
+    WITH d AS (SELECT doc_id, source, lower(text) AS t,
+        string_split(lower(text), ' ') AS w FROM documents),
+    f AS (SELECT doc_id, source,
+        md5(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS fp,
+        CAST(len(w) AS BIGINT) AS n_tok
+      FROM d),
+    g AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1),
+    m AS (SELECT doc_id, w,
+        length(regexp_replace(t, '[^a-z]', '', 'g'))
+          / CAST(length(t) AS DOUBLE) AS alpha_ratio,
+        length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+          / CAST(length(t) AS DOUBLE) AS punct_ratio,
+        len(regexp_extract_all(t, '\\b(the|and|of|to|a|in|is|that)\\b'))
+          / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+        CAST(len(w) AS BIGINT) AS n_words
+      FROM d),
+    tk AS (SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio, n_words,
+        list_sum(list_transform(w, x ->
+          ($weights)[CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) % 64 + 1]))
+          / len(w) AS tok
+      FROM m),
+    z AS (SELECT doc_id,
+        tok + (-1.0 + 2.0 * alpha_ratio + 3.0 * stopword_ratio
+               + -4.0 * punct_ratio + 0.5 * (n_words / 100.0)) AS zv
+      FROM tk),
+    sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS score,
+        zv > 0 AS keep FROM z)
+    SELECT f.source, count(*) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      count(*) FILTER (f.doc_id <> g.keeper) AS n_dups,
+      count(*) FILTER (sc.keep) AS n_keep,
+      round(avg(sc.score), 6) AS mean_score
+    FROM f JOIN g USING (fp) JOIN sc USING (doc_id)
+    GROUP BY 1"""
+  }
+
+  // ————————————————————————————— temperature mixture sampling (q95)
+  // (the √-count data-mixing rule: group weight c^0.5, keep rate
+  //  min(1, target·w/Σw/c), md5-lattice keeps. sqrt because IEEE
+  //  correctly-rounds it on every engine — pow has libm freedom — and
+  //  Σw folds in group-name order on BOTH sides (driver-side here,
+  //  ordered list_sum there): summation order is part of the contract
+  //  when the sum feeds a keep-rate boundary compare.)
+  val q95TemperatureMix: Q = (s, dir) =>
+    graft.ops.Sampling.temperatureSample(
+      Tables.documents(s, dir), "doc_id", "source", targetTotal = 300)
+  val q95Sql: String = """
+    WITH c AS (SELECT source AS g, count(*) AS c FROM documents GROUP BY 1),
+    s AS (SELECT list_sum(list(sqrt(CAST(c AS DOUBLE)) ORDER BY g)) AS sumw
+          FROM c),
+    r AS (SELECT g, least(1.0,
+            300 * sqrt(CAST(c AS DOUBLE)) / (SELECT sumw FROM s) / c) AS rate
+          FROM c)
+    SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+    FROM documents d JOIN r ON r.g = d.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          < r.rate * 65536"""
+
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
   //  an already-accepted CORPUS document (even ids)? Band candidates
@@ -1836,7 +1904,9 @@ object OpsQueries {
     "q90_domain_cap" -> q90DomainCap,
     "q91_normalized_dedup" -> q91NormalizedDedup,
     "q92_chunk_docs" -> q92ChunkDocs,
-    "q93_quality_model" -> q93QualityModel)
+    "q93_quality_model" -> q93QualityModel,
+    "q94_corpus_report" -> q94CorpusReport,
+    "q95_temperature_mix" -> q95TemperatureMix)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1892,5 +1962,7 @@ object OpsQueries {
     "q90_domain_cap" -> q90Sql,
     "q91_normalized_dedup" -> q91Sql,
     "q92_chunk_docs" -> q92Sql,
-    "q93_quality_model" -> q93Sql)
+    "q93_quality_model" -> q93Sql,
+    "q94_corpus_report" -> q94Sql,
+    "q95_temperature_mix" -> q95Sql)
 }

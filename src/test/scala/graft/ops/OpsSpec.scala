@@ -505,4 +505,44 @@ class OpsSpec extends SparkSpec {
     // stopword-rich prose clears the bar; pure punctuation does not
     assert(out(1L)._2 && !out(2L)._2 && out(1L)._1 > out(2L)._1)
   }
+
+  test("temperatureSample flattens: rare group kept whole, hot group thinned") {
+    import spark.implicits._
+    // 900 docs in "hot", 16 in "rare": sqrt weights 30 vs 4
+    val df = ((0 until 900).map(i => (i.toLong, "hot")) ++
+      (1000 until 1016).map(i => (i.toLong, "rare"))).toDF("doc_id", "src")
+    val out = Sampling.temperatureSample(df, "doc_id", "src", targetTotal = 200)
+      .as[(Long, String, Double)].collect()
+    val byG = out.groupBy(_._2)
+    // rare rate = min(1, 200*4/34/16) = min(1, 1.47) -> clamps: all 16 kept
+    assert(byG("rare").length == 16 && byG("rare").head._3 == 1.0)
+    // hot rate = 200*30/34/900 ≈ 0.196 — thinned hard, NOT proportional
+    // (proportional would keep ~196 of hot's 900 and ~3.5 of rare)
+    val hotRate = 200.0 * math.sqrt(900.0) / (math.sqrt(900.0) + math.sqrt(16.0)) / 900.0
+    assert(math.abs(byG("hot").head._3 -
+      BigDecimal(hotRate).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val kept = byG("hot").length
+    assert(kept > 120 && kept < 240) // md5-lattice keep near rate*900 ≈ 176
+    // deterministic under repartition
+    val out2 = Sampling.temperatureSample(df.repartition(7), "doc_id", "src", 200)
+      .as[(Long, String, Double)].collect()
+    assert(out2.map(r => (r._1, r._2)).toSet == out.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("corpusReport: hand-computed dup/keep/token counts per group") {
+    import spark.implicits._
+    val prose = "the cat and the dog of the house is that one in a tree"
+    val df = Seq(
+      (1L, "a", prose),
+      (2L, "a", prose),            // exact dup of 1 (keeper=1)
+      (3L, "a", "@@@ ### !!!"),    // junk: keep=false
+      (4L, "b", prose + " extra")).toDF("doc_id", "src", "text")
+    val out = Reporting.corpusReport(df, "text", "doc_id", "src")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = out("a")
+    assert(a._2 == 3 && a._3 == 14 + 14 + 3 && a._4 == 1) // one non-keeper dup
+    assert(a._5 == 2) // the two prose docs pass, junk fails
+    assert(out("b")._2 == 1 && out("b")._4 == 0 && out("b")._5 == 1)
+  }
 }
