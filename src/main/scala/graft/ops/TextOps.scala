@@ -111,6 +111,31 @@ object TextOps {
     lang.fold(base)(l => base.where(langId(col(textCol)) === l))
   }
 
+  /** Corpus heavy hitters via Spark's native `approx_top_k` sketch
+    * (DataSketches frequent-items): the 100 TB-shape answer to "what
+    * are the most common tokens" — the sketch merges map-side, so the
+    * exchange carries one bounded sketch per partition instead of the
+    * token histogram, and NO token-keyed shuffle happens at all.
+    * `sketchK`/`maxTracked` are sized ABOVE the tracked-vocabulary
+    * bound, where the sketch is exact (the regime the oracle checks);
+    * at an unbounded true-scale vocabulary the same plan returns
+    * counts within the sketch's documented error — callers pick
+    * `maxTracked` for their accuracy budget. The final deterministic
+    * (count desc, token) re-rank runs over ≤ `sketchK` rows — a
+    * bounded single-partition sort, like the vocabulary ranking.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, topK: Int,
+      sketchK: Int = 64, maxTracked: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(words(col(textCol))).as("token"))
+      .agg(expr(s"approx_top_k(token, $sketchK, $maxTracked)").as("_tk"))
+      .select(explode(col("_tk")).as("_e"))
+      .select(col("_e.item").as("token"), col("_e.count").as("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .where(col("rank") <= topK)
+  }
+
   /** Deterministic hashed-token weight table for [[linearQualityModel]]:
     * 64 weights in [-1, 1], a closed-form lattice so engine and oracle
     * share it as literals (a trained model would broadcast its real

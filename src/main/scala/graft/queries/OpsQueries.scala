@@ -933,6 +933,23 @@ object OpsQueries {
     WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
           < r.rate * 65536"""
 
+  // ————————————————————————————— token heavy hitters (q96)
+  // (Spark's native approx_top_k frequent-items sketch — map-side
+  //  sketch merge, zero token-keyed shuffle — run in its exact regime
+  //  (tracked capacity above the corpus vocabulary), deterministically
+  //  re-ranked (count desc, token). The oracle is the exact groupBy
+  //  histogram: any sketch undercount would hash-mismatch.)
+  val q96HeavyHitters: Q = (s, dir) =>
+    TextOps.heavyHitters(Tables.documents(s, dir), "text", topK = 10)
+  val q96Sql: String = """
+    WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+               FROM documents),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    r AS (SELECT token, n,
+        CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+      FROM c)
+    SELECT token, n, rank FROM r WHERE rank <= 10"""
+
   // ————————————————————————————— cross-corpus near-dup pairs
   // (the ingest question: which BATCH documents (odd ids) near-duplicate
   //  an already-accepted CORPUS document (even ids)? Band candidates
@@ -1906,7 +1923,8 @@ object OpsQueries {
     "q92_chunk_docs" -> q92ChunkDocs,
     "q93_quality_model" -> q93QualityModel,
     "q94_corpus_report" -> q94CorpusReport,
-    "q95_temperature_mix" -> q95TemperatureMix)
+    "q95_temperature_mix" -> q95TemperatureMix,
+    "q96_heavy_hitters" -> q96HeavyHitters)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1964,5 +1982,6 @@ object OpsQueries {
     "q92_chunk_docs" -> q92Sql,
     "q93_quality_model" -> q93Sql,
     "q94_corpus_report" -> q94Sql,
-    "q95_temperature_mix" -> q95Sql)
+    "q95_temperature_mix" -> q95Sql,
+    "q96_heavy_hitters" -> q96Sql)
 }

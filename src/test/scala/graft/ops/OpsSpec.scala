@@ -545,4 +545,13 @@ class OpsSpec extends SparkSpec {
     assert(a._5 == 2) // the two prose docs pass, junk fails
     assert(out("b")._2 == 1 && out("b")._4 == 0 && out("b")._5 == 1)
   }
+
+  test("heavyHitters: exact counts in the tracked regime, tie-broken rank") {
+    import spark.implicits._
+    // z appears 5x, y 3x, x 3x (tie with y), w 1x — across partitions
+    val docs = Seq("z z y x", "z y x w", "z z y x").toDF("text").repartition(3)
+    val out = TextOps.heavyHitters(docs, "text", topK = 3)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(("z", 5L, 1), ("x", 3L, 2), ("y", 3L, 3)))
+  }
 }
