@@ -129,6 +129,21 @@ object ElbQueries {
       featuredFrom(s, rows, graft.elb.Ingest.parseStaged(s, zstdPath(rows))))
   }
 
+  // —————————————————————————————————— DataSource V2 scan variant
+  // (the same pipeline through `spark.read.format("elb")` — the custom
+  //  V2 source whose partition readers tokenize gz lines directly and
+  //  prune columns at the reader (ElbSourceSpec). Same oracle as q18:
+  //  the source's quoting/null/path semantics sit under the hash gate
+  //  end-to-end. No pushdown barrier needed — there is no from_csv to
+  //  protect; the reader IS the single evaluation.)
+  val q97ElbV2: Q = (s, dir) => {
+    val rows = rowsFor(dir)
+    val glob = SyntheticElb.dataset(rows)
+    stageRawLines(s, rows)
+    pipelineSelect(featuredFrom(s, rows,
+      graft.elb.ElbParser.enrich(s.read.format("elb").load(glob))))
+  }
+
   /** The hourly rollup (A1) over the synthetic pipeline output. Group keys
     * widened to long for the oracle compare (DuckDB date parts are BIGINT);
     * the engine's narrow casts stay inside [[Features]].
@@ -314,11 +329,13 @@ object ElbQueries {
     "q18_elb_pipeline" -> q18ElbPipeline,
     "q32_elb_hourly_rollup" -> q32ElbHourlyRollup,
     "q45_elb_stream" -> q45ElbStream,
-    "q55_elb_staged" -> q55ElbStaged)
+    "q55_elb_staged" -> q55ElbStaged,
+    "q97_elb_v2" -> q97ElbV2)
 
   val oracles: Map[String, String] = Map(
     "q18_elb_pipeline" -> q18Sql,
     "q32_elb_hourly_rollup" -> q32Sql,
     "q45_elb_stream" -> q45Sql,
-    "q55_elb_staged" -> q18Sql)
+    "q55_elb_staged" -> q18Sql,
+    "q97_elb_v2" -> q18Sql)
 }

@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, ObjectInputStream, ObjectOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.elb.ElbSchema
+
+/** DataSource V2 for ELB/ALB access logs: `spark.read.format("elb")
+  * .load(glob)` scans `.gz` (or plain) log files and emits the 29
+  * positional raw fields plus `log_source_file` — the same frame as
+  * `ElbParser.readRaw → tokenize` (ElbSourceSpec pins byte equality,
+  * edge lines included), but as a first-class source:
+  *
+  *  - **Column pruning reaches the reader**: `SupportsPushDownRequiredColumns`
+  *    hands the pruned schema to each partition reader, which
+  *    materializes ONLY the requested fields from each line (the
+  *    tokenizer still scans the line once — it must find separators —
+  *    but per-field string allocation and row width drop to the
+  *    projection, and `ReadSchema` in the plan shows the truth).
+  *  - **One partition per file**, the correct split for gzip members
+  *    (reference behavior: whole-file streaming; the splittable path
+  *    at scale is the q55 zstd landing zone, `elb/Ingest.scala`).
+  *
+  * The line tokenizer reproduces Spark's `from_csv` quoting semantics
+  * for `sep=" " quote='"' escape='\'` EXACTLY — including the dark
+  * corners, each pinned by probing the real parser: unquoted fields
+  * treat quotes/escapes literally; empty unquoted fields are null,
+  * quoted empties are `""`; an unclosed quote consumes the rest of the
+  * line with escapes applied; garbage after a closing quote reverts
+  * the field to RAW text (quotes kept) up to the next separator; a
+  * trailing separator at end-of-line emits nothing.
+  */
+class ElbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "elb"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ElbDataSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ElbTable(ElbDataSource.resolvePaths(properties))
+}
+
+object ElbDataSource {
+  val fileColumn = "log_source_file"
+  val fullSchema: StructType =
+    StructType(ElbSchema.raw.fields :+ StructField(fileColumn, StringType, nullable = false))
+
+  /** Paths from DSv2 options: `.load(p)` → "path"; `.load(ps: _*)` →
+    * "paths" as a JSON string array (simple values — parsed with the
+    * JSON string-literal rules, no nesting exists here).
+    */
+  private[sources] def resolvePaths(props: java.util.Map[String, String]): Seq[String] = {
+    val multi = Option(props.get("paths")).toSeq.flatMap { js =>
+      val s = js.trim.stripPrefix("[").stripSuffix("]")
+      // JSON string literals, comma-separated; our paths contain no
+      // escapes beyond what URI-safe file paths allow
+      s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val single = Option(props.get("path")).toSeq
+    val all = multi ++ single
+    require(all.nonEmpty, "elb source requires a path")
+    all
+  }
+
+  /** Driver-side glob expansion, mirroring Spark's file-index rules
+    * (skip hidden `_`/`.` files).
+    */
+  private[sources] def expand(paths: Seq[String], conf: Configuration): Seq[String] = {
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches: Seq[FileStatus] =
+        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      matches.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+    }.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.map { st =>
+      // render like `input_file_name()` does (empty authority kept:
+      // file:///x, not Path.toUri's file:/x) so the file column is
+      // byte-identical to the text-source path
+      val u = st.getPath.toUri
+      new java.net.URI(u.getScheme, Option(u.getAuthority).getOrElse(""),
+        u.getPath, null, null).toString
+    }.sorted
+  }
+}
+
+/** Minimal serializable Hadoop-conf carrier (the stock spark one is
+  * `private[spark]`): Configuration itself knows how to write/read its
+  * fields.
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+class ElbTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"elb(${paths.mkString(",")})"
+  override def schema(): StructType = ElbDataSource.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new ElbScanBuilder(ElbDataSource.expand(paths, conf), new SerializableHadoopConf(conf))
+  }
+}
+
+class ElbScanBuilder(files: Seq[String], conf: SerializableHadoopConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ElbDataSource.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new ElbScan(files, required, conf)
+}
+
+case class ElbFilePartition(path: String) extends InputPartition
+
+class ElbScan(files: Seq[String], required: StructType, conf: SerializableHadoopConf)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"elb scan: ${files.size} files, ${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(ElbFilePartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ElbReaderFactory(required.fieldNames, conf)
+}
+
+class ElbReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ElbPartitionReader(partition.asInstanceOf[ElbFilePartition].path, fieldNames, conf)
+}
+
+/** Streams one log file; emits only the required fields. */
+class ElbPartitionReader(pathStr: String, fieldNames: Array[String],
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+
+  // required-field → raw-column index; -1 = the file-path column
+  private val fieldIdx: Array[Int] =
+    fieldNames.map(n => ElbSchema.rawColumns.indexOf(n))
+  private val pathUtf8 = UTF8String.fromString(pathStr)
+
+  private lazy val reader: BufferedReader = {
+    val hp = new Path(pathStr)
+    val fs = hp.getFileSystem(conf.value)
+    val raw = fs.open(hp)
+    val in = if (pathStr.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = reader.readLine()
+    if (line == null) false
+    else {
+      val toks = ElbLineTokenizer.splitLine(line, ElbSchema.rawColumns.length)
+      val vals = new Array[Any](fieldIdx.length)
+      var i = 0
+      while (i < fieldIdx.length) {
+        val idx = fieldIdx(i)
+        vals(i) =
+          if (idx < 0) pathUtf8
+          else if (toks(idx) == null) null
+          else UTF8String.fromString(toks(idx))
+        i += 1
+      }
+      current = new GenericInternalRow(vals)
+      true
+    }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** `from_csv(sep=" ", quote='"', escape='\')` quoting semantics as a
+  * single JVM pass (see [[ElbDataSource]] scaladoc for the pinned
+  * rule set). Returns a fixed-width array; absent tail fields null.
+  */
+object ElbLineTokenizer {
+  def splitLine(line: String, width: Int): Array[String] = {
+    val out = new ArrayBuffer[String](width)
+    val n = line.length
+    var i = 0
+    while (i < n && out.length < width) {
+      if (line.charAt(i) == '"') {
+        val qstart = i
+        i += 1
+        val sb = new java.lang.StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val c = line.charAt(i)
+          if (c == '\\' && i + 1 < n &&
+              (line.charAt(i + 1) == '"' || line.charAt(i + 1) == '\\')) {
+            sb.append(line.charAt(i + 1)); i += 2
+          } else if (c == '"') { closed = true; i += 1 }
+          else { sb.append(c); i += 1 }
+        }
+        if (!closed) {
+          // unclosed quote: rest of line, escapes already applied
+          out += sb.toString; i = n
+        } else if (i >= n) { out += sb.toString }
+        else if (line.charAt(i) == ' ') { out += sb.toString; i += 1 }
+        else {
+          // garbage after the closing quote: revert to RAW text (quotes
+          // kept) from the original field start to the next separator
+          val j = line.indexOf(' ', i)
+          if (j < 0) { out += line.substring(qstart); i = n }
+          else { out += line.substring(qstart, j); i = j + 1 }
+        }
+      } else {
+        val j = line.indexOf(' ', i)
+        val end = if (j < 0) n else j
+        val f = line.substring(i, end)
+        out += (if (f.isEmpty) null else f)
+        i = end + 1
+      }
+    }
+    val res = new Array[String](width)
+    var k = 0
+    while (k < out.length && k < width) { res(k) = out(k); k += 1 }
+    res
+  }
+}
