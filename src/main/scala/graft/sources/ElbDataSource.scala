@@ -13,8 +13,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -130,40 +130,96 @@ class ElbTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 class ElbScanBuilder(files: Seq[String], conf: SerializableHadoopConf)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = ElbDataSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ElbScan(files, required, conf)
+
+  /** Accept the string-comparison shapes the reader can evaluate on the
+    * token array BEFORE materializing a row (null-safe: a null token
+    * fails every accepted predicate, exactly like the SQL semantics).
+    * Everything accepted is ALSO returned as a post-scan filter —
+    * standard V2 contract for sources that cannot guarantee exhaustive
+    * application (Spark re-checks; the win is rows dropped pre-alloc).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo(a, _: String) => ElbSchema.rawColumns.contains(a)
+      case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
+        ElbSchema.rawColumns.contains(a)
+      case IsNotNull(a) => ElbSchema.rawColumns.contains(a)
+      case StringStartsWith(a, _) => ElbSchema.rawColumns.contains(a)
+      case StringContains(a, _) => ElbSchema.rawColumns.contains(a)
+      case _ => false
+    }
+    pushed = ok
+    rest ++ ok
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ElbScan(files, required, pushed, conf)
 }
 
 case class ElbFilePartition(path: String) extends InputPartition
 
-class ElbScan(files: Seq[String], required: StructType, conf: SerializableHadoopConf)
-    extends Scan with Batch {
+class ElbScan(files: Seq[String], required: StructType, pushed: Array[Filter],
+    conf: SerializableHadoopConf) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"elb scan: ${files.size} files, ${required.fieldNames.mkString(",")}"
+    s"elb scan: ${files.size} files, ${required.fieldNames.mkString(",")}" +
+      (if (pushed.isEmpty) "" else s", PushedFilters: ${pushed.mkString(", ")}")
   override def planInputPartitions(): Array[InputPartition] =
     files.map(ElbFilePartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ElbReaderFactory(required.fieldNames, conf)
+    new ElbReaderFactory(required.fieldNames, pushed, conf)
 }
 
-class ElbReaderFactory(fieldNames: Array[String], conf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
+class ElbReaderFactory(fieldNames: Array[String], pushed: Array[Filter],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ElbPartitionReader(partition.asInstanceOf[ElbFilePartition].path, fieldNames, conf)
+    new ElbPartitionReader(partition.asInstanceOf[ElbFilePartition].path,
+      fieldNames, pushed, conf)
 }
 
-/** Streams one log file; emits only the required fields. */
+/** Streams one log file; emits only the required fields, dropping rows
+  * that fail a pushed filter before any row materializes.
+  */
 class ElbPartitionReader(pathStr: String, fieldNames: Array[String],
-    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
 
   // required-field → raw-column index; -1 = the file-path column
   private val fieldIdx: Array[Int] =
     fieldNames.map(n => ElbSchema.rawColumns.indexOf(n))
   private val pathUtf8 = UTF8String.fromString(pathStr)
+
+  // pushed filters compiled to (raw index, predicate on the token)
+  private val preds: Array[(Int, String => Boolean)] = pushed.map {
+    case EqualTo(a, v: String) => ElbSchema.rawColumns.indexOf(a) ->
+      ((t: String) => t == v)
+    case In(a, vs) =>
+      val set = vs.map(_.asInstanceOf[String]).toSet
+      ElbSchema.rawColumns.indexOf(a) -> ((t: String) => set.contains(t))
+    case IsNotNull(a) => ElbSchema.rawColumns.indexOf(a) ->
+      ((_: String) => true) // non-null check is the null guard below
+    case StringStartsWith(a, p) => ElbSchema.rawColumns.indexOf(a) ->
+      ((t: String) => t.startsWith(p))
+    case StringContains(a, s) => ElbSchema.rawColumns.indexOf(a) ->
+      ((t: String) => t.contains(s))
+    case f => throw new IllegalStateException(s"unpushable filter $f")
+  }
+
+  private def passes(toks: Array[String]): Boolean = {
+    var i = 0
+    while (i < preds.length) {
+      val (idx, p) = preds(i)
+      val t = toks(idx)
+      if (t == null || !p(t)) return false
+      i += 1
+    }
+    true
+  }
 
   private lazy val reader: BufferedReader = {
     val hp = new Path(pathStr)
@@ -176,23 +232,26 @@ class ElbPartitionReader(pathStr: String, fieldNames: Array[String],
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = reader.readLine()
-    if (line == null) false
-    else {
+    var line = reader.readLine()
+    while (line != null) {
       val toks = ElbLineTokenizer.splitLine(line, ElbSchema.rawColumns.length)
-      val vals = new Array[Any](fieldIdx.length)
-      var i = 0
-      while (i < fieldIdx.length) {
-        val idx = fieldIdx(i)
-        vals(i) =
-          if (idx < 0) pathUtf8
-          else if (toks(idx) == null) null
-          else UTF8String.fromString(toks(idx))
-        i += 1
+      if (passes(toks)) {
+        val vals = new Array[Any](fieldIdx.length)
+        var i = 0
+        while (i < fieldIdx.length) {
+          val idx = fieldIdx(i)
+          vals(i) =
+            if (idx < 0) pathUtf8
+            else if (toks(idx) == null) null
+            else UTF8String.fromString(toks(idx))
+          i += 1
+        }
+        current = new GenericInternalRow(vals)
+        return true
       }
-      current = new GenericInternalRow(vals)
-      true
+      line = reader.readLine()
     }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
