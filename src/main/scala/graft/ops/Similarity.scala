@@ -147,6 +147,90 @@ object Similarity {
       path, idCol, dynamic = false)
   }
 
+  /** Index maintenance: REBALANCE a drifted IVF index. Incremental
+    * appends keep centroids frozen (the drift-safe contract), so after
+    * enough distribution shift the buckets skew — hot buckets slow
+    * every probe that touches them and starve pruning. Rebalance is
+    * the offline compaction pass: Lloyd-refine the centroids over the
+    * CURRENT index contents, reassign, rewrite, and persist the
+    * refined centroids next to the index (`<path>.centroids`) so
+    * probes and future appends pick them up. A compaction is O(index)
+    * by definition — same cost class as a parquet compaction, run on
+    * the maintenance schedule, never in the ingest path.
+    *
+    * Returns a 1-row stats frame (moved count, max/mean bucket size
+    * before and after) — the number a maintenance job alarms on.
+    */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: DataFrame, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val index = spark.read.parquet(path).localCheckpoint(true)
+    def bucketStats(df: DataFrame): (Long, Double) = {
+      val r = df.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), avg(col("n"))).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (maxBefore, meanBefore) = bucketStats(index)
+    val data = index.select(col(idCol), col(vecCol))
+    var refined = refineCentroids(data, centroids, iters, idCol, vecCol)
+      .localCheckpoint(true)
+    var reassigned = assignToCentroids(data, refined, idCol, vecCol)
+      .localCheckpoint(true)
+    // Empty-centroid re-seeding (the step plain Lloyd cannot do): a
+    // drifted start can leave centroid A owning two true clusters while
+    // centroid B owns nothing — refinement then converges with B stuck
+    // empty and A's bucket permanently hot. Re-seed each empty centroid
+    // at the member FARTHEST from its current owner (deterministic:
+    // max distance, then min id; the collect is bounded by the number
+    // of empty centroids, a design constant) and re-refine.
+    var round = 0
+    var done = false
+    while (round < 3 && !done) {
+      val owned = reassigned.select(col("centroid_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val empty = refined.select(col("cid")).collect()
+        .map(_.getLong(0)).filterNot(owned)
+      if (empty.isEmpty) done = true
+      else {
+        val seeds = reassigned.as("a")
+          .join(refined.as("c"), col("a.centroid_id") === col("c.cid"))
+          .select(col(idCol), asDouble(col(vecCol)).as("v"),
+            (lit(1.0) - fastDot(asDouble(col(vecCol)), col("cvec")) /
+              (norm(asDouble(col(vecCol))) * norm(col("cvec")))).as("d"))
+          .orderBy(col("d").desc, col(idCol))
+          .limit(empty.length).collect()
+          .map(_.getSeq[Double](1))
+        import spark.implicits._
+        val replacements = empty.zip(seeds).toSeq.toDF("cid", "cvec")
+        refined = refineCentroids(data,
+          refined.join(replacements.select(col("cid")), Seq("cid"), "left_anti")
+            .unionByName(replacements),
+          iters = 2, idCol, vecCol).localCheckpoint(true)
+        reassigned = assignToCentroids(data, refined, idCol, vecCol)
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    val moved = reassigned.as("n")
+      .join(index.select(col(idCol), col("centroid_id").as("_old")), idCol)
+      .where(col("centroid_id") =!= col("_old")).count()
+    reassigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    val written = spark.read.schema(reassigned.schema).parquet(path)
+    writeSidecar(written.select(col(idCol), col("centroid_id")),
+      path, idCol, dynamic = false)
+    refined.write.mode("overwrite").parquet(centroidsPath(path))
+    val (maxAfter, meanAfter) = bucketStats(written)
+    import spark.implicits._
+    Seq((moved, maxBefore, meanBefore, maxAfter, meanAfter))
+      .toDF("moved", "max_bucket_before", "mean_bucket_before",
+        "max_bucket_after", "mean_bucket_after")
+  }
+
+  /** Refined centroids persisted by [[rebalanceIvfIndex]]. */
+  def centroidsPath(path: String): String = s"$path.centroids"
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
   /** id→centroid sidecar: one (id, centroid_id) row per indexed vector,
     * parquet-partitioned by a hash bucket of the id. [[appendToIvfIndex]]
     * consults it to find a batch's previous homes — pruned to the batch

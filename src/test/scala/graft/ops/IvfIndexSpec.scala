@@ -214,4 +214,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(read < total && read <= 2,
       s"expected <=2 probed partitions of $total, read $read")
   }
+
+  test("rebalance: drifted index de-skews, persists centroids, keeps serving") {
+    import spark.implicits._
+    // planted data: 3 tight clusters along distinct axes, but the index
+    // is built with BAD centroids (all three near cluster-0's axis), so
+    // nearly everything lands in one hot bucket — the drift scenario
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.01f * ((i % 7) + 1))
+      v(axis) = 10f + (i % 5); v
+    }
+    val data = (0 until 300).map(i => (i.toLong, vec(i % 3, i))).toDF("vec_id", "embedding")
+    // c0 owns cluster 0; c1 straddles clusters 1 AND 2 (hot, 200 rows);
+    // c2 points at an unused axis and owns NOTHING — the merged-bucket +
+    // empty-bucket drift state plain Lloyd cannot escape
+    val badCents = Seq(
+      (0L, Array(10.0, 0.0, 0.0, 0, 0, 0, 0, 0.0)),
+      (1L, Array(0.0, 0.5, 0.5, 0, 0, 0, 0, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0, 0, 0, 0, 1.0))).toDF("cid", "cvec")
+    val path = java.nio.file.Files.createTempDirectory("ivf-rebal")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(data, badCents, path)
+    val stats = Similarity.rebalanceIvfIndex(spark, path, badCents, iters = 5)
+      .collect()(0)
+    val (moved, maxB, maxA) = (stats.getLong(0), stats.getLong(1), stats.getLong(3))
+    // the hot merged bucket (200 rows) splits back to ~100 per bucket
+    assert(maxB >= 200 && maxA < 150 && moved > 0,
+      s"expected de-skew, got maxBefore=$maxB maxAfter=$maxA moved=$moved")
+    // refined centroids persisted and the index still serves exactly:
+    // a cluster-1 query probed with 1 bucket finds cluster-1 neighbors
+    val refined = Similarity.loadCentroids(spark, path)
+    val q = Seq(Tuple1(vec(1, 3).map(_.toDouble))).toDF("qvec")
+    val hits = Similarity.ivfTopKIndexed(path, refined, q, k = 5, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(hits.length == 5 && hits.forall(_ % 3 == 1),
+      s"expected cluster-1 ids, got ${hits.toSeq}")
+    // the maintenance op composes with ingest: append a UNIQUE-direction
+    // vector after the rebalance; querying its own direction must return
+    // it first (cos = 1, no planted ties share axis 5)
+    val novel = { val v = Array.fill(8)(0.02f); v(5) = 9f; v }
+    val extra = Seq((1000L, novel)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(extra, refined, path)
+    val q2 = Seq(Tuple1(novel.map(_.toDouble))).toDF("qvec")
+    val hits2 = Similarity.ivfTopKIndexed(path, refined, q2, k = 3, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(hits2.head == 1000L, s"expected appended id first, got ${hits2.toSeq}")
+  }
 }
