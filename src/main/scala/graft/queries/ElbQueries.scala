@@ -144,6 +144,28 @@ object ElbQueries {
       graft.elb.ElbParser.enrich(s.read.format("elb").load(glob))))
   }
 
+  // ——————————————————————— streaming ingest through the V2 source
+  // (q45's rollup with `readStream.format("elb")` instead of the text
+  //  source + tokenize: the custom source's MicroBatchStream plans
+  //  file-count offsets over the sorted listing, its readers emit the
+  //  tokenized frame directly, and the SAME q45 oracle gates the
+  //  result — the streaming path of the source sits under the hash
+  //  check like its batch path does via q97.)
+  val q98ElbStreamV2: Q = (s, dir) => {
+    val rows = rowsFor(dir)
+    val glob = SyntheticElb.dataset(rows)
+    stageRawLines(s, rows)
+    val raw = s.readStream.format("elb").load(glob)
+    val enriched = ElbParser.enrich(raw)
+      .withColumn("status_code_type", Features.statusCodeType(
+        ElbParser.nullSentinelLong(col("elb_status_code")).cast("int")))
+    val agg = enriched
+      .groupBy(col("status_code_type"), col("http_method"), col("is_bot"))
+      .agg(count(lit(1)).as("n"),
+        sum(ElbParser.nullSentinelLong(col("sent_bytes"))).as("sum_sent_bytes"))
+    graft.streaming.StreamingSessions.drainAvailableNow(s, agg, "elb_stream_v2")
+  }
+
   /** The hourly rollup (A1) over the synthetic pipeline output. Group keys
     * widened to long for the oracle compare (DuckDB date parts are BIGINT);
     * the engine's narrow casts stay inside [[Features]].
@@ -330,12 +352,14 @@ object ElbQueries {
     "q32_elb_hourly_rollup" -> q32ElbHourlyRollup,
     "q45_elb_stream" -> q45ElbStream,
     "q55_elb_staged" -> q55ElbStaged,
-    "q97_elb_v2" -> q97ElbV2)
+    "q97_elb_v2" -> q97ElbV2,
+    "q98_elb_stream_v2" -> q98ElbStreamV2)
 
   val oracles: Map[String, String] = Map(
     "q18_elb_pipeline" -> q18Sql,
     "q32_elb_hourly_rollup" -> q32Sql,
     "q45_elb_stream" -> q45Sql,
     "q55_elb_staged" -> q18Sql,
-    "q97_elb_v2" -> q18Sql)
+    "q97_elb_v2" -> q18Sql,
+    "q98_elb_stream_v2" -> q45Sql)
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -122,14 +123,14 @@ class ElbTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"elb(${paths.mkString(",")})"
   override def schema(): StructType = ElbDataSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    new ElbScanBuilder(ElbDataSource.expand(paths, conf), new SerializableHadoopConf(conf))
+    new ElbScanBuilder(paths, new SerializableHadoopConf(conf))
   }
 }
 
-class ElbScanBuilder(files: Seq[String], conf: SerializableHadoopConf)
+class ElbScanBuilder(paths: Seq[String], conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = ElbDataSource.fullSchema
@@ -157,13 +158,14 @@ class ElbScanBuilder(files: Seq[String], conf: SerializableHadoopConf)
     rest ++ ok
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ElbScan(files, required, pushed, conf)
+  override def build(): Scan = new ElbScan(paths, required, pushed, conf)
 }
 
 case class ElbFilePartition(path: String) extends InputPartition
 
-class ElbScan(files: Seq[String], required: StructType, pushed: Array[Filter],
+class ElbScan(paths: Seq[String], required: StructType, pushed: Array[Filter],
     conf: SerializableHadoopConf) extends Scan with Batch {
+  private lazy val files = ElbDataSource.expand(paths, conf.value)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -173,6 +175,39 @@ class ElbScan(files: Seq[String], required: StructType, pushed: Array[Filter],
     files.map(ElbFilePartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ElbReaderFactory(required.fieldNames, pushed, conf)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ElbMicroBatchStream(paths, required, pushed, conf)
+}
+
+/** File-count offsets over the SORTED listing: batch N..M reads files
+  * N until M of the lexicographic order. Exactly-once holds for
+  * append-only directories whose new files sort after processed ones —
+  * true for ALB's timestamped log object names, and the reason this
+  * stays a dozen lines where the general text file source carries a
+  * seen-files map. (A violated assumption shows up loudly: the drain
+  * re-reads or skips whole files, which ElbSourceSpec's incremental
+  * test would catch.)
+  */
+case class ElbFileOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class ElbMicroBatchStream(paths: Seq[String], required: StructType,
+    pushed: Array[Filter], conf: SerializableHadoopConf) extends MicroBatchStream {
+  private def listing(): Seq[String] = ElbDataSource.expand(paths, conf.value)
+  override def initialOffset(): Offset = ElbFileOffset(0)
+  override def latestOffset(): Offset = ElbFileOffset(listing().size)
+  override def deserializeOffset(json: String): Offset =
+    ElbFileOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ElbFileOffset].n
+    val e = end.asInstanceOf[ElbFileOffset].n
+    listing().slice(s, e).map(ElbFilePartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ElbReaderFactory(required.fieldNames, pushed, conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class ElbReaderFactory(fieldNames: Array[String], pushed: Array[Filter],
