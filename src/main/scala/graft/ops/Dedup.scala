@@ -330,6 +330,52 @@ object Dedup {
         (col("_a.cov").cast("double") / col("n_words")).as("covered_frac"))
   }
 
+  /** The removal policy [[contaminationSpans]] measures for: per EVAL
+    * document, splice out every token covered by a train-shared n-gram
+    * interval and reassemble the remainder — GPT-3-style "dirty
+    * window" removal, so a leaked benchmark passage disappears while
+    * the rest of the document keeps training. Uncontaminated eval docs
+    * pass through whole (including docs shorter than one n-gram).
+    *
+    * Plan: the hit positions are the SAME digest-semi-join as
+    * contaminationSpans (train grams shuffle only as distinct 64-bit
+    * digests); removal itself is a narrow in-row pass — a two-arg
+    * `filter` lambda testing each token index against the doc's sorted
+    * hit positions (`exists` over a per-doc array bounded by hit
+    * count). One aggregate exchange on (id), nothing quadratic.
+    */
+  def decontaminateText(df: DataFrame, textCol: String, idCol: String,
+      splitCol: String, trainSplit: String, evalSplit: String, n: Int = 13,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams = pruneHotKeys(
+      df.select(col(idCol).as("id"), col(splitCol).as("split"),
+          TextOps.words(col(textCol)).as("_w"))
+        .where(size(col("_w")) >= n)
+        .select(col("id"), col("split"),
+          posexplode(transform(sequence(lit(0), size(col("_w")) - n),
+            i => concat_ws(" ", slice(col("_w"), i + 1, lit(n))))))
+        .withColumnRenamed("col", "gram"),
+      "gram", maxDocFreq)
+      .select(col("id"), col("split"), col("pos"),
+        substring(md5(col("gram")), 1, 16).as("h"))
+    val trainGrams = grams.where(col("split") === trainSplit)
+      .select(col("h")).distinct()
+    val perDoc = grams.where(col("split") === evalSplit)
+      .join(trainGrams, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+    df.where(col(splitCol) === evalSplit)
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("_w"),
+        coalesce(col("_ps"), array()).as("_ps"))
+      .withColumn("_kept", filter(col("_w"), (t, i) =>
+        !exists(col("_ps"), p => i >= p && i <= p + (n - 1))))
+      .select(col("id"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        (size(col("_w")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Shared verification tail of the cross-corpus paths: exact Jaccard
     * between each candidate's batch-side and corpus-side shingle sets.
     */

@@ -1294,6 +1294,47 @@ object OpsQueries {
     FROM cov c JOIN mx m ON m.doc_id = c.doc_id"""
   }
 
+  // ————————————————————————————— contamination REMOVAL (q99)
+  // (the policy q87 measures for: splice every train-shared 13-gram
+  //  window out of each eval doc and reassemble — leaked benchmark
+  //  passages disappear, the rest of the doc keeps training. The
+  //  oracle re-derives hit positions and the per-token coverage EXISTS
+  //  with 1-based indexing against the engine's 0-based fold.)
+  val q99Decontaminate: Q = (s, dir) =>
+    Dedup.decontaminateText(
+      graft.ops.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+      "text", "doc_id", "split", trainSplit = "train", evalSplit = "test",
+      n = 13)
+  val q99Sql: String = {
+    val cc = (0 until 13).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""
+    WITH s AS (SELECT doc_id, text,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS b
+      FROM documents),
+    sp AS (SELECT doc_id, text,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+          AS split
+      FROM s),
+    d AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM sp),
+    idx AS (SELECT doc_id, split, w, unnest(range(1, len(w) - 11)) AS i FROM d),
+    g AS (SELECT doc_id, split, i, substr(md5($cc), 1, 16) AS h FROM idx),
+    tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+    ev AS (SELECT doc_id, i AS pos FROM g
+           WHERE split = 'test' AND h IN (SELECT h FROM tr)),
+    tk AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+           FROM d WHERE split = 'test'),
+    kept AS (SELECT tk.doc_id, tk.i, tk.w[tk.i] AS tokn,
+               NOT EXISTS (SELECT 1 FROM ev e WHERE e.doc_id = tk.doc_id
+                             AND tk.i BETWEEN e.pos AND e.pos + 12) AS keep
+             FROM tk)
+    SELECT doc_id AS id,
+      coalesce(string_agg(tokn, ' ' ORDER BY i) FILTER (keep), '') AS clean_text,
+      CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed
+    FROM kept GROUP BY doc_id"""
+  }
+
   // ————————————————————————————— span-level exact dedup (q73)
   // (CCNet/C4-paragraph-style sub-document dedup with fixed 8-word
   //  spans: keep each span's first (doc_id, pos) occurrence, reassemble
@@ -1924,7 +1965,8 @@ object OpsQueries {
     "q93_quality_model" -> q93QualityModel,
     "q94_corpus_report" -> q94CorpusReport,
     "q95_temperature_mix" -> q95TemperatureMix,
-    "q96_heavy_hitters" -> q96HeavyHitters)
+    "q96_heavy_hitters" -> q96HeavyHitters,
+    "q99_decontaminate" -> q99Decontaminate)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -1983,5 +2025,6 @@ object OpsQueries {
     "q93_quality_model" -> q93Sql,
     "q94_corpus_report" -> q94Sql,
     "q95_temperature_mix" -> q95Sql,
-    "q96_heavy_hitters" -> q96Sql)
+    "q96_heavy_hitters" -> q96Sql,
+    "q99_decontaminate" -> q99Sql)
 }

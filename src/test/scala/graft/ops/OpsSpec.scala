@@ -546,6 +546,24 @@ class OpsSpec extends SparkSpec {
     assert(out("b")._2 == 1 && out("b")._4 == 0 && out("b")._5 == 1)
   }
 
+  test("decontaminateText removes exactly the covered windows") {
+    import spark.implicits._
+    val leak = (1 to 13).map(i => s"k$i").mkString(" ") // the shared 13-gram
+    val df = Seq(
+      (1L, "train", s"training prose around $leak and more words"),
+      (2L, "test", s"a b c $leak x y z"),     // hit at pos 3 (0-based)
+      (3L, "test", "totally clean eval doc"), // short + clean: untouched
+      (4L, "test", (1 to 20).map(i => s"u$i").mkString(" ")) // long + clean
+    ).toDF("doc_id", "split", "text")
+    val out = Dedup.decontaminateText(df, "text", "doc_id", "split",
+        "train", "test", n = 13)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 2: tokens 3..15 excised, the 3-word prefix and 3-word suffix stay
+    assert(out(2L)._2 == "a b c x y z" && out(2L)._3 == 13)
+    assert(out(3L)._2 == "totally clean eval doc" && out(3L)._3 == 0)
+    assert(out(4L)._3 == 0 && out.size == 3) // train docs not emitted
+  }
+
   test("heavyHitters: exact counts in the tracked regime, tie-broken rank") {
     import spark.implicits._
     // z appears 5x, y 3x, x 3x (tie with y), w 1x — across partitions
