@@ -152,6 +152,65 @@ object Multimodal {
       }
   }
 
+  case class ImageHashRow(media_id: Long, width: Int, height: Int,
+      ahash: String, ok: Boolean)
+
+  /** Perceptual hash (aHash) over REAL decoded rasters — the image-side
+    * near-duplicate fingerprint (re-encoded/brightness-shifted copies
+    * hash identically; the hamming radius over these is the image
+    * analogue of simhash text dedup). Definition, chosen for exact
+    * integer cross-engine reproducibility: gray = (r+g+b)/3 (integer
+    * div) per pixel; an 8×8 grid samples (u·W/8, v·H/8); bit(u,v) =
+    * gray·W·H > Σgray (the multiply avoids a rounded mean). Emitted as
+    * a 64-char '0'/'1' string in v-major order — no sign-bit traps.
+    * Undecodable bytes → ("", ok=false), never a task failure. One
+    * `mapPartitions` pass, no shuffle.
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            } catch { case NonFatal(_) => null }
+          if (img == null) ImageHashRow(id, 0, 0, "", ok = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val sb = new java.lang.StringBuilder(64)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val p = img.getRGB(u * w / 8, v * h / 8)
+                val gray = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                sb.append(if (gray * n > sum) '1' else '0')
+                u += 1
+              }
+              v += 1
+            }
+            ImageHashRow(id, w, h, sb.toString, ok = true)
+          }
+        }
+      }
+  }
+
   case class AudioStatsRow(media_id: Long, n_samples: Long, peak: Int,
       mean: Double, rms: Double)
 
@@ -268,6 +327,63 @@ object Multimodal {
       val bos = new ByteArrayOutputStream()
       try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
       bos.toByteArray
+    }
+
+    /** Gradient corpus for the perceptual-hash ops: every pixel is a
+      * closed-form function of (id, x, y), so the oracle can re-derive
+      * the full raster — and therefore the hash — in SQL. Ids 32..63
+      * repeat ids 0..31's gradient at exactly +1 brightness per
+      * channel (mod 255 keeps the +1 from wrapping): a brightness
+      * shift moves every pixel AND the mean by the same amount, so a
+      * correct aHash is IDENTICAL across each pair — the classic
+      * perceptual-hash invariance, and the property the near-dup spec
+      * pins. `id % 17 == 5` rows carry junk bytes (null policy).
+      */
+    def gradientPixel(id: Long, x: Int, y: Int): Int = {
+      val base = id % 32
+      val off = if (id >= 32) 1 else 0
+      val r = ((31 * base + 7 * x + 3 * y) % 255 + off).toInt
+      val g = ((7 * base + 5 * x + 11 * y) % 255 + off).toInt
+      val b = ((13 * base + 3 * x + 5 * y) % 255 + off).toInt
+      (r << 16) | (g << 8) | b
+    }
+    def gradientDims(id: Long): (Int, Int) = {
+      val base = id % 32
+      ((8 + base % 9).toInt, (8 + (base * 5) % 9).toInt)
+    }
+    def gradientPngBytes(id: Long): Array[Byte] = {
+      val (w, h) = gradientDims(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, gradientPixel(id, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    val gradientRows = 64
+    def gradientMediaFor(id: Long): MediaRow =
+      MediaRow(id, "image",
+        if (id % 17 == 5) junk else gradientPngBytes(id))
+    def gradientDirFor: Path =
+      Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-gradient-$gradientRows-v1")
+    def gradientParquetPath: String =
+      gradientDirFor.resolve("media.parquet").toString
+    private val gradientStaged = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def gradientDataset(spark: SparkSession): String = {
+      if (gradientStaged.compareAndSet(false, true)) {
+        import spark.implicits._
+        spark.range(gradientRows).repartition(4)
+          .mapPartitions { it =>
+            ImageIO.setUseCache(false); it.map(i => gradientMediaFor(i.toLong))
+          }
+          .write.mode("overwrite").parquet(gradientParquetPath)
+      }
+      gradientParquetPath
     }
 
     def mediaFor(id: Long): MediaRow = {

@@ -1335,6 +1335,50 @@ object OpsQueries {
     FROM kept GROUP BY doc_id"""
   }
 
+  // ————————————————————————————— image perceptual hash (q100)
+  // (aHash over REAL decoded rasters of the gradient fixture corpus —
+  //  every pixel is closed-form in (id, x, y), so the oracle re-derives
+  //  the ENTIRE raster, the gray sum, the 8×8 grid sample, and every
+  //  hash bit in SQL; a decode that faked pixels, mis-ordered channels,
+  //  or rounded the mean differently hash-mismatches. Ids 32..63 are
+  //  +1-brightness copies of 0..31 — a correct aHash is bit-identical
+  //  across each pair (MultimodalSpec pins that invariance).)
+  val q100ImageAhash: Q = (s, dir) =>
+    Multimodal.imageHashes(
+      s, s.read.parquet(Multimodal.Fixtures.gradientDataset(s))).toDF()
+  private def q100Sql: String = s"""
+    WITH m AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.gradientParquetPath}/*.parquet')),
+    good AS (SELECT media_id, media_id % 32 AS base,
+               CASE WHEN media_id >= 32 THEN 1 ELSE 0 END AS off,
+               CAST(8 + (media_id % 32) % 9 AS INT) AS w,
+               CAST(8 + ((media_id % 32) * 5) % 9 AS INT) AS h
+             FROM m WHERE media_id % 17 <> 5),
+    px AS (SELECT g.media_id, g.w, g.h, xs.x, ys.y,
+             (((31 * g.base + 7 * xs.x + 3 * ys.y) % 255 + g.off)
+            + ((7 * g.base + 5 * xs.x + 11 * ys.y) % 255 + g.off)
+            + ((13 * g.base + 3 * xs.x + 5 * ys.y) % 255 + g.off)) // 3 AS gray
+           FROM good g, range(0, 17) xs(x), range(0, 17) ys(y)
+           WHERE xs.x < g.w AND ys.y < g.h),
+    sums AS (SELECT media_id, sum(gray) AS sg FROM px GROUP BY 1),
+    grid AS (SELECT g.media_id, vs.v, us.u,
+               us.u * g.w // 8 AS gx, vs.v * g.h // 8 AS gy
+             FROM good g, range(0, 8) vs(v), range(0, 8) us(u)),
+    bits AS (SELECT gr.media_id, gr.v, gr.u,
+               CASE WHEN p.gray * (p.w * p.h) > s.sg THEN '1' ELSE '0' END AS bit
+             FROM grid gr
+             JOIN px p ON p.media_id = gr.media_id
+                      AND p.x = gr.gx AND p.y = gr.gy
+             JOIN sums s ON s.media_id = gr.media_id),
+    hashes AS (SELECT media_id,
+                 string_agg(bit, '' ORDER BY v * 8 + u) AS ahash
+               FROM bits GROUP BY 1)
+    SELECT g.media_id, g.w AS width, g.h AS height, hs.ahash, true AS ok
+    FROM good g JOIN hashes hs ON hs.media_id = g.media_id
+    UNION ALL
+    SELECT media_id, 0 AS width, 0 AS height, '' AS ahash, false AS ok
+    FROM m WHERE media_id % 17 = 5"""
+
   // ————————————————————————————— span-level exact dedup (q73)
   // (CCNet/C4-paragraph-style sub-document dedup with fixed 8-word
   //  spans: keep each span's first (doc_id, pos) occurrence, reassemble
@@ -1966,7 +2010,8 @@ object OpsQueries {
     "q94_corpus_report" -> q94CorpusReport,
     "q95_temperature_mix" -> q95TemperatureMix,
     "q96_heavy_hitters" -> q96HeavyHitters,
-    "q99_decontaminate" -> q99Decontaminate)
+    "q99_decontaminate" -> q99Decontaminate,
+    "q100_image_ahash" -> q100ImageAhash)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2026,5 +2071,6 @@ object OpsQueries {
     "q94_corpus_report" -> q94Sql,
     "q95_temperature_mix" -> q95Sql,
     "q96_heavy_hitters" -> q96Sql,
-    "q99_decontaminate" -> q99Sql)
+    "q99_decontaminate" -> q99Sql,
+    "q100_image_ahash" -> q100Sql)
 }

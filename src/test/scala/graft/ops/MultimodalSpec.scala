@@ -134,4 +134,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pxWrong.count() == 0)
     decoded.unpersist()
   }
+
+  test("aHash: brightness invariance across planted pairs, junk null policy") {
+    val media = spark.read.parquet(Multimodal.Fixtures.gradientDataset(spark))
+    val rows = Multimodal.imageHashes(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows.size == Multimodal.Fixtures.gradientRows)
+    // junk rows fail soft with empty hash
+    val junkIds = rows.keys.filter(_ % 17 == 5)
+    assert(junkIds.nonEmpty &&
+      junkIds.forall(id => !rows(id).ok && rows(id).ahash.isEmpty))
+    // +1-brightness copies hash IDENTICALLY (pixels and mean shift
+    // together) — the perceptual-hash invariance near-dup relies on
+    val pairs = (0L until 32L)
+      .filter(b => b % 17 != 5 && (b + 32) % 17 != 5)
+    assert(pairs.nonEmpty)
+    pairs.foreach { b =>
+      assert(rows(b).ok && rows(b + 32).ok &&
+        rows(b).ahash == rows(b + 32).ahash &&
+        rows(b).ahash.length == 64, s"pair $b/${b + 32} diverged")
+    }
+    // hashes discriminate across DIFFERENT gradients: not all equal
+    assert(pairs.map(b => rows(b).ahash).distinct.size > 1)
+  }
 }
