@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph analytics: PageRank-style quality propagation over
+  * a document/domain link graph — the web-corpus curation signal that
+  * ranks sources by how much the rest of the corpus points at them.
+  *
+  * Spark-first shape (same discipline as [[Dedup.duplicateClusters]]'
+  * label propagation): the per-iteration step is a declarative
+  * join + groupBy plan; the driver only sequences iterations and carries
+  * two bounded scalars (node count, dangling mass). Each iteration is
+  * localCheckpoint-ed so the plan stays linear in iteration count instead
+  * of exponential, and at cluster scale the checkpoint maps to a durable
+  * inter-iteration parquet (the same equivalence CorpusBuild documents).
+  *
+  * Cost per iteration: one shuffle (contributions grouped by target) plus
+  * one co-partitioned join of ranks⋈degree on the node key — O(E) work,
+  * O(V) state, the textbook distributed PageRank shape. Hot targets (a
+  * page everyone links to) skew the groupBy like any high-in-degree
+  * aggregation; partial aggregation (map-side combine) absorbs it because
+  * the combine is a plain sum.
+  */
+object Graph {
+
+  /** Deterministic pseudo-edge derivation for the oracle harness: node
+    * `u` links to `md5(u|j) mod n` for `j < fanout` (self-loops dropped,
+    * duplicates collapsed). Real pipelines replace this with extracted
+    * hyperlinks; everything downstream is shape-identical.
+    */
+  def pseudoEdges(nodes: DataFrame, idCol: String, n: Long,
+      fanout: Int = 3): DataFrame = {
+    val j = explode(sequence(lit(0), lit(fanout - 1)))
+    nodes.select(col(idCol).cast("long").as("src"), j.as("j"))
+      .select(col("src"),
+        (conv(substring(md5(concat(col("src").cast("string"), lit("|"),
+          col("j").cast("string"))), 1, 8), 16, 10).cast("long") % n).as("tgt"))
+      .filter(col("tgt") =!= col("src"))
+      .distinct()
+  }
+
+  /** Fixed-iteration damped PageRank. `nodes` is one row per vertex
+    * (column `idCol`); `edges` has `src`/`tgt` long columns. Returns
+    * (node, rank) with rank rounded to 9 d.p. — the cross-engine float
+    * contract: per-iteration absolute error is ~1e-15, far inside the
+    * rounding.
+    *
+    * Dangling mass (nodes with no out-edges) is redistributed uniformly —
+    * the standard correction, and the piece naive formulations leak. It
+    * costs one bounded scalar aggregate per iteration (a single double to
+    * the driver), not a data-sized collect.
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      alpha: Double = 0.85, iters: Int = 5): DataFrame = {
+    val spark = nodes.sparkSession
+    val v = nodes.select(col(idCol).cast("long").as("node"))
+    val n = v.count() // bounded scalar: |V| is a design-time quantity
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // weights (src, tgt, outdeg) reused every iteration — checkpoint once
+    val w = edges.join(deg, "src").localCheckpoint()
+    var ranks = v.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0))).first().getDouble(0)
+      val contribs = w.join(ranks, w("src") === ranks("node"))
+        .groupBy("tgt").agg(sum(col("r") / col("outdeg")).as("contrib"))
+      ranks = v.join(contribs, v("node") === contribs("tgt"), "left")
+        .select(col("node"),
+          (lit((1 - alpha) / n) +
+            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dangling / n))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("r"), 9).as("rank"))
+  }
+
+  /** The oracle-gated query: 5-iteration PageRank over the pseudo-link
+    * graph of the documents table.
+    */
+  def documentPageRank(docs: DataFrame): DataFrame = {
+    val nodes = docs.select(col("doc_id"))
+    val n = docs.count()
+    val edges = pseudoEdges(nodes, "doc_id", n)
+    pageRank(nodes, "doc_id", edges).withColumnRenamed("node", "doc_id")
+  }
+}

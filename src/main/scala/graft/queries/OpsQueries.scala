@@ -1952,6 +1952,44 @@ object OpsQueries {
     FROM c"""
   }
 
+  // ———————————————————————————— iterative link-graph PageRank (q102)
+  // (5 damped iterations over the deterministic md5 pseudo-link graph;
+  //  dangling mass redistributed uniformly. The oracle unrolls the five
+  //  iterations as chained CTEs with the identical double arithmetic —
+  //  contributions summed as r/outdeg on both engines; 9 d.p. rounding
+  //  absorbs the ~1e-15 cross-engine summation-order noise.)
+  val q102Pagerank: Q = (s, dir) =>
+    graft.ops.Graph.documentPageRank(Tables.documents(s, dir))
+  val q102Sql: String = {
+    val iterChain = (0 until 5).map { k =>
+      s"""dang$k AS (SELECT coalesce(sum(r), CAST(0 AS DOUBLE)) AS d FROM r$k
+                WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r$k.node)),
+    r${k + 1} AS (
+      SELECT n.node,
+             CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+               (coalesce(s.contrib, 0) + (SELECT d FROM dang$k) / nn.n) AS r
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.tgt AS node, sum(r.r / deg.outdeg) AS contrib
+        FROM edges e JOIN r$k r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.tgt) s ON s.node = n.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes),
+    $iterChain
+    SELECT node AS doc_id, round(r, 9) AS rank FROM r5"""
+  }
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2011,7 +2049,8 @@ object OpsQueries {
     "q95_temperature_mix" -> q95TemperatureMix,
     "q96_heavy_hitters" -> q96HeavyHitters,
     "q99_decontaminate" -> q99Decontaminate,
-    "q100_image_ahash" -> q100ImageAhash)
+    "q100_image_ahash" -> q100ImageAhash,
+    "q102_pagerank" -> q102Pagerank)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2072,5 +2111,6 @@ object OpsQueries {
     "q95_temperature_mix" -> q95Sql,
     "q96_heavy_hitters" -> q96Sql,
     "q99_decontaminate" -> q99Sql,
-    "q100_image_ahash" -> q100Sql)
+    "q100_image_ahash" -> q100Sql,
+    "q102_pagerank" -> q102Sql)
 }

@@ -146,14 +146,33 @@ object StreamingQueries {
       UNION ALL SELECT doc_id FROM adm2 UNION ALL SELECT doc_id FROM adm3)"""
   }
 
+  // ————————————————————————————— stream-stream interval join (q101)
+  // (funnel attribution: every view joined to the same user's purchases
+  //  within 6 h. Inner join + event-time range ⇒ the streaming result is
+  //  exactly the batch interval join, so the oracle is the plain SQL
+  //  join with identical µs arithmetic.)
+  val q101StreamIntervalJoin: Q = (s, dir) =>
+    graft.streaming.StreamingJoins.runAvailableNow(s, dir,
+      s"stream_ij_${counter.incrementAndGet()}")
+  val q101Sql: String = """
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+      (epoch_us(b.ts) - epoch_us(a.ts)) // 1000 AS gap_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000"""
+
   val all: Map[String, Q] = Map(
     "q31_stream_session" -> q31StreamSession,
     "q39_stream_sliding" -> q39StreamSliding,
     "q79_stream_dedup" -> q79StreamDedup,
-    "q88_stream_neardup" -> q88StreamNearDup)
+    "q88_stream_neardup" -> q88StreamNearDup,
+    "q101_stream_interval_join" -> q101StreamIntervalJoin)
   val oracles: Map[String, String] = Map(
     "q31_stream_session" -> q31Sql,
     "q39_stream_sliding" -> q39Sql,
     "q79_stream_dedup" -> q79Sql,
-    "q88_stream_neardup" -> q88Sql)
+    "q88_stream_neardup" -> q88Sql,
+    "q101_stream_interval_join" -> q101Sql)
 }
