@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranked full-text retrieval: Okapi BM25 over the corpus — the query
+  * side of the inverted index a data pipeline builds for curation work
+  * (finding near-matches of eval prompts, auditing what the corpus says
+  * about a topic, retrieval-augmented labeling).
+  *
+  * Spark-first shape: the postings build is one shuffle (tf grouped by
+  * (doc, term)); document frequencies and the query-term table are small
+  * relations the planner broadcasts, so scoring is a scan over the
+  * postings of the query terms only — never over the whole corpus — and
+  * the per-query top-k is a bounded window. At 100 TB the postings table
+  * is the thing you materialize (partitioned by term-hash); the scoring
+  * joins and the window are unchanged.
+  *
+  * Float contract: idf uses `ln`, which has cross-libm freedom, so
+  * scores are rounded to 6 d.p. and the rank ORDERS BY the rounded score
+  * with the doc id as a total-order tiebreak — rank stability does not
+  * depend on sub-rounding float noise (same discipline as q64's tf-idf).
+  */
+object Retrieval {
+
+  /** Postings list: one row per (doc, term) with term frequency and the
+    * document length (in tokens, by the house whitespace tokenizer).
+    */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, "doc_id")
+  }
+
+  /** BM25 top-k per query. `queries` is a small literal set of
+    * (query_id, text); duplicate query terms are collapsed (each distinct
+    * term scores once). Returns (query_id, doc_id, score, rk), rk ≤ k.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = postings(docs, textCol, idCol)
+    // bounded scalars: corpus size and total token count are single
+    // aggregates (avgdl derived as exact-integer sum / count, so both
+    // engines divide the identical numerator)
+    val nDocs = docs.count()
+    val totTokens = post.agg(sum("tf")).first().getLong(0)
+    val avgdl = totTokens.toDouble / nDocs
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = broadcast(queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(TextOps.words(col("qtext"))).as("term"))
+      .distinct())
+    val scored = post
+      .join(qterms, "term") // broadcast: postings pruned to query terms
+      .join(broadcast(dfreq), "term")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("tf") * (lit(k1) + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("idf") * col("w")), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

@@ -102,4 +102,30 @@ object Web {
       .where(col(rankCol) <= cap)
       .drop("_salt", "_pre_rank")
   }
+
+  /** HTML → text extraction (the first text-level step of a crawl
+    * pipeline, before any quality/dedup op sees the document):
+    * script/style subtrees removed FIRST (their character data is not
+    * content, and an embedded `<` inside code would otherwise derange
+    * the tag stripper), then tags → whitespace, the five ubiquitous
+    * character entities decoded (`&amp;` last, so `&amp;lt;` correctly
+    * yields the literal `&lt;`), and whitespace collapsed.
+    *
+    * Narrow, codegen'd `regexp_replace` chain over the scan — zero
+    * shuffle, the same per-row cost model as the ELB parse projection.
+    * A production extractor adds boilerplate heuristics (link-density,
+    * block scoring) on top of this skeleton; those are per-row too.
+    */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

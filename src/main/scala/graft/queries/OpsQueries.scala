@@ -1990,6 +1990,89 @@ object OpsQueries {
     SELECT node AS doc_id, round(r, 9) AS rank FROM r5"""
   }
 
+  // ———————————————————————————— HTML → text extraction (q103)
+  // (crawl-side text extraction: deterministic HTML wrapping of the
+  //  documents table — title, nav, entities, a script whose code
+  //  contains a bare `<` — then the engine's script/style-first strip,
+  //  entity decode (&amp; last), and whitespace collapse. Both engines
+  //  run the identical regex chain; title content remains in the body
+  //  by design, as in any tag-strip extractor without block scoring.)
+  private val q103HtmlPrefix = "<html><head><title>Doc "
+  private val q103HtmlMid =
+    "</title><style>p {color: red;}</style></head><body><nav>home | sitemap</nav><p>"
+  private val q103HtmlSuffix = "</p><p>1 &lt; 2 &amp;&amp; &quot;ok&quot;</p>" +
+    "<script type=\"text/javascript\">if (1 < 2) { alert(\"nav\"); }</script></body></html>"
+  val q103HtmlExtract: Q = (s, dir) => {
+    val html = concat(lit(q103HtmlPrefix), col("doc_id").cast("string"),
+      lit(q103HtmlMid), col("text"), lit(q103HtmlSuffix))
+    Tables.documents(s, dir).select(col("doc_id"),
+      Web.htmlTitle(html).as("title"), Web.htmlToText(html).as("body"))
+      .withColumn("n_chars", length(col("body")).cast("long"))
+  }
+  val q103Sql: String = {
+    val mk = s"'$q103HtmlPrefix' || CAST(doc_id AS VARCHAR) || '$q103HtmlMid' " +
+      s"|| text || '${q103HtmlSuffix.replace("'", "''")}'"
+    s"""
+    WITH h AS (SELECT doc_id, $mk AS html FROM documents),
+    s AS (SELECT doc_id,
+        regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(html,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+          '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+          '\\s+', ' ', 'g')) AS body
+      FROM h)
+    SELECT doc_id, title, body, CAST(length(body) AS BIGINT) AS n_chars FROM s"""
+  }
+
+  // ———————————————————————————— BM25 ranked retrieval (q104)
+  // (Okapi BM25 top-10 per query over the postings build; scores
+  //  rounded to 6 d.p. BEFORE ranking with doc_id tiebreak, so rank
+  //  order never hinges on sub-rounding libm noise — q64's discipline.)
+  val q104Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark window agg", 2 -> "hash join table", 3 -> "fast scan filter",
+    4 -> "stream batch data", 5 -> "customer query sort")
+  val q104Bm25: Q = (s, dir) =>
+    graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+      q104Queries, k = 10)
+  val q104Sql: String = {
+    val values = q104Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    ad AS (SELECT CAST((SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS DOUBLE)
+             / (SELECT n FROM nd) AS avgdl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q(query_id, qtext) AS (VALUES $values),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+    scored AS (
+      SELECT qt.query_id, f.doc_id,
+        round(sum(
+          ln((CAST((SELECT n FROM nd) AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
+             / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+          (f.tf * (CAST(1.2 AS DOUBLE) + 1) /
+           (f.tf + CAST(1.2 AS DOUBLE) *
+            (1 - CAST(0.75 AS DOUBLE) +
+             CAST(0.75 AS DOUBLE) * l.dl / (SELECT avgdl FROM ad))))), 6) AS score
+      FROM tf f JOIN qt ON f.term = qt.term
+      JOIN dfreq d ON d.term = f.term
+      JOIN dl l ON l.doc_id = f.doc_id
+      GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10"""
+  }
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2050,7 +2133,9 @@ object OpsQueries {
     "q96_heavy_hitters" -> q96HeavyHitters,
     "q99_decontaminate" -> q99Decontaminate,
     "q100_image_ahash" -> q100ImageAhash,
-    "q102_pagerank" -> q102Pagerank)
+    "q102_pagerank" -> q102Pagerank,
+    "q103_html_extract" -> q103HtmlExtract,
+    "q104_bm25" -> q104Bm25)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2112,5 +2197,7 @@ object OpsQueries {
     "q96_heavy_hitters" -> q96Sql,
     "q99_decontaminate" -> q99Sql,
     "q100_image_ahash" -> q100Sql,
-    "q102_pagerank" -> q102Sql)
+    "q102_pagerank" -> q102Sql,
+    "q103_html_extract" -> q103Sql,
+    "q104_bm25" -> q104Sql)
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "red fox red fox red"), // tf(red)=3 in a 5-token doc
+    (1L, "red fox"),
+    (2L, "blue whale swims"),
+    (3L, "red")).toDF("doc_id", "text")
+
+  test("postings carry tf and dl") {
+    val p = Retrieval.postings(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (d, t, tf, dl) => (d, t) -> (tf, dl) }.toMap
+    assert(p((0L, "red")) == (3L, 5L))
+    assert(p((0L, "fox")) == (2L, 5L))
+    assert(p((3L, "red")) == (1L, 1L))
+  }
+
+  test("bm25 ranks the term-dense short doc over the long repetitive one") {
+    val r = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq(1 -> "red"), k = 10)
+      .orderBy("rk").as[(Int, Long, Double, Long)].collect()
+    // docs 0,1,3 contain "red"; 2 does not appear at all
+    assert(r.map(_._2).toSet == Set(0L, 1L, 3L))
+    // doc 3 ("red", dl=1) saturates tf normalization hardest — BM25's
+    // length normalization must put it above doc 0 (tf=3 but dl=5)
+    val rank = r.map(x => x._2 -> x._4).toMap
+    assert(rank(3L) < rank(0L), s"got $r")
+    // all scores positive, ranks contiguous from 1
+    assert(r.forall(_._3 > 0) && r.map(_._4).sorted.sameElements(Seq(1L, 2L, 3L)))
+  }
+
+  test("duplicate query terms collapse; unknown terms score nothing") {
+    val one = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq(1 -> "blue blue zzz"), k = 10)
+      .as[(Int, Long, Double, Long)].collect()
+    val single = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq(1 -> "blue"), k = 10)
+      .as[(Int, Long, Double, Long)].collect()
+    assert(one.toSet == single.toSet) // dup + unmatched terms are no-ops
+    assert(one.map(_._2).toSet == Set(2L))
+  }
+}

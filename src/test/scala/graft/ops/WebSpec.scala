@@ -67,4 +67,25 @@ class WebSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(got == want && want.count(_._1 == "hot.com") == 4)
   }
+
+  test("htmlToText: script first, entity order, whitespace collapse") {
+    val html = """<html><head><title>T &amp; U</title><style>p {a:1}</style>
+      |</head><body><p>x &lt;tag&gt; &amp;lt; y</p>
+      |<script>if (1 < 2) { alert("z"); }</script>  <b>bold</b></body></html>"""
+      .stripMargin
+    val got = Seq(html).toDF("h")
+      .select(Web.htmlTitle(col("h")).as("t"), Web.htmlToText(col("h")).as("b"))
+      .as[(String, String)].head()
+    assert(got._1 == "T &amp; U") // title extracted RAW, pre-decode
+    // script removed before tag-strip (its inner `<` never derails the
+    // stripper); &amp;lt; decodes to the literal "&lt;" because &amp; is
+    // decoded last; style content gone; whitespace collapsed
+    assert(got._2 == "T & U x <tag> &lt; y bold", s"got '${got._2}'")
+  }
+
+  test("htmlToText leaves plain text unchanged modulo whitespace") {
+    val got = Seq("no   markup\nhere").toDF("h")
+      .select(Web.htmlToText(col("h"))).as[String].head()
+    assert(got == "no markup here")
+  }
 }
