@@ -121,4 +121,30 @@ object Relational {
       .where(col("_rn") === 1)
       .drop("_src", "_rn")
   }
+
+  /** Slowly-changing-dimension type 2 build: turn a change log (one row
+    * per observed version of a key) into validity intervals. Each row
+    * gains `valid_from_ms` (its own event time), `valid_to_ms` (the NEXT
+    * version's event time, null for the key's latest version — half-open
+    * [from, to) intervals, the lakehouse-standard SCD2 encoding), and
+    * `is_current`.
+    *
+    * `tieCol` must make (key, ts, tie) a total order — simultaneous
+    * versions otherwise have no defined succession (same caveat every
+    * MERGE-based SCD2 implementation carries).
+    *
+    * One shuffle + one sort on the key — a single `lead` window; at
+    * scale this is exactly the cost of the sessionization family, and
+    * the output joins back to facts as a range join ([[rangeJoin]]) or
+    * as-of join ([[asOfJoinBackward]]).
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from_ms", unix_millis(col(tsCol).cast("timestamp")))
+      .withColumn("valid_to_ms",
+        unix_millis(lead(col(tsCol), 1).over(w).cast("timestamp")))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: densify an irregular event stream onto a
+  * fixed grid and carry observations forward — the resample step that
+  * turns raw telemetry/metrics into the aligned matrix a training or
+  * monitoring pipeline consumes.
+  *
+  * Spark-first shape: the grid is `sequence` + `explode` over each key's
+  * [min, max] bucket span (narrow after one per-key min/max aggregate);
+  * the fill is `last(_, ignoreNulls)` over an ordered per-key window —
+  * one shuffle on the key, one sort, identical to the sessionization
+  * window family. Grid arithmetic is integer bucket indices end-to-end
+  * (µs → bucket via integer division), so engines agree exactly and no
+  * timestamp-precision coupling leaks in.
+  *
+  * Scale: per-key grid length is (span / step), so the explode fan-out is
+  * bounded by time span, not corpus size; a key with a multi-year span ×
+  * tiny step is the skew case — cap it upstream (filter on span) the same
+  * way the dedup family caps hot buckets.
+  */
+object TimeSeries {
+
+  /** Densify + forward-fill. One output row per (key, bucket) for every
+    * `stepMs` bucket between the key's first and last observation:
+    * `bucket_ms` (bucket start epoch-ms), `v` (the bucket's own last
+    * observation by `orderCol`, if any), `filled` (v carried forward),
+    * `is_gap` (no observation in this bucket). Rows with a null key or
+    * timestamp are dropped (grid semantics are per-key).
+    */
+  def gapFillForwardFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, orderCol: String, stepMs: Long): DataFrame = {
+    // integer division (`div`, not `/` which is double) — exact bucket
+    // indices on both engines; timestamps here are post-epoch so floor
+    // vs truncate never diverges
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${stepMs * 1000L}")
+    val obs = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), bucket.as("b"),
+        col(valueCol).as("v"), col(orderCol).as("o"))
+      .groupBy("k", "b").agg(max_by(col("v"), col("o")).as("v"))
+    val span = obs.groupBy("k")
+      .agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = span.select(col("k"),
+      explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("k", "b"), "left")
+      .select(col("k").as(keyCol), (col("b") * stepMs).as("bucket_ms"),
+        col("v"),
+        last("v", ignoreNulls = true).over(w).as("filled"),
+        col("v").isNull.as("is_gap"))
+  }
+}

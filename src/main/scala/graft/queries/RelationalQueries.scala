@@ -625,6 +625,44 @@ object RelationalQueries {
       abs(l_quantity - 25) AS abs_qty_dev
     FROM lineitem"""
 
+  // ————————————————————————— time-grid gap-fill + forward-fill (q105)
+  // (hourly resample of the events stream per user: integer bucket
+  //  indices end-to-end, arg_max/max_by picks the bucket's last value by
+  //  event_id, IGNORE-NULLS last carries it across gaps)
+  val q105GapFill: Q = (s, dir) =>
+    graft.ops.TimeSeries.gapFillForwardFill(Tables.events(s, dir),
+      "user_id", "ts", "value", "event_id", stepMs = 3600000L)
+  val q105Sql: String = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b, value, event_id
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    obs AS (SELECT user_id, b, arg_max(value, event_id) AS v FROM e GROUP BY 1, 2),
+    span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM span),
+    j AS (SELECT g.user_id, g.b, o.v
+          FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b)
+    SELECT user_id, b * 3600000 AS bucket_ms, v,
+      last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      v IS NULL AS is_gap
+    FROM j"""
+
+  // ————————————————————————— SCD2 dimension build (q106)
+  // (orders as a per-customer change log → half-open validity intervals
+  //  via one lead window; latest version flagged current)
+  val q106Scd2: Q = (s, dir) =>
+    Relational.scd2(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey",
+        "o_orderstatus", "o_orderdate"),
+      "o_custkey", "o_orderdate", "o_orderkey")
+      .drop("o_orderdate")
+  val q106Sql: String = """
+    WITH s AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+        epoch_ms(o_orderdate) AS valid_from_ms,
+        epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT *, valid_to_ms IS NULL AS is_current FROM s"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -656,7 +694,9 @@ object RelationalQueries {
     "q48_rank_family" -> q48RankFamily,
     "q51_collect_types" -> q51CollectTypes,
     "q52_date_math" -> q52DateMath,
-    "q57_math_funcs" -> q57MathFuncs)
+    "q57_math_funcs" -> q57MathFuncs,
+    "q105_gap_fill" -> q105GapFill,
+    "q106_scd2" -> q106Scd2)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -689,5 +729,7 @@ object RelationalQueries {
     "q48_rank_family" -> q48Sql,
     "q51_collect_types" -> q51Sql,
     "q52_date_math" -> q52Sql,
-    "q57_math_funcs" -> q57Sql)
+    "q57_math_funcs" -> q57Sql,
+    "q105_gap_fill" -> q105Sql,
+    "q106_scd2" -> q106Sql)
 }
