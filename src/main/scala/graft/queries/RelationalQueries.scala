@@ -663,6 +663,51 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
     SELECT *, valid_to_ms IS NULL AS is_current FROM s"""
 
+  // ————————————————————————— ordered session funnel (q107)
+  // (q08's gap sessionization + three chained ordered-step window mins:
+  //  step k is the first matching event strictly after step k-1, so a
+  //  missing earlier step nulls everything downstream. All-µs integers.)
+  val q107Funnel: Q = (s, dir) =>
+    graft.ops.Analytics.sessionFunnel(Tables.events(s, dir),
+      Seq("view", "click", "purchase"))
+  val q107Sql: String = """
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (SELECT user_id, event_type, us,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      FROM g),
+    f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+             OVER (PARTITION BY user_id, sess) AS s1 FROM s),
+    f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > s1 THEN us END)
+             OVER (PARTITION BY user_id, sess) AS s2 FROM f1),
+    f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2 THEN us END)
+             OVER (PARTITION BY user_id, sess) AS s3 FROM f2)
+    SELECT DISTINCT user_id, sess, s1 // 1000 AS step1_ms,
+      s2 // 1000 AS step2_ms, s3 // 1000 AS step3_ms
+    FROM f3"""
+
+  // ————————————————————————— cohort retention matrix (q108)
+  // (cohort = epoch-week of the user's first event; one cell per
+  //  (cohort, offset) with distinct active users — all integer math)
+  val q108Cohort: Q = (s, dir) =>
+    graft.ops.Analytics.cohortRetention(Tables.events(s, dir))
+  val q108Sql: String = """
+    WITH f AS (SELECT user_id,
+        min(epoch_us(ts) // 86400000000 // 7) AS cohort_week
+      FROM events GROUP BY 1),
+    a AS (SELECT e.user_id, f.cohort_week,
+        epoch_us(ts) // 86400000000 // 7 - f.cohort_week AS week_offset
+      FROM events e JOIN f USING (user_id))
+    SELECT cohort_week, week_offset,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -696,7 +741,9 @@ object RelationalQueries {
     "q52_date_math" -> q52DateMath,
     "q57_math_funcs" -> q57MathFuncs,
     "q105_gap_fill" -> q105GapFill,
-    "q106_scd2" -> q106Scd2)
+    "q106_scd2" -> q106Scd2,
+    "q107_funnel" -> q107Funnel,
+    "q108_cohort" -> q108Cohort)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -731,5 +778,7 @@ object RelationalQueries {
     "q52_date_math" -> q52Sql,
     "q57_math_funcs" -> q57Sql,
     "q105_gap_fill" -> q105Sql,
-    "q106_scd2" -> q106Sql)
+    "q106_scd2" -> q106Sql,
+    "q107_funnel" -> q107Sql,
+    "q108_cohort" -> q108Sql)
 }
