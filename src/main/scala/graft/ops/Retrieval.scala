@@ -44,7 +44,10 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val post = postings(docs, textCol, idCol)
+    // postings feed three consumers (df counts, avgdl, scoring) — one
+    // materialization instead of three tokenize+aggregate passes over
+    // the corpus; at scale this is the durable postings table itself
+    val post = postings(docs, textCol, idCol).localCheckpoint()
     // bounded scalars: corpus size and total token count are single
     // aggregates (avgdl derived as exact-integer sum / count, so both
     // engines divide the identical numerator)

@@ -42,6 +42,11 @@ object TimeSeries {
       .select(col(keyCol).as("k"), bucket.as("b"),
         col(valueCol).as("v"), col(orderCol).as("o"))
       .groupBy("k", "b").agg(max_by(col("v"), col("o")).as("v"))
+      // feeds both the span aggregate and the grid join — materialize
+      // the bucket rollup once instead of re-scanning + re-shuffling
+      // the raw events for each consumer (≙ the staged hourly table a
+      // production pipeline would persist)
+      .localCheckpoint()
     val span = obs.groupBy("k")
       .agg(min("b").as("b0"), max("b").as("b1"))
     val grid = span.select(col("k"),
