@@ -147,4 +147,32 @@ object Relational {
         unix_millis(lead(col(tsCol), 1).over(w).cast("timestamp")))
       .withColumn("is_current", col("valid_to_ms").isNull)
   }
+
+  /** CDC apply: collapse a change log (upserts + deletes) onto a base
+    * snapshot — the MERGE a lakehouse table runs per ingest cycle.
+    * Per key, only the LAST log entry by (`tsCol`, `tieCol`) counts:
+    * op `"D"` removes the key, anything else upserts the log row's
+    * payload (an upsert on an absent key inserts — CDC logs don't
+    * distinguish I/U reliably, so neither does the apply). Base rows
+    * with no log entry pass through.
+    *
+    * `log`'s payload columns (everything except op/ts/tie) must equal
+    * `base`'s columns. Cost: one window on the key over the LOG only
+    * (logs are deltas — small relative to base), one anti-join, one
+    * union — base is never shuffled when the log side broadcasts,
+    * which is the common nightly-merge shape.
+    */
+  def applyCdc(base: DataFrame, log: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, opCol: String = "op"): DataFrame = {
+    val payload = log.columns.filterNot(Seq(tsCol, tieCol, opCol).contains)
+    require(payload.sorted.sameElements(base.columns.sorted),
+      s"log payload ${payload.toSeq} must match base columns ${base.columns.toSeq}")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val last = log.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+    val untouched = base.join(last.select(col(keyCol)), Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      last.where(col(opCol) =!= "D").select(payload.map(col): _*))
+  }
 }

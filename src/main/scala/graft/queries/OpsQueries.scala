@@ -2073,6 +2073,29 @@ object OpsQueries {
     FROM r WHERE rk <= 10"""
   }
 
+  // ———————————————————————————— KMV distinct-count sketch (q109)
+  // (k-minimum-values cardinality estimate per language: the mergeable
+  //  bounded-memory sketch shape with arithmetic both engines reproduce
+  //  bit-for-bit — HLL's estimate is engine-specific and un-oracle-able,
+  //  KMV's is one integer product and one IEEE division. Groups under k
+  //  distinct return exact counts; en (218 distinct at sf0.01) exercises
+  //  the estimator path.)
+  val q109KmvDistinct: Q = (s, dir) =>
+    graft.ops.Sketches.kmvDistinct(Tables.documents(s, dir), "lang", "text",
+      k = 64)
+  val q109Sql: String = """
+    WITH h AS (SELECT DISTINCT lang AS g,
+        CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+      FROM documents),
+    r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+          FROM h),
+    kk AS (SELECT g, count(*) AS n_kept, max(h) AS kth
+           FROM r WHERE rk <= 64 GROUP BY 1)
+    SELECT g AS lang, n_kept,
+      CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+           ELSE round(63 * 4294967296.0 / kth, 2) END AS est
+    FROM kk"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2135,7 +2158,8 @@ object OpsQueries {
     "q100_image_ahash" -> q100ImageAhash,
     "q102_pagerank" -> q102Pagerank,
     "q103_html_extract" -> q103HtmlExtract,
-    "q104_bm25" -> q104Bm25)
+    "q104_bm25" -> q104Bm25,
+    "q109_kmv_distinct" -> q109KmvDistinct)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2199,5 +2223,6 @@ object OpsQueries {
     "q100_image_ahash" -> q100Sql,
     "q102_pagerank" -> q102Sql,
     "q103_html_extract" -> q103Sql,
-    "q104_bm25" -> q104Sql)
+    "q104_bm25" -> q104Sql,
+    "q109_kmv_distinct" -> q109Sql)
 }

@@ -708,6 +708,39 @@ object RelationalQueries {
       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM a GROUP BY 1, 2"""
 
+  // ————————————————————————— CDC apply / lakehouse MERGE (q110)
+  // (orders re-cast as a per-customer change log — every 10th order a
+  //  delete, the rest upserts — collapsed to last-op-per-key and merged
+  //  onto the customer snapshot: deletes drop the key, upserts replace
+  //  or insert the payload, untouched base rows pass through)
+  val q110CdcApply: Q = (s, dir) => {
+    val base = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val log = Tables.orders(s, dir).select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("cdc_"), col("o_orderkey").cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ts"),
+      col("o_orderkey").as("tie"),
+      when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"))
+    Relational.applyCdc(base, log, "c_custkey", "ts", "tie")
+  }
+  val q110Sql: String = """
+    WITH lg AS (SELECT o_custkey AS c_custkey,
+        'cdc_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        o_totalprice AS c_acctbal,
+        epoch_ms(o_orderdate) AS ts, o_orderkey AS tie,
+        CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders),
+    last AS (SELECT * FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY c_custkey ORDER BY ts DESC, tie DESC) AS rn
+        FROM lg) WHERE rn = 1)
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM last WHERE op <> 'D'"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -743,7 +776,8 @@ object RelationalQueries {
     "q105_gap_fill" -> q105GapFill,
     "q106_scd2" -> q106Scd2,
     "q107_funnel" -> q107Funnel,
-    "q108_cohort" -> q108Cohort)
+    "q108_cohort" -> q108Cohort,
+    "q110_cdc_apply" -> q110CdcApply)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -780,5 +814,6 @@ object RelationalQueries {
     "q105_gap_fill" -> q105Sql,
     "q106_scd2" -> q106Sql,
     "q107_funnel" -> q107Sql,
-    "q108_cohort" -> q108Sql)
+    "q108_cohort" -> q108Sql,
+    "q110_cdc_apply" -> q110Sql)
 }
