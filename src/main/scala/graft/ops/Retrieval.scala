@@ -74,4 +74,37 @@ object Retrieval {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Exact phrase search over positional postings: doc d matches phrase
+    * t₀ t₁ … tₙ₋₁ at start s iff term tᵢ occurs at position s+i for all
+    * i. The classic positional-index evaluation, join-shaped: every
+    * token joins the (broadcast) phrase-term table, each hit votes for
+    * its implied start `pos − i`, and a start with all `len` distinct
+    * offsets present is an occurrence (repeated phrase terms are
+    * handled — the vote is per-offset, not per-term). Returns
+    * (query_id, doc_id, n_hits), docs with ≥ 1 occurrence only.
+    *
+    * One shuffle (the vote groupBy); the token stream is pruned to
+    * phrase terms at the broadcast join, so cost scales with the
+    * postings of the queried terms, not the corpus — the same pruning
+    * shape as [[bm25TopK]]. All-integer arithmetic.
+    */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[(Int, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(phrases.flatMap { case (qid, p) =>
+      val ts = p.toLowerCase.split(" ").toSeq
+      ts.zipWithIndex.map { case (t, i) => (qid, i.toLong, t, ts.length.toLong) }
+    }.toDF("query_id", "i", "term", "len"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "term")))
+    tok.join(qt, "term")
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("i")).as("start"), col("len"))
+      .agg(countDistinct("i").as("n_off"))
+      .where(col("n_off") === col("len"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -116,6 +116,38 @@ object Web {
     * A production extractor adds boilerplate heuristics (link-density,
     * block scoring) on top of this skeleton; those are per-row too.
     */
+  /** URL canonicalization — the normalization pass before URL-keyed
+    * dedup, so `HTTPS://Site.COM:443/a/?b=2&utm_source=x&a=1#f` and
+    * `https://site.com/a?a=1&b=2` collapse. Rules, in order: fragment
+    * dropped; scheme + authority lowercased; default port stripped
+    * (`:80` http, `:443` https); non-root trailing slash dropped;
+    * tracking params (`utm_*`, `gclid`, `fbclid`) removed; remaining
+    * params sorted. Pure narrow expression chain — no shuffle, no UDF;
+    * the param sort is a bounded in-row `array_sort`.
+    *
+    * Path case and param VALUES are preserved (they are semantic);
+    * anchored RE2-compatible regexes only, so the same patterns run on
+    * any engine.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]*)", 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]*(.*)$", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .when(path0 =!= "/", regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$") && p =!= lit(""))), "&")
+    concat(scheme, lit("://"), auth, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   def htmlTitle(html: Column): Column =
     regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
 

@@ -2096,6 +2096,93 @@ object OpsQueries {
            ELSE round(63 * 4294967296.0 / kth, 2) END AS est
     FROM kk"""
 
+  // ———————————————————————————— positional phrase search (q111)
+  // (exact phrase occurrence counting over positional postings: every
+  //  token votes for its implied start pos−i; a start with all offsets
+  //  present is an occurrence. All-integer; pruned to phrase terms at
+  //  the broadcast join.)
+  val q111Phrases: Seq[(Int, String)] = Seq(
+    1 -> "hash join", 2 -> "table scan", 3 -> "value table part")
+  val q111PhraseSearch: Q = (s, dir) =>
+    graft.ops.Retrieval.phraseSearch(Tables.documents(s, dir), "text",
+      "doc_id", q111Phrases)
+  val q111Sql: String = {
+    val values = q111Phrases.flatMap { case (qid, p) =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) => s"($qid, $i, '$t', ${ts.length})" }
+    }.mkString(", ")
+    s"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d),
+    tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS term FROM idx),
+    qt(query_id, i, term, len) AS (VALUES $values),
+    hits AS (SELECT q.query_id, t.doc_id, t.pos - q.i AS start, q.len, q.i
+             FROM tok t JOIN qt q ON t.term = q.term),
+    m AS (SELECT query_id, doc_id, start FROM hits
+          GROUP BY query_id, doc_id, start, len
+          HAVING count(DISTINCT i) = len)
+    SELECT query_id, doc_id, count(*) AS n_hits FROM m GROUP BY 1, 2"""
+  }
+
+  // ———————————————————————————— URL canonicalization + dedup (q112)
+  // (deterministic messy-URL fixture — uppercase scheme/host, default
+  //  port, trailing slash, tracking params, fragment — canonicalized by
+  //  the engine's narrow expression chain; keeper = min doc_id per
+  //  canonical URL shows the dedup it enables. Both engines run the
+  //  same anchored RE2-safe regexes and the same param filter+sort.)
+  val q112UrlCanon: Q = (s, dir) => {
+    val url = concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+      lit(".COM:443/Dir/Page"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&b="), (col("doc_id") % 5).cast("string"),
+      lit("&a=1"),
+      when(col("doc_id") % 2 === 0, "&gclid=xyz").otherwise(""),
+      lit("#sec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+    Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      .withColumn("canon_url", Web.canonicalizeUrl(col("url")))
+      .withColumn("keeper", min("doc_id").over(w))
+  }
+  val q112Sql: String = """
+    WITH u AS (SELECT doc_id,
+        'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        '.COM:443/Dir/Page' || CAST(doc_id % 50 AS VARCHAR) ||
+        (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '&gclid=xyz' ELSE '' END) ||
+        '#sec' AS url
+      FROM documents),
+    n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+    n2 AS (SELECT *,
+        lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]*)', 1)) AS auth0,
+        regexp_extract(nf, '^[A-Za-z]+://[^/?#]*(.*)$', 1) AS rest
+      FROM n1),
+    n3 AS (SELECT *,
+        CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+             ELSE auth0 END AS auth,
+        regexp_extract(rest, '^([^?]*)', 1) AS path0,
+        regexp_extract(rest, '\?(.*)$', 1) AS q
+      FROM n2),
+    n4 AS (SELECT *,
+        CASE WHEN path0 = '' THEN '/'
+             WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+             ELSE path0 END AS path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+          p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')
+               AND p <> '')), '&') AS params
+      FROM n3)
+    SELECT doc_id, url,
+      scheme || '://' || auth || path ||
+        CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon_url,
+      min(doc_id) OVER (PARTITION BY
+        scheme || '://' || auth || path ||
+        CASE WHEN params = '' THEN '' ELSE '?' || params END) AS keeper
+    FROM n4"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2159,7 +2246,9 @@ object OpsQueries {
     "q102_pagerank" -> q102Pagerank,
     "q103_html_extract" -> q103HtmlExtract,
     "q104_bm25" -> q104Bm25,
-    "q109_kmv_distinct" -> q109KmvDistinct)
+    "q109_kmv_distinct" -> q109KmvDistinct,
+    "q111_phrase_search" -> q111PhraseSearch,
+    "q112_url_canon" -> q112UrlCanon)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2224,5 +2313,7 @@ object OpsQueries {
     "q102_pagerank" -> q102Sql,
     "q103_html_extract" -> q103Sql,
     "q104_bm25" -> q104Sql,
-    "q109_kmv_distinct" -> q109Sql)
+    "q109_kmv_distinct" -> q109Sql,
+    "q111_phrase_search" -> q111Sql,
+    "q112_url_canon" -> q112Sql)
 }

@@ -45,4 +45,23 @@ class RetrievalSpec extends SparkSpec {
     assert(one.toSet == single.toSet) // dup + unmatched terms are no-ops
     assert(one.map(_._2).toSet == Set(2L))
   }
+
+  test("phraseSearch counts exact adjacent occurrences only") {
+    val d = Seq(
+      (0L, "red fox red fox"), // "red fox" twice
+      (1L, "red blue fox"), // terms present but not adjacent
+      (2L, "fox red")) // reversed
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(d, "text", "doc_id", Seq(1 -> "red fox"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 0L, 2L)))
+  }
+
+  test("phraseSearch handles repeated terms in the phrase") {
+    val d = Seq((0L, "a a a"), (1L, "a b a")).toDF("doc_id", "text")
+    // "a a" occurs at starts 0 and 1 in doc 0; never in doc 1
+    val got = Retrieval.phraseSearch(d, "text", "doc_id", Seq(1 -> "a a"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 0L, 2L)))
+  }
 }

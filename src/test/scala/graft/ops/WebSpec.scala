@@ -83,6 +83,20 @@ class WebSpec extends SparkSpec {
     assert(got._2 == "T & U x <tag> &lt; y bold", s"got '${got._2}'")
   }
 
+  test("canonicalizeUrl: case, port, slash, tracking params, sort, fragment") {
+    val cases = Seq(
+      "HTTPS://Site.COM:443/A/?b=2&utm_source=x&a=1#f" ->
+        "https://site.com/A?a=1&b=2",
+      "http://ex.org:80/" -> "http://ex.org/",
+      "http://ex.org:8080/p" -> "http://ex.org:8080/p", // non-default kept
+      "https://ex.org" -> "https://ex.org/", // empty path → root
+      "https://ex.org/p?gclid=g&fbclid=f&utm_medium=m" -> "https://ex.org/p",
+      "ftp://Ex.org:443/f" -> "ftp://ex.org:443/f") // 443 only default for https
+    val got = cases.map(_._1).toDF("u")
+      .select(Web.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("htmlToText leaves plain text unchanged modulo whitespace") {
     val got = Seq("no   markup\nhere").toDF("h")
       .select(Web.htmlToText(col("h"))).as[String].head()
