@@ -271,6 +271,47 @@ object TextOps {
         count(lit(1)).as("n_words"))
   }
 
+  /** Interpolated bigram log-probability — one rung up the CCNet LM
+    * ladder from [[unigramLogProb]]: every adjacent token pair scored by
+    * `λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N`, the Jelinek-Mercer interpolation
+    * that keeps the model well-defined for bigrams rare in (or, in
+    * cross-corpus use, absent from) the training counts. Trained on the
+    * scoring corpus itself, as CCNet trains on its reference corpus.
+    * Returns (id, logprob2, n_bigrams); single-token documents have no
+    * bigrams and are absent by construction.
+    *
+    * Plan: positional explode + one per-doc `lead` window builds the
+    * pair stream (one exchange on the doc id — an in-row `zip_with`
+    * pairing would re-evaluate per element interpreted, the q74 HOF
+    * lesson); bigram/unigram count tables join back vocab-sized, the
+    * token total broadcasts as one row; final per-doc aggregate. Three
+    * data-sized shuffles — explode, pair window, doc aggregate.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w1")))
+    val bg = t
+      .withColumn("w2",
+        lead("w1", 1).over(Window.partitionBy("id").orderBy("pos")))
+      .where(col("w2").isNotNull)
+    val uc = df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val total = uc.agg(sum(col("c")).as("n"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(uc.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("word").as("w2"), col("c").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(round(avg(log(
+        lit(lambda) * col("c2") / col("c1") +
+          (lit(1.0) - lit(lambda)) * col("cu2") / col("n"))), 6)
+        .as("logprob2"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
 

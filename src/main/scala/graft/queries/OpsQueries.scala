@@ -2183,6 +2183,32 @@ object OpsQueries {
         CASE WHEN params = '' THEN '' ELSE '?' || params END) AS keeper
     FROM n4"""
 
+  // ———————————————————————————— bigram LM scoring (q113)
+  // (Jelinek-Mercer interpolated bigram log-prob, trained on the corpus
+  //  itself; identical float shape both sides — (λ·c2)/c1 + ((1−λ)·cu)/N
+  //  — with the 6 d.p. mean round absorbing summation order)
+  val q113BigramLogprob: Q = (s, dir) =>
+    TextOps.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")
+  val q113Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx),
+    uc AS (SELECT word, count(*) AS c FROM
+             (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents) GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+    SELECT doc_id AS id,
+      round(avg(ln(CAST(0.75 AS DOUBLE) * bc.c2 / u1.c +
+        (1 - CAST(0.75 AS DOUBLE)) * u2.c / (SELECT n FROM n))), 6)
+        AS logprob2,
+      count(*) AS n_bigrams
+    FROM bg JOIN bc USING (w1, w2)
+    JOIN uc u1 ON u1.word = bg.w1
+    JOIN uc u2 ON u2.word = bg.w2
+    GROUP BY doc_id"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2248,7 +2274,8 @@ object OpsQueries {
     "q104_bm25" -> q104Bm25,
     "q109_kmv_distinct" -> q109KmvDistinct,
     "q111_phrase_search" -> q111PhraseSearch,
-    "q112_url_canon" -> q112UrlCanon)
+    "q112_url_canon" -> q112UrlCanon,
+    "q113_bigram_logprob" -> q113BigramLogprob)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2315,5 +2342,6 @@ object OpsQueries {
     "q104_bm25" -> q104Sql,
     "q109_kmv_distinct" -> q109Sql,
     "q111_phrase_search" -> q111Sql,
-    "q112_url_canon" -> q112Sql)
+    "q112_url_canon" -> q112Sql,
+    "q113_bigram_logprob" -> q113Sql)
 }

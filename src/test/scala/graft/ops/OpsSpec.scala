@@ -457,6 +457,24 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._1 > out(1L)._1 && out(1L)._1 > out(3L)._1)
   }
 
+  test("bigram logprob: hand computation, interpolation, single-token drop") {
+    import spark.implicits._
+    // corpus tokens incl. the single-token doc: a=4, b=2, x=1, N=7
+    // bigrams: (a,b)x2 (b,a)x1 (a,a)x1
+    val d = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def p(c2: Double, c1: Double, cu: Double) =
+      0.75 * c2 / c1 + 0.25 * cu / 7.0
+    val doc1 = (math.log(p(2, 4, 2)) + math.log(p(1, 2, 4)) +
+      math.log(p(2, 4, 2))) / 3
+    val doc2 = math.log(p(1, 4, 4))
+    assert(math.abs(out(1L)._1 - doc1) < 1e-6)
+    assert(math.abs(out(2L)._1 - doc2) < 1e-6)
+    assert(out(1L)._2 == 3L && out(2L)._2 == 1L)
+    assert(!out.contains(3L)) // single-token doc has no bigrams
+  }
+
   test("chunkDocuments: stride starts, overlap, short tail, full coverage") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
