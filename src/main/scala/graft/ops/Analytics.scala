@@ -82,4 +82,90 @@ object Analytics {
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct("user_id").as("n_users"))
   }
+
+  /** Partial hourly stats — the mergeable half of incremental rollup
+    * maintenance. Emits one row per (user_id, hourly bucket) with the
+    * commutative-monoid state (count, sum, min, max) a stored rollup
+    * table carries: values scaled to exact integer millis so partials
+    * merge without float drift, null user/ts rows dropped (group
+    * semantics are per-key, the A1 discipline).
+    *
+    * This is the at-scale pattern for "the rollup must not rescan
+    * 100 TB when today's partition lands": persist these partials per
+    * ingest batch, [[mergePartialStats]] them with the stored state
+    * (cost ∝ touched groups, not history), [[finalizeStats]] only at
+    * read time.
+    */
+  def partialHourlyStats(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("b"),
+        round(col("value") * 1000).cast("long").as("v"))
+      .groupBy("user_id", "b")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+
+  /** Merge partial-stats tables (stored rollup state + a new batch's
+    * partials): one map-side-combined aggregate re-folding the monoid.
+    * Associative + commutative by construction, so any merge tree —
+    * per-batch, per-day, binary — yields identical state.
+    */
+  def mergePartialStats(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty)
+    parts.reduce(_ unionByName _)
+      .groupBy("user_id", "b")
+      .agg(sum("cnt").as("cnt"), sum("s").as("s"),
+        min("mn").as("mn"), max("mx").as("mx"))
+  }
+
+  /** Read-time finalization of merged state: bucket start ms, count,
+    * exact milli sum/min/max, and the mean (one exact-integer division,
+    * 6 d.p. round). The only float in the family, produced at the edge.
+    */
+  def finalizeStats(partials: DataFrame): DataFrame =
+    partials.select(col("user_id"), (col("b") * 3600000L).as("bucket_ms"),
+      col("cnt"), col("s").as("sum_mv"), col("mn").as("min_mv"),
+      col("mx").as("max_mv"),
+      round(col("s").cast("double") / col("cnt"), 6).as("mean_mv"))
+
+  /** Per-group winsorization — the outlier clamp feature pipelines apply
+    * before normalizing a numeric column: values are clamped to the
+    * group's [pLo, pHi] exact percentiles. Returns one row per group:
+    * the floor-integer cent thresholds, how many values each side
+    * clamped, and the winsorized mean.
+    *
+    * Integer discipline: values are scaled to exact cents first, and the
+    * interpolated percentile is FLOORED to an integer threshold — round
+    * would sit on half-ulp boundaries where engines may disagree, floor
+    * never does (both sides interpolate `lo + (hi−lo)·frac` over the
+    * same exact integers). Clamping, counting, and summing then happen
+    * in exact integer space; the mean is one division at the edge.
+    *
+    * Plan: two grouped passes — thresholds first (exact sort-based
+    * `percentile`), then the group-sized threshold table broadcasts back
+    * onto the cents stream for the clamped aggregate. At 100 TB swap the
+    * first pass to `approx_percentile` with a documented error budget;
+    * the clamp algebra is unchanged.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val cents = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+    val thresholds = cents.groupBy("g").agg(
+      floor(percentile(col("c"), lit(pLo))).cast("long").as("p_lo_c"),
+      floor(percentile(col("c"), lit(pHi))).cast("long").as("p_hi_c"))
+    cents.join(thresholds, Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(first("p_lo_c").as("p_lo_c"), first("p_hi_c").as("p_hi_c"),
+        count(lit(1)).as("n"),
+        sum(when(col("c") < col("p_lo_c"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("c") > col("p_hi_c"), 1L).otherwise(0L)).as("n_hi"),
+        round(sum(greatest(least(col("c"), col("p_hi_c")), col("p_lo_c")))
+          .cast("double") / count(lit(1)), 6).as("wins_mean_c"))
+  }
 }

@@ -312,6 +312,63 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Pointwise mutual information over co-occurring word pairs — the
+    * collocation detector ("new york", "machine learning") every
+    * corpus-analysis pass wants: `pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )`
+    * with `p(a,b)` estimated from unordered co-occurrence events within
+    * `window` tokens and `p(·)` from the unigram stream. Returns one row
+    * per unordered pair seen at least `minPairCount` times:
+    * `(a, b, c_pair, pmi)` with `a <= b` and pmi rounded to 6 d.p.
+    *
+    * Float reproducibility: the score is computed from five exact
+    * integers (pair count, two unigram counts, pair total, token total)
+    * through one fixed left-associated expression
+    * `ln((c_pair·N·N) / (P·c_a·c_b))` — no accumulated float state, so
+    * any engine reproduces it bit-for-bit before the cosmetic round.
+    *
+    * Plan: positional explode + `window` `lead`s sharing ONE per-doc
+    * sort builds the pair-event stream (linear in tokens — never the
+    * all-pairs token join); pair/unigram count tables are vocab-sized;
+    * the two scalar totals broadcast as single rows. The `minPairCount`
+    * floor is applied after the pair aggregate (map-side combined), so
+    * the surviving join is collocation-table-sized, not stream-sized.
+    */
+  def pmiPairs(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 2, minPairCount: Long = 5): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byDoc = W.partitionBy("id").orderBy("pos")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = toks.select(col("w") +:
+      (1 to window).map(k => lead("w", k).over(byDoc).as(s"_l$k")): _*)
+    val pairEvents = (1 to window).map { k =>
+      withLeads.where(col(s"_l$k").isNotNull)
+        .select(least(col("w"), col(s"_l$k")).as("a"),
+          greatest(col("w"), col(s"_l$k")).as("b"))
+    }.reduce(_ unionAll _)
+    // the pair-count table feeds BOTH the scalar pair total and the
+    // collocation rows — materialize the (vocab²-bounded, in practice
+    // collocation-sized) aggregate once instead of re-running the
+    // explode + window subtree per consumer (the q104-postings lesson)
+    val pcAll = pairEvents.groupBy("a", "b").agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint()
+    val pc = pcAll.where(col("c_pair") >= minPairCount)
+    val uc = df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: the token total + two joins
+    val totals = broadcast(
+      uc.agg(sum(col("c")).cast("double").as("n"))
+        .crossJoin(pcAll.agg(sum(col("c_pair")).cast("double").as("p"))))
+    pc
+      .join(uc.select(col("word").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uc.select(col("word").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(totals)
+      .select(col("a"), col("b"), col("c_pair"),
+        round(log(col("c_pair").cast("double") * col("n") * col("n") /
+          (col("p") * col("c_a") * col("c_b"))), 6).as("pmi"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
 

@@ -59,4 +59,52 @@ object TimeSeries {
         last("v", ignoreNulls = true).over(w).as("filled"),
         col("v").isNull.as("is_gap"))
   }
+
+  /** Rolling z-score anomaly detection: each observation scored against
+    * the `nPrev` observations strictly before it (ROWS frame, current
+    * row excluded — the score never sees the value it judges). Returns
+    * one row per non-null (key, ts, value) observation: the millisecond
+    * timestamp, the exact milli-scaled value `v`, the trailing window's
+    * size/sum, `z` (null until the trailing window is full or while its
+    * variance is zero), and `is_anomaly` (|z| > `zThreshold`).
+    *
+    * Exact-integer core — the reproducibility trick this family uses
+    * everywhere: values are scaled to integer millis first, so the
+    * frame's sum and sum-of-squares are exact BIGINTs under any
+    * accumulation order (sliding-frame subtraction, segment trees,
+    * sequential — all equal). The z-score then comes from two exact
+    * integers through one division and one sqrt:
+    * `z = (v·cnt − s) / sqrt(cnt·ss − s²)` — algebraically identical to
+    * `(v − mean) / stddev_pop`, but with no intermediate float state, so
+    * engines agree bit-for-bit before the 6 d.p. round.
+    *
+    * Plan: one exchange on the key + one sort shared by all three frame
+    * aggregates — the q07/q09 rolling-window shape; scales with the
+    * per-key stream like the rest of the window family.
+    */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, orderCol: String, nPrev: Int = 10,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(nPrev >= 2, "nPrev must be >= 2")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(orderCol).as("o"),
+        expr(s"unix_micros(`$tsCol`)").as("us"),
+        round(col(valueCol) * 1000).cast("long").as("v"))
+    val w = Window.partitionBy("k").orderBy(col("us"), col("o"))
+      .rowsBetween(-nPrev, -1)
+    val scored = base.select(col("k").as(keyCol), col("o").as(orderCol),
+      expr("us div 1000").as("ts_ms"), col("v"),
+      count(col("v")).over(w).as("w_cnt"),
+      sum(col("v")).over(w).as("w_sum"),
+      sum(col("v") * col("v")).over(w).as("w_sumsq"))
+    val num = col("w_cnt") * col("w_sumsq") - col("w_sum") * col("w_sum")
+    val z = when(col("w_cnt") === nPrev && num > 0,
+      round((col("v") * col("w_cnt") - col("w_sum")).cast("double") /
+        sqrt(num.cast("double")), 6))
+    scored.select(col(keyCol), col(orderCol), col("ts_ms"), col("v"),
+      col("w_cnt"), col("w_sum"), z.as("z"),
+      coalesce(abs(z) > zThreshold, lit(false)).as("is_anomaly"))
+  }
 }

@@ -2209,6 +2209,53 @@ object OpsQueries {
     JOIN uc u2 ON u2.word = bg.w2
     GROUP BY doc_id"""
 
+  // ———————————————————————————— PMI collocations (q114)
+  // (pointwise mutual information over unordered word pairs within a
+  //  2-token window; the score is one fixed expression over five exact
+  //  integers — ln((c·N·N)/(P·c_a·c_b)) — so both engines agree
+  //  bit-for-bit before the 6 d.p. round)
+  val q114PmiPairs: Q = (s, dir) =>
+    TextOps.pmiPairs(Tables.documents(s, dir), "text", "doc_id",
+      window = 2, minPairCount = 5)
+  val q114Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    tok AS (SELECT unnest(w) AS word FROM d),
+    uc AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d),
+    pr AS (SELECT least(w[i], w[i + k]) AS a, greatest(w[i], w[i + k]) AS b
+           FROM idx CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
+           WHERE i + k <= len(w)),
+    p AS (SELECT CAST(count(*) AS DOUBLE) AS p FROM pr),
+    pc AS (SELECT a, b, count(*) AS c_pair FROM pr GROUP BY 1, 2
+           HAVING count(*) >= 5)
+    SELECT a, b, c_pair,
+      round(ln(CAST(c_pair AS DOUBLE) * n.n * n.n /
+        (p.p * u1.c * u2.c)), 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON u1.word = pc.a
+    JOIN uc u2 ON u2.word = pc.b
+    CROSS JOIN n CROSS JOIN p"""
+
+  // ———————————————————————————— blocked edit-distance ER (q117)
+  // (entity resolution on customer names: candidates only within the
+  //  7-digit-prefix block — Σ block², never n² — then exact Levenshtein
+  //  ≤ 1; the id cap bounds what the oracle re-verifies)
+  val q117EntityResolution: Q = (s, dir) =>
+    Dedup.blockedEditDistancePairs(
+      Tables.customer(s, dir).filter(col("c_custkey") < 3000),
+      "c_custkey", "c_name", substring(col("c_name"), 10, 7), maxDist = 1)
+  val q117Sql: String = """
+    WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
+               FROM customer WHERE c_custkey < 3000),
+    k AS (SELECT blk FROM c GROUP BY blk HAVING count(*) <= 10000)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE a.blk IN (SELECT blk FROM k)
+      AND levenshtein(a.c_name, b.c_name) <= 1"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2275,7 +2322,9 @@ object OpsQueries {
     "q109_kmv_distinct" -> q109KmvDistinct,
     "q111_phrase_search" -> q111PhraseSearch,
     "q112_url_canon" -> q112UrlCanon,
-    "q113_bigram_logprob" -> q113BigramLogprob)
+    "q113_bigram_logprob" -> q113BigramLogprob,
+    "q114_pmi_pairs" -> q114PmiPairs,
+    "q117_entity_resolution" -> q117EntityResolution)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2343,5 +2392,7 @@ object OpsQueries {
     "q109_kmv_distinct" -> q109Sql,
     "q111_phrase_search" -> q111Sql,
     "q112_url_canon" -> q112Sql,
-    "q113_bigram_logprob" -> q113Sql)
+    "q113_bigram_logprob" -> q113Sql,
+    "q114_pmi_pairs" -> q114Sql,
+    "q117_entity_resolution" -> q117Sql)
 }

@@ -741,6 +741,83 @@ object RelationalQueries {
     UNION ALL
     SELECT c_custkey, c_name, c_acctbal FROM last WHERE op <> 'D'"""
 
+  // ————————————————————————— rolling z-score anomalies (q115)
+  // (each value scored against the 10 observations strictly before it;
+  //  z from two exact integers — (v·cnt − s)/sqrt(cnt·ss − s²) — so the
+  //  sliding-frame accumulation order can't leak into the result)
+  val q115RollingZscore: Q = (s, dir) =>
+    graft.ops.TimeSeries.rollingZscore(Tables.events(s, dir),
+      "user_id", "ts", "value", "event_id", nPrev = 10, zThreshold = 2.0)
+  val q115Sql: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        CAST(round(value * 1000) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    w AS (SELECT user_id, event_id, us // 1000 AS ts_ms, v,
+        count(v) OVER fr AS w_cnt,
+        sum(v) OVER fr AS w_sum,
+        sum(v * v) OVER fr AS w_sumsq
+      FROM e
+      WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT user_id, event_id, ts_ms, v,
+        CAST(w_cnt AS BIGINT) AS w_cnt, CAST(w_sum AS BIGINT) AS w_sum,
+        CASE WHEN w_cnt = 10 AND w_cnt * w_sumsq - w_sum * w_sum > 0
+          THEN round(CAST(v * w_cnt - w_sum AS DOUBLE) /
+            sqrt(CAST(w_cnt * w_sumsq - w_sum * w_sum AS DOUBLE)), 6)
+        END AS z
+      FROM w)
+    SELECT user_id, event_id, ts_ms, v, w_cnt, w_sum, z,
+      coalesce(abs(z) > 2.0, false) AS is_anomaly
+    FROM z"""
+
+  // ————————————————————————— incremental rollup maintenance (q116)
+  // (the materialized-view pattern: per-batch partial (cnt,sum,min,max)
+  //  monoid state merged with stored state, finalized at read time; the
+  //  oracle recomputes directly from all events — merge ≡ recompute)
+  val q116IncrementalRollup: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val base = ev.where(col("event_id") % 5 =!= 0)
+    val delta = ev.where(col("event_id") % 5 === 0)
+    graft.ops.Analytics.finalizeStats(graft.ops.Analytics.mergePartialStats(
+      graft.ops.Analytics.partialHourlyStats(base),
+      graft.ops.Analytics.partialHourlyStats(delta)))
+  }
+  val q116Sql: String = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+        CAST(round(value * 1000) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+    SELECT user_id, b * 3600000 AS bucket_ms,
+      count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_mv,
+      min(v) AS min_mv, max(v) AS max_mv,
+      round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_mv
+    FROM e GROUP BY user_id, b"""
+
+  // ————————————————————————— winsorized group stats (q118)
+  // (per-flag [p05, p95] clamp of extended price in exact cent space;
+  //  thresholds FLOORED to integers — round would sit on half-ulp
+  //  interpolation boundaries, floor never does)
+  val q118Winsorize: Q = (s, dir) =>
+    graft.ops.Analytics.winsorizedStats(Tables.lineitem(s, dir),
+      "l_returnflag", "l_extendedprice")
+  val q118Sql: String = """
+    WITH c AS (SELECT l_returnflag AS g,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cv
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+    t AS (SELECT g,
+        CAST(floor(quantile_cont(cv, 0.05)) AS BIGINT) AS p_lo_c,
+        CAST(floor(quantile_cont(cv, 0.95)) AS BIGINT) AS p_hi_c
+      FROM c GROUP BY g)
+    SELECT g AS l_returnflag, p_lo_c, p_hi_c, count(*) AS n,
+      CAST(sum(CASE WHEN cv < p_lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      CAST(sum(CASE WHEN cv > p_hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      round(CAST(sum(greatest(least(cv, p_hi_c), p_lo_c)) AS DOUBLE)
+        / count(*), 6) AS wins_mean_c
+    FROM c JOIN t USING (g)
+    GROUP BY g, p_lo_c, p_hi_c"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -777,7 +854,10 @@ object RelationalQueries {
     "q106_scd2" -> q106Scd2,
     "q107_funnel" -> q107Funnel,
     "q108_cohort" -> q108Cohort,
-    "q110_cdc_apply" -> q110CdcApply)
+    "q110_cdc_apply" -> q110CdcApply,
+    "q115_rolling_zscore" -> q115RollingZscore,
+    "q116_incremental_rollup" -> q116IncrementalRollup,
+    "q118_winsorize" -> q118Winsorize)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -815,5 +895,8 @@ object RelationalQueries {
     "q106_scd2" -> q106Sql,
     "q107_funnel" -> q107Sql,
     "q108_cohort" -> q108Sql,
-    "q110_cdc_apply" -> q110Sql)
+    "q110_cdc_apply" -> q110Sql,
+    "q115_rolling_zscore" -> q115Sql,
+    "q116_incremental_rollup" -> q116Sql,
+    "q118_winsorize" -> q118Sql)
 }

@@ -62,4 +62,66 @@ class AnalyticsSpec extends SparkSpec {
     else
       assert(got == Set((w0, 0L, 2L), (w0, w1 - w0, 1L), (w1, 0L, 1L)))
   }
+
+  // ——————————————————————————————— incremental rollup (partial monoid)
+
+  private def evv(id: Long, user: java.lang.Long, min: Int, v: java.lang.Double) =
+    (id, user,
+      if (min < 0) null
+      else new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L),
+      v)
+
+  private def evDf(rows: Seq[(Long, java.lang.Long, java.sql.Timestamp, java.lang.Double)]) =
+    rows.toDF("event_id", "user_id", "ts", "value")
+
+  test("incremental rollup: merged partials ≡ one-shot partials, any merge tree") {
+    val rows = Seq(evv(1, 1L, 0, 1.5), evv(2, 1L, 10, 2.5), evv(3, 1L, 70, 9.0),
+      evv(4, 2L, 5, 4.0), evv(5, 1L, 20, 0.5), evv(6, 2L, 15, 6.0))
+    val all = evDf(rows)
+    val parts = Seq(evDf(rows.take(2)), evDf(rows.slice(2, 4)), evDf(rows.drop(4)))
+    val oneShot = Analytics.finalizeStats(Analytics.partialHourlyStats(all))
+      .collect().map(_.toSeq).toSet
+    val merged = Analytics.finalizeStats(Analytics.mergePartialStats(
+      parts.map(Analytics.partialHourlyStats): _*)).collect().map(_.toSeq).toSet
+    val nested = Analytics.finalizeStats(Analytics.mergePartialStats(
+      Analytics.mergePartialStats(
+        Analytics.partialHourlyStats(parts(0)), Analytics.partialHourlyStats(parts(1))),
+      Analytics.partialHourlyStats(parts(2)))).collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty && merged == oneShot && nested == oneShot)
+  }
+
+  test("incremental rollup: finalized stats are exact on a hand case") {
+    // user 1 hour 0: values 1.5, 2.5, 0.5 → cnt 3, sum 4500 mv, min 500,
+    // max 2500, mean 1500.0
+    val rows = Seq(evv(1, 1L, 0, 1.5), evv(2, 1L, 10, 2.5), evv(5, 1L, 20, 0.5),
+      evv(7, null, 30, 9.9), evv(8, 1L, -1, 9.9), evv(9, 1L, 40, null))
+    val got = Analytics.finalizeStats(Analytics.partialHourlyStats(evDf(rows)))
+      .select("user_id", "cnt", "sum_mv", "min_mv", "max_mv", "mean_mv")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // null user / null ts / null value rows contribute nothing
+    assert(got == Seq((1L, 3L, 4500L, 500L, 2500L, 1500.0)))
+  }
+
+  // ————————————————————————————————————————————— winsorized group stats
+
+  test("winsorizedStats: hand-computed thresholds, clamp counts, mean") {
+    // group A: cents 1..20. p05 = floor(1 + 0.95·1) = 1, p95 =
+    // floor(19 + 0.05·1) = 19 → n_lo 0, n_hi 1 (the 20), winsorized
+    // sum = (1+…+19) + 19 = 209 → mean 10.45
+    val df = (1 to 20).map(i => ("A", i / 100.0)).toDF("g", "v")
+    val got = Analytics.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 1L, 19L, 20L, 0L, 1L, 10.45)))
+  }
+
+  test("winsorizedStats: groups are independent; null group/value dropped") {
+    val df = ((1 to 10).map(i => ("A", i * 1.0)) ++ Seq(("B", 5.0)))
+      .toDF("g", "v")
+      .union(Seq((null: String, java.lang.Double.valueOf(9.0)),
+        ("A", null: java.lang.Double)).toDF("g", "v"))
+    val got = Analytics.winsorizedStats(df, "g", "v")
+      .select("g", "n").as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 10L, "B" -> 1L))
+  }
 }

@@ -590,4 +590,49 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().sortBy(_._3)
     assert(out.toSeq == Seq(("z", 5L, 1), ("x", 3L, 2), ("y", 3L, 3)))
   }
+
+  test("pmiPairs: hand-computed scores, window bounds the pair distance") {
+    import spark.implicits._
+    // "x y x": window 2 → events (x,y)@1-2, (y,x)@2-3, (x,x)@1-3.
+    // N = 3 (x:2, y:1), P = 3.
+    // pmi(x,y) c=2: ln(2·9 / (3·2·1)) = ln 3; pmi(x,x) c=1: ln(9/12)
+    val df = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(df, "text", "doc_id", window = 2, minPairCount = 1)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("x", "y", 2L, math.rint(math.log(3.0) * 1e6) / 1e6),
+      ("x", "x", 1L, math.rint(math.log(0.75) * 1e6) / 1e6)))
+    // window 1 drops the distance-2 (x,x) event entirely
+    val w1 = TextOps.pmiPairs(df, "text", "doc_id", window = 1, minPairCount = 1)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(w1.map(r => (r._1, r._2, r._3)) == Set(("x", "y", 2L)))
+  }
+
+  test("pmiPairs: minPairCount floors the collocation table") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(df, "text", "doc_id", window = 1, minPairCount = 2)
+    assert(got.select("a", "b").as[(String, String)].collect().toSeq ==
+      Seq(("a", "b")))
+  }
+
+  test("blockedEditDistancePairs: candidates only within blocks, exact dist") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "abc"))
+      .toDF("id", "name")
+    val got = Dedup.blockedEditDistancePairs(df, "id", "name",
+        substring(col("name"), 1, 2), maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,3) is dist 3 but also cross-block — absent twice over
+    assert(got == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)))
+  }
+
+  test("blockedEditDistancePairs: maxBlock prunes degenerate blocks whole") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "abc"))
+      .toDF("id", "name")
+    val got = Dedup.blockedEditDistancePairs(df, "id", "name",
+      substring(col("name"), 1, 2), maxDist = 1, maxBlock = 2)
+    assert(got.count() == 0) // the 3-row "ab" block is dropped entirely
+  }
 }

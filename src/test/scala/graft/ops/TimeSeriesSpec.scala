@@ -64,4 +64,38 @@ class TimeSeriesSpec extends SparkSpec {
     // ver 5 precedes ver 6: zero-length interval, only 6 is current
     assert(got == Set((5L, Some(ts(0).getTime), false), (6L, None, true)))
   }
+
+  private def zscore(rows: Seq[(Long, java.sql.Timestamp, Double, Long)],
+      nPrev: Int = 2, thresh: Double = 2.0) =
+    TimeSeries.rollingZscore(rows.toDF("k", "t", "v", "o"),
+      "k", "t", "v", "o", nPrev, thresh)
+      .orderBy("o")
+      .select("o", "v", "w_cnt", "z", "is_anomaly")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+
+  test("rollingZscore: exact z over the trailing frame, current row excluded") {
+    // v milli: 1000, 2000, 3000, 100000; frame = 2 rows strictly before.
+    // row o=3: {1000,2000} → num = 2·5e6 − 9e6 = 1e6, z = (6000−3000)/1000 = 3
+    // row o=4: {2000,3000} → num = 2·13e6 − 25e6 = 1e6, z = (200000−5000)/1000
+    val got = zscore(Seq((1L, ts(0), 1.0, 1L), (1L, ts(1), 2.0, 2L),
+      (1L, ts(2), 3.0, 3L), (1L, ts(3), 100.0, 4L)))
+    assert(got == Seq(
+      (1L, 1000L, 0L, None, false),
+      (2L, 2000L, 1L, None, false),
+      (3L, 3000L, 2L, Some(3.0), true),
+      (4L, 100000L, 2L, Some(195.0), true)))
+  }
+
+  test("rollingZscore: zero-variance window scores null, never anomalous") {
+    val got = zscore(Seq((1L, ts(0), 5.0, 1L), (1L, ts(1), 5.0, 2L),
+      (1L, ts(2), 7.0, 3L)))
+    assert(got.last == ((3L, 7000L, 2L, None, false)))
+  }
+
+  test("rollingZscore: keys are scored independently") {
+    // key 2's single event must not see key 1's history
+    val got = zscore(Seq((1L, ts(0), 1.0, 1L), (1L, ts(1), 2.0, 2L),
+      (2L, ts(2), 50.0, 3L)))
+    assert(got.filter(_._1 == 3L) == Seq((3L, 50000L, 0L, None, false)))
+  }
 }
