@@ -83,6 +83,35 @@ object Analytics {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** First-order Markov transition matrix over event types within
+    * sessions — "what do users do next": every adjacent event pair
+    * inside a session (q08 gap semantics) is a transition; emits
+    * (from_type, to_type, n_trans, prob) where prob is the row-
+    * normalized transition probability. Session boundaries break
+    * chains — the last event of a session transitions nowhere.
+    *
+    * prob is one exact-integer division rounded to 6 d.p.; everything
+    * upstream is integer. Plan: the sessionization exchange + one more
+    * `lead` sharing the per-(user, session) sort, then a types²-sized
+    * aggregate — nothing downstream of the window scales with the
+    * corpus.
+    */
+  def sessionTransitions(events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    val s = sessionized(events, gapUs)
+    val w = Window.partitionBy("user_id", "sess").orderBy("_us", "event_id")
+    val pairs = s
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val c = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = c.groupBy("from_type").agg(sum("n_trans").as("_ct"))
+    c.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast("double") / col("_ct"), 6).as("prob"))
+  }
+
   /** Partial hourly stats — the mergeable half of incremental rollup
     * maintenance. Emits one row per (user_id, hourly bucket) with the
     * commutative-monoid state (count, sum, min, max) a stored rollup

@@ -107,4 +107,39 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    * standard hybrid-search combiner (`score = Σ 1/(kRrf + rank)`,
+    * kRrf = 60 per the original RRF paper's constant): each input is a
+    * per-query ranked list (query_id, doc_id, rk); a document missing
+    * from one list simply contributes nothing from it. Returns the
+    * fused top-`k` per query with both source ranks preserved
+    * (null = unranked there) and `rrf_rk` assigned on the rounded score
+    * with doc-id tiebreak.
+    *
+    * Fusion consumes only RANKS — already deterministic integers in
+    * both inputs — so the fused score is a two-term fixed expression,
+    * bit-identical on any engine; no float accumulation exists to
+    * diverge. One full-outer join on (query, doc) — both sides are
+    * top-k-bounded, so this is queries·k-sized regardless of corpus
+    * scale — plus one bounded window.
+    */
+  def hybridRrf(lexical: DataFrame, semantic: DataFrame,
+      kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(kRrf >= 1 && k >= 1)
+    val l = lexical.select(col("query_id"), col("doc_id"),
+      col("rk").as("rk_lex"))
+    val s = semantic.select(col("query_id"), col("doc_id"),
+      col("rk").as("rk_sem"))
+    val fused = l.join(s, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rk_lex"), col("rk_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("rk_sem")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rrf_rk", row_number().over(w).cast("long"))
+      .filter(col("rrf_rk") <= k)
+  }
 }

@@ -708,4 +708,36 @@ object Similarity {
     a.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("centroid_id"))
   }
+
+  /** Per-dimension corpus statistics of an embedding column — the
+    * profiling/whitening input every vector pipeline computes before
+    * normalizing or quantizing: one row per dimension with count, exact
+    * milli-scaled integer sum, mean and population stddev (both in
+    * milli-units, 6 d.p.).
+    *
+    * Exact-integer core (the q115 discipline): components quantize to
+    * integer millis, so sums and sums-of-squares are exact BIGINTs under
+    * any partial-aggregation tree; mean and stddev then come from exact
+    * integers through fixed expressions (`s/cnt`,
+    * `sqrt(cnt·ss − s²)/cnt`). Overflow budget: |x| ≤ 2 (unit-norm-ish
+    * embeddings) gives v² ≤ 4·10⁶, safe past 10⁹ rows per dimension —
+    * beyond that switch the accumulators to DecimalType.
+    *
+    * Plan: one narrow posexplode projection → one dims-sized aggregate
+    * (map-side combined). Never collects; never shuffles vectors — only
+    * (dim, v) pairs.
+    */
+  def embeddingDimStats(emb: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+    e.select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000).cast("long").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .select(col("dim"), col("cnt"), col("s").as("sum_mv"),
+        round(col("s").cast("double") / col("cnt"), 6).as("mean_mv"),
+        round(sqrt((col("cnt") * col("ss") - col("s") * col("s"))
+          .cast("double")) / col("cnt"), 6).as("std_mv"))
+  }
 }

@@ -47,4 +47,40 @@ object Sketches {
           .otherwise(round(lit((k - 1) * 4294967296.0) / col("kth"), 2))
           .as("est"))
   }
+
+  /** KMV set-operation estimates over two corpora: distinct counts of
+    * each side, their union, the intersection (inclusion–exclusion,
+    * clamped at 0), and the Jaccard similarity — one row. The union
+    * sketch is exact KMV algebra: the k minimum hashes of A ∪ B are the
+    * k minimums of the two sides' kept sets, so merging sketches never
+    * rescans either corpus; here all three sketches are built in ONE
+    * [[kmvDistinct]] pass over a side-tagged union (groups `a`, `b`,
+    * `u`), keeping the whole family inside the same salted-min-k scale
+    * bound. Estimates are exact below k per standard KMV degeneration.
+    *
+    * The derived numbers reuse the already-rounded per-sketch estimates
+    * in fixed expressions (`round(a + b − u, 2)` clamp, one division for
+    * Jaccard), so both engines agree bit-for-bit.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int = 64, salts: Int = 16): DataFrame = {
+    val va = a.select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+    val vb = b.select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+    val tagged = va.select(lit("a").as("g"), col("v"))
+      .unionAll(vb.select(lit("b").as("g"), col("v")))
+      .unionAll(va.select(lit("u").as("g"), col("v")))
+      .unionAll(vb.select(lit("u").as("g"), col("v")))
+    val ests = kmvDistinct(tagged, "g", "v", k, salts)
+    val inter = greatest(
+      round(col("est_a") + col("est_b") - col("est_union"), 2), lit(0.0))
+    ests.agg(
+        max(when(col("g") === "a", col("est"))).as("est_a"),
+        max(when(col("g") === "b", col("est"))).as("est_b"),
+        max(when(col("g") === "u", col("est"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        inter.as("est_inter"),
+        round(inter / col("est_union"), 6).as("jaccard_est"))
+  }
 }

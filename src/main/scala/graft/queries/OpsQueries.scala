@@ -2256,6 +2256,104 @@ object OpsQueries {
     WHERE a.blk IN (SELECT blk FROM k)
       AND levenshtein(a.c_name, b.c_name) <= 1"""
 
+  // ———————————————————————————— hybrid retrieval via RRF (q120)
+  // (BM25 lexical top-10 + brute-force cosine semantic top-10 fused by
+  //  reciprocal rank — score consumes only the two deterministic ranks,
+  //  so no float accumulation can diverge; doc space = vec space by the
+  //  testdata's id alignment)
+  val q120Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join", 2 -> "table scan", 3 -> "stream batch data")
+  val q120HybridRrf: Q = (s, dir) => {
+    val lex = graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir),
+        "text", "doc_id", q120Queries, k = 10)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("rk"))
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val sem = Similarity.bruteForceTopKBatch(emb, queries, k = 10)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rk"))
+    graft.ops.Retrieval.hybridRrf(lex, sem, kRrf = 60, k = 10)
+  }
+  val q120Sql: String = {
+    val values = q120Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    ad AS (SELECT CAST((SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS DOUBLE)
+             / (SELECT n FROM nd) AS avgdl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q(query_id, qtext) AS (VALUES $values),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q)),
+    scored AS (
+      SELECT qt.query_id, f.doc_id,
+        round(sum(
+          ln((CAST((SELECT n FROM nd) AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
+             / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+          (f.tf * (CAST(1.2 AS DOUBLE) + 1) /
+           (f.tf + CAST(1.2 AS DOUBLE) *
+            (1 - CAST(0.75 AS DOUBLE) +
+             CAST(0.75 AS DOUBLE) * l.dl / (SELECT avgdl FROM ad))))), 6) AS score
+      FROM tf f JOIN qt ON f.term = qt.term
+      JOIN dfreq d ON d.term = f.term
+      JOIN dl l ON l.doc_id = f.doc_id
+      GROUP BY 1, 2),
+    lr AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           FROM scored),
+    lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+              CAST(rk AS BIGINT) AS rk_lex
+            FROM lr WHERE rk <= 10),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sc AS (SELECT query_id, vec_id AS doc_id,
+             round(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+               4) AS cos_sim
+           FROM v, qv),
+    sr AS (SELECT query_id, doc_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rk
+           FROM sc),
+    sem AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk_sem
+            FROM sr WHERE rk <= 10),
+    f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+            coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+            round(coalesce(1.0 / (60 + l.rk_lex), 0.0)
+              + coalesce(1.0 / (60 + s.rk_sem), 0.0), 6) AS rrf
+          FROM lex l FULL OUTER JOIN sem s
+            ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+    fr AS (SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rrf_rk
+           FROM f)
+    SELECT query_id, doc_id, rk_lex, rk_sem, rrf, rrf_rk
+    FROM fr WHERE rrf_rk <= 10"""
+  }
+
+  // ———————————————————————————— embedding dimension stats (q122)
+  // (per-dim profile of the vector corpus in exact milli-integer space —
+  //  the q115 z-score discipline applied to whitening inputs)
+  val q122DimStats: Q = (s, dir) =>
+    Similarity.embeddingDimStats(Tables.embeddings(s, dir))
+  val q122Sql: String = """
+    WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM d),
+    v AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+            CAST(round(e[i] * 1000) AS BIGINT) AS v
+          FROM idx)
+    SELECT dim, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_mv,
+      round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_mv,
+      round(sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DOUBLE))
+        / count(*), 6) AS std_mv
+    FROM v GROUP BY dim"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2324,7 +2422,9 @@ object OpsQueries {
     "q112_url_canon" -> q112UrlCanon,
     "q113_bigram_logprob" -> q113BigramLogprob,
     "q114_pmi_pairs" -> q114PmiPairs,
-    "q117_entity_resolution" -> q117EntityResolution)
+    "q117_entity_resolution" -> q117EntityResolution,
+    "q120_hybrid_rrf" -> q120HybridRrf,
+    "q122_dim_stats" -> q122DimStats)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2394,5 +2494,7 @@ object OpsQueries {
     "q112_url_canon" -> q112Sql,
     "q113_bigram_logprob" -> q113Sql,
     "q114_pmi_pairs" -> q114Sql,
-    "q117_entity_resolution" -> q117Sql)
+    "q117_entity_resolution" -> q117Sql,
+    "q120_hybrid_rrf" -> q120Sql,
+    "q122_dim_stats" -> q122Sql)
 }

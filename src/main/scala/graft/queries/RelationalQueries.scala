@@ -818,6 +818,70 @@ object RelationalQueries {
     FROM c JOIN t USING (g)
     GROUP BY g, p_lo_c, p_hi_c"""
 
+  // ————————————————————————— KMV set-operation estimates (q119)
+  // (distinct users of even- vs odd-id events, union, intersection,
+  //  Jaccard — all from one salted-min-k sketch pass; exact below k,
+  //  the same fixed-expression estimator as q109)
+  val q119KmvSetops: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    graft.ops.Sketches.kmvSetOps(
+      ev.where(col("event_id") % 2 === 0).select(col("user_id")),
+      ev.where(col("event_id") % 2 =!= 0).select(col("user_id")),
+      "user_id", k = 64)
+  }
+  val q119Sql: String = """
+    WITH va AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+                WHERE event_id % 2 = 0 AND user_id IS NOT NULL),
+    vb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+           WHERE event_id % 2 <> 0 AND user_id IS NOT NULL),
+    t AS (SELECT 'a' AS g, v FROM va UNION ALL SELECT 'b', v FROM vb
+          UNION ALL SELECT 'u', v FROM va UNION ALL SELECT 'u', v FROM vb),
+    h AS (SELECT DISTINCT g,
+            CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h FROM t),
+    r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+          FROM h),
+    kk AS (SELECT g, count(*) AS n_kept, max(h) AS kth
+           FROM r WHERE rk <= 64 GROUP BY 1),
+    e AS (SELECT g, CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE round(63 * 4294967296.0 / kth, 2) END AS est FROM kk),
+    p AS (SELECT max(CASE WHEN g = 'a' THEN est END) AS est_a,
+            max(CASE WHEN g = 'b' THEN est END) AS est_b,
+            max(CASE WHEN g = 'u' THEN est END) AS est_union FROM e)
+    SELECT est_a, est_b, est_union,
+      greatest(round(est_a + est_b - est_union, 2), 0.0) AS est_inter,
+      round(greatest(round(est_a + est_b - est_union, 2), 0.0) / est_union,
+        6) AS jaccard_est
+    FROM p"""
+
+  // ————————————————————————— session Markov transitions (q121)
+  // (adjacent event-type pairs within q08 sessions; row-normalized
+  //  probabilities from exact integer counts)
+  val q121Transitions: Q = (s, dir) =>
+    graft.ops.Analytics.sessionTransitions(Tables.events(s, dir))
+  val q121Sql: String = """
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (SELECT user_id, event_id, event_type, us,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      FROM g),
+    pr AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id, sess
+          ORDER BY us, event_id) AS to_type
+      FROM s),
+    c AS (SELECT from_type, to_type, count(*) AS n_trans FROM pr
+          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS ct
+           FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n_trans,
+      round(CAST(c.n_trans AS DOUBLE) / tt.ct, 6) AS prob
+    FROM c JOIN tt USING (from_type)"""
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -857,7 +921,9 @@ object RelationalQueries {
     "q110_cdc_apply" -> q110CdcApply,
     "q115_rolling_zscore" -> q115RollingZscore,
     "q116_incremental_rollup" -> q116IncrementalRollup,
-    "q118_winsorize" -> q118Winsorize)
+    "q118_winsorize" -> q118Winsorize,
+    "q119_kmv_setops" -> q119KmvSetops,
+    "q121_session_transitions" -> q121Transitions)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -898,5 +964,7 @@ object RelationalQueries {
     "q110_cdc_apply" -> q110Sql,
     "q115_rolling_zscore" -> q115Sql,
     "q116_incremental_rollup" -> q116Sql,
-    "q118_winsorize" -> q118Sql)
+    "q118_winsorize" -> q118Sql,
+    "q119_kmv_setops" -> q119Sql,
+    "q121_session_transitions" -> q121Sql)
 }

@@ -63,6 +63,24 @@ class AnalyticsSpec extends SparkSpec {
       assert(got == Set((w0, 0L, 2L), (w0, w1 - w0, 1L), (w1, 0L, 1L)))
   }
 
+  test("sessionTransitions: chains break at session boundaries, rows normalize") {
+    // user 1: view→click in session 1; 40-min gap; view→view in session 2.
+    // No click→view transition across the gap.
+    val rows = Seq(ev(1, 1, "view", 0), ev(2, 1, "click", 5),
+      ev(3, 1, "view", 45), ev(4, 1, "view", 50))
+    val got = Analytics.sessionTransitions(
+        rows.toDF("event_id", "user_id", "event_type", "ts"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("view", "click", 1L, 0.5), ("view", "view", 1L, 0.5)))
+  }
+
+  test("sessionTransitions: users never chain into each other") {
+    val rows = Seq(ev(1, 1, "view", 0), ev(2, 2, "click", 1))
+    val got = Analytics.sessionTransitions(
+      rows.toDF("event_id", "user_id", "event_type", "ts"))
+    assert(got.count() == 0)
+  }
+
   // ——————————————————————————————— incremental rollup (partial monoid)
 
   private def evv(id: Long, user: java.lang.Long, min: Int, v: java.lang.Double) =

@@ -627,6 +627,17 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)))
   }
 
+  test("embeddingDimStats: exact integer stats on a hand case") {
+    import spark.implicits._
+    // dim 0: millis {1, 3} → mean 2, num = 2·10 − 16 = 4, std = 2/2 = 1
+    // dim 1: millis {3, 3} → mean 3, std 0
+    val df = Seq(Tuple1(Array(0.001f, 0.003f)), Tuple1(Array(0.003f, 0.003f)))
+      .toDF("embedding")
+    val got = Similarity.embeddingDimStats(df)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 4L, 2.0, 1.0), (1L, 2L, 6L, 3.0, 0.0)))
+  }
+
   test("blockedEditDistancePairs: maxBlock prunes degenerate blocks whole") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "abc"))

@@ -64,4 +64,33 @@ class RetrievalSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     assert(got == Set((1, 0L, 2L)))
   }
+
+  private def ranking(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("query_id", "doc_id", "rk")
+
+  test("hybridRrf: hand-computed fusion, overlap beats either single list") {
+    val lex = ranking((1L, 10L, 1L), (1L, 20L, 2L))
+    val sem = ranking((1L, 20L, 1L), (1L, 30L, 2L))
+    val got = Retrieval.hybridRrf(lex, sem)
+      .select("doc_id", "rk_lex", "rk_sem", "rrf", "rrf_rk")
+      .as[(Long, Option[Long], Option[Long], Double, Long)]
+      .collect().sortBy(_._5).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 20 appears in both lists (ranks 2, 1) → 1/62 + 1/61 tops
+    // doc 10's single 1/61 and doc 30's single 1/62
+    assert(got == Seq(
+      (20L, Some(2L), Some(1L), r6(1.0 / 62 + 1.0 / 61), 1L),
+      (10L, Some(1L), None, r6(1.0 / 61), 2L),
+      (30L, None, Some(2L), r6(1.0 / 62), 3L)))
+  }
+
+  test("hybridRrf: queries fuse independently, k bounds each list") {
+    val lex = ranking((1L, 10L, 1L), (2L, 10L, 1L), (2L, 30L, 2L))
+    val sem = ranking((1L, 10L, 1L), (2L, 40L, 1L))
+    val got = Retrieval.hybridRrf(lex, sem, k = 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // q1: doc 10 doubly ranked wins; q2: doc 10 (1/61) beats 40 (1/61)
+    // on the doc-id tiebreak
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
 }

@@ -36,4 +36,34 @@ class SketchesSpec extends SparkSpec {
     assert(got._3 == math.rint(31 * 4294967296.0 / naive * 100) / 100 ||
       (got._3 - 31 * 4294967296.0 / naive).abs < 0.01, s"got $got vs kth=$naive")
   }
+
+  test("kmvSetOps: exact below k — inclusion-exclusion and Jaccard") {
+    // A = 1..30, B = 20..50: |A|=30, |B|=31, |A∪B|=50, |A∩B|=11
+    val a = (1 to 30).map(i => Tuple1(i.toLong)).toDF("v")
+    val b = (20 to 50).map(i => Tuple1(i.toLong)).toDF("v")
+    val got = Sketches.kmvSetOps(a, b, "v", k = 64)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(got == ((30.0, 31.0, 50.0, 11.0, math.rint(11.0 / 50 * 1e6) / 1e6)))
+  }
+
+  test("kmvSetOps: estimated regime tracks truth within sketch error") {
+    // 1500 ∪ 1500 with 500 shared → union 2500, intersection 500
+    val a = (0 until 1500).map(i => Tuple1(s"k$i")).toDF("v")
+    val b = (1000 until 2500).map(i => Tuple1(s"k$i")).toDF("v")
+    val (ea, eb, eu, ei, j) = Sketches.kmvSetOps(a, b, "v", k = 64)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(ea > 1100 && ea < 1900, s"ea=$ea")
+    assert(eu > 1900 && eu < 3100, s"eu=$eu")
+    // intersection inherits the union's error bars — just sanity-bound it
+    assert(ei >= 0 && ei < 1300, s"ei=$ei")
+    assert(j >= 0 && j <= 1, s"j=$j")
+  }
+
+  test("kmvSetOps: disjoint sides clamp intersection at zero") {
+    val a = (0 until 200).map(i => Tuple1(s"a$i")).toDF("v")
+    val b = (0 until 200).map(i => Tuple1(s"b$i")).toDF("v")
+    val (_, _, _, ei, j) = Sketches.kmvSetOps(a, b, "v", k = 64)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(ei >= 0 && j >= 0) // clamp guarantees non-negative estimates
+  }
 }
