@@ -211,6 +211,54 @@ object Multimodal {
       }
   }
 
+  /** Image near-duplicate pairs over [[imageHashes]] — simhash-style
+    * banding applied to the 64-bit perceptual hash: the hash splits into
+    * four 16-bit slices; candidates share at least one exact slice
+    * (pigeonhole: Hamming distance ≤ 3 guarantees a matching band, the
+    * same recall argument as `Dedup.simhashNearDupPairs64`), then exact
+    * Hamming over the slice integers (`bit_count(xor)`) verifies.
+    * Returns (id_a, id_b, hamming ≤ maxHamming), undecodable images
+    * excluded up front.
+    *
+    * Scale: candidate cost is Σ bucket² over 4 × 65536 band buckets;
+    * `maxBucket` drops degenerate buckets whole (flat-color corpora
+    * collapse to few hashes — the explicit-recall-loss-over-OOM
+    * discipline of the dedup family). Only (id, 4×16-bit) rows ride the
+    * shuffles — never rasters, never the media bytes.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, maxBucket: Long = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    val slices = imageHashes(spark, media).toDF().where(col("ok"))
+      .select(col("media_id") +: (0 until 4).map(i =>
+        conv(substring(col("ahash"), 1 + 16 * i, 16), 2, 10)
+          .cast("long").as(s"s$i")): _*)
+      .localCheckpoint() // decode once: feeds band rows + both pair sides
+    val bands = slices.select(col("media_id"),
+      posexplode(array(col("s0"), col("s1"), col("s2"), col("s3")))
+        .as(Seq("band", "sig")))
+    val kept = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("_n")).where(col("_n") <= maxBucket)
+      .select("band", "sig")
+    val bounded = bands.join(kept, Seq("band", "sig"))
+    val cand = bounded.as("x").join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    val l = slices.select(col("media_id").as("id_a"), col("s0").as("x0"),
+      col("s1").as("x1"), col("s2").as("x2"), col("s3").as("x3"))
+    val r = slices.select(col("media_id").as("id_b"), col("s0").as("y0"),
+      col("s1").as("y1"), col("s2").as("y2"), col("s3").as("y3"))
+    cand.join(l, "id_a").join(r, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (0 until 4).map(i => bit_count(col(s"x$i").bitwiseXOR(col(s"y$i"))))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   case class AudioStatsRow(media_id: Long, n_samples: Long, peak: Int,
       mean: Double, rms: Double)
 

@@ -2354,6 +2354,65 @@ object OpsQueries {
         / count(*), 6) AS std_mv
     FROM v GROUP BY dim"""
 
+  // ———————————————————————————— triangle counting (q124)
+  // (clustering structure of the q102 pseudo-link graph: canonical
+  //  undirected edges, ordered wedges closed by a semi-join — each
+  //  triangle counted exactly once, no cross product anywhere)
+  val q124Triangles: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Graph.triangleCount(
+      graft.ops.Graph.pseudoEdges(docs.select(col("doc_id")), "doc_id",
+        docs.count()))
+  }
+  val q124Sql: String = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM edges),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            WHERE EXISTS (SELECT 1 FROM und e3
+                          WHERE e3.a = e1.a AND e3.b = e2.b))
+    SELECT count(*) AS n_triangles FROM tri"""
+
+  // ———————————————————————————— image near-dup pairs (q125)
+  // (4-band pigeonhole candidates over the q100 perceptual hash +
+  //  exact bit_count(xor) Hamming verify; the oracle re-derives the
+  //  hashes from closed-form rasters, rebuilds the 16-bit band slices,
+  //  and verifies Hamming by per-position string compare — two utterly
+  //  different integer paths to the same pairs. The +1-brightness
+  //  copies (ids 32..63 ≡ 0..31) are guaranteed hamming-0 positives.)
+  val q125ImageNearDup: Q = (s, dir) =>
+    Multimodal.imageNearDupPairs(s,
+      s.read.parquet(Multimodal.Fixtures.gradientDataset(s)))
+  private def q125Sql: String = s"""
+    WITH hx AS (SELECT media_id, ahash FROM ($q100Sql) WHERE ok),
+    sl AS (SELECT media_id, t.i AS band,
+             CAST(sum(CASE WHEN substr(ahash, 16 * t.i + u.j + 1, 1) = '1'
+               THEN 1 << (15 - u.j) ELSE 0 END) AS BIGINT) AS sig
+           FROM hx, range(0, 4) t(i), range(0, 16) u(j)
+           GROUP BY 1, 2),
+    kept AS (SELECT band, sig FROM sl GROUP BY band, sig
+             HAVING count(*) <= 10000),
+    b AS (SELECT sl.* FROM sl JOIN kept USING (band, sig)),
+    cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+             FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig
+               AND x.media_id < y.media_id),
+    ham AS (SELECT c.id_a, c.id_b,
+              CAST((SELECT count(*) FROM range(1, 65) p(i)
+                WHERE substr(a.ahash, CAST(p.i AS INT), 1) <>
+                      substr(bb.ahash, CAST(p.i AS INT), 1)) AS BIGINT)
+                AS hamming
+            FROM cand c JOIN hx a ON a.media_id = c.id_a
+            JOIN hx bb ON bb.media_id = c.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2424,7 +2483,9 @@ object OpsQueries {
     "q114_pmi_pairs" -> q114PmiPairs,
     "q117_entity_resolution" -> q117EntityResolution,
     "q120_hybrid_rrf" -> q120HybridRrf,
-    "q122_dim_stats" -> q122DimStats)
+    "q122_dim_stats" -> q122DimStats,
+    "q124_triangles" -> q124Triangles,
+    "q125_image_neardup" -> q125ImageNearDup)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2496,5 +2557,7 @@ object OpsQueries {
     "q114_pmi_pairs" -> q114Sql,
     "q117_entity_resolution" -> q117Sql,
     "q120_hybrid_rrf" -> q120Sql,
-    "q122_dim_stats" -> q122Sql)
+    "q122_dim_stats" -> q122Sql,
+    "q124_triangles" -> q124Sql,
+    "q125_image_neardup" -> q125Sql)
 }

@@ -882,6 +882,27 @@ object RelationalQueries {
       round(CAST(c.n_trans AS DOUBLE) / tt.ct, 6) AS prob
     FROM c JOIN tt USING (from_type)"""
 
+  // ————————————————————————— streaming incremental rollup (q123)
+  // (the q116 monoid wired into foreachBatch: three deterministic
+  //  event_id-residue micro-batches fold partials into a stored rollup
+  //  table; the oracle recomputes from ALL events — the streamed
+  //  materialized view must equal the batch recompute. The driver
+  //  collect exists only to make the micro-batch decomposition
+  //  reproducible for the oracle; production reads a real source.)
+  val q123StreamRollup: Q = (s, dir) => {
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val batches = (0 until 3).map(k => rows.filter(_._1 % 3 == k).toSeq)
+    val path = java.nio.file.Files.createTempDirectory("graft-rollup")
+      .resolve("state.parquet").toString
+    graft.streaming.StreamingRollup.rollupInBatches(s, batches, path)
+  }
+  val q123Sql: String = q116Sql // streamed view ≡ one-shot batch recompute
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -923,7 +944,8 @@ object RelationalQueries {
     "q116_incremental_rollup" -> q116IncrementalRollup,
     "q118_winsorize" -> q118Winsorize,
     "q119_kmv_setops" -> q119KmvSetops,
-    "q121_session_transitions" -> q121Transitions)
+    "q121_session_transitions" -> q121Transitions,
+    "q123_stream_rollup" -> q123StreamRollup)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -966,5 +988,6 @@ object RelationalQueries {
     "q116_incremental_rollup" -> q116Sql,
     "q118_winsorize" -> q118Sql,
     "q119_kmv_setops" -> q119Sql,
-    "q121_session_transitions" -> q121Sql)
+    "q121_session_transitions" -> q121Sql,
+    "q123_stream_rollup" -> q123Sql)
 }

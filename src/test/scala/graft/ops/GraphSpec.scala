@@ -36,4 +36,19 @@ class GraphSpec extends SparkSpec {
     assert(e1.forall { case (s, t) => s != t && t >= 0 && t < 50 })
     assert(e1.groupBy(_._1).forall(_._2.size <= 3))
   }
+
+  private def triangles(edges: (Long, Long)*): Long =
+    Graph.triangleCount(edges.toSeq.toDF("src", "tgt")).as[Long].head()
+
+  test("triangleCount: exact counts on hand graphs") {
+    // one triangle, noisy encoding: reversed direction + parallel edge
+    // + self loop must all collapse away
+    assert(triangles((1L, 2L), (3L, 2L), (1L, 3L), (2L, 1L), (3L, 3L)) == 1L)
+    // square without a diagonal: zero; with one diagonal: two
+    assert(triangles((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)) == 0L)
+    assert(triangles((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)) == 2L)
+    // K4: exactly C(4,3) = 4
+    assert(triangles((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) == 4L)
+  }
 }

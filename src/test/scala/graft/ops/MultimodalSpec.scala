@@ -157,4 +157,28 @@ class MultimodalSpec extends SparkSpec {
     // hashes discriminate across DIFFERENT gradients: not all equal
     assert(pairs.map(b => rows(b).ahash).distinct.size > 1)
   }
+
+  test("imageNearDupPairs: planted brightness pairs found at hamming 0") {
+    val media = spark.read.parquet(
+      Multimodal.Fixtures.gradientDataset(spark))
+    val got = Multimodal.imageNearDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // every decodable base id pairs with its +1-brightness copy, ham 0
+    (0L until 32L).filter(b => b % 17 != 5 && (b + 32) % 17 != 5)
+      .foreach { b =>
+        assert(pairs.contains((b, b + 32)), s"missing planted pair $b")
+      }
+    assert(got.filter(p => p._2 == p._1 + 32).forall(_._3 == 0L))
+    // junk images (id % 17 == 5) never appear on either side
+    assert(got.forall(p => p._1 % 17 != 5 && p._2 % 17 != 5))
+    assert(got.forall(p => p._1 < p._2 && p._3 <= 3))
+  }
+
+  test("imageNearDupPairs: maxBucket drops degenerate bands whole") {
+    val media = spark.read.parquet(
+      Multimodal.Fixtures.gradientDataset(spark))
+    val got = Multimodal.imageNearDupPairs(spark, media, maxBucket = 1)
+    assert(got.count() == 0) // every band bucket with a pair is pruned
+  }
 }

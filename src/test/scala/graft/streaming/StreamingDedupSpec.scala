@@ -111,4 +111,27 @@ class StreamingDedupSpec extends SparkSpec {
     assert(!after.contains(20L), "near-dup of an admitted doc must reject")
     assert(after.contains(21L))
   }
+
+  test("streaming rollup: cross-batch merge ≡ one-shot batch recompute") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    // user 1 hour 0 spans BOTH batches (merge must combine, not replace);
+    // user 2 appears only in batch 2 (founding a new group)
+    val rows = Seq((1L, t(0), 1L, 1.5), (2L, t(10), 1L, 2.5),
+      (3L, t(70), 1L, 9.0), (4L, t(20), 1L, 0.5), (5L, t(5), 2L, 4.0))
+    val path = java.nio.file.Files.createTempDirectory("rollup-spec")
+      .resolve("state.parquet").toString
+    val streamed = graft.streaming.StreamingRollup.rollupInBatches(spark,
+        Seq(rows.take(2), rows.drop(2)), path)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.ops.Analytics.finalizeStats(
+        graft.ops.Analytics.partialHourlyStats(
+          rows.toDF("event_id", "ts", "user_id", "value")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == oneShot)
+    // the cross-batch group really merged: user 1 hour 0 counts 3 events
+    val u1 = streamed.find(r => r.head == 1L && r(2) == 3L)
+    assert(u1.isDefined, s"user-1 hour-0 group not merged: $streamed")
+  }
 }
