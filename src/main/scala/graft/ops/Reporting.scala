@@ -41,4 +41,32 @@ object Reporting {
         count_if(col("keep")).as("n_keep"),
         round(avg(col("score")), 6).as("mean_score"))
   }
+
+  /** Schema-driven table profile — the data-quality audit every ingest
+    * runs before a table joins the corpus: one row per column with row
+    * count, non-null count, exact distinct count, and min/max rendered
+    * as strings (the only type that can carry every column's extrema
+    * through one output schema).
+    *
+    * Shape: one independent aggregate per column, unioned. Deliberate:
+    * each aggregate's scan prunes to THAT column (columnar formats read
+    * one column per pass, `ReadSchema` proves it), whereas a single
+    * multi-distinct aggregate expands the full row stream once per
+    * DISTINCT clause — strictly more I/O and a wider shuffle. At
+    * 100 TB, swap `countDistinct` for `approx_count_distinct` (or the
+    * q109 KMV sketch when cross-engine reproducibility matters) and the
+    * per-column plans are otherwise unchanged.
+    */
+  def tableProfile(df: DataFrame): DataFrame =
+    df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          count(c).as("n_non_null"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_s"),
+          max(c).cast("string").as("max_s"))
+        .select(lit(f.name).as("col_name"), col("n_rows"),
+          col("n_non_null"), col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
 }

@@ -108,6 +108,56 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Index-accelerated substring search: a character-trigram posting
+    * list pre-filters candidate documents (a doc can contain `pattern`
+    * only if it contains EVERY trigram of the pattern), then an exact
+    * `contains` verify keeps the result identical to a full LIKE scan —
+    * which is precisely what the oracle runs. Returns (query_id,
+    * doc_id) for every document containing the pattern; patterns must
+    * be ≥ 3 characters (shorter has no trigram to prune with).
+    *
+    * Scale: the full scan happens ONCE to build the posting table (at
+    * 100 TB this is the materialized artifact, term-hash-partitioned
+    * like the BM25 postings); each query then touches only the postings
+    * of its own trigrams (broadcast join) and verifies only docs whose
+    * trigram-match count equals the pattern's trigram count — the
+    * candidate set of a selective pattern is tiny while a LIKE scan
+    * would read everything, every time.
+    */
+  def trigramSearch(docs: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[(Int, String)]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_._2.length >= 3),
+      "patterns must be at least 3 characters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // project the lowered text to an attribute first — the lambda body
+    // below references it per element, and Catalyst does not CSE inside
+    // lambdas (TextOps.shinglesFromWords's lesson)
+    val lowered = docs.select(col(idCol).as("doc_id"),
+      lower(col(textCol)).as("t"))
+    val postings = lowered
+      .select(col("doc_id"), explode(array_distinct(
+        when(length(col("t")) >= 3,
+          transform(sequence(lit(0), length(col("t")) - 3),
+            i => col("t").substr(i + 1, lit(3))))
+          .otherwise(array().cast("array<string>")))).as("tri"))
+    val qt = broadcast(patterns.flatMap { case (qid, p) =>
+      val lp = p.toLowerCase
+      val tris = (0 to lp.length - 3).map(i => lp.substring(i, i + 3)).distinct
+      tris.map(t => (qid, t, tris.size.toLong))
+    }.toDF("query_id", "tri", "n_tri"))
+    val candidates = postings.join(qt, "tri")
+      .groupBy("query_id", "doc_id", "n_tri")
+      .agg(countDistinct("tri").as("n_hit"))
+      .where(col("n_hit") === col("n_tri"))
+      .select("query_id", "doc_id")
+    val pat = broadcast(patterns.toDF("query_id", "p")
+      .select(col("query_id"), lower(col("p")).as("p")))
+    candidates.join(lowered, "doc_id").join(pat, "query_id")
+      .where(col("t").contains(col("p")))
+      .select("query_id", "doc_id")
+  }
+
   /** Reciprocal-rank fusion of a lexical and a semantic ranking — the
     * standard hybrid-search combiner (`score = Σ 1/(kRrf + rank)`,
     * kRrf = 60 per the original RRF paper's constant): each input is a

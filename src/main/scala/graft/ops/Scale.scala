@@ -46,6 +46,38 @@ object Scale {
       .groupBy(col(key))
       .agg(sum(col("_s")).as(s"sum_$valueCol"), sum(col("_c")).as(s"count_$valueCol"))
 
+  /** Z-order (Morton) value of two non-negative bucketed dimensions:
+    * bit i of `x` lands at output bit 2i, bit i of `y` at 2i+1 — the
+    * space-filling-curve key behind multi-dimensional data clustering.
+    * Rows close in BOTH dimensions get close z-values, so a range
+    * partition on z keeps each output file's (x, y) bounding box small,
+    * and min/max file statistics prune scans filtered on EITHER
+    * dimension — the layout trick single-column sorting cannot give
+    * (sort by x and a y-filter reads every file).
+    *
+    * Fixed expression of `2·bits` shift/mask/add terms — exact integer
+    * math any engine reproduces; inputs must already be bucketed into
+    * `[0, 2^bits)` (callers bucket by range/hash as fits the column).
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Range-partition `df` by the z-order of two bucketed dimensions —
+    * the write-side clustering step: files written from this layout
+    * carry tight min/max stats on BOTH columns. One range exchange
+    * (sampling + shuffle), the same cost as any global sort.
+    */
+  def clusterByZOrder(df: DataFrame, x: Column, y: Column,
+      numPartitions: Int, bits: Int = 16): DataFrame =
+    df.withColumn("_z", zOrderValue(x, y, bits))
+      .repartitionByRange(numPartitions, col("_z"))
+      .drop("_z")
+
   /** Write a table bucketed (+ sorted) by its join key. Two tables
     * bucketed the same way join with ZERO exchanges — the 100 TB answer
     * to repeated fact-to-fact joins on the same key.

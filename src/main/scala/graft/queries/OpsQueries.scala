@@ -2413,6 +2413,24 @@ object OpsQueries {
             JOIN hx bb ON bb.media_id = c.id_b)
     SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3"""
 
+  // ———————————————————————————— trigram substring search (q128)
+  // (character-trigram postings pre-filter + exact contains verify —
+  //  result provably identical to the full LIKE scan the oracle runs;
+  //  the postings table is the materialized artifact at scale)
+  val q128Patterns: Seq[(Int, String)] = Seq(
+    1 -> "window", 2 -> "hash j", 3 -> "qqqzzz")
+  val q128TrigramSearch: Q = (s, dir) =>
+    graft.ops.Retrieval.trigramSearch(Tables.documents(s, dir), "text",
+      "doc_id", q128Patterns)
+  val q128Sql: String = {
+    val values = q128Patterns.map { case (i, p) => s"($i, '$p')" }.mkString(", ")
+    s"""
+    SELECT p.query_id, d.doc_id
+    FROM documents d
+    CROSS JOIN (VALUES $values) p(query_id, pattern)
+    WHERE contains(lower(d.text), p.pattern)"""
+  }
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2485,7 +2503,8 @@ object OpsQueries {
     "q120_hybrid_rrf" -> q120HybridRrf,
     "q122_dim_stats" -> q122DimStats,
     "q124_triangles" -> q124Triangles,
-    "q125_image_neardup" -> q125ImageNearDup)
+    "q125_image_neardup" -> q125ImageNearDup,
+    "q128_trigram_search" -> q128TrigramSearch)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2559,5 +2578,6 @@ object OpsQueries {
     "q120_hybrid_rrf" -> q120Sql,
     "q122_dim_stats" -> q122Sql,
     "q124_triangles" -> q124Sql,
-    "q125_image_neardup" -> q125Sql)
+    "q125_image_neardup" -> q125Sql,
+    "q128_trigram_search" -> q128Sql)
 }

@@ -903,6 +903,45 @@ object RelationalQueries {
   }
   val q123Sql: String = q116Sql // streamed view ≡ one-shot batch recompute
 
+  // ————————————————————————— z-order layout key (q126)
+  // (Morton interleave of bucketed (user, hour) — the clustering key
+  //  whose range partition gives tight per-file min/max on BOTH
+  //  dimensions; pure shift/mask integer algebra, bit-identical
+  //  everywhere. clusterByZOrder is the layout step, spec-gated.)
+  val q126ZOrder: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), (col("user_id") % 256).as("xb"),
+        (expr("unix_micros(ts) div 3600000000") % 256).as("yb"))
+      .withColumn("z",
+        graft.ops.Scale.zOrderValue(col("xb"), col("yb"), bits = 8))
+  val q126Sql: String = {
+    val terms = (0 until 8).map(i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""
+    WITH b AS (SELECT event_id, user_id % 256 AS xb,
+        (epoch_us(ts) // 3600000000) % 256 AS yb
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    SELECT event_id, xb, yb, CAST($terms AS BIGINT) AS z FROM b"""
+  }
+
+  // ————————————————————————— schema-driven table profile (q127)
+  // (per-column row/non-null/exact-distinct counts + string-rendered
+  //  extrema; one column-pruned aggregate per column, unioned — the
+  //  ingest-time data-quality audit)
+  val q127TableProfile: Q = (s, dir) =>
+    graft.ops.Reporting.tableProfile(Tables.lineitem(s, dir))
+  val q127Sql: String = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate").map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+      count($c) AS n_non_null,
+      CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+      CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+    FROM lineitem"""
+  }.mkString(" UNION ALL ")
+
   val all: Map[String, Q] = Map(
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
@@ -945,7 +984,9 @@ object RelationalQueries {
     "q118_winsorize" -> q118Winsorize,
     "q119_kmv_setops" -> q119KmvSetops,
     "q121_session_transitions" -> q121Transitions,
-    "q123_stream_rollup" -> q123StreamRollup)
+    "q123_stream_rollup" -> q123StreamRollup,
+    "q126_zorder" -> q126ZOrder,
+    "q127_table_profile" -> q127TableProfile)
 
   val oracles: Map[String, String] = Map(
     "q01_hourly_agg" -> q01Sql,
@@ -989,5 +1030,7 @@ object RelationalQueries {
     "q118_winsorize" -> q118Sql,
     "q119_kmv_setops" -> q119Sql,
     "q121_session_transitions" -> q121Sql,
-    "q123_stream_rollup" -> q123Sql)
+    "q123_stream_rollup" -> q123Sql,
+    "q126_zorder" -> q126Sql,
+    "q127_table_profile" -> q127Sql)
 }

@@ -638,6 +638,18 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 4L, 2.0, 1.0), (1L, 2L, 6L, 3.0, 0.0)))
   }
 
+  test("tableProfile: per-column counts, nulls, distincts, string extrema") {
+    import spark.implicits._
+    val df = Seq((1L, Some("b"), Some(2.5)), (2L, None, Some(1.5)),
+      (3L, Some("a"), Some(2.5))).toDF("id", "s", "v")
+    val got = Reporting.tableProfile(df)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 3L, 3L, 3L, Some("1"), Some("3"))))
+    assert(got("s") == (("s", 3L, 2L, 2L, Some("a"), Some("b"))))
+    assert(got("v") == (("v", 3L, 3L, 2L, Some("1.5"), Some("2.5"))))
+  }
+
   test("blockedEditDistancePairs: maxBlock prunes degenerate blocks whole") {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "abc"))

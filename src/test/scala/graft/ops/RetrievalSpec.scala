@@ -65,6 +65,25 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Set((1, 0L, 2L)))
   }
 
+  test("trigramSearch: verify step kills trigram-coincidence candidates") {
+    val d = Seq(
+      (0L, "the rolling window agg"),  // contains "g wi"
+      (1L, "big wolf with winter"),    // has trigrams of "g wi" ("g w"," wi")
+                                       // non-contiguously — candidate, not match
+      (2L, "nothing relevant")).toDF("doc_id", "text")
+    val got = Retrieval.trigramSearch(d, "text", "doc_id", Seq(1 -> "g wi"))
+      .as[(Int, Long)].collect().toSet
+    assert(got == Set((1, 0L)))
+  }
+
+  test("trigramSearch: multi-pattern, case-insensitive, absent pattern empty") {
+    val d = Seq((0L, "Alpha BETA gamma"), (1L, "beta only")).toDF("doc_id", "text")
+    val got = Retrieval.trigramSearch(d, "text", "doc_id",
+        Seq(1 -> "BETA", 2 -> "alpha b", 3 -> "zzz"))
+      .as[(Int, Long)].collect().toSet
+    assert(got == Set((1, 0L), (1, 1L), (2, 0L)))
+  }
+
   private def ranking(rows: (Long, Long, Long)*) =
     rows.toSeq.toDF("query_id", "doc_id", "rk")
 

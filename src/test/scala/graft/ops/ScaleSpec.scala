@@ -66,4 +66,37 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("zOrderValue: hand-computed Morton interleave") {
+    import spark.implicits._
+    // x=3 (011), y=5 (101): bits → 1 + 2 + 4 + 32 = 39
+    val got = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L))
+      .toDF("x", "y")
+      .select(Scale.zOrderValue(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(39L, 0L, 21L, 42L)) // x fills even bits, y odd bits
+  }
+
+  test("clusterByZOrder: partitions bound BOTH dimensions tighter than a 1-d sort") {
+    import spark.implicits._
+    // 32×32 grid of points; compare per-partition y-extent under
+    // z-clustering vs plain x-ordering (which leaves y unbounded)
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def maxYExtent(df: org.apache.spark.sql.DataFrame): Long = {
+      val exts = df.rdd.mapPartitions { it =>
+        val ys = it.map(_.getAs[Long]("y")).toSeq
+        if (ys.isEmpty) Iterator.empty
+        else Iterator.single(ys.max - ys.min)
+      }.collect()
+      if (exts.isEmpty) 0L else exts.max
+    }
+    val z = Scale.clusterByZOrder(grid, col("x"), col("y"), 16, bits = 5)
+    val xSorted = grid.repartitionByRange(16, col("x"))
+    assert(z.rdd.getNumPartitions == 16)
+    // x-range partitioning leaves each partition spanning ALL of y
+    assert(maxYExtent(xSorted) == 31L)
+    assert(maxYExtent(z) < 31L,
+      s"z-clustered partitions must bound y (got ${maxYExtent(z)})")
+  }
 }
