@@ -226,4 +226,59 @@ object Cleaning {
       regexp_count(afterPhone, lit(ipv4Re))
     (redacted, n.cast("long"))
   }
+
+  /** T5-style span corruption — the denoising-objective data generator:
+    * each token masks independently off the md5 lattice (deterministic
+    * in (doc, pos), so any engine regenerates the identical corruption),
+    * consecutive masked tokens merge into ONE span, span k of a document
+    * is replaced by the sentinel `<extra_id_k>` in the corrupted text,
+    * and the training target is the sentinel-prefixed concatenation of
+    * the masked spans (the exact T5 encoder/decoder pair shape).
+    * Returns (id, corrupted, targets, n_spans); untouched docs keep
+    * their text with empty targets.
+    *
+    * Plan: positional explode → one per-doc window pass computing
+    * span-start flags and the running span index (lag + running sum
+    * sharing one sort — the q08 sessionization shape applied inside
+    * documents) → one ordered-reassembly aggregate. Two exchanges on
+    * the doc id; nothing is quadratic and nothing collects.
+    */
+  def spanMask(df: DataFrame, textCol: String, idCol: String,
+      maskPct: Int = 15): DataFrame = {
+    require(0 < maskPct && maskPct < 100, "maskPct must be in (0, 100)")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "tok")))
+    val masked = conv(substring(md5(concat(col("id").cast("string"),
+      lit("|"), col("pos").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100 < maskPct
+    val ord = Window.partitionBy("id").orderBy("pos")
+    val run = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = tok
+      .withColumn("m", masked)
+      .withColumn("start",
+        col("m") && !coalesce(lag("m", 1).over(ord), lit(false)))
+      // span index k (0-based) for masked tokens: running start count − 1
+      .withColumn("k", sum(when(col("start"), 1L).otherwise(0L)).over(run) - 1)
+    val pieces = flagged.select(col("id"), col("pos"),
+      // corrupted stream: sentinel once per span, plain tokens elsewhere,
+      // nothing for span continuations
+      when(!col("m"), col("tok"))
+        .when(col("start"), concat(lit("<extra_id_"), col("k"), lit(">")))
+        .as("corr"),
+      // target stream: sentinel-prefixed masked tokens only
+      when(col("start"),
+          concat(lit("<extra_id_"), col("k"), lit("> "), col("tok")))
+        .when(col("m"), col("tok")).as("tgt"),
+      col("start"))
+    pieces.groupBy("id").agg(
+      array_join(filter(transform(array_sort(collect_list(
+        struct(col("pos"), col("corr")))), s => s("corr")), x => x.isNotNull),
+        " ").as("corrupted"),
+      array_join(filter(transform(array_sort(collect_list(
+        struct(col("pos"), col("tgt")))), s => s("tgt")), x => x.isNotNull),
+        " ").as("targets"),
+      sum(when(col("start"), 1L).otherwise(0L)).as("n_spans"))
+  }
 }

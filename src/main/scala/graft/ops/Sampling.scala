@@ -75,6 +75,55 @@ object Sampling {
   def hashBucket64k(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): each row draws its md5-lattice
+    * uniform `u ∈ (0, 1)` and competes with key `u^(1/w)` — higher
+    * weight, stochastically higher key — and the top `k` keys per
+    * stratum win. One pass, mergeable (per-partition top-k pre-prune
+    * is Spark's own TakeOrdered shape), and reproducible by any engine
+    * from the id alone — `df.sample`'s partitioning-dependence is the
+    * thing this family exists to avoid.
+    *
+    * `pow` is the one libm call: keys round to 6 d.p. BEFORE ranking
+    * with the id as tiebreak (the q64/q104 rank-stability discipline),
+    * so cross-libm ulp noise cannot flip a rank. Weights must be
+    * positive; `u` offsets by half a lattice step so it is never 0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val u = (hashBucket64k(col(idCol)).cast("double") + lit(0.5)) / lit(65536.0)
+    val key = round(pow(u, lit(1.0) / col(weightCol)), 6)
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("skey").desc, col("id"))
+    df.filter(col(weightCol) > 0)
+      .select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        col(weightCol).cast("double").as("weight"), key.as("skey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment: row → shard
+    * `argmax_i md5(id | i)` over `numShards` candidates — the consistent
+    * placement primitive whose defining property is MINIMAL MOVEMENT:
+    * adding shard N+1 reassigns only the keys whose new hash wins
+    * (~1/(N+1) of them), where `hash(id) mod N` reshuffles nearly
+    * everything. Pure in-row integer argmax (ties broken toward the
+    * lowest shard by `array_position` semantics, deterministic), no
+    * shuffle — the assignment column then drives `repartition` /
+    * `partitionBy` as the caller's layout requires.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(numShards >= 1)
+    val scores = transform(sequence(lit(0), lit(numShards - 1)),
+      i => conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long"))
+    df.withColumn(outCol,
+      (array_position(scores, array_max(scores)) - 1).cast("long"))
+  }
+
   /** Token-budget mixture sampling — the "data mixing" step of a
     * training-corpus build: each group (source, language, domain …) is
     * down-sampled toward a per-group token budget, so over-represented

@@ -2431,6 +2431,81 @@ object OpsQueries {
     WHERE contains(lower(d.text), p.pattern)"""
   }
 
+  // ———————————————— weighted sampling without replacement (q129)
+  // (Efraimidis–Spirakis A-ES off the md5 lattice: u^(1/w) keys,
+  //  top-k per language stratum, n_chars as the weight — the oracle
+  //  re-derives u, the key, and the rank in DuckDB; key rounded to
+  //  6 d.p. BEFORE ranking with the id tiebreak, so cross-libm pow
+  //  noise cannot flip a rank on either side)
+  val q129WeightedSample: Q = (s, dir) =>
+    graft.ops.Sampling.weightedSample(
+      Tables.documents(s, dir), "doc_id", "n_chars", "lang", k = 10)
+  val q129Sql: String = """
+    WITH w AS (SELECT lang AS stratum, doc_id AS id,
+        CAST(n_chars AS DOUBLE) AS weight,
+        round(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            AS BIGINT) + 0.5) / 65536.0,
+          1.0 / n_chars), 6) AS skey
+      FROM documents WHERE n_chars > 0),
+    r AS (SELECT *, CAST(row_number() OVER
+            (PARTITION BY stratum ORDER BY skey DESC, id) AS BIGINT) AS rk
+          FROM w)
+    SELECT stratum, id, weight, skey, rk FROM r WHERE rk <= 10"""
+
+  // ———————————————— rendezvous (HRW) shard assignment (q130)
+  // (argmax_i md5(id|i) over 8 shards, ties toward the lowest shard —
+  //  the oracle re-derives every candidate score and takes the same
+  //  argmax via a rank; minimal-movement property spec'd separately)
+  val q130RendezvousShard: Q = (s, dir) =>
+    graft.ops.Sampling.rendezvousShard(
+      Tables.documents(s, dir), "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"))
+  val q130Sql: String = """
+    WITH s AS (SELECT doc_id, j,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+          CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) AS score
+      FROM documents, range(0, 8) t(j)),
+    r AS (SELECT doc_id, j, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, j) AS rk
+          FROM s)
+    SELECT doc_id, CAST(j AS BIGINT) AS shard FROM r WHERE rk = 1"""
+
+  // ———————————————— T5-style span corruption (q131)
+  // (per-token md5-lattice mask, consecutive masked tokens merge into
+  //  one <extra_id_k> span, targets = sentinel-prefixed masked spans —
+  //  the oracle re-derives token positions, the mask, the span index
+  //  via lag + running sum, and both reassembled streams)
+  val q131SpanMask: Q = (s, dir) =>
+    Cleaning.spanMask(Tables.documents(s, dir), "text", "doc_id")
+  val q131Sql: String = """
+    WITH d AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    tok AS (SELECT id, CAST(i - 1 AS INT) AS pos, w[i] AS tok
+            FROM (SELECT id, w, unnest(range(1, len(w) + 1)) AS i FROM d)),
+    f AS (SELECT id, pos, tok,
+        CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+          CAST(pos AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 15 AS m
+      FROM tok),
+    g AS (SELECT *, m AND NOT coalesce(lag(m) OVER
+            (PARTITION BY id ORDER BY pos), false) AS start
+          FROM f),
+    h AS (SELECT *, sum(CASE WHEN start THEN 1 ELSE 0 END) OVER
+            (PARTITION BY id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) - 1 AS k
+          FROM g),
+    p AS (SELECT id, pos, start,
+        CASE WHEN NOT m THEN tok
+             WHEN start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        END AS corr,
+        CASE WHEN start THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+             WHEN m THEN tok END AS tgt
+      FROM h)
+    SELECT id,
+      coalesce(string_agg(corr, ' ' ORDER BY pos), '') AS corrupted,
+      coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS targets,
+      CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+    FROM p GROUP BY id"""
+
   val all: Map[String, Q] = Map(
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
@@ -2504,7 +2579,10 @@ object OpsQueries {
     "q122_dim_stats" -> q122DimStats,
     "q124_triangles" -> q124Triangles,
     "q125_image_neardup" -> q125ImageNearDup,
-    "q128_trigram_search" -> q128TrigramSearch)
+    "q128_trigram_search" -> q128TrigramSearch,
+    "q129_weighted_sample" -> q129WeightedSample,
+    "q130_rendezvous_shard" -> q130RendezvousShard,
+    "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" -> q19Sql,
@@ -2579,5 +2657,8 @@ object OpsQueries {
     "q122_dim_stats" -> q122Sql,
     "q124_triangles" -> q124Sql,
     "q125_image_neardup" -> q125Sql,
-    "q128_trigram_search" -> q128Sql)
+    "q128_trigram_search" -> q128Sql,
+    "q129_weighted_sample" -> q129Sql,
+    "q130_rendezvous_shard" -> q130Sql,
+    "q131_span_mask" -> q131Sql)
 }

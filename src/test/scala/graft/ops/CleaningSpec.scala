@@ -128,4 +128,66 @@ class CleaningSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
+
+  // ——————————————————————————————— T5-style span corruption (spanMask)
+
+  private val sentinel = "<extra_id_(\\d+)>".r
+
+  test("spanMask round-trips: splicing targets back into corrupted recovers the text") {
+    val d = graft.queries.Tables.documents(spark, sf())
+    val out = Cleaning.spanMask(d, "text", "doc_id")
+      .join(d.select(col("doc_id").as("id"), lower(col("text")).as("orig")), "id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (corr, tgt, orig) = (r.getAs[String]("corrupted"),
+        r.getAs[String]("targets"), r.getAs[String]("orig"))
+      // parse targets: "<extra_id_0> tok tok <extra_id_1> tok" → span k → tokens
+      val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      tgt.split(" ").filter(_ => tgt.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Nil
+        case t           => spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = corr.split(" ", -1).toSeq.flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case t           => Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig, s"round-trip failed for id ${r.getAs[Long]("id")}")
+    }
+  }
+
+  test("spanMask: n_spans equals the sentinel count on both streams") {
+    val out = Cleaning.spanMask(
+      graft.queries.Tables.documents(spark, sf()), "text", "doc_id").collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_spans")
+      assert(sentinel.findAllIn(r.getAs[String]("corrupted")).size == n)
+      assert(sentinel.findAllIn(r.getAs[String]("targets")).size == n)
+    }
+    // at 15% mask over a real corpus, both classes must occur
+    assert(out.exists(_.getAs[Long]("n_spans") > 0L))
+  }
+
+  test("spanMask: untouched docs keep their text with empty targets") {
+    val d = graft.queries.Tables.documents(spark, sf())
+    val untouched = Cleaning.spanMask(d, "text", "doc_id", maskPct = 1)
+      .filter(col("n_spans") === 0L)
+      .join(d.select(col("doc_id").as("id"), lower(col("text")).as("orig")), "id")
+      .collect()
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getAs[String]("corrupted") == r.getAs[String]("orig"))
+      assert(r.getAs[String]("targets") == "")
+    }
+  }
+
+  test("spanMask: deterministic under repartitioning; maskPct bounds checked") {
+    val d = graft.queries.Tables.documents(spark, sf())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Cleaning.spanMask(df, "text", "doc_id").collect().map(_.toString).sorted
+    assert(run(d).sameElements(run(d.repartition(9))))
+    intercept[IllegalArgumentException] { Cleaning.spanMask(d, "text", "doc_id", 0) }
+    intercept[IllegalArgumentException] { Cleaning.spanMask(d, "text", "doc_id", 100) }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling (A-ES) and rendezvous sharding laws. */
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.queries.Tables.documents(spark, sf())
+
+  test("weightedSample: at most k rows per stratum, ranks 1..k dense") {
+    val out = Sampling.weightedSample(docs, "doc_id", "n_chars", "lang", k = 7)
+    val per = out.groupBy("stratum").agg(count("*").as("n"),
+      max("rk").as("mx"), min("rk").as("mn")).collect()
+    per.foreach { r =>
+      assert(r.getAs[Long]("n") <= 7L)
+      assert(r.getAs[Long]("mn") == 1L)
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n")) // dense, no gaps
+    }
+  }
+
+  test("weightedSample: top-k nests (k=3 winners are a subset of k=8's)") {
+    def ids(k: Int) = Sampling.weightedSample(docs, "doc_id", "n_chars",
+      "lang", k).select("id").as[Long].collect().toSet
+    val small = ids(3)
+    val big = ids(8)
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("weightedSample: stable under repartitioning (lattice, not sample())") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "doc_id", "n_chars", "lang", k = 5)
+        .select("id").as[Long].collect().toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("weightedSample: non-positive weights are excluded, never sampled") {
+    val d = Seq((1L, 100L, "a"), (2L, 0L, "a"), (3L, -5L, "a"))
+      .toDF("doc_id", "w", "lang")
+    val out = Sampling.weightedSample(d, "doc_id", "w", "lang", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  test("weightedSample: a dominant weight stochastically wins the stratum") {
+    // u^(1/w) → 1 as w → ∞: one row with weight 10^9 among weight-1 rows
+    // must take rank 1 unless its lattice u is astronomically unlucky.
+    val d = ((1L to 50L).map(i => (i, 1L, "s")) :+ (99L, 1000000000L, "s"))
+      .toDF("doc_id", "w", "lang")
+    val top = Sampling.weightedSample(d, "doc_id", "w", "lang", k = 1)
+      .select("id").as[Long].head()
+    assert(top == 99L)
+  }
+
+  test("rendezvousShard: shard in [0, N); deterministic across runs") {
+    val out = Sampling.rendezvousShard(docs, "doc_id", numShards = 8)
+    val rng = out.agg(min("shard"), max("shard")).head()
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 7L)
+    val a = out.select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.rendezvousShard(docs.repartition(11), "doc_id", 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("rendezvousShard: minimal movement — adding shard N only moves keys INTO it") {
+    val n8 = Sampling.rendezvousShard(docs, "doc_id", 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n9 = Sampling.rendezvousShard(docs, "doc_id", 9)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n8.keySet == n9.keySet)
+    val moved = n8.keys.filter(k => n8(k) != n9(k)).toSeq
+    // every mover lands on the NEW shard — no reshuffling among old shards
+    assert(moved.forall(k => n9(k) == 8L))
+    // ~1/9 of keys expected to move; wide slack either side
+    val frac = moved.size.toDouble / n8.size
+    assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
+  }
+}
