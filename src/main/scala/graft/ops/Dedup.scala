@@ -127,6 +127,53 @@ object Dedup {
     jaccardScored(inter, sizes, threshold)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin-family
+    * bound): identical result to [[ngramJaccardPairs]] with no df cap, but
+    * candidates come only from each document's PREFIX — its
+    * `n − ⌈t·n⌉ + 1` globally-rarest shingles under a total order by
+    * (document frequency asc, shingle). Two sets with Jaccard ≥ t must
+    * share a prefix shingle (pigeonhole: a set can miss at most
+    * `n − ⌈t·n⌉` of the other's shingles), so unlike `maxDocFreq` pruning
+    * — which trades recall on boilerplate-heavy pairs — nothing is lost.
+    *
+    * Scale shape: the candidate join runs on prefix rows only (the rarest
+    * shingles, self-limiting bucket sizes by construction); verification
+    * is IN-ROW — each candidate pair fetches the two sorted shingle
+    * arrays and takes `array_intersect` at |a|+|b| cost, so full shingle
+    * rows are never self-joined. Driver holds nothing.
+    *
+    * `threshold` should be exactly representable (0.5, 0.25…) so
+    * `⌈t·n⌉` is float-exact in every engine (q129 discipline).
+    */
+  def prefixFilteredJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, textCol, idCol, n)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val byId = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(byId.orderBy(col("_df"), col("shingle"))))
+      .withColumn("n_sh", count(lit(1)).over(byId))
+    val prefix = ranked
+      .where(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.select(col("shingle"), col("id").as("a"))
+      .join(prefix.select(col("shingle"), col("id").as("b")), "shingle")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val arrs = sh.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("toks"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(arrs.select(col("id").as("a"), col("toks").as("ta"), col("n_sh").as("na")), Seq("a"))
+      .join(arrs.select(col("id").as("b"), col("toks").as("tb"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** MinHash signatures: `numHashes` independent permutations simulated as
     * md5(i || '|' || shingle), taking the lexicographic *string* minimum —
     * any total order over a uniform hash domain is a valid minhash, and the

@@ -2506,7 +2506,65 @@ object OpsQueries {
       CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
     FROM p GROUP BY id"""
 
+  // ———————————————— grid-blocked spatial radius self-join (q132)
+  // (customers placed on a deterministic md5-lattice globe, bounded to
+  //  ±60° latitude; pairs within 100 km via 3×3 grid-cell candidates +
+  //  exact haversine verify — the oracle is the full O(n²) cross join the
+  //  grid provably loses nothing against; the threshold applies to the
+  //  3 d.p.-ROUNDED distance on both sides, the q129 libm discipline)
+  val q132RadiusJoin: Q = (s, dir) => {
+    val pts = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.ops.Spatial.latticeLat(col("c_custkey")).as("lat"),
+        graft.ops.Spatial.latticeLon(col("c_custkey")).as("lon"))
+    graft.ops.Spatial.radiusSelfJoin(pts, "c_custkey", "lat", "lon",
+      radiusKm = 100.0, cellLatDeg = 1.0, cellLonDeg = 2.0)
+  }
+  val q132Sql: String = """
+    WITH p AS (SELECT c_custkey AS id,
+        -60.0 + 120.0 * ((CAST(('0x' || substr(md5('lat|' ||
+            CAST(c_custkey AS VARCHAR)), 1, 4)) AS BIGINT) + 0.5)
+          / 65536.0) AS lat,
+        -180.0 + 360.0 * ((CAST(('0x' || substr(md5('lon|' ||
+            CAST(c_custkey AS VARCHAR)), 1, 4)) AS BIGINT) + 0.5)
+          / 65536.0) AS lon
+      FROM customer),
+    d AS (SELECT x.id AS a, y.id AS b,
+        round(2.0 * 6371.0 * asin(sqrt(
+          sin(radians(y.lat - x.lat) / 2) * sin(radians(y.lat - x.lat) / 2)
+          + cos(radians(x.lat)) * cos(radians(y.lat))
+            * sin(radians(y.lon - x.lon) / 2)
+            * sin(radians(y.lon - x.lon) / 2))), 3) AS dist_km
+      FROM p x JOIN p y ON x.id < y.id)
+    SELECT a, b, dist_km FROM d WHERE dist_km <= 100.0"""
+
+  // ———————————————— prefix-filtered EXACT set-similarity join (q133)
+  // (PPJoin-family prefix bound: candidates only from each doc's
+  //  n−⌈t·n⌉+1 globally-rarest shingles, in-row array_intersect verify —
+  //  provably the SAME result as the brute-force pairwise Jaccard the
+  //  oracle runs, unlike q42's recall-trading df cap)
+  val q133PrefixSsjoin: Q = (s, dir) =>
+    Dedup.prefixFilteredJaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1500),
+      "text", "doc_id", n = 3, threshold = 0.5)
+  val q133Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1500),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b, jaccard FROM (
+      SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+    WHERE jaccard >= 0.5"""
+
   val all: Map[String, Q] = Map(
+    "q132_radius_join" -> q132RadiusJoin,
+    "q133_prefix_ssjoin" -> q133PrefixSsjoin,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
     "q21_minhash_lsh" -> q21MinhashLsh,
@@ -2660,5 +2718,7 @@ object OpsQueries {
     "q128_trigram_search" -> q128Sql,
     "q129_weighted_sample" -> q129Sql,
     "q130_rendezvous_shard" -> q130Sql,
-    "q131_span_mask" -> q131Sql)
+    "q131_span_mask" -> q131Sql,
+    "q132_radius_join" -> q132Sql,
+    "q133_prefix_ssjoin" -> q133Sql)
 }

@@ -69,4 +69,30 @@ class DedupPruningSpec extends SparkSpec {
     val pruned = TextOps.winnowingSharedPairs(fps, minShared = 5, maxDocFreq = 5)
     assert(pruned.count() == 0)
   }
+
+  test("prefix filtering is exact: equals the brute-force operator on real docs") {
+    val d = Tables.documents(spark, sf()).filter(col("doc_id") < 300)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = asSet(Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5))
+    val pf = asSet(Dedup.prefixFilteredJaccardPairs(d, "text", "doc_id", 3, 0.5))
+    assert(brute.nonEmpty && pf == brute)
+  }
+
+  test("prefix filtering keeps pairs whose shared shingles are the commonest — where the df cap loses them") {
+    // 10 docs: 9 shared words + 3 unique words → the 7 shared shingles
+    // have df = 10 (ordered LAST by rarity), the 3 unique-touching
+    // shingles df = 1 (ordered first). Pairwise Jaccard = 7/13 ≥ 0.5,
+    // carried ENTIRELY by the commonest shingles — the adversarial case
+    // for rare-key blocking.
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel india uniq${i}a uniq${i}b uniq${i}c")
+    }.toDF("doc_id", "text")
+    val pf = Dedup.prefixFilteredJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+    assert(pf.count() == 10L * 9 / 2, "prefix bound must find every pair")
+    // the df-capped operator drops exactly these pairs (recall trade)
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+      maxDocFreq = 5)
+    assert(capped.count() == 0)
+  }
 }
