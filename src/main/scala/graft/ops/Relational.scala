@@ -175,4 +175,39 @@ object Relational {
     untouched.unionByName(
       last.where(col(opCol) =!= "D").select(payload.map(col): _*))
   }
+
+  /** Snapshot diff — the inverse of [[applyCdc]]: derive the change log
+    * between two keyed snapshots. Emits one row per differing key:
+    * `op` ∈ I (only in `newDf`) / D (only in `oldDf`) / U (in both with
+    * any `compareCols` value differing, null-safe), with `changed_cols`
+    * the comma-joined names of differing columns (empty for I/D);
+    * unchanged keys emit nothing — the property that makes the diff
+    * shippable as a delta.
+    *
+    * Cost: one full outer equi-join on the key (one exchange per side,
+    * or zero with both snapshots bucketed on the key — the nightly
+    * snapshot-compare shape) and per-row column compares; no window, no
+    * driver state. Diff-then-[[applyCdc]] round-trips the new snapshot.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one column to compare")
+    val o = oldDf.select(col(keyCol).as("_ok") +:
+      compareCols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newDf.select(col(keyCol).as("_nk") +:
+      compareCols.map(c => col(c).as(s"_n_$c")): _*)
+    val diffs = compareCols.map(c =>
+      when(!(col(s"_o_$c") <=> col(s"_n_$c")), lit(c)))
+    o.join(n, col("_ok") === col("_nk"), "full_outer")
+      .withColumn("op",
+        when(col("_ok").isNull, lit("I"))
+          .when(col("_nk").isNull, lit("D"))
+          .when(diffs.map(_.isNotNull).reduce(_ || _), lit("U")))
+      .where(col("op").isNotNull)
+      .withColumn("changed_cols",
+        // concat_ws skips nulls, so only differing names remain
+        when(col("op") === "U", concat_ws(",", diffs: _*)).otherwise(lit("")))
+      .select(coalesce(col("_ok"), col("_nk")).as("key"),
+        col("op"), col("changed_cols"))
+  }
 }

@@ -107,4 +107,30 @@ object TimeSeries {
       col("w_cnt"), col("w_sum"), z.as("z"),
       coalesce(abs(z) > zThreshold, lit(false)).as("is_anomaly"))
   }
+
+  /** OHLC downsampling: per (key, hour-bucket) open/high/low/close bars —
+    * the time-series compaction step (candles, telemetry rollups).
+    *
+    * Open/close are `min_by`/`max_by` over `struct(ts, tie)` — a fully
+    * partial-aggregable argmin (each map task combines to one candidate
+    * per group before the shuffle), so this is ONE map-side-combined
+    * aggregation with no window sort; `tie` must be unique within a
+    * bucket (an event id) to make ties deterministic. Bucket surfaces as
+    * q01's integer (y, m, d, h) parts — the proven cross-engine shape.
+    */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    df.groupBy(col(keyCol).as("k"),
+        year(col(tsCol)).cast("long").as("y"),
+        month(col(tsCol)).cast("long").as("m"),
+        dayofmonth(col(tsCol)).cast("long").as("d"),
+        hour(col(tsCol)).cast("long").as("h"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

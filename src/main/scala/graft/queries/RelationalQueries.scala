@@ -942,7 +942,89 @@ object RelationalQueries {
     FROM lineitem"""
   }.mkString(" UNION ALL ")
 
+  // ————————————————————————— snapshot diff / CDC derive (q134)
+  // (the inverse of q110: two keyed snapshots → the I/U/D change log
+  //  with per-row changed-column names; both snapshots derive
+  //  deterministically from orders so either engine rebuilds them —
+  //  old = keys % 7 ≠ 0 at original prices, new = keys % 5 ≠ 0 with
+  //  price doubled when key % 3 = 0)
+  val q134SnapshotDiff: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val oldSnap = o.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val newSnap = o.where(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    Relational.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"))
+  }
+  val q134Sql: String = """
+    WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+               FROM orders WHERE o_orderkey % 7 <> 0),
+    n AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 5 <> 0),
+    j AS (SELECT o.k AS ok, n.k AS nk,
+            CASE WHEN o.s IS DISTINCT FROM n.s THEN 'o_orderstatus' END AS c1,
+            CASE WHEN o.p IS DISTINCT FROM n.p THEN 'o_totalprice' END AS c2
+          FROM o FULL JOIN n ON o.k = n.k)
+    SELECT coalesce(ok, nk) AS key,
+      CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D' ELSE 'U' END AS op,
+      CASE WHEN ok IS NULL OR nk IS NULL THEN ''
+           ELSE concat_ws(',', c1, c2) END AS changed_cols
+    FROM j WHERE ok IS NULL OR nk IS NULL OR c1 IS NOT NULL OR c2 IS NOT NULL"""
+
+  // ————————————————————————— k-anonymity suppression (q135)
+  // (rows whose (nation, segment) quasi-identifier group has fewer than
+  //  k members get the QI columns nulled, not dropped — group_size and
+  //  the flag surface for the oracle's window re-derivation)
+  val q135KAnonymize: Q = (s, dir) =>
+    graft.ops.Privacy.kAnonymize(
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey", "c_mktsegment"),
+        Seq("c_nationkey", "c_mktsegment"), k = 12)
+      .select("c_custkey", "c_nationkey", "c_mktsegment",
+        "group_size", "suppressed")
+  val q135Sql: String = """
+    WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS group_size
+      FROM customer)
+    SELECT c_custkey,
+      CASE WHEN group_size >= 12 THEN c_nationkey END AS c_nationkey,
+      CASE WHEN group_size >= 12 THEN c_mktsegment END AS c_mktsegment,
+      group_size, group_size < 12 AS suppressed
+    FROM g"""
+
+  // ————————————————————————— OHLC downsampling bars (q136)
+  // (per (event_type, hour) open/high/low/close via partial-aggregable
+  //  min_by/max_by over struct(ts, event_id) — ONE map-side-combined
+  //  aggregation, no window sort; the oracle re-derives open/close with
+  //  rank-1 rows under the identical (ts, event_id) order)
+  val q136OhlcBars: Q = (s, dir) =>
+    graft.ops.TimeSeries.ohlcBars(Tables.events(s, dir), "event_type", "ts",
+        "value", "event_id")
+      .withColumnRenamed("k", "event_type")
+  val q136Sql: String = """
+    WITH r AS (SELECT event_type, year(ts) AS y, month(ts) AS m,
+        day(ts) AS d, hour(ts) AS h, value,
+        row_number() OVER (PARTITION BY event_type, year(ts), month(ts),
+          day(ts), hour(ts) ORDER BY ts, event_id) AS rna,
+        row_number() OVER (PARTITION BY event_type, year(ts), month(ts),
+          day(ts), hour(ts) ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events)
+    SELECT event_type, y, m, d, h,
+      max(CASE WHEN rna = 1 THEN value END) AS open,
+      max(value) AS high, min(value) AS low,
+      max(CASE WHEN rnd = 1 THEN value END) AS close,
+      count(*) AS n
+    FROM r GROUP BY 1, 2, 3, 4, 5"""
+
   val all: Map[String, Q] = Map(
+    "q134_snapshot_diff" -> q134SnapshotDiff,
+    "q135_k_anonymize" -> q135KAnonymize,
+    "q136_ohlc_bars" -> q136OhlcBars,
     "q01_hourly_agg" -> q01HourlyAgg,
     "q02_pricing_summary" -> q02PricingSummary,
     "q03_revenue_by_nation" -> q03RevenueByNation,
@@ -1032,5 +1114,8 @@ object RelationalQueries {
     "q121_session_transitions" -> q121Sql,
     "q123_stream_rollup" -> q123Sql,
     "q126_zorder" -> q126Sql,
-    "q127_table_profile" -> q127Sql)
+    "q127_table_profile" -> q127Sql,
+    "q134_snapshot_diff" -> q134Sql,
+    "q135_k_anonymize" -> q135Sql,
+    "q136_ohlc_bars" -> q136Sql)
 }

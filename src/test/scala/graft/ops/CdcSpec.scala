@@ -45,4 +45,37 @@ class CdcSpec extends SparkSpec {
       Relational.applyCdc(base, bad, "k", "ts", "tie")
     }
   }
+
+  private val oldSnap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0),
+    (4L, "gone", 40.0)).toDF("k", "s", "p")
+  private val newSnap = Seq(
+    (1L, "a", 10.0),   // unchanged — must emit nothing
+    (2L, "B", 20.0),   // s changed
+    (3L, "now", 31.0), // null→value AND p changed
+    (5L, "new", 50.0)) // insert
+    .toDF("k", "s", "p")
+
+  test("snapshotDiff classifies I/U/D with null-safe changed columns") {
+    val got = Relational.snapshotDiff(oldSnap, newSnap, "k", Seq("s", "p"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (2L, "U", "s"), (3L, "U", "s,p"), (4L, "D", ""), (5L, "I", "")))
+  }
+
+  test("snapshotDiff then applyCdc round-trips the new snapshot") {
+    val diff = Relational.snapshotDiff(oldSnap, newSnap, "k", Seq("s", "p"))
+    // rebuild an applyCdc log from the diff: I/U carry new values, D
+    // carries anything (applyCdc only reads its key)
+    val logDf = diff.select(col("key").as("k"), col("op"))
+      .join(newSnap, Seq("k"), "left")
+      .select(col("k"), col("s"), col("p"), lit(1L).as("ts"),
+        col("k").as("tie"),
+        when(col("op") === "D", "D").otherwise("U").as("op"))
+    val applied = Relational.applyCdc(
+      oldSnap, logDf, "k", "ts", "tie")
+      .as[(Long, String, Double)].collect().toSet
+    val expect = newSnap.as[(Long, String, Double)].collect().toSet
+    assert(applied == expect)
+  }
 }

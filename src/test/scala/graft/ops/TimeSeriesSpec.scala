@@ -98,4 +98,25 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, ts(2), 50.0, 3L)))
     assert(got.filter(_._1 == 3L) == Seq((3L, 50000L, 0L, None, false)))
   }
+
+  test("ohlcBars: open/close by (ts, tie) order, high/low/count per bucket") {
+    val df = Seq(
+      // key A, hour 9: open=5 (earliest), close=2 (latest), high=9, low=1
+      ("A", ts(9, 0), 5.0, 1L), ("A", ts(9, 10), 9.0, 2L),
+      ("A", ts(9, 20), 1.0, 3L), ("A", ts(9, 30), 2.0, 4L),
+      // key A, hour 10: single event — open=close=high=low
+      ("A", ts(10, 0), 7.0, 5L),
+      // key B, hour 9: duplicate ts — tie id decides open (id 6) and
+      // close (id 7)
+      ("B", ts(9, 0), 3.0, 6L), ("B", ts(9, 0), 4.0, 7L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.ohlcBars(df, "k", "t", "v", "id")
+      .select("k", "h", "open", "high", "low", "close", "n")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("A", 9L, 5.0, 9.0, 1.0, 2.0, 4L),
+      ("A", 10L, 7.0, 7.0, 7.0, 7.0, 1L),
+      ("B", 9L, 3.0, 4.0, 3.0, 4.0, 2L)))
+  }
 }
