@@ -197,4 +197,35 @@ object Analytics {
         round(sum(greatest(least(col("c"), col("p_hi_c")), col("p_lo_c")))
           .cast("double") / count(lit(1)), 6).as("wins_mean_c"))
   }
+
+  /** Equi-depth (equal-frequency) binning: `nBins` buckets bounded by the
+    * exact `i/nBins` percentiles of `valueCol`, returned as per-bin
+    * (count, min, max) — the histogram/feature-bucketing primitive.
+    *
+    * The [[winsorizedStats]] float discipline: values move to exact cent
+    * space, boundaries are FLOORED percentiles (never half-ulp
+    * interpolation ties), and `bin = Σ [cv ≥ bᵢ]` is pure integer
+    * comparison — any engine reproduces the assignment bit-for-bit.
+    *
+    * Plan: one percentile aggregate (exact here; `approx_percentile`
+    * with a tightened accuracy is the drop-in at 100 TB, where an exact
+    * percentile's all-values state is the memory ceiling), the 1-row
+    * boundary frame broadcast back, then one map-side-combined
+    * aggregation on the bin id. Never a global sort — `ntile` would
+    * give the same buckets at the price of one total-order sort.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 100)
+    val c = df.where(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100).cast("long").as("cv"))
+    val ps = (1 until nBins).map(i => s"${i.toDouble / nBins}")
+    val bounds = c.agg(
+      expr(s"percentile(cv, array(${ps.mkString(",")}))").as("_ps"))
+      .select(transform(col("_ps"), b => floor(b).cast("long")).as("bs"))
+    c.crossJoin(broadcast(bounds))
+      .withColumn("bin", aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + when(col("cv") >= b, 1L).otherwise(0L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("cv").as("lo_cv"), max("cv").as("hi_cv"))
+  }
 }

@@ -740,4 +740,40 @@ object Similarity {
         round(sqrt((col("cnt") * col("ss") - col("s") * col("s"))
           .cast("double")) / col("cnt"), 6).as("std_mv"))
   }
+
+  /** Upper-triangle covariance matrix of the embedding dimensions — the
+    * whitening / PCA input ([[embeddingDimStats]] gives the diagonal's
+    * marginals; this adds the cross terms). Exact milli-integer space
+    * throughout: `cov·10⁶ = (n·Σxy − Σx·Σy) / n²` is one division of
+    * exact longs, engine-deterministic (the q122 discipline — never a
+    * float accumulation whose partition order could leak).
+    *
+    * Scale shape: the (i ≤ j) pairs are generated IN-ROW (posexplode +
+    * slice — never a row self-join), aggregated with map-side combine
+    * into dims·(dims+1)/2 groups; the per-dim sums join back from a
+    * dims-sized frame Catalyst broadcasts. Vectors are never shuffled;
+    * shuffle rows = dims² design constants, independent of corpus size.
+    */
+  def embeddingCovariance(emb: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val vints = transform(col(vecCol),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val rows = emb.select(vints.as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i").cast("long").as("i"), col("vi"),
+        posexplode(slice(col("v"), col("i") + 1, greatest(size(col("v")) - col("i"), lit(0))))
+          .as(Seq("jrel", "vj")))
+      .select(col("i"), (col("i") + col("jrel")).cast("long").as("j"),
+        col("vi"), col("vj"))
+    val prods = rows.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("vi") * col("vj")).as("sxy"))
+    val sums = emb.select(posexplode(vints).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d")).agg(sum("x").as("sd"))
+    prods
+      .join(sums.select(col("d").as("i"), col("sd").as("sx")), Seq("i"))
+      .join(sums.select(col("d").as("j"), col("sd").as("sy")), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("sxy"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("n")).cast("double"), 6).as("cov_mc"))
+  }
 }

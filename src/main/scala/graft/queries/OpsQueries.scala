@@ -2562,9 +2562,34 @@ object OpsQueries {
       FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
     WHERE jaccard >= 0.5"""
 
+  // ———————————————— embedding covariance matrix (q138)
+  // (upper-triangle cov of the 64 embedding dims in exact milli-integer
+  //  space — the whitening/PCA input; pairs generated IN-ROW, vectors
+  //  never shuffled, output = dims² design constants)
+  val q138EmbedCovariance: Q = (s, dir) =>
+    Similarity.embeddingCovariance(Tables.embeddings(s, dir))
+  val q138Sql: String = """
+    WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM d),
+    pr AS (SELECT e, i, unnest(range(i, len(e) + 1)) AS j FROM idx),
+    p AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+            CAST(round(e[i] * 1000) AS BIGINT)
+              * CAST(round(e[j] * 1000) AS BIGINT) AS xy
+          FROM pr),
+    g AS (SELECT i, j, count(*) AS n, CAST(sum(xy) AS BIGINT) AS sxy
+          FROM p GROUP BY 1, 2),
+    s AS (SELECT CAST(i - 1 AS BIGINT) AS dm,
+            CAST(sum(CAST(round(e[i] * 1000) AS BIGINT)) AS BIGINT) AS sd
+          FROM idx GROUP BY 1)
+    SELECT g.i, g.j, g.n, g.sxy,
+      round(CAST(g.n * g.sxy - si.sd * sj.sd AS DOUBLE)
+        / CAST(g.n * g.n AS DOUBLE), 6) AS cov_mc
+    FROM g JOIN s si ON si.dm = g.i JOIN s sj ON sj.dm = g.j"""
+
   val all: Map[String, Q] = Map(
     "q132_radius_join" -> q132RadiusJoin,
     "q133_prefix_ssjoin" -> q133PrefixSsjoin,
+    "q138_embed_covariance" -> q138EmbedCovariance,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
     "q21_minhash_lsh" -> q21MinhashLsh,
@@ -2720,5 +2745,6 @@ object OpsQueries {
     "q130_rendezvous_shard" -> q130Sql,
     "q131_span_mask" -> q131Sql,
     "q132_radius_join" -> q132Sql,
-    "q133_prefix_ssjoin" -> q133Sql)
+    "q133_prefix_ssjoin" -> q133Sql,
+    "q138_embed_covariance" -> q138Sql)
 }

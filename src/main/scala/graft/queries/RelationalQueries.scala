@@ -1021,7 +1021,41 @@ object RelationalQueries {
       count(*) AS n
     FROM r GROUP BY 1, 2, 3, 4, 5"""
 
+  // ————————————————————————— equi-depth binning (q137)
+  // (decile buckets of l_extendedprice in exact cent space, boundaries =
+  //  FLOORED exact percentiles — q118's discipline — bin assignment a
+  //  pure integer comparison sum; per-bin count/min/max; never ntile's
+  //  global sort)
+  val q137EquiDepthBins: Q = (s, dir) =>
+    graft.ops.Analytics.equiDepthBins(
+      Tables.lineitem(s, dir).select("l_extendedprice"),
+      "l_extendedprice", nBins = 10)
+  val q137Sql: String = """
+    WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cv
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (SELECT
+        CAST(floor(quantile_cont(cv, 0.1)) AS BIGINT) AS b1,
+        CAST(floor(quantile_cont(cv, 0.2)) AS BIGINT) AS b2,
+        CAST(floor(quantile_cont(cv, 0.3)) AS BIGINT) AS b3,
+        CAST(floor(quantile_cont(cv, 0.4)) AS BIGINT) AS b4,
+        CAST(floor(quantile_cont(cv, 0.5)) AS BIGINT) AS b5,
+        CAST(floor(quantile_cont(cv, 0.6)) AS BIGINT) AS b6,
+        CAST(floor(quantile_cont(cv, 0.7)) AS BIGINT) AS b7,
+        CAST(floor(quantile_cont(cv, 0.8)) AS BIGINT) AS b8,
+        CAST(floor(quantile_cont(cv, 0.9)) AS BIGINT) AS b9
+      FROM c),
+    a AS (SELECT cv, CAST(
+        CASE WHEN cv >= b1 THEN 1 ELSE 0 END + CASE WHEN cv >= b2 THEN 1 ELSE 0 END
+        + CASE WHEN cv >= b3 THEN 1 ELSE 0 END + CASE WHEN cv >= b4 THEN 1 ELSE 0 END
+        + CASE WHEN cv >= b5 THEN 1 ELSE 0 END + CASE WHEN cv >= b6 THEN 1 ELSE 0 END
+        + CASE WHEN cv >= b7 THEN 1 ELSE 0 END + CASE WHEN cv >= b8 THEN 1 ELSE 0 END
+        + CASE WHEN cv >= b9 THEN 1 ELSE 0 END AS BIGINT) AS bin
+      FROM c, b)
+    SELECT bin, count(*) AS n, min(cv) AS lo_cv, max(cv) AS hi_cv
+    FROM a GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q137_equidepth_bins" -> q137EquiDepthBins,
     "q134_snapshot_diff" -> q134SnapshotDiff,
     "q135_k_anonymize" -> q135KAnonymize,
     "q136_ohlc_bars" -> q136OhlcBars,
@@ -1117,5 +1151,6 @@ object RelationalQueries {
     "q127_table_profile" -> q127Sql,
     "q134_snapshot_diff" -> q134Sql,
     "q135_k_anonymize" -> q135Sql,
-    "q136_ohlc_bars" -> q136Sql)
+    "q136_ohlc_bars" -> q136Sql,
+    "q137_equidepth_bins" -> q137Sql)
 }

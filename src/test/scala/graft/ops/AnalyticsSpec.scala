@@ -142,4 +142,30 @@ class AnalyticsSpec extends SparkSpec {
       .select("g", "n").as[(String, Long)].collect().toMap
     assert(got == Map("A" -> 10L, "B" -> 1L))
   }
+
+  test("equiDepthBins: median boundary splits a hand fixture exactly") {
+    // cents 100..1000; 2 bins → boundary = floor(p50) = 550:
+    // bin 0 = {100..500}, bin 1 = {600..1000}
+    val df = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val got = Analytics.equiDepthBins(df, "v", nBins = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 5L, 100L, 500L), (1L, 5L, 600L, 1000L)))
+  }
+
+  test("equiDepthBins: deciles are near-equal depth on real data; nulls dropped") {
+    val li = graft.queries.Tables.lineitem(spark, sf()).select("l_extendedprice")
+    val rows = li.where(col("l_extendedprice").isNotNull).count()
+    val bins = Analytics.equiDepthBins(li, "l_extendedprice", nBins = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bins.map(_._2).sum == rows, "binning must partition the rows")
+    assert(bins.length == 10)
+    val depths = bins.map(_._2.toDouble)
+    assert(depths.max / depths.min < 1.25,
+      s"equi-depth bins should be near-equal: ${depths.toSeq}")
+    // bins are ordered, non-overlapping in value space
+    val sorted = bins.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bin ${a._1} max ${a._4} overlaps bin ${b._1} min ${b._3}")
+    }
+  }
 }

@@ -638,6 +638,37 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 4L, 2.0, 1.0), (1L, 2L, 6L, 3.0, 0.0)))
   }
 
+  test("embeddingCovariance: exact population covariance on a hand case") {
+    import spark.implicits._
+    // millis: rows (1000, 2000) and (3000, 6000) → population covs:
+    // var(d0)=1e6, cov(d0,d1)=2e6, var(d1)=4e6; upper triangle only
+    val df = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 6.0f)))
+      .toDF("embedding")
+    val got = Similarity.embeddingCovariance(df)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(got((0L, 0L)) == ((0L, 0L, 2L, 10000000L, 1000000.0)))
+    assert(got((0L, 1L)) == ((0L, 1L, 2L, 20000000L, 2000000.0)))
+    assert(got((1L, 1L)) == ((1L, 1L, 2L, 40000000L, 4000000.0)))
+  }
+
+  test("embeddingCovariance diagonal matches embeddingDimStats variance") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(0.1f, 0.4f)), Tuple1(Array(0.3f, 0.4f)),
+      Tuple1(Array(0.5f, 0.4f))).toDF("embedding")
+    val diag = Similarity.embeddingCovariance(df)
+      .where(col("i") === col("j"))
+      .select("i", "cov_mc").as[(Long, Double)].collect().toMap
+    val stats = Similarity.embeddingDimStats(df)
+      .select("dim", "std_mv").as[(Long, Double)].collect().toMap
+    stats.foreach { case (d, std) =>
+      // std_mv is itself 6-d.p. rounded, so squaring amplifies its
+      // rounding error — compare relatively, not at the cov's own 1e-6
+      assert(math.abs(diag(d) - std * std) <= 1e-3 * (1 + math.abs(diag(d))),
+        s"dim $d: cov ${diag(d)} vs std² ${std * std}") }
+  }
+
   test("tableProfile: per-column counts, nulls, distincts, string extrema") {
     import spark.implicits._
     val df = Seq((1L, Some("b"), Some(2.5)), (2L, None, Some(1.5)),
