@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Annotation aggregation — the label-consolidation step of an RLHF /
+  * supervised-data pipeline: many annotators, conflicting votes, one
+  * training label per item with a confidence.
+  */
+object Annotation {
+
+  /** Accuracy-weighted majority vote (a one-round Dawid–Skene): plain
+    * per-item majority first, then each annotator's global agreement
+    * with those majorities becomes their vote weight, then a weighted
+    * re-vote. Annotators who usually agree with consensus count more;
+    * a spammer's votes are discounted without being dropped.
+    *
+    * Every intermediate stays in exact integer space: weights are
+    * parts-per-million via `(10⁶ · matches) div total` (integer
+    * division — no float whose cross-engine rounding could flip a
+    * rank), weighted sums are sums of longs, and all argmaxes break
+    * ties toward the lexicographically smallest label. `confidence`
+    * (winning share of the item's total vote weight) is the single
+    * final double division.
+    *
+    * Plan: three aggregations (item-label counts, annotator accuracy,
+    * weighted re-vote) + two small joins; the accuracy frame is one row
+    * per annotator — broadcast-sized by construction. No window over
+    * the full vote stream; ranks run per item-label group.
+    */
+  def aggregateLabels(votes: DataFrame, itemCol: String,
+      annotatorCol: String, labelCol: String): DataFrame = {
+    val v = votes.select(col(itemCol).as("item"),
+      col(annotatorCol).as("annotator"), col(labelCol).as("label"))
+    val counts = v.groupBy("item", "label").agg(count(lit(1)).as("cnt"))
+    val wMaj = Window.partitionBy("item")
+      .orderBy(col("cnt").desc, col("label"))
+    val majority = counts.withColumn("rn", row_number().over(wMaj))
+      .where(col("rn") === 1).select(col("item"), col("label").as("maj_label"))
+    val acc = v.join(majority, "item")
+      .groupBy("annotator")
+      .agg((lit(1000000L) * sum(when(col("label") === col("maj_label"), 1L)
+          .otherwise(0L))).as("m"), count(lit(1)).as("t"))
+      .select(col("annotator"), expr("m div t").as("w_ppm"))
+    val weighted = v.join(acc, "annotator")
+      .groupBy("item", "label")
+      .agg(count(lit(1)).as("n"), sum("w_ppm").as("wsum"))
+    val wFinal = Window.partitionBy("item")
+      .orderBy(col("wsum").desc, col("label"))
+    val totals = weighted.groupBy("item")
+      .agg(sum("wsum").as("w_total"), sum("n").as("n_votes"))
+    weighted.withColumn("rn", row_number().over(wFinal))
+      .where(col("rn") === 1)
+      .join(totals, "item").join(majority, "item")
+      .select(col("item"), col("maj_label"), col("label").as("final_label"),
+        col("n_votes"), col("wsum"),
+        round(col("wsum").cast("double") / col("w_total").cast("double"), 6)
+          .as("confidence"))
+  }
+}

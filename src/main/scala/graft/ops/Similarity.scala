@@ -76,6 +76,30 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` most-similar corpus vectors carrying a DIFFERENT label — the
+    * negatives that actually move a contrastive loss (easy negatives are
+    * already far). Same shape as [[bruteForceTopKBatch]] (anchor batch
+    * broadcast against one corpus scan, 4-d.p.-rounded cosine with id
+    * tiebreak before the rank) plus the label-difference predicate; the
+    * at-scale swap is the IVF probe (q43/q60) feeding the same filter —
+    * mining is approximate by nature, so index recall is acceptable
+    * where the q24 oracle baseline is not.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("cos_sim").desc, col(idCol))
+    corpus.crossJoin(broadcast(anchors))
+      .where(col(labelCol) =!= col("a_label") && col(idCol) =!= col("a_id"))
+      .select(col("a_id"), col(idCol), col(labelCol),
+        round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Assign each vector to its nearest centroid (max cosine, centroid-id
     * tiebreak). `centroids`: (cid, cvec array<double>), small + broadcast.
     */

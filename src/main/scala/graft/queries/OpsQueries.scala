@@ -2586,10 +2586,78 @@ object OpsQueries {
         / CAST(g.n * g.n AS DOUBLE), 6) AS cov_mc
     FROM g JOIN s si ON si.dm = g.i JOIN s sj ON sj.dm = g.j"""
 
+  // ———————————————— contrastive hard-negative mining (q139)
+  // (for each anchor in the batch, the top-k most-similar corpus
+  //  vectors with a DIFFERENT label — q50's broadcast-batch scan plus
+  //  the label predicate; 4 d.p.-rounded cosine + id tiebreak before
+  //  the rank, the established ANN float discipline)
+  val q139HardNegatives: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.hardNegatives(emb.filter(col("vec_id") >= 5), anchors, k = 5)
+  }
+  val q139Sql: String = """
+    WITH a AS (SELECT vec_id AS a_id, label AS a_label,
+        CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+    sc AS (SELECT a_id, vec_id, e.label, round(
+        list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+      FROM embeddings e, a
+      WHERE vec_id >= 5 AND e.label <> a.a_label AND vec_id <> a_id),
+    r AS (SELECT *, CAST(row_number() OVER
+            (PARTITION BY a_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+          FROM sc)
+    SELECT a_id, vec_id, label, cos_sim, rk FROM r WHERE rk <= 5"""
+
+  // ———————————————— annotator label aggregation (q140)
+  // (one-round Dawid–Skene: majority → per-annotator agreement weight in
+  //  exact ppm integer space (integer div, never float) → weighted
+  //  re-vote with lexicographic tiebreaks; confidence is the single
+  //  final double division)
+  val q140LabelAgg: Q = (s, dir) =>
+    graft.ops.Annotation.aggregateLabels(
+      Tables.orders(s, dir).select(
+        col("o_custkey").as("item"),
+        (col("o_orderkey") % 7).as("annotator"),
+        col("o_orderpriority").as("label")),
+      "item", "annotator", "label")
+  val q140Sql: String = """
+    WITH v AS (SELECT o_custkey AS item, o_orderkey % 7 AS annotator,
+        o_orderpriority AS label FROM orders),
+    c AS (SELECT item, label, count(*) AS cnt FROM v GROUP BY 1, 2),
+    mj AS (SELECT item, label AS maj_label FROM (
+        SELECT item, label, row_number() OVER
+          (PARTITION BY item ORDER BY cnt DESC, label) AS rn FROM c)
+      WHERE rn = 1),
+    ac AS (SELECT annotator, CAST(
+        (1000000 * sum(CASE WHEN label = maj_label THEN 1 ELSE 0 END))
+          // count(*) AS BIGINT) AS w_ppm
+      FROM v JOIN mj USING (item) GROUP BY 1),
+    wg AS (SELECT item, label, count(*) AS n,
+        CAST(sum(w_ppm) AS BIGINT) AS wsum
+      FROM v JOIN ac USING (annotator) GROUP BY 1, 2),
+    tt AS (SELECT item, CAST(sum(wsum) AS BIGINT) AS w_total,
+        CAST(sum(n) AS BIGINT) AS n_votes FROM wg GROUP BY 1),
+    fin AS (SELECT item, label AS final_label, wsum FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY item ORDER BY wsum DESC, label) AS rn FROM wg)
+      WHERE rn = 1)
+    SELECT f.item, m.maj_label, f.final_label, t.n_votes, f.wsum,
+      round(CAST(f.wsum AS DOUBLE) / CAST(t.w_total AS DOUBLE), 6)
+        AS confidence
+    FROM fin f JOIN tt t USING (item) JOIN mj m USING (item)"""
+
   val all: Map[String, Q] = Map(
     "q132_radius_join" -> q132RadiusJoin,
     "q133_prefix_ssjoin" -> q133PrefixSsjoin,
     "q138_embed_covariance" -> q138EmbedCovariance,
+    "q139_hard_negatives" -> q139HardNegatives,
+    "q140_label_agg" -> q140LabelAgg,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
     "q21_minhash_lsh" -> q21MinhashLsh,
@@ -2746,5 +2814,7 @@ object OpsQueries {
     "q131_span_mask" -> q131Sql,
     "q132_radius_join" -> q132Sql,
     "q133_prefix_ssjoin" -> q133Sql,
-    "q138_embed_covariance" -> q138Sql)
+    "q138_embed_covariance" -> q138Sql,
+    "q139_hard_negatives" -> q139Sql,
+    "q140_label_agg" -> q140Sql)
 }

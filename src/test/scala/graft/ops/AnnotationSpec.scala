@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AnnotationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def agg(rows: (Long, String, String)*) =
+    Annotation.aggregateLabels(rows.toDF("item", "ann", "label"),
+      "item", "ann", "label")
+      .as[(Long, String, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("hand case: ppm weights, weighted winner, confidence") {
+    // item 1: a1→A, a2→A, a3→B (maj A); item 2: a1→X, a3→X (maj X)
+    // accuracies: a1 2/2 → 1e6, a2 1/1 → 1e6, a3 1/2 → 5e5
+    val got = agg(
+      (1L, "a1", "A"), (1L, "a2", "A"), (1L, "a3", "B"),
+      (2L, "a1", "X"), (2L, "a3", "X"))
+    assert(got(1L) == ((1L, "A", "A", 3L, 2000000L, 0.8)))
+    assert(got(2L) == ((2L, "X", "X", 2L, 1500000L, 1.0)))
+  }
+
+  test("spammers are discounted: weighted vote overturns the raw majority") {
+    // good1/good2 agree on items 10-12; spam1/spam2 always deviate there.
+    // On item 13 the spammers outnumber good1 2:1 — raw majority A — but
+    // their ppm weight (1/4 agreement) loses to good1's 3/4.
+    val base = (10L to 12L).flatMap(i => Seq(
+      (i, "good1", "G"), (i, "good2", "G"), (i, "spam1", "S"), (i, "spam2", "T")))
+    val got = agg(base ++ Seq(
+      (13L, "good1", "B"), (13L, "spam1", "A"), (13L, "spam2", "A")): _*)
+    assert(got(13L) == ((13L, "A", "B", 3L, 750000L, 0.6)))
+  }
+
+  test("count ties break toward the lexicographically smaller label") {
+    val got = agg((1L, "a1", "Z"), (1L, "a2", "A"))
+    assert(got(1L)._2 == "A")
+  }
+}

@@ -638,6 +638,21 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 4L, 2.0, 1.0), (1L, 2L, 6L, 3.0, 0.0)))
   }
 
+  test("hardNegatives: same-label and self rows never surface; rank by cosine") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1),   // same label as anchor — excluded
+      (11L, Array(0.9f, 0.1f), 2),   // sim ≈ 0.9939
+      (12L, Array(0.0f, 1.0f), 2),   // sim 0
+      (13L, Array(1.0f, 0.01f), 3))  // sim ≈ 0.99995
+      .toDF("vec_id", "embedding", "label")
+    val anchors = Seq((0L, 1, Array(1.0, 0.0)))
+      .toDF("a_id", "a_label", "qvec")
+    val got = Similarity.hardNegatives(corpus, anchors, k = 2)
+      .select("a_id", "vec_id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 13L, 1L), (0L, 11L, 2L)))
+  }
+
   test("embeddingCovariance: exact population covariance on a hand case") {
     import spark.implicits._
     // millis: rows (1000, 2000) and (3000, 6000) → population covs:
