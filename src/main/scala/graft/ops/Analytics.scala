@@ -198,6 +198,39 @@ object Analytics {
           .cast("double") / count(lit(1)), 6).as("wins_mean_c"))
   }
 
+  /** Last-touch attribution: each conversion event credits the latest
+    * touch event strictly before it by the same user, when that touch
+    * falls inside the attribution window. The marketing/causal-credit
+    * primitive; also the generic "latest preceding event of type X"
+    * stitch.
+    *
+    * One window per user ordered by (ts, id) — the q07/q08 exchange —
+    * with `last(..., ignoreNulls)` over `(unbounded, −1)` carrying the
+    * most recent touch forward; the exclusive upper bound keeps a
+    * conversion from attributing to itself under a shared timestamp.
+    * Times surface as epoch-µs integers (the q107 discipline).
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String, touchType: String,
+      windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("et") === touchType
+    events
+      .select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        col(typeCol).as("et"), unix_micros(col(tsCol)).as("ts_us"))
+      .withColumn("touch_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("touch_ts_us",
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("et") === convType)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("touch_id"), (col("ts_us") - col("touch_ts_us")).as("gap_us"),
+        coalesce(col("ts_us") - col("touch_ts_us") <= windowUs, lit(false))
+          .as("attributed"))
+  }
+
   /** Equi-depth (equal-frequency) binning: `nBins` buckets bounded by the
     * exact `i/nBins` percentiles of `valueCol`, returned as per-bin
     * (count, min, max) — the histogram/feature-bucketing primitive.

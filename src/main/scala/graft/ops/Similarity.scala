@@ -765,6 +765,36 @@ object Similarity {
           .cast("double")) / col("cnt"), 6).as("std_mv"))
   }
 
+  /** Per-dimension standardization (diagonal whitening): each embedding
+    * value becomes its z-score against that dimension's corpus
+    * distribution — the feature-normalization step before clustering /
+    * quantization treats dimensions comparably.
+    *
+    * The q115 z-score discipline in milli-integer space:
+    * `z = (n·v − s) / sqrt(n·ss − s²)` — exact longs inside, one sqrt +
+    * one division, 6 d.p. round; a zero-variance dimension scores null
+    * rather than ±inf. Plan: one dims-sized stats aggregate joined back
+    * broadcast-style against the narrow (id, dim, v) explode — two
+    * scans, no self-join, vectors never shuffled whole.
+    */
+  def whitenEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1000).cast("long")))
+          .as(Seq("dim", "v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("v"))
+    val stats = e.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    val varNum = col("n") * col("ss") - col("s") * col("s")
+    e.join(stats, "dim")
+      .select(col(idCol), col("dim"), col("v"),
+        when(varNum > 0,
+          round((col("n") * col("v") - col("s")).cast("double")
+            / sqrt(varNum.cast("double")), 6)).as("z"))
+  }
+
   /** Upper-triangle covariance matrix of the embedding dimensions — the
     * whitening / PCA input ([[embeddingDimStats]] gives the diagonal's
     * marginals; this adds the cross terms). Exact milli-integer space

@@ -2652,12 +2652,79 @@ object OpsQueries {
         AS confidence
     FROM fin f JOIN tt t USING (item) JOIN mj m USING (item)"""
 
+  // ———————————————— per-dimension embedding whitening (q141)
+  // (z-score each value against its dimension's corpus stats — the
+  //  q115 integer z formula in milli space; zero-variance dims null)
+  val q141WhitenEmbeddings: Q = (s, dir) =>
+    Similarity.whitenEmbeddings(Tables.embeddings(s, dir))
+  val q141Sql: String = """
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM d),
+    v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(round(e[i] * 1000) AS BIGINT) AS v FROM idx),
+    st AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS ss FROM v GROUP BY 1)
+    SELECT vec_id, dim, v,
+      CASE WHEN n * ss - s * s > 0 THEN
+        round(CAST(n * v - s AS DOUBLE)
+          / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) END AS z
+    FROM v JOIN st USING (dim)"""
+
+  // ———————————————— canonical keeper selection (q143)
+  // (q49's near-dup clusters + per-cluster argmax by document length —
+  //  the "which duplicate do we keep" policy made deterministic:
+  //  longest doc wins, id breaks ties)
+  val q143CanonicalKeepers: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("id"))
+    clusters.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("id").as("keeper"),
+        col("n_chars").as("keeper_chars"), col("n_members"))
+  }
+  val q143Sql: String = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+    cl AS (SELECT node AS id, min(label) AS cluster FROM walk GROUP BY node)
+    SELECT cluster, id AS keeper, n_chars AS keeper_chars, n_members FROM (
+      SELECT cl.cluster, cl.id, dd.n_chars,
+        row_number() OVER (PARTITION BY cl.cluster
+          ORDER BY dd.n_chars DESC, cl.id) AS rn,
+        count(*) OVER (PARTITION BY cl.cluster) AS n_members
+      FROM cl JOIN documents dd ON dd.doc_id = cl.id)
+    WHERE rn = 1"""
+
   val all: Map[String, Q] = Map(
     "q132_radius_join" -> q132RadiusJoin,
     "q133_prefix_ssjoin" -> q133PrefixSsjoin,
     "q138_embed_covariance" -> q138EmbedCovariance,
     "q139_hard_negatives" -> q139HardNegatives,
     "q140_label_agg" -> q140LabelAgg,
+    "q141_whiten_embeddings" -> q141WhitenEmbeddings,
+    "q143_canonical_keepers" -> q143CanonicalKeepers,
     "q19_dedup_exact" -> q19DedupExact,
     "q20_ngram_jaccard" -> q20NgramJaccard,
     "q21_minhash_lsh" -> q21MinhashLsh,
@@ -2816,5 +2883,7 @@ object OpsQueries {
     "q133_prefix_ssjoin" -> q133Sql,
     "q138_embed_covariance" -> q138Sql,
     "q139_hard_negatives" -> q139Sql,
-    "q140_label_agg" -> q140Sql)
+    "q140_label_agg" -> q140Sql,
+    "q141_whiten_embeddings" -> q141Sql,
+    "q143_canonical_keepers" -> q143Sql)
 }

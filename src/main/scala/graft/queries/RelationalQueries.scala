@@ -1054,7 +1054,34 @@ object RelationalQueries {
     SELECT bin, count(*) AS n, min(cv) AS lo_cv, max(cv) AS hi_cv
     FROM a GROUP BY 1"""
 
+  // ————————————————————————— last-touch attribution (q142)
+  // (each purchase credits the user's latest strictly-preceding click
+  //  inside a 7-day window — one per-user window sort shared by both
+  //  ignore-nulls carries; the exclusive −1 bound keeps a conversion
+  //  from attributing to itself under a shared timestamp)
+  val q142Attribution: Q = (s, dir) =>
+    graft.ops.Analytics.lastTouchAttribution(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      convType = "purchase", touchType = "click",
+      windowUs = 7L * 24 * 3600 * 1000000)
+  val q142Sql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type AS et,
+        epoch_us(ts) AS ts_us FROM events),
+    w AS (SELECT *,
+        last_value(CASE WHEN et = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+        last_value(CASE WHEN et = 'click' THEN ts_us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      FROM e)
+    SELECT event_id, user_id, ts_us, touch_id,
+      ts_us - touch_ts AS gap_us,
+      coalesce(ts_us - touch_ts <= 604800000000, false) AS attributed
+    FROM w WHERE et = 'purchase'"""
+
   val all: Map[String, Q] = Map(
+    "q142_attribution" -> q142Attribution,
     "q137_equidepth_bins" -> q137EquiDepthBins,
     "q134_snapshot_diff" -> q134SnapshotDiff,
     "q135_k_anonymize" -> q135KAnonymize,
@@ -1152,5 +1179,6 @@ object RelationalQueries {
     "q134_snapshot_diff" -> q134Sql,
     "q135_k_anonymize" -> q135Sql,
     "q136_ohlc_bars" -> q136Sql,
-    "q137_equidepth_bins" -> q137Sql)
+    "q137_equidepth_bins" -> q137Sql,
+    "q142_attribution" -> q142Sql)
 }

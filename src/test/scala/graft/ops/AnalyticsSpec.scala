@@ -143,6 +143,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map("A" -> 10L, "B" -> 1L))
   }
 
+  test("lastTouchAttribution: latest preceding touch, window bound, no-touch null") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def us(m: Int) = ts(m).getTime * 1000
+    val ev = Seq(
+      (1L, 1L, "click", ts(1)), (1L, 2L, "purchase", ts(2)),   // → click 1
+      (1L, 3L, "click", ts(3)), (1L, 4L, "click", ts(4)),
+      (1L, 5L, "purchase", ts(5)),                              // → click 4 (latest)
+      (2L, 6L, "purchase", ts(1)),                              // no touch → null
+      (3L, 7L, "click", ts(1)), (3L, 8L, "purchase", ts(50)))   // beyond 10-min window
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.ops.Analytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", "click",
+        windowUs = 10L * 60 * 1000000)
+      .select("event_id", "touch_id", "gap_us", "attributed")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (2L, Some(1L), Some(us(2) - us(1)), true),
+      (5L, Some(4L), Some(us(5) - us(4)), true),
+      (6L, None, None, false),
+      (8L, Some(7L), Some(us(50) - us(1)), false)))
+  }
+
+  test("lastTouchAttribution: shared timestamp resolves by the (ts, id) total order") {
+    // click id 1 and purchase id 2 at the SAME instant: the click sorts
+    // first, so the purchase credits it — deterministic, not ambiguous
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, 1L, "click", t), (1L, 2L, "purchase", t))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.ops.Analytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", "click", windowUs = 1000000L)
+      .select("event_id", "touch_id", "attributed")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq((2L, Some(1L), true)))
+  }
+
   test("equiDepthBins: median boundary splits a hand fixture exactly") {
     // cents 100..1000; 2 bins → boundary = floor(p50) = 550:
     // bin 0 = {100..500}, bin 1 = {600..1000}

@@ -638,6 +638,18 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 4L, 2.0, 1.0), (1L, 2L, 6L, 3.0, 0.0)))
   }
 
+  test("whitenEmbeddings: hand z-scores; zero-variance dim scores null") {
+    import spark.implicits._
+    // dim 0 millis {1000, 3000}: z = ∓1; dim 1 constant: null z
+    val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.whitenEmbeddings(df)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1000L, Some(-1.0)), (2L, 0L, 3000L, Some(1.0)),
+      (1L, 1L, 5000L, None), (2L, 1L, 5000L, None)))
+  }
+
   test("hardNegatives: same-label and self rows never surface; rank by cosine") {
     import spark.implicits._
     val corpus = Seq(
