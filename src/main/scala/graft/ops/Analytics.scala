@@ -261,4 +261,41 @@ object Analytics {
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("cv").as("lo_cv"), max("cv").as("hi_cv"))
   }
+
+  /** Per-key ordinary-least-squares trend (is this user's / metric's
+    * value drifting up or down, and how fast): slope of value-vs-time
+    * from the closed-form normal equations,
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`.
+    *
+    * Exactness: x = SECONDS since the key's own first event (the
+    * per-key re-basing keeps x within the span of one key's activity,
+    * so every sum and cross-product stays far inside exact BIGINT
+    * range — raw epoch micros squared would overflow), y = value in
+    * exact cents. All five sums are exact integers; the single double
+    * division happens once at the end (q140 discipline), 6 d.p.
+    * Constant-x keys (a single distinct timestamp → den = 0) yield a
+    * null slope rather than a division blow-up.
+    *
+    * Scale shape: ONE exchange on the key feeds both the min-ts window
+    * and the five-sum aggregation (same key ⇒ same partitioning,
+    * Catalyst reuses it); the aggregation combines map-side. Cost is
+    * linear in events, output linear in keys.
+    */
+  def trendOls(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros(`$tsCol`) div 1000000").as("tsec"),
+      round(col(valCol) * 100).cast("long").as("y"))
+    val x = (col("tsec") - min(col("tsec")).over(Window.partitionBy("k"))).as("x")
+    base.select(col("k"), x, col("y"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("k").as(keyCol), col("n"),
+        when(col("den") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / col("den").cast("double"), 6)).as("slope_cents_per_sec"))
+  }
 }

@@ -174,6 +174,63 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** EXACT containment-similarity join — the "is document a's content
+    * (almost) wholly inside document b" test that drops quotes, snippets
+    * and mirrored excerpts a symmetric Jaccard threshold misses (a short
+    * doc fully contained in a long one has low Jaccard but containment 1).
+    * Emits (a, b, containment) where
+    * `containment = |sh(a) ∩ sh(b)| / |sh(a)| ≥ pct/100` and a ≠ b.
+    *
+    * Asymmetric PPJoin-style prefix filter: if none of a's
+    * `n_a − ⌈pct·n_a/100⌉ + 1` globally-rarest shingles hits b, then
+    * `|A∩B| ≤ ⌈pct·n_a/100⌉ − 1 < pct·n_a/100` (pigeonhole over A
+    * alone), so candidates are a-PREFIX rows joined against b's full
+    * shingle rows — the probe side is self-limiting (rarest shingles
+    * only), the build side is a plain shingle-keyed lookup, and no
+    * full-row SELF-join ever happens. The prefix length and the final
+    * threshold are both computed in INTEGER space
+    * (`inter·100 ≥ pct·n_a`), so no float rounding can flip a boundary
+    * pair in either engine.
+    *
+    * Scale shape: one exchange for the per-doc rank window (shared with
+    * the df aggregate's output), candidate volume bounded by prefix-row
+    * bucket sizes; verification is in-row `array_intersect` per
+    * candidate. At corpus scale the b-side stopword buckets are the
+    * pressure point — b rows join at most the prefix rows per shingle,
+    * never each other, so a hot shingle costs |prefix_bucket|·|b_bucket|
+    * with the prefix bucket rarest-first small by construction.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, pct: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct > 0 && pct <= 100, s"pct must be in (0,100], got $pct")
+    val sh = shingleRows(df, textCol, idCol, n)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val byId = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(byId.orderBy(col("_df"), col("shingle"))))
+      .withColumn("n_sh", count(lit(1)).over(byId))
+    // ⌈pct·n/100⌉ = (pct·n + 99) div 100, all BIGINT
+    val prefix = ranked
+      .where(col("pos") <=
+        col("n_sh") - ((lit(pct.toLong) * col("n_sh") + 99) / 100).cast("long") + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.select(col("shingle"), col("id").as("a"))
+      .join(sh.select(col("shingle"), col("id").as("b")), "shingle")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val arrs = sh.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("toks"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(arrs.select(col("id").as("a"), col("toks").as("ta"), col("n_sh").as("na")), Seq("a"))
+      .join(arrs.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .where(col("inter") * 100 >= lit(pct.toLong) * col("na"))
+      .select(col("a"), col("b"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+  }
+
   /** MinHash signatures: `numHashes` independent permutations simulated as
     * md5(i || '|' || shingle), taking the lexicographic *string* minimum —
     * any total order over a uniform hash domain is a valid minhash, and the

@@ -830,4 +830,51 @@ object Similarity {
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
           / (col("n") * col("n")).cast("double"), 6).as("cov_mc"))
   }
+
+  /** Greedy k-center (farthest-point-first) coreset — the classic
+    * 2-approximation for DIVERSE subset selection over an embedding
+    * column (pick the training examples that together cover the space,
+    * the complement of [[semanticDedup]]'s "drop the redundant ones").
+    * Seed = lowest id; each round adds the point whose distance to its
+    * NEAREST already-chosen center is maximal. Distances are squared L2
+    * in exact milli-integer space ([[whitenEmbeddings]]' quantization),
+    * lowest id breaks ties — fully engine-deterministic.
+    *
+    * Scale shape: k is a design constant. Each round evaluates distance
+    * to the ONE new center (a broadcast-literal milli vector) and folds
+    * it into a running `least` — a narrow codegen'd map over the corpus
+    * — then takes a global 1-row argmax (`orderBy.limit(1)`: per-
+    * partition top-1, driver merges partition heads). Nothing but k
+    * single rows ever reaches the driver; no shuffle of vectors at all.
+    * Returns (sel_rank, id, dist2) for the k centers; the seed's dist2
+    * is null.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    val m = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+          .as("v"))
+      .localCheckpoint() // k scans over a small quantized frame; fixes the lineage so the per-round least() chain stays shallow
+    def d2(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("v"), lit(center), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    def vecOf(id: Long): Array[Long] =
+      m.where(col("id") === id).head().getAs[scala.collection.Seq[Long]]("v").toArray
+    val seed = m.agg(min(col("id"))).head().getLong(0)
+    var chosen = Vector[(Int, Long, java.lang.Long)]((0, seed, null))
+    var cur = m.withColumn("md", d2(vecOf(seed)))
+    for (r <- 1 until k) {
+      val row = cur.where(!col("id").isInCollection(chosen.map(_._2)))
+        .orderBy(col("md").desc, col("id")).limit(1).head()
+      val (cid, cd) = (row.getLong(row.fieldIndex("id")), row.getLong(row.fieldIndex("md")))
+      chosen :+= ((r, cid, Long.box(cd)))
+      if (r < k - 1) cur = cur.withColumn("md", least(col("md"), d2(vecOf(cid))))
+    }
+    import spark.implicits._
+    chosen.toDF("sel_rank", "id", "dist2")
+      .select(col("sel_rank"), col("id").as(idCol), col("dist2"))
+  }
 }

@@ -447,4 +447,60 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Distinctive terms per category by chi-squared association — the
+    * corpus-analysis standard for "which words characterize this
+    * language / source / domain" (used to audit a training mix for
+    * category-specific artifacts). For each (category, term) 2×2
+    * contingency: a = occurrences of the term in the category, b =
+    * elsewhere, c = other tokens in the category, d = other tokens
+    * elsewhere; `chi2 = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`.
+    *
+    * Determinism: all counts are exact BIGINTs; the formula is
+    * evaluated in doubles with a FIXED operation order (each factor
+    * cast to double first, numerator then denominator, one division) —
+    * the oracle mirrors the identical tree, so both engines round the
+    * same way at every step. `minCount` floors the global term count
+    * (rare terms have unstable chi2 and bloat output); top-k per
+    * category by (chi2 desc, term) on the UNROUNDED value.
+    *
+    * Scale shape: one token-keyed map-side-combined count per
+    * (cat, term); term and category marginals are aggregates of that
+    * frame (no second corpus scan) and join back broadcast-sized; the
+    * grand total is a 1-row cross join. The only exchange over
+    * token-cardinality data is the (cat, term) groupBy. Top-k window
+    * partitions by category — bounded by the post-floor term count.
+    */
+  def chi2Terms(docs: DataFrame, textCol: String, catCol: String,
+      minCount: Long = 20, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs
+      .select(col(catCol).as("cat"), explode(words(col(textCol))).as("term"))
+      .groupBy("cat", "term").agg(count(lit(1)).as("a"))
+    val termTot = tc.groupBy("term").agg(sum("a").as("t_tot"))
+      .where(col("t_tot") >= minCount)
+    val catTot = tc.groupBy("cat").agg(sum("a").as("c_tot"))
+    val grand = catTot.agg(sum("c_tot").as("nn"))
+    val joined = tc.join(termTot, "term").join(catTot, "cat")
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("t_tot") - col("a"))
+      .withColumn("c", col("c_tot") - col("a"))
+      .withColumn("d", col("nn") - col("t_tot") - col("c_tot") + col("a"))
+    val ad = col("a").cast("double") * col("d").cast("double")
+    val bc = col("b").cast("double") * col("c").cast("double")
+    val den = (col("a") + col("b")).cast("double") *
+      (col("c") + col("d")).cast("double") *
+      (col("a") + col("c")).cast("double") *
+      (col("b") + col("d")).cast("double")
+    val scored = joined
+      .withColumn("chi2", when(den > 0,
+        col("nn").cast("double") * (ad - bc) * (ad - bc) / den))
+      .where(col("chi2").isNotNull)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cat").orderBy(col("chi2").desc, col("term"))))
+      .where(col("rn") <= topK)
+      .select(col("cat"), col("term"), col("a").as("n_in_cat"),
+        round(col("chi2"), 4).as("chi2"), col("rn"))
+  }
 }

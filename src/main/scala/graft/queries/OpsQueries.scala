@@ -2717,7 +2717,152 @@ object OpsQueries {
       FROM cl JOIN documents dd ON dd.doc_id = cl.id)
     WHERE rn = 1"""
 
+  // ———————————————— containment join (q144)
+  // (asymmetric prefix-filtered |A∩B|/|A| ≥ 60% — drops quotes/snippets
+  //  wholly inside a longer doc that symmetric Jaccard misses; integer
+  //  threshold algebra; the oracle is the brute pairwise re-derivation
+  //  the prefix filter provably equals on the capped corpus)
+  val q144ContainmentJoin: Q = (s, dir) =>
+    Dedup.containmentPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 600),
+      "text", "doc_id", n = 3, pct = 60)
+  val q144Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 600),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ic
+              FROM sh x JOIN sh y ON x.shingle = y.shingle
+                AND x.doc_id <> y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b, round(ic / CAST(na AS DOUBLE), 6) AS containment
+    FROM (SELECT a, b, ic, s.n_sh AS na FROM inter JOIN sizes s ON s.doc_id = a)
+    WHERE ic * 100 >= 60 * na"""
+
+  // ———————————————— greedy k-center coreset (q145)
+  // (farthest-point-first diverse subset over milli-quantized
+  //  embeddings; seed = lowest id, id tiebreaks; the oracle re-derives
+  //  every round as a chained CTE — argmax of the running min-distance,
+  //  then fold the new center in with least())
+  private val Q145K = 5
+  val q145KcenterCoreset: Q = (s, dir) =>
+    Similarity.kCenterCoreset(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 500), k = Q145K)
+  val q145Sql: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val sb = new StringBuilder
+    sb ++= """WITH m AS (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 500),
+    c0 AS (SELECT vec_id, v FROM m ORDER BY vec_id LIMIT 1),
+    d0 AS (SELECT m.vec_id, m.v, """ + d2("m.v", "c0.v") + " AS md FROM m, c0)"
+    for (r <- 1 until Q145K) {
+      val prev = s"d${r - 1}"
+      val exclude = (0 until r).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ")
+      sb ++= s""",
+    c$r AS (SELECT vec_id, v, md FROM $prev
+            WHERE vec_id NOT IN ($exclude)
+            ORDER BY md DESC, vec_id LIMIT 1)"""
+      if (r < Q145K - 1)
+        sb ++= s""",
+    d$r AS (SELECT d.vec_id, d.v, least(d.md, ${d2("d.v", s"c$r.v")}) AS md
+            FROM $prev d, c$r)"""
+    }
+    sb ++= "\n    SELECT 0 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS dist2 FROM c0"
+    for (r <- 1 until Q145K)
+      sb ++= s"\n    UNION ALL SELECT $r, vec_id, CAST(md AS BIGINT) FROM c$r"
+    sb.toString
+  }
+
+  // ———————————————— chi-squared distinctive terms (q147)
+  // (per-language 2×2 contingency over exact token counts; the double
+  //  formula evaluates in a FIXED operation order mirrored by the
+  //  oracle; top-10 per language on the unrounded statistic)
+  val q147Chi2Terms: Q = (s, dir) =>
+    TextOps.chi2Terms(Tables.documents(s, dir), "text", "lang",
+      minCount = 20, topK = 10)
+  val q147Sql: String = """
+    WITH t AS (SELECT lang AS cat, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+    tc AS (SELECT cat, term, count(*) AS a FROM t GROUP BY 1, 2),
+    tt AS (SELECT term, sum(a) AS t_tot FROM tc GROUP BY 1
+           HAVING sum(a) >= 20),
+    ct AS (SELECT cat, sum(a) AS c_tot FROM tc GROUP BY 1),
+    g AS (SELECT sum(c_tot) AS nn FROM ct),
+    j AS (SELECT tc.cat, tc.term, a, t_tot - a AS b, c_tot - a AS c,
+            nn - t_tot - c_tot + a AS d, nn
+          FROM tc JOIN tt USING (term) JOIN ct USING (cat), g),
+    s AS (SELECT cat, term, a,
+            CAST(nn AS DOUBLE)
+              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+              / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                 * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+          FROM j
+          WHERE CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) > 0)
+    SELECT cat, term, n_in_cat, round(chi2, 4) AS chi2, rn FROM (
+      SELECT cat, term, a AS n_in_cat, chi2,
+        row_number() OVER (PARTITION BY cat ORDER BY chi2 DESC, term) AS rn
+      FROM s)
+    WHERE rn <= 10"""
+
+  // ———————————————— leakage-safe train/val/test split (q148)
+  // (near-dup clusters must land whole on one side of a split, or the
+  //  held-out set leaks train content: assign the SPLIT BY CLUSTER id —
+  //  q49's components, singletons = own id — through q53's md5 bucket)
+  val q148LeakageSafeSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5))
+    val withCluster = docs.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    graft.ops.Sampling.hashSplit(withCluster, "cluster",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+  }
+  val q148Sql: String = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+    cl AS (SELECT node AS id, min(label) AS cluster FROM walk GROUP BY node)
+    SELECT doc_id, cluster,
+      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+        AS split
+    FROM (SELECT doc_id, cluster,
+            CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4)) AS BIGINT)
+              % 100 AS b
+          FROM (SELECT dd.doc_id, COALESCE(cl.cluster, dd.doc_id) AS cluster
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) dd
+                LEFT JOIN cl ON cl.id = dd.doc_id))"""
+
   val all: Map[String, Q] = Map(
+    "q144_containment_join" -> q144ContainmentJoin,
+    "q145_kcenter_coreset" -> q145KcenterCoreset,
+    "q147_chi2_terms" -> q147Chi2Terms,
+    "q148_leakage_safe_split" -> q148LeakageSafeSplit,
     "q132_radius_join" -> q132RadiusJoin,
     "q133_prefix_ssjoin" -> q133PrefixSsjoin,
     "q138_embed_covariance" -> q138EmbedCovariance,
@@ -2803,6 +2948,10 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q144_containment_join" -> q144Sql,
+    "q145_kcenter_coreset" -> q145Sql,
+    "q147_chi2_terms" -> q147Sql,
+    "q148_leakage_safe_split" -> q148Sql,
     "q19_dedup_exact" -> q19Sql,
     "q20_ngram_jaccard" -> q20Sql,
     "q21_minhash_lsh" -> q21Sql,

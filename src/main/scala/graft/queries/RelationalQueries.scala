@@ -1080,7 +1080,28 @@ object RelationalQueries {
       coalesce(ts_us - touch_ts <= 604800000000, false) AS attributed
     FROM w WHERE et = 'purchase'"""
 
+  // ————————————————————————— per-user OLS value trend (q146)
+  // (closed-form normal equations over exact integer sums: x = seconds
+  //  since the user's first event — per-key re-basing keeps every
+  //  cross-product far inside BIGINT — y = exact cents; ONE double
+  //  division at the end; single-timestamp users → null slope)
+  val q146TrendOls: Q = (s, dir) =>
+    graft.ops.Analytics.trendOls(Tables.events(s, dir), "user_id", "ts", "value")
+  val q146Sql: String = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+                 CAST(round(value * 100) AS BIGINT) AS y FROM events),
+    x AS (SELECT user_id, tsec - min(tsec) OVER (PARTITION BY user_id) AS x, y
+          FROM e),
+    a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x * y) AS sxy, sum(x * x) AS sxx FROM x GROUP BY 1)
+    SELECT user_id, n,
+      CASE WHEN n * sxx - sx * sx > 0 THEN
+        round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope_cents_per_sec
+    FROM a"""
+
   val all: Map[String, Q] = Map(
+    "q146_trend_ols" -> q146TrendOls,
     "q142_attribution" -> q142Attribution,
     "q137_equidepth_bins" -> q137EquiDepthBins,
     "q134_snapshot_diff" -> q134SnapshotDiff,
@@ -1180,5 +1201,6 @@ object RelationalQueries {
     "q135_k_anonymize" -> q135Sql,
     "q136_ohlc_bars" -> q136Sql,
     "q137_equidepth_bins" -> q137Sql,
-    "q142_attribution" -> q142Sql)
+    "q142_attribution" -> q142Sql,
+    "q146_trend_ols" -> q146Sql)
 }

@@ -203,4 +203,26 @@ class AnalyticsSpec extends SparkSpec {
       assert(a._4 <= b._3, s"bin ${a._1} max ${a._4} overlaps bin ${b._1} min ${b._3}")
     }
   }
+
+  test("trendOls: hand-computed slopes, negative trend, re-based x") {
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // user 1: value = 2 + 0.01·x dollars at x = 0,10,20 s → slope
+    // exactly 1 cent/sec; user 2: 5 − 0.02·x at x = 0,5 → −2 cents/sec
+    val ev = Seq(
+      (1L, ts(100), 2.00), (1L, ts(110), 2.10), (1L, ts(120), 2.20),
+      (2L, ts(0), 5.00), (2L, ts(5), 4.90))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.trendOls(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, Some(1.0)), (2L, 2L, Some(-2.0))))
+  }
+
+  test("trendOls: a single-instant user yields null, not a blow-up") {
+    val t = new java.sql.Timestamp(1704067200000L)
+    val ev = Seq((1L, t, 1.0), (1L, t, 9.0), (2L, t, 3.0))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.trendOls(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, None), (2L, 1L, None)))
+  }
 }

@@ -95,4 +95,36 @@ class DedupPruningSpec extends SparkSpec {
       maxDocFreq = 5)
     assert(capped.count() == 0)
   }
+
+  test("containmentPairs equals the brute containment join on real data") {
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 300)
+    val sh = Dedup.shingleRows(docs, "text", "doc_id")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val brute = sh.select(col("shingle"), col("id").as("a"))
+      .join(sh.select(col("shingle"), col("id").as("b")), "shingle")
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ic"))
+      .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), "a")
+      .where(col("ic") * 100 >= lit(60L) * col("na"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val pf = Dedup.containmentPairs(docs, "text", "doc_id", 3, 60)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && pf == brute,
+      "asymmetric prefix filter must lose nothing vs brute")
+  }
+
+  test("containment catches a snippet Jaccard misses, and is asymmetric") {
+    // doc 1 = 5-word snippet wholly inside doc 0's 40 words: containment
+    // (1 ⊂ 0) = 1.0 but Jaccard = 3/38 — invisible to any symmetric
+    // threshold. The reverse direction (0 in 1) must NOT fire.
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, long), (1L, "w10 w11 w12 w13 w14"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 3, 60)
+      .select("a", "b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+    assert(jac.count() == 0)
+  }
 }
