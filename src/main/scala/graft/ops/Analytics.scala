@@ -262,6 +262,112 @@ object Analytics {
       .agg(count(lit(1)).as("n"), min("cv").as("lo_cv"), max("cv").as("hi_cv"))
   }
 
+  /** Robust per-group outlier detection by median absolute deviation —
+    * the heavy-tail-safe alternative to z-scores (one whale order moves
+    * a mean+stddev fence; the MAD fence doesn't move). Flags
+    * `|x − median| > k·MAD`.
+    *
+    * Exactness: values in cent space; the median lives in DOUBLED cent
+    * space (`m2 = percentile(2·c, 0.5)` — an even-n median averages two
+    * even integers, so m2 is integer-valued and casts exactly), absolute
+    * deviations are the exact integers `|2c − m2|`, and the MAD in
+    * QUADRUPLED space (`mad4 = percentile(2·|2c − m2|, 0.5)`) is again
+    * integer-valued. The fence `|x − med| > k·MAD` becomes
+    * `2·k·dev2 > k·... ` — concretely `2·dev2·2 > k·mad4` for integer k:
+    * pure BIGINT comparisons, no float boundary anywhere (the q118/q137
+    * floored-percentile discipline taken one step further: not even the
+    * boundary needs a floor).
+    *
+    * Plan: two exact percentile aggregates (group-sized state — the
+    * `approx_percentile` swap is the 100 TB path, as q137 documents) and
+    * one map-side-combined count; the deviations frame reuses the
+    * groups exchange.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    val cents = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+    val med = cents.groupBy("g")
+      .agg(percentile(col("c") * 2, lit(0.5)).cast("long").as("m2"))
+    val dev = cents.join(med, Seq("g"))
+      .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+    val mad = dev.groupBy("g")
+      .agg(percentile(col("dev2") * 2, lit(0.5)).cast("long").as("mad4"))
+    dev.join(mad, Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(first("m2").as("med_c2"), first("mad4").as("mad_c4"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev2") * 2 * 2 > lit(k.toLong) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Two-proportion A/B z-test over per-user conversion — the
+    * experiment-analysis primitive (did arm B convert better than arm
+    * A, and is the lift noise?). Arms come from the md5 split lattice
+    * (`Sampling.hashBucket` < 50 → A), conversion = the user emitted at
+    * least one `convType` event.
+    *
+    * Exact BIGINT counts; the z statistic's doubles evaluate in ONE
+    * fixed-order expression (pooled p̂, then the standard error, then
+    * the single division — mirrored token-for-token by the oracle),
+    * 6 d.p. Plan: one distinct-user aggregate (map-side partial), one
+    * 1-row final combine; nothing keyed by event volume survives the
+    * first aggregate.
+    */
+  def abTestZ(events: DataFrame, userCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val users = events
+      .groupBy(col(userCol).as("u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        when(Sampling.hashBucket(col("u")) < 50, "A").otherwise("B"))
+    val agg = users.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when(se > 0, round((pb - pa) / se, 6)).as("z"))
+  }
+
+  /** Source-imbalance report: per-group share and the Gini coefficient
+    * of the group-size distribution — the "is this corpus dominated by
+    * one source" number a training-mix audit leads with. Gini from the
+    * sorted-cumulative identity `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`
+    * (i = 1-based rank by ascending size, group name breaking ties).
+    *
+    * Exact integer Σᵢ i·xᵢ and Σx; the final expression is two double
+    * divisions in fixed order, 6 d.p. Plan: one map-side-combined count
+    * to group cardinality, then a single-partition window over the
+    * GROUP-CARDINALITY frame (bounded by design, not by rows — same
+    * shape as q94's report rollup).
+    */
+  def giniShares(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("x"))
+    val ranked = sizes.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("g"))))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum(col("i") * col("x")).as("six"),
+      max("x").as("max_x"))
+    agg.select(col("n"), col("sx"),
+      round(lit(2.0) * col("six").cast("double")
+          / (col("n") * col("sx")).cast("double")
+        - (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"),
+      round(col("max_x").cast("double") / col("sx").cast("double"), 6)
+        .as("top_share"))
+  }
+
   /** Per-key ordinary-least-squares trend (is this user's / metric's
     * value drifting up or down, and how fast): slope of value-vs-time
     * from the closed-form normal equations,

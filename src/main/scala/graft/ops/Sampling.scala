@@ -272,4 +272,35 @@ object Sampling {
         floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
       .select(col("id"), col("shard"), col("bin"))
   }
+
+  /** Balanced shard assignment by serpentine (boustrophedon) round-robin
+    * over the size-descending rank: block k of `numShards` items fills
+    * shards left-to-right when k is even, right-to-left when odd, so
+    * the biggest item in each block pairs with the smallest of the
+    * next — the deterministic, one-pass approximation of LPT bin
+    * packing (greedy LPT itself is inherently sequential: every
+    * placement depends on all previous loads). Rank ties break by id.
+    *
+    * Plan: one global sort of (size, id) KEY PAIRS via `row_number` over
+    * an empty partition — a single-task window over the ranked frame,
+    * the honest cost of any total-order policy; the payload never
+    * enters the sort (callers join assignments back by id). At 100 TB
+    * the swap is range-partitioned `rank` over a sampled boundary set
+    * (Spark's own `orderBy` machinery) with the same serpentine
+    * arithmetic on top.
+    */
+  def serpentineShards(df: DataFrame, idCol: String, sizeCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("size").desc, col("id"))
+    val n = lit(numShards.toLong)
+    df.select(col(idCol).as("id"), col(sizeCol).cast("long").as("size"))
+      .withColumn("r", row_number().over(w).cast("long") - 1)
+      .withColumn("block", (col("r") / n).cast("long"))
+      .withColumn("pos", col("r") % n)
+      .withColumn("shard",
+        when(col("block") % 2 === 0, col("pos")).otherwise(n - 1 - col("pos")))
+      .select(col("id"), col("size"), col("r").as("rank"), col("shard"))
+  }
 }

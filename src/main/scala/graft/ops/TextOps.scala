@@ -448,6 +448,45 @@ object TextOps {
       .where(col("n_shared") >= minShared)
   }
 
+  /** EXACT edit-distance-≤1 self-join via FastSS deletion-neighborhood
+    * blocking — the entity-resolution standard for typo/variant matching
+    * WITHOUT a quadratic cross join. Each string's candidate key set is
+    * itself plus its |s| single-character deletions; two strings within
+    * edit distance 1 ALWAYS share a key (equal → s itself; one
+    * insert/delete → the shorter IS a deletion of the longer; one
+    * substitution → deleting the differing position from both yields the
+    * same string), so the variant equi-join loses nothing and the final
+    * `levenshtein ≤ 1` check only discards false candidates.
+    *
+    * Scale shape: |s|+1 variant rows per string (bounded by string
+    * length), one exchange on the variant key, per-key buckets =
+    * strings sharing a deletion — self-limiting for id-like and
+    * natural-language strings. `maxBucket` applies the
+    * [[Dedup.pruneHotKeys]] discipline for adversarial key pileups
+    * (e.g. millions of length-1 strings); the default keeps the join
+    * exact. Verification is one codegen'd levenshtein per candidate.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+    val variants = base.select(col("id"), explode(array_distinct(expr(
+        "concat(array(s), transform(sequence(1, length(s)), " +
+          "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)))))")))
+      .as("v"))
+    val pruned = Dedup.pruneHotKeys(variants, "v", maxBucket)
+    val cand = pruned.select(col("v"), col("id").as("a"))
+      .join(pruned.select(col("v"), col("id").as("b")), "v")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(base.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= 1)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** Distinctive terms per category by chi-squared association — the
     * corpus-analysis standard for "which words characterize this
     * language / source / domain" (used to audit a training mix for

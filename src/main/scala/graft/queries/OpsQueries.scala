@@ -2858,7 +2858,118 @@ object OpsQueries {
                 FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) dd
                 LEFT JOIN cl ON cl.id = dd.doc_id))"""
 
+  // ———————————————— FastSS fuzzy-match join (q149)
+  // (edit-distance-≤1 pairs via deletion-neighborhood blocking — the
+  //  oracle is the quadratic brute levenshtein join the blocking
+  //  provably equals on the capped slice)
+  val q149FuzzyJoin: Q = (s, dir) =>
+    TextOps.editDistance1Pairs(
+      Tables.customer(s, dir).filter(col("c_custkey") < 1500),
+      "c_custkey", "c_name")
+  val q149Sql: String = """
+    WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+               WHERE c_custkey < 1500)
+    SELECT x.id AS a, y.id AS b, levenshtein(x.s, y.s) AS dist
+    FROM c x JOIN c y ON x.id < y.id
+    WHERE levenshtein(x.s, y.s) <= 1"""
+
+  // ———————————————— MAD outlier fences (q150)
+  // (median-absolute-deviation in doubled/quadrupled cent space — both
+  //  medians integer-valued by construction, the k·MAD fence a pure
+  //  BIGINT comparison)
+  val q150MadOutliers: Q = (s, dir) =>
+    graft.ops.Analytics.madOutliers(
+      Tables.lineitem(s, dir).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", k = 3)
+  val q150Sql: String = """
+    WITH c AS (SELECT l_returnflag AS g,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+    m AS (SELECT g, CAST(quantile_cont(c * 2, 0.5) AS BIGINT) AS m2
+          FROM c GROUP BY 1),
+    d AS (SELECT g, abs(c * 2 - m2) AS dev2, m2 FROM c JOIN m USING (g)),
+    md AS (SELECT g, CAST(quantile_cont(dev2 * 2, 0.5) AS BIGINT) AS mad4
+           FROM d GROUP BY 1)
+    SELECT g AS l_returnflag, min(m2) AS med_c2, min(mad4) AS mad_c4,
+      count(*) AS n,
+      CAST(sum(CASE WHEN dev2 * 2 * 2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers
+    FROM d JOIN md USING (g) GROUP BY 1"""
+
+  // ———————————————— two-proportion A/B z-test (q151)
+  // (md5-lattice arms, per-user conversion, pooled-SE z in ONE
+  //  fixed-order double expression)
+  val q151AbTest: Q = (s, dir) =>
+    graft.ops.Analytics.abTestZ(Tables.events(s, dir),
+      "user_id", "event_type", convType = "purchase")
+  val q151Sql: String = """
+    WITH u AS (SELECT user_id AS u,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1),
+    arms AS (SELECT u, conv,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 < 50 THEN 'A' ELSE 'B' END AS arm FROM u),
+    agg AS (SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM arms)
+    SELECT n_a, conv_a, n_b, conv_b,
+      round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+      round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+      CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+        THEN round(
+          (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+          / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+      END AS z
+    FROM agg"""
+
+  // ———————————————— activity-concentration Gini (q152)
+  // (Gini over per-user event counts from the sorted-cumulative
+  //  identity — exact integer Σi·xᵢ, two fixed-order double divisions)
+  val q152Gini: Q = (s, dir) =>
+    graft.ops.Analytics.giniShares(
+      Tables.events(s, dir).select("user_id"), "user_id")
+  val q152Sql: String = """
+    WITH sizes AS (SELECT user_id AS g, count(*) AS x FROM events
+                   WHERE user_id IS NOT NULL GROUP BY 1),
+    ranked AS (SELECT g, x, row_number() OVER (ORDER BY x, g) AS i FROM sizes)
+    SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      round(2.0 * CAST(sum(i * x) AS DOUBLE) / CAST(count(*) * sum(x) AS DOUBLE)
+        - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini,
+      round(CAST(max(x) AS DOUBLE) / CAST(sum(x) AS DOUBLE), 6) AS top_share
+    FROM ranked"""
+
+  // ———————————————— serpentine LPT-style shard packing (q153)
+  // (size-descending serpentine round-robin — the one-pass deterministic
+  //  balanced-bin-packing approximation; oracle re-derives the same
+  //  rank → block/pos → shard arithmetic)
+  val q153SerpentineShards: Q = (s, dir) =>
+    graft.ops.Sampling.serpentineShards(
+      Tables.documents(s, dir).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", numShards = 8)
+  val q153Sql: String = """
+    WITH r AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS size,
+        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) - 1
+          AS r
+      FROM documents)
+    SELECT id, size, r AS rank,
+      CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+    FROM r"""
+
   val all: Map[String, Q] = Map(
+    "q149_fuzzy_join" -> q149FuzzyJoin,
+    "q150_mad_outliers" -> q150MadOutliers,
+    "q151_ab_test" -> q151AbTest,
+    "q152_gini" -> q152Gini,
+    "q153_serpentine_shards" -> q153SerpentineShards,
     "q144_containment_join" -> q144ContainmentJoin,
     "q145_kcenter_coreset" -> q145KcenterCoreset,
     "q147_chi2_terms" -> q147Chi2Terms,
@@ -2948,6 +3059,11 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q149_fuzzy_join" -> q149Sql,
+    "q150_mad_outliers" -> q150Sql,
+    "q151_ab_test" -> q151Sql,
+    "q152_gini" -> q152Sql,
+    "q153_serpentine_shards" -> q153Sql,
     "q144_containment_join" -> q144Sql,
     "q145_kcenter_coreset" -> q145Sql,
     "q147_chi2_terms" -> q147Sql,

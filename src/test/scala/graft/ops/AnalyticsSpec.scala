@@ -204,6 +204,64 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: hand medians in 2×/4× space; the fence flags only the whale") {
+    // group g: 1.00×5 and one 100.00 whale (cents 100,100,100,100,100,10000)
+    // m2 = median(2c) = 200; dev2 = {0,0,0,0,0,19800}; mad4 = median(2·dev2)=0
+    // fence: 4·dev2 > 3·0 → only the whale (dev2 19800) flags
+    val df = (Seq.fill(5)(1.0) :+ 100.0).map(("g", _)).toDF("grp", "v")
+    val got = Analytics.madOutliers(df, "grp", "v", k = 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 200L, 0L, 6L, 1L)))
+  }
+
+  test("madOutliers: the MAD fence is whale-proof where a stddev fence is not") {
+    // 99 unit values + one 10⁶ whale: the whale inflates a mean+3σ fence
+    // enough that it would flag nothing but itself — and it drags the
+    // mean so far that ALL normal points sit below it. The MAD fence's
+    // median/MAD never move: exactly one outlier, regardless of scale.
+    val df = ((1 to 99).map(i => 1.0 + (i % 3) * 0.01) :+ 1e6)
+      .map(("g", _)).toDF("grp", "v")
+    val got = Analytics.madOutliers(df, "grp", "v", k = 3)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got._5 == 1L, s"exactly the whale: $got")
+  }
+
+  test("abTestZ: hand counts reproduce the pooled-SE z") {
+    // users 1..40, conversion = user id in a fixed set; arms from the
+    // md5 lattice — recompute everything in the test, then check z
+    val conv = Set(1L, 2L, 3L, 10L, 11L, 20L, 30L)
+    val ev = (1L to 40L).flatMap { u =>
+      val t = new java.sql.Timestamp(1704067200000L + u * 1000)
+      Seq((u, "view", t)) ++
+        (if (conv(u)) Seq((u, "purchase", t)) else Nil)
+    }.toDF("user_id", "event_type", "ts")
+    val got = Analytics.abTestZ(ev, "user_id", "event_type", "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    val (na, ca, nb, cb) = (got._1, got._2, got._3, got._4)
+    assert(na + nb == 40 && ca + cb == conv.size)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pool = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    val z = BigDecimal((pb - pa) / se)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._7.contains(z))
+  }
+
+  test("giniShares: hand distribution and the uniform zero") {
+    // sizes 1,1,2,4 → Σi·x = 1+2+6+16 = 25; G = 50/32 − 5/4 = 0.3125
+    val df = (Seq("a") ++ Seq("b") ++ Seq.fill(2)("c") ++ Seq.fill(4)("d"))
+      .map(Tuple1(_)).toDF("g")
+    val got = Analytics.giniShares(df, "g")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((4L, 8L, 0.3125, 0.5)))
+    val uniform = Seq.fill(3)("x").map(Tuple1(_)).toDF("g")
+      .union(Seq.fill(3)("y").map(Tuple1(_)).toDF("g"))
+    val g0 = Analytics.giniShares(uniform, "g")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(g0._3 == 0.0, s"uniform distribution has Gini 0: $g0")
+  }
+
   test("trendOls: hand-computed slopes, negative trend, re-based x") {
     def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
     // user 1: value = 2 + 0.01·x dollars at x = 0,10,20 s → slope

@@ -77,4 +77,34 @@ class WeightedSampleSpec extends SparkSpec {
     val frac = moved.size.toDouble / n8.size
     assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
   }
+
+  test("serpentineShards: hand block walk — descending ranks snake across shards") {
+    import spark.implicits._
+    val items = Seq((0L, 10L), (1L, 8L), (2L, 6L), (3L, 4L), (4L, 2L))
+      .toDF("id", "sz")
+    val got = Sampling.serpentineShards(items, "id", "sz", numShards = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+    // ranks 0..4 → block 0: shards 0,1; block 1 (reversed): 1,0; block 2: 0
+    assert(got == Seq((0L, 10L, 0L, 0L), (1L, 8L, 1L, 1L),
+      (2L, 6L, 2L, 1L), (3L, 4L, 3L, 0L), (4L, 2L, 4L, 0L)))
+  }
+
+  test("serpentineShards: near-balanced loads on skewed real sizes; plain round-robin is worse") {
+    val docs = graft.queries.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("n_chars"))
+    val s = Sampling.serpentineShards(docs, "doc_id", "n_chars", numShards = 8)
+    val loads = s.groupBy("shard").agg(sum("size").as("load"))
+      .orderBy("shard").select("load").as[Long].collect()
+    assert(loads.length == 8)
+    val spread = (loads.max - loads.min).toDouble / loads.min
+    assert(spread < 0.05, s"serpentine loads should be near-equal: ${loads.toSeq}")
+    // same ranks, plain round-robin (no serpentine reversal): every block
+    // gives its largest item to shard 0 — strictly worse balance
+    val rr = s.withColumn("rr_shard", col("rank") % 8)
+      .groupBy("rr_shard").agg(sum("size").as("load"))
+      .select("load").as[Long].collect()
+    val rrSpread = (rr.max - rr.min).toDouble / rr.min
+    assert(spread <= rrSpread,
+      s"serpentine ($spread) must not lose to round-robin ($rrSpread)")
+  }
 }
