@@ -368,6 +368,145 @@ object Analytics {
         .as("top_share"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between value distributions
+    * — the standard drift test between two corpora/snapshots (did the
+    * document-length or price distribution shift?). ENTIRELY integer:
+    * with counts c₁(v), c₂(v) cumulative over the merged value support,
+    * `D = max |F₁ − F₂| = max |c₁·n₂ − c₂·n₁| / (n₁·n₂)` — numerator
+    * and denominator exact BIGINTs (safe while n₁·n₂ < 2⁶³ ≈ 9·10¹⁸),
+    * one final double division. Emits the argmax value too (lowest v
+    * breaks ties) — WHERE the distributions diverge most.
+    *
+    * Plan: per-side map-side-combined value counts, one union re-agg,
+    * then a single-partition cumulative window over the DISTINCT-VALUE
+    * frame — bounded by value cardinality (cents of a bounded metric),
+    * not row count; the 1-row totals broadcast back.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, c1: Long, c2: Long) = df
+      .filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .select(col("v"), (col("n") * c1).as("c1"), (col("n") * c2).as("c2"))
+    val merged = side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy("v").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("a1", sum("c1").over(w))
+      .withColumn("a2", sum("c2").over(w))
+    val tot = cum.agg(max("a1").as("n1"), max("a2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("a1") * col("n2") - col("a2") * col("n1")))
+      .orderBy(col("dev").desc, col("v")).limit(1)
+      .select(col("n1"), col("n2"), col("v").as("at_v_c"), col("dev").as("d_num"),
+        round(col("dev").cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+          .as("ks"))
+  }
+
+  /** Calibration / reliability table for a probabilistic scorer: rank
+    * rows by score, cut into `nBins` equal-count bins, and compare each
+    * bin's mean predicted score against its observed positive rate —
+    * the model-eval staple (a well-calibrated bin predicts its own hit
+    * rate). Scores arrive as 6 d.p. doubles (the q93 contract) and move
+    * to EXACT ppm integers before any aggregation, so bin means are
+    * integer sums with one final division — no float-accumulation-order
+    * leak. Bin = `(rank−1)·nBins div n`: pure integer, rank ties broken
+    * by id.
+    *
+    * Plan: one global rank window over (score, id) key pairs — the
+    * total-order cost, payload never sorted (the q153 note); bins then
+    * aggregate map-side. At 100 TB the swap is range-partitioned rank
+    * or q137's percentile boundaries broadcast as bin edges.
+    */
+  def calibrationBins(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2)
+    val scored = df.select(col(idCol).as("id"),
+      round(col(scoreCol) * 1000000).cast("long").as("ppm"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val w = Window.orderBy(col("ppm"), col("id"))
+    scored
+      .withColumn("r", row_number().over(w).cast("long") - 1)
+      .withColumn("n_all", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // integer floor-division on both engines (a double-div + cast would
+      // hit DuckDB's round-on-cast vs Spark's truncate-on-cast mismatch)
+      .withColumn("bin", expr(s"(r * $nBins) div n_all"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum("ppm").cast("double") / count(lit(1)).cast("double") / 1000000.0,
+          6).as("mean_score"),
+        sum("y").as("n_pos"),
+        round(sum("y").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("pos_rate"))
+  }
+
+  /** Per-key CUSUM changepoint locator: the index where the cumulative
+    * deviation from the key's own mean peaks — the classic "when did
+    * this series' level shift" statistic. Scale-free trick: with S = Σy
+    * and n rows, `cusumᵢ·n = n·Σ_{j≤i} yⱼ − i·S` is EXACT BIGINT (the
+    * mean never materializes as a float); the argmax of |·| with
+    * (ts, id) tiebreak is then pure integer comparison. Emits the peak
+    * location (epoch µs), the scaled deviation, and n.
+    *
+    * Plan: ONE per-key sort shared by the cumulative sum and the
+    * argmax ranking (same partition key, Catalyst reuses the exchange;
+    * the second window re-sorts within partitions only), group totals
+    * ride the same window frame — no second scan, no join.
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val base = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("us"),
+      round(col(valCol) * 100).cast("long").as("y"))
+    val byK = Window.partitionBy("k")
+    val ordered = byK.orderBy(col("us"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = byK.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = base
+      .withColumn("i", count(lit(1)).over(ordered))
+      .withColumn("cy", sum("y").over(ordered))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("s", sum("y").over(whole))
+      .withColumn("dev", abs(col("n") * col("cy") - col("i") * col("s")))
+    cum
+      .withColumn("rn", row_number().over(
+        byK.orderBy(col("dev").desc, col("us"), col("y"))))
+      .where(col("rn") === 1)
+      .select(col("k").as(keyCol), col("us").as("at_us"),
+        col("dev").as("cusum_scaled"), col("n"))
+  }
+
+  /** Windowed multi-touch credit: for each conversion, the count of
+    * touch events in the strictly-preceding attribution window and the
+    * linear credit `1/k` each would receive — [[lastTouchAttribution]]'s
+    * egalitarian sibling, in aggregate form (per-conversion k, not an
+    * exploded pair list — the pair fan-out is a join the caller can
+    * afford to skip). A µs RANGE frame `[ts−window, ts−1]` does the
+    * counting in-window: one per-key sort, no self-join (the W3/W4
+    * rolling-count shape with a type predicate).
+    */
+  def multiTouchCredit(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String, touchType: String,
+      windowUs: Long): DataFrame = {
+    val base = events.select(col(keyCol).as("k"), col(idCol).as("id"),
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+    val w = Window.partitionBy("k").orderBy(col("us"))
+      .rangeBetween(-windowUs, -1)
+    base
+      // an empty frame (no event in the window at all) sums to NULL, not
+      // 0 — coalesce so "no touches" is one value, not two
+      .withColumn("k_touches",
+        coalesce(sum(when(col("et") === touchType, 1L).otherwise(0L)).over(w),
+          lit(0L)))
+      .where(col("et") === convType)
+      .select(col("k").as(keyCol), col("id"), col("us").as("ts_us"),
+        col("k_touches"),
+        when(col("k_touches") > 0,
+          round(lit(1.0) / col("k_touches").cast("double"), 6)).as("credit_each"))
+  }
+
   /** Per-key ordinary-least-squares trend (is this user's / metric's
     * value drifting up or down, and how fast): slope of value-vs-time
     * from the closed-form normal equations,

@@ -2964,7 +2964,70 @@ object OpsQueries {
       CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
     FROM r"""
 
+  // ———————————————— two-sample KS drift (q154)
+  // (document-length distribution across the two md5-lattice halves:
+  //  |c1·n2 − c2·n1| in pure BIGINT over the cumulative support walk,
+  //  one final division; argmax value reported with lowest-v tiebreak)
+  val q154KsDrift: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bk = graft.ops.Sampling.hashBucket(col("doc_id"))
+    graft.ops.Analytics.ksDrift(
+      docs.where(bk < 50), docs.where(bk >= 50), "n_chars")
+  }
+  val q154Sql: String = """
+    WITH d AS (SELECT doc_id, n_chars,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS bk FROM documents),
+    v AS (SELECT CAST(round(n_chars * 100) AS BIGINT) AS v,
+            CASE WHEN bk < 50 THEN 1 ELSE 0 END AS s1,
+            CASE WHEN bk >= 50 THEN 1 ELSE 0 END AS s2 FROM d),
+    m AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1,
+            CAST(sum(s2) AS BIGINT) AS c2 FROM v GROUP BY 1),
+    c AS (SELECT v,
+            CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a1,
+            CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a2
+          FROM m),
+    t AS (SELECT CAST(max(a1) AS BIGINT) AS n1, CAST(max(a2) AS BIGINT) AS n2
+          FROM c)
+    SELECT n1, n2, v AS at_v_c,
+      CAST(abs(a1 * n2 - a2 * n1) AS BIGINT) AS d_num,
+      round(CAST(abs(a1 * n2 - a2 * n1) AS DOUBLE)
+        / CAST(n1 * n2 AS DOUBLE), 6) AS ks
+    FROM c, t
+    ORDER BY abs(a1 * n2 - a2 * n1) DESC, v LIMIT 1"""
+
+  // ———————————————— quality-model calibration table (q155)
+  // (q93's sigmoid scores, ranked and cut into 10 equal-count bins in
+  //  integer space — ppm sums, floor-div bin ids — against the
+  //  lang='en' label: mean predicted vs observed rate per bin)
+  val q155Calibration: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val scored = TextOps.linearQualityModel(docs, "text", "doc_id")
+    val labeled = scored.join(
+      docs.select(col("doc_id"), (col("lang") === lit("en")).as("is_en")),
+      "doc_id")
+    graft.ops.Analytics.calibrationBins(labeled, "doc_id", "score", "is_en",
+      nBins = 10)
+  }
+  val q155Sql: String = s"""
+    WITH scored AS (SELECT doc_id, score FROM (${q93Sql})),
+    lab AS (SELECT s.doc_id, CAST(round(score * 1000000) AS BIGINT) AS ppm,
+              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM scored s JOIN documents d USING (doc_id)),
+    r AS (SELECT ppm, y,
+            CAST(row_number() OVER (ORDER BY ppm, doc_id) AS BIGINT) - 1 AS r,
+            CAST(count(*) OVER () AS BIGINT) AS n_all
+          FROM lab)
+    SELECT (r * 10) // n_all AS bin, count(*) AS n,
+      round(CAST(sum(ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+        AS mean_score,
+      CAST(sum(y) AS BIGINT) AS n_pos,
+      round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+    FROM r GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q154_ks_drift" -> q154KsDrift,
+    "q155_calibration" -> q155Calibration,
     "q149_fuzzy_join" -> q149FuzzyJoin,
     "q150_mad_outliers" -> q150MadOutliers,
     "q151_ab_test" -> q151AbTest,
@@ -3059,6 +3122,8 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q154_ks_drift" -> q154Sql,
+    "q155_calibration" -> q155Sql,
     "q149_fuzzy_join" -> q149Sql,
     "q150_mad_outliers" -> q150Sql,
     "q151_ab_test" -> q151Sql,

@@ -1100,7 +1100,56 @@ object RelationalQueries {
           / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope_cents_per_sec
     FROM a"""
 
+  // ————————————————————————— CUSUM changepoint locator (q156)
+  // (peak |n·Σ_{j≤i} y − i·S| per user — the level-shift statistic with
+  //  the mean never materialized as a float; one per-user sort shared
+  //  by the cumulative walk and the argmax ranking)
+  val q156Cusum: Q = (s, dir) =>
+    graft.ops.Analytics.cusumChangepoint(Tables.events(s, dir),
+      "user_id", "ts", "value")
+  val q156Sql: String = """
+    WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS y FROM events),
+    c AS (SELECT k, us, y,
+            CAST(count(*) OVER (PARTITION BY k ORDER BY us, y
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS i,
+            CAST(sum(y) OVER (PARTITION BY k ORDER BY us, y
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy,
+            CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+            CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS s
+          FROM e),
+    d AS (SELECT k, us, abs(n * cy - i * s) AS dev, n,
+            row_number() OVER (PARTITION BY k
+              ORDER BY abs(n * cy - i * s) DESC, us, y) AS rn
+          FROM c)
+    SELECT k AS user_id, us AS at_us, CAST(dev AS BIGINT) AS cusum_scaled, n
+    FROM d WHERE rn = 1"""
+
+  // ————————————————————————— windowed multi-touch credit (q157)
+  // (per conversion: touches in the strictly-preceding 7-day µs RANGE
+  //  frame and the linear 1/k credit — the rolling-count shape with a
+  //  type predicate, no self-join)
+  val q157MultiTouch: Q = (s, dir) =>
+    graft.ops.Analytics.multiTouchCredit(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type", "purchase", "click",
+      windowUs = 7L * 86400 * 1000000)
+  val q157Sql: String = """
+    WITH e AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+                 event_type AS et FROM events),
+    w AS (SELECT k, id, us, et,
+            CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY k ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS k_touches
+          FROM e)
+    SELECT k AS user_id, id, us AS ts_us, coalesce(k_touches, 0) AS k_touches,
+      CASE WHEN k_touches > 0 THEN round(1.0 / CAST(k_touches AS DOUBLE), 6) END
+        AS credit_each
+    FROM w WHERE et = 'purchase'"""
+
   val all: Map[String, Q] = Map(
+    "q156_cusum" -> q156Cusum,
+    "q157_multi_touch" -> q157MultiTouch,
     "q146_trend_ols" -> q146TrendOls,
     "q142_attribution" -> q142Attribution,
     "q137_equidepth_bins" -> q137EquiDepthBins,
@@ -1202,5 +1251,7 @@ object RelationalQueries {
     "q136_ohlc_bars" -> q136Sql,
     "q137_equidepth_bins" -> q137Sql,
     "q142_attribution" -> q142Sql,
-    "q146_trend_ols" -> q146Sql)
+    "q146_trend_ols" -> q146Sql,
+    "q156_cusum" -> q156Sql,
+    "q157_multi_touch" -> q157Sql)
 }

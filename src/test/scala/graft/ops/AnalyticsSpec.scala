@@ -262,6 +262,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(g0._3 == 0.0, s"uniform distribution has Gini 0: $g0")
   }
 
+  test("ksDrift: hand cumulative walk; identical samples give exactly 0") {
+    // a = {1,1,2}, b = {2,3,3} cents {100,200,300}: dev = |c1·n2 − c2·n1|
+    // peaks at 6 for v∈{100,200} → lowest v wins; ks = 6/9
+    val a = Seq(1.0, 1.0, 2.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(2.0, 3.0, 3.0).map(Tuple1(_)).toDF("v")
+    val got = Analytics.ksDrift(a, b, "v")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 3L, 100L, 6L, 0.666667)))
+    val same = Analytics.ksDrift(a, a, "v")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(same._5 == 0.0)
+  }
+
+  test("calibrationBins: equal-count bins, integer means, observed rates") {
+    val rows = (0 until 10).map(i => (i.toLong, i / 10.0, i >= 5))
+      .toDF("id", "score", "y")
+    val got = Analytics.calibrationBins(rows, "id", "score", "y", nBins = 2)
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 5L, 0.2, 0L, 0.0), (1L, 5L, 0.7, 5L, 1.0)))
+  }
+
+  test("cusumChangepoint: the peak lands on the last pre-shift row") {
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq((1L, ts(1), 0.0), (1L, ts(2), 0.0), (1L, ts(3), 0.0),
+      (1L, ts(4), 10.0), (1L, ts(5), 10.0), (1L, ts(6), 10.0))
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.cusumChangepoint(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long)].collect().head
+    // n=6, S=3000 cents; dev = |6·cy − i·3000| peaks at i=3 (9000)
+    assert(got == ((1L, (1704067200000L + 3000L) * 1000, 9000L, 6L)))
+  }
+
+  test("multiTouchCredit: k in-window touches share 1/k; same-µs and stale excluded") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, "click", ts(1)), (1L, 2L, "click", ts(2)),
+      (1L, 3L, "purchase", ts(3)),                       // k=2 → 0.5 each
+      (2L, 4L, "purchase", ts(1)),                       // no touches → 0, null
+      (3L, 5L, "click", ts(5)), (3L, 6L, "purchase", ts(5)), // same µs: excluded
+      (4L, 7L, "click", ts(1)), (4L, 8L, "purchase", ts(30))) // beyond 10-min window
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.multiTouchCredit(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", "click", windowUs = 10L * 60 * 1000000)
+      .select("id", "k_touches", "credit_each")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == Set((3L, 2L, Some(0.5)), (4L, 0L, None),
+      (6L, 0L, None), (8L, 0L, None)))
+  }
+
   test("trendOls: hand-computed slopes, negative trend, re-based x") {
     def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
     // user 1: value = 2 + 0.01·x dollars at x = 0,10,20 s → slope
