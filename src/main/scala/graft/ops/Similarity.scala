@@ -831,6 +831,83 @@ object Similarity {
           / (col("n") * col("n")).cast("double"), 6).as("cov_mc"))
   }
 
+  /** Top principal component of the embedding cloud by power iteration —
+    * the data-direction summary PCA starts with (whitening's q141 sibling:
+    * that removes per-dim scale, this finds the dominant cross-dim axis).
+    * Every arithmetic step is integer, so the SQL oracle replays the
+    * identical walk: the covariance NUMERATOR `n·Σxy − Σx·Σy` (exact
+    * longs, [[embeddingCovariance]]'s milli space) is integer-divided by
+    * n² into a milli² matrix Q (eigenvectors are invariant under the
+    * positive scaling, so dividing early just keeps products in range);
+    * the iterate starts at the all-ones vector ×10⁶ and each round maps
+    * v → Q·v (exact 64-bit: |Q|≤milli², |v|≤~10⁶, dims-term sums) then
+    * rescales by the truncating division `v / max(1, max|v| / 10⁶)` —
+    * L∞ normalization with zero floats. Truncation toward zero is what
+    * BOTH engines' integer division does (JVM `Long./`, DuckDB `//`).
+    * Covariance is PSD so the iterate never sign-flips; ties and zero
+    * matrices are deterministic by construction. Output: (d, v) — the
+    * component in ~10⁶ L∞ scale; callers needing unit L2 divide once.
+    *
+    * Scale shape: the distributed work is exactly [[embeddingCovariance]]
+    * — in-row pair fan-out, map-side combine, dims²-bounded shuffle; the
+    * driver receives dims·(dims+1)/2 integer rows (a design constant,
+    * the PQ-codebook precedent) and runs `iters` O(dims²) integer loops
+    * that no cluster should be bothered with. Corpus size only ever
+    * enters through the aggregate.
+    */
+  def topPrincipalComponent(emb: DataFrame, iters: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
+    val vints = transform(col(vecCol),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val rows = emb.select(vints.as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i").cast("long").as("i"), col("vi"),
+        posexplode(slice(col("v"), col("i") + 1, greatest(size(col("v")) - col("i"), lit(0))))
+          .as(Seq("jrel", "vj")))
+      .select(col("i"), (col("i") + col("jrel")).cast("long").as("j"),
+        col("vi"), col("vj"))
+    val prods = rows.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("vi") * col("vj")).as("sxy"))
+    val sums = emb.select(posexplode(vints).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d")).agg(sum("x").as("sd"))
+    // the collect is dims·(dims+1)/2 integer triples — bounded by the
+    // embedding dimensionality, a design constant; the iteration needs
+    // random access to the whole matrix, which no row-at-a-time plan has
+    val tri = prods
+      .join(sums.select(col("d").as("i"), col("sd").as("sx")), Seq("i"))
+      .join(sums.select(col("d").as("j"), col("sd").as("sy")), Seq("j"))
+      .select(col("i").cast("int"), col("j").cast("int"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        col("n"))
+      .collect()
+    val dims = tri.iterator.map(r => math.max(r.getInt(0), r.getInt(1))).max + 1
+    val q = Array.ofDim[Long](dims, dims)
+    tri.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val n = r.getLong(3)
+      // Long division truncates toward zero — DuckDB's `//` semantics
+      val c = r.getLong(2) / (n * n)
+      q(i)(j) = c; q(j)(i) = c
+    }
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(dims) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dims) { acc += q(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = y.iterator.map(math.abs).max
+      val denom = math.max(1L, m / 1000000L)
+      v = y.map(_ / denom)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, d) => (d.toLong, x) }
+      .toSeq.toDF("d", "v")
+  }
+
   /** Greedy k-center (farthest-point-first) coreset — the classic
     * 2-approximation for DIVERSE subset selection over an embedding
     * column (pick the training examples that together cover the space,

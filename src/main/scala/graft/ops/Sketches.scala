@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,5 +82,49 @@ object Sketches {
       .select(col("est_a"), col("est_b"), col("est_union"),
         inter.as("est_inter"),
         round(inter / col("est_union"), 6).as("jaccard_est"))
+  }
+
+  /** Count-min sketch over a token stream, probed for point-frequency
+    * estimates — the sub-linear-memory answer to "how often does this
+    * token occur in 100 TB of text" when the exact vocabulary count
+    * (q63's shape) no longer fits. `depth` independent md5-derived hash
+    * rows × `width` counters; a token's estimate is the MIN over its
+    * `depth` counters — ≥ the true count always (counters only ever
+    * absorb collisions), within ε·N with the standard (e/width,
+    * (1/2)^depth) guarantee. Every hash and count is integer, so the
+    * SQL oracle rebuilds the identical sketch bit-for-bit.
+    *
+    * Scale shape: the build is ONE map-side-combined aggregate — the
+    * depth-fold fans each token into `depth` (row, bucket) keys in-row,
+    * and partial aggregation collapses every partition to ≤ depth·width
+    * counter rows before the (tiny, bounded-by-design) shuffle. The
+    * sketch is mergeable by construction (counter-wise sum), so
+    * per-partition / per-day sketches union with a second identical
+    * aggregate — the same partial-merge algebra as q116. Probes
+    * broadcast-join the depth·width-row sketch; nothing about the probe
+    * path rescans the corpus.
+    *
+    * Probe set here: the distinct tokens of the minimum-id document —
+    * deterministic, corpus-derived, bounded by one document's length.
+    */
+  def cmsTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), " ")).as("token"))
+    def bucket(r: Column, t: Column): Column =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), t)), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    val sketch = toks
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("token"))
+      .groupBy(col("r"), bucket(col("r"), col("token")).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val minId = docs.agg(min(col(idCol)).as("id"))
+    val probes = toks.join(broadcast(minId), Seq("id"))
+      .select(col("token")).distinct()
+      .select(col("token"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bkt", bucket(col("r"), col("token")))
+    probes.join(broadcast(sketch), Seq("r", "bkt"))
+      .groupBy("token").agg(min(col("c")).as("est"))
   }
 }

@@ -99,4 +99,65 @@ object Spatial {
       .where(col("dist_km") <= radiusKm)
       .select(col("id").as("a"), col("b_id").as("b"), col("dist_km"))
   }
+
+  /** DBSCAN density clusters over the grid-blocked radius join — the
+    * geo-clustering step (POI discovery, event hot-spot grouping) that
+    * plain k-means can't do because cluster count and shape are unknown.
+    * Classic semantics, determinized: a point is `core` when its
+    * ε-neighborhood holds ≥ `minPts` points (ITSELF INCLUDED); clusters
+    * are the connected components of the core-core ε-graph, labeled by
+    * minimum member id ([[Dedup.connectedComponents]] — a core point
+    * with no core neighbor is its own singleton cluster); a non-core
+    * point with ≥ 1 core ε-neighbor is a `border` point and joins the
+    * MINIMUM cluster label among its core neighbors (the one
+    * under-specified choice in DBSCAN, pinned to an order-free rule —
+    * no "first scan wins" nondeterminism); everything else is `noise`
+    * (cluster null). Distances inherit [[radiusSelfJoin]]'s 3-d.p.
+    * rounding, so both engines decide every boundary pair identically.
+    *
+    * Scale shape: pair generation is the grid join (candidates ∝ local
+    * density², `maxCell` backstop); degrees and border assignment are
+    * one aggregate each over the pair list; component labeling is the
+    * O(diameter)-round min-label propagation. Nothing is quadratic in
+    * the corpus — only in per-cell density, DBSCAN's intrinsic cost.
+    */
+  def dbscanClusters(df: DataFrame, idCol: String, latCol: String,
+      lonCol: String, epsKm: Double, minPts: Int,
+      cellLatDeg: Double = 0.5, cellLonDeg: Double = 1.0,
+      maxCell: Int = Int.MaxValue): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val pts = df.select(col(idCol).as("id")).distinct()
+    val pairs = radiusSelfJoin(df, idCol, latCol, lonCol, epsKm,
+        cellLatDeg, cellLonDeg, maxCell = maxCell)
+      .localCheckpoint(true) // consumed 4× below; never re-run the grid join
+    val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
+      .union(pairs.select(col("b").as("id"), col("a").as("nb")))
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("nnb"))
+    // neighborhood size counts the point itself
+    val core = pts.join(deg, Seq("id"), "left")
+      .where(coalesce(col("nnb"), lit(0L)) + 1 >= minPts)
+      .select(col("id"))
+    // core-core edges label the components; coreless cores are their own
+    // singleton cluster (connectedComponents only returns ids with edges)
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a")), Seq("a"))
+      .join(core.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
+    val labeled = Dedup.connectedComponents(coreEdges)
+    val coreLabels = core
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderLabels = sym
+      .join(coreLabels.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      .join(coreLabels.select(col("id")), Seq("id"), "left_anti")
+    pts
+      .join(coreLabels.withColumn("role", lit("core")), Seq("id"), "left")
+      .join(borderLabels.withColumnRenamed("cluster", "b_cluster"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("b_cluster")).as("cluster"),
+        coalesce(col("role"),
+          when(col("b_cluster").isNotNull, lit("border"))
+            .otherwise(lit("noise"))).as("role"))
+  }
 }

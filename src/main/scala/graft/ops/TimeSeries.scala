@@ -133,4 +133,41 @@ object TimeSeries {
         max_by(col(valueCol), ord).as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** Exponentially weighted moving average with α = 1/2, truncated at
+    * `lags` preceding observations — the standard smoother for drift
+    * monitors and anomaly baselines, made bit-exact: dyadic weights
+    * 2^(lags−k) over cent-integer values keep the weighted sum a pure
+    * BIGINT (`ewma_scaled`), the weight mass actually present is summed
+    * in the same integer space (`w_sum` — early rows have shorter
+    * histories, the standard renormalizing form), and the only float is
+    * ONE final division `round(scaled / w_sum, 6)`. Truncating at
+    * `lags` loses at most 2^(−lags) of the weight mass (< 10⁻⁶ at the
+    * default 20) — the price of an exactly-reproducible window instead
+    * of an unboundedly recursive state.
+    *
+    * Scale shape: one exchange on the key and ONE per-key sort shared by
+    * all `lags`+1 `lag` frames (Catalyst collapses same-spec window
+    * functions into a single Window node); no state store, no self-join,
+    * no recursion — the W1–W4 rolling-family plan exactly.
+    */
+  def ewmaDyadic(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, lags: Int = 20): DataFrame = {
+    require(lags >= 1 && lags <= 40, s"lags must be in [1, 40], got $lags")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val terms = (0 to lags).map { k =>
+      val weight = 1L << (lags - k)
+      val x = lag(cents, k).over(w)
+      (coalesce(x * weight, lit(0L)), when(x.isNotNull, weight).otherwise(0L))
+    }
+    df.select(col(keyCol).as("k"), col(tieCol).as("id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        terms.map(_._1).reduce(_ + _).as("ewma_scaled"),
+        terms.map(_._2).reduce(_ + _).as("w_sum"))
+      .withColumn("ewma_cents",
+        when(col("w_sum") > 0, // all-null history ⇒ no estimate, not NaN
+          round(col("ewma_scaled").cast("double") / col("w_sum").cast("double"), 6)))
+  }
 }

@@ -2538,6 +2538,63 @@ object OpsQueries {
       FROM p x JOIN p y ON x.id < y.id)
     SELECT a, b, dist_km FROM d WHERE dist_km <= 100.0"""
 
+  // ———————————————— grid-blocked DBSCAN density clusters (q161)
+  // (q132's lattice globe + radius join composed into full DBSCAN:
+  //  core = ε-neighborhood ≥ minPts (self included), clusters = CC over
+  //  the core-core ε-graph (min-label), border joins its MINIMUM core
+  //  neighbor's cluster — the under-specified DBSCAN choice pinned to an
+  //  order-free rule; the oracle re-derives everything from the brute
+  //  O(n²) pair join plus a recursive-CTE component walk)
+  val q161Dbscan: Q = (s, dir) => {
+    val pts = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.ops.Spatial.latticeLat(col("c_custkey")).as("lat"),
+        graft.ops.Spatial.latticeLon(col("c_custkey")).as("lon"))
+    graft.ops.Spatial.dbscanClusters(pts, "c_custkey", "lat", "lon",
+      epsKm = 200.0, minPts = 4, cellLatDeg = 2.0, cellLonDeg = 4.0)
+  }
+  val q161Sql: String = """
+    WITH RECURSIVE p AS (SELECT c_custkey AS id,
+        -60.0 + 120.0 * ((CAST(('0x' || substr(md5('lat|' ||
+            CAST(c_custkey AS VARCHAR)), 1, 4)) AS BIGINT) + 0.5)
+          / 65536.0) AS lat,
+        -180.0 + 360.0 * ((CAST(('0x' || substr(md5('lon|' ||
+            CAST(c_custkey AS VARCHAR)), 1, 4)) AS BIGINT) + 0.5)
+          / 65536.0) AS lon
+      FROM customer),
+    pr AS (SELECT a, b FROM (
+        SELECT x.id AS a, y.id AS b,
+          round(2.0 * 6371.0 * asin(sqrt(
+            sin(radians(y.lat - x.lat) / 2) * sin(radians(y.lat - x.lat) / 2)
+            + cos(radians(x.lat)) * cos(radians(y.lat))
+              * sin(radians(y.lon - x.lon) / 2)
+              * sin(radians(y.lon - x.lon) / 2))), 3) AS dist_km
+        FROM p x JOIN p y ON x.id < y.id)
+      WHERE dist_km <= 200.0),
+    sym AS (SELECT a AS id, b AS nb FROM pr UNION ALL SELECT b, a FROM pr),
+    deg AS (SELECT id, count(*) AS nnb FROM sym GROUP BY 1),
+    core AS (SELECT p.id FROM p LEFT JOIN deg ON deg.id = p.id
+             WHERE coalesce(nnb, 0) + 1 >= 4),
+    ce AS (SELECT a, b FROM pr
+           WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+    edges AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+    cc AS (SELECT node AS id, min(label) AS cluster FROM walk GROUP BY 1),
+    corelab AS (SELECT c.id, coalesce(cc.cluster, c.id) AS cluster
+                FROM core c LEFT JOIN cc ON cc.id = c.id),
+    borderlab AS (SELECT s.id, min(cl.cluster) AS cluster
+                  FROM sym s JOIN corelab cl ON cl.id = s.nb
+                  WHERE s.id NOT IN (SELECT id FROM corelab) GROUP BY 1)
+    SELECT p.id, coalesce(cl.cluster, bl.cluster) AS cluster,
+      CASE WHEN cl.id IS NOT NULL THEN 'core'
+           WHEN bl.id IS NOT NULL THEN 'border'
+           ELSE 'noise' END AS role
+    FROM p LEFT JOIN corelab cl ON cl.id = p.id
+           LEFT JOIN borderlab bl ON bl.id = p.id"""
+
   // ———————————————— prefix-filtered EXACT set-similarity join (q133)
   // (PPJoin-family prefix bound: candidates only from each doc's
   //  n−⌈t·n⌉+1 globally-rarest shingles, in-row array_intersect verify —
@@ -3025,7 +3082,73 @@ object OpsQueries {
       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
     FROM r GROUP BY 1"""
 
+  // ———————————————— count-min sketch point frequencies (q158)
+  // (4×1024 md5-hashed integer counters, estimate = min over the 4 rows
+  //  — the sub-linear memory token-frequency sketch; probes are the
+  //  min-id document's distinct tokens; the oracle rebuilds the sketch
+  //  bit-for-bit from the same hashes)
+  val q158CmsCounts: Q = (s, dir) =>
+    graft.ops.Sketches.cmsTokenCounts(Tables.documents(s, dir),
+      "text", "doc_id", depth = 4, width = 1024)
+  val q158Sql: String = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+    rt AS (SELECT token, unnest(range(0, 4)) AS r FROM tok),
+    sk AS (SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token),
+               1, 8)) AS BIGINT) % 1024 AS bkt, count(*) AS c
+           FROM rt GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT token FROM tok
+              WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+    pb AS (SELECT token, r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+               || token), 1, 8)) AS BIGINT) % 1024 AS bkt
+           FROM (SELECT token, unnest(range(0, 4)) AS r FROM probe))
+    SELECT pb.token, CAST(min(sk.c) AS BIGINT) AS est
+    FROM pb JOIN sk ON sk.r = pb.r AND sk.bkt = pb.bkt
+    GROUP BY 1"""
+
+  // ———————————————— top principal component, power iteration (q159)
+  // (q138's integer covariance numerator divided into a milli² matrix,
+  //  then 8 rounds of exact-integer matvec + truncating-division L∞
+  //  rescale — the oracle replays the identical walk in 8 chained CTE
+  //  blocks; JVM Long division and DuckDB `//` both truncate toward 0)
+  val q159TopPc: Q = (s, dir) =>
+    graft.ops.Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
+      iters = 8)
+  val q159Sql: String = {
+    val iterBlocks = (1 to 8).map { t =>
+      s"""
+    y$t AS (SELECT m.i AS d, CAST(sum(m.q * v.v) AS BIGINT) AS y
+           FROM qm m JOIN v${t - 1} v ON v.d = m.j GROUP BY 1),
+    n$t AS (SELECT greatest(CAST(1 AS BIGINT),
+              CAST(max(abs(y)) AS BIGINT) // 1000000) AS dn FROM y$t),
+    v$t AS (SELECT d, y // dn AS v FROM y$t, n$t)"""
+    }.mkString(",")
+    s"""
+    WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM d),
+    pr AS (SELECT e, i, unnest(range(i, len(e) + 1)) AS j FROM idx),
+    p AS (SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+            CAST(round(e[i] * 1000) AS BIGINT)
+              * CAST(round(e[j] * 1000) AS BIGINT) AS xy
+          FROM pr),
+    g AS (SELECT i, j, count(*) AS n, CAST(sum(xy) AS BIGINT) AS sxy
+          FROM p GROUP BY 1, 2),
+    s AS (SELECT CAST(i - 1 AS BIGINT) AS dm,
+            CAST(sum(CAST(round(e[i] * 1000) AS BIGINT)) AS BIGINT) AS sd
+          FROM idx GROUP BY 1),
+    qt AS (SELECT g.i, g.j,
+             (g.n * g.sxy - si.sd * sj.sd) // (g.n * g.n) AS q
+           FROM g JOIN s si ON si.dm = g.i JOIN s sj ON sj.dm = g.j),
+    qm AS (SELECT i, j, q FROM qt
+           UNION ALL SELECT j, i, q FROM qt WHERE i <> j),
+    v0 AS (SELECT dm AS d, CAST(1000000 AS BIGINT) AS v FROM s),$iterBlocks
+    SELECT d, v FROM v8"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q158_cms_counts" -> q158CmsCounts,
+    "q159_top_pc" -> q159TopPc,
+    "q161_dbscan" -> q161Dbscan,
     "q154_ks_drift" -> q154KsDrift,
     "q155_calibration" -> q155Calibration,
     "q149_fuzzy_join" -> q149FuzzyJoin,
@@ -3122,6 +3245,9 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q158_cms_counts" -> q158Sql,
+    "q159_top_pc" -> q159Sql,
+    "q161_dbscan" -> q161Sql,
     "q154_ks_drift" -> q154Sql,
     "q155_calibration" -> q155Sql,
     "q149_fuzzy_join" -> q149Sql,

@@ -1147,7 +1147,38 @@ object RelationalQueries {
         AS credit_each
     FROM w WHERE et = 'purchase'"""
 
+  // ————————————————————————— dyadic EWMA smoothing (q160)
+  // (α = 1/2 exponential smoothing truncated at 20 lags: weights 2^(20−k)
+  //  over cent integers keep the weighted sum exact BIGINT; the weight
+  //  mass actually present renormalizes short early histories; ONE final
+  //  double division — 21 lag frames share a single per-user sort)
+  val q160Ewma: Q = (s, dir) =>
+    graft.ops.TimeSeries.ewmaDyadic(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", lags = 20)
+      .withColumnRenamed("k", "user_id")
+  val q160Sql: String = {
+    val scaled = (0 to 20).map { k =>
+      s"coalesce(lag(c, $k) OVER w * ${1L << (20 - k)}, 0)"
+    }.mkString(" + ")
+    val wsum = (0 to 20).map { k =>
+      s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN ${1L << (20 - k)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""
+    WITH e AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    l AS (SELECT k, id, us,
+            CAST($scaled AS BIGINT) AS ewma_scaled,
+            CAST($wsum AS BIGINT) AS w_sum
+          FROM e WINDOW w AS (PARTITION BY k ORDER BY us, id))
+    SELECT k AS user_id, id, us AS ts_us, ewma_scaled, w_sum,
+      CASE WHEN w_sum > 0 THEN
+        round(CAST(ewma_scaled AS DOUBLE) / CAST(w_sum AS DOUBLE), 6) END
+        AS ewma_cents
+    FROM l"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q160_ewma" -> q160Ewma,
     "q156_cusum" -> q156Cusum,
     "q157_multi_touch" -> q157MultiTouch,
     "q146_trend_ols" -> q146TrendOls,
@@ -1253,5 +1284,6 @@ object RelationalQueries {
     "q142_attribution" -> q142Sql,
     "q146_trend_ols" -> q146Sql,
     "q156_cusum" -> q156Sql,
-    "q157_multi_touch" -> q157Sql)
+    "q157_multi_touch" -> q157Sql,
+    "q160_ewma" -> q160Sql)
 }

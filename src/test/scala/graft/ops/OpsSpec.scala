@@ -716,4 +716,25 @@ class OpsSpec extends SparkSpec {
       substring(col("name"), 1, 2), maxDist = 1, maxBlock = 2)
     assert(got.count() == 0) // the 3-row "ab" block is dropped entirely
   }
+
+  test("topPrincipalComponent: recovers a planted rank-1 direction exactly") {
+    import spark.implicits._
+    // all vectors lie on the (3, 4) axis with zero mean, so the
+    // covariance is rank 1 and the iterate must land on (0.75, 1.0) in
+    // L∞ scale — and every arithmetic step is integer, so EXACTLY
+    val df = Seq(0.5, 0.25, -0.25, -0.5)
+      .map(a => Tuple1(Array((0.6 * a).toFloat, (0.8 * a).toFloat)))
+      .toDF("embedding")
+    val got = Similarity.topPrincipalComponent(df, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 750000L, 1L -> 1000000L))
+  }
+
+  test("topPrincipalComponent: single vector has zero covariance → zero") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(0.3f, 0.7f))).toDF("embedding")
+    val got = Similarity.topPrincipalComponent(df, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L))
+  }
 }

@@ -66,4 +66,28 @@ class SketchesSpec extends SparkSpec {
       .as[(Double, Double, Double, Double, Double)].head()
     assert(ei >= 0 && j >= 0) // clamp guarantees non-negative estimates
   }
+
+  private val cmsDocs = Seq((0L, "a b a c"), (1L, "a b x"), (2L, "c c y"))
+
+  test("cmsTokenCounts: wide sketch reports exact counts for min-id doc") {
+    // width 65536 over a 5-token vocabulary: no bucket collisions, so
+    // the min over 4 rows IS the true count (deterministic md5 buckets —
+    // once green, always green)
+    val got = Sketches.cmsTokenCounts(cmsDocs.toDF("doc_id", "text"),
+        "text", "doc_id", depth = 4, width = 65536)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("cmsTokenCounts: colliding sketch only ever OVER-estimates") {
+    // width 2 forces collisions in every row; CMS counters only absorb
+    // other tokens' counts, so est >= truth for every probe — the
+    // one-sided error guarantee
+    val truth = Map("a" -> 3L, "b" -> 2L, "c" -> 3L)
+    val got = Sketches.cmsTokenCounts(cmsDocs.toDF("doc_id", "text"),
+        "text", "doc_id", depth = 4, width = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == truth.keySet) // probes = min-id doc's tokens
+    truth.foreach { case (t, n) => assert(got(t) >= n, s"token $t") }
+  }
 }

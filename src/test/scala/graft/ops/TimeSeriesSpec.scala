@@ -119,4 +119,32 @@ class TimeSeriesSpec extends SparkSpec {
       ("A", 10L, 7.0, 7.0, 7.0, 7.0, 1L),
       ("B", 9L, 3.0, 4.0, 3.0, 4.0, 2L)))
   }
+
+  test("ewmaDyadic: hand-computed dyadic weights, short-history renorm") {
+    val df = Seq(("u", ts(9), 1.0, 1L), ("u", ts(10), 2.0, 2L),
+      ("u", ts(11), 4.0, 3L), ("u", ts(12), 8.0, 4L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.ewmaDyadic(df, "k", "t", "id", "v", lags = 2)
+      .select("id", "ewma_scaled", "w_sum", "ewma_cents")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // weights 4,2,1 over cents 100,200,400,800
+    assert(got == Seq(
+      (1L, 400L, 4L, 100.0),             // 100·4 / 4
+      (2L, 1000L, 6L, 166.666667),       // 200·4+100·2 / 6
+      (3L, 2100L, 7L, 300.0),            // 400·4+200·2+100 / 7
+      (4L, 4200L, 7L, 600.0)))           // 100 truncated out of the window
+  }
+
+  test("ewmaDyadic: keys smooth independently; null value yields null") {
+    val df = Seq(("a", ts(9), Some(1.0), 1L), ("b", ts(9), Some(5.0), 2L),
+      ("c", ts(9), None, 3L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.ewmaDyadic(df, "k", "t", "id", "v", lags = 2)
+      .select("k", "ewma_scaled", "w_sum")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 400L, 4L), ("b", 2000L, 4L), ("c", 0L, 0L)))
+    val nullRow = TimeSeries.ewmaDyadic(df, "k", "t", "id", "v", lags = 2)
+      .where(col("k") === "c").select("ewma_cents").collect().head
+    assert(nullRow.isNullAt(0)) // w_sum 0 → null estimate, never NaN
+  }
 }
