@@ -543,4 +543,72 @@ object Analytics {
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
             / col("den").cast("double"), 6)).as("slope_cents_per_sec"))
   }
+
+  /** Cumulative Poisson(1) CDF scaled to 2³² and floored — the integer
+    * thresholds that turn a 32-bit md5 draw into a bootstrap weight with
+    * ZERO floating comparisons (`weight = #{k : h ≥ t_k}`, capped at 8;
+    * P(w > 8) < 10⁻⁶ — the truncation every Poisson-bootstrap
+    * implementation makes somewhere, here made explicit and identical
+    * in both engines).
+    */
+  val PoissonCdf32: Seq[Long] = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** Per-group bootstrap confidence interval for the mean, by the
+    * POISSON bootstrap — the one-pass, partition-independent resampling
+    * scheme (classic with-replacement resampling needs the group's n up
+    * front and a shared random permutation; Poisson(1) weights per
+    * (replicate, row) need neither, which is why it is the standard at
+    * data-parallel scale). Deterministic: the weight for (replicate r,
+    * row id) derives from an md5 draw against [[PoissonCdf32]] — both
+    * engines replay the identical resample. Replicate means are exact
+    * integer ratios rounded at 6 d.p.; the CI is an ORDER-STATISTIC over
+    * the `reps` rounded means (ranks ⌈0.025·reps⌉+1 and ⌈0.975·reps⌉,
+    * replicate index breaking ties) — no percentile interpolation to
+    * disagree over.
+    *
+    * Scale shape: the replicate fan-out is in-row (`reps`× explode) and
+    * dies at a map-side-combined aggregate into groups·reps partial
+    * rows; the rank window runs per group over `reps` rows. One real
+    * exchange. Replicates with zero total weight (empty resample —
+    * only possible for tiny groups) are dropped from the order
+    * statistic, `n_reps` reports how many survived.
+    */
+  def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, reps: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 8, s"reps must be >= 8, got $reps")
+    val h = conv(substring(md5(concat(lit("boot|"), col("r").cast("string"),
+      lit("|"), col("id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = PoissonCdf32.map(t => when(h >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val weighted = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        round(col(valCol).cast("double") * 100).cast("long").as("c"))
+      .select(col("g"), col("id"), col("c"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(col("g"), col("r"), (w * col("c")).as("wc"), w.as("wt"))
+    val repMeans = weighted.groupBy("g", "r")
+      .agg(sum("wc").as("swc"), sum("wt").as("swt"))
+      .where(col("swt") > 0)
+      .select(col("g"), col("r"),
+        round(col("swc").cast("double") / col("swt").cast("double"), 6)
+          .as("rm"))
+    val wOrd = Window.partitionBy("g").orderBy(col("rm"), col("r"))
+    val loRank = reps * 25 / 1000 + 1  // 2 at the default 64
+    val hiRank = reps * 975 / 1000     // 62 at the default 64
+    val ranked = repMeans
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy("g")))
+    val ci = ranked.groupBy("g").agg(
+      max(when(col("rk") === least(lit(loRank), col("nr")), col("rm"))).as("ci_lo"),
+      max(when(col("rk") === least(lit(hiRank), col("nr")), col("rm"))).as("ci_hi"),
+      max("nr").as("n_reps"))
+    val point = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col(valCol).cast("double") * 100).cast("long"))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_cents"))
+    point.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n"), col("mean_cents"),
+        col("ci_lo"), col("ci_hi"), col("n_reps").cast("long").as("n_reps"))
+  }
 }

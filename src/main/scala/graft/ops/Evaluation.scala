@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster/label-quality evaluation — the "is this clustering any good"
+  * report a curation pipeline runs after SemDeDup-style clustering or a
+  * labeling pass, before trusting the groups for mixture weights or
+  * leakage-safe splits.
+  *
+  * Float discipline (the q129/q132 rule): per-pair Euclidean distance
+  * goes through ONE correctly-rounded `sqrt`, is immediately rounded to
+  * integer micro units, and every aggregation from there on sums exact
+  * BIGINTs — a float SUM whose partition order could differ between
+  * engines never appears. Final scores are fixed-order double
+  * expressions over already-rounded means.
+  */
+object Evaluation {
+
+  /** Per-point silhouette score over a labeled embedding table:
+    * `a` = mean distance to the point's OWN label-mates (self excluded),
+    * `b` = the smallest per-foreign-label mean distance, and
+    * `s = (b − a) / max(a, b)` — +1 = well placed, 0 = on a boundary,
+    * negative = probably mislabeled. Singleton labels have no `a`;
+    * following the standard convention their `s` is 0 (`a`/`b` still
+    * reported, `a` null).
+    *
+    * Distances are milli-quantized Euclidean, rounded to micro units
+    * BEFORE summation (header discipline); each per-cluster mean is a
+    * TRUNCATING integer division into micro-milli units (a float mean
+    * at this magnitude would need 16 significant digits — past double
+    * precision), so the min / subtraction / max walk exact integers and
+    * the single float is the final ratio.
+    *
+    * Scale shape: this is the exact all-pairs verifier — cost n² inside
+    * the evaluated sample, one exchange on the pair block. At corpus
+    * scale, evaluate a capped deterministic sample (the md5-lattice
+    * bucket, q53's shape) or swap the exact `b` for the
+    * distance-to-foreign-CENTROID approximation ([[Similarity]]'s
+    * centroid machinery) — the sampled report is the documented
+    * production path, this is its ground truth.
+    */
+  def silhouette(emb: DataFrame, idCol: String = "vec_id",
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    val m = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+        .as("mv"))
+    val pairs = m.as("x").join(m.as("y"), col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("i"), col("x.lbl").as("li"),
+        col("y.lbl").as("lj"),
+        round(sqrt(aggregate(
+          zip_with(col("x.mv"), col("y.mv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).cast("double")) * 1e6)
+          .cast("long").as("dmic"))
+    // per-cluster mean distance as a TRUNCATING integer division into
+    // micro-milli units: a double `sum/count` at 1e9 magnitude needs 16
+    // significant digits for 6-d.p. rounding — past double precision,
+    // where the two engines' round() implementations disagree at the
+    // final ulp. Integer division is exact everywhere.
+    val grp = pairs.groupBy("i", "li", "lj")
+      .agg(sum("dmic").as("sd"), count(lit(1)).as("nd"))
+      .withColumn("mean_q", expr("(sd * 1000) div nd"))
+    val aSide = grp.where(col("li") === col("lj"))
+      .select(col("i"), col("mean_q").as("a_q"))
+    val bSide = grp.where(col("li") =!= col("lj"))
+      .groupBy("i").agg(min("mean_q").as("b_q"))
+    m.select(col("id").as("i"), col("lbl").as("label"))
+      .join(bSide, Seq("i"))
+      .join(aSide, Seq("i"), "left")
+      .select(col("i").as("id"), col("label"), col("a_q"), col("b_q"),
+        when(col("a_q").isNull
+            || greatest(col("a_q"), col("b_q")) <= 0, lit(0.0))
+          // singleton label / all-coincident-points conventions: s = 0
+          .otherwise(round((col("b_q") - col("a_q")).cast("double")
+            / greatest(col("a_q"), col("b_q")).cast("double"), 6)).as("s"))
+  }
+}

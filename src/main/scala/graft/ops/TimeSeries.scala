@@ -170,4 +170,44 @@ object TimeSeries {
         when(col("w_sum") > 0, // all-null history ⇒ no estimate, not NaN
           round(col("ewma_scaled").cast("double") / col("w_sum").cast("double"), 6)))
   }
+
+  /** Time-weighted average per key — trapezoidal integration of an
+    * irregularly sampled metric over its observation span, the correct
+    * "average value" when sampling is event-driven (a plain mean
+    * over-weights bursts; the reference's hourly means sidestep rather
+    * than solve this). Piecewise-linear model between consecutive
+    * observations: Σ (vᵢ + vᵢ₊₁)(tᵢ₊₁ − tᵢ) over 2·(t_n − t₁).
+    *
+    * Exactness: timestamps flatten to whole seconds (integer division of
+    * µs), values to cents, and the DOUBLED trapezoid areas sum as exact
+    * BIGINTs — the single float is the final division, 6-d.p.-rounded.
+    * Duplicate timestamps contribute zero-width trapezoids (order inside
+    * the instant is pinned by the tie column but cannot affect the sum).
+    * Single-observation keys have no span — `twa_cents` null.
+    *
+    * Scale shape: one exchange on the key, ONE per-key sort shared by
+    * the `lag` carries, then a map-side-combinable aggregate. Same plan
+    * family as W1/W2 sessionization.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      expr(s"unix_micros(`$tsCol`) div 1000000").as("tsec"),
+      col(tieCol).as("tie"),
+      round(col(valueCol).cast("double") * 100).cast("long").as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("tsec"), col("tie"))
+    base
+      .withColumn("pt", lag(col("tsec"), 1).over(w))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        (max("tsec") - min("tsec")).as("span_s"),
+        sum(when(col("pt").isNotNull,
+          (col("c") + col("pc")) * (col("tsec") - col("pt")))
+          .otherwise(0L)).as("area2"))
+      .select(col("k").as(keyCol), col("n"), col("span_s"),
+        when(col("span_s") > 0,
+          round(col("area2").cast("double")
+            / (col("span_s") * 2).cast("double"), 6)).as("twa_cents"))
+  }
 }

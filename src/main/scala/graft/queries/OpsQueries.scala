@@ -3145,7 +3145,128 @@ object OpsQueries {
     SELECT d, v FROM v8"""
   }
 
+  // ———————————————— per-point silhouette score (q162)
+  // (cluster-quality report over the labeled embedding table: a = mean
+  //  same-label distance, b = min foreign-label mean, s = (b−a)/max —
+  //  distances micro-rounded BEFORE summation so no float accumulation
+  //  order leaks; the all-pairs form is the capped ground-truth verifier,
+  //  the sampled/centroid variant the named at-scale path)
+  val q162Silhouette: Q = (s, dir) =>
+    graft.ops.Evaluation.silhouette(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 400))
+  val q162Sql: String = """
+    WITH m AS (SELECT vec_id AS id, label AS lbl,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(round(x * 1000) AS BIGINT)) AS mv
+      FROM embeddings WHERE vec_id < 400),
+    pr AS (SELECT x.id AS i, x.lbl AS li, y.lbl AS lj,
+        CAST(round(sqrt(CAST(list_sum(list_transform(range(1, len(x.mv) + 1),
+            k -> (x.mv[k] - y.mv[k]) * (x.mv[k] - y.mv[k]))) AS DOUBLE))
+          * 1000000) AS BIGINT) AS dmic
+      FROM m x JOIN m y ON x.id <> y.id),
+    g AS (SELECT i, li, lj,
+            (CAST(sum(dmic) AS BIGINT) * 1000) // count(*) AS mean_q
+          FROM pr GROUP BY 1, 2, 3),
+    a AS (SELECT i, mean_q AS a_q FROM g WHERE li = lj),
+    b AS (SELECT i, min(mean_q) AS b_q FROM g WHERE li <> lj GROUP BY 1)
+    SELECT m.id, m.lbl AS label, a.a_q, b.b_q,
+      CASE WHEN a.a_q IS NULL OR greatest(a.a_q, b.b_q) <= 0 THEN 0.0
+           ELSE round(CAST(b.b_q - a.a_q AS DOUBLE)
+                  / CAST(greatest(a.a_q, b.b_q) AS DOUBLE), 6)
+      END AS s
+    FROM m JOIN b ON b.i = m.id LEFT JOIN a ON a.i = m.id"""
+
+  // ———————————————— Poisson-bootstrap mean CI (q163)
+  // (per-event-type CI for the mean value: Poisson(1) weights from
+  //  integer md5-vs-CDF-threshold comparisons — the one-pass resampling
+  //  scheme that needs no group size and no permutation; CI = order
+  //  statistics over 64 replicate means, no interpolation)
+  val q163BootstrapCi: Q = (s, dir) =>
+    graft.ops.Analytics.poissonBootstrapCi(Tables.events(s, dir),
+      "event_type", "event_id", "value", reps = 64)
+  val q163Sql: String = """
+    WITH e AS (SELECT event_type AS g, event_id AS id,
+                 CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    x AS (SELECT g, id, c, unnest(range(0, 64)) AS r FROM e),
+    wts AS (SELECT g, r, c,
+        CAST(('0x' || substr(md5('boot|' || CAST(r AS VARCHAR) || '|'
+          || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM x),
+    wd AS (SELECT g, r, c,
+        (CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 3160060337 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 3950075421 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 4213413783 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 4279248373 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 4292415291 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 4294609777 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 4294923276 THEN 1 ELSE 0 END) AS w
+      FROM wts),
+    rm AS (SELECT g, r, round(CAST(sum(w * c) AS DOUBLE)
+             / CAST(sum(w) AS DOUBLE), 6) AS rm
+           FROM wd GROUP BY 1, 2 HAVING sum(w) > 0),
+    rk AS (SELECT g, r, rm,
+             row_number() OVER (PARTITION BY g ORDER BY rm, r) AS rk,
+             count(*) OVER (PARTITION BY g) AS nr
+           FROM rm),
+    ci AS (SELECT g,
+             max(CASE WHEN rk = least(2, nr) THEN rm END) AS ci_lo,
+             max(CASE WHEN rk = least(62, nr) THEN rm END) AS ci_hi,
+             max(nr) AS n_reps
+           FROM rk GROUP BY 1),
+    pt AS (SELECT g, count(*) AS n, round(CAST(sum(c) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_cents
+           FROM e GROUP BY 1)
+    SELECT pt.g AS event_type, pt.n, pt.mean_cents, ci.ci_lo, ci.ci_hi,
+      CAST(ci.n_reps AS BIGINT) AS n_reps
+    FROM pt JOIN ci ON ci.g = pt.g"""
+
+  // ———————————————— longest-prefix-match CIDR classification (q164)
+  // (synthetic lattice /32 addresses over event ids against a literal
+  //  CIDR rule table; LPM as a pure equi-join: one candidate key per
+  //  DISTINCT prefix length, argmax length per address — no range join,
+  //  no cross product, broadcastable rule side)
+  val q164LpmJoin: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val rules = Seq(
+      (0L << 28, 4, "wide_a"),          // 0.0.0.0/4
+      (6L << 28, 4, "wide_b"),          // 96.0.0.0/4
+      (10L << 24, 8, "net_10"),         // 10.0.0.0/8
+      (172L << 24, 8, "net_172"),       // 172.0.0.0/8
+      ((172L << 24) + (16L << 16), 12, "net_172_16"), // 172.16.0.0/12
+      (250L << 24, 7, "high_pair")      // 250.0.0.0/7
+    ).toDF("prefix_int", "prefix_len", "rule")
+    val addrs = Tables.events(s, dir)
+      .select(col("event_id"), graft.ops.Net.latticeIp(col("event_id")).as("ip_int"))
+    graft.ops.Net.lpmJoin(addrs, rules)
+  }
+  val q164Sql: String = """
+    WITH rules(prefix_int, prefix_len, rule) AS (VALUES
+      (0, 4, 'wide_a'), (1610612736, 4, 'wide_b'),
+      (167772160, 8, 'net_10'), (2885681152, 8, 'net_172'),
+      (2886729728, 12, 'net_172_16'), (4194304000, 7, 'high_pair')),
+    addrs AS (SELECT event_id,
+        CAST(('0x' || substr(md5('ip|' || CAST(event_id AS VARCHAR)), 1, 8))
+          AS BIGINT) AS ip_int
+      FROM events),
+    lens AS (SELECT DISTINCT prefix_len AS plen FROM rules),
+    keyed AS (SELECT prefix_len AS plen, prefix_int >> (32 - prefix_len) AS pkey,
+              rule FROM rules),
+    cand AS (SELECT a.ip_int, k.plen, k.rule,
+               row_number() OVER (PARTITION BY a.ip_int
+                 ORDER BY k.plen DESC) AS rn
+             FROM addrs a CROSS JOIN lens l
+             JOIN keyed k ON k.plen = l.plen
+               AND k.pkey = (a.ip_int >> (32 - l.plen))),
+    best AS (SELECT ip_int, plen AS matched_len, rule FROM cand WHERE rn = 1)
+    SELECT a.event_id, a.ip_int, b.matched_len, b.rule
+    FROM addrs a LEFT JOIN best b ON b.ip_int = a.ip_int"""
+
   val all: Map[String, Q] = Map(
+    "q162_silhouette" -> q162Silhouette,
+    "q163_bootstrap_ci" -> q163BootstrapCi,
+    "q164_lpm_join" -> q164LpmJoin,
     "q158_cms_counts" -> q158CmsCounts,
     "q159_top_pc" -> q159TopPc,
     "q161_dbscan" -> q161Dbscan,
@@ -3245,6 +3366,9 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q162_silhouette" -> q162Sql,
+    "q163_bootstrap_ci" -> q163Sql,
+    "q164_lpm_join" -> q164Sql,
     "q158_cms_counts" -> q158Sql,
     "q159_top_pc" -> q159Sql,
     "q161_dbscan" -> q161Sql,

@@ -1177,8 +1177,35 @@ object RelationalQueries {
     FROM l"""
   }
 
+  // ————————————————————————— time-weighted average (q165)
+  // (trapezoidal integration of each user's irregular value series:
+  //  doubled areas (vᵢ+vᵢ₊₁)(tᵢ₊₁−tᵢ) sum as exact BIGINTs over whole
+  //  seconds × cents; ONE final division by 2·span; single-observation
+  //  users → null)
+  val q165TimeWeightedAvg: Q = (s, dir) =>
+    graft.ops.TimeSeries.timeWeightedAvg(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value")
+  val q165Sql: String = """
+    WITH e AS (SELECT user_id AS k, epoch_us(ts) // 1000000 AS tsec,
+                 event_id AS tie, CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+    l AS (SELECT k, tsec, c,
+            lag(tsec, 1) OVER w AS pt, lag(c, 1) OVER w AS pc
+          FROM e WINDOW w AS (PARTITION BY k ORDER BY tsec, tie)),
+    g AS (SELECT k, count(*) AS n,
+            max(tsec) - min(tsec) AS span_s,
+            CAST(sum(CASE WHEN pt IS NOT NULL
+              THEN (c + pc) * (tsec - pt) ELSE 0 END) AS BIGINT) AS area2
+          FROM l GROUP BY 1)
+    SELECT k AS user_id, n, span_s,
+      CASE WHEN span_s > 0 THEN
+        round(CAST(area2 AS DOUBLE) / CAST(span_s * 2 AS DOUBLE), 6) END
+        AS twa_cents
+    FROM g"""
+
   val all: Map[String, Q] = Map(
     "q160_ewma" -> q160Ewma,
+    "q165_twa" -> q165TimeWeightedAvg,
     "q156_cusum" -> q156Cusum,
     "q157_multi_touch" -> q157MultiTouch,
     "q146_trend_ols" -> q146TrendOls,
@@ -1285,5 +1312,6 @@ object RelationalQueries {
     "q146_trend_ols" -> q146Sql,
     "q156_cusum" -> q156Sql,
     "q157_multi_touch" -> q157Sql,
-    "q160_ewma" -> q160Sql)
+    "q160_ewma" -> q160Sql,
+    "q165_twa" -> q165Sql)
 }

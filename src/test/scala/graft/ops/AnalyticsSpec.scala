@@ -332,4 +332,34 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L, None), (2L, 1L, None)))
   }
+
+  test("poissonBootstrapCi: constant values collapse the CI to the mean") {
+    val t = new java.sql.Timestamp(1704067200000L)
+    val ev = (1L to 100L).map(i => ("g", i, t, 7.0))
+      .toDF("event_type", "event_id", "ts", "value")
+    val got = Analytics.poissonBootstrapCi(ev, "event_type", "event_id",
+        "value", reps = 64)
+      .as[(String, Long, Double, Double, Double, Long)].head()
+    // every resample of a constant has the same mean — the interval is
+    // a point, and n_reps proves no replicate came up empty
+    assert(got == (("g", 100L, 700.0, 700.0, 700.0, 64L)))
+  }
+
+  test("poissonBootstrapCi: CI brackets the point mean, groups isolated") {
+    val t = new java.sql.Timestamp(1704067200000L)
+    val ev = ((1L to 200L).map(i => ("a", i, t, (i % 10).toDouble)) ++
+        (201L to 400L).map(i => ("b", i, t, 1000.0 + (i % 10))))
+      .toDF("event_type", "event_id", "ts", "value")
+    val got = Analytics.poissonBootstrapCi(ev, "event_type", "event_id",
+        "value", reps = 64)
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    got.values.foreach { case (g, n, mean, lo, hi, nr) =>
+      assert(n == 200 && nr == 64)
+      assert(lo <= mean && mean <= hi, s"$g: [$lo, $hi] vs $mean")
+      assert(lo < hi, s"$g: interval should have width on varied data")
+    }
+    // group b's values are ~1000 apart from a's — intervals must not mix
+    assert(got("a")._5 < got("b")._4)
+  }
 }
