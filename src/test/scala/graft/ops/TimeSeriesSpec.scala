@@ -147,4 +147,38 @@ class TimeSeriesSpec extends SparkSpec {
       .where(col("k") === "c").select("ewma_cents").collect().head
     assert(nullRow.isNullAt(0)) // w_sum 0 → null estimate, never NaN
   }
+
+  test("timeWeightedAvg: hand trapezoid over an irregular series") {
+    // value 1.00 for 1h, then 3.00 for 3h: integral = (1+3)/2·3600
+    //   + (3+3)/2·10800 = 7200 + 32400 ... in cents·sec, over 14400 s
+    val df = Seq(("u", ts(0), 1.0, 1L), ("u", ts(1), 3.0, 2L),
+      ("u", ts(4), 3.0, 3L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.timeWeightedAvg(df, "k", "t", "id", "v")
+      .as[(String, Long, Long, Double)].head()
+    // area2 = (100+300)·3600 + (300+300)·10800 = 7_920_000;
+    // twa = 7_920_000 / (2·14400) = 275 cents
+    assert(got == (("u", 3L, 14400L, 275.0)))
+  }
+
+  test("timeWeightedAvg: constant series averages to its value; bursts don't over-weight") {
+    val bursty = Seq.tabulate(10)(i => ("c", ts(0, i), 5.0, i.toLong)) :+
+      (("c", ts(10), 5.0, 99L)) // 10 samples in 9 min, one 10h later
+    val got = TimeSeries.timeWeightedAvg(bursty.toDF("k", "t", "v", "id"),
+      "k", "t", "id", "v")
+      .as[(String, Long, Long, Double)].head()
+    assert(got._4 == 500.0) // plain mean would agree here; TWA must too
+  }
+
+  test("timeWeightedAvg: singleton key has no span → null; duplicate ts zero-width") {
+    val df = Seq(("s", ts(3), 9.0, 1L),
+      ("d", ts(1), 1.0, 1L), ("d", ts(1), 100.0, 2L), ("d", ts(2), 1.0, 3L))
+      .toDF("k", "t", "v", "id")
+    val rows = TimeSeries.timeWeightedAvg(df, "k", "t", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("s").isNullAt(3)) // span 0 → null, not NaN/zero
+    // duplicate-instant trapezoid has zero width: only the 100→1 segment
+    // counts — area2 = (10000+100)·3600 = 36_360_000 over 2·3600
+    assert(rows("d").getDouble(3) == 5050.0)
+  }
 }
