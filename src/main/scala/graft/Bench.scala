@@ -33,6 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast (named error, schema printout) on a driver-side testdata
+    // regeneration that breaks a loader assumption — see Tables scaladoc
+    graft.queries.Tables.checkContract(spark, sfDir)
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()

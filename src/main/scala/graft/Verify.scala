@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast (named error, schema printout) on a driver-side testdata
+    // regeneration that breaks a loader assumption — see Tables scaladoc
+    graft.queries.Tables.checkContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }

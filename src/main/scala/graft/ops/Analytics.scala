@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   * crosses an engine boundary.
   */
 object Analytics {
+
+  /** Percentile aggregate selector for the q118/q137/q150 family: exact
+    * sort-based `percentile` by default (the oracle contract — DuckDB
+    * interpolates the same way over the same exact integers), or
+    * `approx_percentile` with `1/accuracy` relative rank error when
+    * `approxAccuracy = Some(accuracy)` — the 100 TB configuration, where
+    * exact percentile's all-values-per-group aggregation state is the
+    * memory ceiling and the KLL-style sketch is mergeable map-side
+    * partial state like any other aggregate. `approx_percentile` returns
+    * an actual element of the column (not an interpolation), so the
+    * integer-space disciplines downstream (floored thresholds, doubled-
+    * cent medians) hold unchanged under either selector.
+    */
+  private def pctl(c: Column, p: Double, approxAccuracy: Option[Int]): Column =
+    approxAccuracy match {
+      case Some(acc) => approx_percentile(c, lit(p), lit(acc))
+      case None      => percentile(c, lit(p))
+    }
 
   /** Gap-based session index per user (the q08/q31 semantics: a new
     * session starts when the µs gap to the previous event is ≥ `gapUs`).
@@ -173,21 +191,23 @@ object Analytics {
     * in exact integer space; the mean is one division at the edge.
     *
     * Plan: two grouped passes — thresholds first (exact sort-based
-    * `percentile`), then the group-sized threshold table broadcasts back
-    * onto the cents stream for the clamped aggregate. At 100 TB swap the
-    * first pass to `approx_percentile` with a documented error budget;
-    * the clamp algebra is unchanged.
+    * `percentile` by default; `approxAccuracy` swaps in the
+    * `approx_percentile` sketch with bounded rank error — the 100 TB
+    * path, see [[pctl]]), then the group-sized threshold table
+    * broadcasts back onto the cents stream for the clamped aggregate;
+    * the clamp algebra is identical under either selector.
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      approxAccuracy: Option[Int] = None): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
     val cents = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         round(col(valueCol) * 100).cast("long").as("c"))
     val thresholds = cents.groupBy("g").agg(
-      floor(percentile(col("c"), lit(pLo))).cast("long").as("p_lo_c"),
-      floor(percentile(col("c"), lit(pHi))).cast("long").as("p_hi_c"))
+      floor(pctl(col("c"), pLo, approxAccuracy)).cast("long").as("p_lo_c"),
+      floor(pctl(col("c"), pHi, approxAccuracy)).cast("long").as("p_hi_c"))
     cents.join(thresholds, Seq("g"))
       .groupBy(col("g").as(groupCol))
       .agg(first("p_lo_c").as("p_lo_c"), first("p_hi_c").as("p_hi_c"),
@@ -240,20 +260,25 @@ object Analytics {
     * interpolation ties), and `bin = Σ [cv ≥ bᵢ]` is pure integer
     * comparison — any engine reproduces the assignment bit-for-bit.
     *
-    * Plan: one percentile aggregate (exact here; `approx_percentile`
-    * with a tightened accuracy is the drop-in at 100 TB, where an exact
-    * percentile's all-values state is the memory ceiling), the 1-row
-    * boundary frame broadcast back, then one map-side-combined
-    * aggregation on the bin id. Never a global sort — `ntile` would
-    * give the same buckets at the price of one total-order sort.
+    * Plan: one percentile aggregate (exact by default; `approxAccuracy`
+    * swaps in the `approx_percentile` sketch — the drop-in at 100 TB,
+    * where an exact percentile's all-values state is the memory
+    * ceiling), the 1-row boundary frame broadcast back, then one
+    * map-side-combined aggregation on the bin id. Never a global sort —
+    * `ntile` would give the same buckets at the price of one
+    * total-order sort.
     */
-  def equiDepthBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+  def equiDepthBins(df: DataFrame, valueCol: String, nBins: Int,
+      approxAccuracy: Option[Int] = None): DataFrame = {
     require(nBins >= 2 && nBins <= 100)
     val c = df.where(col(valueCol).isNotNull)
       .select(round(col(valueCol) * 100).cast("long").as("cv"))
     val ps = (1 until nBins).map(i => s"${i.toDouble / nBins}")
-    val bounds = c.agg(
-      expr(s"percentile(cv, array(${ps.mkString(",")}))").as("_ps"))
+    val pctlArr = approxAccuracy match {
+      case Some(acc) => s"approx_percentile(cv, array(${ps.mkString(",")}), $acc)"
+      case None      => s"percentile(cv, array(${ps.mkString(",")}))"
+    }
+    val bounds = c.agg(expr(pctlArr).as("_ps"))
       .select(transform(col("_ps"), b => floor(b).cast("long")).as("bs"))
     c.crossJoin(broadcast(bounds))
       .withColumn("bin", aggregate(col("bs"), lit(0L),
@@ -278,23 +303,25 @@ object Analytics {
     * floored-percentile discipline taken one step further: not even the
     * boundary needs a floor).
     *
-    * Plan: two exact percentile aggregates (group-sized state — the
-    * `approx_percentile` swap is the 100 TB path, as q137 documents) and
-    * one map-side-combined count; the deviations frame reuses the
-    * groups exchange.
+    * Plan: two percentile aggregates (exact by default — group-sized
+    * state; `approxAccuracy` swaps in the `approx_percentile` sketch,
+    * the 100 TB path, as q137 documents — under which m2/mad4 are
+    * actual doubled/quadrupled-cent elements, so the integer fence
+    * algebra below is still exact) and one map-side-combined count; the
+    * deviations frame reuses the groups exchange.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, approxAccuracy: Option[Int] = None): DataFrame = {
     val cents = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         round(col(valueCol) * 100).cast("long").as("c"))
     val med = cents.groupBy("g")
-      .agg(percentile(col("c") * 2, lit(0.5)).cast("long").as("m2"))
+      .agg(pctl(col("c") * 2, 0.5, approxAccuracy).cast("long").as("m2"))
     val dev = cents.join(med, Seq("g"))
       .withColumn("dev2", abs(col("c") * 2 - col("m2")))
     val mad = dev.groupBy("g")
-      .agg(percentile(col("dev2") * 2, lit(0.5)).cast("long").as("mad4"))
+      .agg(pctl(col("dev2") * 2, 0.5, approxAccuracy).cast("long").as("mad4"))
     dev.join(mad, Seq("g"))
       .groupBy(col("g").as(groupCol))
       .agg(first("m2").as("med_c2"), first("mad4").as("mad_c4"),

@@ -580,51 +580,103 @@ object Dedup {
     * pipeline (pairs alone under-delete: A≈B and B≈C must collapse to one
     * keeper even when A≉C directly).
     *
-    * Distributed min-label propagation: each iteration joins labels across
-    * edges and keeps the minimum; converged when no label changes. The
-    * per-iteration driver work is ONE scalar (changed-count) — the loop is
-    * control flow, not data flow — and `localCheckpoint` cuts the lineage
-    * each round so the plan doesn't grow exponentially (the standard
-    * iterative-algorithm discipline on Spark). Rounds needed = graph
-    * diameter ≤ O(log n) for the short chains dup clusters form; `maxIter`
-    * bounds the worst case. Only ids appearing in `pairs` are returned —
-    * singletons are their own keeper by definition.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the same
+    * choice GraphFrames makes), which rewrites the EDGE set each round
+    * until it is a star forest rooted at each component's minimum id.
+    * Large-star: every node points its strictly-larger neighbors at the
+    * minimum of its closed neighborhood; small-star: every node points
+    * its ≤-neighbors (and itself) at that minimum. Each phase preserves
+    * connectivity, never grows the edge count, and the alternation
+    * converges in O(log² n) rounds REGARDLESS of graph diameter —
+    * the property that matters: plain min-label propagation (this
+    * function's previous life) is Θ(diameter) rounds and hit the
+    * 50-round wall on q161's percolated DBSCAN ε-graph at sf0.1, and
+    * even label-table pointer-jumping stalls there, because a vertex's
+    * best-known label is typically a locally-minimal id whose own label
+    * never improves (measured: ~20 labels/round still moving at round
+    * 60). Star rewrites move whole SUBTREES per round, not frontier
+    * vertices — the same graph converges in 8 alternations.
+    *
+    * Mechanics per round: two grouped mins + two equi-joins on edge-sized
+    * frames, one changed-count aggregate (the only driver scalar — the
+    * loop is control flow, not data flow), and a stats-resetting eager
+    * materialization ([[checkpointResetStats]]) so neither lineage nor
+    * carried size estimates compound across rounds. Only ids appearing in
+    * `pairs` are returned — singletons are their own keeper by definition.
     */
+  /** Eagerly materialize AND drop carried plan statistics. Spark 4's
+    * `localCheckpoint` preserves the checkpointed plan's estimated stats
+    * (`LogicalRDD.rewriteStatsAndConstraints`) — correct for a one-shot
+    * checkpoint, catastrophic inside an iterative SELF-join loop, where
+    * the estimated `sizeInBytes` SQUARES every round: the carried stat is
+    * a BigInt whose bit-length doubles per iteration, and by ~round 20
+    * the driver spends minutes inside `BigInteger.multiply` in the stats
+    * visitor before a single task runs (observed live on the q161 jump
+    * loop via jstack). Rebuilding the frame from the checkpointed RDD
+    * through the public `createDataFrame` resets stats to the default —
+    * these label tables must shuffle-join anyway, so no broadcast
+    * opportunity is lost; the per-row InternalRow↔Row conversion is
+    * narrow, pipelined, and invisible next to the join shuffle.
+    */
+  private def checkpointResetStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // materialize the pair set FIRST: the symmetric edge union references
-    // `pairs` twice, so an unmaterialized upstream (the whole LSH
-    // candidate+verify chain in the dedup pipeline composition) would run
-    // twice inside the edge job — checkpoint once, then the union is two
-    // reads of cached partitions
-    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // materialize the pair set FIRST: the id/edge derivations below
+    // reference `pairs` repeatedly, so an unmaterialized upstream (the
+    // whole LSH candidate+verify chain in the dedup pipeline composition)
+    // would otherwise re-run per reference
+    val p = pairs.select(col("a"), col("b"))
+      .where(col("a") =!= col("b")).localCheckpoint(true)
+    // canonical hi→lo orientation; both star phases preserve it
+    var e = checkpointResetStats(
+      p.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")).distinct())
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-      val updated = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      changed = updated.join(
-          labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old")).count()
-      labels = updated
+      // large-star: u's strictly-larger neighbors all point at the min of
+      // u's closed neighborhood (edges emitted (v > u, m ≤ u): hi→lo)
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val ls = checkpointResetStats(
+        sym.join(lsMin, "u").where(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b")).distinct())
+      // small-star: u's ≤-neighbors (and u itself) all point at their min
+      // (ls is hi→lo, so grouping by the hi endpoint IS Γ⁻(u))
+      val ssMin = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = checkpointResetStats(
+        ls.join(ssMin, "a")
+          .where(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(ssMin.select(col("a"), col("m").as("b")))
+          .distinct())
+      // converged ⇔ the edge multiset is unchanged (both sides are
+      // distinct sets: one grouped count over the tagged union)
+      changed = ss.withColumn("_s", lit(1L))
+        .union(e.withColumn("_s", lit(2L)))
+        .groupBy("a", "b").agg(sum(col("_s")).as("_t"))
+        .where(col("_t") =!= 3L).count()
+      e = ss
       iter += 1
     }
-    // an unconverged fixpoint means WRONG labels (the min is still
-    // travelling) — fail loudly rather than return a plausible answer
+    // an unconverged state means WRONG labels (stars still merging) —
+    // fail loudly rather than return a plausible answer
     if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations " +
-      s"($changed labels still changing) — the pair graph has a component " +
-      "with diameter above maxIter; raise it")
-    labels.select(col("id"), col("label").as("cluster"))
+      s"connectedComponents did not converge in $maxIter alternations " +
+      s"($changed edges still changing) — raise maxIter")
+    // star forest: every non-root points at its component min; roots
+    // (the minima) label themselves
+    val ids = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id"))).distinct()
+    ids.join(e.select(col("a").as("id"), col("b").as("cluster")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Keep one document per duplicate cluster: drops every id that belongs

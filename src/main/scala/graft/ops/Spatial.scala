@@ -118,7 +118,9 @@ object Spatial {
     * Scale shape: pair generation is the grid join (candidates ∝ local
     * density², `maxCell` backstop); degrees and border assignment are
     * one aggregate each over the pair list; component labeling is the
-    * O(diameter)-round min-label propagation. Nothing is quadratic in
+    * O(log diameter)-round pointer-doubled min-label propagation (the
+    * percolated ε-graph's diameter is NOT small — sf0.1 already exceeds
+    * 50 hops, which is what forced the doubling). Nothing is quadratic in
     * the corpus — only in per-cell density, DBSCAN's intrinsic cost.
     */
   def dbscanClusters(df: DataFrame, idCol: String, latCol: String,

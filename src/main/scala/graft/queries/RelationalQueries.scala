@@ -885,15 +885,18 @@ object RelationalQueries {
   // ————————————————————————— streaming incremental rollup (q123)
   // (the q116 monoid wired into foreachBatch: three deterministic
   //  event_id-residue micro-batches fold partials into a stored rollup
-  //  table; the oracle recomputes from ALL events — the streamed
+  //  table; the oracle recomputes from the same events — the streamed
   //  materialized view must equal the batch recompute. The driver
   //  collect exists only to make the micro-batch decomposition
-  //  reproducible for the oracle; production reads a real source.)
+  //  reproducible for the oracle, and — like q88's admission drain — is
+  //  bounded by an id-range filter (<900 rows at any SF) so the harness
+  //  never pulls a full table through the driver; production reads a
+  //  real source and never collects.)
   val q123StreamRollup: Q = (s, dir) => {
     val rows = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .where(col("user_id").isNotNull && col("ts").isNotNull &&
-        col("value").isNotNull)
+        col("value").isNotNull && col("event_id") < 900)
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
     val batches = (0 until 3).map(k => rows.filter(_._1 % 3 == k).toSeq)
@@ -901,7 +904,18 @@ object RelationalQueries {
       .resolve("state.parquet").toString
     graft.streaming.StreamingRollup.rollupInBatches(s, batches, path)
   }
-  val q123Sql: String = q116Sql // streamed view ≡ one-shot batch recompute
+  // streamed view ≡ one-shot batch recompute over the same bounded id range
+  val q123Sql: String = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+        CAST(round(value * 1000) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND event_id < 900)
+    SELECT user_id, b * 3600000 AS bucket_ms,
+      count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_mv,
+      min(v) AS min_mv, max(v) AS max_mv,
+      round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_mv
+    FROM e GROUP BY user_id, b"""
 
   // ————————————————————————— z-order layout key (q126)
   // (Morton interleave of bucketed (user, hour) — the clustering key

@@ -18,22 +18,21 @@ import org.apache.spark.sql.types._
   */
 object StreamingSessions {
 
-  /** events parquet schema as stored (ns timestamps surface as longs under
-    * `nanosAsLong` — the streaming reader needs the schema up front).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream over the events table; ns → µs timestamp.
+  /** File-source stream over the events table, `ts` normalized to
+    * TimestampType. The file streaming source needs an up-front schema, and
+    * the testdata's `ts` physical dtype has changed between generations
+    * (ns int64 vs µs timestamp) — so the stream schema is taken from the
+    * batch scan of the same file (one footer read, no data scan) rather
+    * than hard-coded, and the same dtype-adaptive conversion as the batch
+    * loader ([[graft.queries.Tables.normalizeEventTs]]) is applied.
     * (The file streaming source requires a directory or glob — a glob
     * matching the single parquet file keeps the testdata layout intact.)
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(s"$dir/events.parque*"))
+  }
 
   /** Declarative gap sessionization: one session row per
     * (user, 30-min-gap session) with epoch-ms bounds and event count.

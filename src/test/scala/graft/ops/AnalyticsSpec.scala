@@ -226,6 +226,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(got._5 == 1L, s"exactly the whale: $got")
   }
 
+  // ——————————————————————————————— approx_percentile scale variants
+  // (the 100 TB configuration of the q118/q137/q150 family: the sketch's
+  //  rank error is ≤ n/accuracy, so each approx threshold must sit within
+  //  that many ranks of the requested percentile — asserted against the
+  //  actual data, not against the exact answer, because the guarantee is
+  //  a rank envelope, not value proximity)
+
+  test("winsorizedStats approx: thresholds within the sketch's rank-error envelope") {
+    val acc = 100
+    val li = graft.queries.Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val cents = li.select(col("g"), round(col("v") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rows) => (g, rows.map(_._2).sorted) }
+    val got = Analytics.winsorizedStats(li, "g", "v", approxAccuracy = Some(acc))
+      .select("g", "p_lo_c", "p_hi_c")
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (g, lo, hi) =>
+      val vs = cents(g); val n = vs.length
+      def rankOf(t: Long): Double = vs.count(_ <= t).toDouble / n
+      val tol = 1.0 / acc + 1.0 / n // sketch envelope + floor slack
+      assert(math.abs(rankOf(lo) - 0.05) <= tol,
+        s"$g p05 approx $lo rank ${rankOf(lo)} outside ±$tol")
+      assert(math.abs(rankOf(hi) - 0.95) <= tol,
+        s"$g p95 approx $hi rank ${rankOf(hi)} outside ±$tol")
+    }
+    // exact remains the default path — identical call without the flag
+    // still matches the oracle-checked shape (spot-check one group count)
+    val exact = Analytics.winsorizedStats(li, "g", "v")
+      .select("g", "n").as[(String, Long)].collect().toMap
+    got.foreach { case (g, _, _) => assert(exact(g) == cents(g).length.toLong) }
+  }
+
+  test("madOutliers approx: median/MAD within rank envelope; fence algebra intact") {
+    val acc = 200
+    val li = graft.queries.Tables.lineitem(spark, sf("sf0.01"))
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+    val got = Analytics.madOutliers(li, "g", "v", k = 3,
+        approxAccuracy = Some(acc))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val doubled = li.select(col("g"), (round(col("v") * 100).cast("long") * 2).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rows) => (g, rows.map(_._2).sorted) }
+    got.foreach { case (g, m2, mad4, n, _) =>
+      val vs = doubled(g)
+      // approx m2 is an actual doubled-cent element within the envelope.
+      // l_quantity is heavily tied (≈50 distinct values), so the element's
+      // rank is an INTERVAL [count(<), count(≤)] — the sketch guarantee is
+      // that this interval intersects p ± 1/accuracy
+      assert(vs.contains(m2), s"$g: approx median $m2 must be a data element")
+      val lo = vs.count(_ < m2).toDouble / vs.length
+      val hi = vs.count(_ <= m2).toDouble / vs.length
+      val tol = 1.0 / acc + 1.0 / vs.length
+      assert(lo <= 0.5 + tol && hi >= 0.5 - tol,
+        s"$g median rank interval [$lo,$hi] misses 0.5±$tol")
+      assert(mad4 % 2 == 0 && n == vs.length.toLong)
+    }
+  }
+
+  test("equiDepthBins approx: bins still partition rows, depths near-equal") {
+    val li = graft.queries.Tables.lineitem(spark, sf("sf0.01"))
+      .select("l_extendedprice")
+    val rows = li.where(col("l_extendedprice").isNotNull).count()
+    val bins = Analytics.equiDepthBins(li, "l_extendedprice", nBins = 10,
+        approxAccuracy = Some(1000))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bins.map(_._2).sum == rows, "binning must partition the rows")
+    assert(bins.length == 10)
+    val depths = bins.map(_._2.toDouble)
+    // accuracy 1000 over ~60k rows: each boundary within 60 ranks →
+    // depth skew bounded well under 5%
+    assert(depths.max / depths.min < 1.1,
+      s"approx deciles should stay near-equal: ${depths.toSeq}")
+  }
+
   test("abTestZ: hand counts reproduce the pooled-SE z") {
     // users 1..40, conversion = user id in a fixed set; arms from the
     // md5 lattice — recompute everything in the test, then check z
