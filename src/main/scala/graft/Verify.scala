@@ -5,11 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: substring filter over query names (local
-    // iteration only — the driver always passes exactly two)
+    // optional 3rd arg: comma-separated any-match substring filter over
+    // query names (local iteration only — the driver always passes
+    // exactly two; same syntax as Bench's SPARK_GRAFT_BENCH_ONLY)
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f))
+      case Array(s, o, f) =>
+        (s, o, Some(f.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,7 +28,7 @@ object Verify {
     graft.queries.Tables.checkContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

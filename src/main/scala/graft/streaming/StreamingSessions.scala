@@ -55,23 +55,58 @@ object StreamingSessions {
     * table be dropped immediately: keeping one registered memory table
     * per invocation (bench warm-up + iterations + verify share a JVM) is
     * an unbounded-growth pattern even when each table is small.
+    *
+    * Two drain-shape configs, scoped to the query and restored after:
+    *
+    *  - `noDataBatch = false` skips the trailing no-data micro-batch.
+    *    That batch exists to advance the watermark and run state
+    *    EVICTION/TIMEOUT work after the last data batch — for every
+    *    current drain user (Complete-mode aggregates, append
+    *    `dropDuplicatesWithinWatermark`, append INNER stream-stream
+    *    joins) it emits zero rows and the query's checkpoint is deleted
+    *    on exit anyway, so it is pure teardown cost (measured: 45% of
+    *    q101's wall time — the batch re-scans every state row to evict
+    *    it). MUST be set `true` for any query whose OUTPUT depends on a
+    *    watermark close: append-mode windowed/session aggregation, outer
+    *    stream-stream joins, `EventTimeTimeout` state flushes — those
+    *    emit their final rows IN the no-data batch.
+    *  - `stateParts` sizes `spark.sql.shuffle.partitions` for the
+    *    streaming query (captured at `start()`): state-store instances
+    *    scale with it (4 per partition for a stream-stream join), and a
+    *    one-shot drain's state volume is small, so fewer, fuller stores
+    *    beat 32 near-empty ones (measured: 32→8 halves q101 again).
+    *    Production continuous jobs size this to state volume ÷ executor
+    *    memory instead.
     */
   def drainAvailableNow(spark: SparkSession, aggregated: DataFrame,
       tableName: String,
-      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+      outputMode: OutputMode = OutputMode.Complete(),
+      noDataBatch: Boolean = false,
+      stateParts: Int = 8): DataFrame = {
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"ckpt-$tableName")
-    val q = aggregated.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(outputMode)
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally deleteRecursively(checkpoint) // bounded drain: state is one-shot,
-    // so the checkpoint has no replay value — leaving it would accumulate
-    // one orphan ckpt-* dir per bench/test invocation
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val oldNoData = spark.conf.get(noDataKey, "true")
+    val oldParts = spark.conf.get(partsKey)
+    spark.conf.set(noDataKey, noDataBatch.toString)
+    spark.conf.set(partsKey, stateParts.toString)
+    try {
+      val q = aggregated.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode(outputMode)
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(noDataKey, oldNoData)
+      spark.conf.set(partsKey, oldParts)
+      deleteRecursively(checkpoint) // bounded drain: state is one-shot,
+      // so the checkpoint has no replay value — leaving it would
+      // accumulate one orphan ckpt-* dir per bench/test invocation
+    }
     val sink = spark.table(tableName)
     val rows = sink.collect()
     spark.catalog.dropTempView(tableName)
