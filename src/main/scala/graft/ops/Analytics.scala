@@ -330,6 +330,43 @@ object Analytics {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Data-quality column profile — the "what is actually in this table"
+    * report a pipeline runs before trusting a new drop: one row per
+    * profiled column with row/null/distinct counts and the length
+    * distribution of the STRING RENDERING (cast to string first, so one
+    * schema covers heterogeneous column types; numeric renderings are
+    * deterministic on both engines for integers — profile numeric
+    * DISTRIBUTIONS with the percentile family instead).
+    *
+    * Plan shape: ONE scan computes every column's six aggregates
+    * side-by-side (Catalyst prunes to exactly the profiled columns),
+    * then a literal `stack` unpivots the 1×6k row — no per-column
+    * rescans, no shuffle beyond the single aggregate's combine. At
+    * 100 TB this is the cheapest full-table pass there is: all state
+    * is O(columns), except `count_distinct`'s exact per-column hash
+    * sets — swap [[Sketches.hllDistinct]] in per column when exactness
+    * stops being worth the memory.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(count(lit(1)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(length(s)).as(s"${c}_minlen"),
+        max(length(s)).as(s"${c}_maxlen"),
+        sum(coalesce(length(s).cast("long"), lit(0L))).as(s"${c}_sumlen"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_distinct, " +
+        s"CAST(${c}_minlen AS BIGINT), CAST(${c}_maxlen AS BIGINT), ${c}_sumlen")
+      .mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nulls, n_distinct, min_len, max_len, sum_len)"))
+  }
+
   /** Two-proportion A/B z-test over per-user conversion — the
     * experiment-analysis primitive (did arm B convert better than arm
     * A, and is the lift noise?). Arms come from the md5 split lattice

@@ -691,6 +691,32 @@ object Dedup {
     df.join(dupes, df(idCol) === dupes("id"), "left_anti")
   }
 
+  /** SOFT dedup: keep every document, down-weight duplicates so each
+    * near-dup cluster contributes one document's worth of sampling mass
+    * — `w_ppm = 1_000_000 div cluster_size` (truncating integer
+    * division, exact on both engines; singletons keep the full million).
+    * The alternative to [[dedupedByClusters]]'s hard drop when the
+    * training-mix recipe wants duplicates represented but not
+    * over-counted (repeated data ≈ up-weighted data, so the inverse
+    * weight neutralizes it); the weight column feeds the q129/q77
+    * weighted-sampling lattice downstream.
+    *
+    * Cost over the pair list: one CC run + one count aggregate + one
+    * broadcast-out join back to the corpus — the corpus itself is never
+    * shuffled (cluster tables are ≤ |pairs| rows).
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter)
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    val weighted = cc.join(sizes, Seq("cluster"))
+    df.join(weighted, df(idCol) === weighted("id"), "left")
+      .select(df(idCol),
+        coalesce(col("cluster"), df(idCol)).as("cluster"),
+        coalesce(col("cluster_n"), lit(1L)).as("cluster_n"),
+        expr("1000000 div coalesce(cluster_n, 1)").cast("long").as("w_ppm"))
+  }
+
   /** SimHash near-dup pairs via multi-index Hamming search: the digest is
     * split into `bands` equal slices; two digests within Hamming distance
     * < `bands` must share at least one identical slice (pigeonhole), so a

@@ -113,4 +113,53 @@ object Graph {
         Seq("u", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Newman modularity of a node labeling over an undirected graph — the
+    * standard "is this clustering better than chance" gate on a dedup/
+    * community run (Q ≈ 0: no better than random; Q ≳ 0.3: real
+    * structure). Per cluster c: Q_c = e_c/m − (d_c/2m)², summed over
+    * clusters; this returns one row per cluster with every term EXACT —
+    * `q_num = 4·m·e_c − d_c²` over the common denominator 4m², so the
+    * only float is one final ppm rounding — plus the exact integers for
+    * hash-stable comparison.
+    *
+    * Unlabeled endpoints (nodes absent from `labels`) count toward m
+    * and toward their own null cluster row — dropping them silently
+    * would inflate every other cluster's share.
+    *
+    * Plan shape: canonical-edge dedup (one exchange), two broadcast
+    * label joins onto the edge list, then two map-side-combined
+    * aggregates (per-cluster intra-edge count; per-cluster degree sum
+    * via the symmetric endpoint union). Nothing bigger than
+    * |edges| shuffles, state is O(clusters).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("tgt")).as("a"),
+        greatest(col("src"), col("tgt")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // m, intra, and degrees all read it
+    val lab = labels.select(col("id"), col("cluster"))
+    val m = und.count()
+    val withLabels = und
+      .join(lab.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"), "left")
+      .join(lab.select(col("id").as("b"), col("cluster").as("cb")), Seq("b"), "left")
+    val intra = withLabels
+      .where(col("ca").isNotNull && col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster"))
+      .agg(count(lit(1)).as("e_intra"))
+    val degrees = withLabels.select(col("a").as("id"), col("ca").as("cluster"))
+      .union(withLabels.select(col("b").as("id"), col("cb").as("cluster")))
+      .groupBy("cluster").agg(count(lit(1)).as("d_sum"))
+    degrees.join(intra, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"),
+        (lit(4L) * lit(m) * coalesce(col("e_intra"), lit(0L))
+          - col("d_sum") * col("d_sum")).as("q_num"))
+      .withColumn("q_ppm", // FLOOR, not round: a half-ppm boundary is
+        // reachable from small integer inputs and the engines' round-half
+        // conventions differ; floor never ties (q118 discipline)
+        floor(col("q_num").cast("double") * lit(1e6)
+          / lit(4.0 * m.toDouble * m.toDouble)).cast("long"))
+  }
 }

@@ -48,6 +48,72 @@ object Sketches {
           .as("est"))
   }
 
+  /** Per-group HyperLogLog distinct estimate with every step exact and
+    * cross-engine reproducible — the register table is pure integer
+    * arithmetic on md5 bits, and the estimate is ONE IEEE division at
+    * the very edge.
+    *
+    * Construction (classic Flajolet HLL, determinized):
+    *  - 60-bit value hash from 15 md5 hex chars (15, not 16: the full
+    *    64-bit value exceeds signed int64 on the hex-cast path BOTH
+    *    engines use); bucket = low `log2(buckets)` bits; rank =
+    *    leading-zero count of the remaining bits + 1, computed as
+    *    `restBits + 1 − length(ltrim(bin(rest), '0'))` — `bin` renders
+    *    minimally in Spark and DuckDB and the ltrim makes the rest-zero
+    *    case fall out (empty string, length 0). Ranks cap at `maxRank`
+    *    so the scaled sum below stays in int64.
+    *  - registers: `groupBy(bucket).max(rank)` — the textbook mergeable
+    *    aggregate; map-side combine collapses each partition to ≤
+    *    groups·buckets rows, the sketch's whole point at 100 TB.
+    *  - Σ 2^(−Mⱼ) is kept EXACT by scaling: `z_scaled = Σ 2^(maxRank −
+    *    Mⱼ)` (absent registers contribute the M=0 term 2^maxRank) is an
+    *    exact BIGINT — powers of two, no float summation order to
+    *    disagree on. The raw estimate `α·m²·2^maxRank / z_scaled` is
+    *    then one fixed-order double division, rounded to 2 d.p.
+    *
+    * Returns (group, n_registers, z_scaled, raw_est): the two integers
+    * hash-compare exactly; the single rounded double is the estimate.
+    * Small/large-range bias corrections are left to the caller — they
+    * branch on libm `ln`, which is exactly the cross-engine
+    * nondeterminism this family avoids (SURVEY float discipline).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 1024, maxRank: Int = 40): DataFrame = {
+    require(buckets >= 16 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two >= 16")
+    require(maxRank >= 16 && maxRank <= 50, "maxRank in [16, 50]")
+    val alpha = 0.7213 / (1.0 + 1.079 / buckets) // standard HLL α for m ≥ 128
+    val bucketBits = (math.log(buckets) / math.log(2)).round.toInt
+    val restBits = 60 - bucketBits
+    // 60-bit hash = 15 md5 hex chars; low bits pick the bucket so the
+    // rank bits (the high end of the remainder) are independent of it
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = pmod(col("h"), lit(buckets.toLong))
+    val rest = shiftrightunsigned(col("h"), bucketBits)
+    val rank = least(
+      lit(restBits + 1)
+        - length(expr("trim(LEADING '0' FROM bin(rest))")),
+      lit(maxRank))
+    val regs = df.select(col(groupCol).as("g"), h.as("h"))
+      .withColumn("b", bucket)
+      .withColumn("rest", rest)
+      .withColumn("r", rank)
+      .groupBy("g", "b").agg(max(col("r")).as("m"))
+    // z_scaled = Σ_occupied 2^(maxRank−M) + (buckets − occupied)·2^maxRank
+    regs
+      .withColumn("term", expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - m)"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_registers"), sum(col("term")).as("_zocc"))
+      .select(col("g").as(groupCol), col("n_registers"),
+        (col("_zocc") + (lit(buckets.toLong) - col("n_registers"))
+          * expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank)")).as("z_scaled"))
+      .withColumn("raw_est",
+        round(lit(alpha * buckets.toDouble * buckets.toDouble)
+          * expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank)").cast("double")
+          / col("z_scaled").cast("double"), 2))
+  }
+
   /** KMV set-operation estimates over two corpora: distinct counts of
     * each side, their union, the intersection (inclusion–exclusion,
     * clamped at 0), and the Jaccard similarity — one row. The union

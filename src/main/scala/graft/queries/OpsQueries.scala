@@ -3263,7 +3263,165 @@ object OpsQueries {
     SELECT a.event_id, a.ip_int, b.matched_len, b.rule
     FROM addrs a LEFT JOIN best b ON b.ip_int = a.ip_int"""
 
+  // ———————————————— HyperLogLog distinct sketch (q166)
+  // (per-event-type distinct users through 1024 md5-bit registers; the
+  //  oracle rebuilds the register table bit-for-bit — bucket = low 10
+  //  bits of a 60-bit hex hash, rank via minimal-bin-string length —
+  //  and the exact scaled harmonic sum; ONE final double division)
+  val q166HllDistinct: Q = (s, dir) =>
+    graft.ops.Sketches.hllDistinct(
+      Tables.events(s, dir).where(col("user_id").isNotNull),
+      "event_type", "user_id")
+      .withColumnRenamed("event_type", "g")
+  val q166Sql: String = """
+    WITH h AS (SELECT event_type AS g,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT g, hv % 1024 AS b,
+        least(51 - length(ltrim(bin(hv >> 10), '0')), 40) AS rk
+      FROM h),
+    regs AS (SELECT g, b, max(rk) AS m FROM r GROUP BY 1, 2),
+    z AS (SELECT g, count(*) AS n_registers,
+        CAST(sum(1::BIGINT << (40 - m)) AS BIGINT)
+          + (1024 - count(*)) * (1::BIGINT << 40) AS z_scaled
+      FROM regs GROUP BY 1)
+    SELECT g, n_registers, z_scaled,
+      round((0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+        * CAST(1::BIGINT << 40 AS DOUBLE) / CAST(z_scaled AS DOUBLE), 2)
+        AS raw_est
+    FROM z"""
+
+  // ———————————————— soft dedup: inverse-cluster-size weights (q167)
+  // (q49's jaccard pair graph → CC clusters → every doc KEPT with
+  //  w_ppm = 1e6 div cluster_size — duplicates represented but not
+  //  over-counted; exact integer division both engines)
+  val q167SoftDedupWeights: Q = (s, dir) =>
+    Dedup.softDedupWeights(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id")),
+      "doc_id",
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "text", "doc_id", n = 3, threshold = 0.5))
+  val q167Sql: String = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b, inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+    cc AS (SELECT node AS id, min(label) AS cluster FROM walk GROUP BY node),
+    cs AS (SELECT cluster, count(*) AS cluster_n FROM cc GROUP BY 1)
+    SELECT doc.doc_id,
+      coalesce(cc.cluster, doc.doc_id) AS cluster,
+      coalesce(cs.cluster_n, 1) AS cluster_n,
+      1000000 // coalesce(cs.cluster_n, 1) AS w_ppm
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) doc
+    LEFT JOIN cc ON cc.id = doc.doc_id
+    LEFT JOIN cs ON cs.cluster = cc.cluster"""
+
+  // ———————————————— clustering modularity (q168)
+  // (is the language partition real structure on the q102/q124 pseudo
+  //  link graph? per-cluster Q contribution with the common 4m²
+  //  denominator kept exact — q_num = 4·m·e_c − d_c², floor-ppm at the
+  //  edge; a random graph scores ≈ 0, which is the point of the gate)
+  val q168Modularity: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Graph.modularity(
+      graft.ops.Graph.pseudoEdges(docs.select(col("doc_id")), "doc_id",
+        docs.count()),
+      docs.select(col("doc_id").as("id"), col("lang").as("cluster")))
+  }
+  val q168Sql: String = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM edges),
+    m AS (SELECT count(*) AS m FROM und),
+    lab AS (SELECT doc_id AS id, lang AS cluster FROM documents),
+    wl AS (SELECT u.a, u.b, la.cluster AS ca, lb.cluster AS cb
+           FROM und u LEFT JOIN lab la ON la.id = u.a
+                      LEFT JOIN lab lb ON lb.id = u.b),
+    intra AS (SELECT ca AS cluster, count(*) AS e_intra FROM wl
+              WHERE ca IS NOT NULL AND ca = cb GROUP BY 1),
+    degs AS (SELECT cluster, count(*) AS d_sum FROM (
+        SELECT a AS id, ca AS cluster FROM wl
+        UNION ALL SELECT b, cb FROM wl) GROUP BY 1)
+    SELECT d.cluster, coalesce(i.e_intra, 0) AS e_intra, d.d_sum,
+      4 * (SELECT m FROM m) * coalesce(i.e_intra, 0) - d.d_sum * d.d_sum
+        AS q_num,
+      CAST(floor(CAST(4 * (SELECT m FROM m) * coalesce(i.e_intra, 0)
+            - d.d_sum * d.d_sum AS DOUBLE) * 1e6
+          / (4.0 * (SELECT m FROM m) * (SELECT m FROM m))) AS BIGINT)
+        AS q_ppm
+    FROM degs d LEFT JOIN intra i ON i.cluster = d.cluster"""
+
+  // ———————————————— column data profile (q169)
+  // (one-scan multi-column profile unpivoted by stack(): row/null/
+  //  distinct counts + string-rendering length stats per column — the
+  //  pre-trust report on a new table drop)
+  val q169Profile: Q = (s, dir) =>
+    graft.ops.Analytics.columnProfile(Tables.documents(s, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  val q169Sql: String = Seq("doc_id", "text", "lang", "source", "n_chars")
+    .map(c => s"""
+    SELECT '$c' AS col_name, count(*) AS n_rows,
+      CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      count(DISTINCT $c) AS n_distinct,
+      CAST(min(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+      CAST(max(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len,
+      CAST(sum(coalesce(length(CAST($c AS VARCHAR)), 0)) AS BIGINT) AS sum_len
+    FROM documents""").mkString(" UNION ALL ")
+
+  // ———————————————— SCD2 point-in-time snapshot (q170)
+  // (the time-travel read over q106's validity intervals: table state
+  //  as of 1995-07-01 = rows whose half-open [from, to) interval
+  //  contains T — one filter, no window re-run)
+  private val q170AsOfMs = 804556800000L // 1995-07-01T00:00:00Z
+  val q170Scd2AsOf: Q = (s, dir) =>
+    graft.ops.Relational.scd2(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey",
+        "o_orderstatus", "o_orderdate"),
+      "o_custkey", "o_orderdate", "o_orderkey")
+      .drop("o_orderdate")
+      .where(col("valid_from_ms") <= q170AsOfMs &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > q170AsOfMs))
+  val q170Sql: String = s"""
+    WITH s AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+        epoch_ms(o_orderdate) AS valid_from_ms,
+        epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT *, valid_to_ms IS NULL AS is_current FROM s
+    WHERE valid_from_ms <= $q170AsOfMs
+      AND (valid_to_ms IS NULL OR valid_to_ms > $q170AsOfMs)"""
+
   val all: Map[String, Q] = Map(
+    "q166_hll_distinct" -> q166HllDistinct,
+    "q167_soft_dedup_weights" -> q167SoftDedupWeights,
+    "q168_modularity" -> q168Modularity,
+    "q169_profile" -> q169Profile,
+    "q170_scd2_asof" -> q170Scd2AsOf,
     "q162_silhouette" -> q162Silhouette,
     "q163_bootstrap_ci" -> q163BootstrapCi,
     "q164_lpm_join" -> q164LpmJoin,
@@ -3366,6 +3524,11 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q166_hll_distinct" -> q166Sql,
+    "q167_soft_dedup_weights" -> q167Sql,
+    "q168_modularity" -> q168Sql,
+    "q169_profile" -> q169Sql,
+    "q170_scd2_asof" -> q170Sql,
     "q162_silhouette" -> q162Sql,
     "q163_bootstrap_ci" -> q163Sql,
     "q164_lpm_join" -> q164Sql,

@@ -301,6 +301,21 @@ class AnalyticsSpec extends SparkSpec {
       s"approx deciles should stay near-equal: ${depths.toSeq}")
   }
 
+  test("columnProfile: one-scan multi-column stats, nulls counted not crashed") {
+    val df = Seq(
+      (Some(1L), Some("ab")), (Some(22L), None),
+      (None, Some("xyz")), (Some(1L), Some("ab")))
+      .toDF("k", "s")
+    val got = Analytics.columnProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // k: 4 rows, 1 null, 2 distinct (1, 22), lens of "1"/"22"
+      ("k", 4L, 1L, 2L, Some(1L), Some(2L), 4L),
+      // s: 4 rows, 1 null, 2 distinct ("ab","xyz"), lens 2/3, sum 2+3+2
+      ("s", 4L, 1L, 2L, Some(2L), Some(3L), 7L)))
+  }
+
   test("abTestZ: hand counts reproduce the pooled-SE z") {
     // users 1..40, conversion = user id in a fixed set; arms from the
     // md5 lattice — recompute everything in the test, then check z

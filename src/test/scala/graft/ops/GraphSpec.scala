@@ -51,4 +51,34 @@ class GraphSpec extends SparkSpec {
     assert(triangles((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L)) == 4L)
   }
+
+  test("modularity: hand Q on two triangles joined by a bridge") {
+    // clusters A = {1,2,3}, B = {4,5,6}; m = 7 edges (3+3+bridge 3-4).
+    // e_A = e_B = 3; d_A = d_B = 7 (degrees 2,2,3).
+    // q_num = 4·7·3 − 49 = 35 per cluster; Q_c = 35/196 ≈ 0.17857 →
+    // q_ppm = floor(178571.42…) = 178571; total Q ≈ 0.357 (real structure)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "tgt")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("id", "cluster")
+    val got = Graph.modularity(edges, labels)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("A", 3L, 7L, 35L, 178571L), ("B", 3L, 7L, 35L, 178571L)))
+  }
+
+  test("modularity: single-cluster labeling scores zero; unlabeled nodes get a null row") {
+    // everything in one cluster: e_c = m, d_c = 2m → q_num = 4m² − 4m²
+    // = 0 exactly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "tgt")
+    val one = Graph.modularity(edges,
+      Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("id", "cluster"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq(("x", 3L, 6L, 0L, 0L)))
+    // node 3 unlabeled: its endpoint mass lands on the null-cluster row
+    // instead of silently inflating x's share
+    val part = Graph.modularity(edges,
+        Seq((1L, "x"), (2L, "x")).toDF("id", "cluster"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toMap
+    assert(part(Some("x")) == 4L && part(None) == 2L)
+  }
 }

@@ -152,6 +152,20 @@ class OpsSpec extends SparkSpec {
     assert(kept == (0L to 25L).toSet -- Set(2L, 3L, 20L, 11L))
   }
 
+  test("softDedupWeights: inverse-cluster-size ppm; singletons keep the full million") {
+    import spark.implicits._
+    val universe = (0L to 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.softDedupWeights(universe, "doc_id", pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, 1000000L), // singleton: own cluster, full weight
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 2L, 500000L), (5L, 4L, 2L, 500000L)))
+    // cluster mass ≈ one doc each (truncation loses ≤ n−1 ppm)
+    assert(got.groupBy(_._2).values.forall(c => c.map(_._4).sum <= 1000000L))
+  }
+
   test("connected components: long chains converge, and an unconverged run throws") {
     import spark.implicits._
     // a 30-hop path needs 30 propagation rounds — above the old silent

@@ -79,6 +79,45 @@ class SketchesSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 3L))
   }
 
+  // ————————————————————————————————————————————— HyperLogLog
+
+  test("hllDistinct: estimate within the sketch's error band on known cardinalities") {
+    // m=1024 registers → relative standard error ≈ 1.04/√1024 ≈ 3.25%;
+    // assert within 4σ (13%) — deterministic hashes, so once green,
+    // always green
+    val df = (1 to 5000).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val got = Sketches.hllDistinct(df, "g", "v")
+      .select("raw_est").as[Double].collect().head
+    assert(math.abs(got - 5000) / 5000 < 0.13, s"est $got vs 5000")
+  }
+
+  test("hllDistinct: value-driven (row duplication is invisible) and group-isolated") {
+    // 3000 ≥ 2.5·m — above the raw estimator's valid floor (below it the
+    // documented small-range bias applies and the caller owns the
+    // linear-counting swap)
+    val df = ((1 to 3000).map(i => ("a", s"v$i")) ++
+      (1 to 3000).map(i => ("a", s"v$i")) ++ // exact duplicate rows
+      (1 to 7).map(i => ("b", s"w$i"))).toDF("g", "v")
+    val got = Sketches.hllDistinct(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val dup = Sketches.hllDistinct(df.union(df), "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got == dup, "registers are max-aggregates — duplication is a no-op")
+    assert(math.abs(got("a") - 3000) / 3000 < 0.15)
+    // tiny group: only assert isolation (7 values touch ≤ 7 registers;
+    // raw small-range bias is documented, not corrected)
+    assert(got("b") < got("a"))
+  }
+
+  test("hllDistinct: deterministic under repartitioning; integers hash-stable") {
+    val df = (1 to 2000).map(i => (s"g${i % 3}", i.toString)).toDF("g", "v")
+    val a = Sketches.hllDistinct(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Sketches.hllDistinct(df.repartition(17), "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("cmsTokenCounts: colliding sketch only ever OVER-estimates") {
     // width 2 forces collisions in every row; CMS counters only absorb
     // other tokens' counts, so est >= truth for every probe — the
