@@ -58,4 +58,52 @@ object Annotation {
         round(col("wsum").cast("double") / col("w_total").cast("double"), 6)
           .as("confidence"))
   }
+
+  /** Pairwise Cohen's κ between every annotator pair — the
+    * inter-annotator agreement matrix a labeling pipeline reports before
+    * trusting its gold set (raw agreement flatters annotators who
+    * over-use the majority label; κ subtracts chance agreement).
+    *
+    * Exact-integer identity: over the n items BOTH annotators labeled,
+    * with a = agreements and per-label marginals nAₗ/nBₗ,
+    * `κ = (n·a − Σₗ nAₗ·nBₗ) / (n² − Σₗ nAₗ·nBₗ)` — numerator and
+    * denominator are exact BIGINTs, the division is the single final
+    * double (6 d.p.), and a zero denominator (both annotators constant
+    * on the same label) yields null rather than a fake 1.0.
+    *
+    * Expects one vote per (annotator, item). Plan: one self-join on the
+    * item key (per-item cost ∝ annotators-per-item², the co-labeling
+    * structure itself), one pair-level count aggregate, one marginal
+    * aggregate joined on (pair, label) — everything downstream of the
+    * self-join is O(annotator-pairs · labels).
+    */
+  def cohensKappa(votes: DataFrame, itemCol: String, annotatorCol: String,
+      labelCol: String): DataFrame = {
+    val v = votes.select(col(itemCol).as("item"),
+      col(annotatorCol).as("ann"), col(labelCol).as("label"))
+    val co = v.as("x").join(v.as("y"),
+        col("x.item") === col("y.item") && col("x.ann") < col("y.ann"))
+      .select(col("x.ann").as("ann_a"), col("y.ann").as("ann_b"),
+        col("x.label").as("la"), col("y.label").as("lb"))
+    val base = co.groupBy("ann_a", "ann_b")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    val margA = co.groupBy("ann_a", "ann_b", "la")
+      .agg(count(lit(1)).as("ca"))
+    val margB = co.groupBy("ann_a", "ann_b", "lb")
+      .agg(count(lit(1)).as("cb"))
+    val pe = margA.join(margB,
+        margA("ann_a") === margB("ann_a") && margA("ann_b") === margB("ann_b")
+          && margA("la") === margB("lb"))
+      .groupBy(margA("ann_a").as("ann_a"), margA("ann_b").as("ann_b"))
+      .agg(sum(col("ca") * col("cb")).as("pe_num"))
+    base.join(pe, Seq("ann_a", "ann_b"), "left")
+      .select(col("ann_a"), col("ann_b"), col("n"), col("n_agree"),
+        coalesce(col("pe_num"), lit(0L)).as("pe_num"))
+      .withColumn("kappa",
+        when(col("n") * col("n") === col("pe_num"), lit(null))
+          .otherwise(round(
+            (col("n") * col("n_agree") - col("pe_num")).cast("double")
+              / (col("n") * col("n") - col("pe_num")).cast("double"), 6)))
+  }
 }

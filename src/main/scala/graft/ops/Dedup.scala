@@ -691,6 +691,34 @@ object Dedup {
     df.join(dupes, df(idCol) === dupes("id"), "left_anti")
   }
 
+  /** Character-level near-dup pairs: MinHash+LSH candidates verified by
+    * EDIT-DISTANCE RATIO — `levenshtein(a,b) · 10⁶ ≤ maxRatioPpm ·
+    * max(len)` as a pure integer comparison. The third verify axis of
+    * the near-dup family: token-Jaccard ([[minhashNearDupPairs]]) misses
+    * dense single-character noise (OCR artifacts, mojibake) that barely
+    * moves any one shingle set but is obvious in char space, and
+    * simhash's bit distance doesn't localize edits. Candidates still
+    * come from the banded LSH join (cost ∝ Σ bucket², `maxBucket`
+    * discipline) — levenshtein's O(len²) DP runs per CANDIDATE, never
+    * per pair, and only on docs the banding already co-bucketed.
+    * Returns (a, b, dist, max_len).
+    */
+  def editRatioNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxRatioPpm: Long, shingleN: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN,
+      numHashes, rowsPerBand, maxBucket)
+    val t = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    cand
+      .join(t.select(col("id").as("a"), col("t").as("ta")), "a")
+      .join(t.select(col("id").as("b"), col("t").as("tb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .where(col("dist") * 1000000L <= lit(maxRatioPpm) * col("max_len"))
+  }
+
   /** SOFT dedup: keep every document, down-weight duplicates so each
     * near-dup cluster contributes one document's worth of sampling mass
     * — `w_ppm = 1_000_000 div cluster_size` (truncating integer

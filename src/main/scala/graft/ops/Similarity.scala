@@ -795,6 +795,53 @@ object Similarity {
             / sqrt(varNum.cast("double")), 6)).as("z"))
   }
 
+  /** Per-dimension Fisher discriminant ratio over LABELED embeddings —
+    * the feature-selection / class-separability report (which dimensions
+    * actually separate the classes, before anyone trains on them).
+    * F_dim = (between-class SS / (k−1)) / (within-class SS / (N−k)),
+    * from the standard decomposition SS_total = SS_between + SS_within.
+    *
+    * Exactness: values in milli ints; per-class sums/squares exact
+    * BIGINTs; the Σₗ sₗ²/nₗ term — the one place classic Fisher forces
+    * a per-class division — uses TRUNCATING `div` so the summand stays
+    * an exact reproducible BIGINT (bias ≤ k units on a ~10¹⁰ scale,
+    * identical on both engines; the q118 floor discipline instead of a
+    * float Σ whose partition order could leak). One final double
+    * ratio, 6 d.p.; within = 0 (all class members identical per dim) →
+    * null.
+    *
+    * Plan: one narrow posexplode (rows = N·dims), one (label, dim)
+    * aggregate — map-side combined, state O(k·dims) — one dims-sized
+    * re-aggregate. Vectors never shuffle; nothing bigger than k·dims
+    * rows leaves the first combine.
+    */
+  def fisherDims(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val e = emb.where(col(labelCol).isNotNull)
+      .select(col(labelCol).as("lab"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1000).cast("long")))
+          .as(Seq("dim", "v")))
+      .select(col("lab"), col("dim").cast("long").as("dim"), col("v"))
+    val byClass = e.groupBy("dim", "lab")
+      .agg(count(lit(1)).as("nc"), sum("v").as("sc"),
+        sum(col("v") * col("v")).as("ssc"))
+    byClass.groupBy("dim")
+      .agg(sum("nc").as("n"), countDistinct("lab").as("k"),
+        sum("sc").as("s"), sum("ssc").as("ss"),
+        sum(expr("(sc * sc) div nc")).as("cterm"))
+      .where(col("k") >= 2)
+      .select(col("dim"), col("n"), col("k"),
+        (col("cterm") - expr("(s * s) div n")).as("between_num"),
+        (col("ss") - col("cterm")).as("within_num"))
+      .withColumn("fisher",
+        when(col("within_num") <= 0, lit(null))
+          .otherwise(round(
+            col("between_num").cast("double") * (col("n") - col("k")).cast("double")
+              / (col("within_num").cast("double") * (col("k") - 1).cast("double")),
+            6)))
+  }
+
   /** Upper-triangle covariance matrix of the embedding dimensions — the
     * whitening / PCA input ([[embeddingDimStats]] gives the diagonal's
     * marginals; this adds the cross terms). Exact milli-integer space

@@ -542,4 +542,40 @@ object TextOps {
       .select(col("cat"), col("term"), col("a").as("n_in_cat"),
         round(col("chi2"), 4).as("chi2"), col("rn"))
   }
+
+  /** Corpus-overlap report between SOURCES: for every source pair, the
+    * distinct-shingle intersection, Jaccard, and BOTH directed
+    * containments — "how much of source A's content already exists in
+    * B" is the question a corpus-merge decision actually asks
+    * (containment, not Jaccard: a small source wholly inside a big one
+    * has tiny Jaccard but 100% containment — the q144 asymmetry at
+    * corpus granularity).
+    *
+    * All ratios are floor-ppm (`(1e6·inter) div n` — never a float
+    * tie). Plan: one distinct over (source, shingle) — the only
+    * data-sized shuffle, keyed on the shingle for the pair join — then
+    * a shingle-keyed self-join that only meets rows sharing a shingle,
+    * and O(sources²) everything after. Hot shingles (ubiquitous
+    * phrases) cost pairs ∝ sources-sharing², bounded by the source
+    * count, NOT the corpus — no maxBucket needed at this granularity.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("src"),
+        explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        expr("(1000000 * inter) div (n_a + n_b - inter)").as("jaccard_ppm"),
+        expr("(1000000 * inter) div n_a").as("contain_a_ppm"),
+        expr("(1000000 * inter) div n_b").as("contain_b_ppm"))
+  }
 }

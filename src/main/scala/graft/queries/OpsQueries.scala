@@ -3416,7 +3416,136 @@ object OpsQueries {
     WHERE valid_from_ms <= $q170AsOfMs
       AND (valid_to_ms IS NULL OR valid_to_ms > $q170AsOfMs)"""
 
+  // ———————————————— pairwise Cohen's kappa (q171)
+  // (inter-annotator agreement matrix over the q140 vote fixture:
+  //  κ = (n·a − Σₗ nAₗ·nBₗ)/(n² − Σₗ nAₗ·nBₗ) — exact BIGINT numerator
+  //  and denominator, ONE final division; chance-constant pairs null)
+  val q171Kappa: Q = (s, dir) =>
+    graft.ops.Annotation.cohensKappa(
+      Tables.orders(s, dir).select(
+        col("o_custkey").as("item"),
+        (col("o_orderkey") % 7).as("annotator"),
+        col("o_orderpriority").as("label")),
+      "item", "annotator", "label")
+  val q171Sql: String = """
+    WITH v AS (SELECT o_custkey AS item, o_orderkey % 7 AS annotator,
+        o_orderpriority AS label FROM orders),
+    co AS (SELECT x.annotator AS ann_a, y.annotator AS ann_b,
+             x.label AS la, y.label AS lb
+           FROM v x JOIN v y ON x.item = y.item AND x.annotator < y.annotator),
+    base AS (SELECT ann_a, ann_b, count(*) AS n,
+               CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+             FROM co GROUP BY 1, 2),
+    ma AS (SELECT ann_a, ann_b, la, count(*) AS ca FROM co GROUP BY 1, 2, 3),
+    mb AS (SELECT ann_a, ann_b, lb, count(*) AS cb FROM co GROUP BY 1, 2, 3),
+    pe AS (SELECT ma.ann_a, ma.ann_b, CAST(sum(ca * cb) AS BIGINT) AS pe_num
+           FROM ma JOIN mb ON mb.ann_a = ma.ann_a AND mb.ann_b = ma.ann_b
+             AND mb.lb = ma.la
+           GROUP BY 1, 2)
+    SELECT b.ann_a, b.ann_b, b.n, b.n_agree,
+      coalesce(pe.pe_num, 0) AS pe_num,
+      CASE WHEN b.n * b.n <> coalesce(pe.pe_num, 0) THEN
+        round(CAST(b.n * b.n_agree - coalesce(pe.pe_num, 0) AS DOUBLE)
+          / CAST(b.n * b.n - coalesce(pe.pe_num, 0) AS DOUBLE), 6) END
+        AS kappa
+    FROM base b LEFT JOIN pe ON pe.ann_a = b.ann_a AND pe.ann_b = b.ann_b"""
+
+  // ———————————————— cross-source corpus overlap (q172)
+  // (distinct-shingle intersection per source pair with BOTH directed
+  //  containments — the corpus-merge question is "how much of A is
+  //  already in B", which Jaccard alone can't answer; floor-ppm ratios)
+  val q172SourceOverlap: Q = (s, dir) =>
+    graft.ops.TextOps.sourceOverlap(
+      Tables.documents(s, dir), "text", "source", shingleN = 3)
+  val q172Sql: String = """
+    WITH d AS (SELECT source, string_split(lower(text), ' ') AS w
+               FROM documents),
+    idx AS (SELECT source, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT source AS src,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+    sizes AS (SELECT src, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS inter
+              FROM sh x JOIN sh y
+                ON x.shingle = y.shingle AND x.src < y.src
+              GROUP BY 1, 2)
+    SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, inter,
+      (1000000 * inter) // (sa.n_sh + sb.n_sh - inter) AS jaccard_ppm,
+      (1000000 * inter) // sa.n_sh AS contain_a_ppm,
+      (1000000 * inter) // sb.n_sh AS contain_b_ppm
+    FROM inter JOIN sizes sa ON sa.src = src_a
+               JOIN sizes sb ON sb.src = src_b"""
+
+  // ———————————————— per-dimension Fisher ratio (q173)
+  // (class-separability of each embedding dimension: between/within SS
+  //  from exact milli sums, the per-class sₗ²/nₗ term kept BIGINT via
+  //  truncating div — the one formula float classic ANOVA forces;
+  //  ONE final double ratio)
+  val q173FisherDims: Q = (s, dir) =>
+    graft.ops.Similarity.fisherDims(Tables.embeddings(s, dir))
+  val q173Sql: String = """
+    WITH d AS (SELECT label AS lab, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE label IS NOT NULL),
+    idx AS (SELECT lab, e, unnest(range(1, len(e) + 1)) AS i FROM d),
+    v AS (SELECT lab, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(round(e[i] * 1000) AS BIGINT) AS v FROM idx),
+    bc AS (SELECT dim, lab, count(*) AS nc, CAST(sum(v) AS BIGINT) AS sc,
+             CAST(sum(v * v) AS BIGINT) AS ssc FROM v GROUP BY 1, 2),
+    agg AS (SELECT dim, CAST(sum(nc) AS BIGINT) AS n,
+              CAST(count(DISTINCT lab) AS BIGINT) AS k,
+              CAST(sum(sc) AS BIGINT) AS s, CAST(sum(ssc) AS BIGINT) AS ss,
+              CAST(sum((sc * sc) // nc) AS BIGINT) AS cterm
+            FROM bc GROUP BY 1)
+    SELECT dim, n, k,
+      cterm - (s * s) // n AS between_num,
+      ss - cterm AS within_num,
+      CASE WHEN ss - cterm > 0 THEN
+        round(CAST(cterm - (s * s) // n AS DOUBLE) * CAST(n - k AS DOUBLE)
+          / (CAST(ss - cterm AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6) END
+        AS fisher
+    FROM agg WHERE k >= 2"""
+
+  // ———————————————— edit-ratio near-dup pairs (q174)
+  // (char-level third axis of the near-dup family: the q21 banded LSH
+  //  candidates verified by levenshtein·1e6 ≤ 200000·max(len) — an
+  //  integer compare; the oracle re-derives the bands AND the DP)
+  val q174EditRatioNearDup: Q = (s, dir) =>
+    Dedup.editRatioNearDupPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", maxRatioPpm = 200000L)
+  val q174Sql: String = """
+    WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+                 AND x.doc_id < y.doc_id),
+    vfy AS (SELECT c.a, c.b,
+              CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+              CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+                AS max_len
+            FROM cand c JOIN d da ON da.doc_id = c.a
+                        JOIN d db ON db.doc_id = c.b)
+    SELECT a, b, dist, max_len FROM vfy
+    WHERE dist * 1000000 <= 200000 * max_len"""
+
   val all: Map[String, Q] = Map(
+    "q171_kappa" -> q171Kappa,
+    "q172_source_overlap" -> q172SourceOverlap,
+    "q173_fisher_dims" -> q173FisherDims,
+    "q174_edit_ratio_neardup" -> q174EditRatioNearDup,
     "q166_hll_distinct" -> q166HllDistinct,
     "q167_soft_dedup_weights" -> q167SoftDedupWeights,
     "q168_modularity" -> q168Modularity,
@@ -3524,6 +3653,10 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q171_kappa" -> q171Sql,
+    "q172_source_overlap" -> q172Sql,
+    "q173_fisher_dims" -> q173Sql,
+    "q174_edit_ratio_neardup" -> q174Sql,
     "q166_hll_distinct" -> q166Sql,
     "q167_soft_dedup_weights" -> q167Sql,
     "q168_modularity" -> q168Sql,

@@ -36,4 +36,29 @@ class AnnotationSpec extends SparkSpec {
     val got = agg((1L, "a1", "Z"), (1L, "a2", "A"))
     assert(got(1L)._2 == "A")
   }
+
+  test("cohensKappa: hand κ — perfect 1, chance-level 0, constant pair null") {
+    import spark.implicits._
+    // A vs B: 4 shared items, agree on 2, both marginals 2x/2y →
+    // pe_num = 8, κ = (4·2 − 8)/(16 − 8) = 0 (agreement exactly at chance).
+    // A vs C: identical labels → κ = 1. B vs C: same as A vs B by
+    // construction? no — C copies A, so B-C mirrors A-B → κ = 0 too.
+    val votes = Seq(
+      (1L, "A", "x"), (2L, "A", "x"), (3L, "A", "y"), (4L, "A", "y"),
+      (1L, "B", "x"), (2L, "B", "y"), (3L, "B", "y"), (4L, "B", "x"),
+      (1L, "C", "x"), (2L, "C", "x"), (3L, "C", "y"), (4L, "C", "y"))
+      .toDF("item", "ann", "label")
+    val got = graft.ops.Annotation.cohensKappa(votes, "item", "ann", "label")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), Option(r.get(5))))).toMap
+    assert(got(("A", "B")) == (4L, 2L, 8L, Some(0.0)))
+    assert(got(("A", "C")) == (4L, 4L, 8L, Some(1.0)))
+    assert(got(("B", "C")) == (4L, 2L, 8L, Some(0.0)))
+    // a pair that only ever emits one identical label: κ undefined → null
+    val const = Seq((1L, "P", "x"), (2L, "P", "x"),
+      (1L, "Q", "x"), (2L, "Q", "x")).toDF("item", "ann", "label")
+    val k = graft.ops.Annotation.cohensKappa(const, "item", "ann", "label")
+      .collect().head
+    assert(k.isNullAt(5) && k.getLong(4) == 4L)
+  }
 }

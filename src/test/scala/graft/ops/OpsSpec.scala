@@ -152,6 +152,49 @@ class OpsSpec extends SparkSpec {
     assert(kept == (0L to 25L).toSet -- Set(2L, 3L, 20L, 11L))
   }
 
+  test("sourceOverlap: hand intersection, directed containments, disjoint pair absent") {
+    import spark.implicits._
+    // A: shingles {"a b c","b c d"}; B: {"a b c","b c x"} → inter 1,
+    // jaccard 1/3, containment 1/2 each; Z shares nothing → no row
+    val docs = Seq((1L, "a b c d", "A"), (2L, "a b c x", "B"),
+      (3L, "p q r s", "Z")).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.sourceOverlap(docs, "text", "source", 3)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 2L, 1L, 333333L, 500000L, 500000L)))
+  }
+
+  test("fisherDims: separated classes score high; zero within-class variance nulls") {
+    import spark.implicits._
+    // dim 0: classes {0,0} vs {1.000,1.002} → between 1002001, within 2,
+    // F = 1002001·(4−2)/(2·(2−1)) = 1002001. A second dim with identical
+    // class members (within = 0) must null, not divide.
+    val emb = Seq(
+      (1L, Seq(0.0f, 5.0f), 0), (2L, Seq(0.0f, 5.0f), 0),
+      (3L, Seq(1.0f, 7.0f), 1), (4L, Seq(1.002f, 7.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.fisherDims(emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), Option(r.get(5)))).toMap
+    assert(got(0L) == (1002001L, 2L, Some(1002001.0)))
+    assert(got(1L)._2 == 0L && got(1L)._3.isEmpty)
+  }
+
+  test("editRatioNearDupPairs: identical text passes at ratio 0; unrelated candidates verify away") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base), // exact copy → dist 0
+      (3L, base + " x"), // one char edit → tiny ratio
+      (4L, "completely different content with no shared phrasing at all here"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.editRatioNearDupPairs(docs, "text", "doc_id",
+        maxRatioPpm = 100000L)
+      .as[(Long, Long, Long, Long)].collect().map(t => (t._1, t._2, t._3)).toSet
+    assert(got.contains((1L, 2L, 0L)))
+    assert(got.contains((1L, 3L, 2L)) && got.contains((2L, 3L, 2L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("softDedupWeights: inverse-cluster-size ppm; singletons keep the full million") {
     import spark.implicits._
     val universe = (0L to 5L).toDF("doc_id")
