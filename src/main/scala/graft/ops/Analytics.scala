@@ -330,6 +330,35 @@ object Analytics {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Rate limiting / throttle: keep the FIRST event per (key, fixed
+    * window) and count what was suppressed — dedup-by-time-bucket, the
+    * notification-throttle / at-most-once-per-hour primitive.
+    *
+    * Deliberately an AGGREGATE, not a window function: `min(struct(us,
+    * id))` is partial-aggregable (map-side combine shrinks every
+    * partition to one row per live (key, bucket) before the shuffle),
+    * where the equivalent `row_number() = 1` pays a full partition sort
+    * and ships every row — same output, strictly worse plan at scale.
+    * (ts, id) struct order makes the winner total-order deterministic
+    * under ties.
+    */
+  def rateLimitFirstPerWindow(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0)
+    events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"))
+      .withColumn("bucket_us", expr(s"(us div ${windowUs}L) * ${windowUs}L"))
+      .groupBy("key", "bucket_us")
+      .agg(min(struct(col("us"), col("id"))).as("_first"),
+        count(lit(1)).as("n_in_window"))
+      .select(col("key").as(keyCol), col("bucket_us"),
+        col("_first.id").as(idCol), col("_first.us").as("first_us"),
+        col("n_in_window"),
+        (col("n_in_window") - 1L).as("n_suppressed"))
+  }
+
   /** Data-quality column profile — the "what is actually in this table"
     * report a pipeline runs before trusting a new drop: one row per
     * profiled column with row/null/distinct counts and the length

@@ -3541,7 +3541,29 @@ object OpsQueries {
     SELECT a, b, dist, max_len FROM vfy
     WHERE dist * 1000000 <= 200000 * max_len"""
 
+  // ———————————————— rate-limit / first-per-window (q176)
+  // (throttle primitive: first event per (user, clock hour) + suppressed
+  //  count, as a partial-aggregable min(struct) — never a row_number
+  //  sort; the oracle takes the same (us, id) arg-min via a rank)
+  val q176RateLimit: Q = (s, dir) =>
+    graft.ops.Analytics.rateLimitFirstPerWindow(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      windowUs = 3600L * 1000000L)
+  val q176Sql: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    b AS (SELECT user_id, event_id, us,
+            (us // 3600000000) * 3600000000 AS bucket_us FROM e),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY user_id, bucket_us ORDER BY us, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id, bucket_us) AS n_in_window
+          FROM b)
+    SELECT user_id, bucket_us, event_id, us AS first_us, n_in_window,
+      n_in_window - 1 AS n_suppressed
+    FROM r WHERE rn = 1"""
+
   val all: Map[String, Q] = Map(
+    "q176_rate_limit" -> q176RateLimit,
     "q171_kappa" -> q171Kappa,
     "q172_source_overlap" -> q172SourceOverlap,
     "q173_fisher_dims" -> q173FisherDims,
@@ -3653,6 +3675,7 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q176_rate_limit" -> q176Sql,
     "q171_kappa" -> q171Sql,
     "q172_source_overlap" -> q172Sql,
     "q173_fisher_dims" -> q173Sql,

@@ -163,13 +163,33 @@ object StreamingQueries {
      AND epoch_us(b.ts) > epoch_us(a.ts)
      AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000"""
 
+  // ————————————————————————————— stream-static enrichment (q175)
+  // (per-micro-batch broadcast left join of the event stream against
+  //  the customer dim, rolled up per segment; unmatched traffic keeps a
+  //  sentinel group. Stateless + exact aggregates ⇒ the streamed
+  //  Complete-mode table equals the batch rollup exactly.)
+  val q175StreamEnrich: Q = (s, dir) =>
+    graft.streaming.StreamingJoins.runEnrichAvailableNow(s, dir,
+      s"stream_enrich_${counter.incrementAndGet()}")
+  val q175Sql: String = """
+    SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
+      count(*) AS n_events,
+      CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_matched,
+      CAST(sum(coalesce(CAST(round(e.value * 1000) AS BIGINT), 0))
+        AS BIGINT) AS sum_mv
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q175_stream_enrich" -> q175StreamEnrich,
     "q31_stream_session" -> q31StreamSession,
     "q39_stream_sliding" -> q39StreamSliding,
     "q79_stream_dedup" -> q79StreamDedup,
     "q88_stream_neardup" -> q88StreamNearDup,
     "q101_stream_interval_join" -> q101StreamIntervalJoin)
   val oracles: Map[String, String] = Map(
+    "q175_stream_enrich" -> q175Sql,
     "q31_stream_session" -> q31Sql,
     "q39_stream_sliding" -> q39Sql,
     "q79_stream_dedup" -> q79Sql,

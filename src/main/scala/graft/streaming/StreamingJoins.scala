@@ -75,4 +75,35 @@ object StreamingJoins {
       tableName,
       org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** Stream-STATIC enrichment — the most common streaming join in any
+    * event pipeline: each micro-batch of the event stream left-joins a
+    * broadcast dimension table (no watermark, no state — the static
+    * side is re-broadcast per batch, which is what makes slowly-updated
+    * dims pick up mid-stream), then rolls up per dimension attribute.
+    * Unmatched events keep a sentinel group instead of vanishing — a
+    * left join, because an enrichment that silently drops unmatched
+    * traffic under-counts exactly when the dim is stale.
+    *
+    * Exact aggregates only (counts + milli-scaled value sums), so the
+    * streamed Complete-mode result equals the batch rollup row-for-row.
+    */
+  def enrichedSegmentRollup(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(coalesce(round(col("value") * 1000).cast("long"), lit(0L)))
+          .as("sum_mv"))
+
+  /** Drain the stream-static enrichment over the events file stream. */
+  def runEnrichAvailableNow(spark: SparkSession, dir: String,
+      tableName: String): DataFrame =
+    StreamingSessions.drainAvailableNow(spark,
+      enrichedSegmentRollup(
+        StreamingSessions.readEventsStream(spark, dir),
+        graft.queries.Tables.customer(spark, dir)),
+      tableName)
 }

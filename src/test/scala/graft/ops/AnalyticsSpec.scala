@@ -301,6 +301,24 @@ class AnalyticsSpec extends SparkSpec {
       s"approx deciles should stay near-equal: ${depths.toSeq}")
   }
 
+  test("rateLimitFirstPerWindow: first per (key, hour) wins; ties break on id; suppressed counted") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val hourUs = 3600L * 1000000L
+    val ev = Seq(
+      (1L, 10L, ts(0, 5)), (1L, 11L, ts(0, 40)), (1L, 12L, ts(0, 59)), // 3 in hour 0
+      (1L, 13L, ts(1, 0)),                                             // boundary: new window
+      (2L, 20L, ts(0, 5)), (2L, 19L, ts(0, 5)))                        // same µs: lower id wins
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.ops.Analytics.rateLimitFirstPerWindow(
+        ev, "user_id", "ts", "event_id", hourUs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val h0 = ts(0, 0).getTime * 1000L
+    assert(got == Set(
+      (1L, h0, 10L, ts(0, 5).getTime * 1000L, 3L, 2L),
+      (1L, h0 + hourUs, 13L, ts(1, 0).getTime * 1000L, 1L, 0L),
+      (2L, h0, 19L, ts(0, 5).getTime * 1000L, 2L, 1L)))
+  }
+
   test("columnProfile: one-scan multi-column stats, nulls counted not crashed") {
     val df = Seq(
       (Some(1L), Some("ab")), (Some(22L), None),

@@ -65,4 +65,19 @@ class StreamingJoinsSpec extends SparkSpec {
     // keeps the exactly-10-min row; 11 min is out
     assert(got == Set(ts(5), ts(10)))
   }
+
+  test("stream-static enrichment: streamed rollup equals batch; unmatched kept") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingJoins.runEnrichAvailableNow(spark, dir,
+        "sj_enrich_spec")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = StreamingJoins.enrichedSegmentRollup(
+        graft.queries.Tables.events(spark, dir),
+        graft.queries.Tables.customer(spark, dir))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the left join's point: unmatched traffic is counted, not dropped
+    val (matched, total) = (batch.toSeq.map(_._3).sum, batch.toSeq.map(_._2).sum)
+    assert(batch.exists(_._1 == "UNMATCHED") || matched == total)
+  }
 }
