@@ -334,13 +334,18 @@ object Analytics {
     * window) and count what was suppressed — dedup-by-time-bucket, the
     * notification-throttle / at-most-once-per-hour primitive.
     *
-    * Deliberately an AGGREGATE, not a window function: `min(struct(us,
-    * id))` is partial-aggregable (map-side combine shrinks every
-    * partition to one row per live (key, bucket) before the shuffle),
-    * where the equivalent `row_number() = 1` pays a full partition sort
-    * and ships every row — same output, strictly worse plan at scale.
-    * (ts, id) struct order makes the winner total-order deterministic
-    * under ties.
+    * Deliberately an AGGREGATE, not a window function — and a HASH
+    * aggregate specifically: the natural `min(struct(us, id))` is
+    * correct but falls back to SortAggregate (struct min isn't
+    * hash-aggregable; `.explain` showed Sort + partial SortAggregate),
+    * so the (us, id) arg-min is PACKED into one `decimal(38,0)` —
+    * `us·10¹² + id` — whose `min` hash-aggregates with map-side
+    * combine: every partition shrinks to one row per live (key, bucket)
+    * before the shuffle, no sort anywhere. The equivalent
+    * `row_number() = 1` would pay a full partition sort AND ship every
+    * row. Unpacking is exact integral arithmetic. Contract: `0 ≤ id <
+    * 10¹²` and `ts ≥ epoch` — the packing is injective and
+    * order-preserving exactly there.
     */
   def rateLimitFirstPerWindow(events: DataFrame, keyCol: String,
       tsCol: String, idCol: String, windowUs: Long): DataFrame = {
@@ -351,10 +356,12 @@ object Analytics {
         col(idCol).as("id"))
       .withColumn("bucket_us", expr(s"(us div ${windowUs}L) * ${windowUs}L"))
       .groupBy("key", "bucket_us")
-      .agg(min(struct(col("us"), col("id"))).as("_first"),
+      .agg(min(col("us").cast("decimal(38,0)") * lit(1000000000000L)
+          + col("id")).as("_packed"),
         count(lit(1)).as("n_in_window"))
       .select(col("key").as(keyCol), col("bucket_us"),
-        col("_first.id").as(idCol), col("_first.us").as("first_us"),
+        expr("CAST(_packed % 1000000000000 AS BIGINT)").as(idCol),
+        expr("CAST(_packed div 1000000000000 AS BIGINT)").as("first_us"),
         col("n_in_window"),
         (col("n_in_window") - 1L).as("n_suppressed"))
   }
