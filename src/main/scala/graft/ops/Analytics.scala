@@ -667,28 +667,42 @@ object Analytics {
     * replicate index breaking ties) — no percentile interpolation to
     * disagree over.
     *
-    * Scale shape: the replicate fan-out is in-row (`reps`× explode) and
-    * dies at a map-side-combined aggregate into groups·reps partial
-    * rows; the rank window runs per group over `reps` rows. One real
-    * exchange. Replicates with zero total weight (empty resample —
-    * only possible for tiny groups) are dropped from the order
-    * statistic, `n_reps` reports how many survived.
+    * Scale shape (reworked round 8 after the sf1 sweep made this the
+    * #2 absolute row): NO row fan-out at all — the `reps`× explode was
+    * replaced by 2·reps aggregate columns over the base rows (one
+    * `sum(wᵣ·c)`/`sum(wᵣ)` pair per replicate), so the scan processes
+    * each row once and map-side combine leaves ONE wide row per group
+    * before the exchange; a literal `stack` then unpivots the wide row
+    * to (g, r) replicate rows for the rank window. Hashing drops 4×
+    * with it: one md5 serves FOUR replicates (32 hex chars = four
+    * independent 32-bit draws — draw r reads chars [8·(r mod 4)+1, 8]
+    * of md5("boot|" + r div 4 + "|" + id)), and codegen's
+    * subexpression elimination computes each block's md5 once per row.
+    * Replicates with zero total weight (empty resample — only possible
+    * for tiny groups) are dropped from the order statistic, `n_reps`
+    * reports how many survived.
     */
   def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
       valCol: String, reps: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(reps >= 8, s"reps must be >= 8, got $reps")
-    val h = conv(substring(md5(concat(lit("boot|"), col("r").cast("string"),
-      lit("|"), col("id").cast("string"))), 1, 8), 16, 10).cast("long")
-    val w = PoissonCdf32.map(t => when(h >= t, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val weighted = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-        round(col(valCol).cast("double") * 100).cast("long").as("c"))
-      .select(col("g"), col("id"), col("c"),
-        explode(sequence(lit(0), lit(reps - 1))).as("r"))
-      .select(col("g"), col("r"), (w * col("c")).as("wc"), w.as("wt"))
-    val repMeans = weighted.groupBy("g", "r")
-      .agg(sum("wc").as("swc"), sum("wt").as("swt"))
+    require(reps >= 8 && reps % 4 == 0,
+      s"reps must be >= 8 and a multiple of 4 (4 draws per md5), got $reps")
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      round(col(valCol).cast("double") * 100).cast("long").as("c"))
+    def wDraw(r: Int): Column = {
+      val h = conv(substring(md5(concat(lit(s"boot|${r / 4}|"),
+        col("id").cast("string"))), 8 * (r % 4) + 1, 8), 16, 10).cast("long")
+      PoissonCdf32.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val aggs = (0 until reps).flatMap { r =>
+      val w = wDraw(r)
+      Seq(sum(w * col("c")).as(s"_wc$r"), sum(w).as(s"_wt$r"))
+    }
+    val wide = base.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until reps)
+      .map(r => s"CAST($r AS BIGINT), _wc$r, _wt$r").mkString(", ")
+    val repMeans = wide
+      .select(col("g"), expr(s"stack($reps, $stackArgs) AS (r, swc, swt)"))
       .where(col("swt") > 0)
       .select(col("g"), col("r"),
         round(col("swc").cast("double") / col("swt").cast("double"), 6)

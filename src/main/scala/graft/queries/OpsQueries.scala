@@ -3189,8 +3189,8 @@ object OpsQueries {
                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
     x AS (SELECT g, id, c, unnest(range(0, 64)) AS r FROM e),
     wts AS (SELECT g, r, c,
-        CAST(('0x' || substr(md5('boot|' || CAST(r AS VARCHAR) || '|'
-          || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        CAST(('0x' || substr(md5('boot|' || CAST(r // 4 AS VARCHAR) || '|'
+          || CAST(id AS VARCHAR)), 8 * (r % 4) + 1, 8)) AS BIGINT) AS h
       FROM x),
     wd AS (SELECT g, r, c,
         (CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END
