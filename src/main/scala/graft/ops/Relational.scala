@@ -148,6 +148,37 @@ object Relational {
       .withColumn("is_current", col("valid_to_ms").isNull)
   }
 
+  /** Incremental SCD2 maintenance — fold ONE batch of new change rows
+    * into an existing [[scd2]] dimension table, recomputing validity
+    * intervals ONLY for keys the batch touches. The nightly/streaming
+    * merge shape: at 100 TB the dimension is billions of rows but a
+    * batch touches a sliver of keys, so the rebuild joins are
+    * batch-key-sized (broadcastable) and the untouched mass moves
+    * through one anti-join untouched — never re-windowed, never
+    * re-shuffled by key.
+    *
+    * `state` must have [[scd2]]'s output schema for the same column
+    * set as `changes` (payload + `valid_from_ms`/`valid_to_ms`/
+    * `is_current`); affected keys' history is REPLAYED from
+    * `valid_from_ms` (exact ms round-trip of the original timestamps)
+    * and re-windowed together with the new rows, so out-of-order and
+    * intra-batch-duplicate changes land exactly as a full rebuild
+    * would — fold(batches)(scd2MergeBatch) ≡ scd2(all changes), the
+    * law the oracle checks.
+    */
+  def scd2MergeBatch(state: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val affected = changes.select(col(keyCol)).distinct()
+    val untouched = state.join(affected, Seq(keyCol), "left_anti")
+    val replayed = state.join(affected, Seq(keyCol), "left_semi")
+      .drop("valid_to_ms", "is_current")
+      .withColumn(tsCol, expr("timestamp_millis(valid_from_ms)"))
+      .drop("valid_from_ms")
+    val rebuilt = scd2(replayed.unionByName(changes), keyCol, tsCol, tieCol)
+      .drop(tsCol)
+    untouched.unionByName(rebuilt)
+  }
+
   /** CDC apply: collapse a change log (upserts + deletes) onto a base
     * snapshot — the MERGE a lakehouse table runs per ingest cycle.
     * Per key, only the LAST log entry by (`tsCol`, `tieCol`) counts:

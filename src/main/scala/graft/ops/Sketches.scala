@@ -78,11 +78,24 @@ object Sketches {
     * nondeterminism this family avoids (SURVEY float discipline).
     */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 1024, maxRank: Int = 40): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, buckets, maxRank),
+      buckets, maxRank)
+      .withColumnRenamed("g", groupCol)
+
+  /** The HLL register table for [[hllDistinct]]: one (g, b, m) row per
+    * occupied register. First-class because registers are the MERGEABLE
+    * form — sketch sub-corpora independently, [[hllMergeRegisters]]
+    * their tables, estimate once; union never rescans either side (the
+    * property that makes the sketch a 100 TB citizen: per-partition /
+    * per-day register tables combine by max, exactly like any partial
+    * aggregate).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int = 1024, maxRank: Int = 40): DataFrame = {
     require(buckets >= 16 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two >= 16")
     require(maxRank >= 16 && maxRank <= 50, "maxRank in [16, 50]")
-    val alpha = 0.7213 / (1.0 + 1.079 / buckets) // standard HLL α for m ≥ 128
     val bucketBits = (math.log(buckets) / math.log(2)).round.toInt
     val restBits = 60 - bucketBits
     // 60-bit hash = 15 md5 hex chars; low bits pick the bucket so the
@@ -95,17 +108,33 @@ object Sketches {
       lit(restBits + 1)
         - length(expr("trim(LEADING '0' FROM bin(rest))")),
       lit(maxRank))
-    val regs = df.select(col(groupCol).as("g"), h.as("h"))
+    df.select(col(groupCol).as("g"), h.as("h"))
       .withColumn("b", bucket)
       .withColumn("rest", rest)
       .withColumn("r", rank)
       .groupBy("g", "b").agg(max(col("r")).as("m"))
+  }
+
+  /** Merge two register tables: per-register max — associative,
+    * commutative, idempotent, so merge(regs(A), regs(B)) IS
+    * regs(A ∪ B) exactly (not approximately; the estimate-level union
+    * law in SketchesSpec is exact equality).
+    */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "b").agg(max(col("m")).as("m"))
+
+  /** Estimate from a register table (see [[hllDistinct]] for the
+    * construction and the scaled-integer harmonic sum).
+    */
+  def hllEstimate(regs: DataFrame, buckets: Int = 1024,
+      maxRank: Int = 40): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / buckets) // standard HLL α for m ≥ 128
     // z_scaled = Σ_occupied 2^(maxRank−M) + (buckets − occupied)·2^maxRank
     regs
       .withColumn("term", expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - m)"))
       .groupBy("g")
       .agg(count(lit(1)).as("n_registers"), sum(col("term")).as("_zocc"))
-      .select(col("g").as(groupCol), col("n_registers"),
+      .select(col("g"), col("n_registers"),
         (col("_zocc") + (lit(buckets.toLong) - col("n_registers"))
           * expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank)")).as("z_scaled"))
       .withColumn("raw_est",

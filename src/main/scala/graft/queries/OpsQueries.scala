@@ -3562,7 +3562,34 @@ object OpsQueries {
       n_in_window - 1 AS n_suppressed
     FROM r WHERE rn = 1"""
 
+  // ———————————————— incremental SCD2 maintenance (q177)
+  // (the nightly CDC-merge shape: three key-residue batches of the
+  //  orders change log folded into a stored dimension via
+  //  scd2MergeBatch — each fold re-windows ONLY touched keys, the
+  //  untouched mass rides one anti-join. Law under test:
+  //  fold(batches) ≡ one-shot scd2 over everything, i.e. the q106
+  //  oracle verbatim.)
+  val q177Scd2Incremental: Q = (s, dir) => {
+    val changes = Tables.orders(s, dir).select("o_custkey", "o_orderkey",
+      "o_orderstatus", "o_orderdate")
+    def batch(k: Int) = changes.where(pmod(col("o_orderkey"), lit(3)) === k)
+    val init = graft.ops.Relational.scd2(batch(0), "o_custkey",
+      "o_orderdate", "o_orderkey").drop("o_orderdate")
+    (1 until 3).foldLeft(init) { (state, k) =>
+      graft.ops.Relational.scd2MergeBatch(state.localCheckpoint(true),
+        batch(k), "o_custkey", "o_orderdate", "o_orderkey")
+    }
+  }
+  val q177Sql: String = """
+    WITH s AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+        epoch_ms(o_orderdate) AS valid_from_ms,
+        epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT *, valid_to_ms IS NULL AS is_current FROM s"""
+
   val all: Map[String, Q] = Map(
+    "q177_scd2_incremental" -> q177Scd2Incremental,
     "q176_rate_limit" -> q176RateLimit,
     "q171_kappa" -> q171Kappa,
     "q172_source_overlap" -> q172SourceOverlap,
@@ -3675,6 +3702,7 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q177_scd2_incremental" -> q177Sql,
     "q176_rate_limit" -> q176Sql,
     "q171_kappa" -> q171Sql,
     "q172_source_overlap" -> q172Sql,

@@ -78,4 +78,31 @@ class CdcSpec extends SparkSpec {
     val expect = newSnap.as[(Long, String, Double)].collect().toSet
     assert(applied == expect)
   }
+
+  test("scd2MergeBatch: fold of out-of-order batches equals one-shot rebuild; untouched keys ride through") {
+    import graft.ops.Relational
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // key 1: versions on days 1, 3 (batch A) and a LATE day-2 version
+    // (batch B) that must splice BETWEEN them; key 2 only in batch A —
+    // untouched by the fold step; key 3 arrives new in batch B
+    val batchA = Seq((1L, 10L, "a", ts(1)), (1L, 30L, "c", ts(3)),
+      (2L, 20L, "x", ts(5)))
+      .toDF("k", "vid", "payload", "t")
+    val batchB = Seq((1L, 21L, "b", ts(2)), (3L, 40L, "z", ts(7)))
+      .toDF("k", "vid", "payload", "t")
+    val folded = Relational.scd2MergeBatch(
+      Relational.scd2(batchA, "k", "t", "vid").drop("t"),
+      batchB, "k", "t", "vid")
+    val oneShot = Relational.scd2(batchA.unionByName(batchB), "k", "t", "vid")
+      .drop("t")
+    val f = folded.as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    val o = oneShot.as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(f == o, "fold(batches) must equal the one-shot SCD2 build")
+    // the late day-2 row closed day-1's interval and is itself closed by day-3
+    val k1 = f.filter(_._1 == 1L).toSeq.sortBy(_._4)
+    assert(k1.map(_._2) == Seq(10L, 21L, 30L))
+    assert(k1.map(_._5) == Seq(Some(ts(2).getTime), Some(ts(3).getTime), None))
+  }
 }

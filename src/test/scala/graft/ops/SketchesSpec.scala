@@ -109,6 +109,23 @@ class SketchesSpec extends SparkSpec {
     assert(got("b") < got("a"))
   }
 
+  test("hllMergeRegisters: merge law is EXACT — merge(regs(A), regs(B)) ≡ regs(A ∪ B)") {
+    val a = (1 to 900).map(i => ("g", s"x$i")).toDF("g", "v")
+    val b = (500 to 1400).map(i => ("g", s"x$i")).toDF("g", "v") // overlaps A
+    val merged = Sketches.hllEstimate(Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(a, "g", "v"), Sketches.hllRegisters(b, "g", "v")))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val whole = Sketches.hllEstimate(
+        Sketches.hllRegisters(a.union(b), "g", "v"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(merged == whole, "register max-merge must equal the union sketch")
+    // idempotent: self-merge is a no-op
+    val ra = Sketches.hllRegisters(a, "g", "v")
+    assert(Sketches.hllEstimate(Sketches.hllMergeRegisters(ra, ra))
+      .as[(String, Long, Long, Double)].collect().toSeq ==
+      Sketches.hllEstimate(ra).as[(String, Long, Long, Double)].collect().toSeq)
+  }
+
   test("hllDistinct: deterministic under repartitioning; integers hash-stable") {
     val df = (1 to 2000).map(i => (s"g${i % 3}", i.toString)).toDF("g", "v")
     val a = Sketches.hllDistinct(df, "g", "v").collect()
