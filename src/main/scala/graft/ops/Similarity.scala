@@ -795,6 +795,45 @@ object Similarity {
             / sqrt(varNum.cast("double")), 6)).as("z"))
   }
 
+  /** Robust per-dimension scaling — the median/IQR analogue of
+    * [[whitenEmbeddings]]'s mean/σ z-score, for feature pipelines where
+    * a few corrupt vectors would drag a mean+σ normalization (the q150
+    * whale argument applied to embedding dims).
+    *
+    * Exactness (the q150 space-scaling discipline, one step further):
+    * milli values are QUADRUPLED, because every percentile this op
+    * needs — p25/p50/p75 — interpolates at fractions {0, ¼, ½, ¾}
+    * whose product with a 4×-scaled gap is an integer: `m4`, `p25_4`,
+    * `p75_4`, and `iqr4` are all exactly-representable integers on
+    * both engines (cast, not floored — nothing to floor). The scaled
+    * value `r_ppm = (10⁶·(4v − m4)) div iqr4` is then pure truncating
+    * BIGINT arithmetic; zero-IQR dims (≥ half the mass on one value)
+    * null rather than divide.
+    *
+    * Plan: one narrow posexplode, one dims-keyed percentile aggregate
+    * (dims-sized state; the [[graft.ops.Analytics]] `approxAccuracy`
+    * swap applies verbatim at 100 TB), broadcast back onto the value
+    * stream — vectors never shuffle.
+    */
+  def robustScaleEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1000).cast("long")))
+          .as(Seq("dim", "v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("v"))
+    val stats = e.groupBy("dim").agg(
+      percentile(col("v") * 4, lit(0.5)).cast("long").as("m4"),
+      percentile(col("v") * 4, lit(0.25)).cast("long").as("p25_4"),
+      percentile(col("v") * 4, lit(0.75)).cast("long").as("p75_4"))
+      .select(col("dim"), col("m4"),
+        (col("p75_4") - col("p25_4")).as("iqr4"))
+    e.join(stats, "dim")
+      .select(col(idCol), col("dim"), col("v"), col("m4"), col("iqr4"),
+        when(col("iqr4") > 0,
+          expr("(1000000 * (4 * v - m4)) div iqr4")).as("r_ppm"))
+  }
+
   /** Per-dimension Fisher discriminant ratio over LABELED embeddings —
     * the feature-selection / class-separability report (which dimensions
     * actually separate the classes, before anyone trains on them).

@@ -3588,7 +3588,30 @@ object OpsQueries {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
     SELECT *, valid_to_ms IS NULL AS is_current FROM s"""
 
+  // ———————————————— robust per-dimension scaling (q178)
+  // (median/IQR normalize per embedding dim — the whale-proof analogue
+  //  of q141's mean/σ whitening; p25/p50/p75 computed in QUADRUPLED
+  //  milli space where every interpolation fraction {0,¼,½,¾} lands on
+  //  an integer, so the scaled value is pure truncating-BIGINT
+  //  arithmetic — both engines truncate toward zero)
+  val q178RobustScale: Q = (s, dir) =>
+    graft.ops.Similarity.robustScaleEmbeddings(Tables.embeddings(s, dir))
+  val q178Sql: String = """
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM d),
+    v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(round(e[i] * 1000) AS BIGINT) AS v FROM idx),
+    st AS (SELECT dim,
+             CAST(quantile_cont(v * 4, 0.5) AS BIGINT) AS m4,
+             CAST(quantile_cont(v * 4, 0.75) - quantile_cont(v * 4, 0.25)
+               AS BIGINT) AS iqr4
+           FROM v GROUP BY 1)
+    SELECT vec_id, dim, v, m4, iqr4,
+      CASE WHEN iqr4 > 0 THEN (1000000 * (4 * v - m4)) // iqr4 END AS r_ppm
+    FROM v JOIN st USING (dim)"""
+
   val all: Map[String, Q] = Map(
+    "q178_robust_scale" -> q178RobustScale,
     "q177_scd2_incremental" -> q177Scd2Incremental,
     "q176_rate_limit" -> q176RateLimit,
     "q171_kappa" -> q171Kappa,
@@ -3702,6 +3725,7 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q178_robust_scale" -> q178Sql,
     "q177_scd2_incremental" -> q177Sql,
     "q176_rate_limit" -> q176Sql,
     "q171_kappa" -> q171Sql,

@@ -164,6 +164,26 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 2L, 2L, 1L, 333333L, 500000L, 500000L)))
   }
 
+  test("robustScaleEmbeddings: hand median/IQR; whale moves mean-z but not robust-z; zero IQR nulls") {
+    import spark.implicits._
+    // dim 0 values (milli): 1000, 2000, 3000, 4000, 1000000 (whale).
+    // 4×: 4000..16000, 4e6 → m4 = 12000, p25_4 = 8000, p75_4 = 16000,
+    // iqr4 = 8000. r_ppm(v=1000) = 1e6·(4000−12000) div 8000 = −1e6;
+    // r_ppm(whale) = 1e6·(4e6−12000) div 8000 = 498500000 — bounded by
+    // the IQR, not dragged by its own magnitude the way a σ fence is.
+    // dim 1 constant → iqr 0 → null.
+    val emb = Seq(
+      (1L, Seq(1.0f, 7.0f)), (2L, Seq(2.0f, 7.0f)), (3L, Seq(3.0f, 7.0f)),
+      (4L, Seq(4.0f, 7.0f)), (5L, Seq(1000.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.robustScaleEmbeddings(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), Option(r.get(5)))).toMap
+    assert(got((1L, 0L)) == (12000L, 8000L, Some(-1000000L)))
+    assert(got((5L, 0L)) == (12000L, 8000L, Some(498500000L)))
+    assert(got((3L, 1L))._3.isEmpty && got((3L, 1L))._2 == 0L)
+  }
+
   test("fisherDims: separated classes score high; zero within-class variance nulls") {
     import spark.implicits._
     // dim 0: classes {0,0} vs {1.000,1.002} → between 1002001, within 2,
