@@ -599,11 +599,18 @@ object Dedup {
     * vertices — the same graph converges in 8 alternations.
     *
     * Mechanics per round: two grouped mins + two equi-joins on edge-sized
-    * frames, one changed-count aggregate (the only driver scalar — the
-    * loop is control flow, not data flow), and a stats-resetting eager
-    * materialization ([[checkpointResetStats]]) so neither lineage nor
-    * carried size estimates compound across rounds. Only ids appearing in
-    * `pairs` are returned — singletons are their own keeper by definition.
+    * frames, one shuffle-free fingerprint aggregate (the only driver
+    * scalar — the loop is control flow, not data flow), and a
+    * stats-resetting eager materialization ([[checkpointResetStats]]) so
+    * neither lineage nor carried size estimates compound across rounds.
+    * Convergence is detected by an order-independent (count, xor-of-hash)
+    * fingerprint of the edge set — equal fingerprints across one
+    * alternation are confirmed by a single exact `except` probe, so the
+    * per-round cost is a narrow scan of the just-checkpointed frame
+    * instead of the former tagged-union groupBy (a full 2|E| shuffle per
+    * round that dominated shallow dedup-cluster graphs, which converge in
+    * 1-2 alternations). Only ids appearing in `pairs` are returned —
+    * singletons are their own keeper by definition.
     */
   /** Eagerly materialize AND drop carried plan statistics. Spark 4's
     * `localCheckpoint` preserves the checkpointed plan's estimated stats
@@ -635,9 +642,23 @@ object Dedup {
     var e = checkpointResetStats(
       p.select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b")).distinct())
+    // Edge-SET fingerprint: cardinality + order-independent XOR of a
+    // per-edge 64-bit hash. `bit_xor` is exactly associative/commutative
+    // and cannot overflow (unlike `sum` under ANSI), so the aggregate is
+    // a deterministic set digest computable by a shuffle-free partial
+    // aggregate over the just-checkpointed frame. Equality across one
+    // alternation is (almost-surely) the fixpoint; the one exact probe
+    // below makes it a proof, and a hash collision merely costs one
+    // extra round.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fpE = fingerprint(e)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       // large-star: u's strictly-larger neighbors all point at the min of
       // u's closed neighborhood (edges emitted (v > u, m ≤ u): hi→lo)
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -656,20 +677,21 @@ object Dedup {
           .select(col("b").as("a"), col("m").as("b"))
           .union(ssMin.select(col("a"), col("m").as("b")))
           .distinct())
-      // converged ⇔ the edge multiset is unchanged (both sides are
-      // distinct sets: one grouped count over the tagged union)
-      changed = ss.withColumn("_s", lit(1L))
-        .union(e.withColumn("_s", lit(2L)))
-        .groupBy("a", "b").agg(sum(col("_s")).as("_t"))
-        .where(col("_t") =!= 3L).count()
+      // converged ⇔ the edge set is unchanged. Cheap test first
+      // (fingerprint equality, narrow aggregate); exact confirmation
+      // once: both sides are distinct sets of equal cardinality, so an
+      // empty one-sided except proves set equality.
+      val fpS = fingerprint(ss)
+      converged = fpS == fpE && ss.exceptAll(e).isEmpty
       e = ss
+      fpE = fpS
       iter += 1
     }
     // an unconverged state means WRONG labels (stars still merging) —
     // fail loudly rather than return a plausible answer
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter alternations " +
-      s"($changed edges still changing) — raise maxIter")
+      "(edge set still changing) — raise maxIter")
     // star forest: every non-root points at its component min; roots
     // (the minima) label themselves
     val ids = p.select(col("a").as("id"))
