@@ -179,6 +179,154 @@ object Sketches {
         round(inter / col("est_union"), 6).as("jaccard_est"))
   }
 
+  // ——————————— deterministic mergeable quantile sketch ———————————
+
+  /** Per-group mergeable QUANTILE sketch by threshold level-sampling —
+    * the missing member of the sketch family (KMV/HLL count distincts,
+    * CMS counts frequencies; this one answers percentiles at 100 TB).
+    *
+    * Spark ships `percentile_approx` (KLL-ish), but its compactor is
+    * engine-specific and randomized — no cross-engine oracle can gate
+    * it, and KLL's merge is only distributionally (not pointwise) equal
+    * to a direct build. This sketch trades a constant factor of accuracy
+    * for a property none of those have: the kept set is a CANONICAL
+    * function of the input multiset, so `merge(sketch(A), sketch(B))`
+    * equals `sketch(A ∪ B)` EXACTLY — the same register-table discipline
+    * as [[hllRegisters]], provable row-for-row in a spec and replayable
+    * bit-for-bit by a SQL oracle.
+    *
+    * Construction: each row gets a LEVEL = trailing-zero count of a
+    * 60-bit md5 hash of its unique id (geometric: P(lvl ≥ L) = 2^−L,
+    * capped at `maxLvl`). A group keeps exactly the rows with
+    * `lvl ≥ thr`, where `thr` is the minimal threshold at which ≤ k
+    * rows survive — i.e. a deterministic coin-flip sample whose rate
+    * auto-adapts to the group size, the classic mergeable-summaries
+    * random-sample quantile estimator with the randomness replaced by a
+    * hash. Every kept row represents 2^thr input rows
+    * (Horvitz–Thompson), so rank estimates are `rn · 2^thr`. Groups
+    * with ≤ k rows keep everything at thr = 0: quantiles degenerate to
+    * EXACT order statistics, mirroring KMV below k.
+    *
+    * Scale shape: the level histogram (`groups × ≤ maxLvl` rows) is a
+    * map-side-combined aggregate; the threshold table broadcasts back;
+    * state is O(groups · k). Build scans the input twice (histogram +
+    * filter) — both scans are the same narrow projection.
+    *
+    * Contract: `idCol` must be unique per row (it drives the sampling
+    * hash); rows with NULL `valueCol` are excluded (SQL aggregate
+    * convention). Returns (g, id, v, lvl, thr, n) kept rows — `thr`/`n`
+    * constant within a group; `n` is the EXACT group row count.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int = 256, maxLvl: Int = 40): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxLvl >= 8 && maxLvl <= 50, s"maxLvl in [8, 50], got $maxLvl")
+    val rows = levelRows(df, groupCol, valueCol, idCol, maxLvl)
+    val totals = rows.groupBy("g").agg(count(lit(1)).as("n"))
+    thresholdAndKeep(rows, totals,
+      totals.select(col("g"), lit(0).as("ft")), k)
+  }
+
+  /** Merge two quantile sketches built with the same (k, maxLvl): union
+    * the kept rows, lift the threshold to the minimal L ≥ max(thr_a,
+    * thr_b) at which ≤ k rows survive, sum the exact counts. Because
+    * every input row with `lvl ≥ max(thr_a, thr_b)` is present in one
+    * side's kept set, the re-threshold sees exactly the full multiset's
+    * level histogram above the floor — hence merge(sketch(A), sketch(B))
+    * ≡ sketch(A ∪ B), exactly (SketchesSpec law). Disjoint inputs only
+    * (shared ids would double-count, like any partial aggregate).
+    */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame,
+      k: Int = 256): DataFrame = {
+    val mA = a.groupBy("g").agg(max("thr").as("ta"), max("n").as("na"))
+    val mB = b.groupBy("g").agg(max("thr").as("tb"), max("n").as("nb"))
+    val meta = mA.join(mB, Seq("g"), "full")
+    val totals = meta.select(col("g"),
+      (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"))
+    val floor = meta.select(col("g"),
+      greatest(coalesce(col("ta"), lit(0)), coalesce(col("tb"), lit(0)))
+        .as("ft"))
+    val rows = a.select("g", "id", "v", "lvl")
+      .unionByName(b.select("g", "id", "v", "lvl"))
+    thresholdAndKeep(rows, totals, floor, k)
+  }
+
+  /** Percentile estimates from a [[quantileSketch]] table. Quantiles are
+    * exact rationals (num, den) so the target rank `ceil(q·n / 2^thr)`
+    * — clamped to [1, kept] — is pure integer arithmetic both engines
+    * reproduce; the estimate is the kept VALUE at that rank under the
+    * deterministic (v, id) order, a value picked from data, never
+    * computed. Returns (g, q_num, q_den, n, thr, kept, est).
+    */
+  def quantileSketchQuery(sk: DataFrame,
+      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (nu, de) => nu >= 0 && de >= 1 && nu <= de },
+      "quantiles must be rationals in [0, 1]")
+    // distinct column names on the rank side: both frames descend from
+    // `sk`, and same-name join predicates on a self-join lineage resolve
+    // trivially-true (Spark warns and guesses)
+    val ranked = sk.select(col("g").as("_rg"), col("v"),
+      row_number().over(
+        Window.partitionBy("g").orderBy(col("v"), col("id"))).as("rn"))
+    val meta = sk.groupBy("g").agg(max("thr").as("thr"), max("n").as("n"),
+      count(lit(1)).as("kept"))
+    val qArr = array(quantiles.map { case (nu, de) =>
+      struct(lit(nu).as("q_num"), lit(de).as("q_den")) }: _*)
+    val probes = meta
+      .select(col("g"), col("n"), col("thr"), col("kept"),
+        explode(qArr).as("q"))
+      .select(col("g"), col("q.q_num").as("q_num"),
+        col("q.q_den").as("q_den"), col("n"), col("thr"), col("kept"))
+      .withColumn("_w", expr("q_den * shiftleft(CAST(1 AS BIGINT), thr)"))
+      .withColumn("tgt", least(col("kept"),
+        greatest(lit(1L), expr("(q_num * n + _w - 1) div _w"))))
+    probes.join(ranked,
+        col("g") === col("_rg") && col("tgt") === col("rn"))
+      .select(col("g"), col("q_num"), col("q_den"), col("n"),
+        col("thr"), col("kept"), col("v").as("est"))
+  }
+
+  /** (g, id, v, lvl) rows: 60-bit md5 hash of the id, level = capped
+    * trailing-zero count (`length(bin) − length(rtrim '0')` — the
+    * trailing twin of the HLL rank's leading-zero ltrim, rendering
+    * identically in Spark and DuckDB).
+    */
+  private def levelRows(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, maxLvl: Int): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
+        col(valueCol).as("v"))
+      .withColumn("_b",
+        bin(conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long")))
+      .withColumn("lvl", least(
+        length(col("_b"))
+          - length(expr("trim(TRAILING '0' FROM _b)")),
+        lit(maxLvl)).cast("int"))
+      .drop("_b")
+
+  /** Canonical minimal threshold ≥ the per-group floor at which ≤ k
+    * rows survive, then the kept-row filter. `bad` = the highest level
+    * whose suffix count still exceeds k (suffix sums over the ≤ maxLvl
+    * level histogram — tiny, broadcast back to the row filter).
+    */
+  private def thresholdAndKeep(rows: DataFrame, totals: DataFrame,
+      floor: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(col("lvl").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bad = rows.groupBy("g", "lvl").agg(count(lit(1)).as("c"))
+      .withColumn("s", sum(col("c")).over(w))
+      .groupBy("g")
+      .agg(max(when(col("s") > k, col("lvl"))).as("bad"))
+    val thr = bad.join(floor, Seq("g"), "full")
+      .select(col("g"), greatest(coalesce(col("bad") + 1, lit(0)),
+        coalesce(col("ft"), lit(0))).as("thr"))
+    rows.join(broadcast(thr), Seq("g"))
+      .where(col("lvl") >= col("thr"))
+      .join(broadcast(totals), Seq("g"))
+      .select("g", "id", "v", "lvl", "thr", "n")
+  }
+
   /** Count-min sketch over a token stream, probed for point-frequency
     * estimates — the sub-linear-memory answer to "how often does this
     * token occur in 100 TB of text" when the exact vocabulary count

@@ -3610,7 +3610,62 @@ object OpsQueries {
       CASE WHEN iqr4 > 0 THEN (1000000 * (4 * v - m4)) // iqr4 END AS r_ppm
     FROM v JOIN st USING (dim)"""
 
+  // ———————————————— mergeable quantile sketch (q179, q180)
+  // (per-event-type value percentiles through deterministic threshold
+  //  level-sampling — level = trailing zeros of a 60-bit md5 hash of
+  //  event_id, threshold = minimal L keeping ≤ 256 rows; the oracle
+  //  rebuilds the kept set bit-for-bit and reads the same target rank.
+  //  q180 builds the SAME sketch as two half-corpus sketches merged —
+  //  the exact merge law means it shares q179's direct-build oracle.)
+  private val qsQuantiles = Seq((1, 2), (9, 10), (99, 100))
+  val q179QuantileSketch: Q = (s, dir) =>
+    graft.ops.Sketches.quantileSketchQuery(
+      graft.ops.Sketches.quantileSketch(Tables.events(s, dir),
+        "event_type", "value", "event_id", k = 256),
+      qsQuantiles)
+  val q180QuantileSketchMerged: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def half(p: Int) = graft.ops.Sketches.quantileSketch(
+      ev.where(pmod(col("event_id"), lit(2)) === p),
+      "event_type", "value", "event_id", k = 256)
+    graft.ops.Sketches.quantileSketchQuery(
+      graft.ops.Sketches.quantileSketchMerge(half(0), half(1), k = 256),
+      qsQuantiles)
+  }
+  val q179Sql: String = """
+    WITH r AS (SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+        value AS v,
+        least(length(bin(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+            1, 15)) AS BIGINT)))
+          - length(rtrim(bin(CAST(('0x' || substr(md5(CAST(event_id AS
+            VARCHAR)), 1, 15)) AS BIGINT)), '0')), 40) AS lvl
+      FROM events WHERE value IS NOT NULL),
+    sfx AS (SELECT g, lvl, sum(c) OVER (PARTITION BY g ORDER BY lvl DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+            FROM (SELECT g, lvl, count(*) AS c FROM r GROUP BY 1, 2)),
+    thr AS (SELECT g, coalesce(max(CASE WHEN s > 256 THEN lvl END) + 1, 0)
+              AS thr FROM sfx GROUP BY 1),
+    tot AS (SELECT g, count(*) AS n FROM r GROUP BY 1),
+    kept AS (SELECT r.g, r.id, r.v, t.thr, o.n FROM r
+             JOIN thr t ON r.g = t.g JOIN tot o ON r.g = o.g
+             WHERE r.lvl >= t.thr),
+    rk AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn
+           FROM kept),
+    meta AS (SELECT g, max(thr) AS thr, max(n) AS n, count(*) AS kept
+             FROM kept GROUP BY 1),
+    probes AS (SELECT m.g, q.q_num, q.q_den, m.n, m.thr, m.kept,
+        least(m.kept, greatest(1,
+          (q.q_num * m.n + q.q_den * (1::BIGINT << m.thr) - 1)
+            // (q.q_den * (1::BIGINT << m.thr)))) AS tgt
+      FROM meta m CROSS JOIN (VALUES (1, 2), (9, 10), (99, 100))
+        AS q(q_num, q_den))
+    SELECT p.g, p.q_num, p.q_den, p.n, p.thr, p.kept, k2.v AS est
+    FROM probes p JOIN rk k2 ON p.g = k2.g AND k2.rn = p.tgt"""
+
   val all: Map[String, Q] = Map(
+    "q179_quantile_sketch" -> q179QuantileSketch,
+    "q180_quantile_sketch_merged" -> q180QuantileSketchMerged,
     "q178_robust_scale" -> q178RobustScale,
     "q177_scd2_incremental" -> q177Scd2Incremental,
     "q176_rate_limit" -> q176RateLimit,
@@ -3725,6 +3780,11 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q179_quantile_sketch" -> q179Sql,
+    // the exact merge law: merged half-sketches ≡ the direct build,
+    // so q180 is gated by the same SQL — equality IS the law, verified
+    // cross-engine
+    "q180_quantile_sketch_merged" -> q179Sql,
     "q178_robust_scale" -> q178Sql,
     "q177_scd2_incremental" -> q177Sql,
     "q176_rate_limit" -> q176Sql,

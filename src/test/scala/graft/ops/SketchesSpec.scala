@@ -135,6 +135,78 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ———————————————————————————————————— quantile sketch
+
+  /** rows (g, id, v): ids globally unique so the sampling hash is. */
+  private def qsDf(rows: Seq[(String, Long, Double)]) =
+    rows.toDF("g", "id", "v")
+
+  private def collectSketch(sk: org.apache.spark.sql.DataFrame) =
+    sk.as[(String, String, Double, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("quantileSketch: merge law is EXACT — merge(sk(A), sk(B)) ≡ sk(A ∪ B)") {
+    // 400 rows/group with k=16 forces a non-trivial threshold (thr ≥ 4);
+    // the split is by id parity, so both halves carry every level range
+    val all = (0 until 400).map(i => ("g1", i.toLong, (i * 37 % 400).toDouble)) ++
+      (0 until 300).map(i => ("g2", 1000L + i, (i * 13 % 300).toDouble))
+    val (a, b) = all.partition(_._2 % 2 == 0)
+    val whole = Sketches.quantileSketch(qsDf(all), "g", "v", "id", k = 16)
+    val merged = Sketches.quantileSketchMerge(
+      Sketches.quantileSketch(qsDf(a), "g", "v", "id", k = 16),
+      Sketches.quantileSketch(qsDf(b), "g", "v", "id", k = 16), k = 16)
+    assert(collectSketch(merged) == collectSketch(whole),
+      "threshold level-sampling must be a canonical function of the multiset")
+    assert(whole.agg(max("thr")).as[Int].head() >= 1, "threshold engaged")
+  }
+
+  test("quantileSketch: merge is commutative and handles one-sided groups") {
+    val a = qsDf((0 until 200).map(i => ("x", i.toLong, i.toDouble)) ++
+      Seq(("onlyA", 900L, 1.0)))
+    val b = qsDf((200 until 350).map(i => ("x", i.toLong, i.toDouble)))
+    val sa = Sketches.quantileSketch(a, "g", "v", "id", k = 8)
+    val sb = Sketches.quantileSketch(b, "g", "v", "id", k = 8)
+    assert(collectSketch(Sketches.quantileSketchMerge(sa, sb, k = 8)) ==
+      collectSketch(Sketches.quantileSketchMerge(sb, sa, k = 8)))
+    // a group present on one side passes through unchanged
+    val m = Sketches.quantileSketchMerge(sa, sb, k = 8)
+      .where(col("g") === "onlyA")
+    assert(collectSketch(m) == collectSketch(sa.where(col("g") === "onlyA")))
+  }
+
+  test("quantileSketch: ≤ k rows degenerate to exact order statistics") {
+    val df = qsDf(Seq(10.0, 20.0, 30.0, 40.0, 50.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) })
+    val sk = Sketches.quantileSketch(df, "g", "v", "id", k = 256)
+    assert(sk.agg(max("thr")).as[Int].head() == 0)
+    val got = Sketches.quantileSketchQuery(sk,
+        Seq((1, 2), (4, 5), (1, 5)))
+      .select("q_num", "q_den", "est").as[(Int, Int, Double)]
+      .collect().map { case (n2, d, e) => (n2, d) -> e }.toMap
+    // exact: ceil(q·5) -> 3rd, 4th, 1st smallest
+    assert(got == Map((1, 2) -> 30.0, (4, 5) -> 40.0, (1, 5) -> 10.0))
+  }
+
+  test("quantileSketch: kept ≤ k; estimates track truth on a large group") {
+    val n = 20000
+    val df = qsDf((0 until n).map(i => ("g", i.toLong, (i * 997 % n).toDouble)))
+    val sk = Sketches.quantileSketch(df, "g", "v", "id", k = 256)
+    assert(sk.count() <= 256)
+    val got = Sketches.quantileSketchQuery(sk, Seq((1, 2), (9, 10)))
+      .select("q_num", "est").as[(Int, Double)].collect().toMap
+    // values are a permutation of 0..n-1: true p50 = n/2, p90 = 0.9n;
+    // sample error at k≈256 is O(n/√k) ≈ 6% — assert 4× that
+    assert(math.abs(got(1) - n / 2.0) / n < 0.25, s"p50=${got(1)}")
+    assert(math.abs(got(9) - 0.9 * n) / n < 0.25, s"p90=${got(9)}")
+  }
+
+  test("quantileSketch: deterministic under repartitioning") {
+    val df = qsDf((0 until 3000).map(i => (s"g${i % 2}", i.toLong, (i % 77).toDouble)))
+    val a = collectSketch(Sketches.quantileSketch(df, "g", "v", "id", k = 32))
+    val b = collectSketch(
+      Sketches.quantileSketch(df.repartition(13), "g", "v", "id", k = 32))
+    assert(a == b)
+  }
+
   test("cmsTokenCounts: colliding sketch only ever OVER-estimates") {
     // width 2 forces collisions in every row; CMS counters only absorb
     // other tokens' counts, so est >= truth for every probe — the
