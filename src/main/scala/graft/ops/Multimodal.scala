@@ -259,6 +259,61 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Transcode rasters to another container format (the corpus
+    * normalization step of a mixed-format ingest: decode whatever
+    * arrives, re-encode once, store one format). Real codecs both ways —
+    * `ImageIO.read` then an explicit-quality writer (JPEG defaults to
+    * ~0.75 otherwise; alpha sources are flattened onto an RGB canvas
+    * first because the JDK JPEG writer rejects ARGB). Narrow
+    * `mapPartitions`, bytes→bytes, no shuffle; undecodable inputs
+    * contribute no row (quarantine policy — a transcode must never kill
+    * the job, and silently passing the original bytes through would
+    * poison a format-partitioned sink).
+    */
+  def reEncodeImages(spark: SparkSession, media: DataFrame,
+      format: String = "jpg", quality: Float = 0.9f): Dataset[MediaRow] = {
+    require(quality > 0f && quality <= 1f, s"quality in (0, 1], got $quality")
+    import spark.implicits._
+    media.select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          try {
+            if (r.content == null || r.content.isEmpty) None
+            else {
+              val img = ImageIO.read(new ByteArrayInputStream(r.content))
+              if (img == null) None
+              else {
+                val rgb =
+                  if (img.getType == BufferedImage.TYPE_INT_RGB) img
+                  else {
+                    val c = new BufferedImage(img.getWidth, img.getHeight,
+                      BufferedImage.TYPE_INT_RGB)
+                    val g = c.createGraphics()
+                    try g.drawImage(img, 0, 0, null) finally g.dispose()
+                    c
+                  }
+                val writer = ImageIO.getImageWritersByFormatName(format).next()
+                val bos = new ByteArrayOutputStream()
+                val ios = new MemoryCacheImageOutputStream(bos)
+                try {
+                  val p = writer.getDefaultWriteParam
+                  if (p.canWriteCompressed) {
+                    p.setCompressionMode(
+                      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+                    p.setCompressionQuality(quality)
+                  }
+                  writer.setOutput(ios)
+                  writer.write(null, new IIOImage(rgb, null, null), p)
+                } finally { writer.dispose(); ios.close() }
+                Some(MediaRow(r.media_id, r.media_type, bos.toByteArray))
+              }
+            }
+          } catch { case NonFatal(_) => None }
+        }
+      }
+  }
+
   case class AudioStatsRow(media_id: Long, n_samples: Long, peak: Int,
       mean: Double, rms: Double)
 
@@ -432,6 +487,61 @@ object Multimodal {
           .write.mode("overwrite").parquet(gradientParquetPath)
       }
       gradientParquetPath
+    }
+
+    /** JPEG-stable checker corpus for the cross-format hash queries:
+      * 64×64 rasters of 8×8-PIXEL black/white cells, cell (u, v) white
+      * iff the first md5 byte of "id|u|v" is even — closed-form in SQL
+      * (`('0x' || substr(md5(...), 1, 2))::INT % 2`). Each cell aligns
+      * exactly with one JPEG 8×8 DCT block, so a quality-0.9 re-encode
+      * is DC-only per block and decodes within ±3 gray of the original,
+      * while every aHash decision margin is ≥ 255·64 in the scaled
+      * space (`gray·n − Σgray` for a wrong bit needs nw = 64 white
+      * cells, probability 2⁻⁶⁴) — PNG and JPEG twins hash IDENTICALLY
+      * by construction, not by luck. `id % 13 == 3` rows carry junk
+      * bytes (quarantine-policy row).
+      */
+    def checkerWhite(id: Long, u: Int, v: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|$u|$v".getBytes("UTF-8"))
+      (d(0) & 0xFF) % 2 == 0
+    }
+    def checkerPngBytes(id: Long): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      try {
+        (0 until 8).foreach { v =>
+          (0 until 8).foreach { u =>
+            gfx.setColor(
+              if (checkerWhite(id, u, v)) java.awt.Color.WHITE
+              else java.awt.Color.BLACK)
+            gfx.fillRect(u * 8, v * 8, 8, 8)
+          }
+        }
+      } finally gfx.dispose()
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    val checkerRows = 48
+    def checkerMediaFor(id: Long): MediaRow =
+      MediaRow(id, "image", if (id % 13 == 3) junk else checkerPngBytes(id))
+    def checkerDirFor: Path =
+      Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-checker-$checkerRows-v1")
+    def checkerParquetPath: String =
+      checkerDirFor.resolve("media.parquet").toString
+    private val checkerStaged = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def checkerDataset(spark: SparkSession): String = {
+      if (checkerStaged.compareAndSet(false, true)) {
+        import spark.implicits._
+        spark.range(checkerRows).repartition(4)
+          .mapPartitions { it =>
+            ImageIO.setUseCache(false); it.map(i => checkerMediaFor(i.toLong))
+          }
+          .write.mode("overwrite").parquet(checkerParquetPath)
+      }
+      checkerParquetPath
     }
 
     def mediaFor(id: Long): MediaRow = {

@@ -3663,7 +3663,53 @@ object OpsQueries {
     SELECT p.g, p.q_num, p.q_den, p.n, p.thr, p.kept, k2.v AS est
     FROM probes p JOIN rk k2 ON p.g = k2.g AND k2.rn = p.tgt"""
 
+  // ———————————————— cross-format image near-dup (q181)
+  // (the JPEG pillar: every checker PNG is re-encoded to JPEG with the
+  //  real JDK codec pair — decode → explicit-quality-0.9 write → decode
+  //  again — and its aHash must come back BIT-IDENTICAL, because the
+  //  fixture's 8×8-px cells align with JPEG DCT blocks and every hash
+  //  margin dwarfs codec noise (Fixtures.checkerWhite scaladoc). The
+  //  oracle re-derives the hash closed-form from the md5 cell parity
+  //  and asserts hamming 0 — a decode that faked rasters, dropped the
+  //  JPEG path, or mis-read dims hash- or width-mismatches.)
+  val q181CrossFormatNearDup: Q = (s, dir) => {
+    val png = s.read.parquet(Multimodal.Fixtures.checkerDataset(s))
+    val jpg = Multimodal.reEncodeImages(s, png, "jpg", 0.9f).toDF()
+    val hp = Multimodal.imageHashes(s, png).toDF().where(col("ok"))
+      .select(col("media_id"), col("ahash").as("ahash_png"))
+    val hj = Multimodal.imageHashes(s, jpg).toDF().where(col("ok"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("ahash").as("ahash_jpg"))
+    hp.join(hj, "media_id")
+      .select(col("media_id"), col("width"), col("height"),
+        col("ahash_png"), col("ahash_jpg"),
+        (0 until 4).map(i =>
+            bit_count(conv(substring(col("ahash_png"), 1 + 16 * i, 16), 2, 10)
+              .cast("long").bitwiseXOR(
+                conv(substring(col("ahash_jpg"), 1 + 16 * i, 16), 2, 10)
+                  .cast("long"))))
+          .reduce(_ + _).cast("long").as("hamming"))
+  }
+  private def q181Sql: String = s"""
+    WITH m AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.checkerParquetPath}/*.parquet')
+               WHERE media_id % 13 <> 3),
+    cells AS (SELECT m.media_id, vs.v, us.u,
+        CASE WHEN CAST(('0x' || substr(md5(m.media_id || '|' || us.u || '|'
+            || vs.v), 1, 2)) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS wht
+      FROM m, range(0, 8) vs(v), range(0, 8) us(u)),
+    nw AS (SELECT media_id, sum(wht) AS nw FROM cells GROUP BY 1),
+    bits AS (SELECT c.media_id, c.v, c.u,
+        CASE WHEN c.wht = 1 AND n.nw < 64 THEN '1' ELSE '0' END AS bit
+      FROM cells c JOIN nw n USING (media_id)),
+    hashes AS (SELECT media_id, string_agg(bit, '' ORDER BY v * 8 + u) AS ahash
+      FROM bits GROUP BY 1)
+    SELECT media_id, 64 AS width, 64 AS height, ahash AS ahash_png,
+      ahash AS ahash_jpg, CAST(0 AS BIGINT) AS hamming
+    FROM hashes"""
+
   val all: Map[String, Q] = Map(
+    "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
     "q180_quantile_sketch_merged" -> q180QuantileSketchMerged,
     "q178_robust_scale" -> q178RobustScale,
@@ -3780,6 +3826,7 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,
     // the exact merge law: merged half-sketches ≡ the direct build,
     // so q180 is gated by the same SQL — equality IS the law, verified

@@ -181,4 +181,40 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.imageNearDupPairs(spark, media, maxBucket = 1)
     assert(got.count() == 0) // every band bucket with a pair is pruned
   }
+
+  test("reEncodeImages emits REAL JPEG bytes that decode to the source dims") {
+    val media = spark.read.parquet(
+      Multimodal.Fixtures.checkerDataset(spark))
+    val jpg = Multimodal.reEncodeImages(spark, media, "jpg", 0.9f).collect()
+    // junk rows (id % 13 == 3) are dropped, everything else transcodes
+    assert(jpg.map(_.media_id).sorted.toSeq ==
+      (0L until Multimodal.Fixtures.checkerRows).filter(_ % 13 != 3))
+    jpg.foreach { r =>
+      // JPEG SOI marker — these are real encoded bytes, not a pass-through
+      assert((r.content(0) & 0xFF) == 0xFF && (r.content(1) & 0xFF) == 0xD8,
+        s"media ${r.media_id} missing JPEG SOI")
+      val m = Multimodal.JdkCodec.decode(r.content, "image")
+      assert(m.ok && m.width == 64 && m.height == 64)
+    }
+  }
+
+  test("cross-format aHash invariance: PNG and its JPEG re-encode hash identically") {
+    val png = spark.read.parquet(
+      Multimodal.Fixtures.checkerDataset(spark))
+    val jpg = Multimodal.reEncodeImages(spark, png, "jpg", 0.9f).toDF()
+    val hp = Multimodal.imageHashes(spark, png).collect()
+      .filter(_.ok).map(r => r.media_id -> r.ahash).toMap
+    val hj = Multimodal.imageHashes(spark, jpg).collect()
+      .filter(_.ok).map(r => r.media_id -> r.ahash).toMap
+    assert(hp.keySet == hj.keySet)
+    hp.foreach { case (id, h) =>
+      assert(h == hj(id), s"media $id: PNG/JPEG aHash diverged")
+      // and the hash matches the md5 cell-parity closed form
+      val expect = (0 until 8).flatMap(v => (0 until 8).map(u =>
+        if (Multimodal.Fixtures.checkerWhite(id, u, v)) '1' else '0')).mkString
+      assert(h == expect, s"media $id: hash != closed form")
+    }
+    // distinct ids get distinct random cell patterns
+    assert(hp.values.toSeq.distinct.size == hp.size)
+  }
 }
