@@ -114,6 +114,84 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** One-level Louvain-style community refinement: `rounds` rounds of
+    * greedy label moves over the undirected simplification of the edge
+    * set, starting from singleton communities. Each active node adopts
+    * the community (drawn from its neighbors' current labels, or its
+    * own) maximizing the standard Louvain gain, compared in EXACT scaled
+    * integers — `score(c) = 2m·k_{i,c} − k_i·Σ_tot^{−i}(c)` (the
+    * 2m²-scaled ΔQ with the constant terms dropped), ties broken by
+    * minimum community id — so every round is bit-reproducible and a
+    * SQL oracle can unroll the moves verbatim.
+    *
+    * Synchronous whole-graph updates ping-pong (two mutual best moves
+    * swap labels forever — observed on the two-triangle hand graph), so
+    * rounds alternate by node parity: round r moves only nodes with
+    * `(id + r) % 2 == 0`, the deterministic red-black schedule from
+    * parallel Louvain practice. Two full sweeps (rounds = 4) settle
+    * small structures; the hand graph converges in 3.
+    *
+    * Plan shape per round: one symmetric-neighbor join against the
+    * current O(V) label table, two map-side-combined aggregates
+    * (neighbor-community counts, community degree sums), one
+    * broadcast-size argmax window partitioned by node. Labels are
+    * checkpointed per round (linear lineage, [[pageRank]] discipline).
+    * Returns (id, cluster).
+    */
+  def louvainMoves(nodes: DataFrame, idCol: String, edges: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges
+      .select(least(col("src"), col("tgt")).as("a"),
+        greatest(col("src"), col("tgt")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val m = und.count()
+    val sym = und.select(col("a").as("i"), col("b").as("nb"))
+      .union(und.select(col("b").as("i"), col("a").as("nb")))
+      .localCheckpoint()
+    val deg = sym.groupBy("i").agg(count(lit(1)).as("k"))
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("com"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      // community degree sums under the CURRENT labels (isolated nodes
+      // have no deg row and contribute the 0 they should)
+      val comdeg = labels.join(deg, labels("id") === deg("i"))
+        .groupBy("com").agg(sum(col("k")).as("sigma"))
+      val nbc = sym
+        .join(labels.select(col("id").as("nb"), col("com").as("c")), "nb")
+        .groupBy("i", "c").agg(count(lit(1)).as("kic"))
+      val own = labels.select(col("id").as("i"), col("com").as("c"),
+        lit(0L).as("kic"))
+      val cand = nbc.unionByName(own).groupBy("i", "c")
+        .agg(max(col("kic")).as("kic"))
+      val scored = cand
+        .join(deg, Seq("i"), "left")
+        .join(labels.select(col("id").as("i"), col("com").as("own")), Seq("i"))
+        .join(comdeg.select(col("com").as("c"), col("sigma")), Seq("c"), "left")
+        .select(col("i"), col("c"), col("own"),
+          (lit(2L * m) * col("kic")
+            - coalesce(col("k"), lit(0L))
+              * (coalesce(col("sigma"), lit(0L))
+                - when(col("c") === col("own"),
+                    coalesce(col("k"), lit(0L))).otherwise(lit(0L))))
+            .as("score"))
+      val best = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("i").orderBy(col("score").desc, col("c").asc)))
+        .where(col("rn") === 1)
+        .select(col("i").as("id"), col("c").as("pick"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          when(pmod(col("id") + r, lit(2)) === 0,
+            coalesce(col("pick"), col("com"))).otherwise(col("com")).as("com"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("com").as("cluster"))
+  }
+
   /** Newman modularity of a node labeling over an undirected graph — the
     * standard "is this clustering better than chance" gate on a dedup/
     * community run (Q ≈ 0: no better than random; Q ≳ 0.3: real

@@ -3708,7 +3708,67 @@ object OpsQueries {
       ahash AS ahash_jpg, CAST(0 AS BIGINT) AS hamming
     FROM hashes"""
 
+  // ———————————————— Louvain one-level communities (q182)
+  // (4 parity-alternating rounds of greedy label moves over q168's
+  //  pseudo-link graph, from singleton communities — exact-integer
+  //  scores 2m·k_ic − k_i·σ^{−i}(c), min-community tie-break. The
+  //  oracle UNROLLS every round in SQL: the same candidate set, score
+  //  and argmax per node per round, so one mis-ordered tie or a stale
+  //  σ table on either engine flips a label and the hash.)
+  val q182Louvain: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Graph.louvainMoves(docs.select(col("doc_id")), "doc_id",
+      graft.ops.Graph.pseudoEdges(docs.select(col("doc_id")), "doc_id",
+        docs.count()))
+  }
+  val q182Sql: String = {
+    val rounds = (1 to 4).map { r =>
+      val p = r - 1
+      s"""
+    cd$r AS (SELECT l.com, sum(d.k) AS sigma FROM l$p l
+             JOIN deg d ON d.i = l.id GROUP BY 1),
+    cand$r AS (SELECT i, c, max(kic) AS kic FROM (
+        SELECT s.i, lp.com AS c, CAST(count(*) AS BIGINT) AS kic
+        FROM sym s JOIN l$p lp ON lp.id = s.nb GROUP BY 1, 2
+        UNION ALL SELECT id, com, CAST(0 AS BIGINT) FROM l$p) GROUP BY 1, 2),
+    sc$r AS (SELECT cand.i, cand.c,
+        2 * (SELECT m FROM m) * cand.kic
+          - coalesce(dg.k, 0) * (coalesce(cd.sigma, 0)
+            - CASE WHEN cand.c = lp.com THEN coalesce(dg.k, 0) ELSE 0 END)
+          AS score
+      FROM cand$r cand
+      JOIN l$p lp ON lp.id = cand.i
+      LEFT JOIN deg dg ON dg.i = cand.i
+      LEFT JOIN cd$r cd ON cd.com = cand.c),
+    bst$r AS (SELECT i, c FROM (SELECT i, c,
+        row_number() OVER (PARTITION BY i ORDER BY score DESC, c ASC) AS rn
+      FROM sc$r) WHERE rn = 1),
+    l$r AS (SELECT l.id,
+        CASE WHEN (l.id + $r) % 2 = 0 THEN coalesce(b.c, l.com)
+             ELSE l.com END AS com
+      FROM l$p l LEFT JOIN bst$r b ON b.i = l.id)"""
+    }.mkString(",")
+    s"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM edges),
+    m AS (SELECT count(*) AS m FROM und),
+    sym AS (SELECT a AS i, b AS nb FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT i, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+    l0 AS (SELECT node AS id, node AS com FROM nodes),$rounds
+    SELECT id, com AS cluster FROM l4"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
     "q180_quantile_sketch_merged" -> q180QuantileSketchMerged,
@@ -3826,6 +3886,7 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,
     // the exact merge law: merged half-sketches ≡ the direct build,

@@ -81,4 +81,33 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toMap
     assert(part(Some("x")) == 4L && part(None) == 2L)
   }
+
+  test("louvainMoves: bridged triangles converge to the triangle communities") {
+    // hand-traced schedule (scaladoc): r1 moves odd ids (1→com2, 3→com1,
+    // 5→com6), r2 moves even ids (4 joins {5,6}), r3 pulls 3 into {1,2} —
+    // final communities are exactly the two triangles, labeled by the
+    // deterministic min-score-tie ids 2 and 6; round 4 is a fixed point
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "tgt")
+    val r3 = Graph.louvainMoves(nodes, "id", edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L))
+    val r4 = Graph.louvainMoves(nodes, "id", edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 == r3, "round 4 must be a fixed point on the settled labels")
+    // the refinement beats the singleton start: Q(triangles) > 0
+    val q = Graph.modularity(edges, Graph.louvainMoves(nodes, "id", edges))
+      .agg(sum("q_ppm")).as[Long].head()
+    assert(q == 2 * 178571L, "refined labels reach the hand-computed Q")
+  }
+
+  test("louvainMoves: isolated node keeps its singleton community") {
+    val nodes = Seq(1L, 2L, 9L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "tgt")
+    val got = Graph.louvainMoves(nodes, "id", edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got(9L) == 9L)
+    assert(got(1L) == got(2L), "an edge pair merges")
+  }
 }
