@@ -354,6 +354,19 @@ object Analytics {
       .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("us"),
         col(idCol).as("id"))
+      // enforce the packing contract at row level: outside it the
+      // decimal decode silently yields a WRONG id/first_us, so a
+      // violating row must fail the job by name instead (the require()
+      // discipline, lifted into the scan since the bound is data-driven)
+      .withColumn("id", when(col("id").isNull || col("id") < 0L
+          || col("id") >= 1000000000000L,
+        raise_error(concat(
+          lit("rateLimitFirstPerWindow: id outside [0, 1e12): "),
+          col("id").cast("string")))).otherwise(col("id")))
+      .withColumn("us", when(col("us") < 0L,
+        raise_error(concat(
+          lit("rateLimitFirstPerWindow: ts before epoch: "),
+          col("us").cast("string")))).otherwise(col("us")))
       .withColumn("bucket_us", expr(s"(us div ${windowUs}L) * ${windowUs}L"))
       .groupBy("key", "bucket_us")
       .agg(min(col("us").cast("decimal(38,0)") * lit(1000000000000L)
@@ -385,20 +398,25 @@ object Analytics {
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val aggs = cols.flatMap { c =>
-      val s = col(c).cast("string")
-      Seq(count(lit(1)).as(s"${c}_n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
-        min(length(s)).as(s"${c}_minlen"),
-        max(length(s)).as(s"${c}_maxlen"),
-        sum(coalesce(length(s).cast("long"), lit(0L))).as(s"${c}_sumlen"))
+    // index-based internal aliases + backtick-quoted source references:
+    // a profiled column named with dots/spaces/hyphens must neither
+    // break the stack() parse nor mis-resolve as a struct path
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val s = q(c).cast("string")
+      Seq(count(lit(1)).as(s"_c${i}_n"),
+        sum(when(q(c).isNull, 1L).otherwise(0L)).as(s"_c${i}_nulls"),
+        countDistinct(q(c)).as(s"_c${i}_distinct"),
+        min(length(s)).as(s"_c${i}_minlen"),
+        max(length(s)).as(s"_c${i}_maxlen"),
+        sum(coalesce(length(s).cast("long"), lit(0L))).as(s"_c${i}_sumlen"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}_n, ${c}_nulls, ${c}_distinct, " +
-        s"CAST(${c}_minlen AS BIGINT), CAST(${c}_maxlen AS BIGINT), ${c}_sumlen")
-      .mkString(", ")
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'${c.replace("'", "''")}', _c${i}_n, _c${i}_nulls, _c${i}_distinct, " +
+        s"CAST(_c${i}_minlen AS BIGINT), CAST(_c${i}_maxlen AS BIGINT), " +
+        s"_c${i}_sumlen"
+    }.mkString(", ")
     wide.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
       "(col_name, n_rows, n_nulls, n_distinct, min_len, max_len, sum_len)"))
   }

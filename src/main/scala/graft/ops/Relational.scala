@@ -165,6 +165,15 @@ object Relational {
     * intra-batch-duplicate changes land exactly as a full rebuild
     * would — fold(batches)(scd2MergeBatch) ≡ scd2(all changes), the
     * law the oracle checks.
+    *
+    * PRECONDITION — millisecond-grain timestamps: the replay
+    * reconstructs `tsCol` from `valid_from_ms`, so a source timestamp
+    * carrying sub-ms precision loses it across a merge, and two
+    * versions of a key inside the same millisecond re-order by
+    * `tieCol` instead of their true order — silently breaking the
+    * fold ≡ rebuild law. Truncate to ms upstream (`date_trunc`), or
+    * widen the validity columns to µs, before trusting this on
+    * µs-grain sources.
     */
   def scd2MergeBatch(state: DataFrame, changes: DataFrame, keyCol: String,
       tsCol: String, tieCol: String): DataFrame = {

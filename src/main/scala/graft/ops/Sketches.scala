@@ -133,7 +133,20 @@ object Sketches {
     regs
       .withColumn("term", expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - m)"))
       .groupBy("g")
-      .agg(count(lit(1)).as("n_registers"), sum(col("term")).as("_zocc"))
+      .agg(count(lit(1)).as("n_registers"), sum(col("term")).as("_zocc"),
+        max(col("m")).as("_mx"), min(col("m")).as("_mn"))
+      // a register table built under different (buckets, maxRank) than
+      // the estimate's would silently skew z_scaled (the absent-register
+      // term uses the wrong bucket count / scale) — fail by name instead
+      .withColumn("n_registers",
+        when(col("n_registers") > buckets || col("_mx") > maxRank
+            || col("_mn") < 1,
+          raise_error(concat(lit("hllEstimate: register table does not " +
+            s"fit (buckets=$buckets, maxRank=$maxRank): g="),
+            col("g").cast("string"), lit(", n_registers="),
+            col("n_registers").cast("string"), lit(", rank range ["),
+            col("_mn").cast("string"), lit(", "), col("_mx").cast("string"),
+            lit("]")))).otherwise(col("n_registers")))
       .select(col("g"), col("n_registers"),
         (col("_zocc") + (lit(buckets.toLong) - col("n_registers"))
           * expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank)")).as("z_scaled"))

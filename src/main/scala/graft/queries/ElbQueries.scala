@@ -163,7 +163,8 @@ object ElbQueries {
       .groupBy(col("status_code_type"), col("http_method"), col("is_bot"))
       .agg(count(lit(1)).as("n"),
         sum(ElbParser.nullSentinelLong(col("sent_bytes"))).as("sum_sent_bytes"))
-    graft.streaming.StreamingSessions.drainAvailableNow(s, agg, "elb_stream_v2")
+    graft.streaming.StreamingSessions.drainAvailableNow(s, agg,
+      "elb_stream_v2", noDataBatch = false) // Complete mode
   }
 
   /** The hourly rollup (A1) over the synthetic pipeline output. Group keys
@@ -338,7 +339,8 @@ object ElbQueries {
       .groupBy(col("status_code_type"), col("http_method"), col("is_bot"))
       .agg(count(lit(1)).as("n"),
         sum(ElbParser.nullSentinelLong(col("sent_bytes"))).as("sum_sent_bytes"))
-    graft.streaming.StreamingSessions.drainAvailableNow(s, agg, "elb_stream")
+    graft.streaming.StreamingSessions.drainAvailableNow(s, agg,
+      "elb_stream", noDataBatch = false) // Complete mode
   }
 
   private def q45Sql: String = parseSql(rawLinesPath(verifyRows)) + s"""

@@ -53,7 +53,8 @@ object StreamingDedup {
       tableName: String): DataFrame =
     StreamingSessions.drainAvailableNow(spark,
       dedupFps(readDocumentsStream(spark, dir)), tableName,
-      OutputMode.Append())
+      OutputMode.Append(),
+      noDataBatch = false) // admitted rows emit as they pass, none on close
 
   /** Continuous-run variant with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps a fingerprint in the state

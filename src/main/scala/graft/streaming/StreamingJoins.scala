@@ -73,7 +73,8 @@ object StreamingJoins {
     StreamingSessions.drainAvailableNow(spark,
       viewToPurchase(stream, watermark = Some(("1 hour", "7 hours"))),
       tableName,
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      noDataBatch = false) // INNER join: matches emit on arrival, none on close
   }
 
   /** Stream-STATIC enrichment — the most common streaming join in any
@@ -105,5 +106,5 @@ object StreamingJoins {
       enrichedSegmentRollup(
         StreamingSessions.readEventsStream(spark, dir),
         graft.queries.Tables.customer(spark, dir)),
-      tableName)
+      tableName, noDataBatch = false) // Complete mode: teardown-only batch
 }

@@ -81,7 +81,12 @@ object StreamingSessions {
   def drainAvailableNow(spark: SparkSession, aggregated: DataFrame,
       tableName: String,
       outputMode: OutputMode = OutputMode.Complete(),
-      noDataBatch: Boolean = false,
+      // deliberately NO default: skipping the no-data batch silently
+      // loses the final rows of any query whose output depends on a
+      // watermark close (append-mode windowed/session aggregation,
+      // outer stream-stream joins, EventTimeTimeout flushes). Every
+      // caller states the choice at the call site.
+      noDataBatch: Boolean,
       stateParts: Int = 8): DataFrame = {
     val checkpoint = java.nio.file.Files
       .createTempDirectory(s"ckpt-$tableName")
@@ -129,7 +134,8 @@ object StreamingSessions {
   /** Drain the session-window aggregation over the whole file source. */
   def runAvailableNow(spark: SparkSession, dir: String,
       tableName: String = "stream_sessions"): DataFrame =
-    drainAvailableNow(spark, sessionWindowAgg(readEventsStream(spark, dir)), tableName)
+    drainAvailableNow(spark, sessionWindowAgg(readEventsStream(spark, dir)),
+      tableName, noDataBatch = false) // Complete mode: teardown-only batch
 
   /** Sliding-window traffic aggregation (the reference's rolling-window
     * analogue in streaming form): 1-hour windows sliding every 15 min,
@@ -148,7 +154,8 @@ object StreamingSessions {
   /** Drain the sliding-window aggregation with AvailableNow → memory. */
   def runSlidingAvailableNow(spark: SparkSession, dir: String,
       tableName: String): DataFrame =
-    drainAvailableNow(spark, slidingWindowAgg(readEventsStream(spark, dir)), tableName)
+    drainAvailableNow(spark, slidingWindowAgg(readEventsStream(spark, dir)),
+      tableName, noDataBatch = false) // Complete mode: teardown-only batch
 
   // ——— custom-state variant: the shape a pipeline uses when session logic
   //     outgrows session_window (per-session features, custom expiry)
