@@ -181,7 +181,38 @@ object StreamingQueries {
     FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1"""
 
+  // ————————————————————————————— streaming IVF ingest (q183)
+  // (the embedding-side admission loop: corpus vectors arrive as four
+  //  deterministic micro-batches, each folded into the centroid-
+  //  partitioned IVF index inside foreachBatch — the SAME index format
+  //  and upsert the batch paths use (q43/q60). Ingestion is order-
+  //  independent on disjoint ids (id-keyed upsert, frozen centroids),
+  //  so the streamed index must equal the one-shot build EXACTLY, and
+  //  the query shares q25/q43's oracle verbatim. The fixture collect is
+  //  bounded by the embeddings table (2000 × 64 at sf0.1) — it stages
+  //  the memory-source harness, not the operator's data path.)
+  val q183StreamIvfIngest: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val queryDf = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qvec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivf").resolve("index.parquet").toString
+    val rows = emb.filter(col("vec_id") >= 16)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val batches = (0 until 4).map(k => rows.filter(_._1 % 4 == k).toSeq)
+    graft.streaming.StreamingIvf.ingestInBatches(s, batches, centroids, path)
+    Similarity.ivfTopKIndexed(path, centroids, queryDf, k = 10, nProbe = 2)
+  }
+
   val all: Map[String, Q] = Map(
+    "q183_stream_ivf_ingest" -> q183StreamIvfIngest,
     "q175_stream_enrich" -> q175StreamEnrich,
     "q31_stream_session" -> q31StreamSession,
     "q39_stream_sliding" -> q39StreamSliding,
@@ -189,6 +220,9 @@ object StreamingQueries {
     "q88_stream_neardup" -> q88StreamNearDup,
     "q101_stream_interval_join" -> q101StreamIntervalJoin)
   val oracles: Map[String, String] = Map(
+    // order-independent ingest: the streamed index equals the one-shot
+    // build, so the batch IVF oracle gates the streaming path verbatim
+    "q183_stream_ivf_ingest" -> OpsQueries.q25Sql,
     "q175_stream_enrich" -> q175Sql,
     "q31_stream_session" -> q31Sql,
     "q39_stream_sliding" -> q39Sql,

@@ -260,4 +260,35 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(hits2.head == 1000L, s"expected appended id first, got ${hits2.toSeq}")
   }
+
+  test("streaming ingest in micro-batches ≡ one-shot build, row for row") {
+    import spark.implicits._
+    val vecs = emb.filter(col("vec_id") >= 16)
+    // one-shot reference index
+    val oneShot = java.nio.file.Files.createTempDirectory("ivf-oneshot")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(vecs, centroids, oneShot)
+    // the same vectors as four disjoint foreachBatch micro-batches
+    val streamed = java.nio.file.Files.createTempDirectory("ivf-streamed")
+      .resolve("idx").toString
+    val rows = vecs
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val batches = (0 until 4).map(k => rows.filter(_._1 % 4 == k).toSeq)
+    graft.streaming.StreamingIvf.ingestInBatches(
+      spark, batches, centroids, streamed)
+    def contents(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id"),
+        Similarity.asDouble(col("embedding")).as("e"))
+      .as[(Long, Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val a = contents(oneShot)
+    assert(a.nonEmpty && a == contents(streamed),
+      "order-independent id-keyed upsert: any decomposition, same index")
+    // and the search over the streamed index matches the one-shot answer
+    val qa = Similarity.ivfTopKIndexed(oneShot, centroids, queryDf,
+      k = 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qb = Similarity.ivfTopKIndexed(streamed, centroids, queryDf,
+      k = 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(qa == qb)
+  }
 }
