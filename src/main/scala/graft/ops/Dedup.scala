@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -598,19 +598,23 @@ object Dedup {
     * 60). Star rewrites move whole SUBTREES per round, not frontier
     * vertices — the same graph converges in 8 alternations.
     *
-    * Mechanics per round: two grouped mins + two equi-joins on edge-sized
-    * frames, one shuffle-free fingerprint aggregate (the only driver
-    * scalar — the loop is control flow, not data flow), and a
-    * stats-resetting eager materialization ([[checkpointResetStats]]) so
+    * Mechanics per round: ONE action. Both star phases are composed into
+    * a single lazy plan — the two references to the large-star edge set
+    * inside the small-star construction are identical subtrees, so
+    * Spark's exchange reuse executes the large-star shuffle once — and
+    * the round's only materialization is the stats-resetting eager
+    * checkpoint ([[checkpointResetStats]]) of the small-star output, so
     * neither lineage nor carried size estimates compound across rounds.
     * Convergence is detected by an order-independent (count, xor-of-hash)
-    * fingerprint of the edge set — equal fingerprints across one
-    * alternation are confirmed by a single exact `except` probe, so the
-    * per-round cost is a narrow scan of the just-checkpointed frame
-    * instead of the former tagged-union groupBy (a full 2|E| shuffle per
-    * round that dominated shallow dedup-cluster graphs, which converge in
-    * 1-2 alternations). Only ids appearing in `pairs` are returned —
-    * singletons are their own keeper by definition.
+    * fingerprint of the edge set, collected for FREE during that same
+    * checkpoint via `observe` (a `CollectMetricsExec` accumulator — no
+    * separate job); equal fingerprints across one alternation are
+    * confirmed by a single exact `except` probe. Shallow dedup-cluster
+    * graphs (1-2 alternations) therefore pay 2-3 driver round-trips
+    * total, versus 3 per round in the previous ls-checkpoint +
+    * ss-checkpoint + fingerprint-job shape. Only ids appearing in
+    * `pairs` are returned — singletons are their own keeper by
+    * definition.
     */
   /** Eagerly materialize AND drop carried plan statistics. Spark 4's
     * `localCheckpoint` preserves the checkpointed plan's estimated stats
@@ -638,24 +642,47 @@ object Dedup {
     // would otherwise re-run per reference
     val p = pairs.select(col("a"), col("b"))
       .where(col("a") =!= col("b")).localCheckpoint(true)
-    // canonical hi→lo orientation; both star phases preserve it
-    var e = checkpointResetStats(
-      p.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b")).distinct())
+    connectedComponentsLabels(p, starForest(p, maxIter))
+  }
+
+  /** The alternating-star loop: reduces checkpointed pair set `p` to its
+    * converged star-forest edge set (every non-root → component min).
+    */
+  private def starForest(p: DataFrame, maxIter: Int): DataFrame = {
     // Edge-SET fingerprint: cardinality + order-independent XOR of a
     // per-edge 64-bit hash. `bit_xor` is exactly associative/commutative
-    // and cannot overflow (unlike `sum` under ANSI), so the aggregate is
-    // a deterministic set digest computable by a shuffle-free partial
-    // aggregate over the just-checkpointed frame. Equality across one
-    // alternation is (almost-surely) the fixpoint; the one exact probe
-    // below makes it a proof, and a hash collision merely costs one
-    // extra round.
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
+    // and cannot overflow (unlike `sum` under ANSI), so the pair is a
+    // deterministic set digest. It is collected as an `observe` metric
+    // DURING the eager checkpoint's own job (CollectMetricsExec is an
+    // accumulator in the scan, reported on the action's SQL-execution
+    // end) — zero extra jobs per round. Equality across one alternation
+    // is (almost-surely) the fixpoint; the one exact probe below makes
+    // it a proof, and a hash collision merely costs one extra round.
+    def checkpointWithFingerprint(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = Observation()
+      val ck = checkpointResetStats(df.observe(obs,
+        count(lit(1)).as("n"), expr("bit_xor(xxhash64(a, b))").as("h")))
+      val m = obs.get
+      val h = m.get("h") match {
+        case Some(x: Long) => x
+        case _             => 0L // bit_xor over zero rows is null
+      }
+      (ck, (m("n").asInstanceOf[Long], h))
     }
-    var fpE = fingerprint(e)
+    // canonical hi→lo orientation; both star phases preserve it. This
+    // first materialization runs under the session's own AQE setting —
+    // it consumes the (possibly large, possibly skewed) checkpointed
+    // pair list, exactly where adaptive execution earns its keep.
+    var (e, fpE) = checkpointWithFingerprint(
+      p.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")).distinct())
+    // NOTE (measured, round 9): running this loop with AQE disabled —
+    // whether at the session's shuffle parallelism or with partitions
+    // hand-sized to the known edge count — is 1.3-1.9× SLOWER at sf0.1
+    // than letting AQE fire one job per query stage (q61 1.5→2.8 s,
+    // q161 5.6→7.0 s min-of-3), despite cutting the job count 3×. The
+    // per-stage jobs overlap in the scheduler; the serialized
+    // single-partition stages don't. AQE stays on.
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -665,23 +692,29 @@ object Dedup {
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("u"), col("_mn")).as("m"))
-      val ls = checkpointResetStats(
-        sym.join(lsMin, "u").where(col("v") > col("u"))
-          .select(col("v").as("a"), col("m").as("b")).distinct())
+      // no distinct here: duplicate (v, m) rows (several u-neighbors of v
+      // sharing a min) are never MORE rows than `e` itself, the groupBy
+      // below combines them map-side, and the final distinct on `ss`
+      // removes the survivors — a whole shuffle saved per round
+      val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
       // small-star: u's ≤-neighbors (and u itself) all point at their min
-      // (ls is hi→lo, so grouping by the hi endpoint IS Γ⁻(u))
+      // (ls is hi→lo, so grouping by the hi endpoint IS Γ⁻(u)). `ls` is
+      // deliberately NOT materialized: both references below are
+      // identical subtrees in one job, so exchange reuse runs the
+      // large-star shuffle once — the whole alternation is a single
+      // action (the checkpoint), not three.
       val ssMin = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = checkpointResetStats(
+      val (ss, fpS) = checkpointWithFingerprint(
         ls.join(ssMin, "a")
           .where(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b"))
           .union(ssMin.select(col("a"), col("m").as("b")))
           .distinct())
       // converged ⇔ the edge set is unchanged. Cheap test first
-      // (fingerprint equality, narrow aggregate); exact confirmation
+      // (fingerprint equality, already in hand); exact confirmation
       // once: both sides are distinct sets of equal cardinality, so an
       // empty one-sided except proves set equality.
-      val fpS = fingerprint(ss)
       converged = fpS == fpE && ss.exceptAll(e).isEmpty
       e = ss
       fpE = fpS
@@ -692,8 +725,13 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter alternations " +
       "(edge set still changing) — raise maxIter")
-    // star forest: every non-root points at its component min; roots
-    // (the minima) label themselves
+    e
+  }
+
+  /** [[starForest]]'s edges as the public (id, cluster) label table.
+    * Split out so the loop body can run under its own conf scope.
+    */
+  private def connectedComponentsLabels(p: DataFrame, e: DataFrame): DataFrame = {
     val ids = p.select(col("a").as("id"))
       .union(p.select(col("b").as("id"))).distinct()
     ids.join(e.select(col("a").as("id"), col("b").as("cluster")),
