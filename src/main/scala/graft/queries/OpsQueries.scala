@@ -3708,6 +3708,38 @@ object OpsQueries {
       ahash AS ahash_jpg, CAST(0 AS BIGINT) AS hamming
     FROM hashes"""
 
+  // ———————————————— dataset content digest (q184)
+  // (the integrity op a 100 TB copy/migration needs: every audited row
+  //  folds to a 60-bit md5 hash, rows land in 16 md5 buckets, each
+  //  bucket folds to (count, XOR) — order- and partitioning-independent,
+  //  O(buckets) state, plus a rollup grand-total row. Doubles and
+  //  timestamps are pre-canonicalized to integers (cents, epoch-ms) so
+  //  the serialization is engine-portable; the oracle rebuilds every
+  //  row hash bit-for-bit.)
+  val q184DatasetDigest: Q = (s, dir) =>
+    graft.ops.Integrity.datasetDigest(
+      Tables.orders(s, dir),
+      Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        // NTZ parquet timestamp → instant under the session's UTC TZ,
+        // matching DuckDB's epoch_ms on the same naive value
+        unix_millis(col("o_orderdate").cast("timestamp"))),
+      buckets = 16)
+  private val q184Sql: String = """
+    WITH c AS (SELECT md5(concat_ws('|',
+        coalesce(CAST(o_orderkey AS VARCHAR), '~NULL~'),
+        coalesce(CAST(o_custkey AS VARCHAR), '~NULL~'),
+        coalesce(o_orderstatus, '~NULL~'),
+        coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+          '~NULL~'),
+        coalesce(CAST(epoch_ms(o_orderdate) AS VARCHAR), '~NULL~'))) AS h
+      FROM orders),
+    r AS (SELECT CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS rh,
+            CAST(('0x' || substr(h, 16, 8)) AS BIGINT) % 16 AS bucket
+          FROM c)
+    SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
+    FROM r GROUP BY ROLLUP(bucket)"""
+
   // ———————————————— Louvain one-level communities (q182)
   // (4 parity-alternating rounds of greedy label moves over q168's
   //  pseudo-link graph, from singleton communities — exact-integer
@@ -3768,6 +3800,7 @@ object OpsQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q184_dataset_digest" -> q184DatasetDigest,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -3886,6 +3919,7 @@ object OpsQueries {
     "q131_span_mask" -> q131SpanMask)
 
   val oracles: Map[String, String] = Map(
+    "q184_dataset_digest" -> q184Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,
