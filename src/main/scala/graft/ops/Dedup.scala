@@ -1015,4 +1015,56 @@ object Dedup {
         levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Blocked best-match record linkage: for every LEFT record, the
+    * single RIGHT record (same block) with the highest Jaro-Winkler
+    * similarity ([[graft.functions.JaroWinkler]] — a native kernel
+    * pinned to DuckDB's byte-level semantics), ties broken by minimum
+    * right id. The "link two registries" shape: dedup collapses one
+    * table; linkage ALIGNS two (old/new snapshot, two vendors' customer
+    * lists) without ever leaving unmatched left rows implicit — a left
+    * record whose block has no right rows simply yields nothing, which
+    * the caller can anti-join for.
+    *
+    * Scores are emitted in exact PPM (`round(jw·10⁶)`) so the
+    * cross-engine argmax compares integers, not last-ulp doubles.
+    *
+    * Scale shape: candidates ∝ Σ block_l·block_r, never |L|·|R| —
+    * blocks above `maxBlock` on either side are dropped (profile them
+    * out-of-band, the [[graft.ops.Web.domainDocCap]] discipline). The
+    * per-left argmax is a partial-aggregable max_by over the candidate
+    * stream, not a window sort.
+    */
+  def blockedBestMatch(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, blockCol: Column, maxBlock: Long = 10000): DataFrame = {
+    def side(df: DataFrame, suffix: String) = {
+      val rows = df.select(col(idCol).as(s"id$suffix"),
+        col(textCol).as(s"t$suffix"), blockCol.as("blk"))
+      val kept = rows.groupBy("blk").agg(count(lit(1)).as("_n"))
+        .where(col("_n") <= maxBlock).select("blk")
+      rows.join(kept, Seq("blk"))
+    }
+    val cand = side(left, "_a").join(side(right, "_b"), Seq("blk"))
+      .select(col("id_a").as("a"), col("id_b").as("b"),
+        round(graft.functions.StringSimilarityExpressions
+          .jaroWinkler(col("t_a"), col("t_b")) * 1000000)
+          .cast("long").as("jw_ppm"))
+    // argmax as one hash aggregate: pack (jw_ppm desc, b asc) into a
+    // single orderable long — jw_ppm ≤ 10⁶ needs 20 bits, leaving 43
+    // for the id (guarded, the rateLimitFirstPerWindow discipline) —
+    // so the per-left best needs no window/sort, just max()
+    val idBits = 43
+    val packed = cand
+      .withColumn("b", when(col("b") < 0 || col("b") >= (1L << idBits),
+        raise_error(concat(lit("blockedBestMatch: right id outside "
+          + "[0, 2^43): "), col("b").cast("string")))).otherwise(col("b")))
+      .select(col("a"),
+        (shiftleft(col("jw_ppm"), idBits)
+          + (lit((1L << idBits) - 1) - col("b"))).as("key"))
+    packed.groupBy("a").agg(max(col("key")).as("key"))
+      .select(col("a"),
+        (lit((1L << idBits) - 1)
+          - col("key").bitwiseAND(lit((1L << idBits) - 1))).as("b"),
+        shiftright(col("key"), idBits).as("jw_ppm"))
+  }
 }

@@ -3740,6 +3740,39 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— Jaro-Winkler best-match linkage (q185)
+  // (record linkage between two registries — even- vs odd-keyed
+  //  customers, blocked by nation: every left record gets its single
+  //  best right match by the native [[graft.functions.JaroWinkler]]
+  //  kernel, pinned byte-for-byte to DuckDB's jaro_winkler_similarity;
+  //  scores compare in exact PPM and the argmax packs (ppm, ¬id) into
+  //  one max()-able long, so the oracle's row_number formulation must
+  //  pick the identical winner for every left row.)
+  val q185JaroLinkage: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    graft.ops.Dedup.blockedBestMatch(
+      c.where(pmod(col("c_custkey"), lit(2)) === 0),
+      c.where(pmod(col("c_custkey"), lit(2)) === 1),
+      "c_custkey", "c_name", col("c_nationkey"))
+  }
+  private val q185Sql: String = """
+    WITH l0 AS (SELECT c_custkey AS a, c_name AS ta, c_nationkey AS blk
+                FROM customer WHERE c_custkey % 2 = 0),
+    r0 AS (SELECT c_custkey AS b, c_name AS tb, c_nationkey AS blk
+           FROM customer WHERE c_custkey % 2 = 1),
+    l AS (SELECT * FROM l0 WHERE blk IN
+            (SELECT blk FROM l0 GROUP BY blk HAVING count(*) <= 10000)),
+    r AS (SELECT * FROM r0 WHERE blk IN
+            (SELECT blk FROM r0 GROUP BY blk HAVING count(*) <= 10000)),
+    cand AS (SELECT a, b,
+        CAST(round(jaro_winkler_similarity(ta, tb) * 1000000) AS BIGINT)
+          AS jw_ppm
+      FROM l JOIN r USING (blk)),
+    rk AS (SELECT a, b, jw_ppm,
+             row_number() OVER (PARTITION BY a
+               ORDER BY jw_ppm DESC, b) AS rn FROM cand)
+    SELECT a, b, jw_ppm FROM rk WHERE rn = 1"""
+
   // ———————————————— Louvain one-level communities (q182)
   // (4 parity-alternating rounds of greedy label moves over q168's
   //  pseudo-link graph, from singleton communities — exact-integer
@@ -3801,6 +3834,7 @@ object OpsQueries {
 
   val all: Map[String, Q] = Map(
     "q184_dataset_digest" -> q184DatasetDigest,
+    "q185_jaro_linkage" -> q185JaroLinkage,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -3920,6 +3954,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "q184_dataset_digest" -> q184Sql,
+    "q185_jaro_linkage" -> q185Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,
