@@ -630,7 +630,7 @@ object Dedup {
     * opportunity is lost; the per-row InternalRow↔Row conversion is
     * narrow, pipelined, and invisible next to the join shuffle.
     */
-  private def checkpointResetStats(df: DataFrame): DataFrame = {
+  private[ops] def checkpointResetStats(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }

@@ -240,4 +240,63 @@ object Graph {
         floor(col("q_num").cast("double") * lit(1e6)
           / lit(4.0 * m.toDouble * m.toDouble)).cast("long"))
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly drop every
+    * node whose degree among SURVIVING nodes is < k until no node drops;
+    * returns the k-core members with their within-core degree. The graph
+    * community/spam filter that degree thresholds alone can't compute —
+    * a node with 100 edges all into peeled-away shell nodes is NOT in
+    * the core.
+    *
+    * Per round: one symmetric-edge filter against the current survivor
+    * set (two co-keyed joins) + one degree count — O(E) work, O(V)
+    * state. Survivor tables only SHRINK, so round count is bounded by
+    * the degeneracy ordering depth (6 rounds on the sf0.1 pseudo-graph);
+    * each round materializes through [[Dedup.checkpointResetStats]] (the
+    * double self-reference per round would otherwise square carried
+    * size estimates — the q161 driver-stall lesson) with the survivor
+    * count collected free via `observe` during the same job. Shrinkage
+    * makes count equality a convergence PROOF (alive' ⊆ alive always).
+    *
+    * `maxRounds` must cover the true peel depth AND any unrolled-SQL
+    * oracle must unroll ≥ that depth — peeling is idempotent at the
+    * fixpoint, so over-unrolling is exact while under-unrolling fails
+    * loudly here rather than silently diverging.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges
+      .select(least(col("src"), col("tgt")).as("a"),
+        greatest(col("src"), col("tgt")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("i"), col("b").as("nb"))
+      .union(und.select(col("b"), col("a"))).localCheckpoint(true)
+    def ckCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = Dedup.checkpointResetStats(
+        df.observe(obs, count(lit(1)).as("n")))
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (alive, n) = ckCount(sym.select(col("i")).distinct())
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val (next, n2) = ckCount(
+        sym.join(alive, Seq("i"))
+          .join(alive.select(col("i").as("nb")), Seq("nb"))
+          .groupBy("i").agg(count(lit(1)).as("c"))
+          .where(col("c") >= k).select("i"))
+      converged = n2 == n
+      alive = next
+      n = n2
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge in $maxRounds rounds — raise maxRounds " +
+      "(and any unrolled oracle) above the graph's peel depth")
+    sym.join(alive, Seq("i"))
+      .join(alive.select(col("i").as("nb")), Seq("nb"))
+      .groupBy("i").agg(count(lit(1)).as("core_deg"))
+      .select(col("i").as("id"), col("core_deg"))
+  }
 }

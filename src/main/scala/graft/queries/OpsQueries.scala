@@ -3740,6 +3740,48 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— k-core decomposition (q186)
+  // (iterative peeling on q168's pseudo-link graph at k=4: drop nodes
+  //  with <4 surviving neighbors until fixpoint — 3 rounds at sf0.01,
+  //  6 at sf0.1. The oracle UNROLLS 12 peel rounds; peeling is
+  //  idempotent at the fixpoint so over-unrolling is exact, and the
+  //  Spark op fails loudly past 12 rounds instead of silently
+  //  diverging from the unroll.)
+  val q186KCore: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Graph.kCore(
+      graft.ops.Graph.pseudoEdges(docs.select(col("doc_id")), "doc_id",
+        docs.count()), k = 4, maxRounds = 12)
+  }
+  private val q186Sql: String = {
+    // MATERIALIZED: each a_r is referenced twice by a_{r+1}; DuckDB
+    // inlines plain CTEs per reference, which expands the 12-round
+    // chain 2¹²-fold and exhausts file descriptors on the parquet scan
+    val rounds = (1 to 12).map { r =>
+      s"""
+    a$r AS MATERIALIZED (SELECT e.i FROM sym e JOIN a${r - 1} x ON e.i = x.i
+            JOIN a${r - 1} y ON e.nb = y.i
+            GROUP BY 1 HAVING count(*) >= 4)"""
+    }.mkString(",")
+    s"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+        CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+          CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+          % (SELECT n FROM nn) AS tgt
+      FROM nodes, unnest(range(0, 3)) t(j)),
+    e AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM e),
+    sym AS MATERIALIZED (SELECT a AS i, b AS nb FROM und
+            UNION ALL SELECT b, a FROM und),
+    a0 AS MATERIALIZED (SELECT DISTINCT i FROM sym),$rounds
+    SELECT e.i AS id, count(*) AS core_deg
+    FROM sym e JOIN a12 x ON e.i = x.i JOIN a12 y ON e.nb = y.i
+    GROUP BY 1"""
+  }
+
   // ———————————————— Jaro-Winkler best-match linkage (q185)
   // (record linkage between two registries — even- vs odd-keyed
   //  customers, blocked by nation: every left record gets its single
@@ -3835,6 +3877,7 @@ object OpsQueries {
   val all: Map[String, Q] = Map(
     "q184_dataset_digest" -> q184DatasetDigest,
     "q185_jaro_linkage" -> q185JaroLinkage,
+    "q186_kcore" -> q186KCore,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -3955,6 +3998,7 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "q184_dataset_digest" -> q184Sql,
     "q185_jaro_linkage" -> q185Sql,
+    "q186_kcore" -> q186Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

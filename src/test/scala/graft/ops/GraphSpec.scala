@@ -110,4 +110,30 @@ class GraphSpec extends SparkSpec {
     assert(got(9L) == 9L)
     assert(got(1L) == got(2L), "an edge pair merges")
   }
+
+  test("kCore: K4 with a pendant chain keeps exactly the clique at k=3") {
+    // 0-1-2-3 complete (deg 3 each), chain 3-4-5 hangs off it. Peeling
+    // at k=3 must remove 5 (deg 1), THEN 4 (deg 1 after) — a node whose
+    // raw degree passes but whose support peels away — keeping the K4.
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("src", "tgt")
+    val got = Graph.kCore(edges, k = 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCore: k above the degeneracy empties the core; k=1 keeps all") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "tgt")
+    assert(Graph.kCore(edges, k = 3).isEmpty)
+    assert(Graph.kCore(edges, k = 1).count() == 3)
+  }
+
+  test("kCore fails loudly when maxRounds is below the peel depth") {
+    // chain of 6: peeling at k=2 eats one node per end per round and
+    // needs 3 rounds to empty — maxRounds=1 must throw, not return
+    val chain = (0L to 5L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(chain.toDF("src", "tgt"), k = 2, maxRounds = 1).count()
+    }
+    assert(e.getMessage.contains("maxRounds"))
+  }
 }
