@@ -312,6 +312,85 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the score Google built
+    * for exactly this corpus-scale setting): score documents against an
+    * n-gram model trained on a DIFFERENT partition of the corpus, with
+    * the trigram estimate backing off multiplicatively instead of
+    * discounting — `S(w₃|w₁w₂) = c₃/c₂` when the trigram was seen, else
+    * `0.4·c₂(w₂w₃)/c₁(w₂)`, else `0.4²·c₁(w₃)/N`, else the OOV floor
+    * `0.4³/N`. No normalization pass, no smoothing hyper-parameters to
+    * fit — which is why it's the standard cheap quality/perplexity
+    * proxy for train-data filtering at scale (unlike [[bigramLogProb]]'s
+    * Jelinek-Mercer, which scores the corpus against itself and never
+    * exercises unseen-n-gram paths).
+    *
+    * Returns per scored doc: `(id, score6, n_tri, n_bi, n_uni, n_oov)` —
+    * mean log-score rounded to 6 d.p. (the mean round absorbs summation
+    * order, q113 discipline) plus how many positions resolved at each
+    * backoff level. The level counts are exact integers, so a single
+    * mis-joined count table breaks the hash even where the float mean
+    * would forgive it.
+    *
+    * Scale shape: token streams explode linearly (shared per-doc sort
+    * for both `lead`s); count tables aggregate map-side; the score join
+    * shuffles on n-gram keys — never a cross join; the two scalar
+    * totals broadcast. Count tables are train-corpus-sized (the model),
+    * exactly what a production backoff LM materializes.
+    */
+  def stupidBackoffScore(train: DataFrame, scored: DataFrame,
+      textCol: String, idCol: String, alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tokens(df: DataFrame) = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w1")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // training model: unigram / bigram / trigram count tables + N
+    val t = tokens(train)
+      .withColumn("w2", lead("w1", 1).over(byDoc))
+      .withColumn("w3", lead("w1", 2).over(byDoc))
+    val c1 = t.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
+    val c2 = t.where(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c3 = t.where(col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val total = c1.agg(sum(col("c1")).as("n"))
+    // scored trigram positions, resolved longest-match-first
+    val s = tokens(scored)
+      .withColumn("w2", lead("w1", 1).over(byDoc))
+      .withColumn("w3", lead("w1", 2).over(byDoc))
+      .where(col("w3").isNotNull)
+    val a = lit(alpha)
+    s.join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1"), col("w2"), col("c2").as("c2p")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("_b1"), col("w2").as("_b2"),
+        col("c2").as("c2b")),
+        col("w2") === col("_b1") && col("w3") === col("_b2"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1w3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      // a trigram seen in training implies its prefix bigram was too, so
+      // level "tri" needs no c2p null-guard beyond the c3 one
+      .withColumn("lvl",
+        when(col("c3").isNotNull, lit("tri"))
+          .when(col("c2b").isNotNull, lit("bi"))
+          .when(col("c1w3").isNotNull, lit("uni"))
+          .otherwise(lit("oov")))
+      .withColumn("score",
+        when(col("lvl") === "tri", col("c3") / col("c2p"))
+          .when(col("lvl") === "bi", a * col("c2b") / col("c1w2"))
+          .when(col("lvl") === "uni", a * a * col("c1w3") / col("n"))
+          .otherwise(a * a * a / col("n")))
+      .groupBy("id")
+      .agg(round(avg(log(col("score"))), 6).as("score6"),
+        count(when(col("lvl") === "tri", 1)).as("n_tri"),
+        count(when(col("lvl") === "bi", 1)).as("n_bi"),
+        count(when(col("lvl") === "uni", 1)).as("n_uni"),
+        count(when(col("lvl") === "oov", 1)).as("n_oov"))
+  }
+
   /** Pointwise mutual information over co-occurring word pairs — the
     * collocation detector ("new york", "machine learning") every
     * corpus-analysis pass wants: `pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )`

@@ -3740,6 +3740,66 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— stupid-backoff trigram LM scoring (q187)
+  // (train on even doc_ids, score odd ones — the held-out split is what
+  //  makes the backoff ladder actually fire, unlike q113's self-scored
+  //  JM bigram. Per-level integer counts ride along, so a mis-joined
+  //  count table breaks the hash even where the 6 d.p. mean forgives
+  //  float noise. All literals CAST AS DOUBLE in the oracle — DuckDB
+  //  would otherwise do DECIMAL arithmetic on 0.4.)
+  val q187StupidBackoff: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.TextOps.stupidBackoffScore(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      "text", "doc_id")
+  }
+  private val q187Sql: String = """
+    WITH tr AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents WHERE doc_id % 2 = 0),
+    sc AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE doc_id % 2 = 1),
+    tt AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tr),
+    tg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+             i, len(w) AS lw FROM tt),
+    c1 AS (SELECT w1 AS w, count(*) AS c1 FROM tg GROUP BY 1),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM tg
+           WHERE i + 1 <= lw GROUP BY 1, 2),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg
+           WHERE i + 2 <= lw GROUP BY 1, 2, 3),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+    si AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM sc),
+    st AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+           FROM si),
+    j AS (SELECT s.doc_id, c3.c3, c2p.c2 AS c2p, c2b.c2 AS c2b,
+            u2.c1 AS c1w2, u3.c1 AS c1w3
+          FROM st s
+          LEFT JOIN c3 ON c3.w1 = s.w1 AND c3.w2 = s.w2 AND c3.w3 = s.w3
+          LEFT JOIN c2 c2p ON c2p.w1 = s.w1 AND c2p.w2 = s.w2
+          LEFT JOIN c2 c2b ON c2b.w1 = s.w2 AND c2b.w2 = s.w3
+          LEFT JOIN c1 u2 ON u2.w = s.w2
+          LEFT JOIN c1 u3 ON u3.w = s.w3),
+    lv AS (SELECT doc_id,
+            CASE WHEN c3 IS NOT NULL THEN 'tri'
+                 WHEN c2b IS NOT NULL THEN 'bi'
+                 WHEN c1w3 IS NOT NULL THEN 'uni'
+                 ELSE 'oov' END AS lvl,
+            CASE WHEN c3 IS NOT NULL THEN c3 / c2p
+                 WHEN c2b IS NOT NULL THEN
+                   CAST(0.4 AS DOUBLE) * c2b / c1w2
+                 WHEN c1w3 IS NOT NULL THEN
+                   CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * c1w3
+                     / (SELECT n FROM n)
+                 ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                     * CAST(0.4 AS DOUBLE) / (SELECT n FROM n) END AS score
+           FROM j)
+    SELECT doc_id AS id, round(avg(ln(score)), 6) AS score6,
+      count(CASE WHEN lvl = 'tri' THEN 1 END) AS n_tri,
+      count(CASE WHEN lvl = 'bi' THEN 1 END) AS n_bi,
+      count(CASE WHEN lvl = 'uni' THEN 1 END) AS n_uni,
+      count(CASE WHEN lvl = 'oov' THEN 1 END) AS n_oov
+    FROM lv GROUP BY 1"""
+
   // ———————————————— k-core decomposition (q186)
   // (iterative peeling on q168's pseudo-link graph at k=4: drop nodes
   //  with <4 surviving neighbors until fixpoint — 3 rounds at sf0.01,
@@ -3878,6 +3938,7 @@ object OpsQueries {
     "q184_dataset_digest" -> q184DatasetDigest,
     "q185_jaro_linkage" -> q185JaroLinkage,
     "q186_kcore" -> q186KCore,
+    "q187_stupid_backoff" -> q187StupidBackoff,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -3999,6 +4060,7 @@ object OpsQueries {
     "q184_dataset_digest" -> q184Sql,
     "q185_jaro_linkage" -> q185Sql,
     "q186_kcore" -> q186Sql,
+    "q187_stupid_backoff" -> q187Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

@@ -814,4 +814,38 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 0L, 1L -> 0L))
   }
+
+  test("stupidBackoffScore: every backoff level resolves hand-computably") {
+    import spark.implicits._
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text") // N = 6
+    // scored trigrams: (a,b,c) seen in train -> tri c3/c2(a,b) = 1/2;
+    // (b,c,b): unseen, backoff bigram (c,b)? unseen; unigram b: c=2 ->
+    //   uni 0.4*0.4*2/6; (c,b,x): x OOV -> 0.4^3/6;
+    // (b,x,d) -> bigram (x,d)? unseen, unigram d: 1 -> uni; (x,d,a):
+    //   trigram unseen, bigram (d,a)? train has "...b d" end, (d,a) no ->
+    //   unigram a: 2 -> uni
+    val scored = Seq((1L, "a b c b x d a")).toDF("doc_id", "text")
+    val out = TextOps.stupidBackoffScore(train, scored, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    val uni = (c: Double) => 0.4 * 0.4 * c / 6.0
+    val want = (math.log(1.0 / 2) + math.log(uni(2)) +
+      math.log(0.4 * 0.4 * 0.4 / 6.0) + math.log(uni(1)) +
+      math.log(uni(2))) / 5
+    assert(out._1 == 1L)
+    assert(math.abs(out._2 - want) < 1e-6, s"got ${out._2} want $want")
+    assert((out._3, out._4, out._5, out._6) == ((1L, 0L, 3L, 1L)),
+      "level counts: 1 tri, 0 bi, 3 uni, 1 oov")
+  }
+
+  test("stupidBackoffScore: bigram backoff level fires when (w2,w3) seen") {
+    import spark.implicits._
+    val train = Seq((0L, "x a b")).toDF("doc_id", "text") // bigram (a,b)
+    val scored = Seq((1L, "b a b")).toDF("doc_id", "text") // tri (b,a,b) unseen
+    val r = TextOps.stupidBackoffScore(train, scored, "text", "doc_id")
+      .collect().head
+    // backoff: 0.4 * c2(a,b)/c1(a) = 0.4 * 1/1
+    assert(r.getLong(3) == 1L && r.getLong(2) == 0L)
+    assert(math.abs(r.getDouble(1) - math.log(0.4)) < 1e-6)
+  }
 }
