@@ -743,4 +743,52 @@ object Analytics {
       .select(col("g").as(groupCol), col("n"), col("mean_cents"),
         col("ci_lo"), col("ci_hi"), col("n_reps").cast("long").as("n_reps"))
   }
+
+  /** Cross-source quantile normalization — the data-mixing step that
+    * makes per-source scores COMPARABLE before mixture sampling: each
+    * source's value distribution is mapped onto the pooled
+    * distribution, so "top 10% within its source" means the same
+    * normalized value everywhere regardless of how lenient one source's
+    * scorer ran. Mapping is at (group, value) granularity: a value with
+    * within-group cumulative rank r (its LAST tied row) maps to the
+    * pooled order statistic at rank `((r−1)·N) div n_g + 1` — ties get
+    * ONE normalized value (rows are never ranked individually), and the
+    * arithmetic is all-integer, no interpolation floats to diverge.
+    *
+    * Scale shape (the ksDrift discipline, NOT q155's global row
+    * window): every window runs over the DISTINCT-VALUE table — bounded
+    * by value cardinality, not row count — and the pooled rank-range
+    * table broadcasts into a range join. N is a driver-side bounded
+    * scalar; `(r−1)·N` must stay in a long, so N is guarded at 3·10⁹
+    * (switch the product to decimal beyond that).
+    *
+    * Returns `(group, v, n, t, norm_v)`: per group-value row count, the
+    * pooled target rank, and the normalized value.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val nAll = vals.count() // bounded scalar (a count, not a collect)
+    require(nAll < 3037000499L, // floor(sqrt(2^63 − 1))
+      s"quantileNormalize: $nAll rows would overflow the long rank " +
+      "product — lift the target-rank arithmetic to decimal first")
+    val gv = vals.groupBy("g", "v").agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumg = gv.withColumn("r", sum("n").over(wg))
+    val ng = gv.groupBy("g").agg(sum("n").as("n_g"))
+    val wp = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = vals.groupBy("v").agg(count(lit(1)).as("n"))
+      .withColumn("hi", sum("n").over(wp))
+      .withColumn("lo", col("hi") - col("n") + 1)
+      .select(col("v").as("norm_v"), col("lo"), col("hi"))
+    cumg.join(ng, Seq("g"))
+      .withColumn("t", expr(s"((r - 1) * ${nAll}L) div n_g + 1"))
+      .join(broadcast(pooled),
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("g"), col("v"), col("n"), col("t"), col("norm_v"))
+  }
 }

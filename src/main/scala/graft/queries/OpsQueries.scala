@@ -3740,6 +3740,33 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— cross-source quantile normalization (q188)
+  // (map each source's n_chars distribution onto the pooled one so
+  //  per-source scores become comparable before mixing — (group,value)
+  //  granularity, all-integer target ranks, value-cardinality windows
+  //  only, broadcast range join onto pooled rank ranges.)
+  val q188QuantileNorm: Q = (s, dir) =>
+    graft.ops.Analytics.quantileNormalize(
+      Tables.documents(s, dir), "source", "n_chars")
+  private val q188Sql: String = """
+    WITH vals AS (SELECT source AS g, n_chars AS v FROM documents
+                  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    gv AS (SELECT g, v, count(*) AS n FROM vals GROUP BY 1, 2),
+    cumg AS (SELECT g, v, n,
+               sum(n) OVER (PARTITION BY g ORDER BY v) AS r FROM gv),
+    ng AS (SELECT g, sum(n) AS n_g FROM gv GROUP BY 1),
+    nn AS (SELECT count(*) AS n_all FROM vals),
+    pooled AS (SELECT v AS norm_v,
+                 sum(n) OVER (ORDER BY v) - n + 1 AS lo,
+                 sum(n) OVER (ORDER BY v) AS hi
+               FROM (SELECT v, count(*) AS n FROM vals GROUP BY 1)),
+    tgt AS (SELECT c.g, c.v, c.n,
+              CAST(((c.r - 1) * (SELECT n_all FROM nn)) // ng.n_g + 1
+                AS BIGINT) AS t
+            FROM cumg c JOIN ng ON c.g = ng.g)
+    SELECT g, v, n, t, p.norm_v
+    FROM tgt JOIN pooled p ON t >= p.lo AND t <= p.hi"""
+
   // ———————————————— stupid-backoff trigram LM scoring (q187)
   // (train on even doc_ids, score odd ones — the held-out split is what
   //  makes the backoff ladder actually fire, unlike q113's self-scored
@@ -3939,6 +3966,7 @@ object OpsQueries {
     "q185_jaro_linkage" -> q185JaroLinkage,
     "q186_kcore" -> q186KCore,
     "q187_stupid_backoff" -> q187StupidBackoff,
+    "q188_quantile_norm" -> q188QuantileNorm,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4061,6 +4089,7 @@ object OpsQueries {
     "q185_jaro_linkage" -> q185Sql,
     "q186_kcore" -> q186Sql,
     "q187_stupid_backoff" -> q187Sql,
+    "q188_quantile_norm" -> q188Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

@@ -470,4 +470,37 @@ class AnalyticsSpec extends SparkSpec {
     // group b's values are ~1000 apart from a's — intervals must not mix
     assert(got("a")._5 < got("b")._4)
   }
+
+  test("quantileNormalize: shifted source maps onto the pooled scale") {
+    import spark.implicits._
+    // source B is source A shifted +100: after normalization, A's k-th
+    // value and B's k-th value map to the SAME pooled order statistic
+    val a = Seq(10L, 20L, 30L, 40L).map(("A", _))
+    val b = Seq(110L, 120L, 130L, 140L).map(("B", _))
+    val df = (a ++ b).toDF("src", "score")
+    val out = Analytics.quantileNormalize(df, "src", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    // pooled sorted: 10,20,30,40,110,120,130,140 (N=8); rank r in a
+    // 4-row group targets t = (r-1)*8/4 + 1 = 1,3,5,7
+    assert(out(("A", 10L)) == 10L && out(("B", 110L)) == 10L)
+    assert(out(("A", 20L)) == 30L && out(("B", 120L)) == 30L)
+    assert(out(("A", 30L)) == 110L && out(("B", 130L)) == 110L)
+    assert(out(("A", 40L)) == 130L && out(("B", 140L)) == 130L)
+  }
+
+  test("quantileNormalize: ties share one normalized value; counts kept") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("A", 5L)) ++ Seq(("A", 9L)) ++
+      (1L to 4L).map(v => ("B", v * 10))).toDF("src", "score")
+    val rows = Analytics.quantileNormalize(df, "src", "score").collect()
+    val aTies = rows.filter(r => r.getString(0) == "A" && r.getLong(1) == 5L)
+    assert(aTies.length == 1 && aTies.head.getLong(2) == 3L,
+      "3 tied rows collapse to one mapping row carrying n=3")
+    // single-group identity: a source whose distribution IS the pooled
+    // one (modulo the other group) still maps monotonically
+    val bVals = rows.filter(_.getString(0) == "B")
+      .sortBy(_.getLong(1)).map(_.getLong(4))
+    assert(bVals.sameElements(bVals.sorted), "monotone in the source value")
+  }
 }
