@@ -45,6 +45,9 @@ object Multimodal {
   case class DecodedRow(media_id: Long, media_type: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int, sample_rate: Int, channels: Int,
       ok: Boolean)
+  case class FrameStatRow(media_id: Long, frame_idx: Long, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
   case class FrameRow(media_id: Long, frame_idx: Long, width: Int, height: Int,
       px_rgb: Long)
 
@@ -109,6 +112,43 @@ object Multimodal {
           }
         } finally iis.close()
       } catch { case NonFatal(_) => Vector.empty }
+
+    /** Decode EVERY frame and reduce its full raster to per-channel
+      * sums — the shot-boundary signal. Real pixel loop, not header
+      * math; a wrong palette lookup or row stride shows up in the sums.
+      */
+    def frameChannelSums(bytes: Array[Byte]): Vector[(Int, Int, Int, Long, Long, Long)] =
+      if (bytes == null || bytes.isEmpty) Vector.empty
+      else try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Vector.empty
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              (0 until n).map { f =>
+                val img = r.read(f)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                (f, w, h, sr, sg, sb)
+              }.toVector
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case NonFatal(_) => Vector.empty }
   }
 
   /** Batched decode: one `mapPartitions` pass, codec state per partition
@@ -150,6 +190,47 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Keyframe (shot-boundary) selection over video containers: every
+    * frame is really decoded and reduced to per-channel sums
+    * ([[JdkCodec.frameChannelSums]] — a narrow `mapPartitions`
+    * generator), then a per-container `lag` window keeps frame 0 plus
+    * every frame whose mean-color L1 distance from its PREDECESSOR
+    * exceeds `thresholdPerPx` — the classic cheap cut detector, and the
+    * frame-subset selector a multimodal training pipeline runs before
+    * expensive captioning. All-integer compare: channel-sum deltas
+    * against `threshold · n_px` (same dims within a container), so both
+    * engines decide every boundary identically. Returns
+    * `(media_id, frame_idx, width, height, dist_l1)` for kept frames,
+    * `dist_l1 = 0` for the mandatory first frame.
+    */
+  def keyframes(spark: SparkSession, media: DataFrame,
+      thresholdPerPx: Int = 100): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stats = media.filter(col("media_type") === "video")
+      .select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          JdkCodec.frameChannelSums(r.content).map {
+            case (f, w, h, sr, sg, sb) =>
+              FrameStatRow(r.media_id, f.toLong, w, h, sr, sg, sb)
+          }
+        }
+      }.toDF()
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    stats
+      .withColumn("dist_l1",
+        abs(col("sum_r") - lag("sum_r", 1).over(w))
+          + abs(col("sum_g") - lag("sum_g", 1).over(w))
+          + abs(col("sum_b") - lag("sum_b", 1).over(w)))
+      .where(col("dist_l1").isNull ||
+        col("dist_l1") > lit(thresholdPerPx.toLong)
+          * col("width").cast("long") * col("height").cast("long"))
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        coalesce(col("dist_l1"), lit(0L)).as("dist_l1"))
   }
 
   case class ImageHashRow(media_id: Long, width: Int, height: Int,

@@ -675,6 +675,36 @@ object OpsQueries {
          + (media_id * 13 + frame_idx * 5) % 256 AS BIGINT) AS px_rgb
     FROM f"""
 
+  // ————————————————————————————— keyframe / shot-boundary detect (q189)
+  // (every GIF frame's FULL raster reduces to channel sums — real pixel
+  //  loops, not header math — and a per-container lag window keeps
+  //  frame 0 plus frames whose mean-color L1 step exceeds 100/px. The
+  //  fixture's solid fills step +17/+3/+5 per frame mod 256, so normal
+  //  steps (L1=25) never trigger and every 256-wrap does — the oracle
+  //  re-derives each boundary decision closed-form.)
+  val q189Keyframes: Q = (s, dir) =>
+    Multimodal.keyframes(s, s.read.parquet(mediaParquet(s)),
+      thresholdPerPx = 100)
+  private def q189Sql: String = s"""
+    WITH v AS (SELECT media_id, 1 + media_id % 32 AS w,
+                 1 + (media_id * 7) % 24 AS h
+               FROM read_parquet('${Multimodal.Fixtures.parquetPath}/*.parquet')
+               WHERE media_type = 'video' AND media_id % 23 <> 7),
+    f AS (SELECT media_id, w, h,
+            unnest(range(0, 1 + media_id % 30)) AS fi FROM v),
+    c AS (SELECT media_id, w, h, fi,
+            (media_id * 31 + fi * 17) % 256 AS r,
+            (media_id * 7 + fi * 3) % 256 AS g,
+            (media_id * 13 + fi * 5) % 256 AS b FROM f),
+    d AS (SELECT media_id, fi, w, h,
+            abs(r - lag(r) OVER win) + abs(g - lag(g) OVER win)
+              + abs(b - lag(b) OVER win) AS dl
+          FROM c WINDOW win AS (PARTITION BY media_id ORDER BY fi))
+    SELECT media_id, fi AS frame_idx, CAST(w AS INT) AS width,
+      CAST(h AS INT) AS height,
+      CAST(coalesce(dl, 0) * w * h AS BIGINT) AS dist_l1
+    FROM d WHERE dl IS NULL OR dl > 100"""
+
   // ————————————————————————————— multimodal audio DSP (q89)
   // (REAL sample decode, not header math: each WAV payload's 16-bit PCM
   //  samples are read through javax.sound and reduced to count/peak/
@@ -3967,6 +3997,7 @@ object OpsQueries {
     "q186_kcore" -> q186KCore,
     "q187_stupid_backoff" -> q187StupidBackoff,
     "q188_quantile_norm" -> q188QuantileNorm,
+    "q189_keyframes" -> q189Keyframes,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4090,6 +4121,7 @@ object OpsQueries {
     "q186_kcore" -> q186Sql,
     "q187_stupid_backoff" -> q187Sql,
     "q188_quantile_norm" -> q188Sql,
+    "q189_keyframes" -> q189Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

@@ -217,4 +217,36 @@ class MultimodalSpec extends SparkSpec {
     // distinct ids get distinct random cell patterns
     assert(hp.values.toSeq.distinct.size == hp.size)
   }
+
+  test("frameChannelSums reduces real rasters; solid frames sum exactly") {
+    val id = 29L
+    val sums = JdkCodec.frameChannelSums(Fixtures.mediaFor(id).content)
+    assert(sums.length == (1 + id % 30).toInt)
+    val npx = (1 + id % 32) * (1 + (id * 7) % 24)
+    sums.foreach { case (f, w, h, sr, sg, sb) =>
+      assert(w.toLong * h == npx)
+      val rgb = Fixtures.frameRgb(id, f.toLong)
+      assert(sr == ((rgb >> 16) & 0xFF) * npx, s"frame $f red")
+      assert(sg == ((rgb >> 8) & 0xFF) * npx && sb == (rgb & 0xFF) * npx)
+    }
+  }
+
+  test("keyframes keeps frame 0 and exactly the above-threshold cuts") {
+    import spark.implicits._
+    val id = 29L // 30 frames; channel steps +17/+3/+5 mod 256 per frame
+    val media = Seq(Fixtures.mediaFor(id)).toDF()
+    val got = Multimodal.keyframes(spark, media, thresholdPerPx = 100)
+      .orderBy("frame_idx").collect()
+    // closed-form expectation: keep f=0 and every f whose L1 color step
+    // from f-1 exceeds 100 (only the mod-256 wraps qualify)
+    def ch(f: Long) = { val v = Fixtures.frameRgb(id, f)
+      ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF) }
+    val want = 0L +: (1L until (1 + id % 30)).filter { f =>
+      val (r1, g1, b1) = ch(f - 1); val (r2, g2, b2) = ch(f)
+      math.abs(r2 - r1) + math.abs(g2 - g1) + math.abs(b2 - b1) > 100
+    }
+    assert(got.map(_.getLong(1)).toSeq == want.toSeq)
+    assert(want.length > 1, "fixture must actually contain a cut")
+    assert(got.head.getLong(4) == 0L, "first frame carries dist 0")
+  }
 }
