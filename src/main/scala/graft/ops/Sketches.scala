@@ -383,4 +383,58 @@ object Sketches {
     probes.join(broadcast(sketch), Seq("r", "bkt"))
       .groupBy("token").agg(min(col("c")).as("est"))
   }
+
+  /** Roaring-style bitmap segment membership: each segment's member set
+    * packs into 32-members-per-word bitmap rows `(segment, word,
+    * mask)` — the audience/cohort representation that turns
+    * set-intersection analytics ("users who did A and B") from a
+    * member-level join into a word-level AND. 32-bit packing in a
+    * 64-bit word is deliberate: a 63-bit shift overflows DuckDB's
+    * checked `<<`, so 32 keeps every mask positive and both engines'
+    * bit ops in defined territory.
+    *
+    * Scale shape: members aggregate map-side into their word rows
+    * (|members|/32 rows per segment); the pairwise overlap below joins
+    * word tables co-keyed on `word` — work ∝ occupied words, never
+    * |A|·|B| members. Exactly the bitmap-index trick OLAP stores use
+    * for COUNT(DISTINCT) over segment intersections.
+    */
+  def bitmapSegments(df: DataFrame, segCol: String,
+      memberCol: String): DataFrame = {
+    val m = df.where(col(segCol).isNotNull && col(memberCol).isNotNull)
+      .select(col(segCol).as("seg"), col(memberCol).cast("long").as("mb"))
+      .withColumn("mb", when(col("mb") < 0,
+        raise_error(concat(lit("bitmapSegments: negative member id: "),
+          col("mb").cast("string")))).otherwise(col("mb")))
+    m.select(col("seg"), expr("mb div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(mb % 32 AS INT))").as("bit"))
+      .groupBy("seg", "word").agg(expr("bit_or(bit)").as("mask"))
+  }
+
+  /** Pairwise segment overlap from [[bitmapSegments]] bitmaps:
+    * `(seg_a, seg_b, n_a, n_b, n_both, jaccard_ppm)` for every
+    * unordered segment pair — distinct-member counts via
+    * `bit_count`, intersection via word-aligned AND, all integers
+    * until the final floored-ppm Jaccard (ties impossible under floor,
+    * the q118 discipline).
+    */
+  def bitmapOverlap(bitmaps: DataFrame): DataFrame = {
+    val sizes = bitmaps.groupBy("seg")
+      .agg(sum(bit_count(col("mask"))).as("n"))
+    val l = bitmaps.select(col("seg").as("seg_a"), col("word"),
+      col("mask").as("m_a"))
+    val r = bitmaps.select(col("seg").as("seg_b"), col("word"),
+      col("mask").as("m_b"))
+    val inter = l.join(r, Seq("word"))
+      .where(col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b")
+      .agg(sum(bit_count(col("m_a").bitwiseAND(col("m_b")))).as("n_both"))
+    inter
+      .join(sizes.select(col("seg").as("seg_a"), col("n").as("n_a")), Seq("seg_a"))
+      .join(sizes.select(col("seg").as("seg_b"), col("n").as("n_b")), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"), col("n_both"),
+        floor(col("n_both").cast("double") * 1e6
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .cast("long").as("jaccard_ppm"))
+  }
 }

@@ -3770,6 +3770,34 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— bitmap segment overlap (q190)
+  // (the OLAP bitmap-index trick: each event_type's user set packs into
+  //  32-members-per-word bitmap rows, and pairwise audience overlap is
+  //  a word-aligned AND + bit_count — work ∝ occupied words, never
+  //  |A|·|B| members. All integers; Jaccard floored to ppm.)
+  val q190BitmapOverlap: Q = (s, dir) =>
+    graft.ops.Sketches.bitmapOverlap(
+      graft.ops.Sketches.bitmapSegments(
+        Tables.events(s, dir), "event_type", "user_id"))
+  private val q190Sql: String = """
+    WITH m AS (SELECT event_type AS seg, user_id AS mb FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    bm AS (SELECT seg, mb // 32 AS word,
+             bit_or(1::BIGINT << CAST(mb % 32 AS INT)) AS mask
+           FROM m GROUP BY 1, 2),
+    sz AS (SELECT seg, CAST(sum(bit_count(mask)) AS BIGINT) AS n
+           FROM bm GROUP BY 1),
+    iv AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS n_both
+           FROM bm a JOIN bm b USING (word)
+           WHERE a.seg < b.seg GROUP BY 1, 2)
+    SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      CAST(floor(n_both * 1e6 / (sa.n + sb.n - n_both)) AS BIGINT)
+        AS jaccard_ppm
+    FROM iv
+    JOIN sz sa ON sa.seg = iv.seg_a
+    JOIN sz sb ON sb.seg = iv.seg_b"""
+
   // ———————————————— cross-source quantile normalization (q188)
   // (map each source's n_chars distribution onto the pooled one so
   //  per-source scores become comparable before mixing — (group,value)
@@ -3998,6 +4026,7 @@ object OpsQueries {
     "q187_stupid_backoff" -> q187StupidBackoff,
     "q188_quantile_norm" -> q188QuantileNorm,
     "q189_keyframes" -> q189Keyframes,
+    "q190_bitmap_overlap" -> q190BitmapOverlap,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4122,6 +4151,7 @@ object OpsQueries {
     "q187_stupid_backoff" -> q187Sql,
     "q188_quantile_norm" -> q188Sql,
     "q189_keyframes" -> q189Sql,
+    "q190_bitmap_overlap" -> q190Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

@@ -218,4 +218,31 @@ class SketchesSpec extends SparkSpec {
     assert(got.keySet == truth.keySet) // probes = min-id doc's tokens
     truth.foreach { case (t, n) => assert(got(t) >= n, s"token $t") }
   }
+
+  test("bitmapSegments + bitmapOverlap equal exact set arithmetic") {
+    import spark.implicits._
+    // members straddle word boundaries (31|32) and repeat (dedup law)
+    val rows = Seq("A" -> 1L, "A" -> 31L, "A" -> 32L, "A" -> 32L,
+      "A" -> 100L, "B" -> 31L, "B" -> 32L, "B" -> 99L,
+      "C" -> 7L, "C" -> 100L).toDF("seg", "member")
+    val bm = Sketches.bitmapSegments(rows, "seg", "member")
+    val got = Sketches.bitmapOverlap(bm)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // exact: A={1,31,32,100} B={31,32,99} C={7,100}
+    assert(got(("A", "B")) == ((4L, 3L, 2L, 400000L))) // J=2/5
+    assert(got(("A", "C")) == ((4L, 2L, 1L, 200000L))) // J=1/5
+    // B and C share words only via 99|96-word? 99 div 32 = 3, 7 div 32 = 0,
+    // 100 div 32 = 3: B word 3 (99) vs C word 3 (100) -> masks AND to 0
+    assert(got(("B", "C"))._3 == 0L && got(("B", "C"))._4 == 0L)
+  }
+
+  test("bitmapSegments rejects negative member ids loudly") {
+    import spark.implicits._
+    val bad = Seq("A" -> -3L).toDF("seg", "member")
+    val e = intercept[Exception] {
+      Sketches.bitmapSegments(bad, "seg", "member").collect()
+    }
+    assert(e.getMessage.contains("negative member id"))
+  }
 }
