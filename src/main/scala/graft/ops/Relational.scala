@@ -250,4 +250,34 @@ object Relational {
       .select(coalesce(col("_ok"), col("_nk")).as("key"),
         col("op"), col("changed_cols"))
   }
+
+  /** One level of a referential-integrity delete cascade (the
+    * GDPR/right-to-be-forgotten propagation step): rows of `child`
+    * whose `fkCol` matches a parent key marked deleted. Returned as the
+    * DELETED set — callers anti-join for survivors or feed the step's
+    * own keys into the next level.
+    */
+  def cascadeStep(child: DataFrame, fkCol: String,
+      parentKeys: DataFrame): DataFrame =
+    child.join(parentKeys.select(col(parentKeys.columns.head).as(fkCol))
+      .distinct(), Seq(fkCol), "left_semi")
+
+  /** Audit summary of a delete cascade level: `(tbl, n_before,
+    * n_deleted, del_digest)` where the digest is the order-independent
+    * 60-bit-md5 XOR of the deleted rows' `keyExpr` — one row that pins
+    * EXACTLY which rows a cascade level removed (the [[graft.ops
+    * .Integrity]] discipline: count catches multiplicity, XOR catches
+    * identity). `keyExpr` must be row-unique within the table.
+    */
+  def cascadeAudit(tbl: String, all: DataFrame, deleted: DataFrame,
+      keyExpr: org.apache.spark.sql.Column): DataFrame = {
+    val nb = all.groupBy().agg(count(lit(1)).as("n_before"))
+    deleted.select(conv(substring(md5(keyExpr.cast("string")), 1, 15),
+        16, 10).cast("long").as("rh"))
+      .groupBy().agg(count(lit(1)).as("n_deleted"),
+        coalesce(expr("bit_xor(rh)"), lit(0L)).as("del_digest"))
+      .crossJoin(nb)
+      .select(lit(tbl).as("tbl"), col("n_before"), col("n_deleted"),
+        col("del_digest"))
+  }
 }

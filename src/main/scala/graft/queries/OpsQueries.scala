@@ -3770,6 +3770,58 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— referential delete cascade audit (q191)
+  // (GDPR right-to-be-forgotten propagation: tombstoned customers
+  //  (c_custkey % 97 = 0) cascade through orders into lineitem via
+  //  semi-joins, and each level emits (n_before, n_deleted, XOR-of-md5
+  //  key digest) — the count catches multiplicity, the digest pins
+  //  EXACTLY which rows each level removed, q184 discipline.)
+  val q191CascadeDelete: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val tomb = c.where(pmod(col("c_custkey"), lit(97)) === 0)
+      .select(col("c_custkey"))
+    val delC = graft.ops.Relational.cascadeStep(c, "c_custkey", tomb)
+    val delO = graft.ops.Relational.cascadeStep(o, "o_custkey",
+      delC.select(col("c_custkey")))
+    val delL = graft.ops.Relational.cascadeStep(l, "l_orderkey",
+      delO.select(col("o_orderkey")))
+    graft.ops.Relational.cascadeAudit("customer", c, delC, col("c_custkey"))
+      .unionByName(graft.ops.Relational.cascadeAudit("orders", o, delO,
+        col("o_orderkey")))
+      .unionByName(graft.ops.Relational.cascadeAudit("lineitem", l, delL,
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))))
+  }
+  private val q191Sql: String = """
+    WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    delo AS (SELECT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+    dell AS (SELECT l_orderkey, l_linenumber FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+    SELECT 'customer' AS tbl,
+      (SELECT count(*) FROM customer) AS n_before,
+      (SELECT count(*) FROM delc) AS n_deleted,
+      (SELECT coalesce(bit_xor(CAST(('0x' ||
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+        FROM delc) AS del_digest
+    UNION ALL
+    SELECT 'orders',
+      (SELECT count(*) FROM orders),
+      (SELECT count(*) FROM delo),
+      (SELECT coalesce(bit_xor(CAST(('0x' ||
+          substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+        FROM delo)
+    UNION ALL
+    SELECT 'lineitem',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM dell),
+      (SELECT coalesce(bit_xor(CAST(('0x' ||
+          substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+            CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+        FROM dell)"""
+
   // ———————————————— bitmap segment overlap (q190)
   // (the OLAP bitmap-index trick: each event_type's user set packs into
   //  32-members-per-word bitmap rows, and pairwise audience overlap is
@@ -4027,6 +4079,7 @@ object OpsQueries {
     "q188_quantile_norm" -> q188QuantileNorm,
     "q189_keyframes" -> q189Keyframes,
     "q190_bitmap_overlap" -> q190BitmapOverlap,
+    "q191_cascade_delete" -> q191CascadeDelete,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4152,6 +4205,7 @@ object OpsQueries {
     "q188_quantile_norm" -> q188Sql,
     "q189_keyframes" -> q189Sql,
     "q190_bitmap_overlap" -> q190Sql,
+    "q191_cascade_delete" -> q191Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

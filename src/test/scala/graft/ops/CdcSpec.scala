@@ -105,4 +105,32 @@ class CdcSpec extends SparkSpec {
     assert(k1.map(_._2) == Seq(10L, 21L, 30L))
     assert(k1.map(_._5) == Seq(Some(ts(2).getTime), Some(ts(3).getTime), None))
   }
+
+  test("cascadeStep + cascadeAudit: two-level delete hits exact rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parent = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pid", "v")
+    val child = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("cid", "pid")
+    val tomb = Seq(1L).toDF("pid")
+    val delP = Relational.cascadeStep(parent, "pid", tomb)
+    assert(delP.select("pid").as[Long].collect().toSeq == Seq(1L))
+    val delC = Relational.cascadeStep(child, "pid", delP.select("pid"))
+    assert(delC.select("cid").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L))
+    val audit = Relational.cascadeAudit("child", child, delC, col("cid"))
+      .collect().head
+    assert(audit.getString(0) == "child" && audit.getLong(1) == 3L &&
+      audit.getLong(2) == 2L)
+    // digest is the xor of the two 60-bit md5 key hashes — recompute
+    def h(k: String) = java.lang.Long.parseLong({
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(k.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15)
+    }, 16)
+    assert(audit.getLong(3) == (h("10") ^ h("11")))
+    // empty deletion level: count 0, digest 0 (not null)
+    val none = Relational.cascadeAudit("child", child,
+      delC.where(lit(false)), col("cid")).collect().head
+    assert(none.getLong(2) == 0L && none.getLong(3) == 0L)
+  }
 }
