@@ -33,4 +33,43 @@ object Privacy {
       acc.withColumn(c, when(!col("suppressed"), col(c)))
     }
   }
+
+  /** ε-differentially-private histogram release: per-group counts plus
+    * Laplace(1/ε) noise — the OTHER release gate next to [[kAnonymize]]
+    * (suppression hides rare rows; DP noise bounds what ANY count
+    * reveals, including large ones). Count queries have sensitivity 1,
+    * so scale b = 1/ε.
+    *
+    * The noise is deterministic-by-seed: u ∈ (0,1) comes from the
+    * 60-bit md5 of `seed|group` (the repo's replayable-lattice
+    * discipline — a rerun releases the SAME noise, so repeated releases
+    * don't average it away; rotate `seed` to re-draw), mapped through
+    * the Laplace inverse CDF `−b·sgn(u−½)·ln(1−2|u−½|)`. Both engines
+    * evaluate the identical expression tree on the identical u, and the
+    * release is rounded to 6 d.p. (absorbing any last-ulp libm `ln`
+    * disagreement — the q113 discipline; an integer-rounded release
+    * would gamble the hash on a .5 boundary).
+    *
+    * Returns `(group, n_true, noisy6)`; emitting n_true alongside is
+    * for the oracle gate, NOT for release — callers ship (group,
+    * noisy6) only.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      seed: Long = 1L): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val b = 1.0 / epsilon
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_true"))
+    // u strictly inside (0,1): 60-bit hash + ½, over 2⁶⁰ — never 0 or 1,
+    // so the ln argument stays positive
+    val u = (conv(substring(md5(concat(lit(s"dp|$seed|"),
+        col("g").cast("string"))), 1, 15), 16, 10).cast("double")
+      + lit(0.5)) / lit(math.pow(2, 60))
+    counts
+      .withColumn("_u", u)
+      .withColumn("noisy6", round(
+        col("n_true") - lit(b) * signum(col("_u") - 0.5)
+          * log(lit(1.0) - lit(2.0) * abs(col("_u") - 0.5)), 6))
+      .select(col("g").as(groupCol), col("n_true"), col("noisy6"))
+  }
 }

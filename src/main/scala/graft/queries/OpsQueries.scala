@@ -3770,6 +3770,28 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— differentially-private count release (q192)
+  // (Laplace(1/ε) noise on per-event_type counts, ε=0.5 — noise drawn
+  //  deterministically from the md5 lattice via the Laplace inverse
+  //  CDF, so a rerun releases the SAME noise instead of averaging it
+  //  away; 6 d.p. round absorbs last-ulp libm ln differences.)
+  val q192DpCounts: Q = (s, dir) =>
+    graft.ops.Privacy.dpNoisyCounts(Tables.events(s, dir), "event_type",
+      epsilon = 0.5, seed = 1L)
+  private val q192Sql: String = """
+    WITH c AS (SELECT event_type AS g, count(*) AS n_true FROM events
+               WHERE event_type IS NOT NULL GROUP BY 1),
+    u AS (SELECT g, n_true,
+            (CAST(('0x' || substr(md5('dp|1|' || g), 1, 15)) AS BIGINT)
+              + 0.5) / 1152921504606846976.0 AS u
+          FROM c)
+    SELECT g AS event_type, n_true,
+      round(n_true - 2.0 *
+        (CASE WHEN u - 0.5 > 0 THEN 1.0
+              WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END)
+        * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy6
+    FROM u"""
+
   // ———————————————— referential delete cascade audit (q191)
   // (GDPR right-to-be-forgotten propagation: tombstoned customers
   //  (c_custkey % 97 = 0) cascade through orders into lineitem via
@@ -4080,6 +4102,7 @@ object OpsQueries {
     "q189_keyframes" -> q189Keyframes,
     "q190_bitmap_overlap" -> q190BitmapOverlap,
     "q191_cascade_delete" -> q191CascadeDelete,
+    "q192_dp_counts" -> q192DpCounts,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4206,6 +4229,7 @@ object OpsQueries {
     "q189_keyframes" -> q189Sql,
     "q190_bitmap_overlap" -> q190Sql,
     "q191_cascade_delete" -> q191Sql,
+    "q192_dp_counts" -> q192Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

@@ -41,4 +41,35 @@ class PrivacySpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got == Set((1L, 2L, false), (2L, 2L, false), (3L, 1L, true)))
   }
+
+  test("dpNoisyCounts: seeded noise is replayable, seed-sensitive, Laplace") {
+    import spark.implicits._
+    val df = (Seq.fill(40)("a") ++ Seq.fill(10)("b")).toDF("g")
+    def run(seed: Long) = Privacy.dpNoisyCounts(df, "g", epsilon = 0.5, seed)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val r1 = run(1L)
+    assert(r1("a")._1 == 40L && r1("b")._1 == 10L)
+    // replayable: same seed, same noise
+    assert(run(1L) == r1)
+    // seed rotation re-draws
+    assert(run(2L) != r1)
+    // hand-recompute the inverse-CDF draw for one group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("dp|1|a".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 60)
+    val want = BigDecimal(40.0 - 2.0 * math.signum(u - 0.5) *
+      math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1("a")._2 == want)
+  }
+
+  test("dpNoisyCounts rejects non-positive epsilon") {
+    import spark.implicits._
+    val df = Seq("a").toDF("g")
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, "g", epsilon = 0.0)
+    }
+  }
 }
