@@ -262,6 +262,53 @@ object Relational {
     child.join(parentKeys.select(col(parentKeys.columns.head).as(fkCol))
       .distinct(), Seq(fkCol), "left_semi")
 
+  /** Incremental equi-join view maintenance — the delta rule
+    * `ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB` folded over an arbitrary interleaving of
+    * batch arrivals on either side. Each arriving delta joins ONLY the
+    * other side's accumulated state (never re-joining old deltas
+    * against old state), so every (a, b) pair lands in the view exactly
+    * once: when the LATER of its two rows arrives. The maintained view
+    * must equal the one-shot join of the full sides — that law IS the
+    * oracle gate.
+    *
+    * Scale shape: per step, one batch-vs-state equi-join (broadcast
+    * when the delta is small — the common case) plus a union; view and
+    * accumulators materialize through [[Dedup.checkpointResetStats]]
+    * each step, so lineage and carried size estimates stay flat across
+    * arbitrarily many batches (at cluster scale the checkpoint maps to
+    * the view's durable table, exactly how production IVM persists).
+    *
+    * `events` is `(isLeftSide, batch)` in arrival order; both sides'
+    * frames must share the join column `key`.
+    */
+  def incrementalJoinFold(events: Seq[(Boolean, DataFrame)],
+      key: String): DataFrame = {
+    require(events.exists(_._1) && events.exists(!_._1),
+      "incrementalJoinFold needs at least one batch on each side")
+    var view: Option[DataFrame] = None
+    var aAcc: Option[DataFrame] = None
+    var bAcc: Option[DataFrame] = None
+    def accum(acc: Option[DataFrame], d: DataFrame) =
+      Some(acc.map(a => Dedup.checkpointResetStats(a.unionByName(d)))
+        .getOrElse(d))
+    events.foreach { case (isA, delta0) =>
+      val delta = Dedup.checkpointResetStats(delta0)
+      val contrib =
+        if (isA) bAcc.map(b => delta.join(b, Seq(key)))
+        else aAcc.map(a => a.join(delta, Seq(key)))
+      contrib.foreach { dv =>
+        view = Some(view.map(v =>
+          Dedup.checkpointResetStats(v.unionByName(dv))).getOrElse(dv))
+      }
+      if (isA) aAcc = accum(aAcc, delta) else bAcc = accum(bAcc, delta)
+    }
+    view.getOrElse {
+      // both sides non-empty per the require, so a contribution exists
+      // unless every join was empty — rebuild the empty-view schema
+      aAcc.get.join(bAcc.get, Seq(key)).limit(0)
+    }
+  }
+
   /** Audit summary of a delete cascade level: `(tbl, n_before,
     * n_deleted, del_digest)` where the digest is the order-independent
     * 60-bit-md5 XOR of the deleted rows' `keyExpr` — one row that pins

@@ -210,4 +210,40 @@ object TimeSeries {
           round(col("area2").cast("double")
             / (col("span_s") * 2).cast("double"), 6)).as("twa_cents"))
   }
+
+  /** Merge overlapping/touching intervals per key into maximal "islands"
+    * — the interval-algebra staple (session coverage, maintenance
+    * windows, SLA uptime) that plain windowed aggregation can't
+    * express: total covered time must NOT double-count overlaps.
+    * Half-open-agnostic rule: a new island starts exactly when an
+    * interval's start exceeds the running MAX of all previous ends
+    * (strictly after — touching intervals [a,b],[b,c] merge). Returns
+    * one row per island: `(key, island_start, island_end, n_intervals)`
+    * with everything in the caller's integer time unit.
+    *
+    * Plan: ONE per-key sort carries all three window steps (running
+    * max, island flag, island id by running sum) — a single exchange on
+    * the key, no join; islands then aggregate map-side. Zero- or
+    * negative-length intervals participate like any other (their end
+    * may simply never advance the running max).
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.where(col(keyCol).isNotNull && col(startCol).isNotNull
+        && col(endCol).isNotNull)
+      .select(col(keyCol).as("k"), col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .withColumn("new_island",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("k").as(keyCol), col("island_start"), col("island_end"),
+        col("n_intervals"))
+  }
 }

@@ -3770,6 +3770,61 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— interval merge / coverage islands (q193)
+  // (merge each user's event intervals [ts, ts + |value|·1000 ms] into
+  //  maximal islands — overlap-safe coverage, the interval-algebra
+  //  staple. One per-key sort carries running-max, island flag, and
+  //  island id; islands aggregate map-side. All epoch-ms integers.)
+  val q193IntervalMerge: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("s_ms"),
+        (unix_millis(col("ts").cast("timestamp"))
+          + abs(round(col("value") * 1000)).cast("long")).as("e_ms"))
+    graft.ops.TimeSeries.mergeIntervals(ev, "user_id", "s_ms", "e_ms")
+  }
+  private val q193Sql: String = """
+    WITH iv AS (SELECT user_id AS k, epoch_ms(ts) AS s,
+            epoch_ms(ts) + CAST(abs(round(value * 1000)) AS BIGINT) AS e
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+    m AS (SELECT k, s, e,
+            CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                 THEN 1 ELSE 0 END AS ni
+          FROM iv WINDOW w AS (PARTITION BY k ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    i AS (SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m)
+    SELECT k AS user_id, min(s) AS island_start, max(e) AS island_end,
+      count(*) AS n_intervals
+    FROM i GROUP BY k, island"""
+
+  // ———————————————— incremental join view maintenance (q194)
+  // (the IVM delta rule ΔV = ΔA⋈B ∪ A⋈ΔB folded over an interleaved
+  //  arrival order — orders in 3 batches, customers in 2; every (a,b)
+  //  pair lands exactly once, when the later row arrives. The oracle
+  //  is the LAW: the maintained view must hash-equal the one-shot
+  //  join of the full sides.)
+  val q194IncrementalJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("k"),
+      col("c_nationkey"))
+    def ob(i: Int) = o.where(pmod(col("o_orderkey"), lit(3)) === i)
+    def cb(i: Int) = c.where(pmod(col("k"), lit(2)) === i)
+    graft.ops.Relational.incrementalJoinFold(Seq(
+      true -> ob(0), false -> cb(0), true -> ob(1),
+      false -> cb(1), true -> ob(2)), "k")
+  }
+  private val q194Sql: String = """
+    SELECT o_orderkey, o_custkey AS k,
+      CAST(round(o_totalprice * 100) AS BIGINT) AS cents, c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey"""
+
   // ———————————————— differentially-private count release (q192)
   // (Laplace(1/ε) noise on per-event_type counts, ε=0.5 — noise drawn
   //  deterministically from the md5 lattice via the Laplace inverse
@@ -4103,6 +4158,8 @@ object OpsQueries {
     "q190_bitmap_overlap" -> q190BitmapOverlap,
     "q191_cascade_delete" -> q191CascadeDelete,
     "q192_dp_counts" -> q192DpCounts,
+    "q193_interval_merge" -> q193IntervalMerge,
+    "q194_incremental_join" -> q194IncrementalJoin,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4230,6 +4287,8 @@ object OpsQueries {
     "q190_bitmap_overlap" -> q190Sql,
     "q191_cascade_delete" -> q191Sql,
     "q192_dp_counts" -> q192Sql,
+    "q193_interval_merge" -> q193Sql,
+    "q194_incremental_join" -> q194Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

@@ -133,4 +133,29 @@ class CdcSpec extends SparkSpec {
       delC.where(lit(false)), col("cid")).collect().head
     assert(none.getLong(2) == 0L && none.getLong(3) == 0L)
   }
+
+  test("incrementalJoinFold equals the one-shot join for any interleaving") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 30L)).toDF("aid", "k")
+    val b = Seq((10L, "x"), (20L, "y"), (40L, "z")).toDF("k", "v")
+    val full = a.join(b, Seq("k"))
+      .select("k", "aid", "v").as[(Long, Long, String)].collect().toSet
+    def ab(i: Int) = a.where(col("aid") % 2 === i)
+    def bb(i: Int) = b.where(col("k") % 20 === i * 10)
+    for (order <- Seq(
+        Seq(true -> ab(0), false -> bb(0), true -> ab(1), false -> bb(1)),
+        Seq(false -> bb(1), true -> ab(1), true -> ab(0), false -> bb(0)))) {
+      val got = Relational.incrementalJoinFold(order, "k")
+        .select("k", "aid", "v").as[(Long, Long, String)].collect().toSet
+      assert(got == full, s"order $order")
+    }
+  }
+
+  test("incrementalJoinFold requires batches on both sides") {
+    import spark.implicits._
+    val a = Seq((1L, 10L)).toDF("aid", "k")
+    intercept[IllegalArgumentException] {
+      Relational.incrementalJoinFold(Seq(true -> a, true -> a), "k")
+    }
+  }
 }

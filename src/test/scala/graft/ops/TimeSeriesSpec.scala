@@ -181,4 +181,30 @@ class TimeSeriesSpec extends SparkSpec {
     // counts — area2 = (10000+100)·3600 = 36_360_000 over 2·3600
     assert(rows("d").getDouble(3) == 5050.0)
   }
+
+  test("mergeIntervals: overlap, touch, gap, and key isolation") {
+    import spark.implicits._
+    val iv = Seq(
+      ("u", 0L, 10L), ("u", 5L, 12L),  // overlap -> one island [0,12]
+      ("u", 12L, 20L),                  // touching merges
+      ("u", 25L, 30L),                  // gap -> new island
+      ("v", 5L, 6L),                    // other key untouched
+      ("u", 26L, 27L))                  // contained interval
+      .toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("u", 0L, 20L, 3L), ("u", 25L, 30L, 2L),
+      ("v", 5L, 6L, 1L)))
+  }
+
+  test("mergeIntervals: late short interval cannot split a long one") {
+    import spark.implicits._
+    // [0,100] then [10,20]: running MAX of ends (not lag(e)) must keep
+    // the island open past the short interval
+    val iv = Seq(("u", 0L, 100L), ("u", 10L, 20L), ("u", 50L, 60L))
+      .toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("u", 0L, 100L, 3L)))
+  }
 }
