@@ -312,6 +312,70 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** BPE merge learning (Sennrich et al. 2016) — the tokenizer-TRAINING
+    * step of an LLM data pipeline, distributed: start from characters,
+    * and each round (1) count adjacent token pairs over the
+    * frequency-weighted vocabulary, (2) pick the most frequent pair
+    * (ties: lexicographically smallest), (3) merge it everywhere.
+    * Returns the learned merge table `(round, t1, t2, cnt)` — the model
+    * artifact a BPE tokenizer ships.
+    *
+    * Corpus contract: lowercase alphabetic words ≤ 20 chars (regex
+    * metacharacter- and fixpoint-safety); merges apply WITHIN words.
+    *
+    * Merge application is ITERATED global `regexp_replace` of the
+    * space-separated sequence (`" t1 t2 " → " t1t2 "`, 12 passes): one
+    * global pass is leftmost-non-overlapping, which misses matches that
+    * share a boundary space, and the extra passes catch exactly those —
+    * runs resolve in ≤ 2-3 passes, 12 is a proven bound for ≤ 20-char
+    * words. The same iterate runs in the SQL oracle, so both engines
+    * produce byte-identical sequences between rounds. Everything heavy
+    * is VOCABULARY-sized (distinct words × frequency), never
+    * corpus-sized; the per-round argmax is a bounded driver scalar —
+    * the learned merge is a model parameter, exactly what a production
+    * trainer checkpoints.
+    */
+  def bpeMerges(df: DataFrame, textCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(words(col(textCol))).as("w"))
+      .where(col("w").rlike("^[a-z]{1,20}$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seqs = vocab.select(col("freq"),
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val toks = seqs.select(col("freq"),
+        split(trim(col("seq")), " ").as("ts"))
+      val pairs = toks
+        .select(col("freq"), posexplode(col("ts")).as(Seq("i", "t1")),
+          col("ts"))
+        .where(col("i") < size(col("ts")) - 1)
+        .select(col("freq"), col("t1"),
+          element_at(col("ts"), col("i") + 2).as("t2"))
+        .groupBy("t1", "t2").agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("t1"), col("t2"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (t1, t2, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, t1, t2, cnt))
+        val merged = (1 to 12).foldLeft(col("seq")) { (c, _) =>
+          regexp_replace(c, s" ${java.util.regex.Pattern.quote(t1)}" +
+            s" ${java.util.regex.Pattern.quote(t2)} ", s" $t1$t2 ")
+        }
+        seqs = seqs.select(col("freq"), merged.as("seq"))
+          .localCheckpoint(true)
+      }
+    }
+    learned.result()
+      .toDF("round", "t1", "t2", "cnt")
+      .select(col("round").cast("long"), col("t1"), col("t2"), col("cnt"))
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the score Google built
     * for exactly this corpus-scale setting): score documents against an

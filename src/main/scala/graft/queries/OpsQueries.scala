@@ -3770,6 +3770,47 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— BPE merge learning (q195)
+  // (tokenizer training, distributed: 4 rounds of count-adjacent-pairs
+  //  → argmax (count desc, lexicographic tie-break) → merge-everywhere,
+  //  over the frequency-weighted vocabulary starting from characters.
+  //  The oracle UNROLLS all 4 rounds, re-running the same 12-pass
+  //  iterated global regexp_replace between rounds, so one mis-merged
+  //  boundary on either engine flips the next round's counts.)
+  val q195BpeMerges: Q = (s, dir) =>
+    graft.ops.TextOps.bpeMerges(Tables.documents(s, dir), "text",
+      rounds = 4)
+  private val q195Sql: String = {
+    def replaced(inner: String): String =
+      (1 to 12).foldLeft(inner) { (c, _) =>
+        s"regexp_replace($c, ' ' || m.t1 || ' ' || m.t2 || ' ', " +
+          "' ' || m.t1 || m.t2 || ' ', 'g')"
+      }
+    val rounds = (1 to 4).map { r =>
+      val p = r - 1
+      s"""
+    p$r AS MATERIALIZED (SELECT t1, t2, sum(freq) AS cnt FROM (
+        SELECT freq, ts[i] AS t1, ts[i + 1] AS t2 FROM (
+          SELECT freq, string_split(trim(seq), ' ') AS ts FROM s$p),
+          unnest(range(1, len(ts))) u(i)) GROUP BY 1, 2),
+    m$r AS MATERIALIZED (SELECT t1, t2, cnt FROM p$r
+          ORDER BY cnt DESC, t1, t2 LIMIT 1),
+    s$r AS MATERIALIZED (SELECT freq, ${replaced("seq")} AS seq
+          FROM s$p CROSS JOIN m$r m)"""
+    }.mkString(",")
+    s"""
+    WITH wd AS (SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]{1,20}$$') GROUP BY 1),
+    s0 AS MATERIALIZED (SELECT freq,
+        ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq FROM wd),$rounds
+    SELECT CAST(1 AS BIGINT) AS round, t1, t2, CAST(cnt AS BIGINT) AS cnt
+    FROM m1
+    UNION ALL SELECT 2, t1, t2, CAST(cnt AS BIGINT) FROM m2
+    UNION ALL SELECT 3, t1, t2, CAST(cnt AS BIGINT) FROM m3
+    UNION ALL SELECT 4, t1, t2, CAST(cnt AS BIGINT) FROM m4"""
+  }
+
   // ———————————————— interval merge / coverage islands (q193)
   // (merge each user's event intervals [ts, ts + |value|·1000 ms] into
   //  maximal islands — overlap-safe coverage, the interval-algebra
@@ -4160,6 +4201,7 @@ object OpsQueries {
     "q192_dp_counts" -> q192DpCounts,
     "q193_interval_merge" -> q193IntervalMerge,
     "q194_incremental_join" -> q194IncrementalJoin,
+    "q195_bpe_merges" -> q195BpeMerges,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4289,6 +4331,7 @@ object OpsQueries {
     "q192_dp_counts" -> q192Sql,
     "q193_interval_merge" -> q193Sql,
     "q194_incremental_join" -> q194Sql,
+    "q195_bpe_merges" -> q195Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

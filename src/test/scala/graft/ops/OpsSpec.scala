@@ -838,6 +838,34 @@ class OpsSpec extends SparkSpec {
       "level counts: 1 tri, 0 bi, 3 uni, 1 oov")
   }
 
+  test("bpeMerges: frequency argmax, greedy runs, early vocabulary exhaustion") {
+    import spark.implicits._
+    val df = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(df, "text", rounds = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: (a,a) seen twice beats (a,b) once; round 2 merges the
+    // rest; rounds 3-4 find no pairs and emit nothing (not null rows)
+    assert(got == Seq((1L, "a", "a", 2L), (2L, "a", "b", 1L)))
+  }
+
+  test("bpeMerges: run of equal chars merges left-greedily across rounds") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(df, "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // ' a a a ' counts (a,a)=2 but merges to [aa, a] (greedy skip),
+    // so round 2 sees exactly one (aa,a) pair
+    assert(got == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
+
+  test("bpeMerges: count ties break to the lexicographically smallest pair") {
+    import spark.implicits._
+    val df = Seq((1L, "cd ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(df, "text", rounds = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "b", 1L)))
+  }
+
   test("stupidBackoffScore: bigram backoff level fires when (w2,w3) seen") {
     import spark.implicits._
     val train = Seq((0L, "x a b")).toDF("doc_id", "text") // bigram (a,b)
