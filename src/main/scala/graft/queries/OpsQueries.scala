@@ -3770,6 +3770,45 @@ object OpsQueries {
     SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS digest
     FROM r GROUP BY ROLLUP(bucket)"""
 
+  // ———————————————— streaming HLL sketch maintenance (q196)
+  // (the q123 materialized-view pattern applied to a MERGEABLE SKETCH:
+  //  three event_id-residue micro-batches fold register tables into a
+  //  stored table by per-register max — associative, commutative,
+  //  IDEMPOTENT, so any decomposition (and any at-least-once replay)
+  //  lands on the one-shot build's registers. Oracle = q166's SQL
+  //  rebuild over the same bounded id range. The collect exists only to
+  //  make the decomposition oracle-reproducible; bounded < 900 rows.)
+  val q196StreamHll: Q = (s, dir) => {
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("event_id") < 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batches = (0 until 3).map(k => rows.filter(_._1 % 3 == k).toSeq)
+    val path = java.nio.file.Files.createTempDirectory("graft-hll")
+      .resolve("regs.parquet").toString
+    graft.streaming.StreamingSketch.distinctUsersInBatches(s, batches, path)
+  }
+  private val q196Sql: String = """
+    WITH h AS (SELECT event_type AS g,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          AS hv
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_id < 900),
+    r AS (SELECT g, hv % 1024 AS b,
+        least(51 - length(ltrim(bin(hv >> 10), '0')), 40) AS rk
+      FROM h),
+    regs AS (SELECT g, b, max(rk) AS m FROM r GROUP BY 1, 2),
+    z AS (SELECT g, count(*) AS n_registers,
+        CAST(sum(1::BIGINT << (40 - m)) AS BIGINT)
+          + (1024 - count(*)) * (1::BIGINT << 40) AS z_scaled
+      FROM regs GROUP BY 1)
+    SELECT g AS event_type, n_registers, z_scaled,
+      round((0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+        * CAST(1::BIGINT << 40 AS DOUBLE) / CAST(z_scaled AS DOUBLE), 2)
+        AS raw_est
+    FROM z"""
+
   // ———————————————— BPE merge learning (q195)
   // (tokenizer training, distributed: 4 rounds of count-adjacent-pairs
   //  → argmax (count desc, lexicographic tie-break) → merge-everywhere,
@@ -4202,6 +4241,7 @@ object OpsQueries {
     "q193_interval_merge" -> q193IntervalMerge,
     "q194_incremental_join" -> q194IncrementalJoin,
     "q195_bpe_merges" -> q195BpeMerges,
+    "q196_stream_hll" -> q196StreamHll,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
     "q179_quantile_sketch" -> q179QuantileSketch,
@@ -4332,6 +4372,7 @@ object OpsQueries {
     "q193_interval_merge" -> q193Sql,
     "q194_incremental_join" -> q194Sql,
     "q195_bpe_merges" -> q195Sql,
+    "q196_stream_hll" -> q196Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,
     "q179_quantile_sketch" -> q179Sql,

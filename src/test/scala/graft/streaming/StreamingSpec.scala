@@ -172,4 +172,25 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.count() == declarative.count())
     assert(stateful.except(declarative).count() == 0)
   }
+
+  test("StreamingSketch: streamed registers equal the one-shot batch build") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, i % 97, s"t${i % 3}"))
+    val path = java.nio.file.Files.createTempDirectory("graft-hll-spec")
+      .resolve("regs.parquet").toString
+    // 3 uneven batches PLUS a replay of batch 0 — idempotent merge must
+    // absorb at-least-once delivery
+    val batches = Seq(rows.filter(_._1 % 3 == 0), rows.filter(_._1 % 3 == 1),
+      rows.filter(_._1 % 3 == 2), rows.filter(_._1 % 3 == 0))
+    val streamed = graft.streaming.StreamingSketch
+      .distinctUsersInBatches(spark, batches, path, buckets = 64, maxRank = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val batch = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllRegisters(
+          rows.toDF("event_id", "user_id", "event_type"),
+          "event_type", "user_id", buckets = 64, maxRank = 40),
+        buckets = 64, maxRank = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
 }
