@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{RelationalQueries, OpsQueries, StreamingQueries, ElbQueries}
+import graft.queries.{RelationalQueries, OpsQueries, StreamingQueries, ElbQueries, ExtraQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ OpsQueries.all ++ StreamingQueries.all ++ ElbQueries.all
+    RelationalQueries.all ++ OpsQueries.all ++ StreamingQueries.all ++
+      ElbQueries.all ++ ExtraQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ OpsQueries.oracles ++ StreamingQueries.oracles ++ ElbQueries.oracles
+    RelationalQueries.oracles ++ OpsQueries.oracles ++ StreamingQueries.oracles ++
+      ElbQueries.oracles ++ ExtraQueries.oracles
 }

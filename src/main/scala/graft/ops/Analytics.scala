@@ -791,4 +791,39 @@ object Analytics {
         col("t") >= col("lo") && col("t") <= col("hi"))
       .select(col("g"), col("v"), col("n"), col("t"), col("norm_v"))
   }
+
+  /** Benford first-digit profile — the classic fabricated-data screen
+    * for financial/measurement columns: natural multi-magnitude
+    * quantities follow P(d) = log₁₀(1 + 1/d); a synthesized column does
+    * not. `valueExpr` must evaluate to a positive BIGINT (the caller
+    * maps units — e.g. cents). Per digit 1–9: observed count, observed
+    * share and expected share as floored ppm, and the signed deviation.
+    * The expected shares are pinned integer constants (they sum to
+    * exactly 1 000 000), so both engines compare identical integers —
+    * no libm log₁₀ in the data path.
+    *
+    * Plan: one narrow projection (first digit of the decimal rendering)
+    * + one 9-group aggregate + a broadcast of the 1-row total. Scan
+    * bound at any SF.
+    */
+  def benfordProfile(df: DataFrame, valueExpr: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+      .zipWithIndex.map { case (ppm, i) => (i + 1L, ppm) }
+      .toDF("digit", "expected_ppm")
+    val digits = df.select(valueExpr.cast("long").as("v"))
+      .where(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("n_total"),
+        expr("(1000000 * coalesce(n, 0)) div n_total").as("obs_ppm"),
+        col("expected_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("expected_ppm"))
+  }
 }

@@ -299,4 +299,76 @@ object Graph {
       .groupBy("i").agg(count(lit(1)).as("core_deg"))
       .select(col("i").as("id"), col("core_deg"))
   }
+
+  /** Transitive ancestor closure of a forest parent relation by POINTER
+    * DOUBLING: round k holds every (desc, anc, dist) pair with dist ≤ 2^k,
+    * built by joining the current closure with itself — O(log depth)
+    * rounds instead of a depth-linear parent chase (the difference
+    * between 5 shuffles and 50 on a deep hierarchy; each round is one
+    * equi-join + distinct on the closure, whose total size is
+    * Σ depth(v) — the output's own size, so no round does asymptotically
+    * more work than emitting the answer). Distances are well-defined
+    * (unique tree paths), so the distinct collapses the multiple binary
+    * splits that generate the same pair. Convergence = closure size
+    * stops growing (grow-only set ⇒ count equality is a proof, the
+    * shrink-side twin of [[kCore]]'s argument); rounds are bounded by
+    * log₂(maxDepth) with a loud failure past it.
+    *
+    * Chains stop where the parent relation has no row — closure of the
+    * GIVEN edges, no synthesized intermediates.
+    */
+  def ancestorClosure(parents: DataFrame, childCol: String,
+      parentCol: String, maxDepth: Int = 1 << 20): DataFrame = {
+    def ckCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = Dedup.checkpointResetStats(
+        df.observe(obs, count(lit(1)).as("n")))
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (p, n) = ckCount(parents
+      .select(col(childCol).cast("long").as("desc"),
+        col(parentCol).cast("long").as("anc"))
+      .where(col("desc") =!= col("anc"))
+      .withColumn("dist", lit(1L))
+      .distinct())
+    var span = 1L
+    var converged = false
+    while (!converged && span < 2L * maxDepth) {
+      val (next, n2) = ckCount(
+        p.unionByName(
+          p.as("x").join(p.as("y"), col("x.anc") === col("y.desc"))
+            .select(col("x.desc").as("desc"), col("y.anc").as("anc"),
+              (col("x.dist") + col("y.dist")).as("dist")))
+          .distinct())
+      converged = n2 == n
+      p = next
+      n = n2
+      span *= 2
+    }
+    if (!converged) throw new IllegalStateException(
+      s"ancestorClosure did not converge within depth $maxDepth — " +
+      "cycle in the parent relation, or raise maxDepth")
+    p
+  }
+
+  /** Subtree rollup over [[ancestorClosure]]: for every node that is an
+    * ancestor (or itself — dist-0 self pairs are included), aggregate
+    * the per-node fact columns over its whole subtree. `facts` is one
+    * row per node (`idCol`, …numeric fact columns…); output is
+    * (node, n_subtree, sum per fact column). One closure join + one
+    * grouped aggregate — the closure is the only super-linear object,
+    * and it is output-sized.
+    */
+  def subtreeRollup(parents: DataFrame, childCol: String, parentCol: String,
+      facts: DataFrame, idCol: String, factCols: Seq[String]): DataFrame = {
+    val closure = ancestorClosure(parents, childCol, parentCol)
+      .select(col("desc"), col("anc"))
+      .unionByName(facts.select(col(idCol).cast("long").as("desc"),
+        col(idCol).cast("long").as("anc")))
+    closure.join(facts.withColumnRenamed(idCol, "_fid"),
+        closure("desc") === col("_fid"))
+      .groupBy(col("anc").as("node"))
+      .agg(count(lit(1)).as("n_subtree"),
+        factCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+  }
 }

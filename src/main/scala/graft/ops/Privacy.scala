@@ -72,4 +72,33 @@ object Privacy {
           * log(lit(1.0) - lit(2.0) * abs(col("_u") - 0.5)), 6))
       .select(col("g").as(groupCol), col("n_true"), col("noisy6"))
   }
+
+  /** l-diversity audit — the release gate k-anonymity alone cannot
+    * provide: a QI group can be large (k-safe) yet carry ONE sensitive
+    * value, so membership still discloses it (homogeneity attack).
+    * Per QI equivalence class this reports group size, the number of
+    * distinct sensitive values, the dominant value's share (floored
+    * ppm — exact integer arithmetic, no float ratio to disagree on),
+    * and the ≥ l verdict.
+    *
+    * Plan: two aggregations riding the same QI⊕sensitive key — count
+    * per (QI, s) first (map-side combinable), then per-QI max/sum/count
+    * over the value-level rows. No windows, no join back; value-level
+    * cardinality bounds the second stage at |distinct sensitive| per
+    * group.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1)
+    val qi = qiCols.map(col)
+    df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(qi: _*)
+      .agg(sum(col("_c")).as("n"),
+        count(lit(1)).as("n_distinct_sensitive"),
+        max(col("_c")).as("_maxc"))
+      .select(qi ++ Seq(col("n"), col("n_distinct_sensitive"),
+        expr("(1000000 * _maxc) div n").as("max_share_ppm"),
+        (col("n_distinct_sensitive") >= l).as("l_diverse")): _*)
+  }
 }

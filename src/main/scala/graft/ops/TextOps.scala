@@ -721,4 +721,74 @@ object TextOps {
         expr("(1000000 * inter) div n_a").as("contain_a_ppm"),
         expr("(1000000 * inter) div n_b").as("contain_b_ppm"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, unweighted
+    * variant): rank every corpus word by PageRank over the adjacency
+    * graph — two words are linked when they appear next to each other in
+    * any document. The graph build is two narrow passes (tokenize+lead,
+    * then a distinct over the canonicalized pairs); the ranking itself is
+    * [[Graph.pageRank]] on 60-bit md5 word ids, so the iteration cost is
+    * O(edges) per round regardless of corpus size — the word graph is
+    * vocabulary-sized, orders of magnitude smaller than the corpus that
+    * produced it. Nodes are words that co-occur with at least one OTHER
+    * word (isolated/self-repeating tokens carry no ranking signal and
+    * would only add dangling mass).
+    *
+    * Returns (word, rank) for every graph word, rank rounded to 9 d.p.
+    * (the [[Graph.pageRank]] cross-engine float contract).
+    */
+  def textRank(docs: DataFrame, textCol: String, idCol: String,
+      iters: Int = 5, alpha: Double = 0.85): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d").orderBy("pos")
+    val toks = docs
+      .select(col(idCol).as("d"), posexplode(words(col(textCol))))
+      .toDF("d", "pos", "w")
+      .where(length(col("w")) > 0)
+    val und = toks
+      .withColumn("nxt", lead(col("w"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("w"))
+      .select(least(col("w"), col("nxt")).as("a"),
+        greatest(col("w"), col("nxt")).as("b"))
+      .distinct()
+    def wid(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val edges = und.select(wid(col("a")).as("src"), wid(col("b")).as("tgt"))
+      .unionByName(und.select(wid(col("b")).as("src"), wid(col("a")).as("tgt")))
+    val nodes = und.select(col("a").as("word"))
+      .unionByName(und.select(col("b").as("word")))
+      .distinct()
+      .select(col("word"), wid(col("word")).as("node"))
+      .localCheckpoint() // reused: rank input + the word join-back
+    Graph.pageRank(nodes.select(col("node")), "node", edges, alpha, iters)
+      .join(nodes, "node")
+      .select(col("word"), col("rank"))
+  }
+
+  /** Hashing-trick featurization (Weinberger 2009): each token maps to a
+    * bucket in [0, dims) via one md5 and contributes ±1 via a second,
+    * independent md5 bit — the signed sum per (doc, bucket) is an
+    * unbiased sparse projection of the term-frequency vector with NO
+    * vocabulary table (the property that matters at 100 TB: featurizing
+    * is a stateless narrow map + one (doc,bucket)-keyed aggregation, no
+    * broadcast dictionary to build, ship, or keep consistent across
+    * corpus versions). Zero-weight cells (sign cancellation) are dropped
+    * — the output is the sparse representation.
+    */
+  def featureHash(docs: DataFrame, textCol: String, idCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val tok = docs
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("b|"), col("w"))), 1, 15), 16, 10)
+        .cast("long"), lit(dims.toLong))
+    val sign = when(substring(md5(concat(lit("s|"), col("w"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L)
+    tok.select(col(idCol), bucket.as("bucket"), sign.as("sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .where(col("weight") =!= 0)
+  }
 }

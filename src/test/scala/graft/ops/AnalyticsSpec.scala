@@ -503,4 +503,22 @@ class AnalyticsSpec extends SparkSpec {
       .sortBy(_.getLong(1)).map(_.getLong(4))
     assert(bVals.sameElements(bVals.sorted), "monotone in the source value")
   }
+
+  test("benfordProfile: hand counts, exact ppm, absent digit = 0 row") {
+    import spark.implicits._
+    // 10 positive values: digit 1 ×5, digit 2 ×3, digit 9 ×2; a zero and
+    // a negative must be excluded
+    val vals = Seq(1L, 10L, 150L, 19L, 1999L, 2L, 25L, 200L, 9L, 900L,
+      0L, -5L).toDF("v")
+    val rows = Analytics.benfordProfile(vals, col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 9)
+    assert(rows(1L) == ((1L, 5L, 10L, 500000L, 301030L, 198970L)))
+    assert(rows(2L) == ((2L, 3L, 10L, 300000L, 176091L, 123909L)))
+    assert(rows(9L) == ((9L, 2L, 10L, 200000L, 45757L, 154243L)))
+    assert(rows(5L) == ((5L, 0L, 10L, 0L, 79181L, -79181L)))
+    // pinned expectation table sums to exactly one million
+    assert(rows.values.map(_._5).sum == 1000000L)
+  }
 }

@@ -136,4 +136,42 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxRounds"))
   }
+
+  test("ancestorClosure: hand chain with branch, exact pairs + distances") {
+    //   5 → 2 → 1 → 0,  4 → 2  (child, parent) rows
+    val par = Seq((5L, 2L), (4L, 2L), (2L, 1L), (1L, 0L)).toDF("c", "p")
+    val got = Graph.ancestorClosure(par, "c", "p")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (5L, 2L, 1L), (5L, 1L, 2L), (5L, 0L, 3L),
+      (4L, 2L, 1L), (4L, 1L, 2L), (4L, 0L, 3L),
+      (2L, 1L, 1L), (2L, 0L, 2L), (1L, 0L, 1L)))
+  }
+
+  test("ancestorClosure: depth-9 chain converges (log-round doubling)") {
+    val par = (1L to 9L).map(i => (i, i - 1)).toDF("c", "p")
+    val n = Graph.ancestorClosure(par, "c", "p").count()
+    assert(n == (1 to 9).sum) // node i has i ancestors
+  }
+
+  test("ancestorClosure: cycle fails loudly instead of spinning") {
+    val par = Seq((0L, 1L), (1L, 0L)).toDF("c", "p")
+    val e = intercept[IllegalStateException] {
+      Graph.ancestorClosure(par, "c", "p", maxDepth = 8).count()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("subtreeRollup: sums cover self + all descendants, gaps stop chains") {
+    // tree: 1 ← 2 ← 4;  3 is isolated (no parent row, nobody's parent)
+    val par = Seq((2L, 1L), (4L, 2L)).toDF("c", "p")
+    val facts = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("id", "v")
+    val rows = Graph.subtreeRollup(par, "c", "p", facts, "id", Seq("v"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((3L, 70L))) // self + 2 + 4
+    assert(rows(2L) == ((2L, 60L)))
+    assert(rows(3L) == ((1L, 30L))) // isolated: itself only
+    assert(rows(4L) == ((1L, 40L)))
+  }
 }

@@ -876,4 +876,52 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(3) == 1L && r.getLong(2) == 0L)
     assert(math.abs(r.getDouble(1) - math.log(0.4)) < 1e-6)
   }
+
+  test("textRank: hub of a star outranks leaves; leaves tie; mass sums to 1") {
+    import spark.implicits._
+    // one doc "a hub b hub c hub" → star: hub—a, hub—b, hub—c
+    val docs = Seq((0L, "a hub b hub c hub")).toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, "text", "doc_id")
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("hub", "a", "b", "c"))
+    assert(got("hub") > got("a"))
+    assert(got("a") == got("b") && got("b") == got("c"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6) // stochastic: mass conserved
+  }
+
+  test("textRank: repeated-token runs and empty tokens contribute no edges") {
+    import spark.implicits._
+    val docs = Seq((0L, "x  x x"), (1L, "p q")).toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, "text", "doc_id")
+      .as[(String, Double)].collect().toMap
+    // doc 0 is all self-adjacency (x-x) → no edges; only p—q ranks
+    assert(got.keySet == Set("p", "q"))
+    assert(got("p") == got("q"))
+  }
+
+  test("featureHash: deterministic buckets, signed counts, zeros dropped") {
+    import spark.implicits._
+    val docs = Seq((0L, "w w w"), (1L, "w")).toDF("doc_id", "text")
+    val got = TextOps.featureHash(docs, "text", "doc_id", dims = 8)
+      .as[(Long, Long, Long)].collect()
+    // same token always lands in the same bucket with the same sign:
+    // doc0 weight must be exactly 3× doc1's weight, same bucket
+    val d0 = got.filter(_._1 == 0L)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d0.length == 1 && d1.length == 1)
+    assert(d0.head._2 == d1.head._2)
+    assert(d0.head._3 == 3 * d1.head._3)
+    assert(math.abs(d1.head._3) == 1)
+    assert(d0.head._2 >= 0 && d0.head._2 < 8)
+    // exact sign cancellation drops the cell: find two tokens in the
+    // same bucket with opposite signs is fixture-fragile — instead
+    // verify the HAVING guard structurally with an empty-sum case:
+    // a doc whose tokens all hash identically can never cancel, so
+    // assert instead that no zero weight survives in a wider corpus
+    val wide = Seq((2L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val w = TextOps.featureHash(wide, "text", "doc_id", dims = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(w.forall(_._3 != 0))
+  }
 }

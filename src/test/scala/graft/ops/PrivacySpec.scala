@@ -72,4 +72,29 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpNoisyCounts(df, "g", epsilon = 0.0)
     }
   }
+
+  test("lDiversity: homogeneous group flagged, diverse group passes") {
+    import spark.implicits._
+    // QI group A: 4 rows, ONE sensitive value (k-safe, l-broken);
+    // QI group B: 3 rows, 3 distinct values (l=3 diverse)
+    val rows = Seq(
+      ("A", "s1"), ("A", "s1"), ("A", "s1"), ("A", "s1"),
+      ("B", "s1"), ("B", "s2"), ("B", "s3")).toDF("qi", "sv")
+    val got = Privacy.lDiversity(rows, Seq("qi"), "sv", l = 3)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") == ((4L, 1L, 1000000L, false)))
+    assert(got("B") == ((3L, 3L, 333333L, true))) // floor(1e6/3)
+  }
+
+  test("lDiversity rejects empty QI and l < 1") {
+    import spark.implicits._
+    val df = Seq(("a", "s")).toDF("qi", "sv")
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversity(df, Seq.empty, "sv", l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversity(df, Seq("qi"), "sv", l = 0)
+    }
+  }
 }
