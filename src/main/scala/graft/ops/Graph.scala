@@ -300,6 +300,45 @@ object Graph {
       .select(col("i").as("id"), col("core_deg"))
   }
 
+  /** Semi-supervised label propagation over a symmetric edge set:
+    * unlabeled nodes take the MAJORITY label among their labeled
+    * neighbors each synchronized round (count desc, label asc tiebreak —
+    * fully deterministic), and a label FREEZES once assigned (seeds never
+    * change, propagated labels are monotone) — so the result is a pure
+    * function of (seeds, edges, iters) with no order dependence to drift
+    * between engines. The training-data use: spread a small
+    * human-labeled seed set across an embedding similarity graph to
+    * pseudo-label the rest of the corpus.
+    *
+    * Each round is one join of the edge set against the currently
+    * labeled frontier + two grouped aggregates — O(edges) per round,
+    * no per-node state beyond the label table. Unreached nodes keep a
+    * null label.
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String, seeds: DataFrame,
+      seedIdCol: String, labelCol: String, edges: DataFrame,
+      iters: Int = 3): DataFrame = {
+    var labels = nodes.select(col(idCol).cast("long").as("id"))
+      .join(seeds.select(col(seedIdCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("label")), Seq("id"), "left")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .select(col("src").cast("long").as("src"),
+          col("tgt").cast("long").as("id"))
+        .join(labels.where(col("label").isNotNull)
+          .select(col("id").as("src"), col("label").as("nl")), Seq("src"))
+        .groupBy(col("id"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(max_by(col("nl"),
+          struct(col("c"), (lit(0L) - col("nl")).as("neg"))).as("maj"))
+      labels = labels.join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("maj")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as(idCol), col("label"))
+  }
+
   /** Transitive ancestor closure of a forest parent relation by POINTER
     * DOUBLING: round k holds every (desc, anc, dist) pair with dist ≤ 2^k,
     * built by joining the current closure with itself — O(log depth)

@@ -437,4 +437,49 @@ object Sketches {
           / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
           .cast("long").as("jaccard_ppm"))
   }
+
+  /** Equi-join cardinality estimation from count-min sketches — the
+    * planner-side use of the CMS family: |A ⋈ B| = Σ_k c_A(k)·c_B(k) is
+    * estimated as min over rows of Σ_bucket cmsA·cmsB (AMS/CMS inner
+    * product; each row's product sum overestimates by hash collisions,
+    * the min is the standard correction). Sketching each side is one
+    * grouped count over (row, bucket) — O(width·depth) state per side
+    * regardless of key cardinality, buildable incrementally and
+    * mergeable, which is the whole point: the true product join needs
+    * both sides' full key histograms co-shuffled, the sketch needs two
+    * broadcast-sized tables. Same md5 bucket lattice as
+    * [[cmsTokenCounts]], so the oracle rebuilds it bit-for-bit.
+    *
+    * Returns one row: (est_rows, true_rows) — the exact size rides
+    * along for the oracle gate and for judging the estimate.
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
+    def bucket(r: Column, k: Column): Column =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit("|"),
+        k.cast("string"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+    def sketch(df: DataFrame, key: String): DataFrame = df
+      .where(col(key).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col(key).as("k"))
+      .groupBy(col("r"), bucket(col("r"), col("k")).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val est = sketch(a, aKey).withColumnRenamed("c", "ca")
+      .join(sketch(b, bKey).withColumnRenamed("c", "cb"), Seq("r", "bkt"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("rowEst"))
+      // a sketch row with NO overlapping buckets never reaches the
+      // grouped frame, but its product sum is 0 and must win the min —
+      // any absent row forces the estimate to 0
+      .agg(coalesce(min(col("rowEst")), lit(0L)).as("m"),
+        count(lit(1)).as("nr"))
+      .select(when(col("nr") < depth, lit(0L)).otherwise(col("m"))
+        .as("est_rows"))
+    val truth = a.where(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+      .join(b.where(col(bKey).isNotNull)
+        .groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb")), Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("true_rows"))
+    est.crossJoin(truth)
+  }
 }

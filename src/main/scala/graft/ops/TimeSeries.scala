@@ -246,4 +246,51 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("island_start"), col("island_end"),
         col("n_intervals"))
   }
+
+  /** Visual-fidelity downsampling by largest effective area (the
+    * parallelizable sibling of LTTB, a.k.a. largest-triangle-one-bucket):
+    * each interior point's importance is twice the area of the triangle
+    * it forms with its immediate neighbors — computed from lag/lead in
+    * EXACT BIGINT cross products (ms × milli units, |Δx·Δy| ≤ ~1e14, far
+    * inside long range) — and each of `nOut` per-series index buckets
+    * keeps its highest-area point (area desc, position asc tiebreak).
+    * First and last points are always kept, so the envelope is anchored.
+    * Series with ≤ nOut + 2 points pass through whole.
+    *
+    * Why not exact LTTB: its bucket choice depends on the PREVIOUS
+    * bucket's selected point — an inherently sequential chain per series.
+    * The fixed-neighbor variant drops that dependency, making the whole
+    * operator two window passes over the (key, ts) partitioning — no
+    * driver loop, no per-series recursion, same O(n) work distributed.
+    *
+    * `tsCol` epoch-ms and `valCol` integer (milli) columns; `ordCol`
+    * breaks same-timestamp ties to pin a total order.
+    */
+  def effectiveAreaDownsample(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, ordCol: String, nOut: Int): DataFrame = {
+    require(nOut >= 1, "nOut must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(col("x"), col(ordCol))
+    val pts = df.select(col(keyCol), col(tsCol).cast("long").as("x"),
+        col(valCol).cast("long").as("y"), col(ordCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .withColumn("xn", lead(col("x"), 1).over(w))
+      .withColumn("yn", lead(col("y"), 1).over(w))
+      .withColumn("area2", abs((col("x") - col("xp")) * (col("yn") - col("yp"))
+        - (col("xn") - col("xp")) * (col("y") - col("yp"))))
+      // endpoints get a NULL bucket: they are kept unconditionally and
+      // must not compete in (or shift, via div-vs-floor negative
+      // rounding) the first/last real bucket
+      .withColumn("bucket",
+        when(col("rn") === 1 || col("rn") === col("n"), lit(null))
+          .otherwise(expr(s"((rn - 2) * $nOut) div greatest(n - 2, 1)")))
+    val wb = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("area2").desc, col("rn"))
+    pts.withColumn("pick", row_number().over(wb))
+      .where(col("n") <= nOut + 2 || col("rn") === 1 || col("rn") === col("n")
+        || col("pick") === 1)
+      .select(col(keyCol), col("x").as(tsCol), col("y").as(valCol))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Graph, Privacy, TextOps}
+import graft.ops.{Analytics, Graph, Privacy, Similarity, Sketches, TextOps, TimeSeries}
 
 /** Round-9 additions: graph-over-text ranking, hierarchy rollups, the
   * privacy-audit pair's missing member, data-quality screens, an ORC
@@ -186,13 +186,129 @@ object ExtraQueries {
     SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
     FROM m GROUP BY 1, 2 HAVING sum(sgn) <> 0"""
 
+  // —————————————————————————————— label propagation (q203)
+  // (semi-supervised pseudo-labeling: every fifth embedding keeps its
+  //  human label, the rest take the frozen-majority spread over the
+  //  cosine ε-graph for 3 synchronized rounds. The oracle rebuilds the
+  //  exact pair graph — q23's dot-product CTE — and unrolls each round's
+  //  majority vote with the same (count desc, label asc) tiebreak.)
+  val q203LabelPropagation: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.3)
+    val edges = pairs.select(col("a").as("src"), col("b").as("tgt"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("tgt")))
+    val seeds = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"))
+    Graph.labelPropagation(emb.select(col("vec_id")), "vec_id",
+      seeds, "vec_id", "label", edges, iters = 3)
+  }
+  private val q203Sql: String = {
+    val rounds = (0 until 3).map { k =>
+      s"""v$k AS (SELECT e.tgt AS id, l.label AS nl, count(*) AS c
+             FROM edges e JOIN l$k l ON l.id = e.src
+             WHERE l.label IS NOT NULL GROUP BY 1, 2),
+    m$k AS (SELECT id, nl FROM (
+              SELECT id, nl, row_number() OVER (PARTITION BY id
+                ORDER BY c DESC, nl ASC) AS rk FROM v$k)
+            WHERE rk = 1),
+    l${k + 1} AS (SELECT l.id, coalesce(l.label, m.nl) AS label
+             FROM l$k l LEFT JOIN m$k m ON m.id = l.id)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 500),
+    p AS (SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+          list_dot_product(x.e, y.e)
+            / (sqrt(list_dot_product(x.e, x.e))
+               * sqrt(list_dot_product(y.e, y.e))) AS cos_raw
+        FROM v x JOIN v y ON x.vec_id < y.vec_id)
+      WHERE cos_raw >= 0.3),
+    edges AS (SELECT a AS src, b AS tgt FROM p
+              UNION ALL SELECT b, a FROM p),
+    l0 AS (SELECT vec_id AS id,
+             CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS label
+           FROM v),
+    $rounds
+    SELECT id AS vec_id, label FROM l3"""
+  }
+
+  // —————————————————————————————— effective-area downsampling (q204)
+  // (largest-triangle-one-bucket per user series over events, 8 points
+  //  out; exact BIGINT cross products, endpoints anchored.)
+  val q204Downsample: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        round(col("value") * 1000).cast("long").as("v_milli"))
+    TimeSeries.effectiveAreaDownsample(ev, "user_id", "ts_ms", "v_milli",
+      "event_id", nOut = 8)
+  }
+  private val q204Sql: String = """
+    WITH pts AS (SELECT user_id, event_id, epoch_ms(ts) AS x,
+            CAST(round(value * 1000) AS BIGINT) AS y
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL),
+    wn AS (SELECT user_id, x, y,
+            row_number() OVER w AS rn,
+            count(*) OVER (PARTITION BY user_id) AS n,
+            lag(x) OVER w AS xp, lag(y) OVER w AS yp,
+            lead(x) OVER w AS xn, lead(y) OVER w AS yn
+          FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id)),
+    ar AS (SELECT user_id, x, y, rn, n,
+            abs((x - xp) * (yn - yp) - (xn - xp) * (y - yp)) AS area2,
+            CASE WHEN rn = 1 OR rn = n THEN NULL
+                 ELSE ((rn - 2) * 8) // greatest(n - 2, 1) END AS bucket
+          FROM wn),
+    pk AS (SELECT user_id, x, y, rn, n, bucket,
+            row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY area2 DESC NULLS LAST, rn ASC) AS pick
+          FROM ar)
+    SELECT user_id, x AS ts_ms, y AS v_milli
+    FROM pk
+    WHERE n <= 10 OR rn = 1 OR rn = n OR pick = 1"""
+
+  // —————————————————————————————— CMS join-size estimate (q205)
+  // (planner-side sketch use: |events ⋈ customer| estimated from two
+  //  count-min sketches' inner product, exact size alongside.)
+  val q205CmsJoinSize: Q = (s, dir) =>
+    Sketches.cmsJoinSize(Tables.events(s, dir), "user_id",
+      Tables.customer(s, dir), "c_custkey", depth = 4, width = 256)
+  private val q205Sql: String = """
+    WITH sa AS (SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+              || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bkt,
+            count(*) AS ca
+          FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+          WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    sb AS (SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+              || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bkt,
+            count(*) AS cb
+          FROM customer CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+          WHERE c_custkey IS NOT NULL GROUP BY 1, 2),
+    rows_ AS (SELECT sa.r, CAST(sum(ca * cb) AS BIGINT) AS rowEst
+          FROM sa JOIN sb ON sa.r = sb.r AND sa.bkt = sb.bkt GROUP BY 1),
+    est AS (SELECT CASE WHEN count(*) < 4 THEN 0
+                        ELSE CAST(min(rowEst) AS BIGINT) END AS est_rows
+            FROM rows_),
+    ta AS (SELECT user_id AS k, count(*) AS na FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+    tb AS (SELECT c_custkey AS k, count(*) AS nb FROM customer
+           WHERE c_custkey IS NOT NULL GROUP BY 1),
+    tr AS (SELECT coalesce(CAST(sum(na * nb) AS BIGINT), 0) AS true_rows
+           FROM ta JOIN tb ON ta.k = tb.k)
+    SELECT est_rows, true_rows FROM est CROSS JOIN tr"""
+
   val all: Map[String, Q] = Map(
     "q197_textrank" -> q197TextRank,
     "q198_subtree_rollup" -> q198SubtreeRollup,
     "q199_l_diversity" -> q199LDiversity,
     "q200_benford" -> q200Benford,
     "q201_orc_roundtrip" -> q201OrcRoundtrip,
-    "q202_feature_hash" -> q202FeatureHash)
+    "q202_feature_hash" -> q202FeatureHash,
+    "q203_label_propagation" -> q203LabelPropagation,
+    "q204_downsample" -> q204Downsample,
+    "q205_cms_join_size" -> q205CmsJoinSize)
 
   val oracles: Map[String, String] = Map(
     "q197_textrank" -> q197Sql,
@@ -200,5 +316,8 @@ object ExtraQueries {
     "q199_l_diversity" -> q199Sql,
     "q200_benford" -> q200Sql,
     "q201_orc_roundtrip" -> q201Sql,
-    "q202_feature_hash" -> q202Sql)
+    "q202_feature_hash" -> q202Sql,
+    "q203_label_propagation" -> q203Sql,
+    "q204_downsample" -> q204Sql,
+    "q205_cms_join_size" -> q205Sql)
 }

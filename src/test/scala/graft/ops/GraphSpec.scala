@@ -162,6 +162,41 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("labelPropagation: spreads, majority wins, seeds freeze, " +
+      "unreached stay null") {
+    // path 0—1—2—3—4 with seeds 0→(label 7) and 4→(label 2);
+    // isolated node 9 must stay null
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 9L).toDF("id")
+    val seeds = Seq((0L, 7L), (4L, 2L)).toDF("id", "label")
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "tgt")
+    val got = Graph.labelPropagation(nodes, "id", seeds, "id", "label",
+      edges, iters = 3).as[(Long, Option[Long])].collect().toMap
+    assert(got(0L).contains(7L) && got(4L).contains(2L), "seeds frozen")
+    assert(got(1L).contains(7L) && got(3L).contains(2L), "round-1 spread")
+    // node 2 hears 7 (from 1) and 2 (from 3) in round 2: tie on count,
+    // smaller label wins
+    assert(got(2L).contains(2L), "count tie broken by smaller label")
+    assert(got(9L).isEmpty, "unreached node keeps null")
+  }
+
+  test("labelPropagation: assigned labels never flip on later rounds") {
+    // triangle 1-2-3 seeded 1→5; node 4 attached to 2 AND to a later
+    // heavy cluster of 9s — once 4 takes 5 in round 2 it must keep it
+    val nodes = (1L to 7L).toDF("id")
+    val seeds = Seq((1L, 5L), (5L, 9L), (6L, 9L), (7L, 9L)).toDF("id", "label")
+    val und = Seq((1L, 2L), (2L, 4L), (4L, 5L), (4L, 6L), (4L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "tgt")
+    val got = Graph.labelPropagation(nodes, "id", seeds, "id", "label",
+      edges, iters = 1).as[(Long, Option[Long])].collect().toMap
+    // after round 1, node 4 already hears three 9s vs zero 5s
+    assert(got(4L).contains(9L))
+    val got3 = Graph.labelPropagation(nodes, "id", seeds, "id", "label",
+      edges, iters = 3).as[(Long, Option[Long])].collect().toMap
+    assert(got3(4L).contains(9L), "frozen after first assignment")
+    assert(got3(2L).contains(5L))
+  }
+
   test("subtreeRollup: sums cover self + all descendants, gaps stop chains") {
     // tree: 1 ← 2 ← 4;  3 is isolated (no parent row, nobody's parent)
     val par = Seq((2L, 1L), (4L, 2L)).toDF("c", "p")

@@ -245,4 +245,28 @@ class SketchesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("negative member id"))
   }
+
+  test("cmsJoinSize: exact truth, estimate >= truth, exact when sparse") {
+    import spark.implicits._
+    // a: keys 1×2, 2×3, 3×1;  b: keys 2×2, 3×4, 9×5 → true = 3·2 + 1·4
+    val a = Seq(1L, 1L, 2L, 2L, 2L, 3L).toDF("k")
+    val b = (Seq.fill(2)(2L) ++ Seq.fill(4)(3L) ++ Seq.fill(5)(9L)).toDF("k")
+    val r = Sketches.cmsJoinSize(a, "k", b, "k", depth = 4, width = 1024)
+      .as[(Long, Long)].collect().head
+    assert(r._2 == 10L)
+    assert(r._1 >= r._2, "CMS inner product only over-estimates")
+    // 4 distinct keys in 1024 buckets: collisions are absent, est exact
+    assert(r._1 == 10L)
+  }
+
+  test("cmsJoinSize: disjoint key sets estimate and join to zero") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(7L, 8L).toDF("k")
+    val r = Sketches.cmsJoinSize(a, "k", b, "k", depth = 4, width = 1024)
+      .as[(Long, Long)].collect().head
+    // 4 keys in 1024 buckets: no collision in any row, so every row's
+    // product sum is empty and the min is forced to 0
+    assert(r._2 == 0L && r._1 == 0L)
+  }
 }

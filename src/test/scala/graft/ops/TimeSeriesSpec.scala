@@ -207,4 +207,24 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(got.toSeq == Seq(("u", 0L, 100L, 3L)))
   }
+
+  test("effectiveAreaDownsample: spike survives, flat run collapses") {
+    // 12 points on a flat line except one spike at t=70; 2 buckets →
+    // keep first, last, and per-bucket argmax — the spike MUST be kept
+    val pts = (0L until 12L).map(i => ("u", i, i * 10L,
+      if (i == 7L) 500L else 0L)).toDF("k", "id", "t", "v")
+    val got = TimeSeries.effectiveAreaDownsample(pts, "k", "t", "v", "id",
+      nOut = 2).as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(got.contains((0L, 0L)) && got.contains((110L, 0L)), "endpoints")
+    assert(got.contains((70L, 500L)), "spike is the bucket-2 argmax")
+    assert(got.size == 4, s"2 endpoints + 2 bucket picks, got $got")
+  }
+
+  test("effectiveAreaDownsample: short series pass through whole") {
+    val pts = (0L until 5L).map(i => ("u", i, i * 10L, i))
+      .toDF("k", "id", "t", "v")
+    val got = TimeSeries.effectiveAreaDownsample(pts, "k", "t", "v", "id",
+      nOut = 8)
+    assert(got.count() == 5)
+  }
 }
