@@ -74,4 +74,26 @@ object Evaluation {
           .otherwise(round((col("b_q") - col("a_q")).cast("double")
             / greatest(col("a_q"), col("b_q")).cast("double"), 6)).as("s"))
   }
+
+  /** Recall@k of an approximate top-k retrieval against the exact one —
+    * the acceptance gate every ANN index deployment needs (an index
+    * whose recall silently dropped is worse than a slow exact scan).
+    * Both inputs are (queryCol, idCol) result sets; per query the hit
+    * count is |approx ∩ exact| and recall is exact floored ppm over
+    * `k`. Queries the approximate side missed entirely surface as
+    * 0-recall rows, not absent ones. One semi-join + two bounded
+    * aggregates; cost is the result sets' size, never the corpus.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
+      queryCol: String = "q_id", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val qs = exact.select(col(queryCol)).distinct()
+    val hits = exact.select(col(queryCol), col(idCol))
+      .join(approx.select(col(queryCol), col(idCol)),
+        Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    qs.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr(s"(1000000 * n_hit) div $k"))
+  }
 }

@@ -303,4 +303,40 @@ object Sampling {
         when(col("block") % 2 === 0, col("pos")).otherwise(n - 1 - col("pos")))
       .select(col("id"), col("size"), col("r").as("rank"), col("shard"))
   }
+
+  /** Deterministic negative sampling for retrieval/recommendation
+    * training: for every user, the `k` hash-smallest candidate items
+    * the user did NOT interact with. The candidate universe per user
+    * is HASH-BLOCKED — only items whose md5 bucket equals the user's
+    * (mod `blocks`) are considered — which is what makes this a join,
+    * not a users × items cross product: per user the candidate set is
+    * |items|/blocks, and the block assignment is itself a uniform
+    * deterministic sample of the item universe (every item reachable
+    * by 1/blocks of users, every user seeing 1/blocks of items). Both
+    * the pair score and the block come from the md5 lattice, so a
+    * rerun — or the oracle — reproduces the draw exactly.
+    */
+  def negativeSample(interactions: DataFrame, userCol: String,
+      itemCol: String, items: DataFrame, itemIdCol: String,
+      k: Int, blocks: Int = 8): DataFrame = {
+    require(k >= 1 && blocks >= 1)
+    def block(c: Column): Column =
+      pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(blocks.toLong))
+    val users = interactions.select(col(userCol).as("u")).distinct()
+      .withColumn("blk", block(col("u")))
+    val cand = items.select(col(itemIdCol).as("item"))
+      .distinct().withColumn("blk", block(col("item")))
+    val seen = interactions
+      .select(col(userCol).as("u"), col(itemCol).as("item")).distinct()
+    val scored = users.join(cand, Seq("blk"))
+      .join(seen, Seq("u", "item"), "left_anti")
+      .withColumn("score", conv(substring(md5(concat(col("u").cast("string"),
+        lit("|"), col("item").cast("string"))), 1, 15), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("score"), col("item"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("u").as(userCol), col("item").as(itemCol), col("rk"))
+  }
 }

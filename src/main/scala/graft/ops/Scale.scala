@@ -88,4 +88,27 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Shuffle-skew advisor: simulate hash-partitioning the frame on
+    * `key` into `parts` partitions (md5 bucket — engine-portable, so
+    * the oracle replays it; Spark's Murmur3 layout differs only by a
+    * permutation of the same mass) and report each partition's row mass
+    * as exact floored ppm of the total. The max row's share IS the
+    * straggler bound for any shuffle keyed this way — the number the
+    * salting/AQE-skew decision reads. Null keys hash together into
+    * their own row, surfaced rather than dropped (an all-null key is
+    * the most common real-world skew whale). One grouped count + a
+    * broadcast of the 1-row total; scan-bound at any SF.
+    */
+  def skewProfile(df: DataFrame, key: Column, parts: Int): DataFrame = {
+    require(parts >= 2, "parts must be >= 2")
+    val bucket = pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(parts.toLong))
+    val counts = df.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_rows"),
+        expr("(1000000 * n_rows) div n_total").as("share_ppm"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Graph, Privacy, Similarity, Sketches, TextOps, TimeSeries}
+import graft.ops.{Analytics, Evaluation, Graph, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
 
 /** Round-9 additions: graph-over-text ranking, hierarchy rollups, the
   * privacy-audit pair's missing member, data-quality screens, an ORC
@@ -299,7 +299,129 @@ object ExtraQueries {
            FROM ta JOIN tb ON ta.k = tb.k)
     SELECT est_rows, true_rows FROM est CROSS JOIN tr"""
 
+  // —————————————————————————————— shuffle-skew profile (q206)
+  // (hash-partition simulation over the events key everyone groups by:
+  //  per-bucket row mass in exact ppm — the straggler bound a salting /
+  //  AQE-skew decision reads. event_type has 5 hot values, so the
+  //  histogram is the interesting, skewed case.)
+  val q206SkewProfile: Q = (s, dir) =>
+    Scale.skewProfile(Tables.events(s, dir), col("event_type"), parts = 32)
+  private val q206Sql: String = """
+    WITH b AS (SELECT CAST(('0x' || substr(md5(event_type), 1, 15))
+                 AS BIGINT) % 32 AS bucket
+               FROM events),
+    c AS (SELECT bucket, count(*) AS n_rows FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM c)
+    SELECT bucket, n_rows, (1000000 * n_rows) // n_total AS share_ppm
+    FROM c CROSS JOIN t"""
+
+  // —————————————————————————————— ANN recall gate (q207)
+  // (recall@5 of the nProbe=2 IVF probe against the exact scan over the
+  //  SAME corpus — the index-deployment acceptance number. The oracle
+  //  replays both retrievals and the intersection.)
+  private val ivfRecallIndex = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q207IvfRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val path = ivfRecallIndex.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivf-recall-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Similarity.buildIvfIndex(corpus, centroids, p)
+      p
+    })
+    val approx = Similarity
+      .ivfTopKIndexedBatch(path, centroids, queries, k = 5, nProbe = 2)
+    val exact = Similarity.bruteForceTopKBatch(corpus, queries, k = 5)
+    Evaluation.recallAtK(exact, approx, k = 5)
+  }
+  private val q207Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    probes AS (SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+            list_dot_product(c.cv, q.qe)
+              / (sqrt(list_dot_product(c.cv, c.cv))
+                 * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid) AS rn
+        FROM c, q)
+      WHERE rn <= 2),
+    ascored AS (SELECT p.q_id, a.vec_id,
+        round(list_dot_product(a.e, q.qe)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM a1 a JOIN probes p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id),
+    at AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM ascored) WHERE rk <= 5),
+    bscored AS (SELECT q.q_id, v.vec_id,
+        round(list_dot_product(v.e, q.qe)
+          / (sqrt(list_dot_product(v.e, v.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM v, q),
+    bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM bscored) WHERE rk <= 5),
+    h AS (SELECT b.q_id, count(*) AS n_hit
+          FROM bt b JOIN at a ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+          GROUP BY 1)
+    SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+      (1000000 * coalesce(h.n_hit, 0)) // 5 AS recall_ppm
+    FROM (SELECT DISTINCT q_id FROM bt) q LEFT JOIN h USING (q_id)"""
+
+  // —————————————————————————————— negative sampling (q208)
+  // (per-customer hash-blocked top-5 never-ordered parts: candidates
+  //  limited to the customer's md5 block — a join, never users × items.)
+  val q208NegativeSample: Q = (s, dir) => {
+    val inter = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    Sampling.negativeSample(inter, "o_custkey", "l_partkey",
+      Tables.part(s, dir), "p_partkey", k = 5, blocks = 8)
+  }
+  private val q208Sql: String = """
+    WITH inter AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    users AS (SELECT DISTINCT u,
+            CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS blk
+          FROM inter),
+    cand AS (SELECT DISTINCT p_partkey AS item,
+            CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS blk
+          FROM part),
+    scored AS (SELECT users.u, cand.item,
+            CAST(('0x' || substr(md5(CAST(users.u AS VARCHAR) || '|'
+              || CAST(cand.item AS VARCHAR)), 1, 15)) AS BIGINT) AS score
+          FROM users JOIN cand USING (blk)
+          WHERE NOT EXISTS (SELECT 1 FROM inter i
+                            WHERE i.u = users.u AND i.item = cand.item))
+    SELECT u AS o_custkey, item AS l_partkey, rk FROM (
+      SELECT u, item, row_number() OVER
+        (PARTITION BY u ORDER BY score, item) AS rk
+      FROM scored)
+    WHERE rk <= 5"""
+
   val all: Map[String, Q] = Map(
+    "q206_skew_profile" -> q206SkewProfile,
+    "q207_ivf_recall" -> q207IvfRecall,
+    "q208_negative_sample" -> q208NegativeSample,
     "q197_textrank" -> q197TextRank,
     "q198_subtree_rollup" -> q198SubtreeRollup,
     "q199_l_diversity" -> q199LDiversity,
@@ -311,6 +433,9 @@ object ExtraQueries {
     "q205_cms_join_size" -> q205CmsJoinSize)
 
   val oracles: Map[String, String] = Map(
+    "q206_skew_profile" -> q206Sql,
+    "q207_ivf_recall" -> q207Sql,
+    "q208_negative_sample" -> q208Sql,
     "q197_textrank" -> q197Sql,
     "q198_subtree_rollup" -> q198Sql,
     "q199_l_diversity" -> q199Sql,

@@ -42,4 +42,18 @@ class EvaluationSpec extends SparkSpec {
     assert(got(7L)._3.isEmpty && got(7L)._5 == 0.0)
     assert(got(1L)._3.nonEmpty && got(1L)._5 > 0)
   }
+
+  test("recallAtK: hand sets, zero-hit query surfaces as 0") {
+    import spark.implicits._
+    // exact q1: {1,2,3}; approx q1: {2,3,9} → 2 hits of k=3
+    // exact q2: {4,5,6}; approx q2: {7,8,9} → 0 hits, row must survive
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 4L), (2L, 5L), (2L, 6L)).toDF("q_id", "vec_id")
+    val approx = Seq((1L, 2L), (1L, 3L), (1L, 9L),
+      (2L, 7L), (2L, 8L), (2L, 9L)).toDF("q_id", "vec_id")
+    val got = Evaluation.recallAtK(exact, approx, k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 666666L)))
+    assert(got(2L) == ((0L, 0L)))
+  }
 }

@@ -99,4 +99,19 @@ class ScaleSpec extends SparkSpec {
     assert(maxYExtent(z) < 31L,
       s"z-clustered partitions must bound y (got ${maxYExtent(z)})")
   }
+
+  test("skewProfile: ppm mass exact, null keys surfaced as their own row") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(Some("hot")) ++ Seq.fill(3)(Some("warm"))
+      ++ Seq(Option.empty[String])).toDF("k")
+    val got = Scale.skewProfile(df, org.apache.spark.sql.functions.col("k"),
+      parts = 16).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum == 10L)
+    val nullRow = got.find(_._1.isEmpty).get
+    assert(nullRow._2 == 1L && nullRow._3 == 100000L)
+    assert(got.exists(r => r._2 == 6L && r._3 == 600000L), "hot bucket ppm")
+    got.foreach(r => r._1.foreach(b => assert(b >= 0 && b < 16)))
+  }
 }

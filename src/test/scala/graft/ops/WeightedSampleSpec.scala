@@ -107,4 +107,32 @@ class WeightedSampleSpec extends SparkSpec {
     assert(spread <= rrSpread,
       s"serpentine ($spread) must not lose to round-robin ($rrSpread)")
   }
+
+  test("negativeSample: never a seen item, block-constrained, k-bounded, " +
+      "deterministic") {
+    import org.apache.spark.sql.functions.col
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("u", "item")
+    val items = (10L to 60L).toDF("id")
+    def run() = Sampling.negativeSample(inter, "u", "item", items, "id",
+      k = 3, blocks = 2)
+    val got = run().as[(Long, Long, Long)].collect()
+    // never a previously interacted item
+    val seen = Set((1L, 10L), (1L, 11L), (2L, 10L))
+    assert(got.forall(r => !seen.contains((r._1, r._2))))
+    // at most k per user, ranks dense from 1
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3 && rs.map(_._3).sorted.sameElements(1L to rs.length))
+    }
+    // block constraint: sampled item's md5 block equals the user's
+    def blk(x: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 2
+    }
+    assert(got.forall(r => blk(r._1) == blk(r._2)))
+    // replayable draw
+    assert(run().as[(Long, Long, Long)].collect().toSet == got.toSet)
+  }
 }
