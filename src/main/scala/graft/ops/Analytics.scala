@@ -826,4 +826,37 @@ object Analytics {
         col("expected_ppm"))
       .withColumn("dev_ppm", col("obs_ppm") - col("expected_ppm"))
   }
+
+  /** Gini impurity of a label under a categorical feature split — the
+    * decision-tree / feature-selection criterion, computed in EXACT
+    * floored-ppm arithmetic (Gini needs only ratios of squared counts,
+    * so unlike entropy there is no logarithm to take on data). Per
+    * feature value: Gini(Y|x) = 1e6 − (1e6·Σ_y n_xy²) div n_x², plus
+    * one NULL-feature summary row carrying the PARENT impurity over the
+    * same lattice — gain = parent − Σ n_x·child div n is one more
+    * integer step for the caller. Two grouped aggregations riding the
+    * feature⊕label key; value-level cardinality bounds everything after
+    * the first shuffle.
+    */
+  def giniSplit(df: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val cell = df.groupBy(col(featureCol).as("x"), col(labelCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val perX = cell.groupBy(col("x"))
+      .agg(sum(col("nxy")).as("n"), sum(col("nxy") * col("nxy")).as("ss"))
+      .select(col("x"), col("n"),
+        (lit(1000000L) - expr("(1000000 * ss) div (n * n)")).as("gini_ppm"))
+    val label = df.groupBy(col(labelCol).as("y")).agg(count(lit(1)).as("ny"))
+    val parent = label
+      .agg(sum(col("ny")).as("n"), sum(col("ny") * col("ny")).as("ss"))
+      .select(lit("parent").as("scope"), lit(null).cast("string").as("x"),
+        col("n"),
+        (lit(1000000L) - expr("(1000000 * ss) div (n * n)")).as("gini_ppm"))
+    // a `scope` discriminator, not a null sentinel in `x`: a null
+    // FEATURE VALUE is legitimate data and must not collide with the
+    // parent summary row
+    perX.select(lit("value").as("scope"), col("x").cast("string").as("x"),
+        col("n"), col("gini_ppm"))
+      .unionByName(parent)
+  }
 }

@@ -1067,4 +1067,28 @@ object Dedup {
           - col("key").bitwiseAND(lit((1L << idBits) - 1))).as("b"),
         shiftright(col("key"), idBits).as("jw_ppm"))
   }
+
+  /** Fellegi–Sunter probabilistic linkage scoring over candidate pairs:
+    * each comparison field contributes its log-likelihood-ratio weight —
+    * ln(m/u) on agreement, ln((1−m)/(1−u)) on disagreement — and the
+    * pair's score is the sum; score > 0 ⇒ the agreements outweigh the
+    * disagreements under the trained m/u model. Weights arrive as
+    * PINNED integer micro-nats (the m/u probabilities are offline
+    * training artifacts, so their logs are constants of the model, not
+    * runtime math) — the whole operator is integer sums over candidate
+    * pairs, no libm in either engine, exactly oracle-replayable.
+    *
+    * `fields` = (agreementBoolCol, agreeMicroWeight, disagreeMicroWeight).
+    * A null agreement (missing field) contributes 0 — the standard
+    * missing-at-random convention.
+    */
+  def fellegiSunterScore(pairs: DataFrame,
+      fields: Seq[(String, Long, Long)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val score = fields.map { case (c, aw, dw) =>
+      when(col(c).isNull, lit(0L)).when(col(c), lit(aw)).otherwise(lit(dw))
+    }.reduce(_ + _)
+    pairs.withColumn("score_micro", score)
+      .withColumn("is_match", col("score_micro") > 0)
+  }
 }

@@ -791,4 +791,32 @@ object TextOps {
       .agg(sum(col("sgn")).as("weight"))
       .where(col("weight") =!= 0)
   }
+
+  /** Zipf rank-frequency profile of the corpus vocabulary: the top
+    * `topN` words by frequency (freq desc, word asc — a total order)
+    * with the Zipf diagnostic freq×rank (constant under an ideal s=1
+    * Zipf law; its drift across ranks is the corpus-health signal
+    * tokenizer and dedup teams read) and each word's exact floored-ppm
+    * share of token mass. All integers — no log-log regression to
+    * disagree on. One grouped count + one bounded sort; the count is
+    * map-side combinable, the sort touches vocabulary not corpus.
+    */
+  def zipfProfile(docs: DataFrame, textCol: String, topN: Int = 50): DataFrame = {
+    require(topN >= 1)
+    val freq = docs.select(explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("n_total"))
+    // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    // per-partition top-N + driver merge, never a single-partition sort
+    // of the whole vocabulary; the rank window then runs on ≤ topN rows
+    val top = freq.orderBy(col("freq").desc, col("w")).limit(topN)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("w"))
+    top.withColumn("rank", row_number().over(wr).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("w").as("word"), col("freq"),
+        (col("freq") * col("rank")).as("freq_x_rank"),
+        expr("(1000000 * freq) div n_total").as("share_ppm"))
+  }
 }

@@ -418,7 +418,105 @@ object ExtraQueries {
       FROM scored)
     WHERE rk <= 5"""
 
+  // —————————————————————————————— Fellegi–Sunter linkage (q209)
+  // (probabilistic record linkage over nation-blocked customer pairs:
+  //  three comparison fields — Jaro-Winkler name agreement, exact
+  //  segment, balance within $100 — scored with PINNED micro-nat
+  //  log-likelihood weights (ln(m/u) is a training artifact, so no
+  //  engine takes a log on data). score > 0 ⇒ match.)
+  val q209FsLinkage: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val l = c.where(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("a"), col("c_name").as("na"),
+        col("c_mktsegment").as("sa"),
+        round(col("c_acctbal") * 100).cast("long").as("ba"),
+        col("c_nationkey").as("blk"))
+    val r = c.where(pmod(col("c_custkey"), lit(2)) === 1)
+      .select(col("c_custkey").as("b"), col("c_name").as("nb"),
+        col("c_mktsegment").as("sb"),
+        round(col("c_acctbal") * 100).cast("long").as("bb"),
+        col("c_nationkey").as("blk"))
+    val pairs = l.join(r, Seq("blk"))
+      .select(col("a"), col("b"),
+        (round(graft.functions.StringSimilarityExpressions
+          .jaroWinkler(col("na"), col("nb")) * 1000000)
+          .cast("long") >= 900000).as("name_agree"),
+        (col("sa") === col("sb")).as("seg_agree"),
+        (abs(col("ba") - col("bb")) <= 10000).as("bal_agree"))
+    // m/u per field: name (0.9, 0.01), segment (0.95, 0.2),
+    // balance (0.8, 0.05) — micro-nat logs pinned below
+    graft.ops.Dedup.fellegiSunterScore(pairs, Seq(
+      ("name_agree", 4499810L, -2292535L),
+      ("seg_agree", 1558145L, -2772589L),
+      ("bal_agree", 2772589L, -1558145L)))
+  }
+  private val q209Sql: String = """
+    WITH l AS (SELECT c_custkey AS a, c_name AS na, c_mktsegment AS sa,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS ba,
+            c_nationkey AS blk
+          FROM customer WHERE c_custkey % 2 = 0),
+    r AS (SELECT c_custkey AS b, c_name AS nb, c_mktsegment AS sb,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bb,
+            c_nationkey AS blk
+          FROM customer WHERE c_custkey % 2 = 1),
+    p AS (SELECT a, b,
+            CAST(round(jaro_winkler_similarity(na, nb) * 1000000) AS BIGINT)
+              >= 900000 AS name_agree,
+            sa = sb AS seg_agree,
+            abs(ba - bb) <= 10000 AS bal_agree
+          FROM l JOIN r USING (blk))
+    SELECT a, b, name_agree, seg_agree, bal_agree,
+      (CASE WHEN name_agree THEN 4499810 ELSE -2292535 END
+       + CASE WHEN seg_agree THEN 1558145 ELSE -2772589 END
+       + CASE WHEN bal_agree THEN 2772589 ELSE -1558145 END) AS score_micro,
+      (CASE WHEN name_agree THEN 4499810 ELSE -2292535 END
+       + CASE WHEN seg_agree THEN 1558145 ELSE -2772589 END
+       + CASE WHEN bal_agree THEN 2772589 ELSE -1558145 END) > 0 AS is_match
+    FROM p"""
+
+  // —————————————————————————————— Zipf profile (q210)
+  // (top-50 rank-frequency table with the freq×rank diagnostic and
+  //  exact ppm token-mass shares — all integers, no log-log fit.)
+  val q210Zipf: Q = (s, dir) =>
+    TextOps.zipfProfile(Tables.documents(s, dir), "text", topN = 50)
+  private val q210Sql: String = """
+    WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents),
+    f AS (SELECT w, count(*) AS freq FROM t WHERE len(w) > 0 GROUP BY 1),
+    tt AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM f),
+    r AS (SELECT w, freq, row_number() OVER
+            (ORDER BY freq DESC, w ASC) AS rank FROM f)
+    SELECT rank, w AS word, freq, freq * rank AS freq_x_rank,
+      (1000000 * freq) // n_total AS share_ppm
+    FROM r CROSS JOIN tt WHERE rank <= 50"""
+
+  // —————————————————————————————— Gini split quality (q211)
+  // (feature-selection criterion in exact floored ppm: per source value
+  //  the conditional label impurity, plus the parent row — no entropy,
+  //  no logs, pure squared-count ratios.)
+  val q211GiniSplit: Q = (s, dir) =>
+    Analytics.giniSplit(Tables.documents(s, dir), "source", "lang")
+  private val q211Sql: String = """
+    WITH cell AS (SELECT source AS x, lang AS y, count(*) AS nxy
+                  FROM documents GROUP BY 1, 2),
+    perx AS (SELECT 'value' AS scope, CAST(x AS VARCHAR) AS x,
+            CAST(sum(nxy) AS BIGINT) AS n,
+            1000000 - CAST((1000000 * sum(nxy * nxy))
+              // (sum(nxy) * sum(nxy)) AS BIGINT) AS gini_ppm
+          FROM cell GROUP BY 2),
+    lab AS (SELECT lang AS y, count(*) AS ny FROM documents GROUP BY 1),
+    par AS (SELECT 'parent' AS scope, CAST(NULL AS VARCHAR) AS x,
+            CAST(sum(ny) AS BIGINT) AS n,
+            1000000 - CAST((1000000 * sum(ny * ny))
+              // (sum(ny) * sum(ny)) AS BIGINT) AS gini_ppm
+          FROM lab)
+    SELECT scope, x, n, gini_ppm FROM perx
+    UNION ALL SELECT scope, x, n, gini_ppm FROM par"""
+
   val all: Map[String, Q] = Map(
+    "q209_fs_linkage" -> q209FsLinkage,
+    "q210_zipf" -> q210Zipf,
+    "q211_gini_split" -> q211GiniSplit,
     "q206_skew_profile" -> q206SkewProfile,
     "q207_ivf_recall" -> q207IvfRecall,
     "q208_negative_sample" -> q208NegativeSample,
@@ -433,6 +531,9 @@ object ExtraQueries {
     "q205_cms_join_size" -> q205CmsJoinSize)
 
   val oracles: Map[String, String] = Map(
+    "q209_fs_linkage" -> q209Sql,
+    "q210_zipf" -> q210Sql,
+    "q211_gini_split" -> q211Sql,
     "q206_skew_profile" -> q206Sql,
     "q207_ivf_recall" -> q207Sql,
     "q208_negative_sample" -> q208Sql,

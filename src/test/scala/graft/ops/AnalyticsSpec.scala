@@ -521,4 +521,18 @@ class AnalyticsSpec extends SparkSpec {
     // pinned expectation table sums to exactly one million
     assert(rows.values.map(_._5).sum == 1000000L)
   }
+
+  test("giniSplit: pure split is 0, mixed is exact ppm, parent row rides") {
+    import spark.implicits._
+    // feature A → labels {x,x} (pure); B → {x,y} (50/50);
+    // parent = {x,x,x,y} → 1 - (9+1)/16 = 6/16 = 375000 ppm
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"))
+      .toDF("f", "l")
+    val got = Analytics.giniSplit(df, "f", "l")
+      .as[(String, Option[String], Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("value", Some("A"))) == ((2L, 0L)))
+    assert(got(("value", Some("B"))) == ((2L, 500000L)))
+    assert(got(("parent", None)) == ((4L, 375000L)))
+  }
 }

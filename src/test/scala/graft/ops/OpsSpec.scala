@@ -899,6 +899,32 @@ class OpsSpec extends SparkSpec {
     assert(got("p") == got("q"))
   }
 
+  test("fellegiSunterScore: weight algebra, null field contributes 0") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, Some(true), Some(true)),   // +10 + 5 = 15 → match
+      (3L, 4L, Some(false), Some(true)),  // -20 + 5 = -15 → no
+      (5L, 6L, Option.empty[Boolean], Some(true))) // 0 + 5 = 5 → match
+      .toDF("a", "b", "f1", "f2")
+    val got = Dedup.fellegiSunterScore(pairs,
+      Seq(("f1", 10L, -20L), ("f2", 5L, -7L)))
+      .select("a", "score_micro", "is_match")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((15L, true)))
+    assert(got(3L) == ((-15L, false)))
+    assert(got(5L) == ((5L, true)))
+  }
+
+  test("zipfProfile: hand ranks, freq-x-rank diagnostic, ppm shares") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.zipfProfile(docs, "text", topN = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", 3L, 3L, 500000L),
+      (2L, "b", 2L, 4L, 333333L)))
+  }
+
   test("featureHash: deterministic buckets, signed counts, zeros dropped") {
     import spark.implicits._
     val docs = Seq((0L, "w w w"), (1L, "w")).toDF("doc_id", "text")
