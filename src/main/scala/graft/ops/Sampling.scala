@@ -323,19 +323,65 @@ object Sampling {
     def block(c: Column): Column =
       pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(blocks.toLong))
+    // repartition on u BEFORE the candidate fan-out: the distinct
+    // collapses to few (AQE-coalesced) partitions, and a broadcast
+    // fan-out join inherits its input's partitioning — without the
+    // spread, one task would own the whole users×candidates explosion
+    // and the window's partial sort would run single-threaded (observed:
+    // a 25-minute one-core task at sf1). After the spread every
+    // partition fans out its own users in parallel, and all of a user's
+    // pairs stay in one partition, which is exactly what the partial
+    // WindowGroupLimit needs.
+    val shufflePartitions = interactions.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val users = interactions.select(col(userCol).as("u")).distinct()
       .withColumn("blk", block(col("u")))
+      // EXPLICIT partition count: the users table is tiny in bytes, so a
+      // bare repartition(col) gets AQE-coalesced back into one partition
+      // — and the downstream fan-out join multiplies whatever layout
+      // this table has. The explicit count pins the spread.
+      .repartition(shufflePartitions, col("u")).localCheckpoint()
     val cand = items.select(col(itemIdCol).as("item"))
       .distinct().withColumn("blk", block(col("item")))
     val seen = interactions
       .select(col(userCol).as("u"), col(itemCol).as("item")).distinct()
-    val scored = users.join(cand, Seq("blk"))
-      .join(seen, Seq("u", "item"), "left_anti")
+    // K'-OVERSHOOT pruning — the step that keeps this operator from
+    // shuffling the full users×(items/blocks) pair fan-out: a user's k
+    // hash-smallest NON-seen candidates are among its (k + s_u)
+    // hash-smallest candidates overall, where s_u = how many of the
+    // user's seen items fall in its own hash block. Taking the global
+    // bound K' = k + max(s_u) makes the limit a CONSTANT, so the
+    // rank-filter compiles to WindowGroupLimit with a PARTIAL pass —
+    // every pair of a given user lives in its block's partition, so the
+    // fan-out is cut to ≤ K' rows per user BEFORE the first wide
+    // exchange, and the seen anti-join runs on the pruned table, never
+    // the fan-out. max(s_u) is a bounded scalar (one aggregate to the
+    // driver, the pageRank-dangling discipline); a pathological user
+    // whose seen set saturates its own block would inflate K' for
+    // everyone — at that point route the over-cap users through a
+    // separate full-rank path and keep K' at the p99 (documented
+    // refinement, same union shape).
+    val maxS = seen.withColumn("blkI", block(col("item")))
+      .join(users, Seq("u"))
+      .where(col("blkI") === col("blk"))
+      .groupBy("u").agg(count(lit(1)).as("s"))
+      .agg(coalesce(max(col("s")), lit(0L))).first().getLong(0)
+    val kPrime = k + maxS.toInt
+    // broadcast pinned to the CANDIDATE side: the fan-out join's output
+    // inherits the STREAMED side's partitioning, and that must be the
+    // u-spread users table — left to AQE, the (byte-smaller) users side
+    // gets broadcast and the whole explosion lands in the candidate
+    // table's one coalesced partition (observed: a 22-minute one-core
+    // sort at sf1 doing what 32 cores finish in seconds)
+    val scored = users.join(broadcast(cand), Seq("blk"))
       .withColumn("score", conv(substring(md5(concat(col("u").cast("string"),
         lit("|"), col("item").cast("string"))), 1, 15), 16, 10).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("score"), col("item"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
+    val pruned = scored.withColumn("rk0", row_number().over(w))
+      .where(col("rk0") <= kPrime)
+    pruned.join(seen, Seq("u", "item"), "left_anti")
+      .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select(col("u").as(userCol), col("item").as(itemCol), col("rk"))
   }
