@@ -96,4 +96,45 @@ object Evaluation {
       .select(col(queryCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("recall_ppm", expr(s"(1000000 * n_hit) div $k"))
   }
+
+  /** ROC AUC per group as the exact Mann–Whitney rank-sum statistic:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), where R⁺ is the positives'
+    * rank sum under an ascending score order with AVERAGE ranks on
+    * ties (the tie convention that makes the statistic equal the
+    * probability a random positive outranks a random negative, ties
+    * counting ½). Everything is integer: ranks are DOUBLED (so tied
+    * averages stay integral), the numerator is a BIGINT, and the
+    * single division is floored ppm — no float comparisons for the
+    * oracle to disagree on. Groups with no positives or no negatives
+    * yield null (AUC undefined), not a fake 0.5.
+    *
+    * Plan: one (group, score)-level count aggregate, one cumulative
+    * window over the DISTINCT-SCORE table (never the row table — the
+    * ksDrift discipline), one grouped sum. Scores arrive as integers
+    * (caller scales); label is boolean.
+    */
+  def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s"))
+    val byScore = df.select(col(groupCol).as("g"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    // doubled average rank of a tied block ending at cumulative count
+    // c with n members: 2·avg = (c−n+1) + c
+    val ranked = byScore
+      .withColumn("c", sum(col("n")).over(w))
+      .withColumn("r2", col("c") - col("n") + 1 + col("c"))
+    ranked.groupBy(col("g"))
+      .agg(sum(col("np") * col("r2")).as("rp2"),
+        sum(col("np")).as("npos"),
+        sum(col("n") - col("np")).as("nneg"))
+      .select(col("g").as(groupCol), col("npos"), col("nneg"),
+        when(col("npos") > 0 && col("nneg") > 0,
+          expr("(1000000 * (rp2 - npos * (npos + 1))) div (2 * npos * nneg)"))
+          .as("auc_ppm"))
+  }
 }

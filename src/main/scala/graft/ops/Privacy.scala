@@ -101,4 +101,53 @@ object Privacy {
         expr("(1000000 * _maxc) div n").as("max_share_ppm"),
         (col("n_distinct_sensitive") >= l).as("l_diverse")): _*)
   }
+
+  /** t-closeness audit — the third member of the release-gate family
+    * (k-anonymity bounds re-identification, l-diversity bounds
+    * homogeneity, t-closeness bounds ATTRIBUTE INFERENCE: a QI class
+    * whose sensitive distribution differs sharply from the table-wide
+    * one leaks even when it is diverse). Distance is total variation —
+    * ½ Σ_v |p_class(v) − p_global(v)| — computed as EXACT integer
+    * algebra on the common denominator 2·n_class·n_global: every
+    * |class_count·n_global − global_count·n_class| term is a BIGINT,
+    * one floored-ppm division at the end.
+    *
+    * Plan: class⊕value counts (map-combinable), global value counts
+    * (broadcast — bounded by sensitive-domain size), one grouped sum
+    * per class. The broadcast join must be an OUTER union of the value
+    * domains per class — a value ABSENT from a class still contributes
+    * its full global mass to the distance, so the global table is the
+    * join's left side.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty && tPpm >= 0)
+    val qi = qiCols.map(col)
+    val cell = df.groupBy(qi :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val classes = cell.groupBy(qi: _*).agg(sum(col("_c")).as("n_class"))
+    val global = df.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("_g"))
+      .crossJoin(broadcast(
+        df.agg(count(lit(1)).as("n_global"))))
+    // every (class, domain value) pair, including zero-count cells
+    val lattice = classes.crossJoin(broadcast(global))
+      .join(cell, qiCols :+ "_v", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    lattice
+      .groupBy(qi :+ col("n_class") :+ col("n_global"): _*)
+      .agg(sum(abs(col("_c") * col("n_global") - col("_g") * col("n_class")))
+        .as("_num"))
+      // ppm scaling overflows long past n ≈ 2e6 rows (1e6·2·n²); fail
+      // by name instead of wrapping — the require() discipline, lifted
+      // to a data-driven bound (at larger n, pre-aggregate per class
+      // and divide before scaling)
+      .withColumn("n_global", when(col("n_global") > 2000000L,
+        raise_error(lit("tCloseness: > 2e6 rows overflows the exact " +
+          "ppm algebra — pre-scale per class"))).otherwise(col("n_global")))
+      .select(qi ++ Seq(col("n_class"),
+        expr("(1000000 * _num) div (2 * n_class * n_global)")
+          .as("tv_dist_ppm")): _*)
+      .withColumn("t_close", col("tv_dist_ppm") <= tPpm)
+  }
 }

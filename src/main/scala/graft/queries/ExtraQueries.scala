@@ -526,7 +526,77 @@ object ExtraQueries {
     SELECT scope, x, n, gini_ppm FROM perx
     UNION ALL SELECT scope, x, n, gini_ppm FROM par"""
 
+  // —————————————————————————————— t-closeness audit (q212)
+  // (the attribute-inference gate completing the release family: per QI
+  //  class, total-variation distance of the class's nation distribution
+  //  from the table-wide one — exact integer algebra on the common
+  //  denominator, absent values contributing their full global mass.)
+  val q212TCloseness: Q = (s, dir) =>
+    Privacy.tCloseness(
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bracket"),
+          col("c_nationkey").cast("long").as("c_nationkey")),
+      Seq("c_mktsegment", "bal_bracket"), "c_nationkey", tPpm = 300000)
+  private val q212Sql: String = """
+    WITH base AS (SELECT c_mktsegment AS seg,
+            CAST(floor(c_acctbal / 2000) AS BIGINT) AS bb,
+            CAST(c_nationkey AS BIGINT) AS v
+          FROM customer),
+    cell AS (SELECT seg, bb, v, count(*) AS c FROM base GROUP BY 1, 2, 3),
+    cls AS (SELECT seg, bb, CAST(sum(c) AS BIGINT) AS n_class
+            FROM cell GROUP BY 1, 2),
+    gv AS (SELECT v, count(*) AS g FROM base GROUP BY 1),
+    ng AS (SELECT count(*) AS n_global FROM base),
+    lat AS (SELECT cls.seg, cls.bb, cls.n_class, gv.v, gv.g,
+              ng.n_global, coalesce(cell.c, 0) AS c
+            FROM cls CROSS JOIN gv CROSS JOIN ng
+            LEFT JOIN cell ON cell.seg = cls.seg AND cell.bb = cls.bb
+                          AND cell.v = gv.v)
+    SELECT seg AS c_mktsegment, bb AS bal_bracket, n_class,
+      CAST((1000000 * sum(abs(c * n_global - g * n_class)))
+        // (2 * n_class * n_global) AS BIGINT) AS tv_dist_ppm,
+      CAST((1000000 * sum(abs(c * n_global - g * n_class)))
+        // (2 * n_class * n_global) AS BIGINT) <= 300000 AS t_close
+    FROM lat GROUP BY 1, 2, 3, n_global"""
+
+  // —————————————————————————————— grouped ROC AUC (q213)
+  // (exact Mann–Whitney rank-sum AUC per event type: doubled average
+  //  ranks keep ties integral, one floored-ppm division at the end;
+  //  degenerate groups yield null, never a fake 0.5.)
+  val q213GroupAuc: Q = (s, dir) =>
+    Evaluation.groupAuc(
+      Tables.events(s, dir)
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 1000).cast("long").as("score_milli"),
+          (col("user_id") % 3 === 0).as("label")),
+      "event_type", "score_milli", "label")
+  private val q213Sql: String = """
+    WITH b AS (SELECT event_type AS g,
+            CAST(round(value * 1000) AS BIGINT) AS s,
+            user_id % 3 = 0 AS y
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    sc AS (SELECT g, s, count(*) AS n,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+          FROM b GROUP BY 1, 2),
+    rk AS (SELECT g, s, n, np,
+            sum(n) OVER (PARTITION BY g ORDER BY s
+              ROWS UNBOUNDED PRECEDING) AS c
+          FROM sc),
+    agg AS (SELECT g, CAST(sum(np * (c - n + 1 + c)) AS BIGINT) AS rp2,
+            CAST(sum(np) AS BIGINT) AS npos,
+            CAST(sum(n - np) AS BIGINT) AS nneg
+          FROM rk GROUP BY 1)
+    SELECT g AS event_type, npos, nneg,
+      CASE WHEN npos > 0 AND nneg > 0 THEN
+        CAST((1000000 * (rp2 - npos * (npos + 1))) // (2 * npos * nneg)
+          AS BIGINT) END AS auc_ppm
+    FROM agg"""
+
   val all: Map[String, Q] = Map(
+    "q212_t_closeness" -> q212TCloseness,
+    "q213_group_auc" -> q213GroupAuc,
     "q209_fs_linkage" -> q209FsLinkage,
     "q210_zipf" -> q210Zipf,
     "q211_gini_split" -> q211GiniSplit,
@@ -544,6 +614,8 @@ object ExtraQueries {
     "q205_cms_join_size" -> q205CmsJoinSize)
 
   val oracles: Map[String, String] = Map(
+    "q212_t_closeness" -> q212Sql,
+    "q213_group_auc" -> q213Sql,
     "q209_fs_linkage" -> q209Sql,
     "q210_zipf" -> q210Sql,
     "q211_gini_split" -> q211Sql,

@@ -56,4 +56,26 @@ class EvaluationSpec extends SparkSpec {
     assert(got(1L) == ((2L, 666666L)))
     assert(got(2L) == ((0L, 0L)))
   }
+
+  test("groupAuc: perfect, inverted, tied, and degenerate groups") {
+    import spark.implicits._
+    val rows = Seq(
+      // g=perf: positives strictly above negatives → AUC 1
+      ("perf", 1L, false), ("perf", 2L, false), ("perf", 3L, true),
+      ("perf", 4L, true),
+      // g=inv: positives strictly below → AUC 0
+      ("inv", 1L, true), ("inv", 2L, false),
+      // g=tie: one positive and one negative at the SAME score → ½
+      ("tie", 5L, true), ("tie", 5L, false),
+      // g=onlyp: no negatives → null
+      ("onlyp", 1L, true))
+      .toDF("g", "s", "y")
+    val got = Evaluation.groupAuc(rows, "g", "s", "y")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("perf") == ((2L, 2L, Some(1000000L))))
+    assert(got("inv") == ((1L, 1L, Some(0L))))
+    assert(got("tie") == ((1L, 1L, Some(500000L))))
+    assert(got("onlyp") == ((1L, 0L, None)))
+  }
 }

@@ -87,6 +87,25 @@ class PrivacySpec extends SparkSpec {
     assert(got("B") == ((3L, 3L, 333333L, true))) // floor(1e6/3)
   }
 
+  test("tCloseness: hand TV distance, absent values count, flag at t") {
+    import spark.implicits._
+    // global: x ×4, y ×4 (50/50). class A: 4 rows all x → TV = ½(|½|+|−½|)
+    // = ½ → 500000 ppm. class B: 2x + 2y → TV = 0.
+    val rows = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "y"), ("B", "y"),
+      ("C", "y"), ("C", "y")).toDF("qi", "sv")
+    // recompute globals with C included: x ×6, y ×4 over n=10
+    // A: p=(1,0) vs (0.6,0.4) → TV = ½(0.4+0.4) = 0.4 → 400000
+    // B: p=(0.5,0.5) vs (0.6,0.4) → TV = ½(0.1+0.1) = 0.1 → 100000
+    // C: p=(0,1) vs (0.6,0.4) → TV = 0.6 → 600000
+    val got = Privacy.tCloseness(rows, Seq("qi"), "sv", tPpm = 400000)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A") == ((4L, 400000L, true)))
+    assert(got("B") == ((4L, 100000L, true)))
+    assert(got("C") == ((2L, 600000L, false)))
+  }
+
   test("lDiversity rejects empty QI and l < 1") {
     import spark.implicits._
     val df = Seq(("a", "s")).toDF("qi", "sv")
