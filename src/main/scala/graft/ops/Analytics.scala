@@ -532,10 +532,15 @@ object Analytics {
     * leak. Bin = `(rank−1)·nBins div n`: pure integer, rank ties broken
     * by id.
     *
-    * Plan: one global rank window over (score, id) key pairs — the
-    * total-order cost, payload never sorted (the q153 note); bins then
-    * aggregate map-side. At 100 TB the swap is range-partitioned rank
-    * or q137's percentile boundaries broadcast as bin edges.
+    * Plan: the global rank over (score, id) is DECOMPOSED so no window
+    * ever totally orders the data-sized frame. rank(ppm, id) =
+    * offset(ppm) + row_number-within-ppm(id): the offsets come from a
+    * cumulative count over the DISTINCT-ppm frame (≤1e6+1 rows for a
+    * 6 d.p. score — value-cardinality-bounded, the ksDrift/q137
+    * discipline), broadcast back; the within-value row_number is
+    * hash-partitioned by ppm, so the only data-sized sort is per tie
+    * group. This IS the 100 TB shape: bin edges effectively broadcast,
+    * rows never converge on one partition.
     */
   def calibrationBins(df: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, nBins: Int = 10): DataFrame = {
@@ -543,11 +548,22 @@ object Analytics {
     val scored = df.select(col(idCol).as("id"),
       round(col(scoreCol) * 1000000).cast("long").as("ppm"),
       when(col(labelCol), 1L).otherwise(0L).as("y"))
-    val w = Window.orderBy(col("ppm"), col("id"))
+    // global start offset per distinct ppm value: exclusive cumulative
+    // count over the aggregated frame (single partition, but bounded by
+    // value cardinality, never row count)
+    val cnts = scored.groupBy("ppm").agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy("ppm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cnts
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select("ppm", "off")
+    val total = scored.agg(count(lit(1)).as("n_all"))
     scored
-      .withColumn("r", row_number().over(w).cast("long") - 1)
-      .withColumn("n_all", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .join(broadcast(offsets), "ppm")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ppm").orderBy("id")).cast("long"))
+      .withColumn("r", col("off") + col("rn") - 1)
+      .crossJoin(broadcast(total))
       // integer floor-division on both engines (a double-div + cast would
       // hit DuckDB's round-on-cast vs Spark's truncate-on-cast mismatch)
       .withColumn("bin", expr(s"(r * $nBins) div n_all"))
@@ -842,13 +858,19 @@ object Analytics {
       labelCol: String): DataFrame = {
     val cell = df.groupBy(col(featureCol).as("x"), col(labelCol).as("y"))
       .agg(count(lit(1)).as("nxy"))
-    val perX = cell.groupBy(col("x"))
-      .agg(sum(col("nxy")).as("n"), sum(col("nxy") * col("nxy")).as("ss"))
+    // 1e6·Σn² wraps Long once a scope exceeds ~2e6 rows (1e6·n² >
+    // Long.Max); fail by name instead of wrapping — the tCloseness
+    // discipline (at larger n, widen the numerator to decimal)
+    def guarded(d: DataFrame) = d.withColumn("n", when(col("n") > 2000000L,
+      raise_error(lit("giniSplit: > 2e6 rows in one scope overflows the " +
+        "exact ppm algebra — widen to decimal"))).otherwise(col("n")))
+    val perX = guarded(cell.groupBy(col("x"))
+      .agg(sum(col("nxy")).as("n"), sum(col("nxy") * col("nxy")).as("ss")))
       .select(col("x"), col("n"),
         (lit(1000000L) - expr("(1000000 * ss) div (n * n)")).as("gini_ppm"))
     val label = df.groupBy(col(labelCol).as("y")).agg(count(lit(1)).as("ny"))
-    val parent = label
-      .agg(sum(col("ny")).as("n"), sum(col("ny") * col("ny")).as("ss"))
+    val parent = guarded(label
+      .agg(sum(col("ny")).as("n"), sum(col("ny") * col("ny")).as("ss")))
       .select(lit("parent").as("scope"), lit(null).cast("string").as("x"),
         col("n"),
         (lit(1000000L) - expr("(1000000 * ss) div (n * n)")).as("gini_ppm"))

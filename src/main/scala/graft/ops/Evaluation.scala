@@ -132,6 +132,14 @@ object Evaluation {
       .agg(sum(col("np") * col("r2")).as("rp2"),
         sum(col("np")).as("npos"),
         sum(col("n") - col("np")).as("nneg"))
+      // the 1e6-scaled doubled-rank numerator wraps Long once a group
+      // exceeds ~2.1e6 rows (1e6·2N² > Long.Max) — and Spark wraps
+      // silently while the oracle raises; fail by name instead (the
+      // tCloseness discipline; at larger N, widen to decimal)
+      .withColumn("npos", when(col("npos") + col("nneg") > 2000000L,
+        raise_error(lit("groupAuc: > 2e6 rows in a group overflows the " +
+          "exact doubled-rank ppm algebra — widen to decimal")))
+        .otherwise(col("npos")))
       .select(col("g").as(groupCol), col("npos"), col("nneg"),
         when(col("npos") > 0 && col("nneg") > 0,
           expr("(1000000 * (rp2 - npos * (npos + 1))) div (2 * npos * nneg)"))

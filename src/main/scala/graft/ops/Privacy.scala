@@ -130,9 +130,18 @@ object Privacy {
       .agg(count(lit(1)).as("_g"))
       .crossJoin(broadcast(
         df.agg(count(lit(1)).as("n_global"))))
-    // every (class, domain value) pair, including zero-count cells
+    // every (class, domain value) pair, including zero-count cells.
+    // NULL-SAFE equality (<=>) on the QI ⊕ value key: a class keyed by
+    // a null QI value must still match its own cells — plain equality
+    // would zero all its counts and report tv_dist ≈ ½ regardless of
+    // the true distribution
+    val cellR = cell.select(
+      qiCols.map(c => col(c).as(s"_r_$c")) ++
+        Seq(col("_v").as("_rv"), col("_c")): _*)
+    val joinCond = (qiCols.map(c => col(c) <=> col(s"_r_$c")) :+
+      (col("_v") <=> col("_rv"))).reduce(_ && _)
     val lattice = classes.crossJoin(broadcast(global))
-      .join(cell, qiCols :+ "_v", "left")
+      .join(cellR, joinCond, "left")
       .withColumn("_c", coalesce(col("_c"), lit(0L)))
     lattice
       .groupBy(qi :+ col("n_class") :+ col("n_global"): _*)

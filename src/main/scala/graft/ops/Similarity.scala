@@ -509,6 +509,7 @@ object Similarity {
       path: String, indexSchema: org.apache.spark.sql.types.StructType,
       idCol: String, buckets: Option[Seq[Int]]): DataFrame = {
     import org.apache.spark.sql.types._
+    recoverSidecarSwap(spark, path)
     val sp = new org.apache.hadoop.fs.Path(sidecarPath(path))
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp))
@@ -531,11 +532,18 @@ object Similarity {
   }
 
   /** Fold the delta log into the bucketed base once it grows past
-    * [[sidecarCompactAfter]] files. Order: materialize latest → rewrite
-    * base → clear the log. A crash between the last two steps leaves
-    * already-folded deltas in place — harmless, because latest-wins over
-    * (new base, stale deltas) resolves every id to the same centroid the
-    * fold wrote.
+    * [[sidecarCompactAfter]] files. Crash-safe order: materialize latest
+    * → write the new base BESIDE the live one → rename-swap → clear the
+    * log. The live base is never deleted before a complete replacement
+    * exists, so a crash at ANY point leaves a recoverable state:
+    *  - during the tmp write: live base + log untouched (tmp is swept on
+    *    the next compaction);
+    *  - between the two renames: live base absent but parked at
+    *    `.compact-old` — [[recoverSidecarSwap]] renames it back on the
+    *    next open;
+    *  - after the swap but before the log clear: stale deltas over the
+    *    fresh base are value-identical under latest-wins (the fold wrote
+    *    exactly their resolution) — harmless.
     */
   private def maybeCompactSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String, indexSchema: org.apache.spark.sql.types.StructType,
@@ -543,8 +551,42 @@ object Similarity {
     if (deltaFiles(spark, path).length >= sidecarCompactAfter) {
       val latest = sidecarLatest(spark, path, indexSchema, idCol, None)
         .localCheckpoint(true)
-      writeSidecar(latest, path, idCol, dynamic = false) // clears the log
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(sidecarPath(path))
+      val tmp = new org.apache.hadoop.fs.Path(sidecarPath(path) + ".compact-tmp")
+      val old = new org.apache.hadoop.fs.Path(sidecarPath(path) + ".compact-old")
+      val fs = live.getFileSystem(hconf)
+      if (fs.exists(tmp)) fs.delete(tmp, true) // crashed prior attempt
+      if (fs.exists(old)) fs.delete(old, true)
+      latest.select(col(idCol), col("centroid_id"),
+          sidecarBucket(col(idCol)).as("id_bucket"))
+        .repartition(col("id_bucket"))
+        .write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(tmp.toString)
+      if (!fs.rename(live, old) || !fs.rename(tmp, live))
+        throw new java.io.IOException(
+          s"sidecar compaction: rename swap failed for $live")
+      val dp = new org.apache.hadoop.fs.Path(sidecarDeltaPath(path))
+      if (fs.exists(dp) && !fs.delete(dp, true))
+        throw new java.io.IOException(
+          s"sidecar compaction: failed to clear folded delta log $dp")
+      fs.delete(old, true)
     }
+
+  /** Heal a crash that landed between [[maybeCompactSidecar]]'s two
+    * renames: the live base directory is gone but its content is parked
+    * at `.compact-old` — rename it back (the delta log was not cleared,
+    * so latest-wins state is exactly pre-compaction).
+    */
+  private def recoverSidecarSwap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(sidecarPath(path))
+    val old = new org.apache.hadoop.fs.Path(sidecarPath(path) + ".compact-old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"sidecar recovery: failed to restore parked base $old")
+  }
 
   /** IVF top-k over a [[buildIvfIndex]] table: rank centroids against the
     * query, then scan ONLY the `nProbe` probed partitions. The probed ids

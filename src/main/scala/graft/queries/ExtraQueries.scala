@@ -238,7 +238,10 @@ object ExtraQueries {
   //  out; exact BIGINT cross products, endpoints anchored.)
   val q204Downsample: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
-      .where(col("user_id").isNotNull && col("value").isNotNull)
+      // ts guard matches the oracle and the sibling events queries: a
+      // null ts would otherwise sort first and be emitted as an anchor
+      .where(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
         round(col("value") * 1000).cast("long").as("v_milli"))
@@ -397,23 +400,25 @@ object ExtraQueries {
     // candidate slice stays ~64 items — with a FIXED block count the
     // users×(items/blocks) fan-out is quadratic in scale factor
     // (measured: 100× pairs for 10× data before this). The count() is a
-    // bounded scalar; at the oracle-checked SFs (catalog ≤ 2000) the
-    // floor keeps blocks at the oracle's pinned 32.
+    // bounded scalar; the oracle computes the SAME knob from part's
+    // count, so Spark and oracle share one block count at every SF.
     val nItems = Tables.part(s, dir).count()
     val blocks = math.max(32L, (nItems + 63) / 64).toInt
     Sampling.negativeSample(inter, "o_custkey", "l_partkey",
       Tables.part(s, dir), "p_partkey", k = 5, blocks = blocks)
   }
   private val q208Sql: String = """
-    WITH inter AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+    WITH nb AS (SELECT greatest(32, (count(*) + 63) // 64) AS blocks
+          FROM part),
+    inter AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     users AS (SELECT DISTINCT u,
             CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))
-              AS BIGINT) % 32 AS blk
+              AS BIGINT) % (SELECT blocks FROM nb) AS blk
           FROM inter),
     cand AS (SELECT DISTINCT p_partkey AS item,
             CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
-              AS BIGINT) % 32 AS blk
+              AS BIGINT) % (SELECT blocks FROM nb) AS blk
           FROM part),
     scored AS (SELECT users.u, cand.item,
             CAST(('0x' || substr(md5(CAST(users.u AS VARCHAR) || '|'

@@ -151,6 +151,33 @@ class IvfIndexSpec extends SparkSpec {
     assert((400L until 420L).toSet.subsetOf(got))
   }
 
+  test("a crash between compaction's renames is healed on the next append") {
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    val batch1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val batch2 = emb.filter(col("vec_id") >= 450)
+    val path = java.nio.file.Files.createTempDirectory("ivf-crash")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(base, centroids, path)
+    Similarity.appendToIvfIndex(batch1, centroids, path)
+    // simulate the exact crash window: the live sidecar base has been
+    // renamed aside but the fresh one never landed — delta log intact
+    val live = new java.io.File(path + ".ids")
+    val parked = new java.io.File(path + ".ids.compact-old")
+    assert(live.exists(), "fixture needs a live sidecar base")
+    assert(live.renameTo(parked))
+    Similarity.appendToIvfIndex(batch2, centroids, path)
+    // healed: base restored from the parked copy, then used normally
+    assert(live.exists() && !parked.exists())
+    val freshPath = java.nio.file.Files.createTempDirectory("ivf-crash-fresh")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 16), centroids, freshPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(path) == rows(freshPath),
+      "post-recovery index must equal a fresh build — no lost or duplicate ids")
+  }
+
   private def rowsOf(df: org.apache.spark.sql.DataFrame) =
     Similarity.assignToCentroids(df, centroids)
       .select(col("vec_id"), col("centroid_id").cast("long"))

@@ -106,6 +106,23 @@ class PrivacySpec extends SparkSpec {
     assert(got("C") == ((2L, 600000L, false)))
   }
 
+  test("tCloseness: a null-QI class matches its own cells (null-safe join)") {
+    import spark.implicits._
+    // class NULL: 2x + 2y — identical to the global mix once D is added
+    // so TV must be computed from ITS cells, not coalesce to ~500000.
+    // globals: x ×4, y ×4 over n=8 → p_g = (0.5, 0.5)
+    // NULL: (0.5, 0.5) → TV = 0. D: (0.5, 0.5) → TV = 0.
+    val rows = Seq((Option.empty[String], "x"), (Option.empty[String], "x"),
+      (Option.empty[String], "y"), (Option.empty[String], "y"),
+      (Option("D"), "x"), (Option("D"), "x"),
+      (Option("D"), "y"), (Option("D"), "y")).toDF("qi", "sv")
+    val got = Privacy.tCloseness(rows, Seq("qi"), "sv", tPpm = 100000)
+      .as[(Option[String], Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(None) == ((4L, 0L, true)))
+    assert(got(Some("D")) == ((4L, 0L, true)))
+  }
+
   test("lDiversity rejects empty QI and l < 1") {
     import spark.implicits._
     val df = Seq(("a", "s")).toDF("qi", "sv")
