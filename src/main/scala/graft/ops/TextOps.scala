@@ -376,6 +376,62 @@ object TextOps {
       .select(col("round").cast("long"), col("t1"), col("t2"), col("cnt"))
   }
 
+  /** BPE ENCODE — the inference half of [[bpeMerges]], and the half a
+    * training pipeline actually runs at corpus scale: apply a learned
+    * merge table to tokenize text into ids. Greedy application in MERGE
+    * ORDER (the Sennrich convention — each learned merge is replayed
+    * everywhere before the next, with the same 12-pass iterated
+    * `regexp_replace` the trainer used, so encode states are
+    * byte-identical to training states and decode(encode(w)) = w by
+    * construction).
+    *
+    * Token ids are a MODEL artifact, not data: base characters `a..z`
+    * own ids 0–25 (the corpus contract is `^[a-z]{1,20}$` words), the
+    * round-r merge product owns id 25+r (first round wins if two rounds
+    * ever produce the same string). Returns one row per (doc, word
+    * position, token position): `(id, wpos, tpos, token, token_id)`.
+    *
+    * Scale shape: the expensive merge replay runs over DISTINCT words —
+    * vocabulary-sized, never corpus-sized — and joins back to word
+    * occurrences by word (broadcast: a vocabulary fits by definition of
+    * being a vocabulary). The merge table itself is collected driver-side
+    * deliberately: ≤ 16 rows of model parameters, the [[bpeMerges]]
+    * checkpoint being consumed.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = merges.select(col("round").cast("long"), col("t1"), col("t2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(m.nonEmpty && m.length <= 16, "merge table must hold 1..16 rounds")
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(words(col(textCol))).as(Seq("wpos", "w")))
+      .where(col("w").rlike("^[a-z]{1,20}$"))
+    val wv = toks.select("w").distinct()
+    val seq0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val seqN = m.foldLeft(seq0) { case (c, (_, t1, t2)) =>
+      (1 to 12).foldLeft(c) { (cc, _) =>
+        regexp_replace(cc, s" ${java.util.regex.Pattern.quote(t1)}" +
+          s" ${java.util.regex.Pattern.quote(t2)} ", s" $t1$t2 ")
+      }
+    }
+    // round-r product → id 25+r; duplicates keep the FIRST round's id
+    val prod = m.map { case (r, t1, t2) => (t1 + t2, 25L + r) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+      .toSeq.toDF("token", "merge_id")
+    val encoded = wv
+      .select(col("w"), posexplode(split(trim(seqN), " ")).as(Seq("tp", "token")))
+      .join(broadcast(prod), Seq("token"), "left")
+      .select(col("w"), (col("tp") + 1).cast("long").as("tpos"), col("token"),
+        coalesce(col("merge_id"), (ascii(col("token")) - 97).cast("long"))
+          .as("token_id"))
+    toks.join(broadcast(encoded), "w")
+      .select(col("id").as(idCol), (col("wpos") + 1).cast("long").as("wpos"),
+        col("tpos"), col("token"), col("token_id"))
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the score Google built
     * for exactly this corpus-scale setting): score documents against an

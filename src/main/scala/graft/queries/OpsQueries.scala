@@ -3819,7 +3819,11 @@ object OpsQueries {
   val q195BpeMerges: Q = (s, dir) =>
     graft.ops.TextOps.bpeMerges(Tables.documents(s, dir), "text",
       rounds = 4)
-  private val q195Sql: String = {
+  /** The 4-round BPE learning chain as a WITH-body fragment — shared by
+    * q195 (the trainer's output) and q214 (the encoder consuming it), so
+    * both oracles replay the identical merge table.
+    */
+  private def bpeLearnCtes: String = {
     def replaced(inner: String): String =
       (1 to 12).foldLeft(inner) { (c, _) =>
         s"regexp_replace($c, ' ' || m.t1 || ' ' || m.t2 || ' ', " +
@@ -3837,17 +3841,65 @@ object OpsQueries {
     s$r AS MATERIALIZED (SELECT freq, ${replaced("seq")} AS seq
           FROM s$p CROSS JOIN m$r m)"""
     }.mkString(",")
-    s"""
-    WITH wd AS (SELECT w, count(*) AS freq FROM (
+    s"""wd AS (SELECT w, count(*) AS freq FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
       WHERE regexp_matches(w, '^[a-z]{1,20}$$') GROUP BY 1),
     s0 AS MATERIALIZED (SELECT freq,
-        ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq FROM wd),$rounds
+        ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq FROM wd),$rounds"""
+  }
+  private val q195Sql: String = s"""
+    WITH $bpeLearnCtes
     SELECT CAST(1 AS BIGINT) AS round, t1, t2, CAST(cnt AS BIGINT) AS cnt
     FROM m1
     UNION ALL SELECT 2, t1, t2, CAST(cnt AS BIGINT) FROM m2
     UNION ALL SELECT 3, t1, t2, CAST(cnt AS BIGINT) FROM m3
     UNION ALL SELECT 4, t1, t2, CAST(cnt AS BIGINT) FROM m4"""
+
+  // ———————————————— BPE encode (q214)
+  // (the inference half of q195: the learned 4-round merge table applied
+  //  greedily in merge order — same 12-pass iterated replace, so encode
+  //  states are byte-identical to training states — producing per-token
+  //  rows with MODEL-artifact ids: a..z → 0..25, round-r product →
+  //  25+r. The oracle re-learns the table via the shared CTE chain and
+  //  replays the encode, so a single wrong merge boundary or id flips
+  //  the hash.)
+  val q214BpeEncode: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.TextOps.bpeMerges(docs, "text", rounds = 4)
+    graft.ops.TextOps.bpeEncode(
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id", merges)
+  }
+  private val q214Sql: String = {
+    def applied(inner: String): String = (1 to 4).foldLeft(inner) { (c, r) =>
+      (1 to 12).foldLeft(c) { (cc, _) =>
+        s"regexp_replace($cc, ' ' || r$r.t1 || ' ' || r$r.t2 || ' ', " +
+          s"' ' || r$r.t1 || r$r.t2 || ' ', 'g')"
+      }
+    }
+    s"""
+    WITH $bpeLearnCtes,
+    prods AS (SELECT token, 25 + min(round) AS tid FROM (
+        SELECT t1 || t2 AS token, 1 AS round FROM m1
+        UNION ALL SELECT t1 || t2, 2 FROM m2
+        UNION ALL SELECT t1 || t2, 3 FROM m3
+        UNION ALL SELECT t1 || t2, 4 FROM m4) GROUP BY 1),
+    tok AS (SELECT doc_id, i AS wpos, ws[i] AS w FROM (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents WHERE doc_id % 5 = 0),
+        unnest(range(1, len(ws) + 1)) u(i)
+      WHERE regexp_matches(ws[i], '^[a-z]{1,20}$$')),
+    wv AS (SELECT DISTINCT w FROM tok),
+    enc0 AS MATERIALIZED (SELECT w,
+        ${applied("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')")} AS seq
+      FROM wv CROSS JOIN m1 r1 CROSS JOIN m2 r2
+        CROSS JOIN m3 r3 CROSS JOIN m4 r4),
+    enc AS (SELECT w, i AS tpos, ts[i] AS token FROM (
+          SELECT w, string_split(trim(seq), ' ') AS ts FROM enc0),
+        unnest(range(1, len(ts) + 1)) u(i))
+    SELECT t.doc_id, CAST(t.wpos AS BIGINT) AS wpos,
+      CAST(e.tpos AS BIGINT) AS tpos, e.token,
+      CAST(coalesce(p.tid, ascii(e.token) - 97) AS BIGINT) AS token_id
+    FROM tok t JOIN enc e USING (w) LEFT JOIN prods p ON p.token = e.token"""
   }
 
   // ———————————————— interval merge / coverage islands (q193)
@@ -4241,6 +4293,7 @@ object OpsQueries {
     "q193_interval_merge" -> q193IntervalMerge,
     "q194_incremental_join" -> q194IncrementalJoin,
     "q195_bpe_merges" -> q195BpeMerges,
+    "q214_bpe_encode" -> q214BpeEncode,
     "q196_stream_hll" -> q196StreamHll,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
@@ -4372,6 +4425,7 @@ object OpsQueries {
     "q193_interval_merge" -> q193Sql,
     "q194_incremental_join" -> q194Sql,
     "q195_bpe_merges" -> q195Sql,
+    "q214_bpe_encode" -> q214Sql,
     "q196_stream_hll" -> q196Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,

@@ -866,6 +866,42 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "b", 1L)))
   }
 
+  test("bpeEncode: hand tokens, model-artifact ids, merge-order greed") {
+    import spark.implicits._
+    val train = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(train, "text", rounds = 4)
+    // merges: r1 (a,a)→"aa" id 26, r2 (a,b)→"ab" id 27
+    val got = TextOps.bpeEncode(Seq((9L, "aa ab ba")).toDF("doc_id", "text"),
+        "text", "doc_id", merges)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (9L, 1L, 1L, "aa", 26L),
+      (9L, 2L, 1L, "ab", 27L),
+      // "ba" has no learned merge: stays chars b(1), a(0)
+      (9L, 3L, 1L, "b", 1L), (9L, 3L, 2L, "a", 0L)))
+  }
+
+  test("bpeEncode round-trip law: tokens concatenate back to every word") {
+    import spark.implicits._
+    val df = Seq((1L, "banana bandana and an anna"),
+      (2L, "a banana and an ananas")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(df, "text", rounds = 4)
+    val enc = TextOps.bpeEncode(df, "text", "doc_id", merges)
+    val decoded = enc
+      .groupBy("doc_id", "wpos")
+      // sort inside the agg — collect_list order is not shuffle-stable
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("tpos"), col("token")))),
+        x => x("token"))).as("w"))
+      .as[(Long, Long, String)].collect()
+      .map { case (d, wp, w) => (d, wp) -> w }.toMap
+    val expected = Seq((1L, "banana bandana and an anna"),
+      (2L, "a banana and an ananas"))
+      .flatMap { case (d, t) => t.split(" ").zipWithIndex
+        .map { case (w, i) => (d, i + 1L) -> w } }.toMap
+    assert(decoded == expected)
+  }
+
   test("stupidBackoffScore: bigram backoff level fires when (w2,w3) seen") {
     import spark.implicits._
     val train = Seq((0L, "x a b")).toDF("doc_id", "text") // bigram (a,b)
