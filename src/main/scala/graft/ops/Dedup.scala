@@ -779,6 +779,66 @@ object Dedup {
       .where(col("dist") * 1000000L <= lit(maxRatioPpm) * col("max_len"))
   }
 
+  /** EXACT-SUBSTRING dedup (the Lee-et-al-style character-level
+    * complement to the n-gram detect→excise chain): for each MinHash+LSH
+    * candidate pair, the LONGEST SHARED SUBSTRING via sorted-suffix
+    * blocks. All suffixes of both documents, tagged by side, totally
+    * ordered WITHIN the pair; the pair's LCS is the max LCP over
+    * ADJACENT cross-side entries — the standard suffix-array argument:
+    * LCP(i,j) over a sorted block is the min of the adjacent LCPs
+    * between them, and any optimal cross-side range contains a tag flip,
+    * so some adjacent cross pair attains the optimum. Suffix ordering
+    * runs per CANDIDATE pair, never corpus-wide (the maxBucket
+    * discipline bounds the block).
+    *
+    * LCP itself is first-mismatch algebra, O(len) per adjacency, shared
+    * verbatim by the oracle: `min{k : p[k] ≠ q[k]} − 1`, else the
+    * shorter length — single-char probes, no quadratic prefix rescans.
+    * Suffixes materialize capped at `maxReport` chars, so per-pair bytes
+    * are O(len·maxReport), not O(len²), and reported lengths SATURATE at
+    * `maxReport` (a pair sharing that much is a certain dup; the cap is
+    * the scale knob). Ties on length break to the lexicographically
+    * smallest shared substring. Returns `(a, b, lcs_len, shared)` for
+    * pairs with lcs_len ≥ minLen.
+    */
+  def exactSubstringPairs(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int, shingleN: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3, maxBucket: Int = Int.MaxValue,
+      maxReport: Int = 256): DataFrame = {
+    require(minLen >= 1 && maxReport >= minLen)
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN,
+      numHashes, rowsPerBand, maxBucket)
+    val t = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val pt = cand
+      .join(t.select(col("id").as("a"), col("t").as("ta")), "a")
+      .join(t.select(col("id").as("b"), col("t").as("tb")), "b")
+    def side(tag: Int, tc: String) = pt
+      .select(col("a"), col("b"),
+        explode(sequence(lit(1), length(col(tc)))).as("i"), col(tc))
+      .select(col("a"), col("b"), lit(tag).as("side"),
+        expr(s"substring($tc, i, $maxReport)").as("suf"))
+    val su = side(0, "ta").unionByName(side(1, "tb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b").orderBy(col("suf"), col("side"))
+    val adj = su
+      .withColumn("p", lag("suf", 1).over(w))
+      .withColumn("ps", lag("side", 1).over(w))
+      .where(col("ps").isNotNull && col("ps") =!= col("side"))
+      .select(col("a"), col("b"),
+        expr("""coalesce(
+            array_min(filter(sequence(1, least(length(p), length(suf))),
+              k -> substring(p, k, 1) != substring(suf, k, 1))) - 1,
+            least(length(p), length(suf)))""").cast("long").as("lcp"),
+        col("suf"))
+    adj
+      .withColumn("shared", expr("substring(suf, 1, lcp)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a", "b").orderBy(col("lcp").desc, col("shared"))))
+      .where(col("rn") === 1 && col("lcp") >= minLen)
+      .select(col("a"), col("b"), col("lcp").as("lcs_len"), col("shared"))
+  }
+
   /** SOFT dedup: keep every document, down-weight duplicates so each
     * near-dup cluster contributes one document's worth of sampling mass
     * — `w_ppm = 1_000_000 div cluster_size` (truncating integer

@@ -3902,6 +3902,63 @@ object OpsQueries {
     FROM tok t JOIN enc e USING (w) LEFT JOIN prods p ON p.token = e.token"""
   }
 
+  // ———————————————— exact-substring dedup (q215)
+  // (character-level complement to the 13-gram detect→excise chain:
+  //  longest shared substring per LSH candidate pair via sorted-suffix
+  //  blocks — suffix ordering within pairs, never corpus-wide; LCP is
+  //  first-mismatch algebra shared verbatim with the oracle; lengths
+  //  saturate at the 256-char cap. maxBucket = the filtered set's size,
+  //  provably a no-op for the oracle — the q21 convention.)
+  val q215ExactSubstring: Q = (s, dir) =>
+    graft.ops.Dedup.exactSubstringPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "text", "doc_id", minLen = 100, shingleN = 3, numHashes = 12,
+      rowsPerBand = 3, maxBucket = 1000, maxReport = 256)
+  private val q215Sql: String = """
+    WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+    hx AS (SELECT doc_id, unnest(range(0, 12)) AS i, shingle FROM sh),
+    sigs AS (SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+             FROM hx GROUP BY 1, 2),
+    bands AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                md5(max(CASE WHEN i % 3 = 0 THEN sig END)
+                 || max(CASE WHEN i % 3 = 1 THEN sig END)
+                 || max(CASE WHEN i % 3 = 2 THEN sig END)) AS band_sig
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_sig = y.band_sig
+                  AND x.doc_id < y.doc_id),
+    pt AS (SELECT c.a, c.b, x.text AS ta, y.text AS tb
+           FROM cand c JOIN d x ON x.doc_id = c.a JOIN d y ON y.doc_id = c.b),
+    su AS (
+      SELECT a, b, 0 AS side, substr(ta, CAST(i AS INT), 256) AS suf
+      FROM pt, unnest(range(1, length(ta) + 1)) u(i)
+      UNION ALL
+      SELECT a, b, 1, substr(tb, CAST(i AS INT), 256)
+      FROM pt, unnest(range(1, length(tb) + 1)) u(i)),
+    adj AS (SELECT a, b, suf, side,
+             lag(suf) OVER w AS p, lag(side) OVER w AS ps
+           FROM su WINDOW w AS (PARTITION BY a, b ORDER BY suf, side)),
+    lcps AS (SELECT a, b,
+             coalesce(list_min(list_filter(
+                 range(1, least(length(p), length(suf)) + 1),
+                 k -> substr(p, CAST(k AS INT), 1)
+                   <> substr(suf, CAST(k AS INT), 1))) - 1,
+               least(length(p), length(suf))) AS lcp,
+             suf
+           FROM adj WHERE ps IS NOT NULL AND ps <> side),
+    rk AS (SELECT a, b, CAST(lcp AS BIGINT) AS lcs_len,
+            substr(suf, 1, CAST(lcp AS INT)) AS shared,
+            row_number() OVER (PARTITION BY a, b
+              ORDER BY lcp DESC, substr(suf, 1, CAST(lcp AS INT))) AS rn
+          FROM lcps)
+    SELECT a, b, lcs_len, shared FROM rk WHERE rn = 1 AND lcs_len >= 100"""
+
   // ———————————————— interval merge / coverage islands (q193)
   // (merge each user's event intervals [ts, ts + |value|·1000 ms] into
   //  maximal islands — overlap-safe coverage, the interval-algebra
@@ -4294,6 +4351,7 @@ object OpsQueries {
     "q194_incremental_join" -> q194IncrementalJoin,
     "q195_bpe_merges" -> q195BpeMerges,
     "q214_bpe_encode" -> q214BpeEncode,
+    "q215_exact_substring" -> q215ExactSubstring,
     "q196_stream_hll" -> q196StreamHll,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
@@ -4426,6 +4484,7 @@ object OpsQueries {
     "q194_incremental_join" -> q194Sql,
     "q195_bpe_merges" -> q195Sql,
     "q214_bpe_encode" -> q214Sql,
+    "q215_exact_substring" -> q215Sql,
     "q196_stream_hll" -> q196Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,

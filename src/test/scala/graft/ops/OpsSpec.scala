@@ -215,6 +215,30 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("exactSubstringPairs: embedded copy found exactly; threshold and cap hold") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alphax $common"),
+      (2L, s"deltay $common"),
+      (3L, "completely different content with no shared phrasing at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringPairs(docs, "text", "doc_id", minLen = 20)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // the embedded copy is preceded by a space in both docs and runs to
+    // the end of both
+    assert(got == Seq((1L, 2L, common.length + 1L, s" $common")))
+    // threshold: raising minLen past the copy's length drops the pair
+    assert(Dedup.exactSubstringPairs(docs, "text", "doc_id",
+      minLen = common.length + 3).count() == 0)
+    // saturation: a cap below the copy's length reports exactly the cap
+    val capped = Dedup.exactSubstringPairs(docs, "text", "doc_id",
+        minLen = 10, maxReport = 20)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(capped.map(t => (t._1, t._2, t._3)) == Seq((1L, 2L, 20L)))
+    assert(capped.head._4.length == 20)
+  }
+
   test("softDedupWeights: inverse-cluster-size ppm; singletons keep the full million") {
     import spark.implicits._
     val universe = (0L to 5L).toDF("doc_id")
