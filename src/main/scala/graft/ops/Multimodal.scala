@@ -292,6 +292,111 @@ object Multimodal {
       }
   }
 
+  case class ImagePhashRow(media_id: Long, width: Int, height: Int,
+      phash: String, ok: Boolean)
+
+  /** Fixed-point cosine table shared VERBATIM by the Scala kernel and
+    * every SQL oracle: `C(k,n) = round(cos(π(2n+1)k/64)·2¹⁵)`. The
+    * doubles exist only here, once, at class load — the oracle SQL
+    * interpolates these exact integers as literals, so no engine ever
+    * takes a cosine on data and the downstream DCT algebra is pure
+    * BIGINT on both sides.
+    */
+  val DctC: Array[Array[Long]] = Array.tabulate(32, 32)((k, n) =>
+    Math.round(Math.cos(Math.PI * (2 * n + 1) * k / 64.0) * 32768.0))
+
+  /** Perceptual hash (DCT pHash) beside [[imageHashes]]'s aHash: 32×32
+    * integer-luma grid sample (the aHash sampling rule) → exact
+    * fixed-point 2-D DCT-II over [[DctC]] → top-left 8×8 coefficient
+    * block → bit = coefficient > median of the 63 AC coefficients (the
+    * 32nd smallest, an exact integer select; the DC bit is pinned '0').
+    * Catches the brightness/contrast near-dups aHash misses: an affine
+    * luma shift moves every AC coefficient by (almost) a common scale
+    * while clipping and gamma barely disturb the low-frequency
+    * STRUCTURE the 8×8 block encodes — where aHash's mean threshold
+    * drifts with the clipped mass. Emitted as a 64-char '0'/'1' string
+    * in v-major order; undecodable bytes → ("", ok=false). One
+    * `mapPartitions` pass, no shuffle; 64·1024 multiply-adds per image,
+    * all Long (peak |term|·1024 ≈ 2.8e17 < 2⁶³).
+    */
+  def imagePhashes(spark: SparkSession, media: DataFrame): Dataset[ImagePhashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            } catch { case NonFatal(_) => null }
+          if (img == null) ImagePhashRow(id, 0, 0, "", ok = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val lum = Array.ofDim[Long](32, 32)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                val p = img.getRGB(x * w / 32, y * h / 32)
+                lum(y)(x) =
+                  (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            val coef = Array.ofDim[Long](8, 8)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                var s = 0L
+                var yy = 0
+                while (yy < 32) {
+                  val cv = DctC(v)(yy)
+                  var xx = 0
+                  while (xx < 32) {
+                    s += lum(yy)(xx) * DctC(u)(xx) * cv
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                coef(v)(u) = s
+                u += 1
+              }
+              v += 1
+            }
+            val ac = new Array[Long](63)
+            var i = 0
+            v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                if (u != 0 || v != 0) { ac(i) = coef(v)(u); i += 1 }
+                u += 1
+              }
+              v += 1
+            }
+            java.util.Arrays.sort(ac)
+            val med = ac(31)
+            val sb = new java.lang.StringBuilder(64)
+            v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                sb.append(
+                  if ((u == 0 && v == 0) || coef(v)(u) <= med) '0' else '1')
+                u += 1
+              }
+              v += 1
+            }
+            ImagePhashRow(id, w, h, sb.toString, ok = true)
+          }
+        }
+      }
+  }
+
   /** Image near-duplicate pairs over [[imageHashes]] — simhash-style
     * banding applied to the 64-bit perceptual hash: the hash splits into
     * four 16-bit slices; candidates share at least one exact slice

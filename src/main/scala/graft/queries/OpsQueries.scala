@@ -1409,6 +1409,61 @@ object OpsQueries {
     SELECT media_id, 0 AS width, 0 AS height, '' AS ahash, false AS ok
     FROM m WHERE media_id % 17 = 5"""
 
+  // ————————————————————————————— image DCT pHash (q216)
+  // (q100's aHash sibling that survives brightness/contrast shifts:
+  //  32×32 integer-luma grid sample → exact fixed-point 2-D DCT over
+  //  the PINNED Multimodal.DctC cosine table — the oracle interpolates
+  //  those same integers as literals, so both engines run identical
+  //  BIGINT algebra over the closed-form gradient rasters — → top-left
+  //  8×8, bit = coef > 32nd-smallest AC coef, DC pinned '0'.)
+  val q216ImagePhash: Q = (s, dir) =>
+    Multimodal.imagePhashes(
+      s, s.read.parquet(Multimodal.Fixtures.gradientDataset(s))).toDF()
+  private def q216Sql: String = {
+    val ctab = (for (k <- 0 until 8; n <- 0 until 32)
+      yield s"($k, $n, ${Multimodal.DctC(k)(n)})").mkString(", ")
+    s"""
+    WITH ctab(k, n, c) AS (SELECT * FROM (VALUES $ctab)),
+    m AS (SELECT media_id
+          FROM read_parquet('${Multimodal.Fixtures.gradientParquetPath}/*.parquet')),
+    good AS (SELECT media_id, media_id % 32 AS base,
+               CASE WHEN media_id >= 32 THEN 1 ELSE 0 END AS off,
+               CAST(8 + (media_id % 32) % 9 AS INT) AS w,
+               CAST(8 + ((media_id % 32) * 5) % 9 AS INT) AS h
+             FROM m WHERE media_id % 17 <> 5),
+    px AS (SELECT g.media_id, g.w, g.h, xs.x, ys.y,
+             (((31 * g.base + 7 * xs.x + 3 * ys.y) % 255 + g.off)
+            + ((7 * g.base + 5 * xs.x + 11 * ys.y) % 255 + g.off)
+            + ((13 * g.base + 3 * xs.x + 5 * ys.y) % 255 + g.off)) // 3 AS gray
+           FROM good g, range(0, 17) xs(x), range(0, 17) ys(y)
+           WHERE xs.x < g.w AND ys.y < g.h),
+    lum AS (SELECT g.media_id, xs.i AS xi, ys.j AS yj, p.gray
+            FROM good g, range(0, 32) xs(i), range(0, 32) ys(j)
+            JOIN px p ON p.media_id = g.media_id
+                     AND p.x = xs.i * g.w // 32 AND p.y = ys.j * g.h // 32),
+    coef AS (SELECT l.media_id, cu.k AS u, cv.k AS v,
+               sum(l.gray * cu.c * cv.c) AS dct
+             FROM lum l
+             JOIN ctab cu ON cu.n = l.xi
+             JOIN ctab cv ON cv.n = l.yj
+             GROUP BY 1, 2, 3),
+    med AS (SELECT media_id, dct AS m FROM (
+              SELECT media_id, dct, row_number() OVER (
+                PARTITION BY media_id ORDER BY dct) AS rn
+              FROM coef WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+    bits AS (SELECT c.media_id, c.v, c.u,
+               CASE WHEN (c.u = 0 AND c.v = 0) OR c.dct <= d.m THEN '0'
+                    ELSE '1' END AS bit
+             FROM coef c JOIN med d USING (media_id)),
+    hashes AS (SELECT media_id, string_agg(bit, '' ORDER BY v * 8 + u) AS phash
+               FROM bits GROUP BY 1)
+    SELECT g.media_id, g.w AS width, g.h AS height, hs.phash, true AS ok
+    FROM good g JOIN hashes hs ON hs.media_id = g.media_id
+    UNION ALL
+    SELECT media_id, 0 AS width, 0 AS height, '' AS phash, false AS ok
+    FROM m WHERE media_id % 17 = 5"""
+  }
+
   // ————————————————————————————— span-level exact dedup (q73)
   // (CCNet/C4-paragraph-style sub-document dedup with fixed 8-word
   //  spans: keep each span's first (doc_id, pos) occurrence, reassemble
@@ -4352,6 +4407,7 @@ object OpsQueries {
     "q195_bpe_merges" -> q195BpeMerges,
     "q214_bpe_encode" -> q214BpeEncode,
     "q215_exact_substring" -> q215ExactSubstring,
+    "q216_image_phash" -> q216ImagePhash,
     "q196_stream_hll" -> q196StreamHll,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
@@ -4485,6 +4541,7 @@ object OpsQueries {
     "q195_bpe_merges" -> q195Sql,
     "q214_bpe_encode" -> q214Sql,
     "q215_exact_substring" -> q215Sql,
+    "q216_image_phash" -> q216Sql,
     "q196_stream_hll" -> q196Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,

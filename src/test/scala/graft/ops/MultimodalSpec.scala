@@ -158,6 +158,63 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(b => rows(b).ahash).distinct.size > 1)
   }
 
+  test("pHash: contrast-shifted copy within hamming 2; junk null policy") {
+    import spark.implicits._
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // photo-like 64×64 gray raster: a smooth parabolic base plus
+    // deterministic integer pseudo-noise — a DENSE spectrum, so the
+    // median threshold sits in a well-separated gap (the fixture class
+    // real pHash is built for; a sparse sawtooth clusters half its AC
+    // coefficients at the median and any jitter flips them)
+    def texLuma(seedA: Long, seedB: Long)(x: Int, y: Int): Int = {
+      val n = (((x * seedA + y * seedB) & 0xFFFFFFFFL) >>> 26).toInt
+      70 + (x * (63 - x)) / 16 + (y * (63 - y)) / 24 + n
+    }
+    // the contrast op aHash's mean threshold drifts under: gain 5/4
+    // about mid-gray, CLIPPED at 255 (the peak region saturates)
+    def contrast(c: Int): Int = math.max(0, math.min(255, (c - 128) * 5 / 4 + 128))
+    def grayPng(lum: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val c = lum(x, y)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = texLuma(2654435761L, 0x9E3779B9L) _
+    val other = texLuma(0x85EBCA6BL, 0xC2B2AE35L) _
+    val media = Seq(
+      MediaRow(0L, "image", grayPng(base)),
+      MediaRow(1L, "image", grayPng((x, y) => contrast(base(x, y)))),
+      MediaRow(2L, "image", grayPng(other)),
+      MediaRow(3L, "image", Array.empty[Byte])).toDF()
+    val rows = Multimodal.imagePhashes(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows(0L).ok && rows(1L).ok && rows(0L).phash.length == 64)
+    assert(ham(rows(0L).phash, rows(1L).phash) <= 2,
+      s"contrast copy drifted: ${ham(rows(0L).phash, rows(1L).phash)} bits")
+    // ...while a genuinely different texture is far away
+    assert(ham(rows(0L).phash, rows(2L).phash) > 10)
+    assert(!rows(3L).ok && rows(3L).phash.isEmpty)
+    // planted +1-brightness pairs of the staged corpus stay within 2
+    // bits too (a uniform shift moves only the DC term plus fixed-point
+    // residue), and hashes still discriminate across gradients
+    val staged = spark.read.parquet(Fixtures.gradientDataset(spark))
+    val all = Multimodal.imagePhashes(spark, staged).collect()
+      .map(r => r.media_id -> r).toMap
+    val pairs = (0L until 32L)
+      .filter(b => b % 17 != 5 && (b + 32) % 17 != 5)
+    pairs.foreach { b =>
+      assert(ham(all(b).phash, all(b + 32).phash) <= 2,
+        s"pair $b/${b + 32} drifted")
+    }
+    assert(pairs.map(b => all(b).phash).distinct.size > 1)
+  }
+
   test("imageNearDupPairs: planted brightness pairs found at hamming 0") {
     val media = spark.read.parquet(
       Multimodal.Fixtures.gradientDataset(spark))
