@@ -168,6 +168,56 @@ object ExtraQueries {
       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len
     FROM documents GROUP BY 1, 2"""
 
+  // —————————————————————————————— JSON-lines staging round-trip (q217)
+  // (the text-format leg of the source inventory, with the malformed-
+  //  input policy a real ingest needs: documents staged as JSON-lines
+  //  plus a planted file of 3 corrupt lines, read back with an EXPLICIT
+  //  schema and PERMISSIVE _corrupt_record capture — no schema
+  //  inference pass, the 100 TB contract. Good rows must aggregate
+  //  hash-identically to the parquet originals (lossless round-trip);
+  //  the corrupt rows must land in exactly one quarantine row of 3 with
+  //  every data column null. The oracle computes the good-row aggregate
+  //  from parquet and pins the quarantine row as the contract.)
+  private val jsonStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q217JsonRoundtrip: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val staged = jsonStaged.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        .resolve("documents.jsonl").toString
+      Tables.documents(s, dir).write.mode("overwrite").json(p)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "part-99999-planted-corrupt.json"),
+        ("{\"doc_id\": 1, \"text\": unquoted}\n" +
+          "not json at all\n" +
+          "{\"doc_id\": \n").getBytes("UTF-8"))
+      p
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(staged)
+      .groupBy(
+        when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("source")).as("source"),
+        when(col("_corrupt_record").isNotNull, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"))
+  }
+  private val q217Sql: String = """
+    SELECT source, lang, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY 1, 2
+    UNION ALL
+    SELECT '_corrupt', NULL, 3, NULL, NULL"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -616,7 +666,8 @@ object ExtraQueries {
     "q202_feature_hash" -> q202FeatureHash,
     "q203_label_propagation" -> q203LabelPropagation,
     "q204_downsample" -> q204Downsample,
-    "q205_cms_join_size" -> q205CmsJoinSize)
+    "q205_cms_join_size" -> q205CmsJoinSize,
+    "q217_jsonl_roundtrip" -> q217JsonRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -632,6 +683,7 @@ object ExtraQueries {
     "q199_l_diversity" -> q199Sql,
     "q200_benford" -> q200Sql,
     "q201_orc_roundtrip" -> q201Sql,
+    "q217_jsonl_roundtrip" -> q217Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,
