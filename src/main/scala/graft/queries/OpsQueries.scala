@@ -2075,6 +2075,54 @@ object OpsQueries {
     SELECT node AS doc_id, round(r, 9) AS rank FROM r5"""
   }
 
+  // ———————————————— personalized PageRank (q218)
+  // (q102's seed-restart sibling: teleport AND dangling mass land on
+  //  the seed set doc_id % 100 = 0 — seed-biased related-item ranking.
+  //  The oracle unrolls all 5 iterations with the same restart vector;
+  //  GraphSpec pins rank-mass concentration near the seed.)
+  val q218PersonalizedPagerank: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val nodes = docs.select(col("doc_id"))
+    graft.ops.Graph.personalizedPageRank(nodes, "doc_id",
+      graft.ops.Graph.pseudoEdges(nodes, "doc_id", docs.count()),
+      nodes.where(pmod(col("doc_id"), lit(100)) === 0), "doc_id")
+      .withColumnRenamed("node", "doc_id")
+  }
+  private val q218Sql: String = {
+    val iterChain = (0 until 5).map { k =>
+      s"""dang$k AS (SELECT coalesce(sum(r), CAST(0 AS DOUBLE)) AS d FROM r$k
+                WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r$k.node)),
+    r${k + 1} AS (
+      SELECT n.node,
+             CAST(0.15 AS DOUBLE) * coalesce(sd.s, 0) + CAST(0.85 AS DOUBLE) *
+               (coalesce(c.contrib, 0) + (SELECT d FROM dang$k) * coalesce(sd.s, 0)) AS r
+      FROM nodes n
+      LEFT JOIN seedw sd ON sd.node = n.node
+      LEFT JOIN (
+        SELECT e.tgt AS node, sum(r.r / deg.outdeg) AS contrib
+        FROM edges e JOIN r$k r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.tgt) c ON c.node = n.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    sn AS (SELECT count(*) AS ns FROM nodes WHERE node % 100 = 0),
+    seedw AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT ns FROM sn) AS s
+              FROM nodes WHERE node % 100 = 0),
+    r0 AS (SELECT n.node, coalesce(sd.s, CAST(0 AS DOUBLE)) AS r
+           FROM nodes n LEFT JOIN seedw sd ON sd.node = n.node),
+    $iterChain
+    SELECT node AS doc_id, round(r, 9) AS rank FROM r5"""
+  }
+
   // ———————————————————————————— HTML → text extraction (q103)
   // (crawl-side text extraction: deterministic HTML wrapping of the
   //  documents table — title, nav, entities, a script whose code
@@ -4408,6 +4456,7 @@ object OpsQueries {
     "q214_bpe_encode" -> q214BpeEncode,
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
+    "q218_personalized_pagerank" -> q218PersonalizedPagerank,
     "q196_stream_hll" -> q196StreamHll,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
@@ -4542,6 +4591,7 @@ object OpsQueries {
     "q214_bpe_encode" -> q214Sql,
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
+    "q218_personalized_pagerank" -> q218Sql,
     "q196_stream_hll" -> q196Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,

@@ -26,6 +26,40 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) > r(1L) && r(1L) > r(0L))
   }
 
+  test("personalizedPageRank: mass concentrates near the seed, sums to 1") {
+    // ring 0→1→2→3→4→5→0 plus a chord 0→3; seed {0}
+    val nodes = (0L to 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 0L), (0L, 3L)).toDF("src", "tgt")
+    val r = Graph.personalizedPageRank(nodes, "id", edges,
+      Seq(0L).toDF("id"), "id", iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"sum=${r.values.sum}")
+    // the seed outranks everything: all restart mass lands on it
+    assert(r(0L) == r.values.max)
+    // link distance from the seed orders the ring tail monotonically
+    assert(r(1L) > r(2L) && r(4L) > r(5L))
+    // node 3 takes two inbound paths (ring + chord) — above its ring
+    // predecessor's successor share alone
+    assert(r(3L) > r(2L))
+    // uniform pageRank on the same graph would NOT put the max at 0
+    val u = Graph.pageRank(nodes, "id", edges, iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(u(3L) > u(0L), "fixture must distinguish PPR from uniform PR")
+  }
+
+  test("personalizedPageRank: dangling mass restarts at the seeds") {
+    // 0 → 1 → 2 with 2 dangling; seed {0}: every drop of rank that
+    // falls off node 2 re-enters at 0, so 0 keeps the largest share
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "tgt")
+    val r = Graph.personalizedPageRank(nodes, "id", edges,
+      Seq(0L).toDF("id"), "id", iters = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"sum=${r.values.sum}")
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+  }
+
   test("pseudoEdges are deterministic, self-loop-free, in range") {
     val nodes = spark.range(50).toDF("doc_id")
     val e1 = Graph.pseudoEdges(nodes, "doc_id", 50).as[(Long, Long)]
