@@ -2671,6 +2671,32 @@ object OpsQueries {
       FROM p x JOIN p y ON x.id < y.id)
     SELECT a, b, dist_km FROM d WHERE dist_km <= 100.0"""
 
+  // ———————————————— fixed-cost scheduler control (q000)
+  // (a constant-work probe for HOST DRIFT: 12 single-stage jobs + 8
+  //  two-stage shuffle jobs over ~nothing, data-independent by
+  //  construction. Iterative rows like q161's star-forest loop are
+  //  dominated by per-job scheduler latency, which drifted ~30%
+  //  between rounds with no code change — this row turns "the host got
+  //  slower" from a commit-message assertion into a measured ratio:
+  //  drift = control_now / control_then, and loop-row targets adjust by
+  //  it (PLANS.md methodology). Sorts first in the bench; the oracle
+  //  pins the deterministic checksum so the probe cannot silently stop
+  //  doing its work.)
+  val q000SchedulerControl: Q = (s, _) => {
+    import s.implicits._
+    var acc = 0L
+    var r = 1
+    while (r <= 12) { acc += s.range(r, r + 1, 1, 1).count(); r += 1 }
+    var k = 0
+    while (k < 8) {
+      acc += s.range(0, 1000, 1, 4).toDF("v")
+        .groupBy(pmod(col("v"), lit(32))).count().count()
+      k += 1
+    }
+    Seq(acc).toDF("checksum")
+  }
+  val q000Sql: String = "SELECT CAST(268 AS BIGINT) AS checksum"
+
   // ———————————————— grid-blocked DBSCAN density clusters (q161)
   // (q132's lattice globe + radius join composed into full DBSCAN:
   //  core = ε-neighborhood ≥ minPts (self included), clusters = CC over
@@ -4480,6 +4506,7 @@ object OpsQueries {
     "q158_cms_counts" -> q158CmsCounts,
     "q159_top_pc" -> q159TopPc,
     "q161_dbscan" -> q161Dbscan,
+    "q000_scheduler_control" -> q000SchedulerControl,
     "q154_ks_drift" -> q154KsDrift,
     "q155_calibration" -> q155Calibration,
     "q149_fuzzy_join" -> q149FuzzyJoin,
@@ -4618,6 +4645,7 @@ object OpsQueries {
     "q158_cms_counts" -> q158Sql,
     "q159_top_pc" -> q159Sql,
     "q161_dbscan" -> q161Sql,
+    "q000_scheduler_control" -> q000Sql,
     "q154_ks_drift" -> q154Sql,
     "q155_calibration" -> q155Sql,
     "q149_fuzzy_join" -> q149Sql,
