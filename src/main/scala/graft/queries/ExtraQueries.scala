@@ -218,6 +218,35 @@ object ExtraQueries {
     UNION ALL
     SELECT '_corrupt', NULL, 3, NULL, NULL"""
 
+  // —————————————————————————————— Avro staging round-trip (q219)
+  // (the row-format leg of the source inventory, through the hand-built
+  //  graftavro DataSource V2 — no spark-avro module exists on this
+  //  classpath, so the source itself is the operator: executor-side
+  //  DataFileWriter containers out, schema-from-container inference and
+  //  per-file pruned record decode back. Hash-matching the parquet
+  //  aggregate proves the container round-trip lossless for every
+  //  column touched.)
+  private val avroStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q219AvroRoundtrip: Q = (s, dir) => {
+    val staged = avroStaged.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-avro")
+        .resolve("documents.avro").toString
+      graft.sources.AvroStage.write(
+        Tables.documents(s, dir).repartition(4), p, "document")
+      p
+    })
+    s.read.format("graftavro").load(staged)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"))
+  }
+  private val q219Sql: String = """
+    SELECT source, lang, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY 1, 2"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -667,7 +696,8 @@ object ExtraQueries {
     "q203_label_propagation" -> q203LabelPropagation,
     "q204_downsample" -> q204Downsample,
     "q205_cms_join_size" -> q205CmsJoinSize,
-    "q217_jsonl_roundtrip" -> q217JsonRoundtrip)
+    "q217_jsonl_roundtrip" -> q217JsonRoundtrip,
+    "q219_avro_roundtrip" -> q219AvroRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -684,6 +714,7 @@ object ExtraQueries {
     "q200_benford" -> q200Sql,
     "q201_orc_roundtrip" -> q201Sql,
     "q217_jsonl_roundtrip" -> q217Sql,
+    "q219_avro_roundtrip" -> q219Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,
