@@ -3998,15 +3998,19 @@ object OpsQueries {
     graft.ops.TextOps.bpeEncode(
       docs.where(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id", merges)
   }
-  private val q214Sql: String = {
+  /** The encode chain (learn → merge-table products → tokenized words →
+    * vocabulary-sized merge replay → per-word token rows) as a WITH-body
+    * fragment — shared by q214 (the per-token rows) and q220 (the packed
+    * windows built on the same ids).
+    */
+  private def bpeEncodeCtes: String = {
     def applied(inner: String): String = (1 to 4).foldLeft(inner) { (c, r) =>
       (1 to 12).foldLeft(c) { (cc, _) =>
         s"regexp_replace($cc, ' ' || r$r.t1 || ' ' || r$r.t2 || ' ', " +
           s"' ' || r$r.t1 || r$r.t2 || ' ', 'g')"
       }
     }
-    s"""
-    WITH $bpeLearnCtes,
+    s"""$bpeLearnCtes,
     prods AS (SELECT token, 25 + min(round) AS tid FROM (
         SELECT t1 || t2 AS token, 1 AS round FROM m1
         UNION ALL SELECT t1 || t2, 2 FROM m2
@@ -4024,12 +4028,57 @@ object OpsQueries {
         CROSS JOIN m3 r3 CROSS JOIN m4 r4),
     enc AS (SELECT w, i AS tpos, ts[i] AS token FROM (
           SELECT w, string_split(trim(seq), ' ') AS ts FROM enc0),
-        unnest(range(1, len(ts) + 1)) u(i))
+        unnest(range(1, len(ts) + 1)) u(i))"""
+  }
+  private val q214Sql: String = s"""
+    WITH $bpeEncodeCtes
     SELECT t.doc_id, CAST(t.wpos AS BIGINT) AS wpos,
       CAST(e.tpos AS BIGINT) AS tpos, e.token,
       CAST(coalesce(p.tid, ascii(e.token) - 97) AS BIGINT) AS token_id
     FROM tok t JOIN enc e USING (w) LEFT JOIN prods p ON p.token = e.token"""
+
+  // ———————————————— BPE-id packed windows (q220)
+  // (q83's packing over REAL tokenizer output instead of synthetic
+  //  word-vocab ids: q214's BPE ids, per-doc sequences in (wpos, tpos)
+  //  order, greedily packed into 500-token training windows on q83's
+  //  exact shard/bin algebra. The oracle replays learn → encode → pack
+  //  end-to-end through the shared CTE chain.)
+  val q220BpePackedWindows: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.TextOps.bpeMerges(docs, "text", rounds = 4)
+    val enc = graft.ops.TextOps.bpeEncode(
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id", merges)
+    val perDoc = enc.groupBy(col("doc_id").as("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("wpos"), col("tpos"),
+          col("token_id")))),
+        x => x("token_id")).as("token_ids"))
+    graft.ops.Sampling.packWindows(perDoc, "id", "token_ids",
+      budget = 500, numShards = 4)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        concat_ws(",", col("window_ids").cast("array<string>")).as("ids_csv"))
   }
+  private val q220Sql: String = s"""
+    WITH $bpeEncodeCtes,
+    per AS (SELECT t.doc_id, t.wpos, e.tpos,
+          CAST(coalesce(p.tid, ascii(e.token) - 97) AS BIGINT) AS tid
+        FROM tok t JOIN enc e USING (w)
+        LEFT JOIN prods p ON p.token = e.token),
+    csv AS (SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ','
+              ORDER BY wpos, tpos) AS doc_csv, count(*) AS tokens
+            FROM per GROUP BY 1),
+    t AS (SELECT doc_id AS id, doc_csv, tokens,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT)
+          % 4 AS shard
+      FROM csv),
+    cum AS (SELECT id, doc_csv, tokens, shard,
+        sum(tokens) OVER (PARTITION BY shard ORDER BY id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
+      count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens,
+      string_agg(doc_csv, ',' ORDER BY id) AS ids_csv
+    FROM cum GROUP BY 1, 2"""
 
   // ———————————————— exact-substring dedup (q215)
   // (character-level complement to the 13-gram detect→excise chain:
@@ -4480,6 +4529,7 @@ object OpsQueries {
     "q194_incremental_join" -> q194IncrementalJoin,
     "q195_bpe_merges" -> q195BpeMerges,
     "q214_bpe_encode" -> q214BpeEncode,
+    "q220_bpe_packed_windows" -> q220BpePackedWindows,
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
     "q218_personalized_pagerank" -> q218PersonalizedPagerank,
@@ -4616,6 +4666,7 @@ object OpsQueries {
     "q194_incremental_join" -> q194Sql,
     "q195_bpe_merges" -> q195Sql,
     "q214_bpe_encode" -> q214Sql,
+    "q220_bpe_packed_windows" -> q220Sql,
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
     "q218_personalized_pagerank" -> q218Sql,
