@@ -576,6 +576,66 @@ object Analytics {
           .as("pos_rate"))
   }
 
+  /** Grouped Spearman rank correlation with EXACT tie handling — the
+    * monotonic-drift screen ("does this metric trend with time / with
+    * that other metric") that Pearson misses under nonlinearity.
+    * Average ranks on ties are carried DOUBLED (the groupAuc trick:
+    * r₂ = 2·cum − c + 1 over the value-level cumulative, so tied
+    * averages stay integral) and every sum is exact — per-row products
+    * fit Long (≤ 4n²), the group sums widen to decimal(38,0) so even
+    * n·Σ terms (≤ 4n⁴) never wrap. One double sqrt + one division at
+    * the end: ρ = (n·Sxy − SxSy) / √((n·Sxx − Sx²)(n·Syy − Sy²)),
+    * rounded to 6 d.p.; a constant column (zero variance) yields null,
+    * not a fake 0.
+    *
+    * Plan: two value-level count frames with per-group cumulative
+    * windows (bounded by value cardinality per group, the ksDrift
+    * discipline), two rank join-backs on (group, value), one grouped
+    * sum. No global windows, no collect.
+    */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    def ranks(c: String) = {
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("g"), col(c).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r2", lit(2) * sum("c").over(w) - col("c") + 1)
+        .select(col("g"), col("v"), col("r2"))
+    }
+    val rx = ranks("x").select(col("g").as("gx"), col("v").as("vx"),
+      col("r2").as("rx"))
+    val ry = ranks("y").select(col("g").as("gy"), col("v").as("vy"),
+      col("r2").as("ry"))
+    val rows = base
+      .join(rx, col("g") === col("gx") && col("x") === col("vx"))
+      .join(ry, col("g") === col("gy") && col("y") === col("vy"))
+      .select(col("g"), col("rx"), col("ry"))
+    rows.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(dec)).as("sx"),
+        sum(col("ry").cast(dec)).as("sy"),
+        sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+        sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+      .select(col("g").as(groupCol), col("n"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("rho"))
+  }
+
   /** Per-key CUSUM changepoint locator: the index where the cumulative
     * deviation from the key's own mean peaks — the classic "when did
     * this series' level shift" statistic. Scale-free trick: with S = Σy

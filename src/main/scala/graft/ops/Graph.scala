@@ -119,6 +119,50 @@ object Graph {
     ranks.select(col("node"), round(col("r"), 9).as("rank"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg) over a directed edge set —
+    * PageRank's bipartite sibling: a good HUB points at good
+    * authorities, a good AUTHORITY is pointed at by good hubs; the
+    * curation use is separating index/portal pages from content pages,
+    * which a single PageRank score conflates. Fixed `iters` rounds of
+    * the power iteration `a ← Eᵀh, h ← E a`, each renormalized by its
+    * MAX rather than a norm: the iteration is scale-invariant, and max
+    * is order-independent EXACTLY where a float sum-norm would depend
+    * on partition order (the cross-engine contract; remaining per-node
+    * fan-in sums are small and vanish under the 9 d.p. round, the q102
+    * convention). Returns (node, auth, hub); sourceless/sinkless nodes
+    * score 0 on the respective axis.
+    *
+    * Cost per iteration: two edge joins + two grouped sums (O(E)) and
+    * two bounded max scalars to the driver; edges checkpoint once.
+    */
+  def hits(nodes: DataFrame, idCol: String, edges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val v = nodes.select(col(idCol).cast("long").as("node"))
+    val e = edges.select(col("src").cast("long"), col("tgt").cast("long"))
+      .distinct().localCheckpoint()
+    var h = v.withColumn("s", lit(1.0)).localCheckpoint()
+    var a = v.withColumn("s", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      def normalized(un: DataFrame): DataFrame = {
+        val m = un.agg(max("s")).first().getDouble(0) // bounded scalar
+        require(m > 0, "hits: graph has no edges — scores undefined")
+        un.select(col("node"), (col("s") / m).as("s")).localCheckpoint()
+      }
+      a = normalized(
+        v.join(e.join(h, e("src") === h("node"))
+            .groupBy("tgt").agg(sum("s").as("c")),
+          v("node") === col("tgt"), "left")
+        .select(col("node"), coalesce(col("c"), lit(0.0)).as("s")))
+      h = normalized(
+        v.join(e.join(a, e("tgt") === a("node"))
+            .groupBy("src").agg(sum("s").as("c")),
+          v("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("c"), lit(0.0)).as("s")))
+    }
+    v.join(a.select(col("node"), round(col("s"), 9).as("auth")), "node")
+      .join(h.select(col("node"), round(col("s"), 9).as("hub")), "node")
+  }
+
   /** The oracle-gated query: 5-iteration PageRank over the pseudo-link
     * graph of the documents table.
     */

@@ -247,6 +247,47 @@ object ExtraQueries {
       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len
     FROM documents GROUP BY 1, 2"""
 
+  // —————————————————————————————— grouped Spearman correlation (q221)
+  // (per-event-type monotonic drift screen: rank correlation between
+  //  event time and value cents, exact doubled average ranks on ties,
+  //  decimal(38) group sums — DuckDB's HUGEINT sums are exact too, so
+  //  both engines divide identical integers under one sqrt.)
+  val q221Spearman: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("x_ms"),
+        round(col("value") * 100).cast("long").as("y_cent"))
+    Analytics.spearmanCorr(ev, "event_type", "x_ms", "y_cent")
+  }
+  private val q221Sql: String = """
+    WITH b AS (SELECT event_type AS g, epoch_ms(ts) AS x,
+            CAST(round(value * 100) AS BIGINT) AS y
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+    cx AS (SELECT g, x AS v, count(*) AS c FROM b GROUP BY 1, 2),
+    rx AS (SELECT g, v,
+            2 * sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+          FROM cx),
+    cy AS (SELECT g, y AS v, count(*) AS c FROM b GROUP BY 1, 2),
+    ry AS (SELECT g, v,
+            2 * sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+          FROM cy),
+    j AS (SELECT b.g, rx.r2 AS rx, ry.r2 AS ry
+          FROM b JOIN rx ON rx.g = b.g AND rx.v = b.x
+                JOIN ry ON ry.g = b.g AND ry.v = b.y),
+    s AS (SELECT g, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+            sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          FROM j GROUP BY 1)
+    SELECT g AS event_type, n,
+      CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+           ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
+    FROM s"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -697,7 +738,8 @@ object ExtraQueries {
     "q204_downsample" -> q204Downsample,
     "q205_cms_join_size" -> q205CmsJoinSize,
     "q217_jsonl_roundtrip" -> q217JsonRoundtrip,
-    "q219_avro_roundtrip" -> q219AvroRoundtrip)
+    "q219_avro_roundtrip" -> q219AvroRoundtrip,
+    "q221_spearman" -> q221Spearman)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -715,6 +757,7 @@ object ExtraQueries {
     "q201_orc_roundtrip" -> q201Sql,
     "q217_jsonl_roundtrip" -> q217Sql,
     "q219_avro_roundtrip" -> q219Sql,
+    "q221_spearman" -> q221Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

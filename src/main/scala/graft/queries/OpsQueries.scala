@@ -2123,6 +2123,52 @@ object OpsQueries {
     SELECT node AS doc_id, round(r, 9) AS rank FROM r5"""
   }
 
+  // ———————————————— HITS hubs and authorities (q222)
+  // (Kleinberg's bipartite sibling of q102 over the same pseudo-link
+  //  graph: 5 rounds of a ← Eᵀh, h ← E a, each MAX-normalized — max is
+  //  order-exact where a float sum-norm would depend on partition
+  //  order. The oracle unrolls every round.)
+  val q222Hits: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val nodes = docs.select(col("doc_id"))
+    graft.ops.Graph.hits(nodes, "doc_id",
+      graft.ops.Graph.pseudoEdges(nodes, "doc_id", docs.count()))
+      .withColumnRenamed("node", "doc_id")
+  }
+  private val q222Sql: String = {
+    val iterChain = (0 until 5).map { k =>
+      s"""ua${k + 1} AS MATERIALIZED (SELECT n.node,
+            coalesce(s.c, CAST(0 AS DOUBLE)) AS s
+          FROM nodes n LEFT JOIN (
+            SELECT e.tgt AS node, sum(h.s) AS c
+            FROM edges e JOIN h$k h ON h.node = e.src GROUP BY 1) s
+            ON s.node = n.node),
+    a${k + 1} AS MATERIALIZED (SELECT node, s / (SELECT max(s) FROM ua${k + 1}) AS s
+          FROM ua${k + 1}),
+    uh${k + 1} AS MATERIALIZED (SELECT n.node,
+            coalesce(s.c, CAST(0 AS DOUBLE)) AS s
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, sum(a.s) AS c
+            FROM edges e JOIN a${k + 1} a ON a.node = e.tgt GROUP BY 1) s
+            ON s.node = n.node),
+    h${k + 1} AS MATERIALIZED (SELECT node, s / (SELECT max(s) FROM uh${k + 1}) AS s
+          FROM uh${k + 1})"""
+    }.mkString(",\n    ")
+    s"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+    $iterChain
+    SELECT n.node AS doc_id, round(a5.s, 9) AS auth, round(h5.s, 9) AS hub
+    FROM nodes n JOIN a5 ON a5.node = n.node JOIN h5 ON h5.node = n.node"""
+  }
+
   // ———————————————————————————— HTML → text extraction (q103)
   // (crawl-side text extraction: deterministic HTML wrapping of the
   //  documents table — title, nav, entities, a script whose code
@@ -4533,6 +4579,7 @@ object OpsQueries {
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
     "q218_personalized_pagerank" -> q218PersonalizedPagerank,
+    "q222_hits" -> q222Hits,
     "q196_stream_hll" -> q196StreamHll,
     "q182_louvain" -> q182Louvain,
     "q181_cross_format_neardup" -> q181CrossFormatNearDup,
@@ -4670,6 +4717,7 @@ object OpsQueries {
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
     "q218_personalized_pagerank" -> q218Sql,
+    "q222_hits" -> q222Sql,
     "q196_stream_hll" -> q196Sql,
     "q182_louvain" -> q182Sql,
     "q181_cross_format_neardup" -> q181Sql,

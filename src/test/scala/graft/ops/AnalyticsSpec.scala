@@ -522,6 +522,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.map(_._5).sum == 1000000L)
   }
 
+  test("spearmanCorr: monotone ±1, ties exact, constant column null") {
+    import spark.implicits._
+    val df = Seq(
+      // g=up: y strictly increases with x (nonlinearly) → ρ = 1
+      ("up", 1L, 10L), ("up", 2L, 100L), ("up", 3L, 101L), ("up", 4L, 5000L),
+      // g=down: strict inverse → ρ = -1
+      ("down", 1L, 9L), ("down", 2L, 7L), ("down", 3L, 2L),
+      // g=tie: x = (1,2,2,3), y = (1,5,5,9): tied middles share average
+      // ranks on both sides → still a perfect monotone relation, ρ = 1
+      ("tie", 1L, 1L), ("tie", 2L, 5L), ("tie", 2L, 5L), ("tie", 3L, 9L),
+      // g=flat: constant y → zero variance → null
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))
+      .toDF("g", "x", "y")
+    val got = Analytics.spearmanCorr(df, "g", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("up") == ((4L, Some(1.0))))
+    assert(got("down") == ((3L, Some(-1.0))))
+    assert(got("tie") == ((4L, Some(1.0))))
+    assert(got("flat") == ((3L, None)))
+  }
+
   test("giniSplit: pure split is 0, mixed is exact ppm, parent row rides") {
     import spark.implicits._
     // feature A → labels {x,x} (pure); B → {x,y} (50/50);

@@ -60,6 +60,24 @@ class GraphSpec extends SparkSpec {
     assert(r(0L) > r(1L) && r(1L) > r(2L))
   }
 
+  test("hits: star hub and authorities separate; weak component decays") {
+    // star 0→{1,2,3} plus a faint chain 10→11
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
+      .toDF("src", "tgt")
+    val r = Graph.hits(nodes, "id", edges)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // the star: 0 is the pure hub (max-normalized to 1), its targets
+    // are the pure authorities, and the roles never mix
+    assert(r(0L) == ((0.0, 1.0)))
+    Seq(1L, 2L, 3L).foreach(i => assert(r(i) == ((1.0, 0.0))))
+    // the chain is real but strictly weaker, and decays each round
+    // relative to the star (max norm is global)
+    assert(r(10L)._2 > 0 && r(10L)._2 < r(0L)._2)
+    assert(r(11L)._1 > 0 && r(11L)._1 < r(1L)._1)
+  }
+
   test("pseudoEdges are deterministic, self-loop-free, in range") {
     val nodes = spark.range(50).toDF("doc_id")
     val e1 = Graph.pseudoEdges(nodes, "doc_id", 50).as[(Long, Long)]
