@@ -482,4 +482,68 @@ object Sketches {
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("true_rows"))
     est.crossJoin(truth)
   }
+
+  /** MEMBERSHIP-based KMV intersection — the theta-sketch estimator
+    * complementing [[kmvSetOps]]'s inclusion–exclusion: est_inter =
+    * ρ·est_union with ρ = (union-sketch members present in BOTH
+    * sketches)/|union sketch|. Inclusion–exclusion subtracts three
+    * large estimates, so its error explodes when |A∩B| ≪ |A∪B|;
+    * membership counts the overlap DIRECTLY in the sketch, the
+    * standard theta-sketch set-operation algebra. This variant also
+    * pins the arithmetic exact: 60-bit md5 hashes, `est =
+    * (k−1)·2⁶⁰ div h₍ₖ₎` with the product widened to decimal(38,0) on
+    * Spark / HUGEINT on DuckDB — identical integers out of the
+    * integral division, no float estimator in the hash path — and
+    * emits the EXACT counts beside every estimate (the q166/q205/q207
+    * sketch-audit convention). Sets smaller than k estimate exactly
+    * (no kth value exists to extrapolate from).
+    *
+    * Scale shape: one distinct-hash aggregate per side, then bottom-k
+    * via TakeOrderedAndProject (per-partition top-k + driver merge —
+    * never a global sort); everything after is k-sized. The exact
+    * sides are the audit cost, as in every comparison gate.
+    */
+  def kmvMembershipIntersect(a: DataFrame, b: DataFrame, colName: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    val dec = "decimal(38,0)"
+    val two60 = 1152921504606846976L // 2^60
+    def hashes(df: DataFrame) = df
+      .where(col(colName).isNotNull)
+      .select(conv(substring(md5(concat(lit("kmv|"),
+        col(colName).cast("string"))), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    def bottomK(h: DataFrame) = h.orderBy("h").limit(k)
+    val (ha, hb) = (hashes(a).localCheckpoint(), hashes(b).localCheckpoint())
+    val (sa, sb) = (bottomK(ha).localCheckpoint(), bottomK(hb).localCheckpoint())
+    val su = bottomK(sa.union(sb).distinct()).localCheckpoint()
+    // estimate from a k-sized sketch: exact when the set is smaller
+    // than k (no kth value exists to extrapolate from)
+    def estOf(s: DataFrame): DataFrame = s
+      .agg(count(lit(1)).as("n"), max("h").as("hk"))
+      .select(when(col("n") < k, col("n"))
+        .otherwise(expr(
+          s"CAST(${k - 1} AS $dec) * CAST($two60 AS $dec) div hk"))
+        .cast("long").as("est"))
+    val matched = su
+      .join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_match"))
+    val interEst = matched.crossJoin(estOf(su).withColumnRenamed("est", "eu"))
+      .crossJoin(su.agg(count(lit(1)).as("nu")))
+      .select(expr(s"CAST(n_match AS $dec) * CAST(eu AS $dec) div nu")
+        .cast("long").as("est_inter"))
+    def exact(df: DataFrame) = df.where(col(colName).isNotNull)
+      .select(col(colName)).distinct()
+    val exA = exact(a).localCheckpoint()
+    val exB = exact(b).localCheckpoint()
+    estOf(sa).withColumnRenamed("est", "est_a")
+      .crossJoin(estOf(sb).withColumnRenamed("est", "est_b"))
+      .crossJoin(estOf(su).withColumnRenamed("est", "est_union"))
+      .crossJoin(interEst)
+      .crossJoin(exA.agg(count(lit(1)).as("exact_a")))
+      .crossJoin(exB.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(exA.union(exB).distinct().agg(count(lit(1)).as("exact_union")))
+      .crossJoin(exA.join(exB, Seq(colName), "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+  }
 }

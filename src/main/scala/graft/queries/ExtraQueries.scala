@@ -288,6 +288,58 @@ object ExtraQueries {
                   * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
     FROM s"""
 
+  // ————————————————— KMV membership intersection (q223)
+  // (q119's inclusion–exclusion sibling replaced by the theta-sketch
+  //  MEMBERSHIP estimator over the click vs view audiences:
+  //  est_inter = ρ·est_union from union-sketch members present in both
+  //  sketches — direct overlap counting, robust where subtracting
+  //  three large estimates is not. Exact counts ride beside every
+  //  estimate; the small-set branch is exact by construction. Spark
+  //  widens the (k−1)·2⁶⁰ product to decimal(38,0), DuckDB to HUGEINT
+  //  — identical integers out of the integral division.)
+  val q223KmvSetOps: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    Sketches.kmvMembershipIntersect(
+      ev.where(col("event_type") === "click").select(col("user_id")),
+      ev.where(col("event_type") === "view").select(col("user_id")),
+      "user_id", k = 64)
+  }
+  private val q223Sql: String = {
+    val two60 = "1152921504606846976"
+    def side(t: String, n: String) = s"""
+    h$n AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv|'
+              || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM events WHERE event_type = '$t' AND user_id IS NOT NULL),
+    s$n AS (SELECT h FROM h$n ORDER BY h LIMIT 64),
+    e$n AS (SELECT CASE WHEN count(*) < 64 THEN count(*)
+              ELSE CAST((CAST(63 AS HUGEINT) * $two60) // max(h) AS BIGINT)
+              END AS est_$n FROM s$n)"""
+    s"""
+    WITH ${side("click", "a")}, ${side("view", "b")},
+    su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+           ORDER BY h LIMIT 64),
+    eu AS (SELECT CASE WHEN count(*) < 64 THEN count(*)
+             ELSE CAST((CAST(63 AS HUGEINT) * $two60) // max(h) AS BIGINT)
+             END AS est_union, count(*) AS nu FROM su),
+    mt AS (SELECT count(*) AS n_match FROM su
+           WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+    ei AS (SELECT CAST((CAST(mt.n_match AS HUGEINT) * eu.est_union) // eu.nu
+             AS BIGINT) AS est_inter
+           FROM mt CROSS JOIN eu),
+    xa AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+    xb AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL)
+    SELECT ea.est_a, eb.est_b, eu.est_union, ei.est_inter,
+      (SELECT count(*) FROM xa) AS exact_a,
+      (SELECT count(*) FROM xb) AS exact_b,
+      (SELECT count(*) FROM (SELECT user_id FROM xa
+          UNION SELECT user_id FROM xb)) AS exact_union,
+      (SELECT count(*) FROM xa WHERE user_id IN (SELECT user_id FROM xb))
+        AS exact_inter
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ei"""
+  }
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -739,7 +791,8 @@ object ExtraQueries {
     "q205_cms_join_size" -> q205CmsJoinSize,
     "q217_jsonl_roundtrip" -> q217JsonRoundtrip,
     "q219_avro_roundtrip" -> q219AvroRoundtrip,
-    "q221_spearman" -> q221Spearman)
+    "q221_spearman" -> q221Spearman,
+    "q223_kmv_membership_intersect" -> q223KmvSetOps)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -758,6 +811,7 @@ object ExtraQueries {
     "q217_jsonl_roundtrip" -> q217Sql,
     "q219_avro_roundtrip" -> q219Sql,
     "q221_spearman" -> q221Sql,
+    "q223_kmv_membership_intersect" -> q223Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

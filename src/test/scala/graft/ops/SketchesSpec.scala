@@ -269,4 +269,30 @@ class SketchesSpec extends SparkSpec {
     // product sum is empty and the min is forced to 0
     assert(r._2 == 0L && r._1 == 0L)
   }
+
+  test("kmvMembershipIntersect: small sets exact, nulls ignored") {
+    import spark.implicits._
+    // below-k regime: every branch must be EXACT by construction
+    val a = (Seq[Option[Long]](None) ++ (1L to 30L).map(Some(_))).toDF("u")
+    val b = ((21L to 50L).map(Option(_))).toDF("u")
+    val r = Sketches.kmvMembershipIntersect(a, b, "u", k = 64)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // (est_a, est_b, est_union, est_inter, exact_a..exact_inter)
+    assert(r == ((30L, 30L, 50L, 10L, 30L, 30L, 50L, 10L)))
+  }
+
+  test("kmvMembershipIntersect: estimation regime brackets the truth") {
+    import spark.implicits._
+    val a = (1L to 500L).toDF("u")
+    val b = (301L to 800L).toDF("u")
+    val r = Sketches.kmvMembershipIntersect(a, b, "u", k = 64)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // k=64 bottom-k: relative error ~1/sqrt(k) ≈ 12%; allow 3σ
+    def close(est: Long, exact: Long) =
+      math.abs(est - exact) <= (exact * 0.4).toLong
+    assert(close(r._1, 500L) && close(r._2, 500L) && close(r._3, 800L),
+      s"estimates drifted: $r")
+    assert(r._4 >= 0 && r._4 <= r._3)
+    assert(r._5 == 500L && r._6 == 500L && r._7 == 800L && r._8 == 200L)
+  }
 }
