@@ -421,6 +421,36 @@ object Analytics {
       "(col_name, n_rows, n_nulls, n_distinct, min_len, max_len, sum_len)"))
   }
 
+  /** PROFILE DRIFT gate between two snapshots of the same table — the
+    * schema/distribution regression check a daily ingest runs before
+    * publishing: joins two [[columnProfile]] outputs per column and
+    * emits the shift in null rate and distinct ratio (both as exact
+    * floored-ppm integers on each side, then a signed delta) plus the
+    * string-length envelope deltas; `drifted` flags any column whose
+    * null-rate or distinct-ratio moved more than `thresholdPpm`.
+    * Everything is integer — two one-pass profiles joined on a
+    * column-count-sized frame, nothing data-sized after the profile
+    * aggregates.
+    */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String],
+      thresholdPpm: Long = 50000): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      columnProfile(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$tag"),
+        expr("(1000000 * n_nulls) div n_rows").as(s"null_ppm_$tag"),
+        expr("(1000000 * n_distinct) div n_rows").as(s"distinct_ppm_$tag"),
+        col("min_len").as(s"min_len_$tag"), col("max_len").as(s"max_len_$tag"))
+    side(oldDf, "old").join(side(newDf, "new"), "col_name")
+      .withColumn("null_dppm", col("null_ppm_new") - col("null_ppm_old"))
+      .withColumn("distinct_dppm",
+        col("distinct_ppm_new") - col("distinct_ppm_old"))
+      .withColumn("min_len_delta", col("min_len_new") - col("min_len_old"))
+      .withColumn("max_len_delta", col("max_len_new") - col("max_len_old"))
+      .withColumn("drifted",
+        abs(col("null_dppm")) > thresholdPpm ||
+          abs(col("distinct_dppm")) > thresholdPpm)
+  }
+
   /** Two-proportion A/B z-test over per-user conversion — the
     * experiment-analysis primitive (did arm B convert better than arm
     * A, and is the lift noise?). Arms come from the md5 split lattice

@@ -309,6 +309,36 @@ object Relational {
     }
   }
 
+  /** Incremental AGGREGATE-view maintenance — the Δ-fold law for
+    * grouped (count, sum, min, max): each arriving batch is aggregated
+    * ALONE (delta-sized work) and merged into the keyed state by the
+    * combine algebra (count+count, sum+sum, min/min, max/max) — counts
+    * and sums are self-inverse under retraction too, but this fold is
+    * append-only, the common ingest shape. The LAW (and the oracle):
+    * fold(batches) ≡ one-shot aggregate over their union; the merge is
+    * associative, so any batch arrival order yields the same view.
+    *
+    * Scale note: the union+re-agg merge shuffles state + delta per
+    * step; a deployment keeps the state BUCKETED on the key so only
+    * delta-touched partitions rewrite (the q183 sidecar discipline) —
+    * the fold algebra here is the part both layouts share.
+    */
+  def incrementalAggFold(batches: Seq[DataFrame], keyCol: String,
+      valueCol: String): DataFrame = {
+    require(batches.nonEmpty, "fold at least one batch")
+    def aggOf(df: DataFrame) = df
+      .where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("s"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    batches.map(aggOf).reduce { (state, delta) =>
+      Dedup.checkpointResetStats(state.unionByName(delta)
+        .groupBy(col(keyCol))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx")))
+    }
+  }
+
   /** Audit summary of a delete cascade level: `(tbl, n_before,
     * n_deleted, del_digest)` where the digest is the order-independent
     * 60-bit-md5 XOR of the deleted rows' `keyExpr` — one row that pins

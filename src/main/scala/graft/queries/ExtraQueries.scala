@@ -340,6 +340,68 @@ object ExtraQueries {
     FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ei"""
   }
 
+  // —————————————————————————————— snapshot profile drift (q224)
+  // (the pre-publish regression gate between two snapshots: q169's
+  //  per-column profile on each side, joined, null-rate and
+  //  distinct-ratio shifts in exact floored ppm, length envelope
+  //  deltas, a threshold verdict. Old = first half of documents by id,
+  //  new = second half — enough real distribution shift to exercise
+  //  both verdict branches.)
+  val q224ProfileDrift: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val mid = docs.count() / 2
+    Analytics.profileDrift(
+      docs.where(col("doc_id") < mid), docs.where(col("doc_id") >= mid),
+      Seq("doc_id", "text", "lang", "source", "n_chars"),
+      thresholdPpm = 50000)
+  }
+  private val q224Sql: String = {
+    def prof(tag: String, pred: String) =
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c => s"""
+      SELECT '$c' AS col_name, count(*) AS n_rows_$tag,
+        (1000000 * CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT)) // count(*) AS null_ppm_$tag,
+        (1000000 * count(DISTINCT $c)) // count(*) AS distinct_ppm_$tag,
+        CAST(min(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len_$tag,
+        CAST(max(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len_$tag
+      FROM documents WHERE $pred""").mkString(" UNION ALL ")
+    s"""
+    WITH mid AS (SELECT count(*) // 2 AS m FROM documents),
+    po AS (${prof("old", "doc_id < (SELECT m FROM mid)")}),
+    pn AS (${prof("new", "doc_id >= (SELECT m FROM mid)")})
+    SELECT po.*, pn.n_rows_new, pn.null_ppm_new, pn.distinct_ppm_new,
+      pn.min_len_new, pn.max_len_new,
+      pn.null_ppm_new - po.null_ppm_old AS null_dppm,
+      pn.distinct_ppm_new - po.distinct_ppm_old AS distinct_dppm,
+      pn.min_len_new - po.min_len_old AS min_len_delta,
+      pn.max_len_new - po.max_len_old AS max_len_delta,
+      abs(pn.null_ppm_new - po.null_ppm_old) > 50000
+        OR abs(pn.distinct_ppm_new - po.distinct_ppm_old) > 50000
+        AS drifted
+    FROM po JOIN pn USING (col_name)"""
+  }
+
+  // —————————————————————————————— incremental aggregate view (q225)
+  // (q194's aggregate sibling: per-customer (count, sum, min, max) of
+  //  order cents maintained by folding 4 arrival batches — each batch
+  //  aggregated ALONE, merged by the combine algebra. The oracle is
+  //  the LAW: the folded view must hash-equal the one-shot aggregate
+  //  over the union.)
+  val q225IncrementalAgg: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val batches = (0 to 3).map(i =>
+      o.where(pmod(col("o_orderkey"), lit(4)) === i).drop("o_orderkey"))
+    graft.ops.Relational.incrementalAggFold(batches, "o_custkey", "cents")
+  }
+  private val q225Sql: String = """
+    SELECT o_custkey, count(o_totalprice) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+      CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mn,
+      CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -792,7 +854,9 @@ object ExtraQueries {
     "q217_jsonl_roundtrip" -> q217JsonRoundtrip,
     "q219_avro_roundtrip" -> q219AvroRoundtrip,
     "q221_spearman" -> q221Spearman,
-    "q223_kmv_membership_intersect" -> q223KmvSetOps)
+    "q223_kmv_membership_intersect" -> q223KmvSetOps,
+    "q224_profile_drift" -> q224ProfileDrift,
+    "q225_incremental_agg" -> q225IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -812,6 +876,8 @@ object ExtraQueries {
     "q219_avro_roundtrip" -> q219Sql,
     "q221_spearman" -> q221Sql,
     "q223_kmv_membership_intersect" -> q223Sql,
+    "q224_profile_drift" -> q224Sql,
+    "q225_incremental_agg" -> q225Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -522,6 +522,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.values.map(_._5).sum == 1000000L)
   }
 
+  test("profileDrift: null-rate shift flags, stable column passes") {
+    import spark.implicits._
+    val oldDf = (1L to 10L).map(i => (i, Some(s"v$i"))).toDF("id", "s")
+    // new snapshot: 4 of 10 values null (400000 ppm null shift), ids
+    // stable (distinct ratio unchanged, no flag from that side)
+    val newDf = (1L to 10L)
+      .map(i => (i, if (i <= 4) None else Some(s"v$i"))).toDF("id", "s")
+    val got = Analytics.profileDrift(oldDf, newDf, Seq("id", "s"),
+        thresholdPpm = 100000)
+      .select("col_name", "null_ppm_old", "null_ppm_new", "null_dppm",
+        "drifted")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s") == (("s", 0L, 400000L, 400000L, true)))
+    assert(got("id") == (("id", 0L, 0L, 0L, false)))
+  }
+
   test("spearmanCorr: monotone ±1, ties exact, constant column null") {
     import spark.implicits._
     val df = Seq(

@@ -158,4 +158,27 @@ class CdcSpec extends SparkSpec {
       Relational.incrementalJoinFold(Seq(true -> a, true -> a), "k")
     }
   }
+
+  test("incrementalAggFold law: fold ≡ one-shot, any batch order") {
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (1L, -2L), (2L, 7L), (2L, 7L), (3L, 0L),
+      (1L, 9L), (3L, -4L)).zipWithIndex
+      .map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("k", "v", "i")
+    val oneShot = rows.groupBy("k")
+      .agg(count("v").as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    def batch(i: Int) = rows.where(col("i") % 3 === i).drop("i")
+    for (order <- Seq(Seq(0, 1, 2), Seq(2, 0, 1))) {
+      val got = Relational.incrementalAggFold(order.map(batch), "k", "v")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == oneShot, s"order $order")
+    }
+    // an empty delta batch is a no-op, not a key eraser
+    val withEmpty = Relational.incrementalAggFold(
+      Seq(batch(0), batch(1).limit(0), batch(1), batch(2)), "k", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(withEmpty == oneShot)
+  }
 }
