@@ -123,44 +123,58 @@ object Graph {
     * PageRank's bipartite sibling: a good HUB points at good
     * authorities, a good AUTHORITY is pointed at by good hubs; the
     * curation use is separating index/portal pages from content pages,
-    * which a single PageRank score conflates. Fixed `iters` rounds of
-    * the power iteration `a ← Eᵀh, h ← E a`, each renormalized by its
-    * MAX rather than a norm: the iteration is scale-invariant, and max
-    * is order-independent EXACTLY where a float sum-norm would depend
-    * on partition order (the cross-engine contract; remaining per-node
-    * fan-in sums are small and vanish under the 9 d.p. round, the q102
-    * convention). Returns (node, auth, hub); sourceless/sinkless nodes
-    * score 0 on the respective axis.
+    * which a single PageRank score conflates. `iters` rounds of the
+    * power iteration `a ← Eᵀh, h ← E a` run UNNORMALIZED from h₀ = 1,
+    * so every intermediate score is an EXACT Long (integer sums of
+    * integers — no float summation order for the oracle to disagree
+    * on); scale invariance means the single max-division at the very
+    * end yields the same ranking a per-round normalization would, and
+    * max is order-independent exactly. Returns (node, auth, hub) in
+    * [0, 1] at 9 d.p.; sourceless/sinkless nodes score 0.
     *
-    * Cost per iteration: two edge joins + two grouped sums (O(E)) and
-    * two bounded max scalars to the driver; edges checkpoint once.
+    * Overflow is guarded by NAME up front: scores grow at most like
+    * d_max per half-step, so (2·iters)·log₂(d_max) must stay under 62
+    * bits — d_max is one bounded aggregate, and the require names the
+    * fix (fewer iterations, or pre-cap hub fan-out — at web scale the
+    * standard move, since a 10⁶-degree portal drowns HITS anyway).
+    *
+    * Cost per iteration: two edge joins + two grouped integer sums
+    * (O(E), map-side combinable); edges checkpoint once; NO per-round
+    * driver scalar and only the final two max lookups.
     */
   def hits(nodes: DataFrame, idCol: String, edges: DataFrame,
       iters: Int = 5): DataFrame = {
     val v = nodes.select(col(idCol).cast("long").as("node"))
     val e = edges.select(col("src").cast("long"), col("tgt").cast("long"))
       .distinct().localCheckpoint()
-    var h = v.withColumn("s", lit(1.0)).localCheckpoint()
-    var a = v.withColumn("s", lit(0.0)).localCheckpoint()
+    val dmax = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .unionByName(e.groupBy(col("tgt").as("src")).agg(count(lit(1)).as("d")))
+      .agg(coalesce(max("d"), lit(0L))).first().getLong(0)
+    require(dmax > 0, "hits: graph has no edges — scores undefined")
+    require(2 * iters * (64 - java.lang.Long.numberOfLeadingZeros(dmax)) < 62,
+      s"hits: max degree $dmax over $iters iterations can overflow the " +
+        "exact integer scores — reduce iterations or cap hub fan-out")
+    var h = v.withColumn("s", lit(1L)).localCheckpoint()
+    var a = h
     for (_ <- 1 to iters) {
-      def normalized(un: DataFrame): DataFrame = {
-        val m = un.agg(max("s")).first().getDouble(0) // bounded scalar
-        require(m > 0, "hits: graph has no edges — scores undefined")
-        un.select(col("node"), (col("s") / m).as("s")).localCheckpoint()
-      }
-      a = normalized(
-        v.join(e.join(h, e("src") === h("node"))
+      a = v.join(e.join(h, e("src") === h("node"))
             .groupBy("tgt").agg(sum("s").as("c")),
           v("node") === col("tgt"), "left")
-        .select(col("node"), coalesce(col("c"), lit(0.0)).as("s")))
-      h = normalized(
-        v.join(e.join(a, e("tgt") === a("node"))
+        .select(col("node"), coalesce(col("c"), lit(0L)).as("s"))
+        .localCheckpoint()
+      h = v.join(e.join(a, e("tgt") === a("node"))
             .groupBy("src").agg(sum("s").as("c")),
           v("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("c"), lit(0.0)).as("s")))
+        .select(col("node"), coalesce(col("c"), lit(0L)).as("s"))
+        .localCheckpoint()
     }
-    v.join(a.select(col("node"), round(col("s"), 9).as("auth")), "node")
-      .join(h.select(col("node"), round(col("s"), 9).as("hub")), "node")
+    def normalized(s: DataFrame, out: String) = {
+      val m = s.agg(max("s")).first().getLong(0) // bounded scalar, once
+      s.select(col("node"),
+        round(col("s").cast("double") / m.toDouble, 9).as(out))
+    }
+    v.join(normalized(a, "auth"), "node")
+      .join(normalized(h, "hub"), "node")
   }
 
   /** The oracle-gated query: 5-iteration PageRank over the pseudo-link

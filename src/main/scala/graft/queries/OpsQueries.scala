@@ -2125,9 +2125,10 @@ object OpsQueries {
 
   // ———————————————— HITS hubs and authorities (q222)
   // (Kleinberg's bipartite sibling of q102 over the same pseudo-link
-  //  graph: 5 rounds of a ← Eᵀh, h ← E a, each MAX-normalized — max is
-  //  order-exact where a float sum-norm would depend on partition
-  //  order. The oracle unrolls every round.)
+  //  graph: 5 rounds of a ← Eᵀh, h ← E a run UNNORMALIZED from h₀ = 1
+  //  so every intermediate score is an exact BIGINT on both engines —
+  //  the single max-division happens once at the end. The oracle
+  //  unrolls every integer round.)
   val q222Hits: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val nodes = docs.select(col("doc_id"))
@@ -2137,22 +2138,18 @@ object OpsQueries {
   }
   private val q222Sql: String = {
     val iterChain = (0 until 5).map { k =>
-      s"""ua${k + 1} AS MATERIALIZED (SELECT n.node,
-            coalesce(s.c, CAST(0 AS DOUBLE)) AS s
+      s"""a${k + 1} AS MATERIALIZED (SELECT n.node,
+            CAST(coalesce(s.c, 0) AS BIGINT) AS s
           FROM nodes n LEFT JOIN (
             SELECT e.tgt AS node, sum(h.s) AS c
             FROM edges e JOIN h$k h ON h.node = e.src GROUP BY 1) s
             ON s.node = n.node),
-    a${k + 1} AS MATERIALIZED (SELECT node, s / (SELECT max(s) FROM ua${k + 1}) AS s
-          FROM ua${k + 1}),
-    uh${k + 1} AS MATERIALIZED (SELECT n.node,
-            coalesce(s.c, CAST(0 AS DOUBLE)) AS s
+    h${k + 1} AS MATERIALIZED (SELECT n.node,
+            CAST(coalesce(s.c, 0) AS BIGINT) AS s
           FROM nodes n LEFT JOIN (
             SELECT e.src AS node, sum(a.s) AS c
             FROM edges e JOIN a${k + 1} a ON a.node = e.tgt GROUP BY 1) s
-            ON s.node = n.node),
-    h${k + 1} AS MATERIALIZED (SELECT node, s / (SELECT max(s) FROM uh${k + 1}) AS s
-          FROM uh${k + 1})"""
+            ON s.node = n.node)"""
     }.mkString(",\n    ")
     s"""
     WITH nodes AS (SELECT doc_id AS node FROM documents),
@@ -2163,10 +2160,15 @@ object OpsQueries {
                 % (SELECT n FROM nn) AS tgt
             FROM nodes, unnest(range(0, 3)) t(j)),
     edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
-    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes),
-    $iterChain
-    SELECT n.node AS doc_id, round(a5.s, 9) AS auth, round(h5.s, 9) AS hub
-    FROM nodes n JOIN a5 ON a5.node = n.node JOIN h5 ON h5.node = n.node"""
+    h0 AS (SELECT node, CAST(1 AS BIGINT) AS s FROM nodes),
+    $iterChain,
+    ma AS (SELECT CAST(max(s) AS DOUBLE) AS m FROM a5),
+    mh AS (SELECT CAST(max(s) AS DOUBLE) AS m FROM h5)
+    SELECT n.node AS doc_id,
+      round(CAST(a5.s AS DOUBLE) / ma.m, 9) AS auth,
+      round(CAST(h5.s AS DOUBLE) / mh.m, 9) AS hub
+    FROM nodes n JOIN a5 ON a5.node = n.node JOIN h5 ON h5.node = n.node
+    CROSS JOIN ma CROSS JOIN mh"""
   }
 
   // ———————————————————————————— HTML → text extraction (q103)
