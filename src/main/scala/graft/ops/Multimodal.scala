@@ -445,6 +445,79 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** RESIZE to a fixed thumbnail raster by exact integer box-filter
+    * (area average): output pixel (x′, y′) averages the input box
+    * `[x′·w div W, (x′+1)·w div W) × [y′·h div H, (y′+1)·h div H)` per
+    * channel with floor division — no float kernel, no engine-specific
+    * interpolation, so a SQL oracle can re-derive every output pixel
+    * from a closed-form fixture. The thumbnail is then round-tripped
+    * through the REAL JDK PNG codec (encode → decode) before its
+    * pixels are emitted, so the emitted rows prove the full
+    * resize→encode→decode chain, not just the arithmetic (PNG is
+    * lossless — any disagreement is a codec bug, not rounding).
+    * Returns one row per output pixel: `(media_id, x, y, r, g, b)`;
+    * undecodable inputs contribute no rows (quarantine policy).
+    * One `mapPartitions` pass, no shuffle; memory per image is the
+    * input raster + a W×H thumbnail.
+    */
+  def resizedPixels(spark: SparkSession, media: DataFrame,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(outW >= 1 && outH >= 1)
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            } catch { case NonFatal(_) => null }
+          if (img == null || img.getWidth < outW || img.getHeight < outH)
+            Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val thumb = new BufferedImage(outW, outH,
+              BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              val y0 = y * h / outH; val y1 = (y + 1) * h / outH
+              var x = 0
+              while (x < outW) {
+                val x0 = x * w / outW; val x1 = (x + 1) * w / outW
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var yy = y0
+                while (yy < y1) {
+                  var xx = x0
+                  while (xx < x1) {
+                    val p = img.getRGB(xx, yy)
+                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                val n = (x1 - x0).toLong * (y1 - y0)
+                thumb.setRGB(x, y, (((sr / n).toInt) << 16) |
+                  (((sg / n).toInt) << 8) | (sb / n).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            // round-trip through the real codec before emitting
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(thumb, "png", bos)
+            val back = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+            for (y <- 0 until outH; x <- 0 until outW) yield {
+              val p = back.getRGB(x, y)
+              (id, x.toLong, y.toLong, ((p >> 16) & 0xFF).toLong,
+                ((p >> 8) & 0xFF).toLong, (p & 0xFF).toLong)
+            }
+          }
+        }
+      }.toDF("media_id", "x", "y", "r", "g", "b")
+  }
+
   /** Transcode rasters to another container format (the corpus
     * normalization step of a mixed-format ingest: decode whatever
     * arrives, re-encode once, store one format). Real codecs both ways —

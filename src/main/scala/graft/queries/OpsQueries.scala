@@ -1464,6 +1464,43 @@ object OpsQueries {
     FROM m WHERE media_id % 17 = 5"""
   }
 
+  // ————————————————————————————— integer box-filter resize (q226)
+  // (the missing multimodal verb: 8×8 thumbnails of the gradient
+  //  corpus by exact integer area-average — floor-div box sums per
+  //  channel — round-tripped through the REAL JDK PNG codec before the
+  //  pixels are emitted. The oracle re-derives every output pixel from
+  //  the closed-form rasters; junk rows contribute nothing.)
+  val q226Resize: Q = (s, dir) =>
+    Multimodal.resizedPixels(
+      s, s.read.parquet(Multimodal.Fixtures.gradientDataset(s)),
+      outW = 8, outH = 8)
+  private def q226Sql: String = s"""
+    WITH m AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.gradientParquetPath}/*.parquet')),
+    good AS (SELECT media_id, media_id % 32 AS base,
+               CASE WHEN media_id >= 32 THEN 1 ELSE 0 END AS off,
+               CAST(8 + (media_id % 32) % 9 AS INT) AS w,
+               CAST(8 + ((media_id % 32) * 5) % 9 AS INT) AS h
+             FROM m WHERE media_id % 17 <> 5),
+    px AS (SELECT g.media_id, g.w, g.h, xs.x, ys.y,
+             (31 * g.base + 7 * xs.x + 3 * ys.y) % 255 + g.off AS r,
+             (7 * g.base + 5 * xs.x + 11 * ys.y) % 255 + g.off AS gg,
+             (13 * g.base + 3 * xs.x + 5 * ys.y) % 255 + g.off AS b
+           FROM good g, range(0, 17) xs(x), range(0, 17) ys(y)
+           WHERE xs.x < g.w AND ys.y < g.h),
+    box AS (SELECT g.media_id, xo.i AS xo, yo.j AS yo,
+              sum(p.r) AS sr, sum(p.gg) AS sg, sum(p.b) AS sb,
+              count(*) AS n
+            FROM good g, range(0, 8) xo(i), range(0, 8) yo(j)
+            JOIN px p ON p.media_id = g.media_id
+              AND p.x >= xo.i * g.w // 8 AND p.x < (xo.i + 1) * g.w // 8
+              AND p.y >= yo.j * g.h // 8 AND p.y < (yo.j + 1) * g.h // 8
+            GROUP BY 1, 2, 3)
+    SELECT media_id, CAST(xo AS BIGINT) AS x, CAST(yo AS BIGINT) AS y,
+      CAST(sr // n AS BIGINT) AS r, CAST(sg // n AS BIGINT) AS g,
+      CAST(sb // n AS BIGINT) AS b
+    FROM box"""
+
   // ————————————————————————————— span-level exact dedup (q73)
   // (CCNet/C4-paragraph-style sub-document dedup with fixed 8-word
   //  spans: keep each span's first (doc_id, pos) occurrence, reassemble
@@ -4580,6 +4617,7 @@ object OpsQueries {
     "q220_bpe_packed_windows" -> q220BpePackedWindows,
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
+    "q226_resize_pixels" -> q226Resize,
     "q218_personalized_pagerank" -> q218PersonalizedPagerank,
     "q222_hits" -> q222Hits,
     "q196_stream_hll" -> q196StreamHll,
@@ -4718,6 +4756,7 @@ object OpsQueries {
     "q220_bpe_packed_windows" -> q220Sql,
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
+    "q226_resize_pixels" -> q226Sql,
     "q218_personalized_pagerank" -> q218Sql,
     "q222_hits" -> q222Sql,
     "q196_stream_hll" -> q196Sql,

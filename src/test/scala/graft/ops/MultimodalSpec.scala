@@ -158,6 +158,31 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(b => rows(b).ahash).distinct.size > 1)
   }
 
+  test("resizedPixels: exact box averages, codec round-trip, junk excluded") {
+    import spark.implicits._
+    // 4×2 hand raster → 2×1 thumbnail: each output pixel averages a
+    // 2×2 box with floor division
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(
+      Array((10, 0, 0), (20, 0, 255), (0, 7, 0), (0, 8, 0)),
+      Array((30, 0, 4), (41, 0, 2), (0, 9, 0), (0, 13, 1)))
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val (r, g, b) = px(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      MediaRow(0L, "image", bos.toByteArray),
+      MediaRow(1L, "image", Array.empty[Byte])).toDF()
+    val got = Multimodal.resizedPixels(spark, media, outW = 2, outH = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // left box: r = (10+20+30+41)/4 = 25 (floor), g = 0, b = (0+255+4+2)/4 = 65
+    // right box: r = 0, g = (7+8+9+13)/4 = 9, b = (0+0+0+1)/4 = 0
+    assert(got == Set((0L, 0L, 0L, 25L, 0L, 65L), (0L, 1L, 0L, 0L, 9L, 0L)))
+  }
+
   test("pHash: contrast-shifted copy within hamming 2; junk null policy") {
     import spark.implicits._
     def ham(a: String, b: String): Int =
