@@ -293,4 +293,40 @@ object TimeSeries {
         || col("pick") === 1)
       .select(col(keyCol), col("x").as(tsCol), col("y").as(valCol))
   }
+
+  /** OUT-OF-ORDER / LATENESS profile — the diagnostic a streaming
+    * pipeline tunes its watermark with: replay events per key in
+    * ARRIVAL order (`seqCol` — ingestion sequence, offset, or file
+    * position), track the running max event time, and measure how far
+    * behind it each event arrives. Emits one row per key and lateness
+    * bucket (power-of-4 ms buckets: 0, [1,4), [4,16), … — `bucket` =
+    * the bucket's lower bound, pure integer log) with the count and
+    * the max observed lateness; the caller reads "what watermark
+    * covers 99% of my keys' traffic" straight off the histogram.
+    * All epoch-ms integer algebra; one per-key sort (the W1/W2 window
+    * shape), then a map-side-combinable aggregate.
+    */
+  def latenessProfile(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(seqCol).isNotNull)
+      .select(col(keyCol), col(seqCol),
+        unix_millis(col(tsCol).cast("timestamp")).as("ts_ms"))
+      .withColumn("late_ms", max("ts_ms").over(w) - col("ts_ms"))
+      // power-of-4 buckets via integer bit length: 0 → 0; else lower
+      // bound 4^floor(log₄ late) as a pure BIT SHIFT — no libm pow in
+      // the bucket id (both engines render bin() minimally, the
+      // hllRegisters trick)
+      .withColumn("bucket",
+        when(col("late_ms") === 0, lit(0L)).otherwise(
+          expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(2 * ((length(bin(late_ms)) - 1) div 2) AS INT))")))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), max("late_ms").as("max_late_ms"))
+  }
 }

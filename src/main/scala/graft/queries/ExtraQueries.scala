@@ -402,6 +402,33 @@ object ExtraQueries {
       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx
     FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1"""
 
+  // —————————————————————————————— lateness / out-of-order profile (q227)
+  // (the watermark-tuning diagnostic: per-user events replayed in
+  //  event_id arrival order, lateness = running-max event time minus
+  //  event time, histogrammed into power-of-4 ms buckets via pure bit
+  //  shifts — no libm log in the bucket id.)
+  val q227LatenessProfile: Q = (s, dir) =>
+    TimeSeries.latenessProfile(Tables.events(s, dir), "user_id", "ts",
+      "event_id")
+  private val q227Sql: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL),
+    l AS (SELECT user_id,
+            max(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) - ts_ms AS late_ms
+          FROM e),
+    b AS (SELECT user_id, late_ms,
+            CASE WHEN late_ms = 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT)
+                   << CAST(2 * ((length(bin(late_ms)) - 1) // 2) AS INT))
+            END AS bucket
+          FROM l)
+    SELECT user_id, bucket, count(*) AS n,
+      CAST(max(late_ms) AS BIGINT) AS max_late_ms
+    FROM b GROUP BY 1, 2"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -856,7 +883,8 @@ object ExtraQueries {
     "q221_spearman" -> q221Spearman,
     "q223_kmv_membership_intersect" -> q223KmvSetOps,
     "q224_profile_drift" -> q224ProfileDrift,
-    "q225_incremental_agg" -> q225IncrementalAgg)
+    "q225_incremental_agg" -> q225IncrementalAgg,
+    "q227_lateness_profile" -> q227LatenessProfile)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -878,6 +906,7 @@ object ExtraQueries {
     "q223_kmv_membership_intersect" -> q223Sql,
     "q224_profile_drift" -> q224Sql,
     "q225_incremental_agg" -> q225Sql,
+    "q227_lateness_profile" -> q227Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

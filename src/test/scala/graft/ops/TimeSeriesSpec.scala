@@ -208,6 +208,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("u", 0L, 100L, 3L)))
   }
 
+  test("latenessProfile: hand lateness, power-of-4 buckets, key isolation") {
+    import spark.implicits._
+    // arrival order 1..5 with event times 100, 50, 100, 30, 101 ms:
+    // running max 100,100,100,100,101 → lateness 0, 50, 0, 70, 0
+    val df = Seq(("u", 1L, 100L), ("u", 2L, 50L), ("u", 3L, 100L),
+      ("u", 4L, 30L), ("u", 5L, 101L),
+      ("v", 1L, 10L)) // second key: in-order, isolated
+      .toDF("k", "seq", "ms")
+      .withColumn("ts", expr("timestamp_millis(ms)"))
+    val got = TimeSeries.latenessProfile(df, "k", "ts", "seq")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // 50 → bitlen 6 → 4^2 = 16; 70 → bitlen 7 → 4^3 = 64
+    assert(got == Set(("u", 0L, 3L, 0L), ("u", 16L, 1L, 50L),
+      ("u", 64L, 1L, 70L), ("v", 0L, 1L, 0L)))
+  }
+
   test("effectiveAreaDownsample: spike survives, flat run collapses") {
     // 12 points on a flat line except one spike at t=70; 2 buckets →
     // keep first, last, and per-bucket argmax — the spike MUST be kept
