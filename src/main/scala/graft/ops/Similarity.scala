@@ -18,6 +18,32 @@ object Similarity {
     */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** MEAN-POOL chunk embeddings to a parent representation — the
+    * RAG/doc-level aggregation step (chunk vectors in, one document
+    * vector out) with the family's exact-integer float discipline:
+    * each element is rounded ONCE to micro units (the only
+    * float→int step, deterministic per element), then pooling is an
+    * integer SUM per dimension and one floor division by the chunk
+    * count — no float accumulation whose partition order could differ
+    * between engines. Emits `(group, dim, micro, n_chunks)` exploded
+    * rows (the oracle-safest shape); `micro / 1e6` is the pooled
+    * coordinate when a float vector is needed downstream.
+    *
+    * Plan: one posexplode (narrow), one (group, dim) aggregate —
+    * map-side combinable, never a collect; dimensions are a design
+    * constant so the shuffle is |groups|·dims rows.
+    */
+  def meanPoolEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
+      groupExpr: Column): DataFrame =
+    emb
+      .select(groupExpr.as("group_id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("group_id"), col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000).cast("long").as("xm"))
+      .groupBy("group_id", "dim")
+      .agg(expr("sum(xm) div count(1)").as("micro"),
+        count(lit(1)).as("n_chunks"))
+
   /** Sequential-fold dot product via higher-order functions — portable
     * (works on any session, no registration). The DataFrame-level
     * operators below use the codegen'd [[graft.functions.DotProduct]]

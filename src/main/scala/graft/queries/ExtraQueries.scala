@@ -429,6 +429,25 @@ object ExtraQueries {
       CAST(max(late_ms) AS BIGINT) AS max_late_ms
     FROM b GROUP BY 1, 2"""
 
+  // —————————————————————————————— chunk→doc mean-pool embeddings (q228)
+  // (the RAG doc-level aggregation: every 10 consecutive vec_ids pool
+  //  to one parent vector — micro-unit rounding once per element, then
+  //  pure integer sum + floor division, no float accumulation order.
+  //  Exploded (group, dim, micro) rows, the oracle-safest shape.)
+  val q228MeanPool: Q = (s, dir) =>
+    Similarity.meanPoolEmbeddings(Tables.embeddings(s, dir),
+      "vec_id", "embedding", expr("vec_id div 10"))
+  private val q228Sql: String = """
+    WITH x AS (SELECT vec_id // 10 AS group_id, i - 1 AS dim,
+            CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            unnest(range(1, len(e) + 1)) u(i))
+    SELECT group_id, CAST(dim AS BIGINT) AS dim,
+      CAST(sum(xm) // count(*) AS BIGINT) AS micro,
+      count(*) AS n_chunks
+    FROM x GROUP BY 1, 2"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -884,7 +903,8 @@ object ExtraQueries {
     "q223_kmv_membership_intersect" -> q223KmvSetOps,
     "q224_profile_drift" -> q224ProfileDrift,
     "q225_incremental_agg" -> q225IncrementalAgg,
-    "q227_lateness_profile" -> q227LatenessProfile)
+    "q227_lateness_profile" -> q227LatenessProfile,
+    "q228_mean_pool" -> q228MeanPool)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -907,6 +927,7 @@ object ExtraQueries {
     "q224_profile_drift" -> q224Sql,
     "q225_incremental_agg" -> q225Sql,
     "q227_lateness_profile" -> q227Sql,
+    "q228_mean_pool" -> q228Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   */
 class CentroidSpec extends SparkSpec {
 
+  test("meanPoolEmbeddings: exact micro means, floor division, grouping") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, -2.0f)), (1L, Array(2.0f, 1.0f)),
+      (2L, Array(0.5f, 0.0f)), // group 0: means (3.5/3, -1/3)
+      (10L, Array(4.0f, 4.0f))) // group 1: itself
+      .toDF("vec_id", "embedding")
+    val got = Similarity.meanPoolEmbeddings(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.expr("vec_id div 10"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // micro units: (1e6 + 2e6 + 5e5) div 3 = 1166666;
+    // (-2e6 + 1e6 + 0) div 3 = -333333 — BOTH engines truncate integral
+    // division toward zero (DuckDB // floors only on floats; probed)
+    assert(got == Set(
+      (0L, 0L, 1166666L, 3L), (0L, 1L, -333333L, 3L),
+      (1L, 0L, 4000000L, 1L), (1L, 1L, 4000000L, 1L)))
+  }
+
   import spark.implicits._
 
   /** 3 planted clusters on near-orthogonal directions + deterministic
