@@ -97,6 +97,54 @@ object Evaluation {
       .withColumn("recall_ppm", expr(s"(1000000 * n_hit) div $k"))
   }
 
+  /** Pinned nDCG discount weights `round(10⁶ / log₂(r+1))` for ranks
+    * 1..10 — the Benford trick applied to ranking eval: the logs were
+    * taken ONCE, here, and both engines compare identical integers, so
+    * no libm log ever runs on data.
+    */
+  val ndcgWeightsPpm: Seq[(Int, Long)] =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+      .zipWithIndex.map { case (w, i) => (i + 1, w) }
+
+  /** nDCG@k — the graded ranking-quality gate (recall@k counts hits,
+    * nDCG weights WHERE they landed): DCG = Σ rel(d)·w(rank) over the
+    * retrieved list, IDCG the same sum over the ideal ordering of the
+    * query's relevant documents (rel desc, doc_id tiebreak), both as
+    * exact ppm-weighted BIGINTs via [[ndcgWeightsPpm]]; the single
+    * division happens once at the end. `run` carries (query_id,
+    * doc_id, rk); `rels` carries graded (query_id, doc_id, rel) with
+    * absent pairs meaning rel = 0. Queries with no relevant document
+    * have undefined nDCG and are omitted (never a fake 0 or 1).
+    *
+    * Plan: one broadcast weight join + per-query aggregate for DCG;
+    * one per-query top-k window over the RELEVANT docs only (never
+    * corpus × queries) for IDCG.
+    */
+  def ndcgAtK(run: DataFrame, rels: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= ndcgWeightsPpm.size,
+      s"pinned weights cover ranks 1..${ndcgWeightsPpm.size}")
+    val spark = run.sparkSession
+    import spark.implicits._
+    val w = broadcast(ndcgWeightsPpm.take(k).toDF("rk", "w_ppm"))
+    val dcg = run.where(col("rk") <= k)
+      .join(rels, Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .join(w, "rk")
+      .groupBy("query_id").agg(sum(col("rel") * col("w_ppm")).as("dcg_ppm"))
+    val ideal = rels.where(col("rel") > 0)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .where(col("rk") <= k)
+      .join(w, "rk")
+      .groupBy("query_id").agg(sum(col("rel") * col("w_ppm")).as("idcg_ppm"))
+    dcg.join(ideal, "query_id")
+      .select(col("query_id"), col("dcg_ppm"), col("idcg_ppm"),
+        round(col("dcg_ppm").cast("double") / col("idcg_ppm").cast("double"),
+          6).as("ndcg"))
+  }
+
   /** ROC AUC per group as the exact Mann–Whitney rank-sum statistic:
     * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), where R⁺ is the positives'
     * rank sum under an ascending score order with AVERAGE ranks on

@@ -2291,6 +2291,62 @@ object OpsQueries {
     FROM r WHERE rk <= 10"""
   }
 
+  // ———————————————————————————— nDCG@10 retrieval quality (q229)
+  // (the graded gate over q104's BM25 rankings: relevance = how many
+  //  of the query's distinct terms the document contains (0..3, exact
+  //  integers), discounts = the PINNED round(1e6/log2(r+1)) weights —
+  //  no libm log on data, the Benford trick — DCG/IDCG as ppm BIGINTs
+  //  and one final division. The oracle replays the q104 run, the
+  //  relevance lattice, and the ideal ordering.)
+  val q229Ndcg: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val run = graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
+      q104Queries, k = 10).select(col("query_id"), col("doc_id"), col("rk"))
+    val qt = q104Queries.flatMap { case (q, t) =>
+      t.split(" ").distinct.map(q -> _) }
+    import s.implicits._
+    val qterms = broadcast(qt.toDF("query_id", "term"))
+    val rels = docs
+      .select(col("doc_id"), explode(graft.ops.TextOps.words(col("text")))
+        .as("term")).distinct()
+      .join(qterms, "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+    graft.ops.Evaluation.ndcgAtK(run, rels, k = 10)
+  }
+  private val q229Sql: String = {
+    val wvals = graft.ops.Evaluation.ndcgWeightsPpm
+      .map { case (r, w) => s"($r, $w)" }.mkString(", ")
+    s"""
+    WITH run AS (SELECT query_id, doc_id, rk FROM (${q104Sql})),
+    q(query_id, qtext) AS (VALUES ${
+      q104Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+              FROM q)),
+    dt AS (SELECT DISTINCT doc_id,
+             unnest(string_split(lower(text), ' ')) AS term FROM documents),
+    rels AS (SELECT qt.query_id, dt.doc_id, count(*) AS rel
+             FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+    w(rk, w_ppm) AS (VALUES $wvals),
+    dcg AS (SELECT r.query_id,
+              CAST(sum(coalesce(rl.rel, 0) * w.w_ppm) AS BIGINT) AS dcg_ppm
+            FROM run r
+            LEFT JOIN rels rl ON rl.query_id = r.query_id
+                             AND rl.doc_id = r.doc_id
+            JOIN w ON w.rk = r.rk
+            WHERE r.rk <= 10 GROUP BY 1),
+    ideal AS (SELECT query_id,
+              CAST(sum(rel * w_ppm) AS BIGINT) AS idcg_ppm FROM (
+                SELECT query_id, rel, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+                FROM rels WHERE rel > 0) i
+              JOIN w ON w.rk = i.rk
+              WHERE i.rk <= 10 GROUP BY 1)
+    SELECT d.query_id, d.dcg_ppm, i.idcg_ppm,
+      round(CAST(d.dcg_ppm AS DOUBLE) / i.idcg_ppm, 6) AS ndcg
+    FROM dcg d JOIN ideal i USING (query_id)"""
+  }
+
   // ———————————————————————————— KMV distinct-count sketch (q109)
   // (k-minimum-values cardinality estimate per language: the mergeable
   //  bounded-memory sketch shape with arithmetic both engines reproduce
@@ -4618,6 +4674,7 @@ object OpsQueries {
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
     "q226_resize_pixels" -> q226Resize,
+    "q229_ndcg" -> q229Ndcg,
     "q218_personalized_pagerank" -> q218PersonalizedPagerank,
     "q222_hits" -> q222Hits,
     "q196_stream_hll" -> q196StreamHll,
@@ -4757,6 +4814,7 @@ object OpsQueries {
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
     "q226_resize_pixels" -> q226Sql,
+    "q229_ndcg" -> q229Sql,
     "q218_personalized_pagerank" -> q218Sql,
     "q222_hits" -> q222Sql,
     "q196_stream_hll" -> q196Sql,

@@ -78,4 +78,26 @@ class EvaluationSpec extends SparkSpec {
     assert(got("tie") == ((1L, 1L, Some(500000L))))
     assert(got("onlyp") == ((1L, 0L, None)))
   }
+
+  test("ndcgAtK: perfect ranking is 1, swap discounts exactly, no-rel query omitted") {
+    import spark.implicits._
+    // q1 retrieves docs (1, 2, 3) at ranks 1..3; rels: 1→3, 2→1, 3 none
+    // (rel 0). DCG = 3·w1 + 1·w2 = 3630930; IDCG (ideal = same order) =
+    // 3630930 → ndcg 1. q2 retrieves them INVERTED: DCG = 1·w1 + 3·w2 +
+    // 0 with rels (1→1... build: rels q2: docA rel 3 ranked at 2, docB
+    // rel 1 ranked at 1 → DCG = 1·w1 + 3·w2 = 2892790; same IDCG.
+    val run = Seq((1, 10L, 1L), (1, 20L, 2L), (1, 30L, 3L),
+      (2, 20L, 1L), (2, 10L, 2L)).toDF("query_id", "doc_id", "rk")
+    val rels = Seq((1, 10L, 3L), (1, 20L, 1L),
+      (2, 10L, 3L), (2, 20L, 1L),
+      (3, 99L, 0L)) // query 3 has no rel > 0 → omitted
+      .toDF("query_id", "doc_id", "rel")
+    val got = Evaluation.ndcgAtK(run, rels, k = 10)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) == ((3630930L, 3630930L, 1.0)))
+    assert(got(2) == ((1000000L + 3 * 630930L, 3630930L,
+      math.rint(2892790.0 / 3630930.0 * 1e6) / 1e6)))
+    assert(!got.contains(3))
+  }
 }
