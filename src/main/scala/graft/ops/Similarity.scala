@@ -483,6 +483,70 @@ object Similarity {
     }
   }
 
+  /** DELETE ids from a [[buildIvfIndex]] table — the maintenance verb
+    * completing the index lifecycle (build → append/upsert → rebalance
+    * → delete): rewrite ONLY the partitions that actually hold the ids
+    * (found through the bucket-pruned sidecar, O(batch fraction) reads,
+    * never an index scan), drop emptied directories, and append
+    * `centroid_id = −1` TOMBSTONES to the sidecar delta log — under
+    * latest-wins a tombstone outranks every older entry and
+    * [[sidecarLatest]] filters it out, so future appends treat the id
+    * as absent (pure insert) and the next compaction makes the
+    * deletion durable in the base. Ids not present in the index are
+    * ignored (no tombstone — a foreign-id delete must not pollute the
+    * log). Idempotent under re-run at any crash point: the sidecar
+    * names the pre-delete homes until the tombstones land, so a re-run
+    * re-derives the same (already clean) partitions. Returns the
+    * number of ids actually removed.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, path: String, idCol: String = "vec_id"): Long = {
+    val del = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val buckets = del.agg(collect_set(sidecarBucket(col(idCol))).as("b"))
+      .collect()(0).getSeq[Int](0)
+    if (buckets.isEmpty) return 0L
+    val indexSchema = spark.read.parquet(path).schema
+    val homes =
+      sidecarLatest(spark, path, indexSchema, idCol, Some(buckets))
+        .join(broadcast(del), Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+    val affected = homes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nDeleted = homes.count()
+    if (affected.nonEmpty) {
+      val existing = spark.read.schema(indexSchema).parquet(path)
+        .where(col("centroid_id").isin(affected.toSeq: _*))
+        .join(broadcast(del), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      // partition-column type is inference-dependent (int dirs) — cast
+      val survivors = existing.select(col("centroid_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      if (survivors.nonEmpty) withDynamicOverwrite(spark) {
+        existing.repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      }
+      // fully-emptied partitions keep their old files under dynamic
+      // overwrite (nothing was written for them) — remove the dirs;
+      // deleted BEFORE the tombstones land so a crashed run re-derives
+      // them from the still-pre-delete sidecar (the append discipline)
+      val emptied = affected -- survivors
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { cid =>
+          val dir = new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid")
+          if (fs.exists(dir) && !fs.delete(dir, true))
+            throw new java.io.IOException(
+              s"deleteFromIvfIndex: failed to delete emptied partition $dir")
+        }
+      }
+      appendSidecarDelta(
+        homes.select(col(idCol), lit(-1L).as("centroid_id")), path, idCol)
+      maybeCompactSidecar(spark, path, indexSchema, idCol)
+    }
+    nDeleted
+  }
+
   /** The sidecar is LSM-shaped: a hash-bucketed BASE (written at build /
     * compaction, pruned by `id_bucket` dirs on read) plus a flat
     * append-only DELTA LOG (one small file per ingest batch, carrying a
@@ -555,6 +619,13 @@ object Similarity {
     val pruned = buckets.fold(all)(b => all.where(col("id_bucket").isin(b: _*)))
     pruned.groupBy(col(idCol))
       .agg(max_by(col("centroid_id"), col("seq")).as("centroid_id"))
+      // DELETE tombstones (centroid_id = -1, written by
+      // [[deleteFromIvfIndex]]) must WIN the latest-wins resolution and
+      // then disappear: a deleted id has no home, so every consumer —
+      // append's previous-homes lookup, delete's own lookup, compaction
+      // (which thereby makes the deletion durable in the base) — sees
+      // it as absent
+      .where(col("centroid_id") >= 0)
   }
 
   /** Fold the delta log into the bucketed base once it grows past

@@ -448,6 +448,64 @@ object ExtraQueries {
       count(*) AS n_chunks
     FROM x GROUP BY 1, 2"""
 
+  // —————————————————————————————— IVF search after delete (q230)
+  // (the index lifecycle's last verb: build → delete vec_id % 7 = 0
+  //  (sidecar tombstones, partition-pruned rewrites, emptied dirs
+  //  dropped) → probe. The oracle replays the IVF assignment, probe,
+  //  and ranking over the SURVIVING corpus only — one resurrected or
+  //  half-deleted id flips the hash.)
+  private val ivfDeleteIndex = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q230IvfDelete: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val path = ivfDeleteIndex.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivf-del-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 16), centroids, p)
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") >= 16 && pmod(col("vec_id"), lit(7)) === 0)
+          .select(col("vec_id")), p)
+      p
+    })
+    Similarity.ivfTopKIndexedBatch(path, centroids, queries, k = 5, nProbe = 2)
+  }
+  private val q230Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16 AND vec_id % 7 <> 0),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    probes AS (SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+            list_dot_product(c.cv, q.qe)
+              / (sqrt(list_dot_product(c.cv, c.cv))
+                 * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid) AS rn
+        FROM c, q)
+      WHERE rn <= 2),
+    ascored AS (SELECT p.q_id, a.vec_id,
+        round(list_dot_product(a.e, q.qe)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM a1 a JOIN probes p ON a.cid = p.cid JOIN q ON q.q_id = p.q_id)
+    SELECT q_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM ascored) WHERE rk <= 5"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -904,7 +962,8 @@ object ExtraQueries {
     "q224_profile_drift" -> q224ProfileDrift,
     "q225_incremental_agg" -> q225IncrementalAgg,
     "q227_lateness_profile" -> q227LatenessProfile,
-    "q228_mean_pool" -> q228MeanPool)
+    "q228_mean_pool" -> q228MeanPool,
+    "q230_ivf_delete" -> q230IvfDelete)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -928,6 +987,7 @@ object ExtraQueries {
     "q225_incremental_agg" -> q225Sql,
     "q227_lateness_profile" -> q227Sql,
     "q228_mean_pool" -> q228Sql,
+    "q230_ivf_delete" -> q230Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -178,6 +178,48 @@ class IvfIndexSpec extends SparkSpec {
       "post-recovery index must equal a fresh build — no lost or duplicate ids")
   }
 
+  test("deleteFromIvfIndex: exact removal, emptied dirs, tombstone re-ingest") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    val path = java.nio.file.Files.createTempDirectory("ivf-delete")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(base, centroids, path)
+    def rows() = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = rows()
+    // delete one whole centroid's residents plus a scattered slice
+    val victimCid = before.head._2
+    val victims = before.filter(_._2 == victimCid).map(_._1) ++
+      before.filter(t => t._1 % 31 == 0).map(_._1)
+    val n = Similarity.deleteFromIvfIndex(spark,
+      victims.toSeq.toDF("vec_id"), path)
+    assert(n == victims.size.toLong)
+    assert(rows() == before.filterNot(t => victims.contains(t._1)))
+    // the fully-evacuated partition directory is gone
+    val dir = new java.io.File(new java.io.File(path),
+      s"centroid_id=$victimCid")
+    assert(!dir.exists(), s"emptied partition $dir left stale files")
+    // deleting again is a no-op (tombstones made the ids absent)
+    assert(Similarity.deleteFromIvfIndex(spark,
+      victims.toSeq.toDF("vec_id"), path) == 0L)
+    // a deleted id re-ingests cleanly as a pure insert — exactly one row
+    val back = victims.head
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") === back),
+      centroids, path)
+    assert(rows().count(_._1 == back) == 1)
+    // index content equals a fresh build over the surviving id set
+    val freshPath = java.nio.file.Files.createTempDirectory("ivf-del-fresh")
+      .resolve("idx").toString
+    val surviving = (before.map(_._1) -- victims) + back
+    Similarity.buildIvfIndex(
+      emb.filter(col("vec_id").isin(surviving.toSeq: _*)), centroids, freshPath)
+    def rowsAt(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsAt(path) == rowsAt(freshPath))
+  }
+
   private def rowsOf(df: org.apache.spark.sql.DataFrame) =
     Similarity.assignToCentroids(df, centroids)
       .select(col("vec_id"), col("centroid_id").cast("long"))
