@@ -552,6 +552,66 @@ object Analytics {
           .as("ks"))
   }
 
+  /** Population Stability Index between a reference (old) and a current
+    * (new) snapshot of a value distribution — the industry-standard
+    * drift score for feature/score monitoring, complementing [[ksDrift]]
+    * (KS finds the worst single point of divergence; PSI weighs the
+    * whole shape). Bins are equi-depth ON THE REFERENCE side (floored
+    * exact cent percentiles, the q137/q118 discipline), so "no drift"
+    * means every bin holds ~1/nBins of the new mass too.
+    *
+    * PSI = Σ_b (p̂new(b) − p̂old(b)) · ln(p̂new(b)/p̂old(b)) with add-one
+    * smoothing p̂(b) = (n_b+1)/(N+nBins) — keeps a new-side-empty bin
+    * finite and is replayed verbatim by the oracle. (<0.1 calm, ≥0.2
+    * investigate.) Exactness: counts are BIGINTs; the double enters
+    * exactly once per bin — the smoothed ratio and its ln — and is
+    * immediately pinned to integer MICRO-PSI units (round(term·1e6)),
+    * so the total is an exact integer sum, immune to float accumulation
+    * order (the cent/ppm discipline applied to an inherently-log
+    * statistic).
+    *
+    * Plan: reference percentiles once (exact by default;
+    * `approxAccuracy` swaps in the `approx_percentile` sketch — the
+    * 100 TB path), the ≤99-long edge array broadcast to both sides, bin
+    * counts map-side combined; the only window runs over the ≤nBins-row
+    * aggregated frame. Nothing data-sized sorts or converges.
+    */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      nBins: Int = 10, approxAccuracy: Option[Int] = None): DataFrame = {
+    require(nBins >= 2 && nBins <= 100)
+    def cents(df: DataFrame) = df.where(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100).cast("long").as("cv"))
+    val ps = (1 until nBins).map(i => s"${i.toDouble / nBins}")
+    val pctlArr = approxAccuracy match {
+      case Some(acc) => s"approx_percentile(cv, array(${ps.mkString(",")}), $acc)"
+      case None      => s"percentile(cv, array(${ps.mkString(",")}))"
+    }
+    val bounds = cents(oldDf).agg(expr(pctlArr).as("_ps"))
+      .select(transform(col("_ps"), b => floor(b).cast("long")).as("bs"))
+    val tagged = cents(oldDf)
+      .select(col("cv"), lit(1L).as("is_old"), lit(0L).as("is_new"))
+      .unionByName(cents(newDf)
+        .select(col("cv"), lit(0L).as("is_old"), lit(1L).as("is_new")))
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .withColumn("bin", aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + when(col("cv") >= b, 1L).otherwise(0L)))
+      .groupBy("bin")
+      .agg(sum("is_old").as("n_old"), sum("is_new").as("n_new"))
+    val wAll = Window.partitionBy() // ≤nBins-row aggregated frame — bounded
+    val po = (col("n_old") + 1).cast("double")
+      ./((col("t_old") + nBins).cast("double"))
+    val pn = (col("n_new") + 1).cast("double")
+      ./((col("t_new") + nBins).cast("double"))
+    counts
+      .withColumn("t_old", sum("n_old").over(wAll))
+      .withColumn("t_new", sum("n_new").over(wAll))
+      .withColumn("psi_term_e6",
+        round((pn - po) * log(pn / po) * 1000000d).cast("long"))
+      .withColumn("psi_e6", sum("psi_term_e6").over(wAll))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        col("psi_term_e6"), col("psi_e6"))
+  }
+
   /** Calibration / reliability table for a probabilistic scorer: rank
     * rows by score, cut into `nBins` equal-count bins, and compare each
     * bin's mean predicted score against its observed positive rate —

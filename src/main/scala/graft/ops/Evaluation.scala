@@ -161,6 +161,70 @@ object Evaluation {
     * ksDrift discipline), one grouped sum. Scores arrive as integers
     * (caller scales); label is boolean.
     */
+  /** Group-conditional (Mondrian) split-conformal prediction intervals
+    * — the distribution-free uncertainty wrapper a serving pipeline
+    * puts around ANY point predictor: fit on `train`, measure absolute
+    * residuals on `cal`(ibration), and the (1−α) conformal quantile
+    * q̂_g = the k-th smallest calibration residual with
+    * k = ⌈(n_g+1)(1−α)⌉ guarantees ≥ 1−α marginal coverage per group,
+    * finite-sample, no model assumptions. The predictor here is the
+    * simplest honest one — the train-side group mean (swap in any
+    * per-group score; the conformal algebra is predictor-agnostic).
+    * Groups whose calibration set is too small to certify (k > n_g)
+    * emit a null q̂ — never a fake finite interval.
+    *
+    * ENTIRELY integer: values in cents, the group mean an exact FLOOR
+    * division (sign-safe via pmod), residuals exact |cv − pred|, k by
+    * integer ceiling, coverage in floored ppm. The k-th order statistic
+    * comes from a cumulative count over the DISTINCT (group, residual)
+    * frame (the ksDrift/groupAuc discipline) — value-cardinality
+    * bounded, so no data-sized per-group sort exists even when the
+    * calibration split is huge.
+    *
+    * Plan: one train aggregate (map-side combined), one broadcast of
+    * the per-group (pred, q̂) table (group-cardinality rows), one
+    * narrow test pass + final group count. Three scans, zero data-sized
+    * shuffles beyond the group aggregates.
+    */
+  def conformalIntervals(train: DataFrame, cal: DataFrame, test: DataFrame,
+      groupCol: String, valueCol: String, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50)
+    val keep = (100 - alphaPct).toLong
+    def cents(df: DataFrame) = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("cv"))
+    val pred = cents(train).groupBy("g")
+      .agg(sum("cv").as("sc"), count(lit(1)).as("n_train"))
+      .select(col("g"), col("n_train"),
+        expr("(sc - pmod(sc, n_train)) div n_train").as("pred_cent"))
+    val resid = cents(cal).join(broadcast(pred), "g")
+      .select(col("g"), abs(col("cv") - col("pred_cent")).as("r"))
+    val byVal = resid.groupBy("g", "r").agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("r")
+    val sized = resid.groupBy("g").agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(s"((n_cal + 1) * $keep + 99) div 100"))
+    val qhat = byVal.withColumn("c", sum("n").over(wCum))
+      .join(broadcast(sized), "g")
+      .where(col("c") >= col("k"))
+      .groupBy("g").agg(min("r").as("qhat_cent"))
+    val params = pred.join(broadcast(sized), "g")
+      .join(broadcast(qhat), Seq("g"), "left") // k > n_cal ⇒ null q̂
+    cents(test).join(broadcast(params), "g")
+      .groupBy(col("g"), col("n_train"), col("n_cal"), col("pred_cent"),
+        col("qhat_cent"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat_cent").isNotNull &&
+          col("cv").between(col("pred_cent") - col("qhat_cent"),
+            col("pred_cent") + col("qhat_cent")), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("g").as(groupCol), col("n_train"), col("n_cal"),
+        col("n_test"), col("pred_cent"), col("qhat_cent"),
+        when(col("qhat_cent").isNotNull,
+          expr("(1000000 * n_covered) div n_test")).as("coverage_ppm"))
+  }
+
   def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
       labelCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -506,6 +506,93 @@ object ExtraQueries {
         (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
       FROM ascored) WHERE rk <= 5"""
 
+  // —————————————————————————————— PSI distribution drift (q231)
+  // (population stability index of n_chars between the first and second
+  //  doc_id halves — reference-side equi-depth deciles (floored exact
+  //  cent percentiles), add-one smoothing, the single float boundary
+  //  per bin pinned to integer micro-PSI before the total sums. Same
+  //  split as q224, which profiles columns; this weighs the shape.)
+  val q231PsiDrift: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val mid = docs.count() / 2
+    Analytics.psiDrift(
+      docs.where(col("doc_id") < mid), docs.where(col("doc_id") >= mid),
+      "n_chars", nBins = 10)
+  }
+  private val q231Sql: String = {
+    val assign = (1 to 9).map(i =>
+      s"CASE WHEN cv >= b$i THEN 1 ELSE 0 END").mkString(" + ")
+    val edges = (1 to 9).map(i =>
+      s"CAST(floor(quantile_cont(cv, 0.${i})) AS BIGINT) AS b$i").mkString(",\n        ")
+    s"""
+    WITH mid AS (SELECT count(*) // 2 AS m FROM documents),
+    c AS (SELECT CAST(round(n_chars * 100) AS BIGINT) AS cv,
+            CASE WHEN doc_id < (SELECT m FROM mid) THEN 1 ELSE 0 END AS is_old
+          FROM documents WHERE n_chars IS NOT NULL),
+    b AS (SELECT $edges
+          FROM c WHERE is_old = 1),
+    a AS (SELECT cv, is_old, CAST($assign AS BIGINT) AS bin FROM c, b),
+    g AS (SELECT bin, CAST(sum(is_old) AS BIGINT) AS n_old,
+            CAST(sum(1 - is_old) AS BIGINT) AS n_new FROM a GROUP BY 1),
+    t AS (SELECT bin, n_old, n_new,
+            CAST(sum(n_old) OVER () AS BIGINT) AS t_old,
+            CAST(sum(n_new) OVER () AS BIGINT) AS t_new FROM g),
+    e AS (SELECT bin, n_old, n_new, CAST(round(
+            (CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 10 AS DOUBLE)
+             - CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 10 AS DOUBLE))
+            * ln((CAST(n_new + 1 AS DOUBLE) / CAST(t_new + 10 AS DOUBLE))
+                 / (CAST(n_old + 1 AS DOUBLE) / CAST(t_old + 10 AS DOUBLE)))
+            * 1000000) AS BIGINT) AS psi_term_e6 FROM t)
+    SELECT bin, n_old, n_new, psi_term_e6,
+      CAST(sum(psi_term_e6) OVER () AS BIGINT) AS psi_e6 FROM e"""
+  }
+
+  // —————————————————————————————— conformal intervals (q232)
+  // (Mondrian split-conformal over events.value by event_type:
+  //  train/cal/test = md5 buckets <60 / 60-79 / ≥80 of event_id, 90%
+  //  intervals. The oracle replays the floor-division mean, the
+  //  integer-ceiling k, the distinct-residual cumulative order
+  //  statistic, and the ppm coverage — exact BIGINTs end to end.)
+  val q232Conformal: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val bk = graft.ops.Sampling.hashBucket(col("event_id"))
+    graft.ops.Evaluation.conformalIntervals(
+      ev.where(bk < 60), ev.where(bk >= 60 && bk < 80), ev.where(bk >= 80),
+      "event_type", "value", alphaPct = 10)
+  }
+  private val q232Sql: String = """
+    WITH e AS (SELECT event_type AS g,
+            CAST(round(value * 100) AS BIGINT) AS cv,
+            CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 AS bk
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    p AS (SELECT g, CAST(count(*) AS BIGINT) AS n_train,
+            CAST(sum(cv) AS BIGINT) // CAST(count(*) AS BIGINT) AS pred_cent
+          FROM e WHERE bk < 60 GROUP BY 1),
+    r AS (SELECT e.g, abs(cv - pred_cent) AS r FROM e JOIN p ON e.g = p.g
+          WHERE bk >= 60 AND bk < 80),
+    s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+            CAST(((count(*) + 1) * 90 + 99) // 100 AS BIGINT) AS k
+          FROM r GROUP BY 1),
+    bv AS (SELECT g, r, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+    c AS (SELECT g, r,
+            CAST(sum(n) OVER (PARTITION BY g ORDER BY r) AS BIGINT) AS c
+          FROM bv),
+    q AS (SELECT c.g, min(r) AS qhat_cent FROM c JOIN s ON c.g = s.g
+          WHERE c.c >= s.k GROUP BY 1),
+    t AS (SELECT e.g, cv, n_train, n_cal, pred_cent, qhat_cent
+          FROM e JOIN p ON e.g = p.g JOIN s ON e.g = s.g
+          LEFT JOIN q ON e.g = q.g
+          WHERE bk >= 80)
+    SELECT g AS event_type, n_train, n_cal,
+      CAST(count(*) AS BIGINT) AS n_test, pred_cent, qhat_cent,
+      CASE WHEN qhat_cent IS NOT NULL THEN
+        (1000000 * CAST(sum(CASE WHEN cv BETWEEN pred_cent - qhat_cent
+            AND pred_cent + qhat_cent THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*)
+      END AS coverage_ppm
+    FROM t GROUP BY 1, 2, 3, 5, 6"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -963,7 +1050,9 @@ object ExtraQueries {
     "q225_incremental_agg" -> q225IncrementalAgg,
     "q227_lateness_profile" -> q227LatenessProfile,
     "q228_mean_pool" -> q228MeanPool,
-    "q230_ivf_delete" -> q230IvfDelete)
+    "q230_ivf_delete" -> q230IvfDelete,
+    "q231_psi_drift" -> q231PsiDrift,
+    "q232_conformal" -> q232Conformal)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -988,6 +1077,8 @@ object ExtraQueries {
     "q227_lateness_profile" -> q227Sql,
     "q228_mean_pool" -> q228Sql,
     "q230_ivf_delete" -> q230Sql,
+    "q231_psi_drift" -> q231Sql,
+    "q232_conformal" -> q232Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

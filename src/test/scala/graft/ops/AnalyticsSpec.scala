@@ -383,6 +383,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(same._5 == 0.0)
   }
 
+  test("psiDrift: hand bins and smoothed log terms; identical inputs give 0") {
+    // old = {1,1,2,2}, new = {2,2,2,3} cents; nBins=2 → one edge =
+    // floor(pctl(.5){100,100,200,200}) = 150. Old: bin0=2, bin1=2;
+    // new: bin0=0, bin1=4. Smoothed p = (n+1)/(N+2) with N=4 both sides.
+    val a = Seq(1.0, 1.0, 2.0, 2.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(2.0, 2.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    def term(nOld: Long, nNew: Long): Long = {
+      val po = (nOld + 1).toDouble / 6d; val pn = (nNew + 1).toDouble / 6d
+      math.round((pn - po) * math.log(pn / po) * 1000000d)
+    }
+    val got = Analytics.psiDrift(a, b, "v", nBins = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val t0 = term(2, 0); val t1 = term(2, 4)
+    assert(got == Seq((0L, 2L, 0L, t0, t0 + t1), (1L, 2L, 4L, t1, t0 + t1)))
+    assert(t0 > 0 && t1 > 0, "both drifted bins contribute positive PSI")
+    val same = Analytics.psiDrift(a, a, "v", nBins = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(same.forall(r => r._4 == 0L && r._5 == 0L),
+      "identical snapshots have exactly zero PSI")
+  }
+
   test("calibrationBins: equal-count bins, integer means, observed rates") {
     val rows = (0 until 10).map(i => (i.toLong, i / 10.0, i >= 5))
       .toDF("id", "score", "y")

@@ -57,6 +57,27 @@ class EvaluationSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L)))
   }
 
+  test("conformalIntervals: hand k, boundary coverage, uncoverable group null") {
+    // group a: pred = (100+300)//2 = 200; n_cal = 4 → k = ⌈5·0.9⌉ = 5 > 4
+    //   → q̂ null, coverage null (too few calibration rows to certify 90%)
+    // group b: pred = 200; 10 cal residuals {0,50,100,100,200,300,400,
+    //   500,600,900} → k = ⌈11·0.9⌉ = 10 → q̂ = 900 (the 10th smallest);
+    //   test residuals {0, 1000, 900} → covered = 2 (900 is ON the
+    //   boundary and counts), coverage = 2000000//3 = 666666 ppm
+    val tr = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("g", "v")
+    val cal = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 5.0)) ++
+      Seq(2.0, 2.5, 3.0, 1.0, 4.0, 5.0, 6.0, 7.0, 8.0, 11.0).map("b" -> _))
+      .toDF("g", "v")
+    val te = Seq(("a", 2.0), ("b", 2.0), ("b", 12.0), ("b", 11.0))
+      .toDF("g", "v")
+    val got = Evaluation.conformalIntervals(tr, cal, te, "g", "v")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 2L, 4L, 1L, 200L, None, None),
+      ("b", 1L, 10L, 3L, 200L, Some(900L), Some(666666L))))
+  }
+
   test("groupAuc: perfect, inverted, tied, and degenerate groups") {
     import spark.implicits._
     val rows = Seq(
