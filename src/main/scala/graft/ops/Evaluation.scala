@@ -173,8 +173,10 @@ object Evaluation {
     * Groups whose calibration set is too small to certify (k > n_g)
     * emit a null q̂ — never a fake finite interval.
     *
-    * ENTIRELY integer: values in cents, the group mean an exact FLOOR
-    * division (sign-safe via pmod), residuals exact |cv − pred|, k by
+    * ENTIRELY integer: values in cents, the group mean an exact
+    * TRUNCATING integer division (`div` ≡ DuckDB's integer `//`, which
+    * truncates toward zero — probed, the meanPoolEmbeddings
+    * convention), residuals exact |cv − pred|, k by
     * integer ceiling, coverage in floored ppm. The k-th order statistic
     * comes from a cumulative count over the DISTINCT (group, residual)
     * frame (the ksDrift/groupAuc discipline) — value-cardinality
@@ -197,7 +199,7 @@ object Evaluation {
     val pred = cents(train).groupBy("g")
       .agg(sum("cv").as("sc"), count(lit(1)).as("n_train"))
       .select(col("g"), col("n_train"),
-        expr("(sc - pmod(sc, n_train)) div n_train").as("pred_cent"))
+        expr("sc div n_train").as("pred_cent"))
     val resid = cents(cal).join(broadcast(pred), "g")
       .select(col("g"), abs(col("cv") - col("pred_cent")).as("r"))
     val byVal = resid.groupBy("g", "r").agg(count(lit(1)).as("n"))

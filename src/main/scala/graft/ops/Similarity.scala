@@ -101,6 +101,42 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** Diversity-capped batch retrieval: exact top-k by cosine but with
+    * at most `perCluster` results from any one centroid bucket — the
+    * bucket-capped, one-pass cousin of the greedy MMR re-ranker (MMR's
+    * select-then-rescore loop is inherently sequential in k; capping
+    * per semantic region gets the same "k DISTINCT neighborhoods"
+    * outcome as pure windows). A query whose neighborhood is one dense
+    * near-dup cluster still comes back with k distinct regions.
+    *
+    * Assignment reuses [[assignToCentroids]] (exact cosine argmax, cid
+    * tiebreak); ranking uses the 4-d.p.-rounded score with id tiebreak
+    * (the [[bruteForceTopKBatch]] contract). Both windows are
+    * `row_number ≤ const` shapes, so WindowGroupLimit prunes each
+    * (q, cluster) group map-side to `perCluster` rows and each query
+    * to `k` before any exchange (the q208 discipline) — the shuffle
+    * carries O(queries × clusters × perCluster), never the corpus.
+    */
+  def diversifiedTopKBatch(vectors: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, perCluster: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && perCluster >= 1)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "centroid_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol))
+    assignToCentroids(vectors, centroids, idCol, vecCol)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col(idCol), col("centroid_id"),
+        round(fastCosine(asDouble(col(vecCol)), col("qvec")), 4).as("cos_sim"))
+      .withColumn("rn_c", row_number().over(wc))
+      .where(col("rn_c") <= perCluster)
+      .withColumn("rk", row_number().over(wg).cast("long"))
+      .where(col("rk") <= k)
+      .drop("rn_c")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * `k` most-similar corpus vectors carrying a DIFFERENT label — the
     * negatives that actually move a contrastive loss (easy negatives are

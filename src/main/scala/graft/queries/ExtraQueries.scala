@@ -593,6 +593,52 @@ object ExtraQueries {
       END AS coverage_ppm
     FROM t GROUP BY 1, 2, 3, 5, 6"""
 
+  // —————————————————————————————— diversified top-k (q233)
+  // (bucket-capped retrieval: top-5 by exact cosine with at most 2
+  //  hits per centroid region — a near-dup-heavy neighborhood can't
+  //  monopolize the result list. Oracle replays assignment, the
+  //  per-(query, region) cap window, and the global rank.)
+  val q233DiversifiedTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.diversifiedTopKBatch(emb.filter(col("vec_id") >= 16),
+      centroids, queries, k = 5, perCluster = 2)
+  }
+  private val q233Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    sc AS (SELECT q.q_id, a.vec_id, a.cid,
+        round(list_dot_product(a.e, q.qe)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM a1 a, q),
+    cc AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id, cid ORDER BY cos_sim DESC, vec_id) AS rn_c
+      FROM sc),
+    g AS (SELECT q_id, vec_id, cid, cos_sim, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM cc WHERE rn_c <= 2)
+    SELECT q_id, vec_id, cid AS centroid_id, cos_sim,
+      CAST(rk AS BIGINT) AS rk
+    FROM g WHERE rk <= 5"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -1052,7 +1098,8 @@ object ExtraQueries {
     "q228_mean_pool" -> q228MeanPool,
     "q230_ivf_delete" -> q230IvfDelete,
     "q231_psi_drift" -> q231PsiDrift,
-    "q232_conformal" -> q232Conformal)
+    "q232_conformal" -> q232Conformal,
+    "q233_diversified_topk" -> q233DiversifiedTopK)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1079,6 +1126,7 @@ object ExtraQueries {
     "q230_ivf_delete" -> q230Sql,
     "q231_psi_drift" -> q231Sql,
     "q232_conformal" -> q232Sql,
+    "q233_diversified_topk" -> q233Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

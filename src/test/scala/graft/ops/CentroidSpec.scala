@@ -32,6 +32,24 @@ class CentroidSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("diversifiedTopKBatch: a dense region is capped; the next region enters") {
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val corpus = Seq(
+      (10L, Array(1.00f, 0.00f)), (11L, Array(0.99f, 0.01f)),
+      (12L, Array(0.98f, 0.02f)), (20L, Array(0.00f, 1.00f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0, 0.0))).toDF("q_id", "qvec")
+    // uncapped top-3 for q would be {10, 11, 12} — one near-dup region;
+    // perCluster = 2 caps it and admits 20 from the orthogonal region
+    val got = Similarity
+      .diversifiedTopKBatch(corpus, cents, queries, k = 3, perCluster = 2)
+      .select(col("q_id"), col("vec_id"), col("centroid_id"), col("rk"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got == Seq((0L, 10L, 0L, 1L), (0L, 11L, 0L, 2L),
+      (0L, 20L, 1L, 3L)))
+  }
+
   /** 3 planted clusters on near-orthogonal directions + deterministic
     * per-vector jitter.
     */

@@ -64,18 +64,24 @@ class EvaluationSpec extends SparkSpec {
     //   500,600,900} → k = ⌈11·0.9⌉ = 10 → q̂ = 900 (the 10th smallest);
     //   test residuals {0, 1000, 900} → covered = 2 (900 is ON the
     //   boundary and counts), coverage = 2000000//3 = 666666 ppm
-    val tr = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("g", "v")
-    val cal = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 5.0)) ++
+    // group c: negative sum — pred = −300 div 2 = −150 pins the
+    //   TRUNCATING division both engines share (floor would give −150
+    //   here too only for even sums; −301 div 2 = −150 not −151)
+    val tr = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0),
+      ("c", -1.0), ("c", -2.01)).toDF("g", "v")
+    val cal = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 5.0),
+      ("c", -1.0)) ++
       Seq(2.0, 2.5, 3.0, 1.0, 4.0, 5.0, 6.0, 7.0, 8.0, 11.0).map("b" -> _))
       .toDF("g", "v")
-    val te = Seq(("a", 2.0), ("b", 2.0), ("b", 12.0), ("b", 11.0))
-      .toDF("g", "v")
+    val te = Seq(("a", 2.0), ("b", 2.0), ("b", 12.0), ("b", 11.0),
+      ("c", -1.5)).toDF("g", "v")
     val got = Evaluation.conformalIntervals(tr, cal, te, "g", "v")
       .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq(
       ("a", 2L, 4L, 1L, 200L, None, None),
-      ("b", 1L, 10L, 3L, 200L, Some(900L), Some(666666L))))
+      ("b", 1L, 10L, 3L, 200L, Some(900L), Some(666666L)),
+      ("c", 2L, 1L, 1L, -150L, None, None)))
   }
 
   test("groupAuc: perfect, inverted, tied, and degenerate groups") {
