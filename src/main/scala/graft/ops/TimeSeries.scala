@@ -306,6 +306,65 @@ object TimeSeries {
     * All epoch-ms integer algebra; one per-key sort (the W1/W2 window
     * shape), then a map-side-combinable aggregate.
     */
+  /** Classical additive seasonal decomposition (STL-lite) of a per-key
+    * hourly series: `value = trend + seasonal + residual` — the
+    * monitoring primitive behind "is this spike load growth, the daily
+    * cycle, or an anomaly?". Trend is the standard centered 2×period
+    * moving average for an even period (half-weight endpoints), the
+    * seasonal component is the per-(key, phase) mean of the detrended
+    * series, and the residual is what neither explains.
+    *
+    * ENTIRELY integer, in Q = 2·period·cent units: the half-weight MA
+    * `(v₋ₕ + 2Σ + vₕ)/2p` is the sum of TWO plain window sums
+    * (rows −h..h−1 and −h+1..h) so no fractional weight exists;
+    * `trend_q = s1+s2`, `detrended_q = 2p·v − trend_q` exact BIGINTs;
+    * the seasonal mean is a TRUNCATING integer division (`div` ≡
+    * DuckDB's probed integer `//`). Trend (hence detrended/residual)
+    * is null at series edges where either window is short — never a
+    * partial-window fake. Gaps: the series is decomposed over OBSERVED
+    * hours in sequence; gap-fill first ([[gapFillForwardFill]]) when
+    * calendar alignment matters.
+    *
+    * Plan: one map-side-combined hourly aggregate, then every window —
+    * the two MA sums and the (key, phase) seasonal mean — runs on the
+    * HOURLY frame (hours-per-key-bounded, not row-count; the ksDrift
+    * discipline). Raw rows are touched exactly once.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0, "even period, e.g. 24 hours")
+    val half = period / 2
+    val hourly = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        unix_millis(col(tsCol).cast("timestamp")).as("ts_ms"),
+        round(col(valueCol) * 100).cast("long").as("cv"))
+      .withColumn("hr", expr("ts_ms div 3600000"))
+      .groupBy("k", "hr").agg(sum("cv").as("v"))
+    val wA = Window.partitionBy("k").orderBy("hr")
+      .rowsBetween(-half, half - 1)
+    val wB = Window.partitionBy("k").orderBy("hr")
+      .rowsBetween(-half + 1, half)
+    val full = col("n1") === period && col("n2") === period
+    val wP = Window.partitionBy("k", "ph")
+    hourly
+      .withColumn("s1", sum("v").over(wA))
+      .withColumn("n1", count(lit(1)).over(wA))
+      .withColumn("s2", sum("v").over(wB))
+      .withColumn("n2", count(lit(1)).over(wB))
+      .withColumn("trend_q", when(full, col("s1") + col("s2")))
+      .withColumn("detr_q",
+        when(full, lit(2L * period) * col("v") - col("s1") - col("s2")))
+      .withColumn("ph", pmod(col("hr"), lit(period.toLong)))
+      .withColumn("sd", sum("detr_q").over(wP))
+      .withColumn("nd", count(col("detr_q")).over(wP))
+      .select(col("k").as(keyCol), col("hr"), col("v").as("v_cent"),
+        col("trend_q"),
+        when(col("nd") > 0, expr("sd div nd")).as("seasonal_q"),
+        when(col("detr_q").isNotNull && col("nd") > 0,
+          col("detr_q") - expr("sd div nd")).as("resid_q"))
+  }
+
   def latenessProfile(df: DataFrame, keyCol: String, tsCol: String,
       seqCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

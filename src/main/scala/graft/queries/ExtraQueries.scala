@@ -639,6 +639,46 @@ object ExtraQueries {
       CAST(rk AS BIGINT) AS rk
     FROM g WHERE rk <= 5"""
 
+  // —————————————————————————————— seasonal decomposition (q234)
+  // (STL-lite additive trend/seasonal/residual of the hourly
+  //  event_type value series, period 24 h, in exact Q = 48·cent units
+  //  — the half-weight centered MA is two plain window sums, the
+  //  seasonal mean a truncating integer division. Null trend at
+  //  series edges, never a partial-window fake.)
+  val q234SeasonalDecompose: Q = (s, dir) =>
+    TimeSeries.seasonalDecompose(Tables.events(s, dir),
+      "event_type", "ts", "value", period = 24)
+  private val q234Sql: String = """
+    WITH h AS (SELECT event_type AS k, epoch_ms(ts) // 3600000 AS hr,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL GROUP BY 1, 2),
+    w AS (SELECT k, hr, v,
+            CAST(sum(v) OVER (PARTITION BY k ORDER BY hr
+              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS BIGINT) AS s1,
+            CAST(count(*) OVER (PARTITION BY k ORDER BY hr
+              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS BIGINT) AS n1,
+            CAST(sum(v) OVER (PARTITION BY k ORDER BY hr
+              ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS s2,
+            CAST(count(*) OVER (PARTITION BY k ORDER BY hr
+              ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS n2
+          FROM h),
+    t AS (SELECT k, hr, v,
+            CASE WHEN n1 = 24 AND n2 = 24 THEN s1 + s2 END AS trend_q,
+            CASE WHEN n1 = 24 AND n2 = 24 THEN 48 * v - s1 - s2
+              END AS detr_q,
+            hr % 24 AS ph
+          FROM w),
+    s AS (SELECT k, hr, v, trend_q, detr_q,
+            CAST(sum(detr_q) OVER (PARTITION BY k, ph) AS BIGINT) AS sd,
+            CAST(count(detr_q) OVER (PARTITION BY k, ph) AS BIGINT) AS nd
+          FROM t)
+    SELECT k AS event_type, hr, v AS v_cent, trend_q,
+      CASE WHEN nd > 0 THEN sd // nd END AS seasonal_q,
+      CASE WHEN detr_q IS NOT NULL AND nd > 0 THEN detr_q - sd // nd
+        END AS resid_q
+    FROM s"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -1099,7 +1139,8 @@ object ExtraQueries {
     "q230_ivf_delete" -> q230IvfDelete,
     "q231_psi_drift" -> q231PsiDrift,
     "q232_conformal" -> q232Conformal,
-    "q233_diversified_topk" -> q233DiversifiedTopK)
+    "q233_diversified_topk" -> q233DiversifiedTopK,
+    "q234_seasonal_decompose" -> q234SeasonalDecompose)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1127,6 +1168,7 @@ object ExtraQueries {
     "q231_psi_drift" -> q231Sql,
     "q232_conformal" -> q232Sql,
     "q233_diversified_topk" -> q233Sql,
+    "q234_seasonal_decompose" -> q234Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

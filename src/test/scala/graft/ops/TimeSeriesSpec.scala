@@ -73,6 +73,26 @@ class TimeSeriesSpec extends SparkSpec {
       .select("o", "v", "w_cnt", "z", "is_anomaly")
       .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
 
+  test("seasonalDecompose: hand MA trend, phase means, edge nulls, Q units") {
+    // period 2 → Q = 4·cent. Series (cents): 10, 40, 30, 60, 50 at
+    // hours 0..4 — a +10/h trend with a +20 odd-hour seasonal.
+    // hr1: s1 = 10+40, s2 = 40+30 → trend_q 120, detr_q = 160−120 = 40
+    // hr2: trend_q 160, detr_q = −40; hr3: trend_q 200, detr_q = 40
+    // phases: ph1 mean(40, 40) = 40; ph0 mean(−40) = −40 (edges null)
+    val rows = Seq((0, 0.10), (1, 0.40), (2, 0.30), (3, 0.60), (4, 0.50))
+      .map { case (h, v) => ("a", ts(h), v) }.toDF("g", "ts", "v")
+    val got = TimeSeries.seasonalDecompose(rows, "g", "ts", "v", period = 2)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._2).toSeq
+    val base = ts(0).getTime / 3600000L
+    assert(got == Seq(
+      ("a", base + 0, 10L, None, Some(-40L), None),
+      ("a", base + 1, 40L, Some(120L), Some(40L), Some(0L)),
+      ("a", base + 2, 30L, Some(160L), Some(-40L), Some(0L)),
+      ("a", base + 3, 60L, Some(200L), Some(40L), Some(0L)),
+      ("a", base + 4, 50L, None, Some(-40L), None)))
+  }
+
   test("rollingZscore: exact z over the trailing frame, current row excluded") {
     // v milli: 1000, 2000, 3000, 100000; frame = 2 rows strictly before.
     // row o=3: {1000,2000} → num = 2·5e6 − 9e6 = 1e6, z = (6000−3000)/1000 = 3
