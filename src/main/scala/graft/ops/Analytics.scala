@@ -516,6 +516,38 @@ object Analytics {
         .as("top_share"))
   }
 
+  /** Functional-dependency / candidate-key audit — the schema-quality
+    * report behind "is doc_id actually a key?" and "does source
+    * determine lang?": for each declared FD `lhs → rhs`, count the lhs
+    * groups whose rhs is not unique. A candidate key is the special
+    * case FD(key → anything) with zero violations. Null rhs rows are
+    * ignored (SQL `count(DISTINCT rhs)` semantics — a null can't
+    * witness a violation); null LHS values form their own group
+    * (standard GROUP BY). Violation share in exact floored ppm.
+    *
+    * Plan: per FD, one map-side-partial DISTINCT over the (lhs, rhs)
+    * pair set, one lhs-sized count aggregate, one 1-row rollup — no
+    * `countDistinct` expand, no data-sized window. FDs are independent
+    * scans (heterogeneous lhs defeats a shared exchange); each is
+    * column-pruned to its own 2-3 columns at the parquet reader.
+    */
+  def fdAudit(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty)
+    fds.map { case (lhs, rhs) =>
+      val label = s"${lhs.mkString(",")}->$rhs"
+      df.where(col(rhs).isNotNull)
+        .select((lhs :+ rhs).map(col): _*).distinct()
+        .groupBy(lhs.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("c").as("max_rhs_card"))
+        .select(lit(label).as("fd"), col("n_groups"), col("n_violating"),
+          when(col("n_groups") > 0,
+            expr("(1000000 * n_violating) div n_groups")).as("viol_ppm"),
+          col("max_rhs_card"), (col("n_violating") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between value distributions
     * — the standard drift test between two corpora/snapshots (did the
     * document-length or price distribution shift?). ENTIRELY integer:

@@ -145,6 +145,27 @@ object Evaluation {
           6).as("ndcg"))
   }
 
+  /** Reciprocal rank of the FIRST relevant hit in each query's top-k —
+    * MRR's per-query rows, beside [[ndcgAtK]]'s graded view. Exact:
+    * rr_ppm = 1e6 div first_rk (reciprocals of small integers need no
+    * float). Queries whose top-k holds NO relevant document emit
+    * rr_ppm = 0 with a null first_rk — the standard MRR convention
+    * (unlike nDCG's no-relevant omission, a retrieval miss must drag
+    * the mean down, so the row must exist).
+    *
+    * Plan: the relevant-hit join is result-set-sized (≤ k rows per
+    * query on the run side), the min() a map-side-combined aggregate.
+    */
+  def mrrAtK(run: DataFrame, rels: DataFrame, k: Int = 10): DataFrame = {
+    val firsts = run.where(col("rk") <= k)
+      .join(rels.where(col("rel") > 0), Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(min("rk").as("first_rk"))
+    run.select("query_id").distinct()
+      .join(firsts, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rk"),
+        coalesce(expr("1000000 div first_rk"), lit(0L)).as("rr_ppm"))
+  }
+
   /** ROC AUC per group as the exact Mann–Whitney rank-sum statistic:
     * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), where R⁺ is the positives'
     * rank sum under an ascending score order with AVERAGE ranks on

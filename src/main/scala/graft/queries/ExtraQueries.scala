@@ -679,6 +679,30 @@ object ExtraQueries {
         END AS resid_q
     FROM s"""
 
+  // —————————————————————————————— functional-dependency audit (q235)
+  // (schema-quality gate over documents: doc_id → lang must hold
+  //  (doc_id is the key), source → lang and lang → source must not —
+  //  exact group counts, floored-ppm violation shares.)
+  val q235FdAudit: Q = (s, dir) =>
+    Analytics.fdAudit(Tables.documents(s, dir), Seq(
+      (Seq("doc_id"), "lang"), (Seq("source"), "lang"),
+      (Seq("lang"), "source")))
+  private val q235Sql: String = {
+    def block(lhs: String, rhs: String) = s"""
+      SELECT '$lhs->$rhs' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating,
+        (1000000 * CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*) AS viol_ppm,
+        CAST(max(c) AS BIGINT) AS max_rhs_card,
+        CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+      FROM (SELECT l, count(*) AS c FROM
+        (SELECT DISTINCT $lhs AS l, $rhs AS r FROM documents
+         WHERE $rhs IS NOT NULL) GROUP BY 1)"""
+    Seq(block("doc_id", "lang"), block("source", "lang"),
+      block("lang", "source")).mkString(" UNION ALL ")
+  }
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -1140,7 +1164,8 @@ object ExtraQueries {
     "q231_psi_drift" -> q231PsiDrift,
     "q232_conformal" -> q232Conformal,
     "q233_diversified_topk" -> q233DiversifiedTopK,
-    "q234_seasonal_decompose" -> q234SeasonalDecompose)
+    "q234_seasonal_decompose" -> q234SeasonalDecompose,
+    "q235_fd_audit" -> q235FdAudit)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1169,6 +1194,7 @@ object ExtraQueries {
     "q232_conformal" -> q232Sql,
     "q233_diversified_topk" -> q233Sql,
     "q234_seasonal_decompose" -> q234Sql,
+    "q235_fd_audit" -> q235Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -2347,6 +2347,45 @@ object OpsQueries {
     FROM dcg d JOIN ideal i USING (query_id)"""
   }
 
+  // ———————————————————————————— MRR@10 (q236)
+  // (reciprocal rank of the first relevant hit over the same q104 BM25
+  //  run and q229 relevance lattice — rr_ppm = 1e6 div first_rk, exact;
+  //  a query with no relevant doc in its top-10 emits 0, not absence.)
+  val q236Mrr: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val run = graft.ops.Retrieval.bm25TopK(docs, "text", "doc_id",
+      q104Queries, k = 10).select(col("query_id"), col("doc_id"), col("rk"))
+    val qt = q104Queries.flatMap { case (q, t) =>
+      t.split(" ").distinct.map(q -> _) }
+    import s.implicits._
+    val qterms = broadcast(qt.toDF("query_id", "term"))
+    val rels = docs
+      .select(col("doc_id"), explode(graft.ops.TextOps.words(col("text")))
+        .as("term")).distinct()
+      .join(qterms, "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+    graft.ops.Evaluation.mrrAtK(run, rels, k = 10)
+  }
+  private val q236Sql: String = s"""
+    WITH run AS (SELECT query_id, doc_id, rk FROM (${q104Sql})),
+    q(query_id, qtext) AS (VALUES ${
+      q104Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+              FROM q)),
+    dt AS (SELECT DISTINCT doc_id,
+             unnest(string_split(lower(text), ' ')) AS term FROM documents),
+    rels AS (SELECT qt.query_id, dt.doc_id, count(*) AS rel
+             FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+    firsts AS (SELECT r.query_id, CAST(min(r.rk) AS BIGINT) AS first_rk
+               FROM run r JOIN rels rl ON rl.query_id = r.query_id
+                                      AND rl.doc_id = r.doc_id
+               WHERE r.rk <= 10 AND rl.rel > 0 GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM run)
+    SELECT qs.query_id, first_rk,
+      coalesce(1000000 // first_rk, 0) AS rr_ppm
+    FROM qs LEFT JOIN firsts USING (query_id)"""
+
   // ———————————————————————————— KMV distinct-count sketch (q109)
   // (k-minimum-values cardinality estimate per language: the mergeable
   //  bounded-memory sketch shape with arithmetic both engines reproduce
@@ -4675,6 +4714,7 @@ object OpsQueries {
     "q216_image_phash" -> q216ImagePhash,
     "q226_resize_pixels" -> q226Resize,
     "q229_ndcg" -> q229Ndcg,
+    "q236_mrr" -> q236Mrr,
     "q218_personalized_pagerank" -> q218PersonalizedPagerank,
     "q222_hits" -> q222Hits,
     "q196_stream_hll" -> q196StreamHll,
@@ -4815,6 +4855,7 @@ object OpsQueries {
     "q216_image_phash" -> q216Sql,
     "q226_resize_pixels" -> q226Sql,
     "q229_ndcg" -> q229Sql,
+    "q236_mrr" -> q236Sql,
     "q218_personalized_pagerank" -> q218Sql,
     "q222_hits" -> q222Sql,
     "q196_stream_hll" -> q196Sql,

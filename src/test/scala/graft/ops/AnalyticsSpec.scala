@@ -383,6 +383,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(same._5 == 0.0)
   }
 
+  test("fdAudit: held key, violated FDs, null-rhs ignored, null-lhs grouped") {
+    val t = Seq((1L, Some("en"), "web"), (2L, Some("en"), "web"),
+      (3L, Some("fr"), "web"), (3L, Some("de"), "web"),
+      (4L, None, "crawl")).toDF("id", "lang", "src")
+    val got = Analytics.fdAudit(t, Seq(
+        (Seq("id"), "lang"), (Seq("src"), "lang"), (Seq("lang"), "src")))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // id 3 carries two langs; id 4's null lang can't witness anything
+    assert(got("id->lang") == (("id->lang", 3L, 1L, 333333L, 2L, false)))
+    // one src group with 3 langs
+    assert(got("src->lang") == (("src->lang", 1L, 1L, 1000000L, 3L, false)))
+    // holds; the null-lang row forms its OWN lhs group (standard GROUP BY)
+    assert(got("lang->src") == (("lang->src", 4L, 0L, 0L, 1L, true)))
+  }
+
   test("psiDrift: hand bins and smoothed log terms; identical inputs give 0") {
     // old = {1,1,2,2}, new = {2,2,2,3} cents; nBins=2 → one edge =
     // floor(pctl(.5){100,100,200,200}) = 150. Old: bin0=2, bin1=2;

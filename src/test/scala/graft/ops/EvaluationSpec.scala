@@ -57,6 +57,17 @@ class EvaluationSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L)))
   }
 
+  test("mrrAtK: first hit wins, exact ppm reciprocals, miss emits 0 not absence") {
+    val run = Seq((1, 10L, 1L), (1, 20L, 2L), (2, 30L, 1L), (3, 40L, 1L))
+      .toDF("query_id", "doc_id", "rk")
+    val rels = Seq((1, 20L, 1L), (2, 30L, 2L), (3, 99L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Evaluation.mrrAtK(run, rels, k = 10)
+      .as[(Int, Option[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, Some(2L), 500000L), (2, Some(1L), 1000000L),
+      (3, None, 0L)))
+  }
+
   test("conformalIntervals: hand k, boundary coverage, uncoverable group null") {
     // group a: pred = (100+300)//2 = 200; n_cal = 4 → k = ⌈5·0.9⌉ = 5 > 4
     //   → q̂ null, coverage null (too few calibration rows to certify 90%)
