@@ -339,6 +339,36 @@ object Relational {
     }
   }
 
+  /** Per-group 2-D Pareto frontier (skyline), both dimensions
+    * maximized: keep exactly the rows no other row of the same group
+    * weakly dominates (`x′ ≥ x ∧ y′ ≥ y`, one strict). Exact-tie
+    * (x, y) duplicates dominate nobody and are all kept. The curation
+    * shape behind "recent AND high-value", "long AND high-quality" —
+    * a threshold on either axis alone throws away the trade-off curve.
+    *
+    * NEVER a dominance self-join (all-pairs): a row is on the frontier
+    * iff `y = max(y | same x)` and `y > max(y | any larger x)` — so
+    * one (group, x)-level max aggregate, one cumulative-max window
+    * over that DISTINCT-x frame (value-cardinality bounded, the
+    * ksDrift discipline), and one hash join back. All comparisons on
+    * exact integers supplied by the caller (cents / epoch ms).
+    */
+  def paretoFrontier(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val rows = df.where(col(groupCol).isNotNull &&
+      col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = rows.groupBy(col(groupCol).as("g"), col(xCol).as("x"))
+      .agg(max(col(yCol)).as("ymax"))
+    val wPref = Window.partitionBy("g").orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edge = perX.withColumn("pref", max("ymax").over(wPref))
+      .where(col("pref").isNull || col("pref") < col("ymax"))
+    rows.join(edge,
+        rows(groupCol) === edge("g") && rows(xCol) === edge("x") &&
+          rows(yCol) === edge("ymax"),
+        "left_semi")
+  }
+
   /** Audit summary of a delete cascade level: `(tbl, n_before,
     * n_deleted, del_digest)` where the digest is the order-independent
     * 60-bit-md5 XOR of the deleted rows' `keyExpr` — one row that pins

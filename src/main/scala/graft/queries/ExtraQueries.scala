@@ -703,6 +703,34 @@ object ExtraQueries {
       block("lang", "source")).mkString(" UNION ALL ")
   }
 
+  // —————————————————————————————— Pareto frontier (q237)
+  // (per event_type, the recency × value skyline: rows no other event
+  //  of the type beats on BOTH epoch-ms and cent axes. Never a
+  //  dominance self-join — one (group, x) max, one cumulative max on
+  //  the distinct-x frame, one semi join back.)
+  val q237ParetoFrontier: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .where(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("v_cent"))
+    graft.ops.Relational.paretoFrontier(e, "event_type", "ts_ms", "v_cent")
+  }
+  private val q237Sql: String = """
+    WITH e AS (SELECT event_type AS g, event_id, epoch_ms(ts) AS x,
+            CAST(round(value * 100) AS BIGINT) AS y
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+    px AS (SELECT g, x, max(y) AS ymax FROM e GROUP BY 1, 2),
+    ed AS (SELECT g, x, ymax,
+            max(ymax) OVER (PARTITION BY g ORDER BY x DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pref
+          FROM px),
+    f AS (SELECT g, x, ymax FROM ed WHERE pref IS NULL OR pref < ymax)
+    SELECT e.g AS event_type, e.event_id, e.x AS ts_ms, e.y AS v_cent
+    FROM e JOIN f ON e.g = f.g AND e.x = f.x AND e.y = f.ymax"""
+
   // —————————————————————————————— feature hashing (q202)
   // (vocabulary-free signed bag-of-words projection; sparse output.)
   val q202FeatureHash: Q = (s, dir) =>
@@ -1165,7 +1193,8 @@ object ExtraQueries {
     "q232_conformal" -> q232Conformal,
     "q233_diversified_topk" -> q233DiversifiedTopK,
     "q234_seasonal_decompose" -> q234SeasonalDecompose,
-    "q235_fd_audit" -> q235FdAudit)
+    "q235_fd_audit" -> q235FdAudit,
+    "q237_pareto_frontier" -> q237ParetoFrontier)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1195,6 +1224,7 @@ object ExtraQueries {
     "q233_diversified_topk" -> q233Sql,
     "q234_seasonal_decompose" -> q234Sql,
     "q235_fd_audit" -> q235Sql,
+    "q237_pareto_frontier" -> q237Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

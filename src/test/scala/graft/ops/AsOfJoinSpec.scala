@@ -34,6 +34,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getAs[String]("b") == "y")
   }
 
+  test("paretoFrontier: dominance pruned, exact ties kept, groups isolated") {
+    // group a points (x, y): (1,5) dominated by (2,5); (2,5) frontier;
+    // (3,3) frontier (larger x); (3,3) duplicate — exact ties both kept;
+    // (2,4) dominated by (2,5) same-x; (1,9) frontier (highest y).
+    // group b: single point always frontier.
+    val t = Seq(
+      ("a", 1L, 1L, 5L), ("a", 2L, 2L, 5L), ("a", 3L, 3L, 3L),
+      ("a", 4L, 3L, 3L), ("a", 5L, 2L, 4L), ("a", 6L, 1L, 9L),
+      ("b", 7L, 0L, 0L)).toDF("g", "id", "x", "y")
+    val got = Relational.paretoFrontier(t, "g", "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L, 6L, 7L))
+  }
+
   test("null keys/timestamps never match on either side") {
     val left = Seq(
       (Some(1L), Some(10L), "ok"),
