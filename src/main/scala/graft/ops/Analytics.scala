@@ -1063,4 +1063,74 @@ object Analytics {
         col("n"), col("gini_ppm"))
       .unionByName(parent)
   }
+
+  // ———————————————————————— data-contract expectations ————————————————————————
+  // The dbt-test / Great-Expectations verb: declared rules evaluated
+  // into one uniform report `(rule, n_checked, n_violations, viol_ppm,
+  // passed)`. Row rules are ONE aggregate over one scan (any number of
+  // them fused by the union into parallel scans of the same frame);
+  // uniqueness is one grouped count; referential coverage one
+  // broadcast-able anti-join. Nothing data-sized survives any rule, so
+  // a full contract suite over 100 TB costs the scans and nothing else.
+
+  private def expectRow(rule: String, n: Column, v: Column): Column =
+    struct(lit(rule).as("rule"), n.as("n_checked"), v.as("n_violations"))
+
+  private def report(rows: DataFrame): DataFrame =
+    rows.select(col("rule"), col("n_checked"), col("n_violations"),
+      when(col("n_checked") === 0, lit(null).cast("long"))
+        .otherwise(expr("(1000000 * n_violations) div n_checked"))
+        .as("viol_ppm"),
+      (col("n_violations") === 0).as("passed"))
+
+  /** Row-level expectations: each `(name, violated)` predicate counted
+    * in ONE pass over `df`. A null predicate result counts as violated
+    * — an expectation that cannot evaluate has failed, never silently
+    * passed.
+    */
+  def expectRows(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectRows: no rules")
+    val aggs = rules.zipWithIndex.map { case ((name, violated), i) =>
+      expectRow(name, count(lit(1)),
+        sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)))
+        .as(s"_r$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    report(one.select(explode(array(
+        rules.indices.map(i => col(s"_r$i")): _*)).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations")))
+  }
+
+  /** Uniqueness expectation over a composite key: violations = rows
+    * carrying a duplicated key (all of them, not dup-count−1 — each
+    * such row is unpublishable). Null-keyed rows are violations of a
+    * DIFFERENT rule; declare them via [[expectRows]] and exclude here.
+    */
+  def expectUnique(df: DataFrame, rule: String,
+      keys: Seq[String]): DataFrame = {
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val perKey = df.filter(nonNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    report(perKey.agg(
+        expectRow(rule, sum(col("c")),
+          sum(when(col("c") > 1, col("c")).otherwise(0L))).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations")))
+  }
+
+  /** Referential-coverage expectation: child rows whose `childKey` has
+    * no match in `parent.parentKey` (orphans). Null child keys are not
+    * checked (declare not-null separately). The parent side reduces to
+    * its distinct key before the join — broadcast-able for any real
+    * dimension.
+    */
+  def expectFk(child: DataFrame, parent: DataFrame, rule: String,
+      childKey: String, parentKey: String): DataFrame = {
+    val c = child.filter(col(childKey).isNotNull)
+    val keys = parent.select(col(parentKey).as("_pk")).distinct()
+    val orphans = c.join(broadcast(keys), col(childKey) === col("_pk"),
+      "left_anti")
+    report(c.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit(rule).as("rule"), col("n_checked"), col("n_violations")))
+  }
 }

@@ -616,6 +616,80 @@ object Multimodal {
       }
   }
 
+  case class AudioWindowRow(media_id: Long, win_idx: Long, n_samples: Long,
+    energy: Long)
+
+  /** Voice-activity / silence segmentation — the audio-curation verb
+    * that decides which clip spans are worth transcribing or training
+    * on. Two stages, split exactly where the execution model wants it:
+    *
+    *   1. NARROW decode (`mapPartitions`, same codec path and
+    *      quarantine policy as [[audioStats]]): each clip's interleaved
+    *      16-bit samples reduce to per-window `(n, Σs²)` rows — window
+    *      = `winSize` consecutive samples in decode order, energy an
+    *      exact BIGINT (≤ winSize·32768², no overflow).
+    *   2. DECLARATIVE segmentation: a window is "speech" iff its mean
+    *      square strictly exceeds the clip's overall mean square —
+    *      cross-multiplied so the compare is pure BIGINT
+    *      (`energy·n_total > total_energy·n_win`), never a float
+    *      threshold an oracle can't replay. Consecutive speech windows
+    *      merge into segments by the interval-island algebra (lag +
+    *      prefix sum — [[TimeSeries.mergeIntervals]]' shape on a
+    *      dense integer axis).
+    *
+    * Per-clip state after stage 1 is O(windows), windows are
+    * clip-bounded, and both windows' partitioning key is `media_id` —
+    * one shuffle, clip-parallel at any corpus size. Emits
+    * `(media_id, seg_id, start_win, end_win, n_windows, seg_energy)`.
+    * Clips with no above-average window emit nothing (an all-silence
+    * clip has no speech segment, not a zero-length one).
+    */
+  def speechSegments(spark: SparkSession, media: DataFrame,
+      winSize: Int = 50): DataFrame = {
+    require(winSize > 0, "winSize must be positive")
+    import spark.implicits._
+    val wins = media.filter(col("media_type") === "audio")
+      .select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.content == null || r.content.isEmpty) Iterator.empty
+          else try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.content))
+            try {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              (0 until n).iterator.map { i =>
+                val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)
+                (i / winSize, s.toLong * s)
+              }.toSeq.groupBy(_._1).iterator.map { case (w, ss) =>
+                AudioWindowRow(r.media_id, w.toLong, ss.size.toLong,
+                  ss.map(_._2).sum)
+              }
+            } finally ais.close()
+          } catch { case NonFatal(_) => Iterator.empty }
+        }
+      }.toDF()
+    val totals = wins.groupBy("media_id")
+      .agg(sum("n_samples").as("n_total"), sum("energy").as("total_energy"))
+    val loud = wins.join(totals, Seq("media_id"))
+      .where(col("energy") * col("n_total") >
+        col("total_energy") * col("n_samples"))
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win_idx")
+    val islands = loud
+      .withColumn("new_seg",
+        when(col("win_idx") - coalesce(lag("win_idx", 1).over(wLag),
+          lit(-2L)) =!= 1L, 1L).otherwise(0L))
+      .withColumn("seg_id", sum("new_seg").over(
+        wLag.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    islands.groupBy("media_id", "seg_id")
+      .agg(min("win_idx").as("start_win"), max("win_idx").as("end_win"),
+        count(lit(1)).as("n_windows"), sum("energy").as("seg_energy"))
+  }
+
   /** Deterministic real-media corpus whose decoded metadata is closed-form
     * in `media_id` (so a SQL oracle over the staged bytes can assert what
     * the codec must read):

@@ -111,4 +111,48 @@ object Scale {
       .select(col("bucket"), col("n_rows"),
         expr("(1000000 * n_rows) div n_total").as("share_ppm"))
   }
+
+  /** Small-file compaction plan — the table-maintenance verb every
+    * long-lived lake runs nightly: group each partition directory's
+    * files into rewrite tasks ("bins") of roughly `targetBytes` each.
+    *
+    * Deterministic sequential-fill (not first-fit-decreasing, whose
+    * per-bin state is inherently serial): within a dir, files ordered
+    * (bytes DESC, file ASC) fill bins by running cumulative size —
+    * `bin = (cumsum − 1) div target`. Big files land first so each
+    * early bin is one large file; the small-file tail packs densely
+    * into the later bins. A single file larger than `target` keeps one
+    * bin id (it spans the cumsum range alone) — a rewrite task never
+    * splits a file. One window per dir (partition-parallel across
+    * dirs), one grouped aggregate; nothing data-sized crosses dirs, so
+    * the plan costs O(files), never O(rows) — at 100 TB the input is
+    * the file LISTING, a million-row frame at most.
+    *
+    * Emits one row per bin: `(dir, bin_id, n_files, bin_bytes,
+    * max_file_bytes, needs_compaction)` — the flag is `n_files > 1`
+    * (a bin that is already a single right-sized file is a no-op).
+    * Non-positive sizes are rejected loudly: a 0-byte file in a
+    * listing is a manifest bug, and silently binning it would corrupt
+    * the cumsum lattice the oracle replays.
+    */
+  def compactionPlan(files: DataFrame, dirCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val checked = files.select(col(dirCol).as("dir"),
+      col(fileCol).as("file_id"),
+      when(col(bytesCol) <= 0, expr(
+        s"raise_error('compactionPlan: non-positive $bytesCol')"))
+        .otherwise(col(bytesCol)).cast("long").as("bytes"))
+    val w = Window.partitionBy("dir")
+      .orderBy(col("bytes").desc, col("file_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    checked
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin_id", expr(s"(cum - 1) div ${targetBytes}L"))
+      .groupBy("dir", "bin_id")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+        max("bytes").as("max_file_bytes"))
+      .withColumn("needs_compaction", col("n_files") > 1)
+  }
 }

@@ -44,6 +44,88 @@ object Similarity {
       .agg(expr("sum(xm) div count(1)").as("micro"),
         count(lit(1)).as("n_chunks"))
 
+  /** Johnson–Lindenstrauss random projection — the dimension-reduction
+    * step ahead of ANN at scale (64-dim → `outDims` sign projection:
+    * distances are preserved within the JL bound at a fraction of the
+    * index cost). The ±1 projection matrix is a SEEDED md5 artifact —
+    * sign(o,d) = +1 iff the first hex char of md5("rp|seed|o|d") is in
+    * 0..7 — computed once on the driver and inlined as a literal, so
+    * the oracle re-derives the identical matrix from DuckDB's md5 of
+    * the same strings (the DctC-table discipline: model constants are
+    * pinned, never floated per-engine).
+    *
+    * Float discipline: one micro-unit rounding per input element, then
+    * pure ±micro BIGINT sums — no float accumulation order anywhere.
+    * Execution shape: a NARROW per-row map (`transform` over the out
+    * dims, `aggregate` over the input dims) + an output-sized
+    * `posexplode`; zero shuffles, whole-stage codegen — at 100 TB this
+    * runs at scan speed beside the read.
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, seed: String = "jl"): DataFrame = {
+    require(outDims >= 1 && outDims <= 256, "outDims must be in [1, 256]")
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // literal ±1 matrix, outDims × inDims-agnostic: signs are defined
+    // per (o, d) on demand, so any input dimensionality shares the seed
+    val maxIn = 128 // ceiling on supported input dims (64 here)
+    val signs: Column = array((0 until outDims).map { o =>
+      array((0 until maxIn).map { d =>
+        lit(if (md5Hex(s"rp|$seed|$o|$d").charAt(0) <= '7') 1L else -1L)
+      }: _*)
+    }: _*)
+    val micro = transform(asDouble(col(vecCol)),
+      x => round(x * 1000000).cast("long"))
+    emb
+      .select(col(idCol).as("vec_id"), micro.as("m"), signs.as("sgn"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(outDims - 1)), o =>
+          aggregate(sequence(lit(0), size(col("m")) - 1), lit(0L),
+            (acc, d) => acc + element_at(col("m"), d + 1) *
+              element_at(element_at(col("sgn"), o + 1), d + 1))))
+          .as(Seq("out_dim", "proj_micro")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        // a null projection means a null element or > maxIn input dims —
+        // both data-contract violations; fail by name, never emit null
+        when(col("proj_micro").isNull, expr(
+          "raise_error('randomProjection: null element or input dims > 128')"))
+          .otherwise(col("proj_micro")).as("proj_micro"))
+  }
+
+  /** Embedding-centroid drift monitor — the production gate on a
+    * re-embedding or upstream-model change: per snapshot, the
+    * mean-pooled centroid (exact micro algebra shared with
+    * [[meanPoolEmbeddings]]), then each snapshot vs its predecessor as
+    * (a) cosine, the ONE engine-float division rounded to 6 d.p.
+    * (q221's discipline), and (b) the exact BIGINT squared-L2 shift
+    * that carries the hash check. Everything after the first
+    * aggregation is snapshot×dim-sized — nothing data-sized is joined,
+    * sorted, or windowed, so the monitor costs one scan at any SF.
+    */
+  def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String,
+      snapshotExpr: Column): DataFrame = {
+    val cent = meanPoolEmbeddings(emb, idCol, vecCol, snapshotExpr)
+      .select(col("group_id").cast("long").as("snap"), col("dim"),
+        col("micro"))
+    val prev = cent.select((col("snap") + 1).as("snap"), col("dim"),
+      col("micro").as("pmicro"))
+    cent.join(prev, Seq("snap", "dim"))
+      .groupBy("snap")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("micro") * col("pmicro")).as("dot"),
+        sum(col("micro") * col("micro")).as("na"),
+        sum(col("pmicro") * col("pmicro")).as("nb"),
+        sum((col("micro") - col("pmicro")) *
+          (col("micro") - col("pmicro"))).as("l2_micro2"))
+      .select(col("snap").as("snapshot"), col("n_dims"),
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+          .as("cos_prev"),
+        col("l2_micro2"))
+  }
+
   /** Sequential-fold dot product via higher-order functions — portable
     * (works on any session, no registration). The DataFrame-level
     * operators below use the codegen'd [[graft.functions.DotProduct]]

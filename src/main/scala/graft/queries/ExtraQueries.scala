@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Evaluation, Graph, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
+import graft.ops.{Analytics, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
 
 /** Round-9 additions: graph-over-text ranking, hierarchy rollups, the
   * privacy-audit pair's missing member, data-quality screens, an ORC
@@ -1162,6 +1162,224 @@ object ExtraQueries {
           AS BIGINT) END AS auc_ppm
     FROM agg"""
 
+  // —————————————————————————————— compaction plan (q238)
+  // (the nightly table-maintenance verb: a synthetic file listing —
+  //  dir = event_type, ~193 files each, bytes from the event lattice —
+  //  grouped into ~1 MB rewrite bins by the deterministic
+  //  sequential-fill sweep. The oracle replays the cumsum lattice; one
+  //  file in the wrong bin flips the hash.)
+  val q238CompactionPlan: Q = (s, dir) => {
+    val files = Tables.events(s, dir).where(col("event_type").isNotNull)
+      .groupBy(col("event_type").as("dir_name"),
+        (col("event_id") % 193).as("file_id"))
+      .agg(sum(lit(100L) + col("event_id") % 9901).as("bytes"))
+    Scale.compactionPlan(files, "dir_name", "file_id", "bytes",
+      targetBytes = 1000000L)
+  }
+  private val q238Sql: String = """
+    WITH f AS (SELECT event_type AS dir, event_id % 193 AS file_id,
+            CAST(sum(100 + event_id % 9901) AS BIGINT) AS bytes
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    c AS (SELECT dir, bytes,
+            sum(bytes) OVER (PARTITION BY dir
+              ORDER BY bytes DESC, file_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM f),
+    b AS (SELECT dir, (cum - 1) // 1000000 AS bin_id, bytes FROM c)
+    SELECT dir, CAST(bin_id AS BIGINT) AS bin_id,
+      CAST(count(*) AS BIGINT) AS n_files,
+      CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      CAST(max(bytes) AS BIGINT) AS max_file_bytes,
+      count(*) > 1 AS needs_compaction
+    FROM b GROUP BY 1, 2"""
+
+  // —————————————————————————————— JL random projection (q239)
+  // (64-dim embeddings sign-projected to 8 dims ahead of ANN: the ±1
+  //  matrix is a seeded md5 artifact the driver inlines and the oracle
+  //  re-derives from DuckDB's md5 of the same "rp|jl|o|d" strings —
+  //  narrow per-row map, zero shuffles.)
+  val q239RandomProjection: Q = (s, dir) =>
+    Similarity.randomProjection(Tables.embeddings(s, dir), "vec_id",
+      "embedding", outDims = 8, seed = "jl")
+  private val q239Sql: String = """
+    WITH m AS (SELECT vec_id, i - 1 AS d,
+            CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            unnest(range(1, len(e) + 1)) u(i)),
+    s AS (SELECT m.vec_id, o.o AS out_dim, m.xm,
+            CASE WHEN substr(md5('rp|jl|' || o.o || '|' || m.d), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+                 THEN 1 ELSE -1 END AS sgn
+          FROM m, (SELECT unnest(range(0, 8)) AS o) o)
+    SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim,
+      CAST(sum(sgn * xm) AS BIGINT) AS proj_micro
+    FROM s GROUP BY 1, 2"""
+
+  // —————————————————————————————— embedding drift monitor (q240)
+  // (the re-embedding gate: snapshot = vec_id div 100, per-snapshot
+  //  mean-pooled centroid in q228's exact micro algebra, consecutive
+  //  snapshots compared by cosine — the one 6 d.p. engine float — and
+  //  the exact BIGINT squared-L2 shift that carries the hash.)
+  val q240EmbeddingDrift: Q = (s, dir) =>
+    Similarity.embeddingDrift(Tables.embeddings(s, dir), "vec_id",
+      "embedding", expr("vec_id div 100"))
+  private val q240Sql: String = """
+    WITH x AS (SELECT vec_id // 100 AS snap, i - 1 AS dim,
+            CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            unnest(range(1, len(e) + 1)) u(i)),
+    c AS (SELECT snap, dim, CAST(sum(xm) // count(*) AS BIGINT) AS micro
+          FROM x GROUP BY 1, 2),
+    j AS (SELECT a.snap AS snap, a.micro AS m, b.micro AS pm
+          FROM c a JOIN c b ON a.dim = b.dim AND b.snap = a.snap - 1)
+    SELECT CAST(snap AS BIGINT) AS snapshot,
+      CAST(count(*) AS BIGINT) AS n_dims,
+      CASE WHEN sum(m * m) = 0 OR sum(pm * pm) = 0 THEN NULL
+        ELSE round(CAST(sum(m * pm) AS DOUBLE) /
+          sqrt(CAST(sum(m * m) AS DOUBLE) * CAST(sum(pm * pm) AS DOUBLE)),
+          6) END AS cos_prev,
+      CAST(sum((m - pm) * (m - pm)) AS BIGINT) AS l2_micro2
+    FROM j GROUP BY 1"""
+
+  // —————————————————————————————— data-contract expectations (q241)
+  // (the dbt-test verb: six declared rules over orders/lineitem — row
+  //  predicates fused into one aggregate per table, a composite-key
+  //  uniqueness count, a referential anti-join — into one uniform
+  //  report. Thresholds chosen so the suite contains BOTH passing and
+  //  failing rules; an unevaluable predicate counts as violated.)
+  val q241Expectations: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    Analytics.expectRows(o, Seq(
+        "orders_custkey_not_null" -> col("o_custkey").isNull,
+        "orders_totalprice_le_400k" ->
+          !(col("o_totalprice") > 0 && col("o_totalprice") <= 400000)))
+      .unionByName(Analytics.expectRows(l, Seq(
+        "lineitem_quantity_le_45" ->
+          !(col("l_quantity") >= 1 && col("l_quantity") <= 45),
+        "lineitem_returnflag_accepted" ->
+          !col("l_returnflag").isin("A", "N", "R"))))
+      .unionByName(Analytics.expectUnique(o, "orders_orderkey_unique",
+        Seq("o_orderkey")))
+      .unionByName(Analytics.expectFk(l, o, "lineitem_orderkey_fk",
+        "l_orderkey", "o_orderkey"))
+  }
+  private val q241Sql: String = """
+    WITH rows AS (
+      SELECT 'orders_custkey_not_null' AS rule,
+        CAST(count(*) AS BIGINT) AS n_checked,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_le_400k', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN NOT coalesce(
+            o_totalprice > 0 AND o_totalprice <= 400000, FALSE)
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_quantity_le_45', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN NOT coalesce(
+            l_quantity >= 1 AND l_quantity <= 45, FALSE)
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_returnflag_accepted', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN NOT coalesce(
+            l_returnflag IN ('A', 'N', 'R'), FALSE)
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_orderkey_unique', CAST(sum(c) AS BIGINT),
+        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l.l_orderkey, o.o_orderkey FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+                       WHERE o_orderkey IS NOT NULL) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL))
+    SELECT rule, n_checked, n_violations,
+      CASE WHEN n_checked = 0 THEN NULL
+        ELSE (1000000 * n_violations) // n_checked END AS viol_ppm,
+      n_violations = 0 AS passed
+    FROM rows"""
+
+  // —————————————————————————————— speech segmentation (q242)
+  // (voice-activity detection over the REAL WAV fixtures: per-window
+  //  Σs² from the codec's interleaved samples, "speech" ⇔ the window's
+  //  mean square strictly beats the clip's — a cross-multiplied BIGINT
+  //  compare, no float threshold — consecutive speech windows merged
+  //  into segments by the island algebra. The oracle replays the q89
+  //  sample lattice and every window/segment decision.)
+  val q242SpeechSegments: Q = (s, dir) =>
+    Multimodal.speechSegments(s,
+      s.read.parquet(Multimodal.Fixtures.dataset(s)), winSize = 50)
+  private def q242Sql: String = s"""
+    WITH a AS (SELECT media_id, 1 + media_id % 2 AS ch,
+            100 + media_id % 400 AS n
+          FROM read_parquet('${Multimodal.Fixtures.parquetPath}/*.parquet')
+          WHERE media_type = 'audio' AND media_id % 23 <> 7),
+    k AS (SELECT media_id, unnest(range(0, n * ch)) AS k FROM a),
+    sm AS (SELECT media_id, k, (media_id + 2 * k) % 251 AS lo,
+            (media_id + 2 * k + 1) % 251 AS hi
+          FROM k),
+    v AS (SELECT media_id, k // 50 AS w,
+            (CASE WHEN hi > 127 THEN hi - 256 ELSE hi END) * 256 + lo AS s
+          FROM sm),
+    wi AS (SELECT media_id, w, count(*) AS nw,
+            CAST(sum(s * s) AS BIGINT) AS e
+          FROM v GROUP BY 1, 2),
+    t AS (SELECT media_id, sum(nw) AS nt, sum(e) AS te
+          FROM wi GROUP BY 1),
+    loud AS (SELECT wi.media_id, wi.w, wi.e
+          FROM wi JOIN t ON wi.media_id = t.media_id
+          WHERE wi.e * t.nt > t.te * wi.nw),
+    fl AS (SELECT media_id, w, e,
+            CASE WHEN w - coalesce(lag(w) OVER
+                (PARTITION BY media_id ORDER BY w), -2) <> 1
+              THEN 1 ELSE 0 END AS ns
+          FROM loud),
+    seg AS (SELECT media_id, w, e,
+            sum(ns) OVER (PARTITION BY media_id ORDER BY w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM fl)
+    SELECT media_id, CAST(sid AS BIGINT) AS seg_id,
+      CAST(min(w) AS BIGINT) AS start_win, CAST(max(w) AS BIGINT) AS end_win,
+      CAST(count(*) AS BIGINT) AS n_windows,
+      CAST(sum(e) AS BIGINT) AS seg_energy
+    FROM seg GROUP BY 1, 2"""
+
+  // —————————————————————————————— salted skew join (q243)
+  // (the skew-mitigation LAW under oracle check: lineitem ⋈ part with
+  //  the big side salted 8 ways and the dim replicated per salt must
+  //  equal the PLAIN join — the oracle IS the unsalted join, so any
+  //  row lost or duplicated by the salt algebra flips the hash.)
+  val q243SaltedJoin: Q = (s, dir) => {
+    val dim = Tables.part(s, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val j = Scale.saltedEquiJoin(Tables.lineitem(s, dir), dim,
+      "l_partkey", numSalts = 8, saltSource = col("l_orderkey"))
+    j.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cent"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("price_cent"))
+  }
+  private val q243Sql: String = """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        AS qty_cent,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS price_cent
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -1194,7 +1412,13 @@ object ExtraQueries {
     "q233_diversified_topk" -> q233DiversifiedTopK,
     "q234_seasonal_decompose" -> q234SeasonalDecompose,
     "q235_fd_audit" -> q235FdAudit,
-    "q237_pareto_frontier" -> q237ParetoFrontier)
+    "q237_pareto_frontier" -> q237ParetoFrontier,
+    "q238_compaction_plan" -> q238CompactionPlan,
+    "q239_random_projection" -> q239RandomProjection,
+    "q240_embedding_drift" -> q240EmbeddingDrift,
+    "q241_expectations" -> q241Expectations,
+    "q242_speech_segments" -> q242SpeechSegments,
+    "q243_salted_join" -> q243SaltedJoin)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1225,6 +1449,12 @@ object ExtraQueries {
     "q234_seasonal_decompose" -> q234Sql,
     "q235_fd_audit" -> q235Sql,
     "q237_pareto_frontier" -> q237Sql,
+    "q238_compaction_plan" -> q238Sql,
+    "q239_random_projection" -> q239Sql,
+    "q240_embedding_drift" -> q240Sql,
+    "q241_expectations" -> q241Sql,
+    "q242_speech_segments" -> q242Sql,
+    "q243_salted_join" -> q243Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -611,4 +611,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("value", Some("B"))) == ((2L, 500000L)))
     assert(got(("parent", None)) == ((4L, 375000L)))
   }
+
+  test("expectations: row rules (null = violated), uniqueness, fk orphans") {
+    import spark.implicits._
+    val t = Seq(
+      (Some(1L), Some(10.0)), (Some(2L), Some(200.0)),
+      (Some(2L), Some(-5.0)), (None, Option.empty[Double]))
+      .toDF("id", "v")
+    val rows = Analytics.expectRows(t, Seq(
+        "id_not_null" -> col("id").isNull,
+        // v in (0, 100]: the null-v row CANNOT evaluate -> violated
+        "v_range" -> !(col("v") > 0 && col("v") <= 100)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows("id_not_null") == ((4L, 1L, 250000L, false)))
+    // violations: 200 (range), -5 (range), null (unevaluable) = 3
+    assert(rows("v_range") == ((4L, 3L, 750000L, false)))
+
+    val uq = Analytics.expectUnique(t, "id_unique", Seq("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4))).head
+    // null-keyed row excluded; BOTH rows of the duplicated key count
+    assert(uq == ((3L, 2L, false)))
+
+    val parent = Seq(Tuple1(1L)).toDF("pid")
+    val fk = Analytics.expectFk(t, parent, "id_fk", "id", "pid")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4))).head
+    // 3 non-null children checked, the two id=2 rows are orphans
+    assert(fk == ((3L, 2L, false)))
+
+    // a clean table passes with 0 ppm
+    val clean = Analytics.expectRows(parent,
+      Seq("pid_not_null" -> col("pid").isNull)).collect().head
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L &&
+      clean.getBoolean(4))
+  }
 }

@@ -114,4 +114,67 @@ class CentroidSpec extends SparkSpec {
     assert(kept == Seq(-1.0, -1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
       "the empty centroid must survive unchanged")
   }
+
+  test("randomProjection: hand-derived signs, exact micro sums, determinism") {
+    import spark.implicits._
+    // micro-exact inputs: 0.5 -> 500000, -0.25 -> -250000
+    val emb = Seq((7L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(emb, "vec_id", "embedding",
+        outDims = 4, seed = "jl")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // the spec re-derives the seeded sign lattice independently
+    def sgn(o: Int, d: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp|jl|$o|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) <= '7') 1L else -1L
+    }
+    (0 until 4).foreach { o =>
+      assert(got(o.toLong) == sgn(o, 0) * 500000L + sgn(o, 1) * -250000L,
+        s"out dim $o")
+    }
+    // deterministic: a rerun with the same seed is bit-identical
+    val again = Similarity.randomProjection(emb, "vec_id", "embedding",
+      outDims = 4, seed = "jl").collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+    // a different seed flips at least one sign over 4x2 draws
+    val other = Similarity.randomProjection(emb, "vec_id", "embedding",
+      outDims = 4, seed = "jl2").collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(other != got)
+  }
+
+  test("randomProjection: a null element fails by name, never a silent null") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(Some(0.5f), None))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(emb, "vec_id", "embedding", 2).collect()
+    }
+    assert(e.toString.contains("randomProjection") ||
+      Option(e.getCause).exists(_.toString.contains("randomProjection")))
+  }
+
+  test("embeddingDrift: hand cosine + exact L2 shift, zero-norm null") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // snap 0: (0.5, 0.5)
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)), // snap 1: (1.0, 0.0)
+      (4L, Array(0.0f, 0.0f)), (5L, Array(0.0f, 0.0f))) // snap 2: zero norm
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDrift(emb, "vec_id", "embedding",
+        expr("vec_id div 2"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getLong(3)))).toMap
+    // snap1 vs snap0: dot = 5e11, |a|^2 = 1e12, |b|^2 = 5e11
+    // cos = 5e11 / sqrt(5e23) = 0.7071067... -> 0.707107 at 6 d.p.
+    val (n1, cos1, l21) = got(1L)
+    assert(n1 == 2 && cos1.contains(0.707107))
+    assert(l21 == 500000L * 500000L + 500000L * 500000L)
+    // snap2 has zero norm: cosine null, L2 shift still exact
+    val (_, cos2, l22) = got(2L)
+    assert(cos2.isEmpty)
+    assert(l22 == 1000000L * 1000000L)
+    // snap 0 has no predecessor: absent, not a null row
+    assert(!got.contains(0L))
+  }
 }

@@ -100,6 +100,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioStats(spark, bad).count() == 0)
   }
 
+  test("speechSegments: hand-built WAV, exact window energies, island merge") {
+    import spark.implicits._
+    // 200 mono samples in 4 windows of 50: silent, loud, loud, silent.
+    // Loud amplitude 1000 -> window energy 50e6; clip mean square
+    // (2*50e6)/200 = 500000 < 1e6 -> exactly the two loud windows pass
+    // the strict cross-multiplied compare and merge into ONE segment.
+    val samples = Array.fill(50)(0) ++ Array.fill(100)(1000) ++
+      Array.fill(50)(0)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bb = java.nio.ByteBuffer.allocate(2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.MediaRow(5L, "audio", bos.toByteArray))
+      .toDS().toDF()
+    val segs = Multimodal.speechSegments(spark, media, winSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(segs.toSeq == Seq((5L, 1L, 1L, 2L, 2L, 2L * 50L * 1000000L)))
+    // corrupt audio contributes nothing, never an exception
+    val bad = Seq(Multimodal.MediaRow(6L, "audio", Array[Byte](9)))
+      .toDS().toDF()
+    assert(Multimodal.speechSegments(spark, bad).count() == 0)
+  }
+
   test("decodeBatched + sampleFrames over the staged corpus (end to end)") {
     import spark.implicits._
     val media = spark.read.parquet(Fixtures.dataset(spark))

@@ -114,4 +114,37 @@ class ScaleSpec extends SparkSpec {
     assert(got.exists(r => r._2 == 6L && r._3 == 600000L), "hot bucket ppm")
     got.foreach(r => r._1.foreach(b => assert(b >= 0 && b < 16)))
   }
+
+  test("compactionPlan: sequential-fill bins, oversize isolated, dirs independent") {
+    import spark.implicits._
+    val files = Seq(
+      ("a", 1L, 700000L), ("a", 2L, 400000L), ("a", 3L, 300000L),
+      ("a", 4L, 200000L), ("a", 5L, 100000L),
+      ("b", 1L, 1500000L), ("b", 2L, 600000L))
+      .toDF("dir_name", "file_id", "bytes")
+    val plan = Scale.compactionPlan(files, "dir_name", "file_id", "bytes",
+        targetBytes = 1000000L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // dir a: the 700k file fills bin 0 alone; the 4-file tail packs bin 1
+    // to exactly the 1 MB target (cum 1.1M/1.4M/1.6M/1.7M all -> bin 1)
+    assert(plan(("a", 0L)) == ((1L, 700000L, 700000L, false)))
+    assert(plan(("a", 1L)) == ((4L, 1000000L, 400000L, true)))
+    // dir b: the 1.5 MB file spans the cumsum range into bin 1 ALONE —
+    // a plan never splits a file — and the 600k follower starts bin 2
+    assert(plan(("b", 1L)) == ((1L, 1500000L, 1500000L, false)))
+    assert(plan(("b", 2L)) == ((1L, 600000L, 600000L, false)))
+    assert(plan.size == 4)
+  }
+
+  test("compactionPlan: a non-positive file size fails by name") {
+    import spark.implicits._
+    val bad = Seq(("a", 1L, 0L)).toDF("dir_name", "file_id", "bytes")
+    val e = intercept[Exception] {
+      Scale.compactionPlan(bad, "dir_name", "file_id", "bytes", 1000L)
+        .collect()
+    }
+    assert(e.toString.contains("compactionPlan") ||
+      Option(e.getCause).exists(_.toString.contains("compactionPlan")))
+  }
 }
