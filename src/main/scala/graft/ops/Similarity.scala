@@ -55,11 +55,14 @@ object Similarity {
     * pinned, never floated per-engine).
     *
     * Float discipline: one micro-unit rounding per input element, then
-    * pure ±micro BIGINT sums — no float accumulation order anywhere.
-    * Execution shape: a NARROW per-row map (`transform` over the out
-    * dims, `aggregate` over the input dims) + an output-sized
-    * `posexplode`; zero shuffles, whole-stage codegen — at 100 TB this
-    * runs at scan speed beside the read.
+    * ±micro sums whose every partial stays an exact integer below 2^53
+    * — no accumulation-order sensitivity exists. Execution shape: a
+    * NARROW per-row map (one codegen'd [[graft.functions.DotProduct]]
+    * per out dim against a constant sign-row Literal) + an output-sized
+    * `posexplode`; zero shuffles — at 100 TB this runs at scan speed
+    * beside the read. Null embeddings are skipped; a null ELEMENT or an
+    * over-limit dimensionality fails by name (the dot kernel would
+    * silently treat it as 0).
     */
   def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
       outDims: Int, seed: String = "jl"): DataFrame = {
@@ -70,27 +73,32 @@ object Similarity {
     // literal ±1 matrix, outDims × inDims-agnostic: signs are defined
     // per (o, d) on demand, so any input dimensionality shares the seed
     val maxIn = 128 // ceiling on supported input dims (64 here)
-    val signs: Column = array((0 until outDims).map { o =>
-      array((0 until maxIn).map { d =>
-        lit(if (md5Hex(s"rp|$seed|$o|$d").charAt(0) <= '7') 1L else -1L)
-      }: _*)
-    }: _*)
-    val micro = transform(asDouble(col(vecCol)),
-      x => round(x * 1000000).cast("long"))
-    emb
-      .select(col(idCol).as("vec_id"), micro.as("m"), signs.as("sgn"))
+    // each sign row is ONE constant array Literal; the projection is one
+    // codegen'd dot per out dim (micro values ≤ ~1e6, 64-term sums stay
+    // far inside double's 2^53 exact-integer range — order-free exact).
+    // The kernel iterates min(len), so a longer sign row adapts to any
+    // input dimensionality ≤ maxIn for free.
+    val signRows: IndexedSeq[Column] = (0 until outDims).map { o =>
+      typedlit((0 until maxIn).map { d =>
+        if (md5Hex(s"rp|$seed|$o|$d").charAt(0) <= '7') 1.0 else -1.0
+      })
+    }
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val microRaw = transform(asDouble(col(vecCol)), x => round(x * 1000000))
+    // the dot kernel SKIPS null elements — guard loudly first, so a null
+    // element or over-limit input can never become a silently-wrong sum
+    val micro = when(size(microRaw) > maxIn ||
+        exists(microRaw, x => x.isNull), expr(
+        "raise_error('randomProjection: null element or input dims > 128')"))
+      .otherwise(microRaw)
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), micro.as("m"))
       .select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(outDims - 1)), o =>
-          aggregate(sequence(lit(0), size(col("m")) - 1), lit(0L),
-            (acc, d) => acc + element_at(col("m"), d + 1) *
-              element_at(element_at(col("sgn"), o + 1), d + 1))))
+        posexplode(array(signRows.map(sgn =>
+          fastDot(col("m"), sgn).cast("long")): _*))
           .as(Seq("out_dim", "proj_micro")))
       .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
-        // a null projection means a null element or > maxIn input dims —
-        // both data-contract violations; fail by name, never emit null
-        when(col("proj_micro").isNull, expr(
-          "raise_error('randomProjection: null element or input dims > 128')"))
-          .otherwise(col("proj_micro")).as("proj_micro"))
+        col("proj_micro"))
   }
 
   /** Embedding-centroid drift monitor — the production gate on a
