@@ -512,4 +512,45 @@ object Graph {
       .agg(count(lit(1)).as("n_subtree"),
         factCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
   }
+
+  /** K-hop feature propagation — GNN-style mean message passing, the
+    * feature-engineering verb behind "enrich each node with its
+    * neighborhood" (fraud rings, supply-chain smoothing, citation
+    * features). Each round every node with in-neighbors replaces its
+    * feature with the TRUNCATING integer mean of their current
+    * features (`sum div count` — both engines truncate); nodes without
+    * in-neighbors carry their feature forward unchanged. Rounds are a
+    * driver-bounded unrolled loop (like [[pageRank]]); per-round cost
+    * is one O(edges) join + one keyed aggregate — never anything
+    * quadratic. Multi-edges are collapsed first so a duplicated edge
+    * row cannot double-weight a neighbor.
+    *
+    * Emits `(id, feat_in, feat_out)` — input feature kept beside the
+    * propagated one so the drift is auditable downstream.
+    */
+  def featurePropagate(nodes: DataFrame, idCol: String, featCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1, 8] (unrolled plan)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    var cur = nodes
+      .where(col(idCol).isNotNull && col(featCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(featCol).cast("long").as("f0"))
+      .withColumn("f", col("f0"))
+    for (_ <- 1 to rounds) {
+      val msgs = e
+        .join(cur.select(col("id").as("src"), col("f").as("fs")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(expr("sum(fs) div count(1)").as("fin"))
+      cur = cur.join(msgs, Seq("id"), "left")
+        .withColumn("f", coalesce(col("fin"), col("f")))
+        .drop("fin")
+    }
+    cur.select(col("id"), col("f0").as("feat_in"), col("f").as("feat_out"))
+  }
 }

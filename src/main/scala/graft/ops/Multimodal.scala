@@ -690,6 +690,52 @@ object Multimodal {
         count(lit(1)).as("n_windows"), sum("energy").as("seg_energy"))
   }
 
+  case class ClipEnergyRow(media_id: Long, n_samples: Long, sumsq: Long)
+
+  /** Loudness-normalization gain — the audio-preprocessing verb that
+    * computes, per clip, the multiplier bringing its mean-square energy
+    * to a target level (the RMS-normalize step before feature
+    * extraction, expressed in the POWER domain so no square root ever
+    * runs on data). Narrow decode to one `(n, Σs²)` row per clip, then
+    * pure integer algebra: `ms_milli = (1000·Σs²) div n` and
+    * `gain_ppm = (1e6·targetMsMilli) div ms_milli` — both truncating
+    * divisions any engine replays. A digitally-silent clip (Σs² = 0)
+    * emits a null gain, never a divide-by-zero or a fake multiplier.
+    */
+  def loudnessGain(spark: SparkSession, media: DataFrame,
+      targetMsMilli: Long): DataFrame = {
+    require(targetMsMilli > 0, "targetMsMilli must be positive")
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select("media_id", "media_type", "content").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.content == null || r.content.isEmpty) None
+          else try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.content))
+            try {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var i = 0; var sq = 0L
+              while (i < n) {
+                val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)
+                sq += s.toLong * s
+                i += 1
+              }
+              if (n == 0) None
+              else Some(ClipEnergyRow(r.media_id, n.toLong, sq))
+            } finally ais.close()
+          } catch { case NonFatal(_) => None }
+        }
+      }.toDF()
+      .withColumn("ms_milli", expr("(1000 * sumsq) div n_samples"))
+      .select(col("media_id"), col("n_samples"), col("ms_milli"),
+        when(col("ms_milli") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"(1000000 * ${targetMsMilli}L) div ms_milli"))
+          .as("gain_ppm"))
+  }
+
   /** Deterministic real-media corpus whose decoded metadata is closed-form
     * in `media_id` (so a SQL oracle over the staged bytes can assert what
     * the codec must read):

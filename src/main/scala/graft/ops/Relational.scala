@@ -369,6 +369,40 @@ object Relational {
         "left_semi")
   }
 
+  /** Bloom-style runtime pre-filter join — the "semi-join pushdown"
+    * pattern for a big-big equi-join where the probe side is huge but
+    * the match rate is low: derive two md5 bit positions per build-side
+    * key, keep the DISTINCT position set (≤ `bits` rows — the "bitmap"
+    * as a relation, broadcast-able at ANY build-side size), and admit a
+    * probe row only when BOTH its positions are present, BEFORE the
+    * shuffle join. No false negatives exist (a true key's bits are in
+    * the set by construction), so the exact join afterwards removes
+    * only false positives and the LAW `bloomFilteredJoin ≡ plain join`
+    * holds bit-for-bit — the oracle IS the plain join. At 100 TB the
+    * win is shuffle volume: non-matching probe rows die at the scan
+    * instead of crossing the wire.
+    */
+  def bloomFilteredJoin(big: DataFrame, small: DataFrame, key: String,
+      bits: Int = 1024, joinType: String = "inner"): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      "bits must be a power of two >= 64")
+    def pos(i: Int, c: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(lit(s"bf$i|"), c.cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(bits.toLong))
+    val posSet = small.where(col(key).isNotNull)
+      .select(explode(array(pos(0, col(key)), pos(1, col(key)))).as("p"))
+      .distinct()
+    val probed = big
+      .withColumn("_p0", pos(0, col(key)))
+      .withColumn("_p1", pos(1, col(key)))
+      .join(broadcast(posSet.withColumnRenamed("p", "_p0")), Seq("_p0"),
+        "left_semi")
+      .join(broadcast(posSet.withColumnRenamed("p", "_p1")), Seq("_p1"),
+        "left_semi")
+      .drop("_p0", "_p1")
+    probed.join(small, Seq(key), joinType)
+  }
+
   /** Audit summary of a delete cascade level: `(tbl, n_before,
     * n_deleted, del_digest)` where the digest is the order-independent
     * 60-bit-md5 XOR of the deleted rows' `keyExpr` — one row that pins

@@ -365,6 +365,53 @@ object TimeSeries {
           col("detr_q") - expr("sd div nd")).as("resid_q"))
   }
 
+  /** Robust anomaly gate over [[seasonalDecompose]] residuals — the
+    * monitoring verb a metrics pipeline runs after de-trending: a row
+    * is anomalous when its residual deviates from the per-key residual
+    * MEDIAN by more than `k` MADs. All order statistics come from the
+    * DISTINCT-residual cumulative frame (the q232 discipline — a
+    * data-sized series never sorts), and the whole chain stays in
+    * exact integers: doubled median (`med2`), quadrupled MAD (`mad4`),
+    * flag ⇔ `2·|2·resid − med2| > k·mad4`. A zero MAD (≥ half the
+    * residuals equal the median) degrades to "any deviation flags" —
+    * the standard MAD edge, surfaced by the exact algebra instead of
+    * hidden by an epsilon.
+    */
+  def residualAnomalies(decomposed: DataFrame, keyCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val r = decomposed.where(col("resid_q").isNotNull)
+      .select(col(keyCol).as("g"), col("hr"), col("v_cent"), col("resid_q"))
+    // doubled median (lower + upper order statistic) from the
+    // distinct-value cumulative counts — value-cardinality windows only
+    def med2Of(df: DataFrame, valCol: String): DataFrame = {
+      val vals = df.groupBy(col("g"), col(valCol).as("x"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vals.withColumn("cc", sum("c").over(w))
+      val n = vals.groupBy("g").agg(sum("c").as("n"))
+      cum.join(n, Seq("g"))
+        .groupBy("g")
+        .agg(
+          max(when(col("cc") - col("c") < expr("(n + 1) div 2") &&
+            col("cc") >= expr("(n + 1) div 2"), col("x"))).as("xlo"),
+          max(when(col("cc") - col("c") < expr("n div 2 + 1") &&
+            col("cc") >= expr("n div 2 + 1"), col("x"))).as("xhi"))
+        .select(col("g"), (col("xlo") + col("xhi")).as("m2"))
+    }
+    val med = med2Of(r, "resid_q")
+    val dev = r.join(med, Seq("g"))
+      .withColumn("dev2", abs(lit(2L) * col("resid_q") - col("m2")))
+    val mad = med2Of(dev.select(col("g"), col("dev2")), "dev2")
+      .withColumnRenamed("m2", "mad4")
+    dev.join(mad, Seq("g"))
+      .select(col("g").as(keyCol), col("hr"), col("v_cent"),
+        col("resid_q"), col("m2").as("med2_q"), col("mad4").as("mad4_q"),
+        (lit(2L) * col("dev2") > lit(k.toLong) * col("mad4"))
+          .as("is_anomaly"))
+  }
+
   def latenessProfile(df: DataFrame, keyCol: String, tsCol: String,
       seqCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

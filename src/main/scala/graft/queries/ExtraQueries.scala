@@ -1380,6 +1380,198 @@ object ExtraQueries {
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1"""
 
+  // —————————————————————————————— feature propagation (q244)
+  // (GNN-style mean message passing over the REAL part↔supplier
+  //  bipartite graph from lineitem: parts carry retail cents,
+  //  suppliers carry account-balance cents, two rounds of truncating
+  //  integer neighborhood means. The oracle unrolls both rounds.)
+  val q244FeaturePropagation: Q = (s, dir) => {
+    val pairs = Tables.lineitem(s, dir)
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("su").as("dst"))
+      .unionByName(pairs.select(col("su").as("src"), col("p").as("dst")))
+    val nodes = Tables.part(s, dir)
+      .select((col("p_partkey") * 2).as("nid"),
+        round(col("p_retailprice") * 100).cast("long").as("feat"))
+      .unionByName(Tables.supplier(s, dir)
+        .select((col("s_suppkey") * 2 + 1).as("nid"),
+          round(col("s_acctbal") * 100).cast("long").as("feat")))
+    Graph.featurePropagate(nodes, "nid", "feat", edges, "src", "dst",
+      rounds = 2)
+  }
+  private val q244Sql: String = """
+    WITH pr AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS su
+          FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS (SELECT p AS src, su AS dst FROM pr
+          UNION ALL SELECT su, p FROM pr),
+    f0 AS (SELECT p_partkey * 2 AS id,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS f
+          FROM part
+          UNION ALL
+          SELECT s_suppkey * 2 + 1,
+            CAST(round(s_acctbal * 100) AS BIGINT)
+          FROM supplier),
+    m1 AS (SELECT e.dst AS id, CAST(sum(f0.f) // count(*) AS BIGINT) AS fm
+          FROM e JOIN f0 ON f0.id = e.src GROUP BY 1),
+    f1 AS (SELECT f0.id, CAST(coalesce(m1.fm, f0.f) AS BIGINT) AS f
+          FROM f0 LEFT JOIN m1 ON f0.id = m1.id),
+    m2 AS (SELECT e.dst AS id, CAST(sum(f1.f) // count(*) AS BIGINT) AS fm
+          FROM e JOIN f1 ON f1.id = e.src GROUP BY 1),
+    f2 AS (SELECT f1.id, CAST(coalesce(m2.fm, f1.f) AS BIGINT) AS f
+          FROM f1 LEFT JOIN m2 ON f1.id = m2.id)
+    SELECT f0.id, f0.f AS feat_in, f2.f AS feat_out
+    FROM f0 JOIN f2 ON f0.id = f2.id"""
+
+  // —————————————————————————————— HLL rollup-merge law (q245)
+  // (sketch mergeability across AGGREGATION LEVELS: per-(type, hour)
+  //  register tables — the per-day form a 100 TB pipeline materializes
+  //  — max-merged up to per-type must equal the direct per-type build
+  //  EXACTLY. The oracle computes the direct estimate once and emits
+  //  it for BOTH columns with law_holds = true: any divergence in the
+  //  engine's merged path flips the hash.)
+  val q245HllRollup: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).where(col("user_id").isNotNull &&
+      col("ts").isNotNull && col("event_type").isNotNull)
+    val hourly = Sketches.hllRegisters(
+      ev.withColumn("gh", concat(col("event_type"), lit("|"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000"))),
+      "gh", "user_id")
+    val rolled = hourly
+      .withColumn("g", substring_index(col("g"), "|", 1))
+      .groupBy("g", "b").agg(max(col("m")).as("m"))
+    val merged = Sketches.hllEstimate(rolled)
+    val direct = Sketches.hllDistinct(ev, "event_type", "user_id")
+      .select(col("event_type").as("g"),
+        col("n_registers").as("nreg_direct"),
+        col("raw_est").as("raw_est_direct"))
+    merged.join(direct, Seq("g"))
+      .select(col("g").as("event_type"), col("n_registers"),
+        col("raw_est").as("raw_est_merged"), col("raw_est_direct"),
+        (col("raw_est") === col("raw_est_direct") &&
+          col("n_registers") === col("nreg_direct")).as("law_holds"))
+  }
+  private val q245Sql: String = """
+    WITH h AS (SELECT event_type AS g,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+          AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    r AS (SELECT g, hv % 1024 AS b,
+        least(51 - length(ltrim(bin(hv >> 10), '0')), 40) AS rk
+      FROM h),
+    regs AS (SELECT g, b, max(rk) AS m FROM r GROUP BY 1, 2),
+    z AS (SELECT g, count(*) AS n_registers,
+        CAST(sum(1::BIGINT << (40 - m)) AS BIGINT)
+          + (1024 - count(*)) * (1::BIGINT << 40) AS z_scaled
+      FROM regs GROUP BY 1),
+    est AS (SELECT g, n_registers,
+        round((0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+          * CAST(1::BIGINT << 40 AS DOUBLE) / CAST(z_scaled AS DOUBLE), 2)
+          AS raw_est
+      FROM z)
+    SELECT g AS event_type, CAST(n_registers AS BIGINT) AS n_registers,
+      raw_est AS raw_est_merged, raw_est AS raw_est_direct,
+      TRUE AS law_holds
+    FROM est"""
+
+  // —————————————————————————————— residual anomaly gate (q246)
+  // (q234's decomposition fed into the robust |resid − median| > 3·MAD
+  //  gate — doubled-median/quadrupled-MAD exact integers, order
+  //  statistics from the distinct-residual cumulative frame. The
+  //  oracle extends q234's CTE chain with the same algebra.)
+  val q246ResidualAnomalies: Q = (s, dir) =>
+    TimeSeries.residualAnomalies(
+      TimeSeries.seasonalDecompose(Tables.events(s, dir),
+        "event_type", "ts", "value", period = 24),
+      "event_type", k = 3)
+  private val q246Sql: String = {
+    def med2(src: String, valCol: String, out: String) = s"""
+    ${out}v AS (SELECT g, $valCol AS x, count(*) AS c FROM $src GROUP BY 1, 2),
+    ${out}c AS (SELECT g, x, c, sum(c) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+          FROM ${out}v),
+    ${out}n AS (SELECT g, sum(c) AS n FROM ${out}v GROUP BY 1),
+    $out AS (SELECT a.g,
+            CAST(max(CASE WHEN cc - c < (n + 1) // 2 AND cc >= (n + 1) // 2
+              THEN x END)
+            + max(CASE WHEN cc - c < n // 2 + 1 AND cc >= n // 2 + 1
+              THEN x END) AS BIGINT) AS m2
+          FROM ${out}c a JOIN ${out}n b ON a.g = b.g GROUP BY 1)"""
+    q234Sql.replace("SELECT k AS event_type, hr, v AS v_cent, trend_q,",
+      ", dec AS (SELECT k AS event_type, hr, v AS v_cent, trend_q,") + s"""),
+    r AS (SELECT event_type AS g, hr, v_cent, resid_q FROM dec
+          WHERE resid_q IS NOT NULL),
+    ${med2("r", "resid_q", "med")},
+    d AS (SELECT r.g, r.hr, r.v_cent, r.resid_q, med.m2,
+            abs(2 * r.resid_q - med.m2) AS dev2
+          FROM r JOIN med ON r.g = med.g),
+    ${med2("d", "dev2", "mad")}
+    SELECT d.g AS event_type, d.hr, d.v_cent, d.resid_q,
+      d.m2 AS med2_q, mad.m2 AS mad4_q,
+      2 * d.dev2 > 3 * mad.m2 AS is_anomaly
+    FROM d JOIN mad ON d.g = mad.g"""
+  }
+
+  // —————————————————————————————— bloom runtime-filter join (q247)
+  // (semi-join pushdown LAW under oracle check: orders probed against
+  //  the target-segment customers' bloom position set — ~6/7 of probe
+  //  rows die before the shuffle — must equal the PLAIN filtered join,
+  //  which IS the oracle.)
+  val q247BloomJoin: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+      .where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.ops.Relational
+      .bloomFilteredJoin(Tables.orders(s, dir), cust, "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cent"))
+  }
+  private val q247Sql: String = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS total_cent
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 7 = 0
+    GROUP BY 1"""
+
+  // —————————————————————————————— loudness gain (q248)
+  // (RMS-normalization in the POWER domain: per-clip mean square in
+  //  exact milli units from the real WAV decode, gain to the pinned
+  //  1e11-milli target as one truncating ppm division — no sqrt ever
+  //  runs on data. Oracle replays the q89 sample lattice.)
+  val q248LoudnessGain: Q = (s, dir) =>
+    Multimodal.loudnessGain(s,
+      s.read.parquet(Multimodal.Fixtures.dataset(s)),
+      targetMsMilli = 100000000000L)
+  private def q248Sql: String = s"""
+    WITH a AS (SELECT media_id, 1 + media_id % 2 AS ch,
+            100 + media_id % 400 AS n
+          FROM read_parquet('${Multimodal.Fixtures.parquetPath}/*.parquet')
+          WHERE media_type = 'audio' AND media_id % 23 <> 7),
+    k AS (SELECT media_id, unnest(range(0, n * ch)) AS k FROM a),
+    sm AS (SELECT media_id, (media_id + 2 * k) % 251 AS lo,
+            (media_id + 2 * k + 1) % 251 AS hi
+          FROM k),
+    v AS (SELECT media_id,
+            (CASE WHEN hi > 127 THEN hi - 256 ELSE hi END) * 256 + lo AS s
+          FROM sm),
+    c AS (SELECT media_id, count(*) AS n_samples,
+            CAST(sum(s * s) AS BIGINT) AS sq
+          FROM v GROUP BY 1),
+    m AS (SELECT media_id, n_samples,
+            CAST((1000 * sq) // n_samples AS BIGINT) AS ms_milli
+          FROM c)
+    SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples, ms_milli,
+      CASE WHEN ms_milli = 0 THEN NULL
+        ELSE CAST((1000000 * 100000000000) // ms_milli AS BIGINT)
+      END AS gain_ppm
+    FROM m"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -1418,7 +1610,12 @@ object ExtraQueries {
     "q240_embedding_drift" -> q240EmbeddingDrift,
     "q241_expectations" -> q241Expectations,
     "q242_speech_segments" -> q242SpeechSegments,
-    "q243_salted_join" -> q243SaltedJoin)
+    "q243_salted_join" -> q243SaltedJoin,
+    "q244_feature_propagation" -> q244FeaturePropagation,
+    "q245_hll_rollup" -> q245HllRollup,
+    "q246_residual_anomalies" -> q246ResidualAnomalies,
+    "q247_bloom_join" -> q247BloomJoin,
+    "q248_loudness_gain" -> q248LoudnessGain)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1455,6 +1652,11 @@ object ExtraQueries {
     "q241_expectations" -> q241Sql,
     "q242_speech_segments" -> q242Sql,
     "q243_salted_join" -> q243Sql,
+    "q244_feature_propagation" -> q244Sql,
+    "q245_hll_rollup" -> q245Sql,
+    "q246_residual_anomalies" -> q246Sql,
+    "q247_bloom_join" -> q247Sql,
+    "q248_loudness_gain" -> q248Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

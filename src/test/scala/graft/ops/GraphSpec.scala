@@ -261,4 +261,32 @@ class GraphSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 30L))) // isolated: itself only
     assert(rows(4L) == ((1L, 40L)))
   }
+
+  test("featurePropagate: hand means over 2 rounds, no-in-edge carry, dup edge collapsed") {
+    import spark.implicits._
+    val nodes = Seq((1L, 10L), (2L, 20L), (3L, 32L)).toDF("nid", "feat")
+    // 2→3 is duplicated: a multi-edge must not double-weight node 2
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.featurePropagate(nodes, "nid", "feat", edges,
+        "src", "dst", rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // r1: f(3) = (10+20) div 2 = 15; f(1) = 32; f(2) carries (no in-edge)
+    // r2: f(3) = (32+20) div 2 = 26; f(1) = 15; f(2) = 20
+    assert(got(1L) == ((10L, 15L)))
+    assert(got(2L) == ((20L, 20L)))
+    assert(got(3L) == ((32L, 26L)))
+  }
+
+  test("featurePropagate: negative mean truncates toward zero (both engines)") {
+    import spark.implicits._
+    val nodes = Seq((10L, -1L), (11L, -2L), (12L, 0L)).toDF("nid", "feat")
+    val edges = Seq((10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val got = Graph.featurePropagate(nodes, "nid", "feat", edges,
+        "src", "dst", rounds = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(12L) == -1L, "(-3) div 2 must truncate to -1, not floor to -2")
+  }
 }

@@ -100,6 +100,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioStats(spark, bad).count() == 0)
   }
 
+  test("loudnessGain: exact power-domain algebra, silent clip null") {
+    import spark.implicits._
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bb = java.nio.ByteBuffer.allocate(2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => bb.putShort(s.toShort))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bb.array()), fmt,
+        samples.length.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(Array(1000, -2000, 300))),
+      Multimodal.MediaRow(2L, "audio", wav(Array(0, 0)))).toDS().toDF()
+    val target = 100000000000L
+    val got = Multimodal.loudnessGain(spark, media, target)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))
+          .map(_.asInstanceOf[Long])))).toMap
+    val sq = 1000L * 1000 + 2000L * 2000 + 300L * 300
+    val ms = 1000L * sq / 3
+    assert(got(1L) == ((3L, ms, Some(1000000L * target / ms))))
+    // digitally-silent clip: null gain, never a divide-by-zero
+    assert(got(2L) == ((2L, 0L, None)))
+  }
+
   test("speechSegments: hand-built WAV, exact window energies, island merge") {
     import spark.implicits._
     // 200 mono samples in 4 windows of 50: silent, loud, loud, silent.

@@ -137,6 +137,25 @@ class ScaleSpec extends SparkSpec {
     assert(plan.size == 4)
   }
 
+  test("bloomFilteredJoin: equals the plain join; prefilter kills non-matches") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val small = Seq((7L, "seven"), (13L, "thirteen"), (999L, "none"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val bloomed = graft.ops.Relational
+      .bloomFilteredJoin(big, small, "k")
+      .select("k", "payload", "name")
+    assert(plain.count() == bloomed.count() && bloomed.count() == 40L)
+    assert(plain.except(bloomed).count() == 0)
+    assert(bloomed.except(plain).count() == 0)
+    // null probe keys never match (same as the plain inner join)
+    val withNull = big.unionByName(
+      Seq((Option.empty[Long], 0L)).toDF("k", "payload"))
+    assert(graft.ops.Relational.bloomFilteredJoin(withNull, small, "k")
+      .count() == 40L)
+  }
+
   test("compactionPlan: a non-positive file size fails by name") {
     import spark.implicits._
     val bad = Seq(("a", 1L, 0L)).toDF("dir_name", "file_id", "bytes")

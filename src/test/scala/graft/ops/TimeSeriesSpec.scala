@@ -263,4 +263,32 @@ class TimeSeriesSpec extends SparkSpec {
       nOut = 8)
     assert(got.count() == 5)
   }
+
+  test("residualAnomalies: hand median/MAD, only the true outlier flags") {
+    // residuals -3,-1,1,3,100: med2 = 2 (median 1); dev2 = 8,4,0,4,198;
+    // mad4 = 8 (MAD 2); flag <=> 2*dev2 > 3*8 <=> dev2 > 12 -> only 100
+    val dec = Seq(
+      ("a", 0L, 5L, Some(-3L)), ("a", 1L, 5L, Some(-1L)),
+      ("a", 2L, 5L, Some(1L)), ("a", 3L, 5L, Some(3L)),
+      ("a", 4L, 5L, Some(100L)),
+      ("a", 5L, 5L, Option.empty[Long])) // edge row: no residual, no row out
+      .toDF("k", "hr", "v_cent", "resid_q")
+    val got = TimeSeries.residualAnomalies(dec, "k", k = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size == 5, "null-residual rows are edge rows, not output")
+    assert(got(0L) == ((2L, 8L, false)))
+    assert(got(4L) == ((2L, 8L, true)))
+    assert(got.count(_._2._3) == 1)
+  }
+
+  test("residualAnomalies: zero MAD degrades to any-deviation-flags") {
+    // residuals 0,0,0,10: med2 = 0, mad4 = 0 -> only the 10 row flags
+    val dec = Seq(("a", 0L, 1L, 0L), ("a", 1L, 1L, 0L),
+      ("a", 2L, 1L, 0L), ("a", 3L, 1L, 10L))
+      .toDF("k", "hr", "v_cent", "resid_q")
+    val got = TimeSeries.residualAnomalies(dec, "k")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(got == Map(0L -> false, 1L -> false, 2L -> false, 3L -> true))
+  }
 }
