@@ -369,6 +369,44 @@ object Relational {
         "left_semi")
   }
 
+  /** SCD2 validity audit — the data-quality gate on a slowly-changing
+    * dimension: per key, versions ordered (from, to NULLS LAST) must
+    * tile time without overlap, carry at most one open (null-`to`)
+    * version, and keep it LAST. Emits one row per key:
+    * `(key, n_versions, n_overlaps, n_gaps, n_current,
+    * n_dangling_current, ok)` — overlap ⇔ `from < prev to` (half-open
+    * intervals), gap ⇔ `from > prev to` (counted separately: gaps are
+    * legitimate in some dimensions, overlaps never are), dangling ⇔ an
+    * open version followed by another version. `ok` ⇔ no overlap, ≤ 1
+    * current, no dangling. One window per key + one grouped aggregate;
+    * key-parallel at any dimension size.
+    */
+  def scd2ValidityAudit(dim: DataFrame, keyCol: String, fromCol: String,
+      toCol: String): DataFrame = {
+    val rows = dim.where(col(keyCol).isNotNull && col(fromCol).isNotNull)
+      .select(col(keyCol).as("k"), col(fromCol).cast("long").as("f"),
+        col(toCol).cast("long").as("t"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("f").asc, col("t").asc_nulls_last)
+    val flagged = rows
+      .withColumn("prev_t", lag("t", 1).over(w))
+      .withColumn("next_f", lead("f", 1).over(w))
+      .select(col("k"),
+        when(col("prev_t").isNotNull && col("f") < col("prev_t"), 1L)
+          .otherwise(0L).as("ov"),
+        when(col("prev_t").isNotNull && col("f") > col("prev_t"), 1L)
+          .otherwise(0L).as("gp"),
+        when(col("t").isNull, 1L).otherwise(0L).as("cur"),
+        when(col("t").isNull && col("next_f").isNotNull, 1L)
+          .otherwise(0L).as("dangling"))
+    flagged.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_versions"), sum("ov").as("n_overlaps"),
+        sum("gp").as("n_gaps"), sum("cur").as("n_current"),
+        sum("dangling").as("n_dangling_current"))
+      .withColumn("ok", col("n_overlaps") === 0 && col("n_current") <= 1 &&
+        col("n_dangling_current") === 0)
+  }
+
   /** Bloom-style runtime pre-filter join — the "semi-join pushdown"
     * pattern for a big-big equi-join where the probe side is huge but
     * the match rate is low: derive two md5 bit positions per build-side

@@ -123,6 +123,37 @@ object Sketches {
   def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("g", "b").agg(max(col("m")).as("m"))
 
+  /** Sliding-window distinct count from per-hour register tables — the
+    * "distinct users, trailing 24 h, every hour" dashboard verb WITHOUT
+    * rescanning any hour's raw data: each register row is exploded to
+    * the `windowHours` window-end hours it serves (register mergeability
+    * makes the union a per-bucket max), per (g, hour) registers are
+    * estimated with the standard formula, and only hours that actually
+    * appear in `regs` emit a row. Input `regs` is `(g, hr, b, m)` —
+    * [[hllRegisters]] output keyed by (group, hour); `g` must not
+    * contain `'|'` (used as the composite separator). Cost is
+    * O(registers × windowHours) — linear in occupied registers,
+    * independent of raw row count: the property that makes hourly
+    * sketch tables the 100 TB answer to sliding cardinality.
+    */
+  def hllSlidingEstimate(regs: DataFrame, windowHours: Int,
+      buckets: Int = 1024, maxRank: Int = 40): DataFrame = {
+    require(windowHours >= 1 && windowHours <= 168,
+      "windowHours in [1, 168]")
+    val served = regs
+      .withColumn("hr_out",
+        explode(sequence(col("hr"), col("hr") + lit(windowHours - 1))))
+      .groupBy("g", "hr_out", "b").agg(max(col("m")).as("m"))
+    val hours = regs.select(col("g"), col("hr").as("hr_out")).distinct()
+    val windowed = served.join(hours, Seq("g", "hr_out"), "left_semi")
+    hllEstimate(windowed.select(
+        concat(col("g"), lit("|"), col("hr_out")).as("g"),
+        col("b"), col("m")), buckets, maxRank)
+      .select(substring_index(col("g"), "|", 1).as("g"),
+        expr("cast(substring_index(g, '|', -1) as long)").as("hr"),
+        col("n_registers"), col("z_scaled"), col("raw_est"))
+  }
+
   /** Estimate from a register table (see [[hllDistinct]] for the
     * construction and the scaled-integer harmonic sum).
     */

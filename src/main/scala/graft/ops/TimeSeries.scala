@@ -412,6 +412,42 @@ object TimeSeries {
           .as("is_anomaly"))
   }
 
+  /** Watermark planner — turns [[latenessProfile]]'s diagnostic into
+    * the DECISION table: for each candidate watermark delay, how many
+    * events would arrive too late and be dropped. Lateness is replayed
+    * per key in arrival order (running max event-time − event-time),
+    * then every candidate is ONE conditional sum in a single global
+    * aggregate — the whole plan is one window + one pass, however many
+    * candidates are probed. Emits `(delay_ms, n_events, n_late,
+    * drop_ppm)` sorted by the caller; `drop_ppm` is exact floored ppm.
+    */
+  def watermarkPlan(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, delaysMs: Seq[Long]): DataFrame = {
+    require(delaysMs.nonEmpty && delaysMs.forall(_ >= 0),
+      "delaysMs must be non-empty, non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(seqCol).isNotNull)
+      .select(col(keyCol), col(seqCol),
+        unix_millis(col(tsCol).cast("timestamp")).as("ts_ms"))
+      .withColumn("late_ms", max("ts_ms").over(w) - col("ts_ms"))
+    val aggs = delaysMs.distinct.sorted.zipWithIndex.map { case (d, i) =>
+      struct(lit(d).as("delay_ms"), count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > d, 1L).otherwise(0L)).as("n_late"))
+        .as(s"_d$i")
+    }
+    late.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        delaysMs.distinct.sorted.indices.map(i => col(s"_d$i")): _*)).as("r"))
+      .select(col("r.delay_ms"), col("r.n_events"), col("r.n_late"),
+        when(col("r.n_events") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * r.n_late) div r.n_events"))
+          .as("drop_ppm"))
+  }
+
   def latenessProfile(df: DataFrame, keyCol: String, tsCol: String,
       seqCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1572,6 +1572,116 @@ object ExtraQueries {
       END AS gain_ppm
     FROM m"""
 
+  // —————————————————————————————— sliding-window HLL (q249)
+  // (the "distinct users, trailing 24 h, every hour" dashboard from
+  //  per-hour register tables alone — each register row exploded to
+  //  the window-end hours it serves, per-bucket max union, standard
+  //  estimate; NO raw-data rescan. The oracle replays the q166
+  //  register algebra + the same explode/union.)
+  val q249SlidingHll: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).where(col("user_id").isNotNull &&
+      col("ts").isNotNull && col("event_type").isNotNull)
+    val regs = Sketches.hllRegisters(
+      ev.withColumn("gh", concat(col("event_type"), lit("|"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000"))),
+      "gh", "user_id")
+      .select(substring_index(col("g"), "|", 1).as("g"),
+        expr("cast(substring_index(g, '|', -1) as long)").as("hr"),
+        col("b"), col("m"))
+    Sketches.hllSlidingEstimate(regs, windowHours = 24)
+      .withColumnRenamed("g", "event_type")
+  }
+  private val q249Sql: String = """
+    WITH h AS (SELECT event_type AS g, epoch_ms(ts) // 3600000 AS hr,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+          AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    r AS (SELECT g, hr, hv % 1024 AS b,
+        least(51 - length(ltrim(bin(hv >> 10), '0')), 40) AS rk
+      FROM h),
+    regs AS (SELECT g, hr, b, max(rk) AS m FROM r GROUP BY 1, 2, 3),
+    srv AS (SELECT g, unnest(range(hr, hr + 24)) AS ho, b, m FROM regs),
+    wreg AS (SELECT g, ho, b, max(m) AS m FROM srv GROUP BY 1, 2, 3),
+    hrs AS (SELECT DISTINCT g, hr FROM regs),
+    wa AS (SELECT wreg.g, wreg.ho, wreg.b, wreg.m
+          FROM wreg JOIN hrs ON wreg.g = hrs.g AND wreg.ho = hrs.hr),
+    z AS (SELECT g, ho, count(*) AS n_registers,
+        CAST(sum(1::BIGINT << (40 - m)) AS BIGINT)
+          + (1024 - count(*)) * (1::BIGINT << 40) AS z_scaled
+      FROM wa GROUP BY 1, 2)
+    SELECT g AS event_type, CAST(ho AS BIGINT) AS hr,
+      CAST(n_registers AS BIGINT) AS n_registers, z_scaled,
+      round((0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+        * CAST(1::BIGINT << 40 AS DOUBLE) / CAST(z_scaled AS DOUBLE), 2)
+        AS raw_est
+    FROM z"""
+
+  // —————————————————————————————— SCD2 validity audit (q250)
+  // (dimension-integrity gate over a DELIBERATELY dirty versions table
+  //  — value-derived durations make real overlaps and gaps, every 97th
+  //  version left open — per key: overlap/gap/current/dangling counts
+  //  and the ok verdict. The oracle replays the same lag/lead walk.)
+  val q250Scd2Audit: Q = (s, dir) => {
+    val versions = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("vf"),
+        when(col("event_id") % 97 === 0, lit(null).cast("long"))
+          .otherwise(unix_millis(col("ts").cast("timestamp")) +
+            round(col("value") * 100).cast("long") * 1000).as("vt"))
+    graft.ops.Relational.scd2ValidityAudit(versions, "user_id", "vf", "vt")
+  }
+  private val q250Sql: String = """
+    WITH v AS (SELECT user_id AS k, epoch_ms(ts) AS f,
+        CASE WHEN event_id % 97 = 0 THEN NULL
+          ELSE epoch_ms(ts) + CAST(round(value * 100) AS BIGINT) * 1000
+        END AS t
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL),
+    l AS (SELECT k, f, t,
+        lag(t) OVER (PARTITION BY k ORDER BY f, t NULLS LAST) AS pt,
+        lead(f) OVER (PARTITION BY k ORDER BY f, t NULLS LAST) AS nf
+      FROM v)
+    SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_versions,
+      CAST(sum(CASE WHEN pt IS NOT NULL AND f < pt THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_overlaps,
+      CAST(sum(CASE WHEN pt IS NOT NULL AND f > pt THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_gaps,
+      CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_current,
+      CAST(sum(CASE WHEN t IS NULL AND nf IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dangling_current,
+      (sum(CASE WHEN pt IS NOT NULL AND f < pt THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) <= 1
+        AND sum(CASE WHEN t IS NULL AND nf IS NOT NULL THEN 1 ELSE 0 END)
+          = 0) AS ok
+    FROM l GROUP BY 1"""
+
+  // —————————————————————————————— watermark planner (q251)
+  // (q227's lateness replay turned into the decision table: per
+  //  candidate watermark delay, the exact ppm of events that would be
+  //  dropped — one window + ONE global aggregate for all candidates.)
+  val q251WatermarkPlan: Q = (s, dir) =>
+    TimeSeries.watermarkPlan(Tables.events(s, dir), "user_id", "ts",
+      "event_id", Seq(0L, 60000L, 300000L, 900000L, 3600000L))
+  private val q251Sql: String = """
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL),
+    l AS (SELECT max(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) - ts_ms AS late_ms
+          FROM e),
+    d AS (SELECT unnest([0, 60000, 300000, 900000, 3600000]) AS delay_ms)
+    SELECT CAST(d.delay_ms AS BIGINT) AS delay_ms,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CASE WHEN l.late_ms > d.delay_ms THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_late,
+      (1000000 * CAST(sum(CASE WHEN l.late_ms > d.delay_ms
+          THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS drop_ppm
+    FROM l CROSS JOIN d GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -1615,7 +1725,10 @@ object ExtraQueries {
     "q245_hll_rollup" -> q245HllRollup,
     "q246_residual_anomalies" -> q246ResidualAnomalies,
     "q247_bloom_join" -> q247BloomJoin,
-    "q248_loudness_gain" -> q248LoudnessGain)
+    "q248_loudness_gain" -> q248LoudnessGain,
+    "q249_sliding_hll" -> q249SlidingHll,
+    "q250_scd2_audit" -> q250Scd2Audit,
+    "q251_watermark_plan" -> q251WatermarkPlan)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1657,6 +1770,9 @@ object ExtraQueries {
     "q246_residual_anomalies" -> q246Sql,
     "q247_bloom_join" -> q247Sql,
     "q248_loudness_gain" -> q248Sql,
+    "q249_sliding_hll" -> q249Sql,
+    "q250_scd2_audit" -> q250Sql,
+    "q251_watermark_plan" -> q251Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

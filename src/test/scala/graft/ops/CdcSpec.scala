@@ -181,4 +181,24 @@ class CdcSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(withEmpty == oneShot)
   }
+
+  test("scd2ValidityAudit: overlaps, gaps, dangling current, per-key verdicts") {
+    import spark.implicits._
+    val dim = Seq(
+      // A: clean tiling with one legitimate gap -> ok (gaps don't fail)
+      ("A", 0L, Some(10L)), ("A", 10L, Some(20L)), ("A", 25L, Some(30L)),
+      // B: [0,15) overlaps [10,20); closed by a current row -> overlap fails
+      ("B", 0L, Some(15L)), ("B", 10L, Some(20L)),
+      ("B", 20L, Option.empty[Long]),
+      // C: an OPEN version followed by another -> dangling current
+      ("C", 0L, Option.empty[Long]), ("C", 5L, Some(10L)))
+      .toDF("k", "vf", "vt")
+    val got = Relational.scd2ValidityAudit(dim, "k", "vf", "vt")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got("A") == ((3L, 0L, 1L, 0L, 0L, true)))
+    assert(got("B") == ((3L, 1L, 0L, 1L, 0L, false)))
+    assert(got("C") == ((2L, 0L, 0L, 1L, 1L, false)))
+  }
 }

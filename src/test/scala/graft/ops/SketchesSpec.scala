@@ -126,6 +126,36 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllEstimate(ra).as[(String, Long, Long, Double)].collect().toSeq)
   }
 
+  test("hllSlidingEstimate: trailing window unions registers, inactive hours omitted") {
+    import spark.implicits._
+    val ev = ((1 to 300).map(i => ("a", 0L, s"u$i")) ++ // hour 0
+      (200 to 500).map(i => ("a", 1L, s"u$i")) ++       // hour 1, overlaps
+      (1 to 50).map(i => ("a", 40L, s"w$i")))           // far-away hour
+      .toDF("g0", "hr0", "v")
+    val regs = Sketches.hllRegisters(
+        ev.withColumn("gh", concat(col("g0"), lit("|"), col("hr0"))),
+        "gh", "v")
+      .select(substring_index(col("g"), "|", 1).as("g"),
+        expr("cast(substring_index(g, '|', -1) as long)").as("hr"),
+        col("b"), col("m"))
+    val got = Sketches.hllSlidingEstimate(regs, windowHours = 24)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    // only the three ACTIVE hours emit rows — hour 40's window does NOT
+    // reach back to hour 1 (39 > 23), hours 2..39 emit nothing
+    assert(got.keySet == Set(0L, 1L, 40L))
+    // hour 1's sliding estimate must EQUAL the direct union of hours 0+1
+    val direct01 = Sketches.hllDistinct(
+        ev.where(col("hr0") <= 1L).withColumn("g", col("g0")), "g", "v")
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).head
+    assert(got(1L) == direct01, "sliding union must equal the direct build")
+    // hour 40 sees only its own registers
+    val direct40 = Sketches.hllDistinct(
+        ev.where(col("hr0") === 40L).withColumn("g", col("g0")), "g", "v")
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).head
+    assert(got(40L) == direct40)
+  }
+
   test("hllDistinct: deterministic under repartitioning; integers hash-stable") {
     val df = (1 to 2000).map(i => (s"g${i % 3}", i.toString)).toDF("g", "v")
     val a = Sketches.hllDistinct(df, "g", "v").collect()

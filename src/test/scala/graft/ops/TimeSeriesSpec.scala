@@ -282,6 +282,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count(_._2._3) == 1)
   }
 
+  test("watermarkPlan: exact drop ppm per candidate delay, one pass") {
+    // arrival order 1..4, event times 100 s, 50 s, 200 s, 90 s ->
+    // lateness 0, 50 s, 0, 110 s
+    val ev = Seq((7L, 1L, 100000L), (7L, 2L, 50000L), (7L, 3L, 200000L),
+      (7L, 4L, 90000L))
+      .toDF("u", "seq", "ms")
+      .withColumn("ts", expr("timestamp_millis(ms)"))
+    val got = TimeSeries.watermarkPlan(ev, "u", "ts", "seq",
+        Seq(60000L, 0L, 60000L)) // dup + unsorted candidates normalize
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 2)
+    // no watermark: both late events (50 s, 110 s) drop
+    assert(got(0L) == ((4L, 2L, 500000L)))
+    // 60 s watermark: only the 110 s-late event drops
+    assert(got(60000L) == ((4L, 1L, 250000L)))
+  }
+
   test("residualAnomalies: zero MAD degrades to any-deviation-flags") {
     // residuals 0,0,0,10: med2 = 0, mad4 = 0 -> only the 10 row flags
     val dec = Seq(("a", 0L, 1L, 0L), ("a", 1L, 1L, 0L),
