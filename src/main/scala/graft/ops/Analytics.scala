@@ -1064,6 +1064,46 @@ object Analytics {
       .unionByName(parent)
   }
 
+  /** Leave-one-out + smoothed target encoding — the categorical
+    * feature-engineering verb for tabular training data. Per category:
+    * `n`, positives; per ROW the leave-one-out rate excludes the row's
+    * own label (the standard leakage defense: a category's encoding
+    * must not memorize the row it encodes), and the m-smoothed rate
+    * shrinks rare categories toward the global prior. All exact
+    * floored ppm: `loo = 1e6·(pos − y) div (n − 1)` (null for
+    * singletons — a 1-row category has NO leakage-safe encoding, and a
+    * fake 0/prior would be silent leakage), `smoothed =
+    * (1e6·pos + m·prior_ppm) div (n + m)`. One grouped aggregate + one
+    * broadcast-back join (the hint is right while the category table is
+    * dimension-sized; an ultra-high-cardinality feature would drop it
+    * and take the shuffle join AQE picks). Nothing data-sized shuffles
+    * twice.
+    */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      labelCol: String, m: Int = 20): DataFrame = {
+    require(m >= 0, "m must be >= 0")
+    val rows = df
+      .filter(col(idCol).isNotNull && col(catCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(catCol).as("cat"),
+        col(labelCol).cast("long").as("y"))
+      .withColumn("y", when(col("y") === 0L || col("y") === 1L, col("y"))
+        .otherwise(expr("raise_error('targetEncode: label must be 0/1')")))
+    val perCat = rows.groupBy("cat")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val prior = rows.agg(
+      expr("(1000000 * sum(y)) div count(1)").as("prior_ppm"))
+    val enriched = perCat.crossJoin(broadcast(prior))
+      .withColumn("smoothed_ppm",
+        expr(s"(1000000 * pos + $m * prior_ppm) div (n + $m)"))
+    rows.join(broadcast(enriched), Seq("cat"))
+      .select(col("id"), col("cat"), col("y"), col("n").as("cat_n"),
+        when(col("n") > 1,
+          expr("(1000000 * (pos - y)) div (n - 1)"))
+          .otherwise(lit(null).cast("long")).as("loo_ppm"),
+        col("smoothed_ppm"))
+  }
+
   // ———————————————————————— data-contract expectations ————————————————————————
   // The dbt-test / Great-Expectations verb: declared rules evaluated
   // into one uniform report `(rule, n_checked, n_violations, viol_ppm,

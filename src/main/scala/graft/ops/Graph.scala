@@ -553,4 +553,36 @@ object Graph {
     }
     cur.select(col("id"), col("f0").as("feat_in"), col("f").as("feat_out"))
   }
+
+  /** Multi-source BFS hop distances — the "blast radius" verb (which
+    * nodes sit within k hops of a seed set: incident scoping, recall
+    * expansion, supply-chain exposure). Classic frontier BFS unrolled
+    * a driver-bounded `maxHops` rounds: each round joins ONLY the
+    * newly-discovered frontier to the edge list (O(frontier-incident
+    * edges), never the whole known set), anti-joins already-known
+    * nodes away, and tags survivors with the hop count — so a node's
+    * `dist` is its true minimum distance by construction. Multi-edges
+    * collapsed; unreached nodes are absent, never a sentinel distance.
+    */
+  def bfsDistances(seeds: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "maxHops in [1, 8] (unrolled)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    var known = seeds.select(col(idCol).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+    var frontier = known.select("node")
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(known.select("node"), Seq("node"), "left_anti")
+      known = known.unionByName(next.withColumn("dist", lit(h.toLong)))
+      frontier = next
+    }
+    known
+  }
 }

@@ -159,4 +159,41 @@ object Privacy {
           .as("tv_dist_ppm")): _*)
       .withColumn("t_close", col("tv_dist_ppm") <= tPpm)
   }
+
+  /** K-anonymity generalization ladder — picks HOW COARSE the quasi-
+    * identifiers must be bucketed before every equivalence class
+    * reaches size `k` (the release knob that q135's suppression path
+    * doesn't turn: generalize first, suppress only what's left). The
+    * caller declares the ladder — `(level, bucketed QI columns)` from
+    * finest to coarsest — and each level costs ONE grouped count whose
+    * survivors are a 4-number summary; the chosen level is the minimum
+    * one meeting `k`. Emits one row per level
+    * `(level, n_classes, min_class, max_class, meets_k, is_chosen)` —
+    * the full ladder stays visible (an auditor wants to see the
+    * utility cliff, not just the winner); if NO level meets `k`,
+    * every `is_chosen` is false, never a silently-picked coarsest.
+    */
+  def generalizationLadder(df: DataFrame,
+      ladder: Seq[(Int, Seq[org.apache.spark.sql.Column])],
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(ladder.nonEmpty && ladder.map(_._1).distinct.size ==
+      ladder.size, "ladder levels must be distinct")
+    val perLevel = ladder.map { case (lvl, exprs) =>
+      require(exprs.nonEmpty, s"level $lvl has no QI columns")
+      df.groupBy(exprs: _*).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_classes"), min("c").as("min_class"),
+          max("c").as("max_class"))
+        .select(lit(lvl.toLong).as("level"), col("n_classes"),
+          col("min_class"), col("max_class"))
+    }.reduce(_ unionByName _)
+    val flagged = perLevel
+      .withColumn("meets_k", col("min_class") >= k)
+    val chosen = flagged.where(col("meets_k"))
+      .agg(min("level").as("_chosen"))
+    flagged.crossJoin(broadcast(chosen))
+      .withColumn("is_chosen",
+        col("_chosen").isNotNull && col("level") === col("_chosen"))
+      .drop("_chosen")
+  }
 }

@@ -227,6 +227,82 @@ object Similarity {
       .drop("rn_c")
   }
 
+  /** Exact max-inner-product top-k (MIPS) with Cauchy–Schwarz norm
+    * pruning — recommendation-scoring's retrieval verb, where raw dot
+    * (not cosine) ranks and big-norm items dominate. LAW: the result
+    * EQUALS the brute-force scan (the oracle is the plain ranked dot),
+    * because pruning only ever drops vectors whose upper bound
+    * `|q|·|x|` is strictly below an already-found kth score:
+    *
+    *   1. Corpus vectors carry their exact squared norm (Σ micro², a
+    *      BIGINT) and a fixed-width norm BAND (`nsq div 1e12` — ≤ ~20
+    *      bands at any corpus size).
+    *   2. Phase 1 scores only the top bands covering ≥ max(4k, 256)
+    *      vectors (band threshold derived from band counts — a
+    *      ≤ 20-row frame) and takes each query's kth-best dot as a
+    *      conservative lower bound on its global kth.
+    *   3. Phase 2 admits a remaining vector only when
+    *      `qnsq·nsq ≥ kth²` (decimal(38) — the squared Cauchy–Schwarz
+    *      test, exact) or `kth < 0`; big-norm-first order makes most
+    *      of the corpus fail this cheap integer compare before any
+    *      64-multiply dot runs.
+    *
+    * Scores are EXACT micro² integers (|dot| ≤ dims·(2²⁰)² < 2^53 in
+    * the double kernel), ranking `(dot DESC, id)` — no float rounding
+    * anywhere, so ties are engine-independent.
+    */
+  def mipsTopKBatch(vectors: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val dec = "decimal(38,0)"
+    val bandW = 1000000000000L
+    def micro(c: Column) = transform(asDouble(c), x => round(x * 1000000))
+    val corpus = vectors.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("vid"), micro(col(vecCol)).as("xv"))
+      .withColumn("nsq", fastDot(col("xv"), col("xv")).cast("long"))
+      .withColumn("band", expr(s"nsq div ${bandW}L"))
+    val qs = queries.select(col("q_id"), micro(col("qvec")).as("qv"))
+      .withColumn("qnsq", fastDot(col("qv"), col("qv")).cast("long"))
+    val initK = math.max(4 * k, 256)
+    // band threshold: the largest band value whose top-bands cumulative
+    // count reaches initK (all bands if the corpus is smaller)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val bandT = corpus.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum("bn").over(wB))
+      .agg(coalesce(max(when(col("cum") >= initK, col("band"))),
+        min(col("band"))).as("t0"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vid"))
+    val phase1 = corpus.crossJoin(broadcast(bandT))
+      .where(col("band") >= col("t0"))
+      .crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vid"),
+        fastDot(col("xv"), col("qv")).cast("long").as("dot"))
+    val kth = phase1.withColumn("rk", row_number().over(wQ))
+      .where(col("rk") === k)
+      .select(col("q_id").as("q_id_t"), col("dot").as("kth"))
+    // queries with < k phase-1 rows have no kth row -> no pruning (left join)
+    val phase2 = corpus.crossJoin(broadcast(bandT))
+      .where(col("band") < col("t0"))
+      .crossJoin(broadcast(qs.join(kth, col("q_id") === col("q_id_t"),
+        "left").drop("q_id_t")))
+      .where(col("kth").isNull || col("kth") < 0 ||
+        col("qnsq").cast(dec) * col("nsq").cast(dec) >=
+          col("kth").cast(dec) * col("kth").cast(dec))
+      .select(col("q_id"), col("vid"),
+        fastDot(col("xv"), col("qv")).cast("long").as("dot"))
+    phase1.unionByName(phase2)
+      .withColumn("rk", row_number().over(wQ).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("vid").as(idCol), col("dot").as("dot_micro2"),
+        col("rk"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * `k` most-similar corpus vectors carrying a DIFFERENT label — the
     * negatives that actually move a contrastive loss (easy negatives are

@@ -1682,6 +1682,139 @@ object ExtraQueries {
           THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS drop_ppm
     FROM l CROSS JOIN d GROUP BY 1"""
 
+  // —————————————————————————————— multi-source BFS (q252)
+  // (supply-chain blast radius: hop distances from nation-0 suppliers
+  //  over the real part↔supplier bipartite graph, 3 unrolled frontier
+  //  rounds — each joins only the NEW frontier; unreached nodes absent.
+  //  The oracle unrolls the same rounds with NOT-IN anti-joins.)
+  val q252BfsDistances: Q = (s, dir) => {
+    val pairs = Tables.lineitem(s, dir)
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("su").as("dst"))
+      .unionByName(pairs.select(col("su").as("src"), col("p").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    Graph.bfsDistances(seeds, "node", edges, "src", "dst", maxHops = 3)
+  }
+  private val q252Sql: String = """
+    WITH pr AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS su
+          FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    e AS (SELECT p AS src, su AS dst FROM pr
+          UNION ALL SELECT su, p FROM pr),
+    d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+          WHERE s_nationkey = 0),
+    f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)),
+    k1 AS (SELECT node FROM d0 UNION ALL SELECT node FROM f1),
+    f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+          WHERE e.dst NOT IN (SELECT node FROM k1)),
+    k2 AS (SELECT node FROM k1 UNION ALL SELECT node FROM f2),
+    f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+          WHERE e.dst NOT IN (SELECT node FROM k2))
+    SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+    UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
+    UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
+    UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3"""
+
+  // —————————————————————————————— target encoding (q253)
+  // (LOO + m-smoothed categorical encoding in exact floored ppm — the
+  //  leakage-safe tabular feature; singleton categories emit null LOO,
+  //  never a fake prior. One grouped aggregate + broadcast-back.)
+  val q253TargetEncode: Q = (s, dir) =>
+    Analytics.targetEncode(
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .withColumn("y", expr("cast(user_id % 3 = 0 as long)")),
+      "event_id", "event_type", "y", m = 20)
+  private val q253Sql: String = """
+    WITH b AS (SELECT event_id AS id, event_type AS cat,
+            CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+          FROM events WHERE event_id IS NOT NULL
+            AND event_type IS NOT NULL AND user_id IS NOT NULL),
+    pc AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS pos
+          FROM b GROUP BY 1),
+    pr AS (SELECT (1000000 * CAST(sum(y) AS BIGINT)) // count(*)
+            AS prior_ppm FROM b)
+    SELECT b.id, b.cat, CAST(b.y AS BIGINT) AS y, pc.n AS cat_n,
+      CASE WHEN pc.n > 1
+        THEN (1000000 * (pc.pos - b.y)) // (pc.n - 1) END AS loo_ppm,
+      (1000000 * pc.pos + 20 * pr.prior_ppm) // (pc.n + 20)
+        AS smoothed_ppm
+    FROM b JOIN pc ON b.cat = pc.cat CROSS JOIN pr"""
+
+  // —————————————————————————————— norm-pruned exact MIPS (q254)
+  // (max-inner-product retrieval with Cauchy–Schwarz band pruning; the
+  //  LAW is the oracle — a brute-force ranked dot over all pairs. Any
+  //  vector the pruning wrongly drops flips the hash.)
+  val q254Mips: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    Similarity.mipsTopKBatch(emb, queries, k = 10)
+  }
+  private val q254Sql: String = """
+    WITH m AS (SELECT vec_id, i - 1 AS d,
+            CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            unnest(range(1, len(e) + 1)) u(i)),
+    q AS (SELECT vec_id AS q_id, d, xm AS qm FROM m WHERE vec_id < 5),
+    dots AS (SELECT q.q_id, m.vec_id,
+            CAST(sum(q.qm * m.xm) AS BIGINT) AS dot
+          FROM q JOIN m ON q.d = m.d GROUP BY 1, 2),
+    r AS (SELECT q_id, vec_id, dot, row_number() OVER
+            (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rk
+          FROM dots)
+    SELECT q_id, vec_id, dot AS dot_micro2, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10"""
+
+  // —————————————————————————————— generalization ladder (q255)
+  // (k-anonymity's OTHER knob: how coarse must (user bucket, value
+  //  bucket) get before every class reaches k = 25 — seven levels,
+  //  each one grouped count reduced to a 4-number summary; the chosen
+  //  level is the minimum that meets k, with the whole utility ladder
+  //  kept visible.)
+  val q255GeneralizationLadder: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("user_id") % 100).as("u"),
+        round(col("value") * 100).cast("long").as("c"))
+    val ladder = (0 to 6).map { l =>
+      l -> Seq(expr(s"u div ${1L << l}L"),
+        expr(s"c div ${math.pow(4, l).toLong}L"))
+    }
+    Privacy.generalizationLadder(ev, ladder, k = 25)
+  }
+  private val q255Sql: String = {
+    val blocks = (0 to 6).map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS level,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(min(c) AS BIGINT) AS min_class,
+        CAST(max(c) AS BIGINT) AS max_class
+      FROM (SELECT (user_id % 100) // ${1L << l} AS qu,
+              CAST(round(value * 100) AS BIGINT) // ${math.pow(4, l).toLong}
+                AS qv, count(*) AS c
+            FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2)"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH lv AS ($blocks),
+    ch AS (SELECT min(CASE WHEN min_class >= 25 THEN level END) AS c
+          FROM lv)
+    SELECT level, n_classes, min_class, max_class,
+      min_class >= 25 AS meets_k,
+      ch.c IS NOT NULL AND level = ch.c AS is_chosen
+    FROM lv CROSS JOIN ch"""
+  }
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -1728,7 +1861,11 @@ object ExtraQueries {
     "q248_loudness_gain" -> q248LoudnessGain,
     "q249_sliding_hll" -> q249SlidingHll,
     "q250_scd2_audit" -> q250Scd2Audit,
-    "q251_watermark_plan" -> q251WatermarkPlan)
+    "q251_watermark_plan" -> q251WatermarkPlan,
+    "q252_bfs_distances" -> q252BfsDistances,
+    "q253_target_encode" -> q253TargetEncode,
+    "q254_mips" -> q254Mips,
+    "q255_generalization_ladder" -> q255GeneralizationLadder)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1773,6 +1910,10 @@ object ExtraQueries {
     "q249_sliding_hll" -> q249Sql,
     "q250_scd2_audit" -> q250Sql,
     "q251_watermark_plan" -> q251Sql,
+    "q252_bfs_distances" -> q252Sql,
+    "q253_target_encode" -> q253Sql,
+    "q254_mips" -> q254Sql,
+    "q255_generalization_ladder" -> q255Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

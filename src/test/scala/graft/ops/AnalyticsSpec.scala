@@ -612,6 +612,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("parent", None)) == ((4L, 375000L)))
   }
 
+  test("targetEncode: hand LOO/smoothed ppm, singleton null, bad label loud") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 1L), (2L, "A", 0L), (3L, "A", 1L),
+      (4L, "B", 0L)).toDF("id", "cat", "y")
+    val got = Analytics.targetEncode(df, "id", "cat", "y", m = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getLong(5)))).toMap
+    // prior = (1e6*2) div 4 = 500000
+    // A: n=3 pos=2 -> smoothed = (2e6 + 20*500000) div 23 = 521739
+    //    loo(y=1) = 1e6*1 div 2 = 500000; loo(y=0) = 1e6*2 div 2 = 1e6
+    assert(got(1L) == ((3L, Some(500000L), 521739L)))
+    assert(got(2L) == ((3L, Some(1000000L), 521739L)))
+    assert(got(3L) == ((3L, Some(500000L), 521739L)))
+    // B singleton: NO leakage-safe LOO exists -> null, never a fake
+    // smoothed = (0 + 1e7) div 21 = 476190
+    assert(got(4L) == ((1L, None, 476190L)))
+    // a non-binary label fails by name
+    val e = intercept[Exception] {
+      Analytics.targetEncode(Seq((1L, "A", 2L)).toDF("id", "cat", "y"),
+        "id", "cat", "y").collect()
+    }
+    assert(e.toString.contains("targetEncode") ||
+      Option(e.getCause).exists(_.toString.contains("targetEncode")))
+  }
+
   test("expectations: row rules (null = violated), uniqueness, fk orphans") {
     import spark.implicits._
     val t = Seq(

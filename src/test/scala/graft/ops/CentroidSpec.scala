@@ -153,6 +153,37 @@ class CentroidSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("randomProjection")))
   }
 
+  test("mipsTopKBatch: pruned result equals exact brute force across norm bands") {
+    import spark.implicits._
+    // deterministic corpus with WIDELY varying norms so several nsq
+    // bands exist and phase-2 pruning actually has rows to judge
+    def v(i: Int): Array[Float] = Array(
+      ((i * 7) % 11 - 5) * (if (i % 5 == 0) 2.0f else 0.01f),
+      ((i * 3) % 13 - 6) * 0.3f,
+      ((i * 5) % 7 - 3) * (if (i % 3 == 0) 1.5f else 0.1f),
+      (i % 9 - 4) * 0.05f)
+    val corpus = (0 until 60).map(i => (i.toLong, v(i)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i => (100L + i, v(i * 17 + 1)
+        .map(_.toDouble)))
+      .toDF("q_id", "qvec")
+    val got = Similarity.mipsTopKBatch(corpus, queries, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // expected: exact integer dot of micro vectors, (dot desc, id) rank
+    def micro(a: Array[Float]): Array[Long] =
+      a.map(x => math.round(x.toDouble * 1000000))
+    val exp = (0 until 3).flatMap { qi =>
+      val qm = micro(v(qi * 17 + 1))
+      (0 until 60).map { i =>
+        val xm = micro(v(i))
+        (i.toLong, qm.zip(xm).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (id, d) => (-d, id) }.take(7).zipWithIndex
+        .map { case ((id, d), r) => (100L + qi, r + 1L) -> ((id, d)) }
+    }.toMap
+    assert(got == exp, "norm-pruned MIPS must equal brute force exactly")
+  }
+
   test("embeddingDrift: hand cosine + exact L2 shift, zero-norm null") {
     import spark.implicits._
     val emb = Seq(

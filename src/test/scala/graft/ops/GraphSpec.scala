@@ -279,6 +279,28 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) == ((32L, 26L)))
   }
 
+  test("bfsDistances: min hop counts, shortcut wins, unreached absent") {
+    import spark.implicits._
+    // chain 1→2→3→4→5 plus shortcut 1→3: dist(3) must be 1, not 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.bfsDistances(seeds, "node", edges, "src", "dst",
+        maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // maxHops cuts the horizon: node 5 absent at 2 hops, no sentinel
+    val cut = Graph.bfsDistances(seeds, "node", edges, "src", "dst",
+        maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!cut.contains(5L) && cut(4L) == 2L)
+    // multi-source: nearest seed wins
+    val two = Graph.bfsDistances(Seq(1L, 4L).toDF("node"), "node", edges,
+        "src", "dst", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(two(4L) == 0L && two(5L) == 1L && two(3L) == 1L)
+  }
+
   test("featurePropagate: negative mean truncates toward zero (both engines)") {
     import spark.implicits._
     val nodes = Seq((10L, -1L), (11L, -2L), (12L, 0L)).toDF("nid", "feat")

@@ -133,4 +133,26 @@ class PrivacySpec extends SparkSpec {
       Privacy.lDiversity(df, Seq("qi"), "sv", l = 0)
     }
   }
+
+  test("generalizationLadder: minimum meeting level chosen, whole ladder visible") {
+    import spark.implicits._
+    // u in 0..7, one row each: level 0 singletons, level 1 pairs,
+    // level 2 quads, level 3 one class of 8
+    val df = (0L until 8L).map(Tuple1(_)).toDF("u")
+    def ladder(maxL: Int) = (0 to maxL).map { l =>
+      l -> Seq(expr(s"u div ${1L << l}L"))
+    }
+    val got = Privacy.generalizationLadder(df, ladder(3), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(got(0L) == ((8L, 1L, false, false)))
+    assert(got(1L) == ((4L, 2L, false, false)))
+    assert(got(2L) == ((2L, 4L, true, true)), "minimum meeting level wins")
+    assert(got(3L) == ((1L, 8L, true, false)), "coarser levels meet but lose")
+    // no level meets k: nothing chosen, never a silent coarsest pick
+    val none = Privacy.generalizationLadder(df, ladder(1), k = 4)
+      .collect().map(_.getBoolean(5))
+    assert(none.forall(_ == false))
+  }
 }
