@@ -280,4 +280,36 @@ object Evaluation {
           expr("(1000000 * (rp2 - npos * (npos + 1))) div (2 * npos * nneg)"))
           .as("auc_ppm"))
   }
+
+  /** Dimension-truncation recall — the Matryoshka-style eval deciding
+    * whether the leading `dims` of an embedding are enough for
+    * retrieval: per query, the overlap between exact top-k under the
+    * FULL vectors and exact top-k under the first-`dims` slice, as
+    * exact floored ppm. Both rankings use [[Similarity
+    * .bruteForceTopKBatch]]'s deterministic contract (4-d.p. cosine,
+    * id tiebreak), so the comparison is engine-replayable; queries
+    * whose truncated ranking shares nothing emit 0, never a dropped
+    * row. Cost = two ranked scans of the corpus, query-batched.
+    */
+  def truncationRecall(vectors: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && dims >= 1, "k and dims must be >= 1")
+    val full = Similarity.bruteForceTopKBatch(vectors, queries, k,
+      idCol, vecCol)
+    val tq = queries.select(col("q_id"),
+      slice(col("qvec"), 1, dims).as("qvec"))
+    val tv = vectors.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val trunc = Similarity.bruteForceTopKBatch(tv, tq, k, idCol, vecCol)
+    val hits = full.select(col("q_id"), col(idCol))
+      .join(trunc.select(col("q_id"), col(idCol)), Seq("q_id", idCol),
+        "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    full.groupBy("q_id").agg(count(lit(1)).as("n_full"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("q_id"), col("n_full"), col("n_overlap"),
+        expr("(1000000 * n_overlap) div n_full").as("recall_ppm"))
+  }
 }

@@ -327,6 +327,68 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** IVF index fsck — the integrity audit completing the index
+    * lifecycle (build → append → rebalance → delete → compact →
+    * **verify**): three checks over the on-disk index, each one row
+    * `(check_name, n_checked, n_bad, ok)`:
+    *
+    *   - `unique_ids`: every id appears once — `n_bad` counts every
+    *     row of a duplicated id (all copies are unpublishable).
+    *   - `placement`: every row lives in the partition its vector
+    *     argmax-assigns to under `centroids` (same cosine/cid-tiebreak
+    *     rule as [[assignToCentroids]]) — a misplaced row is invisible
+    *     to pruned probes, the silent-recall-loss failure.
+    *   - `sidecar`: the (id → centroid) sidecar agrees with the actual
+    *     partition set per id — counts stale/missing/mismatched pairs
+    *     on a full outer join (a wrong sidecar corrupts the NEXT
+    *     append/delete even while probes still work).
+    *
+    * Byte-identical copies collapse to a multiplicity count before the
+    * centroid cross, so the fsck costs one index scan + a bounded
+    * centroid cross — the same cost class as the build's assignment.
+    */
+  def ivfIndexFsck(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val idx = spark.read.parquet(path)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("centroid_id").cast("long").as("dir"))
+    val grouped = idx.groupBy("id", "dir", "v").agg(count(lit(1)).as("cnt"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "dir", "v").orderBy(col("c").desc, col("cid"))
+    val best = grouped.crossJoin(broadcast(centroids))
+      .select(col("id"), col("dir"), col("v"), col("cnt"), col("cid"),
+        fastCosine(asDouble(col("v")), col("cvec")).as("c"))
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("id"), col("dir"), col("cnt"),
+        col("cid").as("best_cid"))
+    def row(name: String, df: DataFrame) = df
+      .select(lit(name).as("check_name"), col("n_checked"), col("n_bad"),
+        (col("n_bad") === 0).as("ok"))
+    val uniq = row("unique_ids",
+      grouped.groupBy("id").agg(sum("cnt").as("idCnt"))
+        .agg(coalesce(sum("idCnt"), lit(0L)).as("n_checked"),
+          coalesce(sum(when(col("idCnt") > 1, col("idCnt"))
+            .otherwise(0L)), lit(0L)).as("n_bad")))
+    val placed = row("placement",
+      best.agg(coalesce(sum("cnt"), lit(0L)).as("n_checked"),
+        coalesce(sum(when(col("dir") =!= col("best_cid"), col("cnt"))
+          .otherwise(0L)), lit(0L)).as("n_bad")))
+    val side = sidecarLatest(spark, path,
+      spark.read.parquet(path).schema, idCol, None)
+      .select(col(idCol).as("id"), col("centroid_id").as("sc"))
+    val pairs = grouped.select("id", "dir").distinct()
+      .join(side, Seq("id"), "full_outer")
+    val sideChk = row("sidecar",
+      pairs.agg(count(lit(1)).as("n_checked"),
+        coalesce(sum(when(col("dir").isNull || col("sc").isNull ||
+          col("dir") =!= col("sc"), 1L).otherwise(0L)), lit(0L))
+          .as("n_bad")))
+    uniq.unionByName(placed).unionByName(sideChk)
+  }
+
   /** Assign each vector to its nearest centroid (max cosine, centroid-id
     * tiebreak). `centroids`: (cid, cvec array<double>), small + broadcast.
     */

@@ -1815,6 +1815,95 @@ object ExtraQueries {
     FROM lv CROSS JOIN ch"""
   }
 
+  // —————————————————————————————— IVF index fsck (q256)
+  // (the lifecycle's audit verb, proven on a DELIBERATELY corrupted
+  //  index: build over vec_id ≥ 16, then 7 duplicate rows forced
+  //  straight into partition 0 — the botched-manual-backfill failure.
+  //  fsck must report exactly the planted damage: 14 duplicated rows,
+  //  the misplaced copies whose argmax ≠ 0, and the same ids as
+  //  sidecar mismatches. The oracle re-derives every count from the
+  //  assignment lattice.)
+  private val ivfFsckIndex = scala.collection.concurrent.TrieMap.empty[String, String]
+  val q256IvfFsck: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val path = ivfFsckIndex.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft_fsck").toString
+        + "/idx")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 16), centroids,
+      path)
+    emb.filter(col("vec_id") >= 16 && col("vec_id") < 23)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(path + "/centroid_id=0")
+    Similarity.ivfIndexFsck(s, path, centroids)
+  }
+  private val q256Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    asg AS (SELECT vec_id, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+    n AS (SELECT count(*) AS nv FROM v),
+    pl AS (SELECT count(*) AS nbad FROM a1
+          WHERE vec_id < 23 AND cid <> 0)
+    SELECT 'unique_ids' AS check_name, CAST(nv + 7 AS BIGINT) AS n_checked,
+      CAST(14 AS BIGINT) AS n_bad, FALSE AS ok FROM n
+    UNION ALL
+    SELECT 'placement', CAST(nv + 7 AS BIGINT), CAST(nbad AS BIGINT),
+      nbad = 0 FROM n, pl
+    UNION ALL
+    SELECT 'sidecar', CAST(nv + nbad AS BIGINT), CAST(nbad AS BIGINT),
+      nbad = 0 FROM n, pl"""
+
+  // —————————————————————————————— truncation recall (q257)
+  // (the Matryoshka question — are the first 16 of 64 dims enough? —
+  //  as exact per-query top-10 overlap between the full and sliced
+  //  rankings; both sides the deterministic 4-d.p./id-tiebreak brute
+  //  force the oracle replays.)
+  val q257TruncationRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    Evaluation.truncationRecall(emb, queries, k = 10, dims = 16)
+  }
+  private val q257Sql: String = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+    fr AS (SELECT q_id, vec_id FROM (
+        SELECT q.q_id, v.vec_id, row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_dot_product(v.e, q.qe)
+              / (sqrt(list_dot_product(v.e, v.e))
+                 * sqrt(list_dot_product(q.qe, q.qe))), 4) DESC,
+              v.vec_id) AS rk
+        FROM v, q) WHERE rk <= 10),
+    vt AS (SELECT vec_id, e[1:16] AS e FROM v),
+    qt AS (SELECT q_id, qe[1:16] AS qe FROM q),
+    tr AS (SELECT q_id, vec_id FROM (
+        SELECT qt.q_id, vt.vec_id, row_number() OVER (PARTITION BY qt.q_id
+            ORDER BY round(list_dot_product(vt.e, qt.qe)
+              / (sqrt(list_dot_product(vt.e, vt.e))
+                 * sqrt(list_dot_product(qt.qe, qt.qe))), 4) DESC,
+              vt.vec_id) AS rk
+        FROM vt, qt) WHERE rk <= 10)
+    SELECT fr.q_id, CAST(count(*) AS BIGINT) AS n_full,
+      CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_overlap,
+      (1000000 * CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0
+        END) AS BIGINT)) // count(*) AS recall_ppm
+    FROM fr LEFT JOIN tr ON fr.q_id = tr.q_id AND fr.vec_id = tr.vec_id
+    GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -1865,7 +1954,9 @@ object ExtraQueries {
     "q252_bfs_distances" -> q252BfsDistances,
     "q253_target_encode" -> q253TargetEncode,
     "q254_mips" -> q254Mips,
-    "q255_generalization_ladder" -> q255GeneralizationLadder)
+    "q255_generalization_ladder" -> q255GeneralizationLadder,
+    "q256_ivf_fsck" -> q256IvfFsck,
+    "q257_truncation_recall" -> q257TruncationRecall)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -1914,6 +2005,8 @@ object ExtraQueries {
     "q253_target_encode" -> q253Sql,
     "q254_mips" -> q254Sql,
     "q255_generalization_ladder" -> q255Sql,
+    "q256_ivf_fsck" -> q256Sql,
+    "q257_truncation_recall" -> q257Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -138,4 +138,26 @@ class EvaluationSpec extends SparkSpec {
       math.rint(2892790.0 / 3630930.0 * 1e6) / 1e6)))
     assert(!got.contains(3))
   }
+
+  test("truncationRecall: a truncation-flipped ranking scores 0, a stable one 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // x looks mediocre in full space (cos .707 vs q10) but PERFECT after
+    // the 2-dim slice (1.0); y is the true full-space winner (.992)
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.0f, 0.9f, 0.0f)),  // x
+      (2L, Array(0.8f, 0.1f, 0.0f, 0.0f)))  // y
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (11L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("q_id", "qvec")
+    val got = Evaluation.truncationRecall(corpus, queries, k = 1, dims = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // q10: full top-1 = y, truncated top-1 = x -> zero overlap
+    assert(got(10L) == ((1L, 0L, 0L)))
+    // q11: y wins both spaces -> full recall
+    assert(got(11L) == ((1L, 1L, 1000000L)))
+  }
 }

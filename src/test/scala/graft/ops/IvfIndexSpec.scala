@@ -360,4 +360,32 @@ class IvfIndexSpec extends SparkSpec {
       k = 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(qa == qb)
   }
+
+  test("ivfIndexFsck: clean index passes; planted corruption counted exactly") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq((10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.8f)),
+      (12L, Array(0.7f, 0.2f))).toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("ivf-fsck")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(vecs, cents, p)
+    def run() = Similarity.ivfIndexFsck(spark, p, cents)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val clean = run()
+    assert(clean("unique_ids") == ((3L, 0L, true)))
+    assert(clean("placement") == ((3L, 0L, true)))
+    assert(clean("sidecar") == ((3L, 0L, true)))
+    // plant: a copy of vec 11 (true home = centroid 1) forced into dir 0
+    Seq((11L, Array(0.1f, 0.8f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(p + "/centroid_id=0")
+    val bad = run()
+    // both copies of the duplicated id count
+    assert(bad("unique_ids") == ((4L, 2L, false)))
+    // only the planted copy is misplaced
+    assert(bad("placement") == ((4L, 1L, false)))
+    // (11, dir 0) disagrees with the sidecar's (11 -> 1)
+    assert(bad("sidecar") == ((4L, 1L, false)))
+  }
 }
