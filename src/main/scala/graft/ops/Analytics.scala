@@ -1064,6 +1064,43 @@ object Analytics {
       .unionByName(parent)
   }
 
+  /** Exact weighted percentiles — the corpus-statistics verb where a
+    * row's mass is its token/byte/price weight, not 1: per (group,
+    * permille), the SMALLEST value whose cumulative weight reaches
+    * `p·total/1000` (lower weighted percentile — an actual data value,
+    * never an interpolation, so both engines agree bit-for-bit). The
+    * cumulative window runs over the DISTINCT-value frame (q232's
+    * discipline); permilles fan out over that aggregated frame only.
+    * Weights must be positive — a zero/negative weight fails by name.
+    */
+  def weightedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles in [1, 1000]")
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+        when(col(weightCol) <= 0, expr(
+          s"raise_error('weightedPercentiles: non-positive $weightCol')"))
+          .otherwise(col(weightCol)).cast("long").as("wt"))
+    val vals = rows.groupBy("g", "v").agg(sum("wt").as("w"))
+    val win = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.withColumn("cw", sum("w").over(win))
+    val tot = vals.groupBy("g").agg(sum("w").as("tw"))
+    val ps = permilles.distinct.sorted
+      .map(p => lit(p.toLong)).toArray
+    cum.join(tot, Seq("g"))
+      .withColumn("permille", explode(array(ps: _*)))
+      .where(col("cw") * 1000 >= col("permille") * col("tw"))
+      .groupBy("g", "permille")
+      .agg(min("v").as("value"), max("tw").as("total_w"))
+      .select(col("g").as(groupCol), col("permille"), col("value"),
+        col("total_w"))
+  }
+
   /** Leave-one-out + smoothed target encoding — the categorical
     * feature-engineering verb for tabular training data. Per category:
     * `n`, positives; per ROW the leave-one-out rate excludes the row's

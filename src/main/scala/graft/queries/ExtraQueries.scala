@@ -1904,6 +1904,110 @@ object ExtraQueries {
     FROM fr LEFT JOIN tr ON fr.q_id = tr.q_id AND fr.vec_id = tr.vec_id
     GROUP BY 1"""
 
+  // —————————————————————————————— water-filling allocation (q258)
+  // (crawl-budget quota: 300 document slots split across sources —
+  //  small sources fully funded, big ones capped at the exact
+  //  water-filling threshold, integer remainder distributed
+  //  deterministically; Σ alloc = min(B, Σ demand) EXACTLY.)
+  val q258WaterFill: Q = (s, dir) => {
+    val demands = Tables.documents(s, dir)
+      .where(col("source").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    Sampling.waterFillAllocation(demands, "source", "n_docs",
+      budget = 300L)
+  }
+  private val q258Sql: String = """
+    WITH d AS (SELECT source AS id, CAST(count(*) AS BIGINT) AS dd
+          FROM documents WHERE source IS NOT NULL GROUP BY 1),
+    o AS (SELECT id, dd,
+            row_number() OVER (ORDER BY dd ASC, id ASC) AS rn,
+            sum(dd) OVER (ORDER BY dd ASC, id ASC
+              ROWS UNBOUNDED PRECEDING) AS s
+          FROM d),
+    t AS (SELECT count(*) AS n_all FROM d),
+    kk AS (SELECT
+            coalesce(max(CASE WHEN s + (t.n_all - rn) * dd <= 300
+              THEN rn END), 0) AS k,
+            coalesce(max(CASE WHEN s + (t.n_all - rn) * dd <= 300
+              THEN s END), 0) AS sk
+          FROM o, t),
+    th AS (SELECT kk.k, kk.sk, t.n_all,
+            CASE WHEN t.n_all > kk.k
+              THEN (300 - kk.sk) // (t.n_all - kk.k) ELSE 0 END AS tt
+          FROM kk, t)
+    SELECT o.id AS source, o.dd AS demand,
+      CAST(CASE WHEN o.rn <= th.k THEN o.dd
+        ELSE th.tt + (CASE WHEN o.rn - th.k <=
+            (300 - th.sk) - th.tt * (th.n_all - th.k)
+          THEN 1 ELSE 0 END)
+      END AS BIGINT) AS alloc
+    FROM o, th"""
+
+  // —————————————————————————————— weighted percentiles (q259)
+  // (price-weighted quantity quantiles per return flag: the SMALLEST
+  //  value whose cumulative weight reaches p·total/1000 — an actual
+  //  data value, never an interpolation; distinct-value windows only.)
+  val q259WeightedPercentiles: Q = (s, dir) =>
+    Analytics.weightedPercentiles(
+      Tables.lineitem(s, dir)
+        .withColumn("price_cent",
+          round(col("l_extendedprice") * 100).cast("long")),
+      "l_returnflag", "l_quantity", "price_cent",
+      permilles = Seq(250, 500, 900))
+  private val q259Sql: String = """
+    WITH b AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS wt
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    vals AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS w
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT g, v, w, CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+          FROM vals),
+    tt AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM vals GROUP BY 1),
+    p AS (SELECT unnest([250, 500, 900]) AS permille)
+    SELECT c.g AS l_returnflag, CAST(p.permille AS BIGINT) AS permille,
+      CAST(min(c.v) AS BIGINT) AS value, CAST(max(tt.tw) AS BIGINT)
+        AS total_w
+    FROM c JOIN tt ON c.g = tt.g CROSS JOIN p
+    WHERE c.cw * 1000 >= p.permille * tt.tw
+    GROUP BY 1, 2"""
+
+  // —————————————————————————————— reshard movement (q260)
+  // (capacity planning for a 32 → 40 shard grow-out: rendezvous
+  //  hashing moves only keys a NEW shard wins — expected 8/40 = 20% —
+  //  and this measures the exact realized ppm; the oracle replays the
+  //  md5 score race under both shard counts.)
+  val q260ReshardMovement: Q = (s, dir) =>
+    Scale.reshardMovement(
+      Tables.events(s, dir).select(col("event_id")).distinct(),
+      "event_id", fromShards = 32, toShards = 40)
+  private val q260Sql: String = """
+    WITH k AS (SELECT DISTINCT event_id FROM events
+          WHERE event_id IS NOT NULL),
+    sf AS (SELECT event_id, j,
+            CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
+              CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) AS score
+          FROM k, range(0, 40) t(j)),
+    rf AS (SELECT event_id, j, row_number() OVER
+            (PARTITION BY event_id ORDER BY score DESC, j) AS rk
+          FROM sf WHERE j < 32),
+    rt AS (SELECT event_id, j, row_number() OVER
+            (PARTITION BY event_id ORDER BY score DESC, j) AS rk
+          FROM sf),
+    a AS (SELECT f.event_id, f.j AS s_from, t2.j AS s_to
+          FROM (SELECT event_id, j FROM rf WHERE rk = 1) f
+          JOIN (SELECT event_id, j FROM rt WHERE rk = 1) t2
+            ON f.event_id = t2.event_id)
+    SELECT CAST(32 AS BIGINT) AS from_shards,
+      CAST(40 AS BIGINT) AS to_shards,
+      CAST(count(*) AS BIGINT) AS n_keys,
+      CAST(sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_moved,
+      (1000000 * CAST(sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END)
+        AS BIGINT)) // count(*) AS moved_ppm
+    FROM a"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -1956,7 +2060,10 @@ object ExtraQueries {
     "q254_mips" -> q254Mips,
     "q255_generalization_ladder" -> q255GeneralizationLadder,
     "q256_ivf_fsck" -> q256IvfFsck,
-    "q257_truncation_recall" -> q257TruncationRecall)
+    "q257_truncation_recall" -> q257TruncationRecall,
+    "q258_water_fill" -> q258WaterFill,
+    "q259_weighted_percentiles" -> q259WeightedPercentiles,
+    "q260_reshard_movement" -> q260ReshardMovement)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -2007,6 +2114,9 @@ object ExtraQueries {
     "q255_generalization_ladder" -> q255Sql,
     "q256_ivf_fsck" -> q256Sql,
     "q257_truncation_recall" -> q257Sql,
+    "q258_water_fill" -> q258Sql,
+    "q259_weighted_percentiles" -> q259Sql,
+    "q260_reshard_movement" -> q260Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -612,6 +612,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("parent", None)) == ((4L, 375000L)))
   }
 
+  test("weightedPercentiles: smallest value reaching the weighted rank") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 1L))
+      .toDF("k", "v", "wt")
+    val got = Analytics.weightedPercentiles(df, "k", "v", "wt",
+        Seq(250, 500, 1000))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // total weight 4: p250 needs cw >= 1 -> 1; p500 needs cw >= 2 -> 2
+    // (cw(1)=1 misses, cw(2)=3 reaches); p1000 needs cw = 4 -> 3
+    assert(got(250L) == ((1L, 4L)))
+    assert(got(500L) == ((2L, 4L)))
+    assert(got(1000L) == ((3L, 4L)))
+    // a non-positive weight fails by name
+    val e = intercept[Exception] {
+      Analytics.weightedPercentiles(
+        Seq(("g", 1L, 0L)).toDF("k", "v", "wt"), "k", "v", "wt",
+        Seq(500)).collect()
+    }
+    assert(e.toString.contains("weightedPercentiles") ||
+      Option(e.getCause).exists(_.toString.contains("weightedPercentiles")))
+  }
+
   test("targetEncode: hand LOO/smoothed ppm, singleton null, bad label loud") {
     import spark.implicits._
     val df = Seq((1L, "A", 1L), (2L, "A", 0L), (3L, "A", 1L),

@@ -156,6 +156,24 @@ class ScaleSpec extends SparkSpec {
       .count() == 40L)
   }
 
+  test("reshardMovement: only NEW shards steal keys; summary matches per-key truth") {
+    import spark.implicits._
+    val keys = (1L to 2000L).map(Tuple1(_)).toDF("k")
+    val both = Sampling.rendezvousShard(
+      Sampling.rendezvousShard(keys, "k", 4, "s_from"), "k", 8, "s_to")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // rendezvous minimality: a key moves ONLY when a shard j >= 4 wins —
+    // old shards' relative scores are unchanged by the grow-out
+    both.filter { case (f, t) => f != t }
+      .foreach { case (_, t) => assert(t >= 4, "an old shard stole a key") }
+    val moved = both.count { case (f, t) => f != t }
+    val row = Scale.reshardMovement(keys, "k", 4, 8).collect().head
+    assert(row.getLong(2) == 2000L && row.getLong(3) == moved.toLong)
+    assert(row.getLong(4) == 1000000L * moved / 2000)
+    // expected movement ~ 4/8 = 50%; generous envelope for 2000 draws
+    assert(moved > 700 && moved < 1300, s"moved=$moved")
+  }
+
   test("compactionPlan: a non-positive file size fails by name") {
     import spark.implicits._
     val bad = Seq(("a", 1L, 0L)).toDF("dir_name", "file_id", "bytes")

@@ -135,4 +135,31 @@ class WeightedSampleSpec extends SparkSpec {
     // replayable draw
     assert(run().as[(Long, Long, Long)].collect().toSet == got.toSet)
   }
+
+  test("waterFillAllocation: threshold, remainder, conservation, regimes") {
+    import spark.implicits._
+    val demands = Seq(("a", 2L), ("b", 5L), ("c", 10L))
+      .toDF("id", "d")
+    def alloc(b: Long) = Sampling.waterFillAllocation(demands, "id", "d", b)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // B=10: a fully funded (2), threshold t=4 caps b and c
+    assert(alloc(10L) == Map("a" -> 2L, "b" -> 4L, "c" -> 4L))
+    // B=11: the +1 remainder goes to the first capped row in order
+    assert(alloc(11L) == Map("a" -> 2L, "b" -> 5L, "c" -> 4L))
+    // B >= total demand: everyone fully funded
+    assert(alloc(20L) == Map("a" -> 2L, "b" -> 5L, "c" -> 10L))
+    // tiny budget: nobody full, pure remainder split
+    assert(alloc(2L) == Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    // conservation law at every budget
+    (1L to 20L).foreach { b =>
+      assert(alloc(b).values.sum == math.min(b, 17L), s"budget $b")
+    }
+    // non-positive demand fails by name
+    val e = intercept[Exception] {
+      Sampling.waterFillAllocation(Seq(("z", 0L)).toDF("id", "d"),
+        "id", "d", 5L).collect()
+    }
+    assert(e.toString.contains("waterFillAllocation") ||
+      Option(e.getCause).exists(_.toString.contains("waterFillAllocation")))
+  }
 }
