@@ -369,6 +369,32 @@ object Relational {
         "left_semi")
   }
 
+  /** [[asOfJoinBackward]] with a MAX-STALENESS tolerance — pandas
+    * `merge_asof(tolerance=...)` semantics: the latest right row at or
+    * before the left timestamp matches only while it is at most
+    * `toleranceMs` old; a staler match is nulled exactly like no match
+    * (a quote from last week must not price today's trade). The right
+    * timestamp rides the carried payload struct, so tolerance costs no
+    * extra shuffle — one added comparison after the same single-window
+    * plan. Timestamp columns must be epoch-ms longs (the repo-wide
+    * cross-engine time representation).
+    */
+  def asOfJoinBackwardTolerant(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String], toleranceMs: Long): DataFrame = {
+    require(toleranceMs >= 0, "toleranceMs must be >= 0")
+    val rts = "_asof_rts"
+    require(!left.columns.contains(rts) && !right.columns.contains(rts))
+    val joined = asOfJoinBackward(left,
+      right.withColumn(rts, col(rightTs)), leftKey, rightKey,
+      leftTs, rightTs, payloadCols :+ rts)
+    val stale = col(rts).isNull ||
+      col(leftTs).cast("long") - col(rts).cast("long") > toleranceMs
+    payloadCols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+      .drop(rts)
+  }
+
   /** SCD2 validity audit — the data-quality gate on a slowly-changing
     * dimension: per key, versions ordered (from, to NULLS LAST) must
     * tile time without overlap, carry at most one open (null-`to`)

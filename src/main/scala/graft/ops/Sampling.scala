@@ -124,6 +124,29 @@ object Sampling {
       (array_position(scores, array_max(scores)) - 1).cast("long"))
   }
 
+  /** Exact-k balanced sample — the "same-size eval set per class" verb
+    * (proportional stratification keeps imbalance; an eval table wants
+    * k PER GROUP): the k smallest md5 draws per group, id tiebreak, so
+    * the pick is deterministic under any partitioning and replayable
+    * by any engine. Groups smaller than k keep everything. The window
+    * is `row_number ≤ const`, so WindowGroupLimit prunes each group
+    * map-side to k rows before the exchange — the shuffle carries
+    * O(groups × k), never the corpus.
+    */
+  def exactKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val draw = conv(substring(md5(concat(lit("ek|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(groupCol).orderBy(col("_draw"), col(idCol))
+    df.where(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("_draw", draw)
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .where(col("draw_rank") <= k)
+      .drop("_draw")
+  }
+
   /** Exact water-filling budget allocation — the quota verb behind
     * crawl budgets, sampling allocations, and rate plans: split a
     * global `budget` across demands so every demand is met up to a

@@ -2008,6 +2008,63 @@ object ExtraQueries {
         AS BIGINT)) // count(*) AS moved_ppm
     FROM a"""
 
+  // —————————————————————————————— as-of join with tolerance (q261)
+  // (pandas merge_asof(tolerance=...): each purchase priced by the
+  //  user's latest click AT MOST 10 minutes old — a staler match nulls
+  //  exactly like no match. Tolerance rides the carried payload, no
+  //  extra shuffle. The oracle is DuckDB's native ASOF LEFT JOIN plus
+  //  the same staleness CASE.)
+  val q261AsofTolerance: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+    val clicks = ev.where(col("event_type") === "click" &&
+        col("value").isNotNull)
+      .groupBy(col("user_id").as("c_user"), col("ts_ms").as("c_ts"))
+      .agg(max(round(col("value") * 100).cast("long"))
+        .as("click_value_cent"))
+    graft.ops.Relational.asOfJoinBackwardTolerant(purchases, clicks,
+      "user_id", "c_user", "ts_ms", "c_ts", Seq("click_value_cent"),
+      toleranceMs = 600000L)
+  }
+  private val q261Sql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+            value
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    p AS (SELECT user_id, event_id, ts_ms FROM e
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id AS c_user, ts_ms AS c_ts,
+            max(CAST(round(value * 100) AS BIGINT)) AS v
+          FROM e WHERE event_type = 'click' AND value IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT p.user_id, p.event_id, p.ts_ms,
+      CASE WHEN c.c_ts IS NULL OR p.ts_ms - c.c_ts > 600000 THEN NULL
+        ELSE c.v END AS click_value_cent
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.c_user AND p.ts_ms >= c.c_ts"""
+
+  // —————————————————————————————— exact-k balanced sample (q262)
+  // (k = 100 documents per source by the smallest md5 draws — the
+  //  same-size-per-class eval set; WindowGroupLimit prunes each group
+  //  map-side, deterministic under any partitioning.)
+  val q262ExactKSample: Q = (s, dir) =>
+    Sampling.exactKPerGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", k = 100)
+  private val q262Sql: String = """
+    WITH d AS (SELECT doc_id, source,
+            CAST(('0x' || substr(md5('ek|' || CAST(doc_id AS VARCHAR)),
+              1, 15)) AS BIGINT) AS draw
+          FROM documents
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+    r AS (SELECT doc_id, source, row_number() OVER
+            (PARTITION BY source ORDER BY draw, doc_id) AS rk
+          FROM d)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS draw_rank
+    FROM r WHERE rk <= 100"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -2063,7 +2120,9 @@ object ExtraQueries {
     "q257_truncation_recall" -> q257TruncationRecall,
     "q258_water_fill" -> q258WaterFill,
     "q259_weighted_percentiles" -> q259WeightedPercentiles,
-    "q260_reshard_movement" -> q260ReshardMovement)
+    "q260_reshard_movement" -> q260ReshardMovement,
+    "q261_asof_tolerance" -> q261AsofTolerance,
+    "q262_exact_k_sample" -> q262ExactKSample)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -2117,6 +2176,8 @@ object ExtraQueries {
     "q258_water_fill" -> q258Sql,
     "q259_weighted_percentiles" -> q259Sql,
     "q260_reshard_movement" -> q260Sql,
+    "q261_asof_tolerance" -> q261Sql,
+    "q262_exact_k_sample" -> q262Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -66,4 +66,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("nullkey").isEmpty)
     assert(out("nullts").isEmpty)
   }
+
+  test("tolerant as-of join: stale matches null, boundary staleness kept") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 200L, "stale"),
+      (1L, 115L, "boundary"), (2L, 50L, "nomatch"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 95L, 7L), (1L, 10L, 3L)).toDF("k", "rt", "v")
+    val out = Relational.asOfJoinBackwardTolerant(left, right,
+        "k", "k", "t", "rt", Seq("v"), toleranceMs = 20L)
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("v")).map(_.asInstanceOf[Long])).toMap
+    assert(out("fresh").contains(7L))    // 5 ms old, within 20
+    assert(out("boundary").contains(7L)) // exactly 20 ms old: kept
+    assert(out("stale").isEmpty)         // 105 ms old: nulled like no match
+    assert(out("nomatch").isEmpty)
+  }
 }

@@ -136,6 +136,27 @@ class WeightedSampleSpec extends SparkSpec {
     assert(run().as[(Long, Long, Long)].collect().toSet == got.toSet)
   }
 
+  test("exactKPerGroup: k smallest draws per group, short groups whole") {
+    import spark.implicits._
+    val df = ((1L to 5L).map(i => (i, "a")) ++ Seq((10L, "b"), (11L, "b")))
+      .toDF("id", "g")
+    val got = Sampling.exactKPerGroup(df, "id", "g", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.count(_._1 == "a") == 3)
+    assert(got.count(_._1 == "b") == 2, "short groups keep everything")
+    // the kept a-rows are exactly the 3 smallest md5 draws
+    def draw(i: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ek|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val expectA = (1L to 5L).sortBy(i => (draw(i), i)).take(3).toSet
+    assert(got.filter(_._1 == "a").map(_._2).toSet == expectA)
+    // deterministic replay
+    val again = Sampling.exactKPerGroup(df, "id", "g", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("waterFillAllocation: threshold, remainder, conservation, regimes") {
     import spark.implicits._
     val demands = Seq(("a", 2L), ("b", 5L), ("c", 10L))
