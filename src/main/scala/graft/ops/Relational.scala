@@ -395,6 +395,53 @@ object Relational {
       .drop(rts)
   }
 
+  /** Survivorship merge — MDM's golden-record verb: per cluster, each
+    * FIELD independently takes its value from the latest row where
+    * that field is non-null (`seqCol` order, `tieCol` breaking exact
+    * ties), so a record missing its email doesn't clobber the email a
+    * staler record carried. One grouped aggregate: per field,
+    * `max(struct(seq, tie, value))` over the non-null rows — the
+    * packed-argmax discipline, no windows, no self-joins. Emits
+    * `(cluster, n_members, fields…)`.
+    */
+  def survivorshipMerge(df: DataFrame, clusterCol: String, seqCol: String,
+      tieCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "no fields to merge")
+    val aggs = count(lit(1)).as("n_members") +:
+      fields.map { f =>
+        max(when(col(f).isNotNull,
+          struct(col(seqCol).as("_s"), col(tieCol).as("_i"),
+            col(f).as("_v"))))
+          .getField("_v").as(f)
+      }
+    df.where(col(clusterCol).isNotNull)
+      .groupBy(col(clusterCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bitemporal point-in-time read — the two-axis as-of a regulated
+    * lakehouse answers: "what did we BELIEVE at transaction time T
+    * about the state VALID at V?" Per key, the row maximizing
+    * `(valid_from, tx_from, tie)` among rows with `valid_from ≤ V` and
+    * `tx_from ≤ T` — one filtered scan + one packed-argmax aggregate,
+    * never a window over data (q170's one-axis as-of is the special
+    * case T = ∞). Keys with no qualifying version are absent.
+    */
+  def bitemporalAsOf(versions: DataFrame, keyCol: String,
+      validCol: String, txCol: String, tieCol: String,
+      payloadCols: Seq[String], validAt: Long, txAt: Long): DataFrame = {
+    val picked = versions
+      .where(col(keyCol).isNotNull && col(validCol).isNotNull &&
+        col(txCol).isNotNull &&
+        col(validCol) <= validAt && col(txCol) <= txAt)
+      .groupBy(col(keyCol))
+      .agg(max(struct((Seq(validCol, txCol, tieCol) ++ payloadCols)
+        .map(col): _*)).as("_m"))
+    (Seq(validCol, txCol) ++ payloadCols)
+      .foldLeft(picked)((d, c) => d.withColumn(c, col("_m").getField(c)))
+      .drop("_m")
+  }
+
   /** SCD2 validity audit — the data-quality gate on a slowly-changing
     * dimension: per key, versions ordered (from, to NULLS LAST) must
     * tile time without overlap, carry at most one open (null-`to`)

@@ -2065,6 +2065,93 @@ object ExtraQueries {
     SELECT doc_id, source, CAST(rk AS BIGINT) AS draw_rank
     FROM r WHERE rk <= 100"""
 
+  // —————————————————————————————— survivorship merge (q263)
+  // (the MDM golden record: per user, each field independently from
+  //  its latest non-null carrier — last event type overall, last
+  //  purchase amount, last click prop — so sparse fields never get
+  //  clobbered by rows that don't carry them. One packed-argmax
+  //  aggregate per field, no windows.)
+  val q263SurvivorshipMerge: Q = (s, dir) => {
+    val rows = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("event_id"),
+        col("event_type").as("last_event"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).as("last_purchase_cent"),
+        when(col("event_type") === "click",
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long"))
+          .as("last_click_k"))
+    graft.ops.Relational.survivorshipMerge(rows, "user_id", "ts_ms",
+      "event_id", Seq("last_event", "last_purchase_cent", "last_click_k"))
+  }
+  private val q263Sql: String = """
+    WITH b AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+            event_type AS f_ev,
+            CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END AS f_pc,
+            CASE WHEN event_type = 'click'
+              THEN CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+            END AS f_ck
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM b GROUP BY 1),
+    pe AS (SELECT user_id, f_ev FROM (SELECT user_id, f_ev, row_number()
+            OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC)
+              AS rn
+          FROM b WHERE f_ev IS NOT NULL) WHERE rn = 1),
+    pp AS (SELECT user_id, f_pc FROM (SELECT user_id, f_pc, row_number()
+            OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC)
+              AS rn
+          FROM b WHERE f_pc IS NOT NULL) WHERE rn = 1),
+    pc AS (SELECT user_id, f_ck FROM (SELECT user_id, f_ck, row_number()
+            OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC)
+              AS rn
+          FROM b WHERE f_ck IS NOT NULL) WHERE rn = 1)
+    SELECT n.user_id, n.n_members, pe.f_ev AS last_event,
+      pp.f_pc AS last_purchase_cent, pc.f_ck AS last_click_k
+    FROM n LEFT JOIN pe ON n.user_id = pe.user_id
+    LEFT JOIN pp ON n.user_id = pp.user_id
+    LEFT JOIN pc ON n.user_id = pc.user_id"""
+
+  // —————————————————————————————— bitemporal as-of (q264)
+  // (the two-axis point-in-time read: versions whose valid time is the
+  //  event time and whose TRANSACTION time lags by a deterministic
+  //  ingest delay — "what did we believe on Jan 16 about the state
+  //  valid on Jan 15?" One filtered scan + one packed-argmax
+  //  aggregate; q170's one-axis as-of is the T = ∞ special case.)
+  val q264BitemporalAsOf: Q = (s, dir) => {
+    val versions = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("valid_ms"),
+        (unix_millis(col("ts").cast("timestamp")) +
+          (col("event_id") % 1000) * 60000L).as("tx_ms"),
+        round(col("value") * 100).cast("long").as("value_cent"))
+    graft.ops.Relational.bitemporalAsOf(versions, "user_id",
+      "valid_ms", "tx_ms", "event_id", Seq("value_cent"),
+      validAt = 1705276800000L,  // 2024-01-15 00:00 UTC
+      txAt = 1705363200000L)     // 2024-01-16 00:00 UTC
+  }
+  private val q264Sql: String = """
+    WITH v AS (SELECT user_id, event_id, epoch_ms(ts) AS valid_ms,
+            epoch_ms(ts) + (event_id % 1000) * 60000 AS tx_ms,
+            CAST(round(value * 100) AS BIGINT) AS value_cent
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+    f AS (SELECT * FROM v
+          WHERE valid_ms <= 1705276800000 AND tx_ms <= 1705363200000),
+    r AS (SELECT user_id, valid_ms, tx_ms, value_cent, row_number() OVER
+            (PARTITION BY user_id
+             ORDER BY valid_ms DESC, tx_ms DESC, event_id DESC,
+               value_cent DESC) AS rn
+          FROM f)
+    SELECT user_id, CAST(valid_ms AS BIGINT) AS valid_ms,
+      CAST(tx_ms AS BIGINT) AS tx_ms, value_cent
+    FROM r WHERE rn = 1"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -2122,7 +2209,9 @@ object ExtraQueries {
     "q259_weighted_percentiles" -> q259WeightedPercentiles,
     "q260_reshard_movement" -> q260ReshardMovement,
     "q261_asof_tolerance" -> q261AsofTolerance,
-    "q262_exact_k_sample" -> q262ExactKSample)
+    "q262_exact_k_sample" -> q262ExactKSample,
+    "q263_survivorship_merge" -> q263SurvivorshipMerge,
+    "q264_bitemporal_asof" -> q264BitemporalAsOf)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -2178,6 +2267,8 @@ object ExtraQueries {
     "q260_reshard_movement" -> q260Sql,
     "q261_asof_tolerance" -> q261Sql,
     "q262_exact_k_sample" -> q262Sql,
+    "q263_survivorship_merge" -> q263Sql,
+    "q264_bitemporal_asof" -> q264Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

@@ -182,6 +182,46 @@ class CdcSpec extends SparkSpec {
     assert(withEmpty == oneShot)
   }
 
+  test("survivorshipMerge: each field from its latest non-null carrier") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", 1L, 1L, Some("x"), Option.empty[Long]),
+      ("u1", 2L, 1L, None, Some(7L)),
+      ("u1", 3L, 1L, Some("y"), None),
+      ("u1", 3L, 2L, Some("z"), None), // same seq, higher tie wins
+      ("u2", 1L, 1L, None, None))      // cluster with all-null fields
+      .toDF("c", "seq", "id", "a", "b")
+    val got = Relational.survivorshipMerge(rows, "c", "seq", "id",
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2)),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // a from (seq 3, id 2); b survives from the OLDER row that carried it
+    assert(got("u1") == ((4L, Some("z"), Some(7L))))
+    assert(got("u2") == ((1L, None, None)))
+  }
+
+  test("bitemporalAsOf: two-axis point-in-time pick, late corrections honored") {
+    import spark.implicits._
+    val v = Seq(
+      ("k1", 1L, 10L, 20L, 1L),
+      ("k1", 2L, 15L, 40L, 2L), // late-arriving correction (tx 40)
+      ("k1", 3L, 12L, 18L, 3L),
+      ("k2", 4L, 99L, 99L, 9L)) // valid after the query point
+      .toDF("k", "id", "valid_ms", "tx_ms", "v")
+    def at(validAt: Long, txAt: Long) =
+      Relational.bitemporalAsOf(v, "k", "valid_ms", "tx_ms", "id",
+          Seq("v"), validAt, txAt)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // at T=25 the correction isn't known yet: (12, 18) wins
+    val early = at(15L, 25L)
+    assert(early("k1") == ((12L, 18L, 3L)))
+    assert(!early.contains("k2"), "not-yet-valid keys are absent")
+    // at T=50 the late correction (valid 15) is believed
+    assert(at(15L, 50L)("k1") == ((15L, 40L, 2L)))
+  }
+
   test("scd2ValidityAudit: overlaps, gaps, dangling current, per-key verdicts") {
     import spark.implicits._
     val dim = Seq(
