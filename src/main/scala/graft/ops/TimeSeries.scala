@@ -412,6 +412,43 @@ object TimeSeries {
           .as("is_anomaly"))
   }
 
+  /** Exact time-decayed engagement score — recency weighting with a
+    * one-day half-life WITHOUT a single float: age in whole days,
+    * weight `2^(horizon − age)` as a pure BIT SHIFT (binary powers are
+    * the one decay family exact integers can carry), contributions
+    * beyond the horizon exactly 0. `score_q = Σ cent·2^(H−1−d)` — the
+    * halving ladder ends at weight 1 on the horizon's last day; Q
+    * units of `2^(H−1)`, one grouped aggregate, map-side combinable.
+    * An event AFTER `nowMs` is clock skew that would explode the
+    * weight — it fails by name, never a silent × 2^{big}.
+    */
+  def decayedEngagement(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, nowMs: Long, horizonDays: Int = 20): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 40,
+      "horizonDays in [1, 40] (shift-exact range)")
+    val rows = df
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 100).cast("long").as("cent"),
+        expr(s"${nowMs}L - unix_millis(cast(${tsCol} as timestamp))")
+          .as("age_ms"))
+      // guard the RAW ms age: truncating `div` maps -1 ms to day 0, so
+      // a day-level check would silently full-weight sub-day skew
+      .withColumn("age_ms", when(col("age_ms") < 0, expr(
+        "raise_error('decayedEngagement: event after nowMs (clock skew)')"))
+        .otherwise(col("age_ms")))
+      .withColumn("d", expr("age_ms div 86400000"))
+    rows
+      .withColumn("w", when(col("d") < horizonDays,
+        expr(s"shiftleft(cast(1 as bigint), " +
+          s"cast($horizonDays - 1 - d as int))"))
+        .otherwise(lit(0L)))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cent") * col("w")).as("score_q"))
+  }
+
   /** Watermark planner — turns [[latenessProfile]]'s diagnostic into
     * the DECISION table: for each candidate watermark delay, how many
     * events would arrive too late and be dropped. Lateness is replayed

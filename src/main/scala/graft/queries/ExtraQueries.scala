@@ -2152,6 +2152,114 @@ object ExtraQueries {
       CAST(tx_ms AS BIGINT) AS tx_ms, value_cent
     FROM r WHERE rn = 1"""
 
+  // —————————————————————————————— nProbe recall ladder (q265)
+  // (the IVF tuning DECISION TABLE: mean recall@5 vs exact for
+  //  nProbe ∈ {1,2,4,8} over the shared materialized index — the knob
+  //  sweep an index operator reads before setting production nProbe.
+  //  The oracle carries the ladder as one extra CTE dimension over
+  //  q207's assignment/probe/ranking chain.)
+  val q265NprobeLadder: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val path = ivfRecallIndex.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-ivf-recall-${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+      Similarity.buildIvfIndex(corpus, centroids, p)
+      p
+    })
+    val exact = Similarity.bruteForceTopKBatch(corpus, queries, k = 5)
+    Seq(1, 2, 4, 8).map { np =>
+      val approx = Similarity
+        .ivfTopKIndexedBatch(path, centroids, queries, k = 5, nProbe = np)
+      Evaluation.recallAtK(exact, approx, k = 5)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hit").as("hits_total"))
+        .select(lit(np.toLong).as("n_probe"), col("n_queries"),
+          col("hits_total"),
+          expr("(1000000 * hits_total) div (5 * n_queries)")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+  private val q265Sql: String = """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+    asg AS (SELECT vec_id, e, cid, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT v.vec_id, v.e, c.cid,
+                    list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM v, c)),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    pr AS (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY
+            list_dot_product(c.cv, q.qe)
+              / (sqrt(list_dot_product(c.cv, c.cv))
+                 * sqrt(list_dot_product(q.qe, q.qe))) DESC, c.cid) AS crn
+          FROM c, q),
+    lad AS (SELECT unnest([1, 2, 4, 8]) AS np),
+    ascored AS (SELECT l.np, p.q_id, a.vec_id,
+        round(list_dot_product(a.e, q.qe)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM a1 a JOIN pr p ON a.cid = p.cid
+      JOIN q ON q.q_id = p.q_id
+      CROSS JOIN lad l
+      WHERE p.crn <= l.np),
+    at AS (SELECT np, q_id, vec_id FROM (SELECT *, row_number() OVER
+        (PARTITION BY np, q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM ascored) WHERE rk <= 5),
+    bscored AS (SELECT q.q_id, v.vec_id,
+        round(list_dot_product(v.e, q.qe)
+          / (sqrt(list_dot_product(v.e, v.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+      FROM v, q),
+    bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM bscored) WHERE rk <= 5),
+    h AS (SELECT l.np, b.q_id,
+            CAST(sum(CASE WHEN at.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM bt b CROSS JOIN lad l
+          LEFT JOIN at ON at.np = l.np AND at.q_id = b.q_id
+            AND at.vec_id = b.vec_id
+          GROUP BY 1, 2)
+    SELECT CAST(np AS BIGINT) AS n_probe,
+      CAST(count(*) AS BIGINT) AS n_queries,
+      CAST(sum(n_hit) AS BIGINT) AS hits_total,
+      (1000000 * CAST(sum(n_hit) AS BIGINT)) // (5 * count(*))
+        AS recall_ppm
+    FROM h GROUP BY 1"""
+
+  // —————————————————————————————— decayed engagement (q266)
+  // (recency-weighted per-user value with a one-day half-life and NOT
+  //  ONE float: whole-day ages, weight 2^(19−d) by pure bit shift,
+  //  beyond-horizon exactly 0 — the decay family exact integers can
+  //  carry. Pinned now = 2024-01-31T00:00Z.)
+  val q266DecayedEngagement: Q = (s, dir) =>
+    TimeSeries.decayedEngagement(
+      Tables.events(s, dir).where(col("user_id").isNotNull),
+      "user_id", "ts", "value", nowMs = 1706659200000L, horizonDays = 20)
+  private val q266Sql: String = """
+    WITH b AS (SELECT user_id,
+            CAST(round(value * 100) AS BIGINT) AS cent,
+            (1706659200000 - epoch_ms(ts)) // 86400000 AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(cent * (CASE WHEN d < 20
+        THEN 1::BIGINT << CAST(19 - d AS INT) ELSE 0 END)) AS BIGINT)
+        AS score_q
+    FROM b GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
@@ -2211,7 +2319,9 @@ object ExtraQueries {
     "q261_asof_tolerance" -> q261AsofTolerance,
     "q262_exact_k_sample" -> q262ExactKSample,
     "q263_survivorship_merge" -> q263SurvivorshipMerge,
-    "q264_bitemporal_asof" -> q264BitemporalAsOf)
+    "q264_bitemporal_asof" -> q264BitemporalAsOf,
+    "q265_nprobe_ladder" -> q265NprobeLadder,
+    "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
     "q212_t_closeness" -> q212Sql,
@@ -2269,6 +2379,8 @@ object ExtraQueries {
     "q262_exact_k_sample" -> q262Sql,
     "q263_survivorship_merge" -> q263Sql,
     "q264_bitemporal_asof" -> q264Sql,
+    "q265_nprobe_ladder" -> q265Sql,
+    "q266_decayed_engagement" -> q266Sql,
     "q202_feature_hash" -> q202Sql,
     "q203_label_propagation" -> q203Sql,
     "q204_downsample" -> q204Sql,

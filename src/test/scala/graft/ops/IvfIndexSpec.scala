@@ -361,6 +361,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(qa == qb)
   }
 
+  test("nProbe recall ladder: non-decreasing, full probe = perfect recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Similarity.asDouble(col("embedding")).as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val exact = Similarity.bruteForceTopKBatch(corpus, queries, k = 5)
+    val recalls = Seq(1, 4, 16).map { np =>
+      val approx = Similarity.ivfTopKIndexedBatch(indexPath, centroids,
+        queries, k = 5, nProbe = np)
+      np -> Evaluation.recallAtK(exact, approx, k = 5)
+        .agg(org.apache.spark.sql.functions.sum("n_hit")).head.getLong(0)
+    }
+    // more probes can only add candidates: hits are non-decreasing
+    assert(recalls.sliding(2).forall(p => p(0)._2 <= p(1)._2), recalls.toString)
+    // probing EVERY centroid is the exact scan: recall must be perfect
+    assert(recalls.last._2 == 25L, s"expected 5 hits x 5 queries: $recalls")
+  }
+
   test("ivfIndexFsck: clean index passes; planted corruption counted exactly") {
     import spark.implicits._
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))

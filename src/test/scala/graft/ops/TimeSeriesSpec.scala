@@ -282,6 +282,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count(_._2._3) == 1)
   }
 
+  test("decayedEngagement: bit-shift halving ladder, horizon cut, clock-skew loud") {
+    val day = 86400000L
+    val now = 30L * day
+    val ev = Seq(
+      (7L, 30L * day, 1.0),       // d=0: weight 2^19
+      (7L, 11L * day, 1.0),       // d=19: weight 1 (ladder's last rung)
+      (7L, 5L * day, 1.0),        // d=25: beyond horizon, exactly 0
+      (8L, 29L * day + 1L, 2.0))  // d=0 (partial day floors to 0)
+      .toDF("u", "ms", "value")
+      .withColumn("ts", expr("timestamp_millis(ms)"))
+    val got = TimeSeries.decayedEngagement(ev, "u", "ts", "value",
+        nowMs = now, horizonDays = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(7L) == ((3L, 100L * ((1L << 19) + 1L))))
+    assert(got(8L) == ((1L, 200L * (1L << 19))))
+    // an event after nowMs is clock skew: loud, never a silent blow-up
+    val e = intercept[Exception] {
+      TimeSeries.decayedEngagement(
+        Seq((1L, now + 1L, 1.0)).toDF("u", "ms", "value")
+          .withColumn("ts", expr("timestamp_millis(ms)")),
+        "u", "ts", "value", nowMs = now).collect()
+    }
+    assert(e.toString.contains("decayedEngagement") ||
+      Option(e.getCause).exists(_.toString.contains("decayedEngagement")))
+  }
+
   test("watermarkPlan: exact drop ppm per candidate delay, one pass") {
     // arrival order 1..4, event times 100 s, 50 s, 200 s, 90 s ->
     // lateness 0, 50 s, 0, 110 s
