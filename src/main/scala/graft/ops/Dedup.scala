@@ -1151,4 +1151,89 @@ object Dedup {
     pairs.withColumn("score_micro", score)
       .withColumn("is_match", col("score_micro") > 0)
   }
+
+  // ——————————————————————————————— content-defined chunking (CDC) dedup
+
+  /** Per-document content-defined chunk hashes (the word-level analogue
+    * of FastCDC/rsync's rolling-hash chunking): a chunk BOUNDARY falls
+    * after every word whose md5 ≡ 0 (mod `divisor`), so boundaries are a
+    * function of the CONTENT alone — insert or delete a word and only
+    * the chunk containing the edit (plus at most the one a new boundary
+    * splits) changes; every chunk downstream re-aligns and keeps its
+    * hash. That re-synchronization is exactly what [[Cleaning.spanDedup]]'s
+    * fixed-width spans lack: a one-word insertion there shifts every
+    * subsequent span by one and zero spans match.
+    *
+    * Shape: the whole chunking is ONE narrow projection of higher-order
+    * array expressions (boundary positions → start/end slices → md5 per
+    * chunk) — zero exchanges, the q74 discipline; the oracle re-derives
+    * it via the explode + prefix-sum formulation, proving the narrow
+    * plan equals the shuffling one. Expected chunk length = `divisor`
+    * words; the trailing chunk ends at the last word whether or not it
+    * is a boundary.
+    *
+    * Output: one row per (id, chunk index) with the chunk's md5 and its
+    * word count. Within-document duplicate chunks keep their separate
+    * positions here; set-level consumers distinct on (id, chunk_hash).
+    */
+  def cdcChunkRows(df: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val isBoundary = (word: Column) =>
+      conv(substring(md5(word), 1, 8), 16, 10) % divisor === 0
+    // _w must be a projected attribute: Catalyst does not CSE inside
+    // lambda bodies (the shinglesFromWords lesson)
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .withColumn("_bpos",
+        filter(sequence(lit(1), size(col("_w"))),
+          i => isBoundary(element_at(col("_w"), i))))
+      .withColumn("_starts",
+        concat(array(lit(1)), transform(col("_bpos"), p => p + lit(1))))
+      .withColumn("_ends", concat(col("_bpos"), array(size(col("_w")))))
+      .select(col("id"),
+        posexplode(
+          filter(
+            zip_with(col("_starts"), col("_ends"), (s, e) =>
+              when(s <= e, struct(
+                md5(array_join(slice(col("_w"), s, e - s + lit(1)), " "))
+                  .as("h"),
+                (e - s + lit(1)).cast("long").as("nw")))),
+            x => x.isNotNull)))
+      .select(col("id"), col("pos").cast("long").as("chunk_pos"),
+        col("col.h").as("chunk_hash"), col("col.nw").as("n_words"))
+  }
+
+  /** CDC chunk-set near-dup pairs: documents sharing content-defined
+    * chunks, scored by exact Jaccard over their DISTINCT chunk-hash
+    * sets. Candidate generation is the chunk-hash equi-join —
+    * cost ∝ Σ bucket² over chunk buckets, never all-pairs — with
+    * [[pruneHotKeys]] capping any boilerplate chunk's document frequency
+    * at `maxBucket` (the LSH-band discipline; a hot chunk loses only its
+    * own vote, the pair's other shared chunks preserve recall). Set
+    * sizes are computed BEFORE the prune, so the Jaccard denominator is
+    * truthful and a capped chunk can only lower the estimate, never
+    * inflate it. Returns pairs (a < b) with `shared` ≥ `minShared` and
+    * `jacc_ppm` ≥ `minJaccPpm` (exact floored ppm — one integer
+    * division, engine-deterministic).
+    */
+  def cdcChunkPairs(df: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 8, maxBucket: Int = Int.MaxValue,
+      minShared: Long = 2L, minJaccPpm: Long = 100000L): DataFrame = {
+    val sets = cdcChunkRows(df, textCol, idCol, divisor)
+      .select(col("id"), col("chunk_hash")).distinct()
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pruned = pruneHotKeys(sets, "chunk_hash", maxBucket)
+    pruned.as("x").join(pruned.as("y"),
+        col("x.chunk_hash") === col("y.chunk_hash") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("a"), col("n").as("a_chunks")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("b_chunks")), "b")
+      .withColumn("jacc_ppm",
+        expr("(1000000 * shared) div (a_chunks + b_chunks - shared)"))
+      .where(col("shared") >= minShared && col("jacc_ppm") >= minJaccPpm)
+      .select(col("a"), col("b"), col("shared"), col("a_chunks"),
+        col("b_chunks"), col("jacc_ppm"))
+  }
 }

@@ -281,6 +281,50 @@ object Evaluation {
           .as("auc_ppm"))
   }
 
+  /** Average precision at k (the PR-curve area [[groupAuc]] is blind to
+    * under class imbalance — AUC rewards ranking any negative below any
+    * positive; AP only rewards positives ranked EARLY). Per group, rows
+    * ranked (score desc, id asc) — the deterministic tiebreak AP needs
+    * and AUC's doubled-rank algebra avoids — and
+    * `AP@k = Σ_{r ≤ k, y_r} prec@r / min(npos_total, k)` with
+    * `prec@r = (10⁶·cum_pos_r) div r`: every term exact floored ppm, so
+    * both engines land the identical integer. Groups with no positives
+    * anywhere emit null (uncertifiable, never a fake 0).
+    *
+    * Scale shape: the rank filter is `row_number ≤ k` directly over the
+    * rank window ⇒ WindowGroupLimit prunes each mapper to its local
+    * top-k BEFORE the exchange (the q208 discipline) — the shuffle
+    * carries O(groups × k), not the corpus; the cumulative-positives
+    * window then runs on ≤ k rows per group. `npos_total` is one
+    * map-side-combined aggregate on the unranked frame.
+    */
+  def averagePrecisionAtK(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, idCol: String, k: Int = 1000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(groupCol).as("g"),
+      col(scoreCol).cast("long").as("s"),
+      col(labelCol).cast("boolean").as("y"), col(idCol).cast("long").as("id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").desc, col("id"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("rk"))
+    val scored = base.withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <= k)
+      .withColumn("cp", sum(when(col("y"), 1L).otherwise(0L)).over(wCum))
+    val totals = base.groupBy("g")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("npos_total"))
+    scored.groupBy("g")
+      .agg(sum(when(col("y"), expr("(1000000 * cp) div rk"))).as("_sp"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npos_topk"),
+        count(lit(1)).as("n_scored"))
+      .join(totals, "g")
+      .select(col("g").as(groupCol), col("n_scored"), col("npos_topk"),
+        col("npos_total"),
+        when(col("npos_total") > 0,
+          expr(s"coalesce(_sp, 0) div least(npos_total, ${k}L)"))
+          .as("ap_ppm"))
+  }
+
   /** Dimension-truncation recall — the Matryoshka-style eval deciding
     * whether the leading `dims` of an embedding are enough for
     * retrieval: per query, the overlap between exact top-k under the

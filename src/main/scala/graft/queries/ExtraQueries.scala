@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
+import graft.ops.{Analytics, Dedup, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
 
 /** Round-9 additions: graph-over-text ranking, hierarchy rollups, the
   * privacy-audit pair's missing member, data-quality screens, an ORC
@@ -2260,7 +2260,87 @@ object ExtraQueries {
         AS score_q
     FROM b GROUP BY 1"""
 
+  // —————————————————————————————— CDC chunk dedup (q267)
+  // (content-defined chunking: boundaries fall where a word's md5 ≡ 0
+  //  mod 8, so an insertion re-synchronizes downstream chunks — the
+  //  insertion-robust complement to q73's fixed-width spans. The Spark
+  //  side chunks in ONE narrow higher-order projection; the oracle
+  //  re-derives it via explode + prefix sum, proving the narrow plan
+  //  equals the shuffling one.)
+  val q267CdcChunkDedup: Q = (s, dir) =>
+    Dedup.cdcChunkPairs(Tables.documents(s, dir), "text", "doc_id",
+      divisor = 8, maxBucket = 50, minShared = 2L, minJaccPpm = 100000L)
+  private val q267Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents),
+    t AS (SELECT doc_id, i, w[i] AS word
+          FROM d, unnest(range(1, len(w) + 1)) u(i)),
+    b AS (SELECT doc_id, i, word,
+            CASE WHEN CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+              % 8 = 0 THEN 1 ELSE 0 END AS bd
+          FROM t),
+    c AS (SELECT doc_id, i, word,
+            coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ck
+          FROM b),
+    ch AS (SELECT doc_id, md5(string_agg(word, ' ' ORDER BY i)) AS h
+          FROM c GROUP BY doc_id, ck),
+    s AS (SELECT DISTINCT doc_id, h FROM ch),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    hot AS (SELECT h, count(*) AS dfc FROM s GROUP BY 1),
+    sp AS (SELECT s.doc_id, s.h FROM s JOIN hot USING (h) WHERE dfc <= 50),
+    pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+            CAST(count(*) AS BIGINT) AS shared
+          FROM sp x JOIN sp y ON x.h = y.h AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+    SELECT pr.a, pr.b, pr.shared, za.n AS a_chunks, zb.n AS b_chunks,
+      (1000000 * pr.shared) // (za.n + zb.n - pr.shared) AS jacc_ppm
+    FROM pr JOIN sz za ON za.doc_id = pr.a JOIN sz zb ON zb.doc_id = pr.b
+    WHERE pr.shared >= 2
+      AND (1000000 * pr.shared) // (za.n + zb.n - pr.shared) >= 100000"""
+
+  // —————————————————————————————— average precision @k (q268)
+  // (the PR-curve eval AUC is blind to under imbalance: per event_type,
+  //  rows ranked (score desc, id) — deterministic tiebreak — AP@1000 as
+  //  exact floored-ppm precision terms; zero-positive groups null.)
+  val q268AveragePrecision: Q = (s, dir) =>
+    Evaluation.averagePrecisionAtK(
+      Tables.events(s, dir)
+        .where(col("value").isNotNull && col("user_id").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 1000).cast("long").as("score_milli"),
+          (col("user_id") % 3 === 0).as("label"), col("event_id")),
+      "event_type", "score_milli", "label", "event_id", k = 1000)
+  private val q268Sql: String = """
+    WITH b AS (SELECT event_type AS g,
+            CAST(round(value * 1000) AS BIGINT) AS s,
+            user_id % 3 = 0 AS y, event_id AS id
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+            AND event_id IS NOT NULL),
+    r AS (SELECT g, y, row_number() OVER
+            (PARTITION BY g ORDER BY s DESC, id) AS rk
+          FROM b),
+    t AS (SELECT g, y, rk, sum(CASE WHEN y THEN 1 ELSE 0 END) OVER
+            (PARTITION BY g ORDER BY rk) AS cp
+          FROM (SELECT * FROM r WHERE rk <= 1000)),
+    p AS (SELECT g,
+            CAST(sum(CASE WHEN y THEN (1000000 * cp) // rk END) AS BIGINT)
+              AS sp,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS npos_topk,
+            CAST(count(*) AS BIGINT) AS n_scored
+          FROM t GROUP BY 1),
+    tot AS (SELECT g, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+              AS npos_total
+          FROM b GROUP BY 1)
+    SELECT p.g AS event_type, p.n_scored, p.npos_topk, tot.npos_total,
+      CASE WHEN tot.npos_total > 0
+        THEN coalesce(p.sp, 0) // least(tot.npos_total, 1000) END AS ap_ppm
+    FROM p JOIN tot USING (g)"""
+
   val all: Map[String, Q] = Map(
+    "q267_cdc_chunk_dedup" -> q267CdcChunkDedup,
+    "q268_average_precision" -> q268AveragePrecision,
     "q212_t_closeness" -> q212TCloseness,
     "q213_group_auc" -> q213GroupAuc,
     "q209_fs_linkage" -> q209FsLinkage,
@@ -2324,6 +2404,8 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q267_cdc_chunk_dedup" -> q267Sql,
+    "q268_average_precision" -> q268Sql,
     "q212_t_closeness" -> q212Sql,
     "q213_group_auc" -> q213Sql,
     "q209_fs_linkage" -> q209Sql,

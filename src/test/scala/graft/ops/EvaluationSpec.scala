@@ -160,4 +160,61 @@ class EvaluationSpec extends SparkSpec {
     // q11: y wins both spaces -> full recall
     assert(got(11L) == ((1L, 1L, 1000000L)))
   }
+
+  private def apFrame(rows: (String, Long, Boolean, Long)*) =
+    rows.toSeq.toDF("g", "s", "y", "id")
+
+  test("averagePrecisionAtK: hand AP — prec terms at positive ranks only") {
+    import spark.implicits._
+    // ranks by (s desc, id): [y, n, y] → prec@1 = 1e6, prec@3 = 666666
+    // AP = (1000000 + 666666) div 2 = 833333
+    val got = Evaluation.averagePrecisionAtK(
+        apFrame(("a", 30L, true, 1L), ("a", 20L, false, 2L),
+          ("a", 10L, true, 3L)),
+        "g", "s", "y", "id", k = 10)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got == (("a", 3L, 2L, 2L, Some(833333L))))
+  }
+
+  test("averagePrecisionAtK: perfect ranking scores exactly 1e6") {
+    import spark.implicits._
+    val got = Evaluation.averagePrecisionAtK(
+        apFrame(("a", 3L, true, 1L), ("a", 2L, true, 2L),
+          ("a", 1L, false, 3L)),
+        "g", "s", "y", "id", k = 10)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got._5.contains(1000000L))
+  }
+
+  test("averagePrecisionAtK: zero-positive group emits null, not 0") {
+    import spark.implicits._
+    val got = Evaluation.averagePrecisionAtK(
+        apFrame(("z", 5L, false, 1L), ("z", 4L, false, 2L)),
+        "g", "s", "y", "id", k = 10)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got == (("z", 2L, 0L, 0L, None)))
+  }
+
+  test("averagePrecisionAtK: k cap excludes late positives; denom = min(R, k)") {
+    import spark.implicits._
+    // positives at ranks 1 and 3, k = 2: only prec@1 counts,
+    // denominator min(npos_total=2, k=2) = 2 → AP = 500000
+    val got = Evaluation.averagePrecisionAtK(
+        apFrame(("a", 30L, true, 1L), ("a", 20L, false, 2L),
+          ("a", 10L, true, 3L)),
+        "g", "s", "y", "id", k = 2)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got == (("a", 2L, 1L, 2L, Some(500000L))))
+  }
+
+  test("averagePrecisionAtK: score ties broken by id ascending") {
+    import spark.implicits._
+    // same score; id 1 is negative, id 2 positive → positive lands rank 2
+    // AP = prec@2 / 1 = 500000 (tie had gone the other way: 1e6)
+    val got = Evaluation.averagePrecisionAtK(
+        apFrame(("a", 10L, false, 1L), ("a", 10L, true, 2L)),
+        "g", "s", "y", "id", k = 10)
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got._5.contains(500000L))
+  }
 }
