@@ -327,6 +327,94 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** NN-descent k-nearest-neighbor GRAPH construction (Dong et al.,
+    * WWW'11) — the build step for graph-based ANN indexes (HNSW/NSG
+    * layer-0) and diffusion/label-smoothing pipelines, where the
+    * product is the whole kNN graph, not one query's top-k. The
+    * principle: a neighbor of a neighbor is likely a neighbor — start
+    * from an arbitrary graph and iteratively re-rank each node's
+    * neighborhood from its 2-hop candidates; empirically converges to
+    * near-exact kNN in a few rounds at O(rounds · n · k²) scored pairs,
+    * vs the brute-force n² — the gap that makes billion-row kNN graphs
+    * buildable at all.
+    *
+    * Everything is engine-replayable:
+    *   - init neighbors are fixed modular offsets over the dense
+    *     row-number index (deterministic, id-ordered);
+    *   - scores are EXACT integer micro² squared-L2 distances
+    *     (`nsq_a + nsq_b − 2·dot` over once-rounded micro vectors —
+    *     every partial < 2⁵³, so the codegen'd double kernel is exact);
+    *   - each round's keep is `row_number ≤ k` by (dsq asc, nbr asc)
+    *     ⇒ ties engine-independent AND WindowGroupLimit prunes each
+    *     node's candidate list map-side before the exchange.
+    *
+    * Per round: candidate pairs = the undirected neighborhood joined
+    * with itself on the shared middle node (both directions — the
+    * "general neighbors" of the paper), unioned with the incumbent
+    * state so a kept neighbor can never be lost to a worse candidate.
+    * Cost per round is one self-join on the middle-node key (fan-out
+    * ≤ (2k)² per node) + two id-joins to fetch vectors + one capped
+    * window — all k-bounded, nothing quadratic in n. The driver only
+    * sequences rounds (a design-time constant).
+    *
+    * The global row_number for the init index is a one-off O(n) sort of
+    * (id) pairs — at corpus scale, replace with a dense id map or seed
+    * from LSH buckets instead; everything after the init is unchanged.
+    */
+  def nnDescent(emb: DataFrame, k: Int = 4, rounds: Int = 2,
+      initOffsets: Seq[Int] = Seq(1, 7, 31, 101),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got $k, $rounds")
+    require(initOffsets.nonEmpty, "need at least one init offset")
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val m = emb.select(col(idCol).cast("long").as("id"),
+        transform(asDouble(col(vecCol)), x => round(x * 1000000)).as("m"))
+      .withColumn("nsq", fastDot(col("m"), col("m")))
+      .localCheckpoint() // the micro vectors feed every round twice
+    val n = m.count() // bounded scalar: |V| (a design-time quantity)
+    val idx = m.select(col("id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("id")) - 1).as("x"))
+    val offs = initOffsets.map(o => lit(o.toLong))
+    val initPairs = idx.select(col("id").as("src"), col("x"))
+      .select(col("src"), explode(array(offs: _*)).as("o"), col("x"))
+      .withColumn("nx", (col("x") + col("o")) % lit(n))
+      .join(idx.select(col("id").as("nbr"), col("x").as("nx")), "nx")
+      .where(col("nbr") =!= col("src"))
+      .select(col("src"), col("nbr"))
+      .distinct() // offsets can collide mod n when n ≤ max(offset)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(m.select(col("id").as("src"), col("m").as("ma"),
+          col("nsq").as("na")), "src")
+        .join(m.select(col("id").as("nbr"), col("m").as("mb"),
+          col("nsq").as("nb")), "nbr")
+        .select(col("src"), col("nbr"),
+          (col("na") + col("nb") - lit(2.0) * fastDot(col("ma"), col("mb")))
+            .cast("long").as("dsq"))
+    def keepK(scored: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("dsq"), col("nbr"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= k)
+    }
+    var state = keepK(score(initPairs)).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val und = state.select(col("src"), col("nbr"))
+        .unionByName(state.select(col("nbr").as("src"), col("src").as("nbr")))
+        .distinct()
+      val cand = und.as("x")
+        .join(und.select(col("src").as("mid"), col("nbr").as("cnd")).as("y"),
+          col("x.nbr") === col("y.mid"))
+        .where(col("y.cnd") =!= col("x.src"))
+        .select(col("x.src").as("src"), col("y.cnd").as("nbr"))
+        .unionByName(state.select(col("src"), col("nbr")))
+        .distinct()
+      state = keepK(score(cand)).localCheckpoint()
+    }
+    state.select(col("src"), col("nbr"), col("dsq").as("l2sq_micro2"),
+      col("rk"))
+  }
+
   /** IVF index fsck — the integrity audit completing the index
     * lifecycle (build → append → rebalance → delete → compact →
     * **verify**): three checks over the on-disk index, each one row

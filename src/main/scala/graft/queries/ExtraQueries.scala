@@ -2338,7 +2338,50 @@ object ExtraQueries {
         THEN coalesce(p.sp, 0) // least(tot.npos_total, 1000) END AS ap_ppm
     FROM p JOIN tot USING (g)"""
 
+  // —————————————————————————————— NN-descent kNN graph (q269)
+  // (the build step for graph-based ANN indexes: start from modular-
+  //  offset init lists, iterate "a neighbor of a neighbor is likely a
+  //  neighbor" — each round re-ranks every node's 2-hop candidates by
+  //  EXACT integer micro² L2 and keeps the k best. O(rounds·n·k²)
+  //  scored pairs, never n². Input capped to vec_id < 400 so the
+  //  oracle's dims-join re-derivation stays bounded; the oracle unrolls
+  //  init + both rounds verbatim.)
+  val q269NnDescent: Q = (s, dir) =>
+    Similarity.nnDescent(
+      Tables.embeddings(s, dir).where(col("vec_id") < 400),
+      k = 4, rounds = 2)
+  private val q269Sql: String = {
+    def score(cIn: String, dOut: String) = s"""
+    $dOut AS (SELECT c.src, c.nbr,
+            CAST(sum((ma.xm - mb.xm) * (ma.xm - mb.xm)) AS BIGINT) AS dsq
+          FROM $cIn c JOIN m ma ON ma.id = c.src
+          JOIN m mb ON mb.id = c.nbr AND mb.d = ma.d
+          GROUP BY 1, 2)"""
+    def keep(dIn: String, sOut: String) = s"""
+    $sOut AS (SELECT src, nbr, dsq, rk FROM (SELECT *, row_number() OVER
+            (PARTITION BY src ORDER BY dsq, nbr) AS rk FROM $dIn)
+          WHERE rk <= 4)"""
+    def round(sIn: String, r: Int) = s"""
+    u$r AS (SELECT src, nbr FROM $sIn UNION SELECT nbr, src FROM $sIn),
+    c$r AS (SELECT DISTINCT a.src, b.nbr FROM u$r a JOIN u$r b
+            ON a.nbr = b.src WHERE b.nbr <> a.src
+          UNION SELECT src, nbr FROM $sIn),${score(s"c$r", s"d$r")},${keep(s"d$r", s"s$r")}"""
+    s"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 400),
+    m AS (SELECT id, i - 1 AS d, CAST(round(v[i] * 1000000) AS BIGINT) AS xm
+          FROM e, unnest(range(1, len(v) + 1)) u(i)),
+    idx AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS x FROM e),
+    nn AS (SELECT count(*) AS n FROM e),
+    c0 AS (SELECT DISTINCT a.id AS src, b.id AS nbr
+          FROM idx a CROSS JOIN (SELECT unnest([1, 7, 31, 101]) AS o) t
+          CROSS JOIN nn CROSS JOIN idx b
+          WHERE b.x = (a.x + t.o) % nn.n AND b.id <> a.id),${score("c0", "d0")},${keep("d0", "s0")},${round("s0", 1)},${round("s1", 2)}
+    SELECT src, nbr, dsq AS l2sq_micro2, CAST(rk AS BIGINT) AS rk FROM s2"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q269_nn_descent" -> q269NnDescent,
     "q267_cdc_chunk_dedup" -> q267CdcChunkDedup,
     "q268_average_precision" -> q268AveragePrecision,
     "q212_t_closeness" -> q212TCloseness,
@@ -2404,6 +2447,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q269_nn_descent" -> q269Sql,
     "q267_cdc_chunk_dedup" -> q267Sql,
     "q268_average_precision" -> q268Sql,
     "q212_t_closeness" -> q212Sql,
