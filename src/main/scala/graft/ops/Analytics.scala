@@ -1210,4 +1210,66 @@ object Analytics {
       .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
       .select(lit(rule).as("rule"), col("n_checked"), col("n_violations")))
   }
+
+  /** Cramér's V association matrix over declared categorical columns —
+    * the profiling complement to [[fdAudit]]: FDs answer "is B a
+    * FUNCTION of A", V answers "how far toward that does the
+    * DEPENDENCE go" (0 = independent, 1 = one determines the other).
+    * The matrix is what drives redundant-feature pruning and
+    * leakage-suspect screens before training.
+    *
+    * Exact-integer algebra up to the single final sqrt (the
+    * [[spearmanCorr]] float discipline): per cell,
+    * `chi2-term = (N·n_xy − r_x·c_y)² / (N·r_x·c_y)` — each term one
+    * truncating micro division of decimal(38) integers (squares of
+    * `N·n` overflow Long at table sizes, so everything widens), summed
+    * to `chi2_micro`; `v = round(√(chi2_micro / (10⁶·N·(min(r,c)−1))),
+    * 6)`. ABSENT cells still contribute (their term is
+    * `10⁶·r·c div N` — skipping them understates every association),
+    * so the cell frame is the full marginal lattice, built by a
+    * bounded cross join of the two marginals, left-joined to observed
+    * counts with null-safe keys (a null category is a category).
+    *
+    * Cost: one grouped count + two bounded marginal joins per column
+    * pair; rows after the first aggregate are cardinality-sized, never
+    * data-sized. Degenerate pairs (either side single-valued) emit
+    * null v.
+    */
+  def cramersV(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "need at least two categorical columns")
+    require(cols.distinct.length == cols.length, "duplicate column names")
+    val dec = "decimal(38,0)"
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val cells = df.groupBy(col(a).as("x"), col(b).as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val rx = cells.groupBy(col("x").as("mx")).agg(sum("nxy").as("r"))
+      val cy = cells.groupBy(col("y").as("my")).agg(sum("nxy").as("c"))
+      // full marginal lattice, null-safe back-join (a null category is
+      // a category — the tCloseness lesson): absent cells keep nxy = 0
+      val latt = rx.crossJoin(cy)
+        .join(cells,
+          col("mx") <=> cells("x") && col("my") <=> cells("y"), "left")
+        .select(col("r"), col("c"), coalesce(col("nxy"), lit(0L)).as("nxy"))
+      latt
+        .crossJoin(df.agg(count(lit(1)).cast(dec).as("nn")))
+        .crossJoin(rx.agg(count(lit(1)).as("ra")))
+        .crossJoin(cy.agg(count(lit(1)).as("cb")))
+        .select(col("nn"), col("ra"), col("cb"),
+          expr(s"(cast(1000000 as $dec) * (nn * nxy - r * c) * " +
+            s"(nn * nxy - r * c)) div (nn * cast(r as $dec) * c)")
+            .as("term_micro"))
+        .groupBy(col("nn"), col("ra"), col("cb"))
+        .agg(sum(col("term_micro").cast(dec)).as("chi2_micro"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("nn").cast("long").as("n"), col("ra").as("r_card"),
+          col("cb").as("c_card"),
+          col("chi2_micro").cast("long").as("chi2_micro"),
+          when(least(col("ra"), col("cb")) > 1,
+            round(sqrt(col("chi2_micro").cast("double") /
+              (lit(1e6) * col("nn").cast("double") *
+                (least(col("ra"), col("cb")) - 1).cast("double"))), 6))
+            .as("v"))
+    }
+    pairs.reduce(_.unionByName(_))
+  }
 }

@@ -508,4 +508,53 @@ object TimeSeries {
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"), max("late_ms").as("max_late_ms"))
   }
+
+  /** Per-key autocorrelation function at lags 1..`maxLag` — the
+    * seasonality/persistence diagnostic that decides window sizes and
+    * decay constants (a daily cycle shows as a peak at the daily lag;
+    * white noise hovers near 0). Exact end to end: values pinned to
+    * cents, centering multiplied through (`e_t = n·c_t − Σc`, an
+    * integer — no rational mean ever materializes), so
+    * `r_k = Σ e_t·e_{t+k} / Σ e_t²` is a ratio of exact integers,
+    * emitted as one truncating ppm division. Products of two `n·c`
+    * terms summed over a key overflow Long around n·c ~ 3e9, so the
+    * sums widen to decimal(38) (the [[Analytics.spearmanCorr]]
+    * discipline; DuckDB's HUGEINT mirrors it).
+    *
+    * Shape: one per-key (ts, id)-ordered window evaluating all
+    * `maxLag` lags in a single pass (one shuffle + one sort), one
+    * grouped aggregate, then a maxLag-row explode of the bounded
+    * per-key summary. Zero-variance keys emit null r; a lag with no
+    * pairs (n ≤ lag) emits no row, never a fake 0.
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, idCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("g"),
+        round(col(valCol) * 100).cast("long").as("c"),
+        col(tsCol), col(idCol))
+    val st = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(dec)).as("s"))
+    val w = Window.partitionBy("g").orderBy(col(tsCol), col(idCol))
+    val centered = base.join(st, "g")
+      .withColumn("e", (col("n").cast(dec) * col("c") - col("s")).cast(dec))
+    val lagged = (1 to maxLag).foldLeft(centered) { (d, k) =>
+      d.withColumn(s"e$k", lag(col("e"), k).over(w))
+    }
+    val aggs = sum((col("e") * col("e")).cast(dec)).as("den") +:
+      (1 to maxLag).map(k =>
+        sum((col("e") * col(s"e$k")).cast(dec)).as(s"num$k"))
+    val sums = lagged.groupBy("g").agg(max(col("n")).as("n"), aggs: _*)
+    val perLag = (1 to maxLag).map(k =>
+      sums.where(col("n") > k)
+        .select(col("g"), lit(k.toLong).as("lag"), col("n"),
+          when(col("den") > 0,
+            expr(s"(cast(1000000 as $dec) * num$k) div den")).as("r_ppm")))
+    perLag.reduce(_.unionByName(_))
+      .select(col("g").as(keyCol), col("lag"), col("n"), col("r_ppm"))
+  }
 }

@@ -2380,7 +2380,91 @@ object ExtraQueries {
     SELECT src, nbr, dsq AS l2sq_micro2, CAST(rk AS BIGINT) AS rk FROM s2"""
   }
 
+  // —————————————————————————————— autocorrelation (q270)
+  // (per-user ACF at lags 1..3 — the seasonality diagnostic behind
+  //  window/decay choices. Centering multiplied through: e = n·c − Σc
+  //  stays integer, r = Σe·e₊ₖ/Σe² one truncating ppm division;
+  //  decimal(38)/HUGEINT sums. One ordered window pass scores all lags.)
+  val q270Autocorrelation: Q = (s, dir) =>
+    TimeSeries.autocorrelation(Tables.events(s, dir),
+      "user_id", "ts", "value", "event_id", maxLag = 3)
+  private val q270Sql: String = """
+    WITH b AS (SELECT user_id AS g, CAST(round(value * 100) AS BIGINT) AS c,
+            ts, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL AND event_id IS NOT NULL),
+    st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS HUGEINT) AS s FROM b GROUP BY 1),
+    ctr AS (SELECT b.g, st.n, CAST(st.n AS HUGEINT) * b.c - st.s AS e,
+            b.ts, b.id
+          FROM b JOIN st USING (g)),
+    lagd AS (SELECT g, n, e,
+            lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+            lag(e, 3) OVER w AS e3
+          FROM ctr WINDOW w AS (PARTITION BY g ORDER BY ts, id)),
+    agg AS (SELECT g, max(n) AS n, sum(e * e) AS den,
+            sum(e * e1) AS n1, sum(e * e2) AS n2, sum(e * e3) AS n3
+          FROM lagd GROUP BY 1)
+    SELECT g AS user_id, CAST(t.l AS BIGINT) AS "lag", n,
+      CASE WHEN den > 0 THEN CAST((1000000 *
+        CASE t.l WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) // den
+        AS BIGINT) END AS r_ppm
+    FROM agg, unnest([1, 2, 3]) t(l)
+    WHERE n > t.l"""
+
+  // —————————————————————————————— Cramér's V matrix (q271)
+  // (categorical association profiling — the dependence screen between
+  //  fdAudit's all-or-nothing FDs. Exact micro chi² terms over the FULL
+  //  marginal lattice — absent cells contribute, null categories join
+  //  null-safe — one final sqrt rounded 6 d.p.)
+  val q271CramersV: Q = (s, dir) =>
+    Analytics.cramersV(
+      Tables.events(s, dir).select(
+        col("event_type"),
+        (col("user_id") % 7).as("user_bucket"),
+        (round(col("value") * 100).cast("long") % 5).as("value_bucket")),
+      Seq("event_type", "user_bucket", "value_bucket"))
+  private val q271Sql: String = {
+    def pair(p: String, xa: String, ya: String, an: String, bn: String) = s"""
+    ${p}cl AS (SELECT $xa AS x, $ya AS y, CAST(count(*) AS BIGINT) AS nxy
+          FROM base GROUP BY 1, 2),
+    ${p}rx AS (SELECT x AS mx, CAST(sum(nxy) AS BIGINT) AS r
+          FROM ${p}cl GROUP BY 1),
+    ${p}cy AS (SELECT y AS my, CAST(sum(nxy) AS BIGINT) AS c
+          FROM ${p}cl GROUP BY 1),
+    ${p}lt AS (SELECT rx.r, cy.c, coalesce(cl.nxy, 0) AS nxy
+          FROM ${p}rx rx CROSS JOIN ${p}cy cy
+          LEFT JOIN ${p}cl cl ON rx.mx IS NOT DISTINCT FROM cl.x
+            AND cy.my IS NOT DISTINCT FROM cl.y),
+    ${p}ag AS (SELECT CAST(sum((CAST(1000000 AS HUGEINT) *
+              (nn.n * nxy - CAST(r AS HUGEINT) * c) *
+              (nn.n * nxy - CAST(r AS HUGEINT) * c))
+              // (nn.n * CAST(r AS HUGEINT) * c)) AS BIGINT) AS chi2_micro,
+            CAST(max(nn.n) AS BIGINT) AS n
+          FROM ${p}lt CROSS JOIN nn),
+    ${p}fin AS (SELECT '$an' AS col_a, '$bn' AS col_b, ag.n,
+            (SELECT CAST(count(*) AS BIGINT) FROM ${p}rx) AS r_card,
+            (SELECT CAST(count(*) AS BIGINT) FROM ${p}cy) AS c_card,
+            ag.chi2_micro,
+            CASE WHEN least((SELECT count(*) FROM ${p}rx),
+                (SELECT count(*) FROM ${p}cy)) > 1
+              THEN round(sqrt(CAST(ag.chi2_micro AS DOUBLE) /
+                (1000000.0 * ag.n *
+                  (least((SELECT count(*) FROM ${p}rx),
+                    (SELECT count(*) FROM ${p}cy)) - 1))), 6) END AS v
+          FROM ${p}ag ag)"""
+    s"""
+    WITH base AS (SELECT event_type AS a, user_id % 7 AS b,
+            CAST(round(value * 100) AS BIGINT) % 5 AS c
+          FROM events),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),${pair("p1", "a", "b", "event_type", "user_bucket")},${pair("p2", "a", "c", "event_type", "value_bucket")},${pair("p3", "b", "c", "user_bucket", "value_bucket")}
+    SELECT * FROM p1fin UNION ALL SELECT * FROM p2fin
+    UNION ALL SELECT * FROM p3fin"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q270_autocorrelation" -> q270Autocorrelation,
+    "q271_cramers_v" -> q271CramersV,
     "q269_nn_descent" -> q269NnDescent,
     "q267_cdc_chunk_dedup" -> q267CdcChunkDedup,
     "q268_average_precision" -> q268AveragePrecision,
@@ -2447,6 +2531,8 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q270_autocorrelation" -> q270Sql,
+    "q271_cramers_v" -> q271Sql,
     "q269_nn_descent" -> q269Sql,
     "q267_cdc_chunk_dedup" -> q267Sql,
     "q268_average_precision" -> q268Sql,

@@ -694,4 +694,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L &&
       clean.getBoolean(4))
   }
+
+  private def cvFrame(rows: (String, Option[String])*) =
+    rows.toSeq.toDF("x", "y")
+
+  test("cramersV: perfect 2×2 association scores exactly 1") {
+    import spark.implicits._
+    val rows = Seq.fill(5)(("A", Option("1"))) ++
+      Seq.fill(5)(("B", Option("2")))
+    val got = Analytics.cramersV(cvFrame(rows: _*), Seq("x", "y"))
+      .as[(String, String, Long, Long, Long, Long, Option[Double])].head()
+    // every cell term = (10·n − 25)²·1e6/250 = 2.5e6 → chi2_micro = 1e7
+    assert(got == (("x", "y", 10L, 2L, 2L, 10000000L, Some(1.0))))
+  }
+
+  test("cramersV: independent uniform 2×2 scores 0") {
+    import spark.implicits._
+    val got = Analytics.cramersV(
+        cvFrame(("A", Some("1")), ("A", Some("2")),
+          ("B", Some("1")), ("B", Some("2"))),
+        Seq("x", "y"))
+      .as[(String, String, Long, Long, Long, Long, Option[Double])].head()
+    assert(got._6 == 0L && got._7.contains(0.0))
+  }
+
+  test("cramersV: single-valued side emits null v, never a fake 0") {
+    import spark.implicits._
+    val got = Analytics.cramersV(
+        cvFrame(("A", Some("1")), ("B", Some("1"))), Seq("x", "y"))
+      .as[(String, String, Long, Long, Long, Long, Option[Double])].head()
+    assert(got._5 == 1L && got._7.isEmpty)
+  }
+
+  test("cramersV: a null category is a category (null-safe lattice join)") {
+    import spark.implicits._
+    // y = null perfectly identifies x = A: association must be exactly 1
+    val rows = Seq.fill(3)(("A", Option.empty[String])) ++
+      Seq.fill(3)(("B", Option("2")))
+    val got = Analytics.cramersV(cvFrame(rows: _*), Seq("x", "y"))
+      .as[(String, String, Long, Long, Long, Long, Option[Double])].head()
+    assert(got._4 == 2L && got._5 == 2L, "null must count as a category")
+    assert(got._7.contains(1.0), s"got v=${got._7}")
+  }
+
+  test("cramersV: three columns emit all three pairs") {
+    import spark.implicits._
+    val df = Seq(("A", "1", "x"), ("B", "2", "y"), ("A", "2", "x"))
+      .toDF("p", "q", "r")
+    val got = Analytics.cramersV(df, Seq("p", "q", "r"))
+      .select("col_a", "col_b").as[(String, String)].collect().toSet
+    assert(got == Set(("p", "q"), ("p", "r"), ("q", "r")))
+  }
 }

@@ -336,4 +336,60 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getBoolean(6)).toMap
     assert(got == Map(0L -> false, 1L -> false, 2L -> false, 3L -> true))
   }
+
+  private def acfFrame(rows: (String, Long, Double, Long)*) =
+    rows.toSeq.toDF("k", "ts_ms", "v", "id")
+      .select(col("k"), timestamp_millis(col("ts_ms")).as("ts"),
+        col("v"), col("id"))
+
+  test("autocorrelation: hand ACF on an alternating series") {
+    import spark.implicits._
+    // c = [1,2,1,2] cents → e = 4c−6 = [−2,2,−2,2], den = 16
+    // lag1 Σ = −12 → −750000; lag2 Σ = 8 → 500000; lag3 Σ = −4 → −250000
+    val got = TimeSeries.autocorrelation(
+        acfFrame(("a", 1000L, 0.01, 1L), ("a", 2000L, 0.02, 2L),
+          ("a", 3000L, 0.01, 3L), ("a", 4000L, 0.02, 4L)),
+        "k", "ts", "v", "id", maxLag = 3)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(got == Map(1L -> Some(-750000L), 2L -> Some(500000L),
+      3L -> Some(-250000L)))
+  }
+
+  test("autocorrelation: zero variance emits null r, short keys drop lags") {
+    import spark.implicits._
+    // constant series of 3 → den = 0 → null r; n = 3 ⇒ lag 3 has no row
+    val got = TimeSeries.autocorrelation(
+        acfFrame(("a", 1L, 0.05, 1L), ("a", 2L, 0.05, 2L),
+          ("a", 3L, 0.05, 3L)),
+        "k", "ts", "v", "id", maxLag = 3)
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(got.map(_._2).toSet == Set(1L, 2L), "lag 3 must be absent at n=3")
+    assert(got.forall(_._4.isEmpty), "zero variance must yield null r")
+  }
+
+  test("autocorrelation: same-ts rows order by id (deterministic)") {
+    import spark.implicits._
+    // two orderings of the same values at one shared ts flip the sign
+    // of the lag-1 term; the id tiebreak pins which one is computed
+    val got = TimeSeries.autocorrelation(
+        acfFrame(("a", 1000L, 0.01, 2L), ("a", 1000L, 0.02, 1L),
+          ("a", 2000L, 0.01, 3L), ("a", 2000L, 0.02, 4L)),
+        "k", "ts", "v", "id", maxLag = 1)
+      .as[(String, Long, Long, Option[Long])].collect()
+    // id order: (1)=2c,(2)=1c,(3)=1c,(4)=2c → e = [2,−2,−2,2]
+    // lag1 Σ = −4 + 4 − 4 = −4 → (1e6·−4) div 16 = −250000
+    assert(got.head._4.contains(-250000L))
+  }
+
+  test("autocorrelation: keys are independent") {
+    import spark.implicits._
+    val got = TimeSeries.autocorrelation(
+        acfFrame(("a", 1L, 0.01, 1L), ("a", 2L, 0.02, 2L),
+          ("b", 1L, 0.09, 3L), ("b", 2L, 0.01, 4L), ("b", 3L, 0.09, 5L)),
+        "k", "ts", "v", "id", maxLag = 1)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map("a" -> 2L, "b" -> 3L))
+  }
 }
