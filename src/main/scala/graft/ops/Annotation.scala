@@ -77,6 +77,62 @@ object Annotation {
     * aggregate joined on (pair, label) — everything downstream of the
     * self-join is O(annotator-pairs · labels).
     */
+  /** Bradley–Terry strength fitting over pairwise preference duels —
+    * the aggregation step that turns "A beat B" rows (human preference
+    * votes, model-arena matchups) into per-item strengths. Fixed
+    * `iterations` of the Hunter (2004) MM update
+    * `s_i ← W_i / Σ_j n_ij/(s_i+s_j)`, entirely in integer micro
+    * space: strengths start at 10⁶, each pair term is ONE truncating
+    * division `n_ij·10¹² div (s_i+s_j)` (micro units), the update is
+    * `W_i·10¹² div Σterms` — no float ever, so any engine replaying
+    * the same order of truncations lands on identical integers.
+    * `n·10¹²` products overflow Long past ~9·10⁶ duels per pair, so
+    * sums ride decimal(38) (DuckDB HUGEINT mirrors it).
+    *
+    * Known BT degeneracy kept loud: a zero-win item's strength is
+    * exactly 0 from round 1 (its true MLE is 0/unbounded-ratio), and
+    * `greatest(·,1)` guards the two divisions so an all-zero pair
+    * yields 0, never a null/error divergence between engines.
+    *
+    * Scale shape: the ONLY data-sized work is the duel aggregation;
+    * `games` is items²-bounded, strengths are items-sized, and each
+    * MM round is two joins + one aggregate on those bounded frames.
+    */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+      loserCol: String, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dec = "decimal(38,0)"
+    val duels = comparisons
+      .select(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    val games = duels.select(col("w").as("item"), col("l").as("opp"))
+      .unionAll(duels.select(col("l").as("item"), col("w").as("opp")))
+      .groupBy("item", "opp").agg(count(lit(1)).as("n"))
+    val wins = duels.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val base = games.groupBy("item").agg(sum("n").as("n_games"))
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), col("n_games"),
+        coalesce(col("wins"), lit(0L)).as("wins"))
+    var s = base.select(col("item"), lit(1000000L).cast(dec).as("s"))
+    for (_ <- 1 to iterations) {
+      val denom = games
+        .join(s.select(col("item"), col("s").as("s_i")), "item")
+        .join(s.select(col("item").as("opp"), col("s").as("s_j")), "opp")
+        .select(col("item"), expr(s"(cast(n as $dec) * 1000000000000)" +
+          s" div greatest(s_i + s_j, 1)").as("term"))
+        .groupBy("item").agg(sum(col("term")).as("denom"))
+      s = base.join(denom, "item")
+        .select(col("item"), expr(s"(cast(wins as $dec) * 1000000000000)" +
+          s" div greatest(denom, 1)").as("s"))
+    }
+    val tot = s.agg(sum(col("s")).as("s_tot"))
+    base.join(s, "item").crossJoin(tot)
+      .select(col("item"), col("wins"), col("n_games"),
+        col("s").cast("long").as("strength_micro"),
+        expr(s"(s * 1000000) div greatest(s_tot, 1)").cast("long")
+          .as("share_ppm"))
+  }
+
   def cohensKappa(votes: DataFrame, itemCol: String, annotatorCol: String,
       labelCol: String): DataFrame = {
     val v = votes.select(col(itemCol).as("item"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Dedup, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
+import graft.ops.{Analytics, Annotation, Dedup, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
 
 /** Round-9 additions: graph-over-text ranking, hierarchy rollups, the
   * privacy-audit pair's missing member, data-quality screens, an ORC
@@ -2462,7 +2462,60 @@ object ExtraQueries {
     UNION ALL SELECT * FROM p3fin"""
   }
 
+  // —————————————————————————————— Bradley–Terry strengths (q272)
+  // (pairwise preference duels → per-item strengths, 3 unrolled MM
+  //  rounds in exact micro integers — the RLHF preference-aggregation
+  //  verb. Duels synthesized from events: arena of 16 items, winner
+  //  decided by cent parity. Only the duel aggregation is data-sized;
+  //  every MM round runs on items²-bounded frames.)
+  val q272BradleyTerry: Q = (s, dir) => {
+    val duels = Tables.events(s, dir)
+      .where(col("event_id").isNotNull && col("value").isNotNull)
+      .select(expr("event_id % 16").as("a"),
+        expr("(event_id div 16) % 16").as("b"),
+        (round(col("value") * 100).cast("long") % 2 === 0).as("a_wins"))
+      .where(col("a") =!= col("b"))
+      .select(when(col("a_wins"), col("a")).otherwise(col("b")).as("winner"),
+        when(col("a_wins"), col("b")).otherwise(col("a")).as("loser"))
+    Annotation.bradleyTerry(duels, "winner", "loser", iterations = 3)
+  }
+  private val q272Sql: String = {
+    val iters = (0 until 3).map { k =>
+      s"""d${k + 1} AS (SELECT g.item,
+            sum((g.n * 1000000000000) // greatest(si.s + sj.s, 1)) AS denom
+          FROM games g JOIN s$k si ON g.item = si.item
+          JOIN s$k sj ON g.opp = sj.item GROUP BY 1),
+    s${k + 1} AS (SELECT b.item,
+            (CAST(b.wins AS HUGEINT) * 1000000000000)
+              // greatest(d.denom, 1) AS s
+          FROM base b JOIN d${k + 1} d ON b.item = d.item)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH raw AS (SELECT event_id % 16 AS a, (event_id // 16) % 16 AS b,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+    duels AS (SELECT CASE WHEN c % 2 = 0 THEN a ELSE b END AS w,
+            CASE WHEN c % 2 = 0 THEN b ELSE a END AS l
+          FROM raw WHERE a <> b),
+    games AS (SELECT item, opp, CAST(count(*) AS HUGEINT) AS n
+          FROM (SELECT w AS item, l AS opp FROM duels
+                UNION ALL SELECT l, w FROM duels) GROUP BY 1, 2),
+    wins AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+          FROM duels GROUP BY 1),
+    base AS (SELECT item, n_games, coalesce(wins, 0) AS wins
+          FROM (SELECT item, CAST(sum(n) AS BIGINT) AS n_games
+                FROM games GROUP BY 1) t
+          LEFT JOIN wins USING (item)),
+    s0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM base),
+    $iters,
+    tot AS (SELECT sum(s) AS s_tot FROM s3)
+    SELECT b.item, b.wins, b.n_games, CAST(s.s AS BIGINT) AS strength_micro,
+      CAST((s.s * 1000000) // greatest(t.s_tot, 1) AS BIGINT) AS share_ppm
+    FROM base b JOIN s3 s ON b.item = s.item CROSS JOIN tot t"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q272_bradley_terry" -> q272BradleyTerry,
     "q270_autocorrelation" -> q270Autocorrelation,
     "q271_cramers_v" -> q271CramersV,
     "q269_nn_descent" -> q269NnDescent,
@@ -2531,6 +2584,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q272_bradley_terry" -> q272Sql,
     "q270_autocorrelation" -> q270Sql,
     "q271_cramers_v" -> q271Sql,
     "q269_nn_descent" -> q269Sql,

@@ -61,4 +61,38 @@ class AnnotationSpec extends SparkSpec {
       .collect().head
     assert(k.isNullAt(5) && k.getLong(4) == 4L)
   }
+
+  private def bt(duels: (Long, Long)*) =
+    Annotation.bradleyTerry(duels.toDF("winner", "loser"), "winner", "loser")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("bradleyTerry: hand MM — 3:1 record fixes the 3:1 strength ratio") {
+    // A beats B 3×, B beats A 1×. Round 1: term = 4·10¹² div 2·10⁶ =
+    // 2·10⁶ per side → s_A = 3·10¹² div 2·10⁶ = 1.5·10⁶, s_B = 0.5·10⁶;
+    // s_A+s_B stays 2·10⁶ so rounds 2-3 are fixed points.
+    val got = bt((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+    assert(got(1L) == ((1L, 3L, 4L, 1500000L, 750000L)))
+    assert(got(2L) == ((2L, 1L, 4L, 500000L, 250000L)))
+  }
+
+  test("bradleyTerry: zero-win item pins to exactly 0, winner takes all") {
+    val got = bt((1L, 2L), (1L, 2L))
+    assert(got(2L)._4 == 0L && got(2L)._5 == 0L)
+    assert(got(1L)._5 == 1000000L, "sole winner owns the whole share")
+  }
+
+  test("bradleyTerry: rock-paper-scissors cycle stays symmetric") {
+    val got = bt((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(got.values.map(_._4).toSet.size == 1, "equal strengths")
+    assert(got(1L)._5 == 333333L)
+  }
+
+  test("bradleyTerry: self-duels and null sides are dropped") {
+    val duels = Seq((Some(1L), Some(1L)), (Some(1L), None),
+      (None, Some(2L)), (Some(1L), Some(2L))).toDF("winner", "loser")
+    val got = Annotation.bradleyTerry(duels, "winner", "loser")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L) && got(1L)._3 == 1L)
+  }
 }
