@@ -2514,7 +2514,47 @@ object ExtraQueries {
     FROM base b JOIN s3 s ON b.item = s.item CROSS JOIN tot t"""
   }
 
+  // —————————————————————————————— RA link prediction (q273)
+  // (predict missing links on the q102/q124 pseudo-graph by the
+  //  resource-allocation index — Σ 1e6 div deg(z) over common
+  //  neighbors, the exact-integer member of the CN/AA/RA family;
+  //  candidates from the wedge join with the hub cap, known links
+  //  anti-joined away, top 50 by (score, a, b).)
+  val q273RaLinkPred: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Graph.resourceAllocation(
+        Graph.pseudoEdges(docs.select(col("doc_id")), "doc_id", docs.count()))
+      .orderBy(col("ra_micro").desc, col("a"), col("b"))
+      .limit(50)
+  }
+  private val q273Sql: String = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM edges),
+    adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node AS z, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY 1),
+    wedge AS (SELECT l.node AS x, r.node AS y, l.nbr AS z
+              FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.node < r.node),
+    scored AS (SELECT w.x, w.y, CAST(count(*) AS BIGINT) AS n_common,
+                CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_micro
+              FROM wedge w JOIN deg d ON w.z = d.z AND d.deg <= 10000
+              GROUP BY 1, 2),
+    pred AS (SELECT s.x AS a, s.y AS b, s.n_common, s.ra_micro
+             FROM scored s WHERE NOT EXISTS
+               (SELECT 1 FROM und u WHERE u.a = s.x AND u.b = s.y))
+    SELECT a, b, n_common, ra_micro FROM pred
+    ORDER BY ra_micro DESC, a, b LIMIT 50"""
+
   val all: Map[String, Q] = Map(
+    "q273_ra_link_pred" -> q273RaLinkPred,
     "q272_bradley_terry" -> q272BradleyTerry,
     "q270_autocorrelation" -> q270Autocorrelation,
     "q271_cramers_v" -> q271CramersV,
@@ -2584,6 +2624,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q273_ra_link_pred" -> q273Sql,
     "q272_bradley_terry" -> q272Sql,
     "q270_autocorrelation" -> q270Sql,
     "q271_cramers_v" -> q271Sql,

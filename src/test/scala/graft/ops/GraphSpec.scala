@@ -311,4 +311,40 @@ class GraphSpec extends SparkSpec {
       .map(r => r._1 -> r._3).toMap
     assert(got(12L) == -1L, "(-3) div 2 must truncate to -1, not floor to -2")
   }
+
+  private def ra(maxDeg: Int, edges: (Long, Long)*) =
+    Graph.resourceAllocation(edges.toDF("src", "tgt"), maxDeg)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+  test("resourceAllocation: path predicts its endpoints at 1/deg(mid)") {
+    import spark.implicits._
+    // 1—2—3: only candidate (1,3) via z=2, deg(2)=2 → 500000
+    assert(ra(10000, (1L, 2L), (2L, 3L)) ==
+      Map((1L, 3L) -> ((1L, 500000L))))
+  }
+
+  test("resourceAllocation: square diagonals sum both common neighbors") {
+    import spark.implicits._
+    // 1—2—3—4—1: diagonals (1,3) and (2,4), each via two deg-2 pivots
+    val got = ra(10000, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(got == Map((1L, 3L) -> ((2L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L))))
+  }
+
+  test("resourceAllocation: known links are never predicted") {
+    import spark.implicits._
+    // triangle: every common-neighbor pair is already an edge
+    assert(ra(10000, (1L, 2L), (2L, 3L), (1L, 3L)).isEmpty)
+  }
+
+  test("resourceAllocation: hub cap drops the pivot, direction collapses") {
+    import spark.implicits._
+    // star 0—{1,2,3,4} with mixed directions/dupes: C(4,2) pairs at
+    // 10⁶ div 4; capping maxDeg=3 removes the only pivot
+    val es = Seq((0L, 1L), (2L, 0L), (0L, 3L), (4L, 0L), (1L, 0L))
+    val got = ra(10000, es: _*)
+    assert(got.size == 6 && got((1L, 2L)) == ((1L, 250000L)))
+    assert(ra(3, es: _*).isEmpty)
+  }
 }
