@@ -73,6 +73,58 @@ object Privacy {
       .select(col("g").as(groupCol), col("n_true"), col("noisy6"))
   }
 
+  /** USER-level ε-DP count release with contribution bounding — the
+    * piece [[dpNoisyCounts]] leaves open at scale: row-level DP assumes
+    * each user owns ONE row, but a power user with 10⁴ events shifts a
+    * histogram cell by 10⁴, so Laplace(1/ε) noise protects nothing.
+    * The standard fix (Wilson et al., "Differentially Private SQL with
+    * Bounded User Contribution", PVLDB 2020) is enforced here: keep at
+    * most `cap` rows per user — the `cap` smallest md5 draws over
+    * `seed|user|id`, deterministic under any partitioning — which makes
+    * the release's L1 user-sensitivity exactly `cap`, then add
+    * Laplace(cap/ε) noise from the same replayable seed lattice.
+    *
+    * Groups are the ones observed in the RAW data (left-joined back so
+    * a group whose every row was capped away still releases a noisy 0 —
+    * silently dropping it would leak); that observed-domain choice is
+    * the documented deviation from a public-domain release, which
+    * callers with a fixed taxonomy should prefer. `n_unbounded` /
+    * `n_bounded` ride along for the oracle gate only — the release is
+    * (group, noisy6).
+    *
+    * Plan: the cap is `row_number ≤ cap` over (draw, id) per user ⇒
+    * WindowGroupLimit prunes each user map-side to `cap` rows before
+    * the exchange; then two map-side-combined grouped counts and a
+    * groups-sized join. Nothing after the prune is data-sized.
+    */
+  def dpBoundedCounts(df: DataFrame, groupCol: String, userCol: String,
+      idCol: String, cap: Int, epsilon: Double, seed: Long = 1L): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val base = df.where(col(groupCol).isNotNull && col(userCol).isNotNull &&
+      col(idCol).isNotNull)
+    val draw = md5(concat(lit(s"cb|$seed|"), col(userCol).cast("string"),
+      lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(userCol)).orderBy(draw, col(idCol))
+    val bounded = base.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_bounded"))
+    val raw = base.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_unbounded"))
+    val b = cap / epsilon
+    val u = (conv(substring(md5(concat(lit(s"dp|$seed|"),
+        col("g").cast("string"))), 1, 15), 16, 10).cast("double")
+      + lit(0.5)) / lit(math.pow(2, 60))
+    raw.join(bounded, Seq("g"), "left")
+      .withColumn("n_bounded", coalesce(col("n_bounded"), lit(0L)))
+      .withColumn("_u", u)
+      .withColumn("noisy6", round(
+        col("n_bounded") - lit(b) * signum(col("_u") - 0.5)
+          * log(lit(1.0) - lit(2.0) * abs(col("_u") - 0.5)), 6))
+      .select(col("g").as(groupCol), col("n_unbounded"), col("n_bounded"),
+        col("noisy6"))
+  }
+
   /** l-diversity audit — the release gate k-anonymity alone cannot
     * provide: a QI group can be large (k-safe) yet carry ONE sensitive
     * value, so membership still discloses it (homogeneity attack).

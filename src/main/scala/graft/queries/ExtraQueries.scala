@@ -2553,7 +2553,39 @@ object ExtraQueries {
     SELECT a, b, n_common, ra_micro FROM pred
     ORDER BY ra_micro DESC, a, b LIMIT 50"""
 
+  // —————————————————————————————— DP bounded contributions (q274)
+  // (user-level DP: cap each user at 8 rows — the 8 smallest seeded md5
+  //  draws, WindowGroupLimit-pruned map-side — making user-sensitivity
+  //  exactly 8, then Laplace(8/0.5) on the bounded counts; groups whose
+  //  rows were all capped away still release a noisy 0.)
+  val q274DpBoundedCounts: Q = (s, dir) =>
+    Privacy.dpBoundedCounts(Tables.events(s, dir), "event_type",
+      "user_id", "event_id", cap = 8, epsilon = 0.5, seed = 1L)
+  private val q274Sql: String = """
+    WITH base AS (SELECT event_type AS g, user_id AS u, event_id AS id
+          FROM events WHERE event_type IS NOT NULL
+            AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    kept AS (SELECT g FROM (SELECT g, row_number() OVER (PARTITION BY u
+              ORDER BY md5('cb|1|' || CAST(u AS VARCHAR) || '|' ||
+                CAST(id AS VARCHAR)), id) AS rn
+            FROM base) WHERE rn <= 8),
+    bnd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_bounded
+          FROM kept GROUP BY 1),
+    raw AS (SELECT g, CAST(count(*) AS BIGINT) AS n_unbounded
+          FROM base GROUP BY 1),
+    j AS (SELECT r.g, r.n_unbounded, coalesce(b.n_bounded, 0) AS n_bounded,
+            (CAST(('0x' || substr(md5('dp|1|' || r.g), 1, 15)) AS BIGINT)
+              + 0.5) / 1152921504606846976.0 AS u
+          FROM raw r LEFT JOIN bnd b ON r.g = b.g)
+    SELECT g AS event_type, n_unbounded, n_bounded,
+      round(n_bounded - 16.0 *
+        (CASE WHEN u - 0.5 > 0 THEN 1.0
+              WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END)
+        * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy6
+    FROM j"""
+
   val all: Map[String, Q] = Map(
+    "q274_dp_bounded_counts" -> q274DpBoundedCounts,
     "q273_ra_link_pred" -> q273RaLinkPred,
     "q272_bradley_terry" -> q272BradleyTerry,
     "q270_autocorrelation" -> q270Autocorrelation,
@@ -2624,6 +2656,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q274_dp_bounded_counts" -> q274Sql,
     "q273_ra_link_pred" -> q273Sql,
     "q272_bradley_terry" -> q272Sql,
     "q270_autocorrelation" -> q270Sql,

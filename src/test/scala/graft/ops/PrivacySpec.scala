@@ -155,4 +155,42 @@ class PrivacySpec extends SparkSpec {
       .collect().map(_.getBoolean(5))
     assert(none.forall(_ == false))
   }
+
+  private def dpb(rows: Seq[(String, Long, Long)], cap: Int,
+      eps: Double = 0.5, seed: Long = 1L) = {
+    import spark.implicits._
+    Privacy.dpBoundedCounts(rows.toDF("g", "u", "id"), "g", "u", "id",
+      cap, eps, seed)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+  }
+
+  test("dpBoundedCounts: per-user cap binds, under-cap users keep all") {
+    // user 1 has 5 rows in group a (cap 2 → keeps 2); user 2 has 1 row
+    val rows = (1L to 5L).map(i => ("a", 1L, i)) :+ (("a", 2L, 9L))
+    val got = dpb(rows, cap = 2)
+    assert(got("a")._2 == 6L && got("a")._3 == 3L)
+  }
+
+  test("dpBoundedCounts: a fully-capped-away group still releases noisy 0") {
+    // user 1's rows span groups a, a, b with cap 1: exactly one row
+    // survives, so one group drops to 0 — but BOTH groups are released
+    val got = dpb(Seq(("a", 1L, 1L), ("a", 1L, 2L), ("b", 1L, 3L)), cap = 1)
+    assert(got.keySet == Set("a", "b"), "no group silently dropped")
+    assert(got.values.map(_._3).sum == 1L, "cap 1 keeps exactly one row")
+    assert(got("a")._2 == 2L && got("b")._2 == 1L)
+  }
+
+  test("dpBoundedCounts: noise is replayable by seed and scales with cap") {
+    val rows = (1L to 4L).map(i => ("a", i, i))
+    val a = dpb(rows, cap = 1)("a")
+    val b = dpb(rows, cap = 1)("a")
+    assert(a == b, "same seed must release identical noise")
+    val other = dpb(rows, cap = 1, seed = 2L)("a")
+    assert(other._4 != a._4, "a new seed re-draws")
+    // Laplace scale is cap/eps: doubling cap doubles the noise term
+    val d1 = a._4 - a._3
+    val d2raw = dpb(rows, cap = 2)("a")
+    val d2 = d2raw._4 - d2raw._3
+    assert(math.abs(d2 - 2 * d1) < 1e-5, s"noise must scale: $d1 vs $d2")
+  }
 }
