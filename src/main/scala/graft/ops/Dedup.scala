@@ -1152,6 +1152,88 @@ object Dedup {
       .withColumn("is_match", col("score_micro") > 0)
   }
 
+  /** The TRAINER for [[fellegiSunterScore]]'s pinned weights:
+    * unsupervised EM over agreement vectors (Winkler's classic
+    * two-class latent-mixture fit — no labeled matches needed, the
+    * bimodal structure of the agreement patterns identifies the m/u
+    * probabilities). `iterations` fixed EM rounds, every E/M step in
+    * exact ppm integers so both engines land on identical parameters:
+    *
+    *  - E-step per pair: P(match)∝ λ·Π m-terms, P(non)∝ (1−λ)·Π
+    *    u-terms, each product folded left with ONE truncating
+    *    `div 10⁶` per factor (the factor order is the `fields` order —
+    *    part of the operator contract the oracle replays);
+    *    `w = pm·10⁶ div (pm+pu)`.
+    *  - M-step: λ' = Σw div n, m' = Σ_{agree}w·10⁶ div Σw,
+    *    u' = (10⁶·n_agree − Σ_{agree}w)·10⁶ div (10⁶·n − Σw) — the Σ·10⁶
+    *    products ride BigInt/HUGEINT past the Long bound. All three
+    *    clamp to [1, 999999]: EM's absorbing states (a probability
+    *    hitting exactly 0 or 1 never leaves) would otherwise freeze a
+    *    degenerate fit, and ln(0) has no weight.
+    *
+    * Params between rounds are a fields-sized driver list (one bounded
+    * collect per round — the centroid-list discipline); each round's
+    * data-sized work is ONE pass producing 2+2F map-side-combined
+    * counters. Agreements must be non-null booleans (upstream
+    * comparators emit false for incomparable pairs).
+    *
+    * Returns one row per field: the learned (λ, m, u) in ppm plus the
+    * derived micro-nat scoring weights `agree_w6 = round(ln(m/u), 6)` /
+    * `disagree_w6` — exactly the artifact [[fellegiSunterScore]] pins
+    * (the single ln is on a ratio of exact integers; 6 d.p. absorbs
+    * libm ulps, the q192 discipline).
+    */
+  def fellegiSunterEm(pairs: DataFrame, fields: Seq[String],
+      lambda0Ppm: Long = 100000L, m0Ppm: Long = 800000L,
+      u0Ppm: Long = 200000L, iterations: Int = 2): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val M = 1000000L
+    def clamp(x: BigInt): Long = x.max(1).min(M - 1).toLong
+    var lam = lambda0Ppm
+    var m = fields.map(_ => m0Ppm)
+    var u = fields.map(_ => u0Ppm)
+    for (_ <- 1 to iterations) {
+      val pmExpr = fields.zip(m).foldLeft(s"CAST($lam AS BIGINT)") {
+        case (acc, (f, mf)) =>
+          s"(($acc * (CASE WHEN $f THEN $mf ELSE ${M - mf} END)) div 1000000)"
+      }
+      val puExpr = fields.zip(u).foldLeft(s"CAST(${M - lam} AS BIGINT)") {
+        case (acc, (f, uf)) =>
+          s"(($acc * (CASE WHEN $f THEN $uf ELSE ${M - uf} END)) div 1000000)"
+      }
+      val scored = pairs
+        .select(fields.map(col) :+ expr(pmExpr).as("_pm")
+          :+ expr(puExpr).as("_pu"): _*)
+        .withColumn("_w", expr("(_pm * 1000000) div greatest(_pm + _pu, 1)"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("_w")).as("sw")) ++
+        fields.flatMap(f => Seq(
+          sum(when(col(f), col("_w")).otherwise(0L)).as(s"swa_$f"),
+          sum(when(col(f), 1L).otherwise(0L)).as(s"na_$f")))
+      val r = scored.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = BigInt(r.getAs[Long]("n"))
+      val sw = BigInt(r.getAs[Long]("sw"))
+      lam = clamp(sw / n.max(1))
+      m = fields.map { f =>
+        clamp(BigInt(r.getAs[Long](s"swa_$f")) * M / sw.max(1))
+      }
+      u = fields.map { f =>
+        val swa = BigInt(r.getAs[Long](s"swa_$f"))
+        val na = BigInt(r.getAs[Long](s"na_$f"))
+        clamp((M * na - swa) * M / (M * n - sw).max(1))
+      }
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    fields.indices.map(i => (fields(i), lam, m(i), u(i)))
+      .toDF("field", "lambda_ppm", "m_ppm", "u_ppm")
+      .withColumn("agree_w6",
+        round(log(col("m_ppm").cast("double") / col("u_ppm")), 6))
+      .withColumn("disagree_w6",
+        round(log((lit(M) - col("m_ppm")).cast("double")
+          / (lit(M) - col("u_ppm"))), 6))
+  }
+
   // ——————————————————————————————— content-defined chunking (CDC) dedup
 
   /** Per-document content-defined chunk hashes (the word-level analogue

@@ -2584,7 +2584,113 @@ object ExtraQueries {
         * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy6
     FROM j"""
 
+  // —————————————————————————————— Fellegi–Sunter EM learning (q275)
+  // (the trainer behind q209's pinned weights: unsupervised two-class
+  //  EM over the same nation-blocked agreement vectors, 2 rounds in
+  //  exact ppm — E-step products folded with one truncating div 1e6
+  //  per factor, M-step ratios on HUGEINT/BigInt, params clamped off
+  //  the absorbing states; the single ln lands on the derived
+  //  micro-nat weights, 6 d.p.)
+  val q275FsEm: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).where(col("c_custkey") < 30000)
+    val l = c.where(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("a"), col("c_name").as("na"),
+        col("c_mktsegment").as("sa"),
+        round(col("c_acctbal") * 100).cast("long").as("ba"),
+        col("c_nationkey").as("blk"))
+    val r = c.where(pmod(col("c_custkey"), lit(2)) === 1)
+      .select(col("c_custkey").as("b"), col("c_name").as("nb"),
+        col("c_mktsegment").as("sb"),
+        round(col("c_acctbal") * 100).cast("long").as("bb"),
+        col("c_nationkey").as("blk"))
+    val pairs = l.join(r, Seq("blk"))
+      .select(col("a"), col("b"),
+        (round(graft.functions.StringSimilarityExpressions
+          .jaroWinkler(col("na"), col("nb")) * 1000000)
+          .cast("long") >= 900000).as("name_agree"),
+        (col("sa") === col("sb")).as("seg_agree"),
+        (abs(col("ba") - col("bb")) <= 10000).as("bal_agree"))
+    Dedup.fellegiSunterEm(pairs,
+      Seq("name_agree", "seg_agree", "bal_agree"), iterations = 2)
+  }
+  private val q275Sql: String = {
+    val fs = Seq("name_agree", "seg_agree", "bal_agree")
+    def fold(start: String, terms: Seq[(String, String)]) =
+      terms.foldLeft(start) { case (acc, (f, t)) =>
+        s"(($acc * (CASE WHEN $f THEN $t ELSE 1000000 - ($t) END)) // 1000000)"
+      }
+    def aggSql = fs.zipWithIndex.map { case (f, i) =>
+      s"""CAST(sum(CASE WHEN $f THEN w ELSE 0 END) AS HUGEINT) AS swa${i + 1},
+            CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS HUGEINT) AS na${i + 1}"""
+    }.mkString(",\n            ")
+    def mstep = fs.indices.map { i =>
+      val k = i + 1
+      s"""greatest(least((swa$k * 1000000) // greatest(sw, 1), 999999), 1)
+              AS m$k,
+            greatest(least(((1000000 * na$k - swa$k) * 1000000)
+              // greatest(1000000 * n - sw, 1), 999999), 1) AS u$k"""
+    }.mkString(",\n            ")
+    val e1pm = fold("CAST(100000 AS BIGINT)", fs.map(f => f -> "800000"))
+    val e1pu = fold("CAST(900000 AS BIGINT)", fs.map(f => f -> "200000"))
+    val e2pm = fold("pp.lam",
+      fs.zipWithIndex.map { case (f, i) => s"q.$f" -> s"pp.m${i + 1}" })
+    val e2pu = fold("(1000000 - pp.lam)",
+      fs.zipWithIndex.map { case (f, i) => s"q.$f" -> s"pp.u${i + 1}" })
+    s"""
+    WITH l AS (SELECT c_custkey AS a, c_name AS na, c_mktsegment AS sa,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS ba,
+            c_nationkey AS blk
+          FROM customer WHERE c_custkey % 2 = 0 AND c_custkey < 30000),
+    r AS (SELECT c_custkey AS b, c_name AS nb, c_mktsegment AS sb,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bb,
+            c_nationkey AS blk
+          FROM customer WHERE c_custkey % 2 = 1 AND c_custkey < 30000),
+    p AS (SELECT a, b,
+            CAST(round(jaro_winkler_similarity(na, nb) * 1000000) AS BIGINT)
+              >= 900000 AS name_agree,
+            sa = sb AS seg_agree,
+            abs(ba - bb) <= 10000 AS bal_agree
+          FROM l JOIN r USING (blk)),
+    w1 AS (SELECT *, (pm * 1000000) // greatest(pm + pu, 1) AS w FROM
+          (SELECT name_agree, seg_agree, bal_agree,
+            $e1pm AS pm, $e1pu AS pu FROM p)),
+    a1 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(w) AS HUGEINT) AS sw,
+            $aggSql
+          FROM w1),
+    p1 AS (SELECT greatest(least(sw // greatest(n, 1), 999999), 1) AS lam,
+            $mstep
+          FROM a1),
+    w2 AS (SELECT *, (pm * 1000000) // greatest(pm + pu, 1) AS w FROM
+          (SELECT q.name_agree, q.seg_agree, q.bal_agree,
+            $e2pm AS pm, $e2pu AS pu FROM p q CROSS JOIN p1 pp)),
+    a2 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(w) AS HUGEINT) AS sw,
+            $aggSql
+          FROM w2),
+    p2 AS (SELECT greatest(least(sw // greatest(n, 1), 999999), 1) AS lam,
+            $mstep
+          FROM a2),
+    f AS (SELECT * FROM (VALUES (1, 'name_agree'), (2, 'seg_agree'),
+            (3, 'bal_agree')) t(i, field))
+    SELECT f.field, CAST(p2.lam AS BIGINT) AS lambda_ppm,
+      CAST(CASE f.i WHEN 1 THEN p2.m1 WHEN 2 THEN p2.m2 ELSE p2.m3 END
+        AS BIGINT) AS m_ppm,
+      CAST(CASE f.i WHEN 1 THEN p2.u1 WHEN 2 THEN p2.u2 ELSE p2.u3 END
+        AS BIGINT) AS u_ppm,
+      round(ln(CAST(CASE f.i WHEN 1 THEN p2.m1 WHEN 2 THEN p2.m2
+          ELSE p2.m3 END AS DOUBLE)
+        / CAST(CASE f.i WHEN 1 THEN p2.u1 WHEN 2 THEN p2.u2
+          ELSE p2.u3 END AS BIGINT)), 6) AS agree_w6,
+      round(ln(CAST(1000000 - (CASE f.i WHEN 1 THEN p2.m1
+          WHEN 2 THEN p2.m2 ELSE p2.m3 END) AS DOUBLE)
+        / CAST(1000000 - (CASE f.i WHEN 1 THEN p2.u1 WHEN 2 THEN p2.u2
+          ELSE p2.u3 END) AS BIGINT)), 6) AS disagree_w6
+    FROM p2 CROSS JOIN f"""
+  }
+
   val all: Map[String, Q] = Map(
+    "q275_fs_em" -> q275FsEm,
     "q274_dp_bounded_counts" -> q274DpBoundedCounts,
     "q273_ra_link_pred" -> q273RaLinkPred,
     "q272_bradley_terry" -> q272BradleyTerry,
@@ -2656,6 +2762,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q275_fs_em" -> q275Sql,
     "q274_dp_bounded_counts" -> q274Sql,
     "q273_ra_link_pred" -> q273Sql,
     "q272_bradley_terry" -> q272Sql,

@@ -975,6 +975,44 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((5L, true)))
   }
 
+  test("fellegiSunterEm: symmetric data is an exact fixed point") {
+    import spark.implicits._
+    // 2 all-agree + 2 all-disagree pairs, λ=½: hand E-step gives
+    // w = 800000/200000, and the M-step reproduces (λ, m, u) exactly
+    val pairs = Seq((true, true), (true, true), (false, false),
+      (false, false)).map { case (x, _) => Tuple1(x) }.toDF("f")
+    val got = Dedup.fellegiSunterEm(pairs, Seq("f"),
+        lambda0Ppm = 500000L, m0Ppm = 800000L, u0Ppm = 200000L,
+        iterations = 3)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(got._2 == 500000L && got._3 == 800000L && got._4 == 200000L)
+    // ln(800000/200000) = ln 4; ln(200000/800000) = −ln 4
+    assert(got._5 == 1.386294 && got._6 == -1.386294)
+  }
+
+  test("fellegiSunterEm: agree-heavy data pulls λ and m up — hand EM") {
+    import spark.implicits._
+    // 3 agree + 1 disagree, one round: sw = 3·8e5+2e5 = 26e5,
+    // λ₁ = 650000, m₁ = 24e11 div 26e5 = 923076,
+    // u₁ = (3e6−24e5)·1e6 div (4e6−26e5) = 428571
+    val pairs = Seq(true, true, true, false).map(Tuple1(_)).toDF("f")
+    val got = Dedup.fellegiSunterEm(pairs, Seq("f"),
+        lambda0Ppm = 500000L, m0Ppm = 800000L, u0Ppm = 200000L,
+        iterations = 1)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(got._2 == 650000L && got._3 == 923076L && got._4 == 428571L)
+  }
+
+  test("fellegiSunterEm: all-agree degenerates to the clamp, never 10⁶") {
+    import spark.implicits._
+    val pairs = Seq(true, true, true).map(Tuple1(_)).toDF("f")
+    val got = Dedup.fellegiSunterEm(pairs, Seq("f"), iterations = 2)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(got._3 == 999999L && got._4 == 999999L,
+      "absorbing state must clamp to 999999")
+    assert(got._5 == 0.0, "clamped m = u ⇒ zero agree weight")
+  }
+
   test("zipfProfile: hand ranks, freq-x-rank diagnostic, ppm shares") {
     import spark.implicits._
     val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
