@@ -557,4 +557,49 @@ object TimeSeries {
     perLag.reduce(_.unionByName(_))
       .select(col("g").as(keyCol), col("lag"), col("n"), col("r_ppm"))
   }
+
+  /** Per-key PARTIAL autocorrelation at lags 1..3 — the AR-order
+    * diagnostic [[autocorrelation]] cannot give (ACF of an AR(1) decays
+    * over every lag; PACF cuts off sharply after the true order, which
+    * is what picks the model). Durbin–Levinson unrolled in closed form
+    * over the ppm ACF values, every step ONE truncating integer
+    * division in a PINNED order (both engines truncate toward zero —
+    * verified semantics, the featurePropagate lesson):
+    * `φ11 = r1`, `φ22 = (r2·10⁶ − r1²)·10⁶ div (10¹² − r1²)`,
+    * `φ21 = r1 − φ22·r1 div 10⁶`, and φ33 from the level-3 recursion
+    * with its numerator/denominator each a chain of `div 10⁶` products.
+    * A zero denominator (|r1| = 1, degenerate) yields null, as does any
+    * missing ACF lag (short series) or zero-variance key — never a
+    * fake 0.
+    *
+    * Cost on top of the ACF pass: one groups-sized pivot aggregate and
+    * pure per-row arithmetic — nothing data-sized is added.
+    */
+  def partialAutocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, idCol: String): DataFrame = {
+    val acf = autocorrelation(df, keyCol, tsCol, valCol, idCol, maxLag = 3)
+    acf.groupBy(col(keyCol))
+      .agg(max("n").as("n"),
+        max(when(col("lag") === 1, col("r_ppm"))).as("r1"),
+        max(when(col("lag") === 2, col("r_ppm"))).as("r2"),
+        max(when(col("lag") === 3, col("r_ppm"))).as("r3"))
+      .withColumn("pacf1_ppm", col("r1"))
+      .withColumn("pacf2_ppm", expr(
+        """CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                AND 1000000000000 - r1 * r1 <> 0
+           THEN ((r2 * 1000000 - r1 * r1) * 1000000)
+                div (1000000000000 - r1 * r1) END"""))
+      .withColumn("_phi21",
+        expr("r1 - (pacf2_ppm * r1) div 1000000"))
+      .withColumn("pacf3_ppm", expr(
+        """CASE WHEN r3 IS NOT NULL AND pacf2_ppm IS NOT NULL
+                AND 1000000 - (_phi21 * r1) div 1000000
+                  - (pacf2_ppm * r2) div 1000000 <> 0
+           THEN ((r3 - (_phi21 * r2) div 1000000
+                  - (pacf2_ppm * r1) div 1000000) * 1000000)
+                div (1000000 - (_phi21 * r1) div 1000000
+                  - (pacf2_ppm * r2) div 1000000) END"""))
+      .select(col(keyCol), col("n"), col("pacf1_ppm"), col("pacf2_ppm"),
+        col("pacf3_ppm"))
+  }
 }

@@ -2689,7 +2689,56 @@ object ExtraQueries {
     FROM p2 CROSS JOIN f"""
   }
 
+  // —————————————————————————————— partial autocorrelation (q276)
+  // (the AR-order picker on top of q270: Durbin–Levinson unrolled to
+  //  lag 3, every step one truncating integer division in pinned
+  //  order; degenerate denominators and missing lags go null.)
+  val q276Pacf: Q = (s, dir) =>
+    TimeSeries.partialAutocorrelation(Tables.events(s, dir),
+      "user_id", "ts", "value", "event_id")
+  private val q276Sql: String = """
+    WITH b AS (SELECT user_id AS g, CAST(round(value * 100) AS BIGINT) AS c,
+            ts, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL AND event_id IS NOT NULL),
+    st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS HUGEINT) AS s FROM b GROUP BY 1),
+    ctr AS (SELECT b.g, st.n, CAST(st.n AS HUGEINT) * b.c - st.s AS e,
+            b.ts, b.id
+          FROM b JOIN st USING (g)),
+    lagd AS (SELECT g, n, e,
+            lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+            lag(e, 3) OVER w AS e3
+          FROM ctr WINDOW w AS (PARTITION BY g ORDER BY ts, id)),
+    agg AS (SELECT g, max(n) AS n, sum(e * e) AS den,
+            sum(e * e1) AS n1, sum(e * e2) AS n2, sum(e * e3) AS n3
+          FROM lagd GROUP BY 1),
+    wide AS (SELECT g, n,
+            CASE WHEN n > 1 AND den > 0
+              THEN CAST((1000000 * n1) // den AS BIGINT) END AS r1,
+            CASE WHEN n > 2 AND den > 0
+              THEN CAST((1000000 * n2) // den AS BIGINT) END AS r2,
+            CASE WHEN n > 3 AND den > 0
+              THEN CAST((1000000 * n3) // den AS BIGINT) END AS r3
+          FROM agg),
+    p2 AS (SELECT *, CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+              AND 1000000000000 - r1 * r1 <> 0
+            THEN ((r2 * 1000000 - r1 * r1) * 1000000)
+              // (1000000000000 - r1 * r1) END AS pacf2
+          FROM wide),
+    ph AS (SELECT *, r1 - (pacf2 * r1) // 1000000 AS phi21 FROM p2)
+    SELECT g AS user_id, n, r1 AS pacf1_ppm, pacf2 AS pacf2_ppm,
+      CASE WHEN r3 IS NOT NULL AND pacf2 IS NOT NULL
+           AND 1000000 - (phi21 * r1) // 1000000
+             - (pacf2 * r2) // 1000000 <> 0
+      THEN ((r3 - (phi21 * r2) // 1000000
+             - (pacf2 * r1) // 1000000) * 1000000)
+           // (1000000 - (phi21 * r1) // 1000000
+             - (pacf2 * r2) // 1000000) END AS pacf3_ppm
+    FROM ph"""
+
   val all: Map[String, Q] = Map(
+    "q276_pacf" -> q276Pacf,
     "q275_fs_em" -> q275FsEm,
     "q274_dp_bounded_counts" -> q274DpBoundedCounts,
     "q273_ra_link_pred" -> q273RaLinkPred,
@@ -2762,6 +2811,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q276_pacf" -> q276Sql,
     "q275_fs_em" -> q275Sql,
     "q274_dp_bounded_counts" -> q274Sql,
     "q273_ra_link_pred" -> q273Sql,

@@ -382,6 +382,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.head._4.contains(-250000L))
   }
 
+  test("partialAutocorrelation: hand Durbin-Levinson on the alternating series") {
+    import spark.implicits._
+    // ACF (proved above): r = [−750000, 500000, −250000]. By hand:
+    // φ22 = ((5e11 − 5.625e11)·1e6) div 4.375e11 = −142857
+    // φ21 = −750000 − (−142857·−750000 div 1e6 = 107142) = −857142
+    // φ33 num = −250000 − (−428571) − 107142 = 71429
+    // φ33 den = 1e6 − 642856 − (−71428) = 428572 → φ33 = 166667
+    val got = TimeSeries.partialAutocorrelation(
+        acfFrame(("a", 1000L, 0.01, 1L), ("a", 2000L, 0.02, 2L),
+          ("a", 3000L, 0.01, 3L), ("a", 4000L, 0.02, 4L)),
+        "k", "ts", "v", "id")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(got == (("a", 4L, Some(-750000L), Some(-142857L),
+      Some(166667L))))
+  }
+
+  test("partialAutocorrelation: short series and zero variance go null") {
+    import spark.implicits._
+    // n = 3: r3 absent → pacf3 null; constant series: all null
+    val got = TimeSeries.partialAutocorrelation(
+        acfFrame(("a", 1L, 0.01, 1L), ("a", 2L, 0.03, 2L),
+          ("a", 3L, 0.01, 3L),
+          ("z", 1L, 0.05, 4L), ("z", 2L, 0.05, 5L), ("z", 3L, 0.05, 6L),
+          ("z", 4L, 0.05, 7L)),
+        "k", "ts", "v", "id")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a")._3.isDefined && got("a")._4.isDefined &&
+      got("a")._5.isEmpty, "missing lag-3 ACF must null pacf3")
+    assert(got("z")._3.isEmpty && got("z")._4.isEmpty &&
+      got("z")._5.isEmpty, "zero variance must null the whole ladder")
+  }
+
   test("autocorrelation: keys are independent") {
     import spark.implicits._
     val got = TimeSeries.autocorrelation(
