@@ -397,6 +397,60 @@ object Multimodal {
       }
   }
 
+  case class ImageDhashRow(media_id: Long, width: Int, height: Int,
+      dhash: String, ok: Boolean)
+
+  /** Difference hash (dHash) completing the perceptual-hash family
+    * beside [[imageHashes]] (aHash) and [[imagePhashes]] (pHash): a
+    * 9×8 luma grid sample — x = u·W/9 for u ∈ 0..8, y = v·H/8, the
+    * aHash sampling rule widened one column — and
+    * `bit(v,u) = gray(u+1, v) > gray(u, v)`, the horizontal gradient
+    * sign. Because only ORDER between adjacent samples matters, dHash
+    * is exactly invariant under ANY strictly monotone luma map
+    * (brightness shifts, unclipped contrast/gamma) — stronger than
+    * aHash's mean threshold and cheaper than pHash's DCT; its blind
+    * spot is mirror flips (every gradient sign reverses). All-integer
+    * compare, 64-char '0'/'1' string v-major; undecodable bytes →
+    * ("", ok=false). One `mapPartitions` pass, no shuffle.
+    */
+  def imageDhashes(spark: SparkSession, media: DataFrame): Dataset[ImageDhashRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            } catch { case NonFatal(_) => null }
+          if (img == null) ImageDhashRow(id, 0, 0, "", ok = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            def gray(x: Int, y: Int): Int = {
+              val p = img.getRGB(x, y)
+              (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var v = 0
+            while (v < 8) {
+              val y = v * h / 8
+              var u = 0
+              while (u < 8) {
+                val g0 = gray(u * w / 9, y)
+                val g1 = gray((u + 1) * w / 9, y)
+                sb.append(if (g1 > g0) '1' else '0')
+                u += 1
+              }
+              v += 1
+            }
+            ImageDhashRow(id, w, h, sb.toString, ok = true)
+          }
+        }
+      }
+  }
+
   /** Image near-duplicate pairs over [[imageHashes]] — simhash-style
     * banding applied to the 64-bit perceptual hash: the hash splits into
     * four 16-bit slices; candidates share at least one exact slice

@@ -1464,6 +1464,46 @@ object OpsQueries {
     FROM m WHERE media_id % 17 = 5"""
   }
 
+  // ————————————————————————————— image dHash (q277)
+  // (the third perceptual hash beside q100 aHash / q216 pHash: 9×8
+  //  luma grid, bit = right sample brighter than left — gradient SIGN
+  //  only, so exactly invariant under any monotone luma map. The
+  //  oracle re-derives every sampled pixel and comparison from the
+  //  closed-form gradient rasters.)
+  val q277ImageDhash: Q = (s, dir) =>
+    Multimodal.imageDhashes(
+      s, s.read.parquet(Multimodal.Fixtures.gradientDataset(s))).toDF()
+  private def q277Sql: String = s"""
+    WITH m AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.gradientParquetPath}/*.parquet')),
+    good AS (SELECT media_id, media_id % 32 AS base,
+               CASE WHEN media_id >= 32 THEN 1 ELSE 0 END AS off,
+               CAST(8 + (media_id % 32) % 9 AS INT) AS w,
+               CAST(8 + ((media_id % 32) * 5) % 9 AS INT) AS h
+             FROM m WHERE media_id % 17 <> 5),
+    px AS (SELECT g.media_id, g.w, g.h, xs.x, ys.y,
+             (((31 * g.base + 7 * xs.x + 3 * ys.y) % 255 + g.off)
+            + ((7 * g.base + 5 * xs.x + 11 * ys.y) % 255 + g.off)
+            + ((13 * g.base + 3 * xs.x + 5 * ys.y) % 255 + g.off)) // 3 AS gray
+           FROM good g, range(0, 17) xs(x), range(0, 17) ys(y)
+           WHERE xs.x < g.w AND ys.y < g.h),
+    bits AS (SELECT g.media_id, vs.v, us.u,
+               CASE WHEN pr.gray > pl.gray THEN '1' ELSE '0' END AS bit
+             FROM good g, range(0, 8) vs(v), range(0, 8) us(u)
+             JOIN px pl ON pl.media_id = g.media_id
+                       AND pl.x = us.u * g.w // 9 AND pl.y = vs.v * g.h // 8
+             JOIN px pr ON pr.media_id = g.media_id
+                       AND pr.x = (us.u + 1) * g.w // 9
+                       AND pr.y = vs.v * g.h // 8),
+    hashes AS (SELECT media_id,
+                 string_agg(bit, '' ORDER BY v * 8 + u) AS dhash
+               FROM bits GROUP BY 1)
+    SELECT g.media_id, g.w AS width, g.h AS height, hs.dhash, true AS ok
+    FROM good g JOIN hashes hs ON hs.media_id = g.media_id
+    UNION ALL
+    SELECT media_id, 0 AS width, 0 AS height, '' AS dhash, false AS ok
+    FROM m WHERE media_id % 17 = 5"""
+
   // ————————————————————————————— integer box-filter resize (q226)
   // (the missing multimodal verb: 8×8 thumbnails of the gradient
   //  corpus by exact integer area-average — floor-div box sums per
@@ -4712,6 +4752,7 @@ object OpsQueries {
     "q220_bpe_packed_windows" -> q220BpePackedWindows,
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
+    "q277_image_dhash" -> q277ImageDhash,
     "q226_resize_pixels" -> q226Resize,
     "q229_ndcg" -> q229Ndcg,
     "q236_mrr" -> q236Mrr,
@@ -4853,6 +4894,7 @@ object OpsQueries {
     "q220_bpe_packed_windows" -> q220Sql,
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
+    "q277_image_dhash" -> q277Sql,
     "q226_resize_pixels" -> q226Sql,
     "q229_ndcg" -> q229Sql,
     "q236_mrr" -> q236Sql,

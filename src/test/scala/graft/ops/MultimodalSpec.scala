@@ -299,6 +299,54 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(b => all(b).phash).distinct.size > 1)
   }
 
+  test("dHash: exact invariance under strictly monotone luma maps") {
+    import spark.implicits._
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    def texLuma(seedA: Long, seedB: Long)(x: Int, y: Int): Int = {
+      val n = (((x * seedA + y * seedB) & 0xFFFFFFFFL) >>> 26).toInt
+      70 + (x * (63 - x)) / 16 + (y * (63 - y)) / 24 + n
+    }
+    def grayPng(lum: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val c = lum(x, y)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = texLuma(2654435761L, 0x9E3779B9L) _
+    val media = Seq(
+      MediaRow(0L, "image", grayPng(base)),
+      // strictly monotone maps (base peaks at 236, so stay ≤ 255 —
+      // an overflowing luma would bleed into the other channels):
+      // shift +15, and the gamma-ish c + c/16
+      MediaRow(1L, "image", grayPng((x, y) => base(x, y) + 15)),
+      MediaRow(2L, "image", grayPng((x, y) => {
+        val c = base(x, y); c + c / 16 })),
+      // horizontal mirror: every gradient sign flips
+      MediaRow(3L, "image", grayPng((x, y) => base(63 - x, y))),
+      MediaRow(4L, "image", Array.empty[Byte])).toDF()
+    val rows = Multimodal.imageDhashes(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows(0L).ok && rows(0L).dhash.length == 64)
+    assert(rows(0L).dhash == rows(1L).dhash, "brightness shift must be exact")
+    assert(rows(0L).dhash == rows(2L).dhash, "strict monotone map must be exact")
+    assert(ham(rows(0L).dhash, rows(3L).dhash) > 10, "mirror must be far")
+    assert(!rows(4L).ok && rows(4L).dhash.isEmpty)
+    // staged corpus: +1-brightness pairs are bit-identical, hashes differ
+    val staged = spark.read.parquet(Fixtures.gradientDataset(spark))
+    val all = Multimodal.imageDhashes(spark, staged).collect()
+      .map(r => r.media_id -> r).toMap
+    val pairs = (0L until 32L)
+      .filter(b => b % 17 != 5 && (b + 32) % 17 != 5)
+    pairs.foreach(b => assert(all(b).dhash == all(b + 32).dhash))
+    assert(pairs.map(b => all(b).dhash).distinct.size > 1)
+  }
+
   test("imageNearDupPairs: planted brightness pairs found at hamming 0") {
     val media = spark.read.parquet(
       Multimodal.Fixtures.gradientDataset(spark))
