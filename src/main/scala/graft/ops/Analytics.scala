@@ -1272,4 +1272,125 @@ object Analytics {
     }
     pairs.reduce(_.unionByName(_))
   }
+
+  /** Per-group Kendall τ-b rank correlation over the JOINT CONTINGENCY
+    * LATTICE — the monotone-association complement to [[spearmanCorr]]
+    * that is exact under heavy ties (ranks are not materialized at
+    * all). Every pair statistic is derived from distinct-value cells:
+    * concordant/discordant pairs from a cell×cell join restricted to
+    * `a.x < b.x` (each unordered cross-x pair counted once), and the
+    * tie corrections n₁ = Σ tx·(tx−1)/2, n₂ = Σ ty·(ty−1)/2 from the
+    * marginals. Work ∝ (distinct x · distinct y)² per group — NEVER
+    * row-pairs — so a 100 TB fact table with a 550-cell lattice costs
+    * one grouped count plus a constant-size join, exactly the
+    * value-cardinality-bounded discipline of the AUC/Gini family.
+    * τ-b = (P − Q) / √((n₀−n₁)(n₀−n₂)) with everything integer until
+    * the one final sqrt (rounded 6 d.p. — the [[cramersV]] precedent).
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("nc"))
+    val a = cells.select(col("g"), col("x").as("xa"), col("y").as("ya"),
+      col("nc").as("na"))
+    val b = cells.select(col("g").as("gb"), col("x").as("xb"),
+      col("y").as("yb"), col("nc").as("nb"))
+    val pq = a.join(b, col("g") === col("gb") && col("xa") < col("xb"))
+      .groupBy("g")
+      .agg(
+        sum(when(col("ya") < col("yb"),
+          (col("na") * col("nb")).cast(dec)).otherwise(lit(0).cast(dec)))
+          .as("p"),
+        sum(when(col("ya") > col("yb"),
+          (col("na") * col("nb")).cast(dec)).otherwise(lit(0).cast(dec)))
+          .as("q"))
+    val nTot = cells.groupBy("g")
+      .agg(sum(col("nc").cast(dec)).as("n"))
+    val tiesX = cells.groupBy(col("g"), col("x"))
+      .agg(sum("nc").as("tx"))
+      .groupBy("g")
+      .agg(sum(expr(s"cast(tx as $dec) * (tx - 1)")).as("n1x2"))
+    val tiesY = cells.groupBy(col("g"), col("y"))
+      .agg(sum("nc").as("ty"))
+      .groupBy("g")
+      .agg(sum(expr(s"cast(ty as $dec) * (ty - 1)")).as("n2x2"))
+    nTot.join(pq, Seq("g"), "left").join(tiesX, "g").join(tiesY, "g")
+      // the concordant/discordant counts are emitted as BIGINT; past
+      // ~4.3e9 rows per group n²/2 overflows Long — fail by name (the
+      // groupAuc/tCloseness discipline) instead of wrapping silently
+      .withColumn("n", when(col("n") > 4000000000L,
+        raise_error(lit("kendallTau: > 4e9 rows in a group overflows " +
+          "the BIGINT pair counts — keep the decimal lattice instead")))
+        .otherwise(col("n")))
+      .select(col("g"), col("n"),
+        coalesce(col("p"), lit(0).cast(dec)).as("p"),
+        coalesce(col("q"), lit(0).cast(dec)).as("q"),
+        expr(s"(n * (n - 1) - n1x2) div 2").cast(dec).as("dx"),
+        expr(s"(n * (n - 1) - n2x2) div 2").cast(dec).as("dy"))
+      .select(col("g").as(groupCol), col("n").cast("long").as("n"),
+        col("p").cast("long").as("concordant"),
+        col("q").cast("long").as("discordant"),
+        when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("p") - col("q")).cast("double") /
+              sqrt(col("dx").cast("double") * col("dy").cast("double")),
+            6)).as("tau_b"))
+  }
+
+  /** Isotonic calibration of a binary-label score — PAVA expressed as
+    * the minimax identity `f(i) = max_{j≤i} min_{k≥i... k≥j}
+    * avg(pos[j..k])/avg(n[j..k])` over NON-EMPTY score bins, so the
+    * whole fit is three bounded self-joins on a ≤`nBins`-row aggregate
+    * (the pool-adjacent-violators recursion never runs; the closed
+    * form gives the same fit). The only data-sized work is ONE grouped
+    * count into bins; everything after operates on the bin frame, so
+    * the 100 TB cost is a single map-side-combinable aggregate. Bin
+    * averages are truncating ppm (`(10⁶·Σpos) div Σn`) computed
+    * IDENTICALLY in both engines before the min/max lattice — the
+    * fitted sequence is monotone nondecreasing by construction
+    * (max over a growing set) regardless of truncation.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 32): DataFrame = {
+    require(nBins >= 2 && nBins <= 4096, s"nBins out of range: $nBins")
+    val dec = "decimal(38,0)"
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(lit(nBins - 1),
+          expr(s"cast($scoreCol as decimal(38,0)) * $nBins div 1000000"))
+          .cast("long").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    // bounded frame from here on: ≤ nBins rows
+    val wOrd = Window.orderBy("bin")
+    val pre = binned
+      .withColumn("cn", sum("n").over(wOrd))
+      .withColumn("cp", sum("pos").over(wOrd))
+      .withColumn("i", row_number().over(wOrd))
+    val j = pre.select(col("i").as("ji"), (col("cn") - col("n")).as("jn0"),
+      (col("cp") - col("pos")).as("jp0"))
+    val k = pre.select(col("i").as("ki"), col("cn").as("kcn"),
+      col("cp").as("kcp"))
+    val gOfJ = j.join(k, col("ji") <= col("ki"))
+      .select(col("ji"),
+        expr(s"(cast(1000000 as $dec) * (kcp - jp0)) div (kcn - jn0)")
+          .cast("long").as("avg_ppm"))
+      .groupBy("ji")
+      .agg(min("avg_ppm").as("g"))
+    val fit = pre.select(col("i")).join(gOfJ, col("ji") <= col("i"))
+      .groupBy("i")
+      .agg(max("g").as("iso_ppm"))
+    pre.join(fit, "i")
+      .select(col("bin"), col("n"), col("pos"),
+        expr(s"(cast(1000000 as $dec) * pos) div n").cast("long")
+          .as("rate_ppm"),
+        col("iso_ppm"))
+  }
 }

@@ -162,4 +162,59 @@ object Annotation {
             (col("n") * col("n_agree") - col("pe_num")).cast("double")
               / (col("n") * col("n") - col("pe_num")).cast("double"), 6)))
   }
+
+  /** Krippendorff's alpha (nominal) — the multi-rater,
+    * missing-data-tolerant reliability coefficient [[cohensKappa]]
+    * cannot give (kappa needs the same two raters everywhere; real
+    * labeling queues assign 2-of-N raters per item). Units with fewer
+    * than 2 ratings are unpairable and drop, per the definition.
+    *
+    * α = 1 − D_o/D_e with
+    *   D_o = (1/n)·Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1)
+    *   D_e = (1/(n(n−1)))·Σ_c n_c·(n − n_c)
+    * over n = Σ m_u pairable values. The per-unit /(m_u−1) is the one
+    * intrinsic division; it is evaluated as a TRUNCATING micro-scaled
+    * integer per unit (`(10⁶·Σ_c n_uc(m_u−n_uc)) div (m_u−1)`) in a
+    * pinned order both engines share, then α in ppm by one more
+    * truncating division — no float ever crosses an engine boundary.
+    * Scale: two grouped counts (unit×label, then unit) + one global
+    * fold; state ∝ units·labels, all map-side combinable.
+    */
+  def krippendorffAlpha(votes: DataFrame, unitCol: String,
+      raterCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = votes
+      .filter(col(unitCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(unitCol).as("unit"), col(raterCol).as("rater"),
+        col(labelCol).as("label"))
+      .distinct()  // one rating per (unit, rater): last-write dedup
+    val uc = v.groupBy("unit", "label").agg(count(lit(1)).as("nuc"))
+    val um = uc.groupBy("unit").agg(sum("nuc").as("mu"))
+    val pairable = uc.join(um, "unit").filter(col("mu") >= 2)
+    val perUnit = pairable.groupBy("unit")
+      .agg(max("mu").as("mu"),
+        sum(expr(s"cast(nuc as $dec) * (mu - nuc)")).as("disagree"))
+      .select(col("mu"),
+        expr(s"(cast(1000000 as $dec) * disagree) div (mu - 1)")
+          .as("do_micro"))
+    val totals = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("mu").cast(dec)).as("n"),
+      sum(col("do_micro").cast(dec)).as("do_micro"))
+    val catTotals = pairable.groupBy("label")
+      .agg(sum("nuc").as("ncat"))
+    val de = catTotals
+      .crossJoin(totals.select(col("n").as("_n")))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr(s"cast(ncat as $dec) * (_n - ncat)")).as("de_num"))
+    totals.crossJoin(de)
+      .select(col("n_units"), col("n").cast("long").as("n_values"),
+        col("n_categories"), col("de_num").cast("long").as("de_num"),
+        when(col("de_num") === 0 || col("n") < 2, lit(null).cast("long"))
+          .otherwise(
+            (lit(1000000).cast(dec) -
+              expr(s"(do_micro * (n - 1)) div de_num")).cast("long"))
+          .as("alpha_ppm"))
+  }
 }

@@ -602,4 +602,51 @@ object TimeSeries {
       .select(col(keyCol), col("n"), col("pacf1_ppm"), col("pacf2_ppm"),
         col("pacf3_ppm"))
   }
+
+  /** Theil–Sen robust trend + Mann–Kendall S per key, over the HOURLY
+    * aggregate lattice — the outlier-immune complement to the OLS trend
+    * (one wild hour cannot move a median-of-slopes the way it moves a
+    * least-squares fit). The raw stream is first reduced to per-(key,
+    * hour) sums — the only data-sized pass, one map-side-combinable
+    * aggregate — and every pairwise statistic runs on the hour lattice,
+    * whose size is fixed by the CALENDAR (720 h/month), not the data:
+    * at 100 TB the pair join is the same ≤ 720²/2 rows per key it is
+    * at sf0.001. Hourly means are truncating milli-cents
+    * (`(1000·Σc) div n`, pinned in both engines); pair slopes are
+    * truncating micro-milli-cents/hour; the median slope lives in
+    * DOUBLED micro space (`percentile(2·s, 0.5)` — an even-n median
+    * averages two integers, so 2× keeps it integer, the MAD-family
+    * discipline). Mann–Kendall S = Σ sign(y₂ − y₁) rides the same pair
+    * frame for free.
+    */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .agg(sum(round(col(valCol) * 100).cast("long")).as("sc"),
+        count(lit(1)).as("cn"))
+      .select(col("k"), col("h"),
+        expr(s"(cast(1000 as $dec) * sc) div cn").cast("long").as("y"))
+    val a = hourly.select(col("k"), col("h").as("h1"), col("y").as("y1"))
+    val b = hourly.select(col("k").as("kb"), col("h").as("h2"),
+      col("y").as("y2"))
+    val pairs = a.join(b, col("k") === col("kb") && col("h1") < col("h2"))
+      .select(col("k"),
+        expr(s"(cast(1000000 as $dec) * (y2 - y1)) div (h2 - h1)")
+          .cast("long").as("slope"),
+        signum((col("y2") - col("y1")).cast("double")).cast("long")
+          .as("sgn"))
+    val nHours = hourly.groupBy("k").agg(count(lit(1)).as("n_hours"))
+    pairs.groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"), sum("sgn").as("mk_s"),
+        percentile(col("slope") * 2, lit(0.5)).cast("long")
+          .as("slope2_micro"))
+      .join(nHours, "k")
+      .select(col("k").as(keyCol), col("n_hours"), col("n_pairs"),
+        col("mk_s"), col("slope2_micro"))
+  }
 }

@@ -2737,7 +2737,196 @@ object ExtraQueries {
              - (pacf2 * r2) // 1000000) END AS pacf3_ppm
     FROM ph"""
 
+  // —————————————————————————————— Kendall τ-b (q278)
+  // (tie-exact rank correlation over the (quantity, discount) joint
+  //  contingency lattice — pair counts from cell×cell, never row-pairs;
+  //  work ∝ 550² cells per flag at ANY scale. Integer P/Q/tie terms,
+  //  one final sqrt rounded 6 d.p. — the Spearman/Cramér complement.)
+  val q278KendallTau: Q = (s, dir) =>
+    Analytics.kendallTau(
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        round(col("l_discount") * 100).cast("long").as("dc")),
+      "l_returnflag", "qc", "dc")
+  private val q278Sql: String = """
+    WITH b AS (SELECT l_returnflag AS g,
+            CAST(round(l_quantity * 100) AS BIGINT) AS x,
+            CAST(round(l_discount * 100) AS BIGINT) AS y
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+    cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS nc
+          FROM b GROUP BY 1, 2, 3),
+    pq AS (SELECT a.g,
+            sum(CASE WHEN a.y < c.y THEN CAST(a.nc AS HUGEINT) * c.nc
+              ELSE 0 END) AS p,
+            sum(CASE WHEN a.y > c.y THEN CAST(a.nc AS HUGEINT) * c.nc
+              ELSE 0 END) AS q
+          FROM cells a JOIN cells c ON a.g = c.g AND a.x < c.x GROUP BY 1),
+    nt AS (SELECT g, CAST(sum(nc) AS HUGEINT) AS n FROM cells GROUP BY 1),
+    tx AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS n1x2 FROM
+            (SELECT g, x, sum(nc) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+    ty AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS n2x2 FROM
+            (SELECT g, y, sum(nc) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+    fin AS (SELECT nt.g, nt.n, coalesce(pq.p, 0) AS p, coalesce(pq.q, 0) AS q,
+            (nt.n * (nt.n - 1) - tx.n1x2) // 2 AS dx,
+            (nt.n * (nt.n - 1) - ty.n2x2) // 2 AS dy
+          FROM nt LEFT JOIN pq ON nt.g = pq.g
+          JOIN tx ON nt.g = tx.g JOIN ty ON nt.g = ty.g)
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      CAST(p AS BIGINT) AS concordant, CAST(q AS BIGINT) AS discordant,
+      CASE WHEN dx <> 0 AND dy <> 0
+        THEN round((CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) /
+          sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) END AS tau_b
+    FROM fin"""
+
+  // —————————————————————————————— isotonic calibration (q279)
+  // (PAVA as the minimax closed form over 32 non-empty score bins —
+  //  the quality-classifier calibration verb. One data-sized grouped
+  //  count; the whole fit is bounded self-joins on the ≤32-row bin
+  //  frame. Truncating ppm bin averages pinned in both engines; the
+  //  fit is monotone by construction. Score/label fixture: md5 score,
+  //  label correlated with score plus cent noise.)
+  val q279Isotonic: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .where(col("event_id").isNotNull && col("value").isNotNull)
+      .select(
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000).as("score_ppm"),
+        pmod(round(col("value") * 100).cast("long"), lit(500)).as("noise"))
+      .select(col("score_ppm"),
+        when(expr("score_ppm div 2000") + col("noise") >= 400, 1L)
+          .otherwise(0L).as("y"))
+    Analytics.isotonicCalibration(ev, "score_ppm", "y", nBins = 32)
+  }
+  private val q279Sql: String = """
+    WITH e AS (SELECT CAST(('0x' ||
+              substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS s,
+            CAST(round(value * 100) AS BIGINT) AS cv
+          FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+    lb AS (SELECT s, CASE WHEN s // 2000 + ((cv % 500) + 500) % 500 >= 400
+            THEN 1 ELSE 0 END AS y FROM e),
+    binned AS (SELECT CAST(least(31, (CAST(s AS HUGEINT) * 32) // 1000000)
+              AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+          FROM lb GROUP BY 1),
+    pre AS (SELECT bin, n, pos,
+            CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+            sum(n) OVER (ORDER BY bin) AS cn,
+            sum(pos) OVER (ORDER BY bin) AS cp
+          FROM binned),
+    g AS (SELECT j.i AS ji,
+            min(CAST((CAST(1000000 AS HUGEINT) * (k.cp - (j.cp - j.pos)))
+              // (k.cn - (j.cn - j.n)) AS BIGINT)) AS g
+          FROM pre j JOIN pre k ON j.i <= k.i GROUP BY 1),
+    f AS (SELECT pre.i, max(g.g) AS iso_ppm
+          FROM pre JOIN g ON g.ji <= pre.i GROUP BY 1)
+    SELECT pre.bin AS bin, pre.n, pre.pos,
+      CAST((CAST(1000000 AS HUGEINT) * pre.pos) // pre.n AS BIGINT)
+        AS rate_ppm,
+      f.iso_ppm
+    FROM pre JOIN f ON pre.i = f.i"""
+
+  // —————————————————————————————— Krippendorff's alpha (q280)
+  // (the multi-rater, missing-data reliability coefficient — kappa's
+  //  production replacement when a labeling queue assigns 2-of-N
+  //  raters per item. Fixture: 1024 units × 5 raters with md5 holes,
+  //  1/4 of units planted as full-agreement. The one intrinsic
+  //  per-unit /(m−1) runs as a truncating micro integer in a pinned
+  //  order; α in exact ppm.)
+  val q280Krippendorff: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val base = Tables.events(s, dir)
+      .where(col("event_id").isNotNull)
+      .select((col("event_id") % 1024).as("unit"),
+        expr("(event_id div 1024) % 5").as("rater"))
+    val keyed = base.select(col("unit"), col("rater"),
+      concat(col("unit").cast("string"), lit("|"),
+        col("rater").cast("string")).as("ur"))
+    val votes = keyed
+      .where(h("kp|", col("ur")) % 5 =!= 0)
+      .select(col("unit"), col("rater"),
+        when(h("ka|", col("unit").cast("string")) % 4 === 0,
+          h("kl|", col("unit").cast("string")) % 3)
+          .otherwise(h("kv|", col("ur")) % 3).as("label"))
+    Annotation.krippendorffAlpha(votes, "unit", "rater", "label")
+  }
+  private val q280Sql: String = """
+    WITH ev AS (SELECT DISTINCT event_id % 1024 AS unit,
+            (event_id // 1024) % 5 AS rater
+          FROM events WHERE event_id IS NOT NULL),
+    ur AS (SELECT unit, rater,
+            CAST(unit AS VARCHAR) || '|' || CAST(rater AS VARCHAR) AS ur
+          FROM ev),
+    votes AS (SELECT DISTINCT unit, rater,
+            CASE WHEN CAST(('0x' || substr(md5('ka|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+              THEN CAST(('0x' || substr(md5('kl|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+              ELSE CAST(('0x' || substr(md5('kv|' || ur), 1, 8))
+                AS BIGINT) % 3 END AS label
+          FROM ur
+          WHERE CAST(('0x' || substr(md5('kp|' || ur), 1, 8)) AS BIGINT)
+            % 5 <> 0),
+    uc AS (SELECT unit, label, CAST(count(*) AS BIGINT) AS nuc
+          FROM votes GROUP BY 1, 2),
+    um AS (SELECT unit, CAST(sum(nuc) AS BIGINT) AS mu FROM uc GROUP BY 1),
+    pairable AS (SELECT uc.unit, uc.label, uc.nuc, um.mu
+          FROM uc JOIN um USING (unit) WHERE um.mu >= 2),
+    per_unit AS (SELECT unit, max(mu) AS mu,
+            sum(CAST(nuc AS HUGEINT) * (mu - nuc)) AS disagree
+          FROM pairable GROUP BY 1),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+            CAST(sum(mu) AS HUGEINT) AS n,
+            sum((CAST(1000000 AS HUGEINT) * disagree) // (mu - 1))
+              AS do_micro
+          FROM per_unit),
+    cats AS (SELECT label, CAST(sum(nuc) AS BIGINT) AS ncat
+          FROM pairable GROUP BY 1),
+    de AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+            sum(CAST(ncat AS HUGEINT) * ((SELECT n FROM totals) - ncat))
+              AS de_num
+          FROM cats)
+    SELECT t.n_units, CAST(t.n AS BIGINT) AS n_values, de.n_categories,
+      CAST(de.de_num AS BIGINT) AS de_num,
+      CASE WHEN de.de_num <> 0 AND t.n >= 2
+        THEN CAST(1000000 - (t.do_micro * (t.n - 1)) // de.de_num AS BIGINT)
+      END AS alpha_ppm
+    FROM totals t CROSS JOIN de"""
+
+  // —————————————————————————————— Theil–Sen trend (q281)
+  // (outlier-immune robust slope + Mann–Kendall S per event_type over
+  //  the HOURLY lattice — pairwise statistics run on ≤720²/2 calendar-
+  //  bounded pairs per key at any SF. Truncating milli-cent hourly
+  //  means, micro slopes, doubled-integer median.)
+  val q281TheilSen: Q = (s, dir) =>
+    TimeSeries.theilSen(Tables.events(s, dir), "event_type", "ts", "value")
+  private val q281Sql: String = """
+    WITH b AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS h,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+    hr AS (SELECT k, h,
+            CAST((CAST(1000 AS HUGEINT) * sum(c)) // count(*) AS BIGINT) AS y
+          FROM b GROUP BY 1, 2),
+    pr AS (SELECT a.k,
+            CAST((CAST(1000000 AS HUGEINT) * (c.y - a.y)) // (c.h - a.h)
+              AS BIGINT) AS slope,
+            CAST(sign(c.y - a.y) AS BIGINT) AS sgn
+          FROM hr a JOIN hr c ON a.k = c.k AND a.h < c.h),
+    nh AS (SELECT k, CAST(count(*) AS BIGINT) AS n_hours FROM hr GROUP BY 1)
+    SELECT pr.k AS event_type, nh.n_hours, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(sgn) AS BIGINT) AS mk_s,
+      CAST(quantile_cont(slope * 2, 0.5) AS BIGINT) AS slope2_micro
+    FROM pr JOIN nh ON pr.k = nh.k GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q278_kendall_tau" -> q278KendallTau,
+    "q279_isotonic" -> q279Isotonic,
+    "q280_krippendorff" -> q280Krippendorff,
+    "q281_theil_sen" -> q281TheilSen,
     "q276_pacf" -> q276Pacf,
     "q275_fs_em" -> q275FsEm,
     "q274_dp_bounded_counts" -> q274DpBoundedCounts,
@@ -2811,6 +3000,10 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q278_kendall_tau" -> q278Sql,
+    "q279_isotonic" -> q279Sql,
+    "q280_krippendorff" -> q280Sql,
+    "q281_theil_sen" -> q281Sql,
     "q276_pacf" -> q276Sql,
     "q275_fs_em" -> q275Sql,
     "q274_dp_bounded_counts" -> q274Sql,

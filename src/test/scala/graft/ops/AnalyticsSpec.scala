@@ -745,4 +745,72 @@ class AnalyticsSpec extends SparkSpec {
       .select("col_a", "col_b").as[(String, String)].collect().toSet
     assert(got == Set(("p", "q"), ("p", "r"), ("q", "r")))
   }
+
+  private def tau(rows: (String, Long, Long)*) =
+    Analytics.kendallTau(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("kendallTau: perfect concordance and perfect reversal") {
+    val got = tau(("up", 1, 1), ("up", 2, 2), ("up", 3, 3),
+      ("dn", 1, 3), ("dn", 2, 2), ("dn", 3, 1))
+    assert(got("up") == (("up", 3L, 3L, 0L, Some(1.0))))
+    assert(got("dn") == (("dn", 3L, 0L, 3L, Some(-1.0))))
+  }
+
+  test("kendallTau: hand τ-b under ties on both axes") {
+    // (1,1),(1,2),(2,1): P=0, Q=1 (the (1,2)-(2,1) pair), one x-tie
+    // pair and one y-tie pair → dx = dy = 2, τ-b = −1/√4 = −0.5
+    val got = tau(("g", 1, 1), ("g", 1, 2), ("g", 2, 1))
+    assert(got("g") == (("g", 3L, 0L, 1L, Some(-0.5))))
+  }
+
+  test("kendallTau: an all-tied axis yields null, never a fake 0") {
+    val got = tau(("g", 7, 1), ("g", 7, 2), ("g", 7, 3))
+    assert(got("g")._5.isEmpty, s"got ${got("g")}")
+  }
+
+  test("kendallTau: within-cell duplicates multiply pair counts") {
+    // two copies of (1,1) against one (2,2): P = 2·1 = 2
+    val got = tau(("g", 1, 1), ("g", 1, 1), ("g", 2, 2))
+    assert(got("g")._3 == 2L && got("g")._4 == 0L)
+  }
+
+  private def iso(nBins: Int, rows: (Long, Long)*) =
+    Analytics.isotonicCalibration(rows.toDF("s", "y"), "s", "y", nBins)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("isotonicCalibration: hand PAVA pools the violating pair") {
+    // bin rates 0, 1, 0, 1 → PAVA fit 0, ½, ½, 1 (middle two pooled)
+    val rows = Seq(
+      (0L, 0L), (0L, 0L), (250000L, 1L), (250000L, 1L),
+      (500000L, 0L), (500000L, 0L), (750000L, 1L), (750000L, 1L))
+    val got = iso(4, rows: _*)
+    assert(got.map(_._5) == Seq(0L, 500000L, 500000L, 1000000L), s"$got")
+  }
+
+  test("isotonicCalibration: an already-monotone profile is unchanged") {
+    val rows = Seq((0L, 0L), (0L, 0L), (400000L, 1L), (400000L, 0L),
+      (900000L, 1L), (900000L, 1L))
+    val got = iso(4, rows: _*)
+    assert(got.map(_._5) == got.map(_._4), s"$got")
+  }
+
+  test("isotonicCalibration: fit is monotone nondecreasing by construction") {
+    // adversarial zig-zag over 8 bins
+    val rows = (0 until 8).flatMap { b =>
+      val pos = if (b % 2 == 0) 3 else 1
+      (0 until 4).map(i => ((b * 125000).toLong, if (i < pos) 1L else 0L))
+    }
+    val fit = iso(8, rows: _*).map(_._5)
+    assert(fit == fit.sorted, s"not monotone: $fit")
+  }
+
+  test("isotonicCalibration: empty bins collapse out of the lattice") {
+    // only bins 0 and 3 populated — indices stay dense, fit well-defined
+    val got = iso(4, (0L, 0L), (999999L, 1L))
+    assert(got.map(_._1) == Seq(0L, 3L) &&
+      got.map(_._5) == Seq(0L, 1000000L))
+  }
 }

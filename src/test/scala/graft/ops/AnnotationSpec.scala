@@ -95,4 +95,45 @@ class AnnotationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(got.keySet == Set(1L, 2L) && got(1L)._3 == 1L)
   }
+
+  private def alpha(rows: (Long, String, String)*) =
+    Annotation.krippendorffAlpha(rows.toDF("unit", "rater", "label"),
+      "unit", "rater", "label")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+
+  test("krippendorffAlpha: hand case, exact ppm") {
+    // unit 1: a,a,a (full agreement); unit 2: b,b,a
+    // n=6, Do_micro = 2e6, De_num = 4·2 + 2·4 = 16
+    // α = 1 − (2e6·5)/16e6... = 1 − 0.625 = 0.375
+    val got = alpha(
+      (1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b"), (2L, "r3", "a"))
+    assert(got == ((2L, 6L, 2L, 16L, Some(375000L))), s"$got")
+  }
+
+  test("krippendorffAlpha: single-rating units are unpairable and drop") {
+    // unit 3 has one rating → excluded from n, categories, everything
+    val base = Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b"), (2L, "r3", "a"))
+    val got = alpha(base :+ ((3L, "r1", "zzz")): _*)
+    assert(got == ((2L, 6L, 2L, 16L, Some(375000L))), s"$got")
+  }
+
+  test("krippendorffAlpha: perfect agreement scores exactly 1e6") {
+    val got = alpha((1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b"))
+    assert(got._5.contains(1000000L), s"$got")
+  }
+
+  test("krippendorffAlpha: duplicate (unit, rater, label) votes dedup") {
+    val got = alpha((1L, "r1", "a"), (1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "b"), (2L, "r2", "b"))
+    assert(got._2 == 4L && got._5.contains(1000000L), s"$got")
+  }
+
+  test("krippendorffAlpha: one category everywhere yields null (De = 0)") {
+    val got = alpha((1L, "r1", "a"), (1L, "r2", "a"))
+    assert(got._5.isEmpty, s"$got")
+  }
 }

@@ -426,4 +426,34 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r._1 -> r._3).toMap
     assert(got == Map("a" -> 2L, "b" -> 3L))
   }
+
+  private def sen(rows: (String, Int, Double)*) =
+    TimeSeries.theilSen(
+      rows.map { case (k, h, v) => (k, ts(h), v) }.toDF("k", "t", "v"),
+      "k", "t", "v")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("theilSen: hand slopes, doubled-integer median, MK S") {
+    // cents 100, 200, 400 at hours 0,1,2 → milli-cent y 1e5, 2e5, 4e5
+    // slopes (µ/hour): 1e11, 1.5e11, 2e11 → median 1.5e11, doubled 3e11
+    val got = sen(("a", 0, 1.00), ("a", 1, 2.00), ("a", 2, 4.00))
+    assert(got("a") == (("a", 3L, 3L, 3L, 300000000000L)), s"$got")
+  }
+
+  test("theilSen: one wild hour cannot move the median slope") {
+    // 1,2,3,4 then a 100-cent spike: 6 of 10 pair slopes are exactly
+    // 1 cent/hour → median stays 1 (doubled micro-milli = 2e9)
+    val got = sen(("k", 0, 0.01), ("k", 1, 0.02), ("k", 2, 0.03),
+      ("k", 3, 0.04), ("k", 4, 1.00))
+    assert(got("k")._5 == 2000000000L, s"$got")
+    assert(got("k")._4 == 10L, "all pairs rise → S = 10")
+  }
+
+  test("theilSen: rows within an hour aggregate to a truncating mean") {
+    // hour 0 holds 3¢ and 4¢ → (1000·7) div 2 = 3500 milli-cents;
+    // hour 1 holds 5¢ → slope = (5000−3500)·1e6, doubled
+    val got = sen(("k", 0, 0.03), ("k", 0, 0.04), ("k", 1, 0.05))
+    assert(got("k") == (("k", 2L, 1L, 1L, 3000000000L)), s"$got")
+  }
 }
