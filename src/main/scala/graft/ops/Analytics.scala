@@ -1393,4 +1393,49 @@ object Analytics {
           .as("rate_ppm"),
         col("iso_ppm"))
   }
+
+  /** Simpson's-paradox screen: does the x–y association DIRECTION
+    * within every stratum match the pooled direction? The classic
+    * metrics-review failure — a dashboard trend that reverses when a
+    * confounder is conditioned on — caught mechanically. Association
+    * direction is the SIGN of the covariance numerator
+    * `n·Σxy − Σx·Σy`, exact in decimal(38) (no variance division, no
+    * float — sign is all the paradox needs). Emits one row per
+    * stratum plus the pooled `ALL` row; a stratum flips when its sign
+    * and the pooled sign are both nonzero and opposite. Two grouped
+    * aggregates (one per stratum, one global fold of the same partial
+    * sums) — map-side combinable, nothing data-sized crosses a stage.
+    */
+  def simpsonFlip(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val per = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .withColumn("cov_sign",
+        signum((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")).cast("long"))
+    val pooled = per
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"))
+      .withColumn("pooled_sign",
+        signum((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")).cast("long"))
+      .select(col("n"), col("pooled_sign"))
+    per.crossJoin(pooled.select(col("pooled_sign")))
+      .select(col("g").as("scope"), col("n").cast("long").as("n"),
+        col("cov_sign"), col("pooled_sign"),
+        (col("cov_sign") =!= 0 && col("pooled_sign") =!= 0 &&
+          col("cov_sign") =!= col("pooled_sign")).as("flips"))
+      .unionByName(pooled.select(lit("ALL").as("scope"),
+        col("n").cast("long").as("n"),
+        col("pooled_sign").as("cov_sign"), col("pooled_sign"),
+        lit(false).as("flips")))
+  }
 }

@@ -281,4 +281,69 @@ object Cleaning {
         " ").as("targets"),
       sum(when(col("start"), 1L).otherwise(0L)).as("n_spans"))
   }
+
+  /** Per-document encoding-quality audit — the triage gate a crawl
+    * corpus passes BEFORE tokenization, because a tokenizer happily
+    * learns merges over double-encoded garbage. Three independent
+    * exact counters per document (all single-pass `regexp_count`,
+    * codegen'd, no UDF): U+FFFD replacement characters (a decoder
+    * already gave up), C0 control characters other than tab/newline
+    * (binary spill into text), and the classic UTF-8-read-as-Latin-1
+    * mojibake markers (`Ã`, `Â`, `â€` — the bytes 0xC3/0xC2/0xE2 0x80
+    * decoded as Latin-1). Verdict picks the worst class in a pinned
+    * order so both engines agree on every row. Narrow per-row map —
+    * embarrassingly parallel at any scale.
+    */
+  def encodingAudit(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.filter(col(idCol).isNotNull && t.isNotNull)
+      .select(col(idCol),
+        length(t).cast("long").as("n_cp"),
+        regexp_count(t, lit("\\x{FFFD}")).cast("long").as("n_replacement"),
+        regexp_count(t, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+          .cast("long").as("n_control"),
+        regexp_count(t, lit("Ã|Â|â€")).cast("long").as("n_mojibake"))
+      .withColumn("verdict",
+        when(col("n_mojibake") > 0, "mojibake")
+          .when(col("n_replacement") > 0, "replacement")
+          .when(col("n_control") > 0, "control")
+          .otherwise("clean"))
+  }
+
+  /** Per-document Unicode script profile — the spoofing/spam/encoding
+    * screen that catches mixed-script text (a "Latin" document full of
+    * Cyrillic homoglyphs, CJK spill into an English shard) before
+    * language-ID mislabels it. Exact per-script codepoint counts via
+    * script property classes (all BMP-safe: Spark counts UTF-16 units,
+    * DuckDB codepoints — identical for every script class used here),
+    * dominant script by a PINNED tie order (latin > cyrillic > han >
+    * arabic), and a mixed flag when ≥ 2 letter scripts co-occur.
+    * Narrow per-row map, no shuffle.
+    */
+  def scriptMix(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) = regexp_count(t, lit(cls)).cast("long")
+    df.filter(col(idCol).isNotNull && t.isNotNull)
+      .select(col(idCol),
+        cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsArabic}").as("n_arabic"),
+        cnt("[0-9]").as("n_digit"))
+      .withColumn("dominant",
+        when(col("n_latin") + col("n_cyrillic") + col("n_han") +
+          col("n_arabic") === 0, "none")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_han") &&
+            col("n_latin") >= col("n_arabic"), "latin")
+          .when(col("n_cyrillic") >= col("n_han") &&
+            col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .when(col("n_han") >= col("n_arabic"), "han")
+          .otherwise("arabic"))
+      .withColumn("mixed",
+        (when(col("n_latin") > 0, 1).otherwise(0) +
+          when(col("n_cyrillic") > 0, 1).otherwise(0) +
+          when(col("n_han") > 0, 1).otherwise(0) +
+          when(col("n_arabic") > 0, 1).otherwise(0)) >= 2)
+  }
 }

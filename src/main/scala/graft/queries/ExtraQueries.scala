@@ -2922,7 +2922,137 @@ object ExtraQueries {
       CAST(quantile_cont(slope * 2, 0.5) AS BIGINT) AS slope2_micro
     FROM pr JOIN nh ON pr.k = nh.k GROUP BY 1, 2"""
 
+  // —————————————————————————————— encoding audit (q282)
+  // (the pre-tokenization triage gate: U+FFFD, C0 controls, and
+  //  Latin-1-mojibake markers counted exactly per document; corruption
+  //  PLANTED deterministically by md5 bucket so the detector has
+  //  ground truth at every SF. Narrow per-row map, no shuffle.)
+  val q282EncodingAudit: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+    val h = conv(substring(md5(concat(lit("enc|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    val planted = d.select(col("doc_id"),
+      when(h === 0, regexp_replace(col("text"), lit("a"), lit("Ã¡")))
+        .when(h === 1, concat(col("text"), lit(" \uFFFD\uFFFD\uFFFD")))
+        .when(h === 2, concat(col("text"), lit("\u0007\u0001")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Cleaning.encodingAudit(planted, "text", "doc_id")
+  }
+  private val q282Sql: String = """
+    WITH p AS (SELECT doc_id,
+            CASE CAST(('0x' || substr(md5('enc|' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
+              WHEN 0 THEN replace(text, 'a', 'Ã¡')
+              WHEN 1 THEN text || ' ' || repeat(chr(65533), 3)
+              WHEN 2 THEN text || chr(7) || chr(1)
+              ELSE text END AS text
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_cp,
+            CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT)
+              AS n_replacement,
+            CAST(len(regexp_extract_all(text,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_control,
+            CAST(len(regexp_extract_all(text, 'Ã|Â|â€')) AS BIGINT)
+              AS n_mojibake
+          FROM p)
+    SELECT doc_id, n_cp, n_replacement, n_control, n_mojibake,
+      CASE WHEN n_mojibake > 0 THEN 'mojibake'
+           WHEN n_replacement > 0 THEN 'replacement'
+           WHEN n_control > 0 THEN 'control'
+           ELSE 'clean' END AS verdict
+    FROM c"""
+
+  // —————————————————————————————— script-mix profile (q283)
+  // (per-document Unicode script counts — the homoglyph/spam screen
+  //  ahead of language-ID. Cyrillic/Han/Arabic tokens planted by md5
+  //  bucket onto the Latin base text; dominant script resolved by a
+  //  pinned tie order, mixed flag at ≥ 2 letter scripts.)
+  val q283ScriptMix: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+    val b = conv(substring(md5(concat(lit("scr|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 8
+    val planted = d.select(col("doc_id"),
+      when(b === 0, concat(col("text"), lit(" привет мир кот")))
+        .when(b === 1, concat(col("text"), lit(" 你好世界数据")))
+        .when(b === 2, concat(col("text"), lit(" مرحبا بالعالم")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Cleaning.scriptMix(planted, "text", "doc_id")
+  }
+  private val q283Sql: String = """
+    WITH p AS (SELECT doc_id,
+            CASE CAST(('0x' || substr(md5('scr|' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+              WHEN 0 THEN text || ' привет мир кот'
+              WHEN 1 THEN text || ' 你好世界数据'
+              WHEN 2 THEN text || ' مرحبا بالعالم'
+              ELSE text END AS text
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    c AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT)
+              AS n_latin,
+            CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT)
+              AS n_cyrillic,
+            CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT)
+              AS n_han,
+            CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT)
+              AS n_arabic,
+            CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+              AS n_digit
+          FROM p)
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+      CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0 THEN 'none'
+           WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+             AND n_latin >= n_arabic THEN 'latin'
+           WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+             THEN 'cyrillic'
+           WHEN n_han >= n_arabic THEN 'han'
+           ELSE 'arabic' END AS dominant,
+      (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+       CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END +
+       CASE WHEN n_han > 0 THEN 1 ELSE 0 END +
+       CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
+    FROM c"""
+
+  // —————————————————————————————— Simpson's-paradox screen (q284)
+  // (per-stratum vs pooled association SIGN over exact decimal
+  //  covariance numerators — the mechanical trend-reversal audit.
+  //  Two map-side-combinable aggregates; nothing data-sized shuffles.)
+  val q284SimpsonFlip: Q = (s, dir) =>
+    Analytics.simpsonFlip(
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        round(col("l_discount") * 100).cast("long").as("dc"),
+        round(col("l_quantity") * 100).cast("long").as("qc")),
+      "l_returnflag", "dc", "qc")
+  private val q284Sql: String = """
+    WITH b AS (SELECT l_returnflag AS g,
+            CAST(round(l_discount * 100) AS BIGINT) AS x,
+            CAST(round(l_quantity * 100) AS BIGINT) AS y
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_discount IS NOT NULL AND l_quantity IS NOT NULL),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM b GROUP BY 1),
+    sg AS (SELECT g, n, CAST(sign(n * sxy - sx * sy) AS BIGINT) AS cov_sign
+          FROM per),
+    pl AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+            CAST(sign(sum(n) * sum(sxy) - sum(sx) * sum(sy)) AS BIGINT)
+              AS pooled_sign
+          FROM per)
+    SELECT sg.g AS scope, sg.n, sg.cov_sign, pl.pooled_sign,
+      (sg.cov_sign <> 0 AND pl.pooled_sign <> 0
+        AND sg.cov_sign <> pl.pooled_sign) AS flips
+    FROM sg CROSS JOIN pl
+    UNION ALL
+    SELECT 'ALL', pl.n, pl.pooled_sign, pl.pooled_sign, false FROM pl"""
+
   val all: Map[String, Q] = Map(
+    "q282_encoding_audit" -> q282EncodingAudit,
+    "q283_script_mix" -> q283ScriptMix,
+    "q284_simpson_flip" -> q284SimpsonFlip,
     "q278_kendall_tau" -> q278KendallTau,
     "q279_isotonic" -> q279Isotonic,
     "q280_krippendorff" -> q280Krippendorff,
@@ -3000,6 +3130,9 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q282_encoding_audit" -> q282Sql,
+    "q283_script_mix" -> q283Sql,
+    "q284_simpson_flip" -> q284Sql,
     "q278_kendall_tau" -> q278Sql,
     "q279_isotonic" -> q279Sql,
     "q280_krippendorff" -> q280Sql,

@@ -807,6 +807,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(fit == fit.sorted, s"not monotone: $fit")
   }
 
+  test("simpsonFlip: planted reversal flips, pooled row never does") {
+    // classic construction: within each stratum y falls as x rises,
+    // but stratum B sits at both higher x and higher y — pooled trend
+    // rises while every stratum falls
+    val rows = Seq(
+      ("A", 0L, 10L), ("A", 1L, 8L), ("A", 2L, 6L),
+      ("B", 10L, 30L), ("B", 11L, 28L), ("B", 12L, 26L))
+    val got = Analytics.simpsonFlip(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._3 == -1L && got("B")._3 == -1L)
+    assert(got("ALL")._4 == 1L && !got("ALL")._5)
+    assert(got("A")._5 && got("B")._5, s"$got")
+  }
+
+  test("simpsonFlip: zero-variance stratum signs 0 and never flips") {
+    val rows = Seq(("A", 1L, 5L), ("A", 2L, 5L), ("B", 1L, 1L), ("B", 2L, 2L))
+    val got = Analytics.simpsonFlip(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._3 == 0L && !got("A")._5)
+    assert(got("B")._3 == 1L)
+  }
+
   test("isotonicCalibration: empty bins collapse out of the lattice") {
     // only bins 0 and 3 populated — indices stay dense, fit well-defined
     val got = iso(4, (0L, 0L), (999999L, 1L))

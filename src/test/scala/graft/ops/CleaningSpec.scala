@@ -190,4 +190,54 @@ class CleaningSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Cleaning.spanMask(d, "text", "doc_id", 0) }
     intercept[IllegalArgumentException] { Cleaning.spanMask(d, "text", "doc_id", 100) }
   }
+
+  private def audit(rows: (Long, String)*) = {
+    import spark.implicits._
+    Cleaning.encodingAudit(rows.toDF("id", "text"), "text", "id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+  }
+
+  test("encodingAudit: each corruption class counted and classified") {
+    val got = audit(
+      (1L, "clean ascii words"),
+      (2L, "lost � bytes �"),
+      (3L, "ctrl\u0007here\u0001"),
+      (4L, "caf\u00C3\u00A9 mojibake \u00E2\u20AC\u0153quoted\u00E2\u20AC\u201D"),
+      (5L, "tab\tand\nnewline survive"))
+    assert(got(1L)._6 == "clean" && got(5L)._6 == "clean",
+      "tab/newline are NOT control spill")
+    assert(got(2L) == ((2L, 14L, 2L, 0L, 0L, "replacement")), s"${got(2L)}")
+    assert(got(3L)._4 == 2L && got(3L)._6 == "control")
+    // 'Ã' from café, two 'â€' smart-quote markers → mojibake wins the
+    // pinned verdict order
+    assert(got(4L)._5 == 3L && got(4L)._6 == "mojibake", s"${got(4L)}")
+  }
+
+  private def mix(rows: (Long, String)*) = {
+    import spark.implicits._
+    Cleaning.scriptMix(rows.toDF("id", "text"), "text", "id")
+      .as[(Long, Long, Long, Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+  }
+
+  test("scriptMix: exact per-script counts, pinned dominant, mixed flag") {
+    val got = mix(
+      (1L, "plain latin 42"),
+      (2L, "привет"),
+      (3L, "你好"),
+      (4L, "hi привет"),
+      (5L, "123 456"))
+    assert(got(1L) == ((1L, 10L, 0L, 0L, 0L, 2L, "latin", false)))
+    assert(got(2L) == ((2L, 0L, 6L, 0L, 0L, 0L, "cyrillic", false)))
+    assert(got(3L) == ((3L, 0L, 0L, 2L, 0L, 0L, "han", false)))
+    assert(got(4L)._7 == "cyrillic" && got(4L)._8,
+      "hi=2 latin < привет=6 cyrillic → cyrillic dominates, mixed")
+    assert(got(5L)._7 == "none" && !got(5L)._8)
+  }
+
+  test("scriptMix: dominant ties break in the pinned latin-first order") {
+    val got = mix((1L, "ab пр"))
+    assert(got(1L)._7 == "latin" && got(1L)._8)
+  }
 }
