@@ -248,4 +248,30 @@ object Privacy {
         col("_chosen").isNotNull && col("level") === col("_chosen"))
       .drop("_chosen")
   }
+
+  /** Right-to-be-forgotten residual audit — the VERIFICATION side of a
+    * deletion pipeline (the cascade delete is the easy half; proving
+    * nothing survived is what a regulator asks for). For each audited
+    * table: how many rows still reference a tombstoned subject, how
+    * many distinct subjects still leak, and a pass flag. Each audit is
+    * one left-semi join against the (small, broadcastable) victim set
+    * plus one count-distinct — no data ever leaves the executors but
+    * five numbers per table. A failing row names the table that needs
+    * a re-run; an all-pass report is the artifact you archive.
+    */
+  def forgetAudit(victims: DataFrame, victimCol: String,
+      audits: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(audits.nonEmpty, "need at least one table to audit")
+    val v = victims.select(col(victimCol).as("_victim")).distinct()
+    val nv = v.agg(count(lit(1)).as("n_victims"))
+    audits.map { case (table, df, keyCol) =>
+      df.join(broadcast(v), col(keyCol) === col("_victim"), "left_semi")
+        .agg(count(lit(1)).as("residual_rows"),
+          countDistinct(col(keyCol)).as("residual_keys"))
+        .crossJoin(nv)
+        .select(lit(table).as("table_name"), col("n_victims"),
+          col("residual_rows"), col("residual_keys"),
+          (col("residual_rows") === 0).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
 }

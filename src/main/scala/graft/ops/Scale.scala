@@ -197,4 +197,87 @@ object Scale {
         max("bytes").as("max_file_bytes"))
       .withColumn("needs_compaction", col("n_files") > 1)
   }
+
+  /** Zone-map pruning audit — the LAYOUT decision table. Simulates two
+    * physical layouts of the same fact table (hash-by-key files vs
+    * time-clustered weekly files), derives each file's min/max "zone
+    * map" for the date column, and replays a predicate set against the
+    * maps: how many files would a reader skip, and how many rows does
+    * each surviving file force it to scan? The number that justifies
+    * sorting/clustering 100 TB by time — a hash layout scans ~every
+    * file for a quarter predicate; a time-clustered one scans ~13
+    * weekly files — produced as data, not as folklore. Cost: ONE
+    * grouped min/max/count per layout (map-side combinable; the file
+    * lattice is calendar/modulus-bounded, never data-sized) plus one
+    * shared conditional aggregate for true match counts. Predicates
+    * are half-open day ranges `[lo, hi)`; a file survives when
+    * `mx ≥ lo AND mn < hi`.
+    */
+  def zoneMapAudit(df: DataFrame, dateCol: String, hashKeyCol: String,
+      predicates: Seq[(Int, Int)], nHashFiles: Int = 64): DataFrame = {
+    require(predicates.nonEmpty && predicates.forall(p => p._1 < p._2),
+      "predicates must be non-empty half-open [lo, hi) day ranges")
+    import df.sparkSession.implicits._
+    val base = df
+      .filter(col(dateCol).isNotNull && col(hashKeyCol).isNotNull)
+      .select(expr(
+        s"unix_micros(cast($dateCol as timestamp)) div 86400000000").as("d"),
+        col(hashKeyCol).as("k"))
+    val preds = predicates.zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo.toLong, hi.toLong) }
+      .toDF("pred_id", "lo", "hi")
+    def audit(layout: String, fileCol: Column) = {
+      val zones = base.groupBy(fileCol.as("f"))
+        .agg(min("d").as("mn"), max("d").as("mx"), count(lit(1)).as("rows"))
+      zones.crossJoin(broadcast(preds))
+        .groupBy("pred_id", "lo", "hi")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("mx") >= col("lo") && col("mn") < col("hi"), 1L)
+            .otherwise(0L)).as("files_scanned"),
+          sum(when(col("mx") >= col("lo") && col("mn") < col("hi"),
+            col("rows")).otherwise(0L)).as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("pred_id"), col("lo"),
+          col("hi"), col("files_total"), col("files_scanned"),
+          col("rows_scanned"))
+    }
+    val matched = base.crossJoin(broadcast(preds))
+      .groupBy("pred_id")
+      .agg(sum(when(col("d") >= col("lo") && col("d") < col("hi"), 1L)
+        .otherwise(0L)).as("rows_matched"))
+    audit("hash", pmod(col("k"), lit(nHashFiles.toLong)))
+      .unionByName(audit("time", expr("d div 7")))
+      .join(matched, "pred_id")
+      .select(col("layout"), col("pred_id"), col("files_total"),
+        col("files_scanned"), col("rows_scanned"), col("rows_matched"),
+        expr("(1000000 * (files_total - files_scanned)) div files_total")
+          .as("prune_ppm"))
+  }
+
+  /** Join-strategy planner over exact relation stats — the "would I
+    * broadcast this at 100 TB" decision, made from data instead of
+    * intuition. For each candidate equi-join edge it takes the two
+    * relation cardinalities (each ONE count aggregate — the cheapest
+    * statistic a warehouse owns) and applies a pinned cost model:
+    * build side ≤ `broadcastRows` → broadcast (zero shuffled rows);
+    * build ≤ probe/4 → shuffle-hash; else sort-merge — with the
+    * shuffled-row estimate `left + right` for the non-broadcast
+    * strategies. The output is the plan-review table: every edge, its
+    * sizes, the strategy the cost model picks, and what the wrong
+    * choice would move across the network.
+    */
+  def joinStrategyPlan(edges: Seq[(String, DataFrame, DataFrame)],
+      broadcastRows: Long = 1000000L): DataFrame = {
+    require(edges.nonEmpty, "need at least one join edge")
+    edges.map { case (name, left, right) =>
+      left.agg(count(lit(1)).as("left_rows"))
+        .crossJoin(right.agg(count(lit(1)).as("right_rows")))
+        .select(lit(name).as("edge"), col("left_rows"), col("right_rows"),
+          when(col("right_rows") <= broadcastRows, "broadcast")
+            .when(col("right_rows") * 4 <= col("left_rows"), "shuffle_hash")
+            .otherwise("sort_merge").as("strategy"),
+          when(col("right_rows") <= broadcastRows, 0L)
+            .otherwise(col("left_rows") + col("right_rows"))
+            .as("shuffled_rows"))
+    }.reduce(_.unionByName(_))
+  }
 }

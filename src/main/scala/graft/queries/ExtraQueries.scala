@@ -3049,7 +3049,119 @@ object ExtraQueries {
     UNION ALL
     SELECT 'ALL', pl.n, pl.pooled_sign, pl.pooled_sign, false FROM pl"""
 
+  // —————————————————————————————— zone-map pruning audit (q285)
+  // (the layout decision table: hash-by-orderkey files vs weekly
+  //  time-clustered files, per-file min/max zone maps replayed against
+  //  1997's four quarter predicates — files skipped, rows scanned,
+  //  true matches. File lattices are modulus/calendar-bounded.)
+  val q285ZoneMap: Q = (s, dir) =>
+    graft.ops.Scale.zoneMapAudit(Tables.lineitem(s, dir),
+      "l_shipdate", "l_orderkey",
+      Seq((9862, 9952), (9952, 10043), (10043, 10135), (10135, 10227)))
+  private val q285Sql: String = """
+    WITH b AS (SELECT epoch_us(l_shipdate) // 86400000000 AS d,
+            l_orderkey AS k
+          FROM lineitem WHERE l_shipdate IS NOT NULL
+            AND l_orderkey IS NOT NULL),
+    preds AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(9862 AS BIGINT),
+            CAST(9952 AS BIGINT)), (1, 9952, 10043), (2, 10043, 10135),
+            (3, 10135, 10227)) t(pred_id, lo, hi)),
+    lay AS (SELECT 'hash' AS layout, k % 64 AS f, d FROM b
+          UNION ALL SELECT 'time', d // 7, d FROM b),
+    zones AS (SELECT layout, f, min(d) AS mn, max(d) AS mx,
+            CAST(count(*) AS BIGINT) AS rows_
+          FROM lay GROUP BY 1, 2),
+    aud AS (SELECT layout, pred_id,
+            CAST(count(*) AS BIGINT) AS files_total,
+            CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_scanned,
+            CAST(sum(CASE WHEN mx >= lo AND mn < hi THEN rows_ ELSE 0 END)
+              AS BIGINT) AS rows_scanned
+          FROM zones CROSS JOIN preds GROUP BY 1, 2),
+    m AS (SELECT pred_id,
+            CAST(sum(CASE WHEN d >= lo AND d < hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS rows_matched
+          FROM b CROSS JOIN preds GROUP BY 1)
+    SELECT aud.layout, aud.pred_id, aud.files_total, aud.files_scanned,
+      aud.rows_scanned, m.rows_matched,
+      (1000000 * (aud.files_total - aud.files_scanned)) // aud.files_total
+        AS prune_ppm
+    FROM aud JOIN m USING (pred_id)"""
+
+  // —————————————————————————————— join-strategy planner (q286)
+  // (pinned cost model over exact relation counts for the TPC-H join
+  //  graph: broadcast ≤ 1e6 build rows, shuffle-hash when build ≤
+  //  probe/4, else sort-merge; shuffled-row estimates for the rest.)
+  val q286JoinPlan: Q = (s, dir) =>
+    graft.ops.Scale.joinStrategyPlan(Seq(
+      ("lineitem->orders", Tables.lineitem(s, dir), Tables.orders(s, dir)),
+      ("lineitem->part", Tables.lineitem(s, dir), Tables.part(s, dir)),
+      ("lineitem->supplier", Tables.lineitem(s, dir),
+        Tables.supplier(s, dir)),
+      ("orders->customer", Tables.orders(s, dir), Tables.customer(s, dir)),
+      ("customer->nation", Tables.customer(s, dir), Tables.nation(s, dir)),
+      ("nation->region", Tables.nation(s, dir), Tables.region(s, dir))),
+      broadcastRows = 10000L)
+  private val q286Sql: String = {
+    def edge(name: String, l: String, r: String) = s"""
+    SELECT '$name' AS edge,
+      (SELECT CAST(count(*) AS BIGINT) FROM $l) AS left_rows,
+      (SELECT CAST(count(*) AS BIGINT) FROM $r) AS right_rows"""
+    val edges = Seq(("lineitem->orders", "lineitem", "orders"),
+      ("lineitem->part", "lineitem", "part"),
+      ("lineitem->supplier", "lineitem", "supplier"),
+      ("orders->customer", "orders", "customer"),
+      ("customer->nation", "customer", "nation"),
+      ("nation->region", "nation", "region"))
+      .map((edge _).tupled).mkString(" UNION ALL ")
+    s"""
+    WITH e AS ($edges)
+    SELECT edge, left_rows, right_rows,
+      CASE WHEN right_rows <= 10000 THEN 'broadcast'
+           WHEN right_rows * 4 <= left_rows THEN 'shuffle_hash'
+           ELSE 'sort_merge' END AS strategy,
+      CASE WHEN right_rows <= 10000 THEN 0
+           ELSE left_rows + right_rows END AS shuffled_rows
+    FROM e"""
+  }
+
+  // —————————————————————————————— forget audit (q287)
+  // (right-to-be-forgotten VERIFICATION: tombstoned customers
+  //  (c_custkey % 97 = 13) audited against raw orders — residuals
+  //  found, fails — and a scrubbed orders view — passes. Left-semi
+  //  against the broadcast victim set; five numbers per table.)
+  val q287ForgetAudit: Q = (s, dir) => {
+    val victims = Tables.customer(s, dir)
+      .where(col("c_custkey") % 97 === 13)
+    val orders = Tables.orders(s, dir)
+    graft.ops.Privacy.forgetAudit(victims, "c_custkey", Seq(
+      ("orders_raw", orders, "o_custkey"),
+      ("orders_scrubbed", orders.where(col("o_custkey") % 97 =!= 13),
+        "o_custkey")))
+  }
+  private val q287Sql: String = """
+    WITH v AS (SELECT DISTINCT c_custkey AS vk FROM customer
+          WHERE c_custkey % 97 = 13),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_victims FROM v),
+    raw AS (SELECT CAST(count(*) AS BIGINT) AS residual_rows,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS residual_keys
+          FROM orders WHERE o_custkey IN (SELECT vk FROM v)),
+    scr AS (SELECT CAST(count(*) AS BIGINT) AS residual_rows,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS residual_keys
+          FROM orders WHERE o_custkey % 97 <> 13
+            AND o_custkey IN (SELECT vk FROM v))
+    SELECT 'orders_raw' AS table_name, nv.n_victims, raw.residual_rows,
+      raw.residual_keys, raw.residual_rows = 0 AS pass
+    FROM nv CROSS JOIN raw
+    UNION ALL
+    SELECT 'orders_scrubbed', nv.n_victims, scr.residual_rows,
+      scr.residual_keys, scr.residual_rows = 0
+    FROM nv CROSS JOIN scr"""
+
   val all: Map[String, Q] = Map(
+    "q285_zone_map" -> q285ZoneMap,
+    "q286_join_plan" -> q286JoinPlan,
+    "q287_forget_audit" -> q287ForgetAudit,
     "q282_encoding_audit" -> q282EncodingAudit,
     "q283_script_mix" -> q283ScriptMix,
     "q284_simpson_flip" -> q284SimpsonFlip,
@@ -3130,6 +3242,9 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q285_zone_map" -> q285Sql,
+    "q286_join_plan" -> q286Sql,
+    "q287_forget_audit" -> q287Sql,
     "q282_encoding_audit" -> q282Sql,
     "q283_script_mix" -> q283Sql,
     "q284_simpson_flip" -> q284Sql,

@@ -193,4 +193,26 @@ class PrivacySpec extends SparkSpec {
     val d2 = d2raw._4 - d2raw._3
     assert(math.abs(d2 - 2 * d1) < 1e-5, s"noise must scale: $d1 vs $d2")
   }
+
+  test("forgetAudit: residuals counted per table, clean table passes") {
+    import spark.implicits._
+    val victims = Seq(7L, 9L).toDF("uid")
+    val dirty = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 5L)).toDF("id", "uid")
+    val clean = Seq((1L, 1L), (2L, 2L)).toDF("id", "uid")
+    val got = Privacy.forgetAudit(victims, "uid", Seq(
+      ("dirty", dirty, "uid"), ("clean", clean, "uid")))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("dirty") == (("dirty", 2L, 3L, 2L, false)), s"$got")
+    assert(got("clean") == (("clean", 2L, 0L, 0L, true)), s"$got")
+  }
+
+  test("forgetAudit: duplicate victims dedup before counting") {
+    import spark.implicits._
+    val victims = Seq(7L, 7L, 7L).toDF("uid")
+    val t = Seq((1L, 7L)).toDF("id", "uid")
+    val got = Privacy.forgetAudit(victims, "uid", Seq(("t", t, "uid")))
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(got == (("t", 1L, 1L, 1L, false)), s"$got")
+  }
 }

@@ -184,4 +184,37 @@ class ScaleSpec extends SparkSpec {
     assert(e.toString.contains("compactionPlan") ||
       Option(e.getCause).exists(_.toString.contains("compactionPlan")))
   }
+
+  test("zoneMapAudit: time layout prunes the out-of-range file, hash can't") {
+    import spark.implicits._
+    // two weeks of data: keys interleave the weeks, so both hash files
+    // span the whole range (no pruning); weekly files split cleanly
+    def day(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(d.toLong).atStartOfDay())
+    val rows = Seq((day(0), 0L), (day(1), 1L), (day(7), 2L), (day(8), 3L))
+    val got = Scale.zoneMapAudit(rows.toDF("dt", "k"), "dt", "k",
+      Seq((0, 7)), nHashFiles = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // hash: keys 0,2 → file 0 (days 0,7); keys 1,3 → file 1 (days 1,8)
+    // both files straddle the predicate → 2 scanned, 4 rows for 2 hits
+    assert(got("hash") == (("hash", 0L, 2L, 2L, 4L, 2L, 0L)), s"$got")
+    // time: week-0 file holds exactly the matching rows; week-1 pruned
+    assert(got("time") == (("time", 0L, 2L, 1L, 2L, 2L, 500000L)), s"$got")
+  }
+
+  test("joinStrategyPlan: all three strategies from the pinned model") {
+    import spark.implicits._
+    val big = (1L to 100L).toDF("x")
+    val mid = (1L to 20L).toDF("x")
+    val tiny = (1L to 5L).toDF("x")
+    val got = Scale.joinStrategyPlan(Seq(
+      ("big->tiny", big, tiny), ("big->mid", big, mid),
+      ("mid->big", mid, big)), broadcastRows = 10L)
+      .as[(String, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big->tiny") == (("big->tiny", 100L, 5L, "broadcast", 0L)))
+    assert(got("big->mid") == (("big->mid", 100L, 20L, "shuffle_hash", 120L)))
+    assert(got("mid->big") == (("mid->big", 20L, 100L, "sort_merge", 120L)))
+  }
 }
