@@ -1394,6 +1394,60 @@ object Analytics {
         col("iso_ppm"))
   }
 
+  /** Incremental sessionization with EXACT resume — the batch proof
+    * of the streaming checkpoint contract. The stream is cut at
+    * `splitUs`; the first half sessionizes normally and yields one
+    * carry row per key (last event µs + session count — the whole
+    * state a resume needs); the second half sessionizes against that
+    * carry: its first event per key consults the carried timestamp
+    * for the gap test, every later event lags within its own half
+    * (identical to the full pass by construction), and local session
+    * indices offset by the carried count. The LAW — two-phase output
+    * ≡ one-pass sessionization — is what the oracle checks, because
+    * the oracle runs the single pass. At 100 TB this is the nightly
+    * incremental: only the new partition is scanned, state is one row
+    * per key.
+    */
+  def resumableSessionize(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapUs: Long, splitUs: Long): DataFrame = {
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"))
+    val w = Window.partitionBy("k").orderBy(col("us"), col("id"))
+    def flags(df: DataFrame) = df
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("flag",
+        when(col("prev").isNull || col("us") - col("prev") >= gapUs, 1L)
+          .otherwise(0L))
+    val p1 = flags(base.where(col("us") < splitUs))
+      .withColumn("sess", sum("flag").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carry = p1.groupBy("k")
+      .agg(max("us").as("carry_us"), max("sess").as("carry_n"))
+    val p2 = base.where(col("us") >= splitUs)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag("us", 1).over(w))
+      .join(carry, Seq("k"), "left")
+      .withColumn("flag", when(col("rn") === 1,
+        when(col("carry_us").isNull ||
+          col("us") - col("carry_us") >= gapUs, 1L).otherwise(0L))
+        .otherwise(
+          when(col("us") - col("prev") >= gapUs, 1L).otherwise(0L)))
+      .withColumn("sess", coalesce(col("carry_n"), lit(0L)) +
+        sum("flag").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    p1.select(col("k"), col("us"), col("sess"))
+      .unionByName(p2.select(col("k"), col("us"), col("sess")))
+      .groupBy(col("k"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(us) div 1000").as("start_ms"),
+        expr("max(us) div 1000").as("end_ms"))
+      .select(col("k").as(keyCol), col("sess"), col("n_events"),
+        col("start_ms"), col("end_ms"))
+  }
+
   /** Simpson's-paradox screen: does the x–y association DIRECTION
     * within every stratum match the pooled direction? The classic
     * metrics-review failure — a dashboard trend that reverses when a

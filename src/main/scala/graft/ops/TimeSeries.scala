@@ -649,4 +649,59 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("n_hours"), col("n_pairs"),
         col("mk_s"), col("slope2_micro"))
   }
+
+  /** Linear-interpolation alignment of an irregular series onto the
+    * hourly grid — the resampling step that precedes any cross-series
+    * join of telemetry (two sensors never tick together; aligned
+    * grids join on equality). The grid covers each key's own
+    * [⌈first⌉, ⌊last⌋] hours, so every grid point has BOTH a previous
+    * and next observation — no extrapolation policy to disagree on.
+    * Interpolation is exact integer milli-cent algebra with ONE
+    * truncating division (`1000·y₁ + ((y₂−y₁)·1000·(g−t₁)) div
+    * (t₂−t₁)`, decimal(38) products), pinned identically in the
+    * oracle. Plan: grid + events union-sorted ONCE per key; previous/
+    * next observations ride two IGNORE-NULLS running-last windows over
+    * the same exchange (opposite sort orders, same partitioning).
+    * Grid size is calendar-bounded — never data-sized.
+    */
+  def interpolateAlign(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourUs = 3600000000L
+    val ev = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        round(col(valCol) * 100).cast("long").as("cv"),
+        lit(false).as("is_grid"), col(idCol).cast("long").as("id"))
+    val grid = ev.groupBy("k")
+      .agg(min("us").as("mn"), max("us").as("mx"))
+      .select(col("k"),
+        expr(s"(mn + ${hourUs - 1}L) div ${hourUs}L * ${hourUs}L").as("g0"),
+        expr(s"mx div ${hourUs}L * ${hourUs}L").as("g1"))
+      .where(col("g0") <= col("g1"))
+      .select(col("k"),
+        explode(expr(s"sequence(g0, g1, ${hourUs}L)")).as("us"),
+        lit(null).cast("long").as("cv"), lit(true).as("is_grid"),
+        lit(0L).as("id"))
+    val u = ev.unionByName(grid)
+      .withColumn("us_ev", when(!col("is_grid"), col("us")))
+    val wAsc = Window.partitionBy("k")
+      .orderBy(col("us").asc, col("is_grid").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("k")
+      .orderBy(col("us").desc, col("is_grid").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u
+      .withColumn("py", last("cv", ignoreNulls = true).over(wAsc))
+      .withColumn("pt", last("us_ev", ignoreNulls = true).over(wAsc))
+      .withColumn("ny", last("cv", ignoreNulls = true).over(wDesc))
+      .withColumn("nt", last("us_ev", ignoreNulls = true).over(wDesc))
+      .where(col("is_grid"))
+      .select(col("k").as(keyCol), expr("us div 1000").as("g_ms"),
+        when(col("nt") === col("pt"), col("py") * 1000L)
+          .otherwise(expr(s"1000 * py + ((cast(ny as $dec) - py) * 1000 * " +
+            s"(us - pt)) div (nt - pt)").cast("long"))
+          .as("y_milli"))
+  }
 }

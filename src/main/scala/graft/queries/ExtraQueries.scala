@@ -3158,7 +3158,72 @@ object ExtraQueries {
       scr.residual_keys, scr.residual_rows = 0
     FROM nv CROSS JOIN scr"""
 
+  // —————————————————————————————— interpolation alignment (q288)
+  // (resample each user's irregular series onto its own hourly grid by
+  //  exact integer lerp — the step before any cross-series equality
+  //  join. One union-sort per key; prev/next ride two IGNORE-NULLS
+  //  running-last windows over the same exchange.)
+  val q288Interpolate: Q = (s, dir) =>
+    TimeSeries.interpolateAlign(Tables.events(s, dir),
+      "user_id", "ts", "value", "event_id")
+  private val q288Sql: String = """
+    WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
+            CAST(round(value * 100) AS BIGINT) AS cv, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL AND event_id IS NOT NULL),
+    b AS (SELECT k, ((min(us) + 3599999999) // 3600000000) * 3600000000
+              AS g0,
+            (max(us) // 3600000000) * 3600000000 AS g1
+          FROM ev GROUP BY 1),
+    grid AS (SELECT k, unnest(range(g0, g1 + 1, 3600000000)) AS us
+          FROM b WHERE g0 <= g1),
+    u AS (SELECT k, us, cv, false AS is_grid, us AS us_ev, id FROM ev
+          UNION ALL SELECT k, us, NULL, true, NULL, 0 FROM grid),
+    wnd AS (SELECT k, us, is_grid,
+            last_value(cv IGNORE NULLS) OVER wa AS py,
+            last_value(us_ev IGNORE NULLS) OVER wa AS pt,
+            last_value(cv IGNORE NULLS) OVER wd AS ny,
+            last_value(us_ev IGNORE NULLS) OVER wd AS nt
+          FROM u WINDOW
+            wa AS (PARTITION BY k ORDER BY us ASC, is_grid ASC, id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wd AS (PARTITION BY k ORDER BY us DESC, is_grid ASC, id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT k AS user_id, us // 1000 AS g_ms,
+      CASE WHEN nt = pt THEN py * 1000
+        ELSE CAST(1000 * py + ((CAST(ny AS HUGEINT) - py) * 1000 *
+          (us - pt)) // (nt - pt) AS BIGINT) END AS y_milli
+    FROM wnd WHERE is_grid"""
+
+  // —————————————————————————————— resumable sessionization (q289)
+  // (the checkpoint-resume LAW: sessionize part 1, carry one (last-µs,
+  //  session-count) row per key, resume over part 2 — must equal the
+  //  single pass, which is exactly what the oracle runs. 30-min gap,
+  //  cut at 2024-01-16T00:00Z.)
+  val q289ResumeSessions: Q = (s, dir) =>
+    Analytics.resumableSessionize(Tables.events(s, dir),
+      "user_id", "ts", "event_id",
+      gapUs = 1800000000L, splitUs = 1705276800000000L)
+  private val q289Sql: String = """
+    WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL),
+    f AS (SELECT k, us, id,
+            CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w >= 1800000000
+            THEN 1 ELSE 0 END AS flag
+          FROM ev WINDOW w AS (PARTITION BY k ORDER BY us, id)),
+    s AS (SELECT k, us, CAST(sum(flag) OVER (PARTITION BY k
+            ORDER BY us, id ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS BIGINT) AS sess
+          FROM f)
+    SELECT k AS user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+      min(us) // 1000 AS start_ms, max(us) // 1000 AS end_ms
+    FROM s GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q288_interpolate" -> q288Interpolate,
+    "q289_resume_sessions" -> q289ResumeSessions,
     "q285_zone_map" -> q285ZoneMap,
     "q286_join_plan" -> q286JoinPlan,
     "q287_forget_audit" -> q287ForgetAudit,
@@ -3242,6 +3307,8 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q288_interpolate" -> q288Sql,
+    "q289_resume_sessions" -> q289Sql,
     "q285_zone_map" -> q285Sql,
     "q286_join_plan" -> q286Sql,
     "q287_forget_audit" -> q287Sql,

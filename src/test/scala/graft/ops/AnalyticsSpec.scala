@@ -807,6 +807,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(fit == fit.sorted, s"not monotone: $fit")
   }
 
+  private def sess(splitMin: Int, rows: (Long, Int, Long)*) = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    Analytics.resumableSessionize(
+      rows.map { case (u, min, id) =>
+        (u, new java.sql.Timestamp(base + min * 60000L), id)
+      }.toDF("u", "t", "id"),
+      "u", "t", "id", gapUs = 30L * 60000000L,
+      splitUs = (base + splitMin * 60000L) * 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+  }
+
+  test("resumableSessionize: a session straddling the cut is stitched") {
+    // user 1: events at 0, 10 | cut at 15 | 20, 70 → the 20-min event
+    // continues session 1 (gap 10 < 30); 70 starts session 2
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val got = sess(15, (1L, 0, 1L), (1L, 10, 2L), (1L, 20, 3L), (1L, 70, 4L))
+    assert(got((1L, 1L)) == ((3L, base, base + 20 * 60000L)), s"$got")
+    assert(got((1L, 2L)) == ((1L, base + 70 * 60000L, base + 70 * 60000L)))
+  }
+
+  test("resumableSessionize: a gap at the cut starts a fresh session") {
+    val got = sess(15, (1L, 0, 1L), (1L, 50, 2L))
+    assert(got.keySet == Set((1L, 1L), (1L, 2L)), s"$got")
+  }
+
+  test("resumableSessionize: keys born after the cut start at session 1") {
+    val got = sess(15, (2L, 20, 1L), (2L, 25, 2L))
+    assert(got.keySet == Set((2L, 1L)) && got((2L, 1L))._1 == 2L, s"$got")
+  }
+
+  test("resumableSessionize: two-phase output equals the single pass") {
+    // law check on a mixed fixture: resume at any cut must reproduce
+    // the full-batch result (here: cut=0 → everything in phase 2)
+    val rows = Seq((1L, 0, 1L), (1L, 29, 2L), (1L, 59, 3L), (1L, 95, 4L),
+      (2L, 5, 5L), (2L, 40, 6L), (3L, 90, 7L))
+    val cuts = Seq(0, 15, 45, 200)
+    val all = cuts.map(c => sess(c, rows: _*))
+    assert(all.distinct.size == 1, s"resume law broken: $all")
+  }
+
   test("simpsonFlip: planted reversal flips, pooled row never does") {
     // classic construction: within each stratum y falls as x rises,
     // but stratum B sits at both higher x and higher y — pooled trend

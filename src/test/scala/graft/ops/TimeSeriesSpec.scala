@@ -450,6 +450,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("k")._4 == 10L, "all pairs rise → S = 10")
   }
 
+  private def lerp(rows: (String, String, Double, Long)*) =
+    TimeSeries.interpolateAlign(
+      rows.map { case (k, t, v, id) =>
+        (k, java.sql.Timestamp.valueOf(t), v, id)
+      }.toDF("k", "t", "v", "id"),
+      "k", "t", "v", "id")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("interpolateAlign: exact integer lerp between the bracketing obs") {
+    // obs at 00:30 (100¢) and 01:30 (300¢) → grid point 01:00 is the
+    // midpoint: 200¢ = 200000 milli-cents
+    val got = lerp(("a", "2024-01-01 00:30:00", 1.00, 1L),
+      ("a", "2024-01-01 01:30:00", 3.00, 2L))
+    val g = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    assert(got == Map(("a", g) -> 200000L), s"$got")
+  }
+
+  test("interpolateAlign: an observation exactly on the grid passes through") {
+    val got = lerp(("a", "2024-01-01 01:00:00", 2.50, 1L),
+      ("a", "2024-01-01 02:00:00", 7.50, 2L))
+    val h1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    val h2 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00").getTime
+    assert(got(("a", h1)) == 250000L && got(("a", h2)) == 750000L)
+  }
+
+  test("interpolateAlign: truncating division is pinned (no rounding)") {
+    // obs 0¢ at 00:00 and 1¢ at 03:00 → 01:00 = 1000/3 = 333 (trunc)
+    val got = lerp(("a", "2024-01-01 00:00:00", 0.00, 1L),
+      ("a", "2024-01-01 03:00:00", 0.01, 2L))
+    val h1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    assert(got(("a", h1)) == 333L, s"$got")
+  }
+
+  test("interpolateAlign: no grid point before first or after last obs") {
+    val got = lerp(("a", "2024-01-01 00:30:00", 1.0, 1L),
+      ("a", "2024-01-01 00:45:00", 2.0, 2L))
+    assert(got.isEmpty, "sub-hour span has no interior grid point")
+  }
+
   test("theilSen: rows within an hour aggregate to a truncating mean") {
     // hour 0 holds 3¢ and 4¢ → (1000·7) div 2 = 3500 milli-cents;
     // hour 1 holds 5¢ → slope = (5000−3500)·1e6, doubled
