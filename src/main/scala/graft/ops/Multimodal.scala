@@ -805,6 +805,129 @@ object Multimodal {
     *   - corruption: `id % 23 == 7` replaces the payload with 8 junk bytes
     *     no registered codec claims (the malformed-decode policy row)
     */
+  /** Letterbox/pillarbox margin detection — the crop step of an image
+    * ingest (solid bars around real content waste tokens in any
+    * vision encoder and poison near-dup hashes with bar-colored bits).
+    * The reference color is the (0,0) pixel; a margin row/column is
+    * one whose pixels ALL equal it, and the four margins are the
+    * leading/trailing counts of such rows/columns — a pinned,
+    * oracle-replayable definition with no heuristics. Real JDK codec
+    * decode, narrow per-row `mapPartitions`, undecodable rows
+    * quarantine (no output row). Emits the crop box and the content
+    * fraction in truncating ppm.
+    */
+  def letterboxDetect(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            } catch { case NonFatal(_) => null }
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val c00 = img.getRGB(0, 0) & 0xFFFFFF
+            def rowBg(y: Int): Boolean = {
+              var x = 0
+              while (x < w) {
+                if ((img.getRGB(x, y) & 0xFFFFFF) != c00) return false
+                x += 1
+              }
+              true
+            }
+            def colBg(x: Int): Boolean = {
+              var y = 0
+              while (y < h) {
+                if ((img.getRGB(x, y) & 0xFFFFFF) != c00) return false
+                y += 1
+              }
+              true
+            }
+            var top = 0
+            while (top < h && rowBg(top)) top += 1
+            var bottom = 0
+            while (bottom < h - top && rowBg(h - 1 - bottom)) bottom += 1
+            var left = 0
+            while (left < w && colBg(left)) left += 1
+            var right = 0
+            while (right < w - left && colBg(w - 1 - right)) right += 1
+            val cw = math.max(0, w - left - right)
+            val ch = math.max(0, h - top - bottom)
+            Iterator.single((id, w.toLong, h.toLong, top.toLong,
+              bottom.toLong, left.toLong, right.toLong,
+              1000000L * (cw.toLong * ch) / (w.toLong * h)))
+          }
+        }
+      }.toDF("media_id", "w", "h", "top_margin", "bottom_margin",
+        "left_margin", "right_margin", "content_ppm")
+  }
+
+  /** Color-octant histogram near-dup — the color-signature member of
+    * the perceptual family (aHash/dHash/pHash see LUMA STRUCTURE; a
+    * global recolor slips past them, a histogram does not). Per image:
+    * the exact count of pixels in each of the 8 RGB octants (channel
+    * high bit), normalized to truncating ppm; candidate pairs are
+    * BLOCKED on the dominant octant (argmax, lowest index on ties —
+    * pinned) so the pair join is bucket-local, never all-pairs; a pair
+    * matches when the L1 distance of the two ppm vectors is within
+    * `l1ThresholdPpm`. Decode is one narrow pass; everything after
+    * operates on 8 longs per image.
+    */
+  def colorHistNearDup(spark: SparkSession, media: DataFrame,
+      l1ThresholdPpm: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    require(l1ThresholdPpm >= 0, s"negative threshold: $l1ThresholdPpm")
+    val hist = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            } catch { case NonFatal(_) => null }
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val counts = new Array[Long](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val oct = ((((p >> 16) & 0xFF) >> 7) << 2) |
+                  ((((p >> 8) & 0xFF) >> 7) << 1) | ((p & 0xFF) >> 7)
+                counts(oct) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val ppm = counts.map(c => 1000000L * c / n)
+            var dom = 0
+            var i = 1
+            while (i < 8) { if (ppm(i) > ppm(dom)) dom = i; i += 1 }
+            Iterator.single((id, dom.toLong, ppm.toSeq))
+          }
+        }
+      }.toDF("media_id", "dom", "ppm")
+    val a = hist.select(col("media_id").as("a"), col("dom"),
+      col("ppm").as("pa"))
+    val b = hist.select(col("media_id").as("b"), col("dom").as("domb"),
+      col("ppm").as("pb"))
+    a.join(b, col("dom") === col("domb") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).as("l1_ppm"))
+      .where(col("l1_ppm") <= l1ThresholdPpm)
+  }
+
   object Fixtures {
     val corruptMod = 23
     val corruptRem = 7
@@ -975,6 +1098,63 @@ object Multimodal {
           .write.mode("overwrite").parquet(checkerParquetPath)
       }
       checkerParquetPath
+    }
+
+    /** Letterbox corpus for the crop-detection op: 24×16 rasters with a
+      * PLANTED black frame — vertical bars `id % 4` rows thick, horizontal
+      * bars `(id div 4) % 4` columns thick — around an interior whose
+      * pixel (x, y) is white when the first md5 byte of `"lb|id|x|y"` is
+      * even, gray 128 otherwise (NEVER black, so the detector can never
+      * over-extend into content). Closed-form per pixel → the oracle
+      * re-derives every margin in SQL. `id % 13 == 3` rows carry junk.
+      */
+    def letterboxInteriorWhite(id: Long, x: Int, y: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lb|$id|$x|$y".getBytes("UTF-8"))
+      (d(0) & 0xFF) % 2 == 0
+    }
+    def letterboxPngBytes(id: Long): Array[Byte] = {
+      val w = 24; val h = 16
+      val tV = (id % 4).toInt; val tH = ((id / 4) % 4).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val border = y < tV || y >= h - tV || x < tH || x >= w - tH
+          img.setRGB(x, y,
+            if (border) 0x000000
+            else if (letterboxInteriorWhite(id, x, y)) 0xFFFFFF
+            else 0x808080)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    val letterboxRows = 48
+    def letterboxMediaFor(id: Long): MediaRow =
+      MediaRow(id, "image", if (id % 13 == 3) junk else letterboxPngBytes(id))
+    def letterboxDirFor: Path =
+      Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-synth-letterbox-$letterboxRows-v1")
+    def letterboxParquetPath: String =
+      letterboxDirFor.resolve("media.parquet").toString
+    private val letterboxStaged = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def letterboxDataset(spark: SparkSession): String = {
+      if (letterboxStaged.compareAndSet(false, true)) {
+        import spark.implicits._
+        spark.range(letterboxRows).repartition(4)
+          .mapPartitions { it =>
+            ImageIO.setUseCache(false)
+            it.map(i => letterboxMediaFor(i.toLong))
+          }
+          .write.mode("overwrite").parquet(letterboxParquetPath)
+      }
+      letterboxParquetPath
     }
 
     def mediaFor(id: Long): MediaRow = {

@@ -1504,6 +1504,104 @@ object OpsQueries {
     SELECT media_id, 0 AS width, 0 AS height, '' AS dhash, false AS ok
     FROM m WHERE media_id % 17 = 5"""
 
+  // ————————————————————————————— letterbox crop detect (q290)
+  // (solid-bar margin detection over the PLANTED letterbox corpus —
+  //  reference color = pixel (0,0), a margin row/column is all-equal
+  //  to it. The oracle re-derives every pixel (md5 interior, planted
+  //  black frame) and replays the same first/last-content algebra.)
+  val q290Letterbox: Q = (s, dir) =>
+    Multimodal.letterboxDetect(
+      s, s.read.parquet(Multimodal.Fixtures.letterboxDataset(s)))
+  private def q290Sql: String = s"""
+    WITH m AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.letterboxParquetPath}/*.parquet')),
+    good AS (SELECT media_id, CAST(media_id % 4 AS INT) AS tv,
+               CAST((media_id // 4) % 4 AS INT) AS th
+             FROM m WHERE media_id % 13 <> 3),
+    px AS (SELECT g.media_id, xs.x, ys.y,
+             CASE WHEN ys.y < g.tv OR ys.y >= 16 - g.tv
+                    OR xs.x < g.th OR xs.x >= 24 - g.th THEN 0
+                  WHEN CAST(('0x' || substr(md5('lb|' ||
+                      CAST(g.media_id AS VARCHAR) || '|' ||
+                      CAST(xs.x AS VARCHAR) || '|' ||
+                      CAST(ys.y AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 16777215 ELSE 8421504 END AS c
+           FROM good g, range(0, 24) xs(x), range(0, 16) ys(y)),
+    c00 AS (SELECT media_id, c AS c0 FROM px WHERE x = 0 AND y = 0),
+    rws AS (SELECT p.media_id, p.y,
+              max(CASE WHEN p.c <> c.c0 THEN 1 ELSE 0 END) AS nb
+            FROM px p JOIN c00 c USING (media_id) GROUP BY 1, 2),
+    cls AS (SELECT p.media_id, p.x,
+              max(CASE WHEN p.c <> c.c0 THEN 1 ELSE 0 END) AS nb
+            FROM px p JOIN c00 c USING (media_id) GROUP BY 1, 2),
+    rt AS (SELECT media_id,
+             CAST(coalesce(min(CASE WHEN nb = 1 THEN y END), 16) AS BIGINT)
+               AS top_margin,
+             CAST(CASE WHEN max(CASE WHEN nb = 1 THEN y END) IS NULL THEN 0
+               ELSE 15 - max(CASE WHEN nb = 1 THEN y END) END AS BIGINT)
+               AS bottom_margin
+           FROM rws GROUP BY 1),
+    ct AS (SELECT media_id,
+             CAST(coalesce(min(CASE WHEN nb = 1 THEN x END), 24) AS BIGINT)
+               AS left_margin,
+             CAST(CASE WHEN max(CASE WHEN nb = 1 THEN x END) IS NULL THEN 0
+               ELSE 23 - max(CASE WHEN nb = 1 THEN x END) END AS BIGINT)
+               AS right_margin
+           FROM cls GROUP BY 1)
+    SELECT rt.media_id, CAST(24 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+      rt.top_margin, rt.bottom_margin, ct.left_margin, ct.right_margin,
+      (1000000 * greatest(0, 24 - ct.left_margin - ct.right_margin)
+        * greatest(0, 16 - rt.top_margin - rt.bottom_margin)) // 384
+        AS content_ppm
+    FROM rt JOIN ct USING (media_id)"""
+
+  // ————————————————————————————— color-histogram near-dup (q291)
+  // (the color-signature near-dup beside the luma-structure hashes:
+  //  exact 8-octant pixel counts in truncating ppm, candidate pairs
+  //  blocked on the dominant octant, match at L1 ≤ 100000 ppm. The
+  //  +1-brightness gradient twins land within a few boundary pixels
+  //  of each other; the oracle replays counts, blocking, and L1.)
+  val q291ColorHist: Q = (s, dir) =>
+    Multimodal.colorHistNearDup(
+      s, s.read.parquet(Multimodal.Fixtures.gradientDataset(s)))
+  private def q291Sql: String = s"""
+    WITH m AS (SELECT media_id
+               FROM read_parquet('${Multimodal.Fixtures.gradientParquetPath}/*.parquet')),
+    good AS (SELECT media_id, media_id % 32 AS base,
+               CASE WHEN media_id >= 32 THEN 1 ELSE 0 END AS off,
+               CAST(8 + (media_id % 32) % 9 AS INT) AS w,
+               CAST(8 + ((media_id % 32) * 5) % 9 AS INT) AS h
+             FROM m WHERE media_id % 17 <> 5),
+    px AS (SELECT g.media_id,
+             (((31 * g.base + 7 * xs.x + 3 * ys.y) % 255 + g.off) // 128) * 4
+           + (((7 * g.base + 5 * xs.x + 11 * ys.y) % 255 + g.off) // 128) * 2
+           + (((13 * g.base + 3 * xs.x + 5 * ys.y) % 255 + g.off) // 128)
+               AS oct
+           FROM good g, range(0, 17) xs(x), range(0, 17) ys(y)
+           WHERE xs.x < g.w AND ys.y < g.h),
+    cnt AS (SELECT media_id, oct, CAST(count(*) AS BIGINT) AS c
+            FROM px GROUP BY 1, 2),
+    base8 AS (SELECT g.media_id, o.oct, CAST(g.w AS BIGINT) * g.h AS n
+              FROM good g, range(0, 8) o(oct)),
+    ppm AS (SELECT b.media_id, b.oct,
+              (1000000 * coalesce(c.c, 0)) // b.n AS ppm
+            FROM base8 b LEFT JOIN cnt c
+              ON b.media_id = c.media_id AND b.oct = c.oct),
+    dom AS (SELECT media_id, oct AS dom FROM
+              (SELECT media_id, oct, row_number() OVER
+                 (PARTITION BY media_id ORDER BY ppm DESC, oct ASC) AS rn
+               FROM ppm) WHERE rn = 1),
+    pair AS (SELECT da.media_id AS a, db.media_id AS b
+             FROM dom da JOIN dom db
+               ON da.dom = db.dom AND da.media_id < db.media_id),
+    l1 AS (SELECT p.a, p.b, CAST(sum(abs(pa.ppm - pb.ppm)) AS BIGINT)
+               AS l1_ppm
+           FROM pair p
+           JOIN ppm pa ON pa.media_id = p.a
+           JOIN ppm pb ON pb.media_id = p.b AND pa.oct = pb.oct
+           GROUP BY 1, 2)
+    SELECT a, b, l1_ppm FROM l1 WHERE l1_ppm <= 100000"""
+
   // ————————————————————————————— integer box-filter resize (q226)
   // (the missing multimodal verb: 8×8 thumbnails of the gradient
   //  corpus by exact integer area-average — floor-div box sums per
@@ -4753,6 +4851,8 @@ object OpsQueries {
     "q215_exact_substring" -> q215ExactSubstring,
     "q216_image_phash" -> q216ImagePhash,
     "q277_image_dhash" -> q277ImageDhash,
+    "q290_letterbox" -> q290Letterbox,
+    "q291_color_hist" -> q291ColorHist,
     "q226_resize_pixels" -> q226Resize,
     "q229_ndcg" -> q229Ndcg,
     "q236_mrr" -> q236Mrr,
@@ -4895,6 +4995,8 @@ object OpsQueries {
     "q215_exact_substring" -> q215Sql,
     "q216_image_phash" -> q216Sql,
     "q277_image_dhash" -> q277Sql,
+    "q290_letterbox" -> q290Sql,
+    "q291_color_hist" -> q291Sql,
     "q226_resize_pixels" -> q226Sql,
     "q229_ndcg" -> q229Sql,
     "q236_mrr" -> q236Sql,

@@ -438,4 +438,65 @@ class MultimodalSpec extends SparkSpec {
     assert(want.length > 1, "fixture must actually contain a cut")
     assert(got.head.getLong(4) == 0L, "first frame carries dist 0")
   }
+
+  private def pngOf(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("letterboxDetect: planted bars measured exactly; junk quarantined") {
+    import spark.implicits._
+    // 10×8, 2-row bars top/bottom, 3-col bars left/right, white interior
+    val bars = pngOf(10, 8) { (x, y) =>
+      if (y < 2 || y >= 6 || x < 3 || x >= 7) 0x000000 else 0xFFFFFF }
+    // no bars at all: content everywhere (mixed colors from pixel 0,0 on)
+    val full = pngOf(4, 4) { (x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x808080 }
+    val media = Seq((1L, bars), (2L, full),
+      (3L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    val got = Multimodal.letterboxDetect(spark, media)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, 8L, 2L, 2L, 3L, 3L,
+      1000000L * 16 / 80)), s"${got(1L)}")
+    assert(got(2L) == ((2L, 4L, 4L, 0L, 0L, 0L, 0L, 1000000L)))
+    assert(!got.contains(3L), "undecodable bytes must quarantine")
+  }
+
+  test("letterboxDetect: an all-constant image is all margin") {
+    import spark.implicits._
+    val solid = pngOf(6, 4)((_, _) => 0x112233)
+    val got = Multimodal.letterboxDetect(
+      spark, Seq((1L, solid)).toDF("media_id", "content"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 6L, 4L, 4L, 0L, 6L, 0L, 0L)), s"$got")
+  }
+
+  test("colorHistNearDup: one-pixel recolor pairs, different color doesn't") {
+    import spark.implicits._
+    val a = pngOf(8, 8)((_, _) => 0xFF0000)                     // red octant 4
+    val b = pngOf(8, 8)((x, y) => if (x == 0 && y == 0) 0xFF00FF else 0xFF0000)
+    val c = pngOf(8, 8)((_, _) => 0x0000FF)                     // blue octant 1
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "content")
+    val got = Multimodal.colorHistNearDup(spark, media, l1ThresholdPpm = 100000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // b: 63/64 red + 1/64 magenta → same dominant octant as a;
+    // L1 = |1e6·63/64 − 1e6| + 1e6·1/64 = 15625 + 15625 = 31250
+    assert(got == Set((1L, 2L, 31250L)), s"$got")
+  }
+
+  test("colorHistNearDup: gradient twins found, junk quarantined") {
+    import spark.implicits._
+    val media = spark.read.parquet(Fixtures.gradientDataset(spark))
+    val got = Multimodal.colorHistNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at least half of the 28 junk-free +1-brightness twins must pair
+    val twins = (0L until 32L).map(i => (i, i + 32))
+      .filter { case (x, y) => x % 17 != 5 && y % 17 != 5 }
+    val found = twins.count(got.contains)
+    assert(found * 2 >= twins.size, s"found $found of ${twins.size}")
+  }
 }
