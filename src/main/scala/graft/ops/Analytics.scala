@@ -1394,6 +1394,93 @@ object Analytics {
         col("iso_ppm"))
   }
 
+  /** Pairwise mutual information over the joint contingency lattice —
+    * the information-theoretic dependence screen beside [[cramersV]]
+    * (V sees association STRENGTH; MI in nats is what a feature-
+    * selection ranking actually orders by). Every count is exact
+    * integer; the single float step is `Σ n_xy/n · ln(n·n_xy/(r·c))`
+    * evaluated on ratios of those exact integers and rounded 6 d.p. —
+    * the tfidf/spearman float-boundary precedent. Absent cells
+    * contribute 0 (lim x·ln x = 0), so only OCCUPIED cells are
+    * touched; null categories are categories (null-safe grouping).
+    * Work ∝ occupied cells per pair, map-side combinable.
+    */
+  def mutualInfo(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "need at least two categorical columns")
+    require(cols.distinct.length == cols.length, "duplicate column names")
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val cells = df.groupBy(col(a).as("x"), col(b).as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val rx = cells.groupBy(col("x").as("mx")).agg(sum("nxy").as("r"))
+      val cy = cells.groupBy(col("y").as("my")).agg(sum("nxy").as("c"))
+      cells
+        .join(rx, col("x") <=> col("mx"))
+        .join(cy, col("y") <=> col("my"))
+        .crossJoin(df.agg(count(lit(1)).as("nn")))
+        .agg(
+          max(col("nn")).as("n"),
+          count(lit(1)).as("occupied_cells"),
+          round(sum((col("nxy").cast("double") / col("nn")) *
+            log((col("nn").cast("double") * col("nxy")) /
+              (col("r").cast("double") * col("c")))), 6).as("mi_nats"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n").cast("long").as("n"), col("occupied_cells"),
+          col("mi_nats"))
+    }
+    pairs.reduce(_.unionByName(_))
+  }
+
+  /** Kaplan–Meier survival over per-entity lifetimes with right
+    * censoring — the retention curve a product team reads, computed
+    * the way a biostatistician defines it. Lifetime = days between an
+    * entity's first and last event; entities still active at the
+    * `censorDay` horizon are censored (they leave the risk set at
+    * their observed lifetime WITHOUT counting as churn — dropping
+    * them instead is survivorship bias, counting them as churned is
+    * pessimism; KM is the unbiased middle). Steps exist only at
+    * lifetimes with ≥ 1 death, so the step table is bounded by the
+    * observation window (≤ 31 per group), and the survival product is
+    * an exact truncating-ppm fold over the sorted steps — evaluated
+    * as a SQL higher-order `aggregate` lambda here and a recursive
+    * CTE in the oracle, same integers either way. The only data-sized
+    * work: one (group, entity) aggregate.
+    */
+  def kaplanMeier(events: DataFrame, groupCol: String, entityCol: String,
+      tsCol: String, censorDay: Long): DataFrame = {
+    val spans = events
+      .filter(col(groupCol).isNotNull && col(entityCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(entityCol).as("e"))
+      .agg(
+        expr(s"min(unix_micros($tsCol) div 86400000000)").as("d0"),
+        expr(s"max(unix_micros($tsCol) div 86400000000)").as("d1"))
+      .select(col("g"), (col("d1") - col("d0")).as("t"),
+        (col("d1") >= censorDay).as("censored"))
+    val deaths = spans.where(!col("censored"))
+      .groupBy("g", "t").agg(count(lit(1)).as("d"))
+    val atRisk = spans.groupBy(col("g"), col("t").as("rt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy("g").orderBy(col("rt").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("g"), col("rt"), col("n"))
+    val steps = deaths
+      .join(atRisk, deaths("g") === atRisk("g") && col("t") === col("rt"))
+      .select(deaths("g").as("g"), col("t"), col("d"), col("n"))
+    steps.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n"))))
+        .as("arr"))
+      .select(col("g"), explode(expr(
+        """transform(arr, (e, i) ->
+             struct(e.t as t, e.d as d, e.n as n,
+               aggregate(slice(arr, 1, i + 1), cast(1000000 as bigint),
+                 (acc, s) -> (acc * (s.n - s.d)) div s.n) as s_ppm))"""))
+        .as("step"))
+      .select(col("g").as(groupCol), col("step.t").as("t"),
+        col("step.d").as("d"), col("step.n").as("n"),
+        col("step.s_ppm").as("s_ppm"))
+  }
+
   /** Incremental sessionization with EXACT resume — the batch proof
     * of the streaming checkpoint contract. The stream is cut at
     * `splitUs`; the first half sessionizes normally and yields one

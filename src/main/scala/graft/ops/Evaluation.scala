@@ -356,4 +356,60 @@ object Evaluation {
       .select(col("q_id"), col("n_full"), col("n_overlap"),
         expr("(1000000 * n_overlap) div n_full").as("recall_ppm"))
   }
+
+  /** Per-class precision/recall/F1 from the confusion cells — the
+    * classifier-eval table every labeling/quality model ships with.
+    * One grouped count over (true, pred) cells is the only data-sized
+    * work; everything after runs on the class lattice. Exact ppm with
+    * truncating division, F1 composed FROM the ppm precision/recall
+    * (`(2·p·r) div (p+r)`) so both engines share every intermediate.
+    * Undefined ratios (empty denominators) are null, never a fake 0 —
+    * but the `MACRO` row coalesces nulls to 0 before its truncating
+    * mean (the scikit `zero_division=0` convention, pinned).
+    */
+  def classificationReport(df: DataFrame, trueCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(trueCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(trueCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val trueTot = cells.groupBy(col("t").as("cls"))
+      .agg(sum("n").as("support"))
+    val predTot = cells.groupBy(col("p").as("cls"))
+      .agg(sum("n").as("pred_n"))
+    val diag = cells.where(col("t") === col("p"))
+      .select(col("t").as("cls"), col("n").as("tp"))
+    val per = trueTot.join(predTot, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .withColumn("precision_ppm", when(col("tp") + col("fp") > 0,
+        expr("(1000000 * tp) div (tp + fp)")))
+      .withColumn("recall_ppm", when(col("tp") + col("fn") > 0,
+        expr("(1000000 * tp) div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          col("precision_ppm") + col("recall_ppm") > 0,
+          expr("(2 * precision_ppm * recall_ppm) div " +
+            "(precision_ppm + recall_ppm)")))
+    val macroRow = per.agg(
+      sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+      sum("support").as("support"),
+      expr("sum(coalesce(precision_ppm, 0)) div count(1)")
+        .as("precision_ppm"),
+      expr("sum(coalesce(recall_ppm, 0)) div count(1)").as("recall_ppm"),
+      expr("sum(coalesce(f1_ppm, 0)) div count(1)").as("f1_ppm"))
+      .select(lit("MACRO").as("cls"), col("tp"), col("fp"), col("fn"),
+        col("support"), col("precision_ppm"), col("recall_ppm"),
+        col("f1_ppm"))
+    per.select(col("cls").cast("string").as("cls"), col("tp"), col("fp"),
+      col("fn"), col("support"), col("precision_ppm"), col("recall_ppm"),
+      col("f1_ppm"))
+      .unionByName(macroRow)
+  }
 }

@@ -3221,7 +3221,148 @@ object ExtraQueries {
       min(us) // 1000 AS start_ms, max(us) // 1000 AS end_ms
     FROM s GROUP BY 1, 2"""
 
+  // —————————————————————————————— classification report (q292)
+  // (per-class precision/recall/F1 + MACRO from one confusion-cell
+  //  count; predictions planted by md5: 1/5 of rows shifted to the
+  //  alphabetically-next class, so every cell class is populated.)
+  val q292Classification: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .where(col("event_id").isNotNull && col("event_type").isNotNull)
+    val h = conv(substring(md5(concat(lit("cls|"),
+      col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 5
+    val nxt = when(col("event_type") === "click", "error")
+      .when(col("event_type") === "error", "purchase")
+      .when(col("event_type") === "purchase", "signup")
+      .when(col("event_type") === "signup", "view")
+      .otherwise("click")
+    Evaluation.classificationReport(
+      ev.select(col("event_type").as("t"),
+        when(h === 0, nxt).otherwise(col("event_type")).as("p")),
+      "t", "p")
+  }
+  private val q292Sql: String = """
+    WITH e AS (SELECT event_type AS t,
+            CASE WHEN CAST(('0x' || substr(md5('cls|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+              THEN CASE event_type WHEN 'click' THEN 'error'
+                WHEN 'error' THEN 'purchase' WHEN 'purchase' THEN 'signup'
+                WHEN 'signup' THEN 'view' ELSE 'click' END
+              ELSE event_type END AS p
+          FROM events WHERE event_id IS NOT NULL
+            AND event_type IS NOT NULL),
+    cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+    tt AS (SELECT t AS cls, CAST(sum(n) AS BIGINT) AS support
+          FROM cells GROUP BY 1),
+    pt AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+          FROM cells GROUP BY 1),
+    dg AS (SELECT t AS cls, n AS tp FROM cells WHERE t = p),
+    per AS (SELECT coalesce(tt.cls, pt.cls) AS cls,
+            coalesce(dg.tp, 0) AS tp,
+            coalesce(pt.pred_n, 0) - coalesce(dg.tp, 0) AS fp,
+            coalesce(tt.support, 0) - coalesce(dg.tp, 0) AS fn,
+            coalesce(tt.support, 0) AS support
+          FROM tt FULL JOIN pt ON tt.cls = pt.cls
+          LEFT JOIN dg ON coalesce(tt.cls, pt.cls) = dg.cls),
+    pr AS (SELECT *,
+            CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+              AS precision_ppm,
+            CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END
+              AS recall_ppm
+          FROM per),
+    f1 AS (SELECT *,
+            CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+                AND precision_ppm + recall_ppm > 0
+              THEN (2 * precision_ppm * recall_ppm)
+                // (precision_ppm + recall_ppm) END AS f1_ppm
+          FROM pr)
+    SELECT cls, tp, fp, fn, support, precision_ppm, recall_ppm, f1_ppm
+    FROM f1
+    UNION ALL
+    SELECT 'MACRO', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+      CAST(sum(fn) AS BIGINT), CAST(sum(support) AS BIGINT),
+      CAST(sum(coalesce(precision_ppm, 0)) // count(*) AS BIGINT),
+      CAST(sum(coalesce(recall_ppm, 0)) // count(*) AS BIGINT),
+      CAST(sum(coalesce(f1_ppm, 0)) // count(*) AS BIGINT)
+    FROM f1"""
+
+  // —————————————————————————————— mutual information matrix (q293)
+  // (the information-theoretic dependence screen over q271's bucketed
+  //  triple — exact counts inside one ln per occupied cell, rounded
+  //  6 d.p. at the single float boundary.)
+  val q293MutualInfo: Q = (s, dir) =>
+    Analytics.mutualInfo(
+      Tables.events(s, dir).select(
+        col("event_type"),
+        (col("user_id") % 7).as("user_bucket"),
+        (round(col("value") * 100).cast("long") % 5).as("value_bucket")),
+      Seq("event_type", "user_bucket", "value_bucket"))
+  private val q293Sql: String = {
+    def pair(p: String, xa: String, ya: String, an: String, bn: String) = s"""
+    ${p}cl AS (SELECT $xa AS x, $ya AS y, CAST(count(*) AS BIGINT) AS nxy
+          FROM base GROUP BY 1, 2),
+    ${p}rx AS (SELECT x AS mx, CAST(sum(nxy) AS BIGINT) AS r
+          FROM ${p}cl GROUP BY 1),
+    ${p}cy AS (SELECT y AS my, CAST(sum(nxy) AS BIGINT) AS c
+          FROM ${p}cl GROUP BY 1),
+    ${p}fin AS (SELECT '$an' AS col_a, '$bn' AS col_b,
+            (SELECT n FROM nn) AS n,
+            CAST(count(*) AS BIGINT) AS occupied_cells,
+            round(sum((CAST(nxy AS DOUBLE) / (SELECT n FROM nn)) *
+              ln((CAST((SELECT n FROM nn) AS DOUBLE) * nxy) /
+                (CAST(r AS DOUBLE) * c))), 6) AS mi_nats
+          FROM ${p}cl
+          JOIN ${p}rx ON x IS NOT DISTINCT FROM mx
+          JOIN ${p}cy ON y IS NOT DISTINCT FROM my)"""
+    s"""
+    WITH base AS (SELECT event_type AS a, user_id % 7 AS b,
+            CAST(round(value * 100) AS BIGINT) % 5 AS c
+          FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),${pair("p1", "a", "b", "event_type", "user_bucket")},${pair("p2", "a", "c", "event_type", "value_bucket")},${pair("p3", "b", "c", "user_bucket", "value_bucket")}
+    SELECT * FROM p1fin UNION ALL SELECT * FROM p2fin
+    UNION ALL SELECT * FROM p3fin"""
+  }
+
+  // —————————————————————————————— Kaplan–Meier retention (q294)
+  // (right-censored survival per event_type: lifetime = first→last
+  //  event days, censored at the 2024-01-28 horizon. The survival
+  //  product is an exact truncating-ppm fold over sorted death steps —
+  //  a SQL aggregate lambda in Spark, a recursive CTE in DuckDB,
+  //  identical integers either way.)
+  val q294KaplanMeier: Q = (s, dir) =>
+    Analytics.kaplanMeier(Tables.events(s, dir),
+      "event_type", "user_id", "ts", censorDay = 19750L)
+  private val q294Sql: String = """
+    WITH RECURSIVE sp AS (SELECT event_type AS g, user_id AS e,
+            min(epoch_us(ts) // 86400000000) AS d0,
+            max(epoch_us(ts) // 86400000000) AS d1
+          FROM events WHERE event_type IS NOT NULL
+            AND user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+    lt AS (SELECT g, d1 - d0 AS t, d1 >= 19750 AS censored FROM sp),
+    de AS (SELECT g, t, CAST(count(*) AS BIGINT) AS d
+          FROM lt WHERE NOT censored GROUP BY 1, 2),
+    ar AS (SELECT a.g, a.t,
+            (SELECT CAST(count(*) AS BIGINT) FROM lt b
+             WHERE b.g = a.g AND b.t >= a.t) AS n
+          FROM (SELECT DISTINCT g, t FROM de) a),
+    st AS (SELECT de.g, de.t, de.d, ar.n,
+            CAST(row_number() OVER (PARTITION BY de.g ORDER BY de.t)
+              AS BIGINT) AS rn
+          FROM de JOIN ar ON de.g = ar.g AND de.t = ar.t),
+    km(g, rn, s) AS (
+      SELECT g, CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+      FROM (SELECT DISTINCT g FROM st)
+      UNION ALL
+      SELECT km.g, st.rn, (km.s * (st.n - st.d)) // st.n
+      FROM km JOIN st ON st.g = km.g AND st.rn = km.rn + 1)
+    SELECT st.g AS event_type, st.t, st.d, st.n, km.s AS s_ppm
+    FROM st JOIN km ON st.g = km.g AND st.rn = km.rn"""
+
   val all: Map[String, Q] = Map(
+    "q292_classification" -> q292Classification,
+    "q293_mutual_info" -> q293MutualInfo,
+    "q294_kaplan_meier" -> q294KaplanMeier,
     "q288_interpolate" -> q288Interpolate,
     "q289_resume_sessions" -> q289ResumeSessions,
     "q285_zone_map" -> q285ZoneMap,
@@ -3307,6 +3448,9 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q292_classification" -> q292Sql,
+    "q293_mutual_info" -> q293Sql,
+    "q294_kaplan_meier" -> q294Sql,
     "q288_interpolate" -> q288Sql,
     "q289_resume_sessions" -> q289Sql,
     "q285_zone_map" -> q285Sql,

@@ -807,6 +807,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(fit == fit.sorted, s"not monotone: $fit")
   }
 
+  test("mutualInfo: perfect dependence = ln 2, independence = 0") {
+    val dep = Seq(("A", "1"), ("A", "1"), ("B", "2"), ("B", "2"))
+      .toDF("x", "y")
+    val gotDep = Analytics.mutualInfo(dep, Seq("x", "y"))
+      .select("mi_nats").as[Double].head()
+    assert(math.abs(gotDep - math.log(2)) < 1e-6, s"$gotDep")
+    val ind = Seq(("A", "1"), ("A", "2"), ("B", "1"), ("B", "2"))
+      .toDF("x", "y")
+    val gotInd = Analytics.mutualInfo(ind, Seq("x", "y"))
+      .select("mi_nats").as[Double].head()
+    assert(gotInd == 0.0, s"$gotInd")
+  }
+
+  test("mutualInfo: null categories are categories") {
+    val df = Seq((Some("A"), "1"), (None, "2"), (None, "2"))
+      .toDF("x", "y")
+    val got = Analytics.mutualInfo(df, Seq("x", "y"))
+      .select("occupied_cells", "mi_nats").as[(Long, Double)].head()
+    assert(got._1 == 2L, "null x must form its own cell")
+    assert(math.abs(got._2 - (math.log(3.0) - (2.0 / 3) * math.log(2)))
+      < 1e-6, s"$got")
+  }
+
+  private def kmDay(d: Int) = new java.sql.Timestamp(
+    java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+      + d * 86400000L)
+
+  test("kaplanMeier: hand survival with censoring (never drops, never churns)") {
+    // deaths: two at t=1, one at t=2; censored: t=2 and t=3 lifetimes
+    // ending on the horizon day → S(1)=3/5, S(2)=(3/5)·(2/3)=2/5
+    val rows = Seq(
+      ("g", 1L, 0), ("g", 1L, 1), ("g", 2L, 0), ("g", 2L, 1),
+      ("g", 3L, 0), ("g", 3L, 2),
+      ("g", 4L, 8), ("g", 4L, 10), ("g", 5L, 7), ("g", 5L, 10))
+      .map { case (g, e, d) => (g, e, kmDay(d)) }
+      .toDF("g", "e", "ts")
+    // 2024-01-11 is epoch day 19733
+    val got = Analytics.kaplanMeier(rows, "g", "e", "ts", censorDay = 19733L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(1L) == (("g", 1L, 2L, 5L, 600000L)), s"$got")
+    assert(got(2L) == (("g", 2L, 1L, 3L, 400000L)), s"$got")
+    assert(got.size == 2, "censored lifetimes must not create steps")
+  }
+
+  test("kaplanMeier: without censoring, S(t) is the empirical survivor") {
+    // lifetimes 0,1,1,2 all observed → S(0)=3/4, S(1)=1/4, S(2)=0
+    val rows = Seq((1L, 0, 0), (2L, 0, 1), (3L, 0, 1), (4L, 0, 2))
+      .flatMap { case (e, d0, d1) =>
+        Seq(("g", e, kmDay(d0)), ("g", e, kmDay(d1))) }
+      .toDF("g", "e", "ts")
+    val got = Analytics.kaplanMeier(rows, "g", "e", "ts", censorDay = 99999L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(got == Map(0L -> 750000L, 1L -> 250000L, 2L -> 0L), s"$got")
+  }
+
   private def sess(splitMin: Int, rows: (Long, Int, Long)*) = {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     Analytics.resumableSessionize(

@@ -217,4 +217,31 @@ class EvaluationSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Long])].head()
     assert(got._5.contains(500000L))
   }
+
+  private def report(rows: (String, String)*) = {
+    import spark.implicits._
+    Evaluation.classificationReport(rows.toDF("t", "p"), "t", "p")
+      .as[(String, Long, Long, Long, Long,
+        Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+  }
+
+  test("classificationReport: hand confusion cells, exact ppm, macro") {
+    // a: 2 tp, 1 fn (predicted b); b: 1 tp, 1 fp (the stray a)
+    val got = report(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+    assert(got("a") == (("a", 2L, 0L, 1L, 3L,
+      Some(1000000L), Some(666666L), Some(799999L))), s"${got("a")}")
+    assert(got("b") == (("b", 1L, 1L, 0L, 1L,
+      Some(500000L), Some(1000000L), Some(666666L))), s"${got("b")}")
+    // macro: p (1e6+5e5)/2, r (666666+1e6)/2, f1 (799999+666666)/2
+    assert(got("MACRO") == (("MACRO", 3L, 1L, 1L, 4L,
+      Some(750000L), Some(833333L), Some(733332L))), s"${got("MACRO")}")
+  }
+
+  test("classificationReport: a never-predicted class has null precision") {
+    val got = report(("a", "b"))
+    assert(got("a")._6.isEmpty && got("a")._7.contains(0L), s"${got("a")}")
+    // b was predicted but never true: recall undefined, precision 0
+    assert(got("b")._6.contains(0L) && got("b")._7.isEmpty, s"${got("b")}")
+  }
 }
