@@ -163,6 +163,34 @@ object Annotation {
               / (col("n") * col("n") - col("pe_num")).cast("double"), 6)))
   }
 
+  /** Borda-count ranking aggregation — the positional complement to
+    * [[bradleyTerry]] (BT fits strengths from pairwise duels; Borda
+    * consolidates FULL per-annotator rankings, the artifact a
+    * best-of-n preference queue actually produces). Each ballot
+    * awards an item `n_items_on_ballot − rank` points (so incomplete
+    * ballots are handled: a 3-item ballot awards 2/1/0); items are
+    * ordered by total points with a PINNED tie order (item ascending).
+    * Exact integers end to end; two grouped aggregates, the final
+    * rank is a window over the items-sized frame only.
+    */
+  def bordaCount(rankings: DataFrame, annotatorCol: String,
+      itemCol: String, rankCol: String): DataFrame = {
+    val v = rankings
+      .filter(col(annotatorCol).isNotNull && col(itemCol).isNotNull &&
+        col(rankCol).isNotNull)
+      .select(col(annotatorCol).as("ann"), col(itemCol).as("item"),
+        col(rankCol).cast("long").as("rnk"))
+    val ballotSize = v.groupBy("ann").agg(count(lit(1)).as("bn"))
+    val scored = v.join(ballotSize, "ann")
+      .select(col("item"), (col("bn") - col("rnk")).as("pts"))
+    val perItem = scored.groupBy("item")
+      .agg(count(lit(1)).as("n_ballots"), sum("pts").as("points"))
+    perItem
+      .withColumn("final_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("points").desc, col("item").asc)).cast("long"))
+  }
+
   /** Krippendorff's alpha (nominal) — the multi-rater,
     * missing-data-tolerant reliability coefficient [[cohensKappa]]
     * cannot give (kappa needs the same two raters everywhere; real

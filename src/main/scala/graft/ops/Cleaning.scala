@@ -282,6 +282,52 @@ object Cleaning {
       sum(when(col("start"), 1L).otherwise(0L)).as("n_spans"))
   }
 
+  /** Frequency-based boilerplate removal — the CCNet verb that span
+    * dedup is NOT: [[spanDedup]] keeps a span's first occurrence
+    * (exactness), while boilerplate removal drops EVERY occurrence of
+    * a line that appears in too many of its source's documents
+    * (headers, footers, cookie banners — content that is common is
+    * content that is template). A "line" is a fixed `lineWords`-word
+    * chunk; a line is boilerplate within its source when it occurs in
+    * ≥ 2 documents AND in more than `maxDfPpm` of them (truncating ppm
+    * against the source's doc count). Two digest-sized shuffles (line
+    * df, then reassembly) — raw text never rides the frequency
+    * exchange.
+    */
+  def boilerplateRemove(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, lineWords: Int = 6,
+      maxDfPpm: Long = 300000L): DataFrame = {
+    require(lineWords > 0 && maxDfPpm >= 0 && maxDfPpm <= 1000000L)
+    val base = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      col(textCol).as("text"))
+    val lines = spanRows(base, "text", "id", lineWords)
+      .join(base.select(col("id"), col("src")), "id")
+    val docsPerSrc = base.groupBy("src").agg(countDistinct("id").as("docs"))
+    val lineDf = lines.groupBy(col("src"), md5(col("span")).as("h"))
+      .agg(countDistinct("id").as("df"))
+      .join(docsPerSrc, "src")
+      .where(col("df") >= 2 &&
+        expr("(1000000 * df) div docs") > maxDfPpm)
+      .select(col("src").as("bsrc"), col("h"))
+    val kept = lines
+      .join(lineDf, col("src") === col("bsrc") &&
+        md5(col("span")) === col("h"), "left_anti")
+    val reb = kept.groupBy("id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("pos"), col("span")))), s => s("span")), " ")
+        .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), col("src"))
+      .join(
+        spanRows(base, "text", "id", lineWords).groupBy("id")
+          .agg(count(lit(1)).as("n_lines")), "id")
+      .join(reb, Seq("id"), "left")
+      .select(col("id"), col("src"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Per-document encoding-quality audit — the triage gate a crawl
     * corpus passes BEFORE tokenization, because a tokenizer happily
     * learns merges over double-encoded garbage. Three independent

@@ -875,4 +875,39 @@ object TextOps {
         (col("freq") * col("rank")).as("freq_x_rank"),
         expr("(1000000 * freq) div n_total").as("share_ppm"))
   }
+
+  /** Marginal n-gram novelty per document — "how much content does
+    * this document add that the rest of the corpus doesn't already
+    * have?" The data-mixing complement to pairwise dedup: a document
+    * can be far from every single neighbor yet contribute nothing new
+    * in aggregate. Per document: its DISTINCT n-gram count, how many
+    * of those n-grams appear in NO other document (corpus df = 1),
+    * and the novelty ratio in truncating ppm. One digest-sized
+    * explode → df count → per-doc fold; shingle md5s ride the
+    * shuffle, never raw text. Documents shorter than `n` words have
+    * no n-grams: null novelty, never a fake 0 or 1.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sh = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), words(col(textCol)).as("_w"))
+      .select(col("id"),
+        explode_outer(shinglesFromWords(col("_w"), n)).as("g"))
+    val grams = sh.where(col("g").isNotNull)
+      .select(col("id"), md5(col("g")).as("h"))
+    val dfreq = grams.groupBy("h").agg(countDistinct("id").as("df"))
+    val per = grams.join(dfreq, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    sh.select("id").distinct()
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_ngrams").isNotNull && col("n_ngrams") > 0,
+          expr("(1000000 * n_unique) div n_ngrams")).as("novelty_ppm"))
+  }
 }

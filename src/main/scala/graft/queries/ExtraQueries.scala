@@ -3359,7 +3359,127 @@ object ExtraQueries {
     SELECT st.g AS event_type, st.t, st.d, st.n, km.s AS s_ppm
     FROM st JOIN km ON st.g = km.g AND st.rn = km.rn"""
 
+  // —————————————————————————————— n-gram novelty (q295)
+  // (marginal contribution per document: distinct trigrams, how many
+  //  exist in NO other document, novelty ppm. Digest-only shuffles;
+  //  short docs go null, never fake.)
+  val q295Novelty: Q = (s, dir) =>
+    TextOps.ngramNovelty(Tables.documents(s, dir), "text", "doc_id", n = 3)
+  private val q295Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    g AS (SELECT DISTINCT doc_id,
+            array_to_string(list_slice(w, i + 1, i + 3), ' ') AS gram
+          FROM (SELECT doc_id, w,
+                unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM d)),
+    dfq AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM g GROUP BY 1),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+            CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_unique
+          FROM g JOIN dfq USING (gram) GROUP BY 1)
+    SELECT d.doc_id AS id, coalesce(per.n_ngrams, 0) AS n_ngrams,
+      coalesce(per.n_unique, 0) AS n_unique,
+      CASE WHEN per.n_ngrams > 0
+        THEN (1000000 * per.n_unique) // per.n_ngrams END AS novelty_ppm
+    FROM d LEFT JOIN per USING (doc_id)"""
+
+  // —————————————————————————————— Borda ranking aggregation (q296)
+  // (positional consolidation of full per-annotator rankings — the
+  //  complement to Bradley–Terry's pairwise duels. 7 md5-seeded
+  //  ballots over 16 items; points = ballot size − rank; final order
+  //  pinned by (points desc, item asc). Exact integers throughout.)
+  val q296Borda: Q = (s, dir) => {
+    val latt = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select((col("user_id") % 7).as("ann"),
+        (col("event_id") % 16).as("item"))
+      .distinct()
+    val scored = latt.withColumn("score",
+      conv(substring(md5(concat(lit("bd|"), col("ann").cast("string"),
+        lit("|"), col("item").cast("string"))), 1, 8), 16, 10)
+        .cast("long"))
+    val ranked = scored.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("ann").orderBy(col("score"), col("item"))).cast("long"))
+    Annotation.bordaCount(ranked, "ann", "item", "rnk")
+  }
+  private val q296Sql: String = """
+    WITH latt AS (SELECT DISTINCT user_id % 7 AS ann, event_id % 16 AS item
+          FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+    scored AS (SELECT ann, item,
+            CAST(('0x' || substr(md5('bd|' || CAST(ann AS VARCHAR) || '|' ||
+              CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) AS score
+          FROM latt),
+    ranked AS (SELECT ann, item,
+            CAST(row_number() OVER (PARTITION BY ann ORDER BY score, item)
+              AS BIGINT) AS rnk
+          FROM scored),
+    bs AS (SELECT ann, CAST(count(*) AS BIGINT) AS bn
+          FROM ranked GROUP BY 1),
+    pts AS (SELECT item, CAST(count(*) AS BIGINT) AS n_ballots,
+            CAST(sum(bn - rnk) AS BIGINT) AS points
+          FROM ranked JOIN bs USING (ann) GROUP BY 1)
+    SELECT item, n_ballots, points,
+      CAST(row_number() OVER (ORDER BY points DESC, item ASC) AS BIGINT)
+        AS final_rank
+    FROM pts"""
+
+  // —————————————————————————————— boilerplate removal (q297)
+  // (CCNet frequency-based template removal, distinct from span dedup:
+  //  EVERY occurrence of a line in > 30% of its source's docs drops.
+  //  A per-source 6-word header is planted on every document; removal
+  //  must excise exactly it and reassemble the original text.)
+  val q297Boilerplate: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("source").isNotNull)
+    val planted = d.select(col("doc_id"), col("source"),
+      concat(lit("hdr1 hdr2 hdr3 hdr4 hdr5 "), col("source"), lit(" "),
+        col("text")).as("text"))
+    graft.ops.Cleaning.boilerplateRemove(planted, "text", "doc_id",
+      "source", lineWords = 6, maxDfPpm = 300000L)
+  }
+  private val q297Sql: String = """
+    WITH d0 AS (SELECT doc_id, source,
+            'hdr1 hdr2 hdr3 hdr4 hdr5 ' || source || ' ' || text AS text
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            AND source IS NOT NULL),
+    d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+          FROM d0),
+    idx AS (SELECT doc_id, source, w,
+            unnest(range(0, greatest(CAST(ceil(len(w) / 6.0) AS BIGINT), 1)))
+              AS i
+          FROM d),
+    ln AS (SELECT doc_id, source, i AS pos,
+            array_to_string(list_slice(w, i * 6 + 1, i * 6 + 6), ' ')
+              AS line
+          FROM idx),
+    dps AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+          FROM d GROUP BY 1),
+    bp AS (SELECT ln.source, ln.line
+          FROM ln JOIN dps USING (source)
+          GROUP BY 1, 2, dps.docs
+          HAVING count(DISTINCT doc_id) >= 2
+            AND (1000000 * count(DISTINCT doc_id)) // dps.docs > 300000),
+    kept AS (SELECT ln.* FROM ln
+          LEFT JOIN bp ON ln.source = bp.source AND ln.line = bp.line
+          WHERE bp.line IS NULL),
+    reb AS (SELECT doc_id,
+            string_agg(line, ' ' ORDER BY pos) AS clean_text,
+            CAST(count(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+          FROM ln GROUP BY 1)
+    SELECT d.doc_id AS id, d.source AS src,
+      coalesce(reb.clean_text, '') AS clean_text, tot.n_lines,
+      tot.n_lines - coalesce(reb.n_kept, 0) AS n_dropped
+    FROM d JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
+
   val all: Map[String, Q] = Map(
+    "q295_novelty" -> q295Novelty,
+    "q296_borda" -> q296Borda,
+    "q297_boilerplate" -> q297Boilerplate,
     "q292_classification" -> q292Classification,
     "q293_mutual_info" -> q293MutualInfo,
     "q294_kaplan_meier" -> q294KaplanMeier,
@@ -3448,6 +3568,9 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q295_novelty" -> q295Sql,
+    "q296_borda" -> q296Sql,
+    "q297_boilerplate" -> q297Sql,
     "q292_classification" -> q292Sql,
     "q293_mutual_info" -> q293Sql,
     "q294_kaplan_meier" -> q294Sql,

@@ -96,6 +96,22 @@ class AnnotationSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L) && got(1L)._3 == 1L)
   }
 
+  test("bordaCount: hand points, incomplete ballots, pinned tie order") {
+    import spark.implicits._
+    // ann1 ranks a>b>c (points 2,1,0); ann2 ranks b>a (points 1,0 —
+    // a 2-item ballot awards at most 1); totals a=2+0=2, b=1+1=2, c=0
+    // → tie a/b broken by item asc
+    val rows = Seq(("r1", "a", 1L), ("r1", "b", 2L), ("r1", "c", 3L),
+      ("r2", "b", 1L), ("r2", "a", 2L))
+    val got = Annotation.bordaCount(rows.toDF("ann", "item", "rnk"),
+      "ann", "item", "rnk")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 2L, 1L)), s"$got")
+    assert(got("b") == (("b", 2L, 2L, 2L)), s"$got")
+    assert(got("c") == (("c", 1L, 0L, 3L)), s"$got")
+  }
+
   private def alpha(rows: (Long, String, String)*) =
     Annotation.krippendorffAlpha(rows.toDF("unit", "rater", "label"),
       "unit", "rater", "label")

@@ -240,4 +240,34 @@ class CleaningSpec extends SparkSpec {
     val got = mix((1L, "ab пр"))
     assert(got(1L)._7 == "latin" && got(1L)._8)
   }
+
+  test("boilerplateRemove: the >30% line drops everywhere, rare lines stay") {
+    import spark.implicits._
+    // source s1: 3 docs share the SAME first line (df 3/3 > 30%);
+    // doc 1 and 2 also share a second line (df 2/3 = 66% > 30% — also
+    // boilerplate); doc 3's tail is unique and survives
+    val docs = Seq(
+      (1L, "s1", "h h h h h h x x x x x x"),
+      (2L, "s1", "h h h h h h x x x x x x"),
+      (3L, "s1", "h h h h h h u u u u u u"),
+      // source s2: same header text but only ONE doc → df 1, kept
+      (4L, "s2", "h h h h h h k k k k k k"))
+      .toDF("doc_id", "source", "text")
+    val got = Cleaning.boilerplateRemove(docs, "text", "doc_id", "source",
+      lineWords = 6, maxDfPpm = 300000L)
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "s1", "", 2L, 2L)), s"${got(1L)}")
+    assert(got(3L) == ((3L, "s1", "u u u u u u", 2L, 1L)), s"${got(3L)}")
+    assert(got(4L) == ((4L, "s2", "h h h h h h k k k k k k", 2L, 0L)),
+      "boilerplate is PER SOURCE: a single-doc source keeps everything")
+  }
+
+  test("boilerplateRemove: df >= 2 guard — tiny sources never self-drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "a a a a a a")).toDF("doc_id", "source", "text")
+    val got = Cleaning.boilerplateRemove(docs, "text", "doc_id", "source")
+      .as[(Long, String, String, Long, Long)].head()
+    assert(got == ((1L, "s", "a a a a a a", 1L, 0L)), s"$got")
+  }
 }

@@ -1048,4 +1048,28 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(w.forall(_._3 != 0))
   }
+
+  test("ngramNovelty: unique vs shared trigrams, short docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // trigrams: "a b c", "b c d"
+      (2L, "a b c x y"),      // shares "a b c"; owns "b c x", "c x y"
+      (3L, "zz"))             // too short: no trigram
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, Some(500000L))), s"${got(1L)}")
+    assert(got(2L) == ((2L, 3L, 2L, Some(666666L))), s"${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0L, None)), s"${got(3L)}")
+  }
+
+  test("ngramNovelty: repeated trigram within ONE doc stays unique to it") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    // distinct trigrams: "a b c","b c a","c a b" — df=1 each → novelty 1
+    val got = TextOps.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(got == ((1L, 3L, 3L, Some(1000000L))), s"$got")
+  }
 }
