@@ -1394,6 +1394,30 @@ object Analytics {
         col("iso_ppm"))
   }
 
+  /** Time-in-state (dwell) per categorical state — "how long do users
+    * sit in each step" where state = the event's type until the NEXT
+    * event. The last event per key has no successor and is excluded
+    * (an open interval has no defined dwell — padding it would invent
+    * data). One per-key ordered window (lead), one grouped aggregate;
+    * exact ms integers, truncating mean.
+    */
+  def dwellTime(events: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("us"), col("id"))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(stateCol).as("state"), col(idCol).as("id"))
+      .withColumn("nxt", lead("us", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_spells"),
+        expr("sum((nxt - us) div 1000)").as("total_ms"),
+        expr("sum((nxt - us) div 1000) div count(1)").as("mean_ms"),
+        expr("max((nxt - us) div 1000)").as("max_ms"))
+  }
+
   /** Pairwise mutual information over the joint contingency lattice —
     * the information-theoretic dependence screen beside [[cramersV]]
     * (V sees association STRENGTH; MI in nats is what a feature-

@@ -627,4 +627,38 @@ object Graph {
     }
     known
   }
+
+  /** Capped bipartite co-occurrence projection — the graph-CONSTRUCTION
+    * verb behind "related items": project item–context incidence onto
+    * item–item edges weighted by shared contexts. The scale hazard is
+    * the hub context (one context holding 10⁶ items fans out 10¹²
+    * pairs), so each context is first capped to its `capPerContext`
+    * strongest items (by incidence count, id-pinned ties — a
+    * `row_number ≤ cap` WindowGroupLimit that prunes map-side); the
+    * pair join is then bounded by contexts·cap² REGARDLESS of skew.
+    * Emits the `topPairs` strongest edges (count-desc, id-pinned) —
+    * a TakeOrderedAndProject, never a global sort.
+    */
+  def cooccurrenceProjection(df: DataFrame, contextCol: String,
+      itemCol: String, capPerContext: Int = 32,
+      topPairs: Int = 50): DataFrame = {
+    require(capPerContext >= 2 && topPairs >= 1)
+    val inc = df
+      .filter(col(contextCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(contextCol).as("ctx"), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("w"))
+    val capped = inc
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ctx")
+          .orderBy(col("w").desc, col("item").asc)))
+      .where(col("rn") <= capPerContext)
+      .select(col("ctx"), col("item"))
+    val a = capped.select(col("ctx"), col("item").as("ia"))
+    val b = capped.select(col("ctx").as("ctxb"), col("item").as("ib"))
+    a.join(b, col("ctx") === col("ctxb") && col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(count(lit(1)).as("shared_contexts"))
+      .orderBy(col("shared_contexts").desc, col("ia").asc, col("ib").asc)
+      .limit(topPairs)
+  }
 }

@@ -134,6 +134,49 @@ object Similarity {
         col("l2_micro2"))
   }
 
+  /** Embedding outlier gate — mislabel/garbage detection for a labeled
+    * embedding table: a vector far from its OWN label's centroid is a
+    * labeling error or a degenerate embedding, and both poison
+    * contrastive training. Per label: exact micro centroid (the
+    * [[meanPoolEmbeddings]] lattice), each vector's exact BIGINT
+    * squared-L2 micro² distance to it, then the robust MAD fence in
+    * doubled/quadrupled integer space (the q150 discipline — medians
+    * of doubled values stay integers; `|2·d − m2|·2 > k·mad4` is pure
+    * integer comparison). Emits one summary row per label; nothing
+    * data-sized survives the second aggregate.
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 3): DataFrame = {
+    val vm = emb
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
+        col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("id"), col("lbl"), col("dim"),
+        round(col("x") * 1000000).cast("long").as("xm"))
+    val cent = vm.groupBy("lbl", "dim")
+      .agg(expr("sum(xm) div count(1)").as("cm"))
+    val d2 = vm.join(cent, Seq("lbl", "dim"))
+      .groupBy("lbl", "id")
+      .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm")))
+        .as("d2"))
+    val fence = d2.groupBy("lbl")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("d2") * 2, lit(0.5)).cast("long").as("m2"))
+    val fence2 = d2.join(fence, "lbl")
+      .withColumn("dev2", abs(col("d2") * 2 - col("m2")))
+      .groupBy(col("lbl"), col("n"), col("m2"))
+      .agg(percentile(col("dev2") * 2, lit(0.5)).cast("long").as("mad4"))
+    d2.join(fence2, "lbl")
+      // |d − m| > k·MAD in integer space: dev2/2 > k·mad4/4 ⟺ 2·dev2 > k·mad4
+      .withColumn("is_out",
+        abs(col("d2") * 2 - col("m2")) * 2 > lit(k.toLong) * col("mad4"))
+      .groupBy(col("lbl").as(labelCol), col("n"), col("m2"), col("mad4"))
+      .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col(labelCol), col("n"), col("m2"), col("mad4"),
+        col("n_outliers"))
+  }
+
   /** Sequential-fold dot product via higher-order functions — portable
     * (works on any session, no registration). The DataFrame-level
     * operators below use the codegen'd [[graft.functions.DotProduct]]

@@ -3476,7 +3476,89 @@ object ExtraQueries {
       tot.n_lines - coalesce(reb.n_kept, 0) AS n_dropped
     FROM d JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
 
+  // —————————————————————————————— co-occurrence projection (q298)
+  // (bipartite supplier↔part incidence projected onto part–part edges
+  //  weighted by shared suppliers; every supplier capped to its 32
+  //  strongest parts BEFORE the pair join, so the fan-out is bounded
+  //  contexts·cap² regardless of hub skew. Top-50 edges, pinned order.)
+  val q298Cooccurrence: Q = (s, dir) =>
+    Graph.cooccurrenceProjection(Tables.lineitem(s, dir),
+      "l_suppkey", "l_partkey", capPerContext = 32, topPairs = 50)
+  private val q298Sql: String = """
+    WITH inc AS (SELECT l_suppkey AS ctx, l_partkey AS item,
+            CAST(count(*) AS BIGINT) AS w
+          FROM lineitem WHERE l_suppkey IS NOT NULL
+            AND l_partkey IS NOT NULL GROUP BY 1, 2),
+    cap AS (SELECT ctx, item FROM
+            (SELECT ctx, item, row_number() OVER
+               (PARTITION BY ctx ORDER BY w DESC, item ASC) AS rn
+             FROM inc) WHERE rn <= 32),
+    pr AS (SELECT a.item AS ia, b.item AS ib,
+            CAST(count(*) AS BIGINT) AS shared_contexts
+          FROM cap a JOIN cap b ON a.ctx = b.ctx AND a.item < b.item
+          GROUP BY 1, 2)
+    SELECT ia, ib, shared_contexts FROM pr
+    ORDER BY shared_contexts DESC, ia ASC, ib ASC LIMIT 50"""
+
+  // —————————————————————————————— embedding outlier gate (q299)
+  // (mislabel detection for the labeled embedding table: exact micro
+  //  centroid per label, exact BIGINT micro² distances, robust MAD
+  //  fence entirely in doubled/quadrupled integer space. One summary
+  //  row per label.)
+  val q299EmbeddingOutliers: Q = (s, dir) =>
+    Similarity.embeddingOutliers(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", k = 3)
+  private val q299Sql: String = """
+    WITH x AS (SELECT vec_id AS id, label AS lbl, i - 1 AS dim,
+            CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+          FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id IS NOT NULL
+                  AND label IS NOT NULL AND embedding IS NOT NULL),
+            unnest(range(1, len(e) + 1)) u(i)),
+    c AS (SELECT lbl, dim, CAST(sum(xm) // count(*) AS BIGINT) AS cm
+          FROM x GROUP BY 1, 2),
+    d2 AS (SELECT x.lbl, x.id,
+            CAST(sum((xm - cm) * (xm - cm)) AS BIGINT) AS d2
+          FROM x JOIN c ON x.lbl = c.lbl AND x.dim = c.dim
+          GROUP BY 1, 2),
+    f1 AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n,
+            CAST(quantile_cont(d2 * 2, 0.5) AS BIGINT) AS m2
+          FROM d2 GROUP BY 1),
+    f2 AS (SELECT d2.lbl, f1.n, f1.m2,
+            CAST(quantile_cont(abs(d2.d2 * 2 - f1.m2) * 2, 0.5) AS BIGINT)
+              AS mad4
+          FROM d2 JOIN f1 ON d2.lbl = f1.lbl GROUP BY 1, 2, 3)
+    SELECT f2.lbl AS label, f2.n, f2.m2, f2.mad4,
+      CAST(sum(CASE WHEN abs(d2.d2 * 2 - f2.m2) * 2 > 3 * f2.mad4
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d2 JOIN f2 ON d2.lbl = f2.lbl
+    GROUP BY 1, 2, 3, 4"""
+
+  // —————————————————————————————— time-in-state dwell (q300)
+  // (state = event_type until the user's next event; last event per
+  //  user has no dwell and is excluded. One lead window + one grouped
+  //  aggregate, exact ms, truncating mean.)
+  val q300Dwell: Q = (s, dir) =>
+    Analytics.dwellTime(Tables.events(s, dir),
+      "user_id", "ts", "event_type", "event_id")
+  private val q300Sql: String = """
+    WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+            event_type AS state, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND event_id IS NOT NULL),
+    sp AS (SELECT state, (lead(us) OVER (PARTITION BY k ORDER BY us, id)
+              - us) // 1000 AS dwell_ms
+          FROM e)
+    SELECT state, CAST(count(*) AS BIGINT) AS n_spells,
+      CAST(sum(dwell_ms) AS BIGINT) AS total_ms,
+      CAST(sum(dwell_ms) // count(*) AS BIGINT) AS mean_ms,
+      CAST(max(dwell_ms) AS BIGINT) AS max_ms
+    FROM sp WHERE dwell_ms IS NOT NULL GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q298_cooccurrence" -> q298Cooccurrence,
+    "q299_embedding_outliers" -> q299EmbeddingOutliers,
+    "q300_dwell" -> q300Dwell,
     "q295_novelty" -> q295Novelty,
     "q296_borda" -> q296Borda,
     "q297_boilerplate" -> q297Boilerplate,
@@ -3568,6 +3650,9 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q298_cooccurrence" -> q298Sql,
+    "q299_embedding_outliers" -> q299Sql,
+    "q300_dwell" -> q300Sql,
     "q295_novelty" -> q295Sql,
     "q296_borda" -> q296Sql,
     "q297_boilerplate" -> q297Sql,

@@ -807,6 +807,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(fit == fit.sorted, s"not monotone: $fit")
   }
 
+  test("dwellTime: lead-based spells, open last interval excluded") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // user 1: view(0) → click(10) → view(15) → [open]
+    // user 2: click(0) → [open]
+    val rows = Seq((1L, t(0), "view", 1L), (1L, t(10), "click", 2L),
+      (1L, t(15), "view", 3L), (2L, t(0), "click", 4L))
+      .toDF("u", "ts", "st", "id")
+    val got = Analytics.dwellTime(rows, "u", "ts", "st", "id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("view") == (("view", 1L, 600000L, 600000L, 600000L)))
+    assert(got("click") == (("click", 1L, 300000L, 300000L, 300000L)),
+      "user 2's open click spell must not appear")
+    assert(got.size == 2)
+  }
+
   test("mutualInfo: perfect dependence = ln 2, independence = 0") {
     val dep = Seq(("A", "1"), ("A", "1"), ("B", "2"), ("B", "2"))
       .toDF("x", "y")

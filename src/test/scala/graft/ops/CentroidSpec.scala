@@ -208,4 +208,35 @@ class CentroidSpec extends SparkSpec {
     // snap 0 has no predecessor: absent, not a null row
     assert(!got.contains(0L))
   }
+
+  test("embeddingOutliers: the planted far vector is the only outlier") {
+    import spark.implicits._
+    // label 0: nine identical vectors at (1, 0) plus one at (100, 0) —
+    // zero in-cluster spread makes the far point the sole deviation;
+    // label 1 is tight
+    val rows =
+      (1L to 9L).map(i => (i, Array(1.0f, 0.0f), 0)) ++
+        Seq((10L, Array(100.0f, 0.0f), 0)) ++
+        (11L to 14L).map(i => (i, Array(0.0f, 2.0f), 1))
+    val got = Similarity.embeddingOutliers(
+      rows.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", k = 3)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0)._2 == 10L && got(0)._5 == 1L, s"${got(0)}")
+    assert(got(1)._2 == 4L && got(1)._5 == 0L, s"${got(1)}")
+  }
+
+  test("embeddingOutliers: zero MAD degrades to any-deviation flags") {
+    import spark.implicits._
+    // three identical vectors + one different: MAD = 0, so the
+    // different one (deviation > 0 = 3·0) must flag
+    val rows = Seq((1L, Array(1.0f), 0), (2L, Array(1.0f), 0),
+      (3L, Array(1.0f), 0), (4L, Array(2.0f), 0))
+    val got = Similarity.embeddingOutliers(
+      rows.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", k = 3)
+      .as[(Int, Long, Long, Long, Long)].collect().head
+    assert(got._5 == 1L, s"$got")
+  }
 }

@@ -347,4 +347,23 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 6 && got((1L, 2L)) == ((1L, 250000L)))
     assert(ra(3, es: _*).isEmpty)
   }
+
+  test("cooccurrenceProjection: shared-context weights, cap kills the hub") {
+    import spark.implicits._
+    // contexts 1 and 2 both hold items {a, b}; context 3 holds {a, c}
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"))
+    val got = Graph.cooccurrenceProjection(rows.toDF("ctx", "item"),
+      "ctx", "item", capPerContext = 32, topPairs = 50)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L), s"$got")
+    // cap = 2 on a 3-item hub context: only the 2 strongest (by
+    // incidence count, id-pinned) survive — the pair fan-out is bounded
+    val hub = Seq((9L, "x"), (9L, "x"), (9L, "y"), (9L, "y"), (9L, "z"))
+    val capped = Graph.cooccurrenceProjection(hub.toDF("ctx", "item"),
+      "ctx", "item", capPerContext = 2, topPairs = 50)
+      .as[(String, String, Long)].collect().toSeq
+    assert(capped == Seq(("x", "y", 1L)), s"$capped")
+  }
 }
