@@ -1354,6 +1354,12 @@ object Analytics {
     * IDENTICALLY in both engines before the min/max lattice — the
     * fitted sequence is monotone nondecreasing by construction
     * (max over a growing set) regardless of truncation.
+    *
+    * SCORE CONTRACT: `scoreCol` must be an integer ppm score in
+    * [0, 1e6) — binning is `score·nBins div 10⁶`. A raw [0,1] double
+    * silently lands everything in bin 0 under that formula, so
+    * out-of-range scores FAIL LOUDLY (`raise_error`) instead of
+    * mis-binning; rescale upstream (`round(score*1e6)`) first.
     */
   def isotonicCalibration(df: DataFrame, scoreCol: String,
       labelCol: String, nBins: Int = 32): DataFrame = {
@@ -1362,9 +1368,14 @@ object Analytics {
     val binned = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
-        least(lit(nBins - 1),
-          expr(s"cast($scoreCol as decimal(38,0)) * $nBins div 1000000"))
-          .cast("long").as("bin"),
+        when(col(scoreCol) < 0 || col(scoreCol) >= 1000000,
+          raise_error(lit("isotonicCalibration: scoreCol must be an " +
+            "integer ppm score in [0, 1e6) — rescale upstream " +
+            "(round(score*1e6)) instead of passing raw [0,1] doubles"))
+            .cast("long"))
+          .otherwise(least(lit(nBins - 1),
+            expr(s"cast($scoreCol as decimal(38,0)) * $nBins div 1000000"))
+            .cast("long")).as("bin"),
         col(labelCol).cast("long").as("y"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("pos"))

@@ -216,7 +216,12 @@ object Annotation {
         col(labelCol).isNotNull)
       .select(col(unitCol).as("unit"), col(raterCol).as("rater"),
         col(labelCol).as("label"))
-      .distinct()  // one rating per (unit, rater): last-write dedup
+      .distinct()  // drops EXACT duplicate votes only; a rater giving
+      // two DIFFERENT labels to one unit contributes both values (they
+      // are distinct pairable values under Krippendorff's formulation,
+      // inflating m_u and the disagreement terms accordingly). Callers
+      // wanting strict one-rating-per-(unit,rater) semantics must
+      // pre-resolve (e.g. keep-last via a window) before calling.
     val uc = v.groupBy("unit", "label").agg(count(lit(1)).as("nuc"))
     val um = uc.groupBy("unit").agg(sum("nuc").as("mu"))
     val pairable = uc.join(um, "unit").filter(col("mu") >= 2)

@@ -319,8 +319,9 @@ object Cleaning {
         count(lit(1)).as("n_kept"))
     base.select(col("id"), col("src"))
       .join(
-        spanRows(base, "text", "id", lineWords).groupBy("id")
-          .agg(count(lit(1)).as("n_lines")), "id")
+        // n_lines from the already-built `lines` frame — re-running
+        // spanRows here would double the data-sized chunking work
+        lines.groupBy("id").agg(count(lit(1)).as("n_lines")), "id")
       .join(reb, Seq("id"), "left")
       .select(col("id"), col("src"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -609,20 +609,27 @@ object Graph {
   def bfsDistances(seeds: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, "maxHops in [1, 8] (unrolled)")
+    // The edge table is re-read every hop — checkpoint its distinct()
+    // shuffle once, and cut `known`/`frontier` lineage per hop (the
+    // file-wide iterative discipline: `known` is referenced twice per
+    // round, so pure lineage re-evaluates prior hops multiplicatively).
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint()
     var known = seeds.select(col(idCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0L))
+      .localCheckpoint()
     var frontier = known.select("node")
     for (h <- 1 to maxHops) {
       val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(known.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
       known = known.unionByName(next.withColumn("dist", lit(h.toLong)))
+        .localCheckpoint()
       frontier = next
     }
     known

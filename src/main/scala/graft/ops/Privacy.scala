@@ -52,7 +52,10 @@ object Privacy {
     *
     * Returns `(group, n_true, noisy6)`; emitting n_true alongside is
     * for the oracle gate, NOT for release — callers ship (group,
-    * noisy6) only.
+    * noisy6) only. Like [[dpBoundedCounts]], this is a deterministic DP
+    * SIMULATION for engine-parity testing: seed-derived noise is
+    * recomputable by any seed holder, so it must not back a real
+    * privacy release.
     */
   def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
       seed: Long = 1L): DataFrame = {
@@ -73,8 +76,18 @@ object Privacy {
       .select(col("g").as(groupCol), col("n_true"), col("noisy6"))
   }
 
-  /** USER-level ε-DP count release with contribution bounding — the
-    * piece [[dpNoisyCounts]] leaves open at scale: row-level DP assumes
+  /** USER-level ε-DP count release SIMULATION with contribution
+    * bounding. NOT a real release mechanism: the "noise" here is a
+    * deterministic md5 function of a caller-visible seed and the group
+    * name — recomputable (and therefore subtractable) by anyone holding
+    * the seed — and the output rows carry the exact n_unbounded /
+    * n_bounded counts for the oracle gate. This models the MECHANICS
+    * (contribution cap, sensitivity, Laplace shape) for engine-parity
+    * testing; a production DP release requires cryptographically fresh
+    * noise, dropping the exact-count columns, and a privacy accountant.
+    *
+    * The mechanics being simulated are the piece [[dpNoisyCounts]]
+    * leaves open at scale: row-level DP assumes
     * each user owns ONE row, but a power user with 10⁴ events shifts a
     * histogram cell by 10⁴, so Laplace(1/ε) noise protects nothing.
     * The standard fix (Wilson et al., "Differentially Private SQL with

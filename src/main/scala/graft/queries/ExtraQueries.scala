@@ -3199,7 +3199,7 @@ object ExtraQueries {
   // (the checkpoint-resume LAW: sessionize part 1, carry one (last-µs,
   //  session-count) row per key, resume over part 2 — must equal the
   //  single pass, which is exactly what the oracle runs. 30-min gap,
-  //  cut at 2024-01-16T00:00Z.)
+  //  cut at 2024-01-15T00:00Z.)
   val q289ResumeSessions: Q = (s, dir) =>
     Analytics.resumableSessionize(Tables.events(s, dir),
       "user_id", "ts", "event_id",
