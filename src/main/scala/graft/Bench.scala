@@ -49,9 +49,33 @@ object Bench {
       }
     }
 
+    /** Session-accumulation hygiene, run OUTSIDE the timed region.
+      * Root cause of the round-11 suite drift (+31% on unchanged
+      * queries, control flat): `localCheckpoint()` is EAGER and pins
+      * MEMORY_AND_DISK blocks that nothing ever unpersists — 70+ call
+      * sites across the iterative ops, so a 301-query × 5-iteration
+      * session pins thousands of stale blocks into an 8 GiB heap.
+      * Storage steals the unified-memory region from execution (more
+      * spilling) and old-gen fills (the 30-80 s GC-pause iterations in
+      * bench.json's round-11 vectors). Queries late in the string sort
+      * (q18_ sorts after q18x, q3x_ after q30x) paid the most — exactly
+      * the regressed set. Dropping finished queries' blocks between
+      * iterations restores every iteration to the same starting state;
+      * the per-query System.gc() lets ContextCleaner reclaim shuffle
+      * files + broadcasts (otherwise freed only on a natural old-gen GC,
+      * which an 8 GiB heap may not run for many minutes). */
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     /** All `iters` timings; any failed run poisons the whole query. */
     def exec(name: String): Seq[Double] = {
-      val ts = (1 to iters).map(_ => once(name))
+      val ts = (1 to iters).map { _ =>
+        val t = once(name); cleanup(); t
+      }
+      System.gc() // reclaim shuffle/broadcast refs between queries
       if (ts.exists(_ < 0)) Seq.fill(iters)(-1.0) else ts
     }
     def minOf(ts: Seq[Double]): Double = ts.min
