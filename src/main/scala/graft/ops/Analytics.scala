@@ -1614,4 +1614,119 @@ object Analytics {
         col("pooled_sign").as("cov_sign"), col("pooled_sign"),
         lit(false).as("flips")))
   }
+
+  /** Markov stationary distribution over an event-type chain — the
+    * long-run occupancy the per-transition view (session transitions)
+    * cannot give: "if users keep behaving like this, what fraction of
+    * time does the system spend in each state?". Transition
+    * probabilities are row-normalized truncating ppm over the observed
+    * per-user consecutive-event pairs; the stationary vector is
+    * `iters` unrolled power-iteration rounds from the uniform start,
+    * each round one integer matrix-vector product with ONE truncating
+    * `div 10⁶` per entry (pinned order, both engines identical —
+    * truncation loses ≤ S ppm of mass per round and the released
+    * vector is the honest iterate, not a renormalized fiction).
+    *
+    * States without outgoing transitions keep their mass (self-loop
+    * patch — the dangling-node correction of [[Graph.pageRank]] in its
+    * simplest form, applied BEFORE normalization so the matrix is
+    * genuinely stochastic).
+    *
+    * Scale: the only data-sized work is the lag window + pair count;
+    * everything after lives on the S²-sized transition frame (S =
+    * distinct event types — a design-time constant), so the unrolled
+    * loop costs S²-sized joins, no checkpoint needed.
+    */
+  def markovStationary(events: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(stateCol).as("a"),
+        lead(col(stateCol), 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+    val counts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val states = counts.select(col("a").as("s"))
+      .union(counts.select(col("b").as("s"))).distinct()
+    // dangling patch: states with no outgoing edge self-loop
+    val dangling = states.join(counts.select(col("a").as("s")).distinct(),
+        Seq("s"), "left_anti")
+      .select(col("s").as("a"), col("s").as("b"), lit(1L).as("n"))
+    val full = counts.unionByName(dangling)
+    val outTot = full.groupBy("a").agg(sum("n").as("tot"))
+    val p = full.join(outTot, "a")
+      .select(col("a"), col("b"),
+        expr("(1000000 * n) div tot").as("p_ppm"))
+    val nStates = states.count() // bounded scalar: |S| is design-time
+    var pi = states.select(col("s"),
+      lit(1000000L / nStates).as("pi_ppm"))
+    for (_ <- 1 to iters) {
+      pi = p.join(pi, p("a") === pi("s"))
+        .groupBy(col("b").as("s2"))
+        .agg(expr("sum(pi_ppm * p_ppm) div 1000000").as("pi2"))
+        .select(col("s2").as("s"), col("pi2").as("pi_ppm"))
+    }
+    states.join(pi, Seq("s"), "left")
+      .select(col("s").as(stateCol),
+        coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
+  }
+
+  /** Wald SPRT — the SEQUENTIAL A/B decision the fixed-horizon tests
+    * ([[abTestSummary]]-style) cannot give: walk the observation
+    * stream in event order, accumulate the log-likelihood ratio of
+    * H₁: p = p1 against H₀: p = p0 for a Bernoulli outcome, and stop
+    * at the FIRST crossing of the Wald boundaries A = ln((1−β)/α),
+    * B = ln(β/(1−α)). Per-observation increments are two CONSTANTS
+    * (success: ln(p1/p0), failure: ln((1−p1)/(1−p0))) pinned to
+    * micro-nats by `round(10⁶·ln(·))` BEFORE the walk — the only float
+    * work is four scalar `ln`s both engines round identically (the
+    * q113 discipline); the walk itself is an exact integer running
+    * sum, so the crossing index is engine-exact, not
+    * last-ulp-gambled.
+    *
+    * Emits one row per `expCol`: n_obs, n_success, decision
+    * (`accept_h1` / `accept_h0` / `continue`), the 1-based observation
+    * index at decision (null if no crossing), and the final LLR. Scale:
+    * one per-key ordered running-sum window + one grouped
+    * min-conditional fold — the sessionization cost shape.
+    */
+  def sprtDecision(obs: DataFrame, expCol: String, tsCol: String,
+      tieCol: String, successCol: String,
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0)
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val llrS = math.round(1e6 * math.log(p1 / p0))
+    val llrF = math.round(1e6 * math.log((1 - p1) / (1 - p0)))
+    val bndA = math.round(1e6 * math.log((1 - beta) / alpha))
+    val bndB = math.round(1e6 * math.log(beta / (1 - alpha)))
+    val w = Window.partitionBy(col("e"))
+      .orderBy(col("ts"), col("tie"))
+    val walked = obs
+      .where(col(expCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull && col(successCol).isNotNull)
+      .select(col(expCol).as("e"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"),
+        col(successCol).cast("boolean").as("succ"))
+      .withColumn("inc", when(col("succ"), llrS).otherwise(llrF))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("llr", sum("inc").over(w))
+    walked.groupBy(col("e").as(expCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("succ"), 1L).otherwise(0L)).as("n_success"),
+        min(when(col("llr") >= bndA, col("seq"))).as("_hit1"),
+        min(when(col("llr") <= bndB, col("seq"))).as("_hit0"),
+        max(struct(col("seq"), col("llr"))).as("_fin"))
+      .select(col(expCol), col("n_obs"), col("n_success"),
+        when(col("_hit1").isNotNull &&
+            (col("_hit0").isNull || col("_hit1") <= col("_hit0")),
+          lit("accept_h1"))
+          .when(col("_hit0").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        least(col("_hit1"), col("_hit0")).as("n_at_decision"),
+        col("_fin.llr").as("final_llr_micro"))
+  }
 }

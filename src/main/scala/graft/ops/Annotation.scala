@@ -250,4 +250,77 @@ object Annotation {
               expr(s"(do_micro * (n - 1)) div de_num")).cast("long"))
           .as("alpha_ppm"))
   }
+
+  /** Fleiss' kappa — the FIXED-PANEL reliability coefficient the other
+    * two members of the family deliberately are not: [[cohensKappa]]
+    * needs the same TWO raters everywhere, [[krippendorffAlpha]]
+    * tolerates missing ratings; Fleiss assumes every unit is rated by
+    * exactly the same NUMBER of raters (a fixed panel of n per item —
+    * the common labeling-queue contract "each item gets n judgments,
+    * raters interchangeable"). Units whose rating count differs from
+    * the modal n are DROPPED and counted in `n_units_dropped` (silently
+    * mixing panel sizes is exactly the formula's undefined case).
+    *
+    * With N retained units, n ratings each, category totals
+    * C_j = Σ_i n_ij and S = Σ_i Σ_j n_ij²:
+    *   P̄  = (S − N·n) / (N·n·(n−1))        (observed agreement)
+    *   P̄e = Σ_j C_j² / (N·n)²              (chance agreement)
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    * Putting both over the common denominator (N·n)²·(n−1) makes every
+    * term an INTEGER, so κ is released as one truncating ppm division
+    * of two exact decimal(38,0) numbers — no float ever crosses the
+    * engine boundary:
+    *   κ_ppm = 10⁶·[(S−Nn)·Nn − ΣC²·(n−1)] div [(Nn)²(n−1) − ΣC²(n−1)]
+    * (null when the denominator is 0 — P̄e = 1, a degenerate panel).
+    *
+    * Scale: one (unit, label) grouped count, one unit-sized rollup, one
+    * label-sized rollup, then scalar folds — all map-side combinable;
+    * nothing after the first aggregate is data-sized.
+    */
+  def fleissKappa(votes: DataFrame, unitCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = votes
+      .filter(col(unitCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(unitCol).as("unit"), col(raterCol).as("rater"),
+        col(labelCol).as("label"))
+      .distinct() // exact duplicate votes collapse; the (unit, rater)
+      // one-vote contract is the caller's, as in [[krippendorffAlpha]]
+    val uc = v.groupBy("unit", "label").agg(count(lit(1)).as("nuc"))
+    val um = uc.groupBy("unit").agg(sum("nuc").as("mu"))
+    // modal panel size: ties pinned to the SMALLER n (deterministic)
+    val nPanel = um.groupBy("mu").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("mu").asc).limit(1)
+      .select(col("mu").as("n_raters"))
+    val keptUnits = um.join(broadcast(nPanel), um("mu") === nPanel("n_raters"))
+      .select(col("unit"))
+    val kept = uc.join(keptUnits, "unit")
+    val sTot = kept.agg(
+      countDistinct(col("unit")).as("n_units"),
+      sum(expr(s"cast(nuc as $dec) * nuc")).as("s"))
+    val cTot = kept.groupBy("label").agg(sum("nuc").as("cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr(s"cast(cj as $dec) * cj")).as("c2"))
+    val dropped = um.join(broadcast(nPanel),
+        um("mu") =!= nPanel("n_raters"))
+      .agg(count(lit(1)).as("n_units_dropped"))
+    sTot.crossJoin(cTot).crossJoin(dropped).crossJoin(nPanel)
+      .select(col("n_units"), col("n_raters"), col("n_categories"),
+        col("n_units_dropped"),
+        expr(s"""cast(n_units as $dec) * n_raters""").as("nn"),
+        col("s"), col("c2"))
+      .select(col("n_units"), col("n_raters"), col("n_categories"),
+        col("n_units_dropped"),
+        ((col("s") - col("nn")) * col("nn") -
+          col("c2") * (col("n_raters") - 1)).as("knum"),
+        (col("nn") * col("nn") * (col("n_raters") - 1) -
+          col("c2") * (col("n_raters") - 1)).as("kden"))
+      .select(col("n_units"), col("n_raters"), col("n_categories"),
+        col("n_units_dropped"),
+        when(col("kden") === 0 || col("n_raters") < 2,
+          lit(null).cast("long"))
+          .otherwise(expr(s"(cast(1000000 as $dec) * knum) div kden")
+            .cast("long")).as("kappa_ppm"))
+  }
 }

@@ -412,4 +412,44 @@ object Evaluation {
       col("f1_ppm"))
       .unionByName(macroRow)
   }
+
+  /** Full ROC curve table — the threshold-sweep view the scalar AUC
+    * (groupAuc) deliberately collapses: one row per DISTINCT score
+    * threshold with the exact confusion counts and ppm rates for the
+    * rule `predict positive ⟺ score ≥ threshold`. This is what you
+    * read to PICK an operating point; the AUC only ranks models.
+    *
+    * Plan shape is the weighted-percentiles discipline: one grouped
+    * count collapses the data to the distinct-score frame (map-side
+    * combinable), then ONE cumulative window ordered by score DESC
+    * runs over that value-cardinality-sized frame — the raw data never
+    * rides a window. Integer scores in, integer counts out, two
+    * truncating ppm divisions per row.
+    */
+  def rocCurve(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("score")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = byScore.agg(sum("pos").as("_p"), sum("neg").as("_n"))
+    byScore
+      .withColumn("tp", sum("pos").over(wDesc))
+      .withColumn("fp", sum("neg").over(wDesc))
+      .crossJoin(broadcast(totals))
+      .select(col("score").as("threshold"),
+        col("tp"), col("fp"),
+        (col("_p") - col("tp")).as("fn"),
+        (col("_n") - col("fp")).as("tn"),
+        when(col("_p") > 0, expr("(1000000 * tp) div _p"))
+          .as("tpr_ppm"),
+        when(col("_n") > 0, expr("(1000000 * fp) div _n"))
+          .as("fpr_ppm"))
+  }
 }

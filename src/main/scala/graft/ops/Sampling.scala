@@ -456,4 +456,92 @@ object Sampling {
       .where(col("rk") <= k)
       .select(col("u").as(userCol), col("item").as(itemCol), col("rk"))
   }
+
+  /** GROUP-AWARE k-fold assignment — the cross-validation split whose
+    * one hard requirement is leakage safety: every row of a group (all
+    * events of a user, all docs of a domain) lands in the SAME fold,
+    * because a group straddling train and eval folds leaks near-
+    * duplicate signal into the eval score. The fold is a pure function
+    * of the group key (`md5(seed|group) mod k` — the repo's split
+    * lattice, [[hashSplit]]'s discipline), so assignment is a narrow
+    * map, reproducible under any partitioning, and stable when rows
+    * are added to an existing group.
+    *
+    * Emits the per-fold audit (`fold, n_rows, n_groups,
+    * rows_share_ppm`) rather than the data-sized assignment — the
+    * caller applies the same lattice expression to route rows; the
+    * audit is what you LOOK at (fold balance is O(2⁻³²) skewed by the
+    * hash, but the audit proves it for this corpus, not in theory).
+    * One grouped count (map-side combinable) + a k-sized rollup.
+    */
+  def kFoldAudit(df: DataFrame, groupCol: String, k: Int,
+      seed: Long = 1L): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k out of range: $k")
+    val fold = conv(substring(md5(concat(lit(s"fold|$seed|"),
+        col(groupCol).cast("string"))), 1, 8), 16, 10).cast("long") % k
+    val perGroup = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("rows"))
+      .select(col("g"),
+        conv(substring(md5(concat(lit(s"fold|$seed|"),
+          col("g").cast("string"))), 1, 8), 16, 10).cast("long")
+          .mod(k).as("fold"), col("rows"))
+    val total = perGroup.agg(sum("rows").as("_t"))
+    perGroup.groupBy("fold")
+      .agg(count(lit(1)).as("n_groups"), sum("rows").as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("n_rows"), col("n_groups"),
+        expr("(1000000 * n_rows) div _t").as("rows_share_ppm"))
+  }
+
+  /** Curriculum ordering — the training-schedule verb: emit a
+    * deterministic global training order that presents EASY documents
+    * first and ramps to hard, with a deterministic shuffle WITHIN each
+    * difficulty stage (strictly sorting by difficulty would correlate
+    * adjacent batches; the md5 shuffle breaks that while keeping the
+    * stage ramp). The global order is the lexicographic triple
+    * `(stage, bucket, pos)` where `bucket` is an md5 bucket and `pos`
+    * a row_number WITHIN (stage, bucket) — so no window ever sees more
+    * than one bucket of one stage, and the full order materializes
+    * without any single-reducer global sort (the [[serpentineShards]]
+    * discipline: order by construction, not by sorting).
+    *
+    * Stage bands come from the DISTINCT-difficulty cumulative frame
+    * (value-cardinality-sized, the weighted-percentiles discipline) —
+    * a global `ntile` would collapse all data onto one reducer. The
+    * documented consequence: bands are VALUE-ALIGNED — every row
+    * sharing a difficulty value shares a stage, so populations are
+    * equal only up to the largest single-value mass. For a continuous
+    * difficulty score that skew is negligible; for a degenerate score
+    * (one value everywhere) all rows honestly land in stage 0.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+      nStages: Int = 4, nBuckets: Int = 256,
+      seed: Long = 1L): DataFrame = {
+    require(nStages >= 2 && nStages <= 64 && nBuckets >= 1)
+    val base = df.where(col(idCol).isNotNull && col(difficultyCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(difficultyCol).cast("long").as("diff"))
+    val byVal = base.groupBy("diff").agg(count(lit(1)).as("cnt"))
+    val wVal = org.apache.spark.sql.expressions.Window.orderBy(col("diff"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val total = byVal.agg(sum("cnt").as("_t"))
+    val stages = byVal
+      .withColumn("cum_end", sum("cnt").over(wVal))
+      .crossJoin(broadcast(total))
+      .select(col("diff"),
+        least(lit(nStages - 1L),
+          expr(s"($nStages * (cum_end - cnt)) div _t")).as("stage"))
+    val staged = base.join(broadcast(stages), "diff")
+    val bucketed = staged.withColumn("bucket",
+      conv(substring(md5(concat(lit(s"cur|$seed|"),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long") % nBuckets)
+    val wSb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage"), col("bucket"))
+      .orderBy(md5(concat(lit(s"pos|$seed|"), col("id").cast("string"))),
+        col("id"))
+    bucketed.withColumn("pos", row_number().over(wSb).cast("long"))
+      .select(col("id"), col("diff"), col("stage"), col("bucket"),
+        col("pos"))
+  }
 }

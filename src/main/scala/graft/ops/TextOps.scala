@@ -910,4 +910,99 @@ object TextOps {
         when(col("n_ngrams").isNotNull && col("n_ngrams") > 0,
           expr("(1000000 * n_unique) div n_ngrams")).as("novelty_ppm"))
   }
+
+  /** Heaps'-law vocabulary growth curve — the corpus-health audit that
+    * answers "is new data still bringing new vocabulary, or are we
+    * re-crawling the same text?" (a saturating curve is the signature
+    * of an exhausted source; Heaps' law V ≈ K·T^β predicts β ≈ 0.4-0.6
+    * for natural text). The curve is sampled at power-of-2 DOCUMENT
+    * checkpoints: vocab(c) = distinct tokens whose FIRST occurrence
+    * falls in the first c documents of the `orderCol` ordering.
+    *
+    * The trick that keeps this one pass instead of |checkpoints|
+    * prefix scans: a token's first-occurrence rank is just
+    * `min(doc_seq)` over its postings, so vocab(c) is a COUNT over the
+    * token table with `first_seq ≤ c` — the checkpoint sweep runs on
+    * the (vocab-sized) token frame and the (doc-sized) doc frame,
+    * never re-reading text. Output is pure integers (counts + one
+    * truncating ppm ratio); the Heaps exponent is the caller's
+    * regression over the released lattice — no float crosses the
+    * engine boundary.
+    *
+    * Scale note: `doc_seq` is a row_number over the DOC frame ordered
+    * by `orderCol` — a doc-count-sized global sort (not data-sized; the
+    * text never rides it). At 100 TB the doc frame is ~10⁹ rows, which
+    * a range-partitioned sort handles; the alternative (using a dense
+    * pre-assigned ingest sequence as `orderCol`) removes even that.
+    */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val seq = docs.select(col("id"),
+        size(filter(words(col("text")), w => length(w) > 0))
+          .cast("long").as("n_tok"))
+      .withColumn("doc_seq", row_number().over(wOrd).cast("long"))
+    val firstSeen = docs
+      .select(col("id"), explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .join(seq.select(col("id"), col("doc_seq")), "id")
+      .groupBy("w").agg(min("doc_seq").as("first_seq"))
+    // bounded driver scalar: |docs| (same class as pageRank's |V|)
+    val nDocs = seq.agg(max("doc_seq")).first().getLong(0)
+    val checkpoints = Iterator.iterate(1L)(_ * 2)
+      .takeWhile(_ < nDocs).toSeq :+ nDocs
+    val sparkSess = docs.sparkSession
+    import sparkSess.implicits._
+    val cps = checkpoints.distinct.sorted.toDF("checkpoint_docs")
+    val vocabAt = firstSeen.join(broadcast(cps),
+        col("first_seq") <= col("checkpoint_docs"))
+      .groupBy("checkpoint_docs").agg(count(lit(1)).as("vocab"))
+    val tokensAt = seq.join(broadcast(cps),
+        col("doc_seq") <= col("checkpoint_docs"))
+      .groupBy("checkpoint_docs").agg(sum("n_tok").as("tokens"))
+    tokensAt.join(vocabAt, Seq("checkpoint_docs"), "left")
+      .select(col("checkpoint_docs"), col("tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .withColumn("vocab_per_mtok",
+        when(col("tokens") > 0,
+          expr("(1000000 * vocab) div tokens")).cast("long"))
+  }
+
+  /** Good–Turing coverage + Chao1 richness — the "how much vocabulary
+    * have we NOT seen yet" estimators, per source: the sample-coverage
+    * estimate C = 1 − N₁/N (Good 1953; the chance the next token is
+    * novel is the hapax fraction) and the Chao1 lower bound on true
+    * vocabulary size V̂ = V + N₁²/(2·N₂) (Chao 1984). Both drive the
+    * crawl-scheduling decision "this source still yields novelty" with
+    * two numbers per source, and both are exact integer arithmetic
+    * over the frequency-of-frequencies table (truncating div, the
+    * repo-wide ppm discipline; `chao1` is null when N₂ = 0 — the
+    * bias-corrected variant would divide by zero and a made-up
+    * sentinel would be a lie).
+    *
+    * Scale: one (source, token) grouped count (map-side combinable),
+    * one (source, freq) regroup, one source-sized fold. Nothing after
+    * the first aggregate is data-sized.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val tok = df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("f"))
+    tf.groupBy("source").agg(
+        count(lit(1)).as("vocab"),
+        sum("f").as("tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("vocab"), col("tokens"),
+        col("n1"), col("n2"),
+        (lit(1000000L) - expr("(1000000 * n1) div tokens"))
+          .as("coverage_ppm"),
+        when(col("n2") > 0,
+          col("vocab") + expr("(n1 * n1) div (2 * n2)"))
+          .cast("long").as("chao1"))
+  }
 }

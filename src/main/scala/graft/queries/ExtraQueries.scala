@@ -3555,7 +3555,338 @@ object ExtraQueries {
       CAST(max(dwell_ms) AS BIGINT) AS max_ms
     FROM sp WHERE dwell_ms IS NOT NULL GROUP BY 1"""
 
+  // —————————————————————————————— Fleiss' kappa (q301)
+  // (fixed-panel inter-rater reliability: every unit rated by exactly
+  //  the modal rater count; off-panel units drop and are counted. The
+  //  md5 vote lattice plants ~1/4 forced-agreement units so kappa is
+  //  meaningfully positive; ~1/7 of votes are knocked out to exercise
+  //  the off-panel drop path.)
+  val q301Fleiss: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val units = Tables.events(s, dir)
+      .where(col("event_id").isNotNull)
+      .select((col("event_id") % 512).as("unit")).distinct()
+    val votes = units
+      .select(col("unit"), explode(sequence(lit(0), lit(4))).as("rater"))
+      .withColumn("ur", concat(col("unit").cast("string"), lit("|"),
+        col("rater").cast("string")))
+      .where(h("fp|", col("ur")) % 7 =!= 0)
+      .select(col("unit"), col("rater"),
+        when(h("fa|", col("unit").cast("string")) % 4 === 0,
+          h("fl|", col("unit").cast("string")) % 3)
+          .otherwise(h("fv|", col("ur")) % 3).as("label"))
+    Annotation.fleissKappa(votes, "unit", "rater", "label")
+  }
+  private val q301Sql: String = """
+    WITH units AS (SELECT DISTINCT event_id % 512 AS unit
+          FROM events WHERE event_id IS NOT NULL),
+    ur AS (SELECT unit, r AS rater,
+            CAST(unit AS VARCHAR) || '|' || CAST(r AS VARCHAR) AS ur
+          FROM units, unnest(range(0, 5)) t(r)),
+    votes AS (SELECT DISTINCT unit, rater,
+            CASE WHEN CAST(('0x' || substr(md5('fa|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+              THEN CAST(('0x' || substr(md5('fl|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+              ELSE CAST(('0x' || substr(md5('fv|' || ur), 1, 8))
+                AS BIGINT) % 3 END AS label
+          FROM ur
+          WHERE CAST(('0x' || substr(md5('fp|' || ur), 1, 8)) AS BIGINT)
+            % 7 <> 0),
+    uc AS (SELECT unit, label, CAST(count(*) AS BIGINT) AS nuc
+          FROM votes GROUP BY 1, 2),
+    um AS (SELECT unit, CAST(sum(nuc) AS BIGINT) AS mu FROM uc GROUP BY 1),
+    np AS (SELECT mu AS n_raters FROM
+            (SELECT mu, count(*) AS freq FROM um GROUP BY 1)
+          ORDER BY freq DESC, mu ASC LIMIT 1),
+    kept AS (SELECT uc.* FROM uc JOIN um USING (unit), np
+          WHERE um.mu = np.n_raters),
+    stot AS (SELECT CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+            sum(CAST(nuc AS HUGEINT) * nuc) AS s FROM kept),
+    ctot AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+            sum(CAST(cj AS HUGEINT) * cj) AS c2 FROM
+            (SELECT label, CAST(sum(nuc) AS BIGINT) AS cj
+             FROM kept GROUP BY 1)),
+    dropped AS (SELECT CAST(count(*) AS BIGINT) AS n_units_dropped
+          FROM um, np WHERE um.mu <> np.n_raters),
+    f AS (SELECT n_units, n_raters, n_categories, n_units_dropped,
+            CAST(n_units AS HUGEINT) * n_raters AS nn, s, c2
+          FROM stot, ctot, dropped, np)
+    SELECT n_units, n_raters, n_categories, n_units_dropped,
+      CASE WHEN (nn * nn * (n_raters - 1) - c2 * (n_raters - 1)) = 0
+          OR n_raters < 2 THEN NULL
+        ELSE CAST((1000000 * ((s - nn) * nn - c2 * (n_raters - 1)))
+          // (nn * nn * (n_raters - 1) - c2 * (n_raters - 1)) AS BIGINT)
+        END AS kappa_ppm
+    FROM f"""
+
+  // —————————————————————————————— Heaps'-law vocab growth (q302)
+  // (vocabulary saturation audit: distinct-token count at power-of-2
+  //  document checkpoints in doc_id order, via each token's
+  //  first-occurrence rank — one pass, no per-checkpoint rescans.)
+  val q302VocabGrowth: Q = (s, dir) =>
+    TextOps.vocabGrowth(Tables.documents(s, dir), "text", "doc_id")
+  private val q302Sql: String = """
+    WITH docs AS (SELECT doc_id AS id, text FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    seq AS (SELECT id,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok,
+            CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS doc_seq
+          FROM docs),
+    fs AS (SELECT w, min(doc_seq) AS first_seq FROM
+            (SELECT s2.doc_seq, u.w
+             FROM docs d JOIN seq s2 ON d.id = s2.id,
+               unnest(string_split(lower(d.text), ' ')) u(w)
+             WHERE len(u.w) > 0)
+          GROUP BY 1),
+    nd AS (SELECT max(doc_seq) AS n FROM seq),
+    cps AS (SELECT DISTINCT cp FROM
+            (SELECT CAST(1 << i AS BIGINT) AS cp
+             FROM range(0, 40) t(i), nd WHERE (1 << i) < nd.n
+             UNION ALL SELECT n FROM nd)),
+    vocab AS (SELECT cp, CAST(count(*) AS BIGINT) AS vocab
+          FROM fs JOIN cps ON fs.first_seq <= cps.cp GROUP BY 1),
+    toks AS (SELECT cp, CAST(sum(n_tok) AS BIGINT) AS tokens
+          FROM seq JOIN cps ON seq.doc_seq <= cps.cp GROUP BY 1)
+    SELECT toks.cp AS checkpoint_docs, toks.tokens,
+      COALESCE(vocab.vocab, 0) AS vocab,
+      CASE WHEN toks.tokens > 0
+        THEN CAST((1000000 * COALESCE(vocab.vocab, 0)) // toks.tokens
+          AS BIGINT) END AS vocab_per_mtok
+    FROM toks LEFT JOIN vocab ON toks.cp = vocab.cp"""
+
+  // —————————————————————————————— Good–Turing / Chao1 (q303)
+  // (per-source unseen-vocabulary estimators: coverage 1 − N1/N and
+  //  the Chao1 richness lower bound V + N1²/(2·N2), exact integers
+  //  over the frequency-of-frequencies table.)
+  val q303VocabCoverage: Q = (s, dir) =>
+    TextOps.vocabCoverage(Tables.documents(s, dir), "text", "source")
+  private val q303Sql: String = """
+    WITH tok AS (SELECT d.source, u.w
+          FROM documents d, unnest(string_split(lower(d.text), ' ')) u(w)
+          WHERE d.source IS NOT NULL AND d.text IS NOT NULL
+            AND len(u.w) > 0),
+    tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f
+          FROM tok GROUP BY 1, 2),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+            CAST(sum(f) AS BIGINT) AS tokens,
+            CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM tf GROUP BY 1)
+    SELECT source, vocab, tokens, n1, n2,
+      1000000 - CAST((1000000 * n1) // tokens AS BIGINT) AS coverage_ppm,
+      CASE WHEN n2 > 0 THEN CAST(vocab + (n1 * n1) // (2 * n2) AS BIGINT)
+        END AS chao1
+    FROM agg"""
+
+  // —————————————————————————————— group-aware k-fold audit (q304)
+  // (leakage-safe CV folds: fold is md5(seed|user) mod 7, so every
+  //  event of a user shares a fold; the released artifact is the
+  //  per-fold balance audit, not the data-sized assignment.)
+  val q304KFold: Q = (s, dir) =>
+    Sampling.kFoldAudit(Tables.events(s, dir), "user_id", k = 7)
+  private val q304Sql: String = """
+    WITH pg AS (SELECT user_id AS g, CAST(count(*) AS BIGINT) AS rows_
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    f AS (SELECT CAST(('0x' || substr(md5('fold|1|' ||
+            CAST(g AS VARCHAR)), 1, 8)) AS BIGINT) % 7 AS fold, rows_
+          FROM pg),
+    t AS (SELECT sum(rows_) AS tt FROM f)
+    SELECT fold, CAST(sum(rows_) AS BIGINT) AS n_rows,
+      CAST(count(*) AS BIGINT) AS n_groups,
+      CAST((1000000 * sum(rows_)) // (SELECT tt FROM t) AS BIGINT)
+        AS rows_share_ppm
+    FROM f GROUP BY 1"""
+
+  // —————————————————————————————— Markov stationary dist (q305)
+  // (long-run event-type occupancy: row-normalized ppm transition
+  //  matrix from per-user consecutive pairs, dangling self-loop patch,
+  //  5 unrolled integer power-iteration rounds — one truncating
+  //  div 1e6 per entry per round, pinned in both engines.)
+  val q305MarkovStationary: Q = (s, dir) =>
+    Analytics.markovStationary(Tables.events(s, dir),
+      "user_id", "ts", "event_type", "event_id", iters = 5)
+  private val q305Sql: String = """
+    WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
+            event_type AS st, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND event_id IS NOT NULL),
+    pr AS (SELECT st AS a, lead(st) OVER
+            (PARTITION BY k ORDER BY us, id) AS b FROM ev),
+    cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+          FROM pr WHERE b IS NOT NULL GROUP BY 1, 2),
+    states AS (SELECT DISTINCT s FROM
+            (SELECT a AS s FROM cnt UNION ALL SELECT b FROM cnt)),
+    dang AS (SELECT s AS a, s AS b, CAST(1 AS BIGINT) AS n FROM states
+          WHERE s NOT IN (SELECT DISTINCT a FROM cnt)),
+    full_ AS (SELECT * FROM cnt UNION ALL SELECT * FROM dang),
+    ot AS (SELECT a, sum(n) AS tot FROM full_ GROUP BY 1),
+    p AS (SELECT full_.a, full_.b,
+            CAST((1000000 * full_.n) // ot.tot AS BIGINT) AS p_ppm
+          FROM full_ JOIN ot ON full_.a = ot.a),
+    ns AS (SELECT count(*) AS n FROM states),
+    pi0 AS (SELECT s, CAST(1000000 // (SELECT n FROM ns) AS BIGINT)
+            AS pi FROM states),
+    pi1 AS (SELECT p.b AS s, CAST(sum(pi0.pi * p.p_ppm) // 1000000
+            AS BIGINT) AS pi FROM p JOIN pi0 ON p.a = pi0.s GROUP BY 1),
+    pi2 AS (SELECT p.b AS s, CAST(sum(pi1.pi * p.p_ppm) // 1000000
+            AS BIGINT) AS pi FROM p JOIN pi1 ON p.a = pi1.s GROUP BY 1),
+    pi3 AS (SELECT p.b AS s, CAST(sum(pi2.pi * p.p_ppm) // 1000000
+            AS BIGINT) AS pi FROM p JOIN pi2 ON p.a = pi2.s GROUP BY 1),
+    pi4 AS (SELECT p.b AS s, CAST(sum(pi3.pi * p.p_ppm) // 1000000
+            AS BIGINT) AS pi FROM p JOIN pi3 ON p.a = pi3.s GROUP BY 1),
+    pi5 AS (SELECT p.b AS s, CAST(sum(pi4.pi * p.p_ppm) // 1000000
+            AS BIGINT) AS pi FROM p JOIN pi4 ON p.a = pi4.s GROUP BY 1)
+    SELECT states.s AS event_type, COALESCE(pi5.pi, 0) AS pi_ppm
+    FROM states LEFT JOIN pi5 ON states.s = pi5.s"""
+
+  // —————————————————————————————— ROC curve table (q306)
+  // (the operating-point sweep AUC collapses: one row per distinct
+  //  score with exact confusion counts; cumulative window runs on the
+  //  distinct-score frame only. Score/label from the md5 lattice with
+  //  label probability increasing in score, so the curve bows above
+  //  the diagonal.)
+  val q306RocCurve: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val scored = Tables.events(s, dir)
+      .where(col("event_id").isNotNull)
+      .select(col("event_id").cast("string").as("sid"))
+      .select(
+        (h("rs|", col("sid")) % 1000000).as("score"),
+        when((h("rl|", col("sid")) % 1500000) <
+          (h("rs|", col("sid")) % 1000000) + 250000, 1L)
+          .otherwise(0L).as("y"))
+    Evaluation.rocCurve(scored, "score", "y")
+  }
+  private val q306Sql: String = """
+    WITH sc AS (SELECT
+            CAST(('0x' || substr(md5('rs|' || CAST(event_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 1000000 AS score,
+            CASE WHEN CAST(('0x' || substr(md5('rl|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1500000
+              < CAST(('0x' || substr(md5('rs|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                + 250000
+              THEN 1 ELSE 0 END AS y
+          FROM events WHERE event_id IS NOT NULL),
+    bs AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+            CAST(sum(1 - y) AS BIGINT) AS neg FROM sc GROUP BY 1),
+    cum AS (SELECT score,
+            CAST(sum(pos) OVER w AS BIGINT) AS tp,
+            CAST(sum(neg) OVER w AS BIGINT) AS fp
+          FROM bs WINDOW w AS (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT sum(pos) AS p, sum(neg) AS n FROM bs)
+    SELECT score AS threshold, tp, fp,
+      CAST((SELECT p FROM t) - tp AS BIGINT) AS fn,
+      CAST((SELECT n FROM t) - fp AS BIGINT) AS tn,
+      CASE WHEN (SELECT p FROM t) > 0
+        THEN CAST((1000000 * tp) // (SELECT p FROM t) AS BIGINT)
+        END AS tpr_ppm,
+      CASE WHEN (SELECT n FROM t) > 0
+        THEN CAST((1000000 * fp) // (SELECT n FROM t) AS BIGINT)
+        END AS fpr_ppm
+    FROM cum"""
+
+  // —————————————————————————————— Wald SPRT (q307)
+  // (sequential A/B stop: integer LLR walk with micro-nat constant
+  //  increments — the only floats are four scalar lns rounded to
+  //  micro BEFORE the walk. Experiments are event_type; the success
+  //  lattice gives ~3% or ~9% rates by event_type parity, so both
+  //  H0- and H1-accepting experiments exist. p0=0.05, p1=0.08,
+  //  alpha=beta=0.05.)
+  val q307Sprt: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val obs = Tables.events(s, dir)
+      .where(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (h("sc|", col("event_id").cast("string")) % 1000 <
+          lit(30) + lit(60) * (h("se|", col("event_type")) % 2))
+          .as("succ"))
+    Analytics.sprtDecision(obs, "event_type", "ts", "event_id", "succ",
+      p0 = 0.05, p1 = 0.08)
+  }
+  private val q307Sql: String = """
+    WITH c AS (SELECT
+            CAST(round(1000000 * ln(0.08 / 0.05)) AS BIGINT) AS llrs,
+            CAST(round(1000000 * ln((1 - 0.08) / (1 - 0.05))) AS BIGINT)
+              AS llrf,
+            CAST(round(1000000 * ln((1 - 0.05) / 0.05)) AS BIGINT) AS ba,
+            CAST(round(1000000 * ln(0.05 / (1 - 0.05))) AS BIGINT) AS bb),
+    o AS (SELECT event_type AS e, epoch_us(ts) AS us, event_id AS id,
+            CAST(('0x' || substr(md5('sc|' || CAST(event_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 1000 <
+            30 + 60 * (CAST(('0x' || substr(md5('se|' || event_type),
+              1, 8)) AS BIGINT) % 2) AS succ
+          FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL),
+    wlk AS (SELECT e, succ,
+            CAST(row_number() OVER w AS BIGINT) AS seq,
+            sum(CASE WHEN succ THEN (SELECT llrs FROM c)
+              ELSE (SELECT llrf FROM c) END) OVER w AS llr
+          FROM o WINDOW w AS (PARTITION BY e ORDER BY us, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    agg AS (SELECT e, CAST(count(*) AS BIGINT) AS n_obs,
+            CAST(sum(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_success,
+            min(CASE WHEN llr >= (SELECT ba FROM c) THEN seq END) AS h1,
+            min(CASE WHEN llr <= (SELECT bb FROM c) THEN seq END) AS h0,
+            max_by(llr, seq) AS fin
+          FROM wlk GROUP BY 1)
+    SELECT e AS event_type, n_obs, n_success,
+      CASE WHEN h1 IS NOT NULL AND (h0 IS NULL OR h1 <= h0)
+          THEN 'accept_h1'
+        WHEN h0 IS NOT NULL THEN 'accept_h0'
+        ELSE 'continue' END AS decision,
+      CAST(least(h1, h0) AS BIGINT) AS n_at_decision,
+      CAST(fin AS BIGINT) AS final_llr_micro
+    FROM agg"""
+
+  // —————————————————————————————— curriculum ordering (q308)
+  // (easy-to-hard training schedule: value-aligned difficulty stages
+  //  from the distinct-value cumulative frame, md5 shuffle within
+  //  stage via (bucket, pos) — global order is (stage, bucket, pos)
+  //  by construction, no single-reducer sort.)
+  val q308Curriculum: Q = (s, dir) =>
+    Sampling.curriculumOrder(
+      Tables.documents(s, dir).where(col("n_chars").isNotNull),
+      "doc_id", "n_chars", nStages = 4, nBuckets = 8)
+  private val q308Sql: String = """
+    WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS diff
+          FROM documents WHERE doc_id IS NOT NULL
+            AND n_chars IS NOT NULL),
+    bv AS (SELECT diff, CAST(count(*) AS BIGINT) AS cnt
+          FROM base GROUP BY 1),
+    cum AS (SELECT diff, cnt, sum(cnt) OVER (ORDER BY diff
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+          FROM bv),
+    t AS (SELECT sum(cnt) AS tt FROM bv),
+    st AS (SELECT diff, least(3, CAST((4 * (cum_end - cnt))
+            // (SELECT tt FROM t) AS BIGINT)) AS stage FROM cum),
+    b AS (SELECT base.id, base.diff, st.stage,
+            CAST(('0x' || substr(md5('cur|1|' || CAST(base.id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 8 AS bucket
+          FROM base JOIN st ON base.diff = st.diff)
+    SELECT id, diff, stage, bucket,
+      CAST(row_number() OVER (PARTITION BY stage, bucket
+        ORDER BY md5('pos|1|' || CAST(id AS VARCHAR)), id) AS BIGINT)
+        AS pos
+    FROM b"""
+
   val all: Map[String, Q] = Map(
+    "q301_fleiss" -> q301Fleiss,
+    "q302_vocab_growth" -> q302VocabGrowth,
+    "q303_vocab_coverage" -> q303VocabCoverage,
+    "q304_kfold" -> q304KFold,
+    "q305_markov_stationary" -> q305MarkovStationary,
+    "q306_roc_curve" -> q306RocCurve,
+    "q307_sprt" -> q307Sprt,
+    "q308_curriculum" -> q308Curriculum,
     "q298_cooccurrence" -> q298Cooccurrence,
     "q299_embedding_outliers" -> q299EmbeddingOutliers,
     "q300_dwell" -> q300Dwell,
@@ -3650,6 +3981,14 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q301_fleiss" -> q301Sql,
+    "q302_vocab_growth" -> q302Sql,
+    "q303_vocab_coverage" -> q303Sql,
+    "q304_kfold" -> q304Sql,
+    "q305_markov_stationary" -> q305Sql,
+    "q306_roc_curve" -> q306Sql,
+    "q307_sprt" -> q307Sql,
+    "q308_curriculum" -> q308Sql,
     "q298_cooccurrence" -> q298Sql,
     "q299_embedding_outliers" -> q299Sql,
     "q300_dwell" -> q300Sql,
