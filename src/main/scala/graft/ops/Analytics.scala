@@ -1674,6 +1674,251 @@ object Analytics {
         coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
   }
 
+  /** Benjamini–Hochberg FDR correction — the multiple-testing gate
+    * every wide screen in this engine eventually needs (per-segment
+    * drift tests, per-term chi², per-slice SRM: run 10⁴ tests at
+    * α=.05 and 500 "discoveries" are noise). BH at level q: sort
+    * p-values ascending, find the LARGEST rank i with p₍ᵢ₎ ≤ q·i/m,
+    * reject everything at or below that p. The comparison is exact
+    * integer — `p_ppm·m ≤ q_ppm·i` — so the cutoff is engine-exact,
+    * and the step-up rule ("everything below the LAST passing rank",
+    * including interior ranks that individually fail) is one running
+    * max over the rank order.
+    *
+    * Scale: ranks come from a window over the TEST table — tests are
+    * segments/terms/slices (bounded design artifacts), never raw rows;
+    * the scaladoc contract is |tests| ≪ |data|, same class as the
+    * nBins/centroid frames.
+    */
+  def bhFdr(tests: DataFrame, idCol: String, pPpmCol: String,
+      qPpm: Long = 50000L): DataFrame = {
+    require(qPpm > 0 && qPpm <= 1000000L)
+    val w = Window.orderBy(col("p_ppm"), col("id"))
+    val ranked = tests
+      .where(col(idCol).isNotNull && col(pPpmCol).isNotNull)
+      .select(col(idCol).as("id"), col(pPpmCol).cast("long").as("p_ppm"))
+      .crossJoin(broadcast(tests.agg(
+        count(when(col(idCol).isNotNull && col(pPpmCol).isNotNull, 1))
+          .as("m"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pass", col("p_ppm") * col("m") <= lit(qPpm) * col("rank"))
+      .withColumn("cutoff",
+        max(when(col("pass"), col("rank"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.select(col("id").as(idCol), col("p_ppm"), col("rank"),
+      (col("cutoff").isNotNull && col("rank") <= col("cutoff"))
+        .as("rejected"))
+  }
+
+  /** Null co-occurrence audit — the data-profiling verb single-column
+    * null rates miss: whether columns go missing TOGETHER (one
+    * upstream extractor died) or independently (organic sparsity).
+    * One pass over the data computes, for every requested column pair,
+    * the 2×2 null-contingency counts; the released frame is one row
+    * per pair with the exact counts plus a truncating-ppm φ-style
+    * association (n·n11 − na·nb over the raw counts — kept as exact
+    * products, no square root: `assoc_num` sign says direction,
+    * magnitude is comparable across pairs of the same table).
+    *
+    * Scale: ONE global aggregate (all pair counters are `sum(when)`
+    * columns of the same scan — map-side combinable, no shuffle wider
+    * than one row); the pair explosion happens on the 1-row result.
+    */
+  def nullCooccurrence(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16, "2-16 columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val key = s"${a}__${b}"
+      Seq(
+        sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+          .as(s"both__$key"),
+        sum(when(col(a).isNull && col(b).isNotNull, 1L).otherwise(0L))
+          .as(s"onlya__$key"),
+        sum(when(col(a).isNotNull && col(b).isNull, 1L).otherwise(0L))
+          .as(s"onlyb__$key"))
+    } :+ count(lit(1)).as("n__total")
+    // one-row aggregate, checkpointed so the per-pair selects below
+    // provably reuse it instead of re-scanning the data per pair
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    pairs.map { case (a, b) =>
+      val key = s"${a}__${b}"
+      one.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n__total").as("n"),
+        col(s"both__$key").as("n_both_null"),
+        col(s"onlya__$key").as("n_a_only"),
+        col(s"onlyb__$key").as("n_b_only"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_a_null", col("n_both_null") + col("n_a_only"))
+      .withColumn("n_b_null", col("n_both_null") + col("n_b_only"))
+      .withColumn("assoc_num",
+        col("n") * col("n_both_null") - col("n_a_null") * col("n_b_null"))
+  }
+
+  /** Entropy rate of a keyed state sequence — H(next | current) over
+    * the observed per-key transitions, the predictability number
+    * behind "is this event stream worth modeling" (0 = deterministic
+    * chains, ln S = uniform noise). H = −Σ_ab (n_ab/N)·ln(n_ab/n_a);
+    * each pair's `ln` is pinned to micro-nats from the INTEGER count
+    * ratio (`round(10⁶·ln(n_ab/n_a))` — the q113 discipline: one
+    * bounded float per (a,b) cell, both engines round the same double),
+    * then the data-sized weighting `Σ n_ab·t_ab div N` is exact
+    * integer. Scale: the lag window + one (a,b) grouped count; the
+    * cell table is S²-bounded.
+    */
+  def entropyRate(events: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(stateCol).as("a"),
+        lead(col(stateCol), 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+    val cells = pairs.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+    val rowTot = cells.groupBy("a").agg(sum("nab").as("na"))
+    cells.join(rowTot, "a")
+      .select(col("nab"),
+        round(lit(1e6) * log(col("nab").cast("double") /
+          col("na").cast("double"))).cast("long").as("t"))
+      .agg(sum("nab").as("n_transitions"),
+        expr("-(sum(nab * t)) div sum(nab)").as("entropy_rate_micro"))
+  }
+
+  /** Hill tail-index estimator — the heavy-tail audit behind
+    * truncation policy ("how fast do extreme document lengths / prices
+    * / latencies fall off"): over the top k+1 order statistics,
+    * 1/α̂ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎). The k+1 extremes come from
+    * `orderBy desc limit k+1` — TakeOrderedAndProject, per-partition
+    * top-k + driver merge, never a global sort — values are pinned to
+    * integer micro first, each of the k lns is rounded to micro-nats
+    * (bounded float count = k, the q113 class), and the mean + the
+    * α̂ inversion are truncating integer divisions.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, tieCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 10000)
+    val vals = df
+      .where(col(valueCol).isNotNull && col(valueCol) > 0 &&
+        col(tieCol).isNotNull)
+      .select(round(col(valueCol).cast("double") * 1e6).cast("long")
+        .as("v_micro"), col(tieCol).as("tie"))
+      .orderBy(col("v_micro").desc, col("tie").asc)
+      .limit(k + 1)
+    val wDesc = Window.orderBy(col("v_micro").desc, col("tie").asc)
+    val ranked = vals.withColumn("r", row_number().over(wDesc))
+    val xk1 = ranked.where(col("r") === k + 1)
+      .select(col("v_micro").as("x_k1"))
+    ranked.where(col("r") <= k)
+      .crossJoin(broadcast(xk1))
+      .select(round(lit(1e6) * log(col("v_micro").cast("double") /
+        col("x_k1").cast("double"))).cast("long").as("t"),
+        col("x_k1"))
+      .groupBy("x_k1")
+      .agg(count(lit(1)).as("k"),
+        expr("sum(t) div count(1)").as("hill_inv_micro"))
+      .select(col("k"), col("x_k1"),
+        col("hill_inv_micro"),
+        when(col("hill_inv_micro") > 0,
+          expr("1000000000000 div hill_inv_micro")).as("alpha_micro"))
+  }
+
+  /** Herfindahl–Hirschman concentration per group — "is this segment's
+    * activity spread across many members or owned by a few" (crawl
+    * health: one domain dominating a source; marketplace health: one
+    * seller owning a category). Shares are truncating ppm of member
+    * counts; HHI = Σ s² div 10⁶ stays ppm (10⁶ = monopoly); the
+    * effective member count 10¹²/HHI rides along (the intuitive
+    * "equivalent equal members" reading). Two grouped counts, both
+    * map-side combinable.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String,
+      memberCol: String): DataFrame = {
+    val m = df.where(col(groupCol).isNotNull && col(memberCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(memberCol).as("mb"))
+      .agg(count(lit(1)).as("n"))
+    val tot = m.groupBy("g").agg(sum("n").as("tot"),
+      count(lit(1)).as("n_members"))
+    m.join(tot, "g")
+      .select(col("g"), col("n_members"),
+        expr("(1000000 * n) div tot").as("s_ppm"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n_members").as("n_members"),
+        expr("sum(s_ppm * s_ppm) div 1000000").as("hhi_ppm"))
+      .withColumn("effective_n_milli",
+        when(col("hhi_ppm") > 0, expr("1000000000 div hhi_ppm")))
+  }
+
+  /** Sample-ratio-mismatch guard — the FIRST check any split/experiment
+    * readout must pass: do the observed bucket counts match the design
+    * weights? A biased assignment invalidates everything downstream,
+    * and SRM is how it is caught (χ² against expected counts). All
+    * integer: expected `e = (N·w) div Σw`, statistic in milli-units
+    * `Σ ((o−e)²·1000) div e`, flag at the χ²(df) 95% critical value
+    * supplied by the caller in milli (3841 for 2 buckets). One grouped
+    * count + a buckets-sized fold.
+    */
+  def srmCheck(df: DataFrame, expCol: String, bucketCol: String,
+      weights: Seq[(String, Int)],
+      critMilli: Long = 3841L): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).forall(_ > 0))
+    val wSum = weights.map(_._2).sum
+    val sparkSess = df.sparkSession
+    import sparkSess.implicits._
+    val wDf = weights.toDF("bucket", "w")
+    val obs = df.where(col(expCol).isNotNull && col(bucketCol).isNotNull)
+      .groupBy(col(expCol).as("e"), col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val n = obs.groupBy("e").agg(sum("o").as("n"))
+    obs.join(broadcast(wDf), "bucket").join(n, "e")
+      .select(col("e"), col("o"), col("n"),
+        expr(s"(n * w) div $wSum").as("exp_"))
+      .where(col("exp_") > 0)
+      .groupBy(col("e").as(expCol))
+      .agg(max("n").as("n"), count(lit(1)).as("n_buckets"),
+        sum(expr("((o - exp_) * (o - exp_) * 1000) div exp_"))
+          .as("chi2_milli"))
+      .withColumn("srm_flag", col("chi2_milli") > critMilli)
+  }
+
+  /** Exact Mann–Whitney U — the nonparametric two-sample location test
+    * next to [[ksDistance]] (KS asks "same distribution?", U asks
+    * "does one group stochastically dominate?"). Computed entirely on
+    * the DISTINCT-value frame (the weighted-percentiles discipline):
+    * per value, the DOUBLED midrank `2·cum_before + cnt + 1` is an
+    * integer even for tied averages, so R₁ and U₁ = R₁ − n₁(n₁+1) stay
+    * exact doubled integers; the released effect size is the
+    * common-language `P(X₁ > X₂) + ½P(=)` as truncating ppm
+    * `10⁶·U₁d div (2·n₁·n₂)`. No normal approximation, no floats.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"),
+        col(groupCol).cast("boolean").as("g1"))
+    val byVal = base.groupBy("v")
+      .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("n1v"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2v"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("cum", sum(col("n1v") + col("n2v")).over(wCum))
+      .select(col("n1v"), col("n2v"),
+        (lit(2L) * (col("cum") - col("n1v") - col("n2v")) +
+          col("n1v") + col("n2v") + 1L).as("mid2"))
+      .agg(sum("n1v").as("n1"), sum("n2v").as("n2"),
+        sum(col("n1v") * col("mid2")).as("r1d"))
+      .select(col("n1"), col("n2"),
+        (col("r1d") - col("n1") * (col("n1") + 1)).as("u1_doubled"))
+      .select(col("n1"), col("n2"), col("u1_doubled"),
+        (lit(2L) * col("n1") * col("n2") - col("u1_doubled"))
+          .as("u2_doubled"),
+        when(col("n1") > 0 && col("n2") > 0,
+          expr("(1000000 * u1_doubled) div (2 * n1 * n2)"))
+          .as("cles_ppm"))
+  }
+
   /** Wald SPRT — the SEQUENTIAL A/B decision the fixed-horizon tests
     * ([[abTestSummary]]-style) cannot give: walk the observation
     * stream in event order, accumulate the log-likelihood ratio of

@@ -1005,4 +1005,82 @@ object TextOps {
           col("vocab") + expr("(n1 * n1) div (2 * n2)"))
           .cast("long").as("chao1"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between sources' token
+    * distributions — the bounded, symmetric corpus-comparison number
+    * ("how differently do these two sources speak", 0 = identical,
+    * ln 2 ≈ 693147 micro-nats = disjoint vocabularies) that KL cannot
+    * give (KL explodes on any token one side lacks; JS's mixture
+    * midpoint absorbs it).
+    *
+    * The float surface is ONE `ln` per (pair, token), of a ratio of
+    * exact integer counts — `2·pc·Q / (pc·Q + qc·P)` is the algebraic
+    * form of `2p/(p+q)` with the totals cleared, so the argument is
+    * engine-exact — rounded to micro-nats before the weighted sum
+    * (q113 discipline); the data-sized weighting `Σ pc·t div 2P` is
+    * then exact integer. Absent tokens contribute the CLOSED-FORM
+    * `ln 2` term, no smoothing fiction.
+    *
+    * Scale: one (source, token) grouped count, then a token-keyed
+    * INNER self-join for the shared vocabulary only — the
+    * absent-on-one-side mass needs no join at all, because
+    * Σ_{only-in-A} p_w = (P − Σ_shared pc)/P and each such token's
+    * term is exactly ln 2; the tail is closed-form from the totals.
+    * Work ∝ shared vocabulary per pair; sources² is a design-time
+    * handful.
+    */
+  def jsDivergence(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val LN2 = 693147L // round(1e6 * ln 2) — the absent-token term
+    val dec = "decimal(38,0)"
+    val tf = df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("src"),
+        explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("src").agg(sum("c").as("t"))
+    val a = tf.select(col("src").as("sa"), col("w"), col("c").as("pc"))
+    val b = tf.select(col("src").as("sb"), col("w"), col("c").as("qc"))
+    val totA = tot.select(col("src").as("sa"), col("t").as("pt"))
+    val totB = tot.select(col("src").as("sb"), col("t").as("qt"))
+    // exact decimal cross-products cleared of the totals:
+    // 2p/(p+q) = 2·pc·Q / (pc·Q + qc·P); the ONE float per (pair,
+    // token) is the ln of that decimal→double ratio, rounded to micro
+    val terms = a.join(b, Seq("w")).where(col("sa") < col("sb"))
+      .join(broadcast(totA), "sa").join(broadcast(totB), "sb")
+      .select(col("sa"), col("sb"), col("pc"), col("qc"),
+        expr(s"cast(pc as $dec) * qt").as("pq"),
+        expr(s"cast(qc as $dec) * pt").as("qp"))
+      .select(col("sa"), col("sb"), col("pc"), col("qc"),
+        round(lit(1e6) * log(lit(2.0) * col("pq").cast("double") /
+          (col("pq") + col("qp")).cast("double"))).cast("long").as("tp"),
+        round(lit(1e6) * log(lit(2.0) * col("qp").cast("double") /
+          (col("pq") + col("qp")).cast("double"))).cast("long").as("tq"))
+      .groupBy("sa", "sb")
+      .agg(sum(expr(s"cast(pc as $dec) * tp")).as("sp"),
+        sum(expr(s"cast(qc as $dec) * tq")).as("sq"),
+        sum("pc").as("shared_p"), sum("qc").as("shared_q"),
+        count(lit(1)).as("n_shared_tokens"))
+    totA.crossJoin(totB).where(col("sa") < col("sb"))
+      .join(terms, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        coalesce(col("n_shared_tokens"), lit(0L)).as("n_shared_tokens"),
+        ((coalesce(col("sp"), lit(0).cast(dec)) +
+          expr(s"cast((pt - coalesce(shared_p, 0)) as $dec)") * LN2)
+          .cast(dec).as("half_a")),
+        ((coalesce(col("sq"), lit(0).cast(dec)) +
+          expr(s"cast((qt - coalesce(shared_q, 0)) as $dec)") * LN2)
+          .cast(dec).as("half_b")),
+        col("pt"), col("qt"))
+      .select(col("source_a"), col("source_b"), col("n_shared_tokens"),
+        // each half is a KL(·‖m) ≥ 0 mathematically; per-term micro
+        // rounding can push a near-identical pair a few micro negative,
+        // and Spark's div TRUNCATES where DuckDB's // FLOORS on
+        // negatives — clamp at 0 so the engines cannot diverge there
+        (expr(s"greatest(cast(0 as $dec), half_a) div " +
+            s"(2 * cast(pt as $dec))") +
+          expr(s"greatest(cast(0 as $dec), half_b) div " +
+            s"(2 * cast(qt as $dec))"))
+          .cast("long").as("js_micro"))
+  }
 }

@@ -3878,7 +3878,305 @@ object ExtraQueries {
         AS pos
     FROM b"""
 
+  // —————————————————————————————— Benjamini–Hochberg FDR (q309)
+  // (step-up multiple-testing gate over a planted p-value lattice:
+  //  ~1/8 of units get p/100 so a discovery set exists; exact integer
+  //  comparison p·m ≤ q·i.)
+  val q309BhFdr: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val tests = Tables.events(s, dir)
+      .where(col("event_id").isNotNull)
+      .select((col("event_id") % 256).as("unit")).distinct()
+      .select(col("unit"),
+        when(h("bq|", col("unit").cast("string")) % 8 === 0,
+          expr("null")).otherwise(lit(1)).as("_plant"),
+        (h("bp|", col("unit").cast("string")) % 1000000).as("p_raw"))
+      .select(col("unit"),
+        when(col("_plant").isNull, expr("p_raw div 100"))
+          .otherwise(col("p_raw")).as("p_ppm"))
+    Analytics.bhFdr(tests, "unit", "p_ppm", qPpm = 50000L)
+  }
+  private val q309Sql: String = """
+    WITH u AS (SELECT DISTINCT event_id % 256 AS unit FROM events
+          WHERE event_id IS NOT NULL),
+    t AS (SELECT unit,
+            CASE WHEN CAST(('0x' || substr(md5('bq|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 8 = 0
+              THEN (CAST(('0x' || substr(md5('bp|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) // 100
+              ELSE CAST(('0x' || substr(md5('bp|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+              END AS p_ppm
+          FROM u),
+    m AS (SELECT count(*) AS m FROM t),
+    rk AS (SELECT unit, p_ppm,
+            CAST(row_number() OVER (ORDER BY p_ppm, unit) AS BIGINT)
+              AS rank,
+            p_ppm * (SELECT m FROM m) <= 50000 * CAST(row_number()
+              OVER (ORDER BY p_ppm, unit) AS BIGINT) AS pass
+          FROM t),
+    cut AS (SELECT max(CASE WHEN pass THEN rank END) AS c FROM rk)
+    SELECT unit, p_ppm, rank,
+      (SELECT c FROM cut) IS NOT NULL AND rank <= (SELECT c FROM cut)
+        AS rejected
+    FROM rk"""
+
+  // —————————————————————————————— null co-occurrence audit (q310)
+  // (one-pass 2×2 null-contingency per column pair over md5-derived
+  //  null patterns: c's nulls are a subset of a's → positive assoc,
+  //  b independent.)
+  val q310NullCooccur: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val base = Tables.events(s, dir)
+      .where(col("event_id").isNotNull)
+      .select(
+        when(h("na|", col("event_id").cast("string")) % 4 === 0,
+          lit(null).cast("long")).otherwise(col("user_id")).as("a"),
+        when(h("nb|", col("event_id").cast("string")) % 4 < 2,
+          lit(null).cast("string")).otherwise(col("event_type")).as("b"),
+        when(h("na|", col("event_id").cast("string")) % 8 === 0,
+          lit(null).cast("double")).otherwise(col("value")).as("c"))
+    Analytics.nullCooccurrence(base, Seq("a", "b", "c"))
+  }
+  private val q310Sql: String = """
+    WITH base AS (SELECT
+            CASE WHEN CAST(('0x' || substr(md5('na|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+              THEN NULL ELSE user_id END AS a,
+            CASE WHEN CAST(('0x' || substr(md5('nb|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 < 2
+              THEN NULL ELSE event_type END AS b,
+            CASE WHEN CAST(('0x' || substr(md5('na|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 = 0
+              THEN NULL ELSE value END AS c
+          FROM events WHERE event_id IS NOT NULL),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ab_both,
+            CAST(sum(CASE WHEN a IS NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ab_a,
+            CAST(sum(CASE WHEN a IS NOT NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ab_b,
+            CAST(sum(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ac_both,
+            CAST(sum(CASE WHEN a IS NULL AND c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ac_a,
+            CAST(sum(CASE WHEN a IS NOT NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ac_b,
+            CAST(sum(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bc_both,
+            CAST(sum(CASE WHEN b IS NULL AND c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bc_a,
+            CAST(sum(CASE WHEN b IS NOT NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bc_b
+          FROM base),
+    rows_ AS (
+      SELECT 'a' AS col_a, 'b' AS col_b, n, ab_both AS n_both_null,
+        ab_a AS n_a_only, ab_b AS n_b_only FROM agg
+      UNION ALL SELECT 'a', 'c', n, ac_both, ac_a, ac_b FROM agg
+      UNION ALL SELECT 'b', 'c', n, bc_both, bc_a, bc_b FROM agg)
+    SELECT col_a, col_b, n, n_both_null, n_a_only, n_b_only,
+      n_both_null + n_a_only AS n_a_null,
+      n_both_null + n_b_only AS n_b_null,
+      n * n_both_null - (n_both_null + n_a_only) *
+        (n_both_null + n_b_only) AS assoc_num
+    FROM rows_"""
+
+  // —————————————————————————————— entropy rate (q311)
+  // (H(next|current) over per-user event-type transitions; one pinned
+  //  micro-nat ln per S² cell, exact integer weighting.)
+  val q311EntropyRate: Q = (s, dir) =>
+    Analytics.entropyRate(Tables.events(s, dir),
+      "user_id", "ts", "event_type", "event_id")
+  private val q311Sql: String = """
+    WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
+            event_type AS st, event_id AS id
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND event_id IS NOT NULL),
+    pr AS (SELECT st AS a, lead(st) OVER
+            (PARTITION BY k ORDER BY us, id) AS b FROM ev),
+    cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nab
+          FROM pr WHERE b IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT a, sum(nab) AS na FROM cells GROUP BY 1),
+    t AS (SELECT cells.nab,
+            CAST(round(1000000 * ln(CAST(cells.nab AS DOUBLE) / rt.na))
+              AS BIGINT) AS t
+          FROM cells JOIN rt ON cells.a = rt.a)
+    SELECT CAST(sum(nab) AS BIGINT) AS n_transitions,
+      CAST((-(sum(nab * t))) // sum(nab) AS BIGINT)
+        AS entropy_rate_micro
+    FROM t"""
+
+  // —————————————————————————————— Hill tail index (q312)
+  // (heavy-tail exponent of the event value distribution from the top
+  //  101 order statistics — TakeOrdered, micro-pinned lns.)
+  val q312HillTail: Q = (s, dir) =>
+    Analytics.hillTailIndex(Tables.events(s, dir),
+      "value", "event_id", k = 100)
+  private val q312Sql: String = """
+    WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS vm,
+            event_id AS id
+          FROM events WHERE value IS NOT NULL AND value > 0
+            AND event_id IS NOT NULL),
+    top_ AS (SELECT vm, row_number() OVER (ORDER BY vm DESC, id ASC)
+            AS r FROM v ORDER BY vm DESC, id ASC LIMIT 101),
+    xk AS (SELECT vm AS x_k1 FROM top_ WHERE r = 101),
+    t AS (SELECT CAST(round(1000000 * ln(CAST(top_.vm AS DOUBLE)
+            / xk.x_k1)) AS BIGINT) AS t, xk.x_k1
+          FROM top_, xk WHERE top_.r <= 100)
+    SELECT CAST(count(*) AS BIGINT) AS k, x_k1,
+      CAST(sum(t) // count(*) AS BIGINT) AS hill_inv_micro,
+      CASE WHEN sum(t) // count(*) > 0
+        THEN CAST(1000000000000 // (sum(t) // count(*)) AS BIGINT)
+        END AS alpha_micro
+    FROM t GROUP BY x_k1"""
+
+  // —————————————————————————————— HHI concentration (q313)
+  // (per event_type: is activity spread across users or owned by a
+  //  few — ppm shares, HHI, effective member count.)
+  val q313Hhi: Q = (s, dir) =>
+    Analytics.hhiConcentration(Tables.events(s, dir),
+      "event_type", "user_id")
+  private val q313Sql: String = """
+    WITH m AS (SELECT event_type AS g, user_id AS mb,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE event_type IS NOT NULL
+            AND user_id IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT g, sum(n) AS tot, CAST(count(*) AS BIGINT)
+            AS n_members FROM m GROUP BY 1),
+    sh AS (SELECT m.g, tt.n_members,
+            CAST((1000000 * m.n) // tt.tot AS BIGINT) AS s
+          FROM m JOIN tt ON m.g = tt.g)
+    SELECT g AS event_type, max(n_members) AS n_members,
+      CAST(sum(s * s) // 1000000 AS BIGINT) AS hhi_ppm,
+      CASE WHEN sum(s * s) // 1000000 > 0
+        THEN CAST(1000000000 // (sum(s * s) // 1000000) AS BIGINT)
+        END AS effective_n_milli
+    FROM sh GROUP BY 1"""
+
+  // —————————————————————————————— SRM guard (q314)
+  // (sample-ratio-mismatch χ² per event_type experiment on a 50/50
+  //  design; the md5 bucket lattice biases odd-hash experiments to
+  //  ~80/20 so both flag outcomes exist.)
+  val q314Srm: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val assigned = Tables.events(s, dir)
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        when(h("srm|", col("user_id").cast("string")) % 100 <
+          lit(50) + lit(30) * (h("sb|", col("event_type")) % 2),
+          lit("a")).otherwise(lit("b")).as("bucket"))
+    Analytics.srmCheck(assigned, "event_type", "bucket",
+      Seq("a" -> 50, "b" -> 50))
+  }
+  private val q314Sql: String = """
+    WITH o AS (SELECT event_type AS e,
+            CASE WHEN CAST(('0x' || substr(md5('srm|' ||
+                CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
+              50 + 30 * (CAST(('0x' || substr(md5('sb|' || event_type),
+                1, 8)) AS BIGINT) % 2)
+              THEN 'a' ELSE 'b' END AS bucket,
+            CAST(count(*) AS BIGINT) AS o
+          FROM events WHERE event_type IS NOT NULL
+            AND user_id IS NOT NULL GROUP BY 1, 2),
+    n AS (SELECT e, sum(o) AS n FROM o GROUP BY 1),
+    x AS (SELECT o.e, o.o, n.n, (n.n * 50) // 100 AS e_
+          FROM o JOIN n ON o.e = n.e WHERE (n.n * 50) // 100 > 0)
+    SELECT e AS event_type, max(n) AS n,
+      CAST(count(*) AS BIGINT) AS n_buckets,
+      CAST(sum(((o - e_) * (o - e_) * 1000) // e_) AS BIGINT)
+        AS chi2_milli,
+      CAST(sum(((o - e_) * (o - e_) * 1000) // e_) AS BIGINT) > 3841
+        AS srm_flag
+    FROM x GROUP BY 1"""
+
+  // —————————————————————————————— Mann–Whitney U (q315)
+  // (exact doubled-midrank U on the distinct-value frame: do
+  //  even-doc_id documents stochastically dominate odd ones in
+  //  n_chars? CLES in ppm, no normal approximation.)
+  val q315MannWhitney: Q = (s, dir) =>
+    Analytics.mannWhitneyU(
+      Tables.documents(s, dir)
+        .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("n_chars").as("v"), (col("doc_id") % 2 === 0).as("g")),
+      "v", "g")
+  private val q315Sql: String = """
+    WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v,
+            doc_id % 2 = 0 AS g1 FROM documents
+          WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+    bv AS (SELECT v,
+            CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+            CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2v
+          FROM base GROUP BY 1),
+    mid AS (SELECT n1v, n2v,
+            2 * (sum(n1v + n2v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n1v - n2v) + n1v + n2v + 1 AS mid2
+          FROM bv),
+    agg AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+            CAST(sum(n2v) AS BIGINT) AS n2,
+            CAST(sum(n1v * mid2) AS BIGINT) AS r1d FROM mid)
+    SELECT n1, n2,
+      r1d - n1 * (n1 + 1) AS u1_doubled,
+      2 * n1 * n2 - (r1d - n1 * (n1 + 1)) AS u2_doubled,
+      CASE WHEN n1 > 0 AND n2 > 0
+        THEN CAST((1000000 * (r1d - n1 * (n1 + 1))) // (2 * n1 * n2)
+          AS BIGINT) END AS cles_ppm
+    FROM agg"""
+
+  // —————————————————————————————— Jensen–Shannon divergence (q316)
+  // (pairwise corpus-language distance between five sources: shared
+  //  vocabulary joined, absent-token mass closed-form ln 2; halves
+  //  clamped at 0 before the truncating div so Spark's trunc and
+  //  DuckDB's floor cannot diverge on rounding-negative halves.)
+  val q316JsDivergence: Q = (s, dir) =>
+    TextOps.jsDivergence(
+      Tables.documents(s, dir)
+        .where(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+      "text", "source")
+  private val q316Sql: String = """
+    WITH tf AS (SELECT d.source AS src, u.w,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents d,
+            unnest(string_split(lower(d.text), ' ')) u(w)
+          WHERE d.source IN ('src0','src1','src2','src3','src4')
+            AND d.text IS NOT NULL AND len(u.w) > 0
+          GROUP BY 1, 2),
+    tot AS (SELECT src, sum(c) AS t FROM tf GROUP BY 1),
+    sh AS (SELECT a.src AS sa, b.src AS sb, a.c AS pc, b.c AS qc,
+            CAST(a.c AS HUGEINT) * tb.t AS pq,
+            CAST(b.c AS HUGEINT) * ta.t AS qp
+          FROM tf a JOIN tf b ON a.w = b.w AND a.src < b.src
+            JOIN tot ta ON ta.src = a.src
+            JOIN tot tb ON tb.src = b.src),
+    tm AS (SELECT sa, sb, pc, qc,
+            CAST(round(1000000 * ln(2.0 * CAST(pq AS DOUBLE)
+              / CAST(pq + qp AS DOUBLE))) AS BIGINT) AS tp,
+            CAST(round(1000000 * ln(2.0 * CAST(qp AS DOUBLE)
+              / CAST(pq + qp AS DOUBLE))) AS BIGINT) AS tq
+          FROM sh),
+    ag AS (SELECT sa, sb,
+            sum(CAST(pc AS HUGEINT) * tp) AS sp,
+            sum(CAST(qc AS HUGEINT) * tq) AS sq,
+            CAST(sum(pc) AS BIGINT) AS shared_p,
+            CAST(sum(qc) AS BIGINT) AS shared_q,
+            CAST(count(*) AS BIGINT) AS n_shared_tokens
+          FROM tm GROUP BY 1, 2),
+    pr AS (SELECT ta.src AS sa, tb.src AS sb, ta.t AS pt, tb.t AS qt
+          FROM tot ta, tot tb WHERE ta.src < tb.src)
+    SELECT pr.sa AS source_a, pr.sb AS source_b,
+      COALESCE(ag.n_shared_tokens, 0) AS n_shared_tokens,
+      CAST(greatest(CAST(0 AS HUGEINT), COALESCE(ag.sp, 0)
+          + CAST(pr.pt - COALESCE(ag.shared_p, 0) AS HUGEINT) * 693147)
+        // (2 * CAST(pr.pt AS HUGEINT))
+      + greatest(CAST(0 AS HUGEINT), COALESCE(ag.sq, 0)
+          + CAST(pr.qt - COALESCE(ag.shared_q, 0) AS HUGEINT) * 693147)
+        // (2 * CAST(pr.qt AS HUGEINT)) AS BIGINT) AS js_micro
+    FROM pr LEFT JOIN ag ON pr.sa = ag.sa AND pr.sb = ag.sb"""
+
   val all: Map[String, Q] = Map(
+    "q309_bh_fdr" -> q309BhFdr,
+    "q310_null_cooccur" -> q310NullCooccur,
+    "q311_entropy_rate" -> q311EntropyRate,
+    "q312_hill_tail" -> q312HillTail,
+    "q313_hhi" -> q313Hhi,
+    "q314_srm" -> q314Srm,
+    "q315_mann_whitney" -> q315MannWhitney,
+    "q316_js_divergence" -> q316JsDivergence,
     "q301_fleiss" -> q301Fleiss,
     "q302_vocab_growth" -> q302VocabGrowth,
     "q303_vocab_coverage" -> q303VocabCoverage,
@@ -3981,6 +4279,14 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q309_bh_fdr" -> q309Sql,
+    "q310_null_cooccur" -> q310Sql,
+    "q311_entropy_rate" -> q311Sql,
+    "q312_hill_tail" -> q312Sql,
+    "q313_hhi" -> q313Sql,
+    "q314_srm" -> q314Sql,
+    "q315_mann_whitney" -> q315Sql,
+    "q316_js_divergence" -> q316Sql,
     "q301_fleiss" -> q301Sql,
     "q302_vocab_growth" -> q302Sql,
     "q303_vocab_coverage" -> q303Sql,

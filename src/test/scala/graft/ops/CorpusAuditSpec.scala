@@ -218,4 +218,129 @@ class CorpusAuditSpec extends SparkSpec {
       .select("stage").as[Long].collect()
     assert(got.toSet == Set(0L))
   }
+
+  // ——————————————————————————————————————————— BH FDR
+
+  test("bhFdr: step-up rescues an interior rank that fails alone") {
+    // m=4, q=0.05: rank2 fails its own bar (30000·4 > 50000·2) but
+    // rank3 passes (37000·4 ≤ 150000) → cutoff 3 rejects ranks 1-3.
+    val t = Seq(("t1", 10000L), ("t2", 30000L), ("t3", 37000L),
+      ("t4", 900000L)).toDF("id", "p")
+    val got = Analytics.bhFdr(t, "id", "p", qPpm = 50000L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map("t1" -> true, "t2" -> true, "t3" -> true,
+      "t4" -> false))
+  }
+
+  test("bhFdr: nothing passes → nothing rejected") {
+    val t = Seq(("a", 500000L), ("b", 900000L)).toDF("id", "p")
+    val got = Analytics.bhFdr(t, "id", "p", qPpm = 50000L)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall(!_._4))
+  }
+
+  // ——————————————————————————————————————————— null co-occurrence
+
+  test("nullCooccurrence: exact 2x2 counts and association sign") {
+    val df = Seq[(Option[Long], Option[String], Option[Long])](
+      (None, None, Some(1L)), (None, None, Some(2L)),
+      (Some(1L), Some("x"), None), (Some(2L), Some("y"), Some(3L)))
+      .toDF("a", "b", "c")
+    val got = Analytics.nullCooccurrence(df, Seq("a", "b", "c"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // a,b null together on rows 1-2, never apart → assoc positive
+    val ab = got(("a", "b"))
+    assert(ab._4 == 2L && ab._5 == 0L && ab._6 == 0L)
+    assert(ab._9 == 4L * 2L - 2L * 2L) // n·n11 − na·nb = 4
+    // a,c: a null rows 1-2 (c present), c null row 3 (a present):
+    // never together → negative association
+    val ac = got(("a", "c"))
+    assert(ac._4 == 0L && ac._5 == 2L && ac._6 == 1L && ac._9 == -2L)
+  }
+
+  // ——————————————————————————————————————————— entropy rate
+
+  test("entropyRate: deterministic chain 0, fair branch ln 2") {
+    val det = Seq((1L, 1L, "A", 1L), (1L, 2L, "B", 2L),
+        (1L, 3L, "A", 3L), (1L, 4L, "B", 4L))
+      .toDF("u", "ts", "st", "id")
+    assert(Analytics.entropyRate(det, "u", "ts", "st", "id")
+      .as[(Long, Long)].collect().head == ((3L, 0L)))
+    val branch = Seq((1L, 1L, "A", 1L), (1L, 2L, "B", 2L),
+        (2L, 1L, "A", 3L), (2L, 2L, "C", 4L))
+      .toDF("u", "ts", "st", "id")
+    assert(Analytics.entropyRate(branch, "u", "ts", "st", "id")
+      .as[(Long, Long)].collect().head == ((2L, 693147L)))
+  }
+
+  // ——————————————————————————————————————————— Hill tail index
+
+  test("hillTailIndex: hand logs over powers of two") {
+    val df = Seq((8.0, 1L), (4.0, 2L), (2.0, 3L), (1.0, 4L))
+      .toDF("v", "id")
+    val got = Analytics.hillTailIndex(df, "v", "id", k = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    // terms ln8, ln4, ln2 → (2079442 + 1386294 + 693147) div 3
+    val inv = (2079442L + 1386294L + 693147L) / 3L
+    assert(got == ((3L, 1000000L, inv, Some(1000000000000L / inv))))
+  }
+
+  // ——————————————————————————————————————————— HHI
+
+  test("hhiConcentration: hand shares, monopoly is exactly 1e6") {
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 10L), ("g", 20L),
+      ("m", 5L), ("m", 5L)).toDF("seg", "u")
+    val got = Analytics.hhiConcentration(df, "seg", "u")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // g: shares 750000/250000 → hhi 625000, eff 1.6 members
+    assert(got("g") == (("g", 2L, 625000L, Some(1600L))))
+    assert(got("m") == (("m", 1L, 1000000L, Some(1000L))))
+  }
+
+  // ——————————————————————————————————————————— SRM
+
+  test("srmCheck: 60/40 on a 50/50 design flags, 55/45 does not") {
+    val rows = ((1 to 60).map(i => ("e1", "a", i)) ++
+      (1 to 40).map(i => ("e1", "b", i)) ++
+      (1 to 55).map(i => ("e2", "a", i)) ++
+      (1 to 45).map(i => ("e2", "b", i))).toDF("e", "bucket", "i")
+    val got = Analytics.srmCheck(rows, "e", "bucket",
+        Seq("a" -> 50, "b" -> 50))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("e1") == (("e1", 100L, 2L, 4000L, true)))
+    assert(got("e2") == (("e2", 100L, 2L, 1000L, false)))
+  }
+
+  // ——————————————————————————————————————————— Mann–Whitney U
+
+  test("mannWhitneyU: separated groups give U1 = 0, tie adds a half") {
+    val sep = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "g")
+    assert(Analytics.mannWhitneyU(sep, "v", "g")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((2L, 2L, 0L, 8L, Some(0L))))
+    val tied = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "g")
+    assert(Analytics.mannWhitneyU(tied, "v", "g")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((2L, 2L, 1L, 7L, Some(125000L)))) // one tied pair = ½
+  }
+
+  // ——————————————————————————————————————————— JS divergence
+
+  test("jsDivergence: identical 0, half-overlap ½ln2, disjoint ~ln2") {
+    val df = Seq(("s1", "a b"), ("s2", "a c"), ("s3", "a b"),
+      ("s4", "x y")).toDF("source", "text")
+    val got = TextOps.jsDivergence(df, "text", "source")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("s1", "s3"))._4 == 0L)        // identical
+    assert(got(("s1", "s2"))._4 == 346572L)   // ½ln2 − truncation
+    assert(got(("s1", "s4"))._4 == 693146L)   // ln2 − truncation
+    assert(got.size == 6)                      // all pairs released
+  }
 }
