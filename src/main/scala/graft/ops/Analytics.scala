@@ -1919,6 +1919,124 @@ object Analytics {
           .as("cles_ppm"))
   }
 
+  /** Weight-of-evidence + information value per feature bin — the
+    * credit-scoring-style feature screen next to [[mutualInfo]] (MI
+    * says "dependent or not"; WoE says in WHICH DIRECTION each bin
+    * separates the classes, and IV totals the separation strength on
+    * the conventional <0.02 useless / >0.3 strong ladder). Per bin:
+    * WoE = ln(dist_good/dist_bad) with the ratio CLEARED of the totals
+    * (`g_i·B / b_i·G` — exact integer argument, one pinned micro-nat
+    * ln per bin); the IV contribution weight `(g_i·B − b_i·G)/(G·B)`
+    * is exact decimal with ONE truncating div at the very end.
+    * One-sided bins (zero goods or zero bads) release a NULL WoE and
+    * are excluded from IV AND from the G/B totals — the distributions
+    * renormalize over the bins that actually participate, so the IV
+    * contributions still sum to a proper divergence; the standard
+    * alternative (additive smoothing) invents evidence, and the null
+    * is the honest flag that the bin needs merging. Scale: one grouped
+    * count; everything after is bins-sized.
+    */
+  def woeIv(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bins = df.where(col(binCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(binCol).as("bin"))
+      .agg(sum(when(col(labelCol).cast("long") === 1, 1L).otherwise(0L))
+        .as("g"),
+        sum(when(col(labelCol).cast("long") =!= 1, 1L).otherwise(0L))
+        .as("b"))
+    val tot = bins.where(col("g") > 0 && col("b") > 0)
+      .agg(sum("g").as("gt"), sum("b").as("bt"))
+    val scored = bins.crossJoin(broadcast(tot))
+      .withColumn("woe_micro",
+        when(col("g") > 0 && col("b") > 0,
+          round(lit(1e6) * log(
+            expr(s"cast(g as $dec) * bt").cast("double") /
+            expr(s"cast(b as $dec) * gt").cast("double"))).cast("long")))
+      .withColumn("iv_contrib_micro",
+        when(col("woe_micro").isNotNull,
+          expr(s"((cast(g as $dec) * bt - cast(b as $dec) * gt)" +
+            s" * woe_micro) div (cast(gt as $dec) * bt)").cast("long")))
+    scored.select(col("bin").as(binCol), col("g").as("n_good"),
+      col("b").as("n_bad"), col("woe_micro"), col("iv_contrib_micro"))
+  }
+
+  /** RFM segmentation — the behavioral-cohort verb every event
+    * warehouse ships: per entity, Recency (days since last event,
+    * against the corpus max so the segmentation is reproducible from
+    * the data alone), Frequency (event count), Monetary (micro-pinned
+    * value sum), each coded 1-5 by VALUE-ALIGNED quintile bands from
+    * the distinct-value cumulative frames (the curriculum discipline —
+    * no data-sized ntile; recency code is INVERTED so 5 always means
+    * "best": most recent, most frequent, highest value).
+    *
+    * Scale: one per-entity aggregate, then three distinct-value
+    * cumulative frames + broadcast band joins.
+    */
+  def rfmSegments(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val per = events
+      .where(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(entityCol).as("entity"))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(round(col(valueCol).cast("double") * 1e6).cast("long"))
+          .as("m_micro"))
+    val maxUs = per.agg(max("last_us").as("_mx"))
+    val base = per.crossJoin(broadcast(maxUs))
+      .withColumn("r_days",
+        expr("(_mx - last_us) div 86400000000").cast("long"))
+      .select(col("entity"), col("r_days"), col("f"), col("m_micro"))
+    def bandOf(c: String, inverted: Boolean): DataFrame = {
+      val byVal = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byVal.agg(sum("cnt").as("_t"))
+      byVal.withColumn("cum_end", sum("cnt").over(wv))
+        .crossJoin(broadcast(tot))
+        .select(col("v"),
+          least(lit(4L), expr("(5 * (cum_end - cnt)) div _t")).as("q"))
+        .select(col("v").as(c),
+          (if (inverted) lit(5L) - col("q") else col("q") + 1L)
+            .as(s"${c}_code"))
+    }
+    base
+      .join(broadcast(bandOf("r_days", inverted = true)), "r_days")
+      .join(broadcast(bandOf("f", inverted = false)), "f")
+      .join(broadcast(bandOf("m_micro", inverted = false)), "m_micro")
+      .select(col("entity").as(entityCol), col("r_days"), col("f"),
+        col("m_micro"), col("r_days_code").as("r_code"),
+        col("f_code"), col("m_micro_code").as("m_code"),
+        concat(col("r_days_code"), col("f_code"), col("m_micro_code"))
+          .as("segment"))
+  }
+
+  /** Dispersion index (variance-to-mean ratio) per group — the
+    * overdispersion gate before any Poisson assumption ("are per-user
+    * event counts Poisson-ish, or do power users break the model?").
+    * Exact: D·10³ = 10³·(n·Σx² − (Σx)²) div ((n−1)·n·x̄) computed as
+    * `(1000·(n·Σx² − (Σx)²)) div ((n−1)·Σx)` — sample variance over
+    * mean with the totals cleared, one truncating div, decimal
+    * intermediates. Null for n < 2 or zero mean. Two grouped counts
+    * (member counts, then moments), both map-side combinable.
+    */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+      memberCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df
+      .where(col(groupCol).isNotNull && col(memberCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(memberCol).as("mb"))
+      .agg(count(lit(1)).as("x"))
+    counts.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr(s"cast(x as $dec) * x")).as("sx2"))
+      .select(col(groupCol), col("n"), col("sx").as("total"),
+        when(col("n") >= 2 && col("sx") > 0,
+          expr(s"(1000 * (n * sx2 - cast(sx as $dec) * sx))" +
+            s" div ((n - 1) * cast(sx as $dec))").cast("long"))
+          .as("dispersion_milli"))
+  }
+
   /** Wald SPRT — the SEQUENTIAL A/B decision the fixed-horizon tests
     * ([[abTestSummary]]-style) cannot give: walk the observation
     * stream in event order, accumulate the log-likelihood ratio of

@@ -1318,4 +1318,47 @@ object Dedup {
       .select(col("a"), col("b"), col("shared"), col("a_chunks"),
         col("b_chunks"), col("jacc_ppm"))
   }
+
+  /** Sorted-neighborhood near-dup pairs — the classic pre-LSH blocking
+    * method (Hernández–Stolfo) the banded families here deliberately
+    * are not: sort records by a discriminating key and compare each
+    * record only to its `window` successors. Where LSH recall depends
+    * on hash luck, SNM recall depends on the KEY putting near-dups
+    * adjacent — which is exactly right for typo-shaped corruption in
+    * the sort key's own prefix region, and the method of choice when a
+    * natural sort key exists (names, titles, URLs).
+    *
+    * This is the PARTITIONED single-pass variant: records block on the
+    * key's first `blockChars` characters, the window slides WITHIN a
+    * block (a global sorted window would collapse to one reducer), and
+    * cross-block neighbors are missed BY DESIGN — production runs
+    * multiple passes with rotated keys, same as multi-band LSH.
+    * Candidates verify with exact Levenshtein on the first 64 chars
+    * (both engines' `levenshtein` agree; the cap bounds the O(len²)
+    * kernel). Per-block cost: |block|·window comparisons — the window
+    * is the skew cap.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      keyCol: String, window: Int = 3, blockChars: Int = 2,
+      maxDist: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 16 && blockChars >= 1 && maxDist >= 0)
+    val base = df.where(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(col(keyCol), 1, 64).as("k"),
+        substring(col(keyCol), 1, blockChars).as("blk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy(col("k"), col("id"))
+    val withLeads = (1 to window).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"id_$i", lead(col("id"), i).over(w))
+        .withColumn(s"k_$i", lead(col("k"), i).over(w))
+    }
+    (1 to window).map { i =>
+      withLeads.where(col(s"id_$i").isNotNull)
+        .select(col("id").as("id_a"), col(s"id_$i").as("id_b"),
+          col("k").as("k_a"), col(s"k_$i").as("k_b"))
+    }.reduce(_ unionByName _)
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cluster/label-quality evaluation — the "is this clustering any good"
@@ -451,5 +452,158 @@ object Evaluation {
           .as("tpr_ppm"),
         when(col("_n") > 0, expr("(1000000 * fp) div _n"))
           .as("fpr_ppm"))
+  }
+
+  /** McNemar's paired test — the model-comparison question accuracy
+    * deltas answer WRONG: two models scored on the SAME items differ
+    * only through the discordant pairs (A right / B wrong and vice
+    * versa); the concordant mass is noise both share. Releases the
+    * discordant counts and the χ² statistic `(b−c)²/(b+c)` in exact
+    * truncating milli (null when no discordant pairs exist — the test
+    * is undefined, not zero). One global aggregate over the paired
+    * verdict table; nothing else.
+    */
+  def mcnemar(df: DataFrame, aCorrectCol: String,
+      bCorrectCol: String): DataFrame = {
+    df.where(col(aCorrectCol).isNotNull && col(bCorrectCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(aCorrectCol) && !col(bCorrectCol), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(!col(aCorrectCol) && col(bCorrectCol), 1L)
+          .otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          expr("((b - c) * (b - c) * 1000) div (b + c)"))
+          .as("chi2_milli"))
+  }
+
+  /** Cochran's Q — [[mcnemar]] generalized to k paired classifiers on
+    * the same items ("are these k models interchangeable?"). With
+    * per-classifier success totals C_j and per-item success totals
+    * R_i: Q = (k−1)·[k·ΣC² − (ΣC)²] / [k·ΣR − ΣR²] — every term an
+    * exact integer from two grouped counts, released as truncating
+    * milli (null when the denominator is 0: all items unanimous, no
+    * information). Items missing any classifier's verdict are dropped
+    * (the paired-design contract), and that drop count is released.
+    */
+  def cochranQ(votes: DataFrame, itemCol: String, modelCol: String,
+      correctCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = votes.where(col(itemCol).isNotNull && col(modelCol).isNotNull &&
+        col(correctCol).isNotNull)
+      .select(col(itemCol).as("item"), col(modelCol).as("mdl"),
+        col(correctCol).cast("boolean").as("ok"))
+      .groupBy("item", "mdl").agg(max(when(col("ok"), 1L).otherwise(0L))
+        .as("ok")) // duplicate verdicts collapse; any-success wins
+    val k = v.select("mdl").distinct().count() // bounded: model count
+    val perItem = v.groupBy("item")
+      .agg(count(lit(1)).as("n_mdl"), sum("ok").as("ri"))
+    val complete = perItem.where(col("n_mdl") === k)
+    val dropped = perItem.where(col("n_mdl") =!= k)
+      .agg(count(lit(1)).as("n_items_dropped"))
+    val rTerms = complete.agg(count(lit(1)).as("n_items"),
+      sum("ri").as("sr"),
+      sum(expr(s"cast(ri as $dec) * ri")).as("sr2"))
+    val cTerms = v.join(complete.select("item"), "item")
+      .groupBy("mdl").agg(sum("ok").as("cj"))
+      .agg(sum(expr(s"cast(cj as $dec) * cj")).as("sc2"))
+    rTerms.crossJoin(cTerms).crossJoin(dropped)
+      .select(col("n_items"), lit(k).as("k"), col("n_items_dropped"),
+        when(lit(k) * col("sr") - col("sr2") > 0,
+          expr(s"((${k - 1} * ($k * sc2 - cast(sr as $dec) * sr)) * 1000)" +
+            s" div ($k * cast(sr as $dec) - sr2)").cast("long"))
+          .as("q_milli"))
+  }
+
+  /** Rank-biased overlap at depth D — the top-weighted ranking
+    * similarity [[rocCurve]]-style set metrics miss (two rankings can
+    * share every member yet order the HEAD oppositely; RBO weights
+    * depth d by p^d so the head dominates). This is the TRUNCATED
+    * LATTICE form with p = ½: each depth contributes
+    * `(10⁶·overlap@d) div (min(d, n)·2^d)` where n is the shorter
+    * head-list length — past the end of a list the agreement is held
+    * at its depth-n value (Webber's RBO_ext extrapolation, so two
+    * identical full-length-n rankings score 1.0, not a truncation
+    * artifact < 1). Truncating per term in pinned order —
+    * engine-exact; the residual tail at D = 20 is < 1 ppm.
+    *
+    * Scale: both rankings are top-D head lists (TakeOrdered — the
+    * whole point of RBO is that only the head matters); the overlap
+    * sweep is a D×D-bounded join.
+    */
+  def rankBiasedOverlap(df: DataFrame, idCol: String, scoreACol: String,
+      scoreBCol: String, depth: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
+    val base = df.where(col(idCol).isNotNull && col(scoreACol).isNotNull &&
+      col(scoreBCol).isNotNull)
+    def head(scoreCol: String, rankName: String) = {
+      base.select(col(idCol).as("id"), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol)).limit(depth)
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(col(scoreCol).desc, col("id"))).cast("long"))
+        .select(col("id"), col(rankName))
+    }
+    val a = head(scoreACol, "ra")
+    val b = head(scoreBCol, "rb")
+    val sparkSess = df.sparkSession
+    import sparkSess.implicits._
+    val depths = (1 to depth).map(_.toLong).toDF("d")
+    val overlaps = a.join(b, "id")
+      .crossJoin(broadcast(depths))
+      .where(col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("o"))
+    val nMin = a.agg(count(lit(1)).as("na"))
+      .crossJoin(b.agg(count(lit(1)).as("nb")))
+      .select(least(col("na"), col("nb")).as("n_min"))
+    broadcast(depths).join(overlaps, Seq("d"), "left")
+      .crossJoin(broadcast(nMin))
+      .select(col("d"), col("n_min"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .select(when(col("n_min") > 0,
+        expr("(1000000 * o) div (least(d, n_min)" +
+          " * shiftleft(1L, cast(d as int)))")).as("term"))
+      .agg(sum("term").cast("long").as("rbo_micro"))
+      .withColumn("depth", lit(depth.toLong))
+  }
+
+  /** Cumulative gains / lift table — the campaign-targeting readout
+    * next to [[rocCurve]] (ROC sweeps thresholds; gains answers "if I
+    * act on the top decile, what fraction of all positives do I
+    * capture, and how much better than random is that?"). Deciles are
+    * VALUE-ALIGNED bands from the distinct-score cumulative frame (the
+    * curriculum discipline — a global ntile would single-reducer);
+    * gain = cumulative positives over total positives, lift =
+    * gain·N / cumulative-n, both truncating ppm.
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBands: Int = 10): DataFrame = {
+    require(nBands >= 2 && nBands <= 100)
+    val byScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("score").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byScore.agg(sum("n").as("_n"), sum("pos").as("_p"))
+    byScore
+      .withColumn("cum_n", sum("n").over(wDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("band",
+        least(lit(nBands - 1L),
+          expr(s"($nBands * (cum_n - n)) div _n")))
+      .groupBy("band")
+      .agg(sum("n").as("n"), sum("pos").as("positives"),
+        max("cum_n").as("cum_n"), max("_n").as("_n"), max("_p").as("_p"))
+      .withColumn("cum_positives",
+        sum("positives").over(Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("band"), col("n"), col("positives"), col("cum_n"),
+        col("cum_positives"),
+        when(col("_p") > 0, expr("(1000000 * cum_positives) div _p"))
+          .as("gain_ppm"),
+        when(col("cum_n") > 0 && col("_p") > 0,
+          expr("(1000000 * cum_positives * _n) div (cum_n * _p)"))
+          .as("lift_ppm"))
   }
 }

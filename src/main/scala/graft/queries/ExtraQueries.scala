@@ -4168,7 +4168,277 @@ object ExtraQueries {
         // (2 * CAST(pr.qt AS HUGEINT)) AS BIGINT) AS js_micro
     FROM pr LEFT JOIN ag ON pr.sa = ag.sa AND pr.sb = ag.sb"""
 
+  // —————————————————————————————— McNemar paired test (q317)
+  // (two heuristic "models" predicting lang = 'en' on the same
+  //  documents; only the discordant cells drive the statistic.)
+  val q317Mcnemar: Q = (s, dir) =>
+    Evaluation.mcnemar(
+      Tables.documents(s, dir)
+        .where(col("lang").isNotNull && col("n_chars").isNotNull &&
+          col("doc_id").isNotNull)
+        .select(
+          ((col("lang") === "en") === (col("n_chars") % 5 > 0)).as("a_ok"),
+          ((col("lang") === "en") === (col("doc_id") % 3 > 0)).as("b_ok")),
+      "a_ok", "b_ok")
+  private val q317Sql: String = """
+    WITH p AS (SELECT (lang = 'en') = (n_chars % 5 > 0) AS a_ok,
+            (lang = 'en') = (doc_id % 3 > 0) AS b_ok
+          FROM documents WHERE lang IS NOT NULL
+            AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS b,
+          CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS c
+          FROM p)
+    SELECT n, b, c,
+      CASE WHEN b + c > 0
+        THEN CAST(((b - c) * (b - c) * 1000) // (b + c) AS BIGINT)
+        END AS chi2_milli
+    FROM agg"""
+
+  // —————————————————————————————— Cochran's Q (q318)
+  // (three divisibility "models" vote per document; m2 abstains on
+  //  odd doc_ids so the incomplete-item drop path is exercised.)
+  val q318CochranQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
+    val votes = d.select(col("doc_id").as("item"), lit("m0").as("mdl"),
+        (col("n_chars") % 2 === 0).cast("long").as("ok"))
+      .unionByName(d.select(col("doc_id").as("item"), lit("m1").as("mdl"),
+        (col("n_chars") % 3 === 0).cast("long").as("ok")))
+      .unionByName(d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("item"), lit("m2").as("mdl"),
+          (col("n_chars") % 5 === 0).cast("long").as("ok")))
+    Evaluation.cochranQ(votes, "item", "mdl", "ok")
+  }
+  private val q318Sql: String = """
+    WITH v AS (
+      SELECT doc_id AS item, 'm0' AS mdl,
+          CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS ok
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'm1', CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'm2', CASE WHEN n_chars % 5 = 0 THEN 1 ELSE 0 END
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+          AND doc_id % 2 = 0),
+    per AS (SELECT item, CAST(count(*) AS BIGINT) AS n_mdl,
+            CAST(sum(ok) AS BIGINT) AS ri FROM v GROUP BY 1),
+    comp AS (SELECT * FROM per WHERE n_mdl = 3),
+    drp AS (SELECT CAST(count(*) AS BIGINT) AS n_items_dropped
+          FROM per WHERE n_mdl <> 3),
+    r AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(ri) AS HUGEINT) AS sr,
+          CAST(sum(ri * ri) AS HUGEINT) AS sr2 FROM comp),
+    c AS (SELECT CAST(sum(cj * cj) AS HUGEINT) AS sc2 FROM
+          (SELECT v.mdl, sum(v.ok) AS cj FROM v
+            JOIN comp ON v.item = comp.item GROUP BY 1))
+    SELECT r.n_items, CAST(3 AS BIGINT) AS k, drp.n_items_dropped,
+      CASE WHEN 3 * sr - sr2 > 0
+        THEN CAST(((2 * (3 * sc2 - sr * sr)) * 1000) // (3 * sr - sr2)
+          AS BIGINT) END AS q_milli
+    FROM r, c, drp"""
+
+  // —————————————————————————————— rank-biased overlap (q319)
+  // (does ranking documents by characters agree at the head with
+  //  ranking by word count? RBO_ext at depth 20, p = ½.)
+  val q319Rbo: Q = (s, dir) =>
+    Evaluation.rankBiasedOverlap(
+      Tables.documents(s, dir)
+        .where(col("doc_id").isNotNull && col("n_chars").isNotNull &&
+          col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          size(filter(split(lower(col("text")), " "),
+            x => length(x) > 0)).cast("long").as("n_words")),
+      "doc_id", "n_chars", "n_words")
+  private val q319Sql: String = """
+    WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS sa,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)) AS BIGINT) AS sb
+          FROM documents WHERE doc_id IS NOT NULL
+            AND n_chars IS NOT NULL AND text IS NOT NULL),
+    a AS (SELECT id, row_number() OVER (ORDER BY sa DESC, id) AS ra
+          FROM base ORDER BY sa DESC, id LIMIT 20),
+    b AS (SELECT id, row_number() OVER (ORDER BY sb DESC, id) AS rb
+          FROM base ORDER BY sb DESC, id LIMIT 20),
+    nm AS (SELECT least((SELECT count(*) FROM a),
+            (SELECT count(*) FROM b)) AS n_min),
+    ds AS (SELECT unnest(range(1, 21)) AS d),
+    ov AS (SELECT ds.d, (SELECT count(*) FROM a JOIN b ON a.id = b.id
+            WHERE a.ra <= ds.d AND b.rb <= ds.d) AS o FROM ds)
+    SELECT CAST(sum((1000000 * o) //
+        (least(d, n_min) * (CAST(1 AS BIGINT) << d))) AS BIGINT)
+        AS rbo_micro,
+      CAST(20 AS BIGINT) AS depth
+    FROM ov, nm"""
+
+  // —————————————————————————————— gains / lift table (q320)
+  // (n_chars as the "model score" for predicting lang = 'en';
+  //  value-aligned deciles from the distinct-score cumulative frame.)
+  val q320Gains: Q = (s, dir) =>
+    Evaluation.gainsTable(
+      Tables.documents(s, dir)
+        .where(col("n_chars").isNotNull && col("lang").isNotNull)
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").cast("long").as("y")),
+      "score", "y")
+  private val q320Sql: String = """
+    WITH bs AS (SELECT CAST(n_chars AS BIGINT) AS score,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS pos
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS _n,
+            CAST(sum(pos) AS BIGINT) AS _p FROM bs),
+    cum AS (SELECT score, n, pos,
+            CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n
+          FROM bs),
+    bnd AS (SELECT least(CAST(9 AS BIGINT), (10 * (cum_n - n)) // _n)
+            AS band, n, pos, cum_n FROM cum, tot),
+    g AS (SELECT band, CAST(sum(n) AS BIGINT) AS n,
+            CAST(sum(pos) AS BIGINT) AS positives,
+            CAST(max(cum_n) AS BIGINT) AS cum_n FROM bnd GROUP BY 1),
+    g2 AS (SELECT band, n, positives, cum_n,
+            CAST(sum(positives) OVER (ORDER BY band) AS BIGINT)
+              AS cum_positives FROM g)
+    SELECT band, n, positives, cum_n, cum_positives,
+      CASE WHEN _p > 0
+        THEN CAST((1000000 * cum_positives) // _p AS BIGINT)
+        END AS gain_ppm,
+      CASE WHEN cum_n > 0 AND _p > 0
+        THEN CAST((1000000 * cum_positives * _n) // (cum_n * _p)
+          AS BIGINT) END AS lift_ppm
+    FROM g2, tot"""
+
+  // —————————————————————————————— WoE / IV feature screen (q321)
+  // (how strongly does `source` separate English from non-English?
+  //  Totals over two-sided bins only; one-sided bins release null.)
+  val q321WoeIv: Q = (s, dir) =>
+    Analytics.woeIv(
+      Tables.documents(s, dir)
+        .where(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), (col("lang") === "en").cast("long").as("y")),
+      "source", "y")
+  private val q321Sql: String = """
+    WITH bins AS (SELECT source AS bin,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS g,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+              AS b
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1),
+    tot AS (SELECT CAST(sum(g) AS BIGINT) AS gt,
+            CAST(sum(b) AS BIGINT) AS bt FROM bins
+          WHERE g > 0 AND b > 0),
+    sc AS (SELECT bin, g, b,
+            CASE WHEN g > 0 AND b > 0 THEN
+              CAST(round(1000000 * ln(
+                CAST(CAST(g AS HUGEINT) * bt AS DOUBLE) /
+                CAST(CAST(b AS HUGEINT) * gt AS DOUBLE))) AS BIGINT)
+            END AS woe_micro
+          FROM bins, tot)
+    SELECT bin AS source, g AS n_good, b AS n_bad, woe_micro,
+      CASE WHEN woe_micro IS NOT NULL THEN
+        CAST(((CAST(g AS HUGEINT) * bt - CAST(b AS HUGEINT) * gt)
+          * woe_micro) // (CAST(gt AS HUGEINT) * bt) AS BIGINT)
+      END AS iv_contrib_micro
+    FROM sc, tot"""
+
+  // —————————————————————————————— RFM segmentation (q322)
+  // (recency/frequency/monetary codes per user from the events
+  //  table; value-aligned quintile bands, recency inverted.)
+  val q322Rfm: Q = (s, dir) =>
+    Analytics.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value")
+  private val q322Sql: String = """
+    WITH per AS (SELECT user_id AS entity,
+            CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+            CAST(count(*) AS BIGINT) AS f,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+              AS m_micro
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL GROUP BY 1),
+    mx AS (SELECT max(last_us) AS _mx FROM per),
+    base AS (SELECT entity, (_mx - last_us) // 86400000000 AS r_days,
+            f, m_micro FROM per, mx),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS _t FROM base),
+    rb AS (SELECT v, 5 - least(CAST(4 AS BIGINT),
+            (5 * (cum_end - cnt)) // _t) AS code FROM
+          (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum_end FROM
+            (SELECT r_days AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM base GROUP BY 1)), tt),
+    fb AS (SELECT v, least(CAST(4 AS BIGINT),
+            (5 * (cum_end - cnt)) // _t) + 1 AS code FROM
+          (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum_end FROM
+            (SELECT f AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM base GROUP BY 1)), tt),
+    mb AS (SELECT v, least(CAST(4 AS BIGINT),
+            (5 * (cum_end - cnt)) // _t) + 1 AS code FROM
+          (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum_end FROM
+            (SELECT m_micro AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM base GROUP BY 1)), tt)
+    SELECT base.entity AS user_id, base.r_days, base.f, base.m_micro,
+      CAST(rb.code AS BIGINT) AS r_code, CAST(fb.code AS BIGINT) AS f_code,
+      CAST(mb.code AS BIGINT) AS m_code,
+      CAST(rb.code AS VARCHAR) || CAST(fb.code AS VARCHAR) ||
+        CAST(mb.code AS VARCHAR) AS segment
+    FROM base JOIN rb ON base.r_days = rb.v
+      JOIN fb ON base.f = fb.v JOIN mb ON base.m_micro = mb.v"""
+
+  // —————————————————————————————— dispersion index (q323)
+  // (variance-to-mean of per-user event counts within each
+  //  event_type — the overdispersion gate before Poisson models.)
+  val q323Dispersion: Q = (s, dir) =>
+    Analytics.dispersionIndex(Tables.events(s, dir),
+      "event_type", "user_id")
+  private val q323Sql: String = """
+    WITH m AS (SELECT event_type AS g, user_id AS mb,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE event_type IS NOT NULL
+            AND user_id IS NOT NULL GROUP BY 1, 2)
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(x) AS BIGINT) AS total,
+      CASE WHEN count(*) >= 2 AND sum(x) > 0
+        THEN CAST((1000 * (count(*) * CAST(sum(x * x) AS HUGEINT)
+            - CAST(sum(x) AS HUGEINT) * sum(x)))
+          // ((count(*) - 1) * CAST(sum(x) AS HUGEINT)) AS BIGINT)
+        END AS dispersion_milli
+    FROM m GROUP BY 1"""
+
+  // —————————————————————————————— sorted-neighborhood dedup (q324)
+  // (Hernández–Stolfo SNM over the lowercased 16-char text prefix:
+  //  block on 2 chars, window 3, Levenshtein ≤ 3 verification.)
+  val q324SnmPairs: Q = (s, dir) =>
+    Dedup.sortedNeighborhoodPairs(
+      Tables.documents(s, dir)
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, 16)).as("k")),
+      "doc_id", "k", window = 3, blockChars = 2, maxDist = 3)
+  private val q324Sql: String = """
+    WITH b AS (SELECT doc_id AS id, lower(substr(text, 1, 16)) AS k,
+            substr(lower(substr(text, 1, 16)), 1, 2) AS blk
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    r AS (SELECT id, k, blk,
+            row_number() OVER (PARTITION BY blk ORDER BY k, id) AS rn
+          FROM b)
+    SELECT a.id AS id_a, c.id AS id_b,
+      CAST(levenshtein(a.k, c.k) AS BIGINT) AS dist
+    FROM r a JOIN r c ON a.blk = c.blk AND c.rn > a.rn
+      AND c.rn <= a.rn + 3
+    WHERE levenshtein(a.k, c.k) <= 3"""
+
   val all: Map[String, Q] = Map(
+    "q317_mcnemar" -> q317Mcnemar,
+    "q318_cochran_q" -> q318CochranQ,
+    "q319_rbo" -> q319Rbo,
+    "q320_gains" -> q320Gains,
+    "q321_woe_iv" -> q321WoeIv,
+    "q322_rfm" -> q322Rfm,
+    "q323_dispersion" -> q323Dispersion,
+    "q324_snm_pairs" -> q324SnmPairs,
     "q309_bh_fdr" -> q309BhFdr,
     "q310_null_cooccur" -> q310NullCooccur,
     "q311_entropy_rate" -> q311EntropyRate,
@@ -4279,6 +4549,14 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q317_mcnemar" -> q317Sql,
+    "q318_cochran_q" -> q318Sql,
+    "q319_rbo" -> q319Sql,
+    "q320_gains" -> q320Sql,
+    "q321_woe_iv" -> q321Sql,
+    "q322_rfm" -> q322Sql,
+    "q323_dispersion" -> q323Sql,
+    "q324_snm_pairs" -> q324Sql,
     "q309_bh_fdr" -> q309Sql,
     "q310_null_cooccur" -> q310Sql,
     "q311_entropy_rate" -> q311Sql,

@@ -343,4 +343,135 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got(("s1", "s4"))._4 == 693146L)   // ln2 − truncation
     assert(got.size == 6)                      // all pairs released
   }
+
+  // ——————————————————————————————————————————— McNemar
+
+  test("mcnemar: discordant counts drive the statistic; concordant null") {
+    val df = Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)).toDF("a_ok", "b_ok")
+    assert(Evaluation.mcnemar(df, "a_ok", "b_ok")
+      .as[(Long, Long, Long, Option[Long])].collect().head ==
+      ((5L, 2L, 1L, Some(333L)))) // (2−1)²·1000 div 3
+    val conc = Seq((true, true), (false, false)).toDF("a_ok", "b_ok")
+    assert(Evaluation.mcnemar(conc, "a_ok", "b_ok")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
+  // ——————————————————————————————————————————— Cochran's Q
+
+  test("cochranQ: hand Q = 3, incomplete item dropped, unanimous null") {
+    val votes = Seq(
+      (1L, "m1", 1L), (1L, "m2", 1L), (1L, "m3", 0L),
+      (2L, "m1", 1L), (2L, "m2", 0L), (2L, "m3", 0L),
+      (3L, "m1", 1L), (3L, "m2", 1L), (3L, "m3", 1L),
+      (4L, "m1", 0L), (4L, "m2", 0L), (4L, "m3", 0L),
+      (5L, "m1", 1L), (5L, "m2", 1L)) // item 5 misses m3 → dropped
+      .toDF("item", "mdl", "ok")
+    val got = Evaluation.cochranQ(votes, "item", "mdl", "ok")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((4L, 3L, 1L, Some(3000L))))
+    val unan = Seq((1L, "m1", 1L), (1L, "m2", 1L),
+      (2L, "m1", 1L), (2L, "m2", 1L)).toDF("item", "mdl", "ok")
+    assert(Evaluation.cochranQ(unan, "item", "mdl", "ok")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
+  // ——————————————————————————————————————————— rank-biased overlap
+
+  test("rankBiasedOverlap: identical, partial, disjoint lattices") {
+    val same = Seq((1L, 30L, 30L), (2L, 20L, 20L), (3L, 10L, 10L))
+      .toDF("id", "sa", "sb")
+    val expectSame = (1 to 20).map(d => 1000000L / (1L << d)).sum
+    assert(Evaluation.rankBiasedOverlap(same, "id", "sa", "sb")
+      .as[(Long, Long)].collect().head == ((expectSame, 20L)))
+    // a-top2 = [1, 2], b-top2 = [1, 3] at depth 2 → 500000 + 125000
+    val part = Seq((1L, 3L, 3L), (2L, 2L, 1L), (3L, 1L, 2L))
+      .toDF("id", "sa", "sb")
+    assert(Evaluation.rankBiasedOverlap(part, "id", "sa", "sb", depth = 2)
+      .as[(Long, Long)].collect().head == ((625000L, 2L)))
+    val disj = Seq((1L, 9L, 1L), (2L, 1L, 9L)).toDF("id", "sa", "sb")
+    assert(Evaluation.rankBiasedOverlap(disj, "id", "sa", "sb", depth = 1)
+      .as[(Long, Long)].collect().head._1 == 0L)
+  }
+
+  // ——————————————————————————————————————————— gains / lift
+
+  test("gainsTable: perfect model doubles the top-half lift") {
+    val df = (1L to 10L).map(s => (s, if (s >= 8) 1L else 0L))
+      .toDF("score", "y")
+    val got = Evaluation.gainsTable(df, "score", "y", nBands = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 5L, 3L, 5L, 3L, Some(1000000L), Some(2000000L)),
+      (1L, 5L, 0L, 10L, 3L, Some(1000000L), Some(1000000L))))
+  }
+
+  // ——————————————————————————————————————————— WoE / IV
+
+  test("woeIv: symmetric bins score ±ln2, one-sided bin null") {
+    val rows = Seq.fill(2)(("b1", 1L)) ++ Seq(("b1", 0L)) ++
+      Seq(("b2", 1L)) ++ Seq.fill(2)(("b2", 0L)) ++ Seq(("b3", 1L))
+    val got = Analytics.woeIv(rows.toDF("bin", "y"), "bin", "y")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("b1") == (("b1", 2L, 1L, Some(693147L), Some(231049L))))
+    assert(got("b2") == (("b2", 1L, 2L, Some(-693147L), Some(231049L))))
+    assert(got("b3")._4.isEmpty && got("b3")._5.isEmpty)
+  }
+
+  // ——————————————————————————————————————————— RFM
+
+  test("rfmSegments: codes from value-aligned quintiles, R inverted") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (2L, "2024-01-03 00:00:00", 2.0), (2L, "2024-01-03 01:00:00", 2.0),
+      (3L, "2024-01-05 00:00:00", 3.0), (3L, "2024-01-05 01:00:00", 3.0),
+      (3L, "2024-01-05 02:00:00", 3.0))
+      .toDF("u", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Analytics.rfmSegments(ev, "u", "ts", "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // r_days 4/2/0 → inverted codes 2/4/5; f 1/2/3 → 1/2/4; m same
+    assert(got(1L) == ((1L, 4L, 1L, 1000000L, 2L, 1L, 1L, "211")))
+    assert(got(2L) == ((2L, 2L, 2L, 4000000L, 4L, 2L, 2L, "422")))
+    assert(got(3L) == ((3L, 0L, 3L, 9000000L, 5L, 4L, 4L, "544")))
+  }
+
+  // ——————————————————————————————————————————— dispersion index
+
+  test("dispersionIndex: equal counts 0, skewed counts overdispersed") {
+    val df = (Seq(("g", "x"), ("g", "y")) ++ Seq.fill(4)(("g", "z")) ++
+      Seq(("p", "x"), ("p", "y"), ("p", "z")).flatMap(t =>
+        Seq(t, t))) // p: every member count 2
+      .toDF("seg", "u")
+    val got = Analytics.dispersionIndex(df, "seg", "u")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // g counts (1,1,4): 1000·(3·18−36) div (2·6) = 1500
+    assert(got("g") == (("g", 3L, 6L, Some(1500L))))
+    assert(got("p") == (("p", 3L, 6L, Some(0L))))
+  }
+
+  // ——————————————————————————————————————————— sorted neighborhood
+
+  test("sortedNeighborhoodPairs: window pairs verify, blocks isolate") {
+    val df = Seq((1L, "aaa1"), (2L, "aaa2"), (3L, "aab1"), (4L, "bbb1"))
+      .toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", "k",
+        window = 2, blockChars = 1, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // aab1 is 1 sub from aaa1, 2 subs from aaa2; bbb1 in its own block
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L)))
+    val wide = Dedup.sortedNeighborhoodPairs(df, "id", "k",
+        window = 2, blockChars = 1, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+    // window = 1 only pairs adjacent records
+    val adj = Dedup.sortedNeighborhoodPairs(df, "id", "k",
+        window = 1, blockChars = 1, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(adj == Set((1L, 2L, 1L), (2L, 3L, 2L)))
+  }
 }
