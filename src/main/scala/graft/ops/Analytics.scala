@@ -2037,6 +2037,142 @@ object Analytics {
           .as("dispersion_milli"))
   }
 
+  /** Pairwise 1-D Wasserstein (earth-mover) distance between groups'
+    * value distributions — the drift metric that SEES HOW FAR mass
+    * moved, which PSI/JS (bin membership) and KS (single worst point)
+    * do not: W₁ = ∫|F_a − F_b| dv over the merged support. Exact with
+    * the totals cleared: per support step,
+    * `|cum_a·n_b − cum_b·n_a| · (v_next − v)` is an exact decimal;
+    * ONE truncating micro division by n_a·n_b at the very end.
+    *
+    * Scale: one grouped count per (group, value) — everything after
+    * is support-cardinality × pairs (value domain, not rows), the
+    * [[Analytics.mannWhitneyU]] distinct-value-frame discipline.
+    */
+  def wasserstein1d(df: DataFrame, groupCol: String, valCol: String,
+      groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 32)
+    val dec = "decimal(38,0)"
+    val counts = df
+      .where(col(groupCol).isin(groups.map(x => x: Any): _*) &&
+        col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(tot.select(col("g").as("gb"), col("n").as("nb")))
+      .where(col("ga") < col("gb"))
+    val support = counts.select("v").distinct()
+    val lattice = broadcast(pairs).crossJoin(support)
+      .join(counts.select(col("g").as("ga"), col("v"), col("c").as("ca")),
+        Seq("ga", "v"), "left")
+      .join(counts.select(col("g").as("gb"), col("v"), col("c").as("cb")),
+        Seq("gb", "v"), "left")
+      .select(col("ga"), col("gb"), col("na"), col("nb"), col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.partitionBy("ga", "gb").orderBy(col("v"))
+    val cums = lattice
+      .withColumn("cum_a", sum("ca").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_b", sum("cb").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dv", lead(col("v"), 1).over(w) - col("v"))
+      .where(col("dv").isNotNull)
+    cums.groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(expr(s"abs(cast(cum_a as $dec) * nb - cast(cum_b as $dec) * na)" +
+          s" * dv")).as("_t"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        expr(s"(cast(1000000 as $dec) * _t) div (cast(n_a as $dec) * n_b)")
+          .cast("long").as("w1_micro"))
+  }
+
+  /** Market-basket association rules — directed `A ⇒ B` with exact
+    * support / confidence / lift over basket co-membership: the
+    * recommendation/cross-sell primitive, and (on corpora) the
+    * "documents containing X also contain Y" curation signal.
+    * `conf = n_ab/n_a`, `lift = n_ab·N/(n_a·n_b)` — both truncating
+    * ppm with the totals cleared. The scale hazard is the hub basket
+    * (one basket with 10⁶ items fans out 10¹² pairs), so baskets are
+    * capped to their `maxBasket` first items (id-pinned row_number ⇒
+    * WindowGroupLimit map-side prune, the [[Graph.cooccurrenceProjection]]
+    * bound); pair fan-out is baskets·cap² regardless of skew.
+    * `minPairSupport` prunes the long tail before the rule join.
+    */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairSupport: Int = 2, maxBasket: Int = 64): DataFrame = {
+    require(minPairSupport >= 1 && maxBasket >= 2)
+    val inc = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("bk"), col(itemCol).as("item")).distinct()
+    val capped = inc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bk").orderBy(col("item"))))
+      .where(col("rn") <= maxBasket).select("bk", "item")
+    val nBaskets = capped.select("bk").distinct().count() // bounded scalar
+    val itemSupp = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = capped.select(col("bk"), col("item").as("ia"))
+      .join(capped.select(col("bk").as("bkb"), col("item").as("ib")),
+        col("bk") === col("bkb") && col("ia") =!= col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairSupport)
+    pairs
+      .join(itemSupp.select(col("item").as("ia"), col("n_item").as("n_a")),
+        "ia")
+      .join(itemSupp.select(col("item").as("ib"), col("n_item").as("n_b")),
+        "ib")
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_ab) div n_a").as("conf_ppm"),
+        expr(s"(1000000 * n_ab * $nBaskets) div (n_a * n_b)")
+          .as("lift_ppm"))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution — the credit
+    * scheme between [[lastTouchAttribution]] (all credit to one touch)
+    * and [[multiTouchCredit]] (uniform): first and last touch in the
+    * conversion window get 40% each, middles split the remaining 20%.
+    * One touch ⇒ 100%; two ⇒ 50/50 (the standard convention — 40/40
+    * would strand 20%). Credit is exact ppm (`200000 div (k−2)` for
+    * middles, remainder stranded like any integer split — documented,
+    * deterministic); per-channel rollup sums the exact integers.
+    * Touch order within a conversion is (ts, id)-pinned.
+    *
+    * Scale: the conversion⋈touch pair join is bounded by the window
+    * length × per-user event rate (the q157 frame bound made
+    * explicit); everything after is pair-sized with map-side combine.
+    */
+  def positionAttribution(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      touchTypes: Seq[String], windowUs: Long): DataFrame = {
+    require(windowUs > 0 && touchTypes.nonEmpty)
+    val base = events.select(col(keyCol).as("k"), col(idCol).as("id"),
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+    val conv = base.where(col("et") === convType)
+      .select(col("k"), col("id").as("conv_id"), col("us").as("conv_us"))
+    val touch = base.where(col("et").isin(touchTypes.map(x => x: Any): _*))
+      .select(col("k"), col("id").as("touch_id"), col("us").as("touch_us"),
+        col("et").as("channel"))
+    val paired = conv.join(touch, Seq("k"))
+      .where(col("touch_us") < col("conv_us") &&
+        col("touch_us") >= col("conv_us") - windowUs)
+    val w = Window.partitionBy("k", "conv_id")
+      .orderBy(col("touch_us"), col("touch_id"))
+    val credited = paired
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kt", count(lit(1)).over(
+        Window.partitionBy("k", "conv_id")))
+      .withColumn("credit_ppm",
+        when(col("kt") === 1, lit(1000000L))
+          .when(col("kt") === 2, lit(500000L))
+          .when(col("rn") === 1 || col("rn") === col("kt"), lit(400000L))
+          .otherwise(expr("200000 div (kt - 2)")))
+    credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("k"), col("conv_id")).as("n_conversions"),
+        sum("credit_ppm").as("credit_ppm_total"))
+  }
+
   /** Wald SPRT — the SEQUENTIAL A/B decision the fixed-horizon tests
     * ([[abTestSummary]]-style) cannot give: walk the observation
     * stream in event order, accumulate the log-likelihood ratio of

@@ -668,4 +668,92 @@ object Graph {
       .orderBy(col("shared_contexts").desc, col("ia").asc, col("ib").asc)
       .limit(topPairs)
   }
+
+  /** Degree assortativity — does the graph wire hubs to hubs
+    * (assortative, r > 0, social-network shape) or hubs to leaves
+    * (disassortative, r < 0, web/biology shape)? The answer decides
+    * whether hub-removal or skew-salting strategies matter. Computed
+    * as the Pearson correlation of (deg(src), deg(tgt)) over the
+    * SYMMETRIZED directed edge list (each undirected edge counted in
+    * both directions — Newman 2002's convention, which makes the two
+    * marginals identical). All five sums are exact decimals; the one
+    * double appears in the final `num / sqrt(dx·dy)` rounded 6 d.p.
+    * (the [[modularity]]/cramersV discipline). A degree-regular graph
+    * (dx = 0) yields null, never a fake 0.
+    *
+    * Scale: one degree aggregate, two co-keyed joins to bolt degrees
+    * onto endpoints, one global aggregate — all map-side combinable;
+    * nothing bigger than the edge list is ever materialized.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sym = edges.select(col("src"), col("tgt"))
+      .unionByName(edges.select(col("tgt").as("src"), col("src").as("tgt")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val paired = sym
+      .join(deg.select(col("node"), col("d").as("dx")),
+        sym("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("dy")),
+        col("tgt") === col("node")).drop("node")
+    paired.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum(expr(s"cast(dx as $dec) * dy")).as("sxy"),
+        sum(expr(s"cast(dx as $dec) * dx")).as("sx2"),
+        sum(expr(s"cast(dy as $dec) * dy")).as("sy2"))
+      .select(col("m"),
+        expr(s"cast(m as $dec) * sxy - sx * sy").cast("double").as("_num"),
+        expr(s"cast(m as $dec) * sx2 - sx * sx").cast("double").as("_dx"),
+        expr(s"cast(m as $dec) * sy2 - sy * sy").cast("double").as("_dy"))
+      .select(col("m"),
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_num") / sqrt(col("_dx") * col("_dy")), 6))
+          .as("assortativity"))
+  }
+
+  /** Rich-club profile — for each degree threshold k on a ladder, the
+    * density of the subgraph induced by nodes with degree > k:
+    * `φ(k) = E_k / (N_k·(N_k−1))` over the symmetrized directed edge
+    * list (so the undirected 2E/(N(N−1)) identity holds without a /2).
+    * A rising φ(k) means the hubs form a tight club — the corpus/link
+    * structure where a handful of domains all cite each other, which
+    * is exactly the structure dedup/PageRank skew planning cares
+    * about. Exact ppm; N_k < 2 yields null.
+    *
+    * Scale: degrees once, one join to bolt both endpoint degrees on,
+    * then the k-ladder is a bounded-lattice explode over the already
+    * aggregated edge frame — work is edges·|ladder| with map-side
+    * combine, never edges².
+    */
+  def richClub(edges: DataFrame, maxK: Int = 8): DataFrame = {
+    require(maxK >= 1 && maxK <= 64, s"maxK out of range: $maxK")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("tgt"))
+      .unionByName(edges.select(col("tgt").as("src"), col("src").as("tgt")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val ks = (1 to maxK).map(_.toLong).toDF("k")
+    val nk = deg.crossJoin(broadcast(ks)).where(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val paired = sym
+      .join(deg.select(col("node"), col("d").as("dx")),
+        sym("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("dy")),
+        col("tgt") === col("node")).drop("node")
+    val ek = paired.crossJoin(broadcast(ks))
+      .where(col("dx") > col("k") && col("dy") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    broadcast(ks).join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") >= 2,
+          expr("(1000000 * n_edges) div (n_nodes * (n_nodes - 1))"))
+          .as("phi_ppm"))
+  }
 }

@@ -704,4 +704,109 @@ object TimeSeries {
             s"(us - pt)) div (nt - pt)").cast("long"))
           .as("y_milli"))
   }
+
+  /** Lead–lag cross-correlation between two event streams' hourly
+    * count series — the "does A drive B, and with what delay"
+    * diagnostic [[autocorrelation]] cannot give (ACF is a series
+    * against itself; CCF at lag ℓ correlates x_t with y_{t+ℓ}, so a
+    * peak at ℓ = +2 reads "x leads y by two hours"). Both series live
+    * on the DENSE shared hour lattice spanning [min, max] over either
+    * stream, absent hours counted 0 — without densification a
+    * quiet-hour gap silently shifts alignment. Per lag, the five sums
+    * are exact decimals over the overlap segment (per-lag centering —
+    * each lag's overlap is its own sample); the one double is the
+    * final `num / sqrt(dx·dy)` rounded 6 d.p. Zero-variance segments
+    * (either side constant) yield null.
+    *
+    * Scale: two grouped counts, then everything is lattice-sized —
+    * the lattice join fan-out is hours·(2·maxLag+1), a calendar
+    * quantity, never row-sized.
+    */
+  def crossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168, s"maxLag out of range: $maxLag")
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hours = df.where(col(tsCol).isNotNull &&
+        col(typeCol).isin(typeA, typeB))
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+        col(typeCol).as("et"))
+    val counts = hours.groupBy("h", "et").agg(count(lit(1)).as("c"))
+    val span = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val lattice = span
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = lattice
+      .join(counts.where(col("et") === typeA).select(col("h"),
+        col("c").as("x")), Seq("h"), "left")
+      .join(counts.where(col("et") === typeB).select(col("h"),
+        col("c").as("y")), Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // lattice-sized; referenced twice by the pair join
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val pairs = series.as("a").crossJoin(broadcast(lags))
+      .join(series.as("b"),
+        col("b.h") === col("a.h") + col("lag"))
+      .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+        sum(expr(s"cast(x as $dec) * x")).as("sx2"),
+        sum(expr(s"cast(y as $dec) * y")).as("sy2"))
+      .select(col("lag"), col("n"),
+        expr(s"cast(n as $dec) * sxy - sx * sy").cast("double").as("_num"),
+        expr(s"cast(n as $dec) * sx2 - sx * sx").cast("double").as("_dx"),
+        expr(s"cast(n as $dec) * sy2 - sy * sy").cast("double").as("_dy"))
+      .select(col("lag"), col("n"),
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_num") / sqrt(col("_dx") * col("_dy")), 6))
+          .as("r"))
+  }
+
+  /** Inter-event burstiness per key — are arrivals Poisson-steady or
+    * bursty? Gaps are consecutive same-(key, entity) inter-event
+    * times; per key the profile emits the exact gap CV²
+    * (variance/mean², sample form, one truncating milli division with
+    * the totals cleared: `CV²·10³ = (10³·n·(n·Σg² − (Σg)²)) div
+    * ((n−1)·(Σg)²)` — CV² = 1 is Poisson, > 1 bursty) and the
+    * Goh–Barabási burstiness `B = (σ−μ)/(σ+μ)` as the one 6 d.p.
+    * double (σ from a single sqrt over the exact variance ratio;
+    * B ∈ (−1, 1), 0 = Poisson). Keys with < 2 gaps emit null.
+    *
+    * Scale: one per-(key, entity) sort for the lag window, one
+    * map-side-combinable grouped aggregate — the q07 lag-gap shape
+    * with a moments tail.
+    */
+  def interEventBurstiness(df: DataFrame, keyCol: String,
+      entityCol: String, tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("k", "ent").orderBy(col("us"))
+    val gaps = df.where(col(keyCol).isNotNull && col(entityCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(entityCol).as("ent"),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .where(col("g").isNotNull)
+    gaps.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(dec)).as("sg"),
+        sum(expr(s"cast(g as $dec) * g")).as("sg2"))
+      .select(col(keyCol), col("n_gaps"),
+        col("sg").cast("long").as("sum_gap_us"),
+        when(col("n_gaps") >= 2 && col("sg") > 0,
+          expr(s"(cast(1000 as $dec) * n_gaps * (n_gaps * sg2 - sg * sg))" +
+            s" div ((n_gaps - 1) * sg * sg)").cast("long"))
+          .as("cv2_milli"),
+        when(col("n_gaps") >= 2 && col("sg") > 0, {
+          // pinned float order: exact decimals → double, one sqrt,
+          // one ratio, round 6 — the assortativity discipline
+          val vd = expr(s"cast(n_gaps * sg2 - sg * sg as double)") /
+            expr(s"cast(cast(n_gaps as $dec) * (n_gaps - 1) as double)")
+          val md = expr("cast(sg as double)") /
+            expr("cast(n_gaps as double)")
+          round((sqrt(vd) - md) / (sqrt(vd) + md), 6)
+        }).as("burstiness"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Analytics, Annotation, Dedup, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
+import graft.ops.{Analytics, Annotation, Cleaning, Dedup, Evaluation, Graph, Multimodal, Privacy, Sampling, Scale, Similarity, Sketches, TextOps, TimeSeries}
 
 /** Round-9 additions: graph-over-text ranking, hierarchy rollups, the
   * privacy-audit pair's missing member, data-quality screens, an ORC
@@ -4430,7 +4430,280 @@ object ExtraQueries {
       AND c.rn <= a.rn + 3
     WHERE levenshtein(a.k, c.k) <= 3"""
 
+  // —————————————————————————————— degree assortativity (q325)
+  // (the part–supplier incidence graph: bipartite, so hubs wire to
+  //  leaves and r < 0 — the structural signal skew planning reads.)
+  val q325Assortativity: Q = (s, dir) => {
+    val pairs = Tables.lineitem(s, dir)
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("tgt"))
+      .distinct()
+    Graph.assortativity(pairs)
+  }
+  private val q325Sql: String = """
+    WITH pr AS (SELECT DISTINCT l_partkey * 2 AS src,
+            l_suppkey * 2 + 1 AS tgt FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    sym AS (SELECT src, tgt FROM pr UNION ALL SELECT tgt, src FROM pr),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+          FROM sym GROUP BY 1),
+    pa AS (SELECT da.d AS dx, db.d AS dy FROM sym
+          JOIN deg da ON sym.src = da.node
+          JOIN deg db ON sym.tgt = db.node),
+    ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+          CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+          CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sx2,
+          CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS sy2 FROM pa)
+    SELECT m, CASE WHEN m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0
+      THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        sqrt(CAST(m * sx2 - sx * sx AS DOUBLE) *
+          CAST(m * sy2 - sy * sy AS DOUBLE)), 6)
+      END AS assortativity
+    FROM ag"""
+
+  // —————————————————————————————— association rules (q326)
+  // (parts co-ordered in the same order: directed A⇒B rules with
+  //  exact ppm confidence/lift, basket-capped pair fan-out.)
+  val q326BasketRules: Q = (s, dir) =>
+    Analytics.basketRules(
+      Tables.lineitem(s, dir)
+        .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item")),
+      "bk", "item", minPairSupport = 2)
+  private val q326Sql: String = """
+    WITH inc AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+          FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    cap AS (SELECT bk, item FROM
+          (SELECT bk, item, row_number() OVER
+              (PARTITION BY bk ORDER BY item) AS rn FROM inc)
+          WHERE rn <= 64),
+    nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM cap),
+    isup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+          FROM cap GROUP BY 1),
+    p AS (SELECT a.item AS ia, b.item AS ib,
+            CAST(count(*) AS BIGINT) AS n_ab
+          FROM cap a JOIN cap b ON a.bk = b.bk AND a.item <> b.item
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT ia AS antecedent, ib AS consequent, n_ab,
+      sa.n_item AS n_a, sb.n_item AS n_b,
+      CAST((1000000 * n_ab) // sa.n_item AS BIGINT) AS conf_ppm,
+      CAST((1000000 * n_ab * nb.nb) // (sa.n_item * sb.n_item) AS BIGINT)
+        AS lift_ppm
+    FROM p JOIN isup sa ON p.ia = sa.item
+      JOIN isup sb ON p.ib = sb.item, nb"""
+
+  // —————————————————————————————— lead–lag cross-correlation (q327)
+  // (do clicks lead purchases, hour-grained? CCF at lags −6..6 on the
+  //  dense shared hour lattice, exact sums, one 6 d.p. sqrt.)
+  val q327CrossCorrelation: Q = (s, dir) =>
+    TimeSeries.crossCorrelation(Tables.events(s, dir), "ts",
+      "event_type", "click", "purchase", maxLag = 6)
+  private val q327Sql: String = """
+    WITH hh AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type AS et
+          FROM events WHERE ts IS NOT NULL
+            AND event_type IN ('click', 'purchase')),
+    c AS (SELECT h, et, CAST(count(*) AS BIGINT) AS c
+          FROM hh GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+    lat AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM sp),
+    ser AS (SELECT lat.h, coalesce(x.c, 0) AS x, coalesce(y.c, 0) AS y
+          FROM lat
+          LEFT JOIN (SELECT h, c FROM c WHERE et = 'click') x
+            ON lat.h = x.h
+          LEFT JOIN (SELECT h, c FROM c WHERE et = 'purchase') y
+            ON lat.h = y.h),
+    lg AS (SELECT unnest(range(-6, 7)) AS lag),
+    pr AS (SELECT lg.lag, a.x, b.y FROM lg
+          CROSS JOIN ser a JOIN ser b ON b.h = a.h + lg.lag),
+    ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2
+          FROM pr GROUP BY 1)
+    SELECT lag, n, CASE WHEN n * sx2 - sx * sx > 0
+        AND n * sy2 - sy * sy > 0
+      THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) *
+          CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+      END AS r
+    FROM ag"""
+
+  // —————————————————————————————— inter-event burstiness (q328)
+  // (per event_type: exact gap CV² + Goh–Barabási B over per-user
+  //  inter-event gaps — Poisson-or-bursty arrival profiling.)
+  val q328Burstiness: Q = (s, dir) =>
+    TimeSeries.interEventBurstiness(Tables.events(s, dir),
+      "event_type", "user_id", "ts")
+  private val q328Sql: String = """
+    WITH b AS (SELECT event_type AS k, user_id AS ent, epoch_us(ts) AS us
+          FROM events WHERE event_type IS NOT NULL
+            AND user_id IS NOT NULL AND ts IS NOT NULL),
+    g AS (SELECT k, us - lag(us) OVER
+            (PARTITION BY k, ent ORDER BY us) AS g FROM b),
+    ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(g) AS HUGEINT) AS sg,
+          CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
+          FROM g WHERE g IS NOT NULL GROUP BY 1)
+    SELECT k AS event_type, n AS n_gaps, CAST(sg AS BIGINT) AS sum_gap_us,
+      CASE WHEN n >= 2 AND sg > 0
+        THEN CAST((1000 * n * (n * sg2 - sg * sg))
+          // ((n - 1) * sg * sg) AS BIGINT) END AS cv2_milli,
+      CASE WHEN n >= 2 AND sg > 0
+        THEN round((sqrt(CAST(n * sg2 - sg * sg AS DOUBLE) /
+            CAST(n * (n - 1) AS DOUBLE)) -
+            CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) /
+          (sqrt(CAST(n * sg2 - sg * sg AS DOUBLE) /
+            CAST(n * (n - 1) AS DOUBLE)) +
+            CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        END AS burstiness
+    FROM ag"""
+
+  // —————————————————————————————— 1-D Wasserstein drift (q329)
+  // (pairwise earth-mover distance between five sources' n_chars
+  //  distributions — the how-far-did-mass-move cousin of PSI/KS.)
+  val q329Wasserstein: Q = (s, dir) =>
+    Analytics.wasserstein1d(Tables.documents(s, dir), "source",
+      "n_chars", Seq("src0", "src1", "src2", "src3", "src4"))
+  private val q329Sql: String = """
+    WITH c AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4')
+            AND n_chars IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+    p AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+          FROM t a, t b WHERE a.g < b.g),
+    sup AS (SELECT DISTINCT v FROM c),
+    lat AS (SELECT p.ga, p.gb, p.na, p.nb, sup.v,
+            coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+          FROM p CROSS JOIN sup
+          LEFT JOIN c ca ON ca.g = p.ga AND ca.v = sup.v
+          LEFT JOIN c cb ON cb.g = p.gb AND cb.v = sup.v),
+    cu AS (SELECT ga, gb, na, nb,
+          sum(ca) OVER (PARTITION BY ga, gb ORDER BY v) AS cum_a,
+          sum(cb) OVER (PARTITION BY ga, gb ORDER BY v) AS cum_b,
+          lead(v) OVER (PARTITION BY ga, gb ORDER BY v) - v AS dv
+          FROM lat)
+    SELECT ga AS group_a, gb AS group_b,
+      CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      CAST((1000000 * sum(abs(CAST(cum_a AS HUGEINT) * nb
+          - CAST(cum_b AS HUGEINT) * na) * dv))
+        // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS w1_micro
+    FROM cu WHERE dv IS NOT NULL GROUP BY 1, 2"""
+
+  // —————————————————————————————— readability profile (q330)
+  // (Flesch-style register signal: regex-exact sentence/word/vowel-run
+  //  counts, integer milli ratios, pinned subtraction order.)
+  val q330Readability: Q = (s, dir) =>
+    Cleaning.readabilityMetrics(Tables.documents(s, dir), "text", "doc_id")
+  private val q330Sql: String = """
+    SELECT doc_id,
+      greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        AS n_sentences,
+      CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+        AS n_words,
+      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        AS n_syllables,
+      CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) > 0
+        THEN (1000 * CAST(len(regexp_extract_all(text, '[^ \t\n\r]+'))
+            AS BIGINT))
+          // greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+            AS BIGINT)) END AS wps_milli,
+      CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) > 0
+        THEN (1000 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT))
+          // CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+        END AS spw_milli,
+      CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) > 0
+        THEN 206835
+          - (1015 * ((1000 * CAST(len(regexp_extract_all(text,
+              '[^ \t\n\r]+')) AS BIGINT))
+            // greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+              AS BIGINT)))) // 1000
+          - (84600 * ((1000 * CAST(len(regexp_extract_all(lower(text),
+              '[aeiouy]+')) AS BIGINT))
+            // CAST(len(regexp_extract_all(text, '[^ \t\n\r]+'))
+              AS BIGINT))) // 1000
+        END AS flesch_milli
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"""
+
+  // —————————————————————————————— rich-club profile (q331)
+  // (φ(k) ladder over the part–supplier graph — do high-degree nodes
+  //  form a dense club? Exact ppm density per threshold.)
+  val q331RichClub: Q = (s, dir) => {
+    val pairs = Tables.lineitem(s, dir)
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("tgt"))
+      .distinct()
+    Graph.richClub(pairs, maxK = 8)
+  }
+  private val q331Sql: String = """
+    WITH pr AS (SELECT DISTINCT l_partkey * 2 AS src,
+            l_suppkey * 2 + 1 AS tgt FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+    sym AS (SELECT src, tgt FROM pr UNION ALL SELECT tgt, src FROM pr),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+          FROM sym GROUP BY 1),
+    pa AS (SELECT da.d AS dx, db.d AS dy FROM sym
+          JOIN deg da ON sym.src = da.node
+          JOIN deg db ON sym.tgt = db.node),
+    ks AS (SELECT unnest(range(1, 9)) AS k),
+    nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg CROSS JOIN ks WHERE d > ks.k GROUP BY 1),
+    ek AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+          FROM pa CROSS JOIN ks
+          WHERE dx > ks.k AND dy > ks.k GROUP BY 1)
+    SELECT ks.k, coalesce(nk.n_nodes, 0) AS n_nodes,
+      coalesce(ek.n_edges, 0) AS n_edges,
+      CASE WHEN coalesce(nk.n_nodes, 0) >= 2
+        THEN CAST((1000000 * coalesce(ek.n_edges, 0))
+          // (nk.n_nodes * (nk.n_nodes - 1)) AS BIGINT) END AS phi_ppm
+    FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k"""
+
+  // —————————————————————————————— position-based attribution (q332)
+  // (U-shaped 40/20/40 credit per channel over the 7-day conversion
+  //  window — the scheme between last-touch q142 and linear q157.)
+  val q332PositionAttribution: Q = (s, dir) =>
+    Analytics.positionAttribution(Tables.events(s, dir), "user_id",
+      "ts", "event_id", "event_type", "purchase", Seq("click", "view"),
+      windowUs = 7L * 86400 * 1000000)
+  private val q332Sql: String = """
+    WITH e AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+            event_type AS et FROM events),
+    cv AS (SELECT k, id AS conv_id, us AS conv_us FROM e
+          WHERE et = 'purchase'),
+    tc AS (SELECT k, id AS touch_id, us AS touch_us, et AS channel
+          FROM e WHERE et IN ('click', 'view')),
+    pr AS (SELECT cv.k, cv.conv_id, tc.touch_id, tc.touch_us, tc.channel
+          FROM cv JOIN tc ON cv.k = tc.k
+          WHERE tc.touch_us < cv.conv_us
+            AND tc.touch_us >= cv.conv_us - 604800000000),
+    cr AS (SELECT channel, k, conv_id,
+          row_number() OVER (PARTITION BY k, conv_id
+            ORDER BY touch_us, touch_id) AS rn,
+          count(*) OVER (PARTITION BY k, conv_id) AS kt
+          FROM pr)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      CAST(sum(CASE WHEN kt = 1 THEN 1000000
+        WHEN kt = 2 THEN 500000
+        WHEN rn = 1 OR rn = kt THEN 400000
+        ELSE 200000 // (kt - 2) END) AS BIGINT) AS credit_ppm_total
+    FROM cr GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q325_assortativity" -> q325Assortativity,
+    "q326_basket_rules" -> q326BasketRules,
+    "q327_cross_correlation" -> q327CrossCorrelation,
+    "q328_burstiness" -> q328Burstiness,
+    "q329_wasserstein" -> q329Wasserstein,
+    "q330_readability" -> q330Readability,
+    "q331_rich_club" -> q331RichClub,
+    "q332_position_attribution" -> q332PositionAttribution,
     "q317_mcnemar" -> q317Mcnemar,
     "q318_cochran_q" -> q318CochranQ,
     "q319_rbo" -> q319Rbo,
@@ -4549,6 +4822,14 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q325_assortativity" -> q325Sql,
+    "q326_basket_rules" -> q326Sql,
+    "q327_cross_correlation" -> q327Sql,
+    "q328_burstiness" -> q328Sql,
+    "q329_wasserstein" -> q329Sql,
+    "q330_readability" -> q330Sql,
+    "q331_rich_club" -> q331Sql,
+    "q332_position_attribution" -> q332Sql,
     "q317_mcnemar" -> q317Sql,
     "q318_cochran_q" -> q318Sql,
     "q319_rbo" -> q319Sql,

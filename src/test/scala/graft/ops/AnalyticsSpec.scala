@@ -952,4 +952,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(0L, 3L) &&
       got.map(_._5) == Seq(0L, 1000000L))
   }
+
+  test("wasserstein1d: hand 4/3 on separated masses, identical = 0") {
+    val df = (Seq(("a", 0L), ("a", 0L), ("a", 2L)) ++
+      Seq(("b", 2L), ("b", 2L), ("b", 2L)) ++
+      Seq(("c", 0L), ("c", 0L), ("c", 2L))).toDF("g", "v")
+    val got = Analytics.wasserstein1d(df, "g", "v", Seq("a", "b", "c"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // a vs b: |F_a - F_b| = 2/3 over [0,2) → W1 = 4/3 → 1333333 micro
+    assert(got(("a", "b")) == 1333333L, s"$got")
+    assert(got(("a", "c")) == 0L && got(("b", "c")) == 1333333L)
+  }
+
+  test("basketRules: confidence directed, lift symmetric, support prunes") {
+    val df = Seq(("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "z")).toDF("bk", "item")
+    val got = Analytics.basketRules(df, "bk", "item", minPairSupport = 2)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // n_xy=2, n_x=3, n_y=2, N=3: conf x→y = 666666, lift = 1e6 both ways
+    assert(got(("x", "y")) == (("x", "y", 2L, 3L, 2L, 666666L, 1000000L)))
+    assert(got(("y", "x")) == (("y", "x", 2L, 2L, 3L, 1000000L, 1000000L)))
+    assert(got.size == 2) // the support-1 (x,z) pair is pruned
+  }
+
+  test("positionAttribution: U-shape 40/20/40, pair 50/50, solo 100%") {
+    def ev(u: Long, id: Long, s: Long, et: String) =
+      (u, id, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(s)), et)
+    val df = Seq(
+      // u1: click, view, click → purchase (k=3)
+      ev(1L, 1L, 10, "click"), ev(1L, 2L, 20, "view"),
+      ev(1L, 3L, 30, "click"), ev(1L, 4L, 40, "purchase"),
+      // u2: view → purchase (k=1)
+      ev(2L, 5L, 10, "view"), ev(2L, 6L, 20, "purchase"),
+      // u3: click, view → purchase (k=2)
+      ev(3L, 7L, 10, "click"), ev(3L, 8L, 20, "view"),
+      ev(3L, 9L, 30, "purchase"))
+      .toDF("u", "id", "ts", "et")
+    val got = Analytics.positionAttribution(df, "u", "ts", "id", "et",
+        "purchase", Seq("click", "view"), windowUs = 3600L * 1000000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // click: u1 first+last 800000, u3 first 500000 → 1300000 over 3 touches
+    assert(got("click") == (("click", 3L, 2L, 1300000L)), s"${got("click")}")
+    // view: u1 middle 200000, u2 solo 1000000, u3 last 500000
+    assert(got("view") == (("view", 3L, 3L, 1700000L)), s"${got("view")}")
+  }
 }

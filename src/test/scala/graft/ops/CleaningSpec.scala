@@ -270,4 +270,19 @@ class CleaningSpec extends SparkSpec {
       .as[(Long, String, String, Long, Long)].head()
     assert(got == ((1L, "s", "a a a a a a", 1L, 0L)), s"$got")
   }
+
+  test("readabilityMetrics: hand counts and pinned Flesch algebra") {
+    val docs = Seq((1L, "Hello world. It is good!"), (2L, "pfft"))
+      .toDF("doc_id", "text")
+    val got = Cleaning.readabilityMetrics(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    // 2 sentences, 5 words, 6 vowel groups → wps 2500, spw 1200,
+    // flesch = 206835 - 2537 - 101520 = 102778
+    assert(got(1L) == ((1L, 2L, 5L, 6L, Some(2500L), Some(1200L),
+      Some(102778L))), s"${got(1L)}")
+    // no sentence punctuation floors at 1; zero vowels → spw 0
+    assert(got(2L) == ((2L, 1L, 1L, 0L, Some(1000L), Some(0L),
+      Some(205820L))), s"${got(2L)}")
+  }
 }

@@ -366,4 +366,31 @@ class GraphSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(capped == Seq(("x", "y", 1L)), s"$capped")
   }
+
+  test("assortativity: star = -1, regular ring = null") {
+    // star K1,3: every symmetrized edge pairs deg 3 with deg 1 →
+    // m=6, Sxy=18, Sx=Sy=12, Sx2=Sy2=30 → r = -36/36 = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "tgt")
+    val got = Graph.assortativity(star)
+      .as[(Long, Option[Double])].head()
+    assert(got == ((6L, Some(-1.0))), s"$got")
+    // 4-cycle: all degrees 2 → zero degree variance → null
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "tgt")
+    assert(Graph.assortativity(ring)
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+  }
+
+  test("richClub: triangle + pendant — full club at k=1, degenerate at k=2") {
+    // triangle {1,2,3} + pendant 4-1: degrees 1:3, 2:2, 3:2, 4:1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "tgt")
+    val got = Graph.richClub(e, maxK = 3)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // k=1: {1,2,3} fully connected → 6 directed edges / (3·2) = 1.0
+    assert(got(1L) == ((1L, 3L, 6L, Some(1000000L))), s"${got(1L)}")
+    // k=2: only node 1 qualifies → N<2 → null
+    assert(got(2L) == ((2L, 1L, 0L, None)), s"${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0L, None)), s"${got(3L)}")
+  }
 }

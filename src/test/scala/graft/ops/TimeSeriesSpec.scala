@@ -496,4 +496,41 @@ class TimeSeriesSpec extends SparkSpec {
     val got = sen(("k", 0, 0.03), ("k", 0, 0.04), ("k", 1, 0.05))
     assert(got("k") == (("k", 2L, 1L, 1L, 3000000000L)), s"$got")
   }
+
+  test("crossCorrelation: shifted copy peaks exactly at its lag") {
+    // x hourly counts [1,5,2,8,0]; y = x shifted +1 hour → [0,1,5,2,8]
+    def rows(h: Int, n: Int, et: String) = (0 until n).map(i =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        h * 3600L + i)), et))
+    val xs = Seq(0 -> 1, 1 -> 5, 2 -> 2, 3 -> 8).flatMap {
+      case (h, n) => rows(h, n, "a") }
+    val ys = Seq(1 -> 1, 2 -> 5, 3 -> 2, 4 -> 8).flatMap {
+      case (h, n) => rows(h, n, "b") }
+    val df = (xs ++ ys).toDF("ts", "et")
+    val got = TimeSeries.crossCorrelation(df, "ts", "et", "a", "b",
+        maxLag = 2)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, Some(1.0))), s"${got(1L)}")
+    assert(got(0L)._2 == 5L && got(0L)._3.exists(_ < 1.0), s"${got(0L)}")
+    assert(got.keySet == Set(-2L, -1L, 0L, 1L, 2L))
+  }
+
+  test("interEventBurstiness: constant gaps -1, skewed gaps match hand") {
+    def ev(k: String, ent: Long, secs: Long*) = secs.map(s =>
+      (k, ent, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(s))))
+    // g: gaps [10,10,10]s → var 0 → cv2 0, B = -1
+    // p: gaps [10,30]s → cv2 = 1000·2·4e14 div (1·1.6e15) = 500;
+    //    σ = sqrt(2e14), μ = 2e7 → B = -0.171573
+    val df = (ev("g", 1L, 0, 10, 20, 30) ++ ev("p", 1L, 0, 10, 40))
+      .toDF("k", "ent", "ts")
+    val got = TimeSeries.interEventBurstiness(df, "k", "ent", "ts")
+      .as[(String, Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 3L, 30000000L, Some(0L), Some(-1.0))),
+      s"${got("g")}")
+    assert(got("p") == (("p", 2L, 40000000L, Some(500L),
+      Some(-0.171573))), s"${got("p")}")
+  }
 }
