@@ -2173,6 +2173,153 @@ object Analytics {
         sum("credit_ppm").as("credit_ppm_total"))
   }
 
+  /** Difference-in-differences — the quasi-experimental effect
+    * estimate when randomization is impossible (a feature shipped to
+    * one cohort at a date): `(ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre)` nets out both the level difference
+    * between cohorts and the common time trend. Values pin to micro;
+    * each cell mean is ONE truncating division (non-negative-sum
+    * contract — the engine's `div` truncates toward zero and the
+    * oracle's `//` floors, identical only above zero); the DiD is a
+    * subtraction of the four already-truncated means in pinned order.
+    * Any empty cell ⇒ null estimate, never a fake 0.
+    *
+    * Scale: one map-side-combinable grouped aggregate over the 2×2
+    * lattice; everything after is four rows.
+    */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.where(col(treatCol).isNotNull && col(postCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(treatCol).cast("boolean").as("t"),
+        col(postCol).cast("boolean").as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(valCol).cast("double") * 1e6).cast("long").cast(dec))
+          .as("sv"))
+      .select(col("t"), col("p"), col("n"),
+        expr(s"sv div n").cast("long").as("m"))
+    def cell(t: Boolean, p: Boolean, nm: String) =
+      cells.where(col("t") === t && col("p") === p)
+        .select(col("n").as(s"n_$nm"), col("m").as(s"m_${nm}_micro"))
+    cell(true, false, "t_pre").crossJoin(cell(true, true, "t_post"))
+      .crossJoin(cell(false, false, "c_pre"))
+      .crossJoin(cell(false, true, "c_post"))
+      .withColumn("did_micro",
+        (col("m_t_post_micro") - col("m_t_pre_micro")) -
+          (col("m_c_post_micro") - col("m_c_pre_micro")))
+  }
+
+  /** Episode (sequential-pattern) support — the share of sessions
+    * containing steps(0) → steps(1) → steps(2) IN ORDER with each
+    * step at most `stepGapUs` after the previous one: the
+    * max-gap-constrained cousin of [[sessionFunnel]] (a funnel where
+    * "view … 3 days … purchase" should NOT count). Chained window
+    * mins over ONE per-user sort (the funnel discipline); support is
+    * exact ppm over ALL sessions.
+    */
+  def episodeSupport(events: DataFrame, steps: Seq[String],
+      sessionGapUs: Long = 1800000000L,
+      stepGapUs: Long = 7200000000L): DataFrame = {
+    require(steps.length == 3, "three-step episode")
+    val w = Window.partitionBy("user_id", "sess")
+    val s = sessionized(events, sessionGapUs)
+      .withColumn("s1",
+        min(when(col("event_type") === steps(0), col("_us"))).over(w))
+      .withColumn("s2",
+        min(when(col("event_type") === steps(1) && col("_us") > col("s1") &&
+          col("_us") <= col("s1") + stepGapUs, col("_us"))).over(w))
+      .withColumn("s3",
+        min(when(col("event_type") === steps(2) && col("_us") > col("s2") &&
+          col("_us") <= col("s2") + stepGapUs, col("_us"))).over(w))
+    s.groupBy("user_id", "sess")
+      .agg(max(col("s3").isNotNull.cast("long")).as("hit"))
+      .agg(count(lit(1)).as("n_sessions"), sum("hit").as("n_matched"))
+      .select(col("n_sessions"), col("n_matched"),
+        when(col("n_sessions") > 0,
+          expr("(1000000 * n_matched) div n_sessions")).as("support_ppm"))
+  }
+
+  /** Neyman allocation — the optimal stratified-sampling design table
+    * (allocate a budget of `nSample` draws across strata ∝ N_h·σ_h,
+    * so volatile strata get more samples): the survey-statistics verb
+    * behind "how should the eval set be drawn". σ_h enters as ONE
+    * pinned micro-rounded sqrt per stratum (the [[woeIv]] ln
+    * discipline); weights and the largest-remainder split are exact
+    * integers after that — allocations sum to EXACTLY nSample
+    * (remainder ranks tie-break on stratum name). Singleton strata
+    * carry σ = 0 and win only remainder seats. All-zero weights
+    * (every stratum constant) ⇒ null allocations.
+    *
+    * Scale: one grouped moment aggregate; everything after is
+    * strata-sized, including the remainder rank.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+      nSample: Long): DataFrame = {
+    require(nSample >= 1)
+    val dec = "decimal(38,0)"
+    val mom = df.where(col(stratumCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(stratumCol).as("h"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col(valCol).cast("long").cast(dec)).as("sv"),
+        sum(expr(s"cast(cast($valCol as long) as $dec)" +
+          s" * cast($valCol as long)")).as("sv2"))
+      .withColumn("std_micro",
+        when(col("nh") >= 2,
+          round(lit(1e6) * sqrt(
+            expr(s"cast(nh * sv2 - sv * sv as double)") /
+              expr(s"cast(cast(nh as $dec) * (nh - 1) as double)")))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("w", expr(s"cast(nh as $dec) * std_micro"))
+    val tot = mom.agg(sum("w").as("tw"))
+    val based = mom.crossJoin(broadcast(tot))
+      .withColumn("base",
+        when(col("tw") > 0,
+          expr(s"(cast($nSample as $dec) * w) div tw").cast("long")))
+      .withColumn("rem",
+        when(col("tw") > 0, expr(s"(cast($nSample as $dec) * w) % tw")))
+    val leftover = based.agg((lit(nSample) -
+      coalesce(sum("base"), lit(0L))).as("lo"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("h").asc)))
+      .select(col("h").as(stratumCol), col("nh").as("n_rows"),
+        col("std_micro"),
+        when(col("tw") > 0,
+          col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+          .as("alloc_n"))
+  }
+
+  /** Candidate-key profiling — uniqueness ratio per column combo (the
+    * discovery side of [[fdAudit]]'s functional dependencies: an FD
+    * says A determines B; a key candidate says the combo determines
+    * the ROW). One global aggregate computes every combo's distinct
+    * count in a single scan (multi-column countDistinct drops rows
+    * with any null — the SQL COUNT(DISTINCT a, b) convention,
+    * mirrored with a FILTER in the oracle); the combo explosion runs
+    * on the 1-row result. `is_key` = every non-null row distinct AND
+    * no nulls anywhere in the combo.
+    */
+  def keyCandidates(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty))
+    val n = count(lit(1)).as("n_rows")
+    val aggs = combos.zipWithIndex.flatMap { case (cs, i) =>
+      Seq(countDistinct(cs.head, cs.tail: _*).as(s"nd_$i"),
+        sum(when(cs.map(c => col(c).isNotNull).reduce(_ && _), 1L)
+          .otherwise(0L)).as(s"nn_$i"))
+    }
+    val one = df.agg(n, aggs: _*)
+    combos.zipWithIndex.map { case (cs, i) =>
+      one.select(lit(cs.mkString(",")).as("combo"), col("n_rows"),
+        col(s"nn_$i").as("n_nonnull"), col(s"nd_$i").as("n_distinct"),
+        when(col(s"nn_$i") > 0,
+          expr(s"(1000000 * nd_$i) div nn_$i")).as("uniqueness_ppm"),
+        (col(s"nd_$i") === col("n_rows") && col(s"nn_$i") === col("n_rows"))
+          .as("is_key"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Wald SPRT — the SEQUENTIAL A/B decision the fixed-horizon tests
     * ([[abTestSummary]]-style) cannot give: walk the observation
     * stream in event order, accumulate the log-likelihood ratio of

@@ -410,6 +410,37 @@ object Cleaning {
     * truncating on non-negative operands in pinned order. Zero-word
     * docs emit null ratios. Narrow per-row map, no shuffle.
     */
+  /** Tokenizer fertility by dominant script — the "how many tokens
+    * per character does each script cost" audit that sizes token
+    * budgets for multilingual corpora (Latin text tokenizes cheap;
+    * CJK and mixed-script text fragments): per [[scriptMix]] dominant
+    * class, exact totals and truncating milli ratios of characters
+    * per whitespace token and per BPE-ish token (letter runs + single
+    * digits + single punctuation — [[TextOps.bpeishTokenCount]]'s
+    * regex). Zero-token classes emit null ratios.
+    *
+    * Scale: two narrow per-row regex counts composed with the
+    * scriptMix projection, one map-side-combinable grouped aggregate.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val t = col(textCol)
+    val perDoc = scriptMix(df, textCol, idCol)
+      .select(col(idCol), col("dominant"))
+      .join(df.select(col(idCol), length(t).cast("long").as("n_chars"),
+        TextOps.wsTokenCount(t).as("n_ws"),
+        TextOps.bpeishTokenCount(t).as("n_bpe")), Seq(idCol))
+    perDoc.groupBy("dominant")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        sum("n_ws").as("ws_tokens"), sum("n_bpe").as("bpe_tokens"))
+      .select(col("dominant"), col("n_docs"), col("chars"),
+        col("ws_tokens"), col("bpe_tokens"),
+        when(col("ws_tokens") > 0,
+          expr("(1000 * chars) div ws_tokens")).as("chars_per_ws_milli"),
+        when(col("bpe_tokens") > 0,
+          expr("(1000 * chars) div bpe_tokens")).as("chars_per_bpe_milli"))
+  }
+
   def readabilityMetrics(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val t = col(textCol)

@@ -1083,4 +1083,63 @@ object TextOps {
             s"(2 * cast(qt as $dec))"))
           .cast("long").as("js_micro"))
   }
+
+  /** Greedy set-cover source selection — submodular data curation's
+    * workhorse ("which `rounds` sources buy the most vocabulary
+    * coverage"): each round picks the source adding the most
+    * NOT-YET-COVERED distinct tokens (count-desc, name-asc pinned
+    * ties), the greedy rule with the classic (1 − 1/e) guarantee.
+    * Emits one row per round with the marginal gain and cumulative
+    * coverage ppm of the full token universe.
+    *
+    * Shape: the (source, token) incidence materializes once
+    * (localCheckpoint — every round anti-joins against it); per round
+    * one anti-join + grouped count + TakeOrdered(1), and the covered
+    * set grows by checkpointed union — linear lineage, the
+    * [[Graph.pageRank]] iteration discipline. The driver carries only
+    * the picked source names (bounded scalars). Stops early when no
+    * remaining source adds a token.
+    */
+  def greedySourceCover(df: DataFrame, textCol: String, groupCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inc = df.where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("s"),
+        explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+      .localCheckpoint()
+    val universe = inc.select("w").distinct().count() // bounded scalar
+    var covered = inc.select("w").limit(0).localCheckpoint()
+    var picked = List.empty[String]
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, Long, Long)]
+    var cum = 0L
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val remaining = inc
+        .filter(!col("s").isin(picked.map(x => x: Any): _*))
+        .join(covered, Seq("w"), "left_anti")
+      val top = remaining.groupBy("s").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s").asc).limit(1)
+        .as[(String, Long)].collect() // 1 bounded row
+      top.headOption match {
+        case Some((src, n)) =>
+          cum += n
+          out += ((round.toLong, src, n, cum))
+          picked = src :: picked
+          covered = covered
+            .unionByName(remaining.where(col("s") === src).select("w"))
+            .localCheckpoint()
+          round += 1
+        case None => done = true
+      }
+    }
+    out.toSeq.toDF("round", "source", "n_new_tokens", "cum_covered")
+      .withColumn("coverage_ppm",
+        expr(s"(1000000 * cum_covered) div $universe"))
+  }
 }

@@ -765,15 +765,76 @@ object TimeSeries {
           .as("r"))
   }
 
+  /** Seasonal-naive forecast backtest with MASE — the honest baseline
+    * every fancier forecaster must beat, and the evaluation metric
+    * that makes "beat" well-defined: forecast hour h as the count at
+    * h − `period`, score the last `testHours` hours by MAE, and scale
+    * by the in-train one-step naive MAE (Hyndman's MASE — unit-free,
+    * defined even when the series touches zero, where MAPE explodes).
+    * `MASE·10³ = (10³·Σ|e_f|·n_naive) div (Σ|e_n|·n_test)` — exact
+    * integers end to end, one truncating division; a zero-naive-error
+    * train series (perfectly flat) emits null.
+    *
+    * Both series live on the dense shared hour lattice (the
+    * [[crossCorrelation]] discipline), split at the GLOBAL last hour
+    * minus testHours so every key is scored on the same horizon.
+    *
+    * Scale: one grouped count, then lattice-sized lag windows
+    * (calendar-bounded) — nothing data-sized after the first
+    * aggregate.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String, typeCol: String,
+      period: Int = 24, testHours: Int = 72): DataFrame = {
+    require(period >= 1 && testHours >= 1)
+    val counts = df.where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+        col(typeCol).as("et"))
+      .groupBy("h", "et").agg(count(lit(1)).as("c"))
+    val span = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val lattice = span
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"),
+        (col("h1") - testHours).as("split_h"))
+    val types = counts.select("et").distinct()
+    val dense = lattice.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "et"), "left")
+      .select(col("et"), col("h"), col("split_h"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy("et").orderBy("h")
+    val scored = dense
+      .withColumn("x_season", lag(col("x"), period).over(w))
+      .withColumn("x_prev", lag(col("x"), 1).over(w))
+    scored.groupBy(col("et").as(typeCol))
+      .agg(
+        sum(when(col("h") > col("split_h") && col("x_season").isNotNull,
+          1L).otherwise(0L)).as("n_test"),
+        sum(when(col("h") > col("split_h") && col("x_season").isNotNull,
+          abs(col("x") - col("x_season")))).as("sae_forecast"),
+        sum(when(col("h") <= col("split_h") && col("x_prev").isNotNull,
+          1L).otherwise(0L)).as("n_naive"),
+        sum(when(col("h") <= col("split_h") && col("x_prev").isNotNull,
+          abs(col("x") - col("x_prev")))).as("sae_naive"))
+      .select(col(typeCol), col("n_test"),
+        coalesce(col("sae_forecast"), lit(0L)).as("sae_forecast"),
+        col("n_naive"), coalesce(col("sae_naive"), lit(0L)).as("sae_naive"))
+      .withColumn("mase_milli",
+        when(col("sae_naive") > 0 && col("n_test") > 0,
+          expr("(1000 * sae_forecast * n_naive)" +
+            " div (sae_naive * n_test)")))
+  }
+
   /** Inter-event burstiness per key — are arrivals Poisson-steady or
     * bursty? Gaps are consecutive same-(key, entity) inter-event
-    * times; per key the profile emits the exact gap CV²
-    * (variance/mean², sample form, one truncating milli division with
-    * the totals cleared: `CV²·10³ = (10³·n·(n·Σg² − (Σg)²)) div
-    * ((n−1)·(Σg)²)` — CV² = 1 is Poisson, > 1 bursty) and the
-    * Goh–Barabási burstiness `B = (σ−μ)/(σ+μ)` as the one 6 d.p.
-    * double (σ from a single sqrt over the exact variance ratio;
-    * B ∈ (−1, 1), 0 = Poisson). Keys with < 2 gaps emit null.
+    * times in MILLISECONDS (CV² is scale-invariant; ms keeps
+    * `10³·n²·Σg²` inside decimal(38) out to ~10¹⁰ gaps per key, where
+    * µs overflowed at sf0.1 already — the truncation to ms is the
+    * documented unit contract, not noise); per key the profile emits
+    * the exact gap CV² (variance/mean², sample form, one truncating
+    * milli division with the totals cleared: `CV²·10³ =
+    * (10³·n·(n·Σg² − (Σg)²)) div ((n−1)·(Σg)²)` — CV² = 1 is Poisson,
+    * > 1 bursty) and the Goh–Barabási burstiness `B = (σ−μ)/(σ+μ)` as
+    * the one 6 d.p. double (σ from a single sqrt over the exact
+    * variance ratio; B ∈ (−1, 1), 0 = Poisson). Keys with < 2 gaps
+    * emit null.
     *
     * Scale: one per-(key, entity) sort for the lag window, one
     * map-side-combinable grouped aggregate — the q07 lag-gap shape
@@ -787,14 +848,15 @@ object TimeSeries {
         col(tsCol).isNotNull)
       .select(col(keyCol).as("k"), col(entityCol).as("ent"),
         unix_micros(col(tsCol)).as("us"))
-      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("g_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("g", expr("g_us div 1000"))
       .where(col("g").isNotNull)
     gaps.groupBy(col("k").as(keyCol))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("g").cast(dec)).as("sg"),
         sum(expr(s"cast(g as $dec) * g")).as("sg2"))
       .select(col(keyCol), col("n_gaps"),
-        col("sg").cast("long").as("sum_gap_us"),
+        col("sg").cast("long").as("sum_gap_ms"),
         when(col("n_gaps") >= 2 && col("sg") > 0,
           expr(s"(cast(1000 as $dec) * n_gaps * (n_gaps * sg2 - sg * sg))" +
             s" div ((n_gaps - 1) * sg * sg)").cast("long"))

@@ -4542,13 +4542,13 @@ object ExtraQueries {
     WITH b AS (SELECT event_type AS k, user_id AS ent, epoch_us(ts) AS us
           FROM events WHERE event_type IS NOT NULL
             AND user_id IS NOT NULL AND ts IS NOT NULL),
-    g AS (SELECT k, us - lag(us) OVER
-            (PARTITION BY k, ent ORDER BY us) AS g FROM b),
+    g AS (SELECT k, (us - lag(us) OVER
+            (PARTITION BY k, ent ORDER BY us)) // 1000 AS g FROM b),
     ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(g) AS HUGEINT) AS sg,
           CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
           FROM g WHERE g IS NOT NULL GROUP BY 1)
-    SELECT k AS event_type, n AS n_gaps, CAST(sg AS BIGINT) AS sum_gap_us,
+    SELECT k AS event_type, n AS n_gaps, CAST(sg AS BIGINT) AS sum_gap_ms,
       CASE WHEN n >= 2 AND sg > 0
         THEN CAST((1000 * n * (n * sg2 - sg * sg))
           // ((n - 1) * sg * sg) AS BIGINT) END AS cv2_milli,

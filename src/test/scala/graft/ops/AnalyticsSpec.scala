@@ -977,6 +977,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size == 2) // the support-1 (x,z) pair is pruned
   }
 
+  test("diffInDiff: nets out cohort level and common trend") {
+    val df = Seq((true, false, 1.0), (true, false, 3.0), (true, true, 5.0),
+      (false, false, 2.0), (false, true, 3.0)).toDF("t", "p", "v")
+    val got = Analytics.diffInDiff(df, "t", "p", "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // means: t_pre 2e6, t_post 5e6, c_pre 2e6, c_post 3e6 → DiD 2e6
+    assert(got == ((2L, 2000000L, 1L, 5000000L, 1L, 2000000L, 1L,
+      3000000L, 2000000L)), s"$got")
+  }
+
+  test("episodeSupport: step gap binds inside a session") {
+    def ev(u: Long, id: Long, s: Long, et: String) =
+      (u, id, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(s)), et)
+    val df = Seq(
+      // u1: view→click→purchase, 100 s steps → hit
+      ev(1L, 1L, 0, "view"), ev(1L, 2L, 100, "click"),
+      ev(1L, 3L, 200, "purchase"),
+      // u2: click 10 min after view — same session, step gap 5 min → miss
+      ev(2L, 4L, 0, "view"), ev(2L, 5L, 600, "click"),
+      ev(2L, 6L, 700, "purchase"),
+      // u3: no steps at all
+      ev(3L, 7L, 0, "error"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Analytics.episodeSupport(df,
+        Seq("view", "click", "purchase"),
+        sessionGapUs = 3600L * 1000000L, stepGapUs = 300L * 1000000L)
+      .as[(Long, Long, Option[Long])].head()
+    assert(got == ((3L, 1L, Some(333333L))), s"$got")
+  }
+
+  test("neymanAllocation: volatile strata win, remainder pinned") {
+    val df = (Seq(("a", 0L), ("a", 4L)) ++ Seq.fill(3)(("b", 1L)) ++
+      Seq(("c", 0L), ("c", 2L))).toDF("h", "v")
+    val got = Analytics.neymanAllocation(df, "h", "v", nSample = 10)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // std_micro: a 2828427 (√8), b 0, c 1414214 (√2); bases 6/0/3,
+    // leftover 1 goes to a (largest remainder)
+    assert(got("a") == (("a", 2L, 2828427L, Some(7L))), s"${got("a")}")
+    assert(got("b") == (("b", 3L, 0L, Some(0L))), s"${got("b")}")
+    assert(got("c") == (("c", 2L, 1414214L, Some(3L))), s"${got("c")}")
+  }
+
+  test("keyCandidates: per-combo uniqueness, nulls break keys") {
+    val df = Seq((Some(1L), Some("x")), (Some(2L), Some("x")),
+      (Some(3L), None: Option[String])).toDF("id", "v")
+    val got = Analytics.keyCandidates(df,
+        Seq(Seq("id"), Seq("v"), Seq("id", "v")))
+      .as[(String, Long, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 3L, 3L, 3L, Some(1000000L), true)))
+    assert(got("v") == (("v", 3L, 2L, 1L, Some(500000L), false)))
+    assert(got("id,v") == (("id,v", 3L, 2L, 2L, Some(1000000L), false)))
+  }
+
   test("positionAttribution: U-shape 40/20/40, pair 50/50, solo 100%") {
     def ev(u: Long, id: Long, s: Long, et: String) =
       (u, id, java.sql.Timestamp.from(

@@ -271,6 +271,20 @@ class CleaningSpec extends SparkSpec {
     assert(got == ((1L, "s", "a a a a a a", 1L, 0L)), s"$got")
   }
 
+  test("tokenizerFertility: per-script chars-per-token ratios") {
+    val docs = Seq((1L, "ab cd"), (2L, "хо хо"))
+      .toDF("doc_id", "text")
+    val got = Cleaning.tokenizerFertility(docs, "text", "doc_id")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // latin "ab cd": 5 chars, 2 ws tokens, 2 bpe runs → 2500 milli both
+    assert(got("latin") == (("latin", 1L, 5L, 2L, 2L, Some(2500L),
+      Some(2500L))), s"${got("latin")}")
+    // cyrillic "хо хо": bpe falls to per-char punctuation class → 4
+    assert(got("cyrillic") == (("cyrillic", 1L, 5L, 2L, 4L, Some(2500L),
+      Some(1250L))), s"${got("cyrillic")}")
+  }
+
   test("readabilityMetrics: hand counts and pinned Flesch algebra") {
     val docs = Seq((1L, "Hello world. It is good!"), (2L, "pfft"))
       .toDF("doc_id", "text")

@@ -1072,4 +1072,15 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Long])].head()
     assert(got == ((1L, 3L, 3L, Some(1000000L))), s"$got")
   }
+
+  test("greedySourceCover: marginal-gain greedy, pinned ties, early stop") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "a b"),
+      (3L, "s3", "c d")).toDF("doc_id", "source", "text")
+    val got = TextOps.greedySourceCover(docs, "text", "source", rounds = 3)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // round 1: s1 adds 3; round 2: s3 adds d; round 3: nothing new → stop
+    assert(got == Seq((1L, "s1", 3L, 3L, 750000L),
+      (2L, "s3", 1L, 4L, 1000000L)), s"$got")
+  }
 }

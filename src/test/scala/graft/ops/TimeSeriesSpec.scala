@@ -516,21 +516,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.keySet == Set(-2L, -1L, 0L, 1L, 2L))
   }
 
+  test("seasonalNaiveBacktest: hand MASE on a planted cycle") {
+    // hourly counts [1,2,1,2,1,5]; period 2, test last 2 hours:
+    // h4 err 0, h5 err 3; train naive errs 1,1,1 →
+    // MASE = 1000·3·3 div (3·2) = 1500
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 1, 3 -> 2, 4 -> 1, 5 -> 5)
+      .flatMap { case (h, n) => (0 until n).map(i =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          h * 3600L + i)), "a")) }
+    val got = TimeSeries.seasonalNaiveBacktest(rows.toDF("ts", "et"),
+        "ts", "et", period = 2, testHours = 2)
+      .as[(String, Long, Long, Long, Long, Option[Long])].head()
+    assert(got == (("a", 2L, 3L, 3L, 3L, Some(1500L))), s"$got")
+  }
+
   test("interEventBurstiness: constant gaps -1, skewed gaps match hand") {
     def ev(k: String, ent: Long, secs: Long*) = secs.map(s =>
       (k, ent, java.sql.Timestamp.from(
         java.time.Instant.ofEpochSecond(s))))
     // g: gaps [10,10,10]s → var 0 → cv2 0, B = -1
-    // p: gaps [10,30]s → cv2 = 1000·2·4e14 div (1·1.6e15) = 500;
-    //    σ = sqrt(2e14), μ = 2e7 → B = -0.171573
+    // p: gaps [10,30]s = [1e4,3e4] ms → cv2 = 1000·2·4e8 div 1.6e9
+    //    = 500; σ = sqrt(2e8), μ = 2e4 → B = -0.171573
     val df = (ev("g", 1L, 0, 10, 20, 30) ++ ev("p", 1L, 0, 10, 40))
       .toDF("k", "ent", "ts")
     val got = TimeSeries.interEventBurstiness(df, "k", "ent", "ts")
       .as[(String, Long, Long, Option[Long], Option[Double])].collect()
       .map(r => r._1 -> r).toMap
-    assert(got("g") == (("g", 3L, 30000000L, Some(0L), Some(-1.0))),
+    assert(got("g") == (("g", 3L, 30000L, Some(0L), Some(-1.0))),
       s"${got("g")}")
-    assert(got("p") == (("p", 2L, 40000000L, Some(500L),
+    assert(got("p") == (("p", 2L, 40000L, Some(500L),
       Some(-0.171573))), s"${got("p")}")
   }
 }
