@@ -2182,7 +2182,7 @@ object Analytics {
     * contract — the engine's `div` truncates toward zero and the
     * oracle's `//` floors, identical only above zero); the DiD is a
     * subtraction of the four already-truncated means in pinned order.
-    * Any empty cell ⇒ null estimate, never a fake 0.
+    * Any empty cell ⇒ empty result (no row), never a fake 0.
     *
     * Scale: one map-side-combinable grouped aggregate over the 2×2
     * lattice; everything after is four rows.
@@ -2310,14 +2310,17 @@ object Analytics {
           .otherwise(0L)).as(s"nn_$i"))
     }
     val one = df.agg(n, aggs: _*)
-    combos.zipWithIndex.map { case (cs, i) =>
-      one.select(lit(cs.mkString(",")).as("combo"), col("n_rows"),
+    // explode the combo rows OUT of the single 1-row aggregate so the
+    // scan runs once — a unionByName of per-combo selects would
+    // re-evaluate the full aggregate once per combo
+    one.select(explode(array(combos.zipWithIndex.map { case (cs, i) =>
+      struct(lit(cs.mkString(",")).as("combo"), col("n_rows"),
         col(s"nn_$i").as("n_nonnull"), col(s"nd_$i").as("n_distinct"),
         when(col(s"nn_$i") > 0,
           expr(s"(1000000 * nd_$i) div nn_$i")).as("uniqueness_ppm"),
         (col(s"nd_$i") === col("n_rows") && col(s"nn_$i") === col("n_rows"))
           .as("is_key"))
-    }.reduce(_.unionByName(_))
+    }: _*)).as("r")).select("r.*")
   }
 
   /** Wald SPRT — the SEQUENTIAL A/B decision the fixed-horizon tests

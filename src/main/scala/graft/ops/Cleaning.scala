@@ -394,22 +394,6 @@ object Cleaning {
           when(col("n_arabic") > 0, 1).otherwise(0)) >= 2)
   }
 
-  /** Readability profile — the Flesch-style complexity signal next to
-    * the C4/Gopher filters (length and repetition say "is it text";
-    * readability says "what register": legalese and OCR soup score
-    * very low, children's prose very high — a real curriculum/mixing
-    * axis). Counts are regex-exact and integer end to end:
-    * sentences = `[.!?]+` runs (floored at 1 for non-empty text),
-    * words = `[^ \t\n\r]+` runs (explicit class — Java's `\s` and
-    * RE2's differ on vertical tab), syllable PROXY = `[aeiouy]+` runs
-    * on the lowercased text (the standard estimator; all-consonant
-    * tokens contribute 0 — documented). Flesch reading ease in milli:
-    * `206835 − 1015·wps_milli div 1000 − 84600·spw_milli div 1000`
-    * with `wps_milli = 1000·words div sentences` and
-    * `spw_milli = 1000·syllables div words`, every division
-    * truncating on non-negative operands in pinned order. Zero-word
-    * docs emit null ratios. Narrow per-row map, no shuffle.
-    */
   /** Tokenizer fertility by dominant script — the "how many tokens
     * per character does each script cost" audit that sizes token
     * budgets for multilingual corpora (Latin text tokenizes cheap;
@@ -441,6 +425,22 @@ object Cleaning {
           expr("(1000 * chars) div bpe_tokens")).as("chars_per_bpe_milli"))
   }
 
+  /** Readability profile — the Flesch-style complexity signal next to
+    * the C4/Gopher filters (length and repetition say "is it text";
+    * readability says "what register": legalese and OCR soup score
+    * very low, children's prose very high — a real curriculum/mixing
+    * axis). Counts are regex-exact and integer end to end:
+    * sentences = `[.!?]+` runs (floored at 1 for non-empty text),
+    * words = `[^ \t\n\r]+` runs (explicit class — Java's `\s` and
+    * RE2's differ on vertical tab), syllable PROXY = `[aeiouy]+` runs
+    * on the lowercased text (the standard estimator; all-consonant
+    * tokens contribute 0 — documented). Flesch reading ease in milli:
+    * `206835 − 1015·wps_milli div 1000 − 84600·spw_milli div 1000`
+    * with `wps_milli = 1000·words div sentences` and
+    * `spw_milli = 1000·syllables div words`, every division
+    * truncating on non-negative operands in pinned order. Zero-word
+    * docs emit null ratios. Narrow per-row map, no shuffle.
+    */
   def readabilityMetrics(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val t = col(textCol)

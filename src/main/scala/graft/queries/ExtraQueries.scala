@@ -4076,7 +4076,7 @@ object ExtraQueries {
     n AS (SELECT e, sum(o) AS n FROM o GROUP BY 1),
     x AS (SELECT o.e, o.o, n.n, (n.n * 50) // 100 AS e_
           FROM o JOIN n ON o.e = n.e WHERE (n.n * 50) // 100 > 0)
-    SELECT e AS event_type, max(n) AS n,
+    SELECT e AS event_type, CAST(max(n) AS BIGINT) AS n,
       CAST(count(*) AS BIGINT) AS n_buckets,
       CAST(sum(((o - e_) * (o - e_) * 1000) // e_) AS BIGINT)
         AS chi2_milli,
@@ -4695,7 +4695,333 @@ object ExtraQueries {
         ELSE 200000 // (kt - 2) END) AS BIGINT) AS credit_ppm_total
     FROM cr GROUP BY 1"""
 
+  // —————————————————————————————— difference-in-differences (q333)
+  // (2×2 cohort/date lattice over orders: the quasi-experimental
+  //  effect estimate with exact micro means, pinned truncation order.)
+  val q333DiffInDiff: Q = (s, dir) =>
+    Analytics.diffInDiff(
+      Tables.orders(s, dir).select(
+        (col("o_custkey") % 2 === 0).as("t"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp")).as("p"),
+        col("o_totalprice").as("v")),
+      "t", "p", "v")
+  private val q333Sql: String = """
+    WITH b AS (SELECT (o_custkey % 2 = 0) AS t,
+            (o_orderdate >= TIMESTAMP '1998-01-01') AS p,
+            CAST(round(o_totalprice * 1000000) AS BIGINT) AS v
+          FROM orders WHERE o_custkey IS NOT NULL
+            AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+    c AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(v AS HUGEINT)) // count(*) AS BIGINT) AS m
+          FROM b GROUP BY 1, 2)
+    SELECT
+      max(CASE WHEN t AND NOT p THEN n END) AS n_t_pre,
+      max(CASE WHEN t AND NOT p THEN m END) AS m_t_pre_micro,
+      max(CASE WHEN t AND p THEN n END) AS n_t_post,
+      max(CASE WHEN t AND p THEN m END) AS m_t_post_micro,
+      max(CASE WHEN NOT t AND NOT p THEN n END) AS n_c_pre,
+      max(CASE WHEN NOT t AND NOT p THEN m END) AS m_c_pre_micro,
+      max(CASE WHEN NOT t AND p THEN n END) AS n_c_post,
+      max(CASE WHEN NOT t AND p THEN m END) AS m_c_post_micro,
+      (max(CASE WHEN t AND p THEN m END)
+        - max(CASE WHEN t AND NOT p THEN m END))
+      - (max(CASE WHEN NOT t AND p THEN m END)
+        - max(CASE WHEN NOT t AND NOT p THEN m END)) AS did_micro
+    FROM c"""
+
+  // —————————————————————————————— episode support (q334)
+  // (q107's ordered funnel with a max-gap constraint per step: view →
+  //  click → purchase each within 2h of the previous, support over ALL
+  //  30-min-gap sessions, exact ppm.)
+  val q334EpisodeSupport: Q = (s, dir) =>
+    Analytics.episodeSupport(Tables.events(s, dir),
+      Seq("view", "click", "purchase"))
+  private val q334Sql: String = """
+    WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+               THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (SELECT user_id, event_type, us, event_id,
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM g),
+    f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+            OVER (PARTITION BY user_id, sess) AS s1 FROM s),
+    f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > s1
+              AND us <= s1 + 7200000000 THEN us END)
+            OVER (PARTITION BY user_id, sess) AS s2 FROM f1),
+    f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2
+              AND us <= s2 + 7200000000 THEN us END)
+            OVER (PARTITION BY user_id, sess) AS s3 FROM f2),
+    h AS (SELECT user_id, sess,
+          max(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS hit
+          FROM f3 GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(hit) AS BIGINT) AS n_matched,
+      CASE WHEN count(*) > 0
+        THEN CAST((1000000 * sum(hit)) // count(*) AS BIGINT)
+      END AS support_ppm
+    FROM h"""
+
+  // —————————————————————————————— Neyman allocation (q335)
+  // (optimal stratified-sampling design over lineitem return flags:
+  //  alloc ∝ N_h·σ_h with ONE pinned micro sqrt per stratum, exact
+  //  largest-remainder split summing to exactly 10000.)
+  val q335NeymanAllocation: Q = (s, dir) =>
+    Analytics.neymanAllocation(
+      Tables.lineitem(s, dir).select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc")),
+      "l_returnflag", "qc", nSample = 10000L)
+  private val q335Sql: String = """
+    WITH b AS (SELECT l_returnflag AS h,
+            CAST(round(l_quantity * 100) AS BIGINT) AS v
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_quantity IS NOT NULL),
+    m AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
+          CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sv,
+          CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sv2
+          FROM b GROUP BY 1),
+    sd AS (SELECT h, nh,
+          CASE WHEN nh >= 2 THEN CAST(round(1000000 * sqrt(
+              CAST(nh * sv2 - sv * sv AS DOUBLE) /
+                CAST(CAST(nh AS HUGEINT) * (nh - 1) AS DOUBLE)))
+            AS BIGINT) ELSE 0 END AS std_micro FROM m),
+    w AS (SELECT h, nh, std_micro,
+          CAST(nh AS HUGEINT) * std_micro AS w FROM sd),
+    t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM w),
+    base AS (SELECT h, nh, std_micro, tw,
+          CASE WHEN tw > 0 THEN CAST((10000 * w) // tw AS BIGINT) END
+            AS base,
+          CASE WHEN tw > 0 THEN (10000 * w) % tw END AS rem
+          FROM w, t),
+    lo AS (SELECT 10000 - coalesce(CAST(sum(base) AS BIGINT), 0) AS lo
+          FROM base),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, h ASC) AS rk
+          FROM base)
+    SELECT h AS l_returnflag, nh AS n_rows, std_micro,
+      CASE WHEN tw > 0
+        THEN base + CASE WHEN rk <= lo.lo THEN 1 ELSE 0 END
+      END AS alloc_n
+    FROM r, lo"""
+
+  // —————————————————————————————— candidate-key profiling (q336)
+  // (uniqueness ratio per column combo in ONE scan — multi-column
+  //  countDistinct drops any-null rows, mirrored via WHERE.)
+  val q336KeyCandidates: Q = (s, dir) =>
+    Analytics.keyCandidates(Tables.orders(s, dir),
+      Seq(Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("o_custkey", "o_orderdate"),
+        Seq("o_orderstatus", "o_orderpriority")))
+  private val q336Sql: String = """
+    WITH nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders
+          WHERE o_orderkey IS NOT NULL),
+    d1 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM
+          (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_orderkey IS NOT NULL)),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders
+          WHERE o_custkey IS NOT NULL),
+    d2 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM
+          (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_custkey IS NOT NULL)),
+    n3 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+    d3 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM
+          (SELECT DISTINCT o_custkey, o_orderdate FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)),
+    n4 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+    d4 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM
+          (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+           WHERE o_orderstatus IS NOT NULL
+             AND o_orderpriority IS NOT NULL))
+    SELECT 'o_orderkey' AS combo, n_rows, nn AS n_nonnull,
+      nd AS n_distinct,
+      CASE WHEN nn > 0 THEN CAST((1000000 * nd) // nn AS BIGINT) END
+        AS uniqueness_ppm,
+      (nd = n_rows AND nn = n_rows) AS is_key FROM nr, n1, d1
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn, nd,
+      CASE WHEN nn > 0 THEN CAST((1000000 * nd) // nn AS BIGINT) END,
+      (nd = n_rows AND nn = n_rows) FROM nr, n2, d2
+    UNION ALL
+    SELECT 'o_custkey,o_orderdate', n_rows, nn, nd,
+      CASE WHEN nn > 0 THEN CAST((1000000 * nd) // nn AS BIGINT) END,
+      (nd = n_rows AND nn = n_rows) FROM nr, n3, d3
+    UNION ALL
+    SELECT 'o_orderstatus,o_orderpriority', n_rows, nn, nd,
+      CASE WHEN nn > 0 THEN CAST((1000000 * nd) // nn AS BIGINT) END,
+      (nd = n_rows AND nn = n_rows) FROM nr, n4, d4"""
+
+  // —————————————————————————————— tokenizer fertility (q337)
+  // (chars-per-token by dominant script over a planted multi-script
+  //  corpus — q283's md5-bucket plant, repeated ×100 so the planted
+  //  script actually DOMINATES the ~300-char Latin base and the
+  //  grouping exercises all four script classes.)
+  val q337TokenizerFertility: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+    val b = conv(substring(md5(concat(lit("scr|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 8
+    val planted = d.select(col("doc_id"),
+      when(b === 0, concat(col("text"), repeat(lit(" привет мир кот"), 100)))
+        .when(b === 1, concat(col("text"), repeat(lit(" 你好世界数据"), 100)))
+        .when(b === 2, concat(col("text"), repeat(lit(" مرحبا بالعالم"), 100)))
+        .otherwise(col("text")).as("text"))
+    Cleaning.tokenizerFertility(planted, "text", "doc_id")
+  }
+  private val q337Sql: String = """
+    WITH p AS (SELECT doc_id,
+            CASE CAST(('0x' || substr(md5('scr|' ||
+                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+              WHEN 0 THEN text || repeat(' привет мир кот', 100)
+              WHEN 1 THEN text || repeat(' 你好世界数据', 100)
+              WHEN 2 THEN text || repeat(' مرحبا بالعالم', 100)
+              ELSE text END AS text
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    c AS (SELECT doc_id, text,
+            CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT)
+              AS n_latin,
+            CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT)
+              AS n_cyrillic,
+            CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT)
+              AS n_han,
+            CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT)
+              AS n_arabic
+          FROM p),
+    d AS (SELECT doc_id,
+            CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0
+              THEN 'none'
+              WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                AND n_latin >= n_arabic THEN 'latin'
+              WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+                THEN 'cyrillic'
+              WHEN n_han >= n_arabic THEN 'han'
+              ELSE 'arabic' END AS dominant,
+            CAST(len(text) AS BIGINT) AS n_chars,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+            CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+          FROM c)
+    SELECT dominant, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS chars,
+      CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+      CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+      CASE WHEN sum(n_ws) > 0
+        THEN CAST((1000 * sum(n_chars)) // sum(n_ws) AS BIGINT)
+      END AS chars_per_ws_milli,
+      CASE WHEN sum(n_bpe) > 0
+        THEN CAST((1000 * sum(n_chars)) // sum(n_bpe) AS BIGINT)
+      END AS chars_per_bpe_milli
+    FROM d GROUP BY 1"""
+
+  // —————————————————————————————— greedy source cover (q338)
+  // (submodular curation: 3 greedy rounds of pick-the-source-adding-
+  //  the-most-new-vocabulary, count-desc name-asc pinned ties; the
+  //  oracle unrolls all three rounds as chained anti-joined CTEs.
+  //  Cover runs over word BIGRAMS — the unigram vocabulary is a
+  //  31-word pool every source fully covers, so greedy over unigrams
+  //  would degenerate to one round; the 916-bigram space separates
+  //  the sources.)
+  val q338GreedyCover: Q = (s, dir) => {
+    val bg = Tables.documents(s, dir)
+      .where(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("ws"))
+      .select(col("source"),
+        expr("array_join(zip_with(" +
+          "slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+          "slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+          "(a, b) -> concat(a, '_', b)), ' ')").as("text"))
+    TextOps.greedySourceCover(bg, "text", "source", rounds = 3)
+  }
+  private val q338Sql: String = """
+    WITH bg AS (SELECT s, array_to_string(list_transform(
+            range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]), ' ')
+            AS text
+          FROM (SELECT source AS s,
+              list_filter(string_split(lower(text), ' '),
+                x -> x <> '') AS ws
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL)),
+    inc AS (SELECT DISTINCT s, w FROM (
+            SELECT s, unnest(string_split(lower(text), ' ')) AS w
+            FROM bg)
+          WHERE w <> ''),
+    u AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS u FROM inc),
+    r1 AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM inc
+          GROUP BY 1 ORDER BY n DESC, s ASC LIMIT 1),
+    c1 AS (SELECT DISTINCT w FROM inc WHERE s = (SELECT s FROM r1)),
+    r2 AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM inc
+          WHERE s <> (SELECT s FROM r1)
+            AND w NOT IN (SELECT w FROM c1)
+          GROUP BY 1 ORDER BY n DESC, s ASC LIMIT 1),
+    c2 AS (SELECT w FROM c1 UNION
+          SELECT w FROM inc WHERE s = (SELECT s FROM r2)),
+    r3 AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM inc
+          WHERE s NOT IN (SELECT s FROM r1 UNION ALL SELECT s FROM r2)
+            AND w NOT IN (SELECT w FROM c2)
+          GROUP BY 1 ORDER BY n DESC, s ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, r1.s AS source,
+      r1.n AS n_new_tokens, r1.n AS cum_covered,
+      CAST((1000000 * r1.n) // u.u AS BIGINT) AS coverage_ppm
+    FROM r1, u
+    UNION ALL
+    SELECT 2, r2.s, r2.n, r1.n + r2.n,
+      CAST((1000000 * (r1.n + r2.n)) // u.u AS BIGINT)
+    FROM r1, r2, u
+    UNION ALL
+    SELECT 3, r3.s, r3.n, r1.n + r2.n + r3.n,
+      CAST((1000000 * (r1.n + r2.n + r3.n)) // u.u AS BIGINT)
+    FROM r1, r2, r3, u"""
+
+  // —————————————————————————————— seasonal-naive MASE backtest (q339)
+  // (forecast hour h as hour h−24 on the dense shared hour lattice,
+  //  score the last 72 hours by MAE, scale by in-train one-step naive
+  //  MAE — exact integer MASE·10³.)
+  val q339SeasonalNaive: Q = (s, dir) =>
+    TimeSeries.seasonalNaiveBacktest(Tables.events(s, dir), "ts",
+      "event_type", period = 24, testHours = 72)
+  private val q339Sql: String = """
+    WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type AS et,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+    lat AS (SELECT unnest(range(h0, h1 + 1)) AS h, h1 - 72 AS split_h
+          FROM sp),
+    ty AS (SELECT DISTINCT et FROM c),
+    d AS (SELECT ty.et, lat.h, lat.split_h, coalesce(c.c, 0) AS x
+          FROM lat CROSS JOIN ty
+          LEFT JOIN c ON c.h = lat.h AND c.et = ty.et),
+    sc AS (SELECT *, lag(x, 24) OVER (PARTITION BY et ORDER BY h) AS xs,
+           lag(x, 1) OVER (PARTITION BY et ORDER BY h) AS xp FROM d),
+    ag AS (SELECT et,
+          CAST(sum(CASE WHEN h > split_h AND xs IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+          CAST(coalesce(sum(CASE WHEN h > split_h AND xs IS NOT NULL
+            THEN abs(x - xs) END), 0) AS BIGINT) AS sae_forecast,
+          CAST(sum(CASE WHEN h <= split_h AND xp IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_naive,
+          CAST(coalesce(sum(CASE WHEN h <= split_h AND xp IS NOT NULL
+            THEN abs(x - xp) END), 0) AS BIGINT) AS sae_naive
+          FROM sc GROUP BY 1)
+    SELECT et AS event_type, n_test, sae_forecast, n_naive, sae_naive,
+      CASE WHEN sae_naive > 0 AND n_test > 0
+        THEN CAST((1000 * CAST(sae_forecast AS HUGEINT) * n_naive)
+          // (CAST(sae_naive AS HUGEINT) * n_test) AS BIGINT)
+      END AS mase_milli
+    FROM ag"""
+
   val all: Map[String, Q] = Map(
+    "q333_diff_in_diff" -> q333DiffInDiff,
+    "q334_episode_support" -> q334EpisodeSupport,
+    "q335_neyman_allocation" -> q335NeymanAllocation,
+    "q336_key_candidates" -> q336KeyCandidates,
+    "q337_tokenizer_fertility" -> q337TokenizerFertility,
+    "q338_greedy_cover" -> q338GreedyCover,
+    "q339_seasonal_naive" -> q339SeasonalNaive,
     "q325_assortativity" -> q325Assortativity,
     "q326_basket_rules" -> q326BasketRules,
     "q327_cross_correlation" -> q327CrossCorrelation,
@@ -4822,6 +5148,13 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q333_diff_in_diff" -> q333Sql,
+    "q334_episode_support" -> q334Sql,
+    "q335_neyman_allocation" -> q335Sql,
+    "q336_key_candidates" -> q336Sql,
+    "q337_tokenizer_fertility" -> q337Sql,
+    "q338_greedy_cover" -> q338Sql,
+    "q339_seasonal_naive" -> q339Sql,
     "q325_assortativity" -> q325Sql,
     "q326_basket_rules" -> q326Sql,
     "q327_cross_correlation" -> q327Sql,
