@@ -2378,4 +2378,101 @@ object Analytics {
         least(col("_hit1"), col("_hit0")).as("n_at_decision"),
         col("_fin.llr").as("final_llr_micro"))
   }
+
+  /** CUPED variance reduction — the pre-experiment-covariate
+    * adjustment (Deng et al. 2013) every mature A/B platform applies
+    * before reading a metric: `ŷ = ȳ_g − θ·(x̄_g − x̄)` with
+    * `θ = cov(x, y)/var(x)` pooled over ALL units, which removes the
+    * pre-period component of the variance (theoretical reduction =
+    * ρ²(x, y), emitted alongside). Moments are EXACT decimal sums of
+    * the caller-pinned integer values; θ, the means, ρ², and the
+    * adjusted means are per-row double scalar chains in pinned order
+    * (no float SUMS anywhere — the [[Graph.assortativity]] discipline),
+    * rounded 6 d.p. once at the end. var(x) = 0 ⇒ null θ/adjusted
+    * (no pre-period signal to remove).
+    *
+    * Scale: one global moment aggregate + one per-arm moment
+    * aggregate, both map-side combinable; everything after is
+    * arms-sized.
+    */
+  def cuped(df: DataFrame, preCol: String, postCol: String,
+      treatCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(preCol).isNotNull && col(postCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .select(col(preCol).cast("long").as("x"),
+        col(postCol).cast("long").as("y"),
+        col(treatCol).cast("boolean").as("t"))
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(expr(s"cast(x as $dec) * x")).as("sxx"),
+      sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+      sum(expr(s"cast(y as $dec) * y")).as("syy"))
+    val per = base.groupBy("t").agg(count(lit(1)).as("n_g"),
+      sum(col("x").cast(dec)).as("sx_g"), sum(col("y").cast(dec)).as("sy_g"))
+    per.crossJoin(broadcast(g))
+      .withColumn("_vx", expr(s"cast(n * sxx - sx * sx as double)"))
+      .withColumn("_cxy", expr(s"cast(n * sxy - sx * sy as double)"))
+      .withColumn("_vy", expr(s"cast(n * syy - sy * sy as double)"))
+      .withColumn("_theta", when(col("_vx") > 0, col("_cxy") / col("_vx")))
+      .select(col("t").as(treatCol), col("n_g").as("n"),
+        round(expr("cast(sy_g as double) / cast(n_g as double)"), 6)
+          .as("mean_post"),
+        round(expr("cast(sy_g as double) / cast(n_g as double)") -
+          col("_theta") * (expr("cast(sx_g as double) / cast(n_g as double)")
+            - expr("cast(sx as double) / cast(n as double)")), 6)
+          .as("mean_adj"),
+        round(col("_theta"), 6).as("theta"),
+        when(col("_vx") > 0 && col("_vy") > 0,
+          round(col("_cxy") * col("_cxy") / (col("_vx") * col("_vy")), 6))
+          .as("rho2"))
+  }
+
+  /** Theil T inequality index with within/between decomposition — the
+    * additive cousin of [[giniShares]]/[[hhiConcentration]] (Gini says
+    * how unequal; Theil says WHERE the inequality lives:
+    * `T = Σ_g w_g·T_g + T_between` exactly). Computed on the
+    * per-(group, value) DISTINCT-VALUE frame (the [[mannWhitneyU]]
+    * discipline — one ln per distinct cell, never per row): each
+    * cell's `ln(v·N_g/S_g)` pins to micro-nats, the data-sized
+    * weighting `Σ m·v·term` is an exact decimal sum, and the final
+    * per-group division clamps the mathematically-≥0 total at 0 (the
+    * [[TextOps.jsDivergence]] clamp — micro rounding may push a
+    * perfectly-equal group a few micro negative, where Spark trunc
+    * and DuckDB floor would diverge). The between term is a per-row
+    * double scalar chain (share · ln(share·N/N_g)), 6 d.p. — no float
+    * sums. Non-positive values are excluded (ln undefined; the
+    * documented domain contract).
+    *
+    * Emits one row per group: n, sum, weight share ppm, T_g micro,
+    * between-term 6 d.p. Scale: one grouped cell count, cells bounded
+    * by groups × distinct values.
+    */
+  def theilIndex(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.where(col(groupCol).isNotNull && col(valCol).isNotNull &&
+        col(valCol).cast("long") > 0)
+      .groupBy(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val perG = cells.groupBy("g")
+      .agg(sum("m").as("n_g"), sum(expr(s"cast(m as $dec) * v")).as("s_g"))
+    val tot = perG.agg(sum("n_g").as("n"), sum("s_g").as("s"))
+    val within = cells.join(perG, Seq("g"))
+      .withColumn("term_micro",
+        round(lit(1e6) * log(col("v").cast("double") *
+          expr("cast(n_g as double) / cast(s_g as double)"))).cast("long"))
+      .groupBy("g")
+      .agg(sum(expr(s"cast(m as $dec) * v * term_micro")).as("num"))
+    perG.join(within, Seq("g")).crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n_g").as("n"),
+        col("s_g").cast("long").as("sum_val"),
+        expr("cast((1000000 * s_g) div s as long)").as("weight_ppm"),
+        expr(s"cast(greatest(cast(0 as $dec), num) div s_g as long)")
+          .as("theil_within_micro"),
+        round(expr("cast(s_g as double) / cast(s as double)") *
+          log(expr("cast(s_g as double) / cast(s as double)") *
+            expr("cast(n as double) / cast(n_g as double)")), 6)
+          .as("between_term"))
+  }
 }

@@ -1361,4 +1361,53 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Blocking-quality audit — the meta-metric that decides whether a
+    * blocking scheme ([[sortedNeighborhoodPairs]]'s key, an LSH band,
+    * a zip+initial rule) is GOOD before the expensive verify pass runs:
+    * reduction ratio (what fraction of the N² pair space the blocks
+    * eliminate) and pairs completeness (what fraction of ground-truth
+    * matching pairs land in a shared block — the recall ceiling any
+    * downstream matcher inherits). Everything is COUNTS — the pair
+    * space is never materialized: candidate pairs = Σ_b C(n_b,2),
+    * truth pairs = Σ_t C(n_t,2), covered = Σ_{t,b} C(n_tb,2) (one
+    * record per (truth, block), so same-truth records share a pair iff
+    * they share a block), each an exact decimal sum of n·(n−1) div 2
+    * (even product — the halving is exact). Ratios truncate to ppm on
+    * non-negative operands.
+    *
+    * Scale: three map-side-combinable grouped counts over the same
+    * scan; the 1-row rollup after is free. The C(n,2) sums make hot
+    * blocks visible BEFORE the candidate join is attempted — this is
+    * the audit [[Dedup]]'s `maxBucket` knobs act on.
+    */
+  def blockingQuality(df: DataFrame, idCol: String, blockCol: String,
+      truthCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def pairs(c: String) = expr(s"cast($c as $dec) * ($c - 1) div 2")
+    val base = df.where(col(idCol).isNotNull && col(blockCol).isNotNull &&
+        col(truthCol).isNotNull)
+      .select(col(blockCol).as("b"), col(truthCol).as("t"))
+      .localCheckpoint() // three grouped counts over one materialization
+    val byBlock = base.groupBy("b").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_blocks"), sum(pairs("n")).as("cand"))
+    val byTruth = base.groupBy("t").agg(count(lit(1)).as("n"))
+      .agg(sum(pairs("n")).as("truth"))
+    val byBoth = base.groupBy("t", "b").agg(count(lit(1)).as("n"))
+      .agg(sum(pairs("n")).as("covered"))
+    val tot = base.agg(count(lit(1)).as("n_rows"))
+    tot.crossJoin(byBlock).crossJoin(byTruth).crossJoin(byBoth)
+      .withColumn("all_pairs", pairs("n_rows"))
+      .select(col("n_rows"), col("n_blocks"),
+        col("cand").cast("long").as("cand_pairs"),
+        col("truth").cast("long").as("truth_pairs"),
+        col("covered").cast("long").as("covered_pairs"),
+        when(col("all_pairs") > 0,
+          lit(1000000L) -
+            expr("cast((1000000 * cand) div all_pairs as long)"))
+          .as("reduction_ratio_ppm"),
+        when(col("truth") > 0,
+          expr("cast((1000000 * covered) div truth as long)"))
+          .as("pairs_completeness_ppm"))
+  }
 }

@@ -606,4 +606,62 @@ object Evaluation {
           expr("(1000000 * cum_positives * _n) div (cum_n * _p)"))
           .as("lift_ppm"))
   }
+
+  /** Uplift / Qini deciles — [[gainsTable]] for TREATMENT EFFECTS:
+    * when the score claims to rank persuadability, the readout is not
+    * "how many positives did the top decile capture" but "how many
+    * INCREMENTAL positives did treating the top decile cause vs the
+    * control arm". Bands are the same value-aligned distinct-score cut
+    * as gainsTable (no ntile row-split nondeterminism; both arms share
+    * one band edge set). Per band: arm sizes/positives and
+    * `uplift_ppm = rate_t − rate_c` (each rate an already-truncated
+    * ppm, subtracted after — both engines floor non-negatives
+    * identically); cumulative `qini_milli = 10³·cumpos_t −
+    * (10³·cumpos_c·cum_n_t) div cum_n_c` (the Radcliffe Qini curve
+    * point, control counts scaled to the treated volume — the second
+    * term is non-negative so its one truncating division is safe).
+    *
+    * Scale: one grouped score aggregate, bands-sized everything after
+    * — the gainsTable cost shape.
+    */
+  def upliftDeciles(df: DataFrame, scoreCol: String, treatCol: String,
+      outcomeCol: String, nBands: Int = 10): DataFrame = {
+    require(nBands >= 2 && nBands <= 100)
+    val byScore = df
+      .filter(col(scoreCol).isNotNull && col(treatCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("score"),
+        col(treatCol).cast("boolean").as("t"),
+        col(outcomeCol).cast("long").as("y"))
+      .groupBy("score").agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("pos_t"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("pos_c"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byScore.agg(sum("n").as("_n"))
+    val wBand = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_n", sum("n").over(wDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("band",
+        least(lit(nBands - 1L), expr(s"($nBands * (cum_n - n)) div _n")))
+      .groupBy("band")
+      .agg(sum("n_t").as("n_t"), sum(col("n") - col("n_t")).as("n_c"),
+        sum("pos_t").as("pos_t"), sum("pos_c").as("pos_c"))
+      .withColumn("cum_n_t", sum("n_t").over(wBand))
+      .withColumn("cum_n_c", sum("n_c").over(wBand))
+      .withColumn("cum_pos_t", sum("pos_t").over(wBand))
+      .withColumn("cum_pos_c", sum("pos_c").over(wBand))
+      .select(col("band"), col("n_t"), col("n_c"), col("pos_t"),
+        col("pos_c"),
+        when(col("n_t") > 0 && col("n_c") > 0,
+          expr("(1000000 * pos_t) div n_t - (1000000 * pos_c) div n_c"))
+          .as("uplift_ppm"),
+        when(col("cum_n_c") > 0,
+          expr("1000 * cum_pos_t" +
+            " - (1000 * cum_pos_c * cum_n_t) div cum_n_c"))
+          .as("qini_milli"))
+  }
 }

@@ -756,4 +756,43 @@ object Graph {
           expr("(1000000 * n_edges) div (n_nodes * (n_nodes - 1))"))
           .as("phi_ppm"))
   }
+
+  /** Local clustering coefficient per node — [[triangleCount]]'s
+    * global number localized: `c(v) = 2·T(v) / (d(v)·(d(v)−1))`, the
+    * share of a node's neighbor pairs that are themselves connected
+    * (the transitivity signal behind community cores vs star hubs,
+    * and the per-node companion to [[richClub]]'s degree-threshold
+    * ladder). Triangles enumerate once as ordered u < v < w wedges
+    * (canonical edge joined to itself on the middle node, closed by
+    * an inner join on (u, w)) and each triangle credits all three
+    * corners via a 3-element explode — exact integer counts, exact
+    * truncating milli ratio. Degree-1 and isolated-from-triangle
+    * nodes emit c = null / 0 triangles respectively.
+    *
+    * Scale: the wedge join is the Σ deg² triangle bound — the same
+    * cost [[triangleCount]] and [[resourceAllocation]] already carry;
+    * the edge set checkpoints once and serves all three join roles.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("tgt")).as("a"),
+        greatest(col("src"), col("tgt")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // one materialization, degree + 3 join roles
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tris = und.select(col("a").as("u"), col("b").as("v"))
+      .join(und.select(col("a").as("v"), col("b").as("w")), "v")
+      .join(und.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          expr("(2000 * coalesce(n_triangles, 0))" +
+            " div (degree * (degree - 1))")).as("lcc_milli"))
+  }
 }

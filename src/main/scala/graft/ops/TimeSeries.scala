@@ -783,8 +783,13 @@ object TimeSeries {
     * (calendar-bounded) — nothing data-sized after the first
     * aggregate.
     */
-  def seasonalNaiveBacktest(df: DataFrame, tsCol: String, typeCol: String,
-      period: Int = 24, testHours: Int = 72): DataFrame = {
+  /** Shared dense-lattice forecast frame for [[seasonalNaiveBacktest]]
+    * and [[pinballLoss]]: per (type `et`, hour `h`) the zero-filled
+    * count `x`, the seasonal forecast `x_season` (lag `period`), the
+    * one-step naive `x_prev`, and the global train/test `split_h`.
+    */
+  private def seasonalScored(df: DataFrame, tsCol: String, typeCol: String,
+      period: Int, testHours: Int): DataFrame = {
     require(period >= 1 && testHours >= 1)
     val counts = df.where(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
@@ -800,9 +805,14 @@ object TimeSeries {
       .select(col("et"), col("h"), col("split_h"),
         coalesce(col("c"), lit(0L)).as("x"))
     val w = Window.partitionBy("et").orderBy("h")
-    val scored = dense
+    dense
       .withColumn("x_season", lag(col("x"), period).over(w))
       .withColumn("x_prev", lag(col("x"), 1).over(w))
+  }
+
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String, typeCol: String,
+      period: Int = 24, testHours: Int = 72): DataFrame = {
+    val scored = seasonalScored(df, tsCol, typeCol, period, testHours)
     scored.groupBy(col("et").as(typeCol))
       .agg(
         sum(when(col("h") > col("split_h") && col("x_season").isNotNull,
@@ -820,6 +830,43 @@ object TimeSeries {
         when(col("sae_naive") > 0 && col("n_test") > 0,
           expr("(1000 * sae_forecast * n_naive)" +
             " div (sae_naive * n_test)")))
+  }
+
+  /** Pinball (quantile) loss of the seasonal-naive forecast — the
+    * scoring rule that makes QUANTILE forecasts honest where
+    * [[seasonalNaiveBacktest]]'s MAE scores the median: for each
+    * τ (ppm) the test-window loss `Σ τ·(y−ŷ)⁺ + (1−τ)·(ŷ−y)⁺` is an
+    * exact integer in ppm units (under-forecasting hurts τ-fold,
+    * over-forecasting (1−τ)-fold — minimized in expectation by the
+    * true τ-quantile). One row per (type, τ): n_test, total ppm loss,
+    * mean milli loss (`total div (1000·n)`, truncating on
+    * non-negatives). Same dense shared-hour-lattice frame and global
+    * split as the MASE backtest, so the two readouts are directly
+    * comparable.
+    *
+    * Scale: the lattice window plus one grouped aggregate per the
+    * (type × τ) fan-out — τ list is a broadcast literal lattice.
+    */
+  def pinballLoss(df: DataFrame, tsCol: String, typeCol: String,
+      period: Int = 24, testHours: Int = 72,
+      tausPpm: Seq[Long] = Seq(100000L, 500000L, 900000L)): DataFrame = {
+    require(tausPpm.nonEmpty && tausPpm.forall(t => t > 0 && t < 1000000))
+    val scored = seasonalScored(df, tsCol, typeCol, period, testHours)
+      .where(col("h") > col("split_h") && col("x_season").isNotNull)
+    val tauDf = scored.sparkSession.createDataFrame(
+      tausPpm.map(Tuple1(_))).toDF("tau_ppm")
+    scored.crossJoin(broadcast(tauDf))
+      .withColumn("loss_ppm",
+        when(col("x") >= col("x_season"),
+          col("tau_ppm") * (col("x") - col("x_season")))
+          .otherwise((lit(1000000L) - col("tau_ppm")) *
+            (col("x_season") - col("x"))))
+      .groupBy(col("et").as(typeCol), col("tau_ppm"))
+      .agg(count(lit(1)).as("n_test"),
+        sum("loss_ppm").as("loss_ppm_total"))
+      .withColumn("mean_loss_milli",
+        when(col("n_test") > 0,
+          expr("loss_ppm_total div (1000 * n_test)")))
   }
 
   /** Inter-event burstiness per key — are arrivals Poisson-steady or

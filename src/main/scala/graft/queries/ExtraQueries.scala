@@ -5014,7 +5014,274 @@ object ExtraQueries {
       END AS mase_milli
     FROM ag"""
 
+  // —————————————————————————————— CUPED variance reduction (q340)
+  // (pre-period value sums (Jan 1-15) adjust post-period means
+  //  (Jan 16-30) per md5-parity arm: θ = cov/var pooled, ρ² emitted.)
+  val q340Cuped: Q = (s, dir) => {
+    val splitUs = 1705363200000000L // 2024-01-16T00:00Z
+    val per = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(unix_micros(col("ts")) < splitUs,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("pre"),
+        sum(when(unix_micros(col("ts")) >= splitUs,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("post"))
+      .withColumn("t", conv(substring(md5(concat(lit("cup|"),
+        col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 === 1)
+    Analytics.cuped(per, "pre", "post", "t")
+  }
+  private val q340Sql: String = """
+    WITH per AS (SELECT user_id,
+            CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y,
+            CAST(('0x' || substr(md5('cup|' || CAST(user_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 2 = 1 AS t
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+          CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy FROM per),
+    p AS (SELECT t, CAST(count(*) AS BIGINT) AS n_g,
+          CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx_g,
+          CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy_g
+          FROM per GROUP BY 1),
+    d AS (SELECT t, n_g, sx_g, sy_g, n, sx,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+          CAST(n * syy - sy * sy AS DOUBLE) AS vy FROM p, g)
+    SELECT t, n_g AS n,
+      round(CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mean_post,
+      CASE WHEN vx > 0 THEN
+        round(CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+          - (cxy / vx) * (CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      END AS mean_adj,
+      CASE WHEN vx > 0 THEN round(cxy / vx, 6) END AS theta,
+      CASE WHEN vx > 0 AND vy > 0
+        THEN round(cxy * cxy / (vx * vy), 6) END AS rho2
+    FROM d"""
+
+  // —————————————————————————————— uplift / Qini deciles (q341)
+  // (value-scored events, md5-parity arms, purchase outcome: per-band
+  //  incremental conversion and the control-scaled Qini curve.)
+  val q341Uplift: Q = (s, dir) =>
+    Evaluation.upliftDeciles(
+      Tables.events(s, dir)
+        .where(col("value").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("score"),
+          (conv(substring(md5(concat(lit("upl|"),
+            col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 1).as("t"),
+          (col("event_type") === "purchase").cast("long").as("y")),
+      "score", "t", "y")
+  private val q341Sql: String = """
+    WITH bs AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN CAST(('0x' || substr(md5('upl|' ||
+                CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+            CAST(sum(CASE WHEN CAST(('0x' || substr(md5('upl|' ||
+                CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+                AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS pos_t,
+            CAST(sum(CASE WHEN CAST(('0x' || substr(md5('upl|' ||
+                CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS pos_c
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+            AND event_type IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS _n FROM bs),
+    cum AS (SELECT score, n, n_t, pos_t, pos_c,
+            CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n
+          FROM bs),
+    bnd AS (SELECT least(CAST(9 AS BIGINT), (10 * (cum_n - n)) // _n)
+            AS band, n, n_t, pos_t, pos_c FROM cum, tot),
+    g AS (SELECT band, CAST(sum(n_t) AS BIGINT) AS n_t,
+            CAST(sum(n - n_t) AS BIGINT) AS n_c,
+            CAST(sum(pos_t) AS BIGINT) AS pos_t,
+            CAST(sum(pos_c) AS BIGINT) AS pos_c FROM bnd GROUP BY 1),
+    g2 AS (SELECT band, n_t, n_c, pos_t, pos_c,
+            CAST(sum(n_t) OVER (ORDER BY band) AS BIGINT) AS cum_n_t,
+            CAST(sum(n_c) OVER (ORDER BY band) AS BIGINT) AS cum_n_c,
+            CAST(sum(pos_t) OVER (ORDER BY band) AS BIGINT) AS cum_pos_t,
+            CAST(sum(pos_c) OVER (ORDER BY band) AS BIGINT) AS cum_pos_c
+          FROM g)
+    SELECT band, n_t, n_c, pos_t, pos_c,
+      CASE WHEN n_t > 0 AND n_c > 0
+        THEN CAST((1000000 * pos_t) // n_t
+          - (1000000 * pos_c) // n_c AS BIGINT) END AS uplift_ppm,
+      CASE WHEN cum_n_c > 0
+        THEN CAST(1000 * cum_pos_t
+          - (1000 * cum_pos_c * cum_n_t) // cum_n_c AS BIGINT)
+      END AS qini_milli
+    FROM g2"""
+
+  // —————————————————————————————— blocking-quality audit (q342)
+  // (2-char text-prefix blocks vs 50-char length-band "truth": RR and
+  //  pairs-completeness from counts only — the pair space is never
+  //  materialized.)
+  val q342BlockingQuality: Q = (s, dir) =>
+    Dedup.blockingQuality(
+      Tables.documents(s, dir)
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"),
+          substring(lower(col("text")), 1, 2).as("blk"),
+          expr("n_chars div 50").as("truth")),
+      "doc_id", "blk", "truth")
+  private val q342Sql: String = """
+    WITH base AS (SELECT substr(lower(text), 1, 2) AS b,
+            n_chars // 50 AS t
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            AND n_chars IS NOT NULL),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS cand
+          FROM (SELECT count(*) AS n FROM base GROUP BY b)),
+    nt AS (SELECT
+          CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS truth
+          FROM (SELECT count(*) AS n FROM base GROUP BY t)),
+    nc AS (SELECT
+          CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT)
+            AS covered
+          FROM (SELECT count(*) AS n FROM base GROUP BY t, b)),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS all_pairs
+          FROM base)
+    SELECT n_rows, n_blocks, CAST(cand AS BIGINT) AS cand_pairs,
+      CAST(truth AS BIGINT) AS truth_pairs,
+      CAST(covered AS BIGINT) AS covered_pairs,
+      CASE WHEN all_pairs > 0
+        THEN 1000000 - CAST((1000000 * cand) // all_pairs AS BIGINT)
+      END AS reduction_ratio_ppm,
+      CASE WHEN truth > 0
+        THEN CAST((1000000 * covered) // truth AS BIGINT)
+      END AS pairs_completeness_ppm
+    FROM tt, nb, nt, nc"""
+
+  // —————————————————————————————— local clustering (q343)
+  // (per-node transitivity on the q124 md5 pseudo-graph: exact
+  //  triangle credit per corner, truncating milli coefficient.)
+  val q343LocalClustering: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Graph.localClustering(Graph.pseudoEdges(
+      docs.select(col("doc_id")), "doc_id", docs.count()))
+  }
+  private val q343Sql: String = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM edges),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    ntri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri) GROUP BY 1)
+    SELECT deg.node, degree,
+      coalesce(n_tri, 0) AS n_triangles,
+      CASE WHEN degree >= 2
+        THEN CAST((2000 * coalesce(n_tri, 0))
+          // (degree * (degree - 1)) AS BIGINT) END AS lcc_milli
+    FROM deg LEFT JOIN ntri ON deg.node = ntri.node"""
+
+  // —————————————————————————————— pinball forecast loss (q344)
+  // (q339's seasonal-naive forecasts scored at τ = 0.1/0.5/0.9 —
+  //  exact integer ppm pinball loss per (type, τ).)
+  val q344Pinball: Q = (s, dir) =>
+    TimeSeries.pinballLoss(Tables.events(s, dir), "ts", "event_type",
+      period = 24, testHours = 72)
+  private val q344Sql: String = """
+    WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type AS et,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+    lat AS (SELECT unnest(range(h0, h1 + 1)) AS h, h1 - 72 AS split_h
+          FROM sp),
+    ty AS (SELECT DISTINCT et FROM c),
+    d AS (SELECT ty.et, lat.h, lat.split_h, coalesce(c.c, 0) AS x
+          FROM lat CROSS JOIN ty
+          LEFT JOIN c ON c.h = lat.h AND c.et = ty.et),
+    sc AS (SELECT *, lag(x, 24) OVER (PARTITION BY et ORDER BY h) AS xs
+          FROM d),
+    ta AS (SELECT unnest([100000, 500000, 900000]) AS tau_ppm),
+    te AS (SELECT et, CAST(tau_ppm AS BIGINT) AS tau_ppm, x, xs
+          FROM sc CROSS JOIN ta
+          WHERE h > split_h AND xs IS NOT NULL)
+    SELECT et AS event_type, tau_ppm,
+      CAST(count(*) AS BIGINT) AS n_test,
+      CAST(sum(CASE WHEN x >= xs THEN tau_ppm * (x - xs)
+        ELSE (1000000 - tau_ppm) * (xs - x) END) AS BIGINT)
+        AS loss_ppm_total,
+      CAST(sum(CASE WHEN x >= xs THEN tau_ppm * (x - xs)
+        ELSE (1000000 - tau_ppm) * (xs - x) END)
+        // (1000 * count(*)) AS BIGINT) AS mean_loss_milli
+    FROM te GROUP BY 1, 2"""
+
+  // —————————————————————————————— Theil decomposition (q345)
+  // (inequality of per-user activity within/between event types:
+  //  distinct-value-frame lns pinned to micro, exact weighting.)
+  val q345Theil: Q = (s, dir) =>
+    Analytics.theilIndex(
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt")),
+      "event_type", "cnt")
+  private val q345Sql: String = """
+    WITH per AS (SELECT event_type AS g, user_id,
+            CAST(count(*) AS BIGINT) AS v
+          FROM events WHERE user_id IS NOT NULL
+            AND event_type IS NOT NULL GROUP BY 1, 2),
+    cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS m
+          FROM per WHERE v > 0 GROUP BY 1, 2),
+    pg AS (SELECT g, CAST(sum(m) AS BIGINT) AS n_g,
+          CAST(sum(CAST(m AS HUGEINT) * v) AS HUGEINT) AS s_g
+          FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+          CAST(sum(s_g) AS HUGEINT) AS s FROM pg),
+    tw AS (SELECT cells.g,
+          CAST(sum(CAST(m AS HUGEINT) * v *
+            CAST(round(1000000 * ln(CAST(v AS DOUBLE) *
+              (CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE))))
+            AS BIGINT)) AS HUGEINT) AS num
+          FROM cells JOIN pg ON cells.g = pg.g GROUP BY 1)
+    SELECT pg.g AS event_type, n_g AS n,
+      CAST(s_g AS BIGINT) AS sum_val,
+      CAST((1000000 * s_g) // s AS BIGINT) AS weight_ppm,
+      CAST(greatest(CAST(0 AS HUGEINT), num) // s_g AS BIGINT)
+        AS theil_within_micro,
+      round((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+        ln((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+          (CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE))), 6) AS between_term
+    FROM pg JOIN tw ON pg.g = tw.g, tot"""
+
   val all: Map[String, Q] = Map(
+    "q340_cuped" -> q340Cuped,
+    "q341_uplift" -> q341Uplift,
+    "q342_blocking_quality" -> q342BlockingQuality,
+    "q343_local_clustering" -> q343LocalClustering,
+    "q344_pinball" -> q344Pinball,
+    "q345_theil" -> q345Theil,
     "q333_diff_in_diff" -> q333DiffInDiff,
     "q334_episode_support" -> q334EpisodeSupport,
     "q335_neyman_allocation" -> q335NeymanAllocation,
@@ -5148,6 +5415,12 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q340_cuped" -> q340Sql,
+    "q341_uplift" -> q341Sql,
+    "q342_blocking_quality" -> q342Sql,
+    "q343_local_clustering" -> q343Sql,
+    "q344_pinball" -> q344Sql,
+    "q345_theil" -> q345Sql,
     "q333_diff_in_diff" -> q333Sql,
     "q334_episode_support" -> q334Sql,
     "q335_neyman_allocation" -> q335Sql,

@@ -1056,4 +1056,55 @@ class AnalyticsSpec extends SparkSpec {
     // view: u1 middle 200000, u2 solo 1000000, u3 last 500000
     assert(got("view") == (("view", 3L, 3L, 1700000L)), s"${got("view")}")
   }
+
+  test("cuped: hand theta, adjusted means, rho2") {
+    // x,y pairs: ctrl (1,2),(3,4); treat (2,4),(4,6)
+    // θ = cov/var = 24/20 = 1.2, ρ² = 576/(20·32) = 0.9, x̄ = 2.5
+    // ctrl: ȳ 3 → adj 3 − 1.2·(2−2.5) = 3.6
+    // treat: ȳ 5 → adj 5 − 1.2·(3−2.5) = 4.4
+    val df = Seq((1L, 2L, false), (3L, 4L, false),
+      (2L, 4L, true), (4L, 6L, true)).toDF("x", "y", "t")
+    val got = Analytics.cuped(df, "x", "y", "t")
+      .as[(Boolean, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(false) == ((false, 2L, Some(3.0), Some(3.6), Some(1.2),
+      Some(0.9))), s"${got(false)}")
+    assert(got(true) == ((true, 2L, Some(5.0), Some(4.4), Some(1.2),
+      Some(0.9))), s"${got(true)}")
+  }
+
+  test("cuped: zero pre-period variance releases null theta/adjusted") {
+    val df = Seq((5L, 2L, false), (5L, 4L, true)).toDF("x", "y", "t")
+    val got = Analytics.cuped(df, "x", "y", "t")
+      .as[(Boolean, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(got.forall(r => r._4.isEmpty && r._5.isEmpty && r._6.isEmpty),
+      got.mkString(","))
+    assert(got.map(r => r._1 -> r._3).toMap ==
+      Map(false -> Some(2.0), true -> Some(4.0)))
+  }
+
+  test("theilIndex: equal group zero, skewed group hand value") {
+    // a: three members of 2 → perfectly equal → T_a = 0
+    // b: members 1 and 3 → num = 1·ln(2/4)·1e6 + 3·ln(6/4)·1e6
+    //   = −693147 + 3·405465 → T_b = 523248 div 4 = 130812 micro
+    // group means both 2 → between terms 0
+    val df = Seq(("a", 2L), ("a", 2L), ("a", 2L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    val got = Analytics.theilIndex(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 6L, 600000L, 0L, Some(0.0))),
+      s"${got("a")}")
+    assert(got("b") == (("b", 2L, 4L, 400000L, 130812L, Some(0.0))),
+      s"${got("b")}")
+  }
+
+  test("theilIndex: non-positive values are excluded by contract") {
+    val df = Seq(("a", 1L), ("a", 0L), ("a", -3L)).toDF("g", "v")
+    val got = Analytics.theilIndex(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(("a", 1L, 1L, 1000000L, 0L, Some(0.0))),
+      got.mkString(","))
+  }
 }

@@ -396,6 +396,33 @@ class CorpusAuditSpec extends SparkSpec {
 
   // ——————————————————————————————————————————— gains / lift
 
+  test("upliftDeciles: incremental conversions, Qini scales control") {
+    // scores 1..4, one treated + one control row each; treated convert
+    // at score ≥ 3, control never. band 0 = scores {4,3}, band 1 = {2,1}
+    val df = (1L to 4L).flatMap(s => Seq(
+      (s, true, if (s >= 3) 1L else 0L), (s, false, 0L)))
+      .toDF("score", "t", "y")
+    val got = Evaluation.upliftDeciles(df, "score", "t", "y", nBands = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 0L, Some(1000000L), Some(2000L)),
+      (1L, 2L, 2L, 0L, 0L, Some(0L), Some(2000L))), got.mkString(","))
+  }
+
+  test("blockingQuality: counted pairs, never materialized") {
+    // truth A={1,2,3} B={4,5}; blocks X={1,2} Y={3,4,5}
+    // cand = C(2,2)+C(3,2) = 4 of C(5,2)=10 → RR 600000
+    // truth pairs = 3+1 = 4, covered = (A,X) 1 + (B,Y) 1 → PC 500000
+    val df = Seq((1L, "X", "A"), (2L, "X", "A"), (3L, "Y", "A"),
+      (4L, "Y", "B"), (5L, "Y", "B")).toDF("id", "blk", "truth")
+    val got = Dedup.blockingQuality(df, "id", "blk", "truth")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .head()
+    assert(got == ((5L, 2L, 4L, 4L, 2L, Some(600000L), Some(500000L))),
+      s"$got")
+  }
+
   test("gainsTable: perfect model doubles the top-half lift") {
     val df = (1L to 10L).map(s => (s, if (s >= 8) 1L else 0L))
       .toDF("score", "y")

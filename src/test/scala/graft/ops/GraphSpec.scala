@@ -393,4 +393,19 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0L, None)), s"${got(2L)}")
     assert(got(3L) == ((3L, 0L, 0L, None)), s"${got(3L)}")
   }
+
+  test("localClustering: triangle corners vs pendant") {
+    // triangle {1,2,3} + pendant 3-4: each corner owns the 1 triangle
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "tgt")
+    val got = Graph.localClustering(e)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // deg-2 corners: 2000·1 div 2 = 1000 (all neighbor pairs closed)
+    assert(got(1L) == ((1L, 2L, 1L, Some(1000L))), s"${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1L, Some(1000L))), s"${got(2L)}")
+    // node 3: deg 3 → 2000 div 6 = 333
+    assert(got(3L) == ((3L, 3L, 1L, Some(333L))), s"${got(3L)}")
+    // pendant: degree 1 → null coefficient, zero triangles
+    assert(got(4L) == ((4L, 1L, 0L, None)), s"${got(4L)}")
+  }
 }

@@ -547,4 +547,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("p") == (("p", 2L, 40000L, Some(500L),
       Some(-0.171573))), s"${got("p")}")
   }
+
+  test("pinballLoss: asymmetric under/over costs at two taus") {
+    // counts [1,2,1,2,3,1]; period 2, test h4/h5:
+    // h4 season 1, actual 3 → under by 2 (costs τ·2)
+    // h5 season 2, actual 1 → over by 1 (costs (1e6−τ)·1)
+    // τ=0.25: 500000+750000=1250000, mean 625 milli
+    // τ=0.75: 1500000+250000=1750000, mean 875 milli
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 1, 3 -> 2, 4 -> 3, 5 -> 1)
+      .flatMap { case (h, n) => (0 until n).map(i =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          h * 3600L + i)), "a")) }
+    val got = TimeSeries.pinballLoss(rows.toDF("ts", "et"), "ts", "et",
+        period = 2, testHours = 2, tausPpm = Seq(250000L, 750000L))
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(250000L) == (("a", 250000L, 2L, 1250000L, Some(625L))),
+      s"${got(250000L)}")
+    assert(got(750000L) == (("a", 750000L, 2L, 1750000L, Some(875L))),
+      s"${got(750000L)}")
+  }
 }
