@@ -2475,4 +2475,140 @@ object Analytics {
             expr("cast(n as double) / cast(n_g as double)")), 6)
           .as("between_term"))
   }
+
+  /** Two-proportion required sample size — the experiment-design verb
+    * that closes the loop the readout family ([[srmCheck]] guards,
+    * CUPED shrinks, SPRT sequences): per group, how many units PER ARM
+    * does detecting a relative lift of `mdeRelPpm` over the observed
+    * baseline rate take at the given α/power? The standard normal-
+    * approximation formula
+    * `n = (z_{α/2}·√(2·p̄·(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)²`
+    * with the two z quantiles pinned as caller-supplied MICRO constants
+    * (defaults 1.959964 / 0.841621 — two-sided α = 0.05, power 0.8; no
+    * inverse-normal evaluation anywhere). p₁ is the exact observed
+    * rate; everything after is a per-row double scalar chain in pinned
+    * order (no float sums), `ceil`ed to the released integer. p₁ = 0
+    * or p₂ ≥ 1 ⇒ null (no finite design exists).
+    *
+    * Scale: one map-side-combinable grouped count; groups-sized after.
+    */
+  def requiredSampleSize(df: DataFrame, groupCol: String, convCol: String,
+      mdeRelPpm: Long = 100000L, zAlphaMicro: Long = 1959964L,
+      zBetaMicro: Long = 841621L): DataFrame = {
+    require(mdeRelPpm > 0 && zAlphaMicro > 0 && zBetaMicro >= 0)
+    val g = df.where(col(groupCol).isNotNull && col(convCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col(convCol).cast("long")).as("n_pos"))
+    val za = zAlphaMicro / 1e6
+    val zb = zBetaMicro / 1e6
+    g.withColumn("p1", expr("cast(n_pos as double) / cast(n_obs as double)"))
+      .withColumn("p2", col("p1") * (lit(1.0) + mdeRelPpm / 1e6))
+      .withColumn("pbar", (col("p1") + col("p2")) / 2)
+      .withColumn("_zsum", lit(za) * sqrt(lit(2.0) * col("pbar") *
+        (lit(1.0) - col("pbar"))) +
+        lit(zb) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+          col("p2") * (lit(1.0) - col("p2"))))
+      .select(col("g").as(groupCol), col("n_obs"), col("n_pos"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        when(col("p1") > 0 && col("p2") < 1,
+          ceil(col("_zsum") * col("_zsum") /
+            ((col("p2") - col("p1")) * (col("p2") - col("p1"))))
+            .cast("long")).as("n_per_arm"))
+  }
+
+  /** Holm–Bonferroni step-down — the FWER-controlling companion to
+    * [[bhFdr]] (BH bounds the FALSE-DISCOVERY RATE; Holm bounds the
+    * probability of ANY false positive — the right gate when one bogus
+    * "significant" regression blocks a release). Walk p-values
+    * ascending and reject while `p_(i) · (m − i + 1) ≤ α`; the first
+    * failure stops everything after it (step-down — uniformly more
+    * powerful than plain Bonferroni, no distributional assumptions).
+    * All comparisons are exact integer cross-multiplications of ppm
+    * p-values (the bhFdr discipline — no division anywhere).
+    *
+    * Scale: tests-frame-sized window (the suite of hypotheses is
+    * bounded by design, never data-sized).
+    */
+  def holmBonferroni(tests: DataFrame, idCol: String, pPpmCol: String,
+      alphaPpm: Long = 50000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L)
+    val w = Window.orderBy(col("p_ppm"), col("id"))
+    tests
+      .where(col(idCol).isNotNull && col(pPpmCol).isNotNull)
+      .select(col(idCol).as("id"), col(pPpmCol).cast("long").as("p_ppm"))
+      .crossJoin(broadcast(tests.agg(
+        count(when(col(idCol).isNotNull && col(pPpmCol).isNotNull, 1))
+          .as("m"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_ff",
+        min(when(col("p_ppm") * (col("m") - col("rank") + 1) > alphaPpm,
+          col("rank"))).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("id").as(idCol), col("p_ppm"), col("rank"),
+        (col("_ff").isNull || col("rank") < col("_ff")).as("rejected"))
+  }
+
+  /** Leave-one-group-out influence — the curation sensitivity audit
+    * ("which source is dragging the corpus metric"): per group, the
+    * overall mean recomputed WITHOUT that group and the delta it
+    * causes, from one grouped aggregate (the totals make every
+    * leave-one-out mean closed-form — no per-group rescan). Sums are
+    * exact decimals of the caller-pinned integer metric; the two means
+    * and the delta are per-row double chains in pinned order, 6 d.p.
+    * A group that is the whole table ⇒ null (nothing remains).
+    *
+    * Scale: one map-side-combinable grouped sum; groups-sized after.
+    */
+  def leaveOneOutInfluence(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col(valCol).cast("long").cast(dec)).as("s_g"))
+    val tot = per.agg(sum("n_g").as("n"), sum("s_g").as("s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n_g"),
+        round(expr("cast(s as double) / cast(n as double)"), 6)
+          .as("mean_overall"),
+        when(col("n") > col("n_g"),
+          round(expr("cast(s - s_g as double) / cast(n - n_g as double)"),
+            6)).as("mean_without"),
+        when(col("n") > col("n_g"),
+          round(expr("cast(s - s_g as double) / cast(n - n_g as double)") -
+            expr("cast(s as double) / cast(n as double)"), 6))
+          .as("influence"))
+  }
+
+  /** Equal-width expected calibration error — the one-number summary
+    * next to [[calibrationBins]]'s table (bins = fixed ppm-width score
+    * slices, the standard ECE formulation; calibrationBins' equal-COUNT
+    * bins answer a different question). Per bin the weighted gap
+    * `|Σscore_ppm − 10⁶·n_pos|` is an exact integer, so
+    * `ECE_ppm = Σ_b |gap_b| div N` and `MCE_ppm = max_b |gap_b| div n_b`
+    * involve no float accumulation at all — scores enter as the q93
+    * 6 d.p. contract and never leave integer space.
+    *
+    * Scale: one grouped aggregate over ≤ nBins cells; 1-row rollup.
+    */
+  def calibrationError(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000)
+    val scored = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol) * 1000000).cast("long").as("ppm"),
+        col(labelCol).cast("boolean").cast("long").as("y"))
+      .withColumn("bin",
+        least(lit(nBins - 1L), expr(s"(ppm * $nBins) div 1000000")))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("ppm").as("sum_ppm"),
+        sum("y").as("n_pos"))
+      .withColumn("gap", abs(col("sum_ppm") - lit(1000000L) * col("n_pos")))
+    bins.agg(sum("n").as("n"), count(lit(1)).as("n_bins_used"),
+        sum("gap").as("_tg"), max(expr("gap div n")).as("mce_ppm"))
+      .select(col("n"), col("n_bins_used"),
+        when(col("n") > 0, expr("_tg div n")).as("ece_ppm"),
+        col("mce_ppm"))
+  }
 }

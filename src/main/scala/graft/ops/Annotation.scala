@@ -163,6 +163,50 @@ object Annotation {
               / (col("n") * col("n") - col("pe_num")).cast("double"), 6)))
   }
 
+  /** Quadratically-weighted Cohen's kappa — [[cohensKappa]] for ORDINAL
+    * labels (1–5 quality grades, severity tiers), where disagreeing by
+    * one notch should cost less than disagreeing by four: weights are
+    * `(la − lb)²`, observed cost is the exact integer
+    * `o = Σ (la − lb)²` over co-rated items, expected cost the exact
+    * marginal cross `e·n = Σ_{i,j} ca_i·cb_j·(i − j)²`, and
+    * `κ_w = 1 − n·o / Σ ca·cb·(i−j)²` is ONE double division of exact
+    * decimals, rounded 6 d.p. (the [[cohensKappa]] shape with the
+    * weight lattice in both numerator and denominator). Zero expected
+    * cost (either rater constant) ⇒ null.
+    *
+    * Scale: the same item self-join as cohensKappa (co-rating pairs),
+    * then label-marginal crosses bounded by label cardinality².
+    */
+  def weightedKappa(votes: DataFrame, itemCol: String,
+      annotatorCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = votes.where(col(itemCol).isNotNull &&
+        col(annotatorCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("item"), col(annotatorCol).as("ann"),
+        col(labelCol).cast("long").as("label"))
+    val co = v.as("x").join(v.as("y"),
+        col("x.item") === col("y.item") && col("x.ann") < col("y.ann"))
+      .select(col("x.ann").as("ann_a"), col("y.ann").as("ann_b"),
+        col("x.label").as("la"), col("y.label").as("lb"))
+    val base = co.groupBy("ann_a", "ann_b")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"cast((la - lb) as $dec) * (la - lb)")).as("o"))
+    val margA = co.groupBy("ann_a", "ann_b", "la")
+      .agg(count(lit(1)).as("ca"))
+    val margB = co.groupBy("ann_a", "ann_b", "lb")
+      .agg(count(lit(1)).as("cb"))
+    val eNum = margA.join(margB, Seq("ann_a", "ann_b"))
+      .select(col("ann_a"), col("ann_b"),
+        expr(s"cast(ca as $dec) * cb * (la - lb) * (la - lb)").as("term"))
+      .groupBy("ann_a", "ann_b").agg(sum("term").as("e_num"))
+    base.join(eNum, Seq("ann_a", "ann_b"))
+      .select(col("ann_a"), col("ann_b"), col("n"),
+        col("o").cast("long").as("weighted_disagreement"),
+        when(col("e_num") === 0, lit(null)).otherwise(round(
+          lit(1.0) - expr(s"cast(cast(n as $dec) * o as double)") /
+            col("e_num").cast("double"), 6)).as("kappa_w"))
+  }
+
   /** Borda-count ranking aggregation — the positional complement to
     * [[bradleyTerry]] (BT fits strengths from pairwise duels; Borda
     * consolidates FULL per-annotator rankings, the artifact a

@@ -5275,7 +5275,183 @@ object ExtraQueries {
           (CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE))), 6) AS between_term
     FROM pg JOIN tw ON pg.g = tw.g, tot"""
 
+  // —————————————————————————————— required sample size (q346)
+  // (per-source English-rate baseline, 10% relative MDE, α=.05 /
+  //  power .8 z constants pinned micro — the experiment-design verb.)
+  val q346SampleSize: Q = (s, dir) =>
+    Analytics.requiredSampleSize(
+      Tables.documents(s, dir)
+        .where(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), (col("lang") === "en").cast("long").as("y")),
+      "source", "y")
+  private val q346Sql: String = """
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_obs,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1),
+    d AS (SELECT source, n_obs, n_pos,
+          CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p1,
+          (CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE))
+            * (1.0 + 100000 / 1000000.0) AS p2 FROM g),
+    z AS (SELECT source, n_obs, n_pos, p1, p2, (p1 + p2) / 2 AS pbar,
+          1959964 / 1000000.0 AS za, 841621 / 1000000.0 AS zb FROM d)
+    SELECT source, n_obs, n_pos, round(p1, 6) AS p1, round(p2, 6) AS p2,
+      CASE WHEN p1 > 0 AND p2 < 1 THEN
+        CAST(ceil((za * sqrt(2.0 * pbar * (1.0 - pbar))
+            + zb * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+          * (za * sqrt(2.0 * pbar * (1.0 - pbar))
+            + zb * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+          / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+      END AS n_per_arm
+    FROM z"""
+
+  // —————————————————————————————— calibration error (q347)
+  // (equal-width ECE/MCE over md5-ppm scores vs the English label —
+  //  exact integer gaps, no float accumulation.)
+  val q347CalibrationError: Q = (s, dir) =>
+    Analytics.calibrationError(
+      Tables.documents(s, dir)
+        .where(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select((conv(substring(md5(concat(lit("cal|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 1000001 / lit(1000000.0)).as("score"),
+          (col("lang") === "en").as("y")),
+      "score", "y")
+  private val q347Sql: String = """
+    WITH s AS (SELECT CAST(round((CAST(('0x' || substr(md5('cal|' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000001
+            / 1000000.0) * 1000000) AS BIGINT) AS ppm,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+    b AS (SELECT least(CAST(9 AS BIGINT), (ppm * 10) // 1000000) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+          CAST(sum(y) AS BIGINT) AS n_pos FROM s GROUP BY 1),
+    g AS (SELECT bin, n, abs(sum_ppm - 1000000 * n_pos) AS gap FROM b)
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+      CAST(count(*) AS BIGINT) AS n_bins_used,
+      CASE WHEN sum(n) > 0
+        THEN CAST(sum(gap) // sum(n) AS BIGINT) END AS ece_ppm,
+      CAST(max(gap // n) AS BIGINT) AS mce_ppm
+    FROM g"""
+
+  // —————————————————————————————— weighted kappa (q348)
+  // (three deterministic ordinal graders over documents; quadratic
+  //  disagreement costs, exact marginal cross, one final division.)
+  val q348WeightedKappa: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
+    val votes = d.select(col("doc_id").as("item"), lit("m1").as("ann"),
+        (col("n_chars") % 5 + 1).as("label"))
+      .unionByName(d.select(col("doc_id").as("item"), lit("m2").as("ann"),
+        ((col("n_chars") + col("doc_id")) % 5 + 1).as("label")))
+      .unionByName(d.select(col("doc_id").as("item"), lit("m3").as("ann"),
+        (expr("n_chars div 7") % 5 + 1).as("label")))
+    Annotation.weightedKappa(votes, "item", "ann", "label")
+  }
+  private val q348Sql: String = """
+    WITH v AS (
+      SELECT doc_id AS item, 'm1' AS ann, n_chars % 5 + 1 AS label
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'm2', (n_chars + doc_id) % 5 + 1
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 'm3', (n_chars // 7) % 5 + 1
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+    co AS (SELECT x.ann AS ann_a, y.ann AS ann_b,
+            x.label AS la, y.label AS lb
+          FROM v x JOIN v y ON x.item = y.item AND x.ann < y.ann),
+    b AS (SELECT ann_a, ann_b, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST((la - lb) AS HUGEINT) * (la - lb)) AS HUGEINT)
+            AS o FROM co GROUP BY 1, 2),
+    ma AS (SELECT ann_a, ann_b, la, CAST(count(*) AS BIGINT) AS ca
+          FROM co GROUP BY 1, 2, 3),
+    mb AS (SELECT ann_a, ann_b, lb, CAST(count(*) AS BIGINT) AS cb
+          FROM co GROUP BY 1, 2, 3),
+    e AS (SELECT ma.ann_a, ma.ann_b,
+          CAST(sum(CAST(ca AS HUGEINT) * cb * (la - lb) * (la - lb))
+            AS HUGEINT) AS e_num
+          FROM ma JOIN mb ON ma.ann_a = mb.ann_a AND ma.ann_b = mb.ann_b
+          GROUP BY 1, 2)
+    SELECT b.ann_a, b.ann_b, n, CAST(o AS BIGINT) AS weighted_disagreement,
+      CASE WHEN e_num <> 0 THEN
+        round(1.0 - CAST(n * o AS DOUBLE) / CAST(e_num AS DOUBLE), 6)
+      END AS kappa_w
+    FROM b JOIN e ON b.ann_a = e.ann_a AND b.ann_b = e.ann_b"""
+
+  // —————————————————————————————— Holm–Bonferroni step-down (q349)
+  // (q309's planted p-value suite under the FWER gate: step-down
+  //  integer cross-multiplication, first failure blocks the rest.)
+  val q349Holm: Q = (s, dir) => {
+    def h(prefix: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+    val tests = Tables.events(s, dir)
+      .where(col("event_id").isNotNull)
+      .select((col("event_id") % 256).as("unit")).distinct()
+      .select(col("unit"),
+        when(h("hq|", col("unit").cast("string")) % 8 === 0,
+          expr("null")).otherwise(lit(1)).as("_plant"),
+        (h("hp|", col("unit").cast("string")) % 1000000).as("p_raw"))
+      .select(col("unit"),
+        when(col("_plant").isNull, expr("p_raw div 1000"))
+          .otherwise(col("p_raw")).as("p_ppm"))
+    Analytics.holmBonferroni(tests, "unit", "p_ppm", alphaPpm = 50000L)
+  }
+  private val q349Sql: String = """
+    WITH u AS (SELECT DISTINCT event_id % 256 AS unit FROM events
+          WHERE event_id IS NOT NULL),
+    t AS (SELECT unit,
+            CASE WHEN CAST(('0x' || substr(md5('hq|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 8 = 0
+              THEN (CAST(('0x' || substr(md5('hp|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+                // 1000
+              ELSE CAST(('0x' || substr(md5('hp|' ||
+                CAST(unit AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+              END AS p_ppm
+          FROM u),
+    m AS (SELECT count(*) AS m FROM t),
+    rk AS (SELECT unit, p_ppm,
+            CAST(row_number() OVER (ORDER BY p_ppm, unit) AS BIGINT)
+              AS rank FROM t),
+    ff AS (SELECT min(CASE WHEN p_ppm * ((SELECT m FROM m) - rank + 1)
+            > 50000 THEN rank END) AS f FROM rk)
+    SELECT unit, p_ppm, rank,
+      (SELECT f FROM ff) IS NULL OR rank < (SELECT f FROM ff) AS rejected
+    FROM rk"""
+
+  // —————————————————————————————— leave-one-out influence (q350)
+  // (which source drags the corpus n_chars mean: closed-form LOO
+  //  deltas from one grouped aggregate.)
+  val q350LooInfluence: Q = (s, dir) =>
+    Analytics.leaveOneOutInfluence(
+      Tables.documents(s, dir), "source", "n_chars")
+  private val q350Sql: String = """
+    WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_g,
+            CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s_g
+          FROM documents WHERE source IS NOT NULL
+            AND n_chars IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+          CAST(sum(s_g) AS HUGEINT) AS s FROM per)
+    SELECT g AS source, n_g,
+      round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_overall,
+      CASE WHEN n > n_g THEN
+        round(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE), 6)
+      END AS mean_without,
+      CASE WHEN n > n_g THEN
+        round(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      END AS influence
+    FROM per, tot"""
+
   val all: Map[String, Q] = Map(
+    "q346_sample_size" -> q346SampleSize,
+    "q347_calibration_error" -> q347CalibrationError,
+    "q348_weighted_kappa" -> q348WeightedKappa,
+    "q349_holm" -> q349Holm,
+    "q350_loo_influence" -> q350LooInfluence,
     "q340_cuped" -> q340Cuped,
     "q341_uplift" -> q341Uplift,
     "q342_blocking_quality" -> q342BlockingQuality,
@@ -5415,6 +5591,11 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q346_sample_size" -> q346Sql,
+    "q347_calibration_error" -> q347Sql,
+    "q348_weighted_kappa" -> q348Sql,
+    "q349_holm" -> q349Sql,
+    "q350_loo_influence" -> q350Sql,
     "q340_cuped" -> q340Sql,
     "q341_uplift" -> q341Sql,
     "q342_blocking_quality" -> q342Sql,

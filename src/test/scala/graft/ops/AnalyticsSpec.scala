@@ -1100,6 +1100,71 @@ class AnalyticsSpec extends SparkSpec {
       s"${got("b")}")
   }
 
+  test("requiredSampleSize: textbook 10%→11% needs 14751 per arm") {
+    // p1 = 0.1, relative MDE 10% → p2 = 0.11; α = .05 two-sided,
+    // power 0.8: n = (1.959964·√(2·p̄q̄) + 0.841621·√(p1q1+p2q2))²/δ²
+    val df = ((1 to 10).map(_ => ("g", 1L)) ++
+      (1 to 90).map(_ => ("g", 0L)) ++ Seq(("z", 0L))).toDF("g", "y")
+    val got = Analytics.requiredSampleSize(df, "g", "y")
+      .as[(String, Long, Long, Double, Double, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 100L, 10L, 0.1, 0.11, Some(14751L))),
+      s"${got("g")}")
+    // zero baseline rate → no finite design
+    assert(got("z") == (("z", 1L, 0L, 0.0, 0.0, None)), s"${got("z")}")
+  }
+
+  test("calibrationError: exact integer ECE/MCE over width bins") {
+    // bin0: scores .2,.2 no positives → gap 400000
+    // bin1: scores .8,.6 both positive → gap |1400000−2000000| = 600000
+    // ECE = 1000000 div 4 = 250000; MCE = 600000 div 2 = 300000
+    val df = Seq((0.2, false), (0.2, false), (0.8, true), (0.6, true))
+      .toDF("score", "y")
+    val got = Analytics.calibrationError(df, "score", "y", nBins = 2)
+      .as[(Long, Long, Option[Long], Long)].head()
+    assert(got == ((4L, 2L, Some(250000L), 300000L)), s"$got")
+  }
+
+  test("holmBonferroni: step-down blocks everything after first fail") {
+    // sorted p·(m−i+1): 1000·3 ✓, 30000·2 = 60000 ✗ → stop; the
+    // rank-3 p (40000·1 ≤ 50000) would pass alone but is blocked
+    val tests = Seq(("t1", 1000L), ("t2", 30000L), ("t3", 40000L))
+      .toDF("id", "p_ppm")
+    val got = Analytics.holmBonferroni(tests, "id", "p_ppm")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map("t1" -> true, "t2" -> false, "t3" -> false),
+      got.toString)
+  }
+
+  test("holmBonferroni: all pass when every step clears alpha") {
+    val tests = Seq(("t1", 1000L), ("t2", 5000L), ("t3", 30000L))
+      .toDF("id", "p_ppm")
+    val got = Analytics.holmBonferroni(tests, "id", "p_ppm")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall(_._4), got.mkString(","))
+  }
+
+  test("leaveOneOutInfluence: closed-form deltas from one aggregate") {
+    // a: {1,2}, b: {6} → overall mean 3; drop a → 6 (+3);
+    // drop b → 1.5 (−1.5)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 6L)).toDF("g", "v")
+    val got = Analytics.leaveOneOutInfluence(df, "g", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 3.0, Some(6.0), Some(3.0))),
+      s"${got("a")}")
+    assert(got("b") == (("b", 1L, 3.0, Some(1.5), Some(-1.5))),
+      s"${got("b")}")
+  }
+
+  test("leaveOneOutInfluence: sole group releases null") {
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val got = Analytics.leaveOneOutInfluence(df, "g", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double])].head()
+    assert(got == (("a", 2L, 1.5, None, None)), s"$got")
+  }
+
   test("theilIndex: non-positive values are excluded by contract") {
     val df = Seq(("a", 1L), ("a", 0L), ("a", -3L)).toDF("g", "v")
     val got = Analytics.theilIndex(df, "g", "v")

@@ -152,4 +152,30 @@ class AnnotationSpec extends SparkSpec {
     val got = alpha((1L, "r1", "a"), (1L, "r2", "a"))
     assert(got._5.isEmpty, s"$got")
   }
+
+  test("weightedKappa: quadratic costs, hand marginal cross") {
+    // A grades 1,2,3,4; B grades 1,2,4,1 → o = 0+0+1+9 = 10,
+    // e_num = Σ ca·cb·(i−j)² = 48 → κ_w = 1 − 4·10/48 = 0.166667
+    val votes = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (4L, "A", 4L), (1L, "B", 1L), (2L, "B", 2L), (3L, "B", 4L),
+      (4L, "B", 1L)).toDF("item", "ann", "label")
+    val got = Annotation.weightedKappa(votes, "item", "ann", "label")
+      .as[(String, String, Long, Long, Option[Double])].head()
+    assert(got == (("A", "B", 4L, 10L, Some(0.166667))), s"$got")
+  }
+
+  test("weightedKappa: perfect agreement 1, constant rater null") {
+    val perfect = Seq((1L, "A", 1L), (2L, "A", 3L), (1L, "B", 1L),
+      (2L, "B", 3L)).toDF("item", "ann", "label")
+    val g1 = Annotation.weightedKappa(perfect, "item", "ann", "label")
+      .as[(String, String, Long, Long, Option[Double])].head()
+    assert(g1._5 == Some(1.0) && g1._4 == 0L, s"$g1")
+    // B constant → every marginal cross term uses lb = 2 only, but A
+    // also constant at 2 → e_num = 0 → null
+    val const = Seq((1L, "A", 2L), (2L, "A", 2L), (1L, "B", 2L),
+      (2L, "B", 2L)).toDF("item", "ann", "label")
+    val g2 = Annotation.weightedKappa(const, "item", "ann", "label")
+      .as[(String, String, Long, Long, Option[Double])].head()
+    assert(g2._5.isEmpty, s"$g2")
+  }
 }
