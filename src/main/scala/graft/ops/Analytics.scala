@@ -2582,6 +2582,90 @@ object Analytics {
           .as("influence"))
   }
 
+  /** Stratified (blocking) average treatment effect — the
+    * standardization estimator between [[diffInDiff]] (needs a time
+    * axis) and [[cuped]] (needs a pre-metric): within each stratum the
+    * arms are comparable, so the per-stratum mean difference is
+    * unconfounded BY the stratifier, and the ATE is the
+    * stratum-size-weighted sum. Each stratum's difference pins to
+    * micro ONCE (per-row double chain of exact sums → round — the
+    * entropy-rate discipline), so the weighted fold
+    * `Σ n_h·diff_micro_h div N` is an EXACT integer sum, never a float
+    * accumulation. Strata missing an arm release a null difference and
+    * are EXCLUDED from the fold (N counts included strata only — a
+    * one-armed stratum has no within-stratum contrast; silently
+    * imputing 0 would bias toward null).
+    *
+    * Emits per-stratum rows (the diagnostic table) with the global
+    * `ate_micro` repeated. Scale: one grouped aggregate, strata-sized
+    * after.
+    */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.where(col(stratumCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(stratumCol).as("h"), col(treatCol).cast("boolean").as("t"),
+        col(valCol).cast("long").as("v"))
+      .groupBy("h")
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t"), col("v")).otherwise(0L).cast(dec)).as("s_t"),
+        sum(when(!col("t"), col("v")).otherwise(0L).cast(dec)).as("s_c"))
+      .withColumn("diff_micro",
+        when(col("n_t") > 0 && col("n_c") > 0,
+          round(lit(1e6) * (expr("cast(s_t as double) / cast(n_t as double)")
+            - expr("cast(s_c as double) / cast(n_c as double)")))
+            .cast("long")))
+    val tot = per.where(col("diff_micro").isNotNull)
+      .agg(sum(col("n_t") + col("n_c")).as("n_inc"),
+        sum(expr(s"cast(n_t + n_c as $dec) * diff_micro")).as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("h").as(stratumCol), col("n_t"), col("n_c"),
+        col("diff_micro"),
+        when(col("diff_micro").isNotNull && col("n_inc") > 0,
+          expr("(1000000 * (n_t + n_c)) div n_inc")).as("weight_ppm"),
+        when(col("n_inc") > 0,
+          expr(s"cast(wsum div n_inc as long)")).as("ate_micro"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio — the stratified 2×2 pooling
+    * that reads an exposure/outcome association WITHOUT the
+    * confounding [[simpsonFlip]] detects: `OR_MH = Σ_h a·d/n_h ÷
+    * Σ_h b·c/n_h` weights each stratum by its information, immune to
+    * the marginal-table reversal. Each stratum's two terms pin to
+    * micro once (exact integer products, one double division, round);
+    * the cross-strata sums are exact integers; the released OR is the
+    * single final division, 6 d.p. Zero denominator sum (no
+    * discordant cells anywhere) ⇒ null.
+    *
+    * Scale: one grouped 2×2 aggregate; strata-sized after.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val per = df.where(col(stratumCol).isNotNull && col(treatCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(stratumCol).as("h"), col(treatCol).cast("boolean").as("t"),
+        col(outcomeCol).cast("boolean").as("y"))
+      .groupBy("h")
+      .agg(sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("t") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("t") && !col("y"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .where(col("n") > 0)
+      .withColumn("r_micro", round(lit(1e6) *
+        expr("cast(a as double) * d / cast(n as double)")).cast("long"))
+      .withColumn("s_micro", round(lit(1e6) *
+        expr("cast(b as double) * c / cast(n as double)")).cast("long"))
+    per.agg(count(lit(1)).as("n_strata"),
+        sum("r_micro").as("r_micro"), sum("s_micro").as("s_micro"))
+      .select(col("n_strata"), col("r_micro"), col("s_micro"),
+        when(col("s_micro") > 0,
+          round(col("r_micro").cast("double") /
+            col("s_micro").cast("double"), 6)).as("or_mh"))
+  }
+
   /** Equal-width expected calibration error — the one-number summary
     * next to [[calibrationBins]]'s table (bins = fixed ppm-width score
     * slices, the standard ECE formulation; calibrationBins' equal-COUNT

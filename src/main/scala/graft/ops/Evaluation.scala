@@ -664,4 +664,46 @@ object Evaluation {
             " - (1000 * cum_pos_c * cum_n_t) div cum_n_c"))
           .as("qini_milli"))
   }
+
+  /** Cost-optimal decision threshold — what [[rocCurve]] leaves to the
+    * reader: given asymmetric error costs (a leaked PII span costs
+    * 100× a wrongly-redacted one), sweep every DISTINCT score as the
+    * fire-at-or-above threshold and release the cost-minimizing one.
+    * `cost_ppm = fp·costFpPpm + fn·costFnPpm` is exact integer at
+    * every candidate (fp/fn from the descending cumulative frame);
+    * the argmin is a TakeOrdered(1) with the tie pinned to the LOWEST
+    * threshold (fire more when indifferent — ties only occur on equal
+    * total cost). Candidates are the observed scores only: the
+    * never-fire policy has no threshold and is the caller's separate
+    * baseline (`fn = P` is readable off n_pos).
+    *
+    * Scale: one grouped score aggregate + distinct-score-frame window
+    * (the gainsTable shape); TakeOrdered(1) ends it — no global sort
+    * of data-sized rows.
+    */
+  def optimalThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+      costFpPpm: Long, costFnPpm: Long): DataFrame = {
+    require(costFpPpm >= 0 && costFnPpm >= 0 &&
+      (costFpPpm > 0 || costFnPpm > 0))
+    val byScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("boolean").cast("long").as("y"))
+      .groupBy("score").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byScore.agg(sum("n").as("_n"), sum("pos").as("_p"))
+    byScore
+      .withColumn("cum_n", sum("n").over(wDesc))
+      .withColumn("cum_pos", sum("pos").over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("score").as("threshold"),
+        (col("cum_n") - col("cum_pos")).as("fp"),
+        (col("_p") - col("cum_pos")).as("fn"),
+        col("_n").as("n"), col("_p").as("n_pos"))
+      .withColumn("cost_ppm",
+        col("fp") * costFpPpm + col("fn") * costFnPpm)
+      .orderBy(col("cost_ppm").asc, col("threshold").asc)
+      .limit(1)
+  }
 }

@@ -5446,7 +5446,127 @@ object ExtraQueries {
       END AS influence
     FROM per, tot"""
 
+  // —————————————————————————————— stratified ATE (q351)
+  // (supplier-parity "treatment" effect on price cents, blocked by
+  //  return flag; micro-pinned per-stratum diffs, exact weighted fold,
+  //  truncation mirrored sign-safely in the oracle.)
+  val q351StratifiedAte: Q = (s, dir) =>
+    Analytics.stratifiedAte(
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isNotNull && col("l_suppkey").isNotNull &&
+          col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"),
+          (col("l_suppkey") % 2 === 0).as("t"),
+          round(col("l_extendedprice") * 100).cast("long").as("v")),
+      "l_returnflag", "t", "v")
+  private val q351Sql: String = """
+    WITH per AS (SELECT l_returnflag AS h,
+            CAST(sum(CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t,
+            CAST(sum(CASE WHEN l_suppkey % 2 = 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_c,
+            CAST(sum(CASE WHEN l_suppkey % 2 = 0
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+              ELSE 0 END) AS HUGEINT) AS s_t,
+            CAST(sum(CASE WHEN l_suppkey % 2 = 0 THEN 0
+              ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+              END) AS HUGEINT) AS s_c
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+            AND l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL
+          GROUP BY 1),
+    d AS (SELECT h, n_t, n_c,
+          CASE WHEN n_t > 0 AND n_c > 0 THEN
+            CAST(round(1000000 * (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+              - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))) AS BIGINT)
+          END AS diff_micro FROM per),
+    tot AS (SELECT CAST(sum(n_t + n_c) AS BIGINT) AS n_inc,
+          CAST(sum(CAST(n_t + n_c AS HUGEINT) * diff_micro) AS HUGEINT)
+            AS wsum
+          FROM d WHERE diff_micro IS NOT NULL)
+    SELECT h AS l_returnflag, n_t, n_c, diff_micro,
+      CASE WHEN diff_micro IS NOT NULL AND n_inc > 0
+        THEN CAST((1000000 * (n_t + n_c)) // n_inc AS BIGINT)
+      END AS weight_ppm,
+      CASE WHEN n_inc > 0 THEN
+        CAST(CASE WHEN wsum >= 0 THEN wsum // n_inc
+          ELSE -((-wsum) // n_inc) END AS BIGINT)
+      END AS ate_micro
+    FROM d, tot"""
+
+  // —————————————————————————————— Mantel–Haenszel OR (q352)
+  // (customer-parity exposure vs finished-order outcome pooled across
+  //  priority strata — the confounding-immune odds ratio.)
+  val q352MantelHaenszel: Q = (s, dir) =>
+    Analytics.mantelHaenszel(
+      Tables.orders(s, dir)
+        .where(col("o_orderpriority").isNotNull &&
+          col("o_custkey").isNotNull && col("o_orderstatus").isNotNull)
+        .select(col("o_orderpriority"),
+          (col("o_custkey") % 2 === 0).as("t"),
+          (col("o_orderstatus") === "F").as("y")),
+      "o_orderpriority", "t", "y")
+  private val q352Sql: String = """
+    WITH per AS (SELECT o_orderpriority AS h,
+            CAST(sum(CASE WHEN o_custkey % 2 = 0
+              AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN o_custkey % 2 = 0
+              AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN o_custkey % 2 = 1
+              AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN o_custkey % 2 = 1
+              AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM orders WHERE o_orderpriority IS NOT NULL
+            AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+          GROUP BY 1),
+    t AS (SELECT h, a + b + c + d AS n,
+          CAST(round(1000000 * CAST(a AS DOUBLE) * d
+            / CAST(a + b + c + d AS DOUBLE)) AS BIGINT) AS r_micro,
+          CAST(round(1000000 * CAST(b AS DOUBLE) * c
+            / CAST(a + b + c + d AS DOUBLE)) AS BIGINT) AS s_micro
+          FROM per WHERE a + b + c + d > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      CAST(sum(r_micro) AS BIGINT) AS r_micro,
+      CAST(sum(s_micro) AS BIGINT) AS s_micro,
+      CASE WHEN sum(s_micro) > 0 THEN
+        round(CAST(sum(r_micro) AS DOUBLE)
+          / CAST(sum(s_micro) AS DOUBLE), 6) END AS or_mh
+    FROM t"""
+
+  // —————————————————————————————— cost-optimal threshold (q353)
+  // (n_chars as the English-detector score; FP 10× cheaper than FN —
+  //  sweep every distinct score, release the argmin, ties pin low.)
+  val q353OptimalThreshold: Q = (s, dir) =>
+    Evaluation.optimalThreshold(
+      Tables.documents(s, dir)
+        .where(col("n_chars").isNotNull && col("lang").isNotNull)
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("y")),
+      "score", "y", costFpPpm = 100000L, costFnPpm = 900000L)
+  private val q353Sql: String = """
+    WITH bs AS (SELECT CAST(n_chars AS BIGINT) AS score,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              AS pos
+          FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS _n,
+          CAST(sum(pos) AS BIGINT) AS _p FROM bs),
+    cum AS (SELECT score,
+          CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+          CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_pos
+          FROM bs),
+    c AS (SELECT score AS threshold, cum_n - cum_pos AS fp,
+          _p - cum_pos AS fn, _n AS n, _p AS n_pos,
+          (cum_n - cum_pos) * 100000 + (_p - cum_pos) * 900000
+            AS cost_ppm
+          FROM cum, tot)
+    SELECT threshold, fp, fn, n, n_pos, cost_ppm
+    FROM c ORDER BY cost_ppm ASC, threshold ASC LIMIT 1"""
+
   val all: Map[String, Q] = Map(
+    "q351_stratified_ate" -> q351StratifiedAte,
+    "q352_mantel_haenszel" -> q352MantelHaenszel,
+    "q353_optimal_threshold" -> q353OptimalThreshold,
     "q346_sample_size" -> q346SampleSize,
     "q347_calibration_error" -> q347CalibrationError,
     "q348_weighted_kappa" -> q348WeightedKappa,
@@ -5591,6 +5711,9 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q351_stratified_ate" -> q351Sql,
+    "q352_mantel_haenszel" -> q352Sql,
+    "q353_optimal_threshold" -> q353Sql,
     "q346_sample_size" -> q346Sql,
     "q347_calibration_error" -> q347Sql,
     "q348_weighted_kappa" -> q348Sql,

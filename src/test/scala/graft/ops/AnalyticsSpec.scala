@@ -1165,6 +1165,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == (("a", 2L, 1.5, None, None)), s"$got")
   }
 
+  test("stratifiedAte: one-armed stratum excluded from the fold") {
+    // h1: t{4,6} vs c{1,3} → diff 3e6; h2: t{10} vs c{4} → 6e6;
+    // h3: t-only → null, excluded. ATE = (4·3e6 + 2·6e6) div 6 = 4e6
+    val df = Seq(("h1", true, 4L), ("h1", true, 6L), ("h1", false, 1L),
+      ("h1", false, 3L), ("h2", true, 10L), ("h2", false, 4L),
+      ("h3", true, 7L)).toDF("h", "t", "v")
+    val got = Analytics.stratifiedAte(df, "h", "t", "v")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("h1") == (("h1", 2L, 2L, Some(3000000L), Some(666666L),
+      Some(4000000L))), s"${got("h1")}")
+    assert(got("h2") == (("h2", 1L, 1L, Some(6000000L), Some(333333L),
+      Some(4000000L))), s"${got("h2")}")
+    assert(got("h3") == (("h3", 1L, 0L, None, None, Some(4000000L))),
+      s"${got("h3")}")
+  }
+
+  test("mantelHaenszel: pooled OR from micro-pinned stratum terms") {
+    // s1 2×2 = (2,1,1,2), s2 = (1,1,1,1):
+    // R = 666667 + 250000, S = 166667 + 250000 → OR = 2.199999
+    def cell(h: String, t: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((h, t, y))
+    val df = (cell("s1", true, true, 2) ++ cell("s1", true, false, 1) ++
+      cell("s1", false, true, 1) ++ cell("s1", false, false, 2) ++
+      cell("s2", true, true, 1) ++ cell("s2", true, false, 1) ++
+      cell("s2", false, true, 1) ++ cell("s2", false, false, 1))
+      .toDF("h", "t", "y")
+    val got = Analytics.mantelHaenszel(df, "h", "t", "y")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(got == ((2L, 916667L, 416667L, Some(2.199999))), s"$got")
+  }
+
+  test("mantelHaenszel: no discordant cells anywhere yields null") {
+    val df = Seq(("s1", true, true), ("s1", false, false))
+      .toDF("h", "t", "y")
+    val got = Analytics.mantelHaenszel(df, "h", "t", "y")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(got._4.isEmpty && got._2 == 500000L, s"$got")
+  }
+
   test("theilIndex: non-positive values are excluded by contract") {
     val df = Seq(("a", 1L), ("a", 0L), ("a", -3L)).toDF("g", "v")
     val got = Analytics.theilIndex(df, "g", "v")

@@ -423,6 +423,25 @@ class CorpusAuditSpec extends SparkSpec {
       s"$got")
   }
 
+  test("optimalThreshold: asymmetric costs pick the cheap corner") {
+    // pos at 3 and 1, neg at 2; FP costs 100, FN costs 10:
+    // t=3 → fp 0, fn 1, cost 10 (min); t=2 → 110; t=1 → 100
+    val df = Seq((3L, true), (2L, false), (1L, true)).toDF("score", "y")
+    val got = Evaluation.optimalThreshold(df, "score", "y", 100L, 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((3L, 0L, 1L, 3L, 2L, 10L)), s"$got")
+  }
+
+  test("optimalThreshold: equal-cost tie pins to the LOWEST threshold") {
+    // scores 4:neg 3:pos 2:neg 1:pos, unit costs → cost 2 at t=3 AND
+    // t=1; fire-more tie rule picks t=1
+    val df = Seq((4L, false), (3L, true), (2L, false), (1L, true))
+      .toDF("score", "y")
+    val got = Evaluation.optimalThreshold(df, "score", "y", 1L, 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((1L, 2L, 0L, 4L, 2L, 2L)), s"$got")
+  }
+
   test("gainsTable: perfect model doubles the top-half lift") {
     val df = (1L to 10L).map(s => (s, if (s >= 8) 1L else 0L))
       .toDF("score", "y")
