@@ -1465,6 +1465,91 @@ object Analytics {
     pairs.reduce(_.unionByName(_))
   }
 
+  /** Wald–Wolfowitz runs test — the shuffle-quality gate a training
+    * pipeline needs before trusting its data ORDER (a "shuffled"
+    * corpus that still clumps by source defeats curriculum mixing and
+    * biases every mini-batch): per key, count the runs of a binary
+    * attribute along the given order and compare against the
+    * randomness expectation `μ = 1 + 2·n₁·n₀/n`,
+    * `σ² = 2n₁n₀(2n₁n₀ − n)/(n²(n−1))`. The run count is an exact
+    * integer (one lag window, changes summed); μ/σ/z are a per-row
+    * double scalar chain over the exact counts in pinned order,
+    * 6 d.p. (no float sums). |z| ≫ 2 low ⇒ clumped, high ⇒
+    * over-alternating. One-sided keys (n₁ or n₀ = 0) or n < 2 ⇒ null.
+    *
+    * Scale: one per-key sort (the q07 lag shape) + one grouped
+    * aggregate; keys-sized after.
+    */
+  def runsTest(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, boolCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("o"), col("tie"))
+    val base = df.where(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(boolCol).isNotNull)
+      .select(col(keyCol).as("k"), col(orderCol).as("o"),
+        col(tieCol).as("tie"), col(boolCol).cast("boolean").as("x"))
+      .withColumn("chg",
+        when(lag(col("x"), 1).over(w).isNull ||
+          lag(col("x"), 1).over(w) =!= col("x"), 1L).otherwise(0L))
+    base.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x"), 1L).otherwise(0L)).as("n1"),
+        sum("chg").as("runs"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("_p", lit(2.0) * col("n1").cast("double") *
+        col("n0").cast("double"))
+      .select(col(keyCol), col("n"), col("n1"), col("n0"), col("runs"),
+        when(col("n1") > 0 && col("n0") > 0 && col("n") > 1,
+          round((col("runs").cast("double") -
+            (lit(1.0) + col("_p") / col("n").cast("double"))) /
+            sqrt(col("_p") * (col("_p") - col("n").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double") *
+                (col("n").cast("double") - 1.0))), 6))
+          .as("z"))
+  }
+
+  /** Theil's uncertainty coefficient — the ASYMMETRIC companion to
+    * [[cramersV]] and [[mutualInfo]]: `U(A|B) = MI/H(A)` reads "what
+    * fraction of A's uncertainty does knowing B remove", so
+    * U(lang|source) ≈ 1 with U(source|lang) ≈ 0.2 says source
+    * determines language but not vice versa — a directionality both
+    * symmetric measures hide. Counts are exact integers on the
+    * occupied contingency cells; MI and the two marginal entropies
+    * are the [[mutualInfo]] float boundary (ratios of exact integers,
+    * rounded 6 d.p. at release only). Zero-entropy margins (constant
+    * column) ⇒ null on that direction.
+    *
+    * Scale: one contingency aggregate per pair; cells-bounded after.
+    */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("x"), col(bCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val rx = cells.groupBy(col("x").as("mx")).agg(sum("nxy").as("r"))
+    val cy = cells.groupBy(col("y").as("my")).agg(sum("nxy").as("c"))
+    val nn = df.agg(count(lit(1)).as("nn"))
+    val mi = cells
+      .join(rx, col("x") <=> col("mx"))
+      .join(cy, col("y") <=> col("my"))
+      .crossJoin(broadcast(nn))
+      .agg(max("nn").as("n"), count(lit(1)).as("occupied_cells"),
+        sum((col("nxy").cast("double") / col("nn")) *
+          log((col("nn").cast("double") * col("nxy")) /
+            (col("r").cast("double") * col("c")))).as("_mi"))
+    val ha = rx.crossJoin(broadcast(nn))
+      .agg(sum((col("r").cast("double") / col("nn")) * lit(-1.0) *
+        log(col("r").cast("double") / col("nn"))).as("_ha"))
+    val hb = cy.crossJoin(broadcast(nn))
+      .agg(sum((col("c").cast("double") / col("nn")) * lit(-1.0) *
+        log(col("c").cast("double") / col("nn"))).as("_hb"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(lit(aCol).as("col_a"), lit(bCol).as("col_b"),
+        col("n").cast("long").as("n"), col("occupied_cells"),
+        round(col("_mi"), 6).as("mi_nats"),
+        when(col("_ha") > 0, round(col("_mi") / col("_ha"), 6))
+          .as("u_a_given_b"),
+        when(col("_hb") > 0, round(col("_mi") / col("_hb"), 6))
+          .as("u_b_given_a"))
+  }
+
   /** Kaplan–Meier survival over per-entity lifetimes with right
     * censoring — the retention curve a product team reads, computed
     * the way a biostatistician defines it. Lifetime = days between an

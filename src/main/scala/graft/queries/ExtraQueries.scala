@@ -5563,7 +5563,76 @@ object ExtraQueries {
     SELECT threshold, fp, fn, n, n_pos, cost_ppm
     FROM c ORDER BY cost_ppm ASC, threshold ASC LIMIT 1"""
 
+  // —————————————————————————————— Wald–Wolfowitz runs test (q354)
+  // (is user-parity randomly interleaved along each event_type's
+  //  timeline? Exact run counts, pinned double z.)
+  val q354RunsTest: Q = (s, dir) =>
+    Analytics.runsTest(
+      Tables.events(s, dir)
+        .where(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("o"),
+          col("event_id").as("tie"), (col("user_id") % 2 === 0).as("x")),
+      "event_type", "o", "tie", "x")
+  private val q354Sql: String = """
+    WITH b AS (SELECT event_type AS k, epoch_us(ts) AS o,
+            event_id AS tie, user_id % 2 = 0 AS x
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL AND user_id IS NOT NULL),
+    r AS (SELECT k, x, CASE WHEN lag(x) OVER w IS NULL
+            OR lag(x) OVER w <> x THEN 1 ELSE 0 END AS chg
+          FROM b WINDOW w AS (PARTITION BY k ORDER BY o, tie)),
+    g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(chg) AS BIGINT) AS runs FROM r GROUP BY 1)
+    SELECT k AS event_type, n, n1, n - n1 AS n0, runs,
+      CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1 THEN
+        round((CAST(runs AS DOUBLE)
+          - (1.0 + (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+            / CAST(n AS DOUBLE)))
+        / sqrt(((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+            * ((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+              - CAST(n AS DOUBLE)))
+          / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+            * (CAST(n AS DOUBLE) - 1.0))), 6)
+      END AS z
+    FROM g"""
+
+  // —————————————————————————————— Theil's U (q355)
+  // (does source determine language or vice versa? MI over each
+  //  margin's entropy — the asymmetric association q271/q293 hide.)
+  val q355TheilsU: Q = (s, dir) =>
+    Analytics.theilsU(Tables.documents(s, dir), "source", "lang")
+  private val q355Sql: String = """
+    WITH cl AS (SELECT source AS x, lang AS y,
+            CAST(count(*) AS BIGINT) AS nxy
+          FROM documents GROUP BY 1, 2),
+    rx AS (SELECT x AS mx, CAST(sum(nxy) AS BIGINT) AS r
+          FROM cl GROUP BY 1),
+    cy AS (SELECT y AS my, CAST(sum(nxy) AS BIGINT) AS c
+          FROM cl GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    mi AS (SELECT (SELECT n FROM nn) AS n,
+          CAST(count(*) AS BIGINT) AS occupied_cells,
+          sum((CAST(nxy AS DOUBLE) / (SELECT n FROM nn)) *
+            ln((CAST((SELECT n FROM nn) AS DOUBLE) * nxy) /
+              (CAST(r AS DOUBLE) * c))) AS _mi
+          FROM cl
+          JOIN rx ON x IS NOT DISTINCT FROM mx
+          JOIN cy ON y IS NOT DISTINCT FROM my),
+    ha AS (SELECT sum((CAST(r AS DOUBLE) / (SELECT n FROM nn)) * -1.0 *
+          ln(CAST(r AS DOUBLE) / (SELECT n FROM nn))) AS _ha FROM rx),
+    hb AS (SELECT sum((CAST(c AS DOUBLE) / (SELECT n FROM nn)) * -1.0 *
+          ln(CAST(c AS DOUBLE) / (SELECT n FROM nn))) AS _hb FROM cy)
+    SELECT 'source' AS col_a, 'lang' AS col_b, n, occupied_cells,
+      round(_mi, 6) AS mi_nats,
+      CASE WHEN _ha > 0 THEN round(_mi / _ha, 6) END AS u_a_given_b,
+      CASE WHEN _hb > 0 THEN round(_mi / _hb, 6) END AS u_b_given_a
+    FROM mi, ha, hb"""
+
   val all: Map[String, Q] = Map(
+    "q354_runs_test" -> q354RunsTest,
+    "q355_theils_u" -> q355TheilsU,
     "q351_stratified_ate" -> q351StratifiedAte,
     "q352_mantel_haenszel" -> q352MantelHaenszel,
     "q353_optimal_threshold" -> q353OptimalThreshold,
@@ -5711,6 +5780,8 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q354_runs_test" -> q354Sql,
+    "q355_theils_u" -> q355Sql,
     "q351_stratified_ate" -> q351Sql,
     "q352_mantel_haenszel" -> q352Sql,
     "q353_optimal_threshold" -> q353Sql,

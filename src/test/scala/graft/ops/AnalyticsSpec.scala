@@ -1205,6 +1205,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got._4.isEmpty && got._2 == 500000L, s"$got")
   }
 
+  test("runsTest: alternation and clumping score opposite signs") {
+    // a: TFTFTF → 6 runs, z = +1.825742 (over-alternating)
+    // c: TTFF → 2 runs, z = −1.224745 (clumped)
+    // b: one-sided → null
+    val rows = Seq(("a", true), ("a", false), ("a", true), ("a", false),
+      ("a", true), ("a", false), ("b", true), ("b", true),
+      ("c", true), ("c", true), ("c", false), ("c", false))
+      .zipWithIndex.map { case ((k, x), i) => (k, i.toLong, i.toLong, x) }
+    val got = Analytics.runsTest(rows.toDF("k", "o", "tie", "x"),
+        "k", "o", "tie", "x")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 6L, 3L, 3L, 6L, Some(1.825742))),
+      s"${got("a")}")
+    assert(got("c") == (("c", 4L, 2L, 2L, 2L, Some(-1.224745))),
+      s"${got("c")}")
+    assert(got("b") == (("b", 2L, 2L, 0L, 1L, None)), s"${got("b")}")
+  }
+
+  test("theilsU: asymmetric direction reads determination") {
+    // (a,1)x2 (b,1) (b,2): A→B partially determined, B→A more
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L))
+      .toDF("s", "l")
+    val got = Analytics.theilsU(df, "s", "l")
+      .as[(String, String, Long, Long, Double, Option[Double],
+        Option[Double])].head()
+    assert(got == (("s", "l", 4L, 3L, 0.215762, Some(0.311278),
+      Some(0.383689))), s"$got")
+  }
+
+  test("theilsU: constant column nulls its own direction") {
+    val df = Seq(("a", 1L), ("b", 1L)).toDF("s", "l")
+    val got = Analytics.theilsU(df, "s", "l")
+      .as[(String, String, Long, Long, Double, Option[Double],
+        Option[Double])].head()
+    // H(l) = 0 → U(l|s) null; MI = 0 → U(s|l) = 0
+    assert(got._5 == 0.0 && got._6 == Some(0.0) && got._7.isEmpty,
+      s"$got")
+  }
+
   test("theilIndex: non-positive values are excluded by contract") {
     val df = Seq(("a", 1L), ("a", 0L), ("a", -3L)).toDF("g", "v")
     val got = Analytics.theilIndex(df, "g", "v")
