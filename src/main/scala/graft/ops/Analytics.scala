@@ -2194,6 +2194,7 @@ object Analytics {
       .withColumn("rn", row_number().over(
         Window.partitionBy("bk").orderBy(col("item"))))
       .where(col("rn") <= maxBasket).select("bk", "item")
+      .localCheckpoint() // four roles: count + supports + self-join×2
     val nBaskets = capped.select("bk").distinct().count() // bounded scalar
     val itemSupp = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = capped.select(col("bk"), col("item").as("ia"))

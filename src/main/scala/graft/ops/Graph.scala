@@ -690,6 +690,7 @@ object Graph {
     val sym = edges.select(col("src"), col("tgt"))
       .unionByName(edges.select(col("tgt").as("src"), col("src").as("tgt")))
       .distinct()
+      .localCheckpoint() // two roles: degree aggregate + endpoint join
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
     val paired = sym
@@ -734,8 +735,10 @@ object Graph {
     val sym = edges.select(col("src"), col("tgt"))
       .unionByName(edges.select(col("tgt").as("src"), col("src").as("tgt")))
       .distinct()
+      .localCheckpoint() // two roles: degree aggregate + endpoint join
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
+      .localCheckpoint() // three roles: N_k ladder + both endpoint joins
     val ks = (1 to maxK).map(_.toLong).toDF("k")
     val nk = deg.crossJoin(broadcast(ks)).where(col("d") > col("k"))
       .groupBy("k").agg(count(lit(1)).as("n_nodes"))
