@@ -403,17 +403,35 @@ object Cleaning {
     * digits + single punctuation — [[TextOps.bpeishTokenCount]]'s
     * regex). Zero-token classes emit null ratios.
     *
-    * Scale: two narrow per-row regex counts composed with the
-    * scriptMix projection, one map-side-combinable grouped aggregate.
+    * Scale: ONE narrow per-row projection (script counts, char count,
+    * both token counts in the same row — no id re-join), one
+    * map-side-combinable grouped aggregate.
     */
   def tokenizerFertility(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val t = col(textCol)
-    val perDoc = scriptMix(df, textCol, idCol)
-      .select(col(idCol), col("dominant"))
-      .join(df.select(col(idCol), length(t).cast("long").as("n_chars"),
+    def cnt(cls: String) = regexp_count(t, lit(cls)).cast("long")
+    // ONE narrow projection computes script counts AND token counts —
+    // joining scriptMix's output back to df would shuffle both sides
+    // on id for columns that live in the same row
+    val perDoc = df.filter(col(idCol).isNotNull && t.isNotNull)
+      .select(cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsArabic}").as("n_arabic"),
+        length(t).cast("long").as("n_chars"),
         TextOps.wsTokenCount(t).as("n_ws"),
-        TextOps.bpeishTokenCount(t).as("n_bpe")), Seq(idCol))
+        TextOps.bpeishTokenCount(t).as("n_bpe"))
+      .withColumn("dominant",
+        when(col("n_latin") + col("n_cyrillic") + col("n_han") +
+          col("n_arabic") === 0, "none")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_han") &&
+            col("n_latin") >= col("n_arabic"), "latin")
+          .when(col("n_cyrillic") >= col("n_han") &&
+            col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .when(col("n_han") >= col("n_arabic"), "han")
+          .otherwise("arabic"))
     perDoc.groupBy("dominant")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
         sum("n_ws").as("ws_tokens"), sum("n_bpe").as("bpe_tokens"))
