@@ -869,6 +869,68 @@ object TimeSeries {
           expr("loss_ppm_total div (1000 * n_test)")))
   }
 
+  /** Integer-pinned periodogram — WHICH cycle dominates a keyed count
+    * series, found rather than assumed (seasonalNaive/decompose take
+    * the period as input; this op produces it): for every candidate
+    * period p in 2..maxPeriod, the DFT power at frequency 1/p over
+    * the dense mean-centered hour series, emitted as the fitted
+    * cosine AMPLITUDE in original count units (milli) — "the daily
+    * cycle swings ±5.2 events/hour" reads directly. Determinism: the
+    * centered series is the exact integer `c_t = N·x_t − S`; cos/sin
+    * pin to micro per row (one libm call on identical doubles); the
+    * (key, p) sums are exact decimal integer sums — no float
+    * accumulation; the one double chain (sqrt + normalization) runs
+    * per released row in pinned order. `is_dominant` ranks amplitude
+    * desc with period-asc ties.
+    *
+    * Scale: the work frame is lattice × periods (calendar-bounded ×
+    * maxPeriod — never data-sized after the first grouped count).
+    * Decimal(38) headroom: |Σ c_t·cos_micro| ≤ N²·max(x)·10⁶, safe
+    * through ~10⁹ events/hour on a month lattice.
+    */
+  def periodogram(df: DataFrame, tsCol: String, typeCol: String,
+      maxPeriod: Int = 48): DataFrame = {
+    require(maxPeriod >= 2 && maxPeriod <= 1000)
+    val dec = "decimal(38,0)"
+    val counts = df.where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+        col(typeCol).as("et"))
+      .groupBy("h", "et").agg(count(lit(1)).as("c"))
+    val span = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val lattice = span
+      .select(col("h0"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val types = counts.select("et").distinct()
+    val dense = lattice.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "et"), "left")
+      .select(col("et"), (col("h") - col("h0")).as("t"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val perType = dense.groupBy("et")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s"))
+    val periods = (2 to maxPeriod).map(_.toLong)
+    val cells = dense.join(perType, Seq("et"))
+      .crossJoin(broadcast(df.sparkSession.createDataFrame(
+        periods.map(Tuple1(_))).toDF("p")))
+      .withColumn("ct", expr(s"cast(n as $dec) * x - s"))
+      .withColumn("ang", lit(2.0) * lit(math.Pi) *
+        (col("t") % col("p")).cast("double") / col("p").cast("double"))
+      .withColumn("cosu", round(lit(1e6) * cos(col("ang"))).cast("long"))
+      .withColumn("sinu", round(lit(1e6) * sin(col("ang"))).cast("long"))
+    val agg = cells.groupBy(col("et").as(typeCol), col("p"))
+      .agg(max("n").as("n"),
+        sum(expr("ct * cosu")).as("sc"), sum(expr("ct * sinu")).as("ss"))
+      .withColumn("amp_milli",
+        round((lit(2000.0) * sqrt(
+          col("sc").cast("double") * col("sc").cast("double") +
+            col("ss").cast("double") * col("ss").cast("double"))) /
+          ((col("n").cast("double") * col("n").cast("double")) *
+            lit(1000000.0))).cast("long"))
+    agg.withColumn("rk", row_number().over(
+        Window.partitionBy(typeCol)
+          .orderBy(col("amp_milli").desc, col("p").asc)))
+      .select(col(typeCol), col("p"), col("n"), col("amp_milli"),
+        (col("rk") === 1).as("is_dominant"))
+  }
+
   /** Inter-event burstiness per key — are arrivals Poisson-steady or
     * bursty? Gaps are consecutive same-(key, entity) inter-event
     * times in MILLISECONDS (CV² is scale-invariant; ms keeps

@@ -5630,7 +5630,50 @@ object ExtraQueries {
       CASE WHEN _hb > 0 THEN round(_mi / _hb, 6) END AS u_b_given_a
     FROM mi, ha, hb"""
 
+  // —————————————————————————————— periodogram (q356)
+  // (which cycle dominates each event_type's hourly series —
+  //  integer-pinned DFT amplitudes over the dense lattice, p = 2..48.)
+  val q356Periodogram: Q = (s, dir) =>
+    TimeSeries.periodogram(Tables.events(s, dir), "ts", "event_type",
+      maxPeriod = 48)
+  private val q356Sql: String = """
+    WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type AS et,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+    lat AS (SELECT h0, unnest(range(h0, h1 + 1)) AS h FROM sp),
+    ty AS (SELECT DISTINCT et FROM c),
+    d AS (SELECT ty.et, lat.h - lat.h0 AS t, coalesce(c.c, 0) AS x
+          FROM lat CROSS JOIN ty
+          LEFT JOIN c ON c.h = lat.h AND c.et = ty.et),
+    pt AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS s FROM d GROUP BY 1),
+    pr AS (SELECT unnest(range(2, 49)) AS p),
+    cells AS (SELECT d.et, p, n,
+          CAST(n AS HUGEINT) * x - s AS ct,
+          CAST(round(1000000 * cos(((2.0 * 3.141592653589793)
+            * (t % p)) / p)) AS BIGINT) AS cosu,
+          CAST(round(1000000 * sin(((2.0 * 3.141592653589793)
+            * (t % p)) / p)) AS BIGINT) AS sinu
+          FROM d JOIN pt ON d.et = pt.et CROSS JOIN pr),
+    ag AS (SELECT et, p, max(n) AS n,
+          CAST(sum(ct * cosu) AS HUGEINT) AS sc,
+          CAST(sum(ct * sinu) AS HUGEINT) AS ss
+          FROM cells GROUP BY 1, 2),
+    am AS (SELECT et, p, n,
+          CAST(round((2000.0 * sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+              + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)))
+            / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000.0))
+            AS BIGINT) AS amp_milli
+          FROM ag)
+    SELECT et AS event_type, CAST(p AS BIGINT) AS p, n, amp_milli,
+      row_number() OVER (PARTITION BY et
+        ORDER BY amp_milli DESC, p ASC) = 1 AS is_dominant
+    FROM am"""
+
   val all: Map[String, Q] = Map(
+    "q356_periodogram" -> q356Periodogram,
     "q354_runs_test" -> q354RunsTest,
     "q355_theils_u" -> q355TheilsU,
     "q351_stratified_ate" -> q351StratifiedAte,
@@ -5780,6 +5823,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q356_periodogram" -> q356Sql,
     "q354_runs_test" -> q354Sql,
     "q355_theils_u" -> q355Sql,
     "q351_stratified_ate" -> q351Sql,

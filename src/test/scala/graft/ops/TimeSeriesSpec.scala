@@ -567,4 +567,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(750000L) == (("a", 750000L, 2L, 1750000L, Some(875L))),
       s"${got(750000L)}")
   }
+
+  test("periodogram: planted 4-hour cosine dominates at its amplitude") {
+    // counts [13,8,3,8]×4 = 8 + 5·cos(2πt/4): amp at p=4 is exactly
+    // 5000 milli and dominant; orthogonal periods (2, 8) score 0
+    val rows = (0 until 16).flatMap { t =>
+      val c = Seq(13, 8, 3, 8)(t % 4)
+      (0 until c).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(t * 3600L + i)), "a"))
+    }
+    val got = TimeSeries.periodogram(rows.toDF("ts", "et"), "ts", "et",
+        maxPeriod = 8)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(4L) == (("a", 4L, 16L, 5000L, true)), s"${got(4L)}")
+    assert(got(2L)._4 == 0L && !got(2L)._5, s"${got(2L)}")
+    assert(got(8L)._4 == 0L && !got(8L)._5, s"${got(8L)}")
+  }
 }
