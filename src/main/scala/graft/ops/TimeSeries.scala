@@ -869,6 +869,52 @@ object TimeSeries {
           expr("loss_ppm_total div (1000 * n_test)")))
   }
 
+  /** Expanding-window time-series cross-validation folds — the
+    * leakage-safe backtest split a RANDOM k-fold (q304's shape) must
+    * never be used for on temporal data (it trains on the future):
+    * fold i trains on everything BEFORE cut_i and tests on the next
+    * `testHours`, cuts spaced so the k equal test windows tile the
+    * series tail back-to-back and the last ends at the series end.
+    * Emits per fold the exact train/test row counts, the hour
+    * boundaries, and a `leak_free` audit bit (last populated train
+    * hour < first populated test hour) — trivially true by
+    * construction HERE, released so the same readout shape catches a
+    * miswired caller-supplied assignment.
+    *
+    * Scale: one grouped hour count; everything after is the
+    * hour-lattice × k folds (calendar-bounded), map-side combinable.
+    */
+  def timeSeriesFolds(df: DataFrame, tsCol: String, nFolds: Int = 5,
+      testHours: Int = 24): DataFrame = {
+    require(nFolds >= 2 && nFolds <= 64 && testHours >= 1)
+    val counts = df.where(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val span = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val folds = span.select(col("h1"),
+        explode(sequence(lit(1), lit(nFolds))).as("fold"))
+      .select(col("fold"),
+        (col("h1") + 1 - (lit(nFolds.toLong) - col("fold")) * testHours -
+          testHours).as("cut_h"))
+    counts.crossJoin(broadcast(folds))
+      .groupBy("fold", "cut_h")
+      .agg(
+        sum(when(col("h") < col("cut_h"), col("c")).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("h") >= col("cut_h") &&
+          col("h") < col("cut_h") + testHours, col("c")).otherwise(0L))
+          .as("n_test"),
+        max(when(col("h") < col("cut_h"), col("h"))).as("train_end_h"),
+        min(when(col("h") >= col("cut_h") &&
+          col("h") < col("cut_h") + testHours, col("h")))
+          .as("test_start_h"))
+      .select(col("fold").cast("long").as("fold"), col("cut_h"),
+        col("n_train"), col("n_test"), col("train_end_h"),
+        col("test_start_h"),
+        (col("train_end_h").isNull || col("test_start_h").isNull ||
+          col("train_end_h") < col("test_start_h")).as("leak_free"))
+  }
+
   /** Integer-pinned periodogram — WHICH cycle dominates a keyed count
     * series, found rather than assumed (seasonalNaive/decompose take
     * the period as input; this op produces it): for every candidate

@@ -5672,7 +5672,37 @@ object ExtraQueries {
         ORDER BY amp_milli DESC, p ASC) = 1 AS is_dominant
     FROM am"""
 
+  // —————————————————————————————— time-series CV folds (q357)
+  // (expanding-window backtest split: 5 folds × 48 h tiling test
+  //  windows, exact counts, leak-free audit bit.)
+  val q357TsFolds: Q = (s, dir) =>
+    TimeSeries.timeSeriesFolds(Tables.events(s, dir), "ts",
+      nFolds = 5, testHours = 48)
+  private val q357Sql: String = """
+    WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    sp AS (SELECT max(h) AS h1 FROM c),
+    fd AS (SELECT fold, h1 + 1 - (5 - fold) * 48 - 48 AS cut_h
+          FROM (SELECT unnest(range(1, 6)) AS fold, h1 FROM sp))
+    SELECT CAST(fold AS BIGINT) AS fold, cut_h,
+      CAST(sum(CASE WHEN h < cut_h THEN c.c ELSE 0 END) AS BIGINT)
+        AS n_train,
+      CAST(sum(CASE WHEN h >= cut_h AND h < cut_h + 48
+        THEN c.c ELSE 0 END) AS BIGINT) AS n_test,
+      max(CASE WHEN h < cut_h THEN h END) AS train_end_h,
+      min(CASE WHEN h >= cut_h AND h < cut_h + 48 THEN h END)
+        AS test_start_h,
+      (max(CASE WHEN h < cut_h THEN h END) IS NULL
+        OR min(CASE WHEN h >= cut_h AND h < cut_h + 48 THEN h END)
+          IS NULL
+        OR max(CASE WHEN h < cut_h THEN h END)
+          < min(CASE WHEN h >= cut_h AND h < cut_h + 48 THEN h END))
+        AS leak_free
+    FROM c CROSS JOIN fd GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q357_ts_folds" -> q357TsFolds,
     "q356_periodogram" -> q356Periodogram,
     "q354_runs_test" -> q354RunsTest,
     "q355_theils_u" -> q355TheilsU,
@@ -5823,6 +5853,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q357_ts_folds" -> q357Sql,
     "q356_periodogram" -> q356Sql,
     "q354_runs_test" -> q354Sql,
     "q355_theils_u" -> q355Sql,

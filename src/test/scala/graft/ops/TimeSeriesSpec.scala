@@ -568,6 +568,20 @@ class TimeSeriesSpec extends SparkSpec {
       s"${got(750000L)}")
   }
 
+  test("timeSeriesFolds: tiling test windows, leak-free by construction") {
+    // 1 event per hour 0..9; 2 folds × 2 test hours: cuts at 6 and 8
+    val rows = (0 until 10).map(h => Tuple1(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(h * 3600L))))
+    val got = TimeSeries.timeSeriesFolds(rows.toDF("ts"), "ts",
+        nFolds = 2, testHours = 2)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 6L, 2L, Some(5L), Some(6L), true)),
+      s"${got(1L)}")
+    assert(got(2L) == ((2L, 8L, 8L, 2L, Some(7L), Some(8L), true)),
+      s"${got(2L)}")
+  }
+
   test("periodogram: planted 4-hour cosine dominates at its amplitude") {
     // counts [13,8,3,8]×4 = 8 + 5·cos(2πt/4): amp at p=4 is exactly
     // 5000 milli and dominant; orthogonal periods (2, 8) score 0
