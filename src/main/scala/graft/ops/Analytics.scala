@@ -81,6 +81,44 @@ object Analytics {
       .distinct()
   }
 
+  /** Funnel latency percentiles — how LONG conversion takes, the
+    * readout [[sessionFunnel]]'s step table leaves implicit: over
+    * converted sessions (step 3 reached), exact type-1 percentiles of
+    * end-to-end latency (smallest observed value whose cumulative
+    * count reaches ⌈p·n/100⌉ — value-aligned from the distinct-value
+    * cumulative frame, the q259 discipline; no interpolation, no
+    * engine-divergent quantile_cont). One row per requested
+    * percentile; zero conversions ⇒ empty.
+    *
+    * Scale: the funnel's one per-user sort, then a distinct-latency
+    * cumulative frame (value-cardinality-bounded window).
+    *
+    * `toStep` picks the conversion depth measured (2 = step1→step2,
+    * 3 = full funnel) — deep funnels can be empty on sparse streams
+    * while the first transition still carries signal.
+    */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+      toStep: Int = 3, pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    require(toStep == 2 || toStep == 3)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val endCol = if (toStep == 3) "step3_ms" else "step2_ms"
+    val lat = sessionFunnel(events, steps)
+      .where(col(endCol).isNotNull)
+      .select((col(endCol) - col("step1_ms")).as("lat_ms"))
+    val byVal = lat.groupBy("lat_ms").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("lat_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = byVal.agg(sum("c").as("n_converted"))
+    val ps = pcts.map(_.toLong).toDF("pct")
+    broadcast(ps).crossJoin(broadcast(tot))
+      .join(byVal, col("cum") >= expr("(pct * n_converted + 99) div 100"))
+      .groupBy("pct", "n_converted")
+      .agg(min("lat_ms").as("latency_ms"))
+      .select(col("pct"), col("n_converted"), col("latency_ms"))
+  }
+
   /** Cohort retention matrix: users grouped by the epoch-week of their
     * first event; one row per (cohort_week, week_offset) with the count
     * of distinct cohort users active that week. Weeks are epoch-aligned

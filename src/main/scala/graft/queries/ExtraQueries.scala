@@ -5701,7 +5701,52 @@ object ExtraQueries {
         AS leak_free
     FROM c CROSS JOIN fd GROUP BY 1, 2"""
 
+  // —————————————————————————————— funnel latency percentiles (q358)
+  // (how long view→click takes inside a session: exact type-1
+  //  percentiles of converted-session latency, value-aligned, no
+  //  interpolation. toStep = 2 — the synthetic stream has no full
+  //  3-step conversions at sf0.01, but 23 first transitions.)
+  val q358FunnelLatency: Q = (s, dir) =>
+    Analytics.funnelLatency(Tables.events(s, dir),
+      Seq("view", "click", "purchase"), toStep = 2)
+  private val q358Sql: String = """
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (SELECT user_id, event_type, us, event_id,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      FROM g),
+    f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+             OVER (PARTITION BY user_id, sess) AS s1 FROM s),
+    f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > s1
+             THEN us END) OVER (PARTITION BY user_id, sess) AS s2
+           FROM f1),
+    f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2
+             THEN us END) OVER (PARTITION BY user_id, sess) AS s3
+           FROM f2),
+    conv AS (SELECT DISTINCT user_id, sess,
+          s1 // 1000 AS m1, s2 // 1000 AS m2
+          FROM f3 WHERE s2 IS NOT NULL),
+    l AS (SELECT m2 - m1 AS lat_ms FROM conv),
+    bv AS (SELECT lat_ms, CAST(count(*) AS BIGINT) AS c
+          FROM l GROUP BY 1),
+    cm AS (SELECT lat_ms, CAST(sum(c) OVER (ORDER BY lat_ms) AS BIGINT)
+          AS cum FROM bv),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS n_converted FROM bv),
+    p AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT CAST(pct AS BIGINT) AS pct, n_converted,
+      CAST(min(lat_ms) AS BIGINT) AS latency_ms
+    FROM p CROSS JOIN t
+    JOIN cm ON cm.cum >= (pct * n_converted + 99) // 100
+    GROUP BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q358_funnel_latency" -> q358FunnelLatency,
     "q357_ts_folds" -> q357TsFolds,
     "q356_periodogram" -> q356Periodogram,
     "q354_runs_test" -> q354RunsTest,
@@ -5853,6 +5898,7 @@ object ExtraQueries {
     "q266_decayed_engagement" -> q266DecayedEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q358_funnel_latency" -> q358Sql,
     "q357_ts_folds" -> q357Sql,
     "q356_periodogram" -> q356Sql,
     "q354_runs_test" -> q354Sql,

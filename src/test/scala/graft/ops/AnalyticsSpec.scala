@@ -1245,6 +1245,23 @@ class AnalyticsSpec extends SparkSpec {
       s"$got")
   }
 
+  test("funnelLatency: exact type-1 percentiles over converted sessions") {
+    // four users convert in 10/20/30/40 min → p50 ceil(2)=2nd value,
+    // p90/p99 ceil(3.6)/ceil(3.96) = 4th value
+    val rows = (1 to 4).flatMap { u =>
+      Seq(ev(u * 10L, u.toLong, "view", 0),
+        ev(u * 10L + 1, u.toLong, "click", u * 5),
+        ev(u * 10L + 2, u.toLong, "purchase", u * 10))
+    }
+    val got = Analytics.funnelLatency(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(50L) == ((50L, 4L, 1200000L)), s"${got(50L)}")
+    assert(got(90L) == ((90L, 4L, 2400000L)), s"${got(90L)}")
+    assert(got(99L) == ((99L, 4L, 2400000L)), s"${got(99L)}")
+  }
+
   test("theilIndex: non-positive values are excluded by contract") {
     val df = Seq(("a", 1L), ("a", 0L), ("a", -3L)).toDF("g", "v")
     val got = Analytics.theilIndex(df, "g", "v")
