@@ -193,6 +193,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[UnicodeNormalize].getName,
         NormalizeExpressions.functionName),
       NormalizeExpressions.builder _),
+    (FunctionIdentifier(BootstrapExpressions.functionName),
+      new ExpressionInfo(classOf[BootstrapWeights].getName,
+        BootstrapExpressions.functionName),
+      BootstrapExpressions.builder _),
     (FunctionIdentifier(BloomFunctions.aggName),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

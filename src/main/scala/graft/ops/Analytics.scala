@@ -921,42 +921,38 @@ object Analytics {
     * replicate index breaking ties) — no percentile interpolation to
     * disagree over.
     *
-    * Scale shape (reworked round 8 after the sf1 sweep made this the
-    * #2 absolute row): NO row fan-out at all — the `reps`× explode was
-    * replaced by 2·reps aggregate columns over the base rows (one
-    * `sum(wᵣ·c)`/`sum(wᵣ)` pair per replicate), so the scan processes
-    * each row once and map-side combine leaves ONE wide row per group
-    * before the exchange; a literal `stack` then unpivots the wide row
-    * to (g, r) replicate rows for the rank window. Hashing drops 4×
-    * with it: one md5 serves FOUR replicates (32 hex chars = four
-    * independent 32-bit draws — draw r reads chars [8·(r mod 4)+1, 8]
-    * of md5("boot|" + r div 4 + "|" + id)), and codegen's
-    * subexpression elimination computes each block's md5 once per row.
-    * Replicates with zero total weight (empty resample — only possible
-    * for tiny groups) are dropped from the order statistic, `n_reps`
-    * reports how many survived.
+    * Scale shape (reworked round 8, re-reworked round 13 when the
+    * suite's slowest row turned out to be PLAN cost, not data cost):
+    * one md5 serves FOUR replicates (32 hex chars = four independent
+    * 32-bit draws — draw r reads chars [8·(r mod 4)+1, 8] of
+    * md5("boot|" + r div 4 + "|" + id)), and ALL `reps` weights for a
+    * row come out of ONE native kernel call
+    * ([[graft.functions.BootstrapWeights]]) as an array — the round-8
+    * wide-aggregate form inlined the md5 subtree into 2·reps aggregate
+    * columns, and at reps=64 that 129-field aggregate spent ~8 s in
+    * analysis/codegen at sf0.1 and fell out of whole-stage codegen.
+    * The weight array is `posexplode`d to (g, r, w, c) — a 64× fan-out
+    * of four tiny fixed-width columns that map-side combine collapses
+    * to groups×reps rows before the exchange, so the shuffle stays
+    * O(groups·reps) no matter the row count. Replicates with zero
+    * total weight (empty resample — only possible for tiny groups) are
+    * dropped from the order statistic, `n_reps` reports how many
+    * survived.
     */
   def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
       valCol: String, reps: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(reps >= 8 && reps % 4 == 0,
       s"reps must be >= 8 and a multiple of 4 (4 draws per md5), got $reps")
-    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+    val base = df.select(col(groupCol).as("g"),
+      graft.functions.BootstrapExpressions
+        .bootstrapWeights(col(idCol).cast("string"), reps).as("w"),
       round(col(valCol).cast("double") * 100).cast("long").as("c"))
-    def wDraw(r: Int): Column = {
-      val h = conv(substring(md5(concat(lit(s"boot|${r / 4}|"),
-        col("id").cast("string"))), 8 * (r % 4) + 1, 8), 16, 10).cast("long")
-      PoissonCdf32.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
-    }
-    val aggs = (0 until reps).flatMap { r =>
-      val w = wDraw(r)
-      Seq(sum(w * col("c")).as(s"_wc$r"), sum(w).as(s"_wt$r"))
-    }
-    val wide = base.groupBy("g").agg(aggs.head, aggs.tail: _*)
-    val stackArgs = (0 until reps)
-      .map(r => s"CAST($r AS BIGINT), _wc$r, _wt$r").mkString(", ")
-    val repMeans = wide
-      .select(col("g"), expr(s"stack($reps, $stackArgs) AS (r, swc, swt)"))
+    val repMeans = base
+      .select(col("g"), col("c"),
+        posexplode(col("w")).as(Seq("r", "wt")))
+      .groupBy("g", "r")
+      .agg(sum(col("wt") * col("c")).as("swc"), sum("wt").as("swt"))
       .where(col("swt") > 0)
       .select(col("g"), col("r"),
         round(col("swc").cast("double") / col("swt").cast("double"), 6)
