@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** Deterministic synthetic WARC/WET corpus generator (main scope — the
+  * [[WarcDataSource]] queries and specs read it as `.warc.gz`
+  * containers, and the DuckDB oracle reads the SAME records from a
+  * parquet staging table, so the container walk + header parse + payload
+  * byte handling all sit under the rows+schema+hash gate — the
+  * [[graft.elb.SyntheticElb]] discipline applied to web archives).
+  *
+  * Record mix per sequence number `i` (i mod 10): 7 → `request`,
+  * 8 → `response` (HTTP response payload: status line, headers, HTML
+  * body), 9 → `metadata`; everything else → `conversion` (WET extracted
+  * text) — so one corpus exercises both the WARC shape (request/
+  * response/metadata) and the WET shape (conversion) plus the
+  * type-pushdown path. Record 0 of every FILE is additionally preceded
+  * by a `warcinfo` record, as real containers are.
+  *
+  * Container encoding alternates by file: even files are whole-file
+  * gzip streams, odd files compress EACH RECORD as its own gzip member
+  * (the Common Crawl layout) — both must walk identically through the
+  * multi-member `GZIPInputStream`.
+  */
+object SyntheticWarc {
+
+  private val hostWords = Vector("news", "blog", "docs", "shop", "wiki",
+    "forum", "data", "media")
+  private val vocab = Vector("the", "quick", "model", "corpus", "learns",
+    "from", "clean", "text", "data", "tokens", "scale", "quality",
+    "filter", "web", "pages", "carry", "signal", "and", "noise", "alike")
+
+  case class Rec(i: Long, warcType: String, recordId: String,
+      targetUri: String, dateMs: Long, contentType: String,
+      payloadText: String)
+
+  /** Deterministic extracted-text body: 12–41 words from the lattice,
+    * with every 7th record REPEATING record i-7's text (near-dup and
+    * exact-dup coverage for the downstream dedup family).
+    */
+  private def text(i: Long): String = {
+    val base = if (i % 7 == 3 && i >= 7) i - 7 else i
+    val n = 12 + (base * 2654435761L % 30).toInt.abs
+    (0 until n).map(k =>
+      vocab(((base * 31 + k * 2654435761L) % vocab.size).toInt.abs)).mkString(" ") +
+      (if (i % 7 == 3 && i >= 7) "" else s" doc$base")
+  }
+
+  def record(i: Long): Rec = {
+    val host = s"${hostWords((i % hostWords.size).toInt)}${i % 13}.example.org"
+    val uri = s"https://$host/page/${i % 101}?id=$i"
+    val dateMs = 1748736000000L + i * 1000L // 2025-06-01T00:00:00Z + i sec
+    val id = f"<urn:uuid:${i}%08d-0000-4000-8000-000000000000>"
+    (i % 10) match {
+      case 7 => Rec(i, "request", id, uri, dateMs,
+        "application/http; msgtype=request",
+        s"GET /page/${i % 101}?id=$i HTTP/1.1\r\nHost: $host\r\nUser-Agent: graft-crawler/1.0\r\n\r\n")
+      case 8 =>
+        val body = s"<html><head><title>Page ${i % 101}</title></head>" +
+          s"<body><p>${text(i)}</p></body></html>"
+        Rec(i, "response", id, uri, dateMs,
+          "application/http; msgtype=response",
+          s"HTTP/1.1 ${if (i % 40 == 8) 404 else 200} OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            s"Content-Length: ${body.getBytes(StandardCharsets.UTF_8).length}\r\n\r\n$body")
+      case 9 => Rec(i, "metadata", id, uri, dateMs,
+        "application/warc-fields",
+        s"fetchTimeMs: ${100 + i % 900}\r\ncharset-detected: UTF-8\r\n")
+      case _ => Rec(i, "conversion", id, uri, dateMs,
+        "text/plain", text(i))
+    }
+  }
+
+  private def warcinfoBytes(fileName: String): Array[Byte] = {
+    val body = s"software: graft-synth/1.0\r\nisPartOf: synth-crawl\r\nformat: WARC File Format 1.0\r\n"
+    recordBytes("warcinfo", s"<urn:uuid:ffffffff-0000-4000-8000-$fileName>",
+      null, 1748736000000L, "application/warc-fields", body)
+  }
+
+  private def recordBytes(warcType: String, id: String, uri: String,
+      dateMs: Long, contentType: String, payload: String): Array[Byte] = {
+    val pb = payload.getBytes(StandardCharsets.UTF_8)
+    val date = java.time.Instant.ofEpochMilli(dateMs).toString
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    sb.append(s"WARC-Record-ID: $id\r\n")
+    sb.append(s"WARC-Date: $date\r\n")
+    if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+    sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${pb.length}\r\n")
+    sb.append("\r\n")
+    val head = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](head.length + pb.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(pb, 0, out, head.length, pb.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  def bytesFor(r: Rec): Array[Byte] =
+    recordBytes(r.warcType, r.recordId, r.targetUri, r.dateMs,
+      r.contentType, r.payloadText)
+
+  /** Write `n` records across `files` containers; returns the glob. */
+  def writeDataset(dir: Path, n: Int, files: Int = 8): String = {
+    Files.createDirectories(dir)
+    val perFile = math.max(1, n / files)
+    (0 until files).foreach { f =>
+      val fileName = f"part-$f%03d.warc.gz"
+      val fos = new BufferedOutputStream(
+        new FileOutputStream(dir.resolve(fileName).toFile), 1 << 16)
+      val end = if (f == files - 1) n else math.min(n, (f + 1) * perFile)
+      try {
+        if (f % 2 == 0) {
+          // whole-file gzip stream
+          val gz = new GZIPOutputStream(fos, 1 << 16)
+          gz.write(warcinfoBytes(fileName))
+          (f * perFile until end).foreach(i => gz.write(bytesFor(record(i))))
+          gz.finish()
+        } else {
+          // one gzip MEMBER per record (the Common Crawl layout)
+          def member(b: Array[Byte]): Unit = {
+            val gz = new GZIPOutputStream(fos)
+            gz.write(b); gz.finish()
+          }
+          member(warcinfoBytes(fileName))
+          (f * perFile until end).foreach(i => member(bytesFor(record(i))))
+        }
+      } finally fos.close()
+    }
+    dir.resolve("*.warc.gz").toString
+  }
+
+  private val files = 8
+  private val cache = scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  /** Deterministic corpus dir for `n` records; `_staged/` under it holds
+    * the oracle's parquet truth (shared naming discipline with
+    * [[graft.elb.SyntheticElb.dirFor]]).
+    */
+  def dirFor(n: Int): Path =
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-warc-$n-f$files")
+
+  def dataset(n: Int): String =
+    cache.getOrElseUpdate(n, writeDataset(dirFor(n), n, files))
+}
