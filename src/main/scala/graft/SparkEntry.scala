@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{RelationalQueries, OpsQueries, StreamingQueries, ElbQueries, ExtraQueries, WarcQueries}
+import graft.queries.{RelationalQueries, OpsQueries, StreamingQueries, ElbQueries, ExtraQueries, WarcQueries, SubstringQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ OpsQueries.all ++ StreamingQueries.all ++
-      ElbQueries.all ++ ExtraQueries.all ++ WarcQueries.all
+      ElbQueries.all ++ ExtraQueries.all ++ WarcQueries.all ++
+      SubstringQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ OpsQueries.oracles ++ StreamingQueries.oracles ++
-      ElbQueries.oracles ++ ExtraQueries.oracles ++ WarcQueries.oracles
+      ElbQueries.oracles ++ ExtraQueries.oracles ++ WarcQueries.oracles ++
+      SubstringQueries.oracles
 }

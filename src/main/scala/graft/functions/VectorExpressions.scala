@@ -185,6 +185,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WinnowingFingerprints].getName,
         WinnowingExpressions.functionName),
       WinnowingExpressions.builder _),
+    (FunctionIdentifier(WinnowingExpressions.anchorsName),
+      new ExpressionInfo(classOf[WinnowingAnchors].getName,
+        WinnowingExpressions.anchorsName),
+      WinnowingExpressions.anchorsBuilder _),
+    (FunctionIdentifier(WinnowingExpressions.extendName),
+      new ExpressionInfo(classOf[ExtendMatch].getName,
+        WinnowingExpressions.extendName),
+      WinnowingExpressions.extendBuilder _),
     (FunctionIdentifier(RepetitionExpressions.functionName),
       new ExpressionInfo(classOf[RepetitionStats].getName,
         RepetitionExpressions.functionName),

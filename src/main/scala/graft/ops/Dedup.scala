@@ -1410,4 +1410,98 @@ object Dedup {
           expr("cast((1000000 * covered) div truth as long)"))
           .as("pairs_completeness_ppm"))
   }
+  /** Arbitrary-length exact-substring duplication spans (round 13 — the
+    * suffix-array-style upgrade of the fixed-width span dedup): every
+    * maximal run of ≥ `minLen` code points shared VERBATIM by two
+    * different documents, at ANY alignment, reported as merged per-doc
+    * character intervals. Fixed-width spans (q73) only see duplicates
+    * that occupy whole aligned spans — a run straddling span boundaries
+    * at different offsets in each doc is invisible there; here alignment
+    * never matters ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2021, is the semantics reference: their
+    * suffix-array dup-span extraction, re-expressed as a digest-keyed
+    * Spark plan).
+    *
+    * Plan shape (never an actual suffix array — that is a single-node
+    * data structure):
+    *  1. anchors: one narrow projection per doc selects winnowed
+    *     `(pos, fp)` k-gram anchors ([[graft.functions.WinnowingAnchors]],
+    *     w = minLen − k + 1, density ~2/w) — the winnowing guarantee
+    *     makes every ≥ minLen shared run contain a content-aligned
+    *     anchor pair, so candidate generation is COMPLETE;
+    *  2. candidates: self-join on the 32-bit fp — digest-keyed shuffle,
+    *     never text; cost ∝ Σ bucket² like the LSH path;
+    *  3. extend-and-verify: candidate anchor pairs join their two texts
+    *     (text moves once, only into candidate rows) and
+    *     [[graft.functions.ExtendMatch]] grows the maximal common run —
+    *     digest collisions die under the length threshold, so the
+    *     output depends on text equality only;
+    *  4. merge: runs from both sides union into per-doc intervals,
+    *     merged with a per-doc running-max window (interval count per
+    *     doc, not corpus size).
+    *
+    * Returns `(doc, span_start, span_end)` — 0-based half-open merged
+    * intervals of cross-doc duplicated characters. Same-doc internal
+    * repeats are deliberately out of scope (`da < db`): the operator
+    * answers "which of MY text exists elsewhere in the corpus".
+    */
+  def exactSubstringSpans(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 50, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 1 && minLen >= k, s"need minLen >= k > 1, got minLen=$minLen k=$k")
+    val w = minLen - k + 1
+    val texts = docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+    val anchors = texts
+      .select(col("doc"), explode(
+        graft.functions.WinnowingExpressions.anchors(col("t"), k, w)).as("a"))
+      .select(col("doc"), col("a.pos").as("pos"), col("a.fp").as("fp"))
+    val cand = anchors.as("x").join(anchors.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("da"), col("x.pos").as("pa"),
+        col("y.doc").as("db"), col("y.pos").as("pb"))
+      .distinct()
+    val runs = cand
+      .join(texts.withColumnRenamed("doc", "da").withColumnRenamed("t", "ta"), "da")
+      .join(texts.withColumnRenamed("doc", "db").withColumnRenamed("t", "tb"), "db")
+      .select(col("da"), col("db"),
+        graft.functions.WinnowingExpressions
+          .extendMatch(col("ta"), col("tb"), col("pa"), col("pb")).as("r"),
+        (col("pa") - col("pb")).as("diff"))
+      .select(col("da"), col("db"), col("diff"),
+        col("r").getItem(0).as("s"), col("r").getItem(1).as("e"))
+      .where(col("e") - col("s") >= minLen)
+      .distinct() // several anchors inside one run extend to the same span
+    val spans = runs.select(col("da").as("doc"), col("s"), col("e"))
+      .unionByName(runs.select(col("db").as("doc"),
+        (col("s") - col("diff")).as("s"), (col("e") - col("diff")).as("e")))
+      .distinct()
+    // merge overlapping/touching intervals per doc: a span starts a new
+    // group iff it begins past the running max end of everything before
+    // it (deterministic order: (s, e) — per-doc span counts are small,
+    // the window never sees corpus-sized partitions)
+    val ord = Window.partitionBy("doc").orderBy("s", "e")
+    val prevMax = max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .withColumn("brk", when(col("s") > coalesce(prevMax, lit(-1)), 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc", "grp")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc"), col("span_start"), col("span_end"))
+    merged
+  }
+
+  /** Per-doc rollup of [[exactSubstringSpans]] — the shape the oracle
+    * gates: span count, duplicated character total, first duplicated
+    * position, longest span.
+    */
+  def exactSubstringStats(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 50, k: Int = 25): DataFrame =
+    exactSubstringSpans(docs, textCol, idCol, minLen, k)
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("n_dup_chars"),
+        min("span_start").cast("long").as("first_start"),
+        max(col("span_end") - col("span_start")).cast("long").as("max_span"))
+
 }

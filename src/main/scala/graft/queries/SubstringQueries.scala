@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Arbitrary-alignment exact-substring dedup queries (round 13).
+  *
+  * The oracle re-derives the result by a COMPLETELY different algorithm:
+  * a character position is duplicated iff some length-L window covering
+  * it appears verbatim in another document — so the oracle enumerates
+  * EVERY L-window of every doc and self-joins on window equality (exact
+  * by definition, quadratic, fine for DuckDB at verify scale), while the
+  * engine runs the winnowing-anchor + extend-and-verify plan
+  * ([[graft.ops.Dedup.exactSubstringSpans]]). The two agree exactly
+  * because (a) any char inside a ≥L shared run is covered by some
+  * duplicated L-window and any duplicated L-window IS a ≥L shared run,
+  * so the duplicated-char point sets coincide, and (b) both sides merge
+  * that point set into maximal contiguous intervals the same way
+  * (touching intervals merge).
+  */
+object SubstringQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val L = 50
+  private val K = 25
+
+  // ————————————————— exact-substring dup-span rollup (q363)
+  val q363SubstringDedup: Q = (s, dir) =>
+    graft.ops.Dedup.exactSubstringStats(
+      Tables.documents(s, dir), "text", "doc_id", minLen = L, k = K)
+  private val q363Sql: String = s"""
+    WITH pos AS (SELECT doc_id, unnest(range(1, length(text) - $L + 2)) AS i, text
+                 FROM documents),
+    win AS (SELECT doc_id, CAST(i AS INT) AS i,
+              substr(text, CAST(i AS INT), $L) AS w FROM pos),
+    dup AS (SELECT DISTINCT a.doc_id, a.i
+            FROM win a JOIN win b ON a.w = b.w AND a.doc_id <> b.doc_id),
+    m AS (SELECT doc_id, i,
+            CASE WHEN i > coalesce(max(i + $L) OVER (PARTITION BY doc_id
+                 ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) THEN 1 ELSE 0 END AS brk
+          FROM dup),
+    g AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM m),
+    spans AS (SELECT doc_id, grp, min(i) AS s, max(i) + $L AS e
+              FROM g GROUP BY 1, 2)
+    SELECT doc_id, count(*) AS n_spans,
+      CAST(sum(e - s) AS BIGINT) AS n_dup_chars,
+      CAST(min(s) - 1 AS BIGINT) AS first_start,
+      CAST(max(e - s) AS BIGINT) AS max_span
+    FROM spans GROUP BY 1"""
+
+  val all: Map[String, Q] = Map(
+    "q363_substring_dedup" -> q363SubstringDedup)
+
+  val oracles: Map[String, String] = Map(
+    "q363_substring_dedup" -> q363Sql)
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
 import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
+
+import scala.collection.parallel.CollectionConverters._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util.zip.GZIPOutputStream
@@ -105,11 +107,24 @@ object SyntheticWarc {
     recordBytes(r.warcType, r.recordId, r.targetUri, r.dateMs,
       r.contentType, r.payloadText)
 
-  /** Write `n` records across `files` containers; returns the glob. */
+  /** GZIPOutputStream whose native Deflater is RELEASED on finish
+    * without closing the underlying stream — a fresh GZIPOutputStream
+    * per record member otherwise leaks its native deflater until GC
+    * (measured: 250 k members took minutes and ballooned native
+    * memory; with explicit release it is seconds).
+    */
+  private final class MemberGz(out: OutputStream, size: Int = 512)
+      extends GZIPOutputStream(out, size) {
+    def finishAndRelease(): Unit = { finish(); `def`.end() }
+  }
+
+  /** Write `n` records across `files` containers (in parallel — the
+    * containers are independent); returns the glob.
+    */
   def writeDataset(dir: Path, n: Int, files: Int = 8): String = {
     Files.createDirectories(dir)
     val perFile = math.max(1, n / files)
-    (0 until files).foreach { f =>
+    (0 until files).par.foreach { f =>
       val fileName = f"part-$f%03d.warc.gz"
       val fos = new BufferedOutputStream(
         new FileOutputStream(dir.resolve(fileName).toFile), 1 << 16)
@@ -117,15 +132,15 @@ object SyntheticWarc {
       try {
         if (f % 2 == 0) {
           // whole-file gzip stream
-          val gz = new GZIPOutputStream(fos, 1 << 16)
+          val gz = new MemberGz(fos, 1 << 16)
           gz.write(warcinfoBytes(fileName))
           (f * perFile until end).foreach(i => gz.write(bytesFor(record(i))))
-          gz.finish()
+          gz.finishAndRelease()
         } else {
           // one gzip MEMBER per record (the Common Crawl layout)
           def member(b: Array[Byte]): Unit = {
-            val gz = new GZIPOutputStream(fos)
-            gz.write(b); gz.finish()
+            val gz = new MemberGz(fos)
+            gz.write(b); gz.finishAndRelease()
           }
           member(warcinfoBytes(fileName))
           (f * perFile until end).foreach(i => member(bytesFor(record(i))))
