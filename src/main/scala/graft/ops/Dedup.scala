@@ -1424,6 +1424,15 @@ object Dedup {
     *
     * Plan shape (never an actual suffix array — that is a single-node
     * data structure):
+    *  0. exact-duplicate collapse: one md5-of-text groupBy picks a
+    *     representative per DISTINCT text (URL-level exact copies are
+    *     the dominant duplication mass of real crawls; c copies of a
+    *     text would otherwise put c members in each of its fp buckets
+    *     and the candidate join would pay c² per fingerprint). Results
+    *     map back to every copy, and a multi-copy text is by
+    *     definition fully duplicated — identical to what pairwise
+    *     extension between identical texts returns, so this is a
+    *     rewrite, not an approximation;
     *  1. anchors: one narrow projection per doc selects winnowed
     *     `(pos, fp)` k-gram anchors ([[graft.functions.WinnowingAnchors]],
     *     w = minLen − k + 1, density ~2/w) — the winnowing guarantee
@@ -1450,7 +1459,23 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k > 1 && minLen >= k, s"need minLen >= k > 1, got minLen=$minLen k=$k")
     val w = minLen - k + 1
-    val texts = docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+    val ids = docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .withColumn("tfp", md5(col("t")))
+    // EXACT-DUPLICATE COLLAPSE first — the semantics-preserving rewrite
+    // that keeps the candidate join bounded on real crawls (URL-level
+    // exact copies are the dominant duplication mass; without this, c
+    // copies of one text put c members in every one of its fp buckets
+    // and the self-join pays c² per fingerprint — the sf10 sweep's
+    // measured cliff). One REPRESENTATIVE per distinct text runs the
+    // anchor pipeline; results broadcast back to every copy, and a text
+    // with ≥ 2 copies is BY DEFINITION fully duplicated (its whole
+    // interval is shared verbatim with the other copy), which is
+    // exactly what pairwise extension between identical texts returns.
+    val byText = ids.groupBy("tfp")
+      .agg(min("doc").as("doc"), first("t").as("t"),
+        count(lit(1)).as("nCopies"))
+      .localCheckpoint() // anchors + two text-join roles + map-back read it
+    val texts = byText.select(col("doc"), col("t"))
     val anchors = texts
       .select(col("doc"), explode(
         graft.functions.WinnowingExpressions.anchors(col("t"), k, w)).as("a"))
@@ -1471,9 +1496,21 @@ object Dedup {
         col("r").getItem(0).as("s"), col("r").getItem(1).as("e"))
       .where(col("e") - col("s") >= minLen)
       .distinct() // several anchors inside one run extend to the same span
-    val spans = runs.select(col("da").as("doc"), col("s"), col("e"))
+    // representative-level spans from cross-TEXT runs...
+    val repSpans = runs.select(col("da").as("doc"), col("s"), col("e"))
       .unionByName(runs.select(col("db").as("doc"),
         (col("s") - col("diff")).as("s"), (col("e") - col("diff")).as("e")))
+      .distinct()
+    // ...broadcast back to every copy of the text (rep included), plus
+    // the full-document span for multi-copy texts
+    val mapBack = ids.select(col("doc").as("orig"), col("tfp"))
+      .join(byText.select(col("tfp"), col("doc").as("rep"), col("nCopies"),
+        length(col("t")).as("tlen")), "tfp")
+    val spans = mapBack.join(repSpans.withColumnRenamed("doc", "rep"), Seq("rep"))
+      .select(col("orig").as("doc"), col("s"), col("e"))
+      .unionByName(mapBack.where(col("nCopies") >= 2 && col("tlen") >= minLen)
+        .select(col("orig").as("doc"), lit(0).as("s"),
+          col("tlen").cast("int").as("e")))
       .distinct()
     // merge overlapping/touching intervals per doc: a span starts a new
     // group iff it begins past the running max end of everything before

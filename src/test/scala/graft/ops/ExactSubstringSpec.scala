@@ -109,6 +109,19 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got(2L) == Seq((4, 4 + run.length)))
   }
 
+  test("exact-copy docs collapse to full-document spans; copies inherit cross-text runs") {
+    val base = s"unique prefix material $shared and a unique tail section"
+    val other = s"ZZZZ$shared====================="
+    // doc 1 and 2 are EXACT copies; doc 3 shares only the middle run
+    val got = spans(docs(1L -> base, 2L -> base, 3L -> other))
+    assert(got(1L) == Seq((0, base.length))) // full-doc: an exact copy exists
+    assert(got(2L) == Seq((0, base.length)))
+    val oStart = other.indexOf(shared)
+    assert(got(3L) == Seq((oStart, oStart + shared.length)))
+    // a short exact-dup pair (< minLen) emits nothing
+    assert(spans(docs(1L -> "tiny copy", 2L -> "tiny copy")).isEmpty)
+  }
+
   test("stats rollup shape") {
     val a = s"AAAA${shared}BBBBBBBBBB"
     val b = s"CCCCCCCCCCCCC${shared}D"
