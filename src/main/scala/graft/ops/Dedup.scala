@@ -1541,4 +1541,38 @@ object Dedup {
         min("span_start").cast("long").as("first_start"),
         max(col("span_end") - col("span_start")).cast("long").as("max_span"))
 
+  /** Excise the duplicated spans of [[exactSubstringSpans]] from every
+    * document — the "remove dup text" step of the Lee et al. pipeline
+    * (their tool cuts every occurrence; content surviving anywhere is
+    * content that was never duplicated). Pure Column algebra: per-doc
+    * spans collect into a sorted array (span counts per doc are small
+    * by construction) and ONE higher-order `aggregate` fold stitches
+    * the kept slices — no explode back to characters, no UDF. Docs with
+    * no duplicated span pass through verbatim; fully-duplicated docs
+    * come out empty.
+    *
+    * Returns `(idCol, clean_text, n_kept_chars, n_cut_chars)`.
+    */
+  def exciseSubstringDups(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 50, k: Int = 25): DataFrame = {
+    val spans = exactSubstringSpans(docs, textCol, idCol, minLen, k)
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    docs.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .join(spans, Seq("doc"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("CAST(array() AS array<struct<s:int,e:int>>)")))
+      .withColumn("clean_text", expr("""
+        aggregate(sp,
+          named_struct('cur', 0, 'acc', ''),
+          (a, x) -> named_struct('cur', x.e,
+            'acc', concat(a.acc, substring(t, a.cur + 1, x.s - a.cur))),
+          a -> concat(a.acc, substring(t, a.cur + 1, char_length(t) - a.cur)))"""))
+      .select(col("doc").as(idCol), col("clean_text"),
+        length(col("clean_text")).cast("long").as("n_kept_chars"),
+        (length(col("t")) - length(col("clean_text"))).cast("long")
+          .as("n_cut_chars"))
+  }
+
 }

@@ -50,9 +50,50 @@ object SubstringQueries {
       CAST(max(e - s) AS BIGINT) AS max_span
     FROM spans GROUP BY 1"""
 
+  // ————————————————— dup-span excision (q364)
+  // (the Lee-et-al. "remove dup text" step over q363's spans: the kept
+  //  slices stitch via ONE higher-order aggregate fold — no per-char
+  //  explode on the engine side. The oracle DOES go per-char (anti-join
+  //  against the span set + ordered string_agg) — reconstruction by a
+  //  different route, equality on the md5 of the cleaned text.)
+  val q364SubstringExcise: Q = (s, dir) =>
+    graft.ops.Dedup.exciseSubstringDups(
+      Tables.documents(s, dir), "text", "doc_id", minLen = L, k = K)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_fp"),
+        col("n_kept_chars"), col("n_cut_chars"))
+  private val q364Sql: String = s"""
+    WITH pos AS (SELECT doc_id, unnest(range(1, length(text) - $L + 2)) AS i, text
+                 FROM documents),
+    win AS (SELECT doc_id, CAST(i AS INT) AS i,
+              substr(text, CAST(i AS INT), $L) AS w FROM pos),
+    dup AS (SELECT DISTINCT a.doc_id, a.i
+            FROM win a JOIN win b ON a.w = b.w AND a.doc_id <> b.doc_id),
+    m AS (SELECT doc_id, i,
+            CASE WHEN i > coalesce(max(i + $L) OVER (PARTITION BY doc_id
+                 ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) THEN 1 ELSE 0 END AS brk
+          FROM dup),
+    g AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM m),
+    spans AS (SELECT doc_id, grp, min(i) AS s, max(i) + $L AS e
+              FROM g GROUP BY 1, 2),
+    ch AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+           FROM documents),
+    kept AS (SELECT c.doc_id, c.i, substr(c.text, CAST(c.i AS INT), 1) AS chr
+             FROM ch c WHERE NOT EXISTS (SELECT 1 FROM spans s
+               WHERE s.doc_id = c.doc_id AND c.i >= s.s AND c.i < s.e)),
+    agg AS (SELECT doc_id, string_agg(chr, '' ORDER BY i) AS clean
+            FROM kept GROUP BY 1)
+    SELECT d.doc_id, md5(coalesce(a.clean, '')) AS clean_fp,
+      CAST(length(coalesce(a.clean, '')) AS BIGINT) AS n_kept_chars,
+      CAST(length(d.text) - length(coalesce(a.clean, '')) AS BIGINT) AS n_cut_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   val all: Map[String, Q] = Map(
-    "q363_substring_dedup" -> q363SubstringDedup)
+    "q363_substring_dedup" -> q363SubstringDedup,
+    "q364_substring_excise" -> q364SubstringExcise)
 
   val oracles: Map[String, String] = Map(
-    "q363_substring_dedup" -> q363Sql)
+    "q363_substring_dedup" -> q363Sql,
+    "q364_substring_excise" -> q364Sql)
 }

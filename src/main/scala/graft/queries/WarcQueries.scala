@@ -157,15 +157,135 @@ object WarcQueries {
     WHERE warc_type = 'conversion'
     GROUP BY 1"""
 
+  // ————————————————————————————— URL canonicalization (q365)
+  // (the crawl-curation normalize step: lowercase host, drop the
+  //  default :443, strip tracking params (utm_*/fbclid/gclid), SORT
+  //  the surviving params — then count how many raw URL variants each
+  //  canonical URL had. The algebra is shared verbatim with the oracle
+  //  (same regexes, same filter, same lexicographic sort), so the gate
+  //  is on the engine's split/filter/sort_array/join pipeline, not on
+  //  a URL-library behavior the oracle can't replay.)
+  val q365UrlNormalize: Q = (s, dir) =>
+    scan(s, dir)
+      .where(col("ok") && col("target_uri").isNotNull)
+      .select(col("target_uri").as("u"))
+      .select(col("u"),
+        lower(regexp_extract(col("u"), "://([^/?#]+)", 1)).as("hostport"),
+        regexp_extract(col("u"), "://[^/?#]+([^?#]*)", 1).as("path"),
+        regexp_extract(col("u"), "\\?(.*)$", 1).as("q"))
+      .select(col("u"),
+        regexp_replace(col("hostport"), ":443$", "").as("host"), col("path"),
+        filter(split(col("q"), "&"), x =>
+          !(x.startsWith("utm_") || x.startsWith("fbclid=") ||
+            x.startsWith("gclid=") || x === "")).as("params"))
+      .select(col("u"), concat(lit("https://"), col("host"), col("path"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(array_sort(col("params")), "&")))
+          .otherwise(lit(""))).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n"), countDistinct("u").as("n_raw"))
+  private val q365Sql: String = s"""
+    WITH r AS (SELECT target_uri AS u
+               FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+               WHERE target_uri IS NOT NULL),
+    p AS (SELECT u,
+        lower(coalesce(regexp_extract(u, '://([^/?#]+)', 1), '')) AS hostport,
+        coalesce(regexp_extract(u, '://[^/?#]+([^?#]*)', 1), '') AS path,
+        coalesce(regexp_extract(u, '\\?(.*)$$', 1), '') AS q
+      FROM r),
+    c AS (SELECT u, regexp_replace(hostport, ':443$$', '') AS host, path,
+        -- array_to_string([]) is NULL in DuckDB where Spark's
+        -- array_join([]) is '' — coalesce pins the no-params case
+        coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+          x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+                    OR starts_with(x, 'gclid=') OR x = ''))), '&'), '') AS ps
+      FROM p)
+    SELECT 'https://' || host || path ||
+      CASE WHEN ps = '' THEN '' ELSE '?' || ps END AS canon_url,
+      count(*) AS n, count(DISTINCT u) AS n_raw
+    FROM c GROUP BY 1"""
+
+  // ————————————————————————————— host-level link graph (q366)
+  // (anchor-href extraction from response HTML → normalized host-level
+  //  edge list with multiplicities: the web-graph build that feeds
+  //  PageRank-style curation (q197's engine applies downstream). Both
+  //  sides run the identical regexp_extract_all.)
+  val q366LinkGraph: Q = (s, dir) =>
+    scan(s, dir)
+      .where(col("ok") && col("warc_type") === "response")
+      .select(
+        regexp_replace(lower(regexp_extract(col("target_uri"),
+          "://([^/?#]+)", 1)), ":443$", "").as("src"),
+        decode(col("payload"), "UTF-8").as("t"))
+      .select(col("src"), explode(expr(
+        "regexp_extract_all(t, 'href=\"https://([^/\"]+)', 1)")).as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+  private val q366Sql: String = s"""
+    WITH resp AS (SELECT
+        regexp_replace(lower(coalesce(regexp_extract(target_uri,
+          '://([^/?#]+)', 1), '')), ':443$$', '') AS src,
+        payload_text AS t
+      FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+      WHERE warc_type = 'response'),
+    e AS (SELECT src, unnest(regexp_extract_all(t,
+            'href="https://([^/"]+)', 1)) AS dst FROM resp)
+    SELECT src, dst, count(*) AS n FROM e GROUP BY 1, 2"""
+
+  // ————————————————————————————— crawl → corpus E2E build (q367)
+  // (the whole entry pipeline in ONE oracle-checked plan: container
+  //  walk → conversion text → quality gate (length + token floor) →
+  //  exact dedup keep-first → deterministic md5 train/val split →
+  //  per-split doc/token accounting. Each stage exists standalone
+  //  elsewhere; this pins their composition, the q72 discipline applied
+  //  to the WARC entry path.)
+  val q367WarcCorpusBuild: Q = (s, dir) =>
+    scan(s, dir)
+      .where(col("ok") && col("warc_type") === "conversion")
+      .select(col("record_id"), decode(col("payload"), "UTF-8").as("text"))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .where(col("n_chars") >= 60 && col("n_tok") >= 12)
+      .withColumn("fp", md5(col("text")))
+      .groupBy("fp") // identical text ⇒ identical n_tok, min is exact
+      .agg(min("record_id").as("record_id"), min("n_tok").as("n_tok"))
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("split|"), col("record_id"))), 1, 8),
+          16, 10).cast("long") % 100 < 90, "train").otherwise("val"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+  private val q367Sql: String = s"""
+    WITH conv AS (SELECT record_id, payload_text AS text
+        FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+        WHERE warc_type = 'conversion'),
+    q AS (SELECT record_id, text,
+        len(string_split(text, ' ')) AS n_tok
+      FROM conv WHERE length(text) >= 60
+        AND len(string_split(text, ' ')) >= 12),
+    ded AS (SELECT min(record_id) AS record_id, min(n_tok) AS n_tok
+      FROM q GROUP BY md5(text)),
+    sp AS (SELECT record_id, n_tok,
+        CASE WHEN CAST(('0x' || substr(md5('split|' || record_id), 1, 8)) AS BIGINT)
+             % 100 < 90 THEN 'train' ELSE 'val' END AS split
+      FROM ded)
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM sp GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q359_warc_wet" -> q359WarcWet,
     "q360_warc_http" -> q360WarcHttp,
     "q361_warc_types" -> q361WarcTypes,
-    "q362_warc_stream" -> q362WarcStream)
+    "q362_warc_stream" -> q362WarcStream,
+    "q365_url_normalize" -> q365UrlNormalize,
+    "q366_link_graph" -> q366LinkGraph,
+    "q367_warc_corpus_build" -> q367WarcCorpusBuild)
 
   val oracles: Map[String, String] = Map(
     "q359_warc_wet" -> q359Sql,
     "q360_warc_http" -> q360Sql,
     "q361_warc_types" -> q361Sql,
-    "q362_warc_stream" -> q362Sql)
+    "q362_warc_stream" -> q362Sql,
+    "q365_url_normalize" -> q365Sql,
+    "q366_link_graph" -> q366Sql,
+    "q367_warc_corpus_build" -> q367Sql)
 }

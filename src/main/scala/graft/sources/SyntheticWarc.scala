@@ -51,18 +51,35 @@ object SyntheticWarc {
       (if (i % 7 == 3 && i >= 7) "" else s" doc$base")
   }
 
+  /** Deterministic outlink target h (host index lattice). */
+  private def linkHost(i: Long, salt: Long): String =
+    s"${hostWords(((i * 3 + salt) % hostWords.size).toInt)}${(i + salt) % 13}.example.org"
+
   def record(i: Long): Rec = {
-    val host = s"${hostWords((i % hostWords.size).toInt)}${i % 13}.example.org"
-    val uri = s"https://$host/page/${i % 101}?id=$i"
+    val baseHost = s"${hostWords((i % hostWords.size).toInt)}${i % 13}.example.org"
+    // URL-canonicalization surface: mixed-case hosts, explicit default
+    // ports, tracking params, unsorted params — all deterministic
+    val host = if (i % 5 == 0) baseHost.toUpperCase else baseHost
+    val port = if (i % 7 == 0) ":443" else ""
+    val query = (i % 4) match {
+      case 0 => s"?id=$i"
+      case 1 => s"?utm_source=feed&id=$i&a=1"
+      case 2 => s"?b=2&a=1&fbclid=XYZ$i"
+      case _ => ""
+    }
+    val uri = s"https://$host$port/page/${i % 101}$query"
     val dateMs = 1748736000000L + i * 1000L // 2025-06-01T00:00:00Z + i sec
     val id = f"<urn:uuid:${i}%08d-0000-4000-8000-000000000000>"
     (i % 10) match {
       case 7 => Rec(i, "request", id, uri, dateMs,
         "application/http; msgtype=request",
-        s"GET /page/${i % 101}?id=$i HTTP/1.1\r\nHost: $host\r\nUser-Agent: graft-crawler/1.0\r\n\r\n")
+        s"GET /page/${i % 101}$query HTTP/1.1\r\nHost: $host\r\nUser-Agent: graft-crawler/1.0\r\n\r\n")
       case 8 =>
         val body = s"<html><head><title>Page ${i % 101}</title></head>" +
-          s"<body><p>${text(i)}</p></body></html>"
+          s"<body><p>${text(i)}</p>" +
+          s"""<a href="https://${linkHost(i, 1)}/page/${(i * 7) % 101}">next</a>""" +
+          s"""<a href="https://${linkHost(i, 5)}/page/${(i * 11) % 101}">more</a>""" +
+          "</body></html>"
         Rec(i, "response", id, uri, dateMs,
           "application/http; msgtype=response",
           s"HTTP/1.1 ${if (i % 40 == 8) 404 else 200} OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
@@ -157,8 +174,14 @@ object SyntheticWarc {
     * the oracle's parquet truth (shared naming discipline with
     * [[graft.elb.SyntheticElb.dirFor]]).
     */
+  /** Generator content version — BUMP whenever [[record]]'s output
+    * changes, so cached corpora from an older generator can never be
+    * read against freshly staged oracle records.
+    */
+  private val genVersion = 2
+
   def dirFor(n: Int): Path =
-    Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-warc-$n-f$files")
+    Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-warc-v$genVersion-$n-f$files")
 
   def dataset(n: Int): String =
     cache.getOrElseUpdate(n, writeDataset(dirFor(n), n, files))

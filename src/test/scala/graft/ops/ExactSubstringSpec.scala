@@ -122,6 +122,33 @@ class ExactSubstringSpec extends SparkSpec {
     assert(spans(docs(1L -> "tiny copy", 2L -> "tiny copy")).isEmpty)
   }
 
+  test("excision removes exactly the duplicated spans, keeps everything else") {
+    val a = s"KEEP-HEAD ${shared} KEEP-TAIL"
+    val b = s"OTHER ${shared} OTHER2"
+    val out = Dedup.exciseSubstringDups(docs(1L -> a, 2L -> b),
+      "text", "doc_id").orderBy("doc_id").collect()
+    // the shared run extends one space left/right of `shared` (both
+    // docs have ' ' on each side), so the cut is " <shared> "
+    val cut = s" $shared "
+    assert(out(0).getString(1) == "KEEP-HEAD" + "KEEP-TAIL")
+    assert(out(0).getLong(2) == ("KEEP-HEAD" + "KEEP-TAIL").length.toLong)
+    assert(out(0).getLong(3) == cut.length.toLong)
+    assert(out(1).getString(1) == "OTHER" + "OTHER2")
+    // a doc with no duplication passes through verbatim
+    val solo = Dedup.exciseSubstringDups(
+      docs(1L -> "nothing shared here at all", 2L -> "different entirely"),
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(solo(0).getString(1) == "nothing shared here at all")
+    assert(solo(0).getLong(3) == 0L)
+    // exact copies excise to empty
+    val dup = s"$shared$shared" // 120 chars, fully duplicated via its copy
+    val full = Dedup.exciseSubstringDups(docs(1L -> dup, 2L -> dup),
+      "text", "doc_id").collect()
+    full.foreach { r =>
+      assert(r.getString(1) == "" && r.getLong(2) == 0L)
+    }
+  }
+
   test("stats rollup shape") {
     val a = s"AAAA${shared}BBBBBBBBBB"
     val b = s"CCCCCCCCCCCCC${shared}D"
