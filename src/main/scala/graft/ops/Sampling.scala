@@ -544,4 +544,56 @@ object Sampling {
       .select(col("id"), col("diff"), col("stage"), col("bucket"),
         col("pos"))
   }
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every RAW-pool document by how much more likely its tokens
+    * are under the TARGET distribution than under the raw distribution,
+    * and keep the top-k. The published recipe uses hashed n-gram
+    * features; the engine-portable member of the family is the unigram
+    * estimator with add-one smoothing — per token,
+    * `w = ln( p̂_tgt(tok) / p̂_raw(tok) )` with
+    * `p̂(tok) = (c+1)/(N+V)`, and a document's importance weight is the
+    * sum over its token OCCURRENCES.
+    *
+    * Determinism (the q113/q345 micro-nat discipline): the single float
+    * step is ONE `ln` per DISTINCT vocabulary word over an exact
+    * integer ratio, pinned to `round(10⁶·ln(...))` in the vocab-sized
+    * frame; per-document scores are then EXACT integer sums, so the
+    * oracle replays the draw bit-for-bit and top-k ties break by id.
+    *
+    * Plan: one explode → vocab-count aggregate (map-side combined,
+    * vocab-sized result), a broadcast 1-row total, one vocab-sized
+    * ratio projection joined back to the token stream (optimizer
+    * broadcasts when it fits), one per-doc aggregate, TakeOrdered(k).
+    * Two data-sized shuffles — the floor for a corpus-conditioned
+    * per-document score. Count products stay in longs through ~10⁹
+    * tokens per side; lift to decimal beyond (guarded in scaladoc, not
+    * at runtime — the 100 TB deployment sizes this knowingly).
+    */
+  def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
+      targetCol: Column, k: Int = 100): DataFrame = {
+    require(k >= 1)
+    val toks = docs.select(col(idCol).as("id"), targetCol.as("tgt"),
+      explode(graft.ops.TextOps.words(col(textCol))).as("word"))
+    val counts = toks.groupBy("word").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val tot = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+      count(lit(1)).as("v"))
+    val ratio = counts.crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double")
+          / ((col("cr") + 1) * (col("nt") + col("v"))).cast("double")) * 1e6)
+          .cast("long").as("w_micro"))
+    val scored = toks.where(!col("tgt"))
+      .join(ratio, Seq("word"))
+      .groupBy("id")
+      .agg(sum("w_micro").as("score_micro"), count(lit(1)).as("n_words"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score_micro").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("score_micro").desc, col("id"))).cast("long"))
+      .select(col("id").as(idCol), col("score_micro"), col("n_words"),
+        col("rank"))
+  }
+
 }

@@ -89,11 +89,45 @@ object SubstringQueries {
       CAST(length(d.text) - length(coalesce(a.clean, '')) AS BIGINT) AS n_cut_chars
     FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  // ————————————————— DSIR importance resampling (q368)
+  // (Xie et al. 2023 data selection: raw-pool docs scored by
+  //  Σ_tok ln(p̂_tgt/p̂_raw) with add-one smoothing, top-k kept. Target
+  //  = English docs, raw pool = everything else. One ln per DISTINCT
+  //  word pinned to micro-nats in the vocab frame; per-doc scores are
+  //  exact integer sums, ties break by id — the oracle replays the
+  //  selection exactly.)
+  val q368Dsir: Q = (s, dir) =>
+    graft.ops.Sampling.dsirSelect(Tables.documents(s, dir), "text",
+      "doc_id", col("lang") === "en", k = 100)
+  private val q368Sql: String = """
+    WITH d AS (SELECT doc_id, lower(text) AS t, (lang = 'en') AS tgt
+               FROM documents),
+    tok AS (SELECT doc_id, tgt, unnest(string_split(t, ' ')) AS word FROM d),
+    c AS (SELECT word,
+            sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+            sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+          FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                   CAST(sum(cr) AS BIGINT) AS nr,
+                   count(*) AS v FROM c),
+    r AS (SELECT word, CAST(round(1e6 * ln(
+            CAST((ct + 1) * (nr + v) AS DOUBLE)
+            / CAST((cr + 1) * (nt + v) AS DOUBLE))) AS BIGINT) AS w_micro
+          FROM c, tot),
+    s AS (SELECT t.doc_id, CAST(sum(r.w_micro) AS BIGINT) AS score_micro,
+            count(*) AS n_words
+          FROM tok t JOIN r USING (word) WHERE NOT t.tgt GROUP BY 1)
+    SELECT doc_id, score_micro, n_words,
+      CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+    FROM s ORDER BY score_micro DESC, doc_id LIMIT 100"""
+
   val all: Map[String, Q] = Map(
     "q363_substring_dedup" -> q363SubstringDedup,
-    "q364_substring_excise" -> q364SubstringExcise)
+    "q364_substring_excise" -> q364SubstringExcise,
+    "q368_dsir" -> q368Dsir)
 
   val oracles: Map[String, String] = Map(
     "q363_substring_dedup" -> q363Sql,
-    "q364_substring_excise" -> q364Sql)
+    "q364_substring_excise" -> q364Sql,
+    "q368_dsir" -> q368Sql)
 }
