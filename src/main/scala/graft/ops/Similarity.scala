@@ -569,6 +569,83 @@ object Similarity {
     cents
   }
 
+  /** Integer-pinned Lloyd k-means over an embedding column — the
+    * oracle-checkable clustering primitive [[refineCentroids]] cannot
+    * be (float means are summation-order-sensitive across engines;
+    * see its scaladoc). Every number here is an exact integer:
+    * coordinates quantize ONCE to micro units (round ×10⁶, the
+    * [[meanPoolEmbeddings]] discipline), centroids are truncating
+    * integer means (`sum div count` per dimension), distances are
+    * exact BIGINT squared-L2, and ties break on centroid id — so any
+    * engine replays the identical trajectory and the cluster SIZES
+    * (integers no rounding can forgive) sit under the hash gate.
+    *
+    * Protocol: seeds are the `k` smallest ids' vectors; `iters`
+    * assign→update rounds; a cluster that loses every member keeps
+    * its previous centroid (the [[refineCentroids]] rule — bucket
+    * count is a design constant). Returns one row per cluster:
+    * `(cid, n_members, mean_dist)` from the LAST assignment, with
+    * `mean_dist` the truncating per-member mean squared distance
+    * (null for an empty cluster, never a fake 0).
+    *
+    * Scale: the quantized (id, dim, micro) frame localCheckpoints once
+    * and serves every round; each round is one broadcast join against
+    * the k·dims centroid table (data×k intermediate — k is a design
+    * constant), one map-side-combinable (id, cid) fold, one argmin
+    * window partitioned BY id (never a global sort), and a k·dims
+    * centroid rebuild. Nothing data-sized is collected or re-sorted.
+    */
+  def kmeansInteger(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 256, s"k out of range: $k")
+    require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("d"), col("cid"))
+    val pts = emb
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"),
+        round(col("x") * 1000000).cast("long").as("xm"))
+      .localCheckpoint() // every round re-joins the quantized frame
+    val seeds = pts.select("id").distinct().orderBy("id").limit(k)
+      .select(col("id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("id")) - 1).cast("long").as("cid")) // k rows: driver-bounded
+    var cents = pts.join(broadcast(seeds), "id")
+      .select(col("cid"), col("dim"), col("xm").as("cm"))
+      .localCheckpoint(true)
+    var lastAssign: DataFrame = null
+    for (r <- 1 to iters) {
+      val assign = pts.join(broadcast(cents), "dim")
+        .groupBy("id", "cid")
+        .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm"))).as("d"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("cid"), col("d"))
+      lastAssign = assign
+      if (r < iters) { // the last round's update would never be read
+        val means = assign.join(pts, "id")
+          .groupBy("cid", "dim")
+          .agg(expr("sum(xm) div count(1)").as("cm2"))
+        // each round's centroid table checkpoints EAGERLY (k·dims rows),
+        // so per-round lineage never stacks — the iterative discipline
+        cents = cents.join(means, Seq("cid", "dim"), "left")
+          .select(col("cid"), col("dim"),
+            coalesce(col("cm2"), col("cm")).as("cm"))
+          .localCheckpoint(true)
+      }
+    }
+    val stats = lastAssign.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        expr("cast(sum(cast(d as decimal(38,0))) div count(1) as long)")
+          .as("mean_dist"))
+    seeds.select("cid").join(stats, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("mean_dist"))
+  }
+
   /** Build the materialized IVF index: assign every vector to its nearest
     * centroid once and write the table partitioned by `centroid_id`. This
     * is the one-time ingest cost that turns every later search into a

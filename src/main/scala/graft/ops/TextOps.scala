@@ -511,6 +511,45 @@ object TextOps {
         count(when(col("lvl") === "oov", 1)).as("n_oov"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document against a reference LM trained on a
+    * DIFFERENT corpus partition ([[stupidBackoffScore]] — the cheap
+    * at-scale perplexity proxy), then split each language into
+    * head / middle / tail TERCILES of fluency — the standard knob for
+    * "train on head+middle, drop tail" corpus curation. Returns one
+    * row per (group, bucket): doc count, the exact min/max of the
+    * 6-d.p. scores landing in the bucket (order statistics — no float
+    * accumulation), and the exact OOV-position total.
+    *
+    * Determinism: score6 is identical across engines (q187's gate),
+    * and the tercile order pins ties by id — so bucket membership is
+    * exactly reproducible. Scale: the ntile needs a per-group sort of
+    * the DOC-COUNT-sized score frame (never data-sized — text stays
+    * out of it); at 10⁹ docs a range-partitioned sort handles it, or
+    * swap the ntile for approx-quantile thresholds when exactness at
+    * the boundary stops mattering.
+    */
+  def perplexityBuckets(train: DataFrame, scored: DataFrame,
+      textCol: String, idCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = stupidBackoffScore(train, scored, textCol, idCol)
+      .select(col("id"), col("score6"), col("n_oov"))
+    val meta = scored.select(col(idCol).as("id"), col(groupCol).as("grp"))
+    val byFluency = Window.partitionBy("grp")
+      .orderBy(col("score6").desc, col("id"))
+    sc.join(meta, "id")
+      .withColumn("t", ntile(3).over(byFluency))
+      .withColumn("bucket",
+        when(col("t") === 1, "head")
+          .when(col("t") === 2, "middle").otherwise("tail"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("score6").as("min_score6"),
+        max("score6").as("max_score6"),
+        sum("n_oov").as("n_oov"))
+  }
+
   /** Pointwise mutual information over co-occurring word pairs — the
     * collocation detector ("new york", "machine learning") every
     * corpus-analysis pass wants: `pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )`
@@ -882,32 +921,39 @@ object TextOps {
     * can be far from every single neighbor yet contribute nothing new
     * in aggregate. Per document: its DISTINCT n-gram count, how many
     * of those n-grams appear in NO other document (corpus df = 1),
-    * and the novelty ratio in truncating ppm. One digest-sized
-    * explode → df count → per-doc fold; shingle md5s ride the
+    * and the novelty ratio in truncating ppm. Shingle md5s ride the
     * shuffle, never raw text. Documents shorter than `n` words have
     * no n-grams: null novelty, never a fake 0 or 1.
+    *
+    * Plan shape (round-13 rewrite — was exp 1.07 at sf10): the per-doc
+    * distinct-shingle count is NARROW (`size` of the per-row shingle
+    * array, no shuffle), and a df=1 gram names its sole document for
+    * free as `max(id)` inside the single digest-keyed aggregate — so
+    * the one n-gram-sized shuffle is a map-side-combinable groupBy,
+    * and the old digest-keyed JOIN of two n-gram-sized frames (plus
+    * its downstream doc re-shuffle) is gone. Everything after the
+    * gram aggregate is document-sized.
     */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val sh = df
+    val base = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("id"), words(col(textCol)).as("_w"))
-      .select(col("id"),
-        explode_outer(shinglesFromWords(col("_w"), n)).as("g"))
-    val grams = sh.where(col("g").isNotNull)
+    val nn = base.select(col("id"),
+      size(shinglesFromWords(col("_w"), n)).cast("long").as("n_ngrams"))
+    val grams = base
+      .select(col("id"), explode(shinglesFromWords(col("_w"), n)).as("g"))
       .select(col("id"), md5(col("g")).as("h"))
-    val dfreq = grams.groupBy("h").agg(countDistinct("id").as("df"))
-    val per = grams.join(dfreq, "h")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-    sh.select("id").distinct()
-      .join(per, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        when(col("n_ngrams").isNotNull && col("n_ngrams") > 0,
+    val uniq = grams.groupBy("h")
+      .agg(count(lit(1)).as("dfc"), max(col("id")).as("id"))
+      .where(col("dfc") === 1)
+      .groupBy("id").agg(count(lit(1)).as("n_unique"))
+    nn.join(uniq, Seq("id"), "left")
+      .select(col("id"), col("n_ngrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .select(col("id"), col("n_ngrams"), col("n_unique"),
+        when(col("n_ngrams") > 0,
           expr("(1000000 * n_unique) div n_ngrams")).as("novelty_ppm"))
   }
 

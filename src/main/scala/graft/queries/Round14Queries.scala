@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: clustering and corpus-curation operators that
+  * were still missing from the LLM-pipeline family — integer-pinned
+  * k-means (the oracle-checkable Lloyd variant) and CCNet-style
+  * perplexity bucketing. Each oracle re-derives the full algorithm in
+  * DuckDB SQL (k-means unrolls its Lloyd rounds as CTEs, the q186/q197
+  * discipline).
+  */
+object Round14Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // —————————————————————————————— integer-pinned k-means (q369)
+  // (Lloyd over the embeddings table with k = 8 seeds (smallest
+  //  vec_ids), 3 assign→update rounds, micro-quantized coordinates,
+  //  truncating integer centroid means, exact BIGINT squared-L2 —
+  //  every engine replays the identical trajectory, so the cluster
+  //  SIZES sit under the hash. The oracle unrolls the three rounds;
+  //  empty clusters keep their previous centroid on both sides.)
+  val q369Kmeans: Q = (s, dir) =>
+    graft.ops.Similarity.kmeansInteger(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 8, iters = 3)
+  private val q369Sql: String = {
+    // one Lloyd round: distances vs c{r-1}, argmin assignment, new
+    // truncating-mean centroids with empty-cluster carry-over
+    def round(r: Int): String = s"""
+    d$r AS (SELECT p.id, c.cid, sum((p.xm - c.cm) * (p.xm - c.cm)) AS d
+           FROM pts p JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
+    a$r AS MATERIALIZED (SELECT id, cid, d FROM
+          (SELECT id, cid, d, row_number() OVER
+             (PARTITION BY id ORDER BY d, cid) AS rn FROM d$r)
+          WHERE rn = 1),
+    m$r AS (SELECT a.cid, p.dim, CAST(sum(p.xm) // count(*) AS BIGINT) AS cm
+           FROM a$r a JOIN pts p USING (id) GROUP BY 1, 2),
+    c$r AS MATERIALIZED (SELECT c.cid, c.dim, coalesce(m.cm, c.cm) AS cm
+          FROM c${r - 1} c LEFT JOIN m$r m
+            ON m.cid = c.cid AND m.dim = c.dim)"""
+    s"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id AS id, i - 1 AS dim,
+        CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id IS NOT NULL
+              AND embedding IS NOT NULL),
+        unnest(range(1, len(e) + 1)) u(i)),
+    seeds AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+              FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 8)),
+    c0 AS MATERIALIZED (SELECT s.cid, p.dim, p.xm AS cm
+          FROM seeds s JOIN pts p USING (id)),${round(1)},${round(2)},
+    d3 AS (SELECT p.id, c.cid, sum((p.xm - c.cm) * (p.xm - c.cm)) AS d
+           FROM pts p JOIN c2 c USING (dim) GROUP BY 1, 2),
+    a3 AS (SELECT id, cid, d FROM
+          (SELECT id, cid, d, row_number() OVER
+             (PARTITION BY id ORDER BY d, cid) AS rn FROM d3)
+          WHERE rn = 1)
+    SELECT s.cid, count(a.id) AS n_members,
+      CASE WHEN count(a.id) > 0
+           THEN CAST(sum(a.d) // count(a.id) AS BIGINT) END AS mean_dist
+    FROM seeds s LEFT JOIN a3 a USING (cid) GROUP BY 1"""
+  }
+
+  // —————————————————————————————— CCNet perplexity buckets (q371)
+  // (the curation step between scoring and mixing: train the backoff
+  //  LM on even doc_ids (q187's held-out split), score the odd ones,
+  //  tercile each language into head/middle/tail by fluency with
+  //  id-pinned ties. Bucket membership is exactly reproducible
+  //  because score6 itself is hash-gated by q187; min/max per bucket
+  //  are order statistics, no float accumulation.)
+  val q371PerplexityBuckets: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.TextOps.perplexityBuckets(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      "text", "doc_id", "lang")
+  }
+  private val q371Sql: String = """
+    WITH tr AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents WHERE doc_id % 2 = 0),
+    sc AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE doc_id % 2 = 1),
+    tt AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tr),
+    tg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+             i, len(w) AS lw FROM tt),
+    c1 AS (SELECT w1 AS w, count(*) AS c1 FROM tg GROUP BY 1),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM tg
+           WHERE i + 1 <= lw GROUP BY 1, 2),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg
+           WHERE i + 2 <= lw GROUP BY 1, 2, 3),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+    si AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM sc),
+    st AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+           FROM si),
+    j AS (SELECT s.doc_id, c3.c3, c2p.c2 AS c2p, c2b.c2 AS c2b,
+            u2.c1 AS c1w2, u3.c1 AS c1w3
+          FROM st s
+          LEFT JOIN c3 ON c3.w1 = s.w1 AND c3.w2 = s.w2 AND c3.w3 = s.w3
+          LEFT JOIN c2 c2p ON c2p.w1 = s.w1 AND c2p.w2 = s.w2
+          LEFT JOIN c2 c2b ON c2b.w1 = s.w2 AND c2b.w2 = s.w3
+          LEFT JOIN c1 u2 ON u2.w = s.w2
+          LEFT JOIN c1 u3 ON u3.w = s.w3),
+    lv AS (SELECT doc_id,
+            CASE WHEN c3 IS NULL AND c2b IS NULL AND c1w3 IS NULL
+                 THEN 1 END AS is_oov,
+            CASE WHEN c3 IS NOT NULL THEN c3 / c2p
+                 WHEN c2b IS NOT NULL THEN
+                   CAST(0.4 AS DOUBLE) * c2b / c1w2
+                 WHEN c1w3 IS NOT NULL THEN
+                   CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * c1w3
+                     / (SELECT n FROM n)
+                 ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                     * CAST(0.4 AS DOUBLE) / (SELECT n FROM n) END AS score
+           FROM j),
+    ds AS (SELECT doc_id AS id, round(avg(ln(score)), 6) AS score6,
+             count(is_oov) AS n_oov
+           FROM lv GROUP BY 1),
+    bk AS (SELECT d.lang AS grp, ds.score6, ds.n_oov,
+             ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY ds.score6 DESC, ds.id) AS t
+           FROM ds JOIN documents d ON d.doc_id = ds.id)
+    SELECT grp,
+      CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        AS bucket,
+      count(*) AS n_docs,
+      min(score6) AS min_score6, max(score6) AS max_score6,
+      CAST(sum(n_oov) AS BIGINT) AS n_oov
+    FROM bk GROUP BY 1, 2"""
+
+  val all: Map[String, Q] = Map(
+    "q369_kmeans" -> q369Kmeans,
+    "q371_perplexity_buckets" -> q371PerplexityBuckets)
+
+  val oracles: Map[String, String] = Map(
+    "q369_kmeans" -> q369Sql,
+    "q371_perplexity_buckets" -> q371Sql)
+}

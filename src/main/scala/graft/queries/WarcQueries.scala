@@ -232,6 +232,54 @@ object WarcQueries {
             'href="https://([^/"]+)', 1)) AS dst FROM resp)
     SELECT src, dst, count(*) AS n FROM e GROUP BY 1, 2"""
 
+  // ————————————————————————————— anchor-text aggregation (q370)
+  // (the training-signal complement to q366's edge list: anchor TEXT
+  //  describes the page it points to — search engines and corpus
+  //  builders aggregate it per target as a quality/topic label. Whole
+  //  <a …>text</a> elements extract first, then host and text dissect
+  //  per element; per target host: link count, distinct anchors, and
+  //  the modal anchor (count-desc, text-asc pinned). Both sides run
+  //  the identical regexes; the modal pick is an id-pinned window.)
+  val q370AnchorText: Q = (s, dir) =>
+    scan(s, dir)
+      .where(col("ok") && col("warc_type") === "response")
+      .select(decode(col("payload"), "UTF-8").as("t"))
+      .select(explode(expr(
+        """regexp_extract_all(t, '(<a href="https://[^"]+"[^>]*>[^<]*</a>)', 1)"""))
+        .as("a"))
+      .select(
+        regexp_replace(lower(regexp_extract(col("a"),
+          "href=\"https://([^/\"]+)", 1)), ":443$", "").as("dst"),
+        regexp_extract(col("a"), ">([^<]*)</a>", 1).as("anchor"))
+      .groupBy("dst", "anchor").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("dst")
+          .orderBy(col("n").desc, col("anchor"))))
+      .groupBy("dst")
+      .agg(sum("n").as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        max(when(col("rn") === 1, col("anchor"))).as("top_anchor"),
+        max(when(col("rn") === 1, col("n"))).as("top_n"))
+  private val q370Sql: String = s"""
+    WITH resp AS (SELECT payload_text AS t
+        FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+        WHERE warc_type = 'response'),
+    el AS (SELECT unnest(regexp_extract_all(t,
+            '(<a href="https://[^"]+"[^>]*>[^<]*</a>)', 1)) AS a FROM resp),
+    pa AS (SELECT
+        regexp_replace(lower(coalesce(regexp_extract(a,
+          'href="https://([^/"]+)', 1), '')), ':443$$', '') AS dst,
+        coalesce(regexp_extract(a, '>([^<]*)</a>', 1), '') AS anchor
+      FROM el),
+    g AS (SELECT dst, anchor, count(*) AS n FROM pa GROUP BY 1, 2),
+    r AS (SELECT dst, anchor, n, row_number() OVER
+            (PARTITION BY dst ORDER BY n DESC, anchor) AS rn FROM g)
+    SELECT dst, CAST(sum(n) AS BIGINT) AS n_links,
+      count(*) AS n_anchors,
+      max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+      max(CASE WHEN rn = 1 THEN n END) AS top_n
+    FROM r GROUP BY 1"""
+
   // ————————————————————————————— crawl → corpus E2E build (q367)
   // (the whole entry pipeline in ONE oracle-checked plan: container
   //  walk → conversion text → quality gate (length + token floor) →
@@ -278,7 +326,8 @@ object WarcQueries {
     "q362_warc_stream" -> q362WarcStream,
     "q365_url_normalize" -> q365UrlNormalize,
     "q366_link_graph" -> q366LinkGraph,
-    "q367_warc_corpus_build" -> q367WarcCorpusBuild)
+    "q367_warc_corpus_build" -> q367WarcCorpusBuild,
+    "q370_anchor_text" -> q370AnchorText)
 
   val oracles: Map[String, String] = Map(
     "q359_warc_wet" -> q359Sql,
@@ -287,5 +336,6 @@ object WarcQueries {
     "q362_warc_stream" -> q362Sql,
     "q365_url_normalize" -> q365Sql,
     "q366_link_graph" -> q366Sql,
-    "q367_warc_corpus_build" -> q367Sql)
+    "q367_warc_corpus_build" -> q367Sql,
+    "q370_anchor_text" -> q370Sql)
 }

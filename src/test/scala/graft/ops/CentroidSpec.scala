@@ -32,6 +32,46 @@ class CentroidSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("kmeansInteger: planted clusters recovered, exact sizes and distances") {
+    // two tight planted clusters; seeds = ids 0 and 1 (one in each)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.001f, 0.0f)), (3L, Array(0.0f, 0.001f)),
+      (4L, Array(10.001f, 10.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansInteger(emb, "vec_id", "embedding",
+        k = 2, iters = 3)
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (k, n, d) => k -> ((n, d)) }.toMap
+    // cluster 0: ids 0,2,3 — centroid after round 1 = (333, 333) micro
+    //   (1000+0+0) div 3; dists: 0:(333²+333²)=221778, 2:(667²+333²),
+    //   3 symmetric → mean = (221778+555778+555778) div 3 = 444444
+    assert(got(0L) == (3L, Some(444444L)))
+    // cluster 1: ids 1,4 — float 10.001f ≈ 10.0010004…, so xm(4) =
+    //   round(10001000.4) = 10001000; cm = (1e7+10001000) div 2 =
+    //   10000500; dists 500²=250000 each → mean 250000
+    assert(got(1L) == (2L, Some(250000L)))
+  }
+
+  test("kmeansInteger: an empty cluster keeps its centroid and reports null") {
+    // seed 2 duplicates seed 0's vector, so every point ties toward
+    // the smaller cid; cluster 0's members are symmetric around it, so
+    // its centroid never moves and cluster 2 stays empty through the
+    // carry-over update too
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(5.0f)), (2L, Array(0.0f)),
+      (3L, Array(-1.0f)), (4L, Array(1.0f)),
+      (5L, Array(4.0f)), (6L, Array(6.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansInteger(emb, "vec_id", "embedding",
+        k = 3, iters = 2)
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (k, n, d) => k -> ((n, d)) }.toMap
+    assert(got(2L) == (0L, None))
+    // cluster 0 = {0, 2, 3, 4}: dists (0, 0, 1e12, 1e12) → mean 5e11
+    assert(got(0L) == (4L, Some(500000000000L)))
+    // cluster 1 = {1, 5, 6}: dists (0, 1e12, 1e12) → 2e12 div 3
+    assert(got(1L) == (3L, Some(666666666666L)))
+  }
+
   test("diversifiedTopKBatch: a dense region is capped; the next region enters") {
     val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
       .toDF("cid", "cvec")

@@ -937,6 +937,35 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.log(0.4)) < 1e-6)
   }
 
+  test("perplexityBuckets: per-language terciles, fluency-ordered, exact counts") {
+    import spark.implicits._
+    // reference LM learns "a b c" trigrams; scored docs range from
+    // pure in-model text to pure OOV — six docs in lang en (terciles
+    // 2/2/2), three in lang fr (1/1/1)
+    val train = Seq((0L, "a b c a b c a b c", "en")).toDF("doc_id", "text", "lang")
+    val scored = Seq(
+      (1L, "a b c a b c", "en"), (3L, "a b c x y z", "en"),
+      (5L, "x y z q r s", "en"), (7L, "a b c a b c", "en"),
+      (9L, "u v w x y z", "en"), (11L, "a b c u v w", "en"),
+      (13L, "a b c a b c", "fr"), (15L, "a b c x y z", "fr"),
+      (17L, "x y z u v w", "fr")).toDF("doc_id", "text", "lang")
+    val got = TextOps.perplexityBuckets(train, scored, "text", "doc_id", "lang")
+      .as[(String, String, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("en", "head"))._1 == 2L)
+    assert(got(("en", "middle"))._1 == 2L)
+    assert(got(("en", "tail"))._1 == 2L)
+    assert(got(("fr", "head"))._1 == 1L)
+    assert(got(("fr", "middle"))._1 == 1L)
+    assert(got(("fr", "tail"))._1 == 1L)
+    // fluency ordering: every head score ≥ every tail score, per lang
+    assert(got(("en", "head"))._2 >= got(("en", "tail"))._3)
+    assert(got(("fr", "head"))._2 >= got(("fr", "tail"))._3)
+    // the two pure in-model en docs (1, 7) must be the en head bucket
+    assert(got(("en", "head"))._2 == got(("en", "head"))._3,
+      "head holds the two identical max-fluency docs")
+  }
+
   test("textRank: hub of a star outranks leaves; leaves tie; mass sums to 1") {
     import spark.implicits._
     // one doc "a hub b hub c hub" → star: hub—a, hub—b, hub—c
