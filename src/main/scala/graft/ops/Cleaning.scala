@@ -357,6 +357,67 @@ object Cleaning {
           .otherwise("clean"))
   }
 
+  /** Per-document character-level Shannon entropy — the gibberish /
+    * machine-noise screen (natural text sits ~2.5–4.5 nats/char-class;
+    * base64 blobs, key mashes, and single-char floods land far outside
+    * the band and survive every word-level quality filter because they
+    * ARE one word). `H = ln(n) − Σ_c k_c·ln(k_c) / n` over exact
+    * per-character counts; the one float combination rounds to 6 d.p.
+    * (the alphabet is bounded, so the Σ has ≤ a few hundred terms —
+    * the q113/avg discipline absorbs summation order). Empty and null
+    * texts emit no row — never a fake 0-entropy document.
+    *
+    * Scale: one per-char explode (linear in bytes), one (id, char)
+    * fold that map-side-combines to ≤ docs·|alphabet| rows, one
+    * doc-keyed fold. Raw text never shuffles — only (id, char, count).
+    */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
+      .groupBy("id", "c").agg(count(lit(1)).as("k"))
+    counts.groupBy("id")
+      .agg(sum("k").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum("k")) -
+          sum(col("k") * log(col("k"))) / sum("k"), 6).as("entropy6"))
+  }
+
+  /** Domain-level corpus curation (the RefinedWeb/CCNet step ABOVE the
+    * document filters): roll per-document signals up to the registered
+    * domain and flag whole domains whose profile says "mirror farm or
+    * boilerplate mill" — a domain whose documents are mostly copies of
+    * each other, or whose mean length is below the floor, gets dropped
+    * WHOLESALE (cheaper and safer than letting its long tail leak
+    * through per-doc filters one document at a time). Per domain:
+    * exact doc/dup accounting (dup = exact-text md5 collision inside
+    * the domain), truncating ppm dup rate, truncating mean token
+    * count, and the keep verdict.
+    *
+    * Scale: one narrow projection (fingerprint + token count), one
+    * domain-keyed aggregate with map-side combine (countDistinct on
+    * the md5 rides the same shuffle); output is domain-cardinality-
+    * sized. Raw text never shuffles — only its md5.
+    */
+  def domainQuality(df: DataFrame, textCol: String, idCol: String,
+      domainCol: String, minMeanTokens: Long = 20,
+      maxDupPpm: Long = 300000): DataFrame =
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        col(domainCol).isNotNull)
+      .select(col(domainCol).as("domain"), md5(col(textCol)).as("fp"),
+        TextOps.wsTokenCount(col(textCol)).as("n_tok"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_distinct"),
+        sum("n_tok").as("n_tokens"))
+      .select(col("domain"), col("n_docs"), col("n_distinct"),
+        col("n_tokens"),
+        expr("(1000000 * (n_docs - n_distinct)) div n_docs").as("dup_ppm"),
+        expr("n_tokens div n_docs").as("mean_tok"))
+      .withColumn("kept",
+        col("mean_tok") >= minMeanTokens && col("dup_ppm") <= maxDupPpm)
+
   /** Per-document Unicode script profile — the spoofing/spam/encoding
     * screen that catches mixed-script text (a "Latin" document full of
     * Cyrillic homoglyphs, CJK spill into an English shard) before

@@ -550,6 +550,39 @@ object TextOps {
         sum("n_oov").as("n_oov"))
   }
 
+  /** C4-style blocklist filtering ("List of Dirty, Naughty …" in the
+    * original; any term list here) as a broadcast TOKEN JOIN — the
+    * at-scale shape. A 10k-term list as one alternation regex is a
+    * catastrophic scan (the regex NFA walks every term at every
+    * position); exploding to words and hash-joining the broadcast
+    * list is linear in tokens and indifferent to list size. Returns
+    * every document with its exact hit accounting: `(id, n_hits,
+    * n_terms, kept)` — kept ⟺ zero hits (C4 drops on ANY hit; callers
+    * wanting a threshold filter on n_hits).
+    *
+    * Scale: one narrow explode, one broadcast join, one doc-keyed
+    * map-side-combinable fold; the all-docs left join restores
+    * hit-free documents. Nothing list-sized ever shuffles.
+    */
+  def blocklistFilter(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = terms.map(_.toLowerCase).distinct.toDF("term")
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val hits = base
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .join(broadcast(bl), col("w") === col("term"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"), countDistinct("w").as("n_terms"))
+    base.select(col(idCol).as("id")).join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("kept"))
+  }
+
   /** Pointwise mutual information over co-occurring word pairs — the
     * collocation detector ("new york", "machine learning") every
     * corpus-analysis pass wants: `pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )`

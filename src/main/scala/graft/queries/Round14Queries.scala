@@ -128,11 +128,80 @@ object Round14Queries {
       CAST(sum(n_oov) AS BIGINT) AS n_oov
     FROM bk GROUP BY 1, 2"""
 
+  // —————————————————————————————— C4 blocklist filter (q372)
+  // (the term-list drop as a broadcast TOKEN JOIN, not an alternation
+  //  regex — the only shape that survives a 10k-term list at scale.
+  //  kept ⟺ zero hits, C4's rule; exact per-doc hit accounting.)
+  val q372Blocklist: Q = (s, dir) =>
+    graft.ops.TextOps.blocklistFilter(Tables.documents(s, dir),
+      "text", "doc_id", Seq("slow", "noise", "vector"))
+  private val q372Sql: String = """
+    WITH base AS (SELECT doc_id AS id, lower(text) AS t FROM documents
+                  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    tok AS (SELECT id, unnest(string_split(t, ' ')) AS w FROM base),
+    h AS (SELECT id, count(*) AS n_hits, count(DISTINCT w) AS n_terms
+          FROM tok WHERE w IN ('slow', 'noise', 'vector') GROUP BY 1)
+    SELECT b.id, coalesce(h.n_hits, 0) AS n_hits,
+      coalesce(h.n_terms, 0) AS n_terms,
+      h.n_hits IS NULL AS kept
+    FROM base b LEFT JOIN h USING (id)"""
+
+  // —————————————————————————————— per-doc char entropy (q373)
+  // (the gibberish screen word-level filters can't see: base64 blobs
+  //  and key-mashes are ONE word. Exact per-char counts; the single
+  //  float combination rounds 6 d.p. over a bounded alphabet.)
+  val q373CharEntropy: Q = (s, dir) =>
+    graft.ops.Cleaning.charEntropy(Tables.documents(s, dir),
+      "text", "doc_id")
+  private val q373Sql: String = """
+    WITH base AS (SELECT doc_id AS id, text FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            AND length(text) > 0),
+    ch AS (SELECT id, substr(text, CAST(i AS INT), 1) AS c
+           FROM base, unnest(range(1, length(text) + 1)) u(i)),
+    k AS (SELECT id, c, count(*) AS k FROM ch GROUP BY 1, 2)
+    SELECT id, CAST(sum(k) AS BIGINT) AS n_chars,
+      count(*) AS n_distinct,
+      round(ln(sum(k)) - sum(k * ln(k)) / sum(k), 6) AS entropy6
+    FROM k GROUP BY 1"""
+
+  // —————————————————————————————— domain-level curation (q374)
+  // (the RefinedWeb step above per-doc filters: drop WHOLE domains
+  //  whose profile says mirror farm (dup_ppm) or boilerplate mill
+  //  (mean token floor). Exact integer accounting, truncating ppm.)
+  val q374DomainQuality: Q = (s, dir) =>
+    graft.ops.Cleaning.domainQuality(Tables.documents(s, dir),
+      "text", "doc_id", "source", minMeanTokens = 55,
+      maxDupPpm = 300000)
+  private val q374Sql: String = """
+    WITH base AS (SELECT source AS domain, md5(text) AS fp,
+          len(string_split(lower(text), ' ')) AS n_tok FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            AND source IS NOT NULL),
+    g AS (SELECT domain, count(*) AS n_docs,
+            count(DISTINCT fp) AS n_distinct,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM base GROUP BY 1)
+    SELECT domain, n_docs, n_distinct, n_tokens,
+      CAST((1000000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+        AS dup_ppm,
+      CAST(n_tokens // n_docs AS BIGINT) AS mean_tok,
+      (n_tokens // n_docs >= 55
+        AND (1000000 * (n_docs - n_distinct)) // n_docs <= 300000)
+        AS kept
+    FROM g"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
-    "q371_perplexity_buckets" -> q371PerplexityBuckets)
+    "q371_perplexity_buckets" -> q371PerplexityBuckets,
+    "q372_blocklist" -> q372Blocklist,
+    "q373_char_entropy" -> q373CharEntropy,
+    "q374_domain_quality" -> q374DomainQuality)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
-    "q371_perplexity_buckets" -> q371Sql)
+    "q371_perplexity_buckets" -> q371Sql,
+    "q372_blocklist" -> q372Sql,
+    "q373_char_entropy" -> q373Sql,
+    "q374_domain_quality" -> q374Sql)
 }

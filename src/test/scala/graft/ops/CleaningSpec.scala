@@ -299,4 +299,31 @@ class CleaningSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 1L, 0L, Some(1000L), Some(0L),
       Some(205820L))), s"${got(2L)}")
   }
+
+  test("charEntropy: hand values, zero for single-char floods, empty dropped") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Cleaning.charEntropy(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.0)))          // ln4 − 4·ln4/4
+    assert(got(2L) == ((2L, 2L, 2L, 0.693147)))     // ln 2
+    // ln3 − (2·ln2 + 1·ln1)/3 = 1.098612… − 0.462098… = 0.636514
+    assert(got(3L) == ((3L, 3L, 2L, 0.636514)))
+    assert(!got.contains(4L), "empty text must emit no row, not H=0")
+  }
+
+  test("domainQuality: dup-heavy and short domains dropped, clean kept") {
+    val docs = Seq(
+      (1L, "x y z", "mirror"), (2L, "x y z", "mirror"),
+      (3L, (1 to 25).map(i => s"w$i").mkString(" "), "good"),
+      (4L, (1 to 30).map(i => s"v$i").mkString(" "), "good"))
+      .toDF("doc_id", "text", "source")
+    val got = Cleaning.domainQuality(docs, "text", "doc_id", "source")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // mirror: 2 docs, 1 distinct → dup_ppm 500000 > cap AND mean 3 < 20
+    assert(got("mirror") == (("mirror", 2L, 1L, 6L, 500000L, 3L, false)))
+    // good: 0 dup, mean (25+30) div 2 = 27 ≥ 20 → kept
+    assert(got("good") == (("good", 2L, 2L, 55L, 0L, 27L, true)))
+  }
 }

@@ -937,6 +937,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.log(0.4)) < 1e-6)
   }
 
+  test("blocklistFilter: token-exact hits, case-folded, hit-free docs kept") {
+    import spark.implicits._
+    val docs = Seq((1L, "a SLOW b slow"), (2L, "slowly but clean"),
+      (3L, "x noise")).toDF("doc_id", "text")
+    val got = TextOps.blocklistFilter(docs, "text", "doc_id",
+        Seq("slow", "noise"))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, false)))
+    // "slowly" must NOT match — token equality, not substring
+    assert(got(2L) == ((2L, 0L, 0L, true)))
+    assert(got(3L) == ((3L, 1L, 1L, false)))
+  }
+
   test("perplexityBuckets: per-language terciles, fluency-ordered, exact counts") {
     import spark.implicits._
     // reference LM learns "a b c" trigrams; scored docs range from
