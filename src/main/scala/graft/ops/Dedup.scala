@@ -276,6 +276,75 @@ object Dedup {
           TextOps.shinglesFromWords(col("_w"), shingleN), numHashes, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
 
+  /** LSH banding-parameter sweep — the tuner that answers "which
+    * (bands × rowsPerBand) setting do we run the corpus dedup at?"
+    * For every requested rowsPerBand `r` (each dividing `numHashes`),
+    * candidates are banded from ONE shared signature table — the
+    * r-lattice is a broadcast cross over the (id, i, sig) frame, never
+    * a signature recompute — and exact precision/recall are scored
+    * against the all-pairs n-gram Jaccard ground truth at
+    * `thresholdPct`. Ground truth is quadratic BY DEFINITION, so the
+    * caller feeds the same capped corpus the q20-class oracles use;
+    * the chosen (bands, r) then applies to the uncapped production
+    * banding ([[minhashCandidatePairs]]). All counts and ppm ratios
+    * are exact integers; zero-denominator ratios are null, never 0.
+    */
+  def lshParameterSweep(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 12,
+      rOptions: Seq[Int] = Seq(1, 2, 3, 4, 6, 12),
+      thresholdPct: Int = 50): DataFrame = {
+    require(rOptions.nonEmpty &&
+      rOptions.forall(r => r >= 1 && numHashes % r == 0),
+      s"every rowsPerBand option must divide numHashes=$numHashes: $rOptions")
+    require(thresholdPct > 0 && thresholdPct <= 100)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleRows(df, textCol, idCol, shingleN)
+      .localCheckpoint() // roles: sizes + both truth-join sides + sigs
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val rel = sh.select(col("shingle"), col("id").as("a"))
+      .join(sh.select(col("shingle"), col("id").as("b")), "shingle")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .where(lit(100L) * col("inter") >=
+        lit(thresholdPct.toLong) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"))
+      .localCheckpoint() // roles: per-r TP join + the scalar count
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val rs = rOptions.distinct.sorted.map(_.toLong).toDF("r")
+    val bands = minhashSignatures(sh, numHashes)
+      .crossJoin(broadcast(rs))
+      .groupBy(col("id"), col("r"),
+        (col("i") / col("r")).cast("long").as("band"))
+      .agg(md5(concat_ws("", transform(
+        array_sort(collect_list(struct(col("i"), col("sig")))),
+        x => x.getField("sig")))).as("band_sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.r") === col("y.r") && col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.r").as("r"), col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+      .localCheckpoint() // roles: candidate count + TP join
+    val nCand = cand.groupBy("r").agg(count(lit(1)).as("n_candidates"))
+    val nTp = cand.join(rel, Seq("a", "b"))
+      .groupBy("r").agg(count(lit(1)).as("n_tp"))
+    rs.join(nCand, Seq("r"), "left").join(nTp, Seq("r"), "left")
+      .crossJoin(broadcast(nRel))
+      .select(col("r"), expr(s"$numHashes div r").as("n_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_relevant"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+      .select(col("r"), col("n_bands"), col("n_candidates"),
+        col("n_relevant"), col("n_tp"),
+        when(col("n_candidates") > 0,
+          expr("(1000000 * n_tp) div n_candidates")).as("precision_ppm"),
+        when(col("n_relevant") > 0,
+          expr("(1000000 * n_tp) div n_relevant")).as("recall_ppm"))
+  }
+
   /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket.
     *
     * `maxBucket` < MaxValue caps every band bucket's document frequency

@@ -258,6 +258,41 @@ object Graph {
         col("ra_micro"))
   }
 
+  /** Adamic–Adar link prediction — [[resourceAllocation]]'s classic
+    * sibling: common neighbors weighted `1/ln(deg(z))` instead of
+    * `1/deg(z)` (the gentler hub discount — AA still credits
+    * mid-degree hubs that RA zeroes out, the standard trade in the
+    * CN/AA/RA family). A common neighbor has degree ≥ 2 by
+    * construction, so `ln(deg) ≥ ln 2` — no division guard needed.
+    * Float discipline: ONE micro rounding per wedge-center degree
+    * (`round(10⁶/ln(deg))` — both engines evaluate it from the same
+    * exact integer), then pure integer sums; same wedge bound,
+    * `maxDeg` hub cap, and known-edge anti-join as RA.
+    */
+  def adamicAdar(edges: DataFrame, maxDeg: Int = 10000): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("tgt")).as("a"),
+        greatest(col("src"), col("tgt")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // one materialization: adjacency ×2 + anti-join
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("node").as("z")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("node").as("x"), col("nbr").as("z"))
+      .join(adj.select(col("node").as("y"), col("nbr").as("z")), "z")
+      .where(col("x") < col("y"))
+      .join(deg.where(col("deg") <= maxDeg), "z")
+    val scored = wedges
+      .select(col("x"), col("y"),
+        expr("cast(round(1000000 / ln(deg)) as bigint)").as("term"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"), sum("term").as("aa_micro"))
+    scored.join(und, scored("x") === und("a") && scored("y") === und("b"),
+        "left_anti")
+      .select(col("x").as("a"), col("y").as("b"), col("n_common"),
+        col("aa_micro"))
+  }
+
   /** One-level Louvain-style community refinement: `rounds` rounds of
     * greedy label moves over the undirected simplification of the edge
     * set, starting from singleton communities. Each active node adopts

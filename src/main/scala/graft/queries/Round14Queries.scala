@@ -191,17 +191,111 @@ object Round14Queries {
         AS kept
     FROM g"""
 
+  // —————————————————————————————— LSH parameter sweep (q375)
+  // (the banding tuner: one shared 12-hash signature table, banded at
+  //  every divisor r via the broadcast r-lattice; exact precision /
+  //  recall vs the all-pairs Jaccard≥50% truth on the q20-capped
+  //  corpus. The classic trade must come out of the data itself:
+  //  r=1 → max recall, r=12 → max precision.)
+  val q375LshSweep: Q = (s, dir) =>
+    graft.ops.Dedup.lshParameterSweep(
+      Tables.documents(s, dir).where(col("doc_id") < 1000),
+      "text", "doc_id", shingleN = 3, numHashes = 12,
+      rOptions = Seq(1, 2, 3, 4, 6, 12), thresholdPct = 50)
+  private val q375Sql: String = """
+    WITH d AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (SELECT a.id AS a, b.id AS b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+    rel AS (SELECT p.a, p.b FROM pairs p
+            JOIN sizes sa ON sa.id = p.a JOIN sizes sb ON sb.id = p.b
+            WHERE 100 * p.inter >= 50 * (sa.n + sb.n - p.inter)),
+    nrel AS (SELECT count(*) AS n_rel FROM rel),
+    sig AS (SELECT s.id, t.i,
+              min(md5(CAST(t.i AS VARCHAR) || '|' || s.shingle)) AS sig
+            FROM sh s, unnest(range(0, 12)) t(i) GROUP BY 1, 2),
+    rs AS (SELECT unnest([1, 2, 3, 4, 6, 12]) AS r),
+    bands AS (SELECT id, r, i // r AS band,
+                md5(string_agg(sig, '' ORDER BY i)) AS band_sig
+              FROM sig, rs GROUP BY 1, 2, 3),
+    cand AS (SELECT DISTINCT x.r, x.id AS a, y.id AS b
+             FROM bands x JOIN bands y ON x.r = y.r AND x.band = y.band
+               AND x.band_sig = y.band_sig AND x.id < y.id),
+    cc AS (SELECT r, count(*) AS n_candidates FROM cand GROUP BY 1),
+    tp AS (SELECT c.r, count(*) AS n_tp FROM cand c
+           JOIN rel e ON e.a = c.a AND e.b = c.b GROUP BY 1)
+    SELECT CAST(rs.r AS BIGINT) AS r, CAST(12 // rs.r AS BIGINT) AS n_bands,
+      coalesce(cc.n_candidates, 0) AS n_candidates,
+      (SELECT n_rel FROM nrel) AS n_relevant,
+      coalesce(tp.n_tp, 0) AS n_tp,
+      CASE WHEN coalesce(cc.n_candidates, 0) > 0 THEN
+        CAST((1000000 * coalesce(tp.n_tp, 0)) // cc.n_candidates AS BIGINT)
+      END AS precision_ppm,
+      CASE WHEN (SELECT n_rel FROM nrel) > 0 THEN
+        CAST((1000000 * coalesce(tp.n_tp, 0)) // (SELECT n_rel FROM nrel)
+          AS BIGINT)
+      END AS recall_ppm
+    FROM rs LEFT JOIN cc ON cc.r = rs.r LEFT JOIN tp ON tp.r = rs.r"""
+
+  // —————————————————————————————— Adamic–Adar link pred (q376)
+  // (RA's classic sibling on the same pseudo-graph: 1/ln(deg) hub
+  //  discount, one micro rounding per wedge-center degree, exact
+  //  integer sums, known edges anti-joined, top 50 pinned.)
+  val q376AdamicAdar: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Graph.adamicAdar(
+        graft.ops.Graph.pseudoEdges(docs.select(col("doc_id")), "doc_id",
+          docs.count()))
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(50)
+  }
+  private val q376Sql: String = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    raw AS (SELECT node AS src,
+              CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || '|' ||
+                CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n FROM nn) AS tgt
+            FROM nodes, unnest(range(0, 3)) t(j)),
+    edges AS (SELECT DISTINCT src, tgt FROM raw WHERE tgt <> src),
+    und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+            FROM edges),
+    adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node AS z, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY 1),
+    wedge AS (SELECT l.node AS x, r.node AS y, l.nbr AS z
+              FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.node < r.node),
+    scored AS (SELECT w.x, w.y, CAST(count(*) AS BIGINT) AS n_common,
+                CAST(sum(CAST(round(1000000 / ln(d.deg)) AS BIGINT))
+                  AS BIGINT) AS aa_micro
+              FROM wedge w JOIN deg d ON w.z = d.z AND d.deg <= 10000
+              GROUP BY 1, 2),
+    pred AS (SELECT s.x AS a, s.y AS b, s.n_common, s.aa_micro
+             FROM scored s WHERE NOT EXISTS
+               (SELECT 1 FROM und u WHERE u.a = s.x AND u.b = s.y))
+    SELECT a, b, n_common, aa_micro FROM pred
+    ORDER BY aa_micro DESC, a, b LIMIT 50"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
     "q372_blocklist" -> q372Blocklist,
     "q373_char_entropy" -> q373CharEntropy,
-    "q374_domain_quality" -> q374DomainQuality)
+    "q374_domain_quality" -> q374DomainQuality,
+    "q375_lsh_sweep" -> q375LshSweep,
+    "q376_adamic_adar" -> q376AdamicAdar)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
     "q371_perplexity_buckets" -> q371Sql,
     "q372_blocklist" -> q372Sql,
     "q373_char_entropy" -> q373Sql,
-    "q374_domain_quality" -> q374Sql)
+    "q374_domain_quality" -> q374Sql,
+    "q375_lsh_sweep" -> q375Sql,
+    "q376_adamic_adar" -> q376Sql)
 }

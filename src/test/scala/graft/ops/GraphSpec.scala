@@ -381,6 +381,16 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Option[Double])].head()._2.isEmpty)
   }
 
+  test("adamicAdar: square graph — diagonals predicted, ln-weighted, edges excluded") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "tgt")
+    val got = Graph.adamicAdar(e)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // diagonals (1,3) and (2,4) share two deg-2 corners each:
+    // term = round(1e6 / ln 2) = 1442695, twice
+    assert(got == Set((1L, 3L, 2L, 2885390L), (2L, 4L, 2L, 2885390L)))
+  }
+
   test("richClub: triangle + pendant — full club at k=1, degenerate at k=2") {
     // triangle {1,2,3} + pendant 4-1: degrees 1:3, 2:2, 3:2, 4:1
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "tgt")

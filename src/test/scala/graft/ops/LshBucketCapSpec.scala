@@ -89,4 +89,29 @@ class LshBucketCapSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(base.nonEmpty && base == highCap)
   }
+
+  test("lshParameterSweep: exact dups found at every r; both curves monotone in r") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .filter(col("doc_id") < 300)
+      // plant one exact duplicate so n_relevant ≥ 1 at every threshold
+      .unionByName(Tables.documents(spark, sf("sf0.01"))
+        .filter(col("doc_id") === 0).select(lit(9999L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+    val got = Dedup.lshParameterSweep(docs, "text", "doc_id",
+        rOptions = Seq(1, 3, 12))
+      .orderBy("r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 12L))
+    assert(got.forall { case (r, nb, _, _, _) => nb == 12 / r })
+    // an exact duplicate has identical signatures, hence shares every
+    // band at every r — TP ≥ 1 everywhere
+    assert(got.forall(_._5 >= 1),
+      s"exact dup missed: ${got.mkString(", ")}")
+    // more rows per band can only shrink the candidate set
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse,
+      s"candidates must be non-increasing in r: ${got.mkString(", ")}")
+    // n_relevant is r-independent (ground truth, not banding)
+    assert(got.map(_._4).distinct.length == 1)
+  }
 }

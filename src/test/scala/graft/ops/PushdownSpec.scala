@@ -58,4 +58,33 @@ class PushdownSpec extends SparkSpec {
       s"got: ${s.metadata("PushedFilters")}")
     assert(s.requiredSchema.fieldNames.toSet == Set("o_orderkey", "o_totalprice"))
   }
+
+  private def broadcastJoins(df: DataFrame): Int = {
+    // count BHJs anywhere in the (possibly adaptive, possibly staged)
+    // physical plan — the string form sees through AQE's lazy stages
+    df.queryExecution.executedPlan.toString()
+      .split("BroadcastHashJoin").length - 1
+  }
+
+  test("blocklistFilter joins the term list as a broadcast, never a shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "a slow b")).toDF("doc_id", "text")
+    val df = TextOps.blocklistFilter(docs, "text", "doc_id",
+      Seq("slow", "noise"))
+    assert(broadcastJoins(df) >= 1,
+      s"term list must broadcast:\n${df.queryExecution.executedPlan}")
+    assert(!df.queryExecution.executedPlan.toString()
+      .contains("SortMergeJoin"),
+      "a sort-merge join against a constant term list is the anti-pattern")
+  }
+
+  test("kmeansInteger assigns via a broadcast of the centroid table") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(0.0f, 1.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val df = Similarity.kmeansInteger(emb, "vec_id", "embedding",
+      k = 2, iters = 2)
+    assert(broadcastJoins(df) >= 1,
+      s"centroids must broadcast:\n${df.queryExecution.executedPlan}")
+  }
 }
