@@ -716,43 +716,45 @@ object Graph {
     * (the [[modularity]]/cramersV discipline). A degree-regular graph
     * (dx = 0) yields null, never a fake 0.
     *
-    * Scale: the degree-moment identity makes four of the five sums
-    * NODE-sized — in the symmetrized frame node u appears as src
-    * exactly d(u) times with dx = d(u), so m = Σd, Σdx = Σdy = Σd²,
-    * Σdx² = Σdy² = Σd³, all folded from the degree table alone. Only
-    * Σdx·dy touches the edge list: one join of degrees onto tgt,
-    * folded per src into t(u) = Σ_{v∈N(u)} d(v) (map-side combinable
-    * into a node-sized frame), then a node-sized Σ d(u)·t(u). One
-    * edge-sized join total, no per-edge wide aggregate — the sf10
-    * sweep showed the old two-join shape going sort-merge + spill
-    * once degrees outgrew the broadcast threshold (SCALING.md
-    * round-13).
+    * Scale: one degree aggregate, two co-keyed joins to bolt degrees
+    * onto endpoints, one global aggregate — all map-side combinable;
+    * nothing bigger than the edge list is ever materialized.
+    *
+    * Measured alternative (round 13, REJECTED): the degree-moment
+    * identity (m = Σd, Σdx = Σd², Σdx² = Σd³ from the node-sized
+    * degree table; only Σdx·dy needs an edge join) shrinks the plan
+    * to ONE edge join — but the same-night sf10 A/B put it 34% SLOWER
+    * (old 85.4 s vs moment 113.7 s): the saved join is paid back by
+    * the extra edge-frame groupBy and the eager degree checkpoint.
+    * The round-13 sweep's 418 s / exp 1.47 row that motivated it was
+    * host drift, not plan cost (SCALING.md round-13 session 2).
     */
   def assortativity(edges: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val sym = edges.select(col("src"), col("tgt"))
       .unionByName(edges.select(col("tgt").as("src"), col("src").as("tgt")))
       .distinct()
-      .localCheckpoint() // two roles: degree aggregate + the tgt join
+      .localCheckpoint() // two roles: degree aggregate + endpoint join
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
-      .localCheckpoint() // three roles: moment fold + tgt join + src fold
-    val moments = deg.agg(
-      sum(col("d").cast(dec)).as("m_"),
-      sum(expr(s"cast(d as $dec) * d")).as("s1"),
-      sum(expr(s"cast(d as $dec) * d * d")).as("s2"))
-    val t = sym.join(deg.select(col("node"), col("d").as("dy")),
-        sym("tgt") === col("node"))
-      .groupBy("src").agg(sum(col("dy").cast(dec)).as("t_u"))
-    val sxy = t.join(deg, t("src") === deg("node"))
-      .agg(sum(expr(s"cast(d as $dec) * t_u")).as("sxy"))
-    moments.crossJoin(sxy) // 1×1
-      .select(coalesce(col("m_"), lit(0L)).cast("long").as("m"),
-        expr("m_ * sxy - s1 * s1").cast("double").as("_num"),
-        expr("m_ * s2 - s1 * s1").cast("double").as("_dx"))
+    val paired = sym
+      .join(deg.select(col("node"), col("d").as("dx")),
+        sym("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("dy")),
+        col("tgt") === col("node")).drop("node")
+    paired.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum(expr(s"cast(dx as $dec) * dy")).as("sxy"),
+        sum(expr(s"cast(dx as $dec) * dx")).as("sx2"),
+        sum(expr(s"cast(dy as $dec) * dy")).as("sy2"))
       .select(col("m"),
-        when(col("_dx") > 0,
-          round(col("_num") / sqrt(col("_dx") * col("_dx")), 6))
+        expr(s"cast(m as $dec) * sxy - sx * sy").cast("double").as("_num"),
+        expr(s"cast(m as $dec) * sx2 - sx * sx").cast("double").as("_dx"),
+        expr(s"cast(m as $dec) * sy2 - sy * sy").cast("double").as("_dy"))
+      .select(col("m"),
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_num") / sqrt(col("_dx") * col("_dy")), 6))
           .as("assortativity"))
   }
 
@@ -765,15 +767,19 @@ object Graph {
     * is exactly the structure dedup/PageRank skew planning cares
     * about. Exact ppm; N_k < 2 yields null.
     *
-    * Scale: ONE edge-sized join (degrees onto tgt), immediately
-    * collapsed to a node×(maxK+1) histogram — dy clamped to maxK+1
-    * preserves every `dy > k` predicate on the k ≤ maxK ladder, and
-    * the groupBy combines map-side into ≤ nodes·(maxK+1) rows. The
-    * k-ladder then explodes the HISTOGRAM (node-sized), never the
-    * edge frame; the src-degree join is node-sized too. The old
-    * shape (two edge-sized degree joins + an edges·|ladder| lattice)
-    * went super-linear at sf10 once the degree table outgrew the
-    * broadcast threshold (SCALING.md round-13).
+    * Scale: degrees once, one join to bolt both endpoint degrees on,
+    * then the k-ladder is a bounded-lattice explode over the already
+    * aggregated edge frame — work is edges·|ladder| with map-side
+    * combine, never edges².
+    *
+    * Measured alternative (round 13, REJECTED): collapsing the edge
+    * frame to a node×(maxK+1) clamped-degree histogram after ONE
+    * tgt-side join (so the ladder explodes node-sized rows) measured
+    * 49% SLOWER in the same-night sf10 A/B (old 54.7 s vs histogram
+    * 81.7 s) — the saved join is paid back by the edge-frame groupBy
+    * + eager degree checkpoint. The sweep row that motivated it
+    * (329 s / exp 1.48) was host drift (SCALING.md round-13
+    * session 2).
     */
   def richClub(edges: DataFrame, maxK: Int = 8): DataFrame = {
     require(maxK >= 1 && maxK <= 64, s"maxK out of range: $maxK")
@@ -782,21 +788,21 @@ object Graph {
     val sym = edges.select(col("src"), col("tgt"))
       .unionByName(edges.select(col("tgt").as("src"), col("src").as("tgt")))
       .distinct()
-      .localCheckpoint() // two roles: degree aggregate + the tgt join
+      .localCheckpoint() // two roles: degree aggregate + endpoint join
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
-      .localCheckpoint() // three roles: N_k ladder + tgt join + src join
+      .localCheckpoint() // three roles: N_k ladder + both endpoint joins
     val ks = (1 to maxK).map(_.toLong).toDF("k")
     val nk = deg.crossJoin(broadcast(ks)).where(col("d") > col("k"))
       .groupBy("k").agg(count(lit(1)).as("n_nodes"))
-    val hist = sym.join(deg.select(col("node"), col("d").as("dy")),
-        sym("tgt") === col("node"))
-      .groupBy(col("src"), least(col("dy"), lit(maxK + 1L)).as("dyb"))
-      .agg(count(lit(1)).as("cnt"))
-    val ek = hist.join(deg, hist("src") === deg("node"))
-      .crossJoin(broadcast(ks))
-      .where(col("d") > col("k") && col("dyb") > col("k"))
-      .groupBy("k").agg(sum("cnt").as("n_edges"))
+    val paired = sym
+      .join(deg.select(col("node"), col("d").as("dx")),
+        sym("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("dy")),
+        col("tgt") === col("node")).drop("node")
+    val ek = paired.crossJoin(broadcast(ks))
+      .where(col("dx") > col("k") && col("dy") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
     broadcast(ks).join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
       .select(col("k"),
         coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
