@@ -345,6 +345,66 @@ object Dedup {
           expr("(1000000 * n_tp) div n_relevant")).as("recall_ppm"))
   }
 
+  /** Dedup-threshold sweep — the "how aggressive do we dedup?" knob
+    * report: for every Jaccard threshold τ on the lattice, the exact
+    * qualifying-pair count and the corpus cost of removing them under
+    * the keep-smallest-id pairwise rule (a document is removed iff it
+    * has a smaller-id partner at ≥ τ — the greedy bound; transitive
+    * clusters can only remove MORE, so this is the floor the
+    * connected-components pass ([[duplicateClusters]]) is judged
+    * against, stated per τ without running CC |lattice| times).
+    * Ground truth is all-pairs exact Jaccard — quadratic by
+    * definition, so feed the capped corpus (the q20/q375 discipline).
+    *
+    * All integers: pair predicate is the exact cross-multiplied
+    * `100·inter ≥ τ·union`, removal ppm is truncating against the
+    * corpus token total.
+    */
+  def dedupThresholdSweep(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3,
+      thresholds: Seq[Int] = Seq(30, 50, 70, 80, 90)): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.forall(t => t > 0 && t <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.ops.TextOps.wsTokenCount(col(textCol)).as("n_tok"))
+      .localCheckpoint() // roles: corpus totals + removed-token join
+    val totals = base.agg(count(lit(1)).as("corpus_docs"),
+      sum("n_tok").as("corpus_tokens"))
+    val sh = shingleRows(df, textCol, idCol, shingleN)
+      .localCheckpoint() // roles: sizes + both sides of the pair join
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val taus = thresholds.distinct.sorted.map(_.toLong).toDF("tau")
+    val qual = sh.select(col("shingle"), col("id").as("a"))
+      .join(sh.select(col("shingle"), col("id").as("b")), "shingle")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .crossJoin(broadcast(taus))
+      .where(lit(100L) * col("inter") >=
+        col("tau") * (col("na") + col("nb") - col("inter")))
+      .localCheckpoint() // roles: pair count + removed-doc rollup
+    val nPairs = qual.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val removed = qual.select(col("tau"), col("b").as("id")).distinct()
+      .join(base, "id")
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_removed_docs"),
+        sum("n_tok").as("removed_tokens"))
+    taus.join(nPairs, Seq("tau"), "left").join(removed, Seq("tau"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removed_docs"), lit(0L)).as("n_removed_docs"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        col("corpus_docs"), col("corpus_tokens"),
+        when(col("corpus_tokens") > 0,
+          expr("(1000000 * coalesce(removed_tokens, 0))" +
+            " div corpus_tokens")).as("removed_ppm"))
+  }
+
   /** MinHash+LSH candidate pairs (a < b): ids sharing any band bucket.
     *
     * `maxBucket` < MaxValue caps every band bucket's document frequency
@@ -1621,10 +1681,19 @@ object Dedup {
     * come out empty.
     *
     * Returns `(idCol, clean_text, n_kept_chars, n_cut_chars)`.
+    *
+    * `precomputedSpans` lets a composition that ALSO reports span
+    * stats ([[exactSubstringStats]]) share one spans computation
+    * instead of running the anchor→extend pipeline twice — pass the
+    * raw [[exactSubstringSpans]] output (columns `doc`, `span_start`,
+    * `span_end`). The standalone queries deliberately do NOT share
+    * (each bench entry must carry its own full cost).
     */
   def exciseSubstringDups(docs: DataFrame, textCol: String, idCol: String,
-      minLen: Int = 50, k: Int = 25): DataFrame = {
-    val spans = exactSubstringSpans(docs, textCol, idCol, minLen, k)
+      minLen: Int = 50, k: Int = 25,
+      precomputedSpans: Option[DataFrame] = None): DataFrame = {
+    val spans = precomputedSpans
+      .getOrElse(exactSubstringSpans(docs, textCol, idCol, minLen, k))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e")))).as("sp"))

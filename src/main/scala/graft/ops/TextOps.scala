@@ -550,6 +550,40 @@ object TextOps {
         sum("n_oov").as("n_oov"))
   }
 
+  /** Context-length tuning report — the "what sequence length do we
+    * train at?" decision table: for every candidate `max_len`, exact
+    * token accounting under truncate-at-L packing — how many documents
+    * truncate, what fraction of corpus tokens survives, and the
+    * minimum sequence count `⌈kept/L⌉` a perfect packer needs (the
+    * lower bound [[packSequences]]-style greedy packing is judged
+    * against). All integers: ppm is truncating, the bound is exact
+    * ceiling division.
+    *
+    * Scale: ONE narrow projection (token count per doc) crossed with
+    * the bounded length lattice — docs·|lattice| rows into a map-side
+    * combinable aggregate of |lattice| groups. Text never shuffles.
+    */
+  def contextLengthReport(df: DataFrame, textCol: String, idCol: String,
+      lengths: Seq[Int] = Seq(128, 256, 512, 1024, 2048)): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ls = lengths.distinct.sorted.map(_.toLong).toDF("max_len")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(wsTokenCount(col(textCol)).as("n_tok"))
+      .crossJoin(broadcast(ls))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(least(col("n_tok"), col("max_len"))).as("n_kept"),
+        count(when(col("n_tok") > col("max_len"), 1)).as("n_truncated"))
+      .select(col("max_len"), col("n_docs"), col("n_tokens"),
+        col("n_kept"), col("n_truncated"),
+        when(col("n_tokens") > 0,
+          expr("(1000000 * n_kept) div n_tokens")).as("kept_ppm"),
+        expr("(n_kept + max_len - 1) div max_len").as("min_seqs"))
+  }
+
   /** C4-style blocklist filtering ("List of Dirty, Naughty …" in the
     * original; any term list here) as a broadcast TOKEN JOIN — the
     * at-scale shape. A 10k-term list as one alternation regex is a

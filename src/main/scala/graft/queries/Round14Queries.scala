@@ -281,6 +281,74 @@ object Round14Queries {
     SELECT a, b, n_common, aa_micro FROM pred
     ORDER BY aa_micro DESC, a, b LIMIT 50"""
 
+  // —————————————————————————————— context-length report (q377)
+  // (the sequence-length decision table: exact truncate-at-L token
+  //  accounting for every candidate L — kept fraction, truncated-doc
+  //  count, and the perfect-packer sequence lower bound ⌈kept/L⌉.)
+  val q377ContextLength: Q = (s, dir) =>
+    graft.ops.TextOps.contextLengthReport(Tables.documents(s, dir),
+      "text", "doc_id", lengths = Seq(16, 32, 48, 64, 128))
+  private val q377Sql: String = """
+    WITH base AS (SELECT len(string_split(lower(text), ' ')) AS n_tok
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ls AS (SELECT CAST(unnest([16, 32, 48, 64, 128]) AS BIGINT) AS max_len),
+    g AS (SELECT max_len, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            CAST(sum(least(n_tok, max_len)) AS BIGINT) AS n_kept,
+            count(CASE WHEN n_tok > max_len THEN 1 END) AS n_truncated
+          FROM base, ls GROUP BY 1)
+    SELECT max_len, n_docs, n_tokens, n_kept, n_truncated,
+      CASE WHEN n_tokens > 0 THEN
+        CAST((1000000 * n_kept) // n_tokens AS BIGINT) END AS kept_ppm,
+      CAST((n_kept + max_len - 1) // max_len AS BIGINT) AS min_seqs
+    FROM g"""
+
+  // —————————————————————————————— dedup-threshold sweep (q378)
+  // (the dedup-aggressiveness knob: exact qualifying pairs and the
+  //  keep-smallest-id removal cost per Jaccard τ — the floor the CC
+  //  pass is judged against; all-pairs truth on the capped corpus.)
+  val q378DedupSweep: Q = (s, dir) =>
+    graft.ops.Dedup.dedupThresholdSweep(
+      Tables.documents(s, dir).where(col("doc_id") < 1000),
+      "text", "doc_id", shingleN = 3,
+      thresholds = Seq(30, 50, 70, 80, 90))
+  private val q378Sql: String = """
+    WITH d0 AS (SELECT doc_id AS id, text FROM documents
+                WHERE doc_id < 1000 AND doc_id IS NOT NULL
+                  AND text IS NOT NULL),
+    base AS (SELECT id, len(string_split(lower(text), ' ')) AS n_tok
+             FROM d0),
+    tot AS (SELECT count(*) AS corpus_docs,
+              CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM base),
+    w AS (SELECT id, string_split(lower(text), ' ') AS w FROM d0),
+    idx AS (SELECT id, w, unnest(range(1, len(w) - 1)) AS i FROM w),
+    sh AS (SELECT DISTINCT id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (SELECT a.id AS a, b.id AS b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+    taus AS (SELECT CAST(unnest([30, 50, 70, 80, 90]) AS BIGINT) AS tau),
+    qual AS (SELECT t.tau, p.a, p.b FROM pairs p
+             JOIN sizes sa ON sa.id = p.a JOIN sizes sb ON sb.id = p.b
+             CROSS JOIN taus t
+             WHERE 100 * p.inter >= t.tau * (sa.n + sb.n - p.inter)),
+    np AS (SELECT tau, count(*) AS n_pairs FROM qual GROUP BY 1),
+    rm AS (SELECT q.tau, count(*) AS n_removed_docs,
+             CAST(sum(b.n_tok) AS BIGINT) AS removed_tokens
+           FROM (SELECT DISTINCT tau, b FROM qual) q
+           JOIN base b ON b.id = q.b GROUP BY 1)
+    SELECT t.tau, coalesce(np.n_pairs, 0) AS n_pairs,
+      coalesce(rm.n_removed_docs, 0) AS n_removed_docs,
+      coalesce(rm.removed_tokens, 0) AS removed_tokens,
+      (SELECT corpus_docs FROM tot) AS corpus_docs,
+      (SELECT corpus_tokens FROM tot) AS corpus_tokens,
+      CASE WHEN (SELECT corpus_tokens FROM tot) > 0 THEN
+        CAST((1000000 * coalesce(rm.removed_tokens, 0))
+          // (SELECT corpus_tokens FROM tot) AS BIGINT) END AS removed_ppm
+    FROM taus t LEFT JOIN np ON np.tau = t.tau
+      LEFT JOIN rm ON rm.tau = t.tau"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -288,7 +356,9 @@ object Round14Queries {
     "q373_char_entropy" -> q373CharEntropy,
     "q374_domain_quality" -> q374DomainQuality,
     "q375_lsh_sweep" -> q375LshSweep,
-    "q376_adamic_adar" -> q376AdamicAdar)
+    "q376_adamic_adar" -> q376AdamicAdar,
+    "q377_context_length" -> q377ContextLength,
+    "q378_dedup_sweep" -> q378DedupSweep)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -297,5 +367,7 @@ object Round14Queries {
     "q373_char_entropy" -> q373Sql,
     "q374_domain_quality" -> q374Sql,
     "q375_lsh_sweep" -> q375Sql,
-    "q376_adamic_adar" -> q376Sql)
+    "q376_adamic_adar" -> q376Sql,
+    "q377_context_length" -> q377Sql,
+    "q378_dedup_sweep" -> q378Sql)
 }

@@ -937,6 +937,31 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.log(0.4)) < 1e-6)
   }
 
+  test("contextLengthReport: exact truncation accounting and packing bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextOps.contextLengthReport(docs, "text", "doc_id",
+        lengths = Seq(4))
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().head
+    // n_kept = 3 + min(5,4) = 7; one doc truncates; ⌈7/4⌉ = 2 seqs
+    assert(got == ((4L, 2L, 8L, 7L, 1L, Some(875000L), 2L)), s"$got")
+  }
+
+  test("dedupThresholdSweep: exact dup pair counted at every tau, loser removed") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    val got = Dedup.dedupThresholdSweep(docs, "text", "doc_id",
+        thresholds = Seq(50, 100))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // the identical pair (1,2) has Jaccard 1.0: qualifies at both taus;
+    // keep-smallest removes doc 2 (5 of 15 corpus tokens → 333333 ppm)
+    assert(got(50L) == ((50L, 1L, 1L, 5L, 3L, 15L, Some(333333L))))
+    assert(got(100L) == ((100L, 1L, 1L, 5L, 3L, 15L, Some(333333L))))
+  }
+
   test("blocklistFilter: token-exact hits, case-folded, hit-free docs kept") {
     import spark.implicits._
     val docs = Seq((1L, "a SLOW b slow"), (2L, "slowly but clean"),
