@@ -499,6 +499,59 @@ object Dedup {
       .agg(countDistinct(col("e.shingle")).as("n_shared"))
   }
 
+  /** Contamination ATTRIBUTION — [[contamination]] answers "is this
+    * eval doc leaked?"; this answers "WHICH train document leaked it":
+    * per eval doc, the single best-matching train doc by distinct
+    * shared-n-gram recall (ROUGE-N recall against the eval doc's own
+    * n-gram set, the graded score a binary overlap flag flattens).
+    * Ties pin to the smallest train id; eval docs with NO overlap stay
+    * in the ledger as a (null train, 0 recall) row — the audit must
+    * account for every eval doc, not just the dirty ones.
+    *
+    * Scale: one gram-keyed equi-join (each side distinct per doc, the
+    * [[shingleRows]] contract), grouped per (eval, train) pair with
+    * map-side combine, then a per-eval top-1 window — a
+    * `row_number ≤ 1` WindowGroupLimit, map-side pruned. `maxDocFreq`
+    * is the [[pruneHotKeys]] boilerplate bound applied to the TRAIN
+    * side's gram df BEFORE the join (and mirrored onto the eval side
+    * so recall denominators stay comparable); the default keeps exact
+    * ROUGE semantics for oracle-checkable corpora.
+    */
+  def contaminationAttribution(evalDf: DataFrame, trainDf: DataFrame,
+      textCol: String, idCol: String, n: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val eg0 = shingleRows(evalDf, textCol, idCol, n)
+    val tg0 = shingleRows(trainDf, textCol, idCol, n)
+    val (eg, tg) =
+      if (maxDocFreq == Int.MaxValue) (eg0, tg0)
+      else {
+        val hot = tg0.groupBy("shingle")
+          .agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxDocFreq)
+          .select("shingle") // bounded: ultra-common grams only
+        (eg0.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          tg0.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      }
+    val egCk = eg.localCheckpoint() // roles: sizes + join side
+    val sizes = egCk.groupBy("id").agg(count(lit(1)).as("n_eval_ngrams"))
+    val best = egCk.select(col("id").as("eval_id"), col("shingle"))
+      .join(tg.select(col("id").as("train_id"), col("shingle")), "shingle")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
+          .orderBy(col("n_shared").desc, col("train_id"))))
+      .where(col("rn") === 1)
+      .select(col("eval_id"), col("train_id"), col("n_shared"))
+    sizes.select(col("id").as("eval_id"), col("n_eval_ngrams"))
+      .join(best, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("train_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_eval_ngrams"),
+        expr("(1000000 * coalesce(n_shared, 0)) div n_eval_ngrams")
+          .as("recall_ppm"))
+  }
+
   /** [[contamination]] upgraded from boolean overlap to overlap EXTENT —
     * the signals real decontamination policies threshold on. Per
     * contaminated eval doc:

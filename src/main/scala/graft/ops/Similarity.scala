@@ -597,6 +597,27 @@ object Similarity {
     */
   def kmeansInteger(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
+    val (seeds, _, _, lastAssign) = kmeansCore(emb, idCol, vecCol, k, iters)
+    val stats = lastAssign.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        expr("cast(sum(cast(d as decimal(38,0))) div count(1) as long)")
+          .as("mean_dist"))
+    seeds.select("cid").join(stats, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("mean_dist"))
+  }
+
+  /** The integer-pinned Lloyd loop [[kmeansInteger]] and
+    * [[kmeansSilhouette]] share: quantize once, seed from the k
+    * smallest ids, `iters` assign→update rounds with truncating-mean
+    * centroid updates and empty-cluster carry. Returns
+    * (seeds, quantized points, the centroid table the LAST assignment
+    * used, that last assignment) — every frame either bounded (seeds,
+    * centroids: k·dims rows) or checkpointed (points).
+    */
+  private def kmeansCore(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(k >= 1 && k <= 256, s"k out of range: $k")
     require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
     val w = org.apache.spark.sql.expressions.Window
@@ -636,14 +657,56 @@ object Similarity {
           .localCheckpoint(true)
       }
     }
-    val stats = lastAssign.groupBy("cid")
+    (seeds, pts, cents, lastAssign)
+  }
+
+  /** Clustering-quality verdict over [[kmeansInteger]]'s OWN final
+    * state — simplified (centroid-based) silhouette: per point,
+    * a = squared distance to its assigned centroid, b = the smallest
+    * squared distance to any OTHER centroid, s = (b − a)/max(a, b) in
+    * truncating milli (well-clustered ≈ +1000, boundary ≈ 0, likely
+    * mis-assigned < 0). The classic point-pairwise silhouette is
+    * O(n²·d); the centroid form is the one that exists at corpus
+    * scale: ONE broadcast of the k·dims centroid table against the
+    * quantized points, per-point k-row argmin/agg, then a
+    * cluster-keyed rollup — no pair join anywhere. All distances are
+    * the kmeans loop's own exact BIGINTs; the milli ratio and the
+    * per-cluster mean are truncating divisions (identical on both
+    * engines — trunc-toward-zero either side of 0). Degenerate
+    * max(a,b) = 0 (point sitting ON two coincident centroids) emits a
+    * null s rather than a fabricated 0. Clusters that end the run
+    * empty stay in the ledger as (0, null…) rows.
+    */
+  def kmeansSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (seeds, pts, cents, lastAssign) =
+      kmeansCore(emb, idCol, vecCol, k, iters)
+    val dists = pts.join(broadcast(cents), "dim")
+      .groupBy("id", "cid")
+      .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm"))).as("d"))
+      .localCheckpoint() // roles: own-centroid pick + other-centroid min
+    val own = lastAssign // rn=1 under (d, cid) — the loop's own tiebreak
+      .select(col("id"), col("cid").as("own_cid"), col("d").as("a"))
+    val other = dists.join(own, "id")
+      .where(col("cid") =!= col("own_cid"))
+      .groupBy("id").agg(min("d").as("b"))
+    val s = own.join(other, "id")
+      .select(col("id"), col("own_cid").as("cid"), col("a"), col("b"),
+        when(greatest(col("a"), col("b")) > 0,
+          expr("((b - a) * 1000) div greatest(a, b)")).as("s_milli"))
+    val stats = s.groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
-        expr("cast(sum(cast(d as decimal(38,0))) div count(1) as long)")
-          .as("mean_dist"))
+        count(col("s_milli")).as("n_scored"),
+        expr("case when count(s_milli) > 0 then" +
+          " sum(s_milli) div count(s_milli) end").as("mean_s_milli"),
+        min("s_milli").as("min_s_milli"),
+        max("s_milli").as("max_s_milli"))
     seeds.select("cid").join(stats, Seq("cid"), "left")
       .select(col("cid"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
-        col("mean_dist"))
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("mean_s_milli"), col("min_s_milli"), col("max_s_milli"))
   }
 
   /** Build the materialized IVF index: assign every vector to its nearest
@@ -1751,5 +1814,121 @@ object Similarity {
     import spark.implicits._
     chosen.toDF("sel_rank", "id", "dist2")
       .select(col("sel_rank"), col("id").as(idCol), col("dist2"))
+  }
+
+  /** Embedding-space isotropy audit — the MEAN PAIRWISE COSINE per
+    * group WITHOUT a pair join, via the Gram identity
+    * Σ_{i≠j} ⟨v_i,v_j⟩ = ‖Σ_i v_i‖² − Σ_i ‖v_i‖². A healthy embedding
+    * space is near-isotropic (mean pairwise cosine ≈ 0); a collapsed
+    * one (all vectors in a cone — the classic anisotropy pathology
+    * that sinks cosine retrieval) shows a large positive mean. The
+    * naive audit is O(n²·d) pairs; this is TWO grouped aggregates over
+    * the exploded (group, dim) frame — O(n·d) with map-side combine,
+    * the only shape that survives 10⁹ vectors per group.
+    *
+    * Exactness: each coordinate is micro-quantized ONCE (the
+    * [[kmeansInteger]] convention — the single float→int step), all
+    * sums ride decimal(38); per-dim sums are bounded by n·maxcoord so
+    * the released BIGINTs hold through n ≈ 10⁸ per group at unit norm
+    * (beyond that, keep the decimal columns — the algebra is
+    * unchanged). The two 6-d.p. ratios are each ONE double chain in
+    * pinned order (value ÷ count ÷ 10¹²), mirrored verbatim in the
+    * oracle. `mean_cos6` is the isotropy verdict when inputs are
+    * unit-normalized (mean_norm2_6 ≈ 1 is the attached sanity bit).
+    */
+  def embeddingIsotropy(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val perDim = emb
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("grp"), col("dim"),
+        round(col("x") * 1000000).cast("long").as("xm"))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("xm").cast("decimal(38,0)")).as("s"),
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("q"))
+    perDim.groupBy("grp")
+      .agg(max("cnt").as("n_vecs"), count(lit(1)).as("n_dims"),
+        sum(col("q")).as("qs"),
+        sum(col("s") * col("s")).as("ss"))
+      .select(col("grp"), col("n_vecs"), col("n_dims"),
+        col("qs").cast("long").as("sum_norm2"),
+        (col("ss") - col("qs")).cast("long").as("pair_dot_sum"),
+        round(col("qs").cast("double") / col("n_vecs").cast("double")
+          / lit(1e12), 6).as("mean_norm2_6"),
+        when(col("n_vecs") > 1,
+          round((col("ss") - col("qs")).cast("double")
+            / (col("n_vecs") * (col("n_vecs") - 1)).cast("double")
+            / lit(1e12), 6)).as("mean_cos6"))
+  }
+
+  /** Top-principal-component share — [[embeddingIsotropy]]'s SPECTRAL
+    * sibling: how much of the embedding space's second-moment energy
+    * sits in ONE direction. Power iteration over the d×d second-moment
+    * matrix M = Σ_i v_i v_iᵀ (about the origin — no mean-centering, so
+    * the audit is exact-integer end to end), `iters` rounds from the
+    * all-ones start, each round re-normalized to max|component| = 10⁶
+    * by TRUNCATING division (BigInt quot ≡ Spark `div` ≡ DuckDB `//`).
+    * Reported: the Rayleigh share λ/trace(M) and the dominant
+    * dimension of the converged direction.
+    *
+    * Scale: ONE self-join on the vector id builds M — O(n·d²) work,
+    * d² output rows (d ≤ 256 enforced ⇒ ≤ 65 536 rows, a bounded
+    * artifact) — then the iteration runs on the driver over that
+    * bounded matrix in exact BigInt. Nothing data-sized ever leaves
+    * the executors; the collect is the d² matrix, stated bound above.
+    */
+  def topComponentShare(emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
+    val spark = emb.sparkSession
+    val pts = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        round(col("x") * 1000000).cast("long").as("xm"))
+      .localCheckpoint() // roles: both sides of the moment self-join
+    val nVecs = pts.where(col("dim") === 0).count()
+    val mRows = pts.as("x").join(pts.as("y"), col("x.id") === col("y.id"))
+      .groupBy(col("x.dim").as("d1"), col("y.dim").as("d2"))
+      .agg(sum((col("x.xm") * col("y.xm")).cast("decimal(38,0)")).as("v"))
+      .collect() // bounded: d² rows, d ≤ 256 (require below)
+    val dims = mRows.iterator.map(_.getLong(0)).max.toInt + 1
+    require(dims <= 256, s"dims out of range for the bounded collect: $dims")
+    val m = Array.ofDim[BigInt](dims, dims)
+    for (r <- mRows)
+      m(r.getLong(0).toInt)(r.getLong(1).toInt) =
+        BigInt(r.getDecimal(2).toBigInteger)
+    var u = Array.fill(dims)(BigInt(1000000))
+    var w = Array.fill(dims)(BigInt(0))
+    for (_ <- 1 to iters) {
+      w = Array.tabulate(dims)(d =>
+        (0 until dims).iterator.map(e => m(d)(e) * u(e)).sum)
+      val mx = w.iterator.map(_.abs).max
+      if (mx.signum > 0) // zero matrix: direction stays at the seed
+        u = w.map(x => x * 1000000 / mx) // BigInt / truncates = div = //
+    }
+    w = Array.tabulate(dims)(d =>
+      (0 until dims).iterator.map(e => m(d)(e) * u(e)).sum)
+    val lamNum = (0 until dims).iterator.map(d => u(d) * w(d)).sum
+    val lamDen = (0 until dims).iterator.map(d => u(d) * u(d)).sum
+    val trace = (0 until dims).iterator.map(d => m(d)(d)).sum
+    val topDim = (0 until dims).minBy(d => (-u(d).abs, d))
+    import spark.implicits._
+    // share6 via Spark's own round over the exact integer inputs, so
+    // the double chain is the engine's (mirrored in the oracle)
+    Seq((nVecs, dims.toLong, trace.toString, lamNum.toString,
+        lamDen.toString, topDim.toLong))
+      .toDF("n_vecs", "n_dims", "trace_s", "ln_s", "ld_s", "top_dim")
+      .select(col("n_vecs"), col("n_dims"),
+        col("trace_s").cast("decimal(38,0)").cast("long").as("trace"),
+        when(lit(lamDen.signum > 0 && trace.signum > 0),
+          round(col("ln_s").cast("decimal(38,0)").cast("double")
+            / col("ld_s").cast("decimal(38,0)").cast("double")
+            / col("trace_s").cast("decimal(38,0)").cast("double"), 6))
+          .as("top_share6"),
+        col("top_dim"))
   }
 }

@@ -349,6 +349,188 @@ object Round14Queries {
     FROM taus t LEFT JOIN np ON np.tau = t.tau
       LEFT JOIN rm ON rm.tau = t.tau"""
 
+  // —————————————————————————————— contamination attribution (q379)
+  // (q71 says WHETHER an eval doc leaked; this says WHICH train doc
+  //  leaked it: per eval doc the argmax train doc by distinct shared-
+  //  bigram recall — ROUGE-2 recall against the eval doc's own bigram
+  //  set — ties pinned to the smallest train id, zero-overlap eval
+  //  docs kept as (null, 0) ledger rows.)
+  val q379ContamAttrib: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 400)
+    graft.ops.Dedup.contaminationAttribution(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      "text", "doc_id", n = 2)
+  }
+  private val q379Sql: String = """
+    WITH e AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 400 AND doc_id % 2 = 1),
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0),
+    eg AS (SELECT DISTINCT doc_id AS eval_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM e)),
+    tg AS (SELECT DISTINCT doc_id AS train_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+    sizes AS (SELECT eval_id, count(*) AS n_eval_ngrams FROM eg GROUP BY 1),
+    inter AS (SELECT e.eval_id, t.train_id, count(*) AS n_shared
+              FROM eg e JOIN tg t ON e.g = t.g GROUP BY 1, 2),
+    best AS (SELECT eval_id, train_id, n_shared FROM
+          (SELECT eval_id, train_id, n_shared, row_number() OVER
+             (PARTITION BY eval_id ORDER BY n_shared DESC, train_id) AS rn
+           FROM inter)
+          WHERE rn = 1)
+    SELECT s.eval_id, b.train_id,
+      coalesce(b.n_shared, 0) AS n_shared, s.n_eval_ngrams,
+      CAST((1000000 * coalesce(b.n_shared, 0)) // s.n_eval_ngrams
+        AS BIGINT) AS recall_ppm
+    FROM sizes s LEFT JOIN best b USING (eval_id)"""
+
+  // —————————————————————————————— embedding isotropy (q380)
+  // (mean pairwise cosine per label WITHOUT a pair join — the Gram
+  //  identity Σ_{i≠j}⟨v_i,v_j⟩ = ‖Σv‖² − Σ‖v‖² turns the O(n²·d)
+  //  audit into two grouped aggregates; micro-quantized, decimal-
+  //  exact sums, one pinned double chain per released ratio.)
+  val q380EmbeddingIsotropy: Q = (s, dir) =>
+    graft.ops.Similarity.embeddingIsotropy(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label")
+  private val q380Sql: String = """
+    WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id IS NOT NULL
+                 AND embedding IS NOT NULL AND label IS NOT NULL),
+    v AS (SELECT label AS grp, vec_id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(round(e[i] * 1000000) AS BIGINT) AS xm
+          FROM d, unnest(range(1, len(e) + 1)) u(i)),
+    pd AS (SELECT grp, dim, count(*) AS cnt,
+             CAST(sum(xm) AS HUGEINT) AS s,
+             CAST(sum(xm * xm) AS HUGEINT) AS q
+           FROM v GROUP BY 1, 2),
+    g AS (SELECT grp, max(cnt) AS n_vecs, count(*) AS n_dims,
+            CAST(sum(q) AS HUGEINT) AS qs,
+            CAST(sum(s * s) AS HUGEINT) AS ss
+          FROM pd GROUP BY 1)
+    SELECT grp, n_vecs, n_dims,
+      CAST(qs AS BIGINT) AS sum_norm2,
+      CAST(ss - qs AS BIGINT) AS pair_dot_sum,
+      round(CAST(qs AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1e12, 6)
+        AS mean_norm2_6,
+      CASE WHEN n_vecs > 1 THEN
+        round(CAST(ss - qs AS DOUBLE)
+          / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1e12, 6)
+      END AS mean_cos6
+    FROM g"""
+
+  // —————————————————————————————— top-component share (q381)
+  // (isotropy's spectral sibling: power iteration over the d×d
+  //  second-moment matrix — integer-pinned trajectory, truncating
+  //  max-normalization each round, Rayleigh share of trace at the
+  //  end. The oracle unrolls all four rounds over the same HUGEINT
+  //  lattice; the d² matrix is the one bounded driver artifact.)
+  val q381TopComponent: Q = (s, dir) =>
+    graft.ops.Similarity.topComponentShare(Tables.embeddings(s, dir),
+      "vec_id", "embedding", iters = 4)
+  private val q381Sql: String = {
+    def round(r: Int): String = s"""
+    w$r AS MATERIALIZED (SELECT m.d1 AS dim,
+             CAST(sum(m.mv * u.u) AS HUGEINT) AS w
+           FROM m JOIN u${r - 1} u ON u.dim = m.d2 GROUP BY 1),
+    x$r AS (SELECT max(abs(w)) AS mx FROM w$r),
+    u$r AS MATERIALIZED (SELECT dim,
+            CAST((w * 1000000) // (SELECT mx FROM x$r) AS HUGEINT) AS u
+          FROM w$r)"""
+    s"""
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id IS NOT NULL
+                 AND embedding IS NOT NULL),
+    v AS (SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+            CAST(round(e[i] * 1000000) AS BIGINT) AS xm
+          FROM d, unnest(range(1, len(e) + 1)) u(i)),
+    m AS MATERIALIZED (SELECT x.dim AS d1, y.dim AS d2,
+            CAST(sum(CAST(x.xm AS HUGEINT) * y.xm) AS HUGEINT) AS mv
+          FROM v x JOIN v y ON x.id = y.id GROUP BY 1, 2),
+    nv AS (SELECT count(DISTINCT id) AS n_vecs FROM v),
+    u0 AS (SELECT DISTINCT d1 AS dim, CAST(1000000 AS HUGEINT) AS u
+           FROM m),${round(1)},${round(2)},${round(3)},${round(4)},
+    wf AS (SELECT m.d1 AS dim, CAST(sum(m.mv * u.u) AS HUGEINT) AS w
+           FROM m JOIN u4 u ON u.dim = m.d2 GROUP BY 1),
+    ray AS (SELECT CAST(sum(u.u * w.w) AS HUGEINT) AS ln_v,
+              CAST(sum(u.u * u.u) AS HUGEINT) AS ld_v
+            FROM u4 u JOIN wf w USING (dim)),
+    tr AS (SELECT CAST(sum(mv) AS HUGEINT) AS trace FROM m
+           WHERE d1 = d2),
+    td AS (SELECT dim AS top_dim FROM u4 ORDER BY abs(u) DESC, dim
+           LIMIT 1)
+    SELECT (SELECT n_vecs FROM nv) AS n_vecs,
+      (SELECT count(*) FROM u0) AS n_dims,
+      CAST((SELECT trace FROM tr) AS BIGINT) AS trace,
+      CASE WHEN (SELECT ld_v FROM ray) > 0
+             AND (SELECT trace FROM tr) > 0 THEN
+        round(CAST((SELECT ln_v FROM ray) AS DOUBLE)
+          / CAST((SELECT ld_v FROM ray) AS DOUBLE)
+          / CAST((SELECT trace FROM tr) AS DOUBLE), 6)
+      END AS top_share6,
+      (SELECT top_dim FROM td) AS top_dim"""
+  }
+
+  // —————————————————————————————— k-means silhouette (q382)
+  // (clustering-quality verdict over q369's OWN final state:
+  //  centroid-based simplified silhouette — a = own-centroid squared
+  //  distance, b = nearest-other, s = (b−a)/max(a,b) truncating
+  //  milli. The oracle replays the identical 3-round Lloyd trajectory
+  //  (q369's round builder) and the silhouette algebra on top.)
+  val q382KmeansSilhouette: Q = (s, dir) =>
+    graft.ops.Similarity.kmeansSilhouette(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 8, iters = 3)
+  private val q382Sql: String = {
+    def round(r: Int): String = s"""
+    d$r AS (SELECT p.id, c.cid, sum((p.xm - c.cm) * (p.xm - c.cm)) AS d
+           FROM pts p JOIN c${r - 1} c USING (dim) GROUP BY 1, 2),
+    a$r AS MATERIALIZED (SELECT id, cid, d FROM
+          (SELECT id, cid, d, row_number() OVER
+             (PARTITION BY id ORDER BY d, cid) AS rn FROM d$r)
+          WHERE rn = 1),
+    m$r AS (SELECT a.cid, p.dim, CAST(sum(p.xm) // count(*) AS BIGINT) AS cm
+           FROM a$r a JOIN pts p USING (id) GROUP BY 1, 2),
+    c$r AS MATERIALIZED (SELECT c.cid, c.dim, coalesce(m.cm, c.cm) AS cm
+          FROM c${r - 1} c LEFT JOIN m$r m
+            ON m.cid = c.cid AND m.dim = c.dim)"""
+    s"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id AS id, i - 1 AS dim,
+        CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id IS NOT NULL
+              AND embedding IS NOT NULL),
+        unnest(range(1, len(e) + 1)) u(i)),
+    seeds AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+              FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 8)),
+    c0 AS MATERIALIZED (SELECT s.cid, p.dim, p.xm AS cm
+          FROM seeds s JOIN pts p USING (id)),${round(1)},${round(2)},
+    d3 AS MATERIALIZED (SELECT p.id, c.cid,
+            CAST(sum((p.xm - c.cm) * (p.xm - c.cm)) AS BIGINT) AS d
+           FROM pts p JOIN c2 c USING (dim) GROUP BY 1, 2),
+    a3 AS MATERIALIZED (SELECT id, cid, d FROM
+          (SELECT id, cid, d, row_number() OVER
+             (PARTITION BY id ORDER BY d, cid) AS rn FROM d3)
+          WHERE rn = 1),
+    oth AS (SELECT d3.id, min(d3.d) AS b FROM d3
+            JOIN a3 ON a3.id = d3.id AND d3.cid <> a3.cid GROUP BY 1),
+    sil AS (SELECT a3.id, a3.cid, a3.d AS a, o.b,
+             CASE WHEN greatest(a3.d, o.b) > 0 THEN
+               CAST(((o.b - a3.d) * 1000) // greatest(a3.d, o.b)
+                 AS BIGINT) END AS s_milli
+           FROM a3 JOIN oth o ON o.id = a3.id),
+    st AS (SELECT cid, count(*) AS n_members, count(s_milli) AS n_scored,
+             CASE WHEN count(s_milli) > 0 THEN
+               CAST(sum(s_milli) // count(s_milli) AS BIGINT)
+             END AS mean_s_milli,
+             min(s_milli) AS min_s_milli, max(s_milli) AS max_s_milli
+           FROM sil GROUP BY 1)
+    SELECT se.cid, coalesce(st.n_members, 0) AS n_members,
+      coalesce(st.n_scored, 0) AS n_scored,
+      st.mean_s_milli, st.min_s_milli, st.max_s_milli
+    FROM seeds se LEFT JOIN st USING (cid)"""
+  }
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -358,7 +540,11 @@ object Round14Queries {
     "q375_lsh_sweep" -> q375LshSweep,
     "q376_adamic_adar" -> q376AdamicAdar,
     "q377_context_length" -> q377ContextLength,
-    "q378_dedup_sweep" -> q378DedupSweep)
+    "q378_dedup_sweep" -> q378DedupSweep,
+    "q379_contam_attrib" -> q379ContamAttrib,
+    "q380_embedding_isotropy" -> q380EmbeddingIsotropy,
+    "q381_top_component" -> q381TopComponent,
+    "q382_kmeans_silhouette" -> q382KmeansSilhouette)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -369,5 +555,9 @@ object Round14Queries {
     "q375_lsh_sweep" -> q375Sql,
     "q376_adamic_adar" -> q376Sql,
     "q377_context_length" -> q377Sql,
-    "q378_dedup_sweep" -> q378Sql)
+    "q378_dedup_sweep" -> q378Sql,
+    "q379_contam_attrib" -> q379Sql,
+    "q380_embedding_isotropy" -> q380Sql,
+    "q381_top_component" -> q381Sql,
+    "q382_kmeans_silhouette" -> q382Sql)
 }

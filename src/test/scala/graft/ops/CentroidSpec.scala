@@ -279,4 +279,40 @@ class CentroidSpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Long)].collect().head
     assert(got._5 == 1L, s"$got")
   }
+
+  test("kmeansSilhouette: hand-computed milli scores incl. the boundary tie") {
+    import spark.implicits._
+    // 1-D whole-unit layout (exact micro ints); k=2 seeds = ids 0,1 at
+    // 0 and 8; iters=1 so silhouette runs against the seed centroids:
+    //   id2 at 1 → a=1e12, b=49e12 → s = 48000 div 49 = 979
+    //   id3 at 9 → a=1e12, b=81e12 → s = 80000 div 81 = 987
+    //   id4 at 4 → equidistant (16e12 both) → assigned cid0, s = 0
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(8.0f)), (2L, Array(1.0f)),
+      (3L, Array(9.0f)), (4L, Array(4.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansSilhouette(emb, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // cid0 {0,2,4}: mean = (1000+979+0) div 3 = 659
+    assert(got(0L) == ((0L, 3L, 3L, Some(659L), Some(0L), Some(1000L))))
+    // cid1 {1,3}: mean = (1000+987) div 2 = 993
+    assert(got(1L) == ((1L, 2L, 2L, Some(993L), Some(987L), Some(1000L))))
+  }
+
+  test("kmeansSilhouette: coincident centroids emit null, empty cluster ledger row") {
+    import spark.implicits._
+    // both seeds are the SAME point: every member has a = b = 0 →
+    // max(a,b) = 0 → null s (not a fabricated 0); all points tie to
+    // cid0, so cid1 ends empty and must still appear in the ledger
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.0f)), (2L, Array(0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansSilhouette(emb, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 0L, None, None, None)))
+    assert(got(1L) == ((1L, 0L, 0L, None, None, None)))
+  }
 }

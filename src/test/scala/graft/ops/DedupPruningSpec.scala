@@ -127,4 +127,35 @@ class DedupPruningSpec extends SparkSpec {
     val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
     assert(jac.count() == 0)
   }
+
+  test("contaminationAttribution: argmax train doc, pinned ties, clean ledger row") {
+    val eval = Seq((1L, "a b c d"), (3L, "zz ww"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "a b c x"),       // shares {a b, b c} with eval 1 → 2
+      (2L, "c d y a b"))     // shares {c d, a b} with eval 1 → 2 (tie)
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationAttribution(eval, train,
+        "text", "doc_id", n = 2)
+      .as[(Long, Option[Long], Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // tie on n_shared=2 pins to the smaller train id; recall =
+    // 2·10⁶ div 3 eval bigrams
+    assert(got(1L) == ((1L, Some(0L), 2L, 3L, 666666L)))
+    // zero-overlap eval doc stays in the ledger with a null source
+    assert(got(3L) == ((3L, None, 0L, 1L, 0L)))
+  }
+
+  test("contaminationAttribution: maxDocFreq drops boilerplate grams from BOTH sides") {
+    val eval = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq((0L, "a b c x"), (2L, "c d y a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationAttribution(eval, train,
+        "text", "doc_id", n = 2, maxDocFreq = 1)
+      .as[(Long, Option[Long], Long, Long, Long)].collect().toSeq
+    // "a b" sits in 2 train docs → pruned everywhere: eval keeps
+    // {b c, c d} (denominator 2), train 0 shares {b c}, train 2
+    // shares {c d} — tie of 1 pins to train 0, recall = 500000
+    assert(got == Seq((1L, Some(0L), 1L, 2L, 500000L)))
+  }
 }
