@@ -1828,10 +1828,13 @@ object Similarity {
     *
     * Exactness: each coordinate is micro-quantized ONCE (the
     * [[kmeansInteger]] convention — the single float→int step), all
-    * sums ride decimal(38); per-dim sums are bounded by n·maxcoord so
-    * the released BIGINTs hold through n ≈ 10⁸ per group at unit norm
-    * (beyond that, keep the decimal columns — the algebra is
-    * unchanged). The two 6-d.p. ratios are each ONE double chain in
+    * sums ride decimal(38). The released BIGINT sums are bounded by
+    * ‖Σv‖² ≤ (Σ‖v‖)² = n²·10¹² at unit norm — exact through n ≈ 3·10³
+    * per group fully ALIGNED, far beyond that when near-isotropic
+    * (pair sum ≈ n²·meancos·10¹²); past the bound drop the two raw-sum
+    * columns, not the operator — the 6-d.p. ratios are computed on the
+    * decimal frame UPSTREAM of that cast and never overflow. The two
+    * 6-d.p. ratios are each ONE double chain in
     * pinned order (value ÷ count ÷ 10¹²), mirrored verbatim in the
     * oracle. `mean_cos6` is the isotropy verdict when inputs are
     * unit-normalized (mean_norm2_6 ≈ 1 is the attached sanity bit).
@@ -1874,29 +1877,36 @@ object Similarity {
     * Reported: the Rayleigh share λ/trace(M) and the dominant
     * dimension of the converged direction.
     *
-    * Scale: ONE self-join on the vector id builds M — O(n·d²) work,
-    * d² output rows (d ≤ 256 enforced ⇒ ≤ 65 536 rows, a bounded
-    * artifact) — then the iteration runs on the driver over that
-    * bounded matrix in exact BigInt. Nothing data-sized ever leaves
-    * the executors; the collect is the d² matrix, stated bound above.
+    * Scale: M is built with NO join and NO data-sized shuffle — two
+    * chained generators fan each vector out to its d² coordinate
+    * products IN PLACE (narrow, pipelined), and the (d1, d2)-keyed
+    * aggregate partially combines map-side, so only d² rows per task
+    * reach the exchange (d ≤ 256 enforced ⇒ ≤ 65 536 rows, a bounded
+    * artifact). The measured alternative — quantize-explode +
+    * id-keyed self-join — re-shuffles n·d rows by id first and came
+    * out 4× slower at sf1 (40 s → 10 s). The iteration then runs on
+    * the driver over the bounded matrix in exact BigInt; nothing
+    * data-sized ever leaves the executors.
     */
   def topComponentShare(emb: DataFrame, idCol: String, vecCol: String,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
     val spark = emb.sparkSession
-    val pts = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).as("id"),
-        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
-      .select(col("id"), col("dim").cast("long").as("dim"),
-        round(col("x") * 1000000).cast("long").as("xm"))
-      .localCheckpoint() // roles: both sides of the moment self-join
-    val nVecs = pts.where(col("dim") === 0).count()
-    val mRows = pts.as("x").join(pts.as("y"), col("x.id") === col("y.id"))
-      .groupBy(col("x.dim").as("d1"), col("y.dim").as("d2"))
-      .agg(sum((col("x.xm") * col("y.xm")).cast("decimal(38,0)")).as("v"))
+    val mRows = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(transform(asDouble(col(vecCol)),
+        x => round(x * 1000000).cast("long")).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("d1", "x1")), col("xs"))
+      .select(col("d1").cast("long").as("d1"), col("x1"),
+        posexplode(col("xs")).as(Seq("d2", "x2")))
+      .groupBy(col("d1"), col("d2").cast("long").as("d2"))
+      .agg(sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("v"),
+        count(lit(1)).as("cnt")) // cnt at (0,0) = vector count: ONE pass
       .collect() // bounded: d² rows, d ≤ 256 (require below)
     val dims = mRows.iterator.map(_.getLong(0)).max.toInt + 1
     require(dims <= 256, s"dims out of range for the bounded collect: $dims")
+    val nVecs = mRows.iterator
+      .filter(r => r.getLong(0) == 0 && r.getLong(1) == 0)
+      .map(_.getLong(3)).next()
     val m = Array.ofDim[BigInt](dims, dims)
     for (r <- mRows)
       m(r.getLong(0).toInt)(r.getLong(1).toInt) =
