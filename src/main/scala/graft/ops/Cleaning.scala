@@ -541,4 +541,57 @@ object Cleaning {
           lit(206835L) - expr("(1015 * wps_milli) div 1000") -
             expr("(84600 * spw_milli) div 1000")))
   }
+
+  /** Filter-cascade overlap report — the design tool for ordering a
+    * quality-filter stack: per rule (in the caller's pinned order),
+    * its INDEPENDENT hit count, its MARGINAL hits (documents no
+    * earlier rule already killed — a rule whose marginal is ~0 is
+    * redundant where it sits), and the survivor count after the
+    * prefix ending at it. Rules arrive as named boolean "violation"
+    * Columns, so any predicate the engine can express can sit in the
+    * cascade; nulls count as not-hit (a rule that cannot evaluate must
+    * not kill).
+    *
+    * Scale: ONE pass — every rule and every prefix combination is a
+    * conditional-sum column of the SAME aggregate (map-side
+    * combinable), then the rule rows explode from the 1-row result
+    * (the columnProfile shape). Work is rows × rules, shuffle is one
+    * row.
+    */
+  def filterOverlapReport(df: DataFrame, idCol: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty && rules.size <= 64,
+      s"rules out of range: ${rules.size}")
+    val flagged = df.filter(col(idCol).isNotNull)
+      .select(rules.zipWithIndex.map { case ((_, c), i) =>
+        coalesce(c.cast("boolean"), lit(false)).as(s"_h$i")
+      }: _*)
+    val aggs = Seq(count(lit(1)).as("_total")) ++
+      rules.indices.flatMap { i =>
+        val anyPrev = (0 until i).map(j => col(s"_h$j"))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val anyUpto = (0 to i).map(j => col(s"_h$j")).reduce(_ || _)
+        Seq(
+          sum(when(col(s"_h$i"), 1L).otherwise(0L)).as(s"_hits$i"),
+          sum(when(col(s"_h$i") && !anyPrev, 1L).otherwise(0L))
+            .as(s"_marg$i"),
+          sum(when(!anyUpto, 1L).otherwise(0L)).as(s"_kept$i"))
+      }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val rows = array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i.toLong).as("rule_idx"), lit(name).as("rule"),
+        col(s"_hits$i").as("n_hits"), col(s"_marg$i").as("n_marginal"),
+        col(s"_kept$i").as("n_kept_after"))
+    }: _*)
+    one.select(col("_total"), explode(rows).as("r"))
+      .select(col("r.rule_idx").as("rule_idx"), col("r.rule").as("rule"),
+        col("r.n_hits").as("n_hits"),
+        expr("case when _total > 0 then" +
+          " (1000000 * r.n_hits) div _total end").as("hit_ppm"),
+        col("r.n_marginal").as("n_marginal"),
+        col("r.n_kept_after").as("n_kept_after"),
+        expr("case when _total > 0 then" +
+          " (1000000 * r.n_kept_after) div _total end").as("kept_ppm"),
+        col("_total").as("n_docs"))
+  }
 }

@@ -596,4 +596,89 @@ object Sampling {
         col("rank"))
   }
 
+  /** UniMax mixture allocation (Chung et al. 2023) — the epoch-capped
+    * fair waterfill the temperature knob approximates by hand: give
+    * every source an equal share of the token budget, EXCEPT that no
+    * source is asked for more than `maxEpochs` passes over its own
+    * data; capacity freed by small sources flows to the rest. The
+    * funded set is a prefix of the capacity-ascending order (standard
+    * waterfilling), so one cumulative window decides it exactly:
+    * source at rank r is funded iff capacity·(n−r+1) ≤ budget −
+    * cum_prev (integer cross-multiplication, no division). Unfunded
+    * sources split the residue by truncating division, with the
+    * remainder distributed one token each to the first `rem` of them
+    * in rank order — allocations sum to EXACTLY min(budget, Σcapacity).
+    *
+    * Scale: one doc-sized grouped aggregate (map-side combinable)
+    * reduces the corpus to source cardinality; the global windows run
+    * over that bounded frame only (the mixture tables' standing
+    * contract — never over data-sized rows).
+    */
+  def uniMaxAllocation(df: DataFrame, textCol: String, sourceCol: String,
+      budget: Long, maxEpochs: Int = 1): DataFrame = {
+    require(budget > 0 && maxEpochs >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.orderBy(col("capacity"), col("source"))
+    val wAll = wAsc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = df
+      .filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextOps.wsTokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * maxEpochs)
+      .withColumn("r", row_number().over(wAsc).cast("long"))
+      .withColumn("cum_prev", coalesce(sum("capacity").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("funded",
+        col("capacity") * (col("n") - col("r") + 1) <=
+          lit(budget) - col("cum_prev"))
+      .withColumn("f_sum", coalesce(sum(when(col("funded"),
+        col("capacity"))).over(wAll), lit(0L)))
+      .withColumn("k", coalesce(sum(when(col("funded"), 1L))
+        .over(wAll), lit(0L)))
+    ranked.select(col("source"), col("n_tokens"), col("capacity"),
+        col("funded"),
+        when(col("funded"), col("capacity")).otherwise(
+          expr(s"($budget - f_sum) div (n - k)") +
+            when(col("r") - col("k") <=
+              expr(s"($budget - f_sum) % (n - k)"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .withColumn("epochs_ppm",
+        expr("(1000000 * alloc_tokens) div n_tokens"))
+  }
+
+  /** Cross-document attention audit over [[packSequences]]' packing —
+    * the training-time contamination packing introduces: inside one
+    * packed window, a causal LM without a block-diagonal mask attends
+    * across document boundaries. Per (shard, bin): exact cross-document
+    * causal pair count Σ_{i<j} l_i·l_j = (L² − Σl²)/2 (always even,
+    * integer-exact), total pairs L(L−1)/2, and the truncating-ppm
+    * fraction — the number that decides whether the loader needs the
+    * mask. Single-doc windows score 0; single-token windows have no
+    * pairs and emit null. One narrow token-count projection, the
+    * packing's own shard/bin assignment, one grouped aggregate.
+    */
+  def packingCrossDocAudit(df: DataFrame, textCol: String, idCol: String,
+      budget: Long, numShards: Int = 8): DataFrame = {
+    val toks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextOps.wsTokenCount(col(textCol)).as("tokens"))
+    toks.join(packSequences(toks, "id", "tokens", budget, numShards),
+        Seq("id"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("window_tokens"),
+        sum(col("tokens") * col("tokens")).as("_sq"))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        col("window_tokens"),
+        expr("(window_tokens * window_tokens - _sq) div 2")
+          .as("cross_pairs"),
+        expr("(window_tokens * (window_tokens - 1)) div 2")
+          .as("total_pairs"),
+        when(col("window_tokens") > 1, expr(
+          "(1000000 * (window_tokens * window_tokens - _sq))" +
+            " div (window_tokens * window_tokens - window_tokens)"))
+          .as("cross_ppm"))
+  }
 }

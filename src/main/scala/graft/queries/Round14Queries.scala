@@ -531,6 +531,158 @@ object Round14Queries {
     FROM seeds se LEFT JOIN st USING (cid)"""
   }
 
+  // —————————————————————————————— UniMax allocation (q383)
+  // (the epoch-capped fair waterfill over source token counts: funded
+  //  prefix by integer cross-multiplication, truncating residue split
+  //  with pinned remainder pennies — allocations sum to EXACTLY the
+  //  budget. budget 26000 < Σ capacity so the data shows both funded
+  //  and waterfilled sources.)
+  val q383UniMax: Q = (s, dir) =>
+    graft.ops.Sampling.uniMaxAllocation(Tables.documents(s, dir),
+      "text", "source", budget = 26000L, maxEpochs = 1)
+  private val q383Sql: String = """
+    WITH src AS (SELECT source,
+            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+              AS n_tokens
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1),
+    rk AS (SELECT source, n_tokens, n_tokens * 1 AS capacity,
+             CAST(row_number() OVER (ORDER BY n_tokens * 1, source)
+               AS BIGINT) AS r,
+             coalesce(sum(n_tokens * 1) OVER
+               (ORDER BY n_tokens * 1, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev,
+             count(*) OVER () AS n
+           FROM src),
+    fd AS (SELECT source, n_tokens, capacity, r, n,
+             capacity * (n - r + 1) <= 26000 - cum_prev AS funded
+           FROM rk),
+    tot AS (SELECT coalesce(sum(CASE WHEN funded THEN capacity END), 0)
+              AS f_sum,
+            coalesce(sum(CASE WHEN funded THEN 1 END), 0) AS k
+            FROM fd),
+    al AS (SELECT f.source, f.n_tokens, f.capacity, f.funded,
+             CASE WHEN f.funded THEN f.capacity ELSE
+               (26000 - t.f_sum) // (f.n - t.k) +
+               CASE WHEN f.r - t.k <= (26000 - t.f_sum) % (f.n - t.k)
+                 THEN 1 ELSE 0 END
+             END AS alloc_tokens
+           FROM fd f, tot t)
+    SELECT source, n_tokens, capacity, funded,
+      CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+      CAST((1000000 * alloc_tokens) // n_tokens AS BIGINT) AS epochs_ppm
+    FROM al"""
+
+  // —————————————————————————————— packing cross-doc audit (q384)
+  // (the attention-mask decision number: per packed (shard, bin)
+  //  window, the exact count of causal token pairs that CROSS a
+  //  document boundary — Σ_{i<j} l_i·l_j = (L²−Σl²)/2 — against all
+  //  L(L−1)/2 pairs, truncating ppm; q83's shard/bin assignment.)
+  val q384PackingAudit: Q = (s, dir) =>
+    graft.ops.Sampling.packingCrossDocAudit(Tables.documents(s, dir),
+      "text", "doc_id", budget = 120L, numShards = 8)
+  private val q384Sql: String = """
+    WITH t AS (SELECT doc_id AS id,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+              AS BIGINT) % 8 AS shard
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    cum AS (SELECT id, tokens, shard,
+              sum(tokens) OVER (PARTITION BY shard ORDER BY id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t),
+    g AS (SELECT shard, CAST(floor((cum - tokens) / 120) AS BIGINT) AS bin,
+            count(*) AS n_docs,
+            CAST(sum(tokens) AS BIGINT) AS window_tokens,
+            CAST(sum(tokens * tokens) AS BIGINT) AS sq
+          FROM cum GROUP BY 1, 2)
+    SELECT shard, bin, n_docs, window_tokens,
+      CAST((window_tokens * window_tokens - sq) // 2 AS BIGINT)
+        AS cross_pairs,
+      CAST((window_tokens * (window_tokens - 1)) // 2 AS BIGINT)
+        AS total_pairs,
+      CASE WHEN window_tokens > 1 THEN
+        CAST((1000000 * (window_tokens * window_tokens - sq))
+          // (window_tokens * window_tokens - window_tokens) AS BIGINT)
+      END AS cross_ppm
+    FROM g"""
+
+  // —————————————————————————————— filter-overlap report (q385)
+  // (the cascade-design table: per rule in pinned order — independent
+  //  hits, MARGINAL hits (kills no earlier rule made), survivors after
+  //  the prefix. One aggregate pass; rule rows explode from it.)
+  val q385FilterOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ops.TextOps.words(col("text")).as("_w"))
+    val n = size(col("_w")).cast("long")
+    val sw = size(filter(col("_w"),
+      x => x.isin("the", "a"))).cast("long")
+    val db = size(graft.ops.TextOps.shinglesFromWords(col("_w"), 2))
+      .cast("long")
+    graft.ops.Cleaning.filterOverlapReport(docs, "doc_id", Seq(
+      "too_short" -> (n < 45),
+      "dup_bigrams" -> (n >= 2 &&
+        lit(100L) * ((n - 1) - db) > lit(2L) * (n - 1)),
+      "low_stopword" -> (lit(100L) * sw < lit(3L) * n),
+      "too_long" -> (n > 70)))
+  }
+  private val q385Sql: String = """
+    WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents WHERE doc_id IS NOT NULL),
+    bg AS (SELECT doc_id, count(DISTINCT w[i] || ' ' || w[i+1]) AS db
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                 FROM base)
+           GROUP BY 1),
+    f AS (SELECT b.doc_id, len(b.w) AS n,
+            len(list_filter(b.w, x -> x IN ('the', 'a'))) AS sw,
+            coalesce(bg.db, 0) AS db
+          FROM base b LEFT JOIN bg USING (doc_id)),
+    h AS (SELECT coalesce(n < 45, false) AS h0,
+            coalesce(n >= 2 AND 100 * ((n - 1) - db) > 2 * (n - 1),
+              false) AS h1,
+            coalesce(100 * sw < 3 * n, false) AS h2,
+            coalesce(n > 70, false) AS h3
+          FROM f),
+    agg AS (SELECT count(*) AS total,
+        CAST(sum(CASE WHEN h0 THEN 1 ELSE 0 END) AS BIGINT) AS hits0,
+        CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+        CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS hits2,
+        CAST(sum(CASE WHEN h3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+        CAST(sum(CASE WHEN h1 AND NOT h0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS marg1,
+        CAST(sum(CASE WHEN h2 AND NOT (h0 OR h1) THEN 1 ELSE 0 END)
+          AS BIGINT) AS marg2,
+        CAST(sum(CASE WHEN h3 AND NOT (h0 OR h1 OR h2) THEN 1 ELSE 0 END)
+          AS BIGINT) AS marg3,
+        CAST(sum(CASE WHEN NOT h0 THEN 1 ELSE 0 END) AS BIGINT) AS kept0,
+        CAST(sum(CASE WHEN NOT (h0 OR h1) THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept1,
+        CAST(sum(CASE WHEN NOT (h0 OR h1 OR h2) THEN 1 ELSE 0 END)
+          AS BIGINT) AS kept2,
+        CAST(sum(CASE WHEN NOT (h0 OR h1 OR h2 OR h3) THEN 1 ELSE 0 END)
+          AS BIGINT) AS kept3
+      FROM h),
+    rows_ AS (
+      SELECT CAST(0 AS BIGINT) AS rule_idx, 'too_short' AS rule,
+        hits0 AS n_hits, hits0 AS n_marginal, kept0 AS n_kept_after,
+        total FROM agg
+      UNION ALL SELECT 1, 'dup_bigrams', hits1, marg1, kept1, total
+        FROM agg
+      UNION ALL SELECT 2, 'low_stopword', hits2, marg2, kept2, total
+        FROM agg
+      UNION ALL SELECT 3, 'too_long', hits3, marg3, kept3, total
+        FROM agg)
+    SELECT rule_idx, rule, n_hits,
+      CASE WHEN total > 0 THEN
+        CAST((1000000 * n_hits) // total AS BIGINT) END AS hit_ppm,
+      n_marginal, n_kept_after,
+      CASE WHEN total > 0 THEN
+        CAST((1000000 * n_kept_after) // total AS BIGINT) END AS kept_ppm,
+      CAST(total AS BIGINT) AS n_docs
+    FROM rows_"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -544,7 +696,10 @@ object Round14Queries {
     "q379_contam_attrib" -> q379ContamAttrib,
     "q380_embedding_isotropy" -> q380EmbeddingIsotropy,
     "q381_top_component" -> q381TopComponent,
-    "q382_kmeans_silhouette" -> q382KmeansSilhouette)
+    "q382_kmeans_silhouette" -> q382KmeansSilhouette,
+    "q383_unimax" -> q383UniMax,
+    "q384_packing_audit" -> q384PackingAudit,
+    "q385_filter_overlap" -> q385FilterOverlap)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -559,5 +714,8 @@ object Round14Queries {
     "q379_contam_attrib" -> q379Sql,
     "q380_embedding_isotropy" -> q380Sql,
     "q381_top_component" -> q381Sql,
-    "q382_kmeans_silhouette" -> q382Sql)
+    "q382_kmeans_silhouette" -> q382Sql,
+    "q383_unimax" -> q383Sql,
+    "q384_packing_audit" -> q384Sql,
+    "q385_filter_overlap" -> q385Sql)
 }

@@ -326,4 +326,36 @@ class CleaningSpec extends SparkSpec {
     // good: 0 dup, mean (25+30) div 2 = 27 ≥ 20 → kept
     assert(got("good") == (("good", 2L, 2L, 55L, 0L, 27L, true)))
   }
+
+  test("filterOverlapReport: hits, marginal kills, prefix survivors") {
+    import spark.implicits._
+    // values 1, 0, 11, 4, 7 under small(<2) → big(>10) → odd:
+    // small hits {1,0}; big hits {11}, all marginal; odd hits
+    // {1,11,7} but only 7 is a NEW kill after small+big
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 11L), (4L, 4L), (5L, 7L))
+      .toDF("id", "v")
+    val got = Cleaning.filterOverlapReport(df, "id", Seq(
+        "small" -> (col("v") < 2),
+        "big" -> (col("v") > 10),
+        "odd" -> (pmod(col("v"), lit(2)) === 1)))
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got("small") == ((0L, "small", 2L, 400000L, 2L, 3L,
+      600000L, 5L)))
+    assert(got("big") == ((1L, "big", 1L, 200000L, 1L, 2L,
+      400000L, 5L)))
+    assert(got("odd") == ((2L, "odd", 3L, 600000L, 1L, 1L,
+      200000L, 5L)))
+  }
+
+  test("filterOverlapReport: a rule that evaluates to null must not kill") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1L)), (2L, None)).toDF("id", "v")
+    val got = Cleaning.filterOverlapReport(df, "id",
+        Seq("small" -> (col("v") < 2)))
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // the null row is NOT a hit and survives
+    assert(got == Seq((0L, "small", 1L, 500000L, 1L, 1L, 500000L, 2L)))
+  }
 }
