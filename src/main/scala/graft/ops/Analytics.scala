@@ -2815,4 +2815,68 @@ object Analytics {
         when(col("n") > 0, expr("_tg div n")).as("ece_ppm"),
         col("mce_ppm"))
   }
+
+  /** Iterative proportional fitting (raking) — reweight a two-way
+    * contingency so its marginals match caller targets (the survey
+    * statistician's move a corpus build needs when the crawl's
+    * lang × source mix must hit a training-mix spec without per-cell
+    * targets). Classic IPF: alternately scale every cell so row sums
+    * match `rowTargets`, then column sums match `colTargets`,
+    * `iters` times. This is the ORACLE-CHECKABLE integer variant
+    * (the [[graft.ops.Similarity.kmeansInteger]] discipline): weights
+    * live in micro units, each scale factor is ONE truncating
+    * division of the micro-scaled target by the current marginal,
+    * each cell update one decimal-widened product floored back to
+    * micro — both engines replay the identical trajectory. Classical
+    * IPF convergence carries over up to the 1e-6 truncation grain.
+    *
+    * Categories absent from a target list are DROPPED (inner join —
+    * the targets define the frame); a target category with no data
+    * stays absent (no mass can be created). A zero marginal mid-run
+    * nulls its cells — loud, never a fabricated weight.
+    *
+    * Scale: ONE data-sized grouped count reduces the corpus to the
+    * cell table; every round is two aggregates + two broadcast joins
+    * over that bounded frame (cells ≤ |rows|·|cols|, the caller's
+    * category cardinalities).
+    */
+  def ipfRaking(df: DataFrame, rowCol: String, colCol: String,
+      rowTargets: Seq[(String, Long)], colTargets: Seq[(String, Long)],
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
+    require(rowTargets.nonEmpty && colTargets.nonEmpty)
+    require(rowTargets.forall(_._2 >= 0) && colTargets.forall(_._2 >= 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rt = broadcast(rowTargets.toDF("row", "rt"))
+    val ct = broadcast(colTargets.toDF("col", "ct"))
+    var cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .select(col(rowCol).cast("string").as("row"),
+        col(colCol).cast("string").as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("n"))
+      .join(rt, Seq("row")).join(ct, Seq("col")) // targets define the frame
+      .select(col("row"), col("col"), col("n"), col("rt"), col("ct"),
+        (col("n") * 1000000L).as("w"))
+      .localCheckpoint() // bounded: |rows|·|cols| cells
+    def scaleStep(keyCol: String, targetCol: String): DataFrame = {
+      val marg = cells.groupBy(keyCol)
+        .agg(sum("w").as("_m"), first(targetCol).as("_t"))
+        // target is in COUNT units, the marginal in micro: the micro
+        // ratio is target·10¹² div marginal
+        .select(col(keyCol),
+          when(col("_m") > 0, expr(s"(_t * 1000000000000) div _m"))
+            .as("_sc"))
+      cells.join(broadcast(marg), Seq(keyCol))
+        .select(col("row"), col("col"), col("n"), col("rt"), col("ct"),
+          expr("cast((cast(w as decimal(38,0)) * _sc) div 1000000" +
+            " as bigint)").as("w"))
+    }
+    for (_ <- 1 to iters) {
+      cells = scaleStep("row", "rt")
+      cells = scaleStep("col", "ct").localCheckpoint() // per-round cut
+    }
+    cells.select(col("row"), col("col"), col("n"),
+      col("w").as("w_micro"))
+  }
 }

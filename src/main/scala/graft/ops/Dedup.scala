@@ -127,6 +127,51 @@ object Dedup {
     jaccardScored(inter, sizes, threshold)
   }
 
+  /** Reciprocal-df WEIGHTED Jaccard near-dup pairs — plain Jaccard
+    * ([[ngramJaccardPairs]]) counts a boilerplate shingle ("all rights
+    * reserved", a cookie banner) the same as a rare one, so two
+    * unrelated pages sharing a template score high. Here every shingle
+    * carries weight 10⁶ div df (its corpus document frequency) — hot
+    * shingles are worth ~nothing, rare overlap is worth everything —
+    * and similarity is the weighted-set Jaccard Σ_shared w / Σ_union w,
+    * decided by the exact cross-multiplication 100·W∩ ≥ τ·(W_a + W_b −
+    * W∩). All integers: weights, per-doc totals, pair sums.
+    *
+    * Scale: weights come from the shingle-df aggregate the join needs
+    * anyway (one digest-keyed shuffle, map-side combined); the pair
+    * join carries (id, weight) — never text. The df weighting is ALSO
+    * the hot-key economics: a 10⁵-doc boilerplate shingle still costs
+    * its bucket² candidates, so `maxDocFreq` remains available — but
+    * unlike plain Jaccard, dropping hot shingles here barely moves the
+    * score they contribute ~0 weight to (the cap becomes near-lossless
+    * for the METRIC, not just the recall).
+    */
+  def weightedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thresholdPct: Int = 50,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100)
+    val sh = pruneHotKeys(shingleRows(df, textCol, idCol, n),
+        "shingle", maxDocFreq)
+      .localCheckpoint() // roles: df weights + both pair-join sides
+    val weighted = sh
+      .join(sh.groupBy("shingle").agg(count(lit(1)).as("_df")), "shingle")
+      .select(col("id"), col("shingle"),
+        expr("1000000 div _df").as("w"))
+      .localCheckpoint() // roles: doc totals + both pair-join sides
+    val totals = weighted.groupBy("id").agg(sum("w").as("wt"))
+    weighted.as("x").join(weighted.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(sum(col("x.w")).as("w_inter"))
+      .join(totals.select(col("id").as("a"), col("wt").as("wa")), "a")
+      .join(totals.select(col("id").as("b"), col("wt").as("wb")), "b")
+      .where(lit(100L) * col("w_inter") >=
+        lit(thresholdPct.toLong) * (col("wa") + col("wb") - col("w_inter")))
+      .select(col("a"), col("b"), col("w_inter"),
+        (col("wa") + col("wb") - col("w_inter")).as("w_union"),
+        expr("(1000000 * w_inter) div (wa + wb - w_inter)").as("wj_ppm"))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (the PPJoin-family
     * bound): identical result to [[ngramJaccardPairs]] with no df cap, but
     * candidates come only from each document's PREFIX — its

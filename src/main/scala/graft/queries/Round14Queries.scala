@@ -683,6 +683,77 @@ object Round14Queries {
       CAST(total AS BIGINT) AS n_docs
     FROM rows_"""
 
+  // —————————————————————————————— IPF raking (q386)
+  // (survey-statistics reweighting for corpus mixes: rake the
+  //  lang × source contingency onto uniform marginals — 100/lang,
+  //  25/source — by 3 alternating integer-pinned scale rounds; the
+  //  oracle unrolls every round over the same micro/HUGEINT lattice.)
+  val q386IpfRaking: Q = (s, dir) =>
+    graft.ops.Analytics.ipfRaking(Tables.documents(s, dir),
+      "lang", "source",
+      rowTargets = Seq("de", "en", "es", "fr", "zh").map(_ -> 100L),
+      colTargets = (0 until 20).map(i => s"src$i" -> 25L),
+      iters = 3)
+  private val q386Sql: String = {
+    def round(r: Int): String = s"""
+    rm$r AS (SELECT row_, CASE WHEN sum(w) > 0 THEN
+              CAST((any_value(rtv) * 1000000000000) // sum(w) AS BIGINT)
+            END AS sc FROM w${r - 1} GROUP BY 1),
+    wr$r AS (SELECT c.row_, c.col_, c.n, c.rtv, c.ctv,
+              CAST((CAST(c.w AS HUGEINT) * m.sc) // 1000000 AS BIGINT)
+                AS w
+            FROM w${r - 1} c JOIN rm$r m USING (row_)),
+    cm$r AS (SELECT col_, CASE WHEN sum(w) > 0 THEN
+              CAST((any_value(ctv) * 1000000000000) // sum(w) AS BIGINT)
+            END AS sc FROM wr$r GROUP BY 1),
+    w$r AS MATERIALIZED (SELECT c.row_, c.col_, c.n, c.rtv, c.ctv,
+              CAST((CAST(c.w AS HUGEINT) * m.sc) // 1000000 AS BIGINT)
+                AS w
+            FROM wr$r c JOIN cm$r m USING (col_))"""
+    s"""
+    WITH rt AS (SELECT * FROM (VALUES ('de', 100), ('en', 100),
+            ('es', 100), ('fr', 100), ('zh', 100)) t(row_, rtv)),
+    ct AS (SELECT 'src' || CAST(i AS VARCHAR) AS col_, 25 AS ctv
+           FROM unnest(range(0, 20)) u(i)),
+    c0 AS (SELECT lang AS row_, source AS col_, count(*) AS n
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+    w0 AS MATERIALIZED (SELECT c0.row_, c0.col_, c0.n, rt.rtv, ct.ctv,
+          CAST(c0.n * 1000000 AS BIGINT) AS w
+          FROM c0 JOIN rt USING (row_)
+            JOIN ct USING (col_)),${round(1)},${round(2)},${round(3)}
+    SELECT row_ AS row, col_ AS col, n, w AS w_micro FROM w3"""
+  }
+
+  // —————————————————————————————— weighted Jaccard near-dup (q387)
+  // (reciprocal-df shingle weights: boilerplate shingles are worth
+  //  ~nothing, rare overlap is worth everything — the template-page
+  //  false-positive killer next to plain q20; exact integer weights,
+  //  cross-multiplied threshold, all-pairs truth on the capped corpus.)
+  val q387WeightedJaccard: Q = (s, dir) =>
+    graft.ops.Dedup.weightedJaccardPairs(
+      Tables.documents(s, dir).where(col("doc_id") < 1000),
+      "text", "doc_id", n = 3, thresholdPct = 40)
+  private val q387Sql: String = """
+    WITH d AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+    dfq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY 1),
+    ws AS (SELECT sh.id, sh.shingle, CAST(1000000 // dfc AS BIGINT) AS wv
+           FROM sh JOIN dfq USING (shingle)),
+    tot AS (SELECT id, CAST(sum(wv) AS BIGINT) AS wt FROM ws GROUP BY 1),
+    pr AS (SELECT x.id AS a, y.id AS b, CAST(sum(x.wv) AS BIGINT)
+             AS w_inter
+           FROM ws x JOIN ws y ON x.shingle = y.shingle AND x.id < y.id
+           GROUP BY 1, 2)
+    SELECT a, b, w_inter, ta.wt + tb.wt - w_inter AS w_union,
+      CAST((1000000 * w_inter) // (ta.wt + tb.wt - w_inter) AS BIGINT)
+        AS wj_ppm
+    FROM pr JOIN tot ta ON ta.id = pr.a JOIN tot tb ON tb.id = pr.b
+    WHERE 100 * w_inter >= 40 * (ta.wt + tb.wt - w_inter)"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -699,7 +770,9 @@ object Round14Queries {
     "q382_kmeans_silhouette" -> q382KmeansSilhouette,
     "q383_unimax" -> q383UniMax,
     "q384_packing_audit" -> q384PackingAudit,
-    "q385_filter_overlap" -> q385FilterOverlap)
+    "q385_filter_overlap" -> q385FilterOverlap,
+    "q386_ipf_raking" -> q386IpfRaking,
+    "q387_weighted_jaccard" -> q387WeightedJaccard)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -717,5 +790,7 @@ object Round14Queries {
     "q382_kmeans_silhouette" -> q382Sql,
     "q383_unimax" -> q383Sql,
     "q384_packing_audit" -> q384Sql,
-    "q385_filter_overlap" -> q385Sql)
+    "q385_filter_overlap" -> q385Sql,
+    "q386_ipf_raking" -> q386Sql,
+    "q387_weighted_jaccard" -> q387Sql)
 }

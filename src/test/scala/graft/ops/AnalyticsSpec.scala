@@ -1269,4 +1269,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1L, 1L, 1000000L, 0L, Some(0.0))),
       got.mkString(","))
   }
+
+  test("ipfRaking: one hand-traced round of alternating integer scales") {
+    // cells (r1,c1)=1, (r1,c2)=3, (r2,c1)=1; all targets 2.
+    // row: r1 sc=2e12/4e6=5e5 → 5e5/1.5e6; r2 sc=2e6 → 2e6.
+    // col: c1 sc=2e12/2.5e6=8e5 → 4e5/1.6e6;
+    //      c2 sc=2e12/1.5e6=1333333 → 1.5e6·1333333 div 1e6 = 1999999.
+    val df = (Seq(("r1", "c1")) ++ Seq.fill(3)(("r1", "c2")) ++
+      Seq(("r2", "c1"))).toDF("r", "c")
+    val got = Analytics.ipfRaking(df, "r", "c",
+        Seq("r1" -> 2L, "r2" -> 2L), Seq("c1" -> 2L, "c2" -> 2L),
+        iters = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(got(("r1", "c1")) == (("r1", "c1", 1L, 400000L)))
+    assert(got(("r1", "c2")) == (("r1", "c2", 3L, 1999999L)))
+    assert(got(("r2", "c1")) == (("r2", "c1", 1L, 1600000L)))
+  }
+
+  test("ipfRaking: converges onto both marginals; off-target rows drop") {
+    // skewed 2×2 plus a category absent from the targets (dropped)
+    val df = (Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(9)(("b", "y")) ++
+      Seq.fill(5)(("zz", "x"))).toDF("r", "c")
+    val got = Analytics.ipfRaking(df, "r", "c",
+        Seq("a" -> 10L, "b" -> 10L), Seq("x" -> 10L, "y" -> 10L),
+        iters = 8)
+      .as[(String, String, Long, Long)].collect()
+    assert(!got.exists(_._1 == "zz")) // targets define the frame
+    val rowSum = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    val colSum = got.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    // IPF converges geometrically (only the LAST-scaled axis is exact
+    // per round): after 8 rounds both marginals sit within 1% of the
+    // 10·10⁶-micro targets on this deliberately skewed table
+    for (m <- rowSum.values ++ colSum.values)
+      assert(math.abs(m - 10000000L) < 100000L,
+        s"${rowSum.toMap} ${colSum.toMap}")
+  }
 }

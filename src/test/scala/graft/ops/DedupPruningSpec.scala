@@ -146,6 +146,27 @@ class DedupPruningSpec extends SparkSpec {
     assert(got(3L) == ((3L, None, 0L, 1L, 0L)))
   }
 
+  test("weightedJaccardPairs: template pages die, true near-dups survive") {
+    // 10 template docs: a shared 10-word boiler prefix + a unique
+    // word. Plain Jaccard(A,B) = 8/10 = 0.8 → 45 template pairs pass
+    // τ=0.5. Reciprocal-df weights price the boiler shingles at
+    // 10⁶/10 each: W∩ = 8·10⁵ vs union 2.8·10⁶ → 285714 ppm, DEAD at
+    // τ=50. The genuine near-dup pair (E,F: one word differs) scores
+    // exactly 500000 ppm (all its shared shingles have df=2) and is
+    // the ONLY weighted survivor.
+    val boiler = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = ((0 until 10).map(i => (i.toLong, s"$boiler u$i")) ++ Seq(
+      (10L, "e1 e2 e3 e4 e5 e6 e7"),
+      (11L, "e1 e2 e3 e4 e5 e6 f7"))).toDF("doc_id", "text")
+    val plain = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    assert(plain.count() == 46L) // 45 template pairs + (E,F)
+    val got = Dedup.weightedJaccardPairs(docs, "text", "doc_id",
+        n = 3, thresholdPct = 50)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 11L, 2000000L, 4000000L, 500000L)))
+  }
+
   test("contaminationAttribution: maxDocFreq drops boilerplate grams from BOTH sides") {
     val eval = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val train = Seq((0L, "a b c x"), (2L, "c d y a b"))
