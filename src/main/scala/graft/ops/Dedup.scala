@@ -172,6 +172,39 @@ object Dedup {
         expr("(1000000 * w_inter) div (wa + wb - w_inter)").as("wj_ppm"))
   }
 
+  /** Document-continuation pairs — the SPLIT-document detector: a
+    * crawler that paginates, a PDF-to-text that chunks, or an ingest
+    * cap that truncates leaves one document's TAIL equal to another's
+    * HEAD. Pairs (a, b) where a's last `k` tokens equal b's first `k`
+    * (exact string equality — the equi-join key IS the verification),
+    * a ≠ b; the stitch candidates a re-join pass consumes. Documents
+    * shorter than `k` tokens cannot overlap by definition and are
+    * dropped.
+    *
+    * Scale: each side is one narrow projection (a k-token slice per
+    * document — never the full text), one gram-keyed equi-join.
+    * `maxDocFreq` is the [[pruneHotKeys]] hot-gram bound, applied per
+    * side: a boilerplate opening line shared by 10⁵ documents is a
+    * bucket² candidate bomb and carries no stitch signal.
+    */
+  def continuationPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      .where(size(col("_w")) >= k)
+    val tails = pruneHotKeys(base.select(col("id").as("a"),
+      concat_ws(" ", slice(col("_w"), -k, k)).as("gram")),
+      "gram", maxDocFreq)
+    val heads = pruneHotKeys(base.select(col("id").as("b"),
+      concat_ws(" ", slice(col("_w"), 1, k)).as("gram")),
+      "gram", maxDocFreq)
+    tails.join(heads, "gram")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (the PPJoin-family
     * bound): identical result to [[ngramJaccardPairs]] with no df cap, but
     * candidates come only from each document's PREFIX — its

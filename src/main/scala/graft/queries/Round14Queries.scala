@@ -754,6 +754,39 @@ object Round14Queries {
     FROM pr JOIN tot ta ON ta.id = pr.a JOIN tot tb ON tb.id = pr.b
     WHERE 100 * w_inter >= 40 * (ta.wt + tb.wt - w_inter)"""
 
+  // —————————————————————————————— continuation pairs (q388)
+  // (split-document stitch detection: fragments synthesized from the
+  //  corpus itself — front = tokens 1-40, back = tokens 31-end, a
+  //  10-token planted overlap — and the operator must recover every
+  //  (front, back) stitch by exact tail-equals-head equality.)
+  val q388Continuation: Q = (s, dir) => {
+    val el = Tables.documents(s, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.ops.TextOps.words(col("text")).as("_w"))
+      .where(size(col("_w")) >= 50)
+    val frags = el.select(col("doc_id").as("id"),
+        concat_ws(" ", slice(col("_w"), 1, 40)).as("text"))
+      .unionByName(el.select((col("doc_id") + 100000L).as("id"),
+        concat_ws(" ", slice(col("_w"), lit(31),
+          size(col("_w")) - 30)).as("text")))
+    graft.ops.Dedup.continuationPairs(frags, "text", "id", k = 10)
+  }
+  private val q388Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id IS NOT NULL
+                 AND text IS NOT NULL),
+    el AS (SELECT doc_id, w FROM d WHERE len(w) >= 50),
+    frag AS (SELECT doc_id AS id, w[1:40] AS w FROM el
+             UNION ALL
+             SELECT doc_id + 100000, w[31:len(w)] FROM el),
+    ok AS (SELECT id, w FROM frag WHERE len(w) >= 10),
+    tails AS (SELECT id AS a,
+        array_to_string(w[len(w)-9:len(w)], ' ') AS gram FROM ok),
+    heads AS (SELECT id AS b, array_to_string(w[1:10], ' ') AS gram
+              FROM ok)
+    SELECT a, b FROM tails JOIN heads USING (gram) WHERE a <> b"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -772,7 +805,8 @@ object Round14Queries {
     "q384_packing_audit" -> q384PackingAudit,
     "q385_filter_overlap" -> q385FilterOverlap,
     "q386_ipf_raking" -> q386IpfRaking,
-    "q387_weighted_jaccard" -> q387WeightedJaccard)
+    "q387_weighted_jaccard" -> q387WeightedJaccard,
+    "q388_continuation" -> q388Continuation)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -792,5 +826,6 @@ object Round14Queries {
     "q384_packing_audit" -> q384Sql,
     "q385_filter_overlap" -> q385Sql,
     "q386_ipf_raking" -> q386Sql,
-    "q387_weighted_jaccard" -> q387Sql)
+    "q387_weighted_jaccard" -> q387Sql,
+    "q388_continuation" -> q388Sql)
 }

@@ -128,6 +128,29 @@ class DedupPruningSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("continuationPairs: tail-equals-head stitches found, short docs out") {
+    val docs = Seq(
+      (0L, "p1 p2 a b c"),       // tail(3) = "a b c"
+      (1L, "a b c q1 q2"),       // head(3) = "a b c" → (0,1)
+      (2L, "x y z q3 q4"),       // unrelated
+      (3L, "b c")).toDF("doc_id", "text") // < k tokens: dropped
+    val got = Dedup.continuationPairs(docs, "text", "doc_id", k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("continuationPairs: a boilerplate opening line dies under the gram cap") {
+    // one real stitch + 30 docs sharing the same 3-token head: the
+    // hot head gram would pair with any matching tail; the cap kills
+    // the hot bucket wholesale and keeps the unique stitch
+    val docs = (Seq((0L, "p1 p2 a b c"), (1L, "a b c q1 q2")) ++
+      (2L until 32L).map(i => (i, s"hot head line u$i v$i")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.continuationPairs(docs, "text", "doc_id",
+      k = 3, maxDocFreq = 5)
+    assert(capped.as[(Long, Long)].collect().toSet == Set((0L, 1L)))
+  }
+
   test("contaminationAttribution: argmax train doc, pinned ties, clean ledger row") {
     val eval = Seq((1L, "a b c d"), (3L, "zz ww"))
       .toDF("doc_id", "text")
