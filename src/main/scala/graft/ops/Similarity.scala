@@ -1877,40 +1877,35 @@ object Similarity {
     * Reported: the Rayleigh share λ/trace(M) and the dominant
     * dimension of the converged direction.
     *
-    * Scale: M is built with NO join and NO data-sized shuffle — two
-    * chained generators fan each vector out to its d² coordinate
-    * products IN PLACE (narrow, pipelined), and the (d1, d2)-keyed
-    * aggregate partially combines map-side, so only d² rows per task
-    * reach the exchange (d ≤ 256 enforced ⇒ ≤ 65 536 rows, a bounded
-    * artifact). The measured alternative — quantize-explode +
-    * id-keyed self-join — re-shuffles n·d rows by id first and came
-    * out 4× slower at sf1 (40 s → 10 s). The iteration then runs on
-    * the driver over the bounded matrix in exact BigInt; nothing
-    * data-sized ever leaves the executors.
+    * Scale: M is built by the native
+    * [[graft.functions.OuterProductSumAgg]] kernel — ONE pass, d²
+    * multiply-adds per row in a flat per-task long buffer, no row
+    * fan-out, shuffle = d²+2 longs per task (d ≤ 256 enforced in the
+    * kernel). Two rejected shapes, both measured: quantize-explode +
+    * id-keyed self-join (exp 1.17, 40 s at sf1 — re-shuffles n·d rows
+    * by id), and chained-generator fan-out + (d1,d2) hash aggregate
+    * (820M aggregate-input rows at sf10 = 135 s, allocation-bound;
+    * the kernel does the same arithmetic in ~4 s). The iteration then
+    * runs on the driver over the bounded matrix in exact BigInt;
+    * nothing data-sized ever leaves the executors.
     */
   def topComponentShare(emb: DataFrame, idCol: String, vecCol: String,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
     val spark = emb.sparkSession
-    val mRows = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val packed = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(transform(asDouble(col(vecCol)),
         x => round(x * 1000000).cast("long")).as("xs"))
-      .select(posexplode(col("xs")).as(Seq("d1", "x1")), col("xs"))
-      .select(col("d1").cast("long").as("d1"), col("x1"),
-        posexplode(col("xs")).as(Seq("d2", "x2")))
-      .groupBy(col("d1"), col("d2").cast("long").as("d2"))
-      .agg(sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("v"),
-        count(lit(1)).as("cnt")) // cnt at (0,0) = vector count: ONE pass
-      .collect() // bounded: d² rows, d ≤ 256 (require below)
-    val dims = mRows.iterator.map(_.getLong(0)).max.toInt + 1
-    require(dims <= 256, s"dims out of range for the bounded collect: $dims")
-    val nVecs = mRows.iterator
-      .filter(r => r.getLong(0) == 0 && r.getLong(1) == 0)
-      .map(_.getLong(3)).next()
+      .select(graft.functions.MomentExpressions.outerProductSum(col("xs"))
+        .as("m"))
+      .head().getAs[scala.collection.Seq[Long]]("m")
+      .toArray // bounded: d²+2 longs, d ≤ 256 (kernel-enforced)
+    val dims = packed(0).toInt
+    require(dims >= 1, "no vectors to audit")
+    val nVecs = packed(1)
     val m = Array.ofDim[BigInt](dims, dims)
-    for (r <- mRows)
-      m(r.getLong(0).toInt)(r.getLong(1).toInt) =
-        BigInt(r.getDecimal(2).toBigInteger)
+    for (i <- 0 until dims; j <- 0 until dims)
+      m(i)(j) = BigInt(packed(2 + i * dims + j))
     var u = Array.fill(dims)(BigInt(1000000))
     var w = Array.fill(dims)(BigInt(0))
     for (_ <- 1 to iters) {
