@@ -558,6 +558,44 @@ object Cleaning {
     * (the columnProfile shape). Work is rows × rules, shuffle is one
     * row.
     */
+  /** Length-debiased quality score — LM quality proxies correlate
+    * with document LENGTH (short docs get extreme per-token means),
+    * so thresholding the raw score silently biases curation toward a
+    * length profile. Here each document's [[graft.ops.TextOps
+    * .unigramLogProb]] score is z-scored WITHIN its token-count band
+    * (`bandWidth` tokens per band), so "good for its length" is the
+    * ranking signal. The score is pinned to micro once (`round(·1e6)`
+    * on the 6-d.p. score both engines already hash-agree on); band
+    * moments are exact integers; z is the q141 whiten formula — ONE
+    * pinned double chain `(n·x − S)/√(n·Σx² − S²)`, zero-variance
+    * bands null.
+    *
+    * Scale: the LM scoring is unigramLogProb's own plan; on top, one
+    * band-keyed moment aggregate (band cardinality ≈ maxlen/band) and
+    * a broadcast join back. Nothing data-sized beyond the scoring.
+    */
+  def lengthDebiasedScore(df: DataFrame, textCol: String, idCol: String,
+      bandWidth: Int = 10): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
+    val scored = TextOps.unigramLogProb(df, textCol, idCol)
+      .select(col("id"), col("n_words"),
+        expr(s"n_words div $bandWidth").as("band"),
+        round(col("logprob") * 1000000).cast("long").as("score_micro"))
+    // moment products ride decimal(38): bn·Σx² at micro scale passes
+    // the long range around ~5k docs per band
+    val moments = scored.groupBy("band")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("bn"),
+        sum(col("score_micro").cast("decimal(38,0)")).as("bs"),
+        sum((col("score_micro") * col("score_micro"))
+          .cast("decimal(38,0)")).as("bss"))
+    scored.join(broadcast(moments), Seq("band"))
+      .select(col("id"), col("n_words"), col("band"), col("score_micro"),
+        when(col("bn") * col("bss") - col("bs") * col("bs") > 0,
+          round((col("bn") * col("score_micro") - col("bs")).cast("double")
+            / sqrt((col("bn") * col("bss") - col("bs") * col("bs"))
+              .cast("double")), 6)).as("z6"))
+  }
+
   def filterOverlapReport(df: DataFrame, idCol: String,
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty && rules.size <= 64,

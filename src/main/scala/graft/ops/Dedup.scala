@@ -172,6 +172,39 @@ object Dedup {
         expr("(1000000 * w_inter) div (wa + wb - w_inter)").as("wj_ppm"))
   }
 
+  /** Near-dup source-attribution matrix — "who copies whom": roll the
+    * exact n-gram-Jaccard pair set up to (source, source) cells, with
+    * the pair count and the count of DISTINCT documents each cell
+    * touches. The off-diagonal cells are the cross-source duplication
+    * a per-source dedup pass ([[graft.ops.Cleaning.domainQuality]])
+    * cannot see; the diagonal is each source's internal redundancy.
+    * Sources are ordered lexically within a cell (s1 ≤ s2) so the
+    * matrix is one triangle.
+    *
+    * Scale: the pair set is [[ngramJaccardPairs]]' (caller caps or
+    * df-prunes per its contract); on top, two broadcast-size source
+    * lookups and a cell-keyed rollup — cells ≤ sources².
+    */
+  def nearDupSourceMatrix(df: DataFrame, textCol: String, idCol: String,
+      srcCol: String, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val srcs = df.filter(col(idCol).isNotNull && col(srcCol).isNotNull)
+      .select(col(idCol).as("id"), col(srcCol).as("src"))
+    val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold,
+        maxDocFreq)
+      .join(srcs.select(col("id").as("a"), col("src").as("sa")), "a")
+      .join(srcs.select(col("id").as("b"), col("src").as("sb")), "b")
+      .select(col("a"), col("b"),
+        least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"))
+      .localCheckpoint() // roles: pair rollup + distinct-doc rollup
+    val docs = pairs.select(col("s1"), col("s2"), col("a").as("id"))
+      .unionByName(pairs.select(col("s1"), col("s2"), col("b").as("id")))
+      .groupBy("s1", "s2").agg(countDistinct("id").as("n_docs"))
+    pairs.groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+      .join(docs, Seq("s1", "s2"))
+  }
+
   /** Document-continuation pairs — the SPLIT-document detector: a
     * crawler that paginates, a PDF-to-text that chunks, or an ingest
     * cap that truncates leaves one document's TAIL equal to another's

@@ -787,6 +787,78 @@ object Round14Queries {
               FROM ok)
     SELECT a, b FROM tails JOIN heads USING (gram) WHERE a <> b"""
 
+  // —————————————————————————————— dup source matrix (q389)
+  // ("who copies whom": exact Jaccard near-dup pairs rolled up to
+  //  (source, source) cells — cross-source duplication a per-source
+  //  dedup cannot see; pair count + distinct docs per cell.)
+  val q389DupSourceMatrix: Q = (s, dir) =>
+    graft.ops.Dedup.nearDupSourceMatrix(
+      Tables.documents(s, dir).where(col("doc_id") < 1000),
+      "text", "doc_id", "source", n = 3, threshold = 0.5)
+  private val q389Sql: String = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle
+                AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM (
+        SELECT a, b,
+          inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b)
+      WHERE jaccard >= 0.5),
+    ps AS (SELECT p.a, p.b,
+             least(da.source, db.source) AS s1,
+             greatest(da.source, db.source) AS s2
+           FROM pairs p
+           JOIN documents da ON da.doc_id = p.a
+           JOIN documents db ON db.doc_id = p.b
+           WHERE da.source IS NOT NULL AND db.source IS NOT NULL),
+    dc AS (SELECT s1, s2, count(DISTINCT id) AS n_docs FROM
+          (SELECT s1, s2, a AS id FROM ps
+           UNION ALL SELECT s1, s2, b FROM ps)
+          GROUP BY 1, 2),
+    pc AS (SELECT s1, s2, count(*) AS n_pairs FROM ps GROUP BY 1, 2)
+    SELECT pc.s1, pc.s2, pc.n_pairs, dc.n_docs
+    FROM pc JOIN dc USING (s1, s2)"""
+
+  // —————————————————————————————— length-debiased quality (q390)
+  // (LM quality proxies correlate with length; z-score the q82
+  //  unigram score WITHIN 10-token length bands so "good for its
+  //  length" is the curation signal. Micro-pinned score, exact
+  //  decimal band moments, the q141 whiten chain for z.)
+  val q390LengthDebiased: Q = (s, dir) =>
+    graft.ops.Cleaning.lengthDebiasedScore(Tables.documents(s, dir),
+      "text", "doc_id", bandWidth = 10)
+  private val q390Sql: String = """
+    WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                 AS word
+               FROM documents),
+    c AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM c),
+    sc0 AS (SELECT doc_id AS id,
+              round(avg(ln(c / CAST(n AS DOUBLE))), 6) AS logprob,
+              count(*) AS n_words
+            FROM w JOIN c USING (word), n GROUP BY doc_id),
+    sc AS (SELECT id, n_words, n_words // 10 AS band,
+             CAST(round(logprob * 1000000) AS BIGINT) AS score_micro
+           FROM sc0),
+    m AS (SELECT band, CAST(count(*) AS HUGEINT) AS bn,
+            CAST(sum(score_micro) AS HUGEINT) AS bs,
+            CAST(sum(score_micro * score_micro) AS HUGEINT) AS bss
+          FROM sc GROUP BY 1)
+    SELECT id, n_words, band, score_micro,
+      CASE WHEN bn * bss - bs * bs > 0 THEN
+        round(CAST(bn * score_micro - bs AS DOUBLE)
+          / sqrt(CAST(bn * bss - bs * bs AS DOUBLE)), 6)
+      END AS z6
+    FROM sc JOIN m USING (band)"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -806,7 +878,9 @@ object Round14Queries {
     "q385_filter_overlap" -> q385FilterOverlap,
     "q386_ipf_raking" -> q386IpfRaking,
     "q387_weighted_jaccard" -> q387WeightedJaccard,
-    "q388_continuation" -> q388Continuation)
+    "q388_continuation" -> q388Continuation,
+    "q389_dup_source_matrix" -> q389DupSourceMatrix,
+    "q390_length_debiased" -> q390LengthDebiased)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -827,5 +901,7 @@ object Round14Queries {
     "q385_filter_overlap" -> q385Sql,
     "q386_ipf_raking" -> q386Sql,
     "q387_weighted_jaccard" -> q387Sql,
-    "q388_continuation" -> q388Sql)
+    "q388_continuation" -> q388Sql,
+    "q389_dup_source_matrix" -> q389Sql,
+    "q390_length_debiased" -> q390Sql)
 }

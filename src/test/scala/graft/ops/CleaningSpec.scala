@@ -358,4 +358,20 @@ class CleaningSpec extends SparkSpec {
     // the null row is NOT a hit and survives
     assert(got == Seq((0L, "small", 1L, 500000L, 1L, 1L, 500000L, 2L)))
   }
+
+  test("lengthDebiasedScore: within-band z, two-doc band is exactly ±1") {
+    import spark.implicits._
+    // band 0: two 3-word docs with different unigram profiles — for a
+    // 2-member band the whiten chain reduces to z = ±1 exactly; the
+    // lone 11-word doc sits in band 1 with zero variance → null
+    val docs = Seq((1L, "a a a"), (2L, "a a b"),
+      (3L, "c c c c c c c c c c c")).toDF("doc_id", "text")
+    val got = Cleaning.lengthDebiasedScore(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 0L && got(2L)._3 == 0L && got(3L)._3 == 1L)
+    // "a" is the commoner token, so doc 1 scores higher than doc 2
+    assert(got(1L)._5 == Some(1.0) && got(2L)._5 == Some(-1.0))
+    assert(got(3L)._5.isEmpty)
+  }
 }

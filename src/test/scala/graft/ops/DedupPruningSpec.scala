@@ -202,4 +202,19 @@ class DedupPruningSpec extends SparkSpec {
     // shares {c d} — tie of 1 pins to train 0, recall = 500000
     assert(got == Seq((1L, Some(0L), 1L, 2L, 500000L)))
   }
+
+  test("nearDupSourceMatrix: cross-source cells, lexical triangle, distinct docs") {
+    // one cross-source near-dup pair (X, Y) and one within-X pair;
+    // cells are (s1 <= s2) triangles with distinct-doc counts
+    val docs = Seq(
+      (0L, "n1 n2 n3 n4 n5 n6 n7", "srcY"),
+      (1L, "n1 n2 n3 n4 n5 n6 z7", "srcX"),
+      (2L, "m1 m2 m3 m4 m5 m6 m7", "srcX"),
+      (3L, "m1 m2 m3 m4 m5 m6 q7", "srcX"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7", "srcZ")).toDF("doc_id", "text", "source")
+    val got = Dedup.nearDupSourceMatrix(docs, "text", "doc_id", "source",
+        n = 3, threshold = 0.5)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("srcX", "srcY", 1L, 2L), ("srcX", "srcX", 1L, 2L)))
+  }
 }
