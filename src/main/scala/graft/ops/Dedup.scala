@@ -172,6 +172,44 @@ object Dedup {
         expr("(1000000 * w_inter) div (wa + wb - w_inter)").as("wj_ppm"))
   }
 
+  /** Eval n-gram coverage spectrum — the corpus-level complement of
+    * per-doc contamination ([[contamination]]/[[contaminationAttribution]]):
+    * for every n on the caller's lattice, what fraction of the eval
+    * split's DISTINCT n-grams appear anywhere in train? Low-n coverage
+    * near 10⁶ ppm is expected (shared vocabulary); the DECAY with n is
+    * the signal — a long plateau means verbatim overlap, a fast decay
+    * means only lexical overlap. Exact distinct counts, truncating ppm.
+    *
+    * Scale: per n, two distinct-shingle builds (narrow + one
+    * digest-keyed distinct each) and one semi-join — all shuffles key
+    * on the gram digest; output is |lattice| rows. The lattice is
+    * bounded (≤ 8) so the union of per-n plans stays a handful of
+    * scans; at 100 TB run it over the staged shingle table instead of
+    * re-deriving per n.
+    */
+  def coverageSpectrum(evalDf: DataFrame, trainDf: DataFrame,
+      textCol: String, idCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.size <= 8 && ns.forall(_ >= 1))
+    val perN = ns.distinct.sorted.map { n =>
+      val eg = shingleRows(evalDf, textCol, idCol, n)
+        .select("shingle").distinct()
+        .localCheckpoint() // roles: count + covered semi-join
+      val tg = shingleRows(trainDf, textCol, idCol, n)
+        .select("shingle").distinct()
+      val covered = eg.join(tg, Seq("shingle"), "left_semi")
+        .agg(count(lit(1)).as("n_covered"))
+      eg.agg(count(lit(1)).as("n_eval_grams"))
+        .crossJoin(covered)
+        .select(lit(n.toLong).as("n"), col("n_eval_grams"),
+          col("n_covered"),
+          when(col("n_eval_grams") > 0,
+            expr("(1000000 * n_covered) div n_eval_grams"))
+            .as("coverage_ppm"))
+    }
+    perN.reduce(_ unionByName _)
+  }
+
   /** Near-dup source-attribution matrix — "who copies whom": roll the
     * exact n-gram-Jaccard pair set up to (source, source) cells, with
     * the pair count and the count of DISTINCT documents each cell

@@ -1255,4 +1255,52 @@ object TextOps {
       .withColumn("coverage_ppm",
         expr(s"(1000000 * cum_covered) div $universe"))
   }
+
+  /** Token dispersion — Gries' DP (deviation of proportions) per
+    * token across corpus parts: DP = Σ_p |obs_share − expected_share|
+    * / 2, where expected is the part's share of ALL tokens and
+    * observed is the token's own distribution. DP ≈ 0 = the token is
+    * spread exactly like the corpus (function words); DP → 1 = the
+    * token lives in one part (topic/template words — and, in a
+    * training mix, the tokens a source-capped sampler will starve).
+    * The raw-frequency view cannot see this: two tokens with equal
+    * counts can have opposite dispersions.
+    *
+    * Exactness: shares are truncating ppm (the pinned grain), the
+    * final halving truncates — both engines replay the identical
+    * integers. ABSENT (token, part) cells count |0 − expected|, so
+    * the per-token frame is the full part lattice: `minCount` floors
+    * the vocabulary BEFORE the lattice (vocab·parts rows is the
+    * bounded frame, parts are caller-bounded by contract).
+    *
+    * Scale: one (part, token) count (map-side combined), one
+    * vocab-sized rollup, one broadcast part-size join; the lattice
+    * cross join is (floored vocab) × (bounded parts).
+    */
+  def tokenDispersion(df: DataFrame, textCol: String, partCol: String,
+      minCount: Long = 10): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val cells = df
+      .filter(col(textCol).isNotNull && col(partCol).isNotNull)
+      .select(col(partCol).as("part"),
+        explode(words(col(textCol))).as("word"))
+      .groupBy("part", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // roles: part sizes + token totals + lattice join
+    val parts = cells.groupBy("part").agg(sum("c").as("s"))
+    val total = parts.agg(sum("s").as("st"))
+    val expected = parts.crossJoin(broadcast(total))
+      .select(col("part"), expr("(1000000 * s) div st").as("e_ppm"))
+    val vocab = cells.groupBy("word").agg(sum("c").as("ct"),
+        count(lit(1)).as("n_parts_present"))
+      .where(col("ct") >= minCount)
+    vocab.crossJoin(broadcast(expected))
+      .join(cells, Seq("word", "part"), "left")
+      .select(col("word"), col("ct"), col("n_parts_present"),
+        col("e_ppm"),
+        expr("(1000000 * coalesce(c, 0)) div ct").as("o_ppm"))
+      .groupBy("word")
+      .agg(first("ct").as("n_occurrences"),
+        first("n_parts_present").as("n_parts_present"),
+        expr("sum(abs(o_ppm - e_ppm)) div 2").as("dp_ppm"))
+  }
 }

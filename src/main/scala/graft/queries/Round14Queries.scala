@@ -859,6 +859,78 @@ object Round14Queries {
       END AS z6
     FROM sc JOIN m USING (band)"""
 
+  // —————————————————————————————— coverage spectrum (q391)
+  // (the corpus-level decontamination dial: fraction of the eval
+  //  split's distinct n-grams present anywhere in train, for
+  //  n = 1..4 — the DECAY with n separates lexical overlap from
+  //  verbatim leakage.)
+  val q391CoverageSpectrum: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Dedup.coverageSpectrum(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      "text", "doc_id", ns = Seq(1, 2, 3, 4))
+  }
+  private val q391Sql: String = {
+    def one(n: Int): String = {
+      val gram = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""
+    SELECT CAST($n AS BIGINT) AS n, eg.n_eval_grams, cv.n_covered,
+      CASE WHEN eg.n_eval_grams > 0 THEN
+        CAST((1000000 * cv.n_covered) // eg.n_eval_grams AS BIGINT)
+      END AS coverage_ppm
+    FROM
+      (SELECT count(*) AS n_eval_grams FROM
+        (SELECT DISTINCT $gram AS g
+         FROM (SELECT w, unnest(range(1, len(w) + 2 - $n)) AS i
+               FROM (SELECT string_split(lower(text), ' ') AS w
+                     FROM documents WHERE doc_id % 2 = 1)))) eg,
+      (SELECT count(*) AS n_covered FROM
+        (SELECT DISTINCT $gram AS g
+         FROM (SELECT w, unnest(range(1, len(w) + 2 - $n)) AS i
+               FROM (SELECT string_split(lower(text), ' ') AS w
+                     FROM documents WHERE doc_id % 2 = 1)))
+       WHERE g IN
+        (SELECT DISTINCT $gram AS g
+         FROM (SELECT w, unnest(range(1, len(w) + 2 - $n)) AS i
+               FROM (SELECT string_split(lower(text), ' ') AS w
+                     FROM documents WHERE doc_id % 2 = 0)))) cv"""
+    }
+    Seq(1, 2, 3, 4).map(one).mkString("\n    UNION ALL\n")
+  }
+
+  // —————————————————————————————— token dispersion (q392)
+  // (Gries' DP per token across sources: Σ|obs − expected|/2 in
+  //  truncating ppm over the FULL part lattice — absent cells count
+  //  the full expected share; the burstiness view raw frequency
+  //  can't see. Top 50 by (DP desc, word).)
+  val q392TokenDispersion: Q = (s, dir) =>
+    graft.ops.TextOps.tokenDispersion(Tables.documents(s, dir),
+        "text", "source", minCount = 50)
+      .orderBy(col("dp_ppm").desc, col("word")).limit(50)
+  private val q392Sql: String = """
+    WITH cells AS (SELECT source AS part,
+            unnest(string_split(lower(text), ' ')) AS word
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    c AS (SELECT part, word, count(*) AS c FROM cells GROUP BY 1, 2),
+    p AS (SELECT part, CAST(sum(c) AS BIGINT) AS s FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(s) AS BIGINT) AS st FROM p),
+    e AS (SELECT part, CAST((1000000 * s) // (SELECT st FROM t)
+            AS BIGINT) AS e_ppm FROM p),
+    v AS (SELECT word, CAST(sum(c) AS BIGINT) AS ct,
+            count(*) AS n_parts_present
+          FROM c GROUP BY 1 HAVING sum(c) >= 50),
+    lat AS (SELECT v.word, v.ct, v.n_parts_present, e.part, e.e_ppm,
+              CAST((1000000 * coalesce(c.c, 0)) // v.ct AS BIGINT)
+                AS o_ppm
+            FROM v CROSS JOIN e
+            LEFT JOIN c ON c.word = v.word AND c.part = e.part)
+    SELECT word, any_value(ct) AS n_occurrences,
+      any_value(n_parts_present) AS n_parts_present,
+      CAST(sum(abs(o_ppm - e_ppm)) // 2 AS BIGINT) AS dp_ppm
+    FROM lat GROUP BY 1
+    ORDER BY dp_ppm DESC, word LIMIT 50"""
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -880,7 +952,9 @@ object Round14Queries {
     "q387_weighted_jaccard" -> q387WeightedJaccard,
     "q388_continuation" -> q388Continuation,
     "q389_dup_source_matrix" -> q389DupSourceMatrix,
-    "q390_length_debiased" -> q390LengthDebiased)
+    "q390_length_debiased" -> q390LengthDebiased,
+    "q391_coverage_spectrum" -> q391CoverageSpectrum,
+    "q392_token_dispersion" -> q392TokenDispersion)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -903,5 +977,7 @@ object Round14Queries {
     "q387_weighted_jaccard" -> q387Sql,
     "q388_continuation" -> q388Sql,
     "q389_dup_source_matrix" -> q389Sql,
-    "q390_length_debiased" -> q390Sql)
+    "q390_length_debiased" -> q390Sql,
+    "q391_coverage_spectrum" -> q391Sql,
+    "q392_token_dispersion" -> q392Sql)
 }

@@ -520,4 +520,20 @@ class CorpusAuditSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(adj == Set((1L, 2L, 1L), (2L, 3L, 2L)))
   }
+
+  test("tokenDispersion: even token DP=0, one-part token DP=500000 over 2 parts") {
+    import spark.implicits._
+    // parts P "x x y y" and Q "x x z z": expected shares 1/2 each;
+    // x is spread like the corpus (DP 0), y and z live in one part
+    // (DP = (|1e6−5e5| + |0−5e5|)/2 = 500000)
+    val docs = Seq(("P", "x x y y"), ("Q", "x x z z"))
+      .toDF("source", "text")
+    val got = TextOps.tokenDispersion(docs, "text", "source",
+        minCount = 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("x") == (("x", 4L, 2L, 0L)))
+    assert(got("y") == (("y", 2L, 1L, 500000L)))
+    assert(got("z") == (("z", 2L, 1L, 500000L)))
+  }
 }

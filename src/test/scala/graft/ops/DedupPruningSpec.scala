@@ -217,4 +217,17 @@ class DedupPruningSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSet
     assert(got == Set(("srcX", "srcY", 1L, 2L), ("srcX", "srcX", 1L, 2L)))
   }
+
+  test("coverageSpectrum: exact per-n coverage, decaying with n") {
+    val eval_ = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val train = Seq((0L, "a b x")).toDF("doc_id", "text")
+    val got = Dedup.coverageSpectrum(eval_, train, "text", "doc_id",
+        ns = Seq(1, 2))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // n=1: {a,b,c} vs train {a,b,x} → 2/3; n=2: {a b, b c} vs
+    // {a b, b x} → 1/2
+    assert(got(1L) == ((1L, 3L, 2L, Some(666666L))))
+    assert(got(2L) == ((2L, 2L, 1L, Some(500000L))))
+  }
 }
