@@ -87,4 +87,46 @@ class PushdownSpec extends SparkSpec {
     assert(broadcastJoins(df) >= 1,
       s"centroids must broadcast:\n${df.queryExecution.executedPlan}")
   }
+
+  test("filterOverlapReport is ONE aggregate pass — a single exchange") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, i % 7)).toDF("id", "v")
+    val plan = Cleaning.filterOverlapReport(df, "id", Seq(
+        "a" -> (col("v") < 2), "b" -> (col("v") > 5)))
+      .queryExecution.executedPlan.toString()
+    // one shuffle for the global aggregate, nothing per rule
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"expected at most one exchange:\n$plan")
+  }
+
+  test("uniMaxAllocation's windows never touch data-sized rows") {
+    import spark.implicits._
+    // the corpus reduces to source cardinality BEFORE any window: the
+    // plan's window operators must sit above the grouped aggregate
+    val docs = (1L to 100L).map(i => (s"t$i word word", s"s${i % 5}"))
+      .toDF("text", "source")
+    val qe = Sampling.uniMaxAllocation(docs, "text", "source",
+      budget = 100L).queryExecution
+    val plan = qe.executedPlan.toString()
+    assert(plan.contains("Window"))
+    // the aggregate that bounds the frame appears below the windows in
+    // the tree: equivalently, the window's input is an Aggregate, not
+    // the raw scan — check via the optimized logical plan shape
+    val logical = qe.optimizedPlan.toString()
+    val winIdx = logical.indexOf("Window")
+    val aggIdx = logical.indexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must run over the aggregated source frame:\n$logical")
+  }
+
+  test("contaminationAttribution's top-1 is a WindowGroupLimit map-side prune") {
+    import spark.implicits._
+    val eval = (1L to 20L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val train = (100L to 110L).map(i => (i, "a b x y")).toDF("doc_id", "text")
+    val plan = Dedup.contaminationAttribution(eval, train,
+        "text", "doc_id", n = 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn=1 must prune map-side:\n$plan")
+  }
 }
