@@ -180,12 +180,16 @@ object Dedup {
     * the signal — a long plateau means verbatim overlap, a fast decay
     * means only lexical overlap. Exact distinct counts, truncating ppm.
     *
-    * Scale: per n, two distinct-shingle builds (narrow + one
-    * digest-keyed distinct each) and one semi-join — all shuffles key
-    * on the gram digest; output is |lattice| rows. The lattice is
-    * bounded (≤ 8) so the union of per-n plans stays a handful of
-    * scans; at 100 TB run it over the staged shingle table instead of
-    * re-deriving per n.
+    * Scale: per n, two distinct-shingle builds and one semi-join —
+    * every shuffle keys on a 64-bit md5 DIGEST of the gram, never the
+    * raw string (the [[contamination]] discipline: a 4-gram is ~25
+    * bytes + row overhead, and the raw-string variant measured exp
+    * 1.31 across the sf1→sf10 decade — spill-bound — vs 16-byte
+    * digests; both engines hash identically, so even a collision
+    * cannot diverge the compare). Output is |lattice| rows; the
+    * lattice is bounded (≤ 8) so the union of per-n plans stays a
+    * handful of scans; at 100 TB run it over the staged shingle table
+    * instead of re-deriving per n.
     */
   def coverageSpectrum(evalDf: DataFrame, trainDf: DataFrame,
       textCol: String, idCol: String,
@@ -193,10 +197,12 @@ object Dedup {
     require(ns.nonEmpty && ns.size <= 8 && ns.forall(_ >= 1))
     val perN = ns.distinct.sorted.map { n =>
       val eg = shingleRows(evalDf, textCol, idCol, n)
-        .select("shingle").distinct()
+        .select(substring(md5(col("shingle")), 1, 16).as("shingle"))
+        .distinct()
         .localCheckpoint() // roles: count + covered semi-join
       val tg = shingleRows(trainDf, textCol, idCol, n)
-        .select("shingle").distinct()
+        .select(substring(md5(col("shingle")), 1, 16).as("shingle"))
+        .distinct()
       val covered = eg.join(tg, Seq("shingle"), "left_semi")
         .agg(count(lit(1)).as("n_covered"))
       eg.agg(count(lit(1)).as("n_eval_grams"))

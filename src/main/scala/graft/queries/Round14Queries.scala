@@ -770,7 +770,8 @@ object Round14Queries {
       .unionByName(el.select((col("doc_id") + 100000L).as("id"),
         concat_ws(" ", slice(col("_w"), lit(31),
           size(col("_w")) - 30)).as("text")))
-    graft.ops.Dedup.continuationPairs(frags, "text", "id", k = 10)
+    graft.ops.Dedup.continuationPairs(frags, "text", "id", k = 10,
+      maxDocFreq = 64)
   }
   private val q388Sql: String = """
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
@@ -781,10 +782,14 @@ object Round14Queries {
              UNION ALL
              SELECT doc_id + 100000, w[31:len(w)] FROM el),
     ok AS (SELECT id, w FROM frag WHERE len(w) >= 10),
-    tails AS (SELECT id AS a,
+    t0 AS (SELECT id AS a,
         array_to_string(w[len(w)-9:len(w)], ' ') AS gram FROM ok),
-    heads AS (SELECT id AS b, array_to_string(w[1:10], ' ') AS gram
-              FROM ok)
+    h0 AS (SELECT id AS b, array_to_string(w[1:10], ' ') AS gram
+           FROM ok),
+    tails AS (SELECT a, gram FROM (SELECT a, gram,
+          count(*) OVER (PARTITION BY gram) AS df FROM t0) WHERE df <= 64),
+    heads AS (SELECT b, gram FROM (SELECT b, gram,
+          count(*) OVER (PARTITION BY gram) AS df FROM h0) WHERE df <= 64)
     SELECT a, b FROM tails JOIN heads USING (gram) WHERE a <> b"""
 
   // —————————————————————————————— dup source matrix (q389)
@@ -881,17 +886,17 @@ object Round14Queries {
       END AS coverage_ppm
     FROM
       (SELECT count(*) AS n_eval_grams FROM
-        (SELECT DISTINCT $gram AS g
+        (SELECT DISTINCT substr(md5($gram), 1, 16) AS g
          FROM (SELECT w, unnest(range(1, len(w) + 2 - $n)) AS i
                FROM (SELECT string_split(lower(text), ' ') AS w
                      FROM documents WHERE doc_id % 2 = 1)))) eg,
       (SELECT count(*) AS n_covered FROM
-        (SELECT DISTINCT $gram AS g
+        (SELECT DISTINCT substr(md5($gram), 1, 16) AS g
          FROM (SELECT w, unnest(range(1, len(w) + 2 - $n)) AS i
                FROM (SELECT string_split(lower(text), ' ') AS w
                      FROM documents WHERE doc_id % 2 = 1)))
        WHERE g IN
-        (SELECT DISTINCT $gram AS g
+        (SELECT DISTINCT substr(md5($gram), 1, 16) AS g
          FROM (SELECT w, unnest(range(1, len(w) + 2 - $n)) AS i
                FROM (SELECT string_split(lower(text), ' ') AS w
                      FROM documents WHERE doc_id % 2 = 0)))) cv"""
