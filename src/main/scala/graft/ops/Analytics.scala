@@ -2863,9 +2863,13 @@ object Analytics {
       val marg = cells.groupBy(keyCol)
         .agg(sum("w").as("_m"), first(targetCol).as("_t"))
         // target is in COUNT units, the marginal in micro: the micro
-        // ratio is target·10¹² div marginal
+        // ratio is target·10¹² div marginal — the product rides
+        // decimal(38,0) (a Long target over ~9.2e6 would wrap the
+        // plain-Long multiply silently in non-ANSI mode); `div` on
+        // decimals still yields BIGINT, so _sc stays a long
         .select(col(keyCol),
-          when(col("_m") > 0, expr(s"(_t * 1000000000000) div _m"))
+          when(col("_m") > 0,
+            expr("(cast(_t as decimal(38,0)) * 1000000000000) div _m"))
             .as("_sc"))
       cells.join(broadcast(marg), Seq(keyCol))
         .select(col("row"), col("col"), col("n"), col("rt"), col("ct"),

@@ -542,22 +542,6 @@ object Cleaning {
             expr("(84600 * spw_milli) div 1000")))
   }
 
-  /** Filter-cascade overlap report — the design tool for ordering a
-    * quality-filter stack: per rule (in the caller's pinned order),
-    * its INDEPENDENT hit count, its MARGINAL hits (documents no
-    * earlier rule already killed — a rule whose marginal is ~0 is
-    * redundant where it sits), and the survivor count after the
-    * prefix ending at it. Rules arrive as named boolean "violation"
-    * Columns, so any predicate the engine can express can sit in the
-    * cascade; nulls count as not-hit (a rule that cannot evaluate must
-    * not kill).
-    *
-    * Scale: ONE pass — every rule and every prefix combination is a
-    * conditional-sum column of the SAME aggregate (map-side
-    * combinable), then the rule rows explode from the 1-row result
-    * (the columnProfile shape). Work is rows × rules, shuffle is one
-    * row.
-    */
   /** Length-debiased quality score — LM quality proxies correlate
     * with document LENGTH (short docs get extreme per-token means),
     * so thresholding the raw score silently biases curation toward a
@@ -596,6 +580,22 @@ object Cleaning {
               .cast("double")), 6)).as("z6"))
   }
 
+  /** Filter-cascade overlap report — the design tool for ordering a
+    * quality-filter stack: per rule (in the caller's pinned order),
+    * its INDEPENDENT hit count, its MARGINAL hits (documents no
+    * earlier rule already killed — a rule whose marginal is ~0 is
+    * redundant where it sits), and the survivor count after the
+    * prefix ending at it. Rules arrive as named boolean "violation"
+    * Columns, so any predicate the engine can express can sit in the
+    * cascade; nulls count as not-hit (a rule that cannot evaluate must
+    * not kill).
+    *
+    * Scale: ONE pass — every rule and every prefix combination is a
+    * conditional-sum column of the SAME aggregate (map-side
+    * combinable), then the rule rows explode from the 1-row result
+    * (the columnProfile shape). Work is rows × rules, shuffle is one
+    * row.
+    */
   def filterOverlapReport(df: DataFrame, idCol: String,
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty && rules.size <= 64,

@@ -165,7 +165,11 @@ object Dedup {
       .agg(sum(col("x.w")).as("w_inter"))
       .join(totals.select(col("id").as("a"), col("wt").as("wa")), "a")
       .join(totals.select(col("id").as("b"), col("wt").as("wb")), "b")
-      .where(lit(100L) * col("w_inter") >=
+      // w_union > 0 guard: docs built ENTIRELY of ultra-hot shingles
+      // (df > 10⁶ ⇒ weight 0) would otherwise pass via 0 ≥ 0 — the
+      // exact template-page false positive this op exists to kill
+      .where(col("wa") + col("wb") - col("w_inter") > 0 &&
+        lit(100L) * col("w_inter") >=
         lit(thresholdPct.toLong) * (col("wa") + col("wb") - col("w_inter")))
       .select(col("a"), col("b"), col("w_inter"),
         (col("wa") + col("wb") - col("w_inter")).as("w_union"),

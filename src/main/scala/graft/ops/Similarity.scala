@@ -691,7 +691,11 @@ object Similarity {
     val other = dists.join(own, "id")
       .where(col("cid") =!= col("own_cid"))
       .groupBy("id").agg(min("d").as("b"))
-    val s = own.join(other, "id")
+    // left join: with < 2 live centroids (input had < 2 distinct ids —
+    // the k ≥ 2 require bounds the PARAMETER, not the data) `other` is
+    // empty; members must survive with null b/s, not vanish from the
+    // n_members count
+    val s = own.join(other, Seq("id"), "left")
       .select(col("id"), col("own_cid").as("cid"), col("a"), col("b"),
         when(greatest(col("a"), col("b")) > 0,
           expr("((b - a) * 1000) div greatest(a, b)")).as("s_milli"))

@@ -697,14 +697,16 @@ object Round14Queries {
   private val q386Sql: String = {
     def round(r: Int): String = s"""
     rm$r AS (SELECT row_, CASE WHEN sum(w) > 0 THEN
-              CAST((any_value(rtv) * 1000000000000) // sum(w) AS BIGINT)
+              CAST((CAST(any_value(rtv) AS HUGEINT) * 1000000000000)
+                // sum(w) AS BIGINT)
             END AS sc FROM w${r - 1} GROUP BY 1),
     wr$r AS (SELECT c.row_, c.col_, c.n, c.rtv, c.ctv,
               CAST((CAST(c.w AS HUGEINT) * m.sc) // 1000000 AS BIGINT)
                 AS w
             FROM w${r - 1} c JOIN rm$r m USING (row_)),
     cm$r AS (SELECT col_, CASE WHEN sum(w) > 0 THEN
-              CAST((any_value(ctv) * 1000000000000) // sum(w) AS BIGINT)
+              CAST((CAST(any_value(ctv) AS HUGEINT) * 1000000000000)
+                // sum(w) AS BIGINT)
             END AS sc FROM wr$r GROUP BY 1),
     w$r AS MATERIALIZED (SELECT c.row_, c.col_, c.n, c.rtv, c.ctv,
               CAST((CAST(c.w AS HUGEINT) * m.sc) // 1000000 AS BIGINT)
@@ -752,7 +754,8 @@ object Round14Queries {
       CAST((1000000 * w_inter) // (ta.wt + tb.wt - w_inter) AS BIGINT)
         AS wj_ppm
     FROM pr JOIN tot ta ON ta.id = pr.a JOIN tot tb ON tb.id = pr.b
-    WHERE 100 * w_inter >= 40 * (ta.wt + tb.wt - w_inter)"""
+    WHERE ta.wt + tb.wt - w_inter > 0
+      AND 100 * w_inter >= 40 * (ta.wt + tb.wt - w_inter)"""
 
   // —————————————————————————————— continuation pairs (q388)
   // (split-document stitch detection: fragments synthesized from the

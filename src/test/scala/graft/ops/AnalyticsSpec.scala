@@ -1306,4 +1306,17 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(m - 10000000L) < 100000L,
         s"${rowSum.toMap} ${colSum.toMap}")
   }
+
+  test("ipfRaking: corpus-scale targets survive the ·10¹² scale step") {
+    // target 10¹⁰ (token-budget scale): the micro ratio 10¹⁰·10¹²
+    // overflows a plain-Long multiply (wraps at ~9.2e6 targets in
+    // non-ANSI mode — the round-14 advice fix widens to decimal(38)).
+    // Hand trace on one cell (n=2): w0 = 2e6; row sc = 1e22 div 2e6 =
+    // 5e15 → w = 1e16; col sc = 1e22 div 1e16 = 1e6 → w unchanged.
+    val df = Seq(("r1", "c1"), ("r1", "c1")).toDF("r", "c")
+    val got = Analytics.ipfRaking(df, "r", "c",
+        Seq("r1" -> 10000000000L), Seq("c1" -> 10000000000L), iters = 1)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("r1", "c1", 2L, 10000000000000000L)))
+  }
 }

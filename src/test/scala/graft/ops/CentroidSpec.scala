@@ -315,4 +315,18 @@ class CentroidSpec extends SparkSpec {
     assert(got(0L) == ((0L, 3L, 0L, None, None, None)))
     assert(got(1L) == ((1L, 0L, 0L, None, None, None)))
   }
+
+  test("kmeansSilhouette: single live centroid keeps members (null b/s)") {
+    import spark.implicits._
+    // one distinct id → one seed → no "other" centroid exists: the
+    // member must survive the b-join with null scores, not vanish from
+    // n_members (round-14 advice fix: own ⟕ other, was inner)
+    val emb = Seq((7L, Array(3.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansSilhouette(emb, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L))
+    assert(got(0L) == ((0L, 1L, 0L, None, None, None)))
+  }
 }
