@@ -418,6 +418,80 @@ object Cleaning {
       .withColumn("kept",
         col("mean_tok") >= minMeanTokens && col("dup_ppm") <= maxDupPpm)
 
+  /** Template phrases that mark a parked domain, a registrar lander, or
+    * a soft-404 body (an HTTP-200 page whose content says "not found").
+    * Lowercase literals, matched as one alternation against the
+    * lowercased raw HTML (title AND body in one pass).
+    */
+  val parkedPhrases: Seq[String] = Seq(
+    "domain is for sale", "buy this domain", "this domain has expired",
+    "parked domain", "domain parking", "under construction",
+    "coming soon", "page not found", "404 not found",
+    "default web page", "temporarily unavailable")
+
+  /** Soft-404 / parked-domain screen — the curation gate BESIDE
+    * [[domainQuality]]: a parked domain is low-dup, low-quality
+    * boilerplate (registrar landers, "coming soon" shells, soft-404
+    * templates served with HTTP 200), so the dup-rate screen never
+    * fires on it. Per-page signals, each independently cheap and
+    * oracle-expressible: (1) a [[parkedPhrases]] template hit anywhere
+    * in the lowercased HTML; (2) link-to-text dominance — anchors ≥
+    * `linkRatioPpm` of anchors+words (the q366-style `<a ` count
+    * against the extracted-text word count: parked pages are ad-link
+    * farms); (3) a tiny distinct-token body (< `minDistinctTokens`
+    * after tag-strip — a shell page says almost nothing). A HOST is
+    * parked when it has ≥ `minPages` pages and flagged pages reach
+    * `flagThresholdPct` — whole-domain drop, the RefinedWeb rule, not
+    * per-page.
+    *
+    * All verdict arithmetic is exact integer cross-multiplication
+    * (`100·n_flagged ≥ pct·n_pages`; `1e6·links ≥ ppm·(links+words)`)
+    * — no float threshold can tie-flip between engines.
+    *
+    * Scale: the signals are a narrow per-row regex/HOF map (no UDF, no
+    * shuffle of page content); the only exchange is the host-keyed
+    * rollup, map-side combined, output host-cardinality-sized. At
+    * 100 TB this composes with [[graft.ops.Web.registrableDomain]] to
+    * screen at eTLD+1 granularity.
+    */
+  def parkedDomainScreen(pages: DataFrame, hostCol: String,
+      htmlCol: String, minPages: Int = 2, flagThresholdPct: Int = 60,
+      minDistinctTokens: Int = 8, linkRatioPpm: Long = 400000): DataFrame = {
+    require(minPages >= 1, s"minPages must be >= 1, got $minPages")
+    require(flagThresholdPct > 0 && flagThresholdPct <= 100)
+    require(linkRatioPpm > 0 && linkRatioPpm <= 1000000)
+    val html = col(htmlCol)
+    val sig = pages
+      .filter(col(hostCol).isNotNull && html.isNotNull)
+      .select(col(hostCol).as("host"),
+        lower(html).rlike(parkedPhrases.mkString("|")).as("tpl"),
+        regexp_count(html, lit("<a ")).cast("long").as("n_links"),
+        Web.htmlToText(html).as("_t"))
+      .select(col("host"), col("tpl"), col("n_links"),
+        TextOps.wsTokenCount(col("_t")).as("n_words"),
+        size(array_distinct(TextOps.words(col("_t")))).cast("long")
+          .as("n_distinct"))
+      .withColumn("flagged",
+        col("tpl") ||
+          col("n_distinct") < minDistinctTokens ||
+          lit(1000000L) * col("n_links") >=
+            lit(linkRatioPpm) * (col("n_links") + col("n_words")))
+    sig.groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("tpl"), 1L).otherwise(0L)).as("n_template"),
+        sum("n_links").as("n_links"),
+        sum("n_words").as("n_words"),
+        expr("sum(n_distinct) div count(1)").as("mean_distinct_tok"))
+      .select(col("host"), col("n_pages"), col("n_flagged"),
+        col("n_template"), col("n_links"), col("n_words"),
+        col("mean_distinct_tok"),
+        expr("(1000000 * n_flagged) div n_pages").as("flag_ppm"),
+        (col("n_pages") >= minPages &&
+          lit(100L) * col("n_flagged") >=
+            lit(flagThresholdPct.toLong) * col("n_pages")).as("parked"))
+  }
+
   /** Per-document Unicode script profile — the spoofing/spam/encoding
     * screen that catches mixed-script text (a "Latin" document full of
     * Cyrillic homoglyphs, CJK spill into an English shard) before

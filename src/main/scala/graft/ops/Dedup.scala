@@ -55,6 +55,21 @@ object Dedup {
       .select(col("id"),
         explode(TextOps.shinglesFromWords(col("_w"), n)).as("shingle"))
 
+  /** 64-bit md5 digest of the shingle column, for ops whose output never
+    * needs the raw string: the data-sized shuffle (df window / pair
+    * self-join) then keys on 16 fixed bytes instead of a ~25-byte-plus
+    * n-gram string — the q391 discipline, where the raw-string variant
+    * measured spill-bound exp 1.31 across the sf1→sf10 decade. NOT
+    * applied where the string feeds a downstream hash (minhash/LSH
+    * signatures would change) or appears in the output. At 64 bits a
+    * collision merges two shingles; on a 10¹²-distinct-shingle corpus
+    * that perturbs a handful of intersection counts by ±1 — noise far
+    * below any dedup threshold (and the all-pairs ops this guards are
+    * the VERIFY baseline; the scale path is LSH).
+    */
+  private def digestShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), substring(md5(col("shingle")), 1, 16).as("shingle"))
+
   /** Document-frequency pruning for pair-generating self-joins: drop keys
     * held by more than `maxDocFreq` documents before joining. A self-join
     * on a key is quadratic *per key bucket* — at corpus scale a stopword
@@ -82,16 +97,6 @@ object Dedup {
         .where(col("_df") <= maxDocFreq).drop("_df")
     }
 
-  /** Exact pairwise n-gram Jaccard over all id pairs sharing ≥1 shingle.
-    * Returns pairs (a < b) with `jaccard` ≥ `threshold`. Arithmetic is a
-    * single division of exact integers — engine-deterministic.
-    *
-    * `maxDocFreq` < MaxValue switches to *df-pruned* Jaccard: shingles in
-    * more than that many docs are removed before BOTH the intersection and
-    * the per-doc sizes, so the score stays a true Jaccard over the pruned
-    * shingle universe (near-dup pairs lose the same shingles from both
-    * sides). This is the 100 TB-safe configuration.
-    */
   /** Shared scoring tail: per-pair intersection counts + per-doc sizes →
     * jaccard ≥ threshold. The size lookups are one row per document, so
     * the optimizer/AQE picks broadcast when the doc count is small and
@@ -115,10 +120,23 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** Exact pairwise n-gram Jaccard over all id pairs sharing ≥1 shingle.
+    * Returns pairs (a < b) with `jaccard` ≥ `threshold`. Arithmetic is a
+    * single division of exact integers — engine-deterministic. The df
+    * window and the pair self-join key on [[digestShingles]]' 64-bit
+    * digests, never the raw n-gram strings (output carries ids only).
+    *
+    * `maxDocFreq` < MaxValue switches to *df-pruned* Jaccard: shingles in
+    * more than that many docs are removed before BOTH the intersection and
+    * the per-doc sizes, so the score stays a true Jaccard over the pruned
+    * shingle universe (near-dup pairs lose the same shingles from both
+    * sides). This is the 100 TB-safe configuration.
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = pruneHotKeys(shingleRows(df, textCol, idCol, n), "shingle", maxDocFreq)
+    val sh = pruneHotKeys(digestShingles(shingleRows(df, textCol, idCol, n)),
+      "shingle", maxDocFreq)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .where(col("x.id") < col("y.id"))
@@ -150,7 +168,7 @@ object Dedup {
       n: Int = 3, thresholdPct: Int = 50,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100)
-    val sh = pruneHotKeys(shingleRows(df, textCol, idCol, n),
+    val sh = pruneHotKeys(digestShingles(shingleRows(df, textCol, idCol, n)),
         "shingle", maxDocFreq)
       .localCheckpoint() // roles: df weights + both pair-join sides
     val weighted = sh
@@ -307,7 +325,12 @@ object Dedup {
   def prefixFilteredJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(df, textCol, idCol, n)
+    // digest keys ([[digestShingles]]): the rank/df/candidate shuffles
+    // and the per-doc collect_set arrays carry 16 bytes per shingle,
+    // never the string; prefix completeness and the exact verify are
+    // order-agnostic, so the digest tiebreak changes only candidate
+    // composition, not the verified output
+    val sh = digestShingles(shingleRows(df, textCol, idCol, n))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
     val ranked = sh.join(dfreq, "shingle")
@@ -363,7 +386,8 @@ object Dedup {
       n: Int = 3, pct: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pct > 0 && pct <= 100, s"pct must be in (0,100], got $pct")
-    val sh = shingleRows(df, textCol, idCol, n)
+    // digest keys, same rationale as [[prefixFilteredJaccardPairs]]
+    val sh = digestShingles(shingleRows(df, textCol, idCol, n))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
     val ranked = sh.join(dfreq, "shingle")
@@ -461,8 +485,12 @@ object Dedup {
     val sh = shingleRows(df, textCol, idCol, shingleN)
       .localCheckpoint() // roles: sizes + both truth-join sides + sigs
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val rel = sh.select(col("shingle"), col("id").as("a"))
-      .join(sh.select(col("shingle"), col("id").as("b")), "shingle")
+    // truth join keys on digests (the string never reaches the output);
+    // the minhash signatures below hash the RAW shingles — digesting
+    // them would change every signature
+    val shD = digestShingles(sh)
+    val rel = shD.select(col("shingle"), col("id").as("a"))
+      .join(shD.select(col("shingle"), col("id").as("b")), "shingle")
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
@@ -532,7 +560,7 @@ object Dedup {
       .localCheckpoint() // roles: corpus totals + removed-token join
     val totals = base.agg(count(lit(1)).as("corpus_docs"),
       sum("n_tok").as("corpus_tokens"))
-    val sh = shingleRows(df, textCol, idCol, shingleN)
+    val sh = digestShingles(shingleRows(df, textCol, idCol, shingleN))
       .localCheckpoint() // roles: sizes + both sides of the pair join
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val taus = thresholds.distinct.sorted.map(_.toLong).toDF("tau")
@@ -611,8 +639,10 @@ object Dedup {
     // materialization writes, and checkpointing breaks pipelining into
     // the joins. (connectedComponents still checkpoints the VERIFIED
     // pair set, which its iterations would otherwise re-derive per
-    // round through this whole chain.)
-    val sh = shingleRows(df, textCol, idCol, shingleN)
+    // round through this whole chain.) Verification keys on
+    // [[digestShingles]]' 64-bit digests — the intersection join's
+    // shuffle never carries an n-gram string.
+    val sh = digestShingles(shingleRows(df, textCol, idCol, shingleN))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.as("x"), col("a") === col("x.id"))
@@ -827,8 +857,8 @@ object Dedup {
   private def crossVerified(cand: DataFrame, batch: DataFrame,
       corpus: DataFrame, textCol: String, idCol: String, shingleN: Int,
       threshold: Double): DataFrame = {
-    val shA = shingleRows(batch, textCol, idCol, shingleN)
-    val shB = shingleRows(corpus, textCol, idCol, shingleN)
+    val shA = digestShingles(shingleRows(batch, textCol, idCol, shingleN))
+    val shB = digestShingles(shingleRows(corpus, textCol, idCol, shingleN))
     val inter = cand
       .join(shA.as("x"), col("a") === col("x.id"))
       .join(shB.as("y"),

@@ -860,15 +860,23 @@ object TextOps {
     * tie). Plan: one distinct over (source, shingle) — the only
     * data-sized shuffle, keyed on the shingle for the pair join — then
     * a shingle-keyed self-join that only meets rows sharing a shingle,
-    * and O(sources²) everything after. Hot shingles (ubiquitous
-    * phrases) cost pairs ∝ sources-sharing², bounded by the source
-    * count, NOT the corpus — no maxBucket needed at this granularity.
+    * and O(sources²) everything after. Both the distinct and the join
+    * key on a 64-bit md5 DIGEST of the shingle, never the raw string
+    * (the q391 discipline: an n-gram string is ~25 bytes + row
+    * overhead and the raw-string shape measured spill-bound exp 1.31
+    * across the sf1→sf10 decade; the output never needs the string,
+    * and both engines hash identically so even a collision cannot
+    * diverge the compare). Hot shingles (ubiquitous phrases) cost
+    * pairs ∝ sources-sharing², bounded by the source count, NOT the
+    * corpus — no maxBucket needed at this granularity.
     */
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
       shingleN: Int = 3): DataFrame = {
     val sh = docs
       .select(col(srcCol).as("src"),
-        explode(shingles(col(textCol), shingleN)).as("shingle"))
+        explode(shingles(col(textCol), shingleN)).as("_raw"))
+      .select(col("src"),
+        substring(md5(col("_raw")), 1, 16).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),

@@ -3940,7 +3940,8 @@ object OpsQueries {
                FROM documents),
     idx AS (SELECT source, w, unnest(range(1, len(w) - 1)) AS i FROM d),
     sh AS (SELECT DISTINCT source AS src,
-             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+             substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 16)
+               AS shingle FROM idx),
     sizes AS (SELECT src, count(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS inter
               FROM sh x JOIN sh y

@@ -939,6 +939,100 @@ object Round14Queries {
     FROM lat GROUP BY 1
     ORDER BY dp_ppm DESC, word LIMIT 50"""
 
+  // —————————————————————————————— parked-domain screen (q393)
+  // (the RefinedWeb curation gate BESIDE q374: parked/soft-404 pages
+  //  are low-dup boilerplate the dup-rate screen never fires on. Pages
+  //  synthesize in-plan from the documents table — 40 hosts on the
+  //  doc_id lattice, with host 7 a registrar lander (template phrases),
+  //  host 11 a soft-404 (HTTP-200 "page not found" body), host 31 a
+  //  link farm (anchor-dominated, no template) — and the operator must
+  //  flag exactly those three whole hosts. Both engines run the
+  //  identical tag-strip regex chain (the q103 mirror).)
+  private val q393ContentTail =
+    "</p><a href=\"https://next.example/p1\">next page here</a>" +
+      "<a href=\"https://next.example/p2\">more content here</a></body></html>"
+  private val q393Parked =
+    "<html><head><title>Domain For Sale</title></head><body>" +
+      "<p>this domain is for sale. buy this domain today.</p>" +
+      "<a href=\"https://registrar.example/offer\">make an offer</a>" +
+      "</body></html>"
+  private val q393Soft404 =
+    "<html><head><title>Not Found</title></head><body>" +
+      "<p>page not found. the page you requested does not exist.</p>" +
+      "<a href=\"https://h11.example.org/\">home</a></body></html>"
+  private val q393LinkFarm =
+    "<html><head><title>Links</title></head><body>" +
+      (1 to 10).map(k =>
+        s"""<a href="https://ad$k.example/x">click$k</a>""").mkString +
+      "</body></html>"
+  val q393ParkedDomains: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val hostIdx = col("doc_id") % 40
+    val page = d.select(
+      concat(lit("h"), hostIdx.cast("string"), lit(".example.org"))
+        .as("host"),
+      when(hostIdx === 7, lit(q393Parked))
+        .when(hostIdx === 11, lit(q393Soft404))
+        .when(hostIdx === 31, lit(q393LinkFarm))
+        .otherwise(concat(lit("<html><head><title>Doc "),
+          col("doc_id").cast("string"), lit("</title></head><body><p>"),
+          col("text"), lit(q393ContentTail))).as("html"))
+    graft.ops.Cleaning.parkedDomainScreen(page, "host", "html")
+  }
+  private val q393Sql: String = {
+    val phrases = graft.ops.Cleaning.parkedPhrases.mkString("|")
+    // the q103 tag-strip mirror: script/style first, tags, entities
+    // (&amp; last), whitespace collapse
+    def strip(c: String) = s"""
+      trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace($c,
+        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'),
+        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        '\\s+', ' ', 'g'))"""
+    s"""
+    WITH d AS (SELECT doc_id, text, doc_id % 40 AS hi FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    pg AS (SELECT 'h' || CAST(hi AS VARCHAR) || '.example.org' AS host,
+        CASE WHEN hi = 7 THEN '${q393Parked.replace("'", "''")}'
+             WHEN hi = 11 THEN '${q393Soft404.replace("'", "''")}'
+             WHEN hi = 31 THEN '${q393LinkFarm.replace("'", "''")}'
+             ELSE '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body><p>' || text
+               || '${q393ContentTail.replace("'", "''")}'
+        END AS html FROM d),
+    t AS (SELECT host, html, ${strip("html")} AS body FROM pg),
+    s AS (SELECT host,
+        regexp_matches(lower(html), '$phrases') AS tpl,
+        CAST(len(regexp_extract_all(html, '<a ')) AS BIGINT) AS n_links,
+        CAST(len(string_split(lower(body), ' ')) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(string_split(lower(body), ' ')))
+          AS BIGINT) AS n_distinct
+      FROM t),
+    f AS (SELECT host, tpl, n_links, n_words, n_distinct,
+        (tpl OR n_distinct < 8
+             OR 1000000 * n_links >= 400000 * (n_links + n_words))
+          AS flagged
+      FROM s),
+    g AS (SELECT host, count(*) AS n_pages,
+        sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS n_flagged,
+        sum(CASE WHEN tpl THEN 1 ELSE 0 END) AS n_template,
+        CAST(sum(n_links) AS BIGINT) AS n_links,
+        CAST(sum(n_words) AS BIGINT) AS n_words,
+        CAST(sum(n_distinct) // count(*) AS BIGINT) AS mean_distinct_tok
+      FROM f GROUP BY 1)
+    SELECT host, n_pages, CAST(n_flagged AS BIGINT) AS n_flagged,
+      CAST(n_template AS BIGINT) AS n_template, n_links, n_words,
+      mean_distinct_tok,
+      CAST((1000000 * n_flagged) // n_pages AS BIGINT) AS flag_ppm,
+      (n_pages >= 2 AND 100 * n_flagged >= 60 * n_pages) AS parked
+    FROM g"""
+  }
+
   val all: Map[String, Q] = Map(
     "q369_kmeans" -> q369Kmeans,
     "q371_perplexity_buckets" -> q371PerplexityBuckets,
@@ -962,7 +1056,8 @@ object Round14Queries {
     "q389_dup_source_matrix" -> q389DupSourceMatrix,
     "q390_length_debiased" -> q390LengthDebiased,
     "q391_coverage_spectrum" -> q391CoverageSpectrum,
-    "q392_token_dispersion" -> q392TokenDispersion)
+    "q392_token_dispersion" -> q392TokenDispersion,
+    "q393_parked_domains" -> q393ParkedDomains)
 
   val oracles: Map[String, String] = Map(
     "q369_kmeans" -> q369Sql,
@@ -987,5 +1082,6 @@ object Round14Queries {
     "q389_dup_source_matrix" -> q389Sql,
     "q390_length_debiased" -> q390Sql,
     "q391_coverage_spectrum" -> q391Sql,
-    "q392_token_dispersion" -> q392Sql)
+    "q392_token_dispersion" -> q392Sql,
+    "q393_parked_domains" -> q393Sql)
 }

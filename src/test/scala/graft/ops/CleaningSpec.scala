@@ -327,6 +327,55 @@ class CleaningSpec extends SparkSpec {
     assert(got("good") == (("good", 2L, 2L, 55L, 0L, 27L, true)))
   }
 
+  test("parkedDomainScreen: template, soft-404, link farm flagged; content and below-minPages survive") {
+    val contentBody = (1 to 20).map(i => s"w$i").mkString(" ")
+    val content = (i: Int) =>
+      s"<html><head><title>Doc $i</title></head><body><p>$contentBody</p>" +
+        "<a href=\"https://n.example/p\">next page</a></body></html>"
+    val pages = Seq(
+      // parked.example: registrar lander × 2 (template phrase)
+      ("parked.example", "<html><head><title>Domain For Sale</title></head>" +
+        "<body><p>this domain is for sale. buy this domain.</p></body></html>"),
+      ("parked.example", "<html><body><p>parked domain courtesy of registrar" +
+        " one two three four five six seven eight nine</p></body></html>"),
+      // soft404.example: HTTP-200 "not found" template × 2
+      ("soft404.example", "<html><head><title>Oops</title></head><body>" +
+        "<p>page not found. it may have moved one two three four five" +
+        " six</p></body></html>"),
+      ("soft404.example", "<html><body><p>404 not found extra words here" +
+        " alpha beta gamma delta epsilon zeta</p></body></html>"),
+      // farm.example: anchor-dominated, NO template phrase × 2
+      ("farm.example", "<html><body>" + (1 to 10).map(k =>
+        s"""<a href="https://a$k.example/x">link$k</a>""").mkString +
+        "</body></html>"),
+      ("farm.example", "<html><body>" + (1 to 12).map(k =>
+        s"""<a href="https://b$k.example/x">item$k</a>""").mkString +
+        "</body></html>"),
+      // shell.example: tiny distinct-token body × 2
+      ("shell.example", "<html><body><p>hello</p></body></html>"),
+      ("shell.example", "<html><body><p>welcome</p></body></html>"),
+      // content.example: real pages × 3 → NOT parked
+      ("content.example", content(1)),
+      ("content.example", content(2)),
+      ("content.example", content(3)),
+      // lone.example: one parked-looking page, below minPages=2 →
+      // flagged page but NOT a parked host
+      ("lone.example", "<html><body><p>under construction</p></body></html>"))
+      .toDF("host", "html")
+    val got = Cleaning.parkedDomainScreen(pages, "host", "html")
+      .select("host", "n_pages", "n_flagged", "n_template", "parked")
+      .as[(String, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("parked.example") == (("parked.example", 2L, 2L, 2L, true)))
+    assert(got("soft404.example") == (("soft404.example", 2L, 2L, 2L, true)))
+    // the farm pages carry no template phrase: ratio/distinct flag them
+    assert(got("farm.example") == (("farm.example", 2L, 2L, 0L, true)))
+    assert(got("shell.example") == (("shell.example", 2L, 2L, 0L, true)))
+    assert(got("content.example") ==
+      (("content.example", 3L, 0L, 0L, false)))
+    assert(got("lone.example") == (("lone.example", 1L, 1L, 1L, false)))
+  }
+
   test("filterOverlapReport: hits, marginal kills, prefix survivors") {
     import spark.implicits._
     // values 1, 0, 11, 4, 7 under small(<2) → big(>10) → odd:
