@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{RelationalQueries, OpsQueries, StreamingQueries, ElbQueries, ExtraQueries, WarcQueries, SubstringQueries, Round14Queries}
+import graft.queries.{RelationalQueries, OpsQueries, StreamingQueries, ElbQueries, ExtraQueries, WarcQueries, SubstringQueries, Round14Queries, TextArchiveQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ OpsQueries.all ++ StreamingQueries.all ++
       ElbQueries.all ++ ExtraQueries.all ++ WarcQueries.all ++
-      SubstringQueries.all ++ Round14Queries.all
+      SubstringQueries.all ++ Round14Queries.all ++ TextArchiveQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ OpsQueries.oracles ++ StreamingQueries.oracles ++
       ElbQueries.oracles ++ ExtraQueries.oracles ++ WarcQueries.oracles ++
-      SubstringQueries.oracles ++ Round14Queries.oracles
+      SubstringQueries.oracles ++ Round14Queries.oracles ++
+      TextArchiveQueries.oracles
 }

@@ -1,0 +1,545 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import java.util.zip.{GZIPInputStream, ZipException, ZipInputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringContains, StringStartsWith}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for plain-text-in-container corpora — the non-crawl
+  * corpus entry format next to [[WarcDataSource]] (books/code/docs
+  * dumps ship as `.tar.gz` or `.zip` archives of `.txt`/`.md` members;
+  * full PDF parsing is out of JDK-only scope — see ARCHITECTURE.md —
+  * so text-in-archive is the leg this source covers).
+  * `spark.read.format("textarchive").load(glob)` walks each archive's
+  * members and emits one row per regular-file member.
+  *
+  * Container walk: `.zip` through the JDK `ZipInputStream`; `.tar` /
+  * `.tar.gz` / `.tgz` through a minimal ustar block walker (512-byte
+  * headers, octal size/mtime, checksum verified with the checksum
+  * field blanked, payload padded to the block boundary; GNU/pax
+  * special members — typeflags `x`/`g`/`L`/`5` — have their payloads
+  * skipped and emit no row). End of tar = a zero block (the canonical
+  * two-zero-block trailer, or one + EOF), or a clean EOF at a block
+  * boundary (trailer-less tars end without a row); EOF mid-block is a
+  * torn header and quarantines.
+  *
+  * Error model (the [[WarcDataSource]] quarantine discipline): a
+  * member the walk cannot trust — tar header checksum mismatch,
+  * non-octal size, payload truncated by EOF, declared size above
+  * `maxPayload`, or a zip stream error — becomes ONE row with
+  * `ok=false` and a named `error`, never an exception and never a
+  * silent drop. After a corrupt tar HEADER the reader resyncs by
+  * scanning forward block-by-block for the next checksum-valid header
+  * (later members still surface — spec-proven); a corrupt zip stream
+  * cannot be resynced through `ZipInputStream`, so it quarantines once
+  * and ends the file. Member text decodes as UTF-8 with replacement
+  * (the JDK text-source semantics): mojibake is a downstream QUALITY
+  * concern ([[graft.ops.Cleaning.charEntropy]] / `scriptMix`), not a
+  * structural one, which keeps `ok` independent of which columns a
+  * query projects.
+  *
+  * Scale shape, same rules as the ELB/WARC sources:
+  *  - **one partition per archive** (neither format splits mid-stream;
+  *    corpus dumps ship as many archives, so file count is the
+  *    parallelism),
+  *  - **column pruning reaches the reader** — a pruned-out `text`
+  *    turns payload reads into skips, so a member-listing scan never
+  *    allocates content,
+  *  - **member-predicate pushdown** (`member_path`, `ext` equality /
+  *    prefix / contains / in) skips payloads of non-matching members:
+  *    `ext = 'txt'` never reads the `.json` sidecars' bytes,
+  *  - a `maxPayload` option (default 64 MiB) quarantines rather than
+  *    buffers members whose declared size a scan should not trust.
+  */
+class TextArchiveDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "textarchive"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TextArchiveDataSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new TextArchiveTable(ElbDataSource.resolvePaths(properties),
+      Option(properties.get("maxpayload")).map(_.toLong)
+        .getOrElse(TextArchiveDataSource.defaultMaxPayload))
+}
+
+object TextArchiveDataSource {
+  val fileColumn = "archive_source_file"
+  val defaultMaxPayload: Long = 64L * 1024 * 1024
+
+  val fullSchema: StructType = StructType(Seq(
+    StructField("member_path", StringType),
+    StructField("ext", StringType),
+    StructField("size_bytes", LongType),
+    StructField("mtime_ms", LongType),
+    StructField("text", StringType),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType),
+    StructField(fileColumn, StringType, nullable = false)))
+
+  /** Member-metadata columns a predicate may be pushed on. */
+  val filterable: Set[String] = Set("member_path", "ext")
+
+  /** Lowercased extension of the member BASENAME (null when none). */
+  def extOf(path: String): String = {
+    if (path == null) return null
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot <= 0 || dot == base.length - 1) null
+    else base.substring(dot + 1).toLowerCase
+  }
+}
+
+class TextArchiveTable(paths: Seq[String], maxPayload: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"textarchive(${paths.mkString(",")})"
+  override def schema(): StructType = TextArchiveDataSource.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val mp = Option(options.get("maxpayload")).map(_.toLong).getOrElse(maxPayload)
+    new TextArchiveScanBuilder(paths, mp, new SerializableHadoopConf(conf))
+  }
+}
+
+class TextArchiveScanBuilder(paths: Seq[String], maxPayload: Long,
+    conf: SerializableHadoopConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = TextArchiveDataSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val ok = TextArchiveDataSource.filterable
+    val (acc, rest) = filters.partition {
+      case EqualTo(a, _: String) => ok.contains(a)
+      case In(a, vs) if vs.forall(_.isInstanceOf[String]) => ok.contains(a)
+      case IsNotNull(a) => ok.contains(a)
+      case StringStartsWith(a, _) => ok.contains(a)
+      case StringContains(a, _) => ok.contains(a)
+      case _ => false
+    }
+    pushed = acc
+    rest ++ acc
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new TextArchiveScan(paths, required, pushed, maxPayload, conf)
+}
+
+class TextArchiveScan(paths: Seq[String], required: StructType,
+    pushed: Array[Filter], maxPayload: Long,
+    conf: SerializableHadoopConf) extends Scan with Batch {
+  private lazy val files = ElbDataSource.expand(paths, conf.value)
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"textarchive scan: ${files.size} files, ${required.fieldNames.mkString(",")}" +
+      (if (pushed.isEmpty) "" else s", PushedFilters: ${pushed.mkString(", ")}")
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(ElbFilePartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextArchiveReaderFactory(required.fieldNames, pushed, maxPayload, conf)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TextArchiveMicroBatchStream(paths, required, pushed, maxPayload, conf)
+}
+
+/** File-count offsets over the sorted listing — the [[ElbMicroBatchStream]]
+  * recipe; corpus drop folders are append-only with versioned names.
+  */
+class TextArchiveMicroBatchStream(paths: Seq[String], required: StructType,
+    pushed: Array[Filter], maxPayload: Long,
+    conf: SerializableHadoopConf) extends MicroBatchStream {
+  private def listing(): Seq[String] = ElbDataSource.expand(paths, conf.value)
+  override def initialOffset(): Offset = ElbFileOffset(0)
+  override def latestOffset(): Offset = ElbFileOffset(listing().size)
+  override def deserializeOffset(json: String): Offset =
+    ElbFileOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ElbFileOffset].n
+    val e = end.asInstanceOf[ElbFileOffset].n
+    listing().slice(s, e).map(ElbFilePartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TextArchiveReaderFactory(required.fieldNames, pushed, maxPayload, conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class TextArchiveReaderFactory(fieldNames: Array[String], pushed: Array[Filter],
+    maxPayload: Long, conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TextArchivePartitionReader(
+      partition.asInstanceOf[ElbFilePartition].path, fieldNames, pushed,
+      maxPayload, conf)
+}
+
+/** One member row (or quarantine row) of the archive walk. */
+private[sources] case class ArchiveMember(
+    memberPath: String, ext: String, sizeBytes: java.lang.Long,
+    mtimeMs: java.lang.Long, text: String, ok: Boolean, error: String)
+
+/** Shared walker contract; `wantText=false` turns payload reads into
+  * skips; `passes` is the pushed member predicate (checked before any
+  * payload byte is read).
+  */
+private[sources] trait ArchiveWalker {
+  def nextMember(): ArchiveMember
+  def close(): Unit
+}
+
+private[sources] object ArchiveWalker {
+  /** Lossy UTF-8 decode (replacement chars) — see source scaladoc. */
+  def decodeText(bytes: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    try dec.decode(ByteBuffer.wrap(bytes)).toString
+    catch { case _: CharacterCodingException => // unreachable with REPLACE
+      new String(bytes, StandardCharsets.UTF_8) }
+  }
+}
+
+/** Minimal ustar walker; see [[TextArchiveDataSource]] for the format
+  * subset and the resync rule.
+  */
+private[sources] class TarWalker(in: InputStream, wantText: Boolean,
+    maxPayload: Long, passes: ArchiveMember => Boolean) extends ArchiveWalker {
+
+  private val buf = new BufferedInputStream(in, 1 << 16)
+  private var exhausted = false
+
+  /** @return 512 for a full block, 0 on clean EOF before any byte,
+    * -1 on a torn block (EOF mid-block). Distinguishing 0 from -1 keeps
+    * a trailer-less tar (EOF at a block boundary) a clean end rather
+    * than a stale-buffer re-read, and makes a torn header a quarantine.
+    */
+  private def readBlock(block: Array[Byte]): Int = {
+    var off = 0
+    while (off < 512) {
+      val n = buf.read(block, off, 512 - off)
+      if (n < 0) return if (off == 0) 0 else -1
+      off += n
+    }
+    512
+  }
+
+  private def isZero(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 512) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Octal field parse: leading spaces/NULs tolerated, digit run,
+    * space/NUL terminated. -1 on malformed.
+    */
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    if (i == end) return -1L
+    var v = 0L
+    var any = false
+    while (i < end && b(i) >= '0' && b(i) <= '7') { v = v * 8 + (b(i) - '0'); i += 1; any = true }
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    if (!any || i != end) -1L else v
+  }
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0) end += 1
+    new String(b, off, end - off, StandardCharsets.UTF_8)
+  }
+
+  /** Checksum with the chksum field (148..155) treated as spaces. */
+  private def checksum(b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < 512) {
+      s += (if (i >= 148 && i < 156) ' '.toLong else (b(i) & 0xff).toLong)
+      i += 1
+    }
+    s
+  }
+
+  private def headerValid(b: Array[Byte]): Boolean =
+    b(0) != 0 && octal(b, 148, 8) == checksum(b)
+
+  private def quarantine(err: String): ArchiveMember =
+    ArchiveMember(null, null, null, null, null, ok = false, err)
+
+  private val block = new Array[Byte](512)
+
+  private def skipPayload(size: Long): Boolean = {
+    val padded = ((size + 511) / 512) * 512
+    try { buf.skipNBytes(padded); true } catch { case _: EOFException => false }
+  }
+
+  /** Scan forward block-by-block for the next checksum-valid header;
+    * leaves it in `pendingHeader` for the next readOne.
+    */
+  private var pendingHeader = false
+  private def resync(): Unit = {
+    while (readBlock(block) == 512) {
+      if (isZero(block)) { exhausted = true; return }
+      if (headerValid(block)) { pendingHeader = true; return }
+    }
+    exhausted = true
+  }
+
+  def nextMember(): ArchiveMember = {
+    while (!exhausted) {
+      val m = try readOne() catch {
+        case e: java.io.IOException =>
+          exhausted = true
+          quarantine(s"archive read error: ${e.getMessage}")
+      }
+      m match {
+        case null => if (exhausted) return null // EOF trailer
+        case r if passes(r) => return r
+        case _ => () // pushed predicate rejected pre-payload; keep walking
+      }
+    }
+    null
+  }
+
+  /** @return null on clean EOF or a skipped special member; quarantine
+    * on failure.
+    */
+  private def readOne(): ArchiveMember = {
+    if (!pendingHeader) {
+      readBlock(block) match {
+        case 0 => exhausted = true; return null // clean EOF (trailer-less tar)
+        case -1 =>
+          exhausted = true
+          return quarantine("torn tar header: EOF mid-block")
+        case _ => ()
+      }
+      if (isZero(block)) { exhausted = true; return null }
+    } else pendingHeader = false
+    if (!headerValid(block)) {
+      val name = cstr(block, 0, 100).take(40)
+      resync()
+      return quarantine(s"corrupt tar header (checksum): $name")
+    }
+    val name = {
+      val prefix = cstr(block, 345, 155)
+      val base = cstr(block, 0, 100)
+      if (prefix.isEmpty) base else s"$prefix/$base"
+    }
+    val size = octal(block, 124, 12)
+    val mtimeSec = octal(block, 136, 12)
+    val typeflag = block(156)
+    if (size < 0) {
+      resync()
+      return quarantine(s"invalid tar size field: ${name.take(40)}")
+    }
+    // non-regular members (dirs, pax/GNU extensions): skip payload, no row
+    if (typeflag != 0 && typeflag != '0') {
+      if (!skipPayload(size)) exhausted = true
+      return ArchiveMember(null, null, null, null, null, ok = true, null) // sentinel, fails any IsNotNull…
+    }
+    val m = ArchiveMember(name, TextArchiveDataSource.extOf(name),
+      java.lang.Long.valueOf(size),
+      if (mtimeSec < 0) null else java.lang.Long.valueOf(mtimeSec * 1000L),
+      null, ok = true, null)
+    if (size > maxPayload) {
+      if (!skipPayload(size)) exhausted = true
+      return m.copy(text = null, ok = false,
+        error = s"member exceeds maxPayload cap: $size")
+    }
+    if (!wantText || !passes(m)) {
+      // pruned-out or predicate-rejected payloads are skipped, never read
+      if (!skipPayload(size)) {
+        exhausted = true
+        return m.copy(ok = false, error = s"truncated member: EOF inside $size bytes")
+      }
+      m
+    } else {
+      val bytes = new Array[Byte](size.toInt)
+      var off = 0
+      while (off < size) {
+        val n = buf.read(bytes, off, size.toInt - off)
+        if (n < 0) {
+          exhausted = true
+          return m.copy(ok = false,
+            error = s"truncated member: got $off of $size bytes")
+        }
+        off += n
+      }
+      val pad = ((size + 511) / 512) * 512 - size
+      if (pad > 0 && !skipFully(pad)) exhausted = true
+      m.copy(text = ArchiveWalker.decodeText(bytes))
+    }
+  }
+
+  private def skipFully(n: Long): Boolean =
+    try { buf.skipNBytes(n); true } catch { case _: EOFException => false }
+
+  def close(): Unit = buf.close()
+}
+
+/** JDK ZipInputStream walk; a stream error (e.g. an entry CRC mismatch)
+  * quarantines once and ends the file (zip local headers cannot be
+  * safely resynced mid-stream). One streaming-reader limitation, spec-
+  * pinned: a corrupted local-header SIGNATURE is indistinguishable from
+  * the central-directory end marker (the JDK returns null for any
+  * non-LOC signature), so members after it end the walk without a
+  * quarantine row — detecting that case needs a central-directory
+  * audit, which a forward-only stream cannot do.
+  */
+private[sources] class ZipWalker(in: InputStream, wantText: Boolean,
+    maxPayload: Long, passes: ArchiveMember => Boolean) extends ArchiveWalker {
+
+  private val zin = new ZipInputStream(new BufferedInputStream(in, 1 << 16),
+    StandardCharsets.UTF_8)
+  private var exhausted = false
+
+  def nextMember(): ArchiveMember = {
+    while (!exhausted) {
+      val m = try {
+        val e = zin.getNextEntry
+        if (e == null) { exhausted = true; null }
+        else if (e.isDirectory) ArchiveMember(null, null, null, null, null, ok = true, null)
+        else {
+          val name = e.getName
+          val mt = e.getLastModifiedTime
+          val m0 = ArchiveMember(name, TextArchiveDataSource.extOf(name),
+            if (e.getSize >= 0) java.lang.Long.valueOf(e.getSize) else null,
+            if (mt == null) null else java.lang.Long.valueOf(mt.toMillis),
+            null, ok = true, null)
+          if (m0.sizeBytes != null && m0.sizeBytes > maxPayload) {
+            zin.closeEntry()
+            m0.copy(ok = false,
+              error = s"member exceeds maxPayload cap: ${m0.sizeBytes}")
+          } else if (!wantText || !passes(m0)) {
+            zin.closeEntry() // payload skipped, never materialized
+            m0
+          } else {
+            val bytes = zin.readNBytes((maxPayload + 1).min(Int.MaxValue.toLong).toInt)
+            if (bytes.length > maxPayload) {
+              zin.closeEntry()
+              m0.copy(ok = false,
+                error = s"member exceeds maxPayload cap: streamed ${bytes.length}")
+            } else {
+              val sz: java.lang.Long =
+                if (m0.sizeBytes != null) m0.sizeBytes
+                else java.lang.Long.valueOf(bytes.length.toLong)
+              m0.copy(sizeBytes = sz, text = ArchiveWalker.decodeText(bytes))
+            }
+          }
+        }
+      } catch {
+        case e: ZipException =>
+          exhausted = true
+          ArchiveMember(null, null, null, null, null, ok = false,
+            s"zip stream error: ${e.getMessage}")
+        case e: java.io.IOException =>
+          exhausted = true
+          ArchiveMember(null, null, null, null, null, ok = false,
+            s"archive read error: ${e.getMessage}")
+      }
+      m match {
+        case null => return null
+        case r if r.memberPath == null && r.ok => () // dir entry: no row
+        case r if passes(r) => return r
+        case _ => ()
+      }
+    }
+    null
+  }
+
+  def close(): Unit = zin.close()
+}
+
+/** Emits only required fields; text is skipped (never allocated) when
+  * pruned out, and members failing a pushed predicate never read their
+  * payload.
+  */
+class TextArchivePartitionReader(pathStr: String, fieldNames: Array[String],
+    pushed: Array[Filter], maxPayload: Long, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val pathUtf8 = UTF8String.fromString(pathStr)
+  private val wantText = fieldNames.contains("text")
+
+  private def field(m: ArchiveMember, name: String): String = name match {
+    case "member_path" => m.memberPath
+    case "ext" => m.ext
+    case _ => null
+  }
+
+  private val preds: Array[ArchiveMember => Boolean] = pushed.map {
+    case EqualTo(a, v: String) => (m: ArchiveMember) => field(m, a) == v
+    case In(a, vs) =>
+      val set = vs.map(_.asInstanceOf[String]).toSet
+      (m: ArchiveMember) => { val f = field(m, a); f != null && set.contains(f) }
+    case IsNotNull(a) => (m: ArchiveMember) => field(m, a) != null
+    case StringStartsWith(a, p) => (m: ArchiveMember) =>
+      { val f = field(m, a); f != null && f.startsWith(p) }
+    case StringContains(a, s) => (m: ArchiveMember) =>
+      { val f = field(m, a); f != null && f.contains(s) }
+    case f => throw new IllegalStateException(s"unpushable filter $f")
+  }
+  private def passes(m: ArchiveMember): Boolean = preds.forall(_(m))
+
+  private lazy val walker: ArchiveWalker = {
+    val hp = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = hp.getFileSystem(conf.value)
+    val raw = fs.open(hp)
+    val lower = pathStr.toLowerCase
+    if (lower.endsWith(".zip"))
+      new ZipWalker(raw, wantText, maxPayload, passes)
+    else {
+      val in: InputStream =
+        if (lower.endsWith(".gz") || lower.endsWith(".tgz"))
+          new GZIPInputStream(raw, 1 << 16)
+        else raw
+      new TarWalker(in, wantText, maxPayload, passes)
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var m = walker.nextMember()
+    // the tar walker's skipped-special sentinel (no path, ok, no error)
+    while (m != null && m.ok && m.memberPath == null && m.error == null) m = walker.nextMember()
+    if (m == null) return false
+    val vals = new Array[Any](fieldNames.length)
+    var i = 0
+    while (i < fieldNames.length) {
+      vals(i) = fieldNames(i) match {
+        case "member_path" => if (m.memberPath == null) null else UTF8String.fromString(m.memberPath)
+        case "ext" => if (m.ext == null) null else UTF8String.fromString(m.ext)
+        case "size_bytes" => m.sizeBytes
+        case "mtime_ms" => m.mtimeMs
+        case "text" => if (m.text == null) null else UTF8String.fromString(m.text)
+        case "ok" => m.ok
+        case "error" => if (m.error == null) null else UTF8String.fromString(m.error)
+        case TextArchiveDataSource.fileColumn => pathUtf8
+        case other => throw new IllegalStateException(s"unknown field $other")
+      }
+      i += 1
+    }
+    current = new GenericInternalRow(vals)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = walker.close()
+}
