@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Pin the initial heap to the max (overridable via SPARK_DRIVER_XMS).
+  // A lazily-sized large heap (-Xmx24g, no -Xms) spent ~6× the query's
+  // runtime in KERNEL mode on G1 commit/uncommit churn in the round-14
+  // sweep harness (q325 sf1: 96 s at 24g vs 15 s at 8g, %sys 32 with
+  // GC totals under 2 s) — it also retro-explains part of the round-13
+  // sf10 sweep inflation, which used the same unpinned 24g heap.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
+) ++ sys.env.get("SPARK_DRIVER_EXTRA_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -728,6 +728,14 @@ object Graph {
     * the extra edge-frame groupBy and the eager degree checkpoint.
     * The round-13 sweep's 418 s / exp 1.47 row that motivated it was
     * host drift, not plan cost (SCALING.md round-13 session 2).
+    *
+    * Measured alternative (round 14, REJECTED): DISK_ONLY for the sym
+    * checkpoint (to stop storage stealing unified memory from the
+    * join) — sf10 A/B 28.6 s vs 25.8 s for MEMORY_AND_DISK; and the
+    * remaining "memory component" of the r13 sweep was adjudicated a
+    * HARNESS artifact (the unpinned 24 GiB probe heap burns ~30%
+    * kernel time on this VM; at the default 8 GiB heap the family
+    * measures exp 0.18–0.24 — SCALING.md round 14).
     */
   def assortativity(edges: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
@@ -779,7 +787,9 @@ object Graph {
     * 81.7 s) — the saved join is paid back by the edge-frame groupBy
     * + eager degree checkpoint. The sweep row that motivated it
     * (329 s / exp 1.48) was host drift (SCALING.md round-13
-    * session 2).
+    * session 2). Round-14 A/B also rejected DISK_ONLY for the sym/deg
+    * checkpoints: sf10 23.0 s vs 14.3 s — the thrice-read node-sized
+    * deg frame pays the disk round-trip hardest (SCALING.md round 14).
     */
   def richClub(edges: DataFrame, maxK: Int = 8): DataFrame = {
     require(maxK >= 1 && maxK <= 64, s"maxK out of range: $maxK")
