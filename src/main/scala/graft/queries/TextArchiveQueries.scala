@@ -87,11 +87,80 @@ object TextArchiveQueries {
     FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
     WHERE ext = 'txt'"""
 
+  // ————————————————————————————— archive → corpus E2E build (q396)
+  // (the q367 crawl-chain discipline applied to the NON-crawl entry:
+  //  member walk → txt-only (pushed to the reader) → quality gate
+  //  (char + token floors) → exact dedup keep-first (the synthetic
+  //  corpus plants every-9th verbatim repeats) → deterministic md5
+  //  train/val split → per-split doc/token accounting, ONE plan.)
+  val q396ArchiveCorpusBuild: Q = (s, dir) =>
+    scan(s, dir)
+      .where(col("ok") && col("ext") === "txt")
+      .select(col("member_path"), col("text"))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .where(col("n_chars") >= 40 && col("n_tok") >= 15)
+      .withColumn("fp", md5(col("text")))
+      .groupBy("fp") // identical text ⇒ identical n_tok, min is exact
+      .agg(min("member_path").as("member_path"), min("n_tok").as("n_tok"))
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("split|"), col("member_path"))),
+          1, 8), 16, 10).cast("long") % 100 < 90, "train").otherwise("val"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+  private val q396Sql: String = s"""
+    WITH txt AS (SELECT member_path, text
+        FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+        WHERE ext = 'txt'),
+    q AS (SELECT member_path, text,
+        len(string_split(text, ' ')) AS n_tok
+      FROM txt WHERE length(text) >= 40
+        AND len(string_split(text, ' ')) >= 15),
+    ded AS (SELECT min(member_path) AS member_path, min(n_tok) AS n_tok
+      FROM q GROUP BY md5(text)),
+    sp AS (SELECT member_path, n_tok,
+        CASE WHEN CAST(('0x' || substr(md5('split|' || member_path), 1, 8))
+             AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+      FROM ded)
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM sp GROUP BY 1"""
+
+  // ————————————————————————————— streaming archive ingest (q397)
+  // (the same source through `readStream.format("textarchive")`:
+  //  file-count offsets over the sorted archive listing, drained
+  //  AvailableNow into a per-top-dir rollup — the q362 pattern; the
+  //  batch oracle equals the drain because the aggregation is
+  //  order-free.)
+  private val streamCounter = new java.util.concurrent.atomic.AtomicLong()
+  val q397ArchiveStream: Q = (s, dir) => {
+    val n = rowsFor(dir)
+    val glob = SyntheticTextArchive.dataset(n)
+    stage(s, n)
+    val agg = s.readStream.format("textarchive").load(glob)
+      .where(col("ok"))
+      .groupBy(regexp_extract(col("member_path"), "^([^/]+)/", 1).as("part"))
+      .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    graft.streaming.StreamingSessions.drainAvailableNow(s, agg,
+      s"txtar_stream_${streamCounter.incrementAndGet()}",
+      noDataBatch = false) // Complete-mode aggregate: teardown-only batch
+  }
+  private val q397Sql: String = s"""
+    SELECT regexp_extract(member_path, '^([^/]+)/', 1) AS part,
+      count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+    GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q394_textarchive_scan" -> q394TextArchiveScan,
-    "q395_textarchive_tokens" -> q395TextArchiveTokens)
+    "q395_textarchive_tokens" -> q395TextArchiveTokens,
+    "q396_archive_corpus_build" -> q396ArchiveCorpusBuild,
+    "q397_archive_stream" -> q397ArchiveStream)
 
   val oracles: Map[String, String] = Map(
     "q394_textarchive_scan" -> q394Sql,
-    "q395_textarchive_tokens" -> q395Sql)
+    "q395_textarchive_tokens" -> q395Sql,
+    "q396_archive_corpus_build" -> q396Sql,
+    "q397_archive_stream" -> q397Sql)
 }
