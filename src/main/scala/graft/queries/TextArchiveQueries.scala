@@ -152,15 +152,48 @@ object TextArchiveQueries {
     FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
     GROUP BY 1"""
 
+  // ————————————————————————————— zip central-directory fsck (q398)
+  // (the audit that detects the lie the forward walk provably cannot —
+  //  a corrupted local-header signature reads as clean EOF, but the
+  //  central directory at EOF still names every member. Over the
+  //  healthy corpus the law is counts-equal/zero-quarantine per zip;
+  //  the oracle RE-DERIVES each zip's expected member count from the
+  //  generator's member→file law (file = i div perFile over the
+  //  sequence number in the member path), so the central-dir parse,
+  //  the walk, and the corpus layout all sit under one hash.)
+  val q398ZipFsck: Q = (s, dir) => {
+    val n = rowsFor(dir)
+    val glob = SyntheticTextArchive.dataset(n)
+    stage(s, n)
+    graft.sources.ArchiveAudit.zipFsck(s, glob)
+      .where(col("ok"))
+      .select(
+        regexp_extract(col("archive_file"), "([^/]+)$", 1).as("archive"),
+        col("central_members"), col("walk_members"),
+        col("walk_quarantined"), col("consistent"))
+  }
+  private val q398Sql: String = s"""
+    WITH m AS (SELECT CAST(regexp_extract(member_path, 'doc(\\d+)\\.', 1)
+          AS BIGINT) AS i
+        FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')),
+    per AS (SELECT i // ${verifyRows / 16} AS f,
+          CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1)
+    SELECT 'archive-' || lpad(CAST(f AS VARCHAR), 3, '0') || '.zip' AS archive,
+      n AS central_members, n AS walk_members,
+      CAST(0 AS BIGINT) AS walk_quarantined, true AS consistent
+    FROM per WHERE f % 2 = 1"""
+
   val all: Map[String, Q] = Map(
     "q394_textarchive_scan" -> q394TextArchiveScan,
     "q395_textarchive_tokens" -> q395TextArchiveTokens,
     "q396_archive_corpus_build" -> q396ArchiveCorpusBuild,
-    "q397_archive_stream" -> q397ArchiveStream)
+    "q397_archive_stream" -> q397ArchiveStream,
+    "q398_zip_fsck" -> q398ZipFsck)
 
   val oracles: Map[String, String] = Map(
     "q394_textarchive_scan" -> q394Sql,
     "q395_textarchive_tokens" -> q395Sql,
     "q396_archive_corpus_build" -> q396Sql,
-    "q397_archive_stream" -> q397Sql)
+    "q397_archive_stream" -> q397Sql,
+    "q398_zip_fsck" -> q398Sql)
 }

@@ -401,7 +401,8 @@ private[sources] class TarWalker(in: InputStream, wantText: Boolean,
   * the central-directory end marker (the JDK returns null for any
   * non-LOC signature), so members after it end the walk without a
   * quarantine row — detecting that case needs a central-directory
-  * audit, which a forward-only stream cannot do.
+  * audit, which a forward-only stream cannot do: that audit exists as
+  * [[ArchiveAudit.zipFsck]] (q398), which catches exactly this lie.
   */
 private[sources] class ZipWalker(in: InputStream, wantText: Boolean,
     maxPayload: Long, passes: ArchiveMember => Boolean) extends ArchiveWalker {
