@@ -25,6 +25,23 @@ import org.apache.spark.sql.SparkSession
   * file artifact additionally records the full per-iteration vectors
   * (`queries_iters`) so a contended-run outlier is attributable after
   * the fact, not a mystery.
+  *
+  * SURVIVABILITY (round 15): the artifact file is rewritten ATOMICALLY
+  * after EVERY query, carrying everything measured so far plus
+  * `"partial":true` and a progress counter — two consecutive rounds of
+  * driver runs died at rc=124 with the JSON built only at the end
+  * (BENCH_r13/_r14 `parsed: null`), so a killed run must still leave a
+  * parsed prefix. The final rewrite flips `partial` to false; the stdout
+  * line is printed only on a completed run (a partial line on stdout
+  * could be mistaken for a full-suite total).
+  *
+  * DRIFT FORENSICS (round 15): every round has spent a session
+  * adjudicating host-load drift by hand (q88 r12, q55 r13, q161 r14).
+  * The artifact now carries the evidence in-band: `/proc/loadavg` is
+  * sampled at suite start, every 25 queries, and at the end (`load`),
+  * and the q000 scheduler control is re-run once at ~mid-suite and once
+  * at the end (`control_samples`) so "the host got slower under us" is
+  * data in the file, not next session's archaeology.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +69,16 @@ object Bench {
     // single logger; everything else stays at WARN
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    // the inter-query cleanup sweep unpersists locally-checkpointed RDDs
+    // (DBSCAN pairs, NN-descent state — dead by then, dropping them is
+    // the point), and each such unpersist WARNs "RDD was locally
+    // checkpointed … cannot be recomputed" from the RDD's CONCRETE class
+    // logger (MapPartitionsRDD et al.). That flood owned the r14 driver
+    // tail that should have shown bench progress — silence the rdd
+    // package for the bench JVM only; correctness runs keep it at WARN
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd",
       org.apache.logging.log4j.Level.ERROR)
     // fail fast (named error, schema printout) on a driver-side testdata
     // regeneration that breaks a loader assumption — see Tables scaladoc
@@ -150,10 +177,70 @@ object Bench {
     val smokeSet: Set[String] = Set("q000_scheduler_control", "q03_revenue_by_nation",
       "q01_hourly_agg", "q18_elb_pipeline", "q55_elb_staged",
       "q97_elb_v2", "q163_bootstrap_ci") ++
-      SparkEntry.queries.keys.filter(qNum(_) >= 359) // newest round block
+      SparkEntry.queries.keys.filter(qNum(_) >= 394) // newest round block
     def selected(n: String): Boolean =
       only.forall(_.exists(n.contains)) &&
         (tier == "full" || smokeSet.contains(n))
+
+    // ---- incremental artifact plumbing (round 15) ----
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    // host-load samples: suite start, every 25 queries, suite end —
+    // /proc/loadavg's three averages plus the running queue snapshot
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sampleLoad(at: String): Unit = {
+      val raw = try {
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).trim
+      } catch { case _: Throwable => "unavailable" }
+      loadSamples += s"""{"at":"$at","n_done":${results.size},"loadavg":"$raw"}"""
+    }
+    // control re-runs: the q000 scheduler control measured again at
+    // mid-suite and end, so drift adjudication reads straight off the file
+    val controlSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sampleControl(at: String): Unit =
+      if (SparkEntry.queries.contains("q000_scheduler_control")) {
+        val t = once("q000_scheduler_control"); cleanup()
+        controlSamples += s"""{"at":"$at","n_done":${results.size},"sec":$t}"""
+      }
+    def arr(b: Seq[String]): String = b.mkString("[", ",", "]")
+
+    /** Serialize everything measured so far and atomically replace the
+      * artifact file. Called after EVERY query: a run killed at rc=124
+      * mid-suite leaves a fully-parsed JSON prefix (`"partial":true`,
+      * `n_done`/`n_selected` progress) instead of nothing. Atomic move
+      * means the driver can never read a torn half-write. */
+    def writeArtifact(partial: Boolean, nSelected: Int): String = {
+      def obj(f: Seq[Double] => Double) = results
+        .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val failed = results.count(_._2.head < 0)
+      // a failed query must not shrink the aggregate into a fake speedup:
+      // the total only counts successes, and "failed" flags the run
+      val ok = results.map(_._2).filter(_.head >= 0)
+      val total = ok.map(minOf).sum
+      val totalMedian = ok.map(medianOf).sum
+      val transientsJson = transients.distinct.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // the compact line (no per-iteration vectors) doubles as the final
+      // stdout line; the FILE artifact carries the full vectors so a
+      // contended-run outlier stays attributable after the fact
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"failed":$failed,"partial":$partial,"n_done":${results.size},"n_selected":$nSelected,"transients":$transientsJson,"iters":$iters,"load":${arr(loadSamples.toSeq)},"control_samples":${arr(controlSamples.toSeq)},"queries":${obj(minOf)},"queries_median":${obj(medianOf)},"sf":"$sfDir"}"""
+      val itersObj = results
+        .map { case (k, v) => "\"" + k + "\":[" + v.mkString(",") + "]" }
+        .mkString("{", ",", "}")
+      val fileLine = line.stripSuffix("}") + s""","queries_iters":$itersObj}"""
+      val p = java.nio.file.Paths.get(outPath)
+      val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+      java.nio.file.Files.writeString(tmp, fileLine + "\n")
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      line
+    }
 
     // warm-up: JVM + codegen + parquet footer caches for the TPC-H-ish and
     // events read paths, plus the one-time synthetic ELB corpus generation
@@ -173,30 +260,21 @@ object Bench {
       SparkEntry.queries.keys.toSeq.sorted.find(_.contains(f)).foreach(once)
     })
 
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(selected)
-      .map(n => n -> exec(n))
-    def obj(f: Seq[Double] => Double) = results
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val failed = results.count(_._2.head < 0)
-    // a failed query must not shrink the aggregate into a fake speedup:
-    // the total only counts successes, and "failed" flags the run
-    val ok = results.map(_._2).filter(_.head >= 0)
-    val total = ok.map(minOf).sum
-    val totalMedian = ok.map(medianOf).sum
-    val transientsJson = transients.distinct.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"failed":$failed,"transients":$transientsJson,"iters":$iters,"queries":${obj(minOf)},"queries_median":${obj(medianOf)},"sf":"$sfDir"}"""
-    // the artifact is also written as a FILE, with the full per-iteration
-    // vectors: scraping the sbt tail for the stdout line truncates under
-    // log interleaving (observed round 2 — only medians were recoverable
-    // from the clipped tail; round 5's BENCH json had "parsed": null)
-    val itersObj = results
-      .map { case (k, v) => "\"" + k + "\":[" + v.mkString(",") + "]" }
-      .mkString("{", ",", "}")
-    val fileLine = line.stripSuffix("}") + s""","queries_iters":$itersObj}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fileLine + "\n")
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    sampleLoad("start")
+    names.zipWithIndex.foreach { case (n, i) =>
+      results += n -> exec(n)
+      if (results.size % 25 == 0) sampleLoad("interval")
+      if (i == names.size / 2) sampleControl("mid")
+      writeArtifact(partial = true, nSelected = names.size)
+      // progress to stderr (never stdout — the driver parses stdout for
+      // the one final JSON line and a partial line could masquerade as
+      // a full-suite total)
+      System.err.println(s"[bench] ${i + 1}/${names.size} $n done")
+    }
+    sampleControl("end")
+    sampleLoad("end")
+    val line = writeArtifact(partial = false, nSelected = names.size)
     // stop Spark BEFORE printing: its shutdown INFO/WARN burst interleaves
     // with stdout in the driver's combined capture and has twice clipped
     // the one line the harness parses

@@ -46,10 +46,13 @@ object ArchiveAudit {
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val files = ElbDataSource.expand(Seq(pattern), conf.value)
       .filter(_.toLowerCase.endsWith(".zip"))
+    // same int-range clamp as TextArchiveTable: the walker materializes
+    // payloads as byte arrays, so the cap must stay below Int.MaxValue
+    val cappedPayload = maxPayload.min(Int.MaxValue.toLong - 8)
     import spark.implicits._
     val parts = math.max(1, math.min(files.size, 64))
     spark.createDataset(files).repartition(parts) // bounded: the file listing
-      .mapPartitions(_.map(p => auditOne(p, conf, maxPayload)))
+      .mapPartitions(_.map(p => auditOne(p, conf, cappedPayload)))
       .toDF()
   }
 
@@ -94,6 +97,16 @@ object ArchiveAudit {
           return fail(path, "zip64 markers in EOCD: unsupported")
         if (cdOffset + cdSize > len)
           return fail(path, "central directory extends past EOF")
+        // cdSize is an untrusted u32: values in (cap, 0xFFFFFFFE] pass the
+        // zip64 marker check and (on a big enough file) the EOF guard, then
+        // `.toInt` goes negative and the allocation throws an error no
+        // IOException handler catches. A central directory is ~60 B/member,
+        // so 256 MiB already means >4M members — far past anything this
+        // audit ingests; a named error keeps the "never an exception"
+        // contract honest against adversarial EOCDs.
+        val cdCap = 256L << 20
+        if (cdSize > cdCap)
+          return fail(path, s"central directory too large: $cdSize bytes")
         val cd = new Array[Byte](cdSize.toInt)
         in.readFully(cdOffset, cd, 0, cd.length)
         var pos = 0
@@ -138,6 +151,10 @@ object ArchiveAudit {
     } catch {
       case e: EOFException => fail(path, s"EOF during audit: ${e.getMessage}")
       case e: java.io.IOException => fail(path, s"audit read error: ${e.getMessage}")
+      // belt for the braces above: any other non-fatal surprise from an
+      // adversarial archive becomes a named row, not a task failure
+      case scala.util.control.NonFatal(e) =>
+        fail(path, s"audit error: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
   }
 }

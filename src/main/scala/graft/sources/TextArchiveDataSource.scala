@@ -111,7 +111,12 @@ class TextArchiveTable(paths: Seq[String], maxPayload: Long)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    // clamp: payloads materialize as JVM byte arrays, so a cap above
+    // Int.MaxValue would let `size.toInt` wrap negative in the tar walker
+    // and `maxPayload + 1` overflow in the zip walker — both uncaught.
+    // Anything ≥ ~2 GiB per member is beyond this source's design anyway.
     val mp = Option(options.get("maxpayload")).map(_.toLong).getOrElse(maxPayload)
+      .min(Int.MaxValue.toLong - 8)
     new TextArchiveScanBuilder(paths, mp, new SerializableHadoopConf(conf))
   }
 }
