@@ -251,10 +251,11 @@ object Bench {
     // first match of each filter term that no warm-up covers.
     // q359's warm-up covers the one-time synthetic WARC corpus
     // generation + oracle staging write (round 13); q394's the text-
-    // archive corpus + staging (round 14)
+    // archive corpus + staging (round 14); q363's the one-time spans
+    // staging write shared with q364 (round 15)
     val warmups = Seq("q03_revenue_by_nation", "q01_hourly_agg",
       "q18_elb_pipeline", "q55_elb_staged", "q359_warc_wet",
-      "q394_textarchive_scan")
+      "q394_textarchive_scan", "q363_substring_dedup")
     warmups.filter(selected).foreach(once)
     only.foreach(_.filterNot(f => warmups.exists(_.contains(f))).foreach { f =>
       SparkEntry.queries.keys.toSeq.sorted.find(_.contains(f)).foreach(once)

