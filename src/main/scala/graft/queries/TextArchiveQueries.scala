@@ -183,17 +183,51 @@ object TextArchiveQueries {
       CAST(0 AS BIGINT) AS walk_quarantined, true AS consistent
     FROM per WHERE f % 2 = 1"""
 
+  // ————————————————————————————— CD-split single-zip scan (q399)
+  // (the round-15 splittability upgrade under the hash gate: ONE zip
+  //  holding the whole corpus — the multi-GB dump shape that used to be
+  //  a one-partition ceiling — planned from its central directory into
+  //  member-range partitions (zipsplitbytes forces >1 at every SF; the
+  //  query asserts it, the spec proves rows match the forward walk).
+  //  Per-extension rollup with a text-fingerprint sum: any slip in the
+  //  offset-seek read of any member flips the hash.)
+  val q399ZipSplitScan: Q = (s, dir) => {
+    val n = rowsFor(dir)
+    val zp = SyntheticTextArchive.singleZip(n)
+    stage(s, n)
+    val df = s.read.format("textarchive")
+      .option("zipsplitbytes", (512 * 1024).toString).load(zp)
+    // the point of the query: a SINGLE zip must not be a single task
+    require(df.rdd.getNumPartitions > 1,
+      s"single-zip scan did not split: ${df.rdd.getNumPartitions} partition(s)")
+    df.where(col("ok"))
+      .groupBy("ext")
+      .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("fp_sum"))
+  }
+  private val q399Sql: String = s"""
+    SELECT ext, count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        AS fp_sum
+    FROM read_parquet('${stagedPath(verifyRows)}/*.parquet')
+    GROUP BY 1"""
+
   val all: Map[String, Q] = Map(
     "q394_textarchive_scan" -> q394TextArchiveScan,
     "q395_textarchive_tokens" -> q395TextArchiveTokens,
     "q396_archive_corpus_build" -> q396ArchiveCorpusBuild,
     "q397_archive_stream" -> q397ArchiveStream,
-    "q398_zip_fsck" -> q398ZipFsck)
+    "q398_zip_fsck" -> q398ZipFsck,
+    "q399_zip_split_scan" -> q399ZipSplitScan)
 
   val oracles: Map[String, String] = Map(
     "q394_textarchive_scan" -> q394Sql,
     "q395_textarchive_tokens" -> q395Sql,
     "q396_archive_corpus_build" -> q396Sql,
     "q397_archive_stream" -> q397Sql,
-    "q398_zip_fsck" -> q398Sql)
+    "q398_zip_fsck" -> q398Sql,
+    "q399_zip_split_scan" -> q399Sql)
 }

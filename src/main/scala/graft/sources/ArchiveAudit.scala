@@ -56,12 +56,6 @@ object ArchiveAudit {
       .toDF()
   }
 
-  private def u16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-
   private def fail(path: String, err: String): ZipAuditRow =
     ZipAuditRow(path, null, null, null, consistent = false, ok = false, err)
 
@@ -72,64 +66,16 @@ object ArchiveAudit {
       val fs = hp.getFileSystem(conf.value)
       val len = fs.getFileStatus(hp).getLen
 
-      // ——— central-directory side: EOCD search window is the last
-      //     22 + 65535 bytes (22-byte fixed record + max comment)
-      val tailLen = math.min(len, 22L + 65535L).toInt
-      if (tailLen < 22) return fail(path, "no EOCD: file shorter than a zip end record")
-      val tail = new Array[Byte](tailLen)
-      val in = fs.open(hp)
-      val central = try {
-        in.readFully(len - tailLen, tail, 0, tailLen)
-        // backward scan: the EOCD whose comment-length field reaches
-        // exactly to EOF is the real one (comments can embed the sig)
-        var i = tailLen - 22
-        var found = -1
-        while (i >= 0 && found < 0) {
-          if (tail(i) == 0x50 && tail(i + 1) == 0x4b && tail(i + 2) == 0x05 &&
-            tail(i + 3) == 0x06 && u16(tail, i + 20) == tailLen - 22 - i) found = i
-          i -= 1
-        }
-        if (found < 0) return fail(path, "no EOCD record in tail window")
-        val totalEntries = u16(tail, found + 10)
-        val cdSize = u32(tail, found + 12)
-        val cdOffset = u32(tail, found + 16)
-        if (totalEntries == 0xffff || cdSize == 0xffffffffL || cdOffset == 0xffffffffL)
-          return fail(path, "zip64 markers in EOCD: unsupported")
-        if (cdOffset + cdSize > len)
-          return fail(path, "central directory extends past EOF")
-        // cdSize is an untrusted u32: values in (cap, 0xFFFFFFFE] pass the
-        // zip64 marker check and (on a big enough file) the EOF guard, then
-        // `.toInt` goes negative and the allocation throws an error no
-        // IOException handler catches. A central directory is ~60 B/member,
-        // so 256 MiB already means >4M members — far past anything this
-        // audit ingests; a named error keeps the "never an exception"
-        // contract honest against adversarial EOCDs.
-        val cdCap = 256L << 20
-        if (cdSize > cdCap)
-          return fail(path, s"central directory too large: $cdSize bytes")
-        val cd = new Array[Byte](cdSize.toInt)
-        in.readFully(cdOffset, cd, 0, cd.length)
-        var pos = 0
-        var regular = 0L
-        var parsed = 0
-        while (pos + 46 <= cd.length) {
-          if (u32(cd, pos) != 0x02014b50L)
-            return fail(path, s"corrupt central directory at offset $pos")
-          val nameLen = u16(cd, pos + 28)
-          val extraLen = u16(cd, pos + 30)
-          val cmtLen = u16(cd, pos + 32)
-          if (pos + 46 + nameLen > cd.length)
-            return fail(path, "torn central directory entry")
-          val name = new String(cd, pos + 46, nameLen, StandardCharsets.UTF_8)
-          if (!name.endsWith("/")) regular += 1
-          parsed += 1
-          pos += 46 + nameLen + extraLen + cmtLen
-        }
-        if (parsed != totalEntries)
-          return fail(path,
-            s"central directory entry count mismatch: EOCD says $totalEntries, parsed $parsed")
-        regular
-      } finally in.close()
+      // ——— central-directory side: the shared tail-only parse (also
+      //     drives splittable zip reading in TextArchiveScan); cdSize is
+      //     capped there because an untrusted u32 in (cap, 0xFFFFFFFE]
+      //     would pass the zip64 check and the EOF guard, then overflow
+      //     the allocation — a named error keeps the "never an
+      //     exception" contract honest against adversarial EOCDs
+      val central = ZipCentralDirectory.parse(fs, hp, len) match {
+        case Left(err) => return fail(path, err)
+        case Right(entries) => entries.count(!_.isDirectory).toLong
+      }
 
       // ——— forward-walk side: payload reads skipped (wantText=false)
       val raw = fs.open(hp)

@@ -163,4 +163,25 @@ object SyntheticTextArchive {
   /** Cached per-JVM dataset keyed by member count. */
   def dataset(n: Int): String =
     cache.getOrElseUpdate(n, writeDataset(dirFor(n), n))
+
+  /** ONE zip holding all `n` members — the corpus shape the central-
+    * directory-driven SPLITTABLE read exists for (a single multi-GB
+    * dump zip that must still parallelize). Same member lattice as
+    * [[dataset]], so the same staging table oracles both layouts.
+    */
+  def singleZip(n: Int): String =
+    singleZipCache.getOrElseUpdate(n, {
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-txtar1z-$n")
+      Files.createDirectories(dir)
+      val f = dir.resolve("corpus.zip")
+      val z = new ZipOutputStream(new BufferedOutputStream(
+        new FileOutputStream(f.toFile), 1 << 16))
+      try (0 until n).foreach { i =>
+        val m = member(i.toLong)
+        zipMember(z, m.path, m.mtimeMs, m.text.getBytes(StandardCharsets.UTF_8))
+      } finally z.close()
+      f.toString
+    })
+
+  private val singleZipCache = scala.collection.concurrent.TrieMap.empty[Int, String]
 }

@@ -52,9 +52,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * query projects.
   *
   * Scale shape, same rules as the ELB/WARC sources:
-  *  - **one partition per archive** (neither format splits mid-stream;
-  *    corpus dumps ship as many archives, so file count is the
-  *    parallelism),
+  *  - **tars: one partition per archive** (a tar stream has no
+  *    directory and cannot split mid-stream; corpus dumps ship as many
+  *    archives, so file count is the parallelism there),
+  *  - **zips: SPLITTABLE via the central directory** (round 15) — batch
+  *    scans plan member-range partitions from the directory's
+  *    local-header offsets ([[TextArchiveScan.planInputPartitions]]),
+  *    so one large zip parallelizes across executors and pushed member
+  *    predicates prune at PLAN time; `zipcd=false` restores the forward
+  *    walk, which also remains the fallback for directories the parse
+  *    rejects and the streaming path's shape,
   *  - **column pruning reaches the reader** — a pruned-out `text`
   *    turns payload reads into skips, so a member-listing scan never
   *    allocates content,
@@ -79,6 +86,10 @@ class TextArchiveDataSource extends TableProvider with DataSourceRegister {
 object TextArchiveDataSource {
   val fileColumn = "archive_source_file"
   val defaultMaxPayload: Long = 64L * 1024 * 1024
+  /** Compressed payload bytes per CD-planned zip partition — the
+    * `maxPartitionBytes` analog for the container leg.
+    */
+  val defaultZipSplitBytes: Long = 128L * 1024 * 1024
 
   val fullSchema: StructType = StructType(Seq(
     StructField("member_path", StringType),
@@ -92,6 +103,35 @@ object TextArchiveDataSource {
 
   /** Member-metadata columns a predicate may be pushed on. */
   val filterable: Set[String] = Set("member_path", "ext")
+
+  private def field(m: ArchiveMember, name: String): String = name match {
+    case "member_path" => m.memberPath
+    case "ext" => m.ext
+    case _ => null
+  }
+
+  /** Compile pushed member predicates to a conjunction over
+    * [[ArchiveMember]] — used by the partition readers (payload-skip
+    * decision) AND by [[TextArchiveScan]]'s central-directory planning
+    * (a zip member failing the pushed predicate never gets a partition
+    * slot, so its local header is never even seeked to).
+    */
+  private[sources] def compilePredicates(
+      pushed: Array[Filter]): ArchiveMember => Boolean = {
+    val preds: Array[ArchiveMember => Boolean] = pushed.map {
+      case EqualTo(a, v: String) => (m: ArchiveMember) => field(m, a) == v
+      case In(a, vs) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        (m: ArchiveMember) => { val f = field(m, a); f != null && set.contains(f) }
+      case IsNotNull(a) => (m: ArchiveMember) => field(m, a) != null
+      case StringStartsWith(a, p) => (m: ArchiveMember) =>
+        { val f = field(m, a); f != null && f.startsWith(p) }
+      case StringContains(a, s) => (m: ArchiveMember) =>
+        { val f = field(m, a); f != null && f.contains(s) }
+      case f => throw new IllegalStateException(s"unpushable filter $f")
+    }
+    m => preds.forall(_(m))
+  }
 
   /** Lowercased extension of the member BASENAME (null when none). */
   def extOf(path: String): String = {
@@ -117,12 +157,20 @@ class TextArchiveTable(paths: Seq[String], maxPayload: Long)
     // Anything ≥ ~2 GiB per member is beyond this source's design anyway.
     val mp = Option(options.get("maxpayload")).map(_.toLong).getOrElse(maxPayload)
       .min(Int.MaxValue.toLong - 8)
-    new TextArchiveScanBuilder(paths, mp, new SerializableHadoopConf(conf))
+    // `zipcd=false` forces the forward stream walk for zips (the
+    // pre-round-15 behavior — kept for parity pinning and for archives
+    // whose directories are known-hostile); `zipsplitbytes` targets the
+    // compressed bytes per CD-planned partition
+    val zipCd = Option(options.get("zipcd")).forall(_.toBoolean)
+    val zipSplitBytes = Option(options.get("zipsplitbytes")).map(_.toLong)
+      .getOrElse(TextArchiveDataSource.defaultZipSplitBytes).max(1L)
+    new TextArchiveScanBuilder(paths, mp, zipCd, zipSplitBytes,
+      new SerializableHadoopConf(conf))
   }
 }
 
 class TextArchiveScanBuilder(paths: Seq[String], maxPayload: Long,
-    conf: SerializableHadoopConf)
+    zipCd: Boolean, zipSplitBytes: Long, conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = TextArchiveDataSource.fullSchema
@@ -143,25 +191,96 @@ class TextArchiveScanBuilder(paths: Seq[String], maxPayload: Long,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new TextArchiveScan(paths, required, pushed, maxPayload, conf)
+    new TextArchiveScan(paths, required, pushed, maxPayload, zipCd,
+      zipSplitBytes, conf)
 }
 
 class TextArchiveScan(paths: Seq[String], required: StructType,
-    pushed: Array[Filter], maxPayload: Long,
-    conf: SerializableHadoopConf) extends Scan with Batch {
+    pushed: Array[Filter], maxPayload: Long, zipCd: Boolean,
+    zipSplitBytes: Long, conf: SerializableHadoopConf) extends Scan with Batch {
   private lazy val files = ElbDataSource.expand(paths, conf.value)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"textarchive scan: ${files.size} files, ${required.fieldNames.mkString(",")}" +
       (if (pushed.isEmpty) "" else s", PushedFilters: ${pushed.mkString(", ")}")
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(ElbFilePartition(_): InputPartition).toArray
+
+  /** Batch planning (round 15): `.zip` files plan from their CENTRAL
+    * DIRECTORY — one tail read per zip (the [[ZipCentralDirectory]]
+    * cost model: KBs–MBs regardless of archive size) yields every
+    * member's local-header offset, so
+    *  - a single large zip SPLITS into member-range partitions of
+    *    ~`zipSplitBytes` compressed payload each (the forward walk's
+    *    one-partition-per-archive ceiling only still applies to tars,
+    *    whose stream has no directory),
+    *  - pushed member predicates prune AT PLAN TIME: an `ext='txt'`
+    *    scan never seeks to a `.md` member's local header at all, and a
+    *    zip with no matching members plans ZERO partitions,
+    *  - a zip whose directory is missing/torn/zip64 falls back to the
+    *    forward stream walk (pre-round-15 behavior, quarantine rules
+    *    intact).
+    * Tars and the fallback keep one partition per archive. The CD
+    * parses fan out on a bounded driver-side thread pool — the parquet-
+    * footer-listing analogy, thousands of files stay sub-second.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val passes = TextArchiveDataSource.compilePredicates(pushed)
+    def planFile(f: String): Seq[InputPartition] =
+      if (!zipCd || !f.toLowerCase.endsWith(".zip")) Seq(ElbFilePartition(f))
+      else {
+        val hp = new org.apache.hadoop.fs.Path(f)
+        val fs = hp.getFileSystem(conf.value)
+        val parsed =
+          try ZipCentralDirectory.parse(fs, hp, fs.getFileStatus(hp).getLen)
+          catch { case scala.util.control.NonFatal(e) =>
+            Left(s"central directory unreadable: ${e.getMessage}") }
+        parsed match {
+          case Left(_) => Seq(ElbFilePartition(f)) // forward-walk fallback
+          case Right(entries) =>
+            val kept = entries.filter { e =>
+              !e.isDirectory && passes(ArchiveMember(e.name,
+                TextArchiveDataSource.extOf(e.name), null, null, null,
+                ok = true, null))
+            }.sortBy(_.locOffset)
+            val groups = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+            val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var bytes = 0L
+            kept.foreach { e =>
+              if (cur.nonEmpty && bytes + e.compressedSize > zipSplitBytes) {
+                groups += ZipMemberRangePartition(f, cur.toArray)
+                cur.clear(); bytes = 0L
+              }
+              cur += e.locOffset
+              bytes += e.compressedSize + 64 // + per-member header overhead
+            }
+            if (cur.nonEmpty) groups += ZipMemberRangePartition(f, cur.toArray)
+            groups.toSeq
+        }
+      }
+    // bounded parallel CD reads; result order stays the listing order
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(files.size, 8)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futs = files.map(f => scala.concurrent.Future(planFile(f)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).flatten.toArray
+    } finally pool.shutdown()
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TextArchiveReaderFactory(required.fieldNames, pushed, maxPayload, conf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TextArchiveMicroBatchStream(paths, required, pushed, maxPayload, conf)
 }
+
+/** CD-planned member range of one zip: the local-header offsets this
+  * partition reads (compact — names/sizes are re-read from each LOC so
+  * the emitted rows share the JDK parse with the forward walk).
+  */
+case class ZipMemberRangePartition(path: String, locOffsets: Array[Long])
+    extends InputPartition
 
 /** File-count offsets over the sorted listing — the [[ElbMicroBatchStream]]
   * recipe; corpus drop folders are append-only with versioned names.
@@ -188,9 +307,15 @@ class TextArchiveMicroBatchStream(paths: Seq[String], required: StructType,
 class TextArchiveReaderFactory(fieldNames: Array[String], pushed: Array[Filter],
     maxPayload: Long, conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TextArchivePartitionReader(
-      partition.asInstanceOf[ElbFilePartition].path, fieldNames, pushed,
-      maxPayload, conf)
+    partition match {
+      case ZipMemberRangePartition(path, offsets) =>
+        new ZipMembersPartitionReader(path, offsets, fieldNames, pushed,
+          maxPayload, conf)
+      case p: ElbFilePartition =>
+        new TextArchivePartitionReader(p.path, fieldNames, pushed,
+          maxPayload, conf)
+      case p => throw new IllegalStateException(s"unexpected partition $p")
+    }
 }
 
 /** One member row (or quarantine row) of the archive walk. */
@@ -217,6 +342,37 @@ private[sources] object ArchiveWalker {
     catch { case _: CharacterCodingException => // unreachable with REPLACE
       new String(bytes, StandardCharsets.UTF_8) }
   }
+
+  /** Projected-fields row build, shared by both partition readers. */
+  def buildRow(m: ArchiveMember, fieldNames: Array[String],
+      pathUtf8: UTF8String): InternalRow = {
+    val vals = new Array[Any](fieldNames.length)
+    var i = 0
+    while (i < fieldNames.length) {
+      vals(i) = fieldNames(i) match {
+        case "member_path" => if (m.memberPath == null) null else UTF8String.fromString(m.memberPath)
+        case "ext" => if (m.ext == null) null else UTF8String.fromString(m.ext)
+        case "size_bytes" => m.sizeBytes
+        case "mtime_ms" => m.mtimeMs
+        case "text" => if (m.text == null) null else UTF8String.fromString(m.text)
+        case "ok" => m.ok
+        case "error" => if (m.error == null) null else UTF8String.fromString(m.error)
+        case TextArchiveDataSource.fileColumn => pathUtf8
+        case other => throw new IllegalStateException(s"unknown field $other")
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+}
+
+/** Close-shield: lets a per-member `ZipInputStream` be closed (freeing
+  * its native `Inflater`) without closing the shared seekable file
+  * stream underneath.
+  */
+private[sources] class NonClosingInputStream(in: InputStream)
+    extends java.io.FilterInputStream(in) {
+  override def close(): Unit = ()
 }
 
 /** Minimal ustar walker; see [[TextArchiveDataSource]] for the format
@@ -421,35 +577,8 @@ private[sources] class ZipWalker(in: InputStream, wantText: Boolean,
       val m = try {
         val e = zin.getNextEntry
         if (e == null) { exhausted = true; null }
-        else if (e.isDirectory) ArchiveMember(null, null, null, null, null, ok = true, null)
-        else {
-          val name = e.getName
-          val mt = e.getLastModifiedTime
-          val m0 = ArchiveMember(name, TextArchiveDataSource.extOf(name),
-            if (e.getSize >= 0) java.lang.Long.valueOf(e.getSize) else null,
-            if (mt == null) null else java.lang.Long.valueOf(mt.toMillis),
-            null, ok = true, null)
-          if (m0.sizeBytes != null && m0.sizeBytes > maxPayload) {
-            zin.closeEntry()
-            m0.copy(ok = false,
-              error = s"member exceeds maxPayload cap: ${m0.sizeBytes}")
-          } else if (!wantText || !passes(m0)) {
-            zin.closeEntry() // payload skipped, never materialized
-            m0
-          } else {
-            val bytes = zin.readNBytes((maxPayload + 1).min(Int.MaxValue.toLong).toInt)
-            if (bytes.length > maxPayload) {
-              zin.closeEntry()
-              m0.copy(ok = false,
-                error = s"member exceeds maxPayload cap: streamed ${bytes.length}")
-            } else {
-              val sz: java.lang.Long =
-                if (m0.sizeBytes != null) m0.sizeBytes
-                else java.lang.Long.valueOf(bytes.length.toLong)
-              m0.copy(sizeBytes = sz, text = ArchiveWalker.decodeText(bytes))
-            }
-          }
-        }
+        else ZipEntryReading.readEntry(zin, e, wantText, maxPayload, passes,
+          drainEntry = true) // forward walk must stay positioned at the next LOC
       } catch {
         case e: ZipException =>
           exhausted = true
@@ -473,6 +602,54 @@ private[sources] class ZipWalker(in: InputStream, wantText: Boolean,
   def close(): Unit = zin.close()
 }
 
+/** One zip entry's row logic, shared verbatim by the forward
+  * [[ZipWalker]] and the CD-driven [[ZipMembersPartitionReader]] — the
+  * JDK `ZipInputStream` does the LOC parse / extended-timestamp mtime /
+  * inflation / CRC verification in both, so the two read paths emit
+  * bit-identical rows on healthy members.
+  *
+  * `drainEntry`: the forward walk must drain a skipped entry to stay
+  * positioned at the next local header (`closeEntry`, which also
+  * CRC-checks what it drains); the CD-driven reader re-seeks per member
+  * from the directory offsets, so skipped payloads cost ZERO reads
+  * there (the `ext='txt'`-never-touches-`.md`-bytes contract, now with
+  * no drain either).
+  */
+private[sources] object ZipEntryReading {
+  def readEntry(zin: ZipInputStream, e: java.util.zip.ZipEntry,
+      wantText: Boolean, maxPayload: Long, passes: ArchiveMember => Boolean,
+      drainEntry: Boolean): ArchiveMember = {
+    if (e.isDirectory)
+      return ArchiveMember(null, null, null, null, null, ok = true, null)
+    val name = e.getName
+    val mt = e.getLastModifiedTime
+    val m0 = ArchiveMember(name, TextArchiveDataSource.extOf(name),
+      if (e.getSize >= 0) java.lang.Long.valueOf(e.getSize) else null,
+      if (mt == null) null else java.lang.Long.valueOf(mt.toMillis),
+      null, ok = true, null)
+    if (m0.sizeBytes != null && m0.sizeBytes > maxPayload) {
+      if (drainEntry) zin.closeEntry()
+      m0.copy(ok = false,
+        error = s"member exceeds maxPayload cap: ${m0.sizeBytes}")
+    } else if (!wantText || !passes(m0)) {
+      if (drainEntry) zin.closeEntry() // payload skipped, never materialized
+      m0
+    } else {
+      val bytes = zin.readNBytes((maxPayload + 1).min(Int.MaxValue.toLong).toInt)
+      if (bytes.length > maxPayload) {
+        if (drainEntry) zin.closeEntry()
+        m0.copy(ok = false,
+          error = s"member exceeds maxPayload cap: streamed ${bytes.length}")
+      } else {
+        val sz: java.lang.Long =
+          if (m0.sizeBytes != null) m0.sizeBytes
+          else java.lang.Long.valueOf(bytes.length.toLong)
+        m0.copy(sizeBytes = sz, text = ArchiveWalker.decodeText(bytes))
+      }
+    }
+  }
+}
+
 /** Emits only required fields; text is skipped (never allocated) when
   * pruned out, and members failing a pushed predicate never read their
   * payload.
@@ -484,25 +661,7 @@ class TextArchivePartitionReader(pathStr: String, fieldNames: Array[String],
   private val pathUtf8 = UTF8String.fromString(pathStr)
   private val wantText = fieldNames.contains("text")
 
-  private def field(m: ArchiveMember, name: String): String = name match {
-    case "member_path" => m.memberPath
-    case "ext" => m.ext
-    case _ => null
-  }
-
-  private val preds: Array[ArchiveMember => Boolean] = pushed.map {
-    case EqualTo(a, v: String) => (m: ArchiveMember) => field(m, a) == v
-    case In(a, vs) =>
-      val set = vs.map(_.asInstanceOf[String]).toSet
-      (m: ArchiveMember) => { val f = field(m, a); f != null && set.contains(f) }
-    case IsNotNull(a) => (m: ArchiveMember) => field(m, a) != null
-    case StringStartsWith(a, p) => (m: ArchiveMember) =>
-      { val f = field(m, a); f != null && f.startsWith(p) }
-    case StringContains(a, s) => (m: ArchiveMember) =>
-      { val f = field(m, a); f != null && f.contains(s) }
-    case f => throw new IllegalStateException(s"unpushable filter $f")
-  }
-  private def passes(m: ArchiveMember): Boolean = preds.forall(_(m))
+  private val passes = TextArchiveDataSource.compilePredicates(pushed)
 
   private lazy val walker: ArchiveWalker = {
     val hp = new org.apache.hadoop.fs.Path(pathStr)
@@ -527,25 +686,81 @@ class TextArchivePartitionReader(pathStr: String, fieldNames: Array[String],
     // the tar walker's skipped-special sentinel (no path, ok, no error)
     while (m != null && m.ok && m.memberPath == null && m.error == null) m = walker.nextMember()
     if (m == null) return false
-    val vals = new Array[Any](fieldNames.length)
-    var i = 0
-    while (i < fieldNames.length) {
-      vals(i) = fieldNames(i) match {
-        case "member_path" => if (m.memberPath == null) null else UTF8String.fromString(m.memberPath)
-        case "ext" => if (m.ext == null) null else UTF8String.fromString(m.ext)
-        case "size_bytes" => m.sizeBytes
-        case "mtime_ms" => m.mtimeMs
-        case "text" => if (m.text == null) null else UTF8String.fromString(m.text)
-        case "ok" => m.ok
-        case "error" => if (m.error == null) null else UTF8String.fromString(m.error)
-        case TextArchiveDataSource.fileColumn => pathUtf8
-        case other => throw new IllegalStateException(s"unknown field $other")
-      }
-      i += 1
-    }
-    current = new GenericInternalRow(vals)
+    current = ArchiveWalker.buildRow(m, fieldNames, pathUtf8)
     true
   }
   override def get(): InternalRow = current
   override def close(): Unit = walker.close()
+}
+
+/** CD-driven zip member reader: seeks to each planned local-header
+  * offset and reads ONE entry through a fresh per-member
+  * `ZipInputStream` over a close-shielded view of the shared file
+  * stream — identical JDK parse/inflate/CRC semantics to the forward
+  * walk, plus the capabilities the stream walk cannot have:
+  *  - members AFTER a corrupt entry still surface (each read starts
+  *    from its own directory offset),
+  *  - a corrupted local-header SIGNATURE — the forward walk's
+  *    documented blind spot, indistinguishable from end-of-stream —
+  *    becomes a NAMED quarantine row here, because the central
+  *    directory said a member lives at that offset,
+  *  - payload-skipped members (pruned `text`, runtime predicate miss)
+  *    cost zero payload reads AND zero drain (the forward walk must
+  *    drain to stay positioned).
+  */
+class ZipMembersPartitionReader(pathStr: String, locOffsets: Array[Long],
+    fieldNames: Array[String], pushed: Array[Filter], maxPayload: Long,
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+
+  private val pathUtf8 = UTF8String.fromString(pathStr)
+  private val wantText = fieldNames.contains("text")
+  private val passes = TextArchiveDataSource.compilePredicates(pushed)
+
+  private lazy val fsIn = {
+    val hp = new org.apache.hadoop.fs.Path(pathStr)
+    hp.getFileSystem(conf.value).open(hp)
+  }
+
+  private def readAt(off: Long): ArchiveMember = {
+    var zin: ZipInputStream = null
+    try {
+      fsIn.seek(off)
+      zin = new ZipInputStream(
+        new BufferedInputStream(new NonClosingInputStream(fsIn), 8192),
+        StandardCharsets.UTF_8)
+      val e = zin.getNextEntry
+      if (e == null)
+        ArchiveMember(null, null, null, null, null, ok = false,
+          s"corrupt zip local header at offset $off: member named by central directory")
+      else ZipEntryReading.readEntry(zin, e, wantText, maxPayload, passes,
+        drainEntry = false) // re-seek per member: no drain needed
+    } catch {
+      case e: ZipException =>
+        ArchiveMember(null, null, null, null, null, ok = false,
+          s"zip stream error: ${e.getMessage}")
+      case e: java.io.IOException =>
+        ArchiveMember(null, null, null, null, null, ok = false,
+          s"archive read error: ${e.getMessage}")
+    } finally if (zin != null) zin.close() // shielded: frees the Inflater only
+  }
+
+  private var idx = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (idx < locOffsets.length) {
+      val m = readAt(locOffsets(idx))
+      idx += 1
+      // dir-entry sentinel can't arise (dirs are plan-time filtered) but
+      // the guard keeps the two readers' row laws identical
+      val isSentinel = m.ok && m.memberPath == null && m.error == null
+      if (!isSentinel && passes(m)) {
+        current = ArchiveWalker.buildRow(m, fieldNames, pathUtf8)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = fsIn.close()
 }

@@ -222,7 +222,7 @@ class TextArchiveSourceSpec extends SparkSpec {
     }
   }
 
-  test("corrupt zip entry data (CRC mismatch) quarantines once and ends the file") {
+  test("corrupt zip entry data (CRC mismatch) quarantines; CD path keeps later members, forward walk ends the file") {
     val zdir = Files.createTempDirectory("txtar-spec")
     val zf = zdir.resolve("bad.zip")
     val z = new ZipOutputStream(new FileOutputStream(zf.toFile))
@@ -244,11 +244,22 @@ class TextArchiveSourceSpec extends SparkSpec {
     raw(idx) = 'X'.toByte
     val bf = zdir.resolve("corrupt.zip")
     Files.write(bf, raw)
+    // CD-driven default: the corrupt member quarantines with its
+    // metadata attached, later members unaffected (each member reads
+    // from its own directory offset)
     val rows = spark.read.format("textarchive").load(bf.toString).collect()
     assert(rows.count(_.getAs[Boolean]("ok")) == 1)
     val bad = rows.filter(!_.getAs[Boolean]("ok"))
     assert(bad.length == 1)
     assert(bad.head.getAs[String]("error").startsWith("zip stream error"))
+    // forward walk (zipcd=false): same quarantine, but the stream cannot
+    // be resynced so the file ends there — the pre-round-15 pin
+    val fwd = spark.read.format("textarchive").option("zipcd", "false")
+      .load(bf.toString).collect()
+    assert(fwd.count(_.getAs[Boolean]("ok")) == 1)
+    val fbad = fwd.filter(!_.getAs[Boolean]("ok"))
+    assert(fbad.length == 1 &&
+      fbad.head.getAs[String]("error").startsWith("zip stream error"))
   }
 
   test("invalid UTF-8 decodes with replacement, ok stays true") {
@@ -315,9 +326,19 @@ class TextArchiveSourceSpec extends SparkSpec {
     raw(idx + 2) = 9
     val bf = zdir.resolve("sigcorrupt.zip")
     Files.write(bf, raw)
-    // first confirm the walk itself is blind to it
-    val walked = spark.read.format("textarchive").load(bf.toString).collect()
+    // the FORWARD walk (zipcd=false) is provably blind to it: clean EOF
+    // after member 1, no quarantine row
+    val walked = spark.read.format("textarchive").option("zipcd", "false")
+      .load(bf.toString).collect()
     assert(walked.length == 1 && walked.forall(_.getAs[Boolean]("ok")))
+    // the DEFAULT (CD-driven) read path closes that blind spot: the
+    // central directory names a member at the corrupted offset, so the
+    // lie becomes a named quarantine row instead of a silent truncation
+    val cdRead = spark.read.format("textarchive").load(bf.toString).collect()
+    assert(cdRead.length == 2)
+    val cdBad = cdRead.filter(!_.getAs[Boolean]("ok"))
+    assert(cdBad.length == 1 &&
+      cdBad.head.getAs[String]("error").startsWith("corrupt zip local header"))
     val audit = graft.sources.ArchiveAudit.zipFsck(spark, bf.toString).collect()
     assert(audit.length == 1 && audit.head.getAs[Boolean]("ok"))
     assert(audit.head.getAs[Long]("central_members") == 2L)
@@ -361,6 +382,76 @@ class TextArchiveSourceSpec extends SparkSpec {
     val tpath = writeFile("skip.tar", tarBytes(golden))
     assert(graft.sources.ArchiveAudit.zipFsck(spark,
       tpath.replace("skip.tar", "*")).count() == 0L)
+  }
+
+  test("CD-driven zip scan: one large zip splits into member-range partitions, rows identical to the forward walk") {
+    val n = 400
+    val zpath = SyntheticTextArchive.singleZip(n)
+    // default split (128 MiB): one partition — the corpus is tiny
+    val whole = spark.read.format("textarchive").load(zpath)
+    assert(whole.rdd.getNumPartitions == 1)
+    // forced small splits: the SAME single zip parallelizes
+    val split = spark.read.format("textarchive")
+      .option("zipsplitbytes", (8 * 1024).toString).load(zpath)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected >4 partitions, got ${split.rdd.getNumPartitions}")
+    // row-for-row identical to the forward stream walk
+    val fwd = spark.read.format("textarchive").option("zipcd", "false")
+      .load(zpath)
+    assert(split.count() == n.toLong)
+    assert(split.except(fwd).isEmpty && fwd.except(split).isEmpty)
+  }
+
+  test("CD planning prunes pushed predicates before any seek: ext filter drops partitions, empty match plans zero") {
+    val n = 400
+    val zpath = SyntheticTextArchive.singleZip(n)
+    val small = (8 * 1024).toString
+    val all = spark.read.format("textarchive")
+      .option("zipsplitbytes", small).load(zpath)
+    // every 5th member is markdown: an ext='md' scan plans ranges over
+    // ~1/5 of the compressed bytes → materially fewer partitions
+    val md = spark.read.format("textarchive")
+      .option("zipsplitbytes", small).load(zpath)
+      .where(col("ext") === "md")
+    assert(md.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"${md.rdd.getNumPartitions} !< ${all.rdd.getNumPartitions}")
+    assert(md.count() == (n / 5).toLong)
+    // a predicate nothing matches plans ZERO partitions — no seeks at all
+    val none = spark.read.format("textarchive")
+      .option("zipsplitbytes", small).load(zpath)
+      .where(col("ext") === "pdf")
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0L)
+  }
+
+  test("CD-driven read survives a mid-zip CRC corruption: later members still arrive (forward walk cannot)") {
+    val zdir = Files.createTempDirectory("txtar-cd")
+    val zf = zdir.resolve("mid.zip")
+    val z = new ZipOutputStream(new FileOutputStream(zf.toFile))
+    SyntheticTextArchive.zipMember(z, "a.txt", 1000L, payload("fine\n"))
+    SyntheticTextArchive.zipMember(z, "b.txt", 2000L, payload("gone\n"))
+    SyntheticTextArchive.zipMember(z, "c.txt", 3000L, payload("after\n"))
+    z.close()
+    val raw = Files.readAllBytes(zf)
+    var idx = -1; var i = 0
+    while (i < raw.length - 5 && idx < 0) {
+      if (raw(i) == 'g' && raw(i + 1) == 'o' && raw(i + 2) == 'n' &&
+        raw(i + 3) == 'e' && raw(i + 4) == '\n') idx = i
+      i += 1
+    }
+    assert(idx > 0)
+    raw(idx) = 'X'.toByte
+    val bf = zdir.resolve("midcorrupt.zip")
+    Files.write(bf, raw)
+    val rows = spark.read.format("textarchive").load(bf.toString).collect()
+    assert(rows.count(_.getAs[Boolean]("ok")) == 2) // a.txt AND c.txt
+    assert(rows.filter(_.getAs[Boolean]("ok"))
+      .map(_.getAs[String]("member_path")).toSet == Set("a.txt", "c.txt"))
+    assert(rows.count(!_.getAs[Boolean]("ok")) == 1)
+    // forward walk loses c.txt: the stream cannot resync past the error
+    val fwd = spark.read.format("textarchive").option("zipcd", "false")
+      .load(bf.toString).collect()
+    assert(fwd.count(_.getAs[Boolean]("ok")) == 1)
   }
 
   test("synthetic corpus round-trips the staging table bit-exactly (both walks)") {
