@@ -18,9 +18,13 @@ import graft.sources.SyntheticTextArchive
 object TextArchiveQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Same SF→size law as the ELB/WARC corpora. */
+  /** Same SF→size law as the ELB/WARC corpora, extended one decade
+    * further (round 15): the archive family's scaling rows now reach
+    * the 20M-member corpus at /tmp/sf10.
+    */
   private[graft] def rowsFor(dir: String): Int =
     if (dir.endsWith("sf0.1")) 200000
+    else if (dir.endsWith("sf10")) 20000000
     else if (dir.endsWith("sf1")) 2000000
     else 20000
   private[graft] val verifyRows = 20000
@@ -33,12 +37,18 @@ object TextArchiveQueries {
 
   private def stage(s: SparkSession, n: Int): Unit =
     stagedOnce.getOrElseUpdate(n, {
-      import s.implicits._
-      s.range(n).map(i => SyntheticTextArchive.member(i))
-        .select(col("path").as("member_path"), col("ext"),
-          octet_length(col("text")).cast("long").as("size_bytes"),
-          col("mtimeMs").as("mtime_ms"), col("text"))
-        .coalesce(4).write.mode("overwrite").parquet(stagedPath(n))
+      // cross-JVM memo (round 15): the staging is deterministic in n, so
+      // a finished _SUCCESS-marked write is reused instead of re-paying
+      // a 20M-row parquet write per probe JVM at the sf10 decade
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stagedPath(n), "_SUCCESS"))) {
+        import s.implicits._
+        s.range(n).map(i => SyntheticTextArchive.member(i))
+          .select(col("path").as("member_path"), col("ext"),
+            octet_length(col("text")).cast("long").as("size_bytes"),
+            col("mtimeMs").as("mtime_ms"), col("text"))
+          .coalesce(4).write.mode("overwrite").parquet(stagedPath(n))
+      }
       true
     })
 
@@ -195,8 +205,14 @@ object TextArchiveQueries {
     val n = rowsFor(dir)
     val zp = SyntheticTextArchive.singleZip(n)
     stage(s, n)
+    // scale-aware split target: members are ~200 B, so ~3n bytes / 64
+    // ranges keeps the partition count near 64 at EVERY SF (the
+    // maxPartitionBytes discipline — a fixed tiny split would plan ~8k
+    // micro-tasks at the 20M-member decade and measure scheduler, not
+    // scan)
+    val splitBytes = math.max(256L * 1024, 3L * n)
     val df = s.read.format("textarchive")
-      .option("zipsplitbytes", (512 * 1024).toString).load(zp)
+      .option("zipsplitbytes", splitBytes.toString).load(zp)
     // the point of the query: a SINGLE zip must not be a single task
     require(df.rdd.getNumPartitions > 1,
       s"single-zip scan did not split: ${df.rdd.getNumPartitions} partition(s)")

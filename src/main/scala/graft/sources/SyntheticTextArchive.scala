@@ -122,6 +122,12 @@ object SyntheticTextArchive {
     * odd = .zip); returns the glob matching both.
     */
   def writeDataset(dir: Path, n: Int): String = {
+    // deterministic corpus + per-JVM memo: a second JVM (scale probes,
+    // bench after tests) reuses the on-disk corpus instead of paying a
+    // multi-minute regeneration at the 2M/20M decades. The marker is
+    // written LAST, so a killed generation regenerates cleanly.
+    val marker = dir.resolve("_COMPLETE")
+    if (Files.exists(marker)) return dir.resolve("archive-*").toString
     Files.createDirectories(dir)
     val perFile = math.max(1, n / files)
     (0 until files).par.foreach { f =>
@@ -152,6 +158,7 @@ object SyntheticTextArchive {
         } finally z.close()
       }
     }
+    Files.write(marker, Array.emptyByteArray)
     dir.resolve("archive-*").toString
   }
 
@@ -172,14 +179,18 @@ object SyntheticTextArchive {
   def singleZip(n: Int): String =
     singleZipCache.getOrElseUpdate(n, {
       val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-synth-txtar1z-$n")
-      Files.createDirectories(dir)
       val f = dir.resolve("corpus.zip")
-      val z = new ZipOutputStream(new BufferedOutputStream(
-        new FileOutputStream(f.toFile), 1 << 16))
-      try (0 until n).foreach { i =>
-        val m = member(i.toLong)
-        zipMember(z, m.path, m.mtimeMs, m.text.getBytes(StandardCharsets.UTF_8))
-      } finally z.close()
+      val marker = dir.resolve("_COMPLETE")
+      if (!Files.exists(marker)) { // same cross-JVM memo as writeDataset
+        Files.createDirectories(dir)
+        val z = new ZipOutputStream(new BufferedOutputStream(
+          new FileOutputStream(f.toFile), 1 << 16))
+        try (0 until n).foreach { i =>
+          val m = member(i.toLong)
+          zipMember(z, m.path, m.mtimeMs, m.text.getBytes(StandardCharsets.UTF_8))
+        } finally z.close()
+        Files.write(marker, Array.emptyByteArray)
+      }
       f.toString
     })
 
