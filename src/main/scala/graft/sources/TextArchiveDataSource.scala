@@ -716,9 +716,12 @@ class ZipMembersPartitionReader(pathStr: String, locOffsets: Array[Long],
   private val wantText = fieldNames.contains("text")
   private val passes = TextArchiveDataSource.compilePredicates(pushed)
 
+  private var fsInOpened = false
   private lazy val fsIn = {
     val hp = new org.apache.hadoop.fs.Path(pathStr)
-    hp.getFileSystem(conf.value).open(hp)
+    val in = hp.getFileSystem(conf.value).open(hp)
+    fsInOpened = true
+    in
   }
 
   private def readAt(off: Long): ArchiveMember = {
@@ -762,5 +765,6 @@ class ZipMembersPartitionReader(pathStr: String, locOffsets: Array[Long],
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = fsIn.close()
+  // guard: closing a never-opened lazy stream must not open the file
+  override def close(): Unit = if (fsInOpened) fsIn.close()
 }

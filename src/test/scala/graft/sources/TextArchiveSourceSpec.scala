@@ -454,6 +454,36 @@ class TextArchiveSourceSpec extends SparkSpec {
     assert(fwd.count(_.getAs[Boolean]("ok")) == 1)
   }
 
+  test("zip64 (>65535 entries): CD scan still splits and matches the forward walk; fsck consistent") {
+    val n = 70000 // past the 0xFFFF entry count → JDK writes a ZIP64 EOCD
+    val zdir = Files.createTempDirectory("txtar-z64")
+    val zf = zdir.resolve("big.zip")
+    val z = new ZipOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(zf.toFile), 1 << 16))
+    (0 until n).foreach { i =>
+      SyntheticTextArchive.zipMember(z, s"d/m$i.txt", 1000L + i, payload(s"x$i\n"))
+    }
+    z.close()
+    val split = spark.read.format("textarchive")
+      .option("zipsplitbytes", (64 * 1024).toString).load(zf.toString)
+    assert(split.rdd.getNumPartitions > 4,
+      s"zip64 CD plan fell back: ${split.rdd.getNumPartitions} partition(s)")
+    assert(split.count() == n.toLong)
+    // spot-match the forward walk on a slice (full except() on 70k tiny
+    // rows is wasteful; counts + a deterministic sample pin the law)
+    val a = split.where(col("member_path").endsWith("7.txt")).agg(
+      count(lit(1)), sum(length(col("text")))).collect()(0)
+    val b = spark.read.format("textarchive").option("zipcd", "false")
+      .load(zf.toString).where(col("member_path").endsWith("7.txt")).agg(
+        count(lit(1)), sum(length(col("text")))).collect()(0)
+    assert(a == b)
+    val audit = graft.sources.ArchiveAudit.zipFsck(spark, zf.toString).collect()
+    assert(audit.length == 1 && audit.head.getAs[Boolean]("ok"),
+      s"zip64 fsck failed: ${audit.head.getAs[String]("error")}")
+    assert(audit.head.getAs[Long]("central_members") == n.toLong)
+    assert(audit.head.getAs[Boolean]("consistent"))
+  }
+
   test("synthetic corpus round-trips the staging table bit-exactly (both walks)") {
     val n = 300
     val glob = SyntheticTextArchive.dataset(n)
