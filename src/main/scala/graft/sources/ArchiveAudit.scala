@@ -72,10 +72,14 @@ object ArchiveAudit {
       //     would pass the zip64 check and the EOF guard, then overflow
       //     the allocation — a named error keeps the "never an
       //     exception" contract honest against adversarial EOCDs
-      val central = ZipCentralDirectory.parse(fs, hp, len) match {
+      var regular = 0L
+      ZipCentralDirectory.visit(fs, hp, len) { e =>
+        if (!e.isDirectory) regular += 1
+      } match {
         case Left(err) => return fail(path, err)
-        case Right(entries) => entries.count(!_.isDirectory).toLong
+        case Right(_) => ()
       }
+      val central = regular
 
       // ——— forward-walk side: payload reads skipped (wantText=false)
       val raw = fs.open(hp)

@@ -230,30 +230,34 @@ class TextArchiveScan(paths: Seq[String], required: StructType,
       else {
         val hp = new org.apache.hadoop.fs.Path(f)
         val fs = hp.getFileSystem(conf.value)
+        // streaming visitor (a 20M-member directory never materializes):
+        // kept members group incrementally in directory order — which is
+        // ascending local-header offset for every common writer; each
+        // group sorts its own offsets so the reader seeks forward even
+        // on a reordered directory
+        val groups = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var bytes = 0L
+        def flush(): Unit = if (cur.nonEmpty) {
+          groups += ZipMemberRangePartition(f, cur.toArray.sorted)
+          cur.clear(); bytes = 0L
+        }
         val parsed =
-          try ZipCentralDirectory.parse(fs, hp, fs.getFileStatus(hp).getLen)
+          try ZipCentralDirectory.visit(fs, hp, fs.getFileStatus(hp).getLen) { e =>
+            if (!e.isDirectory && passes(ArchiveMember(e.name,
+                TextArchiveDataSource.extOf(e.name), null, null, null,
+                ok = true, null))) {
+              if (cur.nonEmpty && bytes + e.compressedSize > zipSplitBytes) flush()
+              cur += e.locOffset
+              bytes += e.compressedSize + 64 // + per-member header overhead
+            }
+          }
           catch { case scala.util.control.NonFatal(e) =>
             Left(s"central directory unreadable: ${e.getMessage}") }
         parsed match {
           case Left(_) => Seq(ElbFilePartition(f)) // forward-walk fallback
-          case Right(entries) =>
-            val kept = entries.filter { e =>
-              !e.isDirectory && passes(ArchiveMember(e.name,
-                TextArchiveDataSource.extOf(e.name), null, null, null,
-                ok = true, null))
-            }.sortBy(_.locOffset)
-            val groups = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-            val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-            var bytes = 0L
-            kept.foreach { e =>
-              if (cur.nonEmpty && bytes + e.compressedSize > zipSplitBytes) {
-                groups += ZipMemberRangePartition(f, cur.toArray)
-                cur.clear(); bytes = 0L
-              }
-              cur += e.locOffset
-              bytes += e.compressedSize + 64 // + per-member header overhead
-            }
-            if (cur.nonEmpty) groups += ZipMemberRangePartition(f, cur.toArray)
+          case Right(_) =>
+            flush()
             groups.toSeq
         }
       }

@@ -18,7 +18,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * switches formats at 65535 entries or 4 GiB): sentinel fields in the
   * classic EOCD defer to the ZIP64 EOCD record via its locator, and
   * per-member sentinel fields resolve through the 0x0001 extra block.
-  * Torn/oversized/structurally-lying directories come back as
+  *
+  * The directory STREAMS through a fixed 4 MiB window (round-15 rev 2):
+  * a 20M-member corpus zip carries a ~1.4 GiB central directory, and
+  * buffering that per archive — 8 parse in parallel at plan time —
+  * would be a driver OOM, so entries are visited as the window slides
+  * and callers keep only what they need (the audit a count, the scan
+  * the kept offsets). Torn/structurally-lying directories come back as
   * `Left(named error)` — the audit turns that into an `ok=false` row,
   * the scan falls back to the forward stream walk.
   */
@@ -34,10 +40,10 @@ private[sources] object ZipCentralDirectory {
     def isDirectory: Boolean = name.endsWith("/")
   }
 
-  /** An untrusted u32 EOCD field caps the directory we are willing to
-    * buffer: ~60 B/member means 256 MiB is already >4M members.
+  /** Streaming window; one CEN entry is ≤ 46 + 3×65535 B, so 4 MiB
+    * always holds at least one complete entry.
     */
-  val maxCdBytes: Long = 256L << 20
+  private val windowBytes = 4 << 20
 
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -47,11 +53,13 @@ private[sources] object ZipCentralDirectory {
   private def u64(b: Array[Byte], off: Int): Long =
     u32(b, off) | (u32(b, off + 4) << 32)
 
-  /** Tail-only central-directory parse; `Left` is a named error (the
-    * audit's spec-pinned strings), `Right` the entries in directory
-    * order (≈ ascending local-header offset for every common writer).
+  /** Visit every central-directory entry in directory order without
+    * materializing the directory; returns the entry count. `Left` is a
+    * named error (the audit's spec-pinned strings) — entries already
+    * visited before an error must be discarded by the caller.
     */
-  def parse(fs: FileSystem, hp: HPath, len: Long): Either[String, Array[CdEntry]] = {
+  def visit(fs: FileSystem, hp: HPath, len: Long)(
+      f: CdEntry => Unit): Either[String, Long] = {
     // ——— EOCD search window is the last 22 + 65535 bytes (22-byte
     //     fixed record + max comment)
     val tailLen = math.min(len, 22L + 65535L).toInt
@@ -74,10 +82,9 @@ private[sources] object ZipCentralDirectory {
       var cdSize = u32(tail, found + 12)
       var cdOffset = u32(tail, found + 16)
       if (totalEntries == 0xffffL || cdSize == 0xffffffffL || cdOffset == 0xffffffffL) {
-        // zip64 (round 15): any real dump zip is one — the JDK switches
-        // formats at 65536 entries or 4 GiB. The classic EOCD's
-        // sentinel fields defer to a 56-byte ZIP64 EOCD record, located
-        // via the 20-byte locator that directly precedes the EOCD.
+        // zip64: the classic EOCD's sentinel fields defer to a 56-byte
+        // ZIP64 EOCD record, located via the 20-byte locator that
+        // directly precedes the EOCD
         val locIdx = found - 20
         if (locIdx < 0 || u32(tail, locIdx) != 0x07064b50L)
           return Left("zip64 markers in EOCD but no zip64 locator")
@@ -96,64 +103,93 @@ private[sources] object ZipCentralDirectory {
       }
       if (cdOffset + cdSize > len)
         return Left("central directory extends past EOF")
-      if (cdSize > maxCdBytes)
-        return Left(s"central directory too large: $cdSize bytes")
-      val cd = new Array[Byte](cdSize.toInt)
-      in.readFully(cdOffset, cd, 0, cd.length)
-      val entries = Array.newBuilder[CdEntry]
-      var pos = 0
+
+      // ——— sliding-window entry walk over [cdOffset, cdOffset+cdSize)
+      val buf = new Array[Byte](math.min(cdSize, windowBytes.toLong).toInt
+        .max(46))
+      var filePos = cdOffset // next unread CD byte in the FILE
+      val cdEnd = cdOffset + cdSize
+      var avail = 0 // valid bytes in buf
+      var pos = 0 // parse cursor within buf
+      var cdPos = 0L // absolute CD offset of buf(pos) (error reporting)
       var parsed = 0L
-      while (pos + 46 <= cd.length) {
-        if (u32(cd, pos) != 0x02014b50L)
-          return Left(s"corrupt central directory at offset $pos")
-        var csize = u32(cd, pos + 20)
-        var usize = u32(cd, pos + 24)
-        val nameLen = u16(cd, pos + 28)
-        val extraLen = u16(cd, pos + 30)
-        val cmtLen = u16(cd, pos + 32)
-        var locOffset = u32(cd, pos + 42)
-        if (pos + 46 + nameLen + extraLen > cd.length)
+      def refill(): Unit = {
+        // compact the unconsumed tail, then fill from the file
+        if (pos > 0) { System.arraycopy(buf, pos, buf, 0, avail - pos); avail -= pos; pos = 0 }
+        // long-side min FIRST: (cdEnd - filePos) can exceed Int range
+        // while gigabytes of directory remain, and a raw .toInt there
+        // would go negative and starve the refill
+        val want = math.min((buf.length - avail).toLong, cdEnd - filePos).toInt
+        if (want > 0) {
+          in.readFully(filePos, buf, avail, want)
+          avail += want
+          filePos += want
+        }
+      }
+      refill()
+      while (cdPos < cdSize) {
+        // ensure the fixed header is in the window
+        if (avail - pos < 46 && filePos < cdEnd) refill()
+        if (avail - pos < 46)
           return Left("torn central directory entry")
-        val name = new String(cd, pos + 46, nameLen, StandardCharsets.UTF_8)
+        if (u32(buf, pos) != 0x02014b50L)
+          return Left(s"corrupt central directory at offset $cdPos")
+        val nameLen = u16(buf, pos + 28)
+        val extraLen = u16(buf, pos + 30)
+        val cmtLen = u16(buf, pos + 32)
+        val entryLen = 46 + nameLen + extraLen + cmtLen
+        if (avail - pos < entryLen && filePos < cdEnd) refill()
+        if (avail - pos < entryLen)
+          return Left("torn central directory entry")
+        var csize = u32(buf, pos + 20)
+        var usize = u32(buf, pos + 24)
+        var locOffset = u32(buf, pos + 42)
+        val name = new String(buf, pos + 46, nameLen, StandardCharsets.UTF_8)
         if (csize == 0xffffffffL || usize == 0xffffffffL || locOffset == 0xffffffffL) {
           // per-member zip64: sentinel fields live in the 0x0001 extra
           // block, packed in fixed order (usize, csize, locOffset) with
           // only the sentinel-valued fields present
           var ep = pos + 46 + nameLen
           val eEnd = ep + extraLen
-          var z64: Int = -1
+          var z64 = -1
           var z64End = -1
           while (ep + 4 <= eEnd && z64 < 0) {
-            val id = u16(cd, ep)
-            val sz = u16(cd, ep + 2)
+            val id = u16(buf, ep)
+            val sz = u16(buf, ep + 2)
             if (id == 0x0001) { z64 = ep + 4; z64End = math.min(eEnd, ep + 4 + sz) }
             ep += 4 + sz
           }
           if (z64 < 0)
             return Left(s"zip64 sentinel without zip64 extra field: $name")
           var fp = z64
-          def take(): Either[String, Long] =
-            if (fp + 8 > z64End) Left(s"torn zip64 extra field: $name")
-            else { val v = u64(cd, fp); fp += 8; Right(v) }
-          if (usize == 0xffffffffL) take() match {
-            case Left(e) => return Left(e); case Right(v) => usize = v }
-          if (csize == 0xffffffffL) take() match {
-            case Left(e) => return Left(e); case Right(v) => csize = v }
-          if (locOffset == 0xffffffffL) take() match {
-            case Left(e) => return Left(e); case Right(v) => locOffset = v }
+          var torn = false
+          def take(): Long =
+            if (fp + 8 > z64End) { torn = true; -1L }
+            else { val v = u64(buf, fp); fp += 8; v }
+          if (usize == 0xffffffffL) usize = take()
+          if (csize == 0xffffffffL) csize = take()
+          if (locOffset == 0xffffffffL) locOffset = take()
+          if (torn) return Left(s"torn zip64 extra field: $name")
           if (csize < 0 || usize < 0 || locOffset < 0)
             return Left(s"zip64 extra field out of range: $name")
         }
         if (locOffset >= len)
           return Left(s"central directory offset past EOF: $name")
-        entries += CdEntry(name, locOffset, csize, usize)
+        f(CdEntry(name, locOffset, csize, usize))
         parsed += 1
-        pos += 46 + nameLen + extraLen + cmtLen
+        pos += entryLen
+        cdPos += entryLen
       }
       if (parsed != totalEntries)
         return Left(
           s"central directory entry count mismatch: EOCD says $totalEntries, parsed $parsed")
-      Right(entries.result())
+      Right(parsed)
     } finally in.close()
+  }
+
+  /** Materialized convenience for small directories (specs, tools). */
+  def parse(fs: FileSystem, hp: HPath, len: Long): Either[String, Array[CdEntry]] = {
+    val b = Array.newBuilder[CdEntry]
+    visit(fs, hp, len)(b += _).map(_ => b.result())
   }
 }
