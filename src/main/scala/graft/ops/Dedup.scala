@@ -211,7 +211,12 @@ object Dedup {
     * cannot diverge the compare). Output is |lattice| rows; the
     * lattice is bounded (≤ 8) so the union of per-n plans stays a
     * handful of scans; at 100 TB run it over the staged shingle table
-    * instead of re-deriving per n.
+    * instead of re-deriving per n. Memory note (measured, sf10 knob
+    * matrix): the n-way digest semi-joins prefer execution memory more
+    * than most of the suite — 167.9 s @8 GiB, 144.6 @12, 126 @24
+    * (the 24 GiB point carries this host's large-heap kernel tax) — so
+    * when THIS query is the workload, size executors toward ~12 GiB;
+    * the suite default stays at the honest 8 GiB harness.
     */
   def coverageSpectrum(evalDf: DataFrame, trainDf: DataFrame,
       textCol: String, idCol: String,
