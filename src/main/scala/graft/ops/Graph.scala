@@ -54,22 +54,38 @@ object Graph {
   def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
       alpha: Double = 0.85, iters: Int = 5): DataFrame = {
     val spark = nodes.sparkSession
-    val v = nodes.select(col(idCol).cast("long").as("node"))
+    // Optimization round 15: every static side of the iteration is
+    // materialized ONCE. Before, `deg` (a full edge derivation + grouped
+    // count) was re-evaluated inside every iteration's dangling anti-join
+    // and `v` rescanned per join — O(E) recompute per iteration that no
+    // lineage cut was catching; and the dangling mass was collected to
+    // the driver as a separate action per iteration (`first()`), making
+    // each iteration two driver round-trips. The dangling aggregate now
+    // rides IN-PLAN as a 1-row broadcast (crossJoin), so one action per
+    // iteration materializes the new ranks. Arithmetic is unchanged: the
+    // same anti-join + sum feeds the same `(1−α)/n + α·(contrib + d/n)`
+    // expression (the division by n now happens in-plan — same IEEE op
+    // on the same doubles), far inside the 9 d.p. rounding contract.
+    val v = nodes.select(col(idCol).cast("long").as("node")).localCheckpoint()
     val n = v.count() // bounded scalar: |V| is a design-time quantity
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // weights (src, tgt, outdeg) reused every iteration — checkpoint once
     val w = edges.join(deg, "src").localCheckpoint()
+    // dangling detection needs only the out-degree KEY SET — derive it
+    // from the checkpointed w, never from the raw edges again
+    val degSrc = w.select(col("src")).distinct().localCheckpoint()
     var ranks = v.withColumn("r", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val dangling = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0))).first().getDouble(0)
+      val dang = ranks.join(degSrc, ranks("node") === degSrc("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("_dang"))
       val contribs = w.join(ranks, w("src") === ranks("node"))
         .groupBy("tgt").agg(sum(col("r") / col("outdeg")).as("contrib"))
       ranks = v.join(contribs, v("node") === contribs("tgt"), "left")
+        .crossJoin(broadcast(dang)) // 1 row: the dangling-mass scalar
         .select(col("node"),
           (lit((1 - alpha) / n) +
             lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling / n))).as("r"))
+              col("_dang") / lit(n.toDouble))).as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), round(col("r"), 9).as("rank"))
@@ -93,27 +109,34 @@ object Graph {
   def personalizedPageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
       seeds: DataFrame, seedCol: String, alpha: Double = 0.85,
       iters: Int = 5): DataFrame = {
-    val v = nodes.select(col(idCol).cast("long").as("node"))
+    // same round-15 iteration diet as [[pageRank]]: static sides
+    // checkpointed once (v, w, degSrc — `deg` was re-derived from raw
+    // edges inside every iteration's dangling anti-join), dangling mass
+    // fused in-plan as a 1-row broadcast instead of a per-iteration
+    // driver collect; identical arithmetic under the 9 d.p. contract
+    val v = nodes.select(col(idCol).cast("long").as("node")).localCheckpoint()
     val sv = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val ns = sv.count() // bounded scalar: the personalization is a query
     require(ns > 0, "personalizedPageRank needs a non-empty seed set")
     val seedW = sv.withColumn("s", lit(1.0 / ns)).localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val w = edges.join(deg, "src").localCheckpoint()
+    val degSrc = w.select(col("src")).distinct().localCheckpoint()
     var ranks = v.join(broadcast(seedW), Seq("node"), "left")
       .select(col("node"), coalesce(col("s"), lit(0.0)).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val dangling = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0))).first().getDouble(0)
+      val dang = ranks.join(degSrc, ranks("node") === degSrc("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("_dang"))
       val contribs = w.join(ranks, w("src") === ranks("node"))
         .groupBy("tgt").agg(sum(col("r") / col("outdeg")).as("contrib"))
       ranks = v.join(contribs, v("node") === contribs("tgt"), "left")
         .join(broadcast(seedW), Seq("node"), "left")
+        .crossJoin(broadcast(dang)) // 1 row: the dangling-mass scalar
         .select(col("node"),
           (lit(1 - alpha) * coalesce(col("s"), lit(0.0)) +
             lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling) * coalesce(col("s"), lit(0.0)))).as("r"))
+              col("_dang") * coalesce(col("s"), lit(0.0)))).as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), round(col("r"), 9).as("rank"))
@@ -154,26 +177,36 @@ object Graph {
     require(2 * iters * (64 - java.lang.Long.numberOfLeadingZeros(dmax)) < 62,
       s"hits: max degree $dmax over $iters iterations can overflow the " +
         "exact integer scores — reduce iterations or cap hub fan-out")
-    var h = v.withColumn("s", lit(1L)).localCheckpoint()
-    var a = h
-    for (_ <- 1 to iters) {
-      a = v.join(e.join(h, e("src") === h("node"))
-            .groupBy("tgt").agg(sum("s").as("c")),
-          v("node") === col("tgt"), "left")
+    // Optimization round 15: ONE materialization per iteration, not two.
+    // Each h_{k+1} plan embeds its a_{k+1} subtree (referenced exactly
+    // once, so no recompute blow-up), and the final authority frame is
+    // re-derived from the last checkpointed h and materialized once —
+    // exact integer sums, so the re-derivation is bit-identical to the
+    // frame the old per-half-step checkpoint held. Halves the action
+    // count of the power iteration; per-iteration stage work unchanged.
+    def aFrom(hDf: DataFrame): DataFrame =
+      v.join(e.join(hDf, e("src") === hDf("node"))
+          .groupBy("tgt").agg(sum("s").as("c")),
+        v("node") === col("tgt"), "left")
         .select(col("node"), coalesce(col("c"), lit(0L)).as("s"))
-        .localCheckpoint()
+    var h = v.withColumn("s", lit(1L)).localCheckpoint()
+    var prevH = h // h_{iters-1}, the input of the final authority frame
+    for (_ <- 1 to iters) {
+      prevH = h
+      val a = aFrom(h)
       h = v.join(e.join(a, e("tgt") === a("node"))
             .groupBy("src").agg(sum("s").as("c")),
           v("node") === col("src"), "left")
         .select(col("node"), coalesce(col("c"), lit(0L)).as("s"))
         .localCheckpoint()
     }
+    val aFinal = aFrom(prevH).localCheckpoint() // read by max + join below
     def normalized(s: DataFrame, out: String) = {
       val m = s.agg(max("s")).first().getLong(0) // bounded scalar, once
       s.select(col("node"),
         round(col("s").cast("double") / m.toDouble, 9).as(out))
     }
-    v.join(normalized(a, "auth"), "node")
+    v.join(normalized(aFinal, "auth"), "node")
       .join(normalized(h, "hub"), "node")
   }
 
@@ -644,30 +677,46 @@ object Graph {
   def bfsDistances(seeds: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, "maxHops in [1, 8] (unrolled)")
-    // The edge table is re-read every hop — checkpoint its distinct()
-    // shuffle once, and cut `known`/`frontier` lineage per hop (the
-    // file-wide iterative discipline: `known` is referenced twice per
-    // round, so pure lineage re-evaluates prior hops multiplicatively).
+    // Optimization round 15, two changes (guide §2.4 — remove shuffles
+    // outright):
+    //  1. The edge table is staged ONCE hash-partitioned (and sorted)
+    //     by `src`; localCheckpoint preserves that physical layout, so
+    //     every hop's expansion join is co-partitioned on the edge side
+    //     — before, the full edge set was re-exchanged and re-sorted on
+    //     EVERY hop (maxHops × O(E) shuffle for a static table). The
+    //     frontier side is already hash(node)-partitioned from its own
+    //     distinct/anti-join, so the hop join plans with no exchange at
+    //     all.
+    //  2. `known` is kept as the list of per-hop checkpointed layers and
+    //     unioned lazily (each layer is materialized exactly once as the
+    //     hop's `next`), dropping the per-hop union re-materialization —
+    //     one action per hop instead of two. Lineage stays shallow: a
+    //     union of checkpointed frames re-evaluates nothing.
+    val nParts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
-    var known = seeds.select(col(idCol).cast("long").as("node"))
+      .distinct()
+      .repartition(nParts, col("src")).sortWithinPartitions("src")
+      .localCheckpoint()
+    val seed = seeds.select(col(idCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
-    var frontier = known.select("node")
+    var layers = List(seed)
+    var frontier = seed.select("node")
     for (h <- 1 to maxHops) {
+      val knownNodes = layers.map(_.select("node")).reduce(_ unionByName _)
       val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(known.select("node"), Seq("node"), "left_anti")
+        .join(knownNodes, Seq("node"), "left_anti")
         .localCheckpoint()
-      known = known.unionByName(next.withColumn("dist", lit(h.toLong)))
-        .localCheckpoint()
+      layers = layers :+ next.withColumn("dist", lit(h.toLong))
       frontier = next
     }
-    known
+    layers.reduce(_ unionByName _)
   }
 
   /** Capped bipartite co-occurrence projection — the graph-CONSTRUCTION

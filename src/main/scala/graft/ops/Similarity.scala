@@ -522,18 +522,43 @@ object Similarity {
 
   /** Assign each vector to its nearest centroid (max cosine, centroid-id
     * tiebreak). `centroids`: (cid, cvec array<double>), small + broadcast.
+    *
+    * ZERO-SHUFFLE shape (optimization round 15): the centroid table is
+    * collapsed into one cid-sorted array row, broadcast, and each vector
+    * computes its argmax as a pure per-row fold — no exchange, no sort.
+    * The previous shape (crossJoin + `row_number() over (partition by id
+    * order by c desc, cid)` + `rn = 1`) shuffled and sorted n·k rows each
+    * CARRYING THE FULL EMBEDDING PAYLOAD — at 100 TB the assignment
+    * shuffle was the build's dominant cost for work that never needed to
+    * leave the scan task. Semantics are pinned identical: the fold walks
+    * centroids in ascending-cid order and replaces only on STRICTLY
+    * greater cosine, so ties keep the lowest cid (= the old
+    * `orderBy(c desc, cid)` winner), Spark's `>` treats NaN as greater
+    * than everything (= the old descending-sort placement), and an empty
+    * centroid table still yields zero rows (the old crossJoin behavior).
     */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.register(vectors.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("c").desc, col("cid"))
-    vectors.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("cid"),
-        fastCosine(asDouble(col(vecCol)), col("cvec")).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
+    // one array row of (cid, cvec) structs, cid-ascending (cid is unique,
+    // so the struct sort is a cid sort); bounded by index design, exactly
+    // like the broadcast of the centroid table it replaces
+    val carr = centroids.agg(
+      array_sort(collect_list(struct(col("cid"), col("cvec")))).as("_cents"))
+    val best = aggregate(col("_cents"),
+      struct(lit(Double.NegativeInfinity).as("c"), lit(0L).as("cid"),
+        lit(false).as("set")),
+      (acc, cent) => {
+        val c = fastCosine(asDouble(col(vecCol)), cent.getField("cvec"))
+        when(not(acc.getField("set")) || c > acc.getField("c"),
+          struct(c.as("c"), cent.getField("cid").as("cid"),
+            lit(true).as("set")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+    vectors.crossJoin(broadcast(carr))
+      .where(size(col("_cents")) > 0)
+      .select(col(idCol), col(vecCol), best.as("centroid_id"))
   }
 
   /** Lloyd refinement of IVF centroids: `iters` rounds of assign →
@@ -952,16 +977,19 @@ object Similarity {
     val cols = assignedIn.columns.toSeq
     require(cols.last == "centroid_id" && cols.head == idCol,
       s"assigned frame must be ($idCol, ...payload..., centroid_id), got $cols")
-    val assigned = assignedIn.localCheckpoint(true)
-    // one driver round-trip for both bounded sets (touched centroids +
-    // batch id-buckets) instead of two distinct()+collect() jobs
-    val tb = assigned.agg(
+    // both bounded sets (touched centroids + batch id-buckets) ride the
+    // checkpoint's own job as observe metrics — ZERO extra jobs, where
+    // the previous shape paid one collect job after the checkpoint
+    // (round-15 job diet; the starForest fingerprint discipline)
+    val obs = org.apache.spark.sql.Observation()
+    val assigned = assignedIn.observe(obs,
       collect_set(col("centroid_id")).as("t"),
-      collect_set(sidecarBucket(col(idCol))).as("b")).collect()(0)
-    val touched = tb.getSeq[Long](0).toSet
+      collect_set(sidecarBucket(col(idCol))).as("b")).localCheckpoint(true)
+    val tb = obs.get
+    val touched = tb("t").asInstanceOf[Seq[Long]].toSet
     if (touched.nonEmpty) {
       val batchIds = assigned.select(col(idCol))
-      val batchBuckets = tb.getSeq[Int](1)
+      val batchBuckets = tb("b").asInstanceOf[Seq[Int]]
       // Previous homes of the batch ids: partitions holding a row that
       // this upsert replaces. The sidecar read is pruned to the batch
       // ids' hash buckets and resolved to latest-wins per id (base +
