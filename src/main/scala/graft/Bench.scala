@@ -53,12 +53,26 @@ object Bench {
     // 60M-row shuffles in 4 partitions spill and GC-thrash regardless
     // of how good the plan is (round-13 sweep finding)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
+    // AQE coalescing floor (round 15): with `parallelismFirst` (default
+    // true) AQE still refuses to split below `minPartitionSize` (1 MiB
+    // default), so any reduce side whose BYTES are small collapses to
+    // one partition even when its per-row COMPUTE is heavy — measured:
+    // q260's 4M-md5 rendezvous lattice ran as ONE task behind a ~1 MiB
+    // distinct. Bytes are the wrong proxy for compute-dense operators;
+    // a 16 KiB floor lets such stages keep ~defaultParallelism tasks.
+    // Scale behavior: at production shuffle sizes totalBytes/parallelism
+    // far exceeds any floor, so the knob is inert — it only stops the
+    // engine serializing small-byte/high-compute stages. Parameterised
+    // (SPARK_GRAFT_MIN_COALESCED) with the 16k local default.
+    val minCoalesced = sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minCoalesced)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

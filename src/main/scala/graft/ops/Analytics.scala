@@ -243,17 +243,45 @@ object Analytics {
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         round(col(valueCol) * 100).cast("long").as("c"))
-    val thresholds = cents.groupBy("g").agg(
-      floor(pctl(col("c"), pLo, approxAccuracy)).cast("long").as("p_lo_c"),
-      floor(pctl(col("c"), pHi, approxAccuracy)).cast("long").as("p_hi_c"))
-    cents.join(thresholds, Seq("g"))
-      .groupBy(col("g").as(groupCol))
-      .agg(first("p_lo_c").as("p_lo_c"), first("p_hi_c").as("p_hi_c"),
-        count(lit(1)).as("n"),
-        sum(when(col("c") < col("p_lo_c"), 1L).otherwise(0L)).as("n_lo"),
-        sum(when(col("c") > col("p_hi_c"), 1L).otherwise(0L)).as("n_hi"),
-        round(sum(greatest(least(col("c"), col("p_hi_c")), col("p_lo_c")))
-          .cast("double") / count(lit(1)), 6).as("wins_mean_c"))
+    approxAccuracy match {
+      case Some(_) => // approx_percentile has no frequency form: row path
+        val thresholds = cents.groupBy("g").agg(
+          floor(pctl(col("c"), pLo, approxAccuracy)).cast("long").as("p_lo_c"),
+          floor(pctl(col("c"), pHi, approxAccuracy)).cast("long").as("p_hi_c"))
+        cents.join(thresholds, Seq("g"))
+          .groupBy(col("g").as(groupCol))
+          .agg(first("p_lo_c").as("p_lo_c"), first("p_hi_c").as("p_hi_c"),
+            count(lit(1)).as("n"),
+            sum(when(col("c") < col("p_lo_c"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("c") > col("p_hi_c"), 1L).otherwise(0L)).as("n_hi"),
+            round(sum(greatest(least(col("c"), col("p_hi_c")), col("p_lo_c")))
+              .cast("double") / count(lit(1)), 6).as("wins_mean_c"))
+      case None =>
+        // Exact path: ONE data-sized pass builds the (g, cent) frequency
+        // histogram; `percentile(c, p, f)` aggregates the SAME
+        // value→count state the row form builds internally, so every
+        // threshold is bit-identical — but the thresholds pass, the
+        // clamp pass, and the re-scan the lazy plan paid per reference
+        // all collapse onto the histogram (domain-bounded: distinct
+        // cents, never row count — round-15, guide §2.3 aggregate-first).
+        val hist = cents.groupBy("g", "c").agg(count(lit(1)).as("f"))
+          .localCheckpoint(false)
+        val thresholds = hist.groupBy("g").agg(
+          floor(percentile(col("c"), lit(pLo), col("f")))
+            .cast("long").as("p_lo_c"),
+          floor(percentile(col("c"), lit(pHi), col("f")))
+            .cast("long").as("p_hi_c"))
+        hist.join(broadcast(thresholds), Seq("g"))
+          .groupBy(col("g").as(groupCol))
+          .agg(first("p_lo_c").as("p_lo_c"), first("p_hi_c").as("p_hi_c"),
+            sum("f").as("n"),
+            sum(when(col("c") < col("p_lo_c"), col("f")).otherwise(0L))
+              .as("n_lo"),
+            sum(when(col("c") > col("p_hi_c"), col("f")).otherwise(0L))
+              .as("n_hi"),
+            round(sum(greatest(least(col("c"), col("p_hi_c")), col("p_lo_c"))
+              * col("f")).cast("double") / sum("f"), 6).as("wins_mean_c"))
+    }
   }
 
   /** Last-touch attribution: each conversion event credits the latest
@@ -312,6 +340,12 @@ object Analytics {
     val c = df.where(col(valueCol).isNotNull)
       .select(round(col(valueCol) * 100).cast("long").as("cv"))
     val ps = (1 until nBins).map(i => s"${i.toDouble / nBins}")
+    // NOTE (round-15): a (cv, count) histogram variant of the exact path
+    // (percentile-with-frequency, the q150/q118 rewrite) was measured
+    // SLOWER here — the boundary pass is already one global aggregate
+    // with map-side partial state, so the histogram saves one narrow
+    // scan but ADDS a data-sized exchange (near-unique cents barely
+    // compress). The two-scan row shape stays.
     val pctlArr = approxAccuracy match {
       case Some(acc) => s"approx_percentile(cv, array(${ps.mkString(",")}), $acc)"
       case None      => s"percentile(cv, array(${ps.mkString(",")}))"
@@ -354,18 +388,46 @@ object Analytics {
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         round(col(valueCol) * 100).cast("long").as("c"))
-    val med = cents.groupBy("g")
-      .agg(pctl(col("c") * 2, 0.5, approxAccuracy).cast("long").as("m2"))
-    val dev = cents.join(med, Seq("g"))
-      .withColumn("dev2", abs(col("c") * 2 - col("m2")))
-    val mad = dev.groupBy("g")
-      .agg(pctl(col("dev2") * 2, 0.5, approxAccuracy).cast("long").as("mad4"))
-    dev.join(mad, Seq("g"))
-      .groupBy(col("g").as(groupCol))
-      .agg(first("m2").as("med_c2"), first("mad4").as("mad_c4"),
-        count(lit(1)).as("n"),
-        sum(when(col("dev2") * 2 * 2 > lit(k.toLong) * col("mad4"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+    approxAccuracy match {
+      case Some(_) => // approx_percentile has no frequency form: row path
+        val med = cents.groupBy("g")
+          .agg(pctl(col("c") * 2, 0.5, approxAccuracy).cast("long").as("m2"))
+        val dev = cents.join(med, Seq("g"))
+          .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+        val mad = dev.groupBy("g")
+          .agg(pctl(col("dev2") * 2, 0.5, approxAccuracy).cast("long")
+            .as("mad4"))
+        dev.join(mad, Seq("g"))
+          .groupBy(col("g").as(groupCol))
+          .agg(first("m2").as("med_c2"), first("mad4").as("mad_c4"),
+            count(lit(1)).as("n"),
+            sum(when(col("dev2") * 2 * 2 > lit(k.toLong) * col("mad4"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+      case None =>
+        // Exact path: both medians and the fence count run over the
+        // (g, cent) frequency histogram — ONE data-sized pass instead of
+        // the four scans the lazy med→dev→mad→count chain re-ran
+        // (round-15, guide §2.3). `percentile(x, 0.5, f)` aggregates
+        // the identical value→count state as the row form, so m2/mad4
+        // are bit-identical; deviations collapse duplicates further
+        // (|2c − m2| is many-to-one), counts ride as weights.
+        val hist = cents.groupBy("g", "c").agg(count(lit(1)).as("f"))
+          .localCheckpoint(false)
+        val med = hist.groupBy("g")
+          .agg(percentile(col("c") * 2, lit(0.5), col("f"))
+            .cast("long").as("m2"))
+        val dev = hist.join(broadcast(med), Seq("g"))
+          .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+        val mad = dev.groupBy("g")
+          .agg(percentile(col("dev2") * 2, lit(0.5), col("f"))
+            .cast("long").as("mad4"))
+        dev.join(broadcast(mad), Seq("g"))
+          .groupBy(col("g").as(groupCol))
+          .agg(first("m2").as("med_c2"), first("mad4").as("mad_c4"),
+            sum("f").as("n"),
+            sum(when(col("dev2") * 2 * 2 > lit(k.toLong) * col("mad4"),
+              col("f")).otherwise(0L)).as("n_outliers"))
+    }
   }
 
   /** Rate limiting / throttle: keep the FIRST event per (key, fixed

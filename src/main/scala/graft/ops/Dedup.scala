@@ -222,25 +222,44 @@ object Dedup {
       textCol: String, idCol: String,
       ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.size <= 8 && ns.forall(_ >= 1))
-    val perN = ns.distinct.sorted.map { n =>
-      val eg = shingleRows(evalDf, textCol, idCol, n)
-        .select(substring(md5(col("shingle")), 1, 16).as("shingle"))
+    val nsS = ns.distinct.sorted
+    // ALL lattice sizes ride ONE tokenize+shingle pass per side, keyed
+    // (n, digest): the per-n formulation re-scanned and re-tokenized
+    // each corpus once per n (8 data passes for the default lattice,
+    // measured 40 Exchanges in q391's plan), yet the distinct sets,
+    // the semi-join, and the counts are independent across n — so one
+    // (n, shingle)-keyed frame computes the identical spectrum with 2
+    // passes and one semi-join (round-15). Per-n output rows are
+    // reconstructed from a literal lattice frame so an empty-gram n
+    // still emits its (n, 0, 0, null) row exactly as before.
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+        .select(explode(array(nsS.map(n => struct(lit(n.toLong).as("n"),
+          TextOps.shinglesFromWords(col("_w"), n).as("sh"))): _*)).as("e"))
+        .select(col("e.n").as("n"), explode(col("e.sh")).as("_raw"))
+        .select(col("n"), substring(md5(col("_raw")), 1, 16).as("shingle"))
         .distinct()
-        .localCheckpoint() // roles: count + covered semi-join
-      val tg = shingleRows(trainDf, textCol, idCol, n)
-        .select(substring(md5(col("shingle")), 1, 16).as("shingle"))
-        .distinct()
-      val covered = eg.join(tg, Seq("shingle"), "left_semi")
-        .agg(count(lit(1)).as("n_covered"))
-      eg.agg(count(lit(1)).as("n_eval_grams"))
-        .crossJoin(covered)
-        .select(lit(n.toLong).as("n"), col("n_eval_grams"),
-          col("n_covered"),
-          when(col("n_eval_grams") > 0,
-            expr("(1000000 * n_covered) div n_eval_grams"))
-            .as("coverage_ppm"))
-    }
-    perN.reduce(_ unionByName _)
+    val eg = grams(evalDf).localCheckpoint(false) // roles: count + semi-join
+    val tg = grams(trainDf)
+    val covered = eg.join(tg, Seq("n", "shingle"), "left_semi")
+      .groupBy("n").agg(count(lit(1)).as("n_covered"))
+    val totals = eg.groupBy("n").agg(count(lit(1)).as("n_eval_grams"))
+    val lattice = evalDf.sparkSession
+      .createDataFrame(evalDf.sparkSession.sparkContext
+        .parallelize(nsS.map(n => org.apache.spark.sql.Row(n.toLong)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    lattice
+      .join(totals, Seq("n"), "left")
+      .join(covered, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("n_eval_grams"), lit(0L)).as("n_eval_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .select(col("n"), col("n_eval_grams"), col("n_covered"),
+        when(col("n_eval_grams") > 0,
+          expr("(1000000 * n_covered) div n_eval_grams"))
+          .as("coverage_ppm"))
   }
 
   /** Near-dup source-attribution matrix — "who copies whom": roll the
@@ -1566,37 +1585,51 @@ object Dedup {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val M = 1000000L
     def clamp(x: BigInt): Long = x.max(1).min(M - 1).toLong
+    // The per-pair E-step weight depends ONLY on the pair's agreement
+    // PATTERN (≤ 2^F distinct vectors for F boolean fields), so the EM
+    // recurrence needs just the pattern histogram: ONE data-sized pass
+    // over `pairs` total, instead of re-running the (possibly expensive —
+    // q275's Jaro-Winkler blocked join) pair pipeline once per EM round.
+    // Every sum below regroups the identical integer arithmetic:
+    // Σ_pairs w = Σ_patterns cnt·w(pattern), exactly — the fold, the
+    // truncating divs, and the clamp are unchanged, so the fitted
+    // parameters are bit-identical to the per-pair formulation the
+    // oracle replays. Null agreements fall into the CASE's ELSE branch
+    // in SQL; the driver fold mirrors that (null ⇒ disagree-term).
+    val patternRows = pairs.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("_n")).collect()
+    val patterns: Seq[(IndexedSeq[Boolean], Long)] = patternRows.toSeq.map { r =>
+      (fields.indices.map(i => !r.isNullAt(i) && r.getBoolean(i)),
+        r.getAs[Long]("_n"))
+    }
     var lam = lambda0Ppm
     var m = fields.map(_ => m0Ppm)
     var u = fields.map(_ => u0Ppm)
     for (_ <- 1 to iterations) {
-      val pmExpr = fields.zip(m).foldLeft(s"CAST($lam AS BIGINT)") {
-        case (acc, (f, mf)) =>
-          s"(($acc * (CASE WHEN $f THEN $mf ELSE ${M - mf} END)) div 1000000)"
+      // E-step per PATTERN: the same left fold with one truncating div
+      // per factor (field order = fields order), then the M-step sums
+      // weighted by the pattern count.
+      var n = BigInt(0); var sw = BigInt(0)
+      val swa = Array.fill(fields.size)(BigInt(0))
+      val na = Array.fill(fields.size)(BigInt(0))
+      patterns.foreach { case (agree, cnt) =>
+        val pm = fields.indices.foldLeft(lam) { (acc, i) =>
+          acc * (if (agree(i)) m(i) else M - m(i)) / M
+        }
+        val pu = fields.indices.foldLeft(M - lam) { (acc, i) =>
+          acc * (if (agree(i)) u(i) else M - u(i)) / M
+        }
+        val w = pm * M / math.max(pm + pu, 1L)
+        n += cnt
+        sw += BigInt(w) * cnt
+        fields.indices.foreach { i =>
+          if (agree(i)) { swa(i) += BigInt(w) * cnt; na(i) += cnt }
+        }
       }
-      val puExpr = fields.zip(u).foldLeft(s"CAST(${M - lam} AS BIGINT)") {
-        case (acc, (f, uf)) =>
-          s"(($acc * (CASE WHEN $f THEN $uf ELSE ${M - uf} END)) div 1000000)"
-      }
-      val scored = pairs
-        .select(fields.map(col) :+ expr(pmExpr).as("_pm")
-          :+ expr(puExpr).as("_pu"): _*)
-        .withColumn("_w", expr("(_pm * 1000000) div greatest(_pm + _pu, 1)"))
-      val aggs = Seq(count(lit(1)).as("n"), sum(col("_w")).as("sw")) ++
-        fields.flatMap(f => Seq(
-          sum(when(col(f), col("_w")).otherwise(0L)).as(s"swa_$f"),
-          sum(when(col(f), 1L).otherwise(0L)).as(s"na_$f")))
-      val r = scored.agg(aggs.head, aggs.tail: _*).collect().head
-      val n = BigInt(r.getAs[Long]("n"))
-      val sw = BigInt(r.getAs[Long]("sw"))
       lam = clamp(sw / n.max(1))
-      m = fields.map { f =>
-        clamp(BigInt(r.getAs[Long](s"swa_$f")) * M / sw.max(1))
-      }
-      u = fields.map { f =>
-        val swa = BigInt(r.getAs[Long](s"swa_$f"))
-        val na = BigInt(r.getAs[Long](s"na_$f"))
-        clamp((M * na - swa) * M / (M * n - sw).max(1))
+      m = fields.indices.map(i => clamp(swa(i) * M / sw.max(1)))
+      u = fields.indices.map { i =>
+        clamp((M * na(i) - swa(i)) * M / (M * n - sw).max(1))
       }
     }
     val spark = pairs.sparkSession

@@ -266,8 +266,17 @@ object Sketches {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxLvl >= 8 && maxLvl <= 50, s"maxLvl in [8, 50], got $maxLvl")
     val rows = levelRows(df, groupCol, valueCol, idCol, maxLvl)
-    val totals = rows.groupBy("g").agg(count(lit(1)).as("n"))
-    thresholdAndKeep(rows, totals,
+    // ONE level-histogram pass feeds totals AND the threshold scan
+    // (both are rollups of the same (g, lvl) counts); the histogram is
+    // ≤ groups × maxLvl rows, so the eager checkpoint is scale-free and
+    // pins the build at exactly the two documented input scans —
+    // previously totals/threshold/filter each re-ran the scan, and
+    // downstream merge/query compositions MULTIPLIED those references
+    // into q180's measured 128-scan plan (round-15).
+    val hist = rows.groupBy("g", "lvl").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val totals = hist.groupBy("g").agg(sum("c").as("n"))
+    thresholdAndKeep(rows, hist, totals,
       totals.select(col("g"), lit(0).as("ft")), k)
   }
 
@@ -282,17 +291,28 @@ object Sketches {
     */
   def quantileSketchMerge(a: DataFrame, b: DataFrame,
       k: Int = 256): DataFrame = {
-    val mA = a.groupBy("g").agg(max("thr").as("ta"), max("n").as("na"))
-    val mB = b.groupBy("g").agg(max("thr").as("tb"), max("n").as("nb"))
+    // Sketch inputs are already O(groups · k); materialize them once so
+    // the four references below (meta sides + union) and every caller
+    // reference (quantileSketchQuery reads its input twice) stop
+    // re-running the upstream build — the q180 composition measured a
+    // 128-scan plan from exactly this multiplication (round-15).
+    val aM = a.localCheckpoint(false)
+    val bM = b.localCheckpoint(false)
+    val mA = aM.groupBy("g").agg(max("thr").as("ta"), max("n").as("na"))
+    val mB = bM.groupBy("g").agg(max("thr").as("tb"), max("n").as("nb"))
     val meta = mA.join(mB, Seq("g"), "full")
     val totals = meta.select(col("g"),
       (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"))
     val floor = meta.select(col("g"),
       greatest(coalesce(col("ta"), lit(0)), coalesce(col("tb"), lit(0)))
         .as("ft"))
-    val rows = a.select("g", "id", "v", "lvl")
-      .unionByName(b.select("g", "id", "v", "lvl"))
-    thresholdAndKeep(rows, totals, floor, k)
+    val rows = aM.select("g", "id", "v", "lvl")
+      .unionByName(bM.select("g", "id", "v", "lvl"))
+    val hist = rows.groupBy("g", "lvl").agg(count(lit(1)).as("c"))
+    // the merged sketch is O(groups · k); materialize so a consumer's
+    // multiple references (quantileSketchQuery reads twice) never re-run
+    // the whole merge tree
+    thresholdAndKeep(rows, hist, totals, floor, k).localCheckpoint(false)
   }
 
   /** Percentile estimates from a [[quantileSketch]] table. Quantiles are
@@ -351,14 +371,16 @@ object Sketches {
 
   /** Canonical minimal threshold ≥ the per-group floor at which ≤ k
     * rows survive, then the kept-row filter. `bad` = the highest level
-    * whose suffix count still exceeds k (suffix sums over the ≤ maxLvl
-    * level histogram — tiny, broadcast back to the row filter).
+    * whose suffix count still exceeds k (suffix sums over the caller's
+    * (g, lvl, c) level histogram `hist` — ≤ groups × maxLvl rows, so the
+    * threshold scan costs nothing and `rows` itself is only read once,
+    * by the filter).
     */
-  private def thresholdAndKeep(rows: DataFrame, totals: DataFrame,
-      floor: DataFrame, k: Int): DataFrame = {
+  private def thresholdAndKeep(rows: DataFrame, hist: DataFrame,
+      totals: DataFrame, floor: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("g").orderBy(col("lvl").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bad = rows.groupBy("g", "lvl").agg(count(lit(1)).as("c"))
+    val bad = hist
       .withColumn("s", sum(col("c")).over(w))
       .groupBy("g")
       .agg(max(when(col("s") > k, col("lvl"))).as("bad"))

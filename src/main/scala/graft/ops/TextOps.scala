@@ -872,12 +872,19 @@ object TextOps {
     */
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
       shingleN: Int = 3): DataFrame = {
+    // `sh` feeds FOUR plan references (both self-join sides + two size
+    // lookups); left lazy each one re-runs the scan+shingle+md5+distinct
+    // (measured: 4 full document passes in q172's plan). Materialize the
+    // distinct digest set once — the [[Dedup.nearDupSourceMatrix]]
+    // localCheckpoint discipline; the frame is the distinct (src, 16-byte
+    // digest) set the self-join must shuffle anyway (round-15).
     val sh = docs
       .select(col(srcCol).as("src"),
         explode(shingles(col(textCol), shingleN)).as("_raw"))
       .select(col("src"),
         substring(md5(col("_raw")), 1, 16).as("shingle"))
       .distinct()
+      .localCheckpoint(false) // lazy: dedup without an extra barrier job
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.src") < col("y.src"))

@@ -622,6 +622,13 @@ object TimeSeries {
   def theilSen(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // `hourly` feeds THREE consumers (both pair-join sides + n_hours);
+    // as three plan references each would re-run the data-sized
+    // scan+aggregate (measured: 3 full events passes in q281's plan).
+    // The lattice is keys × hours — CALENDAR-bounded, never data-sized —
+    // so a LAZY localCheckpoint is the scale-safe materialize-once: all
+    // references share one RDD, computed once inside the consuming
+    // action, with no extra barrier job (round-15).
     val hourly = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(valCol).isNotNull)
@@ -631,6 +638,7 @@ object TimeSeries {
         count(lit(1)).as("cn"))
       .select(col("k"), col("h"),
         expr(s"(cast(1000 as $dec) * sc) div cn").cast("long").as("y"))
+      .localCheckpoint(false)
     val a = hourly.select(col("k"), col("h").as("h1"), col("y").as("y1"))
     val b = hourly.select(col("k").as("kb"), col("h").as("h2"),
       col("y").as("y2"))

@@ -1017,7 +1017,12 @@ object ExtraQueries {
         col("c_mktsegment").as("sb"),
         round(col("c_acctbal") * 100).cast("long").as("bb"),
         col("c_nationkey").as("blk"))
-    val pairs = l.join(r, Seq("blk"))
+    // spread the stream side + pin the broadcast side (the q208
+    // discipline): the fixture input is ≤ 30k keys by construction, so
+    // the repartition is scale-free, and without it the blocked join —
+    // and its ~2.25M single-task Jaro-Winkler evaluations — runs inside
+    // the one-task scan stage (round-15 measurement)
+    val pairs = l.repartition(col("blk")).join(broadcast(r), Seq("blk"))
       .select(col("a"), col("b"),
         (round(graft.functions.StringSimilarityExpressions
           .jaroWinkler(col("na"), col("nb")) * 1000000)
@@ -2603,7 +2608,12 @@ object ExtraQueries {
         col("c_mktsegment").as("sb"),
         round(col("c_acctbal") * 100).cast("long").as("bb"),
         col("c_nationkey").as("blk"))
-    val pairs = l.join(r, Seq("blk"))
+    // spread the stream side + pin the broadcast side (the q208
+    // discipline): the fixture input is ≤ 30k keys by construction, so
+    // the repartition is scale-free, and without it the blocked join —
+    // and its ~2.25M single-task Jaro-Winkler evaluations — runs inside
+    // the one-task scan stage (round-15 measurement)
+    val pairs = l.repartition(col("blk")).join(broadcast(r), Seq("blk"))
       .select(col("a"), col("b"),
         (round(graft.functions.StringSimilarityExpressions
           .jaroWinkler(col("na"), col("nb")) * 1000000)
