@@ -249,9 +249,8 @@ object Cleaning {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("id"),
       posexplode(TextOps.words(col(textCol))).as(Seq("pos", "tok")))
-    val masked = conv(substring(md5(concat(col("id").cast("string"),
-      lit("|"), col("pos").cast("string"))), 1, 4), 16, 10)
-      .cast("long") % 100 < maskPct
+    val masked = graft.functions.HashExpressions.md5Prefix64(concat(col("id").cast("string"),
+      lit("|"), col("pos").cast("string")), 4) % 100 < maskPct
     val ord = Window.partitionBy("id").orderBy("pos")
     val run = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

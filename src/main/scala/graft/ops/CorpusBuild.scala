@@ -61,7 +61,10 @@ object CorpusBuild {
       cfg.minStopwordRatio, cfg.minAlphaRatio, cfg.lang)
     // exact-dedup-first: byte-identical copies collapse before LSH ever
     // sees them, so no band bucket inherits a duplicate pile-up
-    val exact = Dedup.deduped(clean, textCol, idCol).localCheckpoint(true)
+    // lazy: materialized once by the first consuming action, shared by
+    // the LSH build and the keeper anti-join — an eager checkpoint here
+    // is one more barrier job (round-15 job-count finding)
+    val exact = Dedup.deduped(clean, textCol, idCol).localCheckpoint(false)
     val pairs = Dedup.minhashNearDupPairs(exact, textCol, idCol, cfg.shingleN,
       cfg.numHashes, cfg.rowsPerBand, cfg.jaccardThreshold, cfg.maxBucket)
     val kept = Dedup.dedupedByClusters(exact, idCol, pairs)
@@ -76,7 +79,7 @@ object CorpusBuild {
     }).select(col("id"))
     val decont = split
       .join(contaminated, split(idCol) === contaminated("id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy for the same reason as `exact`
     val packed = Sampling.packSequences(
       decont.select(col(idCol), TextOps.wsTokenCount(col(textCol)).as("_tok")),
       idCol, "_tok", cfg.packBudget, cfg.packShards)

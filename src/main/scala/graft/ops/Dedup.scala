@@ -1671,7 +1671,7 @@ object Dedup {
       divisor: Int = 8): DataFrame = {
     require(divisor > 0, s"divisor must be positive, got $divisor")
     val isBoundary = (word: Column) =>
-      conv(substring(md5(word), 1, 8), 16, 10) % divisor === 0
+      graft.functions.HashExpressions.md5Prefix64(word, 8) % divisor === 0
     // _w must be a projected attribute: Catalyst does not CSE inside
     // lambda bodies (the shinglesFromWords lesson)
     df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))

@@ -34,8 +34,8 @@ object Graph {
     val j = explode(sequence(lit(0), lit(fanout - 1)))
     nodes.select(col(idCol).cast("long").as("src"), j.as("j"))
       .select(col("src"),
-        (conv(substring(md5(concat(col("src").cast("string"), lit("|"),
-          col("j").cast("string"))), 1, 8), 16, 10).cast("long") % n).as("tgt"))
+        (graft.functions.HashExpressions.md5Prefix64(concat(col("src").cast("string"), lit("|"),
+          col("j").cast("string")), 8) % n).as("tgt"))
       .filter(col("tgt") =!= col("src"))
       .distinct()
   }

@@ -52,6 +52,5 @@ object Net {
     * the driver tables without a real address column.
     */
   def latticeIp(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(lit("ip|"), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    graft.functions.HashExpressions.md5Prefix64(concat(lit("ip|"), id.cast("string")), 8)
 }

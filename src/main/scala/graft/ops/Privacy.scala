@@ -65,8 +65,8 @@ object Privacy {
       .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_true"))
     // u strictly inside (0,1): 60-bit hash + ½, over 2⁶⁰ — never 0 or 1,
     // so the ln argument stays positive
-    val u = (conv(substring(md5(concat(lit(s"dp|$seed|"),
-        col("g").cast("string"))), 1, 15), 16, 10).cast("double")
+    val u = (graft.functions.HashExpressions.md5Prefix64(concat(lit(s"dp|$seed|"),
+        col("g").cast("string")), 15).cast("double")
       + lit(0.5)) / lit(math.pow(2, 60))
     counts
       .withColumn("_u", u)
@@ -125,8 +125,8 @@ object Privacy {
     val raw = base.groupBy(col(groupCol).as("g"))
       .agg(count(lit(1)).as("n_unbounded"))
     val b = cap / epsilon
-    val u = (conv(substring(md5(concat(lit(s"dp|$seed|"),
-        col("g").cast("string"))), 1, 15), 16, 10).cast("double")
+    val u = (graft.functions.HashExpressions.md5Prefix64(concat(lit(s"dp|$seed|"),
+        col("g").cast("string")), 15).cast("double")
       + lit(0.5)) / lit(math.pow(2, 60))
     raw.join(bounded, Seq("g"), "left")
       .withColumn("n_bounded", coalesce(col("n_bounded"), lit(0L)))

@@ -498,8 +498,7 @@ object Relational {
     require(bits >= 64 && (bits & (bits - 1)) == 0,
       "bits must be a power of two >= 64")
     def pos(i: Int, c: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(concat(lit(s"bf$i|"), c.cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(bits.toLong))
+      pmod(graft.functions.HashExpressions.md5Prefix64(concat(lit(s"bf$i|"), c.cast("string")), 15), lit(bits.toLong))
     val posSet = small.where(col(key).isNotNull)
       .select(explode(array(pos(0, col(key)), pos(1, col(key)))).as("p"))
       .distinct()
@@ -524,8 +523,7 @@ object Relational {
   def cascadeAudit(tbl: String, all: DataFrame, deleted: DataFrame,
       keyExpr: org.apache.spark.sql.Column): DataFrame = {
     val nb = all.groupBy().agg(count(lit(1)).as("n_before"))
-    deleted.select(conv(substring(md5(keyExpr.cast("string")), 1, 15),
-        16, 10).cast("long").as("rh"))
+    deleted.select(graft.functions.HashExpressions.md5Prefix64(keyExpr.cast("string"), 15).as("rh"))
       .groupBy().agg(count(lit(1)).as("n_deleted"),
         coalesce(expr("bit_xor(rh)"), lit(0L)).as("del_digest"))
       .crossJoin(nb)

@@ -18,7 +18,7 @@ object Sampling {
 
   /** Uniform [0, 100) bucket from the md5 of the id. */
   def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    graft.functions.HashExpressions.md5Prefix64(id.cast("string"), 4) % 100
 
   /** Deterministic percentage sample: keeps rows whose bucket < `pct`. */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
@@ -73,7 +73,7 @@ object Sampling {
     * [[hashBucket]] cannot express.
     */
   def hashBucket64k(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+    graft.functions.HashExpressions.md5Prefix64(id.cast("string"), 4)
 
   /** Deterministic weighted sampling without replacement (the
     * Efraimidis–Spirakis A-ES scheme): each row draws its md5-lattice
@@ -118,8 +118,8 @@ object Sampling {
       outCol: String = "shard"): DataFrame = {
     require(numShards >= 1)
     val scores = transform(sequence(lit(0), lit(numShards - 1)),
-      i => conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
-        i.cast("string"))), 1, 8), 16, 10).cast("long"))
+      i => graft.functions.HashExpressions.md5Prefix64(concat(col(idCol).cast("string"), lit("|"),
+        i.cast("string")), 8))
     df.withColumn(outCol,
       (array_position(scores, array_max(scores)) - 1).cast("long"))
   }
@@ -137,8 +137,8 @@ object Sampling {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val draw = conv(substring(md5(concat(lit("ek|"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val draw = graft.functions.HashExpressions.md5Prefix64(concat(lit("ek|"),
+      col(idCol).cast("string")), 15)
     val w = Window.partitionBy(groupCol).orderBy(col("_draw"), col(idCol))
     df.where(col(groupCol).isNotNull && col(idCol).isNotNull)
       .withColumn("_draw", draw)
@@ -332,8 +332,7 @@ object Sampling {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, numShards: Int = 8): DataFrame = {
     require(budget > 0 && numShards > 0)
-    val shard = conv(substring(md5(col(idCol).cast("string")), 5, 4), 16, 10)
-      .cast("long") % numShards
+    val shard = graft.functions.HashExpressions.md5Hex64(col(idCol).cast("string"), 5, 4) % numShards
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -392,8 +391,7 @@ object Sampling {
       k: Int, blocks: Int = 8): DataFrame = {
     require(k >= 1 && blocks >= 1)
     def block(c: Column): Column =
-      pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(blocks.toLong))
+      pmod(graft.functions.HashExpressions.md5Prefix64(c.cast("string"), 15), lit(blocks.toLong))
     // repartition on u BEFORE the candidate fan-out: the distinct
     // collapses to few (AQE-coalesced) partitions, and a broadcast
     // fan-out join inherits its input's partitioning — without the
@@ -445,8 +443,8 @@ object Sampling {
     // table's one coalesced partition (observed: a 22-minute one-core
     // sort at sf1 doing what 32 cores finish in seconds)
     val scored = users.join(broadcast(cand), Seq("blk"))
-      .withColumn("score", conv(substring(md5(concat(col("u").cast("string"),
-        lit("|"), col("item").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("score", graft.functions.HashExpressions.md5Prefix64(concat(col("u").cast("string"),
+        lit("|"), col("item").cast("string")), 15))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("score"), col("item"))
     val pruned = scored.withColumn("rk0", row_number().over(w))
@@ -477,13 +475,13 @@ object Sampling {
   def kFoldAudit(df: DataFrame, groupCol: String, k: Int,
       seed: Long = 1L): DataFrame = {
     require(k >= 2 && k <= 1000, s"k out of range: $k")
-    val fold = conv(substring(md5(concat(lit(s"fold|$seed|"),
-        col(groupCol).cast("string"))), 1, 8), 16, 10).cast("long") % k
+    val fold = graft.functions.HashExpressions.md5Prefix64(concat(lit(s"fold|$seed|"),
+        col(groupCol).cast("string")), 8) % k
     val perGroup = df.where(col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("rows"))
       .select(col("g"),
-        conv(substring(md5(concat(lit(s"fold|$seed|"),
-          col("g").cast("string"))), 1, 8), 16, 10).cast("long")
+        graft.functions.HashExpressions.md5Prefix64(concat(lit(s"fold|$seed|"),
+          col("g").cast("string")), 8)
           .mod(k).as("fold"), col("rows"))
     val total = perGroup.agg(sum("rows").as("_t"))
     perGroup.groupBy("fold")
@@ -534,8 +532,8 @@ object Sampling {
           expr(s"($nStages * (cum_end - cnt)) div _t")).as("stage"))
     val staged = base.join(broadcast(stages), "diff")
     val bucketed = staged.withColumn("bucket",
-      conv(substring(md5(concat(lit(s"cur|$seed|"),
-        col("id").cast("string"))), 1, 8), 16, 10).cast("long") % nBuckets)
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(s"cur|$seed|"),
+        col("id").cast("string")), 8) % nBuckets)
     val wSb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stage"), col("bucket"))
       .orderBy(md5(concat(lit(s"pos|$seed|"), col("id").cast("string"))),

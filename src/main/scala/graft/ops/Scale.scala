@@ -102,8 +102,7 @@ object Scale {
     */
   def skewProfile(df: DataFrame, key: Column, parts: Int): DataFrame = {
     require(parts >= 2, "parts must be >= 2")
-    val bucket = pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(parts.toLong))
+    val bucket = pmod(graft.functions.HashExpressions.md5Prefix64(key.cast("string"), 15), lit(parts.toLong))
     val counts = df.select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum(col("n_rows")).as("n_total"))
@@ -133,8 +132,8 @@ object Scale {
     // only change when a NEW index wins
     val nMax = math.max(fromShards, toShards)
     val scores = transform(sequence(lit(0), lit(nMax - 1)),
-      i => conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
-        i.cast("string"))), 1, 8), 16, 10).cast("long"))
+      i => graft.functions.HashExpressions.md5Prefix64(concat(col(idCol).cast("string"), lit("|"),
+        i.cast("string")), 8))
     def argmax(n: Int) = {
       val s = slice(col("_sc"), 1, n)
       (array_position(s, array_max(s)) - 1).cast("long")

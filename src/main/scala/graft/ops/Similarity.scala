@@ -1418,8 +1418,8 @@ object Similarity {
       dims: Int): DataFrame =
     spark.range(numBits).select(col("id").cast("int").as("j"))
       .select(col("j"), transform(sequence(lit(0), lit(dims - 1)),
-        d => conv(substring(md5(concat(col("j").cast("string"), lit("|"),
-          d.cast("string"))), 1, 8), 16, 10).cast("double") /
+        d => graft.functions.HashExpressions.md5Prefix64(concat(col("j").cast("string"), lit("|"),
+          d.cast("string")), 8).cast("double") /
           lit(2147483648.0) - 1.0).as("hv"))
 
   /** Sign-random-projection LSH signatures: `numBits` sign bits of

@@ -29,8 +29,7 @@ object Sketches {
       k: Int = 64, salts: Int = 16): DataFrame = {
     // 32-bit uniform hash of the VALUE — distinct values, not rows,
     // drive the sketch
-    val h32 = conv(substring(md5(col(valueCol).cast("string")), 1, 8),
-      16, 10).cast("long")
+    val h32 = graft.functions.HashExpressions.md5Prefix64(col(valueCol).cast("string"), 8)
     val hashes = df.select(col(groupCol).as("g"), h32.as("h")).distinct()
     val pre = Window.partitionBy(col("g"), col("_salt")).orderBy("h")
     val fin = Window.partitionBy(col("g")).orderBy("h")
@@ -100,8 +99,7 @@ object Sketches {
     val restBits = 60 - bucketBits
     // 60-bit hash = 15 md5 hex chars; low bits pick the bucket so the
     // rank bits (the high end of the remainder) are independent of it
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.functions.HashExpressions.md5Prefix64(col(valueCol).cast("string"), 15)
     val bucket = pmod(col("h"), lit(buckets.toLong))
     val rest = shiftrightunsigned(col("h"), bucketBits)
     val rank = least(
@@ -140,11 +138,17 @@ object Sketches {
       buckets: Int = 1024, maxRank: Int = 40): DataFrame = {
     require(windowHours >= 1 && windowHours <= 168,
       "windowHours in [1, 168]")
-    val served = regs
+    // the register table feeds BOTH the window fan-out and the emitted-
+    // hours frame; left lazy each reference re-runs the caller's whole
+    // register build (a data-sized scan+aggregate). It is bounded at
+    // groups × hours × buckets rows, so the lazy materialize-once is
+    // scale-free (round-15)
+    val r = regs.localCheckpoint(false)
+    val served = r
       .withColumn("hr_out",
         explode(sequence(col("hr"), col("hr") + lit(windowHours - 1))))
       .groupBy("g", "hr_out", "b").agg(max(col("m")).as("m"))
-    val hours = regs.select(col("g"), col("hr").as("hr_out")).distinct()
+    val hours = r.select(col("g"), col("hr").as("hr_out")).distinct()
     val windowed = served.join(hours, Seq("g", "hr_out"), "left_semi")
     hllEstimate(windowed.select(
         concat(col("g"), lit("|"), col("hr_out")).as("g"),
@@ -362,7 +366,7 @@ object Sketches {
       .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
         col(valueCol).as("v"))
       .withColumn("_b",
-        bin(conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long")))
+        bin(graft.functions.HashExpressions.md5Prefix64(col("id"), 15)))
       .withColumn("lvl", least(
         length(col("_b"))
           - length(expr("trim(TRAILING '0' FROM _b)")),
@@ -422,8 +426,7 @@ object Sketches {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), " ")).as("token"))
     def bucket(r: Column, t: Column): Column =
-      pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), t)), 1, 8),
-        16, 10).cast("long"), lit(width.toLong))
+      pmod(graft.functions.HashExpressions.md5Prefix64(concat(r.cast("string"), lit("|"), t), 8), lit(width.toLong))
     val sketch = toks
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("token"))
       .groupBy(col("r"), bucket(col("r"), col("token")).as("bkt"))
@@ -510,8 +513,8 @@ object Sketches {
       depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
     def bucket(r: Column, k: Column): Column =
-      pmod(conv(substring(md5(concat(r.cast("string"), lit("|"),
-        k.cast("string"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+      pmod(graft.functions.HashExpressions.md5Prefix64(concat(r.cast("string"), lit("|"),
+        k.cast("string")), 8), lit(width.toLong))
     def sketch(df: DataFrame, key: String): DataFrame = df
       .where(col(key).isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
@@ -563,8 +566,8 @@ object Sketches {
     val two60 = 1152921504606846976L // 2^60
     def hashes(df: DataFrame) = df
       .where(col(colName).isNotNull)
-      .select(conv(substring(md5(concat(lit("kmv|"),
-        col(colName).cast("string"))), 1, 15), 16, 10).cast("long").as("h"))
+      .select(graft.functions.HashExpressions.md5Prefix64(concat(lit("kmv|"),
+        col(colName).cast("string")), 15).as("h"))
       .distinct()
     def bottomK(h: DataFrame) = h.orderBy("h").limit(k)
     val (ha, hb) = (hashes(a).localCheckpoint(), hashes(b).localCheckpoint())

@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
 object Spatial {
 
   private def frac(salt: String, id: Column): Column =
-    (conv(substring(md5(concat(lit(salt), lit("|"), id.cast("string"))), 1, 4),
-      16, 10).cast("double") + lit(0.5)) / lit(65536.0)
+    (graft.functions.HashExpressions.md5Prefix64(concat(lit(salt), lit("|"), id.cast("string")), 4).cast("double") + lit(0.5)) / lit(65536.0)
 
   /** Deterministic synthetic latitude in [−60, 60) off the md5 lattice —
     * bounded away from the poles so a fixed longitude cell width keeps a

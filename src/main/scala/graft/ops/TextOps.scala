@@ -156,7 +156,7 @@ object TextOps {
     val n = weights.size
     aggregate(w, lit(0.0), (acc, t) =>
       acc + element_at(arr,
-        (conv(substring(md5(t), 1, 4), 16, 10).cast("int") % n) + 1)) / size(w)
+        (graft.functions.HashExpressions.md5Prefix64(t, 4).cast("int") % n) + 1)) / size(w)
   }
 
   /** fastText-style linear quality classifier, scored in-plan: z =
@@ -714,8 +714,7 @@ object TextOps {
         explode(sequence(lit(0), greatest(length(col("t")) - k, lit(-1)))).as("i"))
       .select(col("id"), col("i"),
         (length(col("t")) - (k - 1)).as("n"),
-        conv(substring(md5(substring(col("t"), col("i") + 1, lit(k))), 1, 8),
-          16, 10).cast("long").as("hv"))
+        graft.functions.HashExpressions.md5Prefix64(substring(col("t"), col("i") + 1, lit(k)), 8).as("hv"))
       .withColumn("fp", min(col("hv")).over(win))
       .where(col("i") <= col("n") - w)
       .select(col("id"), col("fp"))
@@ -929,7 +928,7 @@ object TextOps {
         greatest(col("w"), col("nxt")).as("b"))
       .distinct()
     def wid(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(c, 15)
     val edges = und.select(wid(col("a")).as("src"), wid(col("b")).as("tgt"))
       .unionByName(und.select(wid(col("b")).as("src"), wid(col("a")).as("tgt")))
     val nodes = und.select(col("a").as("word"))
@@ -959,8 +958,7 @@ object TextOps {
       .select(col(idCol), explode(words(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
     val bucket = pmod(
-      conv(substring(md5(concat(lit("b|"), col("w"))), 1, 15), 16, 10)
-        .cast("long"), lit(dims.toLong))
+      graft.functions.HashExpressions.md5Prefix64(concat(lit("b|"), col("w")), 15), lit(dims.toLong))
     val sign = when(substring(md5(concat(lit("s|"), col("w"))), 1, 1)
       .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L)
     tok.select(col(idCol), bucket.as("bucket"), sign.as("sgn"))

@@ -2801,8 +2801,7 @@ object ExtraQueries {
     val ev = Tables.events(s, dir)
       .where(col("event_id").isNotNull && col("value").isNotNull)
       .select(
-        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 1000000).as("score_ppm"),
+        (graft.functions.HashExpressions.md5Prefix64(col("event_id").cast("string"), 8) % 1000000).as("score_ppm"),
         pmod(round(col("value") * 100).cast("long"), lit(500)).as("noise"))
       .select(col("score_ppm"),
         when(expr("score_ppm div 2000") + col("noise") >= 400, 1L)
@@ -2847,7 +2846,7 @@ object ExtraQueries {
   //  order; α in exact ppm.)
   val q280Krippendorff: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val base = Tables.events(s, dir)
       .where(col("event_id").isNotNull)
       .select((col("event_id") % 1024).as("unit"),
@@ -2940,8 +2939,8 @@ object ExtraQueries {
   val q282EncodingAudit: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .where(col("doc_id").isNotNull && col("text").isNotNull)
-    val h = conv(substring(md5(concat(lit("enc|"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    val h = graft.functions.HashExpressions.md5Prefix64(concat(lit("enc|"),
+      col("doc_id").cast("string")), 8) % 10
     val planted = d.select(col("doc_id"),
       when(h === 0, regexp_replace(col("text"), lit("a"), lit("Ã¡")))
         .when(h === 1, concat(col("text"), lit(" \uFFFD\uFFFD\uFFFD")))
@@ -2981,8 +2980,8 @@ object ExtraQueries {
   val q283ScriptMix: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .where(col("doc_id").isNotNull && col("text").isNotNull)
-    val b = conv(substring(md5(concat(lit("scr|"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 8
+    val b = graft.functions.HashExpressions.md5Prefix64(concat(lit("scr|"),
+      col("doc_id").cast("string")), 8) % 8
     val planted = d.select(col("doc_id"),
       when(b === 0, concat(col("text"), lit(" привет мир кот")))
         .when(b === 1, concat(col("text"), lit(" 你好世界数据")))
@@ -3238,8 +3237,8 @@ object ExtraQueries {
   val q292Classification: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .where(col("event_id").isNotNull && col("event_type").isNotNull)
-    val h = conv(substring(md5(concat(lit("cls|"),
-      col("event_id").cast("string"))), 1, 8), 16, 10).cast("long") % 5
+    val h = graft.functions.HashExpressions.md5Prefix64(concat(lit("cls|"),
+      col("event_id").cast("string")), 8) % 5
     val nxt = when(col("event_type") === "click", "error")
       .when(col("event_type") === "error", "purchase")
       .when(col("event_type") === "purchase", "signup")
@@ -3406,9 +3405,8 @@ object ExtraQueries {
         (col("event_id") % 16).as("item"))
       .distinct()
     val scored = latt.withColumn("score",
-      conv(substring(md5(concat(lit("bd|"), col("ann").cast("string"),
-        lit("|"), col("item").cast("string"))), 1, 8), 16, 10)
-        .cast("long"))
+      graft.functions.HashExpressions.md5Prefix64(concat(lit("bd|"), col("ann").cast("string"),
+        lit("|"), col("item").cast("string")), 8))
     val ranked = scored.withColumn("rnk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("ann").orderBy(col("score"), col("item"))).cast("long"))
@@ -3573,7 +3571,7 @@ object ExtraQueries {
   //  the off-panel drop path.)
   val q301Fleiss: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val units = Tables.events(s, dir)
       .where(col("event_id").isNotNull)
       .select((col("event_id") % 512).as("unit")).distinct()
@@ -3760,7 +3758,7 @@ object ExtraQueries {
   //  the diagonal.)
   val q306RocCurve: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val scored = Tables.events(s, dir)
       .where(col("event_id").isNotNull)
       .select(col("event_id").cast("string").as("sid"))
@@ -3810,7 +3808,7 @@ object ExtraQueries {
   //  alpha=beta=0.05.)
   val q307Sprt: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val obs = Tables.events(s, dir)
       .where(col("event_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull)
@@ -3894,7 +3892,7 @@ object ExtraQueries {
   //  comparison p·m ≤ q·i.)
   val q309BhFdr: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val tests = Tables.events(s, dir)
       .where(col("event_id").isNotNull)
       .select((col("event_id") % 256).as("unit")).distinct()
@@ -3938,7 +3936,7 @@ object ExtraQueries {
   //  b independent.)
   val q310NullCooccur: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val base = Tables.events(s, dir)
       .where(col("event_id").isNotNull)
       .select(
@@ -4063,7 +4061,7 @@ object ExtraQueries {
   //  ~80/20 so both flag outcomes exist.)
   val q314Srm: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val assigned = Tables.events(s, dir)
       .where(col("event_type").isNotNull && col("user_id").isNotNull)
       .select(col("event_type"),
@@ -4872,8 +4870,8 @@ object ExtraQueries {
   val q337TokenizerFertility: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .where(col("doc_id").isNotNull && col("text").isNotNull)
-    val b = conv(substring(md5(concat(lit("scr|"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 8
+    val b = graft.functions.HashExpressions.md5Prefix64(concat(lit("scr|"),
+      col("doc_id").cast("string")), 8) % 8
     val planted = d.select(col("doc_id"),
       when(b === 0, concat(col("text"), repeat(lit(" привет мир кот"), 100)))
         .when(b === 1, concat(col("text"), repeat(lit(" 你好世界数据"), 100)))
@@ -5038,9 +5036,8 @@ object ExtraQueries {
           round(col("value") * 100).cast("long")).otherwise(0L)).as("pre"),
         sum(when(unix_micros(col("ts")) >= splitUs,
           round(col("value") * 100).cast("long")).otherwise(0L)).as("post"))
-      .withColumn("t", conv(substring(md5(concat(lit("cup|"),
-        col("user_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 2 === 1)
+      .withColumn("t", graft.functions.HashExpressions.md5Prefix64(concat(lit("cup|"),
+        col("user_id").cast("string")), 8) % 2 === 1)
     Analytics.cuped(per, "pre", "post", "t")
   }
   private val q340Sql: String = """
@@ -5090,9 +5087,8 @@ object ExtraQueries {
         .where(col("value").isNotNull && col("user_id").isNotNull &&
           col("event_type").isNotNull)
         .select(round(col("value") * 100).cast("long").as("score"),
-          (conv(substring(md5(concat(lit("upl|"),
-            col("user_id").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 2 === 1).as("t"),
+          (graft.functions.HashExpressions.md5Prefix64(concat(lit("upl|"),
+            col("user_id").cast("string")), 8) % 2 === 1).as("t"),
           (col("event_type") === "purchase").cast("long").as("y")),
       "score", "t", "y")
   private val q341Sql: String = """
@@ -5323,8 +5319,8 @@ object ExtraQueries {
     Analytics.calibrationError(
       Tables.documents(s, dir)
         .where(col("doc_id").isNotNull && col("lang").isNotNull)
-        .select((conv(substring(md5(concat(lit("cal|"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        .select((graft.functions.HashExpressions.md5Prefix64(concat(lit("cal|"),
+          col("doc_id").cast("string")), 8)
           % 1000001 / lit(1000000.0)).as("score"),
           (col("lang") === "en").as("y")),
       "score", "y")
@@ -5396,7 +5392,7 @@ object ExtraQueries {
   //  integer cross-multiplication, first failure blocks the rest.)
   val q349Holm: Q = (s, dir) => {
     def h(prefix: String, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(prefix), c)), 1, 8), 16, 10).cast("long")
+      graft.functions.HashExpressions.md5Prefix64(concat(lit(prefix), c), 8)
     val tests = Tables.events(s, dir)
       .where(col("event_id").isNotNull)
       .select((col("event_id") % 256).as("unit")).distinct()

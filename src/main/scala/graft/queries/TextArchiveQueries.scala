@@ -114,8 +114,7 @@ object TextArchiveQueries {
       .groupBy("fp") // identical text ⇒ identical n_tok, min is exact
       .agg(min("member_path").as("member_path"), min("n_tok").as("n_tok"))
       .withColumn("split",
-        when(conv(substring(md5(concat(lit("split|"), col("member_path"))),
-          1, 8), 16, 10).cast("long") % 100 < 90, "train").otherwise("val"))
+        when(graft.functions.HashExpressions.md5Prefix64(concat(lit("split|"), col("member_path")), 8) % 100 < 90, "train").otherwise("val"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   private val q396Sql: String = s"""
@@ -220,7 +219,7 @@ object TextArchiveQueries {
       .groupBy("ext")
       .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"),
         sum(length(col("text")).cast("long")).as("n_chars"),
-        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        sum(graft.functions.HashExpressions.md5Prefix64(col("text"), 8))
           .as("fp_sum"))
   }
   private val q399Sql: String = s"""

@@ -298,8 +298,7 @@ object WarcQueries {
       .groupBy("fp") // identical text ⇒ identical n_tok, min is exact
       .agg(min("record_id").as("record_id"), min("n_tok").as("n_tok"))
       .withColumn("split",
-        when(conv(substring(md5(concat(lit("split|"), col("record_id"))), 1, 8),
-          16, 10).cast("long") % 100 < 90, "train").otherwise("val"))
+        when(graft.functions.HashExpressions.md5Prefix64(concat(lit("split|"), col("record_id")), 8) % 100 < 90, "train").otherwise("val"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   private val q367Sql: String = s"""
