@@ -53,18 +53,20 @@ object Bench {
     // 60M-row shuffles in 4 partitions spill and GC-thrash regardless
     // of how good the plan is (round-13 sweep finding)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    // AQE coalescing floor (round 15): with `parallelismFirst` (default
-    // true) AQE still refuses to split below `minPartitionSize` (1 MiB
-    // default), so any reduce side whose BYTES are small collapses to
-    // one partition even when its per-row COMPUTE is heavy — measured:
-    // q260's 4M-md5 rendezvous lattice ran as ONE task behind a ~1 MiB
-    // distinct. Bytes are the wrong proxy for compute-dense operators;
-    // a 16 KiB floor lets such stages keep ~defaultParallelism tasks.
-    // Scale behavior: at production shuffle sizes totalBytes/parallelism
-    // far exceeds any floor, so the knob is inert — it only stops the
-    // engine serializing small-byte/high-compute stages. Parameterised
-    // (SPARK_GRAFT_MIN_COALESCED) with the 16k local default.
-    val minCoalesced = sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k")
+    // AQE coalescing floor probe knob (round 15). A global 16k floor was
+    // MEASURED AND REJECTED: it un-serializes compute-dense small stages
+    // (q260's 4M-md5 lattice ran as ONE task behind a ~1 MiB distinct;
+    // 3.87 → 0.35 s with the floor), but it taxes every small exchange
+    // of the many-exchange iterative family with tiny tasks — q161's CC
+    // loop measured 12.0 s @16k vs 5.3 s @1m on the same quiet host,
+    // with ~15 more queries +0.3–1.1 s each. The compute-dense ops now
+    // carry explicit scale-free spreads instead (reshardMovement,
+    // theilSen, fellegiSunter pair joins, hllSlidingEstimate, the
+    // percentile histograms — each spreads a bounded frame by the
+    // session's shuffle parallelism, the q208 discipline), so the
+    // session keeps Spark's default floor; the env knob stays for
+    // probe parity with the recorded matrix.
+    val minCoalesced = sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)

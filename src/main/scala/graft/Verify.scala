@@ -20,9 +20,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // compute-dense small stages must not serialize (Bench scaladoc)
+      // probe knob only — default floor; see Bench scaladoc (round 15)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

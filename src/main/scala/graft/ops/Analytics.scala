@@ -264,7 +264,12 @@ object Analytics {
         // clamp pass, and the re-scan the lazy plan paid per reference
         // all collapse onto the histogram (domain-bounded: distinct
         // cents, never row count — round-15, guide §2.3 aggregate-first).
+        // pinned spread: the histogram is small in bytes but feeds the
+        // exact-percentile partials — AQE-coalesced to one partition the
+        // state build runs single-threaded (round-15)
         val hist = cents.groupBy("g", "c").agg(count(lit(1)).as("f"))
+          .repartition(df.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt)
           .localCheckpoint(false)
         val thresholds = hist.groupBy("g").agg(
           floor(percentile(col("c"), lit(pLo), col("f")))
@@ -411,7 +416,10 @@ object Analytics {
         // the identical value→count state as the row form, so m2/mad4
         // are bit-identical; deviations collapse duplicates further
         // (|2c − m2| is many-to-one), counts ride as weights.
+        // pinned spread — same rationale as winsorizedStats (round-15)
         val hist = cents.groupBy("g", "c").agg(count(lit(1)).as("f"))
+          .repartition(df.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt)
           .localCheckpoint(false)
         val med = hist.groupBy("g")
           .agg(percentile(col("c") * 2, lit(0.5), col("f"))

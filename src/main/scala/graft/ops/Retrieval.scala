@@ -135,12 +135,25 @@ object Retrieval {
     // lambdas (TextOps.shinglesFromWords's lesson)
     val lowered = docs.select(col(idCol).as("doc_id"),
       lower(col(textCol)).as("t"))
+    // the query trigram universe is a small LITERAL set — intersect each
+    // document's trigram array with it IN-ROW before exploding, so the
+    // posting join sees only potentially-matching rows instead of every
+    // trigram of every document (round-15: the explode previously emitted
+    // the full corpus trigram multiset into the join, ~2000 rows/doc, for
+    // a few dozen query trigrams). Candidates are identical: a trigram
+    // outside the query set could never join `qt`.
+    val allQueryTris = patterns.flatMap { case (_, p) =>
+      val lp = p.toLowerCase
+      (0 to lp.length - 3).map(i => lp.substring(i, i + 3))
+    }.distinct
     val postings = lowered
-      .select(col("doc_id"), explode(array_distinct(
-        when(length(col("t")) >= 3,
-          transform(sequence(lit(0), length(col("t")) - 3),
-            i => col("t").substr(i + 1, lit(3))))
-          .otherwise(array().cast("array<string>")))).as("tri"))
+      .select(col("doc_id"), explode(array_intersect(
+        array_distinct(
+          when(length(col("t")) >= 3,
+            transform(sequence(lit(0), length(col("t")) - 3),
+              i => col("t").substr(i + 1, lit(3))))
+            .otherwise(array().cast("array<string>"))),
+        typedLit(allQueryTris))).as("tri"))
     val qt = broadcast(patterns.flatMap { case (qid, p) =>
       val lp = p.toLowerCase
       val tris = (0 to lp.length - 3).map(i => lp.substring(i, i + 3)).distinct

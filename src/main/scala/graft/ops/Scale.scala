@@ -138,7 +138,19 @@ object Scale {
       val s = slice(col("_sc"), 1, n)
       (array_position(s, array_max(s)) - 1).cast("long")
     }
+    // EXPLICIT spread before the lattice (the negativeSample discipline,
+    // round-15): the nMax-hash projection is compute-dominated at every
+    // scale (nMax digests per key vs 8 bytes of key), yet behind a
+    // small-byte distinct AQE coalesces the stage to ONE task (measured:
+    // the whole q260 lattice single-threaded). ROUND-ROBIN with a pinned
+    // count, deliberately: a repartition KEYED on the id merges into the
+    // upstream distinct's ENSURE_REQUIREMENTS exchange (verified in the
+    // plan) and becomes coalescible again; keys-for-compute is a trade
+    // that only gets better as nMax or the corpus grows.
+    val shufflePartitions = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val both = df.where(col(idCol).isNotNull).select(col(idCol))
+      .repartition(shufflePartitions)
       .withColumn("_sc", scores)
       .withColumn("shard_from", argmax(fromShards))
       .withColumn("shard_to", argmax(toShards))

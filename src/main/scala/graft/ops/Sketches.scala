@@ -142,8 +142,13 @@ object Sketches {
     // hours frame; left lazy each reference re-runs the caller's whole
     // register build (a data-sized scan+aggregate). It is bounded at
     // groups × hours × buckets rows, so the lazy materialize-once is
-    // scale-free (round-15)
-    val r = regs.localCheckpoint(false)
+    // scale-free — and the EXPLICIT pinned spread keeps the windowHours×
+    // explode off a single AQE-coalesced partition (register rows are
+    // tiny in bytes, heavy in fan-out — round-15)
+    val r = regs
+      .repartition(regs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .localCheckpoint(false)
     val served = r
       .withColumn("hr_out",
         explode(sequence(col("hr"), col("hr") + lit(windowHours - 1))))

@@ -639,9 +639,19 @@ object TimeSeries {
       .select(col("k"), col("h"),
         expr(s"(cast(1000 as $dec) * sc) div cn").cast("long").as("y"))
       .localCheckpoint(false)
+    // EXPLICIT spread of the pair-generation side + pinned broadcast of
+    // the other (round-15): the lattice is tiny in BYTES, so left to AQE
+    // the ≤720²/2-per-key pair fan-out and its percentile partials run
+    // in one task; the pinned partition count (scale-parameterised, the
+    // negativeSample discipline) keeps the coalescer off, and the
+    // broadcast pin stops a sort-merge join from re-keying the spread
+    // side onto the handful of distinct keys.
+    val shufflePartitions = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val a = hourly.select(col("k"), col("h").as("h1"), col("y").as("y1"))
-    val b = hourly.select(col("k").as("kb"), col("h").as("h2"),
-      col("y").as("y2"))
+      .repartition(shufflePartitions)
+    val b = broadcast(hourly.select(col("k").as("kb"), col("h").as("h2"),
+      col("y").as("y2")))
     val pairs = a.join(b, col("k") === col("kb") && col("h1") < col("h2"))
       .select(col("k"),
         expr(s"(cast(1000000 as $dec) * (y2 - y1)) div (h2 - h1)")

@@ -1022,7 +1022,10 @@ object ExtraQueries {
     // the repartition is scale-free, and without it the blocked join —
     // and its ~2.25M single-task Jaro-Winkler evaluations — runs inside
     // the one-task scan stage (round-15 measurement)
-    val pairs = l.repartition(col("blk")).join(broadcast(r), Seq("blk"))
+    val pairs = l
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("blk")) // pinned count: an unsized repartition is AQE-coalescible
+      .join(broadcast(r), Seq("blk"))
       .select(col("a"), col("b"),
         (round(graft.functions.StringSimilarityExpressions
           .jaroWinkler(col("na"), col("nb")) * 1000000)
@@ -2613,7 +2616,10 @@ object ExtraQueries {
     // the repartition is scale-free, and without it the blocked join —
     // and its ~2.25M single-task Jaro-Winkler evaluations — runs inside
     // the one-task scan stage (round-15 measurement)
-    val pairs = l.repartition(col("blk")).join(broadcast(r), Seq("blk"))
+    val pairs = l
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("blk")) // pinned count: an unsized repartition is AQE-coalescible
+      .join(broadcast(r), Seq("blk"))
       .select(col("a"), col("b"),
         (round(graft.functions.StringSimilarityExpressions
           .jaroWinkler(col("na"), col("nb")) * 1000000)

@@ -24,7 +24,7 @@ object JobAudit {
       .config("spark.sql.adaptive.enabled", "true")
       // match Bench's coalescing floor so audits see the bench layout
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
