@@ -77,6 +77,11 @@ object HashExpressions {
   val functionName = "md5_slice64"
 
   private[functions] def builder(exprs: Seq[Expression]): Expression = {
+    // arity check FIRST: without it a wrong-arity SQL call dies with an
+    // IndexOutOfBoundsException instead of a function-signature error
+    if (exprs.length != 3) throw new IllegalArgumentException(
+      s"md5_slice64 expects exactly 3 arguments (col, pos, len), " +
+        s"got ${exprs.length}")
     def intLit(e: Expression): Int = e.eval(null) match {
       case i: Int  => i
       case l: Long => l.toInt
@@ -96,7 +101,11 @@ object HashExpressions {
     * id explicitly, keeping the hashed bytes pinned cross-engine).
     */
   def md5Hex64(c: Column, pos: Int, len: Int): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    // fall back to the default session so a Column built off-thread
+    // (no active session on the calling thread) still registers instead
+    // of deferring to an opaque "undefined function" analysis error
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
     call_function(functionName, c, lit(pos), lit(len))
   }
 

@@ -276,6 +276,11 @@ object Analytics {
             .cast("long").as("p_lo_c"),
           floor(percentile(col("c"), lit(pHi), col("f")))
             .cast("long").as("p_hi_c"))
+        // broadcast contract (round-16 ADVICE): `thresholds` is ONE ROW
+        // PER GROUP — the hint assumes groupCol cardinality stays in the
+        // dimension class (segments/cohorts, ≪ 10⁸). A caller grouping
+        // by a data-sized key must pass approxAccuracy (the row path,
+        // no forced broadcast) or drop the hint.
         hist.join(broadcast(thresholds), Seq("g"))
           .groupBy(col("g").as(groupCol))
           .agg(first("p_lo_c").as("p_lo_c"), first("p_hi_c").as("p_hi_c"),
@@ -421,6 +426,10 @@ object Analytics {
           .repartition(df.sparkSession.conf
             .get("spark.sql.shuffle.partitions").toInt)
           .localCheckpoint(false)
+        // broadcast contract (round-16 ADVICE): med/mad are ONE ROW PER
+        // GROUP — same dimension-class cardinality assumption as
+        // winsorizedStats' thresholds broadcast; data-sized group keys
+        // belong on the approxAccuracy row path.
         val med = hist.groupBy("g")
           .agg(percentile(col("c") * 2, lit(0.5), col("f"))
             .cast("long").as("m2"))
@@ -1837,7 +1846,14 @@ object Analytics {
       .select(col(stateCol).as("a"),
         lead(col(stateCol), 1).over(w).as("b"))
       .where(col("b").isNotNull)
+    // the S²-bounded transition table is the LAST data-sized frame —
+    // materialize it once (round-16): states/dangling/p and every one of
+    // the `iters` unrolled matvec rounds reference it, and each lazy
+    // reference re-ran the data-sized lag window + pair count (measured:
+    // the events scan+window appeared once per loop round in q305's
+    // plan, plus once for `states.count()` and once per final-join leg)
     val counts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // lazy: states.count() below materializes it
     val states = counts.select(col("a").as("s"))
       .union(counts.select(col("b").as("s"))).distinct()
     // dangling patch: states with no outgoing edge self-loop

@@ -105,14 +105,28 @@ object Annotation {
     val duels = comparisons
       .select(col(winnerCol).as("w"), col(loserCol).as("l"))
       .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-    val games = duels.select(col("w").as("item"), col("l").as("opp"))
-      .unionAll(duels.select(col("l").as("item"), col("w").as("opp")))
-      .groupBy("item", "opp").agg(count(lit(1)).as("n"))
-    val wins = duels.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    // Round-16 diet: ONE data-sized aggregation. The DIRECTED duel count
+    // is items²-bounded and both `games` (symmetrized) and `wins` (the
+    // win margin) are rollups of it — before, `games`' two unionAll legs
+    // and `wins` each re-ran the data-sized duel scan (3 passes), and the
+    // unrolled MM loop's double self-reference on `s` multiplied those
+    // references into 2^iterations recomputes of the whole chain.
+    // Summing directed counts symmetrized is bit-identical to counting
+    // the symmetrized union (integer sums of the same rows).
+    val dirGames = duels.groupBy(col("w").as("item"), col("l").as("opp"))
+      .agg(count(lit(1)).as("nw"))
+      .localCheckpoint(false) // the last data-sized aggregate
+    val games = dirGames.select(col("item"), col("opp"), col("nw"))
+      .unionAll(dirGames.select(col("opp").as("item"),
+        col("item").as("opp"), col("nw")))
+      .groupBy("item", "opp").agg(sum("nw").as("n"))
+      .localCheckpoint(false) // read by every MM round + base
+    val wins = dirGames.groupBy(col("item")).agg(sum("nw").as("wins"))
     val base = games.groupBy("item").agg(sum("n").as("n_games"))
       .join(wins, Seq("item"), "left")
       .select(col("item"), col("n_games"),
         coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint(false) // read by every MM round + the final join
     var s = base.select(col("item"), lit(1000000L).cast(dec).as("s"))
     for (_ <- 1 to iterations) {
       val denom = games
@@ -121,9 +135,12 @@ object Annotation {
         .select(col("item"), expr(s"(cast(n as $dec) * 1000000000000)" +
           s" div greatest(s_i + s_j, 1)").as("term"))
         .groupBy("item").agg(sum(col("term")).as("denom"))
+      // items-sized: keeps the double self-reference of s_{r} inside
+      // round r+1 from doubling the plan subtree per round
       s = base.join(denom, "item")
         .select(col("item"), expr(s"(cast(wins as $dec) * 1000000000000)" +
           s" div greatest(denom, 1)").as("s"))
+        .localCheckpoint(false)
     }
     val tot = s.agg(sum(col("s")).as("s_tot"))
     base.join(s, "item").crossJoin(tot)

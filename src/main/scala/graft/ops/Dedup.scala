@@ -194,6 +194,25 @@ object Dedup {
         expr("(1000000 * w_inter) div (wa + wb - w_inter)").as("wj_ppm"))
   }
 
+  /** Pin a narrow-input frame onto the session's shuffle parallelism
+    * when the SCAN yields fewer partitions (round-16). The local-harness
+    * shape: sf0.1 parquet is one row group per file, so every
+    * tokenize/explode/digest stage fused onto such a scan runs as ONE
+    * task no matter how the downstream exchanges are laid out — the
+    * "1-task scan" harness property of OPTIMIZATION_r15 "Not yet
+    * optimized" #5. The gate reads the ACTUAL scan layout, so at
+    * production scale (scan partitions ≥ session parallelism) this is a
+    * no-op — no data-sized shuffle is added; it is scale-adaptive, not a
+    * local[32] constant. Keyed form hash-spreads on a caller-named
+    * unique-ish key; keyless form round-robins (deterministic under
+    * retry via Spark's sort-before-repartition).
+    */
+  private[ops] def spreadIfNarrow(df: DataFrame, key: Option[Column]): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= p) df
+    else key.fold(df.repartition(p))(k => df.repartition(p, k))
+  }
+
   /** Eval n-gram coverage spectrum — the corpus-level complement of
     * per-doc contamination ([[contamination]]/[[contaminationAttribution]]):
     * for every n on the caller's lattice, what fraction of the eval
@@ -232,12 +251,29 @@ object Dedup {
     // passes and one semi-join (round-15). Per-n output rows are
     // reconstructed from a literal lattice frame so an empty-gram n
     // still emits its (n, 0, 0, null) row exactly as before.
+    // Round-16 layout pin (the r15 verdict's #1): (a) the raw (id, text)
+    // rows are spread onto the session parallelism WHEN the scan is
+    // narrower (gated — a no-op at scale, see [[spreadIfNarrow]]), so the
+    // tokenize+4-lattice-explode+md5 work stops running inside the
+    // 1-task scan stage; (b) the distinct rides an explicit pinned
+    // repartition on its own keys — REPARTITION_BY_NUM is not
+    // AQE-coalescible, HashPartitioning(n, shingle) satisfies the
+    // distinct's clustering, and BOTH sides of the semi-join land on the
+    // same (n, shingle) × nParts layout, so the join plans with no
+    // further exchange instead of running on the handful of
+    // AQE-coalesced post-distinct partitions (measured: the whole
+    // distinct+semi-join tail single-task at the default floor).
+    val nParts = evalDf.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("_w"))
+      spreadIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("_t")),
+          Some(col("id")))
+        .select(TextOps.words(col("_t")).as("_w"))
         .select(explode(array(nsS.map(n => struct(lit(n.toLong).as("n"),
           TextOps.shinglesFromWords(col("_w"), n).as("sh"))): _*)).as("e"))
         .select(col("e.n").as("n"), explode(col("e.sh")).as("_raw"))
         .select(col("n"), substring(md5(col("_raw")), 1, 16).as("shingle"))
+        .repartition(nParts, col("n"), col("shingle"))
         .distinct()
     val eg = grams(evalDf).localCheckpoint(false) // roles: count + semi-join
     val tg = grams(trainDf)

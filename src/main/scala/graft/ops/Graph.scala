@@ -481,23 +481,43 @@ object Graph {
       .select(least(col("src"), col("tgt")).as("a"),
         greatest(col("src"), col("tgt")).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    // Round-16: the static edge set is staged ONCE hash-partitioned (and
+    // sorted) by `nb` — the [[bfsDistances]] layout trick — and the round
+    // body is reordered to count FIRST, filter the i-side SECOND:
+    // deg(i | alive) = |{nb ∈ alive}| is the same count whether or not
+    // dead i rows are dropped before grouping, so the per-round work is
+    // one co-partitioned semi-filter on the STAGED side (zero edge
+    // exchange), ONE data-sized groupBy exchange, and an alive-sized
+    // join — where the old i-then-nb join order re-exchanged the edge
+    // set twice per round.
+    val nParts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val sym = und.select(col("a").as("i"), col("b").as("nb"))
-      .union(und.select(col("b"), col("a"))).localCheckpoint(true)
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint(true)
     def ckCount(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
       val ck = Dedup.checkpointResetStats(
         df.observe(obs, count(lit(1)).as("n")))
       (ck, obs.get("n").asInstanceOf[Long])
     }
+    // survivor degree count: edges whose neighbor survives, grouped by
+    // i over ALL i — one semi-filter on the staged side + one groupBy
+    def liveDeg(alive: DataFrame, out: String): DataFrame =
+      sym.join(alive.select(col("i").as("nb")), Seq("nb"), "left_semi")
+        .groupBy("i").agg(count(lit(1)).as(out))
     var (alive, n) = ckCount(sym.select(col("i")).distinct())
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      // `c ≥ k` PROVES membership in `alive`: alive only shrinks, so
+      // per-i counts against it are monotone nonincreasing across
+      // rounds — a peeled i once counted < k and can never count ≥ k
+      // again. The i-side alive join the old round body paid is
+      // therefore redundant inside the loop (kept only for the final
+      // degree report, where sub-k counts must not leak out).
       val (next, n2) = ckCount(
-        sym.join(alive, Seq("i"))
-          .join(alive.select(col("i").as("nb")), Seq("nb"))
-          .groupBy("i").agg(count(lit(1)).as("c"))
-          .where(col("c") >= k).select("i"))
+        liveDeg(alive, "c").where(col("c") >= k).select("i"))
       converged = n2 == n
       alive = next
       n = n2
@@ -506,9 +526,7 @@ object Graph {
     if (!converged) throw new IllegalStateException(
       s"kCore did not converge in $maxRounds rounds — raise maxRounds " +
       "(and any unrolled oracle) above the graph's peel depth")
-    sym.join(alive, Seq("i"))
-      .join(alive.select(col("i").as("nb")), Seq("nb"))
-      .groupBy("i").agg(count(lit(1)).as("core_deg"))
+    liveDeg(alive, "core_deg").join(alive, Seq("i"))
       .select(col("i").as("id"), col("core_deg"))
   }
 
@@ -642,24 +660,42 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "rounds in [1, 8] (unrolled plan)")
+    // Round-16: the [[pageRank]] iteration diet, LAZY variant. The edge
+    // table is STATIC — checkpointed once so per-round references stop
+    // re-deriving scan+distinct; `cur` is checkpointed per round —
+    // before, round r's plan referenced cur_{r-1} TWICE (directly and
+    // through msgs), doubling the unrolled subtree per round (2^rounds
+    // copies of the base scans at the rounds=8 bound). A
+    // [[bfsDistances]]-style src-sorted layout pin was measured and
+    // REJECTED here: at the fixture's rounds=2 the extra staging
+    // shuffle+sort costs more than the two co-partitioned joins it
+    // saves (JobAudit: 47→136 tasks pinned, bench +0.4 s); it becomes
+    // the right trade only at high round counts over data where the
+    // per-round edge exchange dominates.
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint(false)
     var cur = nodes
       .where(col(idCol).isNotNull && col(featCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(featCol).cast("long").as("f0"))
       .withColumn("f", col("f0"))
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val msgs = e
         .join(cur.select(col("id").as("src"), col("f").as("fs")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(expr("sum(fs) div count(1)").as("fin"))
+      // LAZY per-round cut (vs pageRank's eager): rounds are few and the
+      // frame is nodes-sized, so plan-truncation is what matters; the
+      // eager form measured 4 extra barrier jobs on the rounds=2 fixture
       cur = cur.join(msgs, Seq("id"), "left")
         .withColumn("f", coalesce(col("fin"), col("f")))
         .drop("fin")
+        .localCheckpoint(false)
     }
     cur.select(col("id"), col("f0").as("feat_in"), col("f").as("feat_out"))
   }

@@ -747,19 +747,104 @@ object Similarity {
     * centroid count, chosen so each bucket is a few hundred MB.
     */
   def buildIvfIndex(vectors: DataFrame, centroids: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeIndexBase(assignToCentroids(vectors, centroids, idCol, vecCol),
+      path, idCol)
+
+  /** [[buildIvfIndex]]'s write tail, factored so [[foldIvfPending]]'s
+    * first-fold path can found an index from already-assigned rows:
+    * the partitioned base write plus the sidecar base derived from the
+    * WRITTEN index (a column-pruned id scan — one-time at build, which
+    * is O(data) anyway) rather than a second evaluation of the
+    * assignment join over the input.
+    */
+  private def writeIndexBase(assigned: DataFrame, path: String,
+      idCol: String): Unit = {
     assigned.repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    // sidecar derives from the WRITTEN index (a column-pruned id scan —
-    // one-time at build, which is O(data) anyway) rather than a second
-    // evaluation of the assignment join over the input
-    val spark = vectors.sparkSession
+    val spark = assigned.sparkSession
     writeSidecar(
       spark.read.schema(assigned.schema).parquet(path)
         .select(col(idCol), col("centroid_id")),
       path, idCol, dynamic = false)
   }
+
+  /** Ingest staging buffer for high-frequency micro-batch ingestion
+    * (round-16, the [[graft.streaming.StreamingIvf]] hot path): each
+    * micro-batch is assigned to its (frozen) centroids and parked as ONE
+    * flat parquet directory `<path>.pending/b=<batchSeq>` — a single
+    * small write, no partitioned-table commit, no sidecar lookup, no
+    * index read — and [[foldIvfPending]] later applies the whole buffer
+    * through ONE index rewrite. The per-batch upsert path paid the full
+    * maintenance protocol (sidecar bucket scan + affected-partition read
+    * + dynamic overwrite across every touched directory + delta append)
+    * per micro-batch; with staging that protocol cost amortizes over
+    * the buffer (measured on q183's 4-batch harness: jobs per ingest
+    * batch cut from ~8 to 2).
+    *
+    * Idempotence under replay: the directory is KEYED BY `batchSeq`
+    * (Structured Streaming's `batchId`) and written with overwrite — a
+    * crashed-and-replayed batch rewrites its own directory with
+    * identical content, never duplicates it. Cross-batch re-ingests of
+    * the same id resolve at fold time by max-`batchSeq` latest-wins,
+    * matching the ordered per-batch upsert semantics.
+    */
+  def stageIvfPendingBatch(batch: DataFrame, centroids: DataFrame,
+      path: String, batchSeq: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    assignToCentroids(batch, centroids, idCol, vecCol)
+      .select(Seq(idCol, vecCol, "centroid_id").map(col): _*)
+      .coalesce(1) // micro-batch-sized: one flat file, one commit
+      .write.mode("overwrite").parquet(s"${pendingPath(path)}/b=$batchSeq")
+
+  /** Apply every staged [[stageIvfPendingBatch]] directory to the index
+    * in ONE maintenance pass and clear the buffer. Per id the max-`b`
+    * batch wins (within a batch, duplicate-id rows are kept exactly as
+    * the per-batch upsert kept them); the resolved rows then flow
+    * through the standard machinery — [[buildIvfIndex]]'s base write
+    * when no index exists yet ("founded at first fold"), the
+    * [[upsertCentroidPartitionedIndex]] contract otherwise (touched
+    * partitions only, cross-centroid drift, emptied dirs, sidecar).
+    *
+    * Crash contract (extends the upsert's): the buffer is deleted ONLY
+    * after the fold's index/sidecar writes commit. A crash anywhere
+    * before that leaves the buffer intact and the re-run folds
+    * value-identical rows (the upsert path is idempotent by its own
+    * contract; the build path re-runs under an index that now exists
+    * and upserts the same rows). Readers see staged batches only after
+    * a fold — the ingest driver bounds that staleness by folding on its
+    * schedule (StreamingIvf folds at stream stop; a long-lived deploy
+    * folds every N batches) or by calling this before a
+    * freshness-critical search.
+    */
+  def foldIvfPending(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): Unit = {
+    val pp = new org.apache.hadoop.fs.Path(pendingPath(path))
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pp)) return
+    val batchDirs = fs.listStatus(pp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+    if (batchDirs.nonEmpty) {
+      val pending = spark.read.option("basePath", pendingPath(path))
+        .parquet(batchDirs.map(_.getPath.toString): _*)
+      val dataCols = pending.columns.filterNot(_ == "b").toSeq
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      val winners = pending
+        .withColumn("_mb", max(col("b")).over(w))
+        .where(col("b") === col("_mb"))
+        .select(dataCols.map(col): _*)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        writeIndexBase(winners, path, idCol)
+      else
+        upsertCentroidPartitionedIndex(winners, path, idCol)
+    }
+    if (!fs.delete(pp, true))
+      throw new java.io.IOException(
+        s"foldIvfPending: failed to clear folded staging buffer $pp — " +
+        "a stale buffer would re-apply (harmlessly) but grow unbounded")
+  }
+
+  private def pendingPath(path: String): String = s"$path.pending"
 
   /** Index maintenance: REBALANCE a drifted IVF index. Incremental
     * appends keep centroids frozen (the drift-safe contract), so after

@@ -277,8 +277,10 @@ object Sketches {
     val rows = levelRows(df, groupCol, valueCol, idCol, maxLvl)
     // ONE level-histogram pass feeds totals AND the threshold scan
     // (both are rollups of the same (g, lvl) counts); the histogram is
-    // ≤ groups × maxLvl rows, so the eager checkpoint is scale-free and
-    // pins the build at exactly the two documented input scans —
+    // ≤ groups × maxLvl rows, so the LAZY localCheckpoint (materialize
+    // once inside the consuming action, no extra barrier job) is
+    // scale-free and pins the build at exactly the two documented
+    // input scans —
     // previously totals/threshold/filter each re-ran the scan, and
     // downstream merge/query compositions MULTIPLIED those references
     // into q180's measured 128-scan plan (round-15).

@@ -452,22 +452,40 @@ object TextOps {
     * mis-joined count table breaks the hash even where the float mean
     * would forgive it.
     *
-    * Scale shape: token streams explode linearly (shared per-doc sort
-    * for both `lead`s); count tables aggregate map-side; the score join
-    * shuffles on n-gram keys — never a cross join; the two scalar
-    * totals broadcast. Count tables are train-corpus-sized (the model),
-    * exactly what a production backoff LM materializes.
+    * Scale shape: token streams explode linearly with the successor
+    * grams read straight off the token array (no per-doc sort — the
+    * array index IS the order); count tables aggregate map-side; the
+    * score join shuffles on n-gram keys — never a cross join; the two
+    * scalar totals broadcast. Count tables are train-corpus-sized (the
+    * model), exactly what a production backoff LM materializes.
     */
   def stupidBackoffScore(train: DataFrame, scored: DataFrame,
       textCol: String, idCol: String, alpha: Double = 0.4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def tokens(df: DataFrame) = df.select(col(idCol).as("id"),
-      posexplode(words(col(textCol))).as(Seq("pos", "w1")))
-    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // Round-16 diet (guide §2.4 — remove shuffles outright): the n-gram
+    // successors w2/w3 are ARRAY lookups (`_w[i+1]`, `_w[i+2]`), not
+    // `lead` windows — the window form paid a full hash(id) exchange +
+    // per-doc sort per plan reference, and the train side was referenced
+    // by all three count tables (measured: 3 window passes over train,
+    // +1 via `total`, +1 on the scored side — 5 exchanges+sorts for a
+    // computation whose order is already given by the array index).
+    // `get()` (0-based, null past the end) reproduces lead's null
+    // semantics exactly; the struct is built INSIDE the transform so an
+    // exploded row carries 3 tokens, never the whole token array. The
+    // train token stream is then lazily checkpointed once: c1/c2/c3 are
+    // three different group keys (not derivable from one another — the
+    // per-doc tail grams differ per order), so they must re-aggregate,
+    // but they now share ONE tokenize pass instead of re-running it.
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+        words(col(textCol)).as("_w"))
+      .select(col("id"), explode(transform(col("_w"), (x, i) =>
+        struct(x.as("w1"),
+          get(col("_w"), i + 1).as("w2"),
+          get(col("_w"), i + 2).as("w3")))).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
     // training model: unigram / bigram / trigram count tables + N
-    val t = tokens(train)
-      .withColumn("w2", lead("w1", 1).over(byDoc))
-      .withColumn("w3", lead("w1", 2).over(byDoc))
+    val t = grams(train)
+      .localCheckpoint(false) // roles: c1 + c2 + c3 (and total via c1)
     val c1 = t.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
     val c2 = t.where(col("w2").isNotNull)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -475,9 +493,7 @@ object TextOps {
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
     val total = c1.agg(sum(col("c1")).as("n"))
     // scored trigram positions, resolved longest-match-first
-    val s = tokens(scored)
-      .withColumn("w2", lead("w1", 1).over(byDoc))
-      .withColumn("w3", lead("w1", 2).over(byDoc))
+    val s = grams(scored)
       .where(col("w3").isNotNull)
     val a = lit(alpha)
     s.join(c3, Seq("w1", "w2", "w3"), "left")
@@ -877,11 +893,21 @@ object TextOps {
     // distinct digest set once — the [[Dedup.nearDupSourceMatrix]]
     // localCheckpoint discipline; the frame is the distinct (src, 16-byte
     // digest) set the self-join must shuffle anyway (round-15).
-    val sh = docs
-      .select(col(srcCol).as("src"),
-        explode(shingles(col(textCol), shingleN)).as("_raw"))
+    // Round-16 layout pin (the q391 fix applied to its q172 sibling):
+    // gated input spread (no-op at scale) so shingle+md5 leaves the
+    // 1-task scan stage, and the distinct pinned on hash(shingle) —
+    // which satisfies the (src, shingle) clustering AND is exactly the
+    // self-join key, so the join below plans with ZERO exchange off the
+    // checkpointed layout instead of AQE-coalesced post-distinct tasks.
+    val nParts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val sh = Dedup.spreadIfNarrow(
+        docs.select(col(srcCol).as("src"), col(textCol).as("_t")), None)
+      .select(col("src"),
+        explode(shingles(col("_t"), shingleN)).as("_raw"))
       .select(col("src"),
         substring(md5(col("_raw")), 1, 16).as("shingle"))
+      .repartition(nParts, col("shingle"))
       .distinct()
       .localCheckpoint(false) // lazy: dedup without an extra barrier job
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))

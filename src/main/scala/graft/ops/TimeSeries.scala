@@ -629,6 +629,12 @@ object TimeSeries {
     // so a LAZY localCheckpoint is the scale-safe materialize-once: all
     // references share one RDD, computed once inside the consuming
     // action, with no extra barrier job (round-15).
+    // EAGER checkpoint with the row count observed during its own job
+    // (round-16, the starForest discipline): the count below GATES the
+    // broadcast hint, so it must exist before the pair join is planned.
+    // Costs one barrier job over the lazy form; the frame is calendar ×
+    // keys — materialized once either way.
+    val obs = org.apache.spark.sql.Observation()
     val hourly = df
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(valCol).isNotNull)
@@ -638,20 +644,28 @@ object TimeSeries {
         count(lit(1)).as("cn"))
       .select(col("k"), col("h"),
         expr(s"(cast(1000 as $dec) * sc) div cn").cast("long").as("y"))
-      .localCheckpoint(false)
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val latticeRows = obs.get("n").asInstanceOf[Long]
     // EXPLICIT spread of the pair-generation side + pinned broadcast of
     // the other (round-15): the lattice is tiny in BYTES, so left to AQE
     // the ≤720²/2-per-key pair fan-out and its percentile partials run
     // in one task; the pinned partition count (scale-parameterised, the
     // negativeSample discipline) keeps the coalescer off, and the
     // broadcast pin stops a sort-merge join from re-keying the spread
-    // side onto the handful of distinct keys.
+    // side onto the handful of distinct keys. The broadcast is GATED on
+    // the observed lattice size (round-16 ADVICE): per-key rows are
+    // calendar-bounded (≤720/month) but total rows scale with distinct
+    // keyCol cardinality, so past ~4M rows the hint comes off and the
+    // optimizer degrades gracefully to a shuffle join instead of
+    // hitting the 8 GB broadcast cap / OOMing the driver.
     val shufflePartitions = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val a = hourly.select(col("k"), col("h").as("h1"), col("y").as("y1"))
       .repartition(shufflePartitions)
-    val b = broadcast(hourly.select(col("k").as("kb"), col("h").as("h2"),
-      col("y").as("y2")))
+    val bRaw = hourly.select(col("k").as("kb"), col("h").as("h2"),
+      col("y").as("y2"))
+    val b = if (latticeRows <= 4000000L) broadcast(bRaw) else bRaw
     val pairs = a.join(b, col("k") === col("kb") && col("h1") < col("h2"))
       .select(col("k"),
         expr(s"(cast(1000000 as $dec) * (y2 - y1)) div (h2 - h1)")

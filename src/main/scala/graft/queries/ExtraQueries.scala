@@ -1021,10 +1021,14 @@ object ExtraQueries {
     // discipline): the fixture input is ≤ 30k keys by construction, so
     // the repartition is scale-free, and without it the blocked join —
     // and its ~2.25M single-task Jaro-Winkler evaluations — runs inside
-    // the one-task scan stage (round-15 measurement)
+    // the one-task scan stage (round-15 measurement). Spread on the
+    // UNIQUE key `a`, not on blk: blk = c_nationkey has ≤ 25 distinct
+    // values, which caps a blk-keyed spread at ~25 non-empty partitions
+    // (round-16 ADVICE); the join itself is a broadcast on blk, so the
+    // stream side's partitioning key is free to be whatever spreads best
     val pairs = l
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("blk")) // pinned count: an unsized repartition is AQE-coalescible
+        col("a")) // pinned count: an unsized repartition is AQE-coalescible
       .join(broadcast(r), Seq("blk"))
       .select(col("a"), col("b"),
         (round(graft.functions.StringSimilarityExpressions
@@ -2615,10 +2619,14 @@ object ExtraQueries {
     // discipline): the fixture input is ≤ 30k keys by construction, so
     // the repartition is scale-free, and without it the blocked join —
     // and its ~2.25M single-task Jaro-Winkler evaluations — runs inside
-    // the one-task scan stage (round-15 measurement)
+    // the one-task scan stage (round-15 measurement). Spread on the
+    // UNIQUE key `a`, not on blk: blk = c_nationkey has ≤ 25 distinct
+    // values, which caps a blk-keyed spread at ~25 non-empty partitions
+    // (round-16 ADVICE); the join itself is a broadcast on blk, so the
+    // stream side's partitioning key is free to be whatever spreads best
     val pairs = l
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("blk")) // pinned count: an unsized repartition is AQE-coalescible
+        col("a")) // pinned count: an unsized repartition is AQE-coalescible
       .join(broadcast(r), Seq("blk"))
       .select(col("a"), col("b"),
         (round(graft.functions.StringSimilarityExpressions

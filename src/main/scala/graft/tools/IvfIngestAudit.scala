@@ -54,10 +54,13 @@ object IvfIngestAudit {
       }
       val batches = (0 until 4).map(k => rows.filter(_._1 % 4 == k).toSeq)
       batches.zipWithIndex.foreach { case (b, k) =>
-        timed(if (k == 0) s"batch $k (build)" else s"batch $k (upsert)") {
+        timed(s"batch $k (stage)") {
           graft.streaming.StreamingIvf.appendBatch(
-            b.toDF("vec_id", "embedding"), centroids, path)
+            b.toDF("vec_id", "embedding"), centroids, path, k.toLong)
         }
+      }
+      timed("fold pending") {
+        Similarity.foldIvfPending(spark, path)
       }
       timed("probe topk") {
         Similarity.ivfTopKIndexed(path, centroids, queryDf, k = 10, nProbe = 2)

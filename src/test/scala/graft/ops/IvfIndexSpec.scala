@@ -361,6 +361,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(qa == qb)
   }
 
+  test("pending staging: replay-idempotent, latest-batch-wins, crash-safe re-fold") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivf-pending")
+      .resolve("idx").toString
+    val base = emb.filter(col("vec_id") >= 16 && col("vec_id") < 400)
+    Similarity.buildIvfIndex(base, centroids, path)
+    def rows() = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = rows()
+    // two staged batches re-ingest the SAME id with different embeddings
+    // — the max-batchSeq one must win the fold (ordered-upsert semantics)
+    val moveId = 20L
+    val oldCid = before.collectFirst { case (id, cid) if id == moveId => cid }.get
+    val donor = before.collectFirst { case (id, cid) if cid != oldCid => id }.get
+    def rawEmb(id: Long) = emb.filter(col("vec_id") === id)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val oldEmb = rawEmb(moveId)
+    val newEmb = rawEmb(donor)
+    def stage(e: Seq[Float], seq: Long): Unit =
+      Similarity.stageIvfPendingBatch(
+        Seq((moveId, e)).toDF("vec_id", "embedding"), centroids, path, seq)
+    stage(oldEmb, 1L)
+    stage(newEmb, 2L)
+    // foreachBatch replay of batch 1 (crash-and-retry): rewrites its OWN
+    // staging directory — never duplicates, never outranks batch 2
+    stage(oldEmb, 1L)
+    Similarity.foldIvfPending(spark, path)
+    val after = rows()
+    val mine = after.filter(_._1 == moveId)
+    assert(mine.size == 1, s"expected one row for id $moveId, got $mine")
+    assert(mine.head._2 != oldCid, "latest staged batch must win the fold")
+    assert(after.filterNot(_._1 == moveId) == before.filterNot(_._1 == moveId),
+      "fold must not disturb un-restaged ids")
+    assert(!new java.io.File(path + ".pending").exists(),
+      "fold must clear the staging buffer")
+    // crash between the fold's index/sidecar writes and the buffer
+    // clear: the re-run re-applies a value-identical buffer (idempotent)
+    stage(newEmb, 2L)
+    Similarity.foldIvfPending(spark, path)
+    assert(rows() == after, "re-folding a replayed buffer must be a no-op")
+    // a fold over an empty/absent buffer is a no-op
+    Similarity.foldIvfPending(spark, path)
+    assert(rows() == after)
+  }
+
   test("nProbe recall ladder: non-decreasing, full probe = perfect recall") {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"),
