@@ -548,14 +548,20 @@ object Graph {
   def labelPropagation(nodes: DataFrame, idCol: String, seeds: DataFrame,
       seedIdCol: String, labelCol: String, edges: DataFrame,
       iters: Int = 3): DataFrame = {
+    // static side checkpointed ONCE (round-16, the pageRank diet): the
+    // edge frame is referenced by every round's vote join, and callers
+    // hand in DERIVED edge sets (q203's is a full cosine near-dup
+    // self-join) that would otherwise re-run per round
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("tgt").cast("long").as("id"))
+      .localCheckpoint(false)
     var labels = nodes.select(col(idCol).cast("long").as("id"))
       .join(seeds.select(col(seedIdCol).cast("long").as("id"),
         col(labelCol).cast("long").as("label")), Seq("id"), "left")
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val votes = edges
-        .select(col("src").cast("long").as("src"),
-          col("tgt").cast("long").as("id"))
+      val votes = e
         .join(labels.where(col("label").isNotNull)
           .select(col("id").as("src"), col("label").as("nl")), Seq("src"))
         .groupBy(col("id"), col("nl")).agg(count(lit(1)).as("c"))
@@ -660,42 +666,45 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "rounds in [1, 8] (unrolled plan)")
-    // Round-16: the [[pageRank]] iteration diet, LAZY variant. The edge
-    // table is STATIC — checkpointed once so per-round references stop
-    // re-deriving scan+distinct; `cur` is checkpointed per round —
-    // before, round r's plan referenced cur_{r-1} TWICE (directly and
-    // through msgs), doubling the unrolled subtree per round (2^rounds
-    // copies of the base scans at the rounds=8 bound). A
-    // [[bfsDistances]]-style src-sorted layout pin was measured and
-    // REJECTED here: at the fixture's rounds=2 the extra staging
-    // shuffle+sort costs more than the two co-partitioned joins it
-    // saves (JobAudit: 47→136 tasks pinned, bench +0.4 s); it becomes
-    // the right trade only at high round counts over data where the
-    // per-round edge exchange dominates.
+    // Round-16: the [[pageRank]] iteration diet, LAZY variant — on the
+    // PER-ROUND STATE ONLY. `cur` is checkpointed per round: before,
+    // round r's plan referenced cur_{r-1} TWICE (directly and through
+    // msgs), doubling the unrolled subtree per round (2^rounds copies
+    // of the base scans at the rounds=8 bound). Two stagings of the
+    // static edge set were measured and REJECTED: a bfs-style
+    // src-sorted pin (+0.4 s, tasks 47→136 at rounds=2 — the staging
+    // shuffle+sort costs more than the co-partitioned joins it saves)
+    // AND a plain lazy localCheckpoint (sf1: 7.7 → 9.8 s — persisting
+    // the DATA-SIZED edge frame loses to Spark's own ReusedExchange,
+    // which already dedups the identical distinct subtree across
+    // rounds for free).
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(false)
     var cur = nodes
       .where(col(idCol).isNotNull && col(featCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(featCol).cast("long").as("f0"))
       .withColumn("f", col("f0"))
-      .localCheckpoint(false)
+    // the per-round cut is GATED on round count: at rounds ≤ 3 the
+    // fully-lazy unrolled plan is FASTER (≤ 8 duplicated leaf refs,
+    // which ReusedExchange dedups at runtime, and the un-truncated DAG
+    // lets consecutive rounds' stages pipeline — sf1 measured 7.7 s
+    // lazy vs 9.8-11.0 s with any per-round cut), while past it the
+    // 2^rounds subtree doubling starts to dominate the OPTIMIZER (256
+    // leaf refs at the rounds=8 bound), which no runtime reuse fixes
+    val cutEvery = rounds > 3
     for (_ <- 1 to rounds) {
       val msgs = e
         .join(cur.select(col("id").as("src"), col("f").as("fs")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(expr("sum(fs) div count(1)").as("fin"))
-      // LAZY per-round cut (vs pageRank's eager): rounds are few and the
-      // frame is nodes-sized, so plan-truncation is what matters; the
-      // eager form measured 4 extra barrier jobs on the rounds=2 fixture
       cur = cur.join(msgs, Seq("id"), "left")
         .withColumn("f", coalesce(col("fin"), col("f")))
         .drop("fin")
-        .localCheckpoint(false)
+      if (cutEvery) cur = cur.localCheckpoint(false)
     }
     cur.select(col("id"), col("f0").as("feat_in"), col("f").as("feat_out"))
   }

@@ -145,9 +145,14 @@ object Spatial {
       .join(core.select(col("id").as("b")), Seq("b"))
       .select(col("a"), col("b"))
     val labeled = Dedup.connectedComponents(coreEdges)
+    // referenced THREE times by the assembly below (border join, border
+    // anti, final join) — each lazy reference re-derived core (= the
+    // pts⋈degree aggregate over the checkpointed pair set) plus the
+    // label join; one lazy checkpoint collapses that (round-16)
     val coreLabels = core
       .join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .localCheckpoint(false)
     val borderLabels = sym
       .join(coreLabels.select(col("id").as("nb"), col("cluster")), Seq("nb"))
       .groupBy("id").agg(min(col("cluster")).as("cluster"))

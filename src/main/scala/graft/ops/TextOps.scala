@@ -470,22 +470,32 @@ object TextOps {
     // computation whose order is already given by the array index).
     // `get()` (0-based, null past the end) reproduces lead's null
     // semantics exactly; the struct is built INSIDE the transform so an
-    // exploded row carries 3 tokens, never the whole token array. The
-    // train token stream is then lazily checkpointed once: c1/c2/c3 are
-    // three different group keys (not derivable from one another — the
-    // per-doc tail grams differ per order), so they must re-aggregate,
-    // but they now share ONE tokenize pass instead of re-running it.
-    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
-        words(col(textCol)).as("_w"))
-      .select(col("id"), explode(transform(col("_w"), (x, i) =>
-        struct(x.as("w1"),
-          get(col("_w"), i + 1).as("w2"),
-          get(col("_w"), i + 2).as("w3")))).as("t"))
-      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
+    // exploded row carries 3 tokens, never the whole token array.
+    // The compact (id, token-array) repartition kept in `grams` does
+    // two jobs the old window exchange did by accident: (1) it is the
+    // canonical subtree Spark's exchange/stage reuse dedups, so the
+    // train regex-tokenize runs ONCE under c1/c2/c3 instead of once per
+    // count table (dropping the window naively re-tokenized ×3: sf1
+    // 2.0 → 4.3 s), and (2) it SPREADS the explode off the 1-task scan
+    // (the q391 narrow-scan disease — the scored side keeps it for
+    // exactly that reason despite having a single consumer). Two
+    // alternatives measured and REJECTED: a lazy localCheckpoint of the
+    // gram stream (persists a DATA-SIZED frame, 4.4 s at sf1), and
+    // exchanging the EXPLODED gram rows instead of the arrays (3× the
+    // shuffle bytes, 6.1 s at sf1). Net: old topology minus the per-doc
+    // SORTS and Window operators — control-adjusted parity at sf0.1,
+    // modest win at sf1, and the per-doc sort is gone at any scale.
+    def grams(df: DataFrame) =
+      df.select(col(idCol).as("id"), words(col(textCol)).as("_w"))
+        .repartition(col("id")) // reuse point + spread, see above
+        .select(col("id"), explode(transform(col("_w"), (x, i) =>
+          struct(x.as("w1"),
+            get(col("_w"), i + 1).as("w2"),
+            get(col("_w"), i + 2).as("w3")))).as("t"))
+        .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+          col("t.w3").as("w3"))
     // training model: unigram / bigram / trigram count tables + N
     val t = grams(train)
-      .localCheckpoint(false) // roles: c1 + c2 + c3 (and total via c1)
     val c1 = t.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
     val c2 = t.where(col("w2").isNotNull)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
