@@ -951,18 +951,29 @@ object TextOps {
     */
   def textRank(docs: DataFrame, textCol: String, idCol: String,
       iters: Int = 5, alpha: Double = 0.85): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("d").orderBy("pos")
-    val toks = docs
-      .select(col(idCol).as("d"), posexplode(words(col(textCol))))
-      .toDF("d", "pos", "w")
-      .where(length(col("w")) > 0)
-    val und = toks
-      .withColumn("nxt", lead(col("w"), 1).over(w))
-      .where(col("nxt").isNotNull && col("nxt") =!= col("w"))
-      .select(least(col("w"), col("nxt")).as("a"),
-        greatest(col("w"), col("nxt")).as("b"))
+    // Round-16 (the q187 stupidBackoff pattern): the adjacency successor
+    // is an ARRAY lookup over the empty-token-filtered word array (the
+    // filter runs BEFORE pairing, exactly like the old pre-window WHERE,
+    // so `get(_w, i+1)` sees the same neighbor `lead` saw), replacing
+    // the per-doc hash(d) exchange + SORT + Window; the compact
+    // (d, word-array) repartition kept below is the spread off the
+    // 1-task local scan and the canonical reuse point. The distinct
+    // pair set is VOCABULARY-bounded (canonical co-occurring word
+    // pairs), so the lazy checkpoint is the bounded-frame
+    // materialize-once — it feeds FOUR plan references (both edge
+    // directions + both node-derivation legs), each of which re-ran
+    // tokenize+pairs+distinct before.
+    val und = docs
+      .select(col(idCol).as("d"),
+        filter(words(col(textCol)), x => length(x) > 0).as("_w"))
+      .repartition(col("d"))
+      .select(explode(transform(col("_w"), (x, i) =>
+        struct(x.as("w"), get(col("_w"), i + 1).as("nxt")))).as("p"))
+      .where(col("p.nxt").isNotNull && col("p.nxt") =!= col("p.w"))
+      .select(least(col("p.w"), col("p.nxt")).as("a"),
+        greatest(col("p.w"), col("p.nxt")).as("b"))
       .distinct()
+      .localCheckpoint(false)
     def wid(c: Column): Column =
       graft.functions.HashExpressions.md5Prefix64(c, 15)
     val edges = und.select(wid(col("a")).as("src"), wid(col("b")).as("tgt"))
